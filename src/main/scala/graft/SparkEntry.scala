@@ -1,13 +1,643 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ext.{Dedup, Similarity, TextOps}
+import graft.model.{ColumnSpec, FkRef, TableConfig}
+import graft.ops.{Merge, Normalize}
+import graft.rules.Rules
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 inventory + the LLM-pipeline extensions), each paired —
+  * where SQL-expressible — with DuckDB oracle SQL over the same tables.
+  *
+  * Cross-engine determinism conventions (SURVEY.md §7.4):
+  *  - money/quantity sums go through DECIMAL (exact, order-independent),
+  *    then surface as DOUBLE so both engines emit identical values;
+  *  - similarity scores are rounded to 6 decimals before ranking or
+  *    thresholding, so last-ulp float noise cannot flip results;
+  *  - every result is deterministically ordered and ties are broken by id.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
+    * vectorized reader rejects; read nanos as long and convert to a
+    * microsecond timestamp with integer division (a double division would
+    * lose precision at 1e18 magnitudes). DuckDB truncates ns→µs the same
+    * way, keeping the oracle comparable.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+  private def money(c: Column): Column = sum(c.cast(dec2)).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_join_revenue_nation")(spark, "/root/testdata/sf0.001")
+
+  // ================================================================ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregation (SURVEY §2.4) -------------------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          money(col("l_quantity")).as("sum_qty"),
+          money(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(dec4)).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- projection / filter / cast (SURVEY §2.2) ----------------------
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty_int"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(dec4).cast("double").as("disc_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- multi-way join + broadcast dims (SURVEY §2.3 J5) --------------
+    "q03_join_revenue_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(dec4)).cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ---- left-anti join: new/missing-key detection (J1/J6) -------------
+    "q04_orders_no_lineitem" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li.select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"),
+          "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- left-semi join: existence (J2) ---------------------------------
+    "q05_semi_join_bigqty" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(li.select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"),
+          "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- FK referential-integrity rule (J3, §2.11) ----------------------
+    "q06_fk_violations" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val smallParts = t(s, dir, "part").filter(col("p_size") < 48)
+      val cfg = TableConfig("lineitem",
+        Seq(ColumnSpec("l_orderkey", LongType, primaryKey = true),
+          ColumnSpec("l_linenumber", IntegerType, primaryKey = true),
+          ColumnSpec("l_partkey", LongType)),
+        Seq(FkRef("l_partkey", "part", "p_partkey")))
+      Rules.ForeignKeyRule(li, cfg, Map("part" -> smallParts))
+        .violations
+        .orderBy("record_key")
+    }),
+
+    // ---- duplicate-key detection (A2) -----------------------------------
+    "q07_dup_keys" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("dup_count"))
+        .filter(col("dup_count") > 1)
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- deterministic dedup: keep-first-by-order (A4) -------------------
+    "q08_dedup_keep_first" -> ((s, dir) => {
+      // (l_orderkey, l_linenumber) is not unique in this data — the full
+      // tie-break (linenumber, partkey, suppkey) pins "first" deterministically
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- distinct dimension + surrogate key (A5/W1, etl2.py:204-211) ----
+    "q09_dim_surrogate" -> ((s, dir) => {
+      Normalize.dimensionWithSurrogate(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), "dim_id")
+        .orderBy("dim_id")
+    }),
+
+    // ---- window analytics: row_number + lag (§2.5) -----------------------
+    "q10_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- changed-row detection, null-safe (J4, etl2.py:270-296) ---------
+    "q11_changed_rows" -> ((s, dir) => {
+      val (existing, incoming) = mergeSnapshots(t(s, dir, "orders"))
+      Merge.classify(incoming, existing, Seq("o_orderkey"))
+        .updates
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- full merge post-state: insert/update/tombstone (T2-T4) ---------
+    "q12_merge_post_state" -> ((s, dir) => {
+      val (existing0, incoming) = mergeSnapshots(t(s, dir, "orders"))
+      val existing = existing0
+        .withColumn("updated_at", lit("2020-01-01 00:00:00").cast("timestamp"))
+        .withColumn("is_deleted", col("o_orderkey") % 11 === 0)
+      Merge.postState(incoming, existing, Seq("o_orderkey"),
+          now = lit("2021-01-01 00:00:00").cast("timestamp"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- SCD2 history rows for the same merge (T3/T4) --------------------
+    "q13_scd2_history" -> ((s, dir) => {
+      val (existing0, incoming) = mergeSnapshots(t(s, dir, "orders"))
+      val existing = existing0
+        .withColumn("updated_at", lit("2020-01-01 00:00:00").cast("timestamp"))
+        .withColumn("is_deleted", col("o_orderkey") % 11 === 0)
+      Merge.scd2History(incoming, existing, Seq("o_orderkey"),
+          now = lit("2021-01-01 00:00:00").cast("timestamp"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- null census in one pass (A1) ------------------------------------
+    "q14_null_census" -> ((s, dir) => {
+      val withNulls = t(s, dir, "orders")
+        .withColumn("o_orderpriority",
+          when(col("o_orderpriority") === "1-URGENT", lit(null))
+            .otherwise(col("o_orderpriority")))
+        .withColumn("o_totalprice",
+          when(col("o_totalprice") > 300000, lit(null))
+            .otherwise(col("o_totalprice")))
+      Rules.nullCensus(withNulls)
+    }),
+
+    // ---- pairwise timestamp-order business rule (F3, §2.11) -------------
+    "q15_ship_before_order" -> ((s, dir) => {
+      val joined = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      Rules.timestampOrderViolations(joined, "o_orderdate", "l_shipdate")
+        .select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
+
+    // ---- negative-value rule (F5, §2.11) ---------------------------------
+    "q16_negative_balance" -> ((s, dir) => {
+      Rules.NegativeValuesRule(t(s, dir, "customer"), "customer",
+          pk = Seq("c_custkey"))
+        .violations
+        .withColumn("record_key", col("record_key").cast("long"))
+        .orderBy("column", "record_key")
+    }),
+
+    // ---- emoji / unicode-block scan (F2, §2.11) --------------------------
+    "q17_emoji_scan" -> ((s, dir) => {
+      val cfg = TableConfig("documents",
+        Seq(ColumnSpec("doc_id", LongType, primaryKey = true),
+          ColumnSpec("text", StringType), ColumnSpec("lang", StringType),
+          ColumnSpec("source", StringType), ColumnSpec("n_chars", LongType)))
+      Rules.EmojiRule(t(s, dir, "documents"), cfg, Map.empty)
+        .violations
+        .orderBy("column", "record_key")
+    }),
+
+    // ==== LLM-pipeline extensions =========================================
+
+    // ---- text statistics ---------------------------------------------------
+    "q20_text_stats" -> ((s, dir) => {
+      TextOps.withStats(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars_computed", "n_tokens", "n_distinct_tokens",
+          "type_token_ratio", "avg_token_len")
+        .orderBy("doc_id")
+    }),
+
+    // ---- stopword-ratio scoring (language-evidence primitive) -------------
+    "q21_stopword_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.stopwordRatio(col("text"), TextOps.Stopwords("en"))
+            .as("en_stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- heuristic language ID (argmax over evidence; rows-only check) ----
+    "q22_language_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextOps.languageId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- composite quality score ------------------------------------------
+    "q23_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- exact dedup by content hash ----------------------------------------
+    "q24_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDuplicateGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- near-dup pairs: prefix-blocked n-gram Jaccard (oracle-checked) ----
+    "q25_near_dup_jaccard" -> ((s, dir) => {
+      Dedup.prefixBlockedNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          prefixLen = 32, shingleN = 3, minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- near-dup pairs: MinHash + LSH (rows-only; spec-tested) ------------
+    "q26_minhash_near_dup" -> ((s, dir) => {
+      Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.5, shingleN = 3, k = 64, bands = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- SimHash fingerprints (rows-only; spec-tested) ---------------------
+    "q27_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- document fingerprint (rolling hash; rows-only) --------------------
+    "q28_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- brute-force cosine top-k (exact ANN baseline) ----------------------
+    "q30_topk_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- LSH-bucketed approximate top-k (rows-only; recall spec-tested) ----
+    "q31_topk_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
+          nPlanes = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- event-time tumbling window aggregation -----------------------------
+    "q32_hourly_events" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // ---- gap-based sessionization (window + cumulative sum) -----------------
+    "q33_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapMin = 30
+      val newSession = when(
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+          > gapMin * 60 * 1000000L, 1).otherwise(0)
+      events(s, dir)
+        .withColumn("session_id",
+          sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // ---- semi-structured JSON extraction -------------------------------------
+    "q34_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    })
+  )
+
+  /** Two deterministic snapshots of `orders` used by the merge queries:
+    * existing = keys ∤3, incoming = keys ∤5 with ~1/7 of prices changed —
+    * yielding non-trivial insert/update/delete/unchanged classes from
+    * read-only test data.
+    */
+  private def mergeSnapshots(orders: DataFrame): (DataFrame, DataFrame) = {
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val existing = base.filter(col("o_orderkey") % 3 =!= 0)
+    val incoming = base.filter(col("o_orderkey") % 5 =!= 0)
+      // * 2.0 is exact in IEEE double — unlike round(x*1.1, 2), whose
+      // half-way cases round differently across engines
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2.0)
+          .otherwise(col("o_totalprice")))
+    (existing, incoming)
+  }
+
+  // ============================================================== oracles
+
+  /** Shared CTE prefix for the merge-family oracles (must mirror
+    * `mergeSnapshots` exactly).
+    */
+  private val mergeCtes: String =
+    """WITH existing AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |         TIMESTAMP '2020-01-01 00:00:00' AS updated_at,
+      |         (o_orderkey % 11 = 0) AS is_deleted
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |incoming AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2.0
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 <> 0),
+      |updated AS (
+      |  SELECT i.o_orderkey, i.o_orderstatus, i.o_totalprice, e.is_deleted
+      |  FROM incoming i JOIN existing e USING (o_orderkey)
+      |  WHERE (i.o_orderstatus IS DISTINCT FROM e.o_orderstatus)
+      |     OR (i.o_totalprice IS DISTINCT FROM e.o_totalprice)),
+      |deleted AS (
+      |  SELECT e.* FROM existing e
+      |  WHERE NOT EXISTS (SELECT 1 FROM incoming i
+      |                    WHERE i.o_orderkey = e.o_orderkey)
+      |    AND NOT e.is_deleted)
+      |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS BIGINT) AS qty_int,
+        |  CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS disc_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount > 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_revenue_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_orders_no_lineitem" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q05_semi_join_bigqty" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q06_fk_violations" ->
+      """SELECT 'lineitem' AS "table", 'foreign_key' AS rule, 'l_partkey' AS "column",
+        |  concat_ws('|', l_orderkey, l_linenumber) AS record_key,
+        |  'dangling foreign key value=' || CAST(l_partkey AS VARCHAR) AS detail
+        |FROM lineitem
+        |WHERE l_partkey IS NOT NULL AND NOT EXISTS (
+        |  SELECT 1 FROM part p WHERE p.p_size < 48 AND p.p_partkey = lineitem.l_partkey)
+        |ORDER BY record_key""".stripMargin,
+
+    "q07_dup_keys" ->
+      """SELECT l_orderkey, count(*) AS dup_count FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+
+    "q08_dedup_keep_first" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q09_dim_surrogate" ->
+      """SELECT row_number() OVER (ORDER BY c_nationkey, c_mktsegment) AS dim_id,
+        |  c_nationkey, c_mktsegment
+        |FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+        |ORDER BY dim_id""".stripMargin,
+
+    "q10_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn, lag(o_totalprice, 1) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q11_changed_rows" -> (mergeCtes +
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM updated
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "q12_merge_post_state" -> (mergeCtes +
+      """, merged AS (
+        |  SELECT i.o_orderkey, i.o_orderstatus, i.o_totalprice,
+        |         TIMESTAMP '2021-01-01 00:00:00' AS updated_at, false AS is_deleted
+        |  FROM incoming i
+        |  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = i.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         TIMESTAMP '2021-01-01 00:00:00', is_deleted
+        |  FROM updated
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         TIMESTAMP '2021-01-01 00:00:00', true
+        |  FROM deleted
+        |  UNION ALL
+        |  SELECT e.* FROM existing e
+        |  WHERE NOT EXISTS (SELECT 1 FROM updated u WHERE u.o_orderkey = e.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM deleted d WHERE d.o_orderkey = e.o_orderkey))
+        |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin),
+
+    "q13_scd2_history" -> (mergeCtes +
+      """, hist AS (
+        |  SELECT e.o_orderkey, e.o_orderstatus, e.o_totalprice, e.is_deleted,
+        |         e.updated_at AS valid_from,
+        |         TIMESTAMP '2021-01-01 00:00:00' AS valid_to
+        |  FROM existing e JOIN updated u USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, true,
+        |         updated_at, TIMESTAMP '2021-01-01 00:00:00'
+        |  FROM deleted)
+        |SELECT * FROM hist ORDER BY o_orderkey""".stripMargin),
+
+    "q14_null_census" ->
+      """SELECT count(*) - count(o_orderkey) AS o_orderkey,
+        |  count(*) - count(o_custkey) AS o_custkey,
+        |  count(*) - count(o_orderstatus) AS o_orderstatus,
+        |  count(*) - count(CASE WHEN o_totalprice > 300000 THEN NULL ELSE o_totalprice END) AS o_totalprice,
+        |  count(*) - count(o_orderdate) AS o_orderdate,
+        |  count(*) - count(nullif(o_orderpriority, '1-URGENT')) AS o_orderpriority
+        |FROM orders""".stripMargin,
+
+    "q15_ship_before_order" ->
+      """SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL
+        |  AND o_orderdate > l_shipdate
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+
+    "q16_negative_balance" ->
+      """SELECT 'customer' AS "table", 'negative_values' AS rule, col AS "column",
+        |  c_custkey AS record_key,
+        |  'negative value=' || CAST(val AS VARCHAR) AS detail
+        |FROM (
+        |  SELECT 'c_custkey' AS col, c_custkey, CAST(c_custkey AS DOUBLE) AS val
+        |  FROM customer WHERE c_custkey < 0
+        |  UNION ALL
+        |  SELECT 'c_nationkey', c_custkey, CAST(c_nationkey AS DOUBLE)
+        |  FROM customer WHERE c_nationkey < 0
+        |  UNION ALL
+        |  SELECT 'c_acctbal', c_custkey, c_acctbal
+        |  FROM customer WHERE c_acctbal < 0)
+        |ORDER BY "column", record_key""".stripMargin,
+
+    "q17_emoji_scan" ->
+      """SELECT CAST(NULL AS VARCHAR) AS "table", CAST(NULL AS VARCHAR) AS rule,
+        |  CAST(NULL AS VARCHAR) AS "column", CAST(NULL AS VARCHAR) AS record_key,
+        |  CAST(NULL AS VARCHAR) AS detail
+        |FROM documents
+        |WHERE regexp_matches(text, '[\x{1F600}-\x{1F64F}\x{1F300}-\x{1F5FF}\x{1F680}-\x{1F6FF}\x{1F1E0}-\x{1F1FF}\x{2700}-\x{27BF}\x{24C2}-\x{1F251}]')
+        |   OR regexp_matches(lang, '[\x{1F600}-\x{1F64F}]')
+        |ORDER BY record_key""".stripMargin,
+
+    "q20_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_computed,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_tokens,
+        |  round(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+        |    / len(string_split_regex(trim(text), '\s+')), 6) AS type_token_ratio,
+        |  round((length(text) - (len(string_split_regex(trim(text), '\s+')) - 1))::DOUBLE
+        |    / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_stopword_ratio" ->
+      """SELECT doc_id,
+        |  round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+        |    / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6)
+        |    AS en_stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id,
+        |  count(*) AS dup_count
+        |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+
+    "q25_near_dup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, substr(text, 1, 32) AS block,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+        |  FROM (SELECT doc_id, text,
+        |        string_split_regex(trim(text), '\s+') AS toks FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |    (len(a.shingles) + len(b.shingles)
+        |     - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |    (len(a.shingles) + len(b.shingles)
+        |     - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_topk_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])) *
+        |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
+        |  neighbor_id, sim
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q32_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q33_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q34_json_extract" ->
+      """SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
 }

@@ -11,12 +11,25 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Timestamps surface as NTZ (session TZ is UTC, so values are
+    // unchanged): the parquet then reads back timezone-naive, matching the
+    // DuckDB oracle's timestamp semantics exactly.
+    def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      df.select(df.schema.fields.map { f =>
+        if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
+        else col(f.name)
+      }.toSeq: _*)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (content
+  * hash), near-duplicate via MinHash+LSH, SimHash, and n-gram Jaccard
+  * verification.
+  *
+  * Scale design: every stage is either a projection (signatures,
+  * shingles — no shuffle) or an equi-join/aggregation on a hash key
+  * (bucketing, pair generation — one shuffle, AQE-skew-safe). Nothing here
+  * compares all pairs: candidate generation is always through a bucket
+  * key, so cost is O(n · bands) + O(Σ bucket²) with bucket sizes capped.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** 256-bit content hash — grouping key for exact dedup. Hashing first
+    * means the shuffle carries 64 hex chars per row instead of full
+    * documents.
+    */
+  def contentHash(text: Column): Column = sha2(text, 256)
+
+  /** Exact duplicate groups: one row per distinct content, with the kept
+    * (minimum) id and the group size.
+    */
+  def exactDuplicateGroups(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    df.groupBy(contentHash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup keeping the smallest id per content (deterministic, unlike
+    * `dropDuplicates` which keeps an arbitrary row).
+    */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(contentHash(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles (distinct). Documents shorter than `n` tokens
+    * yield their whole token sequence as a single shingle.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+    array_distinct(
+      when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Jaccard similarity of two (distinct-element) arrays, rounded to 6
+    * decimals so float noise can't flip threshold comparisons.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    round(inter / (size(a) + size(b) - inter), 6)
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** k-permutation MinHash signature over a shingle array. Permutation i
+    * is `xxhash64(shingle, i)` — k independent 64-bit hash families, all
+    * computed in one projection (no explode, no shuffle).
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** LSH band keys: the signature is cut into `bands` bands of
+    * `k / bands` rows each; each band hashes to one bucket key. Two
+    * documents collide in a band iff that slice of their signatures is
+    * identical.
+    */
+  def lshBandKeys(signature: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(signature, b * r + lit(1), lit(r)), b))
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs `(idA < idB)`.
+    *
+    * Pipeline: signature projection → posexplode to (band, bucket, id) →
+    * self-equi-join on (band, bucket) → distinct pairs. The only shuffles
+    * are the bucket join and the final distinct, both on hash keys.
+    * `maxBucketSize` drops degenerate buckets (boilerplate-heavy corpora
+    * produce a few huge buckets whose pair expansion is quadratic — the
+    * standard LSH guard at scale).
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val sig = df.select(col(idCol),
+      minhashSignature(wordShingles(col(textCol), shingleN), k).as("sig"))
+    val buckets = sig.select(col(idCol),
+        posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "bucket")))
+    val wCnt = Window.partitionBy("band", "bucket")
+    val capped = buckets.withColumn("__n", count(lit(1)).over(wCnt))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash-LSH near-duplicate pairs, verified: candidates from
+    * `minhashCandidatePairs`, then exact shingle-Jaccard computed on the
+    * pair (arrays joined in by id — two hash joins) and filtered to
+    * `minJaccard`. This is the full production near-dup pipeline shape:
+    * cheap candidate generation, exact verification on the tiny candidate
+    * set only.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          minJaccard: Double, shingleN: Int = 3,
+                          k: Int = 64, bands: Int = 16): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, shingleN, k, bands)
+    val sh = df.select(col(idCol),
+      wordShingles(col(textCol), shingleN).as("sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Prefix-blocked exact n-gram Jaccard pairs: candidates are documents
+    * sharing their first `prefixLen` characters (an equi-join — scales),
+    * verified with shingle Jaccard ≥ `minJaccard`. SQL-expressible, so it
+    * doubles as the oracle-checked member of the near-dup family.
+    */
+  def prefixBlockedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                                prefixLen: Int, shingleN: Int,
+                                minJaccard: Double): DataFrame = {
+    val keyed = df.select(col(idCol), col(textCol),
+      substring(col(textCol), 1, prefixLen).as("block"))
+    val a = keyed.select(col("block"), col(idCol).as("id_a"),
+      col(textCol).as("text_a"))
+    val b = keyed.select(col("block"), col(idCol).as("id_b"),
+      col(textCol).as("text_b"))
+    a.join(b, "block").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(wordShingles(col("text_a"), shingleN),
+                wordShingles(col("text_b"), shingleN)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens: per-token `xxhash64` bits
+    * vote +1/-1 into 64 counters; the sign vector folds into one long.
+    * Near-duplicates land within small Hamming distance. One projection.
+    */
+  def simhash64(text: Column): Column = {
+    val bitsOf: Column => Column = t =>
+      array((0 until 64).map(b =>
+        when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)): _*)
+    val counters = aggregate(
+      TextOps.tokens(text),
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, bitsOf(t), (x, y) => x + y))
+    // assemble sign bits into one long with shift/OR (bit ops — no
+    // ANSI-mode overflow checks, unlike a *2+bit fold)
+    (0 until 64).map(i =>
+      when(element_at(counters, i + 1) > 0, shiftleft(lit(1L), i))
+        .otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

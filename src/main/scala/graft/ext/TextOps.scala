@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, counting statistics, quality scoring, language
+  * identification, and document fingerprinting.
+  *
+  * Everything here is a pure column expression (whole-stage-codegen'd,
+  * no UDFs, no shuffle): per-document cost is O(doc length) and the
+  * operators scale embarrassingly with partitions.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. `trim` first so leading/trailing whitespace
+    * cannot produce empty tokens.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** BPE-ish token estimate: word-or-single-punctuation chunks, the usual
+    * cheap proxy for subword token counts.
+    */
+  def tokenEstimate(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
+
+  /** Per-document counting statistics, appended as columns. */
+  def withStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_computed", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)))
+      .withColumn("type_token_ratio",
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6))
+      .withColumn("avg_token_len",
+        round((length(t) - (size(toks) - 1)).cast("double") / size(toks), 6))
+  }
+
+  /** Tiny per-language stopword lists for the language-ID heuristic.
+    * Deliberately small: the point is the *operator shape* (argmax over
+    * per-language evidence computed in one projection), not lexical
+    * coverage.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "den", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "que", "por")
+  )
+
+  /** Fraction of tokens found in `words` (case-insensitive). */
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    round(size(filter(toks, t => t.isin(words: _*))).cast("double") /
+      greatest(size(toks), lit(1)), 6)
+  }
+
+  /** Heuristic language ID: per-language stopword-hit counts + a CJK
+    * character check, argmax with deterministic tie-break (higher count
+    * wins; ties resolve to the lexicographically larger code). Returns the
+    * predicted code as a column. One projection, no shuffle.
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
+             lit(lang).as("lang"))
+    }
+    val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", ""))
+    val zh = struct((cjk * 3).as("score"), lit("zh").as("lang"))
+    val best = array_max(array((scored :+ zh): _*))
+    when(best("score") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length band + lexical diversity +
+    * punctuation sanity + stopword presence. The standard cheap pre-filter
+    * for web-scale corpora; weights are illustrative.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val toks = tokens(text)
+    val nToks = greatest(size(toks), lit(1))
+    val diversity = size(array_distinct(toks)).cast("double") / nToks
+    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(nChars, lit(1))
+    val sw = stopwordRatio(text, Stopwords("en"))
+    val lengthScore = when(nChars.between(100, 10000), 1.0)
+      .when(nChars.between(20, 99), 0.5).otherwise(0.1)
+    round(lengthScore * 0.4 + least(diversity, lit(1.0)) * 0.3 +
+      (lit(1.0) - least(punct * 5, lit(1.0))) * 0.2 +
+      least(sw * 5, lit(1.0)) * 0.1, 6)
+  }
+
+  /** 64-bit document fingerprint: order-sensitive hash of the token
+    * sequence (xxhash64 over the token array). Two documents with identical
+    * token sequences — even under differing whitespace — collide; any
+    * reordering does not.
+    */
+  def fingerprint(text: Column): Column = xxhash64(tokens(text))
+}
