@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
 import graft.model.{ColumnSpec, FkRef, TableConfig}
 import graft.ops.{Merge, Normalize}
 import graft.rules.Rules
@@ -240,6 +240,41 @@ object SparkEntry {
         .orderBy("column", "record_key")
     }),
 
+    // ---- lifecycle chronology rule (F4, §2.11) ---------------------------
+    "q18_chronology" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val base = t(s, dir, "orders").select(k, col("o_orderdate"))
+        .withColumn("purchase", col("o_orderdate"))
+        .withColumn("approved",
+          when(k % 5 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("o_orderdate") +
+              make_dt_interval(days = (k % 7 - 3).cast("int"))))
+        .withColumn("carrier",
+          when(k % 3 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("o_orderdate") + make_dt_interval(days = lit(2))))
+        .withColumn("delivered",
+          col("o_orderdate") + make_dt_interval(days = (k % 11 - 2).cast("int")))
+      Rules.chronologyIssues(base,
+          Seq("purchase", "approved", "carrier", "delivered"))
+        .select(k, array_join(col("issues"), "; ").as("issues_str"))
+        .filter(col("issues_str") =!= "")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- required-dimension completeness (§2.11 product dims) ------------
+    "q19_missing_required" -> ((s, dir) => {
+      val withGaps = t(s, dir, "customer")
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")))
+        .withColumn("c_nationkey",
+          when(col("c_custkey") % 11 === 0, lit(null).cast("long"))
+            .otherwise(col("c_nationkey")))
+      Rules.missingRequired(withGaps, Seq("c_mktsegment", "c_nationkey"))
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        .orderBy("c_custkey")
+    }),
+
     // ==== LLM-pipeline extensions =========================================
 
     // ---- text statistics ---------------------------------------------------
@@ -308,6 +343,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- BPE-ish token estimate (oracle-checked regex counting) ------------
+    "q29_token_estimate" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenEstimate(col("text")).cast("long").as("n_tokens_est"))
+        .orderBy("doc_id")
+    }),
+
     // ---- brute-force cosine top-k (exact ANN baseline) ----------------------
     "q30_topk_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -359,6 +402,54 @@ object SparkEntry {
         .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    }),
+
+    // ---- multimodal: binary payloads, metadata + format sniffing ------------
+    "q35_media_meta" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.withMediaMeta(media, "payload")
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("format"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal: batched decode + feature extraction (stub codec) -------
+    "q36_image_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select("doc_id", "payload")
+      val feats = Multimodal.extractImageFeatures(media, "payload")
+      Multimodal.resizePlan(feats, "width", "height", maxW = 256, maxH = 256)
+        .select("doc_id", "width", "height", "channels", "mean_luma",
+          "resized_width", "resized_height")
+        .orderBy("doc_id")
+    }),
+
+    // ---- embedding-cosine near-dup: exact all-pairs (oracle-checked) --------
+    "q37_cosine_near_dup" -> ((s, dir) => {
+      Dedup.cosineNearDupPairsExact(t(s, dir, "embeddings"),
+          "vec_id", "embedding", minCosine = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- embedding-cosine near-dup: LSH-blocked (rows-only; spec-tested) ----
+    "q38_cosine_near_dup_lsh" -> ((s, dir) => {
+      Dedup.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
+          "vec_id", "embedding", minCosine = 0.4, nPlanes = 6, nTables = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- multimodal: uniform frame-sampling plan -----------------------------
+    "q39_frame_sample" -> ((s, dir) => {
+      val videos = t(s, dir, "documents")
+        .filter(col("doc_id") % 50 === 0)
+        // duration divisible by the sample count => frame times exact in
+        // both engines (no float-rounding divergence)
+        .withColumn("duration_ms", col("n_chars") * 800)
+      Multimodal.sampleFramePlan(videos, "duration_ms", n = 8)
+        .select("doc_id", "duration_ms", "frame_idx", "frame_time_ms")
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -557,6 +648,42 @@ object SparkEntry {
         |   OR regexp_matches(lang, '[\x{1F600}-\x{1F64F}]')
         |ORDER BY record_key""".stripMargin,
 
+    "q18_chronology" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderdate AS purchase,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         ELSE o_orderdate + (o_orderkey % 7 - 3) * INTERVAL 1 DAY END AS approved,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |         ELSE o_orderdate + 2 * INTERVAL 1 DAY END AS carrier,
+        |    o_orderdate + (o_orderkey % 11 - 2) * INTERVAL 1 DAY AS delivered
+        |  FROM orders),
+        |packed AS (
+        |  SELECT o_orderkey, list_filter([
+        |      struct_pack(name := 'purchase', ts := purchase),
+        |      struct_pack(name := 'approved', ts := approved),
+        |      struct_pack(name := 'carrier', ts := carrier),
+        |      struct_pack(name := 'delivered', ts := delivered)
+        |    ], e -> e.ts IS NOT NULL) AS p
+        |  FROM base),
+        |issues AS (
+        |  SELECT o_orderkey, array_to_string(
+        |    list_filter(
+        |      list_transform(range(2, len(p) + 1),
+        |        i -> CASE WHEN p[i].ts < p[i-1].ts
+        |             THEN p[i].name || ' comes before ' || p[i-1].name END),
+        |      x -> x IS NOT NULL), '; ') AS issues_str
+        |  FROM packed WHERE len(p) >= 2)
+        |SELECT o_orderkey, issues_str FROM issues
+        |WHERE issues_str <> '' ORDER BY o_orderkey""".stripMargin,
+
+    "q19_missing_required" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_nationkey END AS c_nationkey
+        |FROM customer
+        |WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
     "q20_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars_computed,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -599,6 +726,11 @@ object SparkEntry {
         |     - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q29_token_estimate" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q30_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
         |           FROM embeddings WHERE vec_id % 100 = 0),
@@ -638,6 +770,44 @@ object SparkEntry {
     "q34_json_extract" ->
       """SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
         |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k, count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // payload = magic || utf8(text), magic by doc_id % 3 (mirrors
+    // Multimodal.syntheticMedia); sniffing compares hex prefixes — same
+    // longest-first cascade as Multimodal.sniffFormat.
+    "q35_media_meta" ->
+      """WITH media AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN '\x89\x50\x4E\x47'::BLOB || encode(text)
+        |         WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF'::BLOB || encode(text)
+        |         ELSE encode(text) END AS payload
+        |  FROM documents)
+        |SELECT doc_id, octet_length(payload) AS n_bytes,
+        |  CASE WHEN substr(hex(payload), 1, 8) = '89504E47' THEN 'png'
+        |       WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |       WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'riff'
+        |       WHEN substr(hex(payload), 1, 6) = '494433' THEN 'mp3'
+        |       WHEN substr(hex(payload), 1, 8) = '4F676753' THEN 'ogg'
+        |       WHEN substr(hex(payload), 1, 8) = '1A45DFA3' THEN 'mkv'
+        |       ELSE 'unknown' END AS format
+        |FROM media ORDER BY doc_id""".stripMargin,
+
+    "q37_cosine_near_dup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q39_frame_sample" ->
+      """SELECT doc_id, n_chars * 800 AS duration_ms, r.i AS frame_idx,
+        |  (r.i * n_chars * 100)::BIGINT AS frame_time_ms
+        |FROM documents, range(8) r(i)
+        |WHERE doc_id % 50 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -176,4 +176,51 @@ object Dedup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------- embedding-cosine near-dup
+
+  /** Exact embedding near-duplicate pairs: all (id_a < id_b) pairs with
+    * cosine ≥ `minCosine`. O(n²) all-pairs — the correctness baseline and
+    * the oracle-checkable member of this family; use the LSH variant at
+    * scale.
+    */
+  def cosineNearDupPairsExact(emb: DataFrame, idCol: String, vecCol: String,
+                              minCosine: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Embedding near-duplicate pairs at scale: multi-table random-hyperplane
+    * LSH candidate generation (equi-join on (table, bucket) — linear in
+    * corpus size for bounded buckets) followed by exact cosine
+    * verification of candidates only. Same recall/cost dials as
+    * `Similarity.lshTopK`.
+    */
+  def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                            minCosine: Double, nPlanes: Int = 6,
+                            nTables: Int = 8, seed: Long = 42L,
+                            dim: Int = 64): DataFrame = {
+    val tables = (0 until nTables).map(t =>
+      t -> Similarity.hyperplanes(nPlanes, dim, seed + t))
+    val keys = array(tables.map { case (t, planes) =>
+      struct(lit(t).as("tbl"),
+        Similarity.rhpSignature(col(vecCol), planes).as("bucket"))
+    }: _*)
+    val keyed = emb.select(col(idCol), col(vecCol), explode(keys).as("key"))
+    val a = keyed.select(col("key"), col(idCol).as("id_a"))
+    val b = keyed.select(col("key"), col(idCol).as("id_b"))
+    val cands = a.join(b, "key").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = emb.select(col(idCol), col(vecCol))
+    cands
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
 }

@@ -74,32 +74,47 @@ object Similarity {
     bits.reduce((acc, b) => acc * 2 + b)
   }
 
-  /** LSH-bucketed approximate top-k: candidates share the query's signature
-    * bucket (multi-probed: all buckets within Hamming distance 1, i.e.
-    * nPlanes+1 probes per query), then exact cosine rerank of candidates
-    * only. Recall tuned via nPlanes (fewer planes → bigger buckets →
-    * higher recall, more rerank work).
+  /** LSH-bucketed approximate top-k: standard multi-table random-hyperplane
+    * LSH. Each of `nTables` independent tables hashes every vector to an
+    * `nPlanes`-bit bucket; candidates are corpus rows sharing a bucket with
+    * the query in ANY table (single-bit multi-probe included), then exact
+    * cosine reranks the candidate set only.
+    *
+    * Recall/cost dial: more tables or fewer planes → higher recall, more
+    * rerank work. All tables are generated in ONE projection per side
+    * (an array of (table, bucket) structs, exploded) so the corpus is still
+    * scanned once; the only shuffle is the bucket equi-join + final top-k.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nPlanes: Int = 12,
+              vecCol: String, k: Int, nPlanes: Int = 12, nTables: Int = 4,
               seed: Long = 42L): DataFrame = {
     val dim = 64 // embeddings table layout; parameterize when schema varies
-    val planes = hyperplanes(nPlanes, dim, seed)
+    val tables = (0 until nTables).map(t =>
+      t -> hyperplanes(nPlanes, dim, seed + t))
+
+    def corpusKeys(vec: Column): Column = array(tables.map { case (t, planes) =>
+      struct(lit(t).as("tbl"), rhpSignature(vec, planes).as("bucket"))
+    }: _*)
+
+    // query probes: per table, own bucket + all single-bit flips
+    def queryKeys(vec: Column): Column = array(tables.flatMap { case (t, planes) =>
+      val base = rhpSignature(vec, planes)
+      (-1 until nPlanes).map { bit =>
+        val probe = if (bit < 0) base else base.bitwiseXOR(lit(1L << bit))
+        struct(lit(t).as("tbl"), probe.as("bucket"))
+      }
+    }: _*)
+
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      rhpSignature(col(vecCol), planes).as("bucket"))
-    // query probes: own bucket + all single-bit flips
-    val probes = (-1 until nPlanes).map { bit =>
-      val base = rhpSignature(col(vecCol), planes)
-      val probe = if (bit < 0) base
-        else base.bitwiseXOR(lit(1L << bit))
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        probe.as("bucket"))
-    }.reduce(_ unionByName _)
-    val scored = c.join(probes, "bucket")
+        explode(corpusKeys(col(vecCol))).as("key"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(queryKeys(col(vecCol))).as("key"))
+    val scored = c.join(q, "key")
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "qvec", "cvec")
+      .distinct() // dedup candidates BEFORE the (costlier) cosine
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("sim"))
-      .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

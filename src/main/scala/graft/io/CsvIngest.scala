@@ -54,8 +54,11 @@ object CsvIngest {
   def withHeuristicTimestamps(df: DataFrame,
                               fmt: String = TimestampFormat): DataFrame = {
     val cols = df.schema.fields.map {
+      // try_to_timestamp: null on parse failure (pandas errors='coerce',
+      // data_quality_checker.py:274). Plain to_timestamp THROWS under
+      // Spark 4 ANSI mode.
       case f if f.dataType == StringType && looksLikeTimestamp(f.name) =>
-        to_timestamp(col(f.name), fmt).as(f.name)
+        try_to_timestamp(col(f.name), lit(fmt)).as(f.name)
       case f => col(f.name)
     }
     df.select(cols.toSeq: _*)

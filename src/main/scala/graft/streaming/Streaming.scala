@@ -1,0 +1,171 @@
+package graft.streaming
+
+import graft.ops.Merge
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface. The reference's only streaming construct
+  * is a scheduled micro-batch CDC loop (schedule.every(8).minutes,
+  * etl2.py:462-467) — `microBatchMerge` reproduces it on a real streaming
+  * engine; the event-time operators (tumbling/sliding windows, watermarks,
+  * stateful sessionization) extend the surface the way SURVEY.md §7.2(5)
+  * prescribes.
+  *
+  * All transforms here work identically on batch and streaming frames
+  * (same Catalyst plans); watermarking only binds on streaming input.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregation with a watermark bounding
+    * state: counts + value sum per (window, event_type). Late rows beyond
+    * `lateness` are dropped instead of growing state forever — the
+    * scale-critical difference from a naive groupBy.
+    */
+  def hourlyCounts(events: DataFrame, tsCol: String = "ts",
+                   lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Sliding event-time window (1h window, 15m slide). */
+  def slidingCounts(events: DataFrame, tsCol: String = "ts",
+                    lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"))
+}
+
+/** One event for stateful sessionization (micros since epoch keeps the
+  * state encoder trivial and comparison exact).
+  */
+final case class SessionEvent(user_id: Long, ts_micros: Long)
+
+/** Closed session emitted by the stateful operator. */
+final case class Session(user_id: Long, session_start_micros: Long,
+                         session_end_micros: Long, n_events: Long)
+
+/** Open-session state carried between micro-batches. */
+final case class SessionState(start: Long, last: Long, n: Long)
+
+object Sessionize {
+
+  val GapMicros: Long = 30L * 60 * 1000000 // 30-minute inactivity gap
+
+  /** Per-user gap sessionization over a stream, with
+    * `flatMapGroupsWithState` custom state: events accumulate into an open
+    * session; a gap larger than 30 min (or event-time timeout) closes it.
+    * State per key is O(1) — start/last/count — so the operator holds
+    * |active users| tiny records regardless of throughput.
+    */
+  def sessions(events: Dataset[SessionEvent]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_micros")))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start, s.last, s.n))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= GapMicros =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last / 1000 + GapMicros / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
+
+/** The reference's scheduled incremental load (T1-T5, etl2.py:298-467) as
+  * a Structured Streaming job: a file-source stream feeds `foreachBatch`,
+  * each batch merging into parquet-backed state exactly like the batch
+  * `Merge` — same classify/postState/scd2History code, so streaming and
+  * batch semantics cannot drift apart.
+  */
+object MicroBatchMerge {
+
+  /** Apply one incoming batch to the persistent state at `stateDir`,
+    * appending superseded versions to `historyDir`. Returns the new state
+    * row count (forcing materialization).
+    *
+    * Write protocol: state is swapped via a temp dir + atomic rename so a
+    * mid-write crash never leaves readers a half state.
+    */
+  def applyBatch(spark: SparkSession, batch: DataFrame, pk: Seq[String],
+                 stateDir: String, historyDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val statePath = new Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val existing: Option[DataFrame] =
+      if (fs.exists(statePath)) Some(spark.read.parquet(stateDir)) else None
+
+    val (newState, history) = existing match {
+      case Some(ex) =>
+        (Merge.postState(batch, ex, pk),
+         Some(Merge.scd2History(batch, ex, pk)))
+      case None =>
+        (batch.withColumn("updated_at", current_timestamp())
+           .withColumn("is_deleted", lit(false)), None)
+    }
+
+    history.foreach(_.write.mode("append").parquet(historyDir))
+
+    val tmp = stateDir + ".tmp"
+    newState.write.mode("overwrite").parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    fs.delete(statePath, true)
+    fs.rename(new Path(tmp), statePath)
+    n
+  }
+
+  /** Start the streaming CDC loop: watch `sourceDir` for new parquet files,
+    * merge each micro-batch into `stateDir` on the reference's 8-minute
+    * cadence (configurable).
+    */
+  def start(spark: SparkSession, sourceDir: String, schemaSource: String,
+            pk: Seq[String], stateDir: String, historyDir: String,
+            checkpointDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("8 minutes")): StreamingQuery = {
+    val schema = spark.read.parquet(schemaSource).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyBatch(spark, batch.toDF(), pk, stateDir, historyDir)
+        ()
+      }
+      .start()
+  }
+}

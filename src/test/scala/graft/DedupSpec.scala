@@ -1,0 +1,89 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (4L, "completely different content about spark engines and scale"),
+    (5L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactDuplicateGroups keeps min id and counts the group") {
+    val g = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+      .select("doc_id", "dup_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(1L -> 3L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("dedupExact keeps exactly the smallest id per content") {
+    val kept = Dedup.dedupExact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("wordShingles builds distinct n-grams; short docs fall back whole") {
+    val sh = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.wordShingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(sh(0).toSet == Set("a b c", "b c d"))
+    assert(sh(1) == Seq("a b"))
+  }
+
+  test("jaccard matches hand computation") {
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-9)
+  }
+
+  test("minhash signature length is k and equal docs agree") {
+    val sig = docs.select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L).size == 16)
+    assert(sig(1L) == sig(2L)) // identical text -> identical signature
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("minhashNearDupPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        minJaccard = 0.5, shingleN = 3, k = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact dup pairs must always collide in every band
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) &&
+      pairs.contains((2L, 5L)))
+    // doc 4 shares no shingles with anything
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("prefixBlockedNearDupPairs verifies with exact jaccard") {
+    val pairs = Dedup.prefixBlockedNearDupPairs(docs, "doc_id", "text",
+        prefixLen = 16, shingleN = 3, minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) == 1.0)
+    assert(byPair.contains((1L, 3L)) && byPair((1L, 3L)) >= 0.5 &&
+      byPair((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: identical text -> distance 0; near dup closer than unrelated") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 3L) < ham(1L, 4L))
+  }
+
+  test("hamming64 column matches JVM bitCount") {
+    val d = Seq((0x0FL, 0xF0L)).toDF("a", "b")
+      .select(Dedup.hamming64(col("a"), col("b"))).head()
+      .get(0).asInstanceOf[Number].longValue
+    assert(d == 8)
+  }
+}

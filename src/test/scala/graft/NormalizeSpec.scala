@@ -1,0 +1,38 @@
+package graft
+
+import graft.ops.Normalize
+
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val geo = Seq(
+    (1001, -46.6, -23.5, "sao paulo", "SP"),
+    (1001, -46.7, -23.6, "sao paulo", "SP"),
+    (2002, -43.2, -22.9, "rio de janeiro", "RJ"),
+    (3003, -47.9, -15.8, "brasilia", "DF")
+  ).toDF("geolocation_zip_code_prefix", "geolocation_lng", "geolocation_lat",
+    "geolocation_city", "geolocation_state")
+
+  test("dimensionWithSurrogate assigns dense 1-based ids in declared order") {
+    val dim = Normalize.dimensionWithSurrogate(
+      geo.withColumnRenamed("geolocation_city", "city")
+        .withColumnRenamed("geolocation_state", "state"),
+      Seq("city", "state"), "city_id")
+    val rows = dim.collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "brasilia"), (2, "rio de janeiro"), (3, "sao paulo")))
+  }
+
+  test("splitGeolocation yields 3NF tables with consistent keys") {
+    val (cityState, zip, coords) = Normalize.splitGeolocation(geo)
+    assert(cityState.columns.toSeq == Seq("city_id", "city", "state"))
+    assert(cityState.count() == 3)
+    val zipRows = zip.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val cityOf = cityState.collect()
+      .map(r => r.getString(1) -> r.getInt(0)).toMap
+    assert(zipRows(1001) == cityOf("sao paulo"))
+    assert(zipRows(2002) == cityOf("rio de janeiro"))
+    // coords keep every distinct (zip, lon, lat)
+    assert(coords.count() == 4)
+    assert(coords.columns.toSeq == Seq("zip_code", "longitude", "latitude"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 0.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.norm(col("a")),
+      Similarity.cosine(col("a"), col("b"))).head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-6)
+  }
+
+  test("cosine upcasts float vectors to double") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    assert(df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0) == 1.0)
+  }
+
+  // tiny corpus where nearest neighbors are knowable by eye
+  private val corpus = Seq(
+    (0L, Seq(1.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f)),
+    (2L, Seq(0.0f, 1.0f)),
+    (3L, Seq(0.1f, 0.9f)),
+    (4L, Seq(-1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK returns the true nearest neighbors, ranked") {
+    val top = Similarity.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    // cos to (1,0): id1=.994, id3=.110, id2=0, id4=-1
+    assert(top.toSeq == Seq(1L, 3L))
+  }
+
+  test("bruteForceTopK excludes self matches") {
+    val out = Similarity.bruteForceTopK(corpus, corpus, "vec_id", "embedding", 4)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("lshTopK achieves high recall on clustered (near-dup) vectors") {
+    // the ANN use case: clusters of near-identical embeddings. 40 clusters
+    // x 5 members, cosine within a cluster ≈ 0.98+.
+    val rnd = new scala.util.Random(7)
+    val vecs = for {
+      cl <- 0 until 40
+      base = Array.fill(64)(rnd.nextGaussian().toFloat)
+      m <- 0 until 5
+    } yield ((cl * 5 + m).toLong,
+      base.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 5 === 0) // one per cluster
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") <= 3).select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3))
+    val approx = pairs(Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3,
+      nPlanes = 12, nTables = 4))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall too low")
+  }
+
+  test("rhpSignature buckets identical vectors together") {
+    val planes = Similarity.hyperplanes(nPlanes = 10, dim = 2)
+    val sig = Seq((0L, Seq(0.5f, 0.5f)), (1L, Seq(0.5f, 0.5f)),
+        (2L, Seq(-0.5f, -0.5f))).toDF("vec_id", "v")
+      .select(col("vec_id"), Similarity.rhpSignature(col("v"), planes).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(2L))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.streaming.{EventStreams, MicroBatchMerge, Session, SessionEvent, Sessionize}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+  private def micros(s: String): Long = ts(s).getTime * 1000
+
+  test("hourlyCounts over a memory stream aggregates closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyCounts(events)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 2.0),
+        (ts("2024-01-01 10:50:00"), "view", 5.0))
+      q.processAllAvailable()
+      // watermark passes 10:00+1h once a later event arrives
+      in.addData((ts("2024-01-01 12:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly")
+        .select("hour", "event_type", "n", "total_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(out == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 10:00:00"), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessions: gap splits, state closes via watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = Sessionize.sessions(in.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        SessionEvent(1L, micros("2024-01-01 10:00:00")),
+        SessionEvent(1L, micros("2024-01-01 10:10:00")),
+        SessionEvent(1L, micros("2024-01-01 11:00:00")), // >30min gap: new session
+        SessionEvent(2L, micros("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // advance watermark far enough to time out all open sessions
+      in.addData(SessionEvent(99L, micros("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      in.addData(SessionEvent(99L, micros("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[Session].collect()
+        .map(s => (s.user_id, s.session_start_micros, s.n_events)).toSet
+      assert(out.contains((1L, micros("2024-01-01 10:00:00"), 2L))) // closed by gap
+      assert(out.contains((1L, micros("2024-01-01 11:00:00"), 1L))) // closed by timeout
+      assert(out.contains((2L, micros("2024-01-01 10:00:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("microBatchMerge applyBatch: insert then update then idempotent re-apply") {
+    val dir = Files.createTempDirectory("graft_merge").toString
+    val state = s"$dir/state"
+    val hist = s"$dir/history"
+
+    val b1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "price")
+    MicroBatchMerge.applyBatch(spark, b1, Seq("id"), state, hist)
+    assert(spark.read.parquet(state).count() == 2)
+
+    val b2 = Seq((1L, "a2", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "price")
+    MicroBatchMerge.applyBatch(spark, b2, Seq("id"), state, hist)
+    val s2 = spark.read.parquet(state)
+    assert(s2.count() == 3)
+    assert(s2.filter(col("id") === 1L).select("name").as[String].head() == "a2")
+    // superseded version of id=1 landed in history
+    val h = spark.read.parquet(hist)
+    assert(h.filter(col("id") === 1L).select("name").as[String].head() == "a")
+
+    // re-applying the identical batch changes nothing (T5 idempotence)
+    val before = rowsOf(s2.orderBy("id"))
+    MicroBatchMerge.applyBatch(spark, b2, Seq("id"), state, hist)
+    assert(rowsOf(spark.read.parquet(state).orderBy("id")) == before)
+  }
+
+  test("streaming file-source merge loop end-to-end with AvailableNow trigger") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val src = s"$dir/in"
+    new java.io.File(src).mkdirs()
+    val b1 = Seq((1L, "a", 10.0)).toDF("id", "name", "price")
+    b1.write.mode("append").parquet(src)
+    val q = MicroBatchMerge.start(spark, src, src, Seq("id"),
+      s"$dir/state", s"$dir/hist", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val st = spark.read.parquet(s"$dir/state")
+    assert(st.count() == 1)
+    assert(st.columns.contains("is_deleted"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ext.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).head().get(0)
+
+  test("tokens splits on runs of whitespace and trims") {
+    assert(one("  a  b\tc\nd ", size(TextOps.tokens(col("text")))) == 4)
+  }
+
+  test("tokenCount / distinctTokenCount") {
+    val df = Seq("the cat and the hat").toDF("text")
+    val r = df.select(TextOps.tokenCount(col("text")),
+      TextOps.distinctTokenCount(col("text"))).head()
+    assert(r.getInt(0) == 5 && r.getInt(1) == 4)
+  }
+
+  test("tokenEstimate counts words and single punctuation marks") {
+    // "Hello, world!" -> Hello , world !  = 4
+    assert(one("Hello, world!", TextOps.tokenEstimate(col("text"))) == 4)
+  }
+
+  test("stopwordRatio is hits/tokens, case-insensitive") {
+    val r = one("The cat OF doom", TextOps.stopwordRatio(col("text"),
+      TextOps.Stopwords("en"))).asInstanceOf[Double]
+    assert(math.abs(r - 0.5) < 1e-9)
+  }
+
+  test("stopwordRatio of empty text is 0, not NaN") {
+    val r = one("", TextOps.stopwordRatio(col("text"), TextOps.Stopwords("en")))
+    assert(r.asInstanceOf[Double] == 0.0)
+  }
+
+  test("languageId identifies each stopword language and CJK") {
+    val cases = Seq(
+      "the cat is on the mat and it is happy" -> "en",
+      "der Hund ist ein Tier und das ist gut" -> "de",
+      "le chat est un animal et la vie est belle" -> "fr",
+      "el perro es un animal y la vida es buena" -> "es",
+      "这是一个中文句子" -> "zh",
+      "xyzzy plugh qwerty" -> "und")
+    val out = cases.map(_._1).toDF("text")
+      .select(col("text"), TextOps.languageId(col("text")).as("lang"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (text, want) => assert(out(text) == want, text) }
+  }
+
+  test("qualityScore stays in [0,1] and rewards normal prose") {
+    val good = "The quick brown fox jumps over the lazy dog near the river bank " * 4
+    val bad = "@@@@ #### $$$$ %%%%"
+    val df = Seq(good, bad).toDF("text")
+      .select(col("text"), TextOps.qualityScore(col("text")).as("q"))
+    val m = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(m(good) > m(bad))
+  }
+
+  test("fingerprint is whitespace-insensitive but order-sensitive") {
+    val df = Seq("a b c", "a  b\tc", "c b a").toDF("text")
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("withStats matches hand-computed values") {
+    val r = TextOps.withStats(Seq(("d1", "aa bb aa")).toDF("id", "text"), "text")
+      .select("n_chars_computed", "n_tokens", "n_distinct_tokens",
+        "type_token_ratio", "avg_token_len").head()
+    assert(r.getInt(0) == 8 && r.getInt(1) == 3 && r.getInt(2) == 2)
+    assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-6)
+  }
+}
