@@ -355,7 +355,8 @@ object SparkEntry {
     "q30_topk_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
-      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5,
+          dim = Some(64))
         .orderBy("query_id", "rank")
     }),
 

@@ -64,13 +64,32 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** k-permutation MinHash signature over a shingle array. Permutation i
-    * is `xxhash64(shingle, i)` — k independent 64-bit hash families, all
-    * computed in one projection (no explode, no shuffle).
+  /** k-permutation MinHash signature over a shingle array.
+    *
+    * Each shingle is string-hashed ONCE (`xxhash64`), then the k hash
+    * families are affine permutations `(a_i·h + b_i) mod p` over the
+    * 31-bit residue — integer arithmetic instead of k string re-hashes
+    * (~10× cheaper per shingle at k=64). Bounds keep every product under
+    * 2^62, so ANSI mode cannot overflow. Still one projection: no explode,
+    * no shuffle.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val rnd = new scala.util.Random(0x5eed)
+    val coeffs = array(Seq.fill(k) {
+      val a = 1 + rnd.nextLong(p - 1) // a in [1,p), b in [0,p)
+      val b = rnd.nextLong(p)
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    // single fold over the hashed shingles: each step refreshes all k
+    // minima (zip_with against the coefficient array; `h` captured from
+    // the outer lambda). The shingle array is traversed exactly once.
+    aggregate(
+      transform(shingles, s => pmod(xxhash64(s), lit(p))),
+      array_repeat(lit(p), k),
+      (acc, h) => zip_with(acc, coeffs,
+        (m, c) => least(m, (c("a") * h + c("b")) % p)))
+  }
 
   /** LSH band keys: the signature is cut into `bands` bands of
     * `k / bands` rows each; each band hashes to one bucket key. Two
@@ -185,12 +204,20 @@ object Dedup {
     * scale.
     */
   def cosineNearDupPairsExact(emb: DataFrame, idCol: String, vecCol: String,
-                              minCosine: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+                              minCosine: Double, dim: Int = 64): DataFrame = {
+    // norms computed ONCE per vector (n rows), not once per pair (n²);
+    // the per-pair work is a single unrolled codegen'd dot product
+    val dbl = emb.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val withNorm = dbl.withColumn("nrm", Similarity.norm(col("v")))
+    val a = withNorm.select(col(idCol).as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = withNorm.select(col(idCol).as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("va"), col("vb")).as("cosine"))
+        round(Similarity.dotUnrolled(col("va"), col("vb"), dim) /
+          (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
@@ -215,12 +242,17 @@ object Dedup {
     val b = keyed.select(col("key"), col(idCol).as("id_b"))
     val cands = a.join(b, "key").filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val vecs = emb.select(col(idCol), col(vecCol))
+    val vecs = emb.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
     cands
-      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
-      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .join(vecs.select(col(idCol).as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("va"), col("vb")).as("cosine"))
+        round(Similarity.dotUnrolled(col("va"), col("vb"), dim) /
+          (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

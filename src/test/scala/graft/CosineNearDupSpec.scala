@@ -16,13 +16,13 @@ class CosineNearDupSpec extends SparkSpec {
   ).toDF("vec_id", "embedding")
 
   test("exact pairs: only intra-cluster pairs pass a high threshold") {
-    val pairs = Dedup.cosineNearDupPairsExact(emb, "vec_id", "embedding", 0.95)
+    val pairs = Dedup.cosineNearDupPairsExact(emb, "vec_id", "embedding", 0.95, dim = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
 
   test("exact pairs carry rounded cosine values") {
-    val c = Dedup.cosineNearDupPairsExact(emb, "vec_id", "embedding", 0.95)
+    val c = Dedup.cosineNearDupPairsExact(emb, "vec_id", "embedding", 0.95, dim = 3)
       .filter(col("id_a") === 0L).select("cosine").as[Double].head()
     assert(c > 0.99 && c <= 1.0)
   }
