@@ -441,6 +441,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- sketch aggregation: HLL approx-distinct (rows-only; spec bounds
+    // the relative error against exact countDistinct) ------------------------
+    "q40_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- multimodal: uniform frame-sampling plan -----------------------------
     "q39_frame_sample" -> ((s, dir) => {
       val videos = t(s, dir, "documents")

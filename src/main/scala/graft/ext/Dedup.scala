@@ -157,16 +157,18 @@ object Dedup {
   def prefixBlockedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                                 prefixLen: Int, shingleN: Int,
                                 minJaccard: Double): DataFrame = {
-    val keyed = df.select(col(idCol), col(textCol),
-      substring(col(textCol), 1, prefixLen).as("block"))
+    // shingles computed once per document BEFORE the pair join — a doc in
+    // m pairs would otherwise re-shingle m times
+    val keyed = df.select(col(idCol),
+      substring(col(textCol), 1, prefixLen).as("block"),
+      wordShingles(col(textCol), shingleN).as("sh"))
     val a = keyed.select(col("block"), col(idCol).as("id_a"),
-      col(textCol).as("text_a"))
+      col("sh").as("sh_a"))
     val b = keyed.select(col("block"), col(idCol).as("id_b"),
-      col(textCol).as("text_b"))
+      col("sh").as("sh_b"))
     a.join(b, "block").filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(wordShingles(col("text_a"), shingleN),
-                wordShingles(col("text_b"), shingleN)).as("jaccard"))
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
