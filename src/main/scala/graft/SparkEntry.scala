@@ -322,10 +322,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- near-dup pairs: MinHash + LSH (rows-only; spec-tested) ------------
+    // ---- near-dup pairs: MinHash + LSH (rows-only; spec-tested).
+    // Uses the native Catalyst MinHashSigExpr (bit-identical to the HOF
+    // formulation; spec-pinned) registered via GraftFunctions.
     "q26_minhash_near_dup" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          minJaccard = 0.5, shingleN = 3, k = 64, bands = 16)
+          minJaccard = 0.5, shingleN = 3, k = 64, bands = 16,
+          useNative = true)
         .orderBy("id_a", "id_b")
     }),
 

@@ -103,6 +103,15 @@ object Dedup {
       b => xxhash64(slice(signature, b * r + lit(1), lit(r)), b))
   }
 
+  /** Native-expression MinHash signature (tier-(b) Catalyst extension,
+    * `graft.plans.MinHashSigExpr`): bit-identical to `minhashSignature`
+    * but one JVM loop per row instead of k×|shingles| interpreted lambda
+    * frames. Requires `GraftFunctions.register(spark)` (or the
+    * `graft.plans.GraftExtensions` session extension).
+    */
+  def minhashSignatureNative(shingles: Column, k: Int): Column =
+    call_function("graft_minhash_sig", shingles, lit(k))
+
   /** MinHash-LSH near-duplicate candidate pairs `(idA < idB)`.
     *
     * Pipeline: signature projection → posexplode to (band, bucket, id) →
@@ -114,9 +123,12 @@ object Dedup {
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-                            maxBucketSize: Int = 1000): DataFrame = {
-    val sig = df.select(col(idCol),
-      minhashSignature(wordShingles(col(textCol), shingleN), k).as("sig"))
+                            maxBucketSize: Int = 1000,
+                            useNative: Boolean = false): DataFrame = {
+    val sigExpr =
+      if (useNative) minhashSignatureNative(wordShingles(col(textCol), shingleN), k)
+      else minhashSignature(wordShingles(col(textCol), shingleN), k)
+    val sig = df.select(col(idCol), sigExpr.as("sig"))
     val buckets = sig.select(col(idCol),
         posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "bucket")))
     val wCnt = Window.partitionBy("band", "bucket")
@@ -138,8 +150,10 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           minJaccard: Double, shingleN: Int = 3,
-                          k: Int = 64, bands: Int = 16): DataFrame = {
-    val cands = minhashCandidatePairs(df, idCol, textCol, shingleN, k, bands)
+                          k: Int = 64, bands: Int = 16,
+                          useNative: Boolean = false): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, shingleN, k, bands,
+      useNative = useNative)
     val sh = df.select(col(idCol),
       wordShingles(col(textCol), shingleN).as("sh"))
     cands

@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension injecting graft's native functions, usable either via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` at session build or
+  * `GraftFunctions.register(spark)` at runtime. After registration the
+  * functions resolve in SQL and through `call_function`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def minhashBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_minhash_sig(shingles, k)")
+    val k = children(1).eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"k must be an integer literal, got $other")
+    }
+    MinHashSigExpr(children.head, k)
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      minhashBuilder))
+
+  /** Idempotent runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}
