@@ -409,6 +409,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- sliding event-time windows (1h window / 15m slide) ------------------
+    "q41_sliding_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // ---- multimodal: binary payloads, metadata + format sniffing ------------
     "q35_media_meta" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
@@ -786,6 +799,18 @@ object SparkEntry {
       """SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
         |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // sliding windows emulated relationally: each event belongs to exactly
+    // 4 epoch-aligned 15-minute-stepped hour windows (same alignment Spark
+    // uses for window())
+    "q41_sliding_window" ->
+      """SELECT TIMESTAMP '1970-01-01'
+        |    + ((epoch_us(ts) // 900000000 - r.j) * 900) * INTERVAL 1 SECOND
+        |    AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events, range(4) r(j)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     // payload = magic || utf8(text), magic by doc_id % 3 (mirrors
     // Multimodal.syntheticMedia); sniffing compares hex prefixes — same

@@ -87,6 +87,49 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(spark.read.parquet(state).orderBy("id")) == before)
   }
 
+  test("streaming sessions equal batch-computed sessions on real events") {
+    // ground truth computed independently in plain Scala from the same rows
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rows = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("ts_micros"))
+      .as[(Long, Long)].collect()
+    val gap = Sessionize.GapMicros
+    val expected = rows.groupBy(_._1).flatMap { case (user, evs) =>
+      val ts = evs.map(_._2).sorted
+      val sessions = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+      var start = ts.head; var last = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t - last <= gap) { last = t; n += 1 }
+        else { sessions += ((start, last, n)); start = t; last = t; n = 1 }
+      }
+      sessions += ((start, last, n))
+      sessions.map(s => (user, s._1, s._2, s._3))
+    }.toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = Sessionize.sessions(in.toDS())
+      .writeStream.format("memory").queryName("sessions_equiv")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.map { case (u, t) => SessionEvent(u, t) }.toSeq)
+      q.processAllAvailable()
+      // two sentinel batches push the watermark past every open session
+      val maxTs = rows.map(_._2).max
+      in.addData(SessionEvent(-1L, maxTs + 10L * gap))
+      q.processAllAvailable()
+      in.addData(SessionEvent(-1L, maxTs + 20L * gap))
+      q.processAllAvailable()
+      val got = spark.table("sessions_equiv").as[Session].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.session_start_micros, s.session_end_micros,
+          s.n_events)).toSet
+      assert(got == expected,
+        s"streaming=${got.size} sessions, batch=${expected.size}")
+    } finally q.stop()
+  }
+
   test("streaming file-source merge loop end-to-end with AvailableNow trigger") {
     val dir = Files.createTempDirectory("graft_stream").toString
     val src = s"$dir/in"
