@@ -20,14 +20,16 @@ object Bench {
         names.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // sorted execution => run-to-run comparable timings (JVM/codegen
+    // warmup consistently lands on the first query)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
