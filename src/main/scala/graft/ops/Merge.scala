@@ -82,6 +82,33 @@ object Merge {
     *
     * `now` is injectable for deterministic tests/oracles (SURVEY.md §7.4).
     */
+  /** Shared one-shot merge frame: incoming FULL OUTER existing on pk, with
+    * presence + change-class flags. ONE shuffle per side — every merge
+    * output (post-state, history) projects from this single join instead
+    * of re-joining/re-scanning `existing` per change class (the naive
+    * 4-branch union shuffles the big side ~5×; at fact-table scale that
+    * IS the job cost).
+    */
+  private def mergeJoin(incoming: DataFrame, existing: DataFrame,
+                        pk: Seq[String]) = {
+    val cmp = compareCols(incoming, existing, pk)
+    val n = incoming.withColumn("__n", lit(true)).alias("n")
+    val d = existing.withColumn("__d", lit(true)).alias("d")
+    val cond = pk.map(k => col(s"n.$k") <=> col(s"d.$k")).reduce(_ && _)
+    val joined = n.join(d, cond, "full_outer")
+    val inN = col("n.__n").isNotNull
+    val inD = col("d.__d").isNotNull
+    val changed =
+      if (cmp.isEmpty) lit(false)
+      else cmp.map(c => !(col(s"n.$c") <=> col(s"d.$c"))).reduce(_ || _)
+    val isInsert = inN && !inD
+    val isUpdate = inN && inD && changed
+    // already-tombstoned rows missing from incoming stay untouched — this
+    // is what makes re-applying a batch a true no-op (T5)
+    val isTombstone = !inN && inD && !col("d.is_deleted")
+    (joined, isInsert, isUpdate, isTombstone)
+  }
+
   def postState(incoming: DataFrame, existing: DataFrame, pk: Seq[String],
                 now: Column = current_timestamp()): DataFrame = {
     val payload = incoming.columns.toSeq
@@ -89,33 +116,26 @@ object Merge {
               existing.columns.contains("updated_at"),
             "existing state must carry is_deleted/updated_at bookkeeping")
 
-    val ch = classify(incoming, existing, pk)
-
-    val inserted = ch.inserts
-      .withColumn("updated_at", now)
-      .withColumn("is_deleted", lit(false))
-
-    // updates: incoming payload + preserved is_deleted from the old image
-    val updKeys = ch.updates.select(pk.map(col): _*)
-    val oldFlags = ch.updatesOld.select((pk.map(col) :+ col("is_deleted")): _*)
-    val updated = ch.updates
-      .join(oldFlags, pk)
-      .withColumn("updated_at", now)
-
-    val delKeys = ch.deletes.filter(!col("is_deleted"))
-      .select(pk.map(col): _*)
-    val tombstoned = existing.join(delKeys, pk, "left_semi")
-      .withColumn("is_deleted", lit(true))
-      .withColumn("updated_at", now)
-
-    // untouched = existing minus (updated ∪ tombstoned) keys
-    val touchedKeys = updKeys.union(delKeys)
-    val untouched = existing.join(touchedKeys, pk, "left_anti")
+    val (joined, isInsert, isUpdate, isTombstone) =
+      mergeJoin(incoming, existing, pk)
+    val takeNew = isInsert || isUpdate
 
     val outCols = (payload ++ Seq("updated_at", "is_deleted")).distinct
-    Seq(inserted, updated, tombstoned, untouched)
-      .map(df => df.select(outCols.map(col): _*))
-      .reduce(_ unionByName _)
+    val projected = outCols.map {
+      case k if pk.contains(k) =>
+        coalesce(col(s"n.$k"), col(s"d.$k")).as(k)
+      case "updated_at" =>
+        when(isInsert || isUpdate || isTombstone, now)
+          .otherwise(col("d.updated_at")).as("updated_at")
+      case "is_deleted" =>
+        when(isInsert, lit(false))
+          .when(isTombstone, lit(true))
+          .otherwise(col("d.is_deleted")).as("is_deleted")
+      case c if existing.columns.contains(c) =>
+        when(takeNew, col(s"n.$c")).otherwise(col(s"d.$c")).as(c)
+      case c => col(s"n.$c").as(c) // incoming-only column
+    }
+    joined.select(projected: _*)
   }
 
   /** SCD2 history rows for one merge: superseded images of updated rows
@@ -129,14 +149,19 @@ object Merge {
   def scd2History(incoming: DataFrame, existing: DataFrame, pk: Seq[String],
                   existingHistory: Option[DataFrame] = None,
                   now: Column = current_timestamp()): DataFrame = {
-    val ch = classify(incoming, existing, pk)
-    val superseded = ch.updatesOld
-    val deleted = ch.deletes.filter(!col("is_deleted"))
-      .withColumn("is_deleted", lit(true))
-    val rows = superseded.unionByName(deleted)
-      .withColumn("valid_from", col("updated_at"))
+    val (joined, _, isUpdate, isTombstone) = mergeJoin(incoming, existing, pk)
+    // history rows are superseded EXISTING images: update → old image as-is;
+    // delete → old image with is_deleted forced true
+    val histCols = existing.columns.toSeq.map {
+      case "updated_at" => col("d.updated_at").as("valid_from")
+      case "is_deleted" =>
+        when(isTombstone, lit(true)).otherwise(col("d.is_deleted"))
+          .as("is_deleted")
+      case c => col(s"d.$c").as(c)
+    }
+    val rows = joined.filter(isUpdate || isTombstone)
+      .select(histCols: _*)
       .withColumn("valid_to", now)
-      .drop("updated_at")
     existingHistory match {
       case Some(h) => rows.join(h.select((pk :+ "valid_from").map(col): _*),
                                 pk :+ "valid_from", "left_anti")
