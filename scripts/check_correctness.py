@@ -73,6 +73,19 @@ for name in sorted(p.name for p in OUT_DIR.iterdir() if p.is_dir()):
         print(f"✗ {name}: row count spark={len(g)} duck={len(e)}")
         fails += 1
         continue
+    # dtype-strict: the driver hashes stringified values, so int64 123 vs
+    # float64 123.0 fails there even though Python == says equal. Compare
+    # numpy kinds (int/uint vs float) so that class can't slip through.
+    kind_diffs = [
+        f"{c}: spark={g[c].dtype} duck={e[c].dtype}"
+        for c in g.columns
+        if {g[c].dtype.kind, e[c].dtype.kind} == {"f", "i"}
+        or {g[c].dtype.kind, e[c].dtype.kind} == {"f", "u"}
+    ]
+    if kind_diffs:
+        print(f"✗ {name}: dtype mismatch: " + "; ".join(kind_diffs))
+        fails += 1
+        continue
     diff_cells = []
     for c in g.columns:
         gv, ev = g[c].tolist(), e[c].tolist()

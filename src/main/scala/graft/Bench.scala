@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+/** Benchmark entrypoint: times every catalog query at SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract: ONE JSON line on stdout
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
+  * ALSO written to `$SPARK_GRAFT_OUT/bench.json` (default ./bench.json) so a
+  * harness that can't strip sbt's `[info]` prefix still gets the metric.
+  *
+  * Queries are materialized through the `noop` sink, not `count()`: count lets
+  * Catalyst prune projection work a real consumer would pay for; noop executes
+  * the full plan and discards rows. Failures are LOUD — a stack trace on
+  * stderr and a negative timing — never silently recorded as a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,17 +35,37 @@ object Bench {
         names.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    var failed = List.empty[String]
     // sorted execution => run-to-run comparable timings (JVM/codegen
     // warmup consistently lands on the first query)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            failed ::= name
+            System.err.println(s"BENCH FAILURE in $name: $e")
+            e.printStackTrace()
+            -(System.nanoTime() - t0) / 1e9 // negative = failed, unmissable
+        }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ > 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${
+        failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+      },"sf":"$sfDir"}"""
+    println(json)
+    val outPath = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench.json")
+    Files.write(outPath, (json + "\n").getBytes(StandardCharsets.UTF_8))
+    System.err.println(s"bench json written to $outPath")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

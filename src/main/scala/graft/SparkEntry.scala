@@ -787,8 +787,8 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, ts,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
@@ -796,8 +796,9 @@ object SparkEntry {
         |ORDER BY user_id, session_id""".stripMargin,
 
     "q34_json_extract" ->
-      """SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
-        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k, count(*) AS n
+      """SELECT event_type,
+        |  CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |  CAST(max(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS max_k, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // sliding windows emulated relationally: each event belongs to exactly

@@ -246,12 +246,15 @@ object Dedup {
   def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                             minCosine: Double, nPlanes: Int = 6,
                             nTables: Int = 8, seed: Long = 42L,
-                            dim: Int = 64): DataFrame = {
+                            dim: Int = 64,
+                            useNative: Boolean = false): DataFrame = {
     val tables = (0 until nTables).map(t =>
       t -> Similarity.hyperplanes(nPlanes, dim, seed + t))
     val keys = array(tables.map { case (t, planes) =>
       struct(lit(t).as("tbl"),
-        Similarity.rhpSignature(col(vecCol), planes).as("bucket"))
+        (if (useNative)
+           Similarity.rhpSignatureNative(col(vecCol), nPlanes, dim, seed + t)
+         else Similarity.rhpSignature(col(vecCol), planes)).as("bucket"))
     }: _*)
     val keyed = emb.select(col(idCol), col(vecCol), explode(keys).as("key"))
     val a = keyed.select(col("key"), col(idCol).as("id_a"))

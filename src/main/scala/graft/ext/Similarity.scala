@@ -104,6 +104,19 @@ object Similarity {
     bits.reduce((acc, b) => acc * 2 + b)
   }
 
+  /** Native-expression RHP signature (`graft.plans.RhpSigExpr`,
+    * bit-identical to `rhpSignature(vec, hyperplanes(nPlanes, dim, seed))`
+    * — spec-pinned). The plane matrix lives in the expression object, so
+    * the plan carries 3 scalars instead of nPlanes×dim literal doubles —
+    * which is what made the HOF formulation blow up analysis/optimizer
+    * time at the multi-table call sites (round-1 q31: 317 s for 2 000
+    * vectors, ~all of it driver-side). Requires
+    * `GraftFunctions.register(spark)`.
+    */
+  def rhpSignatureNative(vec: Column, nPlanes: Int, dim: Int,
+                         seed: Long): Column =
+    call_function("graft_rhp_sig", vec, lit(nPlanes), lit(dim), lit(seed))
+
   /** LSH-bucketed approximate top-k: standard multi-table random-hyperplane
     * LSH. Each of `nTables` independent tables hashes every vector to an
     * `nPlanes`-bit bucket; candidates are corpus rows sharing a bucket with
@@ -117,13 +130,16 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 12, nTables: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, useNative: Boolean = false): DataFrame = {
     val dim = 64 // embeddings table layout; parameterize when schema varies
     val tables = (0 until nTables).map(t =>
       t -> hyperplanes(nPlanes, dim, seed + t))
+    def sig(vec: Column, t: Int): Column =
+      if (useNative) rhpSignatureNative(vec, nPlanes, dim, seed + t)
+      else rhpSignature(vec, tables(t)._2)
 
-    def corpusKeys(vec: Column): Column = array(tables.map { case (t, planes) =>
-      struct(lit(t).as("tbl"), rhpSignature(vec, planes).as("bucket"))
+    def corpusKeys(vec: Column): Column = array(tables.map { case (t, _) =>
+      struct(lit(t).as("tbl"), sig(vec, t).as("bucket"))
     }: _*)
 
     // per-table signatures materialize as named columns FIRST, probes then
@@ -131,8 +147,8 @@ object Similarity {
     // plan instead of once per probe (nPlanes+1 times), which otherwise
     // explodes codegen size (CollapseProject keeps multi-referenced
     // non-trivial aliases un-inlined)
-    val sigCols = tables.map { case (t, planes) =>
-      rhpSignature(col(vecCol), planes).as(s"__sig_$t")
+    val sigCols = tables.map { case (t, _) =>
+      sig(col(vecCol), t).as(s"__sig_$t")
     }
     val qSigned = queries.select(
       (col(idCol).as("query_id") +: sigCols): _*)

@@ -28,11 +28,31 @@ object GraftFunctions {
     MinHashSigExpr(children.head, k)
   }
 
+  private def rhpBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 4,
+      "graft_rhp_sig(vec, nPlanes, dim, seed)")
+    def intArg(i: Int, what: String): Int = children(i).eval() match {
+      case v: Int => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    val seed = children(3).eval() match {
+      case v: Long => v
+      case v: Int => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"seed must be an integer literal, got $other")
+    }
+    RhpSigExpr(children.head, intArg(1, "nPlanes"), intArg(2, "dim"), seed)
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
-      minhashBuilder))
+      minhashBuilder),
+    (FunctionIdentifier("graft_rhp_sig"),
+      new ExpressionInfo(classOf[RhpSigExpr].getName, "graft_rhp_sig"),
+      rhpBuilder))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
