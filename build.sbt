@@ -13,6 +13,12 @@ Test / fork := true
 // Suites share one local SparkSession; serialize them.
 Test / parallelExecution := false
 run / fork := true
+// Forked-run output must reach stdout RAW: sbt's default LoggedOutput
+// prefixes every line with `[info] `, which breaks any harness parsing the
+// single JSON metric line Bench prints (both prior rounds recorded
+// `parsed: null` because of exactly this).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -39,10 +39,18 @@ object Bench {
     // sorted execution => run-to-run comparable timings (JVM/codegen
     // warmup consistently lands on the first query)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Per-query isolation: each query runs in its own SQL session (own
+      // cache/conf, shared context) and starts after an explicit GC, so one
+      // query's heap debris is never collected inside a neighbor's timing
+      // window (round-2's recorded numbers were 3-50× inflated by exactly
+      // that kind of cross-query contamination).
+      val session = spark.newSession()
+      session.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      System.gc()
       val t0 = System.nanoTime()
       val sec =
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          fn(session, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
@@ -55,16 +63,25 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ > 0).sum
+    // a failed run must never report a smaller (= faster-looking) total:
+    // value is null unless every query succeeded
+    val total =
+      if (failed.nonEmpty) "null" else results.map(_._2).sum.toString
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${
         failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
       },"sf":"$sfDir"}"""
     println(json)
-    val outPath = Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench.json")
-    Files.write(outPath, (json + "\n").getBytes(StandardCharsets.UTF_8))
-    System.err.println(s"bench json written to $outPath")
+    try {
+      val outDir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT", "."))
+      Files.createDirectories(outDir)
+      val outPath = outDir.resolve("bench.json")
+      Files.write(outPath, (json + "\n").getBytes(StandardCharsets.UTF_8))
+      System.err.println(s"bench json written to $outPath")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"bench.json write failed (stdout line above is authoritative): $e")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -458,13 +458,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- sketch aggregation: HLL approx-distinct (rows-only; spec bounds
-    // the relative error against exact countDistinct) ------------------------
+    // ---- sketch aggregation: HLL approx-distinct (oracle-checked) ----------
+    // approx and exact are SEPARATE aggregations joined on the group key:
+    // a distinct aggregate alongside approx_count_distinct in one groupBy
+    // forces an Expand whose first-stage aggregate keys on
+    // (group, distinct-key) — every distinct key then carries its own
+    // rsd=0.01 HLL++ sketch (~12 KB) in aggregation state. Measured at
+    // sf0.1: 331 568 such groups → multi-GB agg state, sort-based
+    // fallback, 490+ s. Split, the HLL sees |groups| buffers (3 here) and
+    // the exact side is the standard two-level distinct rewrite. The
+    // output exposes the exact count plus an error-bound flag (|approx −
+    // exact| / exact ≤ 5% at rsd = 1%), which the DuckDB oracle can
+    // predict exactly — making the sketch query hash-checkable.
     "q40_approx_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+      val li = t(s, dir, "lineitem")
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      approx.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")) <=
+            col("exact_orders") * 0.05).as("approx_within_5pct"))
         .orderBy("l_returnflag")
     }),
 
@@ -843,6 +858,13 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the sketch value itself is engine-specific, but the exact count and
+    // the rsd=1% error bound (≤5% with huge margin) are deterministic
+    "q40_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q39_frame_sample" ->
       """SELECT doc_id, n_chars * 800 AS duration_ms, r.i AS frame_idx,
