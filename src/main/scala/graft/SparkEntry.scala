@@ -333,10 +333,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- SimHash fingerprints (rows-only; spec-tested) ---------------------
+    // ---- SimHash fingerprints (rows-only; spec-tested). Native vote fold
+    // (SimHash64Expr — bit-identical to the HOF, spec-pinned).
     "q27_simhash" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .select(col("doc_id"),
+          Dedup.simhash64(col("text"), useNative = true).as("simhash"))
         .orderBy("doc_id")
     }),
 
@@ -364,12 +367,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- LSH-bucketed approximate top-k (rows-only; recall spec-tested) ----
+    // ---- LSH-bucketed approximate top-k (rows-only; recall spec-tested).
+    // Native RhpSigExpr signatures (bit-identical to the HOF, spec-pinned).
     "q31_topk_lsh" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
-          nPlanes = 10)
+          nPlanes = 10, useNative = true)
         .orderBy("query_id", "rank")
     }),
 
@@ -451,10 +456,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- embedding-cosine near-dup: LSH-blocked (rows-only; spec-tested) ----
+    // ---- embedding-cosine near-dup: LSH-blocked (rows-only; spec-tested).
+    // Native RhpSigExpr signatures (bit-identical to the HOF, spec-pinned).
     "q38_cosine_near_dup_lsh" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       Dedup.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
-          "vec_id", "embedding", minCosine = 0.4, nPlanes = 6, nTables = 8)
+          "vec_id", "embedding", minCosine = 0.4, nPlanes = 6, nTables = 8,
+          useNative = true)
         .orderBy("id_a", "id_b")
     }),
 

@@ -191,22 +191,33 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: per-token `xxhash64` bits
     * vote +1/-1 into 64 counters; the sign vector folds into one long.
     * Near-duplicates land within small Hamming distance. One projection.
+    *
+    * `useNative = true` routes the vote fold through the native
+    * `graft.plans.SimHash64Expr` (bit-identical — spec-pinned; requires
+    * `GraftFunctions.register(spark)`): the HOF fold allocates a
+    * 64-element vote array and 64 interpreted lambda frames PER TOKEN,
+    * the native loop hashes each token once into a local int[64].
+    * Tokenization stays in the codegen'd `split` either way.
     */
-  def simhash64(text: Column): Column = {
-    val bitsOf: Column => Column = t =>
-      array((0 until 64).map(b =>
-        when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L)): _*)
-    val counters = aggregate(
-      TextOps.tokens(text),
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, bitsOf(t), (x, y) => x + y))
-    // assemble sign bits into one long with shift/OR (bit ops — no
-    // ANSI-mode overflow checks, unlike a *2+bit fold)
-    (0 until 64).map(i =>
-      when(element_at(counters, i + 1) > 0, shiftleft(lit(1L), i))
-        .otherwise(0L))
-      .reduce((a, b) => a.bitwiseOR(b))
+  def simhash64(text: Column, useNative: Boolean = false): Column = {
+    if (useNative) {
+      call_function("graft_simhash64", TextOps.tokens(text))
+    } else {
+      val bitsOf: Column => Column = t =>
+        array((0 until 64).map(b =>
+          when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)): _*)
+      val counters = aggregate(
+        TextOps.tokens(text),
+        array_repeat(lit(0L), 64),
+        (acc, t) => zip_with(acc, bitsOf(t), (x, y) => x + y))
+      // assemble sign bits into one long with shift/OR (bit ops — no
+      // ANSI-mode overflow checks, unlike a *2+bit fold)
+      (0 until 64).map(i =>
+        when(element_at(counters, i + 1) > 0, shiftleft(lit(1L), i))
+          .otherwise(0L))
+        .reduce((a, b) => a.bitwiseOR(b))
+    }
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

@@ -18,31 +18,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  /** A scalar config argument must be a foldable literal: `eval()` on a
+    * non-foldable (e.g. an attribute reference) throws an opaque
+    * unresolved-expression error during analysis — guard first and emit
+    * the intended message instead.
+    */
+  private def intLit(children: Seq[Expression], i: Int, what: String): Int = {
+    val c = children(i)
+    if (!c.foldable) throw new IllegalArgumentException(
+      s"$what must be an integer literal, got non-literal ${c.sql}")
+    c.eval() match {
+      case v: Int => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
+  private def longLit(children: Seq[Expression], i: Int, what: String): Long = {
+    val c = children(i)
+    if (!c.foldable) throw new IllegalArgumentException(
+      s"$what must be an integer literal, got non-literal ${c.sql}")
+    c.eval() match {
+      case v: Long => v
+      case v: Int => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
   private def minhashBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, "graft_minhash_sig(shingles, k)")
-    val k = children(1).eval() match {
-      case i: Int => i
-      case other => throw new IllegalArgumentException(
-        s"k must be an integer literal, got $other")
-    }
-    MinHashSigExpr(children.head, k)
+    MinHashSigExpr(children.head, intLit(children, 1, "k"))
   }
 
   private def rhpBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 4,
       "graft_rhp_sig(vec, nPlanes, dim, seed)")
-    def intArg(i: Int, what: String): Int = children(i).eval() match {
-      case v: Int => v
-      case other => throw new IllegalArgumentException(
-        s"$what must be an integer literal, got $other")
-    }
-    val seed = children(3).eval() match {
-      case v: Long => v
-      case v: Int => v.toLong
-      case other => throw new IllegalArgumentException(
-        s"seed must be an integer literal, got $other")
-    }
-    RhpSigExpr(children.head, intArg(1, "nPlanes"), intArg(2, "dim"), seed)
+    RhpSigExpr(children.head, intLit(children, 1, "nPlanes"),
+      intLit(children, 2, "dim"), longLit(children, 3, "seed"))
+  }
+
+  private def simhashBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 1, "graft_simhash64(tokens)")
+    SimHash64Expr(children.head)
   }
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -52,7 +70,10 @@ object GraftFunctions {
       minhashBuilder),
     (FunctionIdentifier("graft_rhp_sig"),
       new ExpressionInfo(classOf[RhpSigExpr].getName, "graft_rhp_sig"),
-      rhpBuilder))
+      rhpBuilder),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      simhashBuilder))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -23,12 +23,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * double[] loop per row. CodegenFallback is deliberate: the eval loop IS
   * the fast path (same rationale as [[MinHashSigExpr]]).
   *
-  * Bit-equality contract with `Similarity.rhpSignature`:
+  * Bit-equality contract with `Similarity.rhpSignature` (spec-pinned by
+  * RhpExprSpec, including the edges):
   *  - planes from `new Random(seed)`, `nextGaussian` in row-major order
   *    (exactly `Similarity.hyperplanes`);
   *  - dot accumulates left-to-right in element order (matches the HOF
   *    `aggregate` fold);
-  *  - bit i = (dot >= 0), folded MSB-first as `acc*2 + bit`.
+  *  - bit i = (dot >= 0), folded MSB-first as `acc*2 + bit`;
+  *  - null vector → 0L (the HOF's per-bit `when/otherwise` sends a null
+  *    dot to bit 0 for every plane);
+  *  - vector length ≠ dim, or any null element → 0L (`zip_with` pads the
+  *    shorter side with null, nulling every dot);
+  *  - NaN dot → bit 1 (Spark SQL comparison semantics order NaN above
+  *    every double, so `dot >= 0` holds).
   */
 final case class RhpSigExpr(child: Expression, nPlanes: Int, dim: Int,
                             seed: Long)
@@ -37,7 +44,9 @@ final case class RhpSigExpr(child: Expression, nPlanes: Int, dim: Int,
   require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1,63]: $nPlanes")
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
+  // never null: a null input vector degenerates to signature 0L, exactly
+  // like the HOF formulation (see bit-equality contract above)
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -58,25 +67,34 @@ final case class RhpSigExpr(child: Expression, nPlanes: Int, dim: Int,
   @transient private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    // guard spec-sized short vectors: dot over the shared prefix (the HOF
-    // zip_with pads with null, nulling the dot → bit 0; never seen on real
-    // fixed-dim embedding columns, so prefix semantics are fine here)
-    val n = math.min(arr.numElements(), dim)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L // HOF parity: null vector → all bits 0
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // HOF parity: zip_with pads the shorter side with null, so ANY length
+    // mismatch (or null element) nulls every dot → every bit 0
+    if (n != dim) return 0L
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) return 0L
+      j += 1
+    }
     val m = planes
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
       val off = p * dim
       var acc = 0.0
-      var j = 0
+      j = 0
       if (isFloat) {
         while (j < n) { acc += arr.getFloat(j).toDouble * m(off + j); j += 1 }
       } else {
         while (j < n) { acc += arr.getDouble(j) * m(off + j); j += 1 }
       }
-      sig = sig * 2 + (if (acc >= 0) 1L else 0L)
+      // SQL `>=` orders NaN above every double → NaN dot sets the bit
+      val bit = if (acc >= 0 || java.lang.Double.isNaN(acc)) 1L else 0L
+      sig = sig * 2 + bit
       p += 1
     }
     sig

@@ -234,25 +234,42 @@ object Rules {
   /** Lifecycle chronology (data_quality_checker.py:295-328): given an
     * ordered list of timestamp columns, flag each adjacent pair — adjacency
     * computed among the *non-null* subset per row, exactly like the
-    * reference's per-row null-dropping loop, but vectorized: the non-null
-    * (name, ts) pairs are packed into an array, and consecutive elements
-    * are compared with higher-order functions. One projection, no UDF, no
-    * shuffle.
+    * reference's per-row null-dropping loop.
+    *
+    * Implemented as an explicit when-cascade over every (predecessor,
+    * successor) column pair where all columns between them are null — i.e.
+    * the pair is adjacent in the row's non-null subsequence. Pair (i, j)
+    * fires iff `c_i, c_j` non-null, `c_{i+1}..c_{j-1}` null, and
+    * `c_j < c_i`. For a fixed j at most one predecessor matches, so
+    * compacting nulls yields exactly the per-row issue list in successor
+    * order — identical to walking the non-null subsequence.
+    *
+    * Why not the array-of-structs + transform/filter HOF formulation:
+    * higher-order functions are CodegenFallback AND re-embed (not CSE) the
+    * packed array in every lambda body — measured ~6 re-evaluations per row
+    * and 8-15 s at sf0.1 where this cascade runs in well under 2 s. The
+    * cascade is pure `when/and/comparison` — whole-stage-codegen'd end to
+    * end. O(n²) branches with O(n) null-guards each is the right trade for
+    * the small fixed column lists this rule exists for (the reference's
+    * lifecycle has 4). One projection, no UDF, no shuffle.
     */
   def chronologyIssues(df: DataFrame, orderedCols: Seq[String],
                        issueCol: String = "issues"): DataFrame = {
-    val entries = orderedCols.map(c =>
-      struct(lit(c).as("name"), col(c).as("ts")))
-    val present = filter(array(entries: _*), e => e("ts").isNotNull)
-    val idx = sequence(lit(1), greatest(size(present), lit(1)) - 1)
-    val issues = filter(
-      transform(idx, i =>
-        when(element_at(present, i + 1)("ts") < element_at(present, i)("ts"),
-          concat(element_at(present, i + 1)("name"), lit(" comes before "),
-                 element_at(present, i)("name")))),
-      x => x.isNotNull)
+    val pairChecks: Seq[Column] =
+      for {
+        j <- 1 until orderedCols.length
+        i <- 0 until j
+      } yield {
+        val ci = col(orderedCols(i)); val cj = col(orderedCols(j))
+        val betweenNull = (i + 1 until j)
+          .map(b => col(orderedCols(b)).isNull)
+          .foldLeft(ci.isNotNull && cj.isNotNull)(_ && _)
+        when(betweenNull && cj < ci,
+          lit(s"${orderedCols(j)} comes before ${orderedCols(i)}"))
+      }
     df.withColumn(issueCol,
-      when(size(present) >= 2, issues).otherwise(array().cast("array<string>")))
+      if (pairChecks.isEmpty) array().cast("array<string>")
+      else array_compact(array(pairChecks: _*)))
   }
 
   /** Required-dimension completeness (missing product dimensions,

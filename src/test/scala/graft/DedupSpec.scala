@@ -80,6 +80,23 @@ class DedupSpec extends SparkSpec {
     assert(ham(1L, 3L) < ham(1L, 4L))
   }
 
+  test("simhash native vote fold is bit-identical to the HOF fold") {
+    graft.plans.GraftFunctions.register(spark)
+    val edge = Seq((10L, "one"), (11L, ""), (12L, "  spaced   out  "),
+      (13L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"), col("text"))
+      .unionByName(edge)
+      .select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("hof"),
+        Dedup.simhash64(col("text"), useNative = true).as("native"))
+      .as[(Long, Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, h, n) =>
+      assert(h == n, s"doc $id: hof=$h native=$n")
+    }
+  }
+
   test("hamming64 column matches JVM bitCount") {
     val d = Seq((0x0FL, 0xF0L)).toDF("a", "b")
       .select(Dedup.hamming64(col("a"), col("b"))).head()
