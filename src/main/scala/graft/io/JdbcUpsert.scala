@@ -81,22 +81,47 @@ object JdbcUpsert {
 
   /** Full merge write for one table: inserts appended through the stock
     * JDBC writer (S5), updates + tombstones through `executeUpdates`.
+    * Mirrors the reference's bookkeeping exactly (etl2.py:329-412):
+    * inserts and updates stamped `updated_at = now` / `is_deleted = false`
+    * (etl2.py:111-112), tombstones restricted to not-yet-deleted rows so a
+    * re-applied batch is a sink-level no-op (T5, etl2.py:440-458 re-runs
+    * the whole load and relies on this).
+    *
+    * `now` is injectable for deterministic tests (SURVEY.md §7.4).
     */
   def writeMerge(changes: graft.ops.Merge.Changes, cfg: TableConfig,
                  url: String, props: java.util.Properties,
-                 batchSize: Int = 5000): Unit = {
-    changes.inserts.write.mode("append")
-      .format("jdbc")
-      .option("url", url).option("dbtable", cfg.name)
-      .option("batchsize", batchSize)
-      .save()
+                 batchSize: Int = 5000,
+                 now: org.apache.spark.sql.Column =
+                   org.apache.spark.sql.functions.current_timestamp()): Unit = {
+    // no wildcard functions import: it would shadow the `now` parameter
+    import org.apache.spark.sql.functions.{col, lit}
+    // connection properties (credentials, driver) must reach the insert
+    // path too — merge them into the writer options alongside batchsize
+    val insertProps = new java.util.Properties()
+    insertProps.putAll(props)
+    insertProps.setProperty("batchsize", batchSize.toString)
+    changes.inserts
+      .withColumn("updated_at", now)
+      .withColumn("is_deleted", lit(false))
+      .write.mode("append").jdbc(url, cfg.name, insertProps)
+
+    // updates refresh the payload + updated_at but KEEP the row's
+    // is_deleted (etl2.py:376-378; postState does the same)
     val nonPk = changes.updates.columns.toSeq.filterNot(cfg.primaryKey.contains)
-    executeUpdates(changes.updates, url, props, cfg.name, nonPk,
-      cfg.primaryKey, batchSize)
-    import org.apache.spark.sql.functions._
-    val tomb = changes.deletes
+    val updates = changes.updates.withColumn("updated_at", now)
+    executeUpdates(updates, url, props, cfg.name,
+      nonPk :+ "updated_at", cfg.primaryKey, batchSize)
+
+    // `classify` reports every existing key absent from incoming as a
+    // delete, including rows already tombstoned — restamping those every
+    // run would churn updated_at forever. Filter them here at the sink.
+    val notYetDeleted =
+      if (changes.deletes.columns.contains("is_deleted")) !col("is_deleted")
+      else lit(true)
+    val tomb = changes.deletes.filter(notYetDeleted)
       .withColumn("is_deleted", lit(true))
-      .withColumn("updated_at", current_timestamp())
+      .withColumn("updated_at", now)
     executeUpdates(tomb, url, props, cfg.name,
       Seq("is_deleted", "updated_at"), cfg.primaryKey, batchSize)
   }

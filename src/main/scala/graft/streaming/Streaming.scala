@@ -86,7 +86,11 @@ object Sessionize {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.last <= GapMicros =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                  // a late-but-within-watermark event may PRECEDE the open
+                  // session (cross-batch disorder): the session start must
+                  // absorb it, or streaming drifts from batch ground truth
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed ::= Session(user, s.start, s.last, s.n)
                   cur = Some(SessionState(t, t, 1))
@@ -116,22 +120,37 @@ object MicroBatchMerge {
     * appending superseded versions to `historyDir`. Returns the new state
     * row count (forcing materialization).
     *
-    * Write protocol: state is swapped via a temp dir + atomic rename so a
-    * mid-write crash never leaves readers a half state.
+    * Crash safety:
+    *  - the state swap is rename-ASIDE, never delete-then-rename: current
+    *    state moves to `.old`, the fully-written `.tmp` moves in, then
+    *    `.old` is dropped. A crash in any window leaves either the old
+    *    state in place or recoverable at `.old`; [[resolveState]] runs the
+    *    recovery on every entry, so a retried batch always sees complete
+    *    pre-batch state (never silently re-initializes from nothing);
+    *  - history is appended BEFORE the swap with the already-recorded
+    *    history passed to `scd2History`, whose (pk, valid_from) anti-join
+    *    drops rows a crashed-and-retried batch already wrote — append
+    *    stays idempotent end to end.
     */
   def applyBatch(spark: SparkSession, batch: DataFrame, pk: Seq[String],
                  stateDir: String, historyDir: String): Long = {
     import org.apache.hadoop.fs.Path
     val statePath = new Path(stateDir)
+    val oldPath = new Path(stateDir + ".old")
+    val historyPath = new Path(historyDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    resolveState(spark, stateDir)
     val existing: Option[DataFrame] =
       if (fs.exists(statePath)) Some(spark.read.parquet(stateDir)) else None
+    val recordedHistory: Option[DataFrame] =
+      if (fs.exists(historyPath)) Some(spark.read.parquet(historyDir)) else None
 
     val (newState, history) = existing match {
       case Some(ex) =>
         (Merge.postState(batch, ex, pk),
-         Some(Merge.scd2History(batch, ex, pk)))
+         Some(Merge.scd2History(batch, ex, pk,
+           existingHistory = recordedHistory)))
       case None =>
         (batch.withColumn("updated_at", current_timestamp())
            .withColumn("is_deleted", lit(false)), None)
@@ -142,9 +161,25 @@ object MicroBatchMerge {
     val tmp = stateDir + ".tmp"
     newState.write.mode("overwrite").parquet(tmp)
     val n = spark.read.parquet(tmp).count()
-    fs.delete(statePath, true)
+    if (fs.exists(oldPath)) fs.delete(oldPath, true)
+    if (fs.exists(statePath)) fs.rename(statePath, oldPath)
     fs.rename(new Path(tmp), statePath)
+    fs.delete(oldPath, true)
     n
+  }
+
+  /** Startup/entry recovery for the rename-aside swap: if a crash left no
+    * live state but a `.old` exists, restore it. Called by every
+    * `applyBatch`; safe to call any time.
+    */
+  def resolveState(spark: SparkSession, stateDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val statePath = new Path(stateDir)
+    val oldPath = new Path(stateDir + ".old")
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statePath) && fs.exists(oldPath)) {
+      fs.rename(oldPath, statePath)
+    }
   }
 
   /** Start the streaming CDC loop: watch `sourceDir` for new parquet files,

@@ -1,0 +1,136 @@
+package graft
+
+import graft.fakejdbc.{FakeDb, FakeDriver}
+import graft.io.JdbcUpsert
+import graft.model.{ColumnSpec, TableConfig}
+import graft.ops.Merge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end S4-S7 sink coverage against the in-memory JDBC engine:
+  * `executeUpdates` batching/commit cadence and the full `writeMerge`
+  * insert/update/tombstone sequence, including double-apply idempotence
+  * at the sink (etl2.py:440-458 re-runs the whole load and relies on it).
+  */
+class JdbcUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:graftmem:test"
+  private val props = new java.util.Properties()
+  private val ts2020 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+  private val ts2021 = java.sql.Timestamp.valueOf("2021-01-01 00:00:00")
+  private val ts2022 = java.sql.Timestamp.valueOf("2022-01-01 00:00:00")
+
+  private val cfg = TableConfig("t", Seq(
+    ColumnSpec("id", LongType, primaryKey = true),
+    ColumnSpec("status", StringType),
+    ColumnSpec("price", DoubleType),
+    ColumnSpec("updated_at", TimestampType),
+    ColumnSpec("is_deleted", BooleanType)))
+
+  private def seedDb(): Unit = {
+    FakeDriver.ensureRegistered()
+    FakeDb.reset()
+    FakeDb.createTable("t", Seq(
+      "id" -> java.sql.Types.BIGINT, "status" -> java.sql.Types.VARCHAR,
+      "price" -> java.sql.Types.DOUBLE,
+      "updated_at" -> java.sql.Types.TIMESTAMP,
+      "is_deleted" -> java.sql.Types.BOOLEAN))
+    Seq(
+      (1L, "A", 10.0, false), (2L, "B", 20.0, false),
+      (3L, "C", 30.0, false), (4L, "D", 40.0, true)
+    ).foreach { case (id, st, pr, del) =>
+      FakeDb.insertRow("t", Map("id" -> id, "status" -> st, "price" -> pr,
+        "updated_at" -> ts2020, "is_deleted" -> del))
+    }
+  }
+
+  private def existingDf =
+    FakeDb.rowsOf("t").map(r => (
+        r("id").asInstanceOf[Long], r("status").asInstanceOf[String],
+        r("price").asInstanceOf[Double],
+        r("updated_at").asInstanceOf[java.sql.Timestamp],
+        r("is_deleted").asInstanceOf[Boolean]))
+      .toDF("id", "status", "price", "updated_at", "is_deleted")
+
+  private val incoming = Seq(
+    (1L, "A", 10.0),  // unchanged
+    (2L, "B", 25.0),  // price changed -> update
+    (5L, "E", 50.0)   // new -> insert
+  ).toDF("id", "status", "price")
+  // ids 3 (live) and 4 (already tombstoned) are absent -> delete class
+
+  private def byId = FakeDb.rowsOf("t").map(r =>
+    r("id").asInstanceOf[Long] -> r).toMap
+
+  test("executeUpdates batches at batchSize and commits per batch") {
+    FakeDriver.ensureRegistered()
+    FakeDb.reset()
+    FakeDb.createTable("t", Seq(
+      "id" -> java.sql.Types.BIGINT, "price" -> java.sql.Types.DOUBLE))
+    (1L to 7L).foreach(i =>
+      FakeDb.insertRow("t", Map("id" -> i, "price" -> 0.0)))
+    val updates = (1L to 7L).map(i => (i, i * 1.5)).toDF("id", "price")
+      .repartition(1)
+    JdbcUpsert.executeUpdates(updates, url, props, "t",
+      setCols = Seq("price"), pk = Seq("id"), batchSize = 3)
+    assert(byId(5L)("price") == 7.5)
+    assert((1L to 7L).forall(i => byId(i)("price") == i * 1.5))
+    val batches = FakeDb.events.filter(_.startsWith("updateBatch"))
+      .map(_.split(":")(2).toInt).filter(_ > 0)
+    assert(batches == Seq(3, 3, 1), s"batch cadence: $batches")
+    // one commit per non-empty round-trip (plus possibly a final empty one)
+    assert(FakeDb.events.count(_ == "commit") >= 3)
+    val evs = FakeDb.events.filter(e =>
+      e.startsWith("updateBatch") || e == "commit")
+    // every executeBatch is followed by a commit before the next batch
+    evs.sliding(2).foreach {
+      case Seq(b, c) if b.startsWith("updateBatch") =>
+        assert(c == "commit", s"batch not committed before next: $evs")
+      case _ => ()
+    }
+  }
+
+  test("writeMerge: inserts stamped, updates keep is_deleted, tombstones skip already-deleted") {
+    seedDb()
+    val changes = Merge.classify(incoming, existingDf, Seq("id"))
+    JdbcUpsert.writeMerge(changes, cfg, url, props, batchSize = 2,
+      now = lit("2021-01-01 00:00:00").cast("timestamp"))
+
+    val rows = byId
+    assert(rows.size == 5)
+    // insert: bookkeeping stamped (was missing entirely before)
+    assert(rows(5L)("status") == "E")
+    assert(rows(5L)("updated_at") == ts2021)
+    assert(rows(5L)("is_deleted") == false)
+    // update: payload + updated_at refreshed, is_deleted untouched
+    assert(rows(2L)("price") == 25.0)
+    assert(rows(2L)("updated_at") == ts2021)
+    assert(rows(2L)("is_deleted") == false)
+    // unchanged row untouched
+    assert(rows(1L)("updated_at") == ts2020)
+    // live delete tombstoned
+    assert(rows(3L)("is_deleted") == true)
+    assert(rows(3L)("updated_at") == ts2021)
+    // already-deleted row NOT restamped (idempotent tombstoning)
+    assert(rows(4L)("is_deleted") == true)
+    assert(rows(4L)("updated_at") == ts2020)
+  }
+
+  test("writeMerge double-apply against refreshed state is a sink no-op") {
+    seedDb()
+    JdbcUpsert.writeMerge(Merge.classify(incoming, existingDf, Seq("id")),
+      cfg, url, props, batchSize = 2,
+      now = lit("2021-01-01 00:00:00").cast("timestamp"))
+    val after1 = FakeDb.rowsOf("t").map(_.toMap).sortBy(_("id").toString)
+
+    // re-classify the SAME batch against the post-merge state and re-apply
+    JdbcUpsert.writeMerge(Merge.classify(incoming, existingDf, Seq("id")),
+      cfg, url, props, batchSize = 2,
+      now = lit("2022-01-01 00:00:00").cast("timestamp"))
+    val after2 = FakeDb.rowsOf("t").map(_.toMap).sortBy(_("id").toString)
+    assert(after2 == after1,
+      s"second apply mutated state:\n$after1\nvs\n$after2")
+    assert(!after2.exists(_.values.toSeq.contains(ts2022)))
+  }
+}

@@ -87,6 +87,90 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(spark.read.parquet(state).orderBy("id")) == before)
   }
 
+  test("applyBatch recovers state after a crash between rename-aside and swap-in") {
+    val dir = Files.createTempDirectory("graft_crash").toString
+    val state = s"$dir/state"
+    val hist = s"$dir/history"
+    val b1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "price")
+    MicroBatchMerge.applyBatch(spark, b1, Seq("id"), state, hist)
+
+    // simulate the worst crash window: live state moved aside, replacement
+    // not yet swapped in — exactly the window the old delete-then-rename
+    // protocol could die in, silently re-initializing all state
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(state), new Path(state + ".old")))
+    assert(!fs.exists(new Path(state)))
+
+    // the next batch must see the FULL pre-crash state, not start empty
+    val b2 = Seq((1L, "a2", 10.0), (3L, "c", 30.0)).toDF("id", "name", "price")
+    MicroBatchMerge.applyBatch(spark, b2, Seq("id"), state, hist)
+    val s = spark.read.parquet(state)
+    assert(s.count() == 3) // 1 updated, 2 tombstoned-but-present, 3 inserted
+    assert(s.filter(col("id") === 2L).select("is_deleted").as[Boolean].head())
+    assert(s.filter(col("id") === 1L).select("name").as[String].head() == "a2")
+    assert(!fs.exists(new Path(state + ".old")))
+  }
+
+  test("retried batch does not duplicate history rows") {
+    val dir = Files.createTempDirectory("graft_retry").toString
+    val state = s"$dir/state"
+    val hist = s"$dir/history"
+    val b1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "price")
+    MicroBatchMerge.applyBatch(spark, b1, Seq("id"), state, hist)
+
+    // snapshot the exact pre-batch state (updated_at values and all)
+    val backup = s"$dir/state_backup"
+    spark.read.parquet(state).write.parquet(backup)
+
+    // crash AFTER history append but BEFORE the state swap: restore the
+    // pre-batch state and retry the same batch — scd2History's
+    // (pk, valid_from) anti-join against recorded history must suppress
+    // the duplicate
+    val b2 = Seq((1L, "a2", 10.0), (2L, "b", 20.0)).toDF("id", "name", "price")
+    MicroBatchMerge.applyBatch(spark, b2, Seq("id"), state, hist)
+    val histAfterFirst = spark.read.parquet(hist).count()
+    assert(histAfterFirst == 1) // superseded image of id=1
+
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(state), true)
+    spark.read.parquet(backup).write.parquet(state) // rewind to pre-batch state
+    MicroBatchMerge.applyBatch(spark, b2, Seq("id"), state, hist) // the "retry"
+    assert(spark.read.parquet(hist).count() == histAfterFirst,
+      "retried batch appended duplicate history rows")
+    // and the retried state converges to the same post-batch image
+    assert(spark.read.parquet(state)
+      .filter(col("id") === 1L).select("name").as[String].head() == "a2")
+  }
+
+  test("session start absorbs a late cross-batch event within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = Sessionize.sessions(in.toDS())
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    try {
+      in.addData(SessionEvent(1L, micros("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // late event: earlier than the open session's start, within both the
+      // gap and the 1h watermark — arrives in a LATER micro-batch
+      in.addData(SessionEvent(1L, micros("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // close everything via watermark timeout
+      in.addData(SessionEvent(99L, micros("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      in.addData(SessionEvent(99L, micros("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sessions_ooo").as[Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start_micros, s.session_end_micros, s.n_events))
+      // batch ground truth: ONE session [10:00, 10:10] with 2 events
+      assert(out.toSeq == Seq(
+        (micros("2024-01-01 10:00:00"), micros("2024-01-01 10:10:00"), 2L)))
+    } finally q.stop()
+  }
+
   test("streaming sessions equal batch-computed sessions on real events") {
     // ground truth computed independently in plain Scala from the same rows
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
