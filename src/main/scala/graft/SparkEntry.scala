@@ -491,6 +491,38 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- end-to-end pipeline composition (oracle-checked): quality rules
+    // (PK + FK against a restricted parent) -> FK-ordered incremental merge,
+    // in ONE lazy plan — the full §3.1 process() shape over real tables.
+    // Customers pointing at filtered-out nations are FK-dropped by the rule
+    // stage, so they land in the merge's delete class; changed acctbals
+    // land in updates; keys absent from existing land in inserts.
+    "q42_pipeline_e2e" -> ((s, dir) => {
+      val nation = t(s, dir, "nation").filter(col("n_nationkey") < 20)
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val incoming = base.withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") * 2.0)
+          .otherwise(col("c_acctbal")))
+      val existing = base.filter(col("c_custkey") % 3 =!= 0)
+        .withColumn("updated_at", lit("2020-01-01 00:00:00").cast("timestamp"))
+        .withColumn("is_deleted", col("c_custkey") % 11 === 0)
+      val configs = Seq(
+        TableConfig("nation",
+          Seq(ColumnSpec("n_nationkey", LongType, primaryKey = true))),
+        TableConfig("customer", Seq(
+          ColumnSpec("c_custkey", LongType, primaryKey = true),
+          ColumnSpec("c_nationkey", LongType),
+          ColumnSpec("c_acctbal", DoubleType)),
+          Seq(FkRef("c_nationkey", "nation", "n_nationkey"))))
+      graft.pipeline.Pipeline.runOnRegistry(
+          Map("nation" -> nation, "customer" -> incoming), configs,
+          existing = Map("customer" -> existing),
+          now = lit("2021-01-01 00:00:00").cast("timestamp"))
+        .postStates("customer")
+        .orderBy("c_custkey")
+    }),
+
     // ---- multimodal: uniform frame-sampling plan -----------------------------
     "q39_frame_sample" -> ((s, dir) => {
       val videos = t(s, dir, "documents")
@@ -866,6 +898,55 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors runOnRegistry end to end: FK rule drops customers whose
+    // nation was filtered out (null FKs kept), then the q12-style merge
+    // classifies inserts/updates/deletes/unchanged against existing state
+    "q42_pipeline_e2e" ->
+      """WITH cleaned AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal * 2.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |  WHERE c_nationkey IS NULL OR c_nationkey IN
+        |        (SELECT n_nationkey FROM nation WHERE n_nationkey < 20)),
+        |existing AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         TIMESTAMP '2020-01-01 00:00:00' AS updated_at,
+        |         (c_custkey % 11 = 0) AS is_deleted
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |updated AS (
+        |  SELECT i.c_custkey, i.c_nationkey, i.c_acctbal, e.is_deleted
+        |  FROM cleaned i JOIN existing e USING (c_custkey)
+        |  WHERE (i.c_nationkey IS DISTINCT FROM e.c_nationkey)
+        |     OR (i.c_acctbal IS DISTINCT FROM e.c_acctbal)),
+        |deleted AS (
+        |  SELECT e.* FROM existing e
+        |  WHERE NOT EXISTS (SELECT 1 FROM cleaned i
+        |                    WHERE i.c_custkey = e.c_custkey)
+        |    AND NOT e.is_deleted),
+        |merged AS (
+        |  SELECT i.c_custkey, i.c_nationkey, i.c_acctbal,
+        |         TIMESTAMP '2021-01-01 00:00:00' AS updated_at,
+        |         false AS is_deleted
+        |  FROM cleaned i
+        |  WHERE NOT EXISTS (SELECT 1 FROM existing e
+        |                    WHERE e.c_custkey = i.c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         TIMESTAMP '2021-01-01 00:00:00', is_deleted
+        |  FROM updated
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         TIMESTAMP '2021-01-01 00:00:00', true
+        |  FROM deleted
+        |  UNION ALL
+        |  SELECT e.* FROM existing e
+        |  WHERE NOT EXISTS (SELECT 1 FROM updated u
+        |                    WHERE u.c_custkey = e.c_custkey)
+        |    AND NOT EXISTS (SELECT 1 FROM deleted d
+        |                    WHERE d.c_custkey = e.c_custkey))
+        |SELECT * FROM merged ORDER BY c_custkey""".stripMargin,
 
     // the sketch value itself is engine-specific, but the exact count and
     // the rsd=1% error bound (≤5% with huge margin) are deterministic

@@ -167,18 +167,29 @@ object Dedup {
     * sharing their first `prefixLen` characters (an equi-join — scales),
     * verified with shingle Jaccard ≥ `minJaccard`. SQL-expressible, so it
     * doubles as the oracle-checked member of the near-dup family.
+    *
+    * `maxBlockSize` is the same degenerate-bucket guard minhash LSH has:
+    * a boilerplate-heavy corpus (license headers, templated pages) can
+    * put thousands of documents behind one shared prefix, making that
+    * block's pair expansion quadratic. Blocks above the cap are dropped
+    * (with recall loss on exactly those blocks — the standard trade at
+    * scale), keeping worst-case cost O(n · cap).
     */
   def prefixBlockedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                                 prefixLen: Int, shingleN: Int,
-                                minJaccard: Double): DataFrame = {
+                                minJaccard: Double,
+                                maxBlockSize: Int = 1000): DataFrame = {
     // shingles computed once per document BEFORE the pair join — a doc in
     // m pairs would otherwise re-shingle m times
     val keyed = df.select(col(idCol),
       substring(col(textCol), 1, prefixLen).as("block"),
       wordShingles(col(textCol), shingleN).as("sh"))
-    val a = keyed.select(col("block"), col(idCol).as("id_a"),
+    val wCnt = Window.partitionBy("block")
+    val capped = keyed.withColumn("__n", count(lit(1)).over(wCnt))
+      .filter(col("__n") <= maxBlockSize).drop("__n")
+    val a = capped.select(col("block"), col(idCol).as("id_a"),
       col("sh").as("sh_a"))
-    val b = keyed.select(col("block"), col(idCol).as("id_b"),
+    val b = capped.select(col("block"), col(idCol).as("id_b"),
       col("sh").as("sh_b"))
     a.join(b, "block").filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

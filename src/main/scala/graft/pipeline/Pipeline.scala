@@ -100,13 +100,24 @@ object Pipeline {
     (post.toMap, hist.toMap)
   }
 
-  /** One full batch run. */
-  def run(spark: SparkSession, sourceDir: String, configs: Seq[TableConfig],
-          existing: Map[String, DataFrame] = Map.empty,
-          now: org.apache.spark.sql.Column = current_timestamp()): Result = {
-    val registry = ingest(spark, sourceDir)
+  /** Stages 4-8 over an already-loaded registry: quality rules then the
+    * FK-ordered merge. This is the composition the oracle-checked
+    * q42_pipeline_e2e catalog query drives end to end (the CSV read in
+    * front is covered separately by CsvIngestSpec).
+    */
+  def runOnRegistry(registry: Map[String, DataFrame],
+                    configs: Seq[TableConfig],
+                    existing: Map[String, DataFrame] = Map.empty,
+                    now: org.apache.spark.sql.Column = current_timestamp())
+      : Result = {
     val (cleaned, violations) = applyRules(registry, configs)
     val (post, hist) = mergeAll(cleaned, existing, configs, now = now)
     Result(cleaned, violations, post, hist)
   }
+
+  /** One full batch run. */
+  def run(spark: SparkSession, sourceDir: String, configs: Seq[TableConfig],
+          existing: Map[String, DataFrame] = Map.empty,
+          now: org.apache.spark.sql.Column = current_timestamp()): Result =
+    runOnRegistry(ingest(spark, sourceDir), configs, existing, now)
 }

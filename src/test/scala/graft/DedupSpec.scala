@@ -80,6 +80,24 @@ class DedupSpec extends SparkSpec {
     assert(ham(1L, 3L) < ham(1L, 4L))
   }
 
+  test("prefixBlocked caps degenerate shared-prefix blocks at maxBlockSize") {
+    // 60 docs sharing one 16-char prefix: uncapped would expand 1770 pairs
+    // in a single block; the cap drops the block entirely (O(n·cap) bound)
+    val boiler = (1L to 60L).map(i =>
+      (i, s"common license header text variant $i unique tail"))
+    val normal = Seq((100L, "totally distinct document alpha beta gamma"),
+      (101L, "totally distinct document alpha beta gamma"))
+    val df = (boiler ++ normal).toDF("doc_id", "text")
+    val capped = Dedup.prefixBlockedNearDupPairs(df, "doc_id", "text",
+      prefixLen = 16, shingleN = 3, minJaccard = 0.1, maxBlockSize = 10)
+      .as[(Long, Long, Double)].collect()
+    // the degenerate block contributes nothing; the small block survives
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((100L, 101L)))
+    val uncapped = Dedup.prefixBlockedNearDupPairs(df, "doc_id", "text",
+      prefixLen = 16, shingleN = 3, minJaccard = 0.1, maxBlockSize = 1000)
+    assert(uncapped.count() > 1000) // proof the cap was doing the work
+  }
+
   test("simhash native vote fold is bit-identical to the HOF fold") {
     graft.plans.GraftFunctions.register(spark)
     val edge = Seq((10L, "one"), (11L, ""), (12L, "  spaced   out  "),
