@@ -1,0 +1,68 @@
+package graft
+
+import graft.io.HttpShim
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** S12 coverage: both reference routes served over a real ephemeral-port
+  * HTTP server, JSON row-object shape, per-request re-read freshness, and
+  * the reference's error-object behavior for a broken source.
+  */
+class HttpShimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = Option(is)
+      .map(s => new String(s.readAllBytes(), StandardCharsets.UTF_8))
+      .getOrElse("")
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("serves /payments and /reviews as JSON row arrays") {
+    val payments = Seq((1L, "credit_card", 93.77), (2L, "boleto", 24.39))
+      .toDF("order_id", "payment_type", "payment_value")
+    val reviews = Seq((1L, 5), (2L, 1)).toDF("order_id", "review_score")
+    val shim = HttpShim.start(Map(
+      "payments" -> (() => payments), "reviews" -> (() => reviews)))
+    try {
+      val (code, body) = get(shim.port, "/payments")
+      assert(code == 200)
+      assert(body.startsWith("[") && body.endsWith("]"))
+      assert(body.contains(""""payment_type":"credit_card""""))
+      assert(body.contains(""""payment_value":93.77"""))
+      val (code2, body2) = get(shim.port, "/reviews")
+      assert(code2 == 200)
+      assert(body2.contains(""""review_score":5"""))
+      // unknown path → 404 from the server, not a silent empty 200
+      assert(get(shim.port, "/nope")._1 == 404)
+    } finally shim.stop()
+  }
+
+  test("csv routes re-read per request and error as a JSON object") {
+    val dir = Files.createTempDirectory("graft_http").toString
+    val pay = s"$dir/payments.csv"
+    Files.write(java.nio.file.Paths.get(pay),
+      "order_id,payment_value\n1,10.5\n".getBytes(StandardCharsets.UTF_8))
+    val shim = HttpShim.start(
+      HttpShim.csvRoutes(spark, pay, s"$dir/missing_reviews.csv"))
+    try {
+      val (code, body) = get(shim.port, "/payments")
+      assert(code == 200 && body.contains(""""order_id":"""))
+      // per-request re-read: appended rows appear on the next GET
+      Files.write(java.nio.file.Paths.get(pay),
+        "2,99.0\n".getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.APPEND)
+      assert(get(shim.port, "/payments")._2.contains("99.0"))
+      // missing source → {"error": ...} with HTTP 200 (main.py:14-15 parity)
+      val (code3, body3) = get(shim.port, "/reviews")
+      assert(code3 == 200 && body3.startsWith("""{"error":"""))
+    } finally shim.stop()
+  }
+}
