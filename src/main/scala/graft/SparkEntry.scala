@@ -378,6 +378,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVF (k-means coarse-quantizer) approximate top-k (rows-only;
+    // recall spec-tested). The second ANN index family next to RHP-LSH:
+    // driver-trained centroids on a bounded sample, native assignment
+    // expression, ids-only list join, exact rerank of candidates.
+    "q43_topk_ivf" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      graft.ext.Ivf.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+          nList = 32, nProbe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- event-time tumbling window aggregation -----------------------------
     "q32_hourly_events" -> ((s, dir) => {
       events(s, dir)

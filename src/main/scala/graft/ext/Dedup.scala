@@ -41,6 +41,31 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Write a corpus bucketed by content hash (`bucketBy` + `sortBy` into
+    * the table catalog): dedup/grouping re-runs on the stored table then
+    * need NO shuffle at all — the scan's bucket partitioning already
+    * satisfies the aggregation's distribution requirement. This is the
+    * storage layout for a corpus that gets re-deduped every ingest cycle:
+    * pay the shuffle once at write, never again at read.
+    */
+  def writeBucketedByContent(df: DataFrame, textCol: String, table: String,
+                             nBuckets: Int = 32): Unit =
+    df.withColumn("content_hash", contentHash(col(textCol)))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "content_hash")
+      .sortBy("content_hash")
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Exact duplicate groups over a content-bucketed table — same result
+    * as [[exactDuplicateGroups]], zero exchanges in the plan (spec-pinned).
+    */
+  def exactDuplicateGroupsBucketed(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, idCol: String): DataFrame =
+    spark.table(table)
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (distinct). Documents shorter than `n` tokens

@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file / coarse-quantizer) approximate nearest neighbor —
+  * the second index family next to RHP-LSH (`Similarity.lshTopK`).
+  *
+  * Recipe (the standard one — FAISS trains its coarse quantizer the same
+  * way): k-means centroids trained DRIVER-SIDE on a bounded sample, then
+  * every corpus vector is assigned to its nearest centroid (one list per
+  * vector), queries probe their `nProbe` nearest lists, and exact cosine
+  * reranks only the probed candidates.
+  *
+  * Scale shape: training is O(sample × nList × dim) on the driver —
+  * bounded, corpus-size-independent; assignment is a projection (native
+  * `IvfAssignExpr`, no shuffle); candidate generation is an equi-join on
+  * the list id (ids only — vectors join back for the candidate set);
+  * rerank is windowed top-k over |queries| × |probed lists| candidates.
+  * Versus LSH: IVF adapts to the corpus distribution (trained lists ≈
+  * data clusters), so it typically needs fewer probes for the same
+  * recall on clustered embeddings.
+  */
+object Ivf {
+
+  /** Driver-side Lloyd iterations on a deterministic bounded sample
+    * (hash-ordered take). Returns a flat row-major nList×dim matrix of
+    * L2-NORMALIZED centroids — so argmax inner product == argmax cosine
+    * at assignment time and the probe needs no per-row normalization.
+    */
+  def trainCentroids(emb: DataFrame, vecCol: String, nList: Int, dim: Int,
+                     sampleSize: Int = 20000, iters: Int = 10): Array[Double] = {
+    import emb.sparkSession.implicits._
+    val sample: Array[Array[Double]] = emb
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .filter(size(col("v")) === dim)
+      .withColumn("__h", hash(col("v")))
+      .orderBy("__h") // deterministic sample independent of partitioning
+      .limit(sampleSize)
+      .select("v").as[Seq[Double]].collect()
+      .map(_.toArray)
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
+
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j) * v(j); j += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val unit = sample.map(normalize)
+    val k = math.min(nList, unit.length)
+    // spread initialization over the hash-ordered sample
+    val stride = math.max(1, unit.length / k)
+    val centroids = Array.tabulate(k)(i => unit(i * stride).clone())
+
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      unit.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var acc = 0.0; var j = 0
+          while (j < dim) { acc += v(j) * centroids(c)(j); j += 1 }
+          if (acc > bestDot) { best = c; bestDot = acc }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          centroids(c) = normalize(sums(c).map(_ / counts(c)))
+        } // empty list keeps its previous centroid
+        c += 1
+      }
+      it += 1
+    }
+    val flat = new Array[Double](k * dim)
+    var c = 0
+    while (c < k) {
+      System.arraycopy(centroids(c), 0, flat, c * dim, dim)
+      c += 1
+    }
+    flat
+  }
+
+  /** Nearest-`probes` centroid ids for a vector column (native
+    * `IvfAssignExpr`; requires `GraftFunctions.register(spark)`). The
+    * centroid literal is absorbed into the expression object at analysis,
+    * so the resolved plan carries no k×dim literal tree.
+    */
+  def assignLists(vec: Column, centroids: Array[Double], dim: Int,
+                  probes: Int): Column = {
+    val k = centroids.length / dim
+    call_function("graft_ivf_assign", vec,
+      typedlit(centroids.toSeq), lit(k), lit(dim), lit(probes))
+  }
+
+  /** IVF approximate top-k: train → assign corpus (1 list/vector) →
+    * probe queries (`nProbe` lists) → equi-join on list id (ids only) →
+    * exact cosine rerank of candidates, deterministic tie-break.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nList: Int = 64, nProbe: Int = 4,
+              dim: Int = 64, sampleSize: Int = 20000,
+              iters: Int = 10): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nList, dim, sampleSize, iters)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      element_at(assignLists(col(vecCol), centroids, dim, 1), 1).as("list"))
+    val q = queries.select(col(idCol).as("query_id"),
+      explode(assignLists(col(vecCol), centroids, dim, nProbe)).as("list"))
+    val cands = c.join(q, "list")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    def prep(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id),
+          transform(col(vecCol), x => x.cast("double")).as(v))
+        .withColumn(n, Similarity.norm(col(v)))
+    val scored = cands
+      .join(prep(queries, "query_id", "qvec", "qn"), "query_id")
+      .join(prep(corpus, "neighbor_id", "cvec", "cn"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dotUnrolled(col("qvec"), col("cvec"), dim) /
+          (col("qn") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+}

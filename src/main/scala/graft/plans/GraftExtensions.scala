@@ -63,6 +63,23 @@ object GraftFunctions {
     SimHash64Expr(children.head)
   }
 
+  private def ivfBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 5,
+      "graft_ivf_assign(vec, centroids, k, dim, nProbe)")
+    val cLit = children(1)
+    if (!cLit.foldable) throw new IllegalArgumentException(
+      s"centroids must be an array literal, got non-literal ${cLit.sql}")
+    // the literal centroid array is absorbed into the expression OBJECT —
+    // it appears once pre-analysis, never in the resolved plan tree
+    val centroids = cLit.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
+      case other => throw new IllegalArgumentException(
+        s"centroids must be an array<double> literal, got $other")
+    }
+    IvfAssignExpr(children.head, centroids, intLit(children, 2, "k"),
+      intLit(children, 3, "dim"), intLit(children, 4, "nProbe"))
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_minhash_sig"),
@@ -73,7 +90,10 @@ object GraftFunctions {
       rhpBuilder),
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
-      simhashBuilder))
+      simhashBuilder),
+    (FunctionIdentifier("graft_ivf_assign"),
+      new ExpressionInfo(classOf[IvfAssignExpr].getName, "graft_ivf_assign"),
+      ivfBuilder))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -115,6 +115,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bucketed-by-content table dedups with ZERO exchanges in the plan") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bdb LOCATION '$loc'")
+    try {
+      val corpus = Seq((1L, "alpha beta"), (2L, "alpha beta"),
+        (3L, "gamma delta"), (4L, "alpha beta"), (5L, "epsilon"))
+        .toDF("doc_id", "text")
+      Dedup.writeBucketedByContent(corpus, "text", "graft_bdb.docs_b",
+        nBuckets = 4)
+      val grouped = Dedup.exactDuplicateGroupsBucketed(spark,
+        "graft_bdb.docs_b", "doc_id")
+      val rows = grouped.select("doc_id", "dup_count")
+        .as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 3L), (3L, 1L), (5L, 1L)))
+      // the whole point of the layout: scan partitioning satisfies the
+      // aggregation — no Exchange anywhere in the executed plan
+      val plan = grouped.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      // parity with the direct (shuffling) formulation
+      val direct = Dedup.exactDuplicateGroups(corpus, "doc_id", "text")
+        .select("doc_id", "dup_count").as[(Long, Long)].collect().toSet
+      assert(direct == rows)
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_bdb CASCADE")
+  }
+
   test("hamming64 column matches JVM bitCount") {
     val d = Seq((0x0FL, 0xF0L)).toDF("a", "b")
       .select(Dedup.hamming64(col("a"), col("b"))).head()

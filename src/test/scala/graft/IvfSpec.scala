@@ -1,0 +1,61 @@
+package graft
+
+import graft.ext.{Ivf, Similarity}
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** IVF ANN: recall against the exact baseline on clustered embeddings,
+  * determinism, and the degenerate-input contract of the native
+  * assignment expression.
+  */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    CrossoverBench.syntheticEmbeddings(spark, 2000, 64, seed = 7L).cache()
+  private lazy val queries = emb.filter(col("vec_id") % 100 === 0)
+
+  test("ivfTopK recall >= 0.8 vs brute force on clustered embeddings") {
+    GraftFunctions.register(spark)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dim = Some(64))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nList = 16, nProbe = 4, sampleSize = 2000, iters = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall below bound")
+  }
+
+  test("ivfTopK is deterministic run to run") {
+    GraftFunctions.register(spark)
+    def run() = Ivf.ivfTopK(emb, queries, "vec_id", "embedding", k = 3,
+        nList = 16, nProbe = 2, sampleSize = 1000, iters = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(run() == run())
+  }
+
+  test("trained centroids are unit-norm and adapt to the data") {
+    val c = Ivf.trainCentroids(emb, "embedding", nList = 16, dim = 64,
+      sampleSize = 1000, iters = 5)
+    assert(c.length == 16 * 64)
+    (0 until 16).foreach { i =>
+      val norm = math.sqrt(c.slice(i * 64, (i + 1) * 64).map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"centroid $i norm $norm")
+    }
+  }
+
+  test("degenerate vectors assign to list 0") {
+    GraftFunctions.register(spark)
+    val centroids = Ivf.trainCentroids(emb, "embedding", nList = 8, dim = 64,
+      sampleSize = 500, iters = 3)
+    val df = Seq(
+      (1L, null.asInstanceOf[Array[Float]]), // null vector
+      (2L, Array.fill(10)(0.5f))             // wrong dimension
+    ).toDF("id", "vec")
+    val lists = df.select(
+        Ivf.assignLists(col("vec"), centroids, dim = 64, probes = 1))
+      .as[Seq[Int]].collect()
+    assert(lists.forall(_ == Seq(0)))
+  }
+}
