@@ -358,12 +358,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- brute-force cosine top-k (exact ANN baseline) ----------------------
+    // ---- brute-force cosine top-k (exact ANN baseline; native DotExpr,
+    // bit-identical to the unrolled chain — spec-pinned) ----------------------
     "q30_topk_cosine" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5,
-          dim = Some(64))
+          dim = Some(64), useNative = true)
         .orderBy("query_id", "rank")
     }),
 
@@ -462,10 +464,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- embedding-cosine near-dup: exact all-pairs (oracle-checked) --------
+    // ---- embedding-cosine near-dup: exact all-pairs (oracle-checked;
+    // native DotExpr per pair — bit-identical, spec-pinned) -------------------
     "q37_cosine_near_dup" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       Dedup.cosineNearDupPairsExact(t(s, dir, "embeddings"),
-          "vec_id", "embedding", minCosine = 0.4)
+          "vec_id", "embedding", minCosine = 0.4, useNative = true)
         .orderBy("id_a", "id_b")
     }),
 

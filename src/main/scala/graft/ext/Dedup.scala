@@ -267,19 +267,27 @@ object Dedup {
     * scale.
     */
   def cosineNearDupPairsExact(emb: DataFrame, idCol: String, vecCol: String,
-                              minCosine: Double, dim: Int = 64): DataFrame = {
+                              minCosine: Double, dim: Int = 64,
+                              useNative: Boolean = false): DataFrame = {
     // norms computed ONCE per vector (n rows), not once per pair (n²);
-    // the per-pair work is a single unrolled codegen'd dot product
+    // the per-pair work is a single unrolled codegen'd dot product.
+    // The repartition is a deliberate optimization BARRIER, not a
+    // distribution choice: without an Exchange, CollapseProject folds the
+    // per-vector transform/norm into the per-PAIR join projection (the
+    // unrolled dot references `v` 64×), re-upcasting both arrays and
+    // re-deriving the norm for every one of the n² pairs — measured 6×
+    // slower at 2k vectors (42 s vs 7 s for 2M pairs at sf0.1).
     val dbl = emb.select(col(idCol),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val withNorm = dbl.withColumn("nrm", Similarity.norm(col("v")))
+      .repartition(col(idCol))
     val a = withNorm.select(col(idCol).as("id_a"), col("v").as("va"),
       col("nrm").as("na"))
     val b = withNorm.select(col(idCol).as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.dotUnrolled(col("va"), col("vb"), dim) /
+        round(Similarity.dotFast(col("va"), col("vb"), dim, useNative) /
           (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
@@ -317,7 +325,7 @@ object Dedup {
       .join(vecs.select(col(idCol).as("id_b"), col("v").as("vb"),
         col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(Similarity.dotUnrolled(col("va"), col("vb"), dim) /
+        round(Similarity.dotFast(col("va"), col("vb"), dim, useNative) /
           (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }

@@ -122,11 +122,13 @@ object Ivf {
       df.select(col(idCol).as(id),
           transform(col(vecCol), x => x.cast("double")).as(v))
         .withColumn(n, Similarity.norm(col(v)))
+    // registration is already a precondition (assignLists) — use the
+    // native dot unconditionally for the rerank
     val scored = cands
       .join(prep(queries, "query_id", "qvec", "qn"), "query_id")
       .join(prep(corpus, "neighbor_id", "cvec", "cn"), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        round(Similarity.dotUnrolled(col("qvec"), col("cvec"), dim) /
+        round(Similarity.dotNative(col("qvec"), col("cvec"), dim) /
           (col("qn") * col("cn")), 6).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))

@@ -80,8 +80,16 @@ object GraftFunctions {
       intLit(children, 3, "dim"), intLit(children, 4, "nProbe"))
   }
 
+  private def dotBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 3, "graft_dot(vec_a, vec_b, dim)")
+    DotExpr(children(0), children(1), intLit(children, 2, "dim"))
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+      dotBuilder),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
       minhashBuilder),
