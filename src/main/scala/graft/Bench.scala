@@ -36,8 +36,14 @@ object Bench {
       case None => SparkEntry.queries
     }
     var failed = List.empty[String]
-    // sorted execution => run-to-run comparable timings (JVM/codegen
-    // warmup consistently lands on the first query)
+    // absorb JVM/codegen/scheduler warmup OUTSIDE any query's timing
+    // window (it was inflating whichever query sorted first by ~5 s)
+    spark.range(0, 1000000, 1, 32).selectExpr("sum(id)").collect()
+    selected.headOption.foreach { case (_, fn) =>
+      try fn(spark.newSession(), sfDir).limit(1).collect()
+      catch { case _: Throwable => () } // warmup only; failures surface below
+    }
+    // sorted execution => run-to-run comparable timings
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Per-query isolation: each query runs in its own SQL session (own
       // cache/conf, shared context) and starts after an explicit GC, so one

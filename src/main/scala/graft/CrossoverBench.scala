@@ -61,7 +61,7 @@ object CrossoverBench {
     import spark.implicits._
 
     val k = 10
-    println("corpus,queries,brute_sec,lsh_sec,recall")
+    println("corpus,queries,brute_sec,lsh_sec,lsh_recall,ivf_sec,ivf_recall")
     sizes.foreach { n =>
       val emb = syntheticEmbeddings(spark, n, 64, seed = 42L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
@@ -70,7 +70,7 @@ object CrossoverBench {
 
       val (bruteRows, bruteSec) = time {
         Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k,
-            dim = Some(64))
+            dim = Some(64), useNative = true)
           .select("query_id", "neighbor_id")
           .as[(Long, Long)].collect().toSet
       }
@@ -80,8 +80,17 @@ object CrossoverBench {
           .select("query_id", "neighbor_id")
           .as[(Long, Long)].collect().toSet
       }
-      val recall = lshRows.intersect(bruteRows).size.toDouble / bruteRows.size
-      println(f"$n,${n / 200},$bruteSec%.2f,$lshSec%.2f,$recall%.3f")
+      // IVF: lists ≈ data clusters; timing INCLUDES driver-side training
+      val (ivfRows, ivfSec) = time {
+        graft.ext.Ivf.ivfTopK(emb, queries, "vec_id", "embedding", k,
+            nList = math.max(64, n / 200), nProbe = 4)
+          .select("query_id", "neighbor_id")
+          .as[(Long, Long)].collect().toSet
+      }
+      def recall(rows: Set[(Long, Long)]) =
+        rows.intersect(bruteRows).size.toDouble / bruteRows.size
+      println(f"$n,${n / 200},$bruteSec%.2f,$lshSec%.2f,${recall(lshRows)}%.3f," +
+        f"$ivfSec%.2f,${recall(ivfRows)}%.3f")
       emb.unpersist()
     }
     spark.stop()
