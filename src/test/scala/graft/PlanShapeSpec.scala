@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Pins the PHYSICAL-plan properties the 100-TB story depends on — not
+  * just results. A regression that keeps answers right but silently
+  * drops a pushed filter, breaks a broadcast, or adds a shuffle fails
+  * here, at sf0.001 cost.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("q02: filters reach the parquet scan and the schema is pruned") {
+    val plan = formatted(q("q02_filter_project"))
+    assert(plan.contains("PushedFilters:"), "no pushdown section at all")
+    assert(plan.contains("GreaterThan(l_discount") ||
+      plan.contains("GreaterThan(l_shipdate") ||
+      plan.contains("IsNotNull(l_shipdate)"),
+      s"filters not pushed to scan:\n$plan")
+    // projection needs 6 of lineitem's 11 columns; a full-width ReadSchema
+    // means pruning broke
+    assert(!plan.contains("l_comment") && !plan.contains("l_returnflag"),
+      s"column pruning lost:\n$plan")
+  }
+
+  test("q03: dimension joins broadcast, no cartesian products") {
+    val plan = formatted(q("q03_join_revenue_nation"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian snuck in:\n$plan")
+  }
+
+  // simple-mode tree prints each node once (formatted mode lists nodes
+  // twice — tree + details — and would double every count)
+  private def tree(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q24 exact dedup: shuffle carries hashes, single aggregation exchange") {
+    val plan = tree(q("q24_exact_dedup"))
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    // one hash shuffle for the groupBy + one range exchange for the final
+    // orderBy — anything more means the aggregation lost its partial pass
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
+    assert(plan.contains("partial"), s"no partial (map-side) aggregation:\n$plan")
+  }
+
+  test("q12 merge post-state: ONE full-outer join, one shuffle per side") {
+    val plan = tree(q("q12_merge_post_state"))
+    assert(plan.contains("FullOuter"), s"merge not a full-outer join:\n$plan")
+    val joins = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(plan).size
+    assert(joins == 1, s"expected exactly 1 shuffled join, got $joins:\n$plan")
+  }
+
+  test("rewritten hot paths carry no interpreted lambda functions") {
+    // chronology, stopword ratio, language id: pure codegen'd expressions
+    // since the round-3 rewrites — a lambdafunction over DATA-SIZED arrays
+    // means a HOF crept back into a per-row hot path. (array_compact's
+    // per-element isnotnull lambda over the tiny precomputed issue array
+    // is fine and explicitly allowed.)
+    Seq("q18_chronology", "q21_stopword_ratio", "q22_language_id")
+      .foreach { name =>
+        val plan = q(name).queryExecution.optimizedPlan.toString
+          .replace("lambdafunction(isnotnull(lambda", "")
+        assert(!plan.contains("lambdafunction"),
+          s"$name re-introduced an interpreted HOF:\n$plan")
+      }
+  }
+
+  test("q30 brute-force: corpus scanned once, query side broadcast") {
+    val plan = formatted(q("q30_topk_cosine"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+  }
+}
