@@ -315,10 +315,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- near-dup pairs: prefix-blocked n-gram Jaccard (oracle-checked) ----
+    // ---- near-dup pairs: prefix-blocked n-gram Jaccard (oracle-checked;
+    // native shingling — identical output, spec-pinned) ----------------------
     "q25_near_dup_jaccard" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       Dedup.prefixBlockedNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          prefixLen = 32, shingleN = 3, minJaccard = 0.5)
+          prefixLen = 32, shingleN = 3, minJaccard = 0.5, useNative = true)
         .orderBy("id_a", "id_b")
     }),
 

@@ -70,13 +70,25 @@ object Dedup {
 
   /** Word n-gram shingles (distinct). Documents shorter than `n` tokens
     * yield their whole token sequence as a single shingle.
+    *
+    * `useNative = true` routes through `graft.plans.WordShinglesExpr`
+    * (identical output incl. first-occurrence order — spec-pinned;
+    * requires `GraftFunctions.register`): the HOF pays an interpreted
+    * lambda frame + slice allocation per token position — the dominant
+    * remaining constant in the near-dup family. Tokenization stays in
+    * the codegen'd `split` either way.
     */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int,
+                   useNative: Boolean = false): Column = {
     val toks = TextOps.tokens(text)
-    val grams = transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
-    array_distinct(
-      when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks))))
+    if (useNative) {
+      call_function("graft_word_shingles", toks, lit(n))
+    } else {
+      val grams = transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+      array_distinct(
+        when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks))))
+    }
   }
 
   /** Jaccard similarity of two (distinct-element) arrays, rounded to 6
@@ -151,7 +163,9 @@ object Dedup {
                             maxBucketSize: Int = 1000,
                             useNative: Boolean = false): DataFrame = {
     val sigExpr =
-      if (useNative) minhashSignatureNative(wordShingles(col(textCol), shingleN), k)
+      if (useNative)
+        minhashSignatureNative(wordShingles(col(textCol), shingleN,
+          useNative = true), k)
       else minhashSignature(wordShingles(col(textCol), shingleN), k)
     val sig = df.select(col(idCol), sigExpr.as("sig"))
     val buckets = sig.select(col(idCol),
@@ -180,7 +194,7 @@ object Dedup {
     val cands = minhashCandidatePairs(df, idCol, textCol, shingleN, k, bands,
       useNative = useNative)
     val sh = df.select(col(idCol),
-      wordShingles(col(textCol), shingleN).as("sh"))
+      wordShingles(col(textCol), shingleN, useNative).as("sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -203,12 +217,13 @@ object Dedup {
   def prefixBlockedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                                 prefixLen: Int, shingleN: Int,
                                 minJaccard: Double,
-                                maxBlockSize: Int = 1000): DataFrame = {
+                                maxBlockSize: Int = 1000,
+                                useNative: Boolean = false): DataFrame = {
     // shingles computed once per document BEFORE the pair join — a doc in
     // m pairs would otherwise re-shingle m times
     val keyed = df.select(col(idCol),
       substring(col(textCol), 1, prefixLen).as("block"),
-      wordShingles(col(textCol), shingleN).as("sh"))
+      wordShingles(col(textCol), shingleN, useNative).as("sh"))
     val wCnt = Window.partitionBy("block")
     val capped = keyed.withColumn("__n", count(lit(1)).over(wCnt))
       .filter(col("__n") <= maxBlockSize).drop("__n")

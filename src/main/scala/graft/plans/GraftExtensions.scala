@@ -85,6 +85,11 @@ object GraftFunctions {
     DotExpr(children(0), children(1), intLit(children, 2, "dim"))
   }
 
+  private def shinglesBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_word_shingles(tokens, n)")
+    WordShinglesExpr(children.head, intLit(children, 1, "n"))
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -101,7 +106,11 @@ object GraftFunctions {
       simhashBuilder),
     (FunctionIdentifier("graft_ivf_assign"),
       new ExpressionInfo(classOf[IvfAssignExpr].getName, "graft_ivf_assign"),
-      ivfBuilder))
+      ivfBuilder),
+    (FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName,
+        "graft_word_shingles"),
+      shinglesBuilder))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -98,6 +98,29 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() > 1000) // proof the cap was doing the work
   }
 
+  test("native word shingles identical to the HOF formulation") {
+    graft.plans.GraftFunctions.register(spark)
+    val edge = Seq((20L, "one two"), (21L, ""), (22L, "a b c"),
+      (23L, "  padded   tokens  here now  "),
+      (24L, "rep rep rep rep rep")) // duplicate shingles -> distinct order
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"), col("text")).unionByName(edge)
+      .select(col("doc_id"),
+        Dedup.wordShingles(col("text"), 3).as("hof"),
+        Dedup.wordShingles(col("text"), 3, useNative = true).as("nat"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, h, n) =>
+      assert(h == n, s"doc $id: $h vs $n") // incl. first-occurrence order
+    }
+    // full pipeline parity: prefix-blocked pairs identical either way
+    def pairs(nat: Boolean) =
+      Dedup.prefixBlockedNearDupPairs(docs, "doc_id", "text",
+        prefixLen = 16, shingleN = 3, minJaccard = 0.5, useNative = nat)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(pairs(true) == pairs(false))
+  }
+
   test("simhash native vote fold is bit-identical to the HOF fold") {
     graft.plans.GraftFunctions.register(spark)
     val edge = Seq((10L, "one"), (11L, ""), (12L, "  spaced   out  "),
