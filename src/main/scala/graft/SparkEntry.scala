@@ -510,6 +510,24 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- skew-mitigated aggregation (oracle-checked): the salted two-stage
+    // agg must equal the plain GROUP BY — l_returnflag has only 3 values,
+    // exactly the hot-key shape where one reducer would take the whole
+    // table; salting spreads each key over 16 partials first.
+    "q44_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedAgg(t(s, dir, "lineitem"),
+          keys = Seq("l_returnflag"), saltBuckets = 16,
+          aggs = Map(
+            "l_quantity" -> ((c: Column) => sum(c.cast(dec2)),
+                             (c: Column) => sum(c)),
+            "l_orderkey" -> ((c: Column) => count(c),
+                             (c: Column) => sum(c))))
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("double").as("sum_qty"),
+          col("l_orderkey").cast("long").as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- end-to-end pipeline composition (oracle-checked): quality rules
     // (PK + FK against a restricted parent) -> FK-ordered incremental merge,
     // in ONE lazy plan — the full §3.1 process() shape over real tables.
@@ -917,6 +935,14 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the salted two-stage aggregation is semantically a plain GROUP BY —
+    // DECIMAL partials keep the sum exact, so the hash must match
+    "q44_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(l_orderkey) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // mirrors runOnRegistry end to end: FK rule drops customers whose
     // nation was filtered out (null FKs kept), then the q12-style merge
