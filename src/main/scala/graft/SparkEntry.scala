@@ -510,6 +510,36 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- PII census (oracle-checked): engine-portable regex patterns,
+    // synthetic injections so every counter exercises a non-zero path
+    "q45_pii_scan" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" contact: user13@example.com" +
+              " via https://ex.example/path from 10.0.0.1")))
+            .otherwise(col("text")))
+      TextOps.withPiiCounts(aug, "text")
+        .select(col("doc_id"), col("n_email").cast("long").as("n_email"),
+          col("n_url").cast("long").as("n_url"),
+          col("n_ipv4").cast("long").as("n_ipv4"), col("has_pii"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- benchmark decontamination (oracle-checked): docs sharing any
+    // distinct 8-gram with the held-out corpus (doc_id % 31 = 0), with the
+    // per-document overlap count. One shingle-key equi-join — shuffles
+    // carry shingles, never documents.
+    "q46_contamination" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationHits(
+          docs.filter(col("doc_id") % 31 =!= 0), "doc_id", "text",
+          bench = docs.filter(col("doc_id") % 31 === 0),
+          shingleN = 8, useNative = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- skew-mitigated aggregation (oracle-checked): the salted two-stage
     // agg must equal the plain GROUP BY — l_returnflag has only 3 values,
     // exactly the hot-key shape where one reducer would take the whole
@@ -935,6 +965,37 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q45_pii_scan" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN text || ' contact: user13@example.com via https://ex.example/path from 10.0.0.1'
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+        |  len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+        |  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+        |   OR len(regexp_extract_all(text, 'https?://[^\s]+')) > 0
+        |   OR len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) > 0) AS has_pii
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q46_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+        |      THEN list_transform(range(1, len(toks) - 6),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                          toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+        |      ELSE [array_to_string(toks, ' ')] END)) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 31 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM sh JOIN bench USING (s)
+        |WHERE doc_id % 31 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the salted two-stage aggregation is semantically a plain GROUP BY —
     // DECIMAL partials keep the sum exact, so the hash must match

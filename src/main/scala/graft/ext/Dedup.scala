@@ -237,6 +237,28 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination: per-document count of distinct word
+    * n-grams shared with a held-out `bench` corpus (any hit usually means
+    * the document is dropped from training data). Both sides shingle once
+    * (distinct per document), the bench set deduplicates globally, and the
+    * overlap is one equi-join on the shingle string — the shuffle carries
+    * shingles + ids, never documents. Documents with zero overlap are
+    * absent from the result (inner join), which is the useful direction:
+    * at scale the contaminated set is tiny relative to the corpus.
+    */
+  def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, shingleN: Int = 8,
+                        useNative: Boolean = false): DataFrame = {
+    val docSh = docs.select(col(idCol),
+      explode(wordShingles(col(textCol), shingleN, useNative)).as("sh"))
+    val benchSh = bench
+      .select(explode(wordShingles(col(textCol), shingleN, useNative)).as("sh"))
+      .distinct()
+    docSh.join(benchSh, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits")) // doc shingles are distinct already
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per-token `xxhash64` bits

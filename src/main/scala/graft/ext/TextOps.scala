@@ -120,4 +120,31 @@ object TextOps {
     * reordering does not.
     */
   def fingerprint(text: Column): Column = xxhash64(tokens(text))
+
+  /** PII indicator patterns, deliberately restricted to syntax every
+    * mainstream regex engine (java.util.regex AND RE2) interprets
+    * identically — no lookarounds, no backrefs — so the counts are
+    * oracle-comparable across engines. Pre-filter semantics: this flags
+    * documents for redaction/drop; it is not an extractor.
+    */
+  val PiiPatterns: Map[String, String] = Map(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "url" -> "https?://[^\\s]+",
+    "ipv4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
+
+  /** Per-document PII census: one codegen'd regex scan per pattern,
+    * appended as `n_<kind>` counts plus a `has_pii` flag. Linear,
+    * shuffle-free — the standard cheap hygiene pass before training-data
+    * release.
+    */
+  def withPiiCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counted = PiiPatterns.toSeq.sortBy(_._1).foldLeft(df) {
+      case (acc, (kind, pattern)) =>
+        acc.withColumn(s"n_$kind", regexp_count(t, lit(pattern)))
+    }
+    counted.withColumn("has_pii",
+      PiiPatterns.keys.toSeq.sorted.map(k => col(s"n_$k") > 0)
+        .reduce(_ || _))
+  }
 }

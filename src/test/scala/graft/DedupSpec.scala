@@ -98,6 +98,21 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() > 1000) // proof the cap was doing the work
   }
 
+  test("contaminationHits counts distinct shared n-grams per document") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+      (2L, "the quick brown fox"), // shorter than n=8 -> whole-text shingle, no match
+      (3L, "completely unrelated content with no overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(corpus, "doc_id", "text", bench,
+        shingleN = 8)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 contains the full 9-token bench text -> two distinct 8-grams
+    assert(hits == Map(1L -> 2L))
+  }
+
   test("native word shingles identical to the HOF formulation") {
     graft.plans.GraftFunctions.register(spark)
     val edge = Seq((20L, "one two"), (21L, ""), (22L, "a b c"),

@@ -68,6 +68,23 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("withPiiCounts flags emails, urls, ips and nothing else") {
+    val df = Seq(
+      (1L, "write to a@b.io or c.d+x@e.org today"),
+      (2L, "see https://x.y/z and http://p.q"),
+      (3L, "host 192.168.1.1 responded"),
+      (4L, "perfectly clean prose with no identifiers")
+    ).toDF("id", "text")
+    val rows = TextOps.withPiiCounts(df, "text")
+      .select("id", "n_email", "n_url", "n_ipv4", "has_pii")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(rows(1L) == ((2, 0, 0, true)))
+    assert(rows(2L) == ((0, 2, 0, true)))
+    assert(rows(3L) == ((0, 0, 1, true)))
+    assert(rows(4L) == ((0, 0, 0, false)))
+  }
+
   test("withStats matches hand-computed values") {
     val r = TextOps.withStats(Seq(("d1", "aa bb aa")).toDF("id", "text"), "text")
       .select("n_chars_computed", "n_tokens", "n_distinct_tokens",
