@@ -510,6 +510,13 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- repetition quality signals (oracle-checked): top-token share +
+    // duplicate-bigram fraction, the Gopher-style repetition filters
+    "q47_repetition" -> ((s, dir) => {
+      TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- PII census (oracle-checked): engine-portable regex patterns,
     // synthetic injections so every counter exercises a non-zero path
     "q45_pii_scan" -> ((s, dir) => {
@@ -965,6 +972,29 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q47_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+        |tops AS (
+        |  SELECT doc_id, max(c) AS max_c, sum(c) AS total
+        |  FROM counts GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents)
+        |SELECT bi.doc_id,
+        |  round(tops.max_c::DOUBLE / tops.total, 6) AS top_token_share,
+        |  CASE WHEN len(bi.t) >= 2
+        |       THEN round(1 - len(list_distinct(list_transform(
+        |              range(1, len(bi.t)),
+        |              i -> concat_ws(' ', bi.t[i], bi.t[i+1]))))::DOUBLE
+        |            / (len(bi.t) - 1), 6)
+        |       ELSE 0.0 END AS dup_bigram_fraction
+        |FROM bi JOIN tops ON bi.doc_id = tops.doc_id
+        |ORDER BY bi.doc_id""".stripMargin,
 
     "q45_pii_scan" ->
       """WITH aug AS (

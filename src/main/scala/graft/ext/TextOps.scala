@@ -121,6 +121,38 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = xxhash64(tokens(text))
 
+  /** Repetition-based quality signals (the Gopher-style filters): share
+    * of the most frequent token, and fraction of duplicate bigrams.
+    * Highly repetitive documents (boilerplate, templated spam, degenerate
+    * generations) score high on both and are dropped before training.
+    *
+    * Scale shape: the bigram fraction is a pure projection (distinct
+    * shingle count vs token count — no explode); the top-token share
+    * explodes to (id, token) and aggregates twice, which IS the
+    * distributed plan at scale — the shuffle carries tokens + ids, and
+    * both aggregations are partial-combinable.
+    */
+  def repetitionStats(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = Dedup.wordShingles(col(textCol), 2)
+    val perDoc = df.select(col(idCol),
+      size(toks).as("__n_toks"),
+      when(size(toks) >= 2,
+        round(lit(1.0) - size(bigrams).cast("double") / (size(toks) - 1), 6))
+        .otherwise(0.0).as("dup_bigram_fraction"))
+    val topShare = df
+      .select(col(idCol), explode(toks).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("__max_c"),
+        sum(col("__c")).as("__total"))
+      .select(col(idCol),
+        round(col("__max_c").cast("double") / col("__total"), 6)
+          .as("top_token_share"))
+    perDoc.join(topShare, idCol)
+      .select(col(idCol), col("top_token_share"), col("dup_bigram_fraction"))
+  }
+
   /** PII indicator patterns, deliberately restricted to syntax every
     * mainstream regex engine (java.util.regex AND RE2) interprets
     * identically — no lookarounds, no backrefs — so the counts are

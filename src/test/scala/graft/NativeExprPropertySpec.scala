@@ -1,0 +1,100 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextOps}
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based equality of every native Catalyst expression against
+  * its declarative twin, over GENERATED inputs — unicode text, degenerate
+  * whitespace, random float vectors — not just the hand-picked fixtures
+  * in the per-operator specs. Any divergence here means flipping a
+  * `useNative` flag could change query results.
+  */
+class NativeExprPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+
+  // text with unicode, repeated tokens, and whitespace pathologies
+  private val textGen: Gen[String] = Gen.listOfN(30, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("the", "a", "naïve", "héllo", "日本語テキスト", "x"),
+      Gen.const(""), Gen.const("  "), Gen.const("\t")))
+    .map(_.mkString(" "))
+
+  private def texts(seed: Long, n: Int): Seq[String] =
+    (0 until n).flatMap(i =>
+      textGen(params, org.scalacheck.rng.Seed(seed + i)))
+
+  test("shingles + simhash: native ≡ HOF on generated unicode text") {
+    GraftFunctions.register(spark)
+    val df = texts(seed = 1L, n = 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(col("id"),
+        Dedup.wordShingles(col("text"), 3).as("sh_h"),
+        Dedup.wordShingles(col("text"), 3, useNative = true).as("sh_n"),
+        Dedup.simhash64(col("text")).as("sim_h"),
+        Dedup.simhash64(col("text"), useNative = true).as("sim_n"))
+      .as[(Long, Seq[String], Seq[String], Long, Long)].collect()
+    assert(rows.length == 60)
+    rows.foreach { case (id, shH, shN, simH, simN) =>
+      assert(shH == shN, s"shingles diverge on row $id")
+      assert(simH == simN, s"simhash diverges on row $id")
+    }
+  }
+
+  test("minhash: native ≡ HOF on generated text") {
+    GraftFunctions.register(spark)
+    val df = texts(seed = 77L, n = 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sh = Dedup.wordShingles(col("text"), 2)
+    val rows = df.select(col("id"),
+        Dedup.minhashSignature(sh, 32).as("h"),
+        Dedup.minhashSignatureNative(sh, 32).as("n"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (id, h, n) =>
+      assert(h == n, s"minhash diverges on row $id")
+    }
+  }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(32, Gen.chooseNum(-1000, 1000).map(_ / 250.0f))
+      .map(_.toArray)
+
+  test("rhp signature + dot: native ≡ declarative on generated vectors") {
+    GraftFunctions.register(spark)
+    val vecs = (0 until 60).flatMap(i =>
+      vecGen(params, org.scalacheck.rng.Seed(200L + i)))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, vecs((i + 7) % vecs.size)) }
+      .toDF("id", "a", "b")
+    val planes = Similarity.hyperplanes(10, 32, seed = 5L)
+    val rows = df.select(col("id"),
+        Similarity.rhpSignature(col("a"), planes).as("rh"),
+        Similarity.rhpSignatureNative(col("a"), 10, 32, seed = 5L).as("rn"),
+        Similarity.dotUnrolled(col("a"), col("b"), 32).as("du"),
+        Similarity.dotNative(col("a"), col("b"), 32).as("dn"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+    rows.foreach { case (id, rh, rn, du, dn) =>
+      assert(rh == rn, s"rhp diverges on row $id")
+      assert(java.lang.Double.doubleToRawLongBits(du) ==
+        java.lang.Double.doubleToRawLongBits(dn),
+        s"dot diverges on row $id: $du vs $dn")
+    }
+  }
+
+  test("stopword regex count ≡ token filter count on generated text") {
+    // the regexp_count rewrite vs the definitional HOF it replaced
+    val df = texts(seed = 900L, n = 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val words = TextOps.Stopwords("en")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val rows = df.select(col("id"),
+        TextOps.stopwordCount(col("text"), words).as("re"),
+        size(filter(toks, t => t.isin(words: _*))).as("hof"))
+      .as[(Long, Int, Int)].collect()
+    rows.foreach { case (id, re, hof) =>
+      assert(re == hof, s"stopword count diverges on row $id: $re vs $hof")
+    }
+  }
+}

@@ -68,6 +68,23 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("repetitionStats: top-token share and duplicate-bigram fraction") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),     // one token, all bigrams identical
+      (2L, "all tokens fully distinct"),
+      (3L, "one")                      // <2 tokens -> bigram fraction 0
+    ).toDF("doc_id", "text")
+    val rows = TextOps.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows(1L) == ((1.0, round1(1.0 - 1.0 / 3))))
+    assert(rows(2L) == ((0.25, 0.0)))
+    assert(rows(3L) == ((1.0, 0.0)))
+  }
+
+  private def round1(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("withPiiCounts flags emails, urls, ips and nothing else") {
     val df = Seq(
       (1L, "write to a@b.io or c.d+x@e.org today"),
