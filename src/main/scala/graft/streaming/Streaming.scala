@@ -31,6 +31,23 @@ object EventStreams {
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Streaming exact dedup by content hash with BOUNDED state: documents
+    * whose hash was already seen within the watermark horizon are
+    * dropped; hashes older than the horizon are evicted from state. This
+    * is the only exact dedup an unbounded ingest stream can afford —
+    * state is O(throughput × lateness), not O(corpus) — and it composes
+    * with the batch `Dedup.exactDuplicateGroups` run over the stored
+    * output for the full-corpus pass. The shuffle key is the 256-bit
+    * hash, never document bytes.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash",
+        graft.ext.Dedup.contentHash(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Sliding event-time window (1h window, 15m slide). */
   def slidingCounts(events: DataFrame, tsCol: String = "ts",
                     lateness: String = "1 hour"): DataFrame =

@@ -62,6 +62,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops in-horizon duplicates and evicts expired state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventStreams.dedupStream(
+        in.toDF().toDF("doc_id", "text", "ts"), "text", "ts",
+        lateness = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "alpha content", ts("2024-01-01 10:00:00")),
+        (2L, "alpha content", ts("2024-01-01 10:05:00")), // dup in-batch
+        (3L, "beta content", ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER batch, still within the horizon
+      in.addData((4L, "alpha content", ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      val ids1 = spark.table("dedup_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids1 == Set(1L, 3L), s"got $ids1")
+      // push the watermark far past the horizon -> hash state evicted ->
+      // the same content is accepted again (bounded-state semantics)
+      in.addData((99L, "sentinel", ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      in.addData((5L, "alpha content", ts("2024-01-01 20:30:00")))
+      q.processAllAvailable()
+      val ids2 = spark.table("dedup_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids2.contains(5L), s"expired hash not evicted: $ids2")
+    } finally q.stop()
+  }
+
   test("microBatchMerge applyBatch: insert then update then idempotent re-apply") {
     val dir = Files.createTempDirectory("graft_merge").toString
     val state = s"$dir/state"
