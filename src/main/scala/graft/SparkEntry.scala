@@ -510,6 +510,14 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- TF-IDF top terms per document (oracle-checked): corpus-level
+    // statistics — the df/idf side aggregates over the whole corpus while
+    // staying one lazy plan (broadcast 1-row N, term-keyed shuffles)
+    "q48_tfidf_topk" -> ((s, dir) => {
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")
+    }),
+
     // ---- repetition quality signals (oracle-checked): top-token share +
     // duplicate-bigram fraction, the Gopher-style repetition filters
     "q47_repetition" -> ((s, dir) => {
@@ -972,6 +980,29 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q48_tfidf_topk" ->
+      """WITH terms AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6)
+        |      AS tfidf
+        |  FROM terms t JOIN dfreq d USING (term) CROSS JOIN n)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY tfidf DESC, term) AS "rank",
+        |  term, tfidf
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY tfidf DESC, term) <= 5
+        |ORDER BY doc_id, "rank"""".stripMargin,
 
     "q47_repetition" ->
       """WITH toks AS (

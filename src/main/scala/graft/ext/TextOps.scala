@@ -121,6 +121,41 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = xxhash64(tokens(text))
 
+  /** Top-k characteristic terms per document by TF-IDF — the classic
+    * corpus-statistics operator (keyword extraction, topic probing,
+    * near-dup triage by shared salient terms).
+    *
+    * Scale shape: one explode to (doc, term) with an immediate
+    * partial-combinable count (the shuffle carries terms, not documents);
+    * document frequencies reuse that relation (terms are already unique
+    * per document, so `df` is a plain count); the corpus size joins in as
+    * a broadcast 1-row aggregate so the whole plan stays lazy — no
+    * driver-side count. Smoothed idf = ln((N+1)/(df+1)) + 1; scores are
+    * rounded to 6 decimals before ranking with a term tie-break, per the
+    * cross-engine determinism conventions.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val terms = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val corpusSize = df.agg(count(lit(1)).as("n_docs"))
+    val scored = terms.join(docFreq, "term")
+      .crossJoin(broadcast(corpusSize))
+      .withColumn("tfidf",
+        round(col("tf") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
+
   /** Repetition-based quality signals (the Gopher-style filters): share
     * of the most frequent token, and fraction of duplicate bigrams.
     * Highly repetitive documents (boilerplate, templated spam, degenerate

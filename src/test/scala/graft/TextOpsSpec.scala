@@ -68,6 +68,25 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("tfidfTopTerms ranks corpus-rare terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "shared quantum"),
+      (2L, "shared words only"),
+      (3L, "shared words again")
+    ).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(df, "doc_id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // equal tf, but "quantum" is unique to doc 1 (df=1) while "shared"
+    // appears corpus-wide (df=3) -> higher idf wins
+    assert(top(1L) == "quantum")
+    // ranks are dense 1..k and scores positive
+    val all = TextOps.tfidfTopTerms(df, "doc_id", "text", k = 3)
+      .as[(Long, Int, String, Double)].collect()
+    assert(all.forall(_._4 > 0))
+    assert(all.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1, 2))
+    assert(all.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("repetitionStats: top-token share and duplicate-bigram fraction") {
     val df = Seq(
       (1L, "spam spam spam spam"),     // one token, all bigrams identical
