@@ -510,6 +510,15 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- deterministic train/val/test split (oracle-checked): assignment
+    // is a pure function of (salt, id) — stable under corpus growth
+    "q49_stable_split" -> ((s, dir) => {
+      TextOps.stableSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+        .orderBy("split")
+    }),
+
     // ---- TF-IDF top terms per document (oracle-checked): corpus-level
     // statistics — the df/idf side aggregates over the whole corpus while
     // staying one lazy plan (broadcast 1-row N, term-keyed shuffles)
@@ -980,6 +989,13 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q49_stable_split" ->
+      """SELECT CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |            WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_id
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
 
     "q48_tfidf_topk" ->
       """WITH terms AS (

@@ -121,6 +121,24 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = xxhash64(tokens(text))
 
+  /** Deterministic hash-based train/val/test assignment — the stable-split
+    * operator every training pipeline needs: a document's split depends
+    * only on (salt, id), so it never migrates when the corpus grows,
+    * re-partitions, or re-orders, and adding data never contaminates an
+    * existing eval set. Buckets come from the first hex character of
+    * md5(salt || id): '0'-'b' → train (12/16), 'c'-'d' → val (2/16),
+    * 'e'-'f' → test (2/16). md5 and ASCII comparison behave identically
+    * in every engine, so the assignment is oracle-portable. Pure
+    * projection — no shuffle, no RNG state.
+    */
+  def stableSplit(df: DataFrame, idCol: String,
+                  salt: String = "graft"): DataFrame = {
+    val h = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val c = substring(h, 1, 1)
+    df.withColumn("split",
+      when(c <= "b", "train").when(c <= "d", "val").otherwise("test"))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF — the classic
     * corpus-statistics operator (keyword extraction, topic probing,
     * near-dup triage by shared salient terms).

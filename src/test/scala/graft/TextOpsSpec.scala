@@ -68,6 +68,24 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("stableSplit: deterministic, growth-stable, roughly proportioned") {
+    val base = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s1 = TextOps.stableSplit(base, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // growing the corpus must never move an existing document's split
+    val grown = (1L to 800L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s2 = TextOps.stableSplit(grown, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    // proportions near 12/2/2 sixteenths
+    val n = s2.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 500 && n("val") > 50 && n("test") > 50)
+    // a different salt reshuffles assignments
+    val salted = TextOps.stableSplit(base, "doc_id", salt = "other")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(base.count() > 0 && s1.exists { case (id, sp) => salted(id) != sp })
+  }
+
   test("tfidfTopTerms ranks corpus-rare terms above ubiquitous ones") {
     val df = Seq(
       (1L, "shared quantum"),
