@@ -212,12 +212,14 @@ object Dedup {
     * put thousands of documents behind one shared prefix, making that
     * block's pair expansion quadratic. Blocks above the cap are dropped
     * (with recall loss on exactly those blocks — the standard trade at
-    * scale), keeping worst-case cost O(n · cap).
+    * scale), keeping worst-case cost O(n · cap). The DEFAULT is
+    * uncapped: capping changes results, and this operator's q25 oracle
+    * is the uncapped relation — production corpora opt in explicitly.
     */
   def prefixBlockedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                                 prefixLen: Int, shingleN: Int,
                                 minJaccard: Double,
-                                maxBlockSize: Int = 1000,
+                                maxBlockSize: Int = Int.MaxValue,
                                 useNative: Boolean = false): DataFrame = {
     // shingles computed once per document BEFORE the pair join — a doc in
     // m pairs would otherwise re-shingle m times

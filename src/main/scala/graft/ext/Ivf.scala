@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file / coarse-quantizer) approximate nearest neighbor —
@@ -114,26 +113,15 @@ object Ivf {
       element_at(assignLists(col(vecCol), centroids, dim, 1), 1).as("list"))
     val q = queries.select(col(idCol).as("query_id"),
       explode(assignLists(col(vecCol), centroids, dim, nProbe)).as("list"))
+    // NO distinct here: each corpus vector lives in exactly one list and
+    // probe lists are distinct by construction, so a (query, neighbor)
+    // pair cannot repeat — a dedup would add a full shuffle over the
+    // largest intermediate for nothing. Rerank is shared with LSH
+    // (registration is already a precondition, so the native dot is on).
     val cands = c.join(q, "list")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
-      .distinct()
-    def prep(df: DataFrame, id: String, v: String, n: String) =
-      df.select(col(idCol).as(id),
-          transform(col(vecCol), x => x.cast("double")).as(v))
-        .withColumn(n, Similarity.norm(col(v)))
-    // registration is already a precondition (assignLists) — use the
-    // native dot unconditionally for the rerank
-    val scored = cands
-      .join(prep(queries, "query_id", "qvec", "qn"), "query_id")
-      .join(prep(corpus, "neighbor_id", "cvec", "cn"), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        round(Similarity.dotNative(col("qvec"), col("cvec"), dim) /
-          (col("qn") * col("cn")), 6).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    Similarity.rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim,
+      useNative = true)
   }
 }

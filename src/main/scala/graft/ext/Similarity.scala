@@ -93,6 +93,33 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Exact cosine rerank of a candidate `(query_id, neighbor_id)` set:
+    * vectors + norms join back by id (norms computed once per row), the
+    * fixed-dim dot scores each pair, and a per-query window keeps top-k
+    * with the deterministic `(sim desc, neighbor_id)` tie-break. Shared
+    * by every ANN index family (LSH, IVF) so ranking/rounding semantics
+    * cannot drift between them.
+    */
+  def rerankTopK(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int, dim: Int,
+                 useNative: Boolean = false): DataFrame = {
+    def prep(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id),
+          transform(col(vecCol), x => x.cast("double")).as(v))
+        .withColumn(n, norm(col(v)))
+    val scored = cands
+      .join(prep(queries, "query_id", "qvec", "qn"), "query_id")
+      .join(prep(corpus, "neighbor_id", "cvec", "cn"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotFast(col("qvec"), col("cvec"), dim, useNative) /
+          (col("qn") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Deterministic random hyperplanes (seeded), shipped as literals. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new Random(seed)
@@ -181,21 +208,7 @@ object Similarity {
     val cands = c.join(q, "key")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
-      .distinct()
-    def prep(df: DataFrame, id: String, v: String, n: String) =
-      df.select(col(idCol).as(id),
-          transform(col(vecCol), x => x.cast("double")).as(v))
-        .withColumn(n, norm(col(v)))
-    val scored = cands
-      .join(prep(queries, "query_id", "qvec", "qn"), "query_id")
-      .join(prep(corpus, "neighbor_id", "cvec", "cn"), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        round(dotFast(col("qvec"), col("cvec"), dim, useNative) /
-          (col("qn") * col("cn")), 6).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+      .distinct() // a pair can collide in several tables/probes
+    rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim, useNative)
   }
 }

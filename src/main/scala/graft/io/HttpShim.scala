@@ -47,10 +47,19 @@ object HttpShim {
     "payments" -> (() => CsvIngest.readCsv(spark, payments)),
     "reviews" -> (() => CsvIngest.readCsv(spark, reviews)))
 
-  private def jsonQuote(s: String): String =
-    "\"" + Option(s).getOrElse("null")
-      .replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+  private def jsonQuote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    Option(s).getOrElse("null").foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x") // all controls
+      case c => sb.append(c)
+    }
+    sb.append("\"").toString
+  }
 
   private def handler(mk: () => DataFrame, maxRows: Int): HttpHandler =
     new HttpHandler {

@@ -97,9 +97,14 @@ object JdbcUpsert {
     // no wildcard functions import: it would shadow the `now` parameter
     import org.apache.spark.sql.functions.{col, lit}
     // connection properties (credentials, driver) must reach the insert
-    // path too — merge them into the writer options alongside batchsize
+    // path too — merge them into the writer options alongside batchsize.
+    // Copy via stringPropertyNames, not putAll: putAll ignores a
+    // Properties' DEFAULTS table, silently dropping credentials supplied
+    // via `new Properties(defaults)`.
     val insertProps = new java.util.Properties()
-    insertProps.putAll(props)
+    props.stringPropertyNames().forEach { k =>
+      insertProps.setProperty(k, props.getProperty(k))
+    }
     insertProps.setProperty("batchsize", batchSize.toString)
     changes.inserts
       .withColumn("updated_at", now)
@@ -107,11 +112,16 @@ object JdbcUpsert {
       .write.mode("append").jdbc(url, cfg.name, insertProps)
 
     // updates refresh the payload + updated_at but KEEP the row's
-    // is_deleted (etl2.py:376-378; postState does the same)
-    val nonPk = changes.updates.columns.toSeq.filterNot(cfg.primaryKey.contains)
+    // is_deleted (etl2.py:376-378; postState does the same) — so
+    // is_deleted is excluded even if the incoming snapshot carries it,
+    // and updated_at is deduped in case incoming carries it too (a
+    // duplicate SET column is a SQL error on most engines)
+    val nonPk = changes.updates.columns.toSeq
+      .filterNot(cfg.primaryKey.contains)
+      .filterNot(_ == "is_deleted")
     val updates = changes.updates.withColumn("updated_at", now)
     executeUpdates(updates, url, props, cfg.name,
-      nonPk :+ "updated_at", cfg.primaryKey, batchSize)
+      (nonPk :+ "updated_at").distinct, cfg.primaryKey, batchSize)
 
     // `classify` reports every existing key absent from incoming as a
     // delete, including rows already tombstoned — restamping those every

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Inputs shorter than `dim` raise an error, matching the unrolled
   * formulation's ANSI `element_at` out-of-bounds behavior (an error, not
   * a silent truncation). Null vector → null (standard binary-null
-  * semantics, same as the unrolled chain on a null array).
+  * semantics) and a null ELEMENT within the first `dim` slots also → null
+  * — exactly the unrolled chain's null propagation (a null product nulls
+  * the whole sum), never a fabricated 0.0 contribution.
   */
 final case class DotExpr(left: Expression, right: Expression, dim: Int)
     extends BinaryExpression with CodegenFallback {
@@ -28,6 +30,8 @@ final case class DotExpr(left: Expression, right: Expression, dim: Int)
   require(dim >= 1, s"dim must be positive: $dim")
 
   override def dataType: DataType = DoubleType
+  // null ELEMENTS also null the result, independent of column nullability
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -57,6 +61,7 @@ final case class DotExpr(left: Expression, right: Expression, dim: Int)
     var acc = 0.0
     var j = 0
     while (j < dim) {
+      if (a.isNullAt(j) || b.isNullAt(j)) return null // null-propagate
       val x = if (leftFloat) a.getFloat(j).toDouble else a.getDouble(j)
       val y = if (rightFloat) b.getFloat(j).toDouble else b.getDouble(j)
       acc += x * y

@@ -70,7 +70,10 @@ final case class IvfAssignExpr(child: Expression, centroids: Array[Double],
       var acc = 0.0
       j = 0
       while (j < dim) { acc += vec(j) * centroids(off + j); j += 1 }
-      dots(c) = acc
+      // NaN dots (NaN element in the vector) sink to -inf: NaN compares
+      // false under `>` so an all-NaN row would otherwise select nothing
+      dots(c) = if (java.lang.Double.isNaN(acc)) Double.NegativeInfinity
+                else acc
       c += 1
     }
     val picked = new Array[Int](nProbe)
@@ -81,7 +84,11 @@ final case class IvfAssignExpr(child: Expression, centroids: Array[Double],
       var bestDot = Double.NegativeInfinity
       c = 0
       while (c < k) {
-        if (!used(c) && dots(c) > bestDot) { best = c; bestDot = dots(c) }
+        // `best < 0` guard: when every remaining dot is -inf, fall back to
+        // the lowest unused centroid id (deterministic, never crashes)
+        if (!used(c) && (best < 0 || dots(c) > bestDot)) {
+          best = c; bestDot = dots(c)
+        }
         c += 1
       }
       used(best) = true

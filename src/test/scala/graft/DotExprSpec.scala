@@ -42,6 +42,17 @@ class DotExprSpec extends SparkSpec {
       Array.fill(8)(1.0))).toDF("id", "a", "b")
     val r = df.select(Similarity.dotNative(col("a"), col("b"), 8)).head()
     assert(r.isNullAt(0))
+    // null ELEMENT null-propagates exactly like the unrolled chain —
+    // never a fabricated 0.0 contribution
+    val withNullElem = Seq((1L,
+        Array.fill(8)(1.0).map(java.lang.Double.valueOf)
+          .updated(3, null.asInstanceOf[java.lang.Double]),
+        Array.fill(8)(1.0).map(java.lang.Double.valueOf)))
+      .toDF("id", "a", "b")
+    val both = withNullElem.select(
+      Similarity.dotNative(col("a"), col("b"), 8).as("n"),
+      Similarity.dotUnrolled(col("a"), col("b"), 8).as("u")).head()
+    assert(both.isNullAt(0) && both.isNullAt(1))
     val short = Seq((1L, Array.fill(4)(1.0), Array.fill(8)(1.0)))
       .toDF("id", "a", "b")
     val e = intercept[Exception] {
