@@ -528,9 +528,120 @@ object SparkEntry {
     }),
 
     // ---- repetition quality signals (oracle-checked): top-token share +
-    // duplicate-bigram fraction, the Gopher-style repetition filters
+    // duplicate-bigram fraction, the Gopher-style repetition filters.
+    // Native shingling (bit-identical, spec-pinned) — the HOF bigram path
+    // was the catalog's slowest remaining constant (4.8 s at sf0.1).
     "q47_repetition" -> ((s, dir) => {
-      TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+      graft.plans.GraftFunctions.register(s)
+      TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
+          useNative = true)
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus-wide line-level dedup (oracle-checked): the C4/
+    // MassiveText hygiene pass — keep the globally FIRST occurrence of
+    // every distinct line, reassemble documents from survivors. The
+    // 3-line corpus is synthesized deterministically (full text + 50-char
+    // prefix + a constant boilerplate line) so all three dedup regimes
+    // occur: mostly-unique lines, heavily-shared prefixes, one
+    // corpus-wide boilerplate line.
+    "q50_line_dedup" -> ((s, dir) => {
+      val multi = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), substring(col("text"), 1, 50),
+          lit("graft boilerplate line")).as("text"))
+      Dedup.dedupLines(multi, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- column profiler (oracle-checked): per-column census — counts,
+    // null presence, distinct cardinality, min/max, exact median. The
+    // data-quality profiling pass run before schema contracts are
+    // declared. Exact `percentile` buffers each group's values (fine per
+    // profiled column); q54 is the sketch-based scale path.
+    "q51_column_profile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(expr(
+          """stack(3,
+            |  'l_discount', l_discount,
+            |  'l_extendedprice', l_extendedprice,
+            |  'l_quantity', l_quantity) AS (col_name, value)""".stripMargin))
+        .groupBy("col_name")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_present"),
+          countDistinct(col("value")).as("n_distinct"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"))
+        .orderBy("col_name")
+    }),
+
+    // ---- training-mixture report (oracle-checked): per-(source, lang)
+    // document/token counts and each cell's share of the corpus token
+    // budget — the table every data-mixing decision reads. One
+    // partial-combinable aggregation; the share is a window over the
+    // (tiny) aggregated result, never over raw rows.
+    "q52_corpus_mixture" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).as("n_tokens"))
+        .withColumn("token_share",
+          round(col("n_tokens") / sum(col("n_tokens")).over(Window.partitionBy()),
+            6))
+        .orderBy("source", "lang")
+    }),
+
+    // ---- duplicate-cluster resolution (oracle-checked): connected
+    // components over the q25 near-dup edge set — pairs say A~B and B~C,
+    // but the drop decision needs the {A,B,C} cluster. Iterative min-label
+    // propagation (checkpointed rounds, converges in diameter rounds);
+    // the DuckDB oracle walks the same graph with a recursive CTE.
+    "q53_dup_clusters" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.prefixBlockedNearDupPairs(docs, "doc_id", "text",
+        prefixLen = 32, shingleN = 3, minJaccard = 0.5, useNative = true)
+      graft.ext.Graph.connectedComponents(docs, "doc_id", edges, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    }),
+
+    // ---- quantile sketch (oracle-checked): approx_percentile — bounded
+    // state per group regardless of group size, the 100 TB answer to
+    // q51's exact percentile. Output exposes the exact median (oracle-
+    // checkable) plus an in-band flag pinning the sketch between the
+    // exact 40th and 60th percentiles — at accuracy 10000 the rank error
+    // is ~n/10000, orders of magnitude inside that band.
+    "q54_quantile_sketch" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("p50_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("__approx"),
+          expr("percentile(l_extendedprice, 0.4D)").as("__lo"),
+          expr("percentile(l_extendedprice, 0.6D)").as("__hi"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (col("__approx") >= col("__lo") && col("__approx") <= col("__hi"))
+            .as("approx_in_band"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- decontamination at scale (oracle-checked): same relation as
+    // q46, but the corpus side passes a distributed-built Bloom filter of
+    // the bench shingles BEFORE any shuffle — only true hits + ~1% false
+    // positives reach the exact verify join. No false negatives, so the
+    // result — and the oracle — are exactly q46's.
+    "q55_contamination_bloom" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationHitsBloom(
+          docs.filter(col("doc_id") % 31 =!= 0), "doc_id", "text",
+          bench = docs.filter(col("doc_id") % 31 === 0),
+          shingleN = 8, expectedItems = 200000L, fpp = 0.01,
+          useNative = true)
         .orderBy("doc_id")
     }),
 
@@ -1073,6 +1184,101 @@ object SparkEntry {
         |FROM sh JOIN bench USING (s)
         |WHERE doc_id % 31 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bloom prefilter + exact verify has no false negatives, so q55 IS
+    // the q46 relation — same oracle
+    "q55_contamination_bloom" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+        |      THEN list_transform(range(1, len(toks) - 6),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                          toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+        |      ELSE [array_to_string(toks, ' ')] END)) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 31 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM sh JOIN bench USING (s)
+        |WHERE doc_id % 31 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // parallel unnest zips in DuckDB, mirroring posexplode's (idx, line);
+    // keep-first = row_number over the line ordered by (doc_id, idx)
+    "q50_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, 2)) AS idx,
+        |    unnest([text, substr(text, 1, 50), 'graft boilerplate line']) AS line
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, idx, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) = 1 AS kept
+        |  FROM lines)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  count(CASE WHEN kept THEN 1 END) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY idx), '')
+        |    AS text_kept
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // quantile_cont interpolates exactly like Spark's exact `percentile`
+    "q51_column_profile" ->
+      """WITH u AS (
+        |  SELECT 'l_discount' AS col_name, l_discount AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', l_quantity FROM lineitem)
+        |SELECT col_name, count(*) AS n_rows, count(value) AS n_present,
+        |  count(DISTINCT value) AS n_distinct,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(quantile_cont(value, 0.5), 6) AS p50
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    "q52_corpus_mixture" ->
+      """WITH agg AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share
+        |FROM agg ORDER BY source, lang""".stripMargin,
+
+    // same edge set as q25; the recursive walk propagates every label to
+    // everything reachable, so min(label) per node = min id in component
+    "q53_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, substr(text, 1, 32) AS block,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+        |  FROM (SELECT doc_id, text,
+        |        string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |      (len(a.shingles) + len(b.shingles)
+        |       - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |walk (id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src),
+        |lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // the oracle pins the sketch's in-band flag to TRUE: at accuracy
+    // 10000 the rank error is far inside the exact (p40, p60) band
+    "q54_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+        |  true AS approx_in_band
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the salted two-stage aggregation is semantically a plain GROUP BY —
     // DECIMAL partials keep the sum exact, so the hash must match

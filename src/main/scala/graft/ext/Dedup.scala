@@ -239,6 +239,53 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  // ------------------------------------------------------- line-level dedup
+
+  /** Corpus-wide line-level deduplication (the C4/MassiveText hygiene
+    * pass): split every document on `sep`, keep only the globally FIRST
+    * occurrence of each distinct line — first by (document id, line
+    * index), fully deterministic — and reassemble each document from its
+    * surviving lines in original order.
+    *
+    * Scale shape: one posexplode to (id, idx, line); the keep-first
+    * winner per distinct line is a `min(struct(id, idx))` AGGREGATE on
+    * the line's 256-bit content hash — partial-combinable, so a
+    * boilerplate line with millions of copies map-side-combines to one
+    * row per input partition instead of sending every copy to a single
+    * reducer (the window-function formulation of keep-first has exactly
+    * that skew failure; the standard guard is this agg + join-back).
+    * Reassembly is one groupBy(id) whose input carries each line at most
+    * twice (once as data, once as the joined winner key).
+    *
+    * Output per document: `n_lines`, `n_kept`, and `text_kept` (the
+    * surviving lines re-joined with `sep`; empty string when every line
+    * of a document had been seen before).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("idx", "line")))
+      .withColumn("__h", contentHash(col("line")))
+    val winners = lines.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("idx"))).as("__w"))
+    lines.join(winners, "__h")
+      .withColumn("__kept",
+        col("__w")(idCol) === col(idCol) && col("__w")("idx") === col("idx"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__kept"), lit(1))).as("n_kept"),
+        // collect_list skips the nulls `when` leaves on dropped lines;
+        // array_sort on (idx, line) structs restores original order
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__kept"), struct(col("idx"), col("line"))))),
+            x => x("line")),
+          sep).as("text_kept"))
+  }
+
   /** Benchmark decontamination: per-document count of distinct word
     * n-grams shared with a held-out `bench` corpus (any hit usually means
     * the document is dropped from training data). Both sides shingle once
@@ -259,6 +306,52 @@ object Dedup {
     docSh.join(benchSh, "sh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits")) // doc shingles are distinct already
+  }
+
+  /** Benchmark decontamination at 100 TB: identical relation to
+    * [[contaminationHits]], but the corpus side is pre-filtered through a
+    * Bloom filter of the bench shingles BEFORE any shuffle.
+    *
+    * Why this is the scale path: [[contaminationHits]] shuffles the FULL
+    * corpus shingle relation (|docs| × shingles-per-doc rows) into the
+    * equi-join even though almost nothing matches — at 100 TB that
+    * shuffle dwarfs everything else. Here the bench sketch is built with
+    * one distributed aggregation (`DataFrameStatFunctions.bloomFilter` —
+    * a treeAggregate; only the serialized bitset, `numBits/8` bytes,
+    * returns to the driver, the same shape as Spark's own runtime bloom
+    * filters), probes run map-side via [[graft.plans.BloomContainsExpr]]
+    * (zero shuffle, zero per-row deserialization), and only the tiny
+    * surviving fraction (true hits + `fpp` false positives) enters the
+    * exact verification join. Bloom filters have NO false negatives, so
+    * after the verify join the result is exactly [[contaminationHits]] —
+    * which keeps this operator oracle-checkable.
+    *
+    * Building the sketch materializes the bench side once (an action) —
+    * the bench corpus is the small, fixed side by nature (an eval suite),
+    * so this is a bounded, one-off cost per run.
+    *
+    * Requires `GraftFunctions.register(spark)`.
+    */
+  def contaminationHitsBloom(docs: DataFrame, idCol: String, textCol: String,
+                             bench: DataFrame, shingleN: Int = 8,
+                             expectedItems: Long = 100000L,
+                             fpp: Double = 0.01,
+                             useNative: Boolean = false): DataFrame = {
+    val benchSh = bench
+      .select(explode(wordShingles(col(textCol), shingleN, useNative)).as("sh"))
+      .distinct()
+    val bf = benchSh.stat.bloomFilter("sh", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val docSh = docs.select(col(idCol),
+        explode(wordShingles(col(textCol), shingleN, useNative)).as("sh"))
+      .filter(call_function("graft_bloom_contains", col("sh"), lit(bytes)))
+    docSh.join(benchSh, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   // -------------------------------------------------------------- simhash

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file / coarse-quantizer) approximate nearest neighbor —
@@ -122,6 +122,66 @@ object Ivf {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
     Similarity.rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim,
+      useNative = true)
+  }
+
+  // ---------------------------------------------------------- persistence
+
+  /** Persist a trained IVF index: the corpus with its assigned list id,
+    * written `bucketBy(list)` into the table catalog, plus the trained
+    * centroid matrix as `<table>_centroids` (row-major (pos, value) —
+    * self-contained: a later session reloads both and probes without
+    * retraining).
+    *
+    * Why bucketed: probing is an equi-join on `list`. A bucketed corpus
+    * scan already satisfies that join's distribution requirement, so
+    * EVERY future probe shuffles only the query side (tiny) — the
+    * 100 TB corpus is never exchanged again. Same pay-the-shuffle-once
+    * rationale as [[Dedup.writeBucketedByContent]].
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[Double], dim: Int, table: String,
+                 nBuckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    corpus
+      .select(col(idCol), col(vecCol),
+        element_at(assignLists(col(vecCol), centroids, dim, 1), 1).as("list"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "list").sortBy("list")
+      .mode("overwrite").saveAsTable(table)
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("pos", "value")
+      .coalesce(1)
+      .write.mode("overwrite").saveAsTable(s"${table}_centroids")
+  }
+
+  /** Reload the centroid matrix persisted by [[writeIndex]]. */
+  def loadCentroids(spark: SparkSession, table: String): Array[Double] = {
+    import spark.implicits._
+    spark.table(s"${table}_centroids")
+      .orderBy("pos").select("value").as[Double].collect()
+  }
+
+  /** Approximate top-k against a PERSISTED index — no training, no
+    * corpus-side shuffle: queries assign to their `nProbe` nearest
+    * stored centroids, the candidate join consumes the bucketed scan's
+    * existing distribution (the corpus side of the plan is
+    * Exchange-free — spec-pinned), and the exact rerank joins vectors
+    * back by id from the same bucketed table.
+    */
+  def ivfTopKIndexed(spark: SparkSession, table: String, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+                     dim: Int = 64): DataFrame = {
+    val centroids = loadCentroids(spark, table)
+    val indexed = spark.table(table)
+    val c = indexed.select(col(idCol).as("neighbor_id"), col("list"))
+    val q = queries.select(col(idCol).as("query_id"),
+      explode(assignLists(col(vecCol), centroids, dim, nProbe)).as("list"))
+    val cands = c.join(q, "list")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    Similarity.rerankTopK(cands, indexed, queries, idCol, vecCol, k, dim,
       useNative = true)
   }
 }

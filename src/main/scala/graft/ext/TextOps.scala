@@ -185,10 +185,10 @@ object TextOps {
     * distributed plan at scale — the shuffle carries tokens + ids, and
     * both aggregations are partial-combinable.
     */
-  def repetitionStats(df: DataFrame, idCol: String,
-                      textCol: String): DataFrame = {
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      useNative: Boolean = false): DataFrame = {
     val toks = tokens(col(textCol))
-    val bigrams = Dedup.wordShingles(col(textCol), 2)
+    val bigrams = Dedup.wordShingles(col(textCol), 2, useNative)
     val perDoc = df.select(col(idCol),
       size(toks).as("__n_toks"),
       when(size(toks) >= 2,

@@ -1,0 +1,61 @@
+package graft.plans
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Native membership probe against a pre-built Bloom filter — the filter
+  * side of the distributed "broadcast the sketch" semi-join used for
+  * benchmark decontamination at scale (`graft.ext.Dedup
+  * .contaminationHitsBloom`).
+  *
+  * The serialized filter travels inside the expression OBJECT (same
+  * pattern as [[IvfAssignExpr]]'s centroid matrix): it is deserialized
+  * ONCE per task when the lazy `bf` first evaluates, never per row, and
+  * the resolved plan tree carries no multi-megabyte binary literal. This
+  * mirrors what Spark's own runtime bloom filters do (aggregate the
+  * sketch distributed, ship only the final bitset to the probe side) —
+  * but as a user-level operator: Spark's `BloomFilterMightContain`
+  * rejects anything that is not a literal or scalar subquery, which makes
+  * it unusable against a sketch built through the public
+  * `DataFrameStatFunctions.bloomFilter` API.
+  *
+  * Accepts `string` (hashes UTF-8 bytes — matches `BloomFilter.put` on
+  * strings) or `long` input. CodegenFallback is deliberate: one hash +
+  * bitset probe per row is the fast path already (same rationale as
+  * [[SimHash64Expr]]).
+  */
+final case class BloomContainsExpr(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case StringType | LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bloom_contains expects string or bigint, got ${other.sql}")
+    }
+  }
+
+  @transient private lazy val bf: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => bf.mightContainBinary(s.getBytes)
+    case l: Long => bf.mightContainLong(l)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomContainsExpr = copy(child = newChild)
+
+  override def prettyName: String = "graft_bloom_contains"
+}

@@ -90,6 +90,21 @@ object GraftFunctions {
     WordShinglesExpr(children.head, intLit(children, 1, "n"))
   }
 
+  private def bloomContainsBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_bloom_contains(value, bloomBytes)")
+    val bLit = children(1)
+    if (!bLit.foldable) throw new IllegalArgumentException(
+      s"bloomBytes must be a binary literal, got non-literal ${bLit.sql}")
+    // the serialized filter is absorbed into the expression OBJECT — it
+    // appears once pre-analysis, never in the resolved plan tree
+    val bytes = bLit.eval() match {
+      case b: Array[Byte] => b
+      case other => throw new IllegalArgumentException(
+        s"bloomBytes must be a binary literal, got $other")
+    }
+    BloomContainsExpr(children.head, bytes)
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -110,7 +125,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[WordShinglesExpr].getName,
         "graft_word_shingles"),
-      shinglesBuilder))
+      shinglesBuilder),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsExpr].getName,
+        "graft_bloom_contains"),
+      bloomContainsBuilder))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

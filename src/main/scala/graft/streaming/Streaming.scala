@@ -58,6 +58,33 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n"))
+
+  /** Streaming benchmark decontamination: flag documents on an ingest
+    * stream whose n-gram shingles overlap a STATIC held-out bench corpus
+    * — so contaminated documents are caught at ingest time, not in a
+    * later batch sweep.
+    *
+    * Shape: stream-static inner equi-join on the shingle key (stateless —
+    * Structured Streaming re-plans the static side per micro-batch, no
+    * stream state at all) followed by a per-document count aggregate.
+    * The aggregate makes the sink run in update/complete mode; for an
+    * append-only pipeline, run the join part alone and dedup downstream.
+    * Semantics per micro-batch match the batch operator
+    * [[graft.ext.Dedup.contaminationHits]] exactly (spec-pinned).
+    */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, shingleN: Int = 8): DataFrame = {
+    val benchSh = bench
+      .select(explode(
+        graft.ext.Dedup.wordShingles(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    docs
+      .select(col(idCol),
+        explode(graft.ext.Dedup.wordShingles(col(textCol), shingleN)).as("sh"))
+      .join(benchSh, "sh") // stream-static: stateless, static side rescanned
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }
 
 /** One event for stateful sessionization (micros since epoch keeps the

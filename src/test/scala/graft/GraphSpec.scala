@@ -1,0 +1,52 @@
+package graft
+
+import graft.ext.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                 maxIter: Int = 50): Map[Long, Long] =
+    Graph.connectedComponents(
+        nodes.toDF("doc_id"), "doc_id",
+        edges.toDF("id_a", "id_b"), "id_a", "id_b", maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, pair, and isolated node resolve to min-id components") {
+    val got = cc(Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("empty edge set leaves every node its own component") {
+    val got = cc(Seq(10L, 20L), Seq.empty)
+    assert(got == Map(10L -> 10L, 20L -> 20L))
+  }
+
+  test("long chain converges (propagation spans the full diameter)") {
+    val n = 12L
+    val got = cc(1L to n, (1L until n).map(i => (i, i + 1)))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("edge direction is irrelevant (graph is symmetrized)") {
+    val got = cc(Seq(1L, 2L, 3L), Seq((3L, 2L), (2L, 1L)))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("triangle plus bridge merges into one component") {
+    // {1,2,3} triangle, {4,5} pair, bridge 3-4 merges everything
+    val got = cc(Seq(1L, 2L, 3L, 4L, 5L),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (3L, 4L)))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("insufficient maxIter fails loudly instead of returning wrong labels") {
+    val nodes = (1L to 8L).toSeq
+    val edges = (1L until 8L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      cc(nodes, edges, maxIter = 2)
+    }
+  }
+}

@@ -36,6 +36,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream flags streamed docs against the static bench") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchDocs = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val allDocs = Seq(
+      (1L, "one two three four five and a tail"), // shares 3-grams w/ bench
+      (2L, "nothing in common with anything"),
+      (3L, "zzz two three four qqq")              // shares "two three four"
+    )
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.EventStreams
+      .decontaminateStream(docs, "doc_id", "text", benchDocs, shingleN = 3)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("complete").start()
+    try {
+      in.addData(allDocs(0), allDocs(1))
+      q.processAllAvailable()
+      in.addData(allDocs(2))
+      q.processAllAvailable()
+      val streamed = spark.table("decon")
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.ext.Dedup.contaminationHits(
+          allDocs.toDF("doc_id", "text"), "doc_id", "text", benchDocs,
+          shingleN = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(batch.nonEmpty, "fixture must produce hits")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessions: gap splits, state closes via watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
