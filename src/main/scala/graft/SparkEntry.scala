@@ -559,20 +559,27 @@ object SparkEntry {
     // declared. Exact `percentile` buffers each group's values (fine per
     // profiled column); q54 is the sketch-based scale path.
     "q51_column_profile" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      val stacked = t(s, dir, "lineitem")
         .select(expr(
           """stack(3,
             |  'l_discount', l_discount,
             |  'l_extendedprice', l_extendedprice,
             |  'l_quantity', l_quantity) AS (col_name, value)""".stripMargin))
-        .groupBy("col_name")
+      // distinct count SPLIT from the other aggregates (q40's lesson):
+      // together, the distinct rewrite's Expand doubles the rows feeding
+      // the percentile's per-group value buffers
+      val basic = stacked.groupBy("col_name")
         .agg(
           count(lit(1)).as("n_rows"),
           count(col("value")).as("n_present"),
-          countDistinct(col("value")).as("n_distinct"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"),
           round(expr("percentile(value, 0.5)"), 6).as("p50"))
+      val distinct = stacked.groupBy("col_name")
+        .agg(countDistinct(col("value")).as("n_distinct"))
+      basic.join(distinct, "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_present"),
+          col("n_distinct"), col("min_value"), col("max_value"), col("p50"))
         .orderBy("col_name")
     }),
 
@@ -627,6 +634,17 @@ object SparkEntry {
           (col("__approx") >= col("__lo") && col("__approx") <= col("__hi"))
             .as("approx_in_band"))
         .orderBy("l_returnflag")
+    }),
+
+    // ---- semantic dedup, SemDeDup-style (rows-only; superset-of-exact
+    // and parity bounds spec-tested): IVF-cluster the embedding space,
+    // drop vectors with a lower-id cluster-mate at cosine >= 0.4 — the
+    // all-pairs rule's cost collapses from O(n²) to Σ|cluster|².
+    "q56_semantic_dedup" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      Dedup.semanticDedupKeptIds(t(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.4, nList = 32)
+        .orderBy("vec_id")
     }),
 
     // ---- decontamination at scale (oracle-checked): same relation as

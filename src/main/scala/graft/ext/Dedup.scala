@@ -424,6 +424,48 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the embedding space with the IVF coarse quantizer, then compare
+    * vectors ONLY against their cluster-mates and drop every vector that
+    * has a lower-id cluster-mate with cosine ≥ `minCosine` (keeping the
+    * smallest id as the representative — deterministic, like the paper's
+    * keep-one-per-group rule).
+    *
+    * Scale shape: this is THE way semantic dedup runs on web-scale
+    * corpora — all-pairs cosine is O(n²) and dies first; clustering makes
+    * the comparison cost Σ |cluster|² with |cluster| ≈ n/nList, an
+    * nList-fold reduction, and the cluster-local pair join is a plain
+    * equi-join on the list id. The trade (documented, spec-bounded) is
+    * that near-duplicate pairs straddling a cluster boundary are missed —
+    * so the kept set is a SUPERSET of the exact all-pairs rule's.
+    *
+    * Returns the KEPT rows (id column only). Requires
+    * `GraftFunctions.register(spark)`.
+    */
+  def semanticDedupKeptIds(emb: DataFrame, idCol: String, vecCol: String,
+                           minCosine: Double, nList: Int = 64,
+                           dim: Int = 64, sampleSize: Int = 20000,
+                           iters: Int = 10,
+                           useNative: Boolean = true): DataFrame = {
+    val centroids = Ivf.trainCentroids(emb, vecCol, nList, dim,
+      sampleSize, iters)
+    val assigned = emb.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("v"),
+        element_at(
+          Ivf.assignLists(col(vecCol), centroids, dim, 1), 1).as("list"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = assigned.select(col("list"), col(idCol).as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("list"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, "list")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.dotFast(col("va"), col("vb"), dim, useNative) /
+        (col("na") * col("nb")), 6) >= minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs at scale: multi-table random-hyperplane
     * LSH candidate generation (equi-join on (table, bucket) — linear in
     * corpus size for bounded buckets) followed by exact cosine
