@@ -626,14 +626,27 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("p50_exact"),
-          expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("__approx"),
-          expr("percentile(l_extendedprice, 0.4D)").as("__lo"),
-          expr("percentile(l_extendedprice, 0.6D)").as("__hi"))
-        .select(col("l_returnflag"), col("p50_exact"),
-          (col("__approx") >= col("__lo") && col("__approx") <= col("__hi"))
-            .as("approx_in_band"))
+          // ONE percentile call for all three exact quantiles = one
+          // value buffer per group, not three copies of it
+          expr("percentile(l_extendedprice, array(0.4D, 0.5D, 0.6D))")
+            .as("__p"),
+          expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("__approx"))
+        .select(col("l_returnflag"),
+          round(element_at(col("__p"), 2), 6).as("p50_exact"),
+          (col("__approx") >= element_at(col("__p"), 1) &&
+            col("__approx") <= element_at(col("__p"), 3)).as("approx_in_band"))
         .orderBy("l_returnflag")
+    }),
+
+    // ---- token-budget mixture sampling (oracle-checked): downsample
+    // each (source, lang) cell to a 120-token budget, consuming docs in
+    // deterministic hash order — the reproducible mixture-construction
+    // step between the q52 report and training
+    "q57_budget_sample" -> ((s, dir) => {
+      TextOps.sampleToTokenBudget(t(s, dir, "documents"), "doc_id", "text",
+          groupCols = Seq("source", "lang"), budgetTokens = 120L)
+        .select("doc_id", "source", "lang", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
     }),
 
     // ---- semantic dedup, SemDeDup-style (rows-only; superset-of-exact
@@ -1289,6 +1302,23 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q57_budget_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    md5('graft:' || doc_id) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source, lang
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM toks)
+        |SELECT doc_id, source, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 120 ORDER BY doc_id""".stripMargin,
 
     // the oracle pins the sketch's in-band flag to TRUE: at accuracy
     // 10000 the rank error is far inside the exact (p40, p60) band

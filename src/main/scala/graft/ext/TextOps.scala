@@ -139,6 +139,37 @@ object TextOps {
       when(c <= "b", "train").when(c <= "d", "val").otherwise("test"))
   }
 
+  /** Deterministic token-budget downsampling per group — the mixture-
+    * construction operator: given a per-(source, lang, …) token budget,
+    * keep a uniform, reproducible sample of each group's documents whose
+    * token counts fit the budget. Documents are consumed in md5(salt:id)
+    * order (uniform-random but a pure function of (salt, id) — same
+    * rationale as [[stableSplit]]); a document is kept iff the group's
+    * running token total INCLUDING it stays within budget.
+    *
+    * Scale shape: one window per group key — the shuffle carries
+    * (group, hash, id, token count), never text; the cumulative sum is a
+    * single streaming pass per partition. A pathologically hot group
+    * serializes through one partition — at that point budget-sample the
+    * group's shards first (the operator composes with itself: sampling
+    * to shard budgets then to the global budget keeps determinism).
+    *
+    * Appends `n_tokens` and `cum_tokens` (both long) to the kept rows.
+    */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                          groupCols: Seq[String], budgetTokens: Long,
+                          salt: String = "graft"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val h = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(h, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Top-k characteristic terms per document by TF-IDF — the classic
     * corpus-statistics operator (keyword extraction, topic probing,
     * near-dup triage by shared salient terms).

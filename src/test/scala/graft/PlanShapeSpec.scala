@@ -78,4 +78,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
   }
+
+  test("q50 line dedup: keep-first winner is a partial-combinable min agg") {
+    val plan = tree(q("q50_line_dedup"))
+    // the skew guard: the per-line winner must map-side combine, never a
+    // window over the raw line relation (a boilerplate line with millions
+    // of copies would serialize through one window partition)
+    assert("partial_min".r.findAllIn(plan).nonEmpty,
+      s"winner selection lost its partial (map-side) min:\n$plan")
+    assert(!plan.contains("Window"), s"keep-first fell back to a window:\n$plan")
+  }
+
+  // programmatic plan traversal must unwrap AQE's leaf wrapper first
+  private def physicalOf(df: DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+
+  test("q55 bloom decontamination: probe sits on the scan, below any exchange") {
+    import org.apache.spark.sql.execution.{FilterExec, FileSourceScanExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val physical = physicalOf(q("q55_contamination_bloom"))
+    // the whole point of the sketch: corpus shingles are dropped MAP-SIDE,
+    // in the same pipeline as the parquet scan — a bloom probe above any
+    // exchange would move the full corpus shingle relation first
+    val probes = physical.collect {
+      case f: FilterExec
+        if f.condition.toString.contains("graft_bloom_contains") => f
+    }
+    assert(probes.nonEmpty, s"no bloom probe filter in plan:\n$physical")
+    probes.foreach { f =>
+      assert(f.collect { case e: Exchange => e }.isEmpty,
+        s"an exchange runs below the bloom probe:\n$physical")
+      assert(f.collect { case s: FileSourceScanExec => s }.nonEmpty,
+        s"bloom probe not in the scan pipeline:\n$physical")
+    }
+  }
+
+  test("q57 budget sample: the window shuffle carries counts, not text") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val physical = physicalOf(q("q57_budget_sample"))
+    // the cumulative sum shuffles on (source, lang); text must be pruned
+    // to a token COUNT before that exchange — documents never travel
+    val windows = physical.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"no window in plan:\n$physical")
+    windows.foreach { w =>
+      assert(!w.child.output.map(_.name).contains("text"),
+        s"text column reaches the window shuffle:\n$physical")
+    }
+  }
 }

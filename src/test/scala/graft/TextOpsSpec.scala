@@ -147,4 +147,34 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-6)
     assert(math.abs(r.getDouble(4) - 2.0) < 1e-6)
   }
+
+  test("sampleToTokenBudget respects the budget in every group") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "grp", "text")
+    val kept = TextOps.sampleToTokenBudget(docs, "doc_id", "text",
+      Seq("grp"), budgetTokens = 10L)
+    val perGroup = kept.groupBy("grp")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(perGroup.nonEmpty)
+    assert(perGroup.values.forall(_ <= 10L), s"budget exceeded: $perGroup")
+    assert(kept.count() < 40L, "sampling must actually drop documents")
+  }
+
+  test("sampleToTokenBudget is deterministic and salt-sensitive") {
+    val docs = (1L to 30L).map(i => (i, "g", "a b c")).toDF("doc_id", "grp", "text")
+    def ids(salt: String) = TextOps.sampleToTokenBudget(docs, "doc_id",
+        "text", Seq("grp"), budgetTokens = 9L, salt = salt)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids("graft") == ids("graft")) // reproducible
+    assert(ids("graft").size == 3)       // 3 docs × 3 tokens fill budget 9
+    assert(ids("graft") != ids("other"), "different salt, different sample")
+  }
+
+  test("sampleToTokenBudget keeps nothing when the first doc overflows") {
+    val docs = Seq((1L, "g", ("t " * 50).trim)).toDF("doc_id", "grp", "text")
+    assert(TextOps.sampleToTokenBudget(docs, "doc_id", "text", Seq("grp"),
+      budgetTokens = 10L).count() == 0L)
+  }
 }
