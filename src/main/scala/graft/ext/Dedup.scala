@@ -263,18 +263,23 @@ object Dedup {
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n"): DataFrame = {
+    // posexplode_OUTER + left join: a NULL text explodes to one
+    // (null, null) row instead of vanishing, so the document still gets
+    // its output row (0 lines kept) — a hygiene pass must never silently
+    // lose documents
     val lines = df.select(col(idCol),
-        posexplode(split(col(textCol),
+        posexplode_outer(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as(Seq("idx", "line")))
       .withColumn("__h", contentHash(col("line")))
-    val winners = lines.groupBy(col("__h"))
+    val winners = lines.filter(col("__h").isNotNull)
+      .groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("idx"))).as("__w"))
-    lines.join(winners, "__h")
+    lines.join(winners, Seq("__h"), "left")
       .withColumn("__kept",
         col("__w")(idCol) === col(idCol) && col("__w")("idx") === col("idx"))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_lines"),
+        count(col("line")).as("n_lines"),
         count(when(col("__kept"), lit(1))).as("n_kept"),
         // collect_list skips the nulls `when` leaves on dropped lines;
         // array_sort on (idx, line) structs restores original order
@@ -337,9 +342,13 @@ object Dedup {
                              expectedItems: Long = 100000L,
                              fpp: Double = 0.01,
                              useNative: Boolean = false): DataFrame = {
+    // persisted: the sketch-building ACTION below materializes benchSh
+    // once, and the exact verify join then reuses the cached blocks
+    // instead of re-running the bench scan + shingle + distinct shuffle
     val benchSh = bench
       .select(explode(wordShingles(col(textCol), shingleN, useNative)).as("sh"))
       .distinct()
+      .persist()
     val bf = benchSh.stat.bloomFilter("sh", expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()

@@ -38,7 +38,13 @@ object Graph {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .localCheckpoint(true) // edges re-scan every round: pay the scan once
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+    val given = nodes.select(col(idCol).as("id"))
+    // propagate over nodes ∪ edge endpoints: an endpoint missing from
+    // `nodes` must still RELAY labels (and be visible to the convergence
+    // probe — a label parked on an unknown id would otherwise look
+    // converged one round early, silently splitting its component)
+    val universe = given.union(sym.select(col("src").as("id"))).distinct()
+    var labels = universe.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
     var round = 0
     var converged = false
@@ -61,6 +67,7 @@ object Graph {
       s"connectedComponents did not converge within $maxIter rounds " +
         "(component diameter exceeds maxIter — raise it, or switch this " +
         "graph to the large-star/small-star variant)")
-    labels
+    // the contract is one row per INPUT node; relay-only endpoints drop
+    labels.join(given, "id")
   }
 }

@@ -150,8 +150,11 @@ object Ivf {
       .bucketBy(nBuckets, "list").sortBy("list")
       .mode("overwrite").saveAsTable(table)
     import spark.implicits._
-    centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
-      .toDF("pos", "value")
+    // dim is persisted WITH the matrix: the flat row-major layout is
+    // meaningless without it, and decoding with the wrong dim would
+    // silently assign garbage lists
+    centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v, dim) }
+      .toDF("pos", "value", "dim")
       .coalesce(1)
       .write.mode("overwrite").saveAsTable(s"${table}_centroids")
   }
@@ -163,16 +166,26 @@ object Ivf {
       .orderBy("pos").select("value").as[Double].collect()
   }
 
+  /** The vector dimensionality the index at `table` was written with. */
+  def loadDim(spark: SparkSession, table: String): Int = {
+    import spark.implicits._
+    spark.table(s"${table}_centroids")
+      .select("dim").limit(1).as[Int].head()
+  }
+
   /** Approximate top-k against a PERSISTED index — no training, no
     * corpus-side shuffle: queries assign to their `nProbe` nearest
     * stored centroids, the candidate join consumes the bucketed scan's
     * existing distribution (the corpus side of the plan is
     * Exchange-free — spec-pinned), and the exact rerank joins vectors
-    * back by id from the same bucketed table.
+    * back by id from the same bucketed table. The dimensionality comes
+    * from the index itself, never from the caller — a mismatched dim
+    * would silently mis-decode the centroid matrix.
     */
   def ivfTopKIndexed(spark: SparkSession, table: String, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
-                     dim: Int = 64): DataFrame = {
+                     idCol: String, vecCol: String, k: Int,
+                     nProbe: Int = 4): DataFrame = {
+    val dim = loadDim(spark, table)
     val centroids = loadCentroids(spark, table)
     val indexed = spark.table(table)
     val c = indexed.select(col(idCol).as("neighbor_id"), col("list"))

@@ -33,9 +33,14 @@ object Compact {
 
   /** Compact a DataFrame to `outPath` with ~`targetFileBytes` files,
     * range-laid-out on `sortCols`. Sizing uses Catalyst's logical size
-    * estimate scaled by `encodedRatio` (columnar formats compress well
-    * below the in-memory estimate; 0.25 is a conservative parquet/ORC
-    * default — pass a measured ratio when one is known).
+    * estimate scaled by `encodedRatio`. The default ratio is 1.0 because
+    * for the common input — a parquet/ORC scan — the plan statistic IS
+    * the encoded on-disk size already (`fileCompressionFactor` defaults
+    * to 1.0), so any further discount undersizes the file count. Pass a
+    * measured ratio (e.g. ~0.25) only for frames whose stats are
+    * in-memory row estimates (ranges, joins of in-memory data, caches).
+    * For an existing directory prefer [[compactDir]], which sizes from
+    * real bytes.
     *
     * Returns the file count chosen. `format` is any DataSource format
     * with footer statistics — parquet (default) or orc.
@@ -43,7 +48,7 @@ object Compact {
   def compactToSize(df: DataFrame, sortCols: Seq[String], outPath: String,
                     targetFileBytes: Long = 128L << 20,
                     format: String = "parquet",
-                    encodedRatio: Double = 0.25): Int = {
+                    encodedRatio: Double = 1.0): Int = {
     require(sortCols.nonEmpty, "sortCols must be non-empty")
     val estBytes = (df.queryExecution.optimizedPlan.stats.sizeInBytes
       .toDouble * encodedRatio).toLong

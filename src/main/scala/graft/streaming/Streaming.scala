@@ -73,18 +73,10 @@ object EventStreams {
     * [[graft.ext.Dedup.contaminationHits]] exactly (spec-pinned).
     */
   def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
-                          bench: DataFrame, shingleN: Int = 8): DataFrame = {
-    val benchSh = bench
-      .select(explode(
-        graft.ext.Dedup.wordShingles(col(textCol), shingleN)).as("sh"))
-      .distinct()
-    docs
-      .select(col(idCol),
-        explode(graft.ext.Dedup.wordShingles(col(textCol), shingleN)).as("sh"))
-      .join(benchSh, "sh") // stream-static: stateless, static side rescanned
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
-  }
+                          bench: DataFrame, shingleN: Int = 8): DataFrame =
+    // the batch operator's plan IS streaming-compatible (stateless
+    // stream-static join + aggregate) — one definition, zero drift
+    graft.ext.Dedup.contaminationHits(docs, idCol, textCol, bench, shingleN)
 }
 
 /** One event for stateful sessionization (micros since epoch keeps the

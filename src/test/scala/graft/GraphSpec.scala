@@ -42,6 +42,13 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("edge endpoints absent from nodes still relay labels") {
+    // 9 exists only in the edge set: 1-9, 9-2 must still connect 1 and 2,
+    // and 9 must NOT appear in the output (one row per input node)
+    val got = cc(Seq(1L, 2L), Seq((1L, 9L), (9L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("insufficient maxIter fails loudly instead of returning wrong labels") {
     val nodes = (1L to 8L).toSeq
     val edges = (1L until 8L).map(i => (i, i + 1))

@@ -45,6 +45,16 @@ class LineDedupSpec extends SparkSpec {
     assert(r == ((3L, 2L)))
   }
 
+  test("a NULL-text document keeps its output row instead of vanishing") {
+    val d = Seq((1L, Some("a\nb")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_kept", "text_kept")
+      .as[(Long, Long, Long, String)].collect().toMap2
+    assert(out(1L) == ((2L, 2L, "a\nb")))
+    assert(out(2L) == ((0L, 0L, "")))
+  }
+
   test("total kept lines across the corpus equals distinct line count") {
     val kept = Dedup.dedupLines(docs, "doc_id", "text")
       .agg(org.apache.spark.sql.functions.sum("n_kept")).as[Long].head()

@@ -113,9 +113,13 @@ class PlanShapeSpec extends SparkSpec {
     probes.foreach { f =>
       assert(f.collect { case e: Exchange => e }.isEmpty,
         s"an exchange runs below the bloom probe:\n$physical")
-      assert(f.collect { case s: FileSourceScanExec => s }.nonEmpty,
-        s"bloom probe not in the scan pipeline:\n$physical")
     }
+    // the CORPUS-side probe must sit directly on the parquet scan (a
+    // second, harmless probe can appear over the cached bench side via
+    // join-constraint inference — hence exists, not forall)
+    assert(probes.exists(_.collect {
+      case s: FileSourceScanExec => s }.nonEmpty),
+      s"no bloom probe in the corpus scan pipeline:\n$physical")
   }
 
   test("q57 budget sample: the window shuffle carries counts, not text") {
