@@ -11,23 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components by iterative minimum-label propagation: every
-    * node starts labeled with its own id; each round, every node lowers
-    * its label to the minimum among itself and its neighbors; at
+  /** Connected components by iterative minimum-label propagation WITH
+    * pointer jumping: every node starts labeled with its own id; each
+    * round, every node lowers its label to the minimum among itself and
+    * its neighbors, then jumps to its label's label (path halving). At
     * fixpoint, each component is labeled with its smallest member id.
     *
     * Scale shape: one round = one equi-join (messages along edges) + one
-    * partial-combinable `min` aggregation — both shuffle on the node id,
-    * both AQE-skew-safe. `localCheckpoint` after every round cuts the
-    * lineage (an iterative plan otherwise grows by one join per round
-    * until the optimizer dominates wall-clock). Rounds needed = component
-    * diameter, which for near-dup clusters is tiny (dup clusters are
-    * dense); for long-chain graphs the classic fix is large-star/
-    * small-star (Kiveris et al., "Connected Components in MapReduce"),
-    * which this module would adopt if diameters grew — the per-round
-    * primitives are identical. The per-round `isEmpty` convergence probe
-    * is a driver ACTION on a 1-row-bounded plan — the standard iterative
-    * pattern (GraphX Pregel does the same), not a collect of data.
+    * partial-combinable `min` aggregation + one self-join (the jump) —
+    * all shuffling on the node id, all AQE-skew-safe. `localCheckpoint`
+    * after every round cuts the lineage (an iterative plan otherwise
+    * grows by joins per round until the optimizer dominates wall-clock).
+    * Plain propagation needs diameter rounds — fine for dup clusters
+    * (dense, tiny diameters), fatal for chain-shaped graphs; the jump
+    * halves remaining path length every round, so convergence is
+    * O(log diameter) (same bound as large-star/small-star, one fewer
+    * distinct primitive — spec-pinned: a 200-chain converges in ≤12
+    * rounds). The per-round `isEmpty` convergence probe is a driver
+    * ACTION on a 1-row-bounded plan — the standard iterative pattern
+    * (GraphX Pregel does the same), not a collect of data.
     *
     * Returns one row per node: (id, component) with
     * `component = min(node id in component)`.
@@ -51,9 +53,21 @@ object Graph {
     while (!converged && round < maxIter) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), labels("component"))
-      val next = labels.union(msgs)
+      // checkpointed BEFORE the self-join below: materializes one round's
+      // labels once (instead of twice through the jump's two branches)
+      // and keeps the lineage flat
+      val lowered = labels.union(msgs)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint(true)
+      // pointer jump: component labels are themselves node ids in the
+      // universe, so every label resolves; component(component) is
+      // monotonically ≤ component, and following it halves the distance
+      // to the component minimum each round
+      val next = lowered
+        .join(lowered.select(col("id").as("__cid"),
+            col("component").as("__jump")),
+          col("component") === col("__cid"))
+        .select(col("id"), col("__jump").as("component"))
       // labels only ever decrease, so "any label still above the previous
       // round's value is impossible; any BELOW means not yet converged"
       converged = next.as("n")

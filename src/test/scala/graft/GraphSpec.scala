@@ -50,10 +50,19 @@ class GraphSpec extends SparkSpec {
   }
 
   test("insufficient maxIter fails loudly instead of returning wrong labels") {
-    val nodes = (1L to 8L).toSeq
-    val edges = (1L until 8L).map(i => (i, i + 1))
+    val nodes = (1L to 30L).toSeq
+    val edges = (1L until 30L).map(i => (i, i + 1))
     intercept[IllegalArgumentException] {
       cc(nodes, edges, maxIter = 2)
     }
+  }
+
+  test("pointer jumping converges a 200-chain in O(log n) rounds") {
+    // plain min-propagation would need 199 rounds; path halving must land
+    // well under log2(200) + slack
+    val n = 200L
+    val got = cc(1L to n, (1L until n).map(i => (i, i + 1)), maxIter = 12)
+    assert(got.values.toSet == Set(1L))
+    assert(got.size == 200)
   }
 }
