@@ -97,4 +97,21 @@ class NativeExprPropertySpec extends SparkSpec {
       assert(re == hof, s"stopword count diverges on row $id: $re vs $hof")
     }
   }
+
+  test("bloom probe: zero false negatives on generated unicode strings") {
+    GraftFunctions.register(spark)
+    // unicode + pathological whitespace strings — the probe's UTF-8 byte
+    // hashing must agree with the builder's insert path on ALL of them
+    val inserted = texts(seed = 4242L, n = 150).distinct
+    val bf = inserted.toDF("s").stat
+      .bloomFilter("s", inserted.size.toLong, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    val misses = inserted.toDF("s")
+      .filter(!call_function("graft_bloom_contains", col("s"), lit(bytes)))
+      .count()
+    assert(misses == 0L,
+      "bloom probe disagreed with the builder's hash on inserted input")
+  }
 }
