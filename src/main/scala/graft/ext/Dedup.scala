@@ -66,6 +66,31 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Incremental ingest dedup: drop new-batch documents whose content
+    * already exists in a stored corpus (written once with
+    * [[writeBucketedByContent]]), then drop intra-batch duplicates
+    * keeping the smallest id.
+    *
+    * This is THE shape for continuous ingest against a 100 TB corpus:
+    * the anti-join's corpus side consumes the bucketed scan's existing
+    * hash distribution, so every ingest cycle shuffles ONLY the new
+    * batch (tiny) — the corpus is never exchanged again (spec-pinned).
+    * The shuffle key is the 256-bit content hash, never document bytes.
+    * Output keeps the batch's columns plus `content_hash`, ready to
+    * append to the corpus table.
+    */
+  def dedupAgainstCorpus(spark: org.apache.spark.sql.SparkSession,
+                         newDocs: DataFrame, idCol: String, textCol: String,
+                         corpusTable: String): DataFrame = {
+    val hashed = newDocs.withColumn("content_hash", contentHash(col(textCol)))
+    val novel = hashed.join(
+      spark.table(corpusTable).select(col("content_hash")),
+      Seq("content_hash"), "left_anti")
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    novel.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (distinct). Documents shorter than `n` tokens

@@ -178,6 +178,41 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS graft_bdb CASCADE")
   }
 
+  test("incremental dedup vs stored corpus: only the new batch shuffles") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_idb LOCATION '$loc'")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // at real scale the corpus can never broadcast — pin the shuffle-join
+    // regime the bucketed layout exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+        .toDF("doc_id", "text")
+      Dedup.writeBucketedByContent(corpus, "text", "graft_idb.corpus_b",
+        nBuckets = 4)
+      val batch = Seq(
+        (10L, "alpha beta"),   // already in corpus -> dropped
+        (11L, "new content"),  // novel -> kept
+        (12L, "new content"),  // intra-batch dup of 11 -> dropped
+        (13L, "also new")      // novel -> kept
+      ).toDF("doc_id", "text")
+      val novel = Dedup.dedupAgainstCorpus(spark, batch, "doc_id", "text",
+        "graft_idb.corpus_b")
+      assert(novel.select("doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(11L, 13L))
+      // corpus side consumes the bucketed scan's distribution: the only
+      // hash exchange in the whole plan is the new batch's
+      val plan = novel.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected 1 (batch-side) shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"corpus scan not using buckets:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP DATABASE IF EXISTS graft_idb CASCADE")
+    }
+  }
+
   test("hamming64 column matches JVM bitCount") {
     val d = Seq((0x0FL, 0xF0L)).toDF("a", "b")
       .select(Dedup.hamming64(col("a"), col("b"))).head()
