@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -14,8 +14,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * pair; in the all-pairs hot path (n² evaluations after a nested-loop
   * join) it measured ~7.5 µs per 64-dim dot at sf0.1 — q37 spent 18 s of
   * its 42 s there. One tight double[] loop per pair is ~100× cheaper.
-  * CodegenFallback is deliberate: the eval loop IS the fast path (same
-  * rationale as [[MinHashSigExpr]]/[[RhpSigExpr]]).
+  *
+  * Unlike the signature expressions (per-row cost dominated by hashing,
+  * CodegenFallback is fine there), this one evaluates O(n²) times inside
+  * whole-stage-codegen'd join stages — so it implements `doGenCode`: the
+  * loop inlines into the generated stage and the per-pair
+  * InternalRow-eval dispatch disappears. The interpreted `nullSafeEval`
+  * stays as the non-codegen fallback; both paths accumulate
+  * left-associated in element order, so they are bit-identical
+  * (spec-pinned, and the q37 oracle hash gates it end to end).
   *
   * Inputs shorter than `dim` raise an error, matching the unrolled
   * formulation's ANSI `element_at` out-of-bounds behavior (an error, not
@@ -25,7 +32,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the whole sum), never a fabricated 0.0 contribution.
   */
 final case class DotExpr(left: Expression, right: Expression, dim: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   require(dim >= 1, s"dim must be positive: $dim")
 
@@ -68,6 +75,36 @@ final case class DotExpr(left: Expression, right: Expression, dim: Int)
       j += 1
     }
     acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val aGet = if (leftFloat) "getFloat" else "getDouble"
+    val bGet = if (rightFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      // same shape as nullSafeEval: bounds error, per-element null
+      // propagation, left-associated double accumulation
+      s"""
+         |if ($a.numElements() < $dim || $b.numElements() < $dim) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: vector shorter than dim=$dim (" +
+         |    $a.numElements() + ", " + $b.numElements() + ")");
+         |}
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $dim; $j++) {
+         |  if ($a.isNullAt($j) || $b.isNullAt($j)) {
+         |    ${ev.isNull} = true;
+         |    break;
+         |  }
+         |  $acc += ((double) $a.$aGet($j)) * ((double) $b.$bGet($j));
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(
