@@ -3,7 +3,7 @@ package graft.plans
 import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
@@ -25,12 +25,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * `DataFrameStatFunctions.bloomFilter` API.
   *
   * Accepts `string` (hashes UTF-8 bytes — matches `BloomFilter.put` on
-  * strings) or `long` input. CodegenFallback is deliberate: one hash +
-  * bitset probe per row is the fast path already (same rationale as
-  * [[SimHash64Expr]]).
+  * strings) or `long` input. Implements `doGenCode` (probe-method call
+  * through a reference to this expression object): the probe runs once
+  * per corpus SHINGLE in the scan pipeline — a fallback here would split
+  * the scan's whole-stage-codegen exactly where row volume peaks.
   */
 final case class BloomContainsExpr(child: Expression, bloomBytes: Array[Byte])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
@@ -49,9 +50,30 @@ final case class BloomContainsExpr(child: Expression, bloomBytes: Array[Byte])
   @transient private lazy val bf: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
 
+  /** Probe entry points for generated code: the filter deserializes once
+    * per executor (lazy, off the bytes this expression object carries)
+    * regardless of how many generated stages call in.
+    */
+  def probeString(s: UTF8String): Boolean = bf.mightContainBinary(s.getBytes)
+  def probeLong(l: Long): Boolean = bf.mightContainLong(l)
+
   override def nullSafeEval(input: Any): Any = input match {
-    case s: UTF8String => bf.mightContainBinary(s.getBytes)
-    case l: Long => bf.mightContainLong(l)
+    case s: UTF8String => probeString(s)
+    case l: Long => probeLong(l)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    // reference THIS expression (a serializable case class), not the
+    // deserialized filter: executors get the bytes and build the filter
+    // lazily exactly as the interpreted path does
+    val ref = ctx.addReferenceObj("graftBloomExpr", this,
+      classOf[BloomContainsExpr].getName)
+    val probe = child.dataType match {
+      case StringType => "probeString"
+      case LongType => "probeLong"
+    }
+    defineCodeGen(ctx, ev, c => s"$ref.$probe($c)")
   }
 
   override protected def withNewChildInternal(
