@@ -649,6 +649,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- sequence-packing layout (oracle-checked): per-source GPT-style
+    // packing of the token stream into 512-token training sequences —
+    // each doc mapped to the sequence span it lands in, deterministic
+    // hash order, boundaries crossed mid-document as real packing does
+    "q58_sequence_pack" -> ((s, dir) => {
+      TextOps.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          groupCols = Seq("source"), windowTokens = 512)
+        .select("doc_id", "source", "n_tokens", "start_tok",
+          "seq_first", "seq_last")
+        .orderBy("doc_id")
+    }),
+
     // ---- semantic dedup, SemDeDup-style (rows-only; superset-of-exact
     // and parity bounds spec-tested): IVF-cluster the embedding space,
     // drop vectors with a lower-id cluster-mate at cosine >= 0.4 — the
@@ -1319,6 +1331,24 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, source, lang, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 120 ORDER BY doc_id""".stripMargin,
+
+    "q58_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    md5('graft:' || doc_id) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS start_tok
+        |  FROM toks)
+        |SELECT doc_id, source, n_tokens, start_tok,
+        |  CAST(floor(start_tok / 512.0) AS BIGINT) AS seq_first,
+        |  CAST(floor((start_tok + n_tokens - 1) / 512.0) AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // the oracle pins the sketch's in-band flag to TRUE: at accuracy
     // 10000 the rank error is far inside the exact (p40, p60) band

@@ -170,6 +170,39 @@ object TextOps {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  /** GPT-style sequence packing layout: documents are concatenated into
+    * one token stream per group (in deterministic md5(salt:id) order —
+    * reproducible like [[stableSplit]]) and cut into fixed
+    * `windowTokens`-sized training sequences; each document maps to the
+    * sequence span it lands in, crossing boundaries mid-document exactly
+    * as pretraining packing does. Output per document: `n_tokens`,
+    * `start_tok` (offset in the group's stream), `seq_first`/`seq_last`
+    * (the first/last sequence index the document touches).
+    *
+    * Scale shape: identical to [[sampleToTokenBudget]] — one window per
+    * group key carrying (group, hash, id, token count) only; packing is
+    * per group (shard) as in practice, so no global prefix sum is
+    * needed.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    groupCols: Seq[String], windowTokens: Int,
+                    salt: String = "graft"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(windowTokens > 0, "windowTokens must be positive")
+    val h = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(h, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_first",
+        floor(col("start_tok") / windowTokens).cast("long"))
+      .withColumn("seq_last",
+        floor((col("start_tok") + col("n_tokens") - 1) / windowTokens)
+          .cast("long"))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF — the classic
     * corpus-statistics operator (keyword extraction, topic probing,
     * near-dup triage by shared salient terms).

@@ -172,6 +172,32 @@ class TextOpsSpec extends SparkSpec {
     assert(ids("graft") != ids("other"), "different salt, different sample")
   }
 
+  test("packSequences: contiguous stream, spans cross boundaries") {
+    // 3 docs x 4 tokens in group g, window 5: the stream is 12 tokens ->
+    // offsets 0,4,8; doc at offset 4 spans sequences 0 and 1
+    val docs = Seq((1L, "g", "a b c d"), (2L, "g", "e f g h"),
+      (3L, "g", "i j k l")).toDF("doc_id", "grp", "text")
+    val rows = TextOps.packSequences(docs, "doc_id", "text", Seq("grp"),
+        windowTokens = 5)
+      .select("start_tok", "n_tokens", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 4L, 8L)) // contiguous stream
+    rows.foreach { case (start, n, sf, sl) =>
+      assert(sf == start / 5 && sl == (start + n - 1) / 5)
+    }
+    assert(rows.exists { case (_, _, sf, sl) => sf != sl },
+      "fixture must include a boundary-crossing document")
+  }
+
+  test("packSequences packs each group independently from offset zero") {
+    val docs = Seq((1L, "x", "a b"), (2L, "y", "c d"))
+      .toDF("doc_id", "grp", "text")
+    val starts = TextOps.packSequences(docs, "doc_id", "text", Seq("grp"),
+        windowTokens = 8)
+      .select("grp", "start_tok").as[(String, Long)].collect().toMap
+    assert(starts == Map("x" -> 0L, "y" -> 0L))
+  }
+
   test("sampleToTokenBudget keeps nothing when the first doc overflows") {
     val docs = Seq((1L, "g", ("t " * 50).trim)).toDF("doc_id", "grp", "text")
     assert(TextOps.sampleToTokenBudget(docs, "doc_id", "text", Seq("grp"),
