@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
 import graft.model.{ColumnSpec, FkRef, TableConfig}
-import graft.ops.{Merge, Normalize}
+import graft.ops.{Merge, Normalize, TemporalJoin}
 import graft.rules.Rules
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -659,6 +659,42 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "start_tok",
           "seq_first", "seq_last")
         .orderBy("doc_id")
+    }),
+
+    // ---- as-of join (oracle-checked): each event picks its user's most
+    // recent order at-or-before the event time; ties on o_orderdate break
+    // to max o_orderkey. Union + running window = ONE key shuffle — never
+    // the quadratic pair join the naive inequality formulation plans.
+    "q59_asof_join" -> ((s, dir) => {
+      val e = events(s, dir).select("event_id", "user_id", "ts")
+      val o = t(s, dir, "orders")
+      TemporalJoin.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+          rightCols = Seq("o_orderkey", "o_totalprice"),
+          tieBreak = "o_orderkey")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_price"))
+        .orderBy("event_id")
+    }),
+
+    // ---- point-in-range join (oracle-checked): orders matched to 60
+    // overlapping 30-day promo periods generated from spark.range. Each
+    // interval explodes to its covering 30-day buckets → plain equi-join
+    // + refine, never a BroadcastNestedLoopJoin.
+    "q60_range_join" -> ((s, dir) => {
+      val day0 = lit(9131L) // epoch day of 1995-01-01
+      val periods = s.range(60).select(col("id").as("period_id"),
+        (day0 + col("id") * 14).as("lo"),
+        (day0 + col("id") * 14 + 30).as("hi"))
+      val pts = t(s, dir, "orders").withColumn("d",
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long"))
+      TemporalJoin.rangeJoinByBucket(pts, "d", periods, "lo", "hi",
+          bucketWidth = 30L)
+        .groupBy("period_id")
+        .agg(count(lit(1)).as("n_orders"),
+          money(col("o_totalprice")).as("revenue"))
+        .orderBy("period_id")
     }),
 
     // ---- semantic dedup, SemDeDup-style (rows-only; superset-of-exact
@@ -1349,6 +1385,32 @@ object SparkEntry {
         |  CAST(floor(start_tok / 512.0) AS BIGINT) AS seq_first,
         |  CAST(floor((start_tok + n_tokens - 1) / 512.0) AS BIGINT) AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // LEFT JOIN + rank-1 filter is the quadratic-but-simple oracle twin of
+    // the single-shuffle union+window plan; identical tie-break (max
+    // orderkey at equal o_orderdate) keeps the pick deterministic
+    "q59_asof_join" ->
+      """WITH ranked AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, ts, o_orderkey AS last_orderkey,
+        |  o_totalprice AS last_price
+        |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q60_range_join" ->
+      """WITH periods AS (
+        |  SELECT i AS period_id,
+        |    DATE '1995-01-01' + (i*14) * INTERVAL 1 DAY AS lo,
+        |    DATE '1995-01-01' + (i*14 + 30) * INTERVAL 1 DAY AS hi
+        |  FROM range(60) t(i))
+        |SELECT period_id, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM periods p JOIN orders o
+        |  ON o.o_orderdate >= p.lo AND o.o_orderdate < p.hi
+        |GROUP BY period_id ORDER BY period_id""".stripMargin,
 
     // the oracle pins the sketch's in-band flag to TRUE: at accuracy
     // 10000 the rank error is far inside the exact (p40, p60) band
