@@ -677,6 +677,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- exact heavy hitters in bounded memory (oracle-checked): native
+    // Misra-Gries candidate sketch (O(k) state per partial buffer — never
+    // a full-vocabulary shuffle) + exact recount of the ≤k candidates.
+    // Result is identical to GROUP BY token HAVING n > total/(k+1).
+    "q61_heavy_hitters" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      TextOps.heavyHitters(t(s, dir, "documents"), "text", k = 50)
+        .orderBy(desc("n"), col("token"))
+    }),
+
     // ---- point-in-range join (oracle-checked): orders matched to 60
     // overlapping 30-day promo periods generated from spark.range. Each
     // interval explodes to its covering 30-day buckets → plain equi-join
@@ -1399,6 +1409,19 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, o_orderkey AS last_orderkey,
         |  o_totalprice AS last_price
         |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // integer ppm share keeps the result float-free; threshold n*(k+1) >
+    // total mirrors the engine's overflow-safe integer comparison
+    "q61_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT tok FROM (SELECT unnest(string_split_regex(
+        |      trim(lower(text)), '\s+')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |c AS (SELECT tok AS token, count(*) AS n FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT token, n, n * 1000000 // total AS share_ppm
+        |FROM c, tot WHERE n * 51 > total
+        |ORDER BY n DESC, token""".stripMargin,
 
     "q60_range_join" ->
       """WITH periods AS (

@@ -296,4 +296,46 @@ object TextOps {
       PiiPatterns.keys.toSeq.sorted.map(k => col(s"n_$k") > 0)
         .reduce(_ || _))
   }
+
+  /** Exact corpus heavy hitters in bounded memory: tokens whose frequency
+    * exceeds totalTokens/(k+1), found with the classic two-pass scheme —
+    *
+    *  pass 1: `graft_misra_gries(token, k)` (native mergeable sketch,
+    *          O(k) state per partial buffer) yields a candidate map that
+    *          PROVABLY contains every above-threshold token;
+    *  pass 2: recount ONLY the ≤k candidates exactly (the candidate-set
+    *          filter is a broadcast of ≤k strings, so the recount's
+    *          shuffle carries at most k distinct keys), then apply the
+    *          exact threshold.
+    *
+    * Output is deterministic and identical to a full `GROUP BY token
+    * HAVING count > n/(k+1)` — without ever shuffling the full vocabulary,
+    * which for a web-scale corpus is the difference between a k-entry
+    * exchange and a billions-of-keys one. Requires `GraftFunctions
+    * .register` on the session.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val toks = df.select(
+      explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    // pass 1 executes once here: sketch + exact total in one aggregation;
+    // the ≤k candidates and the scalar total come back to the driver (the
+    // same bounded result a broadcast would ship) and re-enter the plan
+    // as a broadcast list + a literal
+    val row = toks.agg(
+      map_keys(call_function("graft_misra_gries", col("token"), lit(k)))
+        .as("candidates"),
+      count(lit(1)).as("total")).head()
+    val candidates = row.getSeq[String](0)
+    val total = row.getLong(1)
+    import spark.implicits._
+    // share in parts-per-million via integer arithmetic — bit-identical
+    // across engines (float division + decimal rounding is not)
+    toks.join(broadcast(candidates.toDF("token")), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") * (k + 1) > lit(total))
+      .withColumn("share_ppm", expr(s"n * 1000000L div ${total}L"))
+      .select("token", "n", "share_ppm")
+  }
 }

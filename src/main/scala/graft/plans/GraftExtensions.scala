@@ -105,6 +105,11 @@ object GraftFunctions {
     BloomContainsExpr(children.head, bytes)
   }
 
+  private def misraGriesBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_misra_gries(item, k)")
+    MisraGriesAgg(children.head, intLit(children, 1, "k"))
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -129,7 +134,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContainsExpr].getName,
         "graft_bloom_contains"),
-      bloomContainsBuilder))
+      bloomContainsBuilder),
+    (FunctionIdentifier("graft_misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName,
+        "graft_misra_gries"),
+      misraGriesBuilder))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
