@@ -677,6 +677,46 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- deterministic stratified sample (oracle-checked): 20 docs per
+    // language, ranked by md5(salt:id) — reproducible, engine-independent,
+    // one shuffle on the stratum key
+    "q62_stratified_sample" -> ((s, dir) => {
+      TextOps.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          perStratum = 20)
+        .select("lang", "doc_id", "rank")
+        .orderBy("lang", "rank")
+    }),
+
+    // ---- LLM curation pipeline end-to-end (oracle-checked): ONE lazy
+    // plan composing the whole pretraining-data flow — language filter →
+    // quality gate (token count + integer-exact stopword threshold) →
+    // exact dedup keep-first → 8-gram benchmark decontamination →
+    // deterministic split → per-split census. The integration query for
+    // the ext/ operator family, like q42 is for the reference's ETL.
+    "q63_curation_e2e" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 31 === 0)
+      val cleaned = docs
+        .filter(col("doc_id") % 31 =!= 0 && col("lang") === "en")
+        .withColumn("n_toks", TextOps.tokenCount(col("text")))
+        .filter(col("n_toks").between(20, 2000))
+        .withColumn("n_stop",
+          TextOps.stopwordCount(col("text"), TextOps.Stopwords("en")))
+        .filter(col("n_stop") * 25 > col("n_toks")) // ratio > 0.04, int-exact
+      val contaminated = Dedup.contaminationHits(cleaned, "doc_id", "text",
+          bench, shingleN = 8, useNative = true).select("doc_id")
+      val kept = cleaned.withColumn("h", sha2(col("text"), 256))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("doc_id"), min(col("n_toks")).as("n_toks"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      TextOps.stableSplit(kept, "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_tokens"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("split")
+    }),
+
     // ---- exact heavy hitters in bounded memory (oracle-checked): native
     // Misra-Gries candidate sketch (O(k) state per partial buffer — never
     // a full-vocabulary shuffle) + exact recount of the ≤k candidates.
@@ -1409,6 +1449,66 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, o_orderkey AS last_orderkey,
         |  o_totalprice AS last_price
         |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q62_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS rank
+        |  FROM documents)
+        |SELECT lang, doc_id, rank FROM ranked WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
+
+    // mirrors the engine's composition stage by stage; the stopword gate
+    // uses the same integer-exact n_stop*25 > n_toks comparison
+    "q63_curation_e2e" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_toks,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+        |      AS n_stop
+        |  FROM documents WHERE doc_id % 31 <> 0 AND lang = 'en'),
+        |quality AS (
+        |  SELECT doc_id, text, n_toks FROM corpus
+        |  WHERE n_toks BETWEEN 20 AND 2000 AND n_stop * 25 > n_toks),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+        |      THEN list_transform(range(1, len(toks) - 6),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+        |                toks[i+3], toks[i+4], toks[i+5], toks[i+6],
+        |                toks[i+7]))
+        |      ELSE [array_to_string(toks, ' ')] END)) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM quality)),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) >= 8
+        |      THEN list_transform(range(1, len(toks) - 6),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+        |                toks[i+3], toks[i+4], toks[i+5], toks[i+6],
+        |                toks[i+7]))
+        |      ELSE [array_to_string(toks, ' ')] END)) AS s
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id % 31 = 0)),
+        |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)),
+        |kept AS (
+        |  SELECT min(doc_id) AS doc_id, min(n_toks) AS n_toks
+        |  FROM quality GROUP BY sha256(text)),
+        |survivors AS (
+        |  SELECT doc_id, n_toks FROM kept
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |labeled AS (
+        |  SELECT CASE
+        |    WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+        |      THEN 'train'
+        |    WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+        |      THEN 'val'
+        |    ELSE 'test' END AS split, doc_id, n_toks
+        |  FROM survivors)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens, min(doc_id) AS min_id
+        |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
 
     // integer ppm share keeps the result float-free; threshold n*(k+1) >
     // total mirrors the engine's overflow-safe integer comparison

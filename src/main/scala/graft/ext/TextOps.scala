@@ -297,6 +297,29 @@ object TextOps {
         .reduce(_ || _))
   }
 
+  /** Deterministic k-per-stratum sample: rank rows within each stratum by
+    * md5(salt:id) — uniform-random order that is a pure function of
+    * (salt, id), so the sample is reproducible, stable under corpus
+    * growth for surviving ids, and identical across engines — and keep
+    * the first `perStratum`. The balancing step of mixture construction
+    * (equal-size per-language/per-source eval slices, ablation corpora).
+    *
+    * Scale shape: one shuffle on the stratum key; the window streams each
+    * stratum once. For a pathologically hot stratum, pre-filter by a hash
+    * prefix (keep rows whose hash starts below a bound chosen from the
+    * stratum's approximate count) before ranking — the operator composes
+    * with itself, so the pre-filter does not change the final sample.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       perStratum: Int, salt: String = "graft"): DataFrame = {
+    require(perStratum > 0, s"perStratum must be positive: $perStratum")
+    val h = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perStratum)
+  }
+
   /** Exact corpus heavy hitters in bounded memory: tokens whose frequency
     * exceeds totalTokens/(k+1), found with the classic two-pass scheme —
     *
