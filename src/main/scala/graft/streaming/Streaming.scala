@@ -48,6 +48,36 @@ object EventStreams {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join: each left row matches right rows with
+    * the same key whose event time falls in
+    * `[leftTime - lookback, leftTime]` — attribution / enrichment between
+    * two live streams (purchase ← clicks in the last half hour).
+    *
+    * Both sides carry watermarks and the join condition bounds event time
+    * in BOTH directions, which is what lets Spark evict buffered rows:
+    * state per side is O(throughput × (watermark + lookback)), never
+    * unbounded. Without the time bounds a stream-stream join must keep
+    * every row forever — the difference between a service and a memory
+    * leak. Column names must be disjoint across the two inputs (standard
+    * stream-stream join constraint); the same plan joins two batch frames
+    * identically, which is how the spec pins semantics.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   lookback: String,
+                   leftLateness: String = "1 hour",
+                   rightLateness: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTime, leftLateness)
+    val r = right.withWatermark(rightTime, rightLateness)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $lookback") &&
+        col(rightTime) <= col(leftTime),
+      joinType)
+  }
+
   /** Sliding event-time window (1h window, 15m slide). */
   def slidingCounts(events: DataFrame, tsCol: String = "ts",
                     lateness: String = "1 hour"): DataFrame =

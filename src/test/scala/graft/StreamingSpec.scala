@@ -276,6 +276,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin stream-stream equals the same plan on batch frames") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "c1"),
+      (1L, ts("2024-01-01 10:20:00"), "c2"),
+      (1L, ts("2024-01-01 09:00:00"), "c3"), // outside 30m lookback of p1
+      (2L, ts("2024-01-01 10:10:00"), "c4"),
+      (3L, ts("2024-01-01 10:00:00"), "c5")) // key with no purchase
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:25:00"), "p1"),
+      (2L, ts("2024-01-01 10:05:00"), "p2")) // c4 is AFTER p2 -> no match
+
+    val batch = EventStreams.intervalJoin(
+        purchases.toDF("puser", "pts", "pid"),
+        clicks.toDF("cuser", "cts", "cid"),
+        "puser", "cuser", "pts", "cts", lookback = "30 minutes")
+      .select("pid", "cid").as[(String, String)].collect().toSet
+    assert(batch == Set(("p1", "c1"), ("p1", "c2")))
+
+    val cIn = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStreams.intervalJoin(
+        pIn.toDF().toDF("puser", "pts", "pid"),
+        cIn.toDF().toDF("cuser", "cts", "cid"),
+        "puser", "cuser", "pts", "cts", lookback = "30 minutes")
+      .select("pid", "cid")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      cIn.addData(clicks)
+      q.processAllAvailable()
+      pIn.addData(purchases)
+      q.processAllAvailable()
+      val got = spark.table("ivj").as[(String, String)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming file-source merge loop end-to-end with AvailableNow trigger") {
     val dir = Files.createTempDirectory("graft_stream").toString
     val src = s"$dir/in"
