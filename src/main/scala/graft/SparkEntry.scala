@@ -677,6 +677,60 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- ranking-window battery (oracle-checked): the full analytic-
+    // function surface over one per-key sorted window — rank, dense_rank,
+    // ntile, percent_rank, cume_dist, lead-with-default, first/nth value.
+    // One shuffle + one sort serves all eight functions.
+    "q64_window_battery" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // ---- ROLLUP with grouping indicators (oracle-checked): subtotal
+    // lattice in ONE aggregation pass (Catalyst expands grouping sets
+    // map-side; partials combine per set) instead of N unioned scans.
+    "q65_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          money(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"), col("g_flag"), col("g_status"))
+        .orderBy("rf", "ls")
+    }),
+
+    // ---- pivot / crosstab (oracle-checked): order counts + DECIMAL-exact
+    // revenue per (priority x status) — pivot is a single groupBy whose
+    // output width is the pivoted domain, still one shuffle.
+    "q66_pivot" -> ((s, dir) => {
+      val p = t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)).as("n"), money(col("o_totalprice")).as("price"))
+      p.select(col("o_orderpriority"),
+          coalesce(col("O_n"), lit(0L)).as("n_o"),
+          coalesce(col("F_n"), lit(0L)).as("n_f"),
+          coalesce(col("P_n"), lit(0L)).as("n_p"),
+          col("O_price").as("price_o"),
+          col("F_price").as("price_f"),
+          col("P_price").as("price_p"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- deterministic stratified sample (oracle-checked): 20 docs per
     // language, ranked by md5(salt:id) — reproducible, engine-independent,
     // one shuffle on the stratum key
@@ -1449,6 +1503,42 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, o_orderkey AS last_orderkey,
         |  o_totalprice AS last_price
         |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q64_window_battery" ->
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+        |  CAST(cume_dist() OVER w AS DOUBLE) AS cdist,
+        |  lead(o_orderkey, 1, -1) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q65_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q66_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS price_o,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS price_f,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS price_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q62_stratified_sample" ->
       """WITH ranked AS (
