@@ -677,6 +677,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- set operations (oracle-checked): INTERSECT / EXCEPT both ways
+    // between two id sets, tagged and reassembled — each set op is one
+    // distinct-aggregate shuffle, no joins hand-rolled.
+    "q67_set_ops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.filter(col("lang") === "en").select("doc_id")
+      val b = docs.filter(col("n_chars") > 300).select("doc_id")
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("en_only")))
+        .unionByName(b.except(a).withColumn("op", lit("long_only")))
+        .orderBy("op", "doc_id")
+    }),
+
     // ---- ranking-window battery (oracle-checked): the full analytic-
     // function surface over one per-key sorted window — rank, dense_rank,
     // ntile, percent_rank, cume_dist, lead-with-default, first/nth value.
@@ -1503,6 +1516,16 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, o_orderkey AS last_orderkey,
         |  o_totalprice AS last_price
         |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q67_set_ops" ->
+      """WITH a AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |b AS (SELECT doc_id FROM documents WHERE n_chars > 300)
+        |SELECT doc_id, 'both' AS op FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+        |UNION ALL
+        |SELECT doc_id, 'en_only' FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
+        |UNION ALL
+        |SELECT doc_id, 'long_only' FROM (SELECT doc_id FROM b EXCEPT SELECT doc_id FROM a)
+        |ORDER BY op, doc_id""".stripMargin,
 
     "q64_window_battery" ->
       """SELECT o_custkey, o_orderkey,
