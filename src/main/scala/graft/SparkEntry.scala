@@ -1183,6 +1183,53 @@ object SparkEntry {
         |    AS en_stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextOps.languageId exactly: per-language stopword-token counts
+    // (the regex-count formulation equals token∩words counting, as pinned by
+    // q21), CJK evidence ×3, argmax with (score, lang) lexicographic
+    // tie-break — list_max over structs is DuckDB's struct-ordering max,
+    // identical to Spark's array_max over structs.
+    "q22_language_id" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang AS labeled_lang, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang
+        |FROM (
+        |  SELECT doc_id, labeled_lang,
+        |    list_max([
+        |      {'score': len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu','mit','den','von'))), 'lang': 'de'},
+        |      {'score': len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))), 'lang': 'en'},
+        |      {'score': len(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una','de','que','por'))), 'lang': 'es'},
+        |      {'score': len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','de','que','pour'))), 'lang': 'fr'},
+        |      {'score': 3*length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')), 'lang': 'zh'}
+        |    ]) AS best
+        |  FROM tk)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextOps.qualityScore term by term (length band, capped lexical
+    // diversity, punctuation penalty, stopword evidence with its inner
+    // round-6, weights 0.4/0.3/0.2/0.1, outer round-6). Both engines fold
+    // the weighted sum left-to-right over IEEE doubles.
+    "q23_quality_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split_regex(trim(lower(text)), '\s+') AS lotoks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(
+        |    (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
+        |          WHEN length(text) BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END) * 0.4
+        |    + least(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 1.0) * 0.3
+        |    + (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+        |         / greatest(length(text), 1) * 5, 1.0)) * 0.2
+        |    + least(round(len(list_filter(lotoks,
+        |          x -> x IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+        |         / greatest(len(lotoks), 1), 6) * 5, 1.0) * 0.1
+        |  , 6) AS quality
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
     "q24_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id,
         |  count(*) AS dup_count
