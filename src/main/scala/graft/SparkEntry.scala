@@ -744,6 +744,133 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- CUBE lattice (oracle-checked): all four grouping sets in one
+    // pass — completes the grouping family next to q65's ROLLUP; partial
+    // aggregation keeps the lattice at one shuffle.
+    "q68_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          money(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"), col("g_flag"), col("g_status"))
+        .orderBy("rf", "ls", "g_flag", "g_status")
+    }),
+
+    // ---- RAG chunking (oracle-checked): overlapping 64-token windows
+    // every 48 tokens — narrow transform, no shuffle; the oracle walks
+    // the same start sequence with range() + list slicing.
+    "q69_chunk_overlap" -> ((s, dir) => {
+      TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- edit-distance near-dup pairs (oracle-checked): prefix-blocked
+    // + length-band-prefiltered thresholded Levenshtein — the character-
+    // level dedup family next to Jaccard/MinHash/SimHash.
+    "q70_edit_distance" -> ((s, dir) => {
+      Dedup.editDistanceNearDupPairs(t(s, dir, "documents"), "doc_id",
+          "text", prefixLen = 32, maxDist = 40)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- canonical-document selection (oracle-checked): near-dup
+    // clusters (q53's components) resolved to their highest-quality
+    // member — the keep-best curation policy, composed from three
+    // operators (blocked near-dup pairs → connected components →
+    // windowed argmax pick).
+    "q71_canonical_doc" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.prefixBlockedNearDupPairs(docs, "doc_id", "text",
+        prefixLen = 32, shingleN = 3, minJaccard = 0.5, useNative = true)
+      val scored = docs.withColumn("quality",
+        TextOps.qualityScore(col("text")))
+      Dedup.canonicalDocs(scored, "doc_id", "quality", edges, "id_a", "id_b")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("is_canonical"), col("canonical_id"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- character-entropy quality signal (oracle-checked): bucketed
+    // Shannon entropy as ONE codegen'd projection — no per-character
+    // explode, no shuffle, fixed fold order for engine parity.
+    "q72_char_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-group z-score outliers (oracle-checked): DECIMAL-exact
+    // Σx/Σx² per group, stats broadcast back, codegen'd z filter — the
+    // generalized numeric data-quality rule (SURVEY §2 F5's fixed `< 0`
+    // predicate, upgraded to distribution-aware).
+    "q73_zscore_outliers" -> ((s, dir) => {
+      graft.ext.Outliers.zscoreOutliers(events(s, dir), "event_type",
+          "value", threshold = 3.0)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    }),
+
+    // ---- six-table star join, TPC-H Q5 shape (oracle-checked): selective
+    // region + date filters, co-nation customer/supplier constraint,
+    // broadcast dims — the relational depth probe for join planning.
+    "q74_regional_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(dec4)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // ---- distributed spherical k-means (rows-only; Lloyd over the FULL
+    // corpus, not a driver sample — per-(list,dim) DECIMAL sums make the
+    // model bit-deterministic; IvfSpec pins determinism + cluster
+    // quality). Output: per-cluster size and mean cosine to centroid.
+    "q75_kmeans" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val dim = 64
+      val centroids = graft.ext.Ivf.trainCentroidsLloyd(
+        emb, "embedding", nList = 8, dim = dim, iters = 3)
+      val cents: Seq[Seq[Double]] =
+        centroids.grouped(dim).map(_.toSeq).toSeq
+      val vd = transform(col("embedding"), x => x.cast("double"))
+      val nrm = sqrt(aggregate(vd, lit(0.0d), (acc, x) => acc + x * x))
+      val list = element_at(
+        graft.ext.Ivf.assignLists(col("embedding"), centroids, dim, 1), 1)
+      val cvec = element_at(typedlit(cents), list + 1)
+      val cos = aggregate(zip_with(vd, cvec, (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x) / when(nrm > 0.0, nrm).otherwise(1.0)
+      emb.select(list.cast("long").as("cluster_id"), cos.as("__cos"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("__cos").cast(DecimalType(30, 12))).cast("double") /
+            count(lit(1))).as("mean_cos"))
+        .select(col("cluster_id"), col("n"), round(col("mean_cos"), 4).as("mean_cos"))
+        .orderBy("cluster_id")
+    }),
+
     // ---- deterministic stratified sample (oracle-checked): 20 docs per
     // language, ranked by md5(salt:id) — reproducible, engine-independent,
     // one shuffle on the stratum key
@@ -979,6 +1106,26 @@ object SparkEntry {
       |                    WHERE i.o_orderkey = e.o_orderkey)
       |    AND NOT e.is_deleted)
       |""".stripMargin
+
+  /** DuckDB SQL for q72, generated so it mirrors
+    * [[TextOps.charEntropy]] bucket-for-bucket: same [a-z0-9 space]
+    * alphabet, same `length − length(replace(…))` counts, same
+    * "other" bucket, and — critically for float parity — the same
+    * left-to-right fold order over the 38 entropy terms.
+    */
+  private lazy val entropyOracleSql: String = {
+    val alphabet = (('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " "
+    def cnt(ch: String) = s"(length(t) - length(replace(t, '$ch', '')))"
+    val counts = alphabet.map(cnt)
+    val other = s"(length(t) - (${counts.mkString(" + ")}))"
+    def term(c: String) =
+      s"(CASE WHEN $c > 0 THEN -($c::DOUBLE / length(t)) * ln($c::DOUBLE / length(t)) ELSE 0.0 END)"
+    val sumTerms = (counts :+ other).map(term).mkString(" + ")
+    s"""WITH lo AS (SELECT doc_id, lower(text) AS t FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN length(t) > 0 THEN round($sumTerms, 6) ELSE 0.0 END AS entropy
+       |FROM lo ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1609,6 +1756,121 @@ object SparkEntry {
         |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS price_p
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q68_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls, g_flag, g_status""".stripMargin,
+
+    // range(0, n, stride) = the same start set as Spark's
+    // sequence(0, n-1, stride); DuckDB list slicing is 1-based
+    // inclusive with clamping, mirroring slice(toks, start+1, window).
+    "q69_chunk_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS cs
+        |  FROM tk)
+        |SELECT doc_id, cs // 48 AS chunk_idx,
+        |  array_to_string(toks[cs+1:cs+64], ' ') AS chunk_text,
+        |  len(toks[cs+1:cs+64]) AS n_chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q70_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, substr(text, 1, 32) AS block,
+        |    length(text) AS len
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.text, b.text) AS dist
+        |FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE abs(a.len - b.len) <= 40 AND levenshtein(a.text, b.text) <= 40
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q53's recursive component walk + q23's quality formula + a
+    // first_value window for the keep-best pick.
+    "q71_canonical_doc" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, substr(text, 1, 32) AS block,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+        |  FROM (SELECT doc_id, text,
+        |        string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |      (len(a.shingles) + len(b.shingles)
+        |       - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |walk (id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src),
+        |lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(
+        |      (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
+        |            WHEN length(text) BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END) * 0.4
+        |      + least(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+        |           / greatest(len(string_split_regex(trim(text), '\s+')), 1), 1.0) * 0.3
+        |      + (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+        |           / greatest(length(text), 1) * 5, 1.0)) * 0.2
+        |      + least(round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |            x -> x IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+        |           / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6) * 5, 1.0) * 0.1
+        |    , 6) AS quality
+        |  FROM documents)
+        |SELECT lab.doc_id, lab.cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  (lab.doc_id = first_value(lab.doc_id) OVER w) AS is_canonical,
+        |  first_value(lab.doc_id) OVER w AS canonical_id,
+        |  qual.quality
+        |FROM lab JOIN qual ON lab.doc_id = qual.doc_id
+        |WINDOW w AS (PARTITION BY cluster_id ORDER BY quality DESC, lab.doc_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY lab.doc_id""".stripMargin,
+
+    // generated to mirror TextOps.charEntropy bucket-for-bucket in the
+    // same fold order (see entropyOracleSql below the map)
+    "q72_char_entropy" -> entropyOracleSql,
+
+    "q73_zscore_outliers" ->
+      """WITH stx AS (
+        |  SELECT event_type, count("value") AS n,
+        |    CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST("value" * "value" AS DECIMAL(30,10))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, "value",
+        |  round(("value" - s/n) / sqrt((s2 - s*s/n)/(n-1)), 4) AS z
+        |FROM events e JOIN stx USING (event_type)
+        |WHERE n > 1 AND (s2 - s*s/n)/(n-1) > 0
+        |  AND abs(round(("value" - s/n) / sqrt((s2 - s*s/n)/(n-1)), 4)) > 3
+        |ORDER BY event_id""".stripMargin,
+
+    "q74_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q62_stratified_sample" ->
       """WITH ranked AS (

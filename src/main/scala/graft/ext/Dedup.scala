@@ -264,6 +264,71 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Character-level near-duplicate pairs by bounded Levenshtein distance —
+    * the edit-distance complement to the token-level families (Jaccard /
+    * MinHash / SimHash): it catches small in-place edits (typo fixes,
+    * template variable substitution) that keep most shingles intact but
+    * also pairs whose differences are character- not token-shaped.
+    *
+    * Scale shape: identical blocking discipline to
+    * [[prefixBlockedNearDupPairs]] — equi-join on a text prefix with a
+    * per-block size cap, never all-pairs — plus a LENGTH BAND
+    * (`abs(len_a − len_b) ≤ maxDist`, a Levenshtein lower bound) applied
+    * before the O(len²) distance, and Spark's thresholded `levenshtein`
+    * which abandons a pair's DP early once `maxDist` is exceeded.
+    */
+  def editDistanceNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                               prefixLen: Int, maxDist: Int,
+                               maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    val keyed = df.select(col(idCol),
+      substring(col(textCol), 1, prefixLen).as("block"),
+      col(textCol).as("txt"), length(col(textCol)).as("len"))
+    val wCnt = Window.partitionBy("block")
+    val capped = keyed.withColumn("__n", count(lit(1)).over(wCnt))
+      .filter(col("__n") <= maxBlockSize).drop("__n")
+    val a = capped.select(col("block"), col(idCol).as("id_a"),
+      col("txt").as("txt_a"), col("len").as("len_a"))
+    val b = capped.select(col("block"), col(idCol).as("id_b"),
+      col("txt").as("txt_b"), col("len").as("len_b"))
+    a.join(b, "block").filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b"), maxDist))
+      .filter(col("dist") >= 0) // thresholded form returns -1 above maxDist
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
+  /** Canonical-document selection: resolve each near-duplicate CLUSTER
+    * (connected components over a pair relation, e.g.
+    * [[prefixBlockedNearDupPairs]] output) to its single best
+    * representative — highest `scoreCol`, ties to the smallest id — the
+    * curation step after clustering: near-dup groups should keep their
+    * best-quality member, not an arbitrary one.
+    *
+    * Returns one row per document: its `cluster_id`, `cluster_size`,
+    * `is_canonical` flag, and `canonical_id` (what a dedup pass keeps /
+    * rewrites to). Scale shape: components via [[graft.ext.Graph]]'s
+    * label propagation (O(log diameter) rounds); the pick is one
+    * `row_number` window over (cluster, score desc, id) — the shuffle
+    * carries (id, cluster, score), never text.
+    */
+  def canonicalDocs(docs: DataFrame, idCol: String, scoreCol: String,
+                    edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val comp = Graph.connectedComponents(docs.select(col(idCol)), idCol,
+        edges, srcCol, dstCol)
+      .select(col("id").as(idCol), col("component").as("cluster_id"))
+    val wc = Window.partitionBy("cluster_id")
+    val pick = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.join(comp, idCol)
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .withColumn("__rn", row_number().over(pick))
+      .withColumn("is_canonical", col("__rn") === 1)
+      .withColumn("canonical_id",
+        first(when(col("__rn") === 1, col(idCol)), ignoreNulls = true).over(wc))
+      .drop("__rn")
+  }
+
   // ------------------------------------------------------- line-level dedup
 
   /** Corpus-wide line-level deduplication (the C4/MassiveText hygiene

@@ -88,6 +88,76 @@ object Ivf {
     flat
   }
 
+  /** Fully DISTRIBUTED spherical-k-means (Lloyd) training over the WHOLE
+    * corpus — the companion to the sample-bounded [[trainCentroids]]: use
+    * it when the corpus distribution has mass a 20k sample misses (rare
+    * languages, small sources) and list balance at the tail matters.
+    *
+    * Each iteration is two narrow jobs: (1) nearest-centroid assignment —
+    * a pure projection through the native `IvfAssignExpr`, no shuffle;
+    * (2) per-(list, dimension) sums of the L2-normalized vectors via one
+    * `posexplode` + groupBy — the shuffle carries (list, pos, partial
+    * sum) after map-side combine, i.e. O(k × dim × partitions), never the
+    * vectors. Only the k×dim model state is collected to the driver.
+    *
+    * Sums go through DECIMAL, so the trained centroids are
+    * bit-deterministic under any partitioning / AQE layout — a double
+    * sum would make the model depend on shuffle order. Initialization
+    * reuses [[trainCentroids]]'s deterministic hash-ordered spread
+    * (0 driver iterations — just the seeds).
+    */
+  def trainCentroidsLloyd(emb: DataFrame, vecCol: String, nList: Int,
+                          dim: Int, iters: Int = 5,
+                          initSample: Int = 20000): Array[Double] = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j) * v(j); j += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    // unit-normalized double vectors, computed once per iteration scan
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val nrm = sqrt(aggregate(vd, lit(0.0d), (acc, x) => acc + x * x))
+    val safeNrm = when(nrm > 0.0, nrm).otherwise(lit(1.0)) // zero vector → itself
+    val unit = transform(vd, x => x / safeNrm).as("__v")
+    var centroids = trainCentroids(emb, vecCol, nList, dim, initSample, 0)
+
+    var it = 0
+    while (it < iters) {
+      val assigned = emb.filter(size(col(vecCol)) === dim)
+        .select(element_at(
+          assignLists(col(vecCol), centroids, dim, 1), 1).as("__list"), unit)
+      val rows = assigned
+        .select(col("__list"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("__list", "pos")
+        .agg(sum(col("x").cast(dec)).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val k = centroids.length / dim
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      rows.foreach { r =>
+        val list = r.getInt(0); val pos = r.getInt(1)
+        sums(list)(pos) = r.getDouble(2)
+        counts(list) = r.getLong(3)
+      }
+      val next = centroids.clone()
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          val mean = normalize(sums(c).map(_ / counts(c)))
+          System.arraycopy(mean, 0, next, c * dim, dim)
+        } // empty list keeps its previous centroid
+        c += 1
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
   /** Nearest-`probes` centroid ids for a vector column (native
     * `IvfAssignExpr`; requires `GraftFunctions.register(spark)`). The
     * centroid literal is absorbed into the expression object at analysis,

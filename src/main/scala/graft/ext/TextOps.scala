@@ -121,6 +121,63 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = xxhash64(tokens(text))
 
+  /** RAG-style overlapping token chunking: cut each document's token
+    * sequence into windows of `window` tokens starting every `stride`
+    * tokens (stride < window ⇒ consecutive chunks overlap by
+    * window − stride tokens, the standard retrieval-context recipe).
+    * Emits one row per (document, chunk): `chunk_idx` (0-based),
+    * `chunk_text` (tokens re-joined with single spaces) and
+    * `n_chunk_tokens` (< `window` only for a document's last chunks).
+    *
+    * Scale shape: tokenize once, then `posexplode` over the chunk-start
+    * sequence — a pure narrow transform (no shuffle); output size is
+    * input size × (window/stride) overlap factor, exactly the blow-up
+    * the caller asked for. Start positions come from `sequence(0,
+    * n_tokens−1, stride)`, so every token belongs to ≥1 chunk and chunk
+    * count is ⌈n/stride⌉.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window,
+      "stride must be in [1, window] — a larger stride would drop tokens")
+    val chunk = slice(col("__toks"), col("chunk_start") + 1, lit(window))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "chunk_start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(chunk, " ").as("chunk_text"),
+        size(chunk).cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Per-document Shannon entropy (nats) over the lowercased character
+    * distribution, bucketed to [a-z0-9 space] plus one "other" bucket —
+    * the cheap gibberish/boilerplate signal (natural prose sits near
+    * ~2.9 nats; `aaaa…` at 0, uniform noise near ln 38 ≈ 3.6).
+    *
+    * Deliberately NOT computed by exploding characters: that is one row
+    * per character (a 100 TB corpus becomes 10^14 rows through a
+    * shuffle). Instead each bucket's count is `length(text) −
+    * length(replace(text, ch))` — 37 codegen'd scans fused into one
+    * whole-stage-codegen projection, zero shuffle, and the entropy sum
+    * folds the buckets in a FIXED textual order so the result is
+    * bit-deterministic and engine-portable (a float sum through a
+    * shuffle would be neither).
+    */
+  def charEntropy(text: Column): Column = {
+    val lo = lower(text)
+    val n = length(lo)
+    val alphabet = ('a' to 'z') ++ ('0' to '9') :+ ' '
+    val counts = alphabet.map(ch => n - length(replace(lo, lit(ch.toString))))
+    val other = n - counts.reduce(_ + _)
+    val terms = (counts :+ other).map { c =>
+      val p = c.cast("double") / n
+      when(c > 0, -p * log(p)).otherwise(lit(0.0))
+    }
+    when(n > 0, round(terms.reduce(_ + _), 6)).otherwise(lit(0.0))
+  }
+
   /** Deterministic hash-based train/val/test assignment — the stable-split
     * operator every training pipeline needs: a document's split depends
     * only on (salt, id), so it never migrates when the corpus grows,

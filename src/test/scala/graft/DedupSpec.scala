@@ -219,4 +219,65 @@ class DedupSpec extends SparkSpec {
       .get(0).asInstanceOf[Number].longValue
     assert(d == 8)
   }
+
+  test("editDistanceNearDupPairs finds in-threshold pairs within a block") {
+    val prefix = "x" * 40 // all docs share the 32-char blocking prefix
+    val docs = Seq(
+      (1L, prefix + " the quick brown fox"),
+      (2L, prefix + " the quick brown cat"),  // dist 3 from doc 1
+      (3L, prefix + " something else entirely here"),
+      (4L, "completely different prefix text")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistanceNearDupPairs(docs, "doc_id", "text",
+        prefixLen = 32, maxDist = 5)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 3L)))
+  }
+
+  test("editDistanceNearDupPairs: identical docs at distance 0, band prunes") {
+    val docs = Seq(
+      (1L, "a" * 50),
+      (2L, "a" * 50),            // identical -> dist 0
+      (3L, "a" * 50 + "b" * 99) // same block, length band |50-149| > maxDist
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistanceNearDupPairs(docs, "doc_id", "text",
+        prefixLen = 32, maxDist = 20)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)))
+  }
+
+  test("editDistanceNearDupPairs honors the per-block size cap") {
+    val docs = (1L to 10L).map(i => (i, "shared prefix " + ("p" * 30) + i))
+      .toDF("doc_id", "text")
+    val capped = Dedup.editDistanceNearDupPairs(docs, "doc_id", "text",
+      prefixLen = 32, maxDist = 5, maxBlockSize = 5)
+    assert(capped.count() == 0L) // block of 10 > cap -> dropped entirely
+  }
+
+  test("canonicalDocs keeps the best-scored member per cluster") {
+    val docs = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.7), // cluster {1,2,3} via edges 1-2, 2-3
+      (4L, 0.2)                        // singleton
+    ).toDF("doc_id", "quality")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalDocs(docs, "doc_id", "quality", edges,
+        "id_a", "id_b")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical",
+        "canonical_id")
+      .as[(Long, Long, Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq == Seq(
+      (1L, 1L, 3L, false, 2L),
+      (2L, 1L, 3L, true, 2L),  // highest quality wins
+      (3L, 1L, 3L, false, 2L),
+      (4L, 4L, 1L, true, 4L))) // singleton is its own canonical
+  }
+
+  test("canonicalDocs breaks score ties to the smallest id") {
+    val docs = Seq((7L, 1.0), (9L, 1.0)).toDF("doc_id", "quality")
+    val edges = Seq((7L, 9L)).toDF("id_a", "id_b")
+    val canon = Dedup.canonicalDocs(docs, "doc_id", "quality", edges,
+        "id_a", "id_b")
+      .filter(col("is_canonical")).select("doc_id").as[Long].collect().toSeq
+    assert(canon == Seq(7L))
+  }
 }

@@ -45,6 +45,40 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("trainCentroidsLloyd is bit-deterministic and returns unit centroids") {
+    GraftFunctions.register(spark)
+    def run() = Ivf.trainCentroidsLloyd(emb, "embedding", nList = 8,
+      dim = 64, iters = 2, initSample = 1000)
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq, "distributed training must be reproducible")
+    (0 until 8).foreach { i =>
+      val norm = math.sqrt(a.slice(i * 64, (i + 1) * 64).map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"centroid $i norm $norm")
+    }
+  }
+
+  test("Lloyd iterations do not hurt assignment quality vs the seeds") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    def meanCos(centroids: Array[Double]): Double = {
+      val cents = centroids.grouped(64).map(_.toSeq).toSeq
+      val vd = transform(col("embedding"), x => x.cast("double"))
+      val nrm = sqrt(aggregate(vd, lit(0.0d), (acc, x) => acc + x * x))
+      val cvec = element_at(typedlit(cents), element_at(
+        Ivf.assignLists(col("embedding"), centroids, 64, 1), 1) + 1)
+      val cos = aggregate(zip_with(vd, cvec, (a, b) => a * b), lit(0.0d),
+        (acc, x) => acc + x) / when(nrm > 0.0, nrm).otherwise(1.0)
+      emb.select(avg(cos)).head().getDouble(0)
+    }
+    val seeds = Ivf.trainCentroids(emb, "embedding", nList = 8, dim = 64,
+      sampleSize = 1000, iters = 0)
+    val trained = Ivf.trainCentroidsLloyd(emb, "embedding", nList = 8,
+      dim = 64, iters = 3, initSample = 1000)
+    val (q0, q3) = (meanCos(seeds), meanCos(trained))
+    assert(q3 >= q0 - 1e-9,
+      s"mean cosine to assigned centroid degraded: $q0 -> $q3")
+  }
+
   test("degenerate vectors assign to list 0") {
     GraftFunctions.register(spark)
     val centroids = Ivf.trainCentroids(emb, "embedding", nList = 8, dim = 64,

@@ -203,4 +203,57 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.sampleToTokenBudget(docs, "doc_id", "text", Seq("grp"),
       budgetTokens = 10L).count() == 0L)
   }
+
+  test("chunkTokens covers every token with ceil(n/stride) overlapping chunks") {
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6,9; last chunk short
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextOps.chunkTokens(docs, "doc_id", "text", window = 4,
+        stride = 3)
+      .select("chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(rows.length == 4)
+    assert(rows(0) == ((0L, "t1 t2 t3 t4", 4L)))
+    assert(rows(1) == ((1L, "t4 t5 t6 t7", 4L))) // overlap of window-stride=1
+    assert(rows(3) == ((3L, "t10", 1L)))         // trailing partial chunk
+    // every token appears in at least one chunk
+    val covered = rows.flatMap(_._2.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("chunkTokens emits exactly one chunk when the doc fits the window") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val rows = TextOps.chunkTokens(docs, "doc_id", "text", window = 8,
+        stride = 8)
+      .select("chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((0L, "a b c", 3L)))
+  }
+
+  test("chunkTokens rejects a stride larger than the window") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(docs, "doc_id", "text", window = 2, stride = 3)
+    }
+  }
+
+  test("charEntropy: degenerate and uniform distributions") {
+    // single repeated char -> 0; "ab" -> ln 2; empty -> 0
+    val e0 = one("aaaa", TextOps.charEntropy(col("text"))).asInstanceOf[Double]
+    assert(e0 == 0.0)
+    val e2 = one("ab", TextOps.charEntropy(col("text"))).asInstanceOf[Double]
+    assert(math.abs(e2 - math.log(2)) < 1e-6)
+    assert(one("", TextOps.charEntropy(col("text"))) == 0.0)
+  }
+
+  test("charEntropy is case-insensitive and buckets unknown chars as other") {
+    val a = one("AbAb", TextOps.charEntropy(col("text"))).asInstanceOf[Double]
+    val b = one("abab", TextOps.charEntropy(col("text"))).asInstanceOf[Double]
+    assert(a == b)
+    // 2 distinct non-alphabet chars collapse into ONE other bucket:
+    // "a£a€" has buckets {a:2, other:2} -> ln 2
+    val o = one("a£a€", TextOps.charEntropy(col("text")))
+      .asInstanceOf[Double]
+    assert(math.abs(o - math.log(2)) < 1e-6)
+  }
 }
