@@ -800,9 +800,8 @@ object SparkEntry {
     // Shannon entropy as ONE codegen'd projection — no per-character
     // explode, no shuffle, fixed fold order for engine parity.
     "q72_char_entropy" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.charEntropy(col("text")).as("entropy"))
+      TextOps.withCharEntropy(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("entropy"))
         .orderBy("doc_id")
     }),
 
@@ -852,7 +851,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val dim = 64
       val centroids = graft.ext.Ivf.trainCentroidsLloyd(
-        emb, "embedding", nList = 8, dim = dim, iters = 3)
+        emb, "embedding", nList = 8, dim = dim, iters = 2)
       val cents: Seq[Seq[Double]] =
         centroids.grouped(dim).map(_.toSeq).toSeq
       val vd = transform(col("embedding"), x => x.cast("double"))

@@ -10,10 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * functions resolve in SQL and through `call_function`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => LevenshteinBandRule)
+  }
 }
 
 object GraftFunctions {
@@ -140,10 +142,17 @@ object GraftFunctions {
         "graft_misra_gries"),
       misraGriesBuilder))
 
-  /** Idempotent runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent runtime registration on an existing session: the native
+    * functions plus the [[LevenshteinBandRule]] optimizer rule.
+    */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(LevenshteinBandRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LevenshteinBandRule
+    }
+  }
 }

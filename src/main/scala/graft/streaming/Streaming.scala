@@ -109,6 +109,101 @@ object EventStreams {
     graft.ext.Dedup.contaminationHits(docs, idCol, textCol, bench, shingleN)
 }
 
+/** One metric observation for streaming anomaly detection. */
+final case class MetricEvent(key: String, ts_micros: Long, value: Double)
+
+/** Flagged observation: its z-score against the key's statistics over
+  * all PRIOR observations, plus how many had been seen.
+  */
+final case class Anomaly(key: String, ts_micros: Long, value: Double,
+                         z: Double, n_prior: Long)
+
+/** Running per-key moments (count, Σx, Σx²) — O(1) state per key. */
+final case class MomentState(n: Long, sum: Double, sumSq: Double)
+
+/** Streaming per-key anomaly detection — the streaming analog of
+  * [[graft.ext.Outliers.zscoreOutliers]]: each observation is scored
+  * against the running mean/stddev of the observations BEFORE it (in
+  * (ts, value) order), then folded into the state. Prequential scoring
+  * means no reprocessing, a single pass, and an exactly reproducible
+  * batch equivalent: the same fold over a sorted batch frame yields the
+  * same alarms (spec-pinned).
+  *
+  * State per key is three numbers regardless of throughput; total state
+  * is O(|keys|) — no watermark needed for boundedness (keys, unlike
+  * sessions, are a fixed small population; for unbounded key spaces add
+  * an event-time timeout the same way [[Sessionize]] does).
+  *
+  * Cold start: the first `minPrior` observations of a key never alarm —
+  * a z-score against 1-2 samples is noise, and alarming on it would
+  * page on every new key.
+  *
+  * Ordering contract: observations are scored in (ts, value) order
+  * WITHIN a micro-batch and in arrival order across batches — the
+  * standard online-scoring semantics. Streaming equals the batch fold
+  * exactly when batches arrive time-ordered; a cross-batch straggler is
+  * scored against the stats at its arrival (it cannot retroactively
+  * change already-emitted alarms — no online detector can).
+  */
+object AnomalyDetect {
+
+  /** Fold one key's time-sorted observations through the moment state,
+    * emitting prequential alarms. Shared verbatim by the streaming
+    * operator and the batch reference below — one definition, zero
+    * semantic drift.
+    */
+  def scoreAndFold(key: String, sorted: Seq[(Long, Double)],
+                   st0: MomentState, threshold: Double,
+                   minPrior: Int): (List[Anomaly], MomentState) = {
+    var st = st0
+    var alarms = List.empty[Anomaly]
+    sorted.foreach { case (ts, x) =>
+      if (st.n >= minPrior) {
+        val mean = st.sum / st.n
+        val variance =
+          (st.sumSq - st.sum * st.sum / st.n) / (st.n - 1)
+        if (variance > 0) {
+          val z = (x - mean) / math.sqrt(variance)
+          if (math.abs(z) > threshold)
+            alarms ::= Anomaly(key, ts, x, z, st.n)
+        }
+      }
+      st = MomentState(st.n + 1, st.sum + x, st.sumSq + x * x)
+    }
+    (alarms.reverse, st)
+  }
+
+  /** The streaming operator: `flatMapGroupsWithState` carrying the
+    * per-key moments across micro-batches.
+    */
+  def anomalies(events: Dataset[MetricEvent], threshold: Double = 3.0,
+                minPrior: Int = 30): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[MomentState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[MomentState]) =>
+          val sorted = rows.map(e => (e.ts_micros, e.value)).toSeq.sorted
+          val (alarms, st) = scoreAndFold(key, sorted,
+            state.getOption.getOrElse(MomentState(0L, 0.0, 0.0)),
+            threshold, minPrior)
+          state.update(st)
+          alarms.iterator
+      }
+  }
+
+  /** Batch reference semantics: the identical fold over a batch frame
+    * (used by specs to pin streaming ≡ batch under any batch split).
+    */
+  def anomaliesBatch(events: Seq[MetricEvent], threshold: Double = 3.0,
+                     minPrior: Int = 30): Seq[Anomaly] =
+    events.groupBy(_.key).toSeq.sortBy(_._1).flatMap { case (k, evs) =>
+      scoreAndFold(k, evs.map(e => (e.ts_micros, e.value)).sorted,
+        MomentState(0L, 0.0, 0.0), threshold, minPrior)._1
+    }
+}
+
 /** One event for stateful sessionization (micros since epoch keeps the
   * state encoder trivial and comparison exact).
   */

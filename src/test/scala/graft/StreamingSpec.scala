@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{EventStreams, MicroBatchMerge, Session, SessionEvent, Sessionize}
+import graft.streaming.{AnomalyDetect, EventStreams, MetricEvent, MicroBatchMerge, Session, SessionEvent, Sessionize}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -327,5 +327,43 @@ class StreamingSpec extends SparkSpec {
     val st = spark.read.parquet(s"$dir/state")
     assert(st.count() == 1)
     assert(st.columns.contains("is_deleted"))
+  }
+
+  test("anomaly stream equals the batch fold across time-ordered batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000000L
+    // key m: 6 tame values, a spike, more tame, a second spike
+    val mVals = Seq(10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 50.0, 10.0, 9.9, -40.0)
+    val m = mVals.zipWithIndex.map { case (v, i) =>
+      MetricEvent("m", base + i * 1000000L, v) }
+    // key q: constant (zero variance) -> never alarms
+    val qEvs = (0 until 8).map(i => MetricEvent("q", base + i * 1000000L, 5.0))
+    val all = (m ++ qEvs).sortBy(_.ts_micros)
+    val expected = AnomalyDetect.anomaliesBatch(all, threshold = 3.0,
+      minPrior = 5)
+    assert(expected.map(e => (e.key, e.value)).toSet ==
+      Set(("m", 50.0), ("m", -40.0)), s"fixture sanity: $expected")
+
+    val in = MemoryStream[MetricEvent]
+    val q = AnomalyDetect.anomalies(in.toDS(), threshold = 3.0, minPrior = 5)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = all.splitAt(9) // split mid-key, time-ordered batches
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("anomalies")
+        .as[graft.streaming.Anomaly].collect().toSet
+      assert(streamed == expected.toSet)
+    } finally q.stop()
+  }
+
+  test("anomaly detector stays silent through the cold-start window") {
+    val base = 1700000000000000L
+    // wild swings but only 4 observations with minPrior = 5
+    val evs = Seq(0.0, 100.0, -100.0, 50.0).zipWithIndex.map {
+      case (v, i) => MetricEvent("k", base + i * 1000000L, v) }
+    assert(AnomalyDetect.anomaliesBatch(evs, threshold = 1.0,
+      minPrior = 5).isEmpty)
   }
 }

@@ -246,6 +246,20 @@ class TextOpsSpec extends SparkSpec {
     assert(one("", TextOps.charEntropy(col("text"))) == 0.0)
   }
 
+  test("withCharEntropy matches the single-column charEntropy bit for bit") {
+    val docs = Seq((1L, "The quick brown fox! 123"), (2L, "aaaa"),
+      (3L, ""), (4L, "mixed £ CASE £ text 42")).toDF("doc_id", "text")
+    val staged = TextOps.withCharEntropy(docs, "text")
+      .select("doc_id", "entropy").as[(Long, Double)].collect().toMap
+    val direct = docs.select(col("doc_id"),
+        TextOps.charEntropy(col("text")).as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(staged == direct)
+    // and the staged plan keeps the original columns
+    assert(TextOps.withCharEntropy(docs, "text").columns.toSeq ==
+      Seq("doc_id", "text", "entropy"))
+  }
+
   test("charEntropy is case-insensitive and buckets unknown chars as other") {
     val a = one("AbAb", TextOps.charEntropy(col("text"))).asInstanceOf[Double]
     val b = one("abab", TextOps.charEntropy(col("text"))).asInstanceOf[Double]
