@@ -870,6 +870,39 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // ---- correlated-aggregate filter, TPC-H Q17 shape (oracle-checked):
+    // rows below 20% of their PART's average quantity. Spark-first
+    // decorrelation: the per-part average is an explicit aggregate
+    // joined back — the exact plan a correlated scalar subquery
+    // decorrelates to, with the DECIMAL-exact average both engines
+    // reproduce bit-for-bit.
+    "q76_small_order_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val partAvg = li.groupBy("l_partkey")
+        .agg((sum(col("l_quantity").cast(dec2)).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      li.join(partAvg, "l_partkey")
+        .filter(col("l_quantity") < col("avg_qty") * 0.2)
+        .groupBy("l_returnflag")
+        .agg(money(col("l_extendedprice")).as("total_price"),
+          count(lit(1)).as("n_small"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- prequential anomaly scan (oracle-checked): the BATCH form of
+    // streaming/AnomalyDetect — each event z-scored against the running
+    // moments of all PRIOR events of its type via an unbounded-preceding
+    // window frame. Running sums go through DECIMAL so the fold is
+    // order-independent inside each engine's frame implementation
+    // (DuckDB's segment-tree combine vs Spark's incremental fold would
+    // otherwise diverge in the last ulp).
+    "q77_prequential_anomaly" -> ((s, dir) => {
+      graft.ext.Outliers.prequentialOutliers(events(s, dir), "event_type",
+          Seq("ts", "event_id"), "value", threshold = 3.0, minPrior = 30)
+        .select("event_id", "event_type", "value", "n_prior", "z")
+        .orderBy("event_id")
+    }),
+
     // ---- deterministic stratified sample (oracle-checked): 20 docs per
     // language, ranked by md5(salt:id) — reproducible, engine-independent,
     // one shuffle on the stratum key
@@ -1870,6 +1903,38 @@ object SparkEntry {
         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q76_small_order_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  count(*) AS n_small
+        |FROM lineitem JOIN pa USING (l_partkey)
+        |WHERE l_quantity < avg_qty * 0.2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q77_prequential_anomaly" ->
+      """WITH scored AS (
+        |  SELECT event_id, event_type, "value",
+        |    count(*) OVER w AS n_prior,
+        |    CAST(sum(CAST("value" AS DECIMAL(30,10))) OVER w AS DOUBLE) AS sm,
+        |    CAST(sum(CAST("value" * "value" AS DECIMAL(30,10))) OVER w AS DOUBLE) AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, "value", n_prior,
+        |  round(("value" - sm/n_prior)
+        |    / sqrt((s2 - sm*sm/n_prior)/(n_prior - 1)), 4) AS z
+        |FROM scored
+        |WHERE n_prior >= 30 AND (s2 - sm*sm/n_prior)/(n_prior - 1) > 0
+        |  AND abs(round(("value" - sm/n_prior)
+        |    / sqrt((s2 - sm*sm/n_prior)/(n_prior - 1)), 4)) > 3
+        |ORDER BY event_id""".stripMargin,
 
     "q62_stratified_sample" ->
       """WITH ranked AS (

@@ -42,4 +42,34 @@ object Outliers {
       .filter(abs(col("z")) > threshold)
       .drop("__n", "__s", "__s2")
   }
+
+  /** PREQUENTIAL variant — each row z-scored against the running moments
+    * of the rows BEFORE it (per group, in `orderCols` order) via an
+    * unbounded-preceding window frame: the batch twin of
+    * [[graft.streaming.AnomalyDetect]]'s stateful fold (spec-pinned
+    * equal), and the retrospective form of what the stream computes
+    * online. Running sums go through DECIMAL so the result is
+    * independent of the engine's frame-aggregation order. Rows within
+    * the first `minPrior` observations of their group never flag.
+    */
+  def prequentialOutliers(df: DataFrame, groupCol: String,
+                          orderCols: Seq[String], valueCol: String,
+                          threshold: Double, minPrior: Int): DataFrame = {
+    val v = col(valueCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val n = count(lit(1)).over(w)
+    val sm = sum(v.cast(dec)).over(w).cast("double")
+    val s2 = sum((v * v).cast(dec)).over(w).cast("double")
+    val mean = sm / n
+    val variance = (s2 - sm * sm / n) / (n - 1)
+    df.select(df.columns.map(col) :+ n.as("n_prior") :+
+        variance.as("__var") :+
+        round((v - mean) / sqrt(variance), 4).as("z"): _*)
+      .filter(col("n_prior") >= minPrior && col("__var") > 0 &&
+        abs(col("z")) > threshold)
+      .drop("__var")
+  }
 }

@@ -31,6 +31,28 @@ class OutliersSpec extends SparkSpec {
     assert(Outliers.zscoreOutliers(df, "grp", "v", 0.1).count() == 0L)
   }
 
+  test("prequentialOutliers equals the streaming AnomalyDetect fold") {
+    import graft.streaming.{AnomalyDetect, MetricEvent}
+    val base = 1700000000000000L
+    val rnd = new scala.util.Random(11)
+    // 60 tame observations with two injected spikes after the cold start
+    val vals = (0 until 60).map { i =>
+      if (i == 40) 500.0 else if (i == 55) -400.0 else 10.0 + rnd.nextDouble()
+    }
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      MetricEvent("k", base + i * 1000000L, v) }
+    val expected = AnomalyDetect.anomaliesBatch(evs, threshold = 3.0,
+      minPrior = 30).map(a => (a.ts_micros, a.n_prior)).toSet
+    assert(expected.map(_._2) == Set(40L, 55L), s"fixture sanity: $expected")
+
+    val df = evs.map(e => (e.key, e.ts_micros, e.value))
+      .toDF("key", "ts_micros", "v")
+    val got = Outliers.prequentialOutliers(df, "key", Seq("ts_micros"), "v",
+        threshold = 3.0, minPrior = 30)
+      .select("ts_micros", "n_prior").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("threshold applies to the ROUNDED z, per the oracle contract") {
     // rounded z of the outlier is exactly 1.7889: a threshold equal to it
     // drops the row (strict >), one ulp-of-rounding below keeps it
