@@ -52,6 +52,33 @@ class LevenshteinBandRuleSpec extends SparkSpec {
     assert(df.filter(expr("levenshtein(a, b) <= 100")).count() == 3)
   }
 
+  test("property: rewritten predicate equals the original on generated text") {
+    GraftFunctions.register(spark)
+    // adversarial corpus: shared prefixes, length spreads, unicode,
+    // empties — pairs straddle the band and threshold boundaries
+    val gen = org.scalacheck.Gen.listOfN(8, org.scalacheck.Gen.oneOf(
+      org.scalacheck.Gen.alphaNumStr.map(_.take(6)),
+      org.scalacheck.Gen.oneOf("ab", "abc", "abcd", "naïve", "", "日本")))
+      .map(_.mkString)
+    val params = org.scalacheck.Gen.Parameters.default
+    val strings = (0 until 40).flatMap(i =>
+      gen(params, org.scalacheck.rng.Seed(77L + i)))
+    val pairs = for (a <- strings; b <- strings.take(10)) yield (a, b)
+    // ground truth independent of Spark: classic DP on the driver
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = pairs.count { case (a, b) => lev(a, b) <= 4 }.toLong
+    val got = pairs.toDF("a", "b")
+      .filter(expr("levenshtein(a, b) <= 4")).count()
+    assert(got == want, "band+threshold rewrite changed the predicate")
+  }
+
   test("rewrite applies exactly once (idempotent under fixpoint)") {
     GraftFunctions.register(spark)
     withVisiblePlans {

@@ -122,6 +122,31 @@ class PlanShapeSpec extends SparkSpec {
       s"no bloom probe in the corpus scan pipeline:\n$physical")
   }
 
+  test("q74 six-table join: dims broadcast, no cartesian, filters pushed") {
+    val plan = formatted(q("q74_regional_revenue"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian snuck in:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)") ||
+      plan.contains("IsNotNull(o_orderdate)"),
+      s"selective filters not pushed to scans:\n$plan")
+  }
+
+  test("q69 chunking and q72 entropy are shuffle-free up to the final sort") {
+    Seq("q69_chunk_overlap", "q72_char_entropy").foreach { name =>
+      val t = tree(q(name))
+      val exchanges = "Exchange".r.findAllIn(t).size
+      // exactly one exchange: the orderBy's range partitioning
+      assert(exchanges == 1, s"$name expected 1 exchange, plan:\n$t")
+      assert(t.contains("rangepartitioning"), s"$name missing sort exchange:\n$t")
+    }
+  }
+
+  test("q73 outliers: group stats join back as a broadcast, never SMJ") {
+    val t = tree(q("q73_zscore_outliers"))
+    assert(t.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$t")
+    assert(!t.contains("SortMergeJoin"), s"fact table got sort-merged:\n$t")
+  }
+
   test("q57 budget sample: the window shuffle carries counts, not text") {
     import org.apache.spark.sql.execution.window.WindowExec
     val physical = physicalOf(q("q57_budget_sample"))
