@@ -903,6 +903,30 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- IVF-PQ ANN (rows-only; recall + parity spec-pinned): the
+    // storage-changing index family — corpus vectors compressed to m=8
+    // codes, candidates scored by native ADC table gathers without ever
+    // touching raw vectors, exact cosine rerank of the shortlist only.
+    "q79_topk_ivfpq" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      graft.ext.Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
+          nList = 32, nProbe = 8, m = 8, ksub = 16, dim = 64,
+          sampleSize = 4000, iters = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- deterministic weighted sample (oracle-checked): Efraimidis-
+    // Spirakis priorities from (salt, id)-derived uniforms — sampling
+    // ∝ n_chars per language, reproducible across engines and runs.
+    "q78_weighted_sample" -> ((s, dir) => {
+      TextOps.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+          Seq("lang"), k = 25)
+        .select("lang", "doc_id", "n_chars", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    }),
+
     // ---- deterministic stratified sample (oracle-checked): 20 docs per
     // language, ranked by md5(salt:id) — reproducible, engine-independent,
     // one shuffle on the stratum key
@@ -1935,6 +1959,19 @@ object SparkEntry {
         |  AND abs(round(("value" - sm/n_prior)
         |    / sqrt((s2 - sm*sm/n_prior)/(n_prior - 1)), 4)) > 3
         |ORDER BY event_id""".stripMargin,
+
+    "q78_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    -ln((('0x' || substr(md5('graft:' || doc_id), 1, 8))::BIGINT + 0.5)
+        |        / 4294967296.0) / n_chars AS priority
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT lang, doc_id, n_chars,
+        |  CAST(row_number() OVER w AS BIGINT) AS sample_rank
+        |FROM keyed
+        |WINDOW w AS (PARTITION BY lang ORDER BY priority, doc_id)
+        |QUALIFY row_number() OVER w <= 25
+        |ORDER BY lang, sample_rank""".stripMargin,
 
     "q62_stratified_sample" ->
       """WITH ranked AS (

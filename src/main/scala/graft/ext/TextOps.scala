@@ -399,6 +399,40 @@ object TextOps {
     * stratum's approximate count) before ranking — the operator composes
     * with itself, so the pre-filter does not change the final sample.
     */
+  /** Deterministic WEIGHTED sampling without replacement
+    * (Efraimidis–Spirakis exponential-rank): each row draws
+    * u ∈ (0,1) as a pure function of (salt, id) — the first 8 md5 hex
+    * digits as a 32-bit fraction — and competes with priority
+    * −ln(u)/weight; the `k` smallest priorities per group win. This is
+    * provably equivalent to sequential weighted draws without
+    * replacement, but embarrassingly parallel and reproducible: the
+    * quality-weighted mixture-sampling step of corpus construction
+    * (sample documents ∝ quality score, pages ∝ inlink count, …).
+    *
+    * Scale shape: priority is a pure projection; selection is one
+    * window shuffle on the group key carrying (group, priority, id) —
+    * same discipline as [[stratifiedSample]], which is the
+    * equal-weights special case. Non-positive weights are excluded (a
+    * zero weight has zero inclusion probability; a negative one is
+    * meaningless). Cross-engine: md5, hex-decode and ln behave
+    * identically, so the DuckDB oracle reproduces the exact sample.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     groupCols: Seq[String], k: Int,
+                     salt: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (conv(substring(md5(concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") + lit(0.5)) / lit(4294967296.0)
+    val priority = -log(u) / col(weightCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(priority.asc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
                        perStratum: Int, salt: String = "graft"): DataFrame = {
     require(perStratum > 0, s"perStratum must be positive: $perStratum")

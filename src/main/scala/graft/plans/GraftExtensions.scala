@@ -107,6 +107,27 @@ object GraftFunctions {
     BloomContainsExpr(children.head, bytes)
   }
 
+  private def pqEncodeBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 5,
+      "graft_pq_encode(vec, codebooks, m, dsub, ksub)")
+    val cbLit = children(1)
+    if (!cbLit.foldable) throw new IllegalArgumentException(
+      s"codebooks must be an array literal, got non-literal ${cbLit.sql}")
+    // the literal codebook matrix is absorbed into the expression OBJECT
+    val codebooks = cbLit.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
+      case other => throw new IllegalArgumentException(
+        s"codebooks must be an array<double> literal, got $other")
+    }
+    PqEncodeExpr(children.head, codebooks, intLit(children, 2, "m"),
+      intLit(children, 3, "dsub"), intLit(children, 4, "ksub"))
+  }
+
+  private def pqAdcBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 3, "graft_pq_adc(codes, lut, ksub)")
+    PqAdcExpr(children(0), children(1), intLit(children, 2, "ksub"))
+  }
+
   private def misraGriesBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, "graft_misra_gries(item, k)")
     MisraGriesAgg(children.head, intLit(children, 1, "k"))
@@ -140,7 +161,13 @@ object GraftFunctions {
     (FunctionIdentifier("graft_misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName,
         "graft_misra_gries"),
-      misraGriesBuilder))
+      misraGriesBuilder),
+    (FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
+      pqEncodeBuilder),
+    (FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
+      pqAdcBuilder))
 
   /** Idempotent runtime registration on an existing session: the native
     * functions plus the [[LevenshteinBandRule]] optimizer rule.

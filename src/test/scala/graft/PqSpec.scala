@@ -1,0 +1,96 @@
+package graft
+
+import graft.ext.{Pq, Similarity}
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: codebook determinism, encode contract (range, degenerate
+  * inputs), native ADC ≡ driver-side gather, compression shape, and
+  * end-to-end recall against the exact baseline.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 8; private val Ksub = 16; private val Dim = 64
+  private val Dsub = Dim / M
+
+  private lazy val emb =
+    CrossoverBench.syntheticEmbeddings(spark, 2000, Dim, seed = 7L).cache()
+  private lazy val queries = emb.filter(col("vec_id") % 100 === 0)
+
+  test("trainCodebooks is deterministic with the declared shape") {
+    def run() = Pq.trainCodebooks(emb, "embedding", M, Ksub, Dim,
+      sampleSize = 1000, iters = 4)
+    val a = run()
+    assert(a.length == M * Ksub * Dsub)
+    assert(a.toSeq == run().toSeq)
+  }
+
+  test("encode: codes in range, m per vector, degenerate inputs all-zero") {
+    GraftFunctions.register(spark)
+    val cb = Pq.trainCodebooks(emb, "embedding", M, Ksub, Dim,
+      sampleSize = 1000, iters = 4)
+    val codes = emb.select(Pq.encode(col("embedding"), cb, M, Dsub, Ksub))
+      .as[Seq[Int]].collect()
+    assert(codes.length == 2000)
+    codes.foreach { cs =>
+      assert(cs.length == M)
+      assert(cs.forall(c => c >= 0 && c < Ksub))
+    }
+    // at least two distinct codewords used somewhere (quantizer is alive)
+    assert(codes.flatten.distinct.length > 1)
+    val degen = Seq(
+      (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array.fill(10)(0.5f)),     // wrong dim
+      (3L, Array.fill(Dim)(0.0f))     // zero norm
+    ).toDF("id", "vec")
+      .select(Pq.encode(col("vec"), cb, M, Dsub, Ksub)).as[Seq[Int]].collect()
+    degen.foreach(cs => assert(cs == Seq.fill(M)(0)))
+  }
+
+  test("native ADC equals the driver-side table gather") {
+    GraftFunctions.register(spark)
+    val cb = Pq.trainCodebooks(emb, "embedding", M, Ksub, Dim,
+      sampleSize = 1000, iters = 4)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .as[Seq[Double]].head().toArray
+    val lut = Pq.lutFor(q, cb, M, Dsub, Ksub)
+    val rows = emb.limit(50)
+      .select(col("vec_id"),
+        Pq.encode(col("embedding"), cb, M, Dsub, Ksub).as("codes"))
+      .withColumn("adc", call_function("graft_pq_adc", col("codes"),
+        typedlit(lut.toSeq), lit(Ksub)))
+      .as[(Long, Seq[Int], Double)].collect()
+    rows.foreach { case (id, codes, adc) =>
+      val manual = codes.zipWithIndex.map { case (c, s) => lut(s * Ksub + c) }.sum
+      assert(math.abs(adc - manual) < 1e-12, s"ADC diverges on vec $id")
+    }
+  }
+
+  test("ADC refuses malformed input with null, not a fabricated distance") {
+    GraftFunctions.register(spark)
+    val bad = Seq((Seq(0, 99), Seq.fill(2 * Ksub)(0.0)), // code out of range
+      (Seq(0, 1), Seq.fill(5)(0.0)))                     // lut wrong length
+      .toDF("codes", "lut")
+      .select(call_function("graft_pq_adc", col("codes"), col("lut"),
+        lit(Ksub)))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
+  test("ivfPqTopK recall >= 0.7 vs brute force, deterministic run to run") {
+    GraftFunctions.register(spark)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dim = Some(Dim))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nList = 16, nProbe = 8, m = M, ksub = Ksub, dim = Dim,
+        sampleSize = 2000, iters = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = run()
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF-PQ recall $recall below bound")
+    assert(got == run(), "IVF-PQ must be deterministic")
+  }
+}

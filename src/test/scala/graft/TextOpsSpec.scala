@@ -204,6 +204,32 @@ class TextOpsSpec extends SparkSpec {
       budgetTokens = 10L).count() == 0L)
   }
 
+  test("weightedSample: deterministic, biased to heavy weights, gated") {
+    // 95 light docs (weight 1) vs 5 heavy (weight 10000): with
+    // exponential-rank priorities the heavies all but surely take the 5
+    // slots; one doc has weight 0 and must never appear
+    val docs = (1L to 100L).map { i =>
+      val w = if (i <= 5) 10000L else if (i == 100L) 0L else 1L
+      (i, "g", w)
+    }.toDF("doc_id", "grp", "w")
+    def run() = TextOps.weightedSample(docs, "doc_id", "w", Seq("grp"), k = 5)
+      .select("doc_id", "sample_rank").as[(Long, Long)].collect().sortBy(_._2)
+    val a = run()
+    assert(a.toSeq == run().toSeq, "sample must be reproducible")
+    assert(a.length == 5)
+    assert(a.count(_._1 <= 5) >= 4, s"heavy docs under-sampled: ${a.toSeq}")
+    assert(!a.exists(_._1 == 100L), "zero-weight row sampled")
+  }
+
+  test("weightedSample samples per group independently") {
+    val docs = Seq((1L, "x", 5L), (2L, "x", 5L), (3L, "y", 5L))
+      .toDF("doc_id", "grp", "w")
+    val out = TextOps.weightedSample(docs, "doc_id", "w", Seq("grp"), k = 1)
+      .select("grp", "doc_id").as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("x", "y"))
+    assert(out("y") == 3L)
+  }
+
   test("chunkTokens covers every token with ceil(n/stride) overlapping chunks") {
     // 10 tokens, window 4, stride 3 -> starts 0,3,6,9; last chunk short
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
