@@ -61,7 +61,8 @@ object CrossoverBench {
     import spark.implicits._
 
     val k = 10
-    println("corpus,queries,brute_sec,lsh_sec,lsh_recall,ivf_sec,ivf_recall")
+    println("corpus,queries,brute_sec,lsh_sec,lsh_recall,ivf_sec,ivf_recall," +
+      "ivfpq_sec,ivfpq_recall")
     sizes.foreach { n =>
       val emb = syntheticEmbeddings(spark, n, 64, seed = 42L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
@@ -87,10 +88,20 @@ object CrossoverBench {
           .select("query_id", "neighbor_id")
           .as[(Long, Long)].collect().toSet
       }
+      // IVF-PQ: same coarse lists, candidates scored from 8-int codes
+      // (timing includes coarse + codebook training)
+      val (pqRows, pqSec) = time {
+        graft.ext.Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", k,
+            nList = math.max(64, n / 200), nProbe = 4, m = 8, ksub = 64,
+            dim = 64)
+          .select("query_id", "neighbor_id")
+          .as[(Long, Long)].collect().toSet
+      }
       def recall(rows: Set[(Long, Long)]) =
         rows.intersect(bruteRows).size.toDouble / bruteRows.size
       println(f"$n,${n / 200},$bruteSec%.2f,$lshSec%.2f,${recall(lshRows)}%.3f," +
-        f"$ivfSec%.2f,${recall(ivfRows)}%.3f")
+        f"$ivfSec%.2f,${recall(ivfRows)}%.3f," +
+        f"$pqSec%.2f,${recall(pqRows)}%.3f")
       emb.unpersist()
     }
     spark.stop()

@@ -903,6 +903,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- k-step funnel conversion (oracle-checked): first-touch,
+    // strictly-ordered view → click → purchase over the event log; one
+    // tiny (user, t_step) relation per step, never a row-to-row
+    // self-join.
+    "q80_funnel" -> ((s, dir) => {
+      graft.ext.Funnel.conversion(events(s, dir), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"))
+        .orderBy("step")
+    }),
+
     // ---- IVF-PQ ANN (rows-only; recall + parity spec-pinned): the
     // storage-changing index family — corpus vectors compressed to m=8
     // codes, candidates scored by native ADC table gathers without ever
@@ -912,7 +922,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
       graft.ext.Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
-          nList = 32, nProbe = 8, m = 8, ksub = 16, dim = 64,
+          nList = 32, nProbe = 8, m = 8, ksub = 64, dim = 64,
           sampleSize = 4000, iters = 8)
         .orderBy("query_id", "rank")
     }),
@@ -1959,6 +1969,32 @@ object SparkEntry {
         |  AND abs(round(("value" - sm/n_prior)
         |    / sqrt((s2 - sm*sm/n_prior)/(n_prior - 1)), 4)) > 3
         |ORDER BY event_id""".stripMargin,
+
+    "q80_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s1.user_id, t1, min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |  GROUP BY s1.user_id, t1),
+        |s3 AS (
+        |  SELECT s2.user_id, t1, t2, min(CASE WHEN e.ts > t2 THEN e.ts END) AS t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |  GROUP BY s2.user_id, t1, t2),
+        |c AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM s3)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, n1 AS n_users,
+        |  CASE WHEN n1 > 0 THEN round(n1::DOUBLE / n1, 4) ELSE 0.0 END AS conversion
+        |FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', n2,
+        |  CASE WHEN n1 > 0 THEN round(n2::DOUBLE / n1, 4) ELSE 0.0 END FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', n3,
+        |  CASE WHEN n2 > 0 THEN round(n3::DOUBLE / n2, 4) ELSE 0.0 END FROM c
+        |ORDER BY step""".stripMargin,
 
     "q78_weighted_sample" ->
       """WITH keyed AS (

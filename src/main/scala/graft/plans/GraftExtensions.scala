@@ -107,20 +107,27 @@ object GraftFunctions {
     BloomContainsExpr(children.head, bytes)
   }
 
-  private def pqEncodeBuilder(children: Seq[Expression]): Expression = {
-    require(children.size == 5,
-      "graft_pq_encode(vec, codebooks, m, dsub, ksub)")
-    val cbLit = children(1)
-    if (!cbLit.foldable) throw new IllegalArgumentException(
-      s"codebooks must be an array literal, got non-literal ${cbLit.sql}")
-    // the literal codebook matrix is absorbed into the expression OBJECT
-    val codebooks = cbLit.eval() match {
+  private def doubleArrayLit(children: Seq[Expression], i: Int,
+                             what: String): Array[Double] = {
+    val c = children(i)
+    if (!c.foldable) throw new IllegalArgumentException(
+      s"$what must be an array literal, got non-literal ${c.sql}")
+    // the literal matrix is absorbed into the expression OBJECT
+    c.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
       case other => throw new IllegalArgumentException(
-        s"codebooks must be an array<double> literal, got $other")
+        s"$what must be an array<double> literal, got $other")
     }
-    PqEncodeExpr(children.head, codebooks, intLit(children, 2, "m"),
-      intLit(children, 3, "dsub"), intLit(children, 4, "ksub"))
+  }
+
+  private def pqEncodeBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 7,
+      "graft_pq_encode(vec, list, codebooks, coarse, m, dsub, ksub)")
+    PqEncodeExpr(children(0), children(1),
+      doubleArrayLit(children, 2, "codebooks"),
+      doubleArrayLit(children, 3, "coarse"),
+      intLit(children, 4, "m"), intLit(children, 5, "dsub"),
+      intLit(children, 6, "ksub"))
   }
 
   private def pqAdcBuilder(children: Seq[Expression]): Expression = {

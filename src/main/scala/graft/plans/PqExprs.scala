@@ -1,55 +1,71 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
-/** Product-quantization ENCODE: L2-normalize the vector, split it into
+/** Product-quantization ENCODE with residuals — the IVF-PQ layout:
+  * L2-normalize the vector, subtract its coarse-list centroid (the
+  * `right` child is the row's IVF list id), split the RESIDUAL into
   * `m` contiguous subspaces of `dsub` dims, and per subspace emit the
-  * index of the L2-nearest codebook centroid — the `m`-code compressed
-  * representation of the vector (`m` small ints instead of `m·dsub`
-  * floats). On normalized vectors squared-L2 is 2 − 2·cosine, so
-  * PQ distance ordering tracks the cosine ordering the rest of the ANN
-  * family ranks by.
+  * index of the L2-nearest codebook centroid. Residual encoding is what
+  * makes PQ resolve within-cluster differences: the cluster mean —
+  * common to every candidate a probe sees — is removed before
+  * quantization, so the codebooks spend their bits on what
+  * distinguishes neighbors (FAISS IndexIVFPQ architecture; public
+  * knowledge).
   *
-  * The codebook matrix (flat row-major `[sub][centroid][dim]`,
-  * m·ksub·dsub doubles) rides in the expression OBJECT, not the plan
-  * tree — same analysis-size rationale as [[IvfAssignExpr]].
+  * The codebook matrix (flat `[sub][centroid][dim]`, m·ksub·dsub) and
+  * the coarse-centroid matrix (flat `[list][dim]`) ride in the
+  * expression OBJECT, not the plan tree — same analysis-size rationale
+  * as [[IvfAssignExpr]]. A zero-length coarse matrix means "no
+  * residual" (plain PQ on the normalized vector).
   *
-  * Degenerate inputs (null vector, wrong length, null/NaN element,
-  * zero norm) encode as all-zero codes — the deterministic degenerate
-  * bucket, mirroring [[IvfAssignExpr]]'s convention.
+  * Degenerate inputs (null vector/list, wrong length, null/NaN
+  * element, zero norm, list id outside the coarse matrix) encode as
+  * all-zero codes — the deterministic degenerate bucket.
   */
-final case class PqEncodeExpr(child: Expression, codebooks: Array[Double],
+final case class PqEncodeExpr(left: Expression, right: Expression,
+                              codebooks: Array[Double],
+                              coarse: Array[Double],
                               m: Int, dsub: Int, ksub: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback {
 
-  require(m >= 1 && dsub >= 1 && ksub >= 1, s"bad PQ shape m=$m dsub=$dsub ksub=$ksub")
+  require(m >= 1 && dsub >= 1 && ksub >= 1,
+    s"bad PQ shape m=$m dsub=$dsub ksub=$ksub")
   require(codebooks.length == m * ksub * dsub,
     s"codebook matrix ${codebooks.length} != m*ksub*dsub ${m * ksub * dsub}")
+  require(coarse.isEmpty || coarse.length % (m * dsub) == 0,
+    s"coarse matrix ${coarse.length} not a multiple of dim ${m * dsub}")
 
   private def dim: Int = m * dsub
+  private def nLists: Int = coarse.length / dim
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = false
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_pq_encode expects array<float|double>, got ${other.sql}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode expects (array<float|double>, int), got (${l.sql}, ${r.sql})")
+    }
 
   @transient private lazy val isFloat: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   private def degenerate: GenericArrayData =
     new GenericArrayData(new Array[Int](m))
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return degenerate
+    val v = left.eval(input)
+    val listV = right.eval(input)
+    if (v == null || listV == null) return degenerate
+    val list = listV.asInstanceOf[Int]
+    if (coarse.nonEmpty && (list < 0 || list >= nLists)) return degenerate
     val arr = v.asInstanceOf[ArrayData]
     if (arr.numElements() != dim) return degenerate
     val vec = new Array[Double](dim)
@@ -65,6 +81,12 @@ final case class PqEncodeExpr(child: Expression, codebooks: Array[Double],
     }
     if (norm2 == 0.0) return degenerate
     val inv = 1.0 / math.sqrt(norm2)
+    val cOff = list * dim
+    j = 0
+    while (j < dim) {
+      vec(j) = vec(j) * inv - (if (coarse.isEmpty) 0.0 else coarse(cOff + j))
+      j += 1
+    }
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -77,7 +99,7 @@ final case class PqEncodeExpr(child: Expression, codebooks: Array[Double],
         var d = 0.0
         j = 0
         while (j < dsub) {
-          val diff = vec(vOff + j) * inv - codebooks(cbOff + j)
+          val diff = vec(vOff + j) - codebooks(cbOff + j)
           d += diff * diff
           j += 1
         }
@@ -90,16 +112,17 @@ final case class PqEncodeExpr(child: Expression, codebooks: Array[Double],
     new GenericArrayData(codes)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeExpr =
+    copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_pq_encode"
 }
 
 /** Asymmetric-distance computation (ADC): given a row's PQ codes and a
   * query's lookup table (`lut[sub*ksub + c]` = squared L2 between the
-  * query's subvector and codebook centroid `c` of subspace `sub`),
-  * return the approximate squared distance Σ_sub lut[sub·ksub +
+  * query's residual subvector and codebook centroid `c` of subspace
+  * `sub`), return the approximate squared distance Σ_sub lut[sub·ksub +
   * codes[sub]] — the per-candidate hot path of IVF-PQ search, one
   * gather+add per subspace, never touching raw vectors.
   *

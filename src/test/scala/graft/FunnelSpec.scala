@@ -1,0 +1,56 @@
+package graft
+
+import graft.ext.Funnel
+
+/** Funnel semantics: first-touch strictly-ordered steps, out-of-order
+  * events don't count, and the conversion report's denominators.
+  */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  // A completes in order; B clicked BEFORE viewing (click must not
+  // count; a later second click does); C views only; D's purchase
+  // precedes the click (step 3 not reached)
+  private lazy val events = Seq(
+    (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 10:05:00"),
+    (1L, "purchase", "2024-01-01 10:10:00"),
+    (2L, "click", "2024-01-01 09:00:00"), (2L, "view", "2024-01-01 09:30:00"),
+    (2L, "click", "2024-01-01 09:45:00"),
+    (3L, "view", "2024-01-01 08:00:00"),
+    (4L, "view", "2024-01-01 07:00:00"), (4L, "purchase", "2024-01-01 07:30:00"),
+    (4L, "click", "2024-01-01 08:00:00")
+  ).map { case (u, t, at) => (u, t, ts(at)) }.toDF("user_id", "event_type", "ts")
+
+  test("stepTimes: earliest strictly-later time per step, nulls cascade") {
+    val rows = Funnel.stepTimes(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .select("user_id", "t_1", "t_2", "t_3")
+      .collect().map(r => r.getLong(0) ->
+        (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    assert(rows(1L) == ((ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 10:05:00"), ts("2024-01-01 10:10:00"))))
+    // B: the 09:00 click is before the 09:30 view; the 09:45 click counts
+    assert(rows(2L) == ((ts("2024-01-01 09:30:00"),
+      ts("2024-01-01 09:45:00"), null)))
+    assert(rows(3L) == ((ts("2024-01-01 08:00:00"), null, null)))
+    // D: purchase at 07:30 precedes the 08:00 click -> step 3 unreached
+    assert(rows(4L) == ((ts("2024-01-01 07:00:00"),
+      ts("2024-01-01 08:00:00"), null)))
+  }
+
+  test("conversion report: counts and per-step rates") {
+    val rep = Funnel.conversion(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rep.toSeq == Seq(
+      (1L, "view", 4L, 1.0),      // all four users viewed
+      (2L, "click", 3L, 0.75),    // users 1, 2, 4
+      (3L, "purchase", 1L, round4(1.0 / 3))))
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+}

@@ -1,36 +1,48 @@
 package graft
 
-import graft.ext.{Pq, Similarity}
+import graft.ext.{Ivf, Pq, Similarity}
 import graft.plans.GraftFunctions
 import org.apache.spark.sql.functions._
 
-/** IVF-PQ: codebook determinism, encode contract (range, degenerate
-  * inputs), native ADC ≡ driver-side gather, compression shape, and
-  * end-to-end recall against the exact baseline.
+/** IVF-PQ: codebook determinism, residual-encode contract (range,
+  * degenerate inputs), native ADC ≡ driver-side gather, and end-to-end
+  * recall against the exact baseline.
   */
 class PqSpec extends SparkSpec {
   import spark.implicits._
 
   private val M = 8; private val Ksub = 16; private val Dim = 64
   private val Dsub = Dim / M
+  private val NoCoarse = Array.empty[Double] // plain-PQ mode for unit tests
 
   private lazy val emb =
     CrossoverBench.syntheticEmbeddings(spark, 2000, Dim, seed = 7L).cache()
   private lazy val queries = emb.filter(col("vec_id") % 100 === 0)
 
   test("trainCodebooks is deterministic with the declared shape") {
-    def run() = Pq.trainCodebooks(emb, "embedding", M, Ksub, Dim,
+    def run() = Pq.trainCodebooks(emb, "embedding", NoCoarse, M, Ksub, Dim,
       sampleSize = 1000, iters = 4)
     val a = run()
     assert(a.length == M * Ksub * Dsub)
     assert(a.toSeq == run().toSeq)
   }
 
+  test("residual codebooks differ from plain ones (residuals engage)") {
+    val coarse = Ivf.trainCentroids(emb, "embedding", nList = 8, dim = Dim,
+      sampleSize = 1000, iters = 4)
+    val plain = Pq.trainCodebooks(emb, "embedding", NoCoarse, M, Ksub, Dim,
+      sampleSize = 1000, iters = 4)
+    val resid = Pq.trainCodebooks(emb, "embedding", coarse, M, Ksub, Dim,
+      sampleSize = 1000, iters = 4)
+    assert(plain.toSeq != resid.toSeq)
+  }
+
   test("encode: codes in range, m per vector, degenerate inputs all-zero") {
     GraftFunctions.register(spark)
-    val cb = Pq.trainCodebooks(emb, "embedding", M, Ksub, Dim,
+    val cb = Pq.trainCodebooks(emb, "embedding", NoCoarse, M, Ksub, Dim,
       sampleSize = 1000, iters = 4)
-    val codes = emb.select(Pq.encode(col("embedding"), cb, M, Dsub, Ksub))
+    val codes = emb.select(Pq.encode(col("embedding"), lit(0), cb, NoCoarse,
+        M, Dsub, Ksub))
       .as[Seq[Int]].collect()
     assert(codes.length == 2000)
     codes.foreach { cs =>
@@ -44,21 +56,29 @@ class PqSpec extends SparkSpec {
       (2L, Array.fill(10)(0.5f)),     // wrong dim
       (3L, Array.fill(Dim)(0.0f))     // zero norm
     ).toDF("id", "vec")
-      .select(Pq.encode(col("vec"), cb, M, Dsub, Ksub)).as[Seq[Int]].collect()
+      .select(Pq.encode(col("vec"), lit(0), cb, NoCoarse, M, Dsub, Ksub))
+      .as[Seq[Int]].collect()
     degen.foreach(cs => assert(cs == Seq.fill(M)(0)))
+    // out-of-range coarse list id is degenerate too, not a crash
+    val badList = Seq((1L, Array.fill(Dim)(0.5f))).toDF("id", "vec")
+      .select(Pq.encode(col("vec"), lit(99), cb,
+        Array.fill(4 * Dim)(0.1), M, Dsub, Ksub))
+      .as[Seq[Int]].head()
+    assert(badList == Seq.fill(M)(0))
   }
 
   test("native ADC equals the driver-side table gather") {
     GraftFunctions.register(spark)
-    val cb = Pq.trainCodebooks(emb, "embedding", M, Ksub, Dim,
+    val cb = Pq.trainCodebooks(emb, "embedding", NoCoarse, M, Ksub, Dim,
       sampleSize = 1000, iters = 4)
     val q = emb.filter(col("vec_id") === 0)
       .select(transform(col("embedding"), x => x.cast("double")))
       .as[Seq[Double]].head().toArray
-    val lut = Pq.lutFor(q, cb, M, Dsub, Ksub)
+    val lut = Pq.lutFor(q, 0, cb, NoCoarse, M, Dsub, Ksub)
     val rows = emb.limit(50)
       .select(col("vec_id"),
-        Pq.encode(col("embedding"), cb, M, Dsub, Ksub).as("codes"))
+        Pq.encode(col("embedding"), lit(0), cb, NoCoarse, M, Dsub, Ksub)
+          .as("codes"))
       .withColumn("adc", call_function("graft_pq_adc", col("codes"),
         typedlit(lut.toSeq), lit(Ksub)))
       .as[(Long, Seq[Int], Double)].collect()
@@ -79,18 +99,18 @@ class PqSpec extends SparkSpec {
     assert(bad.forall(_.isNullAt(0)))
   }
 
-  test("ivfPqTopK recall >= 0.7 vs brute force, deterministic run to run") {
+  test("ivfPqTopK recall >= 0.8 vs brute force, deterministic run to run") {
     GraftFunctions.register(spark)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
         k = 5, dim = Some(Dim))
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     def run() = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
-        nList = 16, nProbe = 8, m = M, ksub = Ksub, dim = Dim,
+        nList = 16, nProbe = 8, m = M, ksub = 32, dim = Dim,
         sampleSize = 2000, iters = 8)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val got = run()
     val recall = got.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.7, s"IVF-PQ recall $recall below bound")
+    assert(recall >= 0.8, s"IVF-PQ recall $recall below bound")
     assert(got == run(), "IVF-PQ must be deterministic")
   }
 }
