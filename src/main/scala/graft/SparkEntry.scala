@@ -913,6 +913,27 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // ---- retention cohorts (oracle-checked): users bucketed by
+    // first-seen day × activity-day offset — the companion analytics
+    // staple to q80's funnel; two aggregations and one join, all keyed.
+    "q81_retention" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val firstSeen = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .join(firstSeen, "user_id")
+        .withColumn("day_offset",
+          datediff(col("day"), col("cohort_day")).cast("long"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("n_active"))
+        // dates surface as ISO strings: pandas reads a parquet DATE and a
+        // DuckDB DATE into different dtypes, so the gate would miscompare
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // ---- IVF-PQ ANN (rows-only; recall + parity spec-pinned): the
     // storage-changing index family — corpus vectors compressed to m=8
     // codes, candidates scored by native ADC table gathers without ever
@@ -1969,6 +1990,18 @@ object SparkEntry {
         |  AND abs(round(("value" - sm/n_prior)
         |    / sqrt((s2 - sm*sm/n_prior)/(n_prior - 1)), 4)) > 3
         |ORDER BY event_id""".stripMargin,
+
+    "q81_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM act a JOIN fs USING (user_id)
+        |GROUP BY cohort_day, datediff('day', cohort_day, day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q80_funnel" ->
       """WITH s1 AS (

@@ -51,6 +51,14 @@ object Outliers {
     * online. Running sums go through DECIMAL so the result is
     * independent of the engine's frame-aggregation order. Rows within
     * the first `minPrior` observations of their group never flag.
+    *
+    * Scale note: an unbounded-preceding frame serializes each group
+    * through one task — fine for a bounded group population (metric
+    * names, event types), wrong for a group that alone exceeds a task.
+    * At that size, switch to epoch-seeded scoring (per-epoch base
+    * moments from [[zscoreOutliers]]'s aggregate, prequential only
+    * within the epoch) or to the streaming fold, which carries the
+    * moments in O(1) state instead of a frame.
     */
   def prequentialOutliers(df: DataFrame, groupCol: String,
                           orderCols: Seq[String], valueCol: String,

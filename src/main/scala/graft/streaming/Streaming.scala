@@ -204,6 +204,67 @@ object AnomalyDetect {
     }
 }
 
+/** One event on a funnel stream. */
+final case class FunnelEvent(user_id: Long, ts_micros: Long,
+                             event_type: String)
+
+/** A user advancing to funnel step `step` (1-based) at `ts_micros`. */
+final case class FunnelAdvance(user_id: Long, step: Int, event_type: String,
+                               ts_micros: Long)
+
+/** Per-user funnel progress: 0-based index of the next step awaited and
+  * the time of the last completed step (O(1) per user).
+  */
+final case class FunnelProgress(nextStep: Int, lastTs: Long)
+
+/** Streaming twin of [[graft.ext.Funnel]]: per-user first-touch,
+  * strictly-ordered step progression tracked in `flatMapGroupsWithState`
+  * — each advance is emitted the moment the qualifying event arrives,
+  * instead of in a retrospective batch scan. Processing events in time
+  * order, the greedy advance ("first qualifying event while awaiting
+  * step i") selects exactly the batch operator's earliest-qualifying
+  * times (spec-pinned equal); the cross-batch ordering contract is the
+  * same as [[AnomalyDetect]]'s.
+  */
+object FunnelStream {
+
+  /** Fold one user's time-sorted events through the progress state —
+    * shared verbatim by the streaming operator and the batch reference.
+    */
+  def advance(user: Long, steps: IndexedSeq[String],
+              sorted: Seq[(Long, String)],
+              st0: FunnelProgress): (List[FunnelAdvance], FunnelProgress) = {
+    var st = st0
+    var out = List.empty[FunnelAdvance]
+    sorted.foreach { case (ts, tpe) =>
+      if (st.nextStep < steps.length && tpe == steps(st.nextStep) &&
+          (st.nextStep == 0 || ts > st.lastTs)) {
+        out ::= FunnelAdvance(user, st.nextStep + 1, tpe, ts)
+        st = FunnelProgress(st.nextStep + 1, ts)
+      }
+    }
+    (out.reverse, st)
+  }
+
+  def advances(events: Dataset[FunnelEvent],
+               steps: Seq[String]): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val idx = steps.toIndexedSeq
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FunnelProgress]) =>
+          val sorted = rows.map(e => (e.ts_micros, e.event_type)).toSeq.sorted
+          val (out, st) = advance(user, idx, sorted,
+            state.getOption.getOrElse(FunnelProgress(0, Long.MinValue)))
+          state.update(st)
+          out.iterator
+      }
+  }
+}
+
 /** One event for stateful sessionization (micros since epoch keeps the
   * state encoder trivial and comparison exact).
   */

@@ -40,6 +40,37 @@ class FunnelSpec extends SparkSpec {
       ts("2024-01-01 08:00:00"), null)))
   }
 
+  test("streaming funnel advances equal the batch step times") {
+    import graft.streaming.{FunnelAdvance, FunnelEvent, FunnelStream}
+    implicit val sqlCtx = spark.sqlContext
+    val all = events.collect()
+      .map(r => FunnelEvent(r.getLong(0), r.getTimestamp(2).getTime * 1000,
+        r.getString(1)))
+      .sortBy(e => (e.ts_micros, e.user_id))
+    // batch ground truth: stepTimes rows → (user, step, ts) advances
+    val expected = Funnel.stepTimes(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().flatMap { r =>
+        (1 to 3).flatMap { i =>
+          Option(r.getTimestamp(i)).map(t => (r.getLong(0), i, t.getTime * 1000))
+        }
+      }.toSet
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEvent]
+    val q = FunnelStream.advances(in.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_adv")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2) // time-ordered batches
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("funnel_adv").as[FunnelAdvance].collect()
+        .map(a => (a.user_id, a.step, a.ts_micros)).toSet
+      assert(streamed == expected)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("conversion report: counts and per-step rates") {
     val rep = Funnel.conversion(events, "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))
