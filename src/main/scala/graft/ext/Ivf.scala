@@ -117,16 +117,22 @@ object Ivf {
       val n = math.sqrt(s)
       if (n == 0.0) v else v.map(_ / n)
     }
+    // the training scans the corpus 1 (init) + `iters` times: cache the
+    // one-column projection for the duration (a DERIVED frame, so
+    // unpersisting cannot evict a cache the caller owns)
+    val src = emb.select(col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // unit-normalized double vectors, computed once per iteration scan
     val vd = transform(col(vecCol), x => x.cast("double"))
     val nrm = sqrt(aggregate(vd, lit(0.0d), (acc, x) => acc + x * x))
     val safeNrm = when(nrm > 0.0, nrm).otherwise(lit(1.0)) // zero vector → itself
     val unit = transform(vd, x => x / safeNrm).as("__v")
-    var centroids = trainCentroids(emb, vecCol, nList, dim, initSample, 0)
+    var centroids = trainCentroids(src, vecCol, nList, dim, initSample, 0)
 
     var it = 0
     while (it < iters) {
-      val assigned = emb.filter(size(col(vecCol)) === dim)
+      val assigned = src.filter(size(col(vecCol)) === dim)
         .select(element_at(
           assignLists(col(vecCol), centroids, dim, 1), 1).as("__list"), unit)
       val rows = assigned
@@ -156,6 +162,7 @@ object Ivf {
       it += 1
     }
     centroids
+    } finally src.unpersist(blocking = false)
   }
 
   /** Nearest-`probes` centroid ids for a vector column (native

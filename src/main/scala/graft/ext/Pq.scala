@@ -203,21 +203,8 @@ object Pq {
         transform(col(vecCol), x => x.cast("double")))
       .as[(Long, Seq[Double])].collect()
       .map { case (id, v) => (id, v.toArray) }
-    val probesOf: Array[Double] => Seq[Int] = { v =>
-      // same nearest-coarse ranking the native assignment uses
-      var n2 = 0.0; var j = 0
-      while (j < v.length) { n2 += v(j) * v(j); j += 1 }
-      val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 1.0
-      val k2 = coarse.length / dim
-      val dots = Array.tabulate(k2) { c =>
-        var acc = 0.0; var i = 0
-        while (i < dim) { acc += v(i) * inv * coarse(c * dim + i); i += 1 }
-        (acc, c)
-      }
-      dots.sortBy { case (d, c) => (-d, c) }.take(nProbe).map(_._2).toSeq
-    }
     val qDf = qRows.toSeq.flatMap { case (id, v) =>
-      probesOf(v).map { list =>
+      probeLists(v, coarse, dim, nProbe).map { list =>
         (id, list, lutFor(v, list, codebooks, coarse, m, dsub, ksub).toSeq)
       }
     }.toDF("query_id", "list", "lut")
@@ -237,5 +224,122 @@ object Pq {
 
     Similarity.rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim,
       useNative = true)
+  }
+
+  // ---------------------------------------------------------- persistence
+
+  /** Persist a trained IVF-PQ index: the corpus with coarse list id +
+    * residual codes + (for the final rerank) the raw vector, written
+    * `bucketBy(list)` into the table catalog, plus both model matrices
+    * as `<table>_model` — self-contained: a later session reloads and
+    * probes without retraining.
+    *
+    * Why bucketed: probing is an equi-join on `list`; the bucketed scan
+    * satisfies that join's distribution, so every future probe shuffles
+    * only the (tiny) query side — the pay-the-shuffle-once rationale of
+    * [[Ivf.writeIndex]], with the additional PQ payoff that the
+    * candidate phase reads codes, not vectors.
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 coarse: Array[Double], codebooks: Array[Double],
+                 m: Int, dsub: Int, ksub: Int, table: String,
+                 nBuckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    corpus
+      .select(col(idCol), col(vecCol),
+        element_at(Ivf.assignLists(col(vecCol), coarse, m * dsub, 1), 1)
+          .as("list"))
+      .select(col(idCol), col(vecCol), col("list"),
+        encode(col(vecCol), col("list"), codebooks, coarse, m, dsub, ksub)
+          .as("codes"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "list").sortBy("list")
+      .mode("overwrite").saveAsTable(table)
+    import spark.implicits._
+    // both matrices + the shape in one tiny table; shape rides on every
+    // row so a decode with the wrong geometry is impossible
+    val rows =
+      coarse.zipWithIndex.map { case (v, i) => ("coarse", i, v, m, dsub, ksub) } ++
+      codebooks.zipWithIndex.map { case (v, i) => ("codebook", i, v, m, dsub, ksub) }
+    rows.toSeq.toDF("kind", "pos", "value", "m", "dsub", "ksub")
+      .coalesce(1)
+      .write.mode("overwrite").saveAsTable(s"${table}_model")
+  }
+
+  /** Reload the model persisted by [[writeIndex]]:
+    * (coarse, codebooks, m, dsub, ksub).
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                table: String): (Array[Double], Array[Double], Int, Int, Int) = {
+    import spark.implicits._
+    val model = spark.table(s"${table}_model")
+    val (m, dsub, ksub) = model.select("m", "dsub", "ksub").limit(1)
+      .as[(Int, Int, Int)].head()
+    def mat(kind: String): Array[Double] = model
+      .filter(col("kind") === kind).orderBy("pos")
+      .select("value").as[Double].collect()
+    (mat("coarse"), mat("codebook"), m, dsub, ksub)
+  }
+
+  /** IVF-PQ top-k against a PERSISTED index — no training, no
+    * corpus-side shuffle in the candidate phase (the bucketed scan
+    * feeds the list join; spec-pinned), ADC from stored codes, exact
+    * rerank joining vectors back from the same table.
+    */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int = 8,
+                    rerankFactor: Int = 8): DataFrame = {
+    GraftFunctions.register(spark)
+    val (coarse, codebooks, m, dsub, ksub) = loadModel(spark, table)
+    val dim = m * dsub
+    val indexed = spark.table(table)
+    val encoded = indexed.select(col(idCol).as("neighbor_id"), col("list"),
+      col("codes"))
+
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+    val qDf = qRows.toSeq.flatMap { case (id, v) =>
+      probeLists(v, coarse, dim, nProbe).map { list =>
+        (id, list, lutFor(v, list, codebooks, coarse, m, dsub, ksub).toSeq)
+      }
+    }.toDF("query_id", "list", "lut")
+
+    val shortlist = encoded
+      .join(broadcast(qDf), "list")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc",
+        call_function("graft_pq_adc", col("codes"), col("lut"), lit(ksub)))
+      .filter(col("adc").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
+    val cands = shortlist
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k * rerankFactor)
+      .select("query_id", "neighbor_id")
+    Similarity.rerankTopK(cands, indexed, queries, idCol, vecCol, k, dim,
+      useNative = true)
+  }
+
+  /** Nearest-`nProbe` coarse lists for a query vector — the same
+    * dot-then-rank the native assignment expression performs.
+    */
+  private[ext] def probeLists(v: Array[Double], coarse: Array[Double],
+                              dim: Int, nProbe: Int): Seq[Int] = {
+    var n2 = 0.0; var j = 0
+    while (j < v.length) { n2 += v(j) * v(j); j += 1 }
+    val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 1.0
+    val k2 = coarse.length / dim
+    val dots = Array.tabulate(k2) { c =>
+      var acc = 0.0; var i = 0
+      while (i < dim) { acc += v(i) * inv * coarse(c * dim + i); i += 1 }
+      (acc, c)
+    }
+    dots.sortBy { case (d, c) => (-d, c) }.take(nProbe).map(_._2).toSeq
   }
 }

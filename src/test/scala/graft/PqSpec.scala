@@ -99,6 +99,56 @@ class PqSpec extends SparkSpec {
     assert(bad.forall(_.isNullAt(0)))
   }
 
+  test("persisted index: model round-trip, probe parity, corpus unshuffled") {
+    GraftFunctions.register(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_pqdb LOCATION '$loc'")
+    val table = "graft_pqdb.emb_pq"
+    try {
+      val coarse = Ivf.trainCentroids(emb, "embedding", nList = 16, dim = Dim,
+        sampleSize = 2000, iters = 8)
+      val cb = Pq.trainCodebooks(emb, "embedding", coarse, M, 32, Dim,
+        sampleSize = 2000, iters = 8)
+      Pq.writeIndex(emb, "vec_id", "embedding", coarse, cb, M, Dsub, 32,
+        table, nBuckets = 8)
+      // model round-trip is bit-exact
+      val (c2, cb2, m2, d2, k2) = Pq.loadModel(spark, table)
+      assert(c2.toSeq == coarse.toSeq && cb2.toSeq == cb.toSeq)
+      assert((m2, d2, k2) == ((M, Dsub, 32)))
+      // indexed probe equals the train-in-place path (training is
+      // deterministic: same sample + iterations => same model)
+      val indexed = Pq.pqTopKIndexed(spark, table, queries, "vec_id",
+          "embedding", k = 5, nProbe = 8)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val direct = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
+          nList = 16, nProbe = 8, m = M, ksub = 32, dim = Dim,
+          sampleSize = 2000, iters = 8)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert(indexed.nonEmpty && indexed == direct)
+      // candidate phase: with broadcast disabled, the bucketed corpus
+      // side still never exchanges — only the query/LUT side moves
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val enc = spark.table(table)
+          .select(col("vec_id").as("neighbor_id"), col("list"), col("codes"))
+        val qSide = queries.select(col("vec_id").as("query_id"),
+          explode(Ivf.assignLists(col("embedding"), coarse, Dim, 4))
+            .as("list"))
+        val joined = enc.join(qSide, "list")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+          s"expected only the query-side shuffle:\n$plan")
+        assert(plan.contains("Bucketed: true"),
+          s"corpus scan not using buckets:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_pqdb CASCADE")
+    }
+  }
+
   test("ivfPqTopK recall >= 0.8 vs brute force, deterministic run to run") {
     GraftFunctions.register(spark)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
