@@ -913,6 +913,15 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // ---- time-series gap fill (oracle-checked): hourly grid per
+    // event_type, forward-filled by one union + one window pass — the
+    // as-of lookup without a per-grid-point probe join.
+    "q82_gap_fill" -> ((s, dir) => {
+      graft.ext.TimeSeries.forwardFillGrid(events(s, dir), "event_type",
+          "ts", "value", "event_id", step = "1 hour")
+        .orderBy("event_type", "grid_ts")
+    }),
+
     // ---- retention cohorts (oracle-checked): users bucketed by
     // first-seen day × activity-day offset — the companion analytics
     // staple to q80's funnel; two aggregations and one join, all keyed.
@@ -1990,6 +1999,29 @@ object SparkEntry {
         |  AND abs(round(("value" - sm/n_prior)
         |    / sqrt((s2 - sm*sm/n_prior)/(n_prior - 1)), 4)) > 3
         |ORDER BY event_id""".stripMargin,
+
+    "q82_gap_fill" ->
+      """WITH bounds AS (
+        |  SELECT event_type, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+        |  FROM events GROUP BY event_type),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t
+        |  FROM bounds),
+        |u AS (
+        |  SELECT event_type, ts AS t, "value" AS v, 0 AS is_grid, event_id
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_type, t, NULL, 1, NULL FROM grid),
+        |f AS (
+        |  SELECT event_type, t, is_grid,
+        |    last_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY t, is_grid, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM u)
+        |SELECT event_type, t AS grid_ts, filled
+        |FROM f WHERE is_grid = 1
+        |ORDER BY event_type, grid_ts""".stripMargin,
 
     "q81_retention" ->
       """WITH fs AS (
