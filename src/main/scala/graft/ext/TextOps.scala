@@ -421,6 +421,9 @@ object TextOps {
                      groupCols: Seq[String], k: Int,
                      salt: String = "graft"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // a global (ungrouped) sample would serialize through one window
+    // partition — pass an explicit constant group to opt into that
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
     val u = (conv(substring(md5(concat(lit(salt), lit(":"),
         col(idCol).cast("string"))), 1, 8), 16, 10)
       .cast("long") + lit(0.5)) / lit(4294967296.0)

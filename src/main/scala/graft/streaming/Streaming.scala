@@ -224,7 +224,10 @@ final case class FunnelProgress(nextStep: Int, lastTs: Long)
   * order, the greedy advance ("first qualifying event while awaiting
   * step i") selects exactly the batch operator's earliest-qualifying
   * times (spec-pinned equal); the cross-batch ordering contract is the
-  * same as [[AnomalyDetect]]'s.
+  * same as [[AnomalyDetect]]'s, and so is the state story: O(1) per
+  * user with no timeout — right for a bounded user population; add an
+  * event-time timeout (as [[Sessionize]] does) to expire dormant users
+  * on an unbounded one.
   */
 object FunnelStream {
 
