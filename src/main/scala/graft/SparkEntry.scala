@@ -1461,7 +1461,7 @@ object SparkEntry {
         |    string_split_regex(trim(lower(text)), '\s+') AS lotoks
         |  FROM documents)
         |SELECT doc_id,
-        |  round(
+        |  floor((
         |    (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
         |          WHEN length(text) BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END) * 0.4
         |    + least(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 1.0) * 0.3
@@ -1470,7 +1470,7 @@ object SparkEntry {
         |    + least(round(len(list_filter(lotoks,
         |          x -> x IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
         |         / greatest(len(lotoks), 1), 6) * 5, 1.0) * 0.1
-        |  , 6) AS quality
+        |  ) * 1000000.0) / 1000000.0 AS quality
         |FROM tk ORDER BY doc_id""".stripMargin,
 
     "q24_exact_dedup" ->
@@ -1914,7 +1914,7 @@ object SparkEntry {
         |lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
         |qual AS (
         |  SELECT doc_id,
-        |    round(
+        |    floor((
         |      (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
         |            WHEN length(text) BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END) * 0.4
         |      + least(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
@@ -1924,7 +1924,7 @@ object SparkEntry {
         |      + least(round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |            x -> x IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
         |           / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6) * 5, 1.0) * 0.1
-        |    , 6) AS quality
+        |    ) * 1000000.0) / 1000000.0 AS quality
         |  FROM documents)
         |SELECT lab.doc_id, lab.cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,

@@ -98,6 +98,12 @@ object TextOps {
   /** Composite quality score in [0,1]: length band + lexical diversity +
     * punctuation sanity + stopword presence. The standard cheap pre-filter
     * for web-scale corpora; weights are illustrative.
+    *
+    * Truncated (not rounded) to 6 decimals: `floor(x·10⁶)/10⁶` is a
+    * pure IEEE operation on the same double in every engine, whereas
+    * `round(x, 6)` diverges at half-boundaries (Spark rounds the
+    * shortest decimal representation, DuckDB the binary value — a
+    * sf0.1 document landed exactly on `…6665` and split them).
     */
   def qualityScore(text: Column): Column = {
     val nChars = length(text)
@@ -109,9 +115,9 @@ object TextOps {
     val sw = stopwordRatio(text, Stopwords("en"))
     val lengthScore = when(nChars.between(100, 10000), 1.0)
       .when(nChars.between(20, 99), 0.5).otherwise(0.1)
-    round(lengthScore * 0.4 + least(diversity, lit(1.0)) * 0.3 +
+    floor((lengthScore * 0.4 + least(diversity, lit(1.0)) * 0.3 +
       (lit(1.0) - least(punct * 5, lit(1.0))) * 0.2 +
-      least(sw * 5, lit(1.0)) * 0.1, 6)
+      least(sw * 5, lit(1.0)) * 0.1) * 1000000.0) / 1000000.0
   }
 
   /** 64-bit document fingerprint: order-sensitive hash of the token

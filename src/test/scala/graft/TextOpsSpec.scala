@@ -256,6 +256,28 @@ class TextOpsSpec extends SparkSpec {
     assert(rows == Seq((0L, "a b c", 3L)))
   }
 
+  test("property: chunk count, content and coverage across shapes") {
+    val shapes = Seq((4, 2), (8, 8), (16, 5), (3, 1))
+    val lengths = Seq(1, 2, 3, 7, 16, 33, 100)
+    shapes.foreach { case (window, stride) =>
+      val docs = lengths.map { n =>
+        (n.toLong, (1 to n).map(i => s"t$i").mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = TextOps.chunkTokens(docs, "doc_id", "text", window, stride)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      lengths.foreach { n =>
+        val toks = (1 to n).map(i => s"t$i")
+        val want = (0 until n by stride)
+          .map(s => toks.slice(s, s + window).mkString(" "))
+        assert(got(n.toLong) == want,
+          s"window=$window stride=$stride n=$n")
+        assert(got(n.toLong).size == (n + stride - 1) / stride) // ceil
+      }
+    }
+  }
+
   test("chunkTokens rejects a stride larger than the window") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
