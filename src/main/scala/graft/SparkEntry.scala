@@ -1339,7 +1339,7 @@ object SparkEntry {
         |  count(*) - count(CASE WHEN o_totalprice > 300000 THEN NULL ELSE o_totalprice END) AS o_totalprice,
         |  count(*) - count(o_orderdate) AS o_orderdate,
         |  count(*) - count(nullif(o_orderpriority, '1-URGENT')) AS o_orderpriority
-        |FROM orders""".stripMargin,
+        |FROM orders ORDER BY 1""".stripMargin,
 
     "q15_ship_before_order" ->
       """SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate

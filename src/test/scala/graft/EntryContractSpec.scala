@@ -20,6 +20,36 @@ class EntryContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every oracle orders its result deterministically") {
+    // the gate sorts rows before hashing, but ORDER BY keeps the dumped
+    // parquet reproducible and review-friendly; a missing one is almost
+    // always an authoring mistake
+    val unordered = SparkEntry.oracleSql.collect {
+      case (name, sql) if !sql.toUpperCase.contains("ORDER BY") => name
+    }
+    assert(unordered.isEmpty, s"oracles without ORDER BY: $unordered")
+  }
+
+  test("every oracle mentions only tables the test data provides") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings",
+      // DuckDB table functions legitimately appear in FROM position
+      "range", "generate_series", "unnest")
+    // `(?<!DISTINCT )` keeps `x IS DISTINCT FROM y` from reading as a scan
+    val tableRef = "(?i)\\b(?:(?<!DISTINCT )FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      // CTE names shadow base tables; collect them first
+      // a CTE may declare a column list: `walk (id, label) AS (`
+      val ctes = ("(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-z_][a-z0-9_]*)" +
+        "\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(").r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val refs = tableRef.findAllMatchIn(sql).map(_.group(1).toLowerCase)
+        .filterNot(ctes).toSet
+      val unknown = refs -- tables
+      assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
+    }
+  }
+
   test("approx_count_distinct within declared rsd of exact") {
     // q40 exposes the bound as a column (oracle-checkable); assert it
     // holds on every group and that the exact side is a real count
