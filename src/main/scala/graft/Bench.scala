@@ -78,6 +78,17 @@ object Bench {
         failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
       },"sf":"$sfDir"}"""
     println(json)
+    // The per-query line above grows with the catalog (82 queries ≈ 4 KB)
+    // and can outgrow a harness's tail-capture window, leaving it mid-line.
+    // Emit a second, compact, totals-only record LAST so the tail of stdout
+    // always ends with a complete parseable JSON line.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${
+        results.size
+      },"failed":${
+        failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+      },"sf":"$sfDir"}"""
+    println(compact)
     try {
       val outDir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT", "."))
       Files.createDirectories(outDir)

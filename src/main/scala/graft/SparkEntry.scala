@@ -320,7 +320,8 @@ object SparkEntry {
     "q25_near_dup_jaccard" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
       Dedup.prefixBlockedNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          prefixLen = 32, shingleN = 3, minJaccard = 0.5, useNative = true)
+          prefixLen = 32, shingleN = 3, minJaccard = 0.5,
+          maxBlockSize = 1000, useNative = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -345,10 +346,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- document fingerprint (rolling hash; rows-only) --------------------
+    // ---- document fingerprint (oracle-checked): the portable md5-based
+    // 60-bit variant, hash-verified against DuckDB computing the same
+    // pipeline; the faster in-Spark xxhash64 variant is spec-pinned to
+    // the same collision contract (TextOpsSpec).
     "q28_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+        .select(col("doc_id"),
+          TextOps.fingerprintPortable(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
 
@@ -608,7 +613,8 @@ object SparkEntry {
       graft.plans.GraftFunctions.register(s)
       val docs = t(s, dir, "documents")
       val edges = Dedup.prefixBlockedNearDupPairs(docs, "doc_id", "text",
-        prefixLen = 32, shingleN = 3, minJaccard = 0.5, useNative = true)
+        prefixLen = 32, shingleN = 3, minJaccard = 0.5,
+        maxBlockSize = 1000, useNative = true)
       graft.ext.Graph.connectedComponents(docs, "doc_id", edges, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
         .withColumn("cluster_size",
@@ -787,7 +793,8 @@ object SparkEntry {
       graft.plans.GraftFunctions.register(s)
       val docs = t(s, dir, "documents")
       val edges = Dedup.prefixBlockedNearDupPairs(docs, "doc_id", "text",
-        prefixLen = 32, shingleN = 3, minJaccard = 0.5, useNative = true)
+        prefixLen = 32, shingleN = 3, minJaccard = 0.5,
+        maxBlockSize = 1000, useNative = true)
       val scored = docs.withColumn("quality",
         TextOps.qualityScore(col("text")))
       Dedup.canonicalDocs(scored, "doc_id", "quality", edges, "id_a", "id_b")
@@ -1486,7 +1493,8 @@ object SparkEntry {
         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
         |      ELSE [array_to_string(toks, ' ')] END) AS shingles
         |  FROM (SELECT doc_id, text,
-        |        string_split_regex(trim(text), '\s+') AS toks FROM documents))
+        |        string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |  QUALIFY count(*) OVER (PARTITION BY substr(text, 1, 32)) <= 1000)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
         |    (len(a.shingles) + len(b.shingles)
@@ -1496,6 +1504,15 @@ object SparkEntry {
         |    (len(a.shingles) + len(b.shingles)
         |     - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same md5-over-token-sequence pipeline as fingerprintPortable: 15 hex
+    // digits = 60 bits, always in signed-BIGINT range on both engines
+    "q28_fingerprint" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(array_to_string(
+        |      string_split_regex(trim(text), '\s+'), ' ')), 1, 15))::BIGINT
+        |    AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q29_token_estimate" ->
       """SELECT doc_id,
@@ -1740,7 +1757,8 @@ object SparkEntry {
         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
         |      ELSE [array_to_string(toks, ' ')] END) AS shingles
         |  FROM (SELECT doc_id, text,
-        |        string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |        string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |  QUALIFY count(*) OVER (PARTITION BY substr(text, 1, 32)) <= 1000),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
@@ -1898,7 +1916,8 @@ object SparkEntry {
         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
         |      ELSE [array_to_string(toks, ' ')] END) AS shingles
         |  FROM (SELECT doc_id, text,
-        |        string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |        string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |  QUALIFY count(*) OVER (PARTITION BY substr(text, 1, 32)) <= 1000),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
@@ -2051,14 +2070,14 @@ object SparkEntry {
         |  GROUP BY s2.user_id, t1, t2),
         |c AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM s3)
         |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, n1 AS n_users,
-        |  CASE WHEN n1 > 0 THEN round(n1::DOUBLE / n1, 4) ELSE 0.0 END AS conversion
+        |  CASE WHEN n1 > 0 THEN floor(n1::DOUBLE / n1 * 1e4) / 1e4 ELSE 0.0 END AS conversion
         |FROM c
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), 'click', n2,
-        |  CASE WHEN n1 > 0 THEN round(n2::DOUBLE / n1, 4) ELSE 0.0 END FROM c
+        |  CASE WHEN n1 > 0 THEN floor(n2::DOUBLE / n1 * 1e4) / 1e4 ELSE 0.0 END FROM c
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), 'purchase', n3,
-        |  CASE WHEN n2 > 0 THEN round(n3::DOUBLE / n2, 4) ELSE 0.0 END FROM c
+        |  CASE WHEN n2 > 0 THEN floor(n3::DOUBLE / n2 * 1e4) / 1e4 ELSE 0.0 END FROM c
         |ORDER BY step""".stripMargin,
 
     "q78_weighted_sample" ->

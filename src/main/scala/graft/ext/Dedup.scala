@@ -238,8 +238,10 @@ object Dedup {
     * block's pair expansion quadratic. Blocks above the cap are dropped
     * (with recall loss on exactly those blocks — the standard trade at
     * scale), keeping worst-case cost O(n · cap). The DEFAULT is
-    * uncapped: capping changes results, and this operator's q25 oracle
-    * is the uncapped relation — production corpora opt in explicitly.
+    * uncapped (capping changes results — callers opt in explicitly);
+    * every catalog call site (q25/q53/q71) passes `maxBlockSize = 1000`,
+    * and their DuckDB oracles mirror the cap with the same windowed
+    * block-count QUALIFY, so Spark and oracle agree at ANY block size.
     */
   def prefixBlockedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                                 prefixLen: Int, shingleN: Int,

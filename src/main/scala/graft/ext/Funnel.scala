@@ -44,7 +44,12 @@ object Funnel {
   }
 
   /** The funnel report: per step, how many users reached it and the
-    * conversion rate from the previous step (rounded to 4 decimals).
+    * conversion rate from the previous step, floor-truncated to 4
+    * decimals. Truncation (not `round`) on purpose: a ratio landing on
+    * an x.xxxx5 half-boundary rounds differently across engines (Spark
+    * rounds the shortest decimal representation of the double, other
+    * engines round the binary value), while `floor(x*1e4)/1e4` is
+    * boundary-proof — same convention as TextOps.qualityScore.
     */
   def conversion(events: DataFrame, userCol: String, typeCol: String,
                  tsCol: String, steps: Seq[String]): DataFrame = {
@@ -58,7 +63,7 @@ object Funnel {
       val prev = if (i == 0) n else col(s"n_$i")
       struct(lit(i + 1).cast("long").as("step"), lit(step).as("event_type"),
         n.as("n_users"),
-        when(prev > 0, round(n.cast("double") / prev, 4))
+        when(prev > 0, floor(n.cast("double") / prev * 1e4) / 1e4)
           .otherwise(lit(0.0)).as("conversion"))
     }
     counts.select(explode(array(stepRows: _*)).as("s"))

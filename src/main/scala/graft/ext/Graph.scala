@@ -33,21 +33,40 @@ object Graph {
     *
     * Returns one row per node: (id, component) with
     * `component = min(node id in component)`.
+    *
+    * Checkpoint placement: `checkpointDir = None` (the default) uses
+    * eager `localCheckpoint` — executor-memory-backed, zero I/O, the
+    * right call when label and edge frames fit in storage memory. At
+    * 100 TB they don't, and a lost executor would take its lineage-free
+    * blocks with it — pass `Some(dir)` (HDFS/S3 in production) to switch
+    * every round to RELIABLE `checkpoint()`: plans stay equally flat,
+    * state lives on durable storage, recovery re-reads instead of
+    * recomputing-from-nothing. Checkpoint files accumulate until the
+    * application ends unless `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true`; point `dir` at a per-job scratch path.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .localCheckpoint(true) // edges re-scan every round: pay the scan once
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val persistRound: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        nodes.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None =>
+        df => df.localCheckpoint(eager = true)
+    }
+    val sym = persistRound( // edges re-scan every round: pay the scan once
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
     val given = nodes.select(col(idCol).as("id"))
     // propagate over nodes ∪ edge endpoints: an endpoint missing from
     // `nodes` must still RELAY labels (and be visible to the convergence
     // probe — a label parked on an unknown id would otherwise look
     // converged one round early, silently splitting its component)
     val universe = given.union(sym.select(col("src").as("id"))).distinct()
-    var labels = universe.select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+    var labels = persistRound(
+      universe.select(col("id"), col("id").as("component")))
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -56,9 +75,8 @@ object Graph {
       // checkpointed BEFORE the self-join below: materializes one round's
       // labels once (instead of twice through the jump's two branches)
       // and keeps the lineage flat
-      val lowered = labels.union(msgs)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(true)
+      val lowered = persistRound(labels.union(msgs)
+        .groupBy("id").agg(min("component").as("component")))
       // pointer jump: component labels are themselves node ids in the
       // universe, so every label resolves; component(component) is
       // monotonically ≤ component, and following it halves the distance

@@ -83,6 +83,14 @@ object Pq {
       val sub = sample.map(v =>
         java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       val k = math.min(ksub, sub.length)
+      if (k < ksub && s == 0)
+        // warn once: with fewer samples than codewords, only k slots get
+        // trained; the remainder are FILLED below, never left all-zero
+        // (an all-zero codeword sits at the residual origin and would
+        // silently capture near-zero residuals, scrambling ADC order)
+        System.err.println(
+          s"trainCodebooks: sample ${sub.length} < ksub=$ksub — training " +
+            s"$k codewords per subspace and duplicating them into the rest")
       val stride = math.max(1, sub.length / k)
       val cents = Array.tabulate(k)(i => sub(i * stride).clone())
       var it = 0
@@ -112,6 +120,16 @@ object Pq {
       var c = 0
       while (c < k) {
         System.arraycopy(cents(c), 0, out, (s * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      // small-sample shortfall: duplicate trained codewords into the
+      // untrained slots [k, ksub). A duplicate is inert (encode ties
+      // break to the lower id; its LUT distance equals the original's),
+      // whereas an all-zero codeword is an untrained magnet at the origin.
+      c = k
+      while (c < ksub) {
+        System.arraycopy(out, (s * ksub + (c % k)) * dsub,
+          out, (s * ksub + c) * dsub, dsub)
         c += 1
       }
       s += 1
@@ -244,6 +262,12 @@ object Pq {
                  coarse: Array[Double], codebooks: Array[Double],
                  m: Int, dsub: Int, ksub: Int, table: String,
                  nBuckets: Int = 32): Unit = {
+    // encode() accepts an empty coarse matrix (plain PQ), but THIS layout
+    // buckets on the coarse list id — with no coarse centroids the
+    // assignment degenerates and the index would be silently unusable.
+    require(coarse.nonEmpty,
+      "Pq.writeIndex is residual IVF-PQ only: coarse centroid matrix must " +
+        "be non-empty (plain PQ has no list id to bucket by)")
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     corpus

@@ -127,6 +127,19 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = xxhash64(tokens(text))
 
+  /** Cross-engine-portable fingerprint with the same contract as
+    * [[fingerprint]] (collide iff identical token sequence): the first 60
+    * bits of md5 over the single-space re-join of the token sequence.
+    * 15 hex digits, not 16, so the value always fits a signed BIGINT on
+    * every engine — no unsigned-overflow edge to reconcile. Use this
+    * variant when fingerprints must reproduce OUTSIDE Spark (warehouse
+    * cross-checks, the DuckDB oracle); [[fingerprint]] is the faster
+    * in-Spark default.
+    */
+  def fingerprintPortable(text: Column): Column =
+    conv(substring(md5(concat_ws(" ", tokens(text))), 1, 15), 16, 10)
+      .cast("long")
+
   /** RAG-style overlapping token chunking: cut each document's token
     * sequence into windows of `window` tokens starting every `stride`
     * tokens (stride < window ⇒ consecutive chunks overlap by

@@ -28,8 +28,16 @@ object TimeSeries {
   def forwardFillGrid(events: DataFrame, keyCol: String, tsCol: String,
                       valueCol: String, idCol: String,
                       step: String = "1 hour"): DataFrame = {
+    // Anchor the grid by truncating min(ts) to the STEP's unit — a
+    // "1 day" grid floored to the hour would start mid-day and every
+    // grid point would be misaligned. "15 minutes" → "minute", etc.
+    val truncUnit = step.trim.toLowerCase.split("\\s+").last.stripSuffix("s")
+    val validUnits =
+      Set("year", "quarter", "month", "week", "day", "hour", "minute", "second")
+    require(validUnits.contains(truncUnit),
+      s"forwardFillGrid: unsupported step unit '$truncUnit' in step '$step'")
     val bounds = events.groupBy(col(keyCol))
-      .agg(date_trunc("hour", min(col(tsCol))).as("__lo"),
+      .agg(date_trunc(truncUnit, min(col(tsCol))).as("__lo"),
         max(col(tsCol)).as("__hi"))
     val grid = bounds.select(col(keyCol),
       explode(sequence(col("__lo"), col("__hi"),

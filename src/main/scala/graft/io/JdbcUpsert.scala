@@ -48,6 +48,51 @@ object JdbcUpsert {
        |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
   }
 
+  // Copy via stringPropertyNames, not putAll: putAll ignores a Properties'
+  // DEFAULTS table, silently dropping credentials supplied via
+  // `new Properties(defaults)`.
+  private def copyProps(props: java.util.Properties): java.util.Properties = {
+    val out = new java.util.Properties()
+    props.stringPropertyNames().forEach { k =>
+      out.setProperty(k, props.getProperty(k))
+    }
+    out
+  }
+
+  /** Execute the staging-table MERGE path end-to-end: stage `batch`
+    * through the stock JDBC writer (overwrite — the staging table always
+    * reflects exactly this batch), then apply ONE set-based
+    * [[mergeSql]] statement. The preferred sink on engines with MERGE
+    * (SQL Server, the reference's real target — etl2.py:18-21): the
+    * match/update/insert decision runs inside the database over the whole
+    * batch instead of per-row round-trips, and re-running is idempotent
+    * by construction (re-merging an already-merged staging batch changes
+    * nothing).
+    *
+    * Note the semantic difference from [[writeMerge]]: MERGE's UPDATE
+    * branch sets every non-pk staging column on matched rows — including
+    * `is_deleted` if staged — while `writeMerge` preserves the target's
+    * `is_deleted` on updates. Stage tombstone-free batches (or stage the
+    * intended final `is_deleted`) accordingly.
+    */
+  def executeMergeViaStaging(batch: DataFrame, url: String,
+                             props: java.util.Properties, table: String,
+                             pk: Seq[String],
+                             staging: String = ""): Unit = {
+    require(batch.columns.toSeq.intersect(pk).size == pk.size,
+      s"batch must carry every pk column ${pk.mkString(",")}")
+    val stg = if (staging.nonEmpty) staging else s"${table}_staging"
+    batch.write.mode("overwrite").jdbc(url, stg, copyProps(props))
+    val sql = mergeSql(table, stg, batch.columns.toSeq, pk)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      st.executeUpdate(sql)
+      conn.commit()
+    } finally conn.close()
+  }
+
   /** Execute batched keyed UPDATEs from executors. `df` must carry
     * `setCols ++ pk`. Connections come from DriverManager with the given
     * url/props (executors must have the JDBC driver on their classpath).
@@ -97,14 +142,8 @@ object JdbcUpsert {
     // no wildcard functions import: it would shadow the `now` parameter
     import org.apache.spark.sql.functions.{col, lit}
     // connection properties (credentials, driver) must reach the insert
-    // path too — merge them into the writer options alongside batchsize.
-    // Copy via stringPropertyNames, not putAll: putAll ignores a
-    // Properties' DEFAULTS table, silently dropping credentials supplied
-    // via `new Properties(defaults)`.
-    val insertProps = new java.util.Properties()
-    props.stringPropertyNames().forEach { k =>
-      insertProps.setProperty(k, props.getProperty(k))
-    }
+    // path too — merge them into the writer options alongside batchsize
+    val insertProps = copyProps(props)
     insertProps.setProperty("batchsize", batchSize.toString)
     changes.inserts
       .withColumn("updated_at", now)

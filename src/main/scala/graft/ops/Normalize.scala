@@ -18,14 +18,53 @@ object Normalize {
     *
     * Scale note: `row_number` over a global ORDER BY funnels through one
     * partition, which is fine for dimensions (distinct city/state pairs
-    * are small by construction) but must never be applied to facts. For a
-    * fact-sized surrogate use `zipWithUniqueId`-style ids instead.
+    * are small by construction) but must never be applied to facts. For
+    * dimensions that outgrow one task, [[dimensionWithSurrogateScalable]]
+    * assigns the SAME ids without the funnel; for a fact-sized surrogate
+    * where density (not order) is the contract, use
+    * `monotonically_increasing_id`-style ids instead.
     */
   def dimensionWithSurrogate(df: DataFrame, cols: Seq[String],
                              idCol: String): DataFrame = {
     val w = Window.orderBy(cols.map(col): _*)
     df.select(cols.map(col): _*).distinct()
       .withColumn(idCol, row_number().over(w))
+      .select((idCol +: cols).map(col): _*)
+  }
+
+  /** [[dimensionWithSurrogate]] without the single-partition funnel: the
+    * same dense 1-based ids in the same global `cols` order, assigned in
+    * TWO phases — range-repartition the distinct dimension on `cols`
+    * (ranges are ordered by partition id), count rows per partition (a
+    * `partitions`-row driver aggregate, not data), then
+    * `id = offset(partition) + row_number within partition`. Every
+    * window is per-partition, so no stage ever funnels through one task.
+    *
+    * Spec-pinned equal to the window version (NormalizeSpec). Use this
+    * for dimensions too large to sort on one task — i.e. when W1's
+    * documented "dimensions are small" assumption stops holding.
+    * Distinct keys make range boundaries unambiguous (no duplicate key
+    * can straddle a boundary), so the two-phase ids are exactly the
+    * global rank.
+    */
+  def dimensionWithSurrogateScalable(df: DataFrame, cols: Seq[String],
+                                     idCol: String,
+                                     partitions: Int = 32): DataFrame = {
+    val withPid = df.select(cols.map(col): _*).distinct()
+      .repartitionByRange(partitions, cols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    // tiny driver state: one (pid, count) row per partition
+    val counts: Map[Int, Long] = withPid.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = counts.keys.toSeq.sorted
+    val offsets: Map[Int, Long] = pids
+      .zip(pids.scanLeft(0L)((acc, p) => acc + counts(p)).init).toMap
+    val offsetExpr = typedlit(offsets)
+    val w = Window.partitionBy("__pid").orderBy(cols.map(col): _*)
+    withPid
+      .withColumn(idCol,
+        (element_at(offsetExpr, col("__pid")) +
+          row_number().over(w)).cast("int"))
       .select((idCol +: cols).map(col): _*)
   }
 

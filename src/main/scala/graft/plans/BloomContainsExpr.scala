@@ -79,5 +79,18 @@ final case class BloomContainsExpr(child: Expression, bloomBytes: Array[Byte])
   override protected def withNewChildInternal(
       newChild: Expression): BloomContainsExpr = copy(child = newChild)
 
+  // Content-based equality: the synthesized case-class equals compares the
+  // byte array by REFERENCE, so two probes against the same serialized
+  // filter would never be recognized as the same expression (no CSE, no
+  // plan-cache hit). Hash is cached — the bytes are an immutable literal.
+  override def equals(o: Any): Boolean = o match {
+    case that: BloomContainsExpr =>
+      child == that.child &&
+        java.util.Arrays.equals(bloomBytes, that.bloomBytes)
+    case _ => false
+  }
+  @transient override lazy val hashCode: Int =
+    java.util.Objects.hash(child, Int.box(java.util.Arrays.hashCode(bloomBytes)))
+
   override def prettyName: String = "graft_bloom_contains"
 }

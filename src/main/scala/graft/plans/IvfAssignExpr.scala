@@ -101,5 +101,20 @@ final case class IvfAssignExpr(child: Expression, centroids: Array[Double],
   override protected def withNewChildInternal(newChild: Expression): IvfAssignExpr =
     copy(child = newChild)
 
+  // Content-based equality: the synthesized case-class equals compares the
+  // centroid matrix by REFERENCE, so two assignments against the same
+  // trained centroids would never compare equal — defeating CSE and
+  // ReuseExchange. Hash is cached — the matrix is an immutable literal.
+  override def equals(o: Any): Boolean = o match {
+    case that: IvfAssignExpr =>
+      k == that.k && dim == that.dim && nProbe == that.nProbe &&
+        child == that.child &&
+        java.util.Arrays.equals(centroids, that.centroids)
+    case _ => false
+  }
+  @transient override lazy val hashCode: Int =
+    java.util.Objects.hash(child, Int.box(java.util.Arrays.hashCode(centroids)),
+      Int.box(k), Int.box(dim), Int.box(nProbe))
+
   override def prettyName: String = "graft_ivf_assign"
 }

@@ -116,6 +116,25 @@ final case class PqEncodeExpr(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): PqEncodeExpr =
     copy(left = newLeft, right = newRight)
 
+  // Array fields get reference equality from the synthesized case-class
+  // equals, so two semantically identical expressions would never compare
+  // equal — defeating common-subexpression elimination, plan-cache reuse,
+  // and ReuseExchange. Compare matrix CONTENTS instead (hash cached: the
+  // matrices are immutable-by-contract literals).
+  override def equals(o: Any): Boolean = o match {
+    case that: PqEncodeExpr =>
+      m == that.m && dsub == that.dsub && ksub == that.ksub &&
+        left == that.left && right == that.right &&
+        java.util.Arrays.equals(codebooks, that.codebooks) &&
+        java.util.Arrays.equals(coarse, that.coarse)
+    case _ => false
+  }
+  @transient override lazy val hashCode: Int =
+    java.util.Objects.hash(left, right,
+      Int.box(java.util.Arrays.hashCode(codebooks)),
+      Int.box(java.util.Arrays.hashCode(coarse)),
+      Int.box(m), Int.box(dsub), Int.box(ksub))
+
   override def prettyName: String = "graft_pq_encode"
 }
 

@@ -79,9 +79,9 @@ class FunnelSpec extends SparkSpec {
     assert(rep.toSeq == Seq(
       (1L, "view", 4L, 1.0),      // all four users viewed
       (2L, "click", 3L, 0.75),    // users 1, 2, 4
-      (3L, "purchase", 1L, round4(1.0 / 3))))
+      (3L, "purchase", 1L, trunc4(1.0 / 3))))
   }
 
-  private def round4(d: Double): Double =
-    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  // floor-truncation, matching Funnel.conversion's boundary-proof rounding
+  private def trunc4(d: Double): Double = math.floor(d * 1e4) / 1e4
 }

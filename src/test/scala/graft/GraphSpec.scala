@@ -65,4 +65,29 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
     assert(got.size == 200)
   }
+
+  test("reliable checkpointDir mode equals the localCheckpoint default") {
+    // same chain + bridge graphs as above, run through durable
+    // checkpoint()/round files instead of executor-memory blocks — the
+    // 100 TB configuration must be label-for-label identical
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+      .toString
+    def ccReliable(nodes: Seq[Long],
+                   edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.connectedComponents(
+          nodes.toDF("doc_id"), "doc_id",
+          edges.toDF("id_a", "id_b"), "id_a", "id_b",
+          checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+    val chainNodes = (1L to 30L).toSeq
+    val chainEdges = (1L until 30L).map(i => (i, i + 1))
+    assert(ccReliable(chainNodes, chainEdges) == cc(chainNodes, chainEdges))
+    val bridgeNodes = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val bridgeEdges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 5L))
+    assert(ccReliable(bridgeNodes, bridgeEdges) == cc(bridgeNodes, bridgeEdges))
+    // the reliable mode actually wrote round state to the directory
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, s"no checkpoint files written under $dir")
+  }
 }

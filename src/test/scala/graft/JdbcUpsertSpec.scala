@@ -117,6 +117,61 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(rows(4L)("updated_at") == ts2020)
   }
 
+  test("executeMergeViaStaging: staged MERGE updates matches, inserts the rest, idempotent") {
+    seedDb()
+    // snapshot batch with sink bookkeeping staged in (MERGE sets every
+    // non-pk column, so the batch carries the intended final state)
+    val batch = Seq(
+      (2L, "B", 25.0, ts2021, false), // existing -> UPDATE branch
+      (5L, "E", 50.0, ts2021, false)  // new -> INSERT branch
+    ).toDF("id", "status", "price", "updated_at", "is_deleted")
+    JdbcUpsert.executeMergeViaStaging(batch, url, props, "t", pk = Seq("id"))
+
+    val rows = byId
+    assert(rows.size == 5)
+    assert(rows(2L)("price") == 25.0 && rows(2L)("updated_at") == ts2021)
+    assert(rows(5L)("status") == "E" && rows(5L)("is_deleted") == false)
+    assert(rows(1L)("updated_at") == ts2020) // unmatched rows untouched
+    assert(rows(4L)("is_deleted") == true)
+    // the database saw ONE set-based merge, routed through the staging table
+    val merges = FakeDb.events.filter(_.startsWith("merge:"))
+    assert(merges == Seq("merge:t:upd=1:ins=1"), s"events: ${FakeDb.events}")
+    assert(FakeDb.rowsOf("t_staging").size == 2)
+
+    // idempotence: re-staging and re-merging the same batch is a no-op
+    val before = FakeDb.rowsOf("t").map(_.toMap).sortBy(_("id").toString)
+    JdbcUpsert.executeMergeViaStaging(batch, url, props, "t", pk = Seq("id"))
+    val after = FakeDb.rowsOf("t").map(_.toMap).sortBy(_("id").toString)
+    assert(after == before, s"second merge mutated state:\n$before\nvs\n$after")
+    assert(FakeDb.events.filter(_.startsWith("merge:"))
+      == Seq("merge:t:upd=1:ins=1", "merge:t:upd=2:ins=0"))
+  }
+
+  test("staged MERGE equals writeMerge on a tombstone-free batch") {
+    // same incoming batch applied through BOTH sinks must converge to the
+    // same table state (modulo the is_deleted caveat documented on
+    // executeMergeViaStaging — batch carries the final bookkeeping here)
+    seedDb()
+    val changes = Merge.classify(incoming, existingDf, Seq("id"))
+    JdbcUpsert.writeMerge(changes, cfg, url, props, batchSize = 2,
+      now = lit("2021-01-01 00:00:00").cast("timestamp"))
+    val viaUpdates = FakeDb.rowsOf("t").map(_.toMap)
+      .filterNot(r => Seq(3L, 4L).contains(r("id").asInstanceOf[Long]))
+      .sortBy(_("id").toString)
+
+    seedDb()
+    val staged = Seq(
+      (2L, "B", 25.0, ts2021, false),
+      (5L, "E", 50.0, ts2021, false)
+    ).toDF("id", "status", "price", "updated_at", "is_deleted")
+    JdbcUpsert.executeMergeViaStaging(staged, url, props, "t", pk = Seq("id"))
+    val viaMerge = FakeDb.rowsOf("t").map(_.toMap)
+      .filterNot(r => Seq(3L, 4L).contains(r("id").asInstanceOf[Long]))
+      .sortBy(_("id").toString)
+    assert(viaMerge == viaUpdates,
+      s"sink divergence:\n$viaUpdates\nvs\n$viaMerge")
+  }
+
   test("writeMerge double-apply against refreshed state is a sink no-op") {
     seedDb()
     JdbcUpsert.writeMerge(Merge.classify(incoming, existingDf, Seq("id")),

@@ -43,6 +43,20 @@ class MultimodalSpec extends SparkSpec {
     assert(a.meanLuma >= 0.0 && a.meanLuma <= 1.0)
   }
 
+  test("stub decode pinned bit-exactly for a known synthetic image (q36 anchor)") {
+    // expected values computed INDEPENDENTLY (python hashlib over the same
+    // bytes) — this pins the q36 feature vector itself, not stub-vs-stub
+    val payload = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
+      "the quick brown fox".getBytes("UTF-8")
+    val out = Multimodal.extractImageFeatures(
+      Seq((1L, payload)).toDF("id", "payload"), "payload").head()
+    assert(out.getAs[Int]("width") == 310)
+    assert(out.getAs[Int]("height") == 280)
+    assert(out.getAs[Int]("channels") == 3)
+    assert(out.getAs[Double]("mean_luma") == 5846.0 / 65535.0)
+    assert(out.getAs[Double]("aspect_ratio") == 310.0 / 280.0)
+  }
+
   test("extractImageFeatures maps partitions, drops payload, keeps other cols") {
     val df = Seq((1L, "x", png), (2L, "y", jpeg)).toDF("id", "tag", "payload")
     val out = Multimodal.extractImageFeatures(df, "payload")

@@ -22,6 +22,29 @@ class NormalizeSpec extends SparkSpec {
     assert(rows == Seq((1, "brasilia"), (2, "rio de janeiro"), (3, "sao paulo")))
   }
 
+  test("scalable two-phase surrogate equals the window version exactly") {
+    // 500 distinct keys across many input partitions — big enough that the
+    // range repartition actually spreads rows over multiple partitions
+    val many = (1 to 500)
+      .map(i => (f"city_$i%03d", if (i % 2 == 0) "AA" else "BB"))
+      .toDF("city", "state").repartition(16)
+    val windowed = Normalize.dimensionWithSurrogate(
+        many, Seq("city", "state"), "id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    val scalable = Normalize.dimensionWithSurrogateScalable(
+        many, Seq("city", "state"), "id", partitions = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(scalable == windowed)
+    // and the ids really are dense 1..n
+    assert(scalable.map(_._1) == (1 to 500).toSet)
+    // no single-partition funnel: the per-partition window keys on __pid
+    val plan = Normalize.dimensionWithSurrogateScalable(
+      many, Seq("city", "state"), "id", partitions = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"scalable variant still funnels through one partition:\n$plan")
+  }
+
   test("splitGeolocation yields 3NF tables with consistent keys") {
     val (cityState, zip, coords) = Normalize.splitGeolocation(geo)
     assert(cityState.columns.toSeq == Seq("city_id", "city", "state"))

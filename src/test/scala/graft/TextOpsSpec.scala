@@ -68,6 +68,21 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("fingerprintPortable: same contract, bit-exact vs independent md5") {
+    val df = Seq("a b c", "a  b\tc", "c b a").toDF("text")
+      .select(TextOps.fingerprintPortable(col("text")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1)) // whitespace-insensitive
+    assert(fps(0) != fps(2)) // order-sensitive
+    // bit-exact pin against an independent JVM md5 of the canonical join —
+    // the same 15-hex-digit prefix the DuckDB oracle reads
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("a b c".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(fps(0) == java.lang.Long.parseLong(hex.take(15), 16))
+    assert(fps(0) >= 0L) // 60 bits: signed-BIGINT-safe on every engine
+  }
+
   test("stableSplit: deterministic, growth-stable, roughly proportioned") {
     val base = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val s1 = TextOps.stableSplit(base, "doc_id")

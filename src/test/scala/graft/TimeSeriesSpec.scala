@@ -36,6 +36,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq(5.0))
   }
 
+  test("non-hour steps anchor to their own unit (day grid starts at midnight)") {
+    val events = Seq(
+      (1L, "m", ts("2024-01-01 10:05:00"), 1.0),
+      (2L, "m", ts("2024-01-03 02:00:00"), 2.0)
+    ).toDF("event_id", "key", "ts", "v")
+    val out = TimeSeries.forwardFillGrid(events, "key", "ts", "v",
+        "event_id", step = "1 day")
+      .collect().map(r => (r.getTimestamp(1), Option(r.get(2)))).toMap
+    // day-aligned grid: midnights, not 10:00-anchored hours
+    assert(out.keySet == Set(ts("2024-01-01 00:00:00"),
+      ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00")))
+    assert(out(ts("2024-01-01 00:00:00")).isEmpty)
+    assert(out(ts("2024-01-02 00:00:00")).contains(1.0))
+    assert(out(ts("2024-01-03 00:00:00")).contains(1.0))
+  }
+
+  test("unsupported step unit fails loudly") {
+    val events = Seq((1L, "m", ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "key", "ts", "v")
+    intercept[IllegalArgumentException] {
+      TimeSeries.forwardFillGrid(events, "key", "ts", "v", "event_id",
+        step = "1 fortnight")
+    }
+  }
+
   test("keys fill independently") {
     val events = Seq(
       (1L, "a", ts("2024-01-01 10:00:00"), 1.0),

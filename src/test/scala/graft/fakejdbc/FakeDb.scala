@@ -117,6 +117,12 @@ object FakeDb {
 
   private[fakejdbc] def executeDdl(sql: String): Unit = {
     val createRe = raw"(?is)\s*CREATE\s+TABLE\s+(\S+)\s*\((.*)\)\s*".r
+    val dropRe = raw"(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s*".r
+    val truncateRe = raw"(?is)\s*TRUNCATE\s+TABLE\s+(\S+)\s*".r
+    // JdbcUpsert.mergeSql's exact shape: aliases t/s, equi-ON, matched
+    // UPDATE SET of s-columns, not-matched INSERT of s-columns
+    val mergeRe =
+      raw"(?is)\s*MERGE\s+INTO\s+(\S+)\s+t\s+USING\s+(\S+)\s+s\s+ON\s+(.*?)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*".r
     sql match {
       case createRe(table, colDefs) =>
         val cols = colDefs.split(",").map(_.trim).filter(_.nonEmpty).map { d =>
@@ -128,6 +134,39 @@ object FakeDb {
           name -> jdbcType
         }.toSeq
         createTable(stripQuote(table), cols)
+      case dropRe(table) =>
+        lock.synchronized { tables.remove(stripQuote(table)); () }
+      case truncateRe(table) =>
+        lock.synchronized {
+          tables.get(stripQuote(table)).foreach(_.rows.clear())
+        }
+      case mergeRe(target, staging, onPart, setPart, insertCols, _) =>
+        val pk = onPart.split("(?i)\\s+AND\\s+")
+          .map(_.split("=")(0).trim.stripPrefix("t.")).map(stripQuote).toSeq
+        val sets = setPart.split(",")
+          .map(_.split("=")(0).trim.stripPrefix("t.")).map(stripQuote).toSeq
+        val insCols = insertCols.split(",").map(stripQuote).toSeq
+        lock.synchronized {
+          val t = tables.getOrElse(stripQuote(target),
+            throw new SQLException(s"no such table: $target"))
+          val s = tables.getOrElse(stripQuote(staging),
+            throw new SQLException(s"no such staging table: $staging"))
+          var matched = 0
+          var inserted = 0
+          s.rows.foreach { srow =>
+            val hits = t.rows.filter(r =>
+              pk.forall(k => r.get(k) == srow.get(k)))
+            if (hits.nonEmpty) {
+              hits.foreach(r => sets.foreach(c => r(c) = srow.getOrElse(c, null)))
+              matched += hits.size
+            } else {
+              t.rows += mutable.HashMap(
+                insCols.map(c => c -> srow.getOrElse(c, null)): _*)
+              inserted += 1
+            }
+          }
+          log(s"merge:${stripQuote(target)}:upd=$matched:ins=$inserted")
+        }
       case other => throw new SQLException(s"unsupported DDL: $other")
     }
   }
@@ -142,7 +181,11 @@ object FakeDb {
     sql match {
       case fromRe(table) if tables.contains(stripQuote(table)) =>
         tables(stripQuote(table))
-      case _ => throw new SQLException(s"no such table in: $sql")
+      // SQLState 42S02 = base table not found: Spark 4's tableExists only
+      // maps a probe failure to "absent" when the dialect classifies the
+      // SQLException as object-not-found — a stateless exception rethrows
+      // and kills the create-if-missing write path
+      case _ => throw new SQLException(s"no such table in: $sql", "42S02")
     }
   }
 
