@@ -336,13 +336,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- SimHash fingerprints (rows-only; spec-tested). Native vote fold
-    // (SimHash64Expr — bit-identical to the HOF, spec-pinned).
+    // ---- SimHash fingerprints (oracle-checked): the PORTABLE md5-based
+    // variant (native SimHashMd5Expr, bit-identical to the HOF fold and
+    // to the DuckDB bit-op formulation), emitted as hi/lo 32-bit halves.
+    // The faster xxhash64 simhash64 stays spec-pinned (DedupSpec).
     "q27_simhash" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
       t(s, dir, "documents")
         .select(col("doc_id"),
-          Dedup.simhash64(col("text"), useNative = true).as("simhash"))
+          Dedup.simhash64Portable(col("text"), useNative = true).as("s"))
+        .select(col("doc_id"), col("s.simhash_hi").as("simhash_hi"),
+          col("s.simhash_lo").as("simhash_lo"))
         .orderBy("doc_id")
     }),
 
@@ -1504,6 +1508,36 @@ object SparkEntry {
         |    (len(a.shingles) + len(b.shingles)
         |     - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the portable simhash, bit for bit: per-token hash = md5 hex digits
+    // 1-8 (hi) / 9-16 (lo), ±1 votes per bit over unnested tokens, strict
+    // counter>0 sign rule, assembled per 32-bit half (no signed-64 shifts)
+    "q27_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b.b,
+        |    sum(CASE WHEN b.b < 32 THEN (lo >> b.b) & 1
+        |             ELSE (hi >> (b.b - 32)) & 1 END) AS ones,
+        |    count(*) AS n
+        |  FROM hashed, (SELECT unnest(range(0, 64)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN 2 * ones > n THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM votes)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32))
+        |      ELSE 0 END) AS BIGINT) AS simhash_hi,
+        |  CAST(sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b)
+        |      ELSE 0 END) AS BIGINT) AS simhash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same md5-over-token-sequence pipeline as fingerprintPortable: 15 hex
     // digits = 60 bits, always in signed-BIGINT range on both engines

@@ -492,6 +492,49 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Cross-engine-PORTABLE SimHash: per-token hash = first 64 bits of
+    * md5 (engine-neutral) instead of xxhash64, emitted as a
+    * `(simhash_hi, simhash_lo)` struct of the two 32-bit halves — both
+    * always non-negative, so no engine's signed-64 shift/overflow rules
+    * are in play. Same vote fold and strict `counter > 0` sign rule as
+    * [[simhash64]]; Hamming distance = `hamming64(hi_a, hi_b) +
+    * hamming64(lo_a, lo_b)`. The native path
+    * ([[graft.plans.SimHashMd5Expr]]) is bit-identical to the HOF
+    * (spec-pinned) and to the DuckDB formulation (q27's oracle).
+    */
+  def simhash64Portable(text: Column, useNative: Boolean = false): Column = {
+    if (useNative) {
+      call_function("graft_simhash_md5", TextOps.tokens(text))
+    } else {
+      // per-token (hi, lo): big-endian values of md5 hex digits 1-8 / 9-16
+      val hashOf: Column => Column = t => {
+        val m = md5(t)
+        struct(conv(substring(m, 1, 8), 16, 10).cast("long").as("hi"),
+          conv(substring(m, 9, 8), 16, 10).cast("long").as("lo"))
+      }
+      val bitsOf: Column => Column = h =>
+        array(((0 until 32).map(b =>
+          when(shiftright(h.getField("lo"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)) ++
+          (0 until 32).map(b =>
+            when(shiftright(h.getField("hi"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+              .otherwise(-1L))): _*)
+      val counters = aggregate(
+        TextOps.tokens(text),
+        array_repeat(lit(0L), 64),
+        (acc, t) => zip_with(acc, bitsOf(hashOf(t)), (x, y) => x + y))
+      val loSig = (0 until 32).map(b =>
+        when(element_at(counters, b + 1) > 0, shiftleft(lit(1L), b))
+          .otherwise(0L))
+        .reduce((a, b) => a.bitwiseOR(b))
+      val hiSig = (0 until 32).map(b =>
+        when(element_at(counters, b + 33) > 0, shiftleft(lit(1L), b))
+          .otherwise(0L))
+        .reduce((a, b) => a.bitwiseOR(b))
+      struct(hiSig.as("simhash_hi"), loSig.as("simhash_lo"))
+    }
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /** Exact embedding near-duplicate pairs: all (id_a < id_b) pairs with

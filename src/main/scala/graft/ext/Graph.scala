@@ -48,7 +48,20 @@ object Graph {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(nodes, idCol, edges, srcCol, dstCol,
+      maxIter, checkpointDir)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to converge — the scale-soak observable (rounds ≈
+    * log2(diameter) with pointer jumping; a regression here means the
+    * jump stopped engaging).
+    */
+  def connectedComponentsWithRounds(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
     val persistRound: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         nodes.sparkSession.sparkContext.setCheckpointDir(dir)
@@ -100,6 +113,6 @@ object Graph {
         "(component diameter exceeds maxIter — raise it, or switch this " +
         "graph to the large-star/small-star variant)")
     // the contract is one row per INPUT node; relay-only endpoints drop
-    labels.join(given, "id")
+    (labels.join(given, "id"), round)
   }
 }

@@ -65,6 +65,11 @@ object GraftFunctions {
     SimHash64Expr(children.head)
   }
 
+  private def simhashMd5Builder(children: Seq[Expression]): Expression = {
+    require(children.size == 1, "graft_simhash_md5(tokens)")
+    SimHashMd5Expr(children.head)
+  }
+
   private def ivfBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 5,
       "graft_ivf_assign(vec, centroids, k, dim, nProbe)")
@@ -154,6 +159,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       simhashBuilder),
+    (FunctionIdentifier("graft_simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5Expr].getName, "graft_simhash_md5"),
+      simhashMd5Builder),
     (FunctionIdentifier("graft_ivf_assign"),
       new ExpressionInfo(classOf[IvfAssignExpr].getName, "graft_ivf_assign"),
       ivfBuilder),

@@ -80,6 +80,35 @@ class DedupSpec extends SparkSpec {
     assert(ham(1L, 3L) < ham(1L, 4L))
   }
 
+  test("portable md5 simhash: native ≡ HOF, single-token doc pinned bit-exactly") {
+    graft.plans.GraftFunctions.register(spark)
+    val edge = Seq((30L, "hello"), (31L, ""), (32L, "  spaced   out  "),
+      (33L, "rep rep rep unique tail here"))
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"), col("text")).unionByName(edge)
+      .select(col("doc_id"),
+        Dedup.simhash64Portable(col("text")).as("hof"),
+        Dedup.simhash64Portable(col("text"), useNative = true).as("nat"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getStruct(1) == r.getStruct(2),
+        s"doc ${r.getLong(0)}: ${r.getStruct(1)} vs ${r.getStruct(2)}")
+    }
+    // single token ⇒ simhash is the token's own md5 bits; expected values
+    // computed independently (python hashlib): md5("hello") hex digits
+    // 1-8 / 9-16 big-endian
+    val hello = both.find(_.getLong(0) == 30L).get.getStruct(2)
+    assert(hello.getLong(0) == 1564557354L) // simhash_hi
+    assert(hello.getLong(1) == 3159042678L) // simhash_lo
+    // halves always fit unsigned-32 (non-negative in signed-64)
+    both.foreach { r =>
+      assert(r.getStruct(2).getLong(0) >= 0L &&
+        r.getStruct(2).getLong(0) <= 0xFFFFFFFFL)
+      assert(r.getStruct(2).getLong(1) >= 0L &&
+        r.getStruct(2).getLong(1) <= 0xFFFFFFFFL)
+    }
+  }
+
   test("prefixBlocked caps degenerate shared-prefix blocks at maxBlockSize") {
     // 60 docs sharing one 16-char prefix: uncapped would expand 1770 pairs
     // in a single block; the cap drops the block entirely (O(n·cap) bound)
