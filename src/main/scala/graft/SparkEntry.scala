@@ -325,14 +325,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- near-dup pairs: MinHash + LSH (rows-only; spec-tested).
-    // Uses the native Catalyst MinHashSigExpr (bit-identical to the HOF
-    // formulation; spec-pinned) registered via GraftFunctions.
+    // ---- near-dup pairs: MinHash + LSH (oracle-checked): the PORTABLE
+    // variant — md5-based shingle hash + md5-derived affine coefficients
+    // (native MinHashMd5SigExpr, bit-identical to the HOF fold and the
+    // DuckDB formulation), value-string band keys. The xxhash64 pipeline
+    // stays spec-tested as the fastest in-Spark path.
     "q26_minhash_near_dup" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           minJaccard = 0.5, shingleN = 3, k = 64, bands = 16,
-          useNative = true)
+          useNative = true, portable = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -463,7 +465,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- multimodal: batched decode + feature extraction (stub codec) -------
+    // ---- multimodal: batched decode + feature extraction (oracle-checked:
+    // the stub digest input is hex(payload), so the full feature vector —
+    // dims, channels, luma, resize box — reproduces as sha256(hex(..))
+    // arithmetic in DuckDB) ---------------------------------------------------
     "q36_image_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(t(s, dir, "documents"),
           "doc_id", "text")
@@ -1165,6 +1170,33 @@ object SparkEntry {
       Multimodal.sampleFramePlan(videos, "duration_ms", n = 8)
         .select("doc_id", "duration_ms", "frame_idx", "frame_time_ms")
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- top-k per group WITHOUT a window sort (oracle-checked): top-5
+    // customers by order revenue per nation via the native graft_top_k
+    // aggregate — O(k) state per group, map-side partial combine, the
+    // shuffle carries ≤k candidates per (partition, group) instead of
+    // every scored row. The window formulation this replaces must shuffle
+    // AND sort the full relation; spec pins the plan to zero Window
+    // operators (TopKAggSpec).
+    "q83_topk_per_group" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val rev = t(s, dir, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      rev.groupBy("c_nationkey")
+        .agg(call_function("graft_top_k",
+          col("revenue"), col("c_custkey"), lit(5)).as("top"))
+        .select(col("c_nationkey"),
+          posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("c_nationkey"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("s.payload").as("c_custkey"), col("s.ord").as("revenue"))
+        .orderBy("c_nationkey", "rank")
     })
   )
 
@@ -1509,6 +1541,55 @@ object SparkEntry {
         |     - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // the portable minhash, value for value: md5-32 shingle hash mod p,
+    // md5-derived affine coefficients (closed formula, same on the Spark
+    // side), min per hash family, 16 bands of 4 banded by the VALUE
+    // string, bucket-capped, exact-jaccard verified — identical pair set
+    // by construction since signatures are bit-equal across engines
+    "q26_minhash_near_dup" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END) AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |hs AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS h
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        |coef AS (
+        |  SELECT i,
+        |    1 + ('0x' || substr(md5('graft:mh:a:' || i), 1, 8))::BIGINT % 2147483646 AS a,
+        |    ('0x' || substr(md5('graft:mh:b:' || i), 1, 8))::BIGINT % 2147483647 AS b
+        |  FROM (SELECT unnest(range(0, 64)) AS i)),
+        |sig AS (
+        |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS sig
+        |  FROM hs CROSS JOIN coef GROUP BY doc_id, i),
+        |bandkey AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    string_agg(sig::VARCHAR, ',' ORDER BY i) AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |capped AS (
+        |  SELECT doc_id, band, bucket FROM bandkey
+        |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+        |    (len(sa.shingles) + len(sb.shingles)
+        |      - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+        |FROM cand
+        |JOIN sh sa ON sa.doc_id = cand.id_a
+        |JOIN sh sb ON sb.doc_id = cand.id_b
+        |WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+        |    (len(sa.shingles) + len(sb.shingles)
+        |      - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // the portable simhash, bit for bit: per-token hash = md5 hex digits
     // 1-8 (hi) / 9-16 (lo), ±1 votes per bit over unnested tokens, strict
     // counter>0 sign rule, assembled per 32-bit half (no signed-64 shifts)
@@ -1626,6 +1707,45 @@ object SparkEntry {
         |       WHEN substr(hex(payload), 1, 8) = '1A45DFA3' THEN 'mkv'
         |       ELSE 'unknown' END AS format
         |FROM media ORDER BY doc_id""".stripMargin,
+
+    // the stub decode, digit for digit: u_i = byte i of
+    // sha256(hex(payload)) (the stub digests the uppercase hex — hex() is
+    // uppercase in both engines), then the same modular arithmetic and
+    // thumbnail-fit resize. Pure IEEE ops, so doubles are bit-identical.
+    "q36_image_features" ->
+      """WITH media AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN '\x89\x50\x4E\x47'::BLOB || encode(text)
+        |         WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF'::BLOB || encode(text)
+        |         ELSE encode(text) END AS payload
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, sha256(hex(payload)) AS d FROM media),
+        |bytes AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(d, 1, 2))::BIGINT AS u0,
+        |    ('0x' || substr(d, 3, 2))::BIGINT AS u1,
+        |    ('0x' || substr(d, 5, 2))::BIGINT AS u2,
+        |    ('0x' || substr(d, 7, 2))::BIGINT AS u3,
+        |    ('0x' || substr(d, 9, 2))::BIGINT AS u4,
+        |    ('0x' || substr(d, 11, 2))::BIGINT AS u5,
+        |    ('0x' || substr(d, 13, 2))::BIGINT AS u6
+        |  FROM u),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CAST(64 + ((u0 * 256 + u1) % 1857) AS INT) AS width,
+        |    CAST(64 + ((u2 * 256 + u3) % 1017) AS INT) AS height,
+        |    CAST(CASE WHEN u4 % 4 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+        |    (u5 * 256 + u6) / 65535.0 AS mean_luma
+        |  FROM bytes)
+        |SELECT doc_id, width, height, channels, mean_luma,
+        |  CAST(greatest(round(
+        |    width * least(256.0 / width, 256.0 / height, 1.0)), 1) AS INT)
+        |    AS resized_width,
+        |  CAST(greatest(round(
+        |    height * least(256.0 / width, 256.0 / height, 1.0)), 1) AS INT)
+        |    AS resized_height
+        |FROM feat ORDER BY doc_id""".stripMargin,
 
     "q37_cosine_near_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2289,6 +2409,22 @@ object SparkEntry {
         |  (r.i * n_chars * 100)::BIGINT AS frame_time_ms
         |FROM documents, range(8) r(i)
         |WHERE doc_id % 50 = 0
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the window formulation the aggregate replaces — same (revenue DESC,
+    // custkey ASC) total order as graft_top_k's tie-break, DECIMAL-exact
+    // revenue sums cast to DOUBLE on both sides
+    "q83_topk_per_group" ->
+      """WITH rev AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey, c_custkey)
+        |SELECT c_nationkey, CAST(row_number() OVER w AS BIGINT) AS rank,
+        |  c_custkey, revenue
+        |FROM rev
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY revenue DESC, c_custkey)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY c_nationkey, rank""".stripMargin
   )
 }

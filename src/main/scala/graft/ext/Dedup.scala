@@ -174,6 +174,44 @@ object Dedup {
   def minhashSignatureNative(shingles: Column, k: Int): Column =
     call_function("graft_minhash_sig", shingles, lit(k))
 
+  /** Cross-engine-PORTABLE MinHash signature: md5-based shingle hash and
+    * md5-derived affine coefficients (closed formula — no PRNG stream),
+    * so the exact signature reproduces in any engine with md5 + integer
+    * arithmetic; this is what makes q26 DuckDB-oracle-checkable. Native
+    * path = [[graft.plans.MinHashMd5SigExpr]], bit-identical to this HOF
+    * fold (spec-pinned). The xxhash64 [[minhashSignature]] stays the
+    * fastest in-Spark variant.
+    */
+  def minhashSignaturePortable(shingles: Column, k: Int,
+                               useNative: Boolean = false): Column = {
+    if (useNative) return call_function("graft_minhash_md5_sig", shingles, lit(k))
+    val p = graft.plans.MinHashMd5SigExpr.P
+    val (as, bs) = graft.plans.MinHashMd5SigExpr.coefficients(k)
+    val coeffs = array((0 until k).map(i =>
+      struct(lit(as(i)).as("a"), lit(bs(i)).as("b"))): _*)
+    aggregate(
+      transform(shingles,
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long") % p),
+      array_repeat(lit(p), k),
+      (acc, h) => zip_with(acc, coeffs,
+        (m, c) => least(m, (c("a") * h + c("b")) % p)))
+  }
+
+  /** LSH band keys as PLAIN VALUE STRINGS (`"s1,s2,s3,s4"` per band)
+    * instead of [[lshBandKeys]]'s xxhash64 band digests: zero collision
+    * probability and engine-neutral, so an oracle banding on the same
+    * signature values produces the identical candidate set. Costs a
+    * wider join key (≈40 bytes vs 8) — the portable/checkable trade.
+    */
+  def lshBandKeysPortable(signature: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",",
+        transform(slice(signature, b * r + lit(1), lit(r)),
+          x => x.cast("string"))))
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs `(idA < idB)`.
     *
     * Pipeline: signature projection → posexplode to (band, bucket, id) →
@@ -186,15 +224,19 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                             maxBucketSize: Int = 1000,
-                            useNative: Boolean = false): DataFrame = {
+                            useNative: Boolean = false,
+                            portable: Boolean = false): DataFrame = {
+    val sh = wordShingles(col(textCol), shingleN, useNative)
     val sigExpr =
-      if (useNative)
-        minhashSignatureNative(wordShingles(col(textCol), shingleN,
-          useNative = true), k)
-      else minhashSignature(wordShingles(col(textCol), shingleN), k)
+      if (portable) minhashSignaturePortable(sh, k, useNative)
+      else if (useNative) minhashSignatureNative(sh, k)
+      else minhashSignature(sh, k)
+    val bandKeys =
+      if (portable) lshBandKeysPortable(col("sig"), k, bands)
+      else lshBandKeys(col("sig"), k, bands)
     val sig = df.select(col(idCol), sigExpr.as("sig"))
     val buckets = sig.select(col(idCol),
-        posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band", "bucket")))
+        posexplode(bandKeys).as(Seq("band", "bucket")))
     val wCnt = Window.partitionBy("band", "bucket")
     val capped = buckets.withColumn("__n", count(lit(1)).over(wCnt))
       .filter(col("__n") <= maxBucketSize).drop("__n")
@@ -215,15 +257,109 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           minJaccard: Double, shingleN: Int = 3,
                           k: Int = 64, bands: Int = 16,
-                          useNative: Boolean = false): DataFrame = {
+                          useNative: Boolean = false,
+                          portable: Boolean = false): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, shingleN, k, bands,
-      useNative = useNative)
+      useNative = useNative, portable = portable)
     val sh = df.select(col(idCol),
       wordShingles(col(textCol), shingleN, useNative).as("sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ------------------------------------------------ persisted minhash index
+
+  private def minhashSigExpr(sh: Column, k: Int, useNative: Boolean,
+                             portable: Boolean): Column =
+    if (portable) minhashSignaturePortable(sh, k, useNative)
+    else if (useNative) minhashSignatureNative(sh, k)
+    else minhashSignature(sh, k)
+
+  private def minhashBandExpr(sig: Column, k: Int, bands: Int,
+                              portable: Boolean): Column =
+    if (portable) lshBandKeysPortable(sig, k, bands)
+    else lshBandKeys(sig, k, bands)
+
+  /** Persist a MinHash-LSH band index for a corpus: `<table>` holds one
+    * row per (doc, band) keyed by a SINGLE `bucket_key` column
+    * (`"<band>:<band digest>"` — band folded into the key so the probe
+    * is a one-column equi-join on exactly the bucketed column), written
+    * `bucketBy(bucket_key)` so every future probe's bucket join consumes
+    * the scan's distribution (the corpus side is never exchanged again),
+    * and `<table>_shingles` holds `(idCol, sh)` bucketed by id for the
+    * exact-Jaccard verify join. Same pay-the-shuffle-once rationale as
+    * [[Ivf.writeIndex]]/[[Pq.writeIndex]], applied to the near-dup
+    * family: a continuously-ingesting corpus signatures each document
+    * exactly once, at index time — not once per ingest cycle.
+    */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        table: String, shingleN: Int = 3, k: Int = 64,
+                        bands: Int = 16, nBuckets: Int = 32,
+                        useNative: Boolean = false,
+                        portable: Boolean = false): Unit = {
+    val based = df.select(col(idCol),
+      wordShingles(col(textCol), shingleN, useNative).as("sh"))
+    based
+      .select(col(idCol), minhashSigExpr(col("sh"), k, useNative, portable)
+        .as("sig"))
+      .select(col(idCol),
+        posexplode(minhashBandExpr(col("sig"), k, bands, portable))
+          .as(Seq("band", "bucket")))
+      .select(col(idCol),
+        concat_ws(":", col("band"), col("bucket")).as("bucket_key"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "bucket_key").sortBy("bucket_key")
+      .mode("overwrite").saveAsTable(table)
+    based.write.format("parquet")
+      .bucketBy(nBuckets, idCol).sortBy(idCol)
+      .mode("overwrite").saveAsTable(s"${table}_shingles")
+  }
+
+  /** Probe a persisted MinHash index with a new batch: verified near-dup
+    * pairs `(id_new, id_corpus, jaccard ≥ minJaccard)` between batch and
+    * corpus documents. Only the BATCH is signatured and shuffled — the
+    * index feeds the bucket join straight from its bucketed scan
+    * (spec-pinned), corpus shingles come pre-shingled from the sidecar
+    * table, and the degenerate-bucket cap applies on the index side.
+    * `shingleN`/`k`/`bands` and the signature variant must match the
+    * index's write parameters — they define the band keys.
+    */
+  def minhashProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+                          table: String, newDocs: DataFrame, idCol: String,
+                          textCol: String, minJaccard: Double,
+                          shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                          maxBucketSize: Int = 1000,
+                          useNative: Boolean = false,
+                          portable: Boolean = false): DataFrame = {
+    val batch = newDocs.select(col(idCol).as("id_new"),
+        wordShingles(col(textCol), shingleN, useNative).as("sh_new"))
+      .select(col("id_new"), col("sh_new"),
+        minhashSigExpr(col("sh_new"), k, useNative, portable).as("sig"))
+    val batchBands = batch.select(col("id_new"),
+      posexplode(minhashBandExpr(col("sig"), k, bands, portable))
+        .as(Seq("band", "bucket")))
+      .select(col("id_new"),
+        concat_ws(":", col("band"), col("bucket")).as("bucket_key"))
+    val idx = spark.table(table)
+      .select(col(idCol).as("id_corpus"), col("bucket_key"))
+    // boilerplate-heavy corpora put thousands of docs behind one band
+    // bucket; the window's distribution requirement is met by the
+    // bucketed scan itself, so the cap costs no corpus exchange
+    val wCnt = Window.partitionBy("bucket_key")
+    val capped = idx.withColumn("__n", count(lit(1)).over(wCnt))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val cands = batchBands.join(capped, Seq("bucket_key"))
+      .select("id_new", "id_corpus").distinct()
+    val corpusSh = spark.table(s"${table}_shingles")
+      .select(col(idCol).as("id_corpus"), col("sh").as("sh_corpus"))
+    cands
+      .join(batch.select(col("id_new"), col("sh_new")), "id_new")
+      .join(corpusSh, "id_corpus")
+      .select(col("id_new"), col("id_corpus"),
+        jaccard(col("sh_new"), col("sh_corpus")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -67,9 +67,17 @@ object Multimodal {
     * libraries, so dimensions and luma are derived from the payload hash
     * (stable across runs/engines). Everything downstream treats the result
     * exactly as it would a real decode.
+    *
+    * The digest input is the payload's UPPERCASE HEX, not its raw bytes:
+    * `hex()` is uppercase in Spark and DuckDB alike, and SQL engines'
+    * hash functions typically take strings — hashing the hex makes the
+    * whole feature vector reproducible as `sha256(hex(payload))` in plain
+    * SQL, which is what lets q36 be oracle-checked end to end.
     */
   def decodeImageStub(payload: Array[Byte]): DecodedImage = {
-    val d = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+    val hexStr = payload.map(b => f"$b%02X").mkString
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(hexStr.getBytes("US-ASCII"))
     def u(i: Int): Int = d(i) & 0xFF
     val width = 64 + ((u(0) << 8 | u(1)) % 1857)  // 64..1920
     val height = 64 + ((u(2) << 8 | u(3)) % 1017) // 64..1080

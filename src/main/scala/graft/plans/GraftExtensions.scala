@@ -70,6 +70,11 @@ object GraftFunctions {
     SimHashMd5Expr(children.head)
   }
 
+  private def minhashMd5Builder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_minhash_md5_sig(shingles, k)")
+    MinHashMd5SigExpr(children.head, intLit(children, 1, "k"))
+  }
+
   private def ivfBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 5,
       "graft_ivf_assign(vec, centroids, k, dim, nProbe)")
@@ -145,6 +150,11 @@ object GraftFunctions {
     MisraGriesAgg(children.head, intLit(children, 1, "k"))
   }
 
+  private def topKBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 3, "graft_top_k(ord, payload, k)")
+    TopKAgg(children(0), children(1), intLit(children, 2, "k"))
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -162,6 +172,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_simhash_md5"),
       new ExpressionInfo(classOf[SimHashMd5Expr].getName, "graft_simhash_md5"),
       simhashMd5Builder),
+    (FunctionIdentifier("graft_minhash_md5_sig"),
+      new ExpressionInfo(classOf[MinHashMd5SigExpr].getName,
+        "graft_minhash_md5_sig"),
+      minhashMd5Builder),
     (FunctionIdentifier("graft_ivf_assign"),
       new ExpressionInfo(classOf[IvfAssignExpr].getName, "graft_ivf_assign"),
       ivfBuilder),
@@ -177,6 +191,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MisraGriesAgg].getName,
         "graft_misra_gries"),
       misraGriesBuilder),
+    (FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_top_k"),
+      topKBuilder),
     (FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
       pqEncodeBuilder),

@@ -80,6 +80,38 @@ class DedupSpec extends SparkSpec {
     assert(ham(1L, 3L) < ham(1L, 4L))
   }
 
+  test("portable md5 minhash: native ≡ HOF, single-shingle sig pinned, same dup pairs") {
+    graft.plans.GraftFunctions.register(spark)
+    val edge = Seq((40L, "a b c"), (41L, ""), (42L, "  spaced   out  "))
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"), col("text")).unionByName(edge)
+      .select(col("doc_id"),
+        Dedup.minhashSignaturePortable(
+          Dedup.wordShingles(col("text"), 3), 64).as("hof"),
+        Dedup.minhashSignaturePortable(
+          Dedup.wordShingles(col("text"), 3, useNative = true), 64,
+          useNative = true).as("nat"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    both.foreach { case (id, h, n) =>
+      assert(h == n, s"doc $id portable sig: native != HOF")
+      assert(h.size == 64)
+    }
+    // doc 40 has exactly one shingle "a b c": sig_j = (a_j·h + b_j) mod p,
+    // pinned against an independent python md5 computation
+    val single = both.find(_._1 == 40L).get._2
+    assert(single.head == 416843587L)
+    assert(single.last == 184801862L)
+    // the portable pipeline finds the same dup structure the xxhash one
+    // does on this corpus: exact dups always collide in every band
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        minJaccard = 0.5, shingleN = 3, k = 64, bands = 16,
+        useNative = true, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) &&
+      pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("portable md5 simhash: native ≡ HOF, single-token doc pinned bit-exactly") {
     graft.plans.GraftFunctions.register(spark)
     val edge = Seq((30L, "hello"), (31L, ""), (32L, "  spaced   out  "),

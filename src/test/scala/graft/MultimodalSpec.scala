@@ -44,17 +44,18 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("stub decode pinned bit-exactly for a known synthetic image (q36 anchor)") {
-    // expected values computed INDEPENDENTLY (python hashlib over the same
-    // bytes) — this pins the q36 feature vector itself, not stub-vs-stub
+    // expected values computed INDEPENDENTLY (python hashlib over the
+    // payload's uppercase hex — the stub's digest input) — this pins the
+    // q36 feature vector itself, not stub-vs-stub
     val payload = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
       "the quick brown fox".getBytes("UTF-8")
     val out = Multimodal.extractImageFeatures(
       Seq((1L, payload)).toDF("id", "payload"), "payload").head()
-    assert(out.getAs[Int]("width") == 310)
-    assert(out.getAs[Int]("height") == 280)
+    assert(out.getAs[Int]("width") == 364)
+    assert(out.getAs[Int]("height") == 199)
     assert(out.getAs[Int]("channels") == 3)
-    assert(out.getAs[Double]("mean_luma") == 5846.0 / 65535.0)
-    assert(out.getAs[Double]("aspect_ratio") == 310.0 / 280.0)
+    assert(out.getAs[Double]("mean_luma") == 41525.0 / 65535.0)
+    assert(out.getAs[Double]("aspect_ratio") == 364.0 / 199.0)
   }
 
   test("extractImageFeatures maps partitions, drops payload, keeps other cols") {

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** graft_top_k: the bounded partial-combinable top-k-per-group aggregate.
+  * Pins (a) exact equality with the window formulation it replaces,
+  * (b) deterministic tie-breaks, (c) null skipping, (d) the partial-merge
+  * path across many input partitions, and (e) the plan property that
+  * justifies it — no Window operator, object-hash aggregation instead.
+  */
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  graft.plans.GraftFunctions.register(spark)
+
+  private def topk(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy("g")
+      .agg(call_function("graft_top_k", col("v"), col("id"), lit(k)).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("g"), (col("pos") + 1).as("rank"),
+        col("s.payload").as("id"), col("s.ord").as("v"))
+
+  private def windowed(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("g", "rank", "id", "v")
+  }
+
+  test("equals the window formulation on many-partition random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 5000L).map(i =>
+      (s"g${i % 7}", i, rnd.nextInt(1000).toDouble))
+    val df = rows.toDF("g", "id", "v").repartition(16)
+    val got = topk(df, 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = windowed(df, 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 35) // 7 groups x 5
+  }
+
+  test("ties break ascending on payload — deterministic across runs") {
+    // every row has the same score: top-3 must be the 3 smallest ids
+    val df = (1L to 100L).map(i => ("g", i, 1.0)).toDF("g", "id", "v")
+      .repartition(8)
+    val got = topk(df, 3).select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("null ord or payload rows are skipped, not ranked") {
+    val df = Seq(
+      ("g", Some(1L), Some(5.0)), ("g", Some(2L), None),
+      ("g", None, Some(9.0)), ("g", Some(3L), Some(4.0))
+    ).toDF("g", "id", "v")
+    val got = topk(df, 5).select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("groups smaller than k return all their rows, still ordered") {
+    val df = Seq(("a", 1L, 2.0), ("a", 2L, 7.0), ("b", 3L, 1.0))
+      .toDF("g", "id", "v")
+    val got = topk(df, 10).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(got == Seq(("a", 1, 2L), ("a", 2, 1L), ("b", 1, 3L)))
+  }
+
+  test("string payloads rank with binary collation tie-breaks") {
+    val df = Seq(("g", "b", 1.0), ("g", "a", 1.0), ("g", "c", 2.0))
+      .toDF("g", "id", "v")
+    val got = df.groupBy("g")
+      .agg(call_function("graft_top_k", col("v"), col("id"), lit(2)).as("top"))
+      .select(explode(col("top.payload")).as("id")).as[String].collect().toSeq
+    assert(got == Seq("c", "a"))
+  }
+
+  test("plan has NO window operator: object-hash aggregate with partial combine") {
+    val df = (1L to 1000L).map(i => (s"g${i % 3}", i, i.toDouble))
+      .toDF("g", "id", "v").repartition(4)
+    val plan = topk(df, 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort crept back in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected object-hash aggregation:\n$plan")
+    // partial + final pair => map-side combine before the exchange
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+}
