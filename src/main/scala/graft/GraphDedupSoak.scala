@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * effect on a boilerplate-heavy corpus (the 100 TB failure mode the
   * cap exists for). Results go to BASELINE.md ("Graph/dedup soak").
   *
-  * Usage: `sbt 'runMain graft.GraphDedupSoak [soakN] [abN]'`
-  * (defaults 1000000 / 300000).
+  * Usage: `sbt 'runMain graft.GraphDedupSoak [soakN] [abN] [reliable]'`
+  * (defaults 1000000 / 300000; any third argument switches CC round
+  * state from executor-memory localCheckpoint to RELIABLE checkpoint()
+  * files — the 100 TB configuration — so its overhead is measurable).
   *
   * Corpus shape per doc id:
   *   - id % 200 == 0 → "boilerplate": one SHARED 39-char prefix, random
@@ -112,9 +114,15 @@ object GraphDedupSoak {
     val edgeShuffle = meter.writeBytes
     val cachedEdges = edgesOf(docs, cap = 1000) // same plan → cache hit
 
+    val ckptDir =
+      if (args.length > 2)
+        Some(java.nio.file.Files.createTempDirectory("graft-soak-ckpt")
+          .toString)
+      else None
     val ((labels, rounds), ccSec) = time {
       val (lab, r) = Graph.connectedComponentsWithRounds(
-        docs, "doc_id", cachedEdges, "id_a", "id_b")
+        docs, "doc_id", cachedEdges, "id_a", "id_b",
+        checkpointDir = ckptDir)
       lab.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       lab.count()
       (lab, r)
@@ -123,7 +131,8 @@ object GraphDedupSoak {
     val nClusters = labels.select("component").distinct().count()
     val multi = labels.groupBy("component").count()
       .filter(col("count") > 1).count()
-    println(f"soak,n=$soakN,edges=$edgeCount,edge_sec=$edgeSec%.1f," +
+    println(f"soak,n=$soakN,ckpt=${if (ckptDir.isDefined) "reliable" else "local"}," +
+      f"edges=$edgeCount,edge_sec=$edgeSec%.1f," +
       f"cc_rounds=$rounds,cc_sec=$ccSec%.1f," +
       f"edge_shuffle_mb=${edgeShuffle / 1e6}%.0f," +
       f"total_shuffle_mb=${totalShuffle / 1e6}%.0f," +

@@ -268,6 +268,64 @@ object FunnelStream {
   }
 }
 
+/** One scored row on a ranking stream. */
+final case class ScoredEvent(key: String, ord: Double, payload: Long)
+
+/** The current rank-`rank` member of `key`'s running top-k. `n_seen` =
+  * rows merged into the key when this snapshot was produced — a
+  * monotone version: the key's LATEST leaderboard is its max-`n_seen`
+  * snapshot (which is how an Update-mode sink's reader finds it).
+  */
+final case class TopKSnapshot(key: String, rank: Int, ord: Double,
+                              payload: Long, n_seen: Long)
+
+/** Per-key running top-k — O(k) state. */
+final case class TopKState(ords: List[Double], payloads: List[Long],
+                           nSeen: Long)
+
+/** Streaming twin of [[graft.plans.TopKAgg]]: per-key running top-k
+  * maintained in `flatMapGroupsWithState`, re-emitting a key's current
+  * top-k snapshot whenever a micro-batch changes it (Update-mode
+  * semantics — a leaderboard, not an append-only log). The merge is the
+  * aggregate's exactly: ord DESC with ascending-payload tie-break, so
+  * after any batch split the latest snapshot equals `graft_top_k` over
+  * everything seen (spec-pinned). State per key is k (ord, payload)
+  * pairs regardless of throughput; keys are assumed a bounded
+  * population — add an event-time timeout (as [[Sessionize]] does) for
+  * unbounded key spaces.
+  */
+object TopKStream {
+
+  /** Merge incoming scored rows into a current top-k — shared by the
+    * streaming operator and the spec's reference fold. Same total order
+    * as `TopKAgg.lessThan`.
+    */
+  def mergeTopK(current: Seq[(Double, Long)], incoming: Seq[(Double, Long)],
+                k: Int): List[(Double, Long)] =
+    (current ++ incoming).sortBy { case (o, p) => (-o, p) }.take(k).toList
+
+  def topk(events: Dataset[ScoredEvent], k: Int): Dataset[TopKSnapshot] = {
+    require(k > 0, s"k must be positive, got $k")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TopKState, TopKSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[TopKState]) =>
+          val st = state.getOption.getOrElse(TopKState(Nil, Nil, 0L))
+          val current = st.ords.zip(st.payloads)
+          val incoming = rows.map(e => (e.ord, e.payload)).toSeq
+          val merged = mergeTopK(current, incoming, k)
+          val nSeen = st.nSeen + incoming.size
+          state.update(TopKState(merged.map(_._1), merged.map(_._2), nSeen))
+          if (merged == current) Iterator.empty // unchanged: emit nothing
+          else merged.iterator.zipWithIndex.map { case ((o, p), i) =>
+            TopKSnapshot(key, i + 1, o, p, nSeen)
+          }
+      }
+  }
+}
+
 /** One event for stateful sessionization (micros since epoch keeps the
   * state encoder trivial and comparison exact).
   */

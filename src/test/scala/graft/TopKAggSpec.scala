@@ -76,6 +76,41 @@ class TopKAggSpec extends SparkSpec {
     assert(got == Seq("c", "a"))
   }
 
+  test("streaming top-k snapshots converge to the batch aggregate") {
+    import graft.streaming.{ScoredEvent, TopKSnapshot, TopKStream}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val all = (1L to 2000L).map(i =>
+      ScoredEvent(s"k${i % 5}", rnd.nextInt(10000).toDouble, i))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[ScoredEvent]
+    val q = TopKStream.topk(in.toDS(), k = 4)
+      .writeStream.format("memory").queryName("topk_snap")
+      .outputMode("update").start()
+    try {
+      all.grouped(700).foreach { b =>
+        in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val snaps = spark.table("topk_snap").as[TopKSnapshot].collect()
+      // the latest leaderboard per key = its max-n_seen snapshot
+      val latest = snaps.groupBy(_.key).map { case (key, rows) =>
+        val maxSeen = rows.map(_.n_seen).max
+        key -> rows.filter(_.n_seen == maxSeen).sortBy(_.rank)
+          .map(s => (s.rank, s.ord, s.payload)).toSeq
+      }
+      // batch reference: graft_top_k over everything ever streamed
+      val ref = topk(
+          all.map(e => (e.key, e.payload, e.ord)).toDF("g", "id", "v"), 4)
+        .collect()
+        .map(r => (r.getString(0), (r.getInt(1), r.getDouble(3), r.getLong(2))))
+        .groupBy(_._1).map { case (key, rows) =>
+          key -> rows.map(_._2).sortBy(_._1).toSeq
+        }
+      assert(latest == ref)
+      assert(latest.size == 5)
+    } finally q.stop()
+  }
+
   test("plan has NO window operator: object-hash aggregate with partial combine") {
     val df = (1L to 1000L).map(i => (s"g${i % 3}", i, i.toDouble))
       .toDF("g", "id", "v").repartition(4)
