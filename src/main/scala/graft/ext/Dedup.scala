@@ -318,6 +318,34 @@ object Dedup {
       .mode("overwrite").saveAsTable(s"${table}_shingles")
   }
 
+  /** Append a new batch to a persisted MinHash index (both the band
+    * table and the shingle sidecar): the incremental-maintenance half of
+    * the continuous-ingest near-dup loop — probe the batch
+    * ([[minhashProbeIndexed]]), sink the pairs, append the kept docs
+    * here so the NEXT cycle also checks against them. `insertInto`
+    * honors the tables' bucket spec, so appended files land in the same
+    * bucket layout the probe join relies on; each ingest cycle
+    * signatures only its own batch. Parameters must match the index's
+    * write parameters.
+    */
+  def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                           table: String, shingleN: Int = 3, k: Int = 64,
+                           bands: Int = 16, useNative: Boolean = false,
+                           portable: Boolean = false): Unit = {
+    val based = df.select(col(idCol),
+      wordShingles(col(textCol), shingleN, useNative).as("sh"))
+    based
+      .select(col(idCol), minhashSigExpr(col("sh"), k, useNative, portable)
+        .as("sig"))
+      .select(col(idCol),
+        posexplode(minhashBandExpr(col("sig"), k, bands, portable))
+          .as(Seq("band", "bucket")))
+      .select(col(idCol),
+        concat_ws(":", col("band"), col("bucket")).as("bucket_key"))
+      .write.mode("append").insertInto(table)
+    based.write.mode("append").insertInto(s"${table}_shingles")
+  }
+
   /** Probe a persisted MinHash index with a new batch: verified near-dup
     * pairs `(id_new, id_corpus, jaccard ≥ minJaccard)` between batch and
     * corpus documents. Only the BATCH is signatured and shuffled — the

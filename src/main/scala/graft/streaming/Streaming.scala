@@ -107,6 +107,38 @@ object EventStreams {
     // the batch operator's plan IS streaming-compatible (stateless
     // stream-static join + aggregate) — one definition, zero drift
     graft.ext.Dedup.contaminationHits(docs, idCol, textCol, bench, shingleN)
+
+  /** Continuous-ingest near-duplicate probe: each micro-batch of
+    * documents is checked against a PERSISTED MinHash index
+    * ([[graft.ext.Dedup.writeMinhashIndex]]) and the verified pairs are
+    * handed to `onBatch`. `foreachBatch` reuses the batch operator
+    * VERBATIM (the probe's bucket-cap window cannot run inside a
+    * streaming plan, and this way streaming and batch semantics cannot
+    * drift — the [[MicroBatchMerge]] rationale). Results are per-document
+    * against a static corpus, so the union of per-batch outputs equals
+    * one batch probe over everything streamed (spec-pinned).
+    *
+    * Corpus growth belongs to the caller's `onBatch`: after sinking the
+    * flagged pairs, append the batch's novel docs with
+    * [[graft.ext.Dedup.appendToMinhashIndex]] so the NEXT cycle also
+    * near-dup-checks against them — the near-dup analog of the
+    * exact-dedup ingest loop (`dedupAgainstCorpus` + append).
+    */
+  def nearDupProbeStream(docs: DataFrame, table: String, idCol: String,
+                         textCol: String, minJaccard: Double,
+                         shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                         maxBucketSize: Int = 1000,
+                         useNative: Boolean = false,
+                         portable: Boolean = false)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ext.Dedup.minhashProbeIndexed(batch.sparkSession,
+          table, batch, idCol, textCol, minJaccard, shingleN, k, bands,
+          maxBucketSize, useNative, portable), batchId)
+      }
+      .start()
 }
 
 /** One metric observation for streaming anomaly detection. */

@@ -85,6 +85,75 @@ class MinHashIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("appendToMinhashIndex: later batches near-dup-check against appended docs") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_mhidx_a").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mhdb_a LOCATION '$loc'")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", "graft_mhdb_a.mh_idx",
+      nBuckets = 4, useNative = true)
+    // ingest cycle 1: batch probes, novel docs appended
+    Dedup.appendToMinhashIndex(batch, "doc_id", "text", "graft_mhdb_a.mh_idx",
+      useNative = true)
+    // ingest cycle 2: a near-dup of CYCLE-1 doc 11 (not of the original
+    // corpus) must now be caught
+    val batch2 = Seq(
+      (20L, "fresh novel batch content sharing nothing with the corpus now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashProbeIndexed(spark, "graft_mhdb_a.mh_idx", batch2,
+        "doc_id", "text", minJaccard = 0.5, useNative = true)
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(got == Set((20L, 11L)))
+    // the appended files honor the bucket layout: probe join still reads
+    // the index without exchanging it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probeBands = batch2.select(col("doc_id").as("id_new"),
+          Dedup.wordShingles(col("text"), 3, useNative = true).as("sh"))
+        .select(col("id_new"),
+          Dedup.minhashSignatureNative(col("sh"), 64).as("sig"))
+        .select(col("id_new"),
+          posexplode(Dedup.lshBandKeys(col("sig"), 64, 16))
+            .as(Seq("band", "bucket")))
+        .select(col("id_new"),
+          concat_ws(":", col("band"), col("bucket")).as("bucket_key"))
+      val idx = spark.table("graft_mhdb_a.mh_idx")
+        .select(col("doc_id").as("id_corpus"), col("bucket_key"))
+      val plan = idx.join(probeBands, Seq("bucket_key"))
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("streaming probe: union of per-batch pairs equals one batch probe") {
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+    table // force index write
+    val allDocs = Seq(
+      (30L, "the quick brown fox jumps over the lazy dog this morning"),
+      (31L, "novel streamed content with no corpus overlap whatsoever at all"),
+      (32L, "the quick brown fox jumps over the lazy dog every evening")
+    )
+    val expected = Dedup.minhashProbeIndexed(spark, table,
+        allDocs.toDF("doc_id", "text"), "doc_id", "text",
+        minJaccard = 0.5, useNative = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty)
+
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupProbeStream(
+        in.toDF().toDF("doc_id", "text"), table, "doc_id", "text",
+        minJaccard = 0.5, useNative = true) { (pairs, _) =>
+      collected ++= pairs.as[(Long, Long, Double)].collect()
+    }
+    try {
+      in.addData(allDocs.take(1): _*); q.processAllAvailable()
+      in.addData(allDocs.drop(1): _*); q.processAllAvailable()
+      assert(collected.toSet == expected)
+    } finally q.stop()
+  }
+
   test("portable index round-trips with the portable signature variant") {
     val loc = java.nio.file.Files.createTempDirectory("graft_mhidx_p").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mhdb_p LOCATION '$loc'")
