@@ -83,6 +83,52 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("portable md5 minhash + simhash: native ≡ HOF on generated unicode text") {
+    GraftFunctions.register(spark)
+    val df = texts(seed = 333L, n = 50).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sh = Dedup.wordShingles(col("text"), 3)
+    val rows = df.select(col("id"),
+        Dedup.minhashSignaturePortable(sh, 32).as("mh"),
+        Dedup.minhashSignaturePortable(
+          Dedup.wordShingles(col("text"), 3, useNative = true), 32,
+          useNative = true).as("mn"),
+        Dedup.simhash64Portable(col("text")).as("sh_h"),
+        Dedup.simhash64Portable(col("text"), useNative = true).as("sh_n"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"portable minhash diverges on row ${r.getLong(0)}")
+      assert(r.getStruct(3) == r.getStruct(4),
+        s"portable simhash diverges on row ${r.getLong(0)}")
+    }
+    assert(rows.length == 50)
+  }
+
+  test("graft_top_k ≡ window formulation on generated scores with ties") {
+    GraftFunctions.register(spark)
+    // small score domain forces heavy ord ties — the tie-break must hold
+    val rnd = new scala.util.Random(55)
+    val df = (1L to 3000L).map(i =>
+        (s"g${rnd.nextInt(11)}", i, rnd.nextInt(7).toDouble))
+      .toDF("g", "id", "v").repartition(13)
+    val agg = df.groupBy("g")
+      .agg(call_function("graft_top_k", col("v"), col("id"), lit(6)).as("t"))
+      .select(col("g"), posexplode(col("t")).as(Seq("p", "s")))
+      .select(col("g"), (col("p") + 1).as("r"),
+        col("s.payload").as("id"), col("s.ord").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val win = df.withColumn("r", row_number().over(w)).filter(col("r") <= 6)
+      .select("g", "r", "id", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(agg == win)
+  }
+
   test("stopword regex count ≡ token filter count on generated text") {
     // the regexp_count rewrite vs the definitional HOF it replaced
     val df = texts(seed = 900L, n = 60).zipWithIndex
