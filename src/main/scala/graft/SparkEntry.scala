@@ -537,8 +537,10 @@ object SparkEntry {
     // statistics — the df/idf side aggregates over the whole corpus while
     // staying one lazy plan (broadcast 1-row N, term-keyed shuffles)
     "q48_tfidf_topk" -> ((s, dir) => {
-      TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 5)
-        .orderBy("doc_id", "rank")
+      graft.plans.GraftFunctions.register(s)
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 5,
+          useNative = true) // graft_top_k ranking — no window sort of the
+        .orderBy("doc_id", "rank") // scored term relation (≡, spec-pinned)
     }),
 
     // ---- repetition quality signals (oracle-checked): top-token share +

@@ -120,6 +120,28 @@ class TextOpsSpec extends SparkSpec {
     assert(all.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("tfidfTopTerms native top-k ranking equals the window formulation") {
+    graft.plans.GraftFunctions.register(spark)
+    // many docs over a small vocab: heavy tfidf ties exercise the
+    // term-ascending tie-break in both paths
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "shared", "rare")
+    val df = (1L to 200L).map(i =>
+        (i, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text").repartition(8)
+    val win = TextOps.tfidfTopTerms(df, "doc_id", "text", k = 3)
+      .as[(Long, Int, String, Double)].collect().toSet
+    val nat = TextOps.tfidfTopTerms(df, "doc_id", "text", k = 3,
+        useNative = true)
+      .as[(Long, Int, String, Double)].collect().toSet
+    assert(nat == win)
+    assert(nat.nonEmpty)
+    // and the native path's plan really dropped the window sort
+    val plan = TextOps.tfidfTopTerms(df, "doc_id", "text", k = 3,
+      useNative = true).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+  }
+
   test("repetitionStats: top-token share and duplicate-bigram fraction") {
     val df = Seq(
       (1L, "spam spam spam spam"),     // one token, all bigrams identical
