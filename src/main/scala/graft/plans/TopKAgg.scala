@@ -30,9 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * rankings instead of frequencies.
   *
   * `payload` may be bigint, int, double, or string (the id/label being
-  * ranked). Null `ord` or null `payload` rows are skipped, matching the
-  * `QUALIFY row_number()` formulation where NULL ordering keys sort last
-  * and never make a top-k that real values fill.
+  * ranked), or a STRUCT of those — `struct(id, name, region)` rides the
+  * ranking whole, so no join-back is needed to recover the winning rows'
+  * columns. Struct tie-breaks are field-wise lexicographic (null field
+  * first), matching a multi-column `ORDER BY` over the same fields. Null
+  * `ord` or null `payload` rows are skipped, matching the `QUALIFY
+  * row_number()` formulation where NULL ordering keys sort last and
+  * never make a top-k that real values fill.
   */
 case class TopKAgg(
     ord: Expression,
@@ -52,30 +56,71 @@ case class TopKAgg(
     containsNull = false)
   override def prettyName: String = "graft_top_k"
 
+  private def atomicOk(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | StringType => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     if (ord.dataType != DoubleType)
       TypeCheckResult.TypeCheckFailure(
         s"graft_top_k ord must be double, got ${ord.dataType.sql}")
     else payload.dataType match {
-      case LongType | IntegerType | DoubleType | StringType =>
+      case dt if atomicOk(dt) => TypeCheckResult.TypeCheckSuccess
+      case st: StructType if st.fields.nonEmpty &&
+          st.fields.forall(f => atomicOk(f.dataType)) =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"graft_top_k payload must be bigint/int/double/string, got ${other.sql}")
+        "graft_top_k payload must be bigint/int/double/string or a struct " +
+          s"of those, got ${other.sql}")
     }
   }
 
-  // total order: ord DESC, then payload ASC (bytes for strings — the same
-  // binary collation Spark sorts and DuckDB compares with)
+  private def atomicCompare(dt: DataType): (Any, Any) => Int = dt match {
+    case LongType => (a, b) =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType => (a, b) =>
+      java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case DoubleType => (a, b) =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case StringType => (a, b) =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  // payload ASC comparator: atomic natural order (bytes for strings — the
+  // binary collation Spark sorts and DuckDB compares with), or field-wise
+  // lexicographic for structs with null-first per field
+  @transient private lazy val payloadCompare: (Any, Any) => Int =
+    payload.dataType match {
+      case st: StructType =>
+        val fields = st.fields
+        val cmps = fields.map(f => atomicCompare(f.dataType))
+        (a, b) => {
+          val ra = a.asInstanceOf[InternalRow]
+          val rb = b.asInstanceOf[InternalRow]
+          var i = 0
+          var c = 0
+          while (i < cmps.length && c == 0) {
+            val na = ra.isNullAt(i)
+            val nb = rb.isNullAt(i)
+            c =
+              if (na && nb) 0
+              else if (na) -1
+              else if (nb) 1
+              else cmps(i)(ra.get(i, fields(i).dataType),
+                rb.get(i, fields(i).dataType))
+            i += 1
+          }
+          c
+        }
+      case dt => atomicCompare(dt)
+    }
+
+  // total order: ord DESC, then payload ASC
   private def lessThan(a: (Double, Any), b: (Double, Any)): Boolean = {
     val c = java.lang.Double.compare(b._1, a._1) // desc on ord
-    if (c != 0) c < 0
-    else (a._2, b._2) match {
-      case (x: Long, y: Long) => x < y
-      case (x: Int, y: Int) => x < y
-      case (x: Double, y: Double) => x < y
-      case (x: UTF8String, y: UTF8String) => x.compareTo(y) < 0
-      case _ => false
-    }
+    if (c != 0) c < 0 else payloadCompare(a._2, b._2) < 0
   }
 
   /** Prune to k and remember the kth-best ord: once a group has k
@@ -107,7 +152,15 @@ case class TopKAgg(
       if (!buf.hasThreshold || ordV >= buf.threshold) {
         val p = payload.eval(input)
         if (p != null) {
-          buf.rows += ((ordV, p))
+          // DEFENSIVE COPY: a UTF8String (or struct row) from eval can be
+          // a view over the input row's reused buffer — storing the view
+          // across rows would silently corrupt kept payloads
+          val safe: Any = p match {
+            case u: UTF8String => u.clone()
+            case r: InternalRow => r.copy()
+            case other => other
+          }
+          buf.rows += ((ordV, safe))
           // amortized pruning: sort only when the buffer doubles past k
           if (buf.rows.length >= 2 * k) prune(buf)
         }
@@ -136,19 +189,64 @@ case class TopKAgg(
     out.writeInt(kept.length)
     kept.foreach { case (o, p) =>
       out.writeDouble(o)
-      payload.dataType match {
-        case LongType => out.writeLong(p.asInstanceOf[Long])
-        case IntegerType => out.writeInt(p.asInstanceOf[Int])
-        case DoubleType => out.writeDouble(p.asInstanceOf[Double])
-        case StringType =>
-          val b = p.asInstanceOf[UTF8String].getBytes
-          out.writeInt(b.length)
-          out.write(b)
-        case other => throw new IllegalStateException(s"unreachable: $other")
-      }
+      writePayload(out, p)
     }
     out.flush()
     bos.toByteArray
+  }
+
+  private def writeAtomic(out: DataOutputStream, dt: DataType, v: Any): Unit =
+    dt match {
+      case LongType => out.writeLong(v.asInstanceOf[Long])
+      case IntegerType => out.writeInt(v.asInstanceOf[Int])
+      case DoubleType => out.writeDouble(v.asInstanceOf[Double])
+      case StringType =>
+        val b = v.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length)
+        out.write(b)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+  private def readAtomic(in: DataInputStream, dt: DataType): Any = dt match {
+    case LongType => in.readLong()
+    case IntegerType => in.readInt()
+    case DoubleType => in.readDouble()
+    case StringType =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      UTF8String.fromBytes(b)
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  private def writePayload(out: DataOutputStream, p: Any): Unit =
+    payload.dataType match {
+      case st: StructType =>
+        val r = p.asInstanceOf[InternalRow]
+        var i = 0
+        while (i < st.fields.length) {
+          val isNull = r.isNullAt(i)
+          out.writeBoolean(isNull)
+          if (!isNull)
+            writeAtomic(out, st.fields(i).dataType,
+              r.get(i, st.fields(i).dataType))
+          i += 1
+        }
+      case dt => writeAtomic(out, dt, p)
+    }
+
+  private def readPayload(in: DataInputStream): Any = payload.dataType match {
+    case st: StructType =>
+      val vals = new Array[Any](st.fields.length)
+      var i = 0
+      while (i < st.fields.length) {
+        vals(i) =
+          if (in.readBoolean()) null
+          else readAtomic(in, st.fields(i).dataType)
+        i += 1
+      }
+      new GenericInternalRow(vals)
+    case dt => readAtomic(in, dt)
   }
 
   override def deserialize(bytes: Array[Byte]): TopKAgg.Buf = {
@@ -158,18 +256,7 @@ case class TopKAgg(
     var i = 0
     while (i < n) {
       val o = in.readDouble()
-      val p: Any = payload.dataType match {
-        case LongType => in.readLong()
-        case IntegerType => in.readInt()
-        case DoubleType => in.readDouble()
-        case StringType =>
-          val len = in.readInt()
-          val b = new Array[Byte](len)
-          in.readFully(b)
-          UTF8String.fromBytes(b)
-        case other => throw new IllegalStateException(s"unreachable: $other")
-      }
-      buf.rows += ((o, p))
+      buf.rows += ((o, readPayload(in)))
       i += 1
     }
     buf

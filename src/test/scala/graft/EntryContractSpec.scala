@@ -10,6 +10,24 @@ class EntryContractSpec extends SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
+  test("every query is oracle-checked or on the declared rows-only list") {
+    // the rows-only set is a deliberate, enumerated exception (training/
+    // RNG-dependent ANN and cluster operators, each recall- or
+    // parity-bounded by spec) — a NEW query landing here unnoticed would
+    // silently skip the correctness gate
+    val declaredRowsOnly = Set(
+      "q31_topk_lsh",           // RHP hyperplanes from a seeded JVM RNG
+      "q38_cosine_near_dup_lsh",// same signature family as q31
+      "q43_topk_ivf",           // trained coarse quantizer
+      "q56_semantic_dedup",     // IVF clustering of the embedding space
+      "q75_kmeans",             // trained model output itself
+      "q79_topk_ivfpq")         // trained coarse + product codebooks
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked == declaredRowsOnly,
+      s"rows-only drift: unexpected=${unchecked -- declaredRowsOnly} " +
+        s"newly-oracled=${declaredRowsOnly -- unchecked}")
+  }
+
   test("query names are unique and well-formed") {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.distinct.size == names.size)

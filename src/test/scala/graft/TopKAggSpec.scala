@@ -76,6 +76,50 @@ class TopKAggSpec extends SparkSpec {
     assert(got == Seq("c", "a"))
   }
 
+  test("struct payloads rank whole rows — no join-back to recover columns") {
+    val rnd = new scala.util.Random(21)
+    val df = (1L to 2000L).map { i =>
+      (s"g${i % 4}", i, s"name_$i", rnd.nextInt(50).toDouble)
+    }.toDF("g", "id", "name", "v").repartition(12)
+    val got = df.groupBy("g")
+      .agg(call_function("graft_top_k",
+        col("v"), struct(col("id"), col("name")), lit(3)).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("g"), (col("pos") + 1).as("rank"),
+        col("s.payload.id").as("id"), col("s.payload.name").as("name"),
+        col("s.ord").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+      .toSet
+    // reference: window ordered by (v DESC, id ASC, name ASC) — the
+    // struct's field-wise lexicographic tie-break over (id, name)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("v").desc, col("id").asc, col("name").asc)
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("g", "rank", "id", "name", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 12)
+  }
+
+  test("struct payload null fields sort first in the tie-break") {
+    val df = Seq(
+      ("g", Some(5L), "b", 1.0),
+      ("g", None, "a", 1.0), // null id: wins the tie under null-first
+      ("g", Some(2L), "c", 1.0)
+    ).toDF("g", "id", "name", "v")
+    val got = df.groupBy("g")
+      .agg(call_function("graft_top_k",
+        col("v"), struct(col("id"), col("name")), lit(2)).as("top"))
+      .select(explode(col("top.payload.name")).as("name"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a", "c"))
+  }
+
   test("streaming top-k snapshots converge to the batch aggregate") {
     import graft.streaming.{ScoredEvent, TopKSnapshot, TopKStream}
     implicit val sqlCtx = spark.sqlContext
