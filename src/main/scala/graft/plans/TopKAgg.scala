@@ -148,8 +148,13 @@ case class TopKAgg(
     val o = ord.eval(input)
     if (o != null) {
       val ordV = o.asInstanceOf[Double]
-      // threshold fast path BEFORE evaluating the payload
-      if (!buf.hasThreshold || ordV >= buf.threshold) {
+      // threshold fast path BEFORE evaluating the payload. Compared with
+      // Double.compare, not `>=`: the kth-best can legitimately be NaN
+      // (Double.compare sorts NaN above every value, same as the window's
+      // descending order), and `NaN >= NaN` would skip tied rows whose
+      // payload tie-break should have let them in.
+      if (!buf.hasThreshold ||
+          java.lang.Double.compare(ordV, buf.threshold) >= 0) {
         val p = payload.eval(input)
         if (p != null) {
           // DEFENSIVE COPY: a UTF8String (or struct row) from eval can be

@@ -329,12 +329,17 @@ final case class TopKState(ords: List[Double], payloads: List[Long],
 object TopKStream {
 
   /** Merge incoming scored rows into a current top-k — shared by the
-    * streaming operator and the spec's reference fold. Same total order
-    * as `TopKAgg.lessThan`.
+    * streaming operator and the spec's reference fold. EXACTLY
+    * `TopKAgg.lessThan`'s total order (`Double.compare` descending, then
+    * payload ascending) — a negate-and-sort would flip the `-0.0`/`0.0`
+    * tie order relative to the aggregate.
     */
   def mergeTopK(current: Seq[(Double, Long)], incoming: Seq[(Double, Long)],
                 k: Int): List[(Double, Long)] =
-    (current ++ incoming).sortBy { case (o, p) => (-o, p) }.take(k).toList
+    (current ++ incoming).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c < 0 else a._2 < b._2
+    }.take(k).toList
 
   def topk(events: Dataset[ScoredEvent], k: Int): Dataset[TopKSnapshot] = {
     require(k > 0, s"k must be positive, got $k")
