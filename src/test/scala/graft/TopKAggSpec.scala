@@ -76,6 +76,28 @@ class TopKAggSpec extends SparkSpec {
     assert(got == Seq("c", "a"))
   }
 
+  test("NaN scores rank first (window semantics) and tie-break by payload") {
+    // descending double order places NaN above every value in both the
+    // window sort and Double.compare; with k=2 and three NaN rows, the
+    // payload tie-break must pick the two smallest ids even when the
+    // NaN threshold is already set (the regression the Double.compare
+    // threshold gate fixed)
+    // 6 rows in one partition with k=2: the buffer prunes at 4, so at
+    // least two rows arrive AFTER the NaN threshold is in place,
+    // whatever order the repartition delivers them in
+    val df = Seq(
+      ("g", 7L, Double.NaN), ("g", 3L, Double.NaN), ("g", 5L, Double.NaN),
+      ("g", 9L, Double.NaN), ("g", 11L, Double.NaN), ("g", 1L, 99.0)
+    ).toDF("g", "id", "v").repartition(1)
+    val got = topk(df, 2).select("id").as[Long].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("v").desc, col("id").asc)
+    val want = df.withColumn("r", row_number().over(w)).filter(col("r") <= 2)
+      .orderBy("r").select("id").as[Long].collect().toSeq
+    assert(got == want)
+    assert(got == Seq(3L, 5L))
+  }
+
   test("struct payloads rank whole rows — no join-back to recover columns") {
     val rnd = new scala.util.Random(21)
     val df = (1L to 2000L).map { i =>
