@@ -46,6 +46,17 @@ object Normalize {
     * Distinct keys make range boundaries unambiguous (no duplicate key
     * can straddle a boundary), so the two-phase ids are exactly the
     * global rank.
+    *
+    * The two phases MUST observe the same range partitioning:
+    * `RangePartitioner` samples with a seed derived from the RDD id, so
+    * re-executing the plan for the second job could draw different range
+    * bounds, silently mis-joining the offsets map (stale `__pid`s →
+    * duplicate or null ids). We therefore materialize the partitioned
+    * frame exactly once with an eager `localCheckpoint`: both the counts
+    * job and the id-assignment job read the same immutable partitions,
+    * and lineage is truncated so nothing can ever re-sample. (Trade-off:
+    * losing an executor fails the job loudly instead of recomputing —
+    * recomputation is exactly what must not happen here.)
     */
   def dimensionWithSurrogateScalable(df: DataFrame, cols: Seq[String],
                                      idCol: String,
@@ -53,6 +64,7 @@ object Normalize {
     val withPid = df.select(cols.map(col): _*).distinct()
       .repartitionByRange(partitions, cols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     // tiny driver state: one (pid, count) row per partition
     val counts: Map[Int, Long] = withPid.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

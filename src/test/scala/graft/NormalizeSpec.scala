@@ -45,6 +45,27 @@ class NormalizeSpec extends SparkSpec {
       s"scalable variant still funnels through one partition:\n$plan")
   }
 
+  test("scalable surrogate materializes its partitioning once (no re-sampled range exchange)") {
+    // RangePartitioner's sampling seed is derived from the RDD id, so a
+    // plan that re-executes the range exchange per action could assign
+    // different __pids in the counts job vs the id job → stale offsets.
+    // The fix pins the partitioned frame with an eager localCheckpoint:
+    // the returned plan must read the materialized RDD, not re-shuffle.
+    val many = (1 to 2000)
+      .map(i => (f"city_$i%04d", if (i % 3 == 0) "AA" else "BB"))
+      .toDF("city", "state").repartition(16)
+    val dim = Normalize.dimensionWithSurrogateScalable(
+      many, Seq("city", "state"), "id", partitions = 8)
+    val plan = dim.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"id-assignment job re-executes the range exchange (re-samples bounds):\n$plan")
+    // repeated actions on the same frame must agree bit-for-bit
+    val first = dim.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    val second = dim.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(first == second)
+    assert(first.map(_._1) == (1 to 2000))
+  }
+
   test("splitGeolocation yields 3NF tables with consistent keys") {
     val (cityState, zip, coords) = Normalize.splitGeolocation(geo)
     assert(cityState.columns.toSeq == Seq("city_id", "city", "state"))
