@@ -81,6 +81,12 @@ object JdbcUpsert {
                              staging: String = ""): Unit = {
     require(batch.columns.toSeq.intersect(pk).size == pk.size,
       s"batch must carry every pk column ${pk.mkString(",")}")
+    // NOTE: the default staging name is per-TARGET-table, so two
+    // concurrent jobs merging into the same table would overwrite each
+    // other's staged batch between the write and the MERGE. Concurrent
+    // writers must pass distinct `staging` names (e.g. suffixed with a
+    // run id); the single-writer micro-batch loop (the reference's
+    // runtime, etl2.py:440-458) is safe with the default.
     val stg = if (staging.nonEmpty) staging else s"${table}_staging"
     batch.write.mode("overwrite").jdbc(url, stg, copyProps(props))
     val sql = mergeSql(table, stg, batch.columns.toSeq, pk)
@@ -88,8 +94,14 @@ object JdbcUpsert {
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      st.executeUpdate(sql)
-      conn.commit()
+      try {
+        st.executeUpdate(sql)
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
+      } finally st.close()
     } finally conn.close()
   }
 

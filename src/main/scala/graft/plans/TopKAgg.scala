@@ -56,19 +56,15 @@ case class TopKAgg(
     containsNull = false)
   override def prettyName: String = "graft_top_k"
 
-  private def atomicOk(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | DoubleType | StringType => true
-    case _ => false
-  }
 
   override def checkInputDataTypes(): TypeCheckResult = {
     if (ord.dataType != DoubleType)
       TypeCheckResult.TypeCheckFailure(
         s"graft_top_k ord must be double, got ${ord.dataType.sql}")
     else payload.dataType match {
-      case dt if atomicOk(dt) => TypeCheckResult.TypeCheckSuccess
+      case dt if TopKOrder.atomicOk(dt) => TypeCheckResult.TypeCheckSuccess
       case st: StructType if st.fields.nonEmpty &&
-          st.fields.forall(f => atomicOk(f.dataType)) =>
+          st.fields.forall(f => TopKOrder.atomicOk(f.dataType)) =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         "graft_top_k payload must be bigint/int/double/string or a struct " +
@@ -76,52 +72,12 @@ case class TopKAgg(
     }
   }
 
-  private def atomicCompare(dt: DataType): (Any, Any) => Int = dt match {
-    case LongType => (a, b) =>
-      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
-    case IntegerType => (a, b) =>
-      java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
-    case DoubleType => (a, b) =>
-      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
-    case StringType => (a, b) =>
-      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
-    case other => throw new IllegalStateException(s"unreachable: $other")
-  }
-
-  // payload ASC comparator: atomic natural order (bytes for strings — the
-  // binary collation Spark sorts and DuckDB compares with), or field-wise
-  // lexicographic for structs with null-first per field
+  // the shared total order ([[TopKOrder]]): ord DESC, then payload ASC —
+  // one definition for this aggregate and the TopKStream streaming twin
   @transient private lazy val payloadCompare: (Any, Any) => Int =
-    payload.dataType match {
-      case st: StructType =>
-        val fields = st.fields
-        val cmps = fields.map(f => atomicCompare(f.dataType))
-        (a, b) => {
-          val ra = a.asInstanceOf[InternalRow]
-          val rb = b.asInstanceOf[InternalRow]
-          var i = 0
-          var c = 0
-          while (i < cmps.length && c == 0) {
-            val na = ra.isNullAt(i)
-            val nb = rb.isNullAt(i)
-            c =
-              if (na && nb) 0
-              else if (na) -1
-              else if (nb) 1
-              else cmps(i)(ra.get(i, fields(i).dataType),
-                rb.get(i, fields(i).dataType))
-            i += 1
-          }
-          c
-        }
-      case dt => atomicCompare(dt)
-    }
-
-  // total order: ord DESC, then payload ASC
-  private def lessThan(a: (Double, Any), b: (Double, Any)): Boolean = {
-    val c = java.lang.Double.compare(b._1, a._1) // desc on ord
-    if (c != 0) c < 0 else payloadCompare(a._2, b._2) < 0
-  }
+    TopKOrder.catalystCompare(payload.dataType)
+  private def lessThan(a: (Double, Any), b: (Double, Any)): Boolean =
+    TopKOrder.lessThan(payloadCompare)(a, b)
 
   /** Prune to k and remember the kth-best ord: once a group has k
     * entries, any row with ord STRICTLY below the kth can never enter

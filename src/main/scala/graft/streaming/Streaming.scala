@@ -315,6 +315,20 @@ final case class TopKSnapshot(key: String, rank: Int, ord: Double,
 final case class TopKState(ords: List[Double], payloads: List[Long],
                            nSeen: Long)
 
+/** One scored row with a struct payload: the (id, label) pair rides the
+  * ranking whole, like `graft_top_k(ord, struct(id, label), k)`.
+  */
+final case class ScoredRecord(key: String, ord: Double, id: Long,
+                              label: String)
+
+/** [[TopKSnapshot]] with the struct payload's fields inlined. */
+final case class TopKRecordSnapshot(key: String, rank: Int, ord: Double,
+                                    id: Long, label: String, n_seen: Long)
+
+/** Per-key running top-k over struct payloads — still O(k) state. */
+final case class TopKRecordState(ords: List[Double], ids: List[Long],
+                                 labels: List[String], nSeen: Long)
+
 /** Streaming twin of [[graft.plans.TopKAgg]]: per-key running top-k
   * maintained in `flatMapGroupsWithState`, re-emitting a key's current
   * top-k snapshot whenever a micro-batch changes it (Update-mode
@@ -329,17 +343,20 @@ final case class TopKState(ords: List[Double], payloads: List[Long],
 object TopKStream {
 
   /** Merge incoming scored rows into a current top-k — shared by the
-    * streaming operator and the spec's reference fold. EXACTLY
-    * `TopKAgg.lessThan`'s total order (`Double.compare` descending, then
-    * payload ascending) — a negate-and-sort would flip the `-0.0`/`0.0`
-    * tie order relative to the aggregate.
+    * streaming operators and the spec's reference fold. The total order
+    * is [[graft.plans.TopKOrder]] — the SAME object `graft_top_k` sorts
+    * with (`Double.compare` descending, then payload ascending; Products
+    * field-wise with null-first, strings in UTF-8 byte order), so the
+    * aggregate and its streaming twin cannot drift. `P` may be a
+    * Long/Int/Double/String or a Product of those (the struct-payload
+    * leaderboard's (id, label) tuples).
     */
-  def mergeTopK(current: Seq[(Double, Long)], incoming: Seq[(Double, Long)],
-                k: Int): List[(Double, Long)] =
-    (current ++ incoming).sortWith { (a, b) =>
-      val c = java.lang.Double.compare(b._1, a._1)
-      if (c != 0) c < 0 else a._2 < b._2
-    }.take(k).toList
+  def mergeTopK[P](current: Seq[(Double, P)], incoming: Seq[(Double, P)],
+                   k: Int): List[(Double, P)] =
+    (current ++ incoming).sortWith(
+      graft.plans.TopKOrder.lessThan[P](
+        (a, b) => graft.plans.TopKOrder.jvmCompare(a, b))
+    ).take(k).toList
 
   def topk(events: Dataset[ScoredEvent], k: Int): Dataset[TopKSnapshot] = {
     require(k > 0, s"k must be positive, got $k")
@@ -358,6 +375,36 @@ object TopKStream {
           if (merged == current) Iterator.empty // unchanged: emit nothing
           else merged.iterator.zipWithIndex.map { case ((o, p), i) =>
             TopKSnapshot(key, i + 1, o, p, nSeen)
+          }
+      }
+  }
+
+  /** [[topk]] for struct payloads: the (id, label) pair rides the ranking
+    * whole — the streaming twin of `graft_top_k(ord, struct(id, label),
+    * k)`. Tie-breaks are the struct's field-wise lexicographic order with
+    * null labels first, via the same shared [[graft.plans.TopKOrder]].
+    */
+  def topkRecords(events: Dataset[ScoredRecord],
+                  k: Int): Dataset[TopKRecordSnapshot] = {
+    require(k > 0, s"k must be positive, got $k")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TopKRecordState, TopKRecordSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[TopKRecordState]) =>
+          val st = state.getOption
+            .getOrElse(TopKRecordState(Nil, Nil, Nil, 0L))
+          val current = st.ords.lazyZip(st.ids).lazyZip(st.labels)
+            .map((o, i, l) => (o, (i, l)))
+          val incoming = rows.map(e => (e.ord, (e.id, e.label))).toSeq
+          val merged = mergeTopK(current, incoming, k)
+          val nSeen = st.nSeen + incoming.size
+          state.update(TopKRecordState(merged.map(_._1),
+            merged.map(_._2._1), merged.map(_._2._2), nSeen))
+          if (merged == current) Iterator.empty
+          else merged.iterator.zipWithIndex.map { case ((o, (id, lb)), i) =>
+            TopKRecordSnapshot(key, i + 1, o, id, lb, nSeen)
           }
       }
   }

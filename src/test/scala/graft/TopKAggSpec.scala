@@ -177,6 +177,71 @@ class TopKAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming struct-payload top-k converges to graft_top_k over struct(id, label)") {
+    import graft.streaming.{ScoredRecord, TopKRecordSnapshot, TopKStream}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    // coarse scores force payload tie-breaks through the struct order
+    val all = (1L to 1500L).map(i =>
+      ScoredRecord(s"k${i % 4}", rnd.nextInt(40).toDouble, i, s"name_$i"))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[ScoredRecord]
+    val q = TopKStream.topkRecords(in.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topk_rec_snap")
+      .outputMode("update").start()
+    try {
+      all.grouped(400).foreach { b =>
+        in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val snaps = spark.table("topk_rec_snap").as[TopKRecordSnapshot].collect()
+      val latest = snaps.groupBy(_.key).map { case (key, rows) =>
+        val maxSeen = rows.map(_.n_seen).max
+        key -> rows.filter(_.n_seen == maxSeen).sortBy(_.rank)
+          .map(s => (s.rank, s.ord, s.id, s.label)).toSeq
+      }
+      // batch reference: the aggregate with the same struct payload
+      val ref = all.map(e => (e.key, e.id, e.label, e.ord))
+        .toDF("g", "id", "name", "v")
+        .groupBy("g")
+        .agg(call_function("graft_top_k",
+          col("v"), struct(col("id"), col("name")), lit(3)).as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("g"), (col("pos") + 1).as("rank"), col("s.ord"),
+          col("s.payload.id"), col("s.payload.name"))
+        .collect()
+        .map(r => (r.getString(0),
+          (r.getInt(1), r.getDouble(2), r.getLong(3), r.getString(4))))
+        .groupBy(_._1).map { case (key, rows) =>
+          key -> rows.map(_._2).sortBy(_._1).toSeq
+        }
+      assert(latest == ref)
+      assert(latest.size == 4)
+    } finally q.stop()
+  }
+
+  test("shared order: JVM string comparison matches UTF8String binary order") {
+    import graft.plans.TopKOrder
+    import org.apache.spark.unsafe.types.UTF8String
+    // U+FFFF vs U+1F600: UTF-16 code-unit order (String.compareTo) says
+    // "￿" > "😀" because surrogates sit at 0xD800..0xDFFF; binary
+    // UTF-8 (= code point) order — what UTF8String sorts with — says the
+    // opposite. The JVM comparator must agree with the aggregate's.
+    val cases = Seq(("￿", "😀"), ("a", "b"), ("b", "a"),
+      ("abc", "ab"), ("", "a"), ("é", "z"), ("same", "same"))
+    cases.foreach { case (x, y) =>
+      val jvm = TopKOrder.jvmCompare(x, y)
+      val cat = UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+      assert(math.signum(jvm) == math.signum(cat),
+        s"order mismatch on ($x, $y): jvm=$jvm catalyst=$cat")
+    }
+    assert(TopKOrder.jvmCompare("￿", "😀") < 0)
+    assert("￿".compareTo("😀") > 0) // the trap being avoided
+    // Product payloads: field-wise with null-first, same as the struct rule
+    assert(TopKOrder.jvmCompare((1L, "a"), (1L, "b")) < 0)
+    assert(TopKOrder.jvmCompare((2L, "a"), (1L, "z")) > 0)
+    assert(TopKOrder.jvmCompare((1L, null), (1L, "a")) < 0)
+  }
+
   test("plan has NO window operator: object-hash aggregate with partial combine") {
     val df = (1L to 1000L).map(i => (s"g${i % 3}", i, i.toDouble))
       .toDF("g", "id", "v").repartition(4)
