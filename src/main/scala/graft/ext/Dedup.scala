@@ -332,18 +332,26 @@ object Dedup {
                            table: String, shingleN: Int = 3, k: Int = 64,
                            bands: Int = 16, useNative: Boolean = false,
                            portable: Boolean = false): Unit = {
+    // This is the per-batch hot path of the continuous-ingest loop: the
+    // shingled batch feeds BOTH writes, so cache it for their duration —
+    // one source scan and one shingle computation per ingest cycle, not
+    // two (the band write materializes the cache; the sidecar write
+    // reads it back).
     val based = df.select(col(idCol),
-      wordShingles(col(textCol), shingleN, useNative).as("sh"))
-    based
-      .select(col(idCol), minhashSigExpr(col("sh"), k, useNative, portable)
-        .as("sig"))
-      .select(col(idCol),
-        posexplode(minhashBandExpr(col("sig"), k, bands, portable))
-          .as(Seq("band", "bucket")))
-      .select(col(idCol),
-        concat_ws(":", col("band"), col("bucket")).as("bucket_key"))
-      .write.mode("append").insertInto(table)
-    based.write.mode("append").insertInto(s"${table}_shingles")
+        wordShingles(col(textCol), shingleN, useNative).as("sh"))
+      .persist()
+    try {
+      based
+        .select(col(idCol), minhashSigExpr(col("sh"), k, useNative, portable)
+          .as("sig"))
+        .select(col(idCol),
+          posexplode(minhashBandExpr(col("sig"), k, bands, portable))
+            .as(Seq("band", "bucket")))
+        .select(col(idCol),
+          concat_ws(":", col("band"), col("bucket")).as("bucket_key"))
+        .write.mode("append").insertInto(table)
+      based.write.mode("append").insertInto(s"${table}_shingles")
+    } finally based.unpersist()
   }
 
   /** Probe a persisted MinHash index with a new batch: verified near-dup
@@ -640,10 +648,13 @@ object Dedup {
         array((0 until 64).map(b =>
           when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L)
             .otherwise(-1L)): _*)
+      // null token = no vote (when(t.isNull, acc)): the MinHash null
+      // no-op convention, bit-identical to the native expr's skip
       val counters = aggregate(
         TextOps.tokens(text),
         array_repeat(lit(0L), 64),
-        (acc, t) => zip_with(acc, bitsOf(t), (x, y) => x + y))
+        (acc, t) => when(t.isNull, acc)
+          .otherwise(zip_with(acc, bitsOf(t), (x, y) => x + y)))
       // assemble sign bits into one long with shift/OR (bit ops — no
       // ANSI-mode overflow checks, unlike a *2+bit fold)
       (0 until 64).map(i =>
@@ -683,10 +694,13 @@ object Dedup {
           (0 until 32).map(b =>
             when(shiftright(h.getField("hi"), b).bitwiseAND(lit(1L)) === 1L, 1L)
               .otherwise(-1L))): _*)
+      // null token = no vote, same skip as the native SimHashMd5Expr and
+      // any engine's unnest (which omits null rows)
       val counters = aggregate(
         TextOps.tokens(text),
         array_repeat(lit(0L), 64),
-        (acc, t) => zip_with(acc, bitsOf(hashOf(t)), (x, y) => x + y))
+        (acc, t) => when(t.isNull, acc)
+          .otherwise(zip_with(acc, bitsOf(hashOf(t)), (x, y) => x + y)))
       val loSig = (0 until 32).map(b =>
         when(element_at(counters, b + 1) > 0, shiftleft(lit(1L), b))
           .otherwise(0L))

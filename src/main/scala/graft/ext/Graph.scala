@@ -41,9 +41,14 @@ object Graph {
     * blocks with it — pass `Some(dir)` (HDFS/S3 in production) to switch
     * every round to RELIABLE `checkpoint()`: plans stay equally flat,
     * state lives on durable storage, recovery re-reads instead of
-    * recomputing-from-nothing. Checkpoint files accumulate until the
-    * application ends unless `spark.cleaner.referenceTracking
-    * .cleanCheckpoints=true`; point `dir` at a per-job scratch path.
+    * recomputing-from-nothing. The SparkContext's global checkpoint dir
+    * is restored on exit (set-and-restore, not leaked to other users of
+    * the context), and each round's files are deleted as soon as the
+    * next round no longer references them — only the edge frame, the
+    * final round, and anything a concurrent user wrote survive the call.
+    * The final round's files back the RETURNED DataFrame: consume it,
+    * then clean the scratch path (or run with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`).
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
@@ -62,57 +67,91 @@ object Graph {
                           maxIter: Int = 50,
                           checkpointDir: Option[String] = None)
       : (DataFrame, Int) = {
-    val persistRound: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        nodes.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
-      case None =>
-        df => df.localCheckpoint(eager = true)
+    val sc = nodes.sparkSession.sparkContext
+    val reliable = checkpointDir.isDefined
+    // set-and-restore: setCheckpointDir mutates SparkContext-global state,
+    // so remember what was there and put it back on exit. (Restoring a
+    // previously-set dir re-resolves a fresh UUID subdir under the old
+    // resolved path — still inside the application's original location.)
+    val prevDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    // setCheckpointDir resolves a fresh UUID subdir, so the resolved dir
+    // is exclusively this call's — safe to diff-and-delete inside it
+    def listCk(): Set[String] =
+      if (!reliable) Set.empty
+      else sc.getCheckpointDir.map { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(sc.hadoopConfiguration)
+        if (fs.exists(p)) fs.listStatus(p).map(_.getPath.toString).toSet
+        else Set.empty[String]
+      }.getOrElse(Set.empty)
+    def deleteCk(paths: Set[String]): Unit = paths.foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      try p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      catch { case _: java.io.IOException => () } // cleanup is best-effort
     }
-    val sym = persistRound( // edges re-scan every round: pay the scan once
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
-    val given = nodes.select(col(idCol).as("id"))
-    // propagate over nodes ∪ edge endpoints: an endpoint missing from
-    // `nodes` must still RELAY labels (and be visible to the convergence
-    // probe — a label parked on an unknown id would otherwise look
-    // converged one round early, silently splitting its component)
-    val universe = given.union(sym.select(col("src").as("id"))).distinct()
-    var labels = persistRound(
-      universe.select(col("id"), col("id").as("component")))
-    var round = 0
-    var converged = false
-    while (!converged && round < maxIter) {
-      val msgs = sym.join(labels, sym("src") === labels("id"))
-        .select(sym("dst").as("id"), labels("component"))
-      // checkpointed BEFORE the self-join below: materializes one round's
-      // labels once (instead of twice through the jump's two branches)
-      // and keeps the lineage flat
-      val lowered = persistRound(labels.union(msgs)
-        .groupBy("id").agg(min("component").as("component")))
-      // pointer jump: component labels are themselves node ids in the
-      // universe, so every label resolves; component(component) is
-      // monotonically ≤ component, and following it halves the distance
-      // to the component minimum each round
-      val next = lowered
-        .join(lowered.select(col("id").as("__cid"),
-            col("component").as("__jump")),
-          col("component") === col("__cid"))
-        .select(col("id"), col("__jump").as("component"))
-      // labels only ever decrease, so "any label still above the previous
-      // round's value is impossible; any BELOW means not yet converged"
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") < col("o.component"))
-        .isEmpty
-      labels = next
-      round += 1
+    try {
+      val persistRound: DataFrame => DataFrame =
+        if (reliable) df => df.checkpoint(eager = true)
+        else df => df.localCheckpoint(eager = true)
+      val sym = persistRound( // edges re-scan every round: pay the scan once
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+      val given = nodes.select(col(idCol).as("id"))
+      // propagate over nodes ∪ edge endpoints: an endpoint missing from
+      // `nodes` must still RELAY labels (and be visible to the convergence
+      // probe — a label parked on an unknown id would otherwise look
+      // converged one round early, silently splitting its component)
+      val universe = given.union(sym.select(col("src").as("id"))).distinct()
+      val preInit = listCk() // sym's files: referenced every round
+      var labels = persistRound(
+        universe.select(col("id"), col("id").as("component")))
+      // files backing the PREVIOUS round's labels — deletable once the
+      // round after next stops reading them (see the loop's tail)
+      var prevRoundFiles = listCk() -- preInit
+      var round = 0
+      var converged = false
+      while (!converged && round < maxIter) {
+        val preRound = listCk()
+        val msgs = sym.join(labels, sym("src") === labels("id"))
+          .select(sym("dst").as("id"), labels("component"))
+        // checkpointed BEFORE the self-join below: materializes one round's
+        // labels once (instead of twice through the jump's two branches)
+        // and keeps the lineage flat
+        val lowered = persistRound(labels.union(msgs)
+          .groupBy("id").agg(min("component").as("component")))
+        val thisRoundFiles = listCk() -- preRound
+        // pointer jump: component labels are themselves node ids in the
+        // universe, so every label resolves; component(component) is
+        // monotonically ≤ component, and following it halves the distance
+        // to the component minimum each round
+        val next = lowered
+          .join(lowered.select(col("id").as("__cid"),
+              col("component").as("__jump")),
+            col("component") === col("__cid"))
+          .select(col("id"), col("__jump").as("component"))
+        // labels only ever decrease, so "any label still above the previous
+        // round's value is impossible; any BELOW means not yet converged"
+        converged = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.component") < col("o.component"))
+          .isEmpty
+        labels = next
+        round += 1
+        // that probe was the LAST job reading the previous round's labels
+        // (this round's `lowered` and the new `labels` derive only from
+        // `lowered`'s fresh checkpoint) — its files are superseded now
+        deleteCk(prevRoundFiles)
+        prevRoundFiles = thisRoundFiles
+      }
+      require(converged,
+        s"connectedComponents did not converge within $maxIter rounds " +
+          "(component diameter exceeds maxIter — raise it, or switch this " +
+          "graph to the large-star/small-star variant)")
+      // the contract is one row per INPUT node; relay-only endpoints drop
+      (labels.join(given, "id"), round)
+    } finally {
+      if (reliable) sc.setCheckpointDir(prevDir.orNull)
     }
-    require(converged,
-      s"connectedComponents did not converge within $maxIter rounds " +
-        "(component diameter exceeds maxIter — raise it, or switch this " +
-        "graph to the large-star/small-star variant)")
-    // the contract is one row per INPUT node; relay-only endpoints drop
-    (labels.join(given, "id"), round)
   }
 }

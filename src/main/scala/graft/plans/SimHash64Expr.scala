@@ -43,15 +43,15 @@ final case class SimHash64Expr(child: Expression)
     val counters = new Array[Int](64)
     var i = 0
     while (i < n) {
-      // null token → xxhash64 skips the value and yields its seed (42),
-      // matching the HOF path's xxhash64(t) on null
-      val h =
-        if (arr.isNullAt(i)) 42L
-        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-        b += 1
+      // null token = no vote — the MinHash null no-op convention, shared
+      // with [[SimHashMd5Expr]] and the HOF fold's isNull guard
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }

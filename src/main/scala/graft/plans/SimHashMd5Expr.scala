@@ -25,7 +25,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, St
   * `hi` = big-endian value of md5 bytes 0..3 (hex digits 1-8),
   * `lo` = bytes 4..7 (hex digits 9-16); vote counter per bit gets +1 when
   * the token's bit is 1, −1 otherwise; final bit set iff counter > 0
-  * (the [[SimHash64Expr]] sign rule). Null tokens hash as all-zero bits.
+  * (the [[SimHash64Expr]] sign rule). Null tokens are SKIPPED — no vote —
+  * matching both the MinHash null no-op convention and what any engine
+  * unnesting the token array (the q27 oracle shape) computes, since
+  * unnest simply omits null rows.
   */
 final case class SimHashMd5Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -53,22 +56,20 @@ final case class SimHashMd5Expr(child: Expression)
     val counters = new Array[Int](64)
     var i = 0
     while (i < n) {
-      var hi = 0L
-      var lo = 0L
-      if (!arr.isNullAt(i)) {
+      if (!arr.isNullAt(i)) { // null token = no vote (MinHash convention)
         val d = md.digest(arr.getUTF8String(i).getBytes)
-        hi = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        val hi = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
           ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-        lo = ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+        val lo = ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
           ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
         md.reset()
-      }
-      var b = 0
-      while (b < 32) {
-        if (((lo >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-        if (((hi >>> b) & 1L) == 1L) counters(b + 32) += 1
-        else counters(b + 32) -= 1
-        b += 1
+        var b = 0
+        while (b < 32) {
+          if (((lo >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          if (((hi >>> b) & 1L) == 1L) counters(b + 32) += 1
+          else counters(b + 32) -= 1
+          b += 1
+        }
       }
       i += 1
     }

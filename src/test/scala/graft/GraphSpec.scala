@@ -72,6 +72,7 @@ class GraphSpec extends SparkSpec {
     // 100 TB configuration must be label-for-label identical
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
       .toString
+    val dirBefore = spark.sparkContext.getCheckpointDir
     def ccReliable(nodes: Seq[Long],
                    edges: Seq[(Long, Long)]): Map[Long, Long] =
       Graph.connectedComponents(
@@ -89,5 +90,21 @@ class GraphSpec extends SparkSpec {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, s"no checkpoint files written under $dir")
+    // the SparkContext-global checkpoint dir was restored, not leaked
+    assert(spark.sparkContext.getCheckpointDir == dirBefore,
+      "connectedComponents leaked its checkpoint dir into the context")
+    // superseded round files were deleted as rounds advanced: each call's
+    // private UUID scratch dir retains only the edge frame and the final
+    // round (the files backing the returned DataFrame), not one per round
+    import scala.jdk.CollectionConverters._
+    val uuidDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.toSeq
+    assert(uuidDirs.nonEmpty)
+    uuidDirs.foreach { u =>
+      val rdds = java.nio.file.Files.list(u).iterator().asScala
+        .count(_.getFileName.toString.startsWith("rdd-"))
+      assert(rdds <= 3,
+        s"round checkpoints accumulated under $u: $rdds rdd dirs remain")
+    }
   }
 }

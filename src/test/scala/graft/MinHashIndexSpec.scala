@@ -124,6 +124,41 @@ class MinHashIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("append scans the batch once: both writes consume the shingle cache") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_mhidx_s").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mhdb_s LOCATION '$loc'")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", "graft_mhdb_s.mh_idx",
+      nBuckets = 4, useNative = true)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.appendToMinhashIndex(batch, "doc_id", "text",
+        "graft_mhdb_s.mh_idx", useNative = true)
+      // the execution-listener bus is async; wait for both write plans
+      val deadline = System.nanoTime() + 10000000000L
+      import scala.jdk.CollectionConverters._
+      def writePlans = plans.asScala.filter(_.contains("mh_idx")).toSeq
+      while (writePlans.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val ps = writePlans
+      assert(ps.size == 2, s"expected 2 append writes, saw ${ps.size}")
+      // every append write reads the cached shingled batch — the source
+      // is scanned (and shingled) exactly once, inside the first write's
+      // cache materialization
+      ps.foreach(p => assert(p.contains("InMemoryTableScan"),
+        s"append write recomputed the batch instead of reading the cache:\n$p"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("streaming probe: union of per-batch pairs equals one batch probe") {
     import graft.streaming.EventStreams
     implicit val sqlCtx = spark.sqlContext
