@@ -57,6 +57,27 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("Lloyd training on the catalog corpus pins the exact centroid matrix") {
+    // q75's exact configuration on the sf0.001 catalog embeddings: the
+    // trainer is bit-deterministic BY CONSTRUCTION (DECIMAL sums, fixed
+    // hash-ordered seeds), so the whole centroid matrix can be pinned to
+    // one value — any accidental change to the training path (seed
+    // spread, normalization, assignment, mean fold) breaks this the same
+    // way the md5-expression pins break. Determinism-across-two-runs
+    // alone would miss a deterministic-but-different regression.
+    GraftFunctions.register(spark)
+    val catalog = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = Ivf.trainCentroidsLloyd(catalog, "embedding",
+      nList = 8, dim = 64, iters = 2)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(centroids.length * 8)
+    centroids.foreach(d => bb.putLong(java.lang.Double.doubleToLongBits(d)))
+    val hash = md.digest(bb.array()).map("%02x".format(_)).mkString
+    assert(hash == "da2e00a3557d841de870f7b497664438",
+      s"catalog centroid matrix changed: md5=$hash (expected da2e00a3557d841de870f7b497664438)")
+  }
+
   test("Lloyd iterations do not hurt assignment quality vs the seeds") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._
