@@ -1066,6 +1066,18 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- SemDeDup, oracle-checked member (hash-checked): exemplar
+    // centroids (k lowest-id vectors, Forgy init without Lloyd) make
+    // every stage plain relational algebra, so the cluster-then-
+    // dedup-within-cluster shape itself is verified cross-engine; q56
+    // keeps the trained-quantizer variant (rows-only, parity-bounded)
+    "q84_semantic_dedup_exemplar" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      Dedup.semanticDedupKeptIdsExemplar(t(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.4, k = 8)
+        .orderBy("vec_id")
+    }),
+
     // ---- decontamination at scale (oracle-checked): same relation as
     // q46, but the corpus side passes a distributed-built Bloom filter of
     // the bench shingles BEFORE any shuffle — only true hits + ~1% false
@@ -1759,6 +1771,28 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q84_semantic_dedup_exemplar" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm
+        |      FROM e ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT e.vec_id, c.cid, e.v, e.nrm
+        |  FROM e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+        |             c.cid) = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
 
     "q49_stable_split" ->
       """SELECT CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'

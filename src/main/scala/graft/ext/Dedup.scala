@@ -788,6 +788,59 @@ object Dedup {
     emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** [[semanticDedupKeptIds]] with EXEMPLAR centroids — the `k` lowest-id
+    * corpus vectors — instead of a trained coarse quantizer: identical
+    * cluster-then-dedup-within-cluster shape and the same Σ|cluster|²
+    * scale story, but with no trained model in the loop every stage is
+    * plain relational algebra over the corpus itself, so THIS member of
+    * the semantic-dedup family is cross-engine-checkable (q84's DuckDB
+    * oracle mirrors it statement for statement). Assignment is argmax
+    * cosine to the exemplars (rounded to 6 decimals like the whole
+    * cosine family — q30/q37 — so last-ulp noise cannot flip an argmax
+    * across engines) with smallest-exemplar-id tie-break.
+    *
+    * Exemplar seeding is the classic Forgy initialization without the
+    * Lloyd refinement; cluster balance is whatever the first k vectors
+    * give (fine for dedup, where clusters only bound the comparison set
+    * and a miss only costs recall, never a wrong drop). Production runs
+    * wanting tighter clusters use [[semanticDedupKeptIds]].
+    */
+  def semanticDedupKeptIdsExemplar(emb: DataFrame, idCol: String,
+                                   vecCol: String, minCosine: Double,
+                                   k: Int = 8, dim: Int = 64,
+                                   useNative: Boolean = true): DataFrame = {
+    // same per-vector norm precompute + optimization barrier as
+    // cosineNearDupPairsExact (the unrolled dot must not re-derive
+    // norms per pair)
+    val dbl = emb.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val withNorm = dbl.withColumn("nrm", Similarity.norm(col("v")))
+      .repartition(col(idCol))
+    val cents = withNorm.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cid"), col("v").as("cvec"),
+        col("nrm").as("cnrm"))
+    val scored = withNorm.crossJoin(broadcast(cents))
+      .select(col(idCol), col("v"), col("nrm"), col("cid"),
+        round(Similarity.dotFast(col("v"), col("cvec"), dim, useNative) /
+          (col("nrm") * col("cnrm")), 6).as("sim"))
+    val wAssign = Window.partitionBy(idCol)
+      .orderBy(col("sim").desc, col("cid"))
+    val assigned = scored
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("cid"), col("v"), col("nrm"))
+    val a = assigned.select(col("cid"), col(idCol).as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cid"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, "cid")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.dotFast(col("va"), col("vb"), dim, useNative) /
+        (col("na") * col("nb")), 6) >= minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs at scale: multi-table random-hyperplane
     * LSH candidate generation (equi-join on (table, bucket) — linear in
     * corpus size for bounded buckets) followed by exact cosine
