@@ -406,6 +406,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVF, oracle-checked member (hash-checked): exemplar centroids
+    // (nList lowest-id vectors, Forgy init without Lloyd) make the whole
+    // assign-probe-rerank shape plain relational algebra, so the IVF
+    // candidate-generation + exact-rerank pipeline itself is verified
+    // cross-engine; q43 keeps the trained-quantizer variant (rows-only,
+    // recall-bounded)
+    "q85_topk_ivf_exemplar" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      graft.ext.Ivf.ivfTopKExemplar(emb, queries, "vec_id", "embedding",
+          k = 5, nList = 8, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- event-time tumbling window aggregation -----------------------------
     "q32_hourly_events" -> ((s, dir) => {
       events(s, dir)
@@ -1793,6 +1808,40 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY vec_id""".stripMargin,
+
+    "q85_topk_ivf_exemplar" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm
+        |      FROM e ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT e.vec_id AS neighbor_id, c.cid AS list
+        |  FROM e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+        |             c.cid) = 1),
+        |probes AS (
+        |  SELECT e.vec_id AS query_id, c.cid AS list
+        |  FROM e CROSS JOIN c
+        |  WHERE e.vec_id % 100 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+        |             c.cid) <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 6) AS sim
+        |  FROM assigned a JOIN probes p USING (list)
+        |  JOIN e qe ON qe.vec_id = p.query_id
+        |  JOIN e ne ON ne.vec_id = a.neighbor_id
+        |  WHERE a.neighbor_id <> p.query_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
+        |  neighbor_id, sim
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
 
     "q49_stable_split" ->
       """SELECT CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'

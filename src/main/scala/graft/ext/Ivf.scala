@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file / coarse-quantizer) approximate nearest neighbor —
@@ -200,6 +201,59 @@ object Ivf {
       .select("query_id", "neighbor_id")
     Similarity.rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim,
       useNative = true)
+  }
+
+  /** [[ivfTopK]] with EXEMPLAR centroids — the `nList` lowest-id corpus
+    * vectors — instead of a trained coarse quantizer: the same
+    * assign-probe-rerank shape and the same candidates-are-an-equi-join
+    * scale story, but with no trained model in the loop every stage is
+    * plain relational algebra over the corpus itself, so THIS member of
+    * the IVF family is cross-engine-checkable (q85's DuckDB oracle
+    * mirrors it statement for statement). Same exemplar convention as
+    * [[graft.ext.Dedup.semanticDedupKeptIdsExemplar]] (q84): assignment
+    * and probing are argmax cosine rounded to 6 decimals — the whole
+    * cosine family's convention (q30/q37) so last-ulp noise cannot flip
+    * an argmax across engines — with smallest-exemplar-id tie-break.
+    *
+    * Exemplar seeding is Forgy initialization without the Lloyd
+    * refinement; list balance is whatever the first `nList` vectors give.
+    * An unlucky exemplar set costs recall (a near neighbor lands in an
+    * unprobed list), never a wrong answer WITHIN the probed candidate
+    * set — the rerank is exact. Production runs wanting
+    * distribution-adapted lists use [[ivfTopK]] / [[ivfTopKIndexed]].
+    */
+  def ivfTopKExemplar(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nList: Int = 8, nProbe: Int = 2,
+                      dim: Int = 64, useNative: Boolean = true): DataFrame = {
+    // norms once per row behind an optimization barrier (the same
+    // pattern as semanticDedupKeptIdsExemplar: without it the collapsed
+    // projection re-derives the norm per (row, exemplar) pair), and the
+    // barrier's hash partitioning on id is exactly what the argmax
+    // window needs — no extra Exchange between them
+    def prep(df: DataFrame) = df
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .repartition(col(idCol))
+    val base = prep(corpus)
+    val cents = base.orderBy(col(idCol)).limit(nList)
+      .select(col(idCol).as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
+    def nearestLists(src: DataFrame, keep: Int, outId: String): DataFrame = {
+      val scored = src.crossJoin(broadcast(cents))
+        .select(col(idCol), col("cid"),
+          round(Similarity.dotFast(col("v"), col("cvec"), dim, useNative) /
+            (col("nrm") * col("cnrm")), 6).as("sim"))
+      val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col("cid"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep)
+        .select(col(idCol).as(outId), col("cid").as("list"))
+    }
+    val assigned = nearestLists(base, 1, "neighbor_id")
+    val probes = nearestLists(prep(queries), nProbe, "query_id")
+    val cands = assigned.join(probes, "list")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    Similarity.rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim,
+      useNative)
   }
 
   // ---------------------------------------------------------- persistence

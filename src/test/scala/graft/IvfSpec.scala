@@ -35,6 +35,37 @@ class IvfSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("exemplar IVF with full probing equals brute force exactly") {
+    // with nProbe == nList every list is probed, so the candidate set is
+    // the whole corpus and the exact rerank must reproduce brute-force
+    // top-k bit for bit — a non-circular contract: any bug in exemplar
+    // assignment/probing that LOSES a candidate surfaces here, not just
+    // as a recall dip
+    GraftFunctions.register(spark)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dim = Some(64), useNative = true)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val full = Ivf.ivfTopKExemplar(emb, queries, "vec_id", "embedding",
+        k = 5, nList = 8, nProbe = 8)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == exact)
+  }
+
+  test("exemplar IVF recall >= 0.6 vs brute force at nProbe=2/8") {
+    // Forgy exemplars don't adapt to the distribution, so the bound is
+    // lower than trained IVF's 0.8 at the same probe fraction — the
+    // point of this member is oracle-checkability (q85), not peak recall
+    GraftFunctions.register(spark)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dim = Some(64))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.ivfTopKExemplar(emb, queries, "vec_id", "embedding",
+        k = 5, nList = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"exemplar IVF recall $recall below bound")
+  }
+
   test("trained centroids are unit-norm and adapt to the data") {
     val c = Ivf.trainCentroids(emb, "embedding", nList = 16, dim = 64,
       sampleSize = 1000, iters = 5)
