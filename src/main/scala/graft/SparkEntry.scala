@@ -421,6 +421,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- LSH, oracle-checked member (hash-checked): md5-derived ±1
+    // hyperplanes (portable across engines), single-table exact-signature
+    // buckets, exact rerank — the bucket-then-rerank pipeline verified
+    // cross-engine; q31 keeps the multi-table Gaussian family (rows-only,
+    // recall-bounded)
+    "q86_topk_lsh_portable" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      graft.ext.Similarity.lshTopKPortable(emb, queries, "vec_id",
+          "embedding", k = 5, nPlanes = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- k-means, oracle-checked member (hash-checked): ONE spherical-
+    // Lloyd refinement step from exemplar seeds — the training step
+    // itself (unit-normalize → argmax-assign → DECIMAL per-dimension
+    // mean → renormalize) verified cross-engine; q75 keeps the trained
+    // multi-iteration model (rows-only, centroid-matrix pinned by spec)
+    "q87_lloyd_step_exemplar" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      graft.ext.Ivf.lloydStepExemplar(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nList = 8)
+        .orderBy("list", "pos")
+    }),
+
     // ---- event-time tumbling window aggregation -----------------------------
     "q32_hourly_events" -> ((s, dir) => {
       events(s, dir)
@@ -1842,6 +1868,69 @@ object SparkEntry {
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q86_topk_lsh_portable" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |pv AS (
+        |  SELECT p.p, j.j,
+        |    CASE WHEN strpos('89abcdef',
+        |        substr(md5('graft:rhp:' || p.p || ':' || (j.j - 1)), 1, 1)) > 0
+        |      THEN 1.0 ELSE -1.0 END AS val
+        |  FROM generate_series(0, 3) AS p(p)
+        |  CROSS JOIN generate_series(1, 64) AS j(j)),
+        |planes AS (SELECT p, list(val ORDER BY j) AS pvec FROM pv GROUP BY p),
+        |sigs AS (
+        |  SELECT e.vec_id,
+        |    string_agg(CASE WHEN list_dot_product(e.v, pl.pvec) >= 0
+        |        THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
+        |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+        |cands AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM sigs q JOIN sigs c USING (sig)
+        |  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT cands.query_id, cands.neighbor_id,
+        |    round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 6) AS sim
+        |  FROM cands
+        |  JOIN e qe ON qe.vec_id = cands.query_id
+        |  JOIN e ne ON ne.vec_id = cands.neighbor_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
+        |  neighbor_id, sim
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q87_lloyd_step_exemplar" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm
+        |      FROM e ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT c.cid AS list, e.v, e.nrm
+        |  FROM e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+        |             c.cid) = 1),
+        |comp AS (
+        |  SELECT a.list, gs.pos - 1 AS pos,
+        |    a.v[gs.pos] / (CASE WHEN a.nrm > 0 THEN a.nrm ELSE 1 END) AS ux
+        |  FROM assigned a CROSS JOIN generate_series(1, 64) AS gs(pos)),
+        |means AS (
+        |  SELECT list, pos,
+        |    CAST(sum(CAST(ux AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+        |  FROM comp GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT list, sqrt(CAST(sum(CAST(m * m AS DECIMAL(30,12))) AS DOUBLE)) AS mn
+        |  FROM means GROUP BY 1)
+        |SELECT m.list, m.pos, floor(m.m / n.mn * 1e6) / 1e6 AS "value"
+        |FROM means m JOIN norms n USING (list)
+        |ORDER BY list, pos""".stripMargin,
 
     "q49_stable_split" ->
       """SELECT CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'

@@ -256,6 +256,56 @@ object Ivf {
       useNative)
   }
 
+  /** One spherical-Lloyd refinement step from EXEMPLAR seeds, returned
+    * as a (list, pos, value) relation — the oracle-checkable member of
+    * the k-means family (q87). [[trainCentroidsLloyd]] is exactly this
+    * step iterated (unit-normalize → argmax-assign → DECIMAL
+    * per-(list, dimension) mean → renormalize), but its trained model
+    * state can't be reproduced by a second engine; with the `nList`
+    * lowest-id vectors as seeds every stage is plain relational algebra
+    * a DuckDB oracle mirrors statement for statement, so the TRAINING
+    * STEP itself — not just its downstream consumers — is
+    * cross-engine-verified. Same scale shape as one
+    * [[trainCentroidsLloyd]] iteration: the shuffle carries (list, pos,
+    * decimal partial) after map-side combine, never the vectors.
+    *
+    * Output values are truncated (`floor(x*1e6)/1e6`), not rounded:
+    * truncation is pure IEEE arithmetic, immune to the string-vs-binary
+    * `round()` divergence on derived doubles (means of DECIMAL sums are
+    * exactly the small-denominator-rational shape that hazard bites).
+    */
+  def lloydStepExemplar(emb: DataFrame, idCol: String, vecCol: String,
+                        nList: Int = 8, dim: Int = 64,
+                        useNative: Boolean = true): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val base = emb
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .repartition(col(idCol))
+    val cents = base.orderBy(col(idCol)).limit(nList)
+      .select(col(idCol).as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
+    val scored = base.crossJoin(broadcast(cents))
+      .select(col(idCol), col("v"), col("nrm"), col("cid"),
+        round(Similarity.dotFast(col("v"), col("cvec"), dim, useNative) /
+          (col("nrm") * col("cnrm")), 6).as("sim"))
+    val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col("cid"))
+    val assigned = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cid").as("list"), col("v"), col("nrm"))
+    val comp = assigned
+      .select(col("list"), col("nrm"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("list"), col("pos").cast("long").as("pos"),
+        (col("x") / when(col("nrm") > 0.0, col("nrm")).otherwise(lit(1.0)))
+          .as("ux"))
+    val means = comp.groupBy("list", "pos")
+      .agg((sum(col("ux").cast(dec)).cast("double") / count(lit(1))).as("m"))
+    val norms = means.groupBy("list")
+      .agg(sqrt(sum((col("m") * col("m")).cast(dec)).cast("double")).as("mn"))
+    means.join(norms, "list")
+      .select(col("list"), col("pos"),
+        (floor(col("m") / col("mn") * lit(1e6)) / lit(1e6)).as("value"))
+  }
+
   // ---------------------------------------------------------- persistence
 
   /** Persist a trained IVF index: the corpus with its assigned list id,

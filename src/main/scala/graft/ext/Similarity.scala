@@ -144,6 +144,51 @@ object Similarity {
     bits.reduce((acc, b) => acc * 2 + b)
   }
 
+  /** md5-derived ±1 (Rademacher) hyperplanes — the PORTABLE plane
+    * family: plane(p)(j) = +1 iff the high bit of the first md5 byte of
+    * "graft:rhp:p:j" is set, i.e. iff the first hex char of the digest
+    * is in [89abcdef]. Unlike [[hyperplanes]]'s seeded-JVM-Gaussian
+    * family this is reproducible by any engine with an md5 function
+    * (q86's DuckDB oracle derives the identical matrix from
+    * `substr(md5(...), 1, 1)`), the same portability route the
+    * MinHash/SimHash md5 families took. Random-sign projections are a
+    * standard RHP variant for angular LSH: only the direction
+    * distribution changes (hypercube corners instead of Gaussian
+    * sphere), the sign(v · plane) signature and its collision-by-angle
+    * behavior are the same construction.
+    */
+  def portablePlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft:rhp:$p:$j".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1.0 else -1.0
+      }
+    }
+
+  /** LSH top-k with the portable plane family — the oracle-checkable
+    * member of the LSH family (q86): single table, exact-signature
+    * buckets, exact rerank. [[lshTopK]] keeps the multi-table /
+    * multi-probe / native-signature machinery for production recall;
+    * this member exists so the bucket-then-rerank pipeline itself is
+    * verified cross-engine (the bucket partition is engine-agnostic:
+    * any injective encoding of the sign bits yields the same equality
+    * classes, so the oracle can carry its signature as a bit string).
+    */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nPlanes: Int = 4,
+                      dim: Int = 64, useNative: Boolean = true): DataFrame = {
+    val planes = portablePlanes(nPlanes, dim)
+    val csig = corpus.select(col(idCol).as("neighbor_id"),
+      rhpSignature(col(vecCol), planes).as("sig"))
+    val qsig = queries.select(col(idCol).as("query_id"),
+      rhpSignature(col(vecCol), planes).as("sig"))
+    val cands = csig.join(qsig, "sig")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim, useNative)
+  }
+
   /** Native-expression RHP signature (`graft.plans.RhpSigExpr`,
     * bit-identical to `rhpSignature(vec, hyperplanes(nPlanes, dim, seed))`
     * — spec-pinned). The plane matrix lives in the expression object, so

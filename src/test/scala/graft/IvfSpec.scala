@@ -66,6 +66,49 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.6, s"exemplar IVF recall $recall below bound")
   }
 
+  test("lloydStepExemplar matches a driver-side reference implementation") {
+    // independent re-derivation in plain Scala (double sums, no Spark):
+    // collect the corpus, assign by round-6 argmax cosine to the 8
+    // lowest-id exemplars, average the unit vectors per list, normalize.
+    // Tolerance covers the operator's DECIMAL sums + 1e-6 truncation vs
+    // the reference's double sums.
+    GraftFunctions.register(spark)
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+      .sortBy(_._1)
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val cents = vecs.take(8)
+    val sums = Array.fill(8)(new Array[Double](64))
+    val counts = new Array[Long](8)
+    vecs.foreach { case (_, v) =>
+      val n = nrm(v)
+      val best = cents.zipWithIndex.map { case ((cid, c), i) =>
+        val cos = BigDecimal(v.zip(c).map { case (a, b) => a * b }.sum /
+          (n * nrm(c))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        (-cos, cid, i)
+      }.min._3
+      val sn = if (n > 0) n else 1.0
+      var j = 0
+      while (j < 64) { sums(best)(j) += v(j) / sn; j += 1 }
+      counts(best) += 1
+    }
+    val expected = (0 until 8).filter(counts(_) > 0).flatMap { i =>
+      val m = sums(i).map(_ / counts(i))
+      val mn = nrm(m)
+      m.zipWithIndex.map { case (x, pos) =>
+        (cents(i)._1, pos.toLong) -> x / mn }
+    }.toMap
+    val got = Ivf.lloydStepExemplar(emb, "vec_id", "embedding", nList = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (list, pos, value) =>
+      val ref = expected((list, pos))
+      assert(math.abs(value - ref) <= 1e-6 + 1e-9,
+        s"list=$list pos=$pos got $value expected ~$ref")
+    }
+  }
+
   test("trained centroids are unit-norm and adapt to the data") {
     val c = Ivf.trainCentroids(emb, "embedding", nList = 16, dim = 64,
       sampleSize = 1000, iters = 5)

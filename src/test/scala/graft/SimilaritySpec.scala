@@ -75,4 +75,39 @@ class SimilaritySpec extends SparkSpec {
     assert(sig(0L) == sig(1L))
     assert(sig(0L) != sig(2L))
   }
+
+  test("lshTopKPortable equals brute force restricted to reference buckets") {
+    // independent reference: recompute the md5-derived ±1 planes and the
+    // sign-of-dot signatures in plain Scala, then assert the operator's
+    // result IS brute-force top-k filtered to reference bucket-mates —
+    // pins the plane derivation, the bucketing, and the rerank order in
+    // one contract with no shared code path
+    graft.plans.GraftFunctions.register(spark)
+    val emb = CrossoverBench.syntheticEmbeddings(spark, 1000, 64, seed = 11L)
+      .cache()
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val planes = (0 until 4).map { p => (0 until 64).map { j =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:rhp:$p:$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1.0 else -1.0 } }
+    val sig = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().map { case (id, v) =>
+        id -> planes.map { p =>
+          if (v.lazyZip(p).map(_ * _).sum >= 0) '1' else '0' }.mkString
+      }.toMap
+    val got = Similarity.lshTopKPortable(emb, queries, "vec_id", "embedding",
+        k = 3, nPlanes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    got.foreach { case (q, n) =>
+      assert(sig(q) == sig(n), s"pair ($q, $n) not bucket-mates") }
+    val expected = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 1000, dim = Some(64), useNative = true)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(_._3).map(_._2).filter(n => sig(n) == sig(q))
+          .take(3).map(q -> _)
+      }.toSet
+    assert(got.toSet == expected)
+  }
 }
