@@ -435,6 +435,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- LSH near-dup, oracle-checked member (hash-checked): portable
+    // ±1 planes, single-table buckets, exact cosine verify of
+    // bucket-mate pairs; q38 keeps the multi-table Gaussian family
+    "q88_near_dup_lsh_portable" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      Dedup.cosineNearDupPairsLshPortable(t(s, dir, "embeddings"),
+          "vec_id", "embedding", minCosine = 0.4, nPlanes = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- PQ ADC, oracle-checked member (hash-checked): exemplar
+    // codebooks (sub-vectors of the ksub lowest-id unit vectors), argmin
+    // encode, ADC shortlist, exact rerank — the product-quantization
+    // encode/ADC pipeline verified cross-engine; q79 keeps the trained
+    // IVF-PQ with residual encoding (rows-only, recall-bounded)
+    "q89_pq_adc_exemplar" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      graft.ext.Pq.pqAdcTopKExemplar(emb, queries, "vec_id", "embedding",
+          k = 5, m = 8, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- k-means, oracle-checked member (hash-checked): ONE spherical-
     // Lloyd refinement step from exemplar seeds — the training step
     // itself (unit-normalize → argmax-assign → DECIMAL per-dimension
@@ -1897,6 +1921,82 @@ object SparkEntry {
         |  FROM cands
         |  JOIN e qe ON qe.vec_id = cands.query_id
         |  JOIN e ne ON ne.vec_id = cands.neighbor_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
+        |  neighbor_id, sim
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q88_near_dup_lsh_portable" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |pv AS (
+        |  SELECT p.p, j.j,
+        |    CASE WHEN strpos('89abcdef',
+        |        substr(md5('graft:rhp:' || p.p || ':' || (j.j - 1)), 1, 1)) > 0
+        |      THEN 1.0 ELSE -1.0 END AS val
+        |  FROM generate_series(0, 3) AS p(p)
+        |  CROSS JOIN generate_series(1, 64) AS j(j)),
+        |planes AS (SELECT p, list(val ORDER BY j) AS pvec FROM pv GROUP BY p),
+        |sigs AS (
+        |  SELECT e.vec_id,
+        |    string_agg(CASE WHEN list_dot_product(e.v, pl.pvec) >= 0
+        |        THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
+        |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cosine
+        |  FROM sigs a JOIN sigs b USING (sig)
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM pairs
+        |WHERE cosine >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q89_pq_adc_exemplar" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, v, nrm,
+        |    list_transform(v, x -> x / (CASE WHEN nrm > 0 THEN nrm ELSE 1 END)) AS uv
+        |  FROM e),
+        |cw AS (
+        |  SELECT s.s, t.vec_id AS cwid, t.uv[s.s * 8 + 1 : s.s * 8 + 8] AS cwv
+        |  FROM (SELECT vec_id, uv FROM u ORDER BY vec_id LIMIT 16) t
+        |  CROSS JOIN generate_series(0, 7) AS s(s)),
+        |enc AS (
+        |  SELECT vec_id AS neighbor_id, s, cwid FROM (
+        |    SELECT n.vec_id, c.s, c.cwid,
+        |      row_number() OVER (PARTITION BY n.vec_id, c.s
+        |        ORDER BY round(list_distance(n.uv[c.s * 8 + 1 : c.s * 8 + 8], c.cwv), 6),
+        |                 c.cwid) AS rn
+        |    FROM u n CROSS JOIN cw c) WHERE rn = 1),
+        |qlut AS (
+        |  SELECT q.vec_id AS query_id, c.s, c.cwid,
+        |    round(list_distance(q.uv[c.s * 8 + 1 : c.s * 8 + 8], c.cwv), 6) AS d
+        |  FROM u q CROSS JOIN cw c
+        |  WHERE q.vec_id % 100 = 0),
+        |adc AS (
+        |  SELECT l.query_id, enc.neighbor_id, round(sum(l.d), 6) AS approx
+        |  FROM enc JOIN qlut l USING (s, cwid)
+        |  WHERE enc.neighbor_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |shortlist AS (
+        |  SELECT query_id, neighbor_id FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY approx, neighbor_id) <= 15),
+        |scored AS (
+        |  SELECT sl.query_id, sl.neighbor_id,
+        |    round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 6) AS sim
+        |  FROM shortlist sl
+        |  JOIN e qe ON qe.vec_id = sl.query_id
+        |  JOIN e ne ON ne.vec_id = sl.neighbor_id)
         |SELECT query_id,
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
         |  neighbor_id, sim

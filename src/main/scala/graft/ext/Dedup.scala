@@ -878,4 +878,37 @@ object Dedup {
           (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** [[cosineNearDupPairsLsh]] with the PORTABLE plane family
+    * ([[Similarity.portablePlanes]]) — the oracle-checkable member of
+    * the LSH near-dup family (q88): single table, exact-signature
+    * buckets, exact cosine verify of bucket-mate pairs. Same
+    * bucket-join-verify scale shape; the md5-derived ±1 planes are
+    * reproducible by any engine, so q88's DuckDB oracle mirrors every
+    * stage. [[cosineNearDupPairsLsh]] keeps the multi-table Gaussian
+    * family for production recall.
+    */
+  def cosineNearDupPairsLshPortable(emb: DataFrame, idCol: String,
+                                    vecCol: String, minCosine: Double,
+                                    nPlanes: Int = 4, dim: Int = 64,
+                                    useNative: Boolean = true): DataFrame = {
+    val planes = Similarity.portablePlanes(nPlanes, dim)
+    // norms + signature once per row behind an optimization barrier
+    // (the exemplar-family pattern: a collapsed projection would
+    // re-derive both per pair)
+    val base = emb.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("sig", Similarity.rhpSignature(col("v"), planes))
+      .repartition(col(idCol))
+    val a = base.select(col("sig"), col(idCol).as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("sig"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, "sig").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dotFast(col("va"), col("vb"), dim, useNative) /
+          (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
 }

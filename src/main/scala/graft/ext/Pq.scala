@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.plans.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF-PQ approximate nearest neighbor — the third index family next to
@@ -365,5 +366,78 @@ object Pq {
       (acc, c)
     }
     dots.sortBy { case (d, c) => (-d, c) }.take(nProbe).map(_._2).toSeq
+  }
+
+  /** PQ ADC top-k with EXEMPLAR codebooks — the oracle-checkable member
+    * of the product-quantization family (q89): codewords for subspace
+    * `s` are the `ksub` lowest-id unit vectors' sub-vectors (no k-means,
+    * no residuals — the coarse stage is separately cross-checked by
+    * q85), encode is argmin rounded-6 L2 with smallest-codeword-id
+    * tie-break, ADC sums the per-subspace query-to-codeword distances,
+    * and the shortlist (`k · rerankFactor` per query, rounded-6 sum so
+    * both engines rank on the same decimal lattice) is exactly reranked
+    * by cosine. Every stage is plain relational algebra mirrored by
+    * q89's DuckDB oracle; [[ivfPqTopK]] keeps the trained
+    * coarse+codebook machinery for production recall and the
+    * compressed-storage story.
+    *
+    * Scale shape matches ADC-without-IVF: codes (m small ints per
+    * vector) join the per-query LUT on (subspace, codeword) — the scan
+    * never touches raw vectors until the bounded rerank.
+    */
+  def pqAdcTopKExemplar(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int, m: Int = 8,
+                        ksub: Int = 16, dim: Int = 64,
+                        rerankFactor: Int = 3,
+                        useNative: Boolean = true): DataFrame = {
+    val dsub = dim / m
+    require(m * dsub == dim, s"dim $dim not divisible by m $m")
+    def prep(df: DataFrame) = df
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("u", transform(col("v"),
+        x => x / when(col("nrm") > 0.0, col("nrm")).otherwise(lit(1.0))))
+      .repartition(col(idCol))
+    val base = prep(corpus)
+    val sCol = explode(sequence(lit(0), lit(m - 1))).as("s")
+    // codebooks: sub-vectors of the ksub lowest-id unit vectors; the
+    // exemplar's own id doubles as the codeword id (injective, ordered)
+    val cwSubs = base.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).as("cwid"), col("u").as("cu"))
+      .select(col("cwid"), sCol, col("cu"))
+      .select(col("s"), col("cwid"),
+        slice(col("cu"), col("s") * dsub + 1, lit(dsub)).as("cw"))
+    def dist(a: Column, b: Column): Column =
+      round(sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)), 6)
+    def subVecs(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId), sCol, col("u"))
+      .select(col(outId), col("s"),
+        slice(col("u"), col("s") * dsub + 1, lit(dsub)).as("sub"))
+    // encode: argmin distance per (vector, subspace) — min(struct) is
+    // the combinable argmin, (d, cwid) lexicographic = the tie-break
+    val codes = subVecs(base, "neighbor_id").join(broadcast(cwSubs), "s")
+      .select(col("neighbor_id"), col("s"), col("cwid"),
+        dist(col("sub"), col("cw")).as("d"))
+      .groupBy("neighbor_id", "s")
+      .agg(min(struct(col("d"), col("cwid"))).as("best"))
+      .select(col("neighbor_id"), col("s"), col("best.cwid").as("cwid"))
+    val qlut = subVecs(prep(queries), "query_id").join(broadcast(cwSubs), "s")
+      .select(col("query_id"), col("s"), col("cwid"),
+        dist(col("sub"), col("cw")).as("d"))
+    // ADC: approx(q, v) = Σ_s lut(q, s, code(v, s)); the sum of m
+    // rounded-6 terms snaps back onto the decimal lattice, so a second
+    // round(…, 6) makes the shortlist order engine-independent
+    val adc = codes.join(qlut, Seq("s", "cwid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(round(sum(col("d")), 6).as("approx"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx"), col("neighbor_id"))
+    val shortlist = adc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k * rerankFactor)
+      .select("query_id", "neighbor_id")
+    Similarity.rerankTopK(shortlist, corpus, queries, idCol, vecCol, k, dim,
+      useNative)
   }
 }

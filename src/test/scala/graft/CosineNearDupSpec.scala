@@ -48,4 +48,32 @@ class CosineNearDupSpec extends SparkSpec {
     val recall = if (exact.isEmpty) 1.0 else (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("portable variant is exactly the bucket-mate subset of exact pairs") {
+    // the portable member (q88) trades multi-table recall for
+    // oracle-checkability: its result must EQUAL the exact relation
+    // restricted to same-signature pairs — signatures recomputed here
+    // from the independently-derived md5 plane matrix (the derivation
+    // itself is reference-pinned in SimilaritySpec)
+    graft.plans.GraftFunctions.register(spark)
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planes = (0 until 4).map { p => (0 until 64).map { j =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:rhp:$p:$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1.0 else -1.0 } }
+    val sig = real.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().map { case (id, v) =>
+        id -> planes.map { p =>
+          if (v.lazyZip(p).map(_ * _).sum >= 0) '1' else '0' }.mkString
+      }.toMap
+    val exact = pairs(
+      Dedup.cosineNearDupPairsExact(real, "vec_id", "embedding", 0.4))
+    val portable = pairs(Dedup.cosineNearDupPairsLshPortable(
+      real, "vec_id", "embedding", minCosine = 0.4, nPlanes = 4))
+    val expected = exact.filter { case (a, b) => sig(a) == sig(b) }
+    assert(portable == expected)
+  }
 }

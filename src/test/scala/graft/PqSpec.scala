@@ -163,4 +163,37 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF-PQ recall $recall below bound")
     assert(got == run(), "IVF-PQ must be deterministic")
   }
+
+  test("exemplar PQ ADC with an everything-shortlist equals brute force") {
+    // with k·rerankFactor >= |corpus| the ADC shortlist admits every
+    // candidate, so the exact rerank must reproduce brute-force top-k
+    // bit for bit — the same non-circular contract as exemplar IVF's
+    // full-probe test: any bug that DROPS a candidate from the encode/
+    // LUT/ADC join surfaces here, not just as a recall dip
+    GraftFunctions.register(spark)
+    val small = emb.filter(col("vec_id") < 500).cache()
+    val q = small.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(small, q, "vec_id", "embedding",
+        k = 5, dim = Some(Dim), useNative = true)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val full = Pq.pqAdcTopKExemplar(small, q, "vec_id", "embedding",
+        k = 5, m = M, ksub = Ksub, rerankFactor = 100)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == exact)
+  }
+
+  test("exemplar PQ ADC shortlist carries signal at the default factor") {
+    // exemplar codebooks without residuals trade recall for oracle-
+    // checkability (q89); the bound only asserts the ADC ordering is
+    // far from random (random shortlisting of 15/499 would give ~0.03)
+    GraftFunctions.register(spark)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 5, dim = Some(Dim))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Pq.pqAdcTopKExemplar(emb, queries, "vec_id", "embedding",
+        k = 5, m = M, ksub = Ksub)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"exemplar PQ ADC recall $recall below bound")
+  }
 }
