@@ -812,9 +812,7 @@ object Dedup {
     // same per-vector norm precompute + optimization barrier as
     // cosineNearDupPairsExact (the unrolled dot must not re-derive
     // norms per pair)
-    val dbl = emb.select(col(idCol),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-    val withNorm = dbl.withColumn("nrm", Similarity.norm(col("v")))
+    val withNorm = Similarity.withVecNorm(emb, idCol, vecCol)
       .repartition(col(idCol))
     val cents = withNorm.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cid"), col("v").as("cvec"),
@@ -896,9 +894,7 @@ object Dedup {
     // norms + signature once per row behind an optimization barrier
     // (the exemplar-family pattern: a collapsed projection would
     // re-derive both per pair)
-    val base = emb.select(col(idCol),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
+    val base = Similarity.withVecNorm(emb, idCol, vecCol)
       .withColumn("sig", Similarity.rhpSignature(col("v"), planes))
       .repartition(col(idCol))
     val a = base.select(col("sig"), col(idCol).as("id_a"),

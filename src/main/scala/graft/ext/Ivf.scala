@@ -225,15 +225,12 @@ object Ivf {
   def ivfTopKExemplar(corpus: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, k: Int, nList: Int = 8, nProbe: Int = 2,
                       dim: Int = 64, useNative: Boolean = true): DataFrame = {
-    // norms once per row behind an optimization barrier (the same
-    // pattern as semanticDedupKeptIdsExemplar: without it the collapsed
-    // projection re-derives the norm per (row, exemplar) pair), and the
+    // norms once per row behind an optimization barrier (the shared
+    // exemplar-family pattern — see Similarity.withVecNorm), and the
     // barrier's hash partitioning on id is exactly what the argmax
     // window needs — no extra Exchange between them
-    def prep(df: DataFrame) = df
-      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
-      .repartition(col(idCol))
+    def prep(df: DataFrame) =
+      Similarity.withVecNorm(df, idCol, vecCol).repartition(col(idCol))
     val base = prep(corpus)
     val cents = base.orderBy(col(idCol)).limit(nList)
       .select(col(idCol).as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
@@ -278,9 +275,7 @@ object Ivf {
                         nList: Int = 8, dim: Int = 64,
                         useNative: Boolean = true): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(30, 12)
-    val base = emb
-      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
+    val base = Similarity.withVecNorm(emb, idCol, vecCol)
       .repartition(col(idCol))
     val cents = base.orderBy(col(idCol)).limit(nList)
       .select(col(idCol).as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))

@@ -392,9 +392,7 @@ object Pq {
                         useNative: Boolean = true): DataFrame = {
     val dsub = dim / m
     require(m * dsub == dim, s"dim $dim not divisible by m $m")
-    def prep(df: DataFrame) = df
-      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
+    def prep(df: DataFrame) = Similarity.withVecNorm(df, idCol, vecCol)
       .withColumn("u", transform(col("v"),
         x => x / when(col("nrm") > 0.0, col("nrm")).otherwise(lit(1.0))))
       .repartition(col(idCol))

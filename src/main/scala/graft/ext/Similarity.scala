@@ -53,6 +53,17 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
+  /** The (id, v, nrm) projection every cosine-family operator starts
+    * from: double-cast vector plus ONE norm per row. Callers append any
+    * derived columns (signatures, unit vectors) and then place an
+    * optimization barrier (`repartition` on the id) so the collapsed
+    * projection cannot re-derive the norm per pair — the shared
+    * exemplar-family pattern (q84-q89).
+    */
+  def withVecNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
   /** Cosine similarity, rounded to 6 decimals so last-ulp float noise
     * cannot reorder near-ties across engines.
     */
