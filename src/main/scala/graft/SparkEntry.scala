@@ -435,6 +435,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- per-source frequency cap (oracle-checked): the corpus-
+    // balancing stage of web-scale curation — keep the k best docs per
+    // source, ranked by graft_top_k (O(k) state per key, map-side
+    // combine; the relation is never window-sorted)
+    "q90_source_cap" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      graft.ext.TextOps.capPerKey(
+          t(s, dir, "documents")
+            .withColumn("len", col("n_chars").cast("double")),
+          "source", "len", "doc_id", k = 10)
+        .orderBy("source", "rank")
+    }),
+
     // ---- LSH near-dup, oracle-checked member (hash-checked): portable
     // ±1 planes, single-table buckets, exact cosine verify of
     // bucket-mate pairs; q38 keeps the multi-table Gaussian family
@@ -1927,6 +1940,14 @@ object SparkEntry {
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q90_source_cap" ->
+      """SELECT source, CAST(row_number() OVER w AS BIGINT) AS "rank", doc_id,
+        |  CAST(n_chars AS DOUBLE) AS len
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id)
+        |QUALIFY row_number() OVER w <= 10
+        |ORDER BY source, "rank"""".stripMargin,
 
     "q88_near_dup_lsh_portable" ->
       """WITH e AS (

@@ -521,4 +521,26 @@ object TextOps {
       .withColumn("share_ppm", expr(s"n * 1000000L div ${total}L"))
       .select("token", "n", "share_ppm")
   }
+
+  /** Frequency capping — keep at most `k` rows per key, best-first by
+    * (`ordCol` DESC, `idCol` ASC): the per-domain / per-source corpus
+    * balancing step of web-scale curation recipes (the source-cap stage
+    * CCNet/RefinedWeb-style pipelines run after dedup — public recipes,
+    * no code consulted). Callers typically pass a quality score as the
+    * order column ([[qualityScore]]); any numeric column works.
+    *
+    * Ranked with `graft_top_k` (O(k) state per key, map-side combine —
+    * the shuffle carries at most k candidates per (partition, key)
+    * instead of the whole relation through a window sort; requires
+    * `GraftFunctions.register`). Returns (keyCol, rank, idCol, ordCol),
+    * rank 1 = best kept.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, ordCol: String,
+                idCol: String, k: Int): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(call_function("graft_top_k", col(ordCol), col(idCol), lit(k))
+        .as("__top"))
+      .select(col(keyCol), posexplode(col("__top")).as(Seq("__p", "__s")))
+      .select(col(keyCol), (col("__p") + 1).cast("long").as("rank"),
+        col("__s.payload").as(idCol), col("__s.ord").as(ordCol))
 }

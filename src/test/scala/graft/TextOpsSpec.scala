@@ -355,4 +355,20 @@ class TextOpsSpec extends SparkSpec {
       .asInstanceOf[Double]
     assert(math.abs(o - math.log(2)) < 1e-6)
   }
+
+  test("capPerKey keeps the k best per key with deterministic ties") {
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq(
+      ("a", 10L, 3.0), ("a", 11L, 5.0), ("a", 12L, 5.0), ("a", 13L, 1.0),
+      ("b", 20L, 2.0),
+      ("c", 30L, 7.0), ("c", 31L, 7.0), ("c", 32L, 7.0)
+    ).toDF("src", "doc_id", "score").repartition(4)
+    val kept = TextOps.capPerKey(df, "src", "score", "doc_id", k = 2)
+      .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // ties rank by payload ASC; short groups keep everything
+    assert(kept.toSeq == Seq(
+      ("a", 1L, 11L, 5.0), ("a", 2L, 12L, 5.0),
+      ("b", 1L, 20L, 2.0),
+      ("c", 1L, 30L, 7.0), ("c", 2L, 31L, 7.0)))
+  }
 }
