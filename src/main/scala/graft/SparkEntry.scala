@@ -484,6 +484,18 @@ object SparkEntry {
         .orderBy("list", "pos")
     }),
 
+    // ---- k-means CONVERGENT training, oracle-checked (hash-checked):
+    // two Lloyd steps from exemplar seeds as a relational fixpoint —
+    // centroids stay a relation between steps (never collected), every
+    // intermediate bit-stable cross-engine (DECIMAL means, IEEE
+    // division/sqrt, sequential dots); the oracle unrolls both steps
+    "q91_lloyd_iterate_exemplar" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      graft.ext.Ivf.lloydIterateExemplar(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nList = 8, iters = 2)
+        .orderBy("list", "pos")
+    }),
+
     // ---- event-time tumbling window aggregation -----------------------------
     "q32_hourly_events" -> ((s, dir) => {
       events(s, dir)
@@ -2051,6 +2063,59 @@ object SparkEntry {
         |  FROM means GROUP BY 1)
         |SELECT m.list, m.pos, floor(m.m / n.mn * 1e6) / 1e6 AS "value"
         |FROM means m JOIN norms n USING (list)
+        |ORDER BY list, pos""".stripMargin,
+
+    "q91_lloyd_iterate_exemplar" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |assigned0 AS (
+        |  SELECT c.cid AS list, e.v, e.nrm
+        |  FROM e CROSS JOIN c0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+        |             c.cid) = 1),
+        |comp0 AS (
+        |  SELECT a.list, gs.pos - 1 AS pos,
+        |    a.v[gs.pos] / (CASE WHEN a.nrm > 0 THEN a.nrm ELSE 1 END) AS ux
+        |  FROM assigned0 a CROSS JOIN generate_series(1, 64) AS gs(pos)),
+        |means0 AS (
+        |  SELECT list, pos,
+        |    CAST(sum(CAST(ux AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+        |  FROM comp0 GROUP BY 1, 2),
+        |norms0 AS (
+        |  SELECT list, sqrt(CAST(sum(CAST(m * m AS DECIMAL(30,12))) AS DOUBLE)) AS mn
+        |  FROM means0 GROUP BY 1),
+        |vals0 AS (
+        |  SELECT m.list, m.pos, m.m / n.mn AS value
+        |  FROM means0 m JOIN norms0 n USING (list)),
+        |c1 AS (
+        |  SELECT list AS cid, list(value ORDER BY pos) AS cvec
+        |  FROM vals0 GROUP BY list),
+        |c1n AS (SELECT cid, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm
+        |        FROM c1),
+        |assigned1 AS (
+        |  SELECT c.cid AS list, e.v, e.nrm
+        |  FROM e CROSS JOIN c1n c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+        |             c.cid) = 1),
+        |comp1 AS (
+        |  SELECT a.list, gs.pos - 1 AS pos,
+        |    a.v[gs.pos] / (CASE WHEN a.nrm > 0 THEN a.nrm ELSE 1 END) AS ux
+        |  FROM assigned1 a CROSS JOIN generate_series(1, 64) AS gs(pos)),
+        |means1 AS (
+        |  SELECT list, pos,
+        |    CAST(sum(CAST(ux AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+        |  FROM comp1 GROUP BY 1, 2),
+        |norms1 AS (
+        |  SELECT list, sqrt(CAST(sum(CAST(m * m AS DECIMAL(30,12))) AS DOUBLE)) AS mn
+        |  FROM means1 GROUP BY 1)
+        |SELECT m.list, m.pos, floor(m.m / n.mn * 1e6) / 1e6 AS "value"
+        |FROM means1 m JOIN norms1 n USING (list)
         |ORDER BY list, pos""".stripMargin,
 
     "q49_stable_split" ->

@@ -273,32 +273,64 @@ object Ivf {
     */
   def lloydStepExemplar(emb: DataFrame, idCol: String, vecCol: String,
                         nList: Int = 8, dim: Int = 64,
-                        useNative: Boolean = true): DataFrame = {
+                        useNative: Boolean = true): DataFrame =
+    lloydIterateExemplar(emb, idCol, vecCol, nList, iters = 1, dim, useNative)
+
+  /** `iters` spherical-Lloyd steps from the exemplar seeds, the whole
+    * refinement expressed as a RELATIONAL FIXPOINT: centroids stay a
+    * (list, cvec) relation between steps — never collected to the
+    * driver — and every intermediate value is cross-engine bit-stable
+    * (DECIMAL means; IEEE division/sqrt; sequential-order dots), so
+    * q91's DuckDB oracle unrolls the same steps and hash-matches.
+    * Divergence from [[trainCentroidsLloyd]], documented: a list that
+    * wins no vectors DROPS OUT of the relation (the trained API keeps
+    * its previous centroid) — relational semantics, and both engines
+    * agree. Only the FINAL values are truncated to the 1e-6 lattice.
+    */
+  def lloydIterateExemplar(emb: DataFrame, idCol: String, vecCol: String,
+                           nList: Int = 8, iters: Int = 2, dim: Int = 64,
+                           useNative: Boolean = true): DataFrame = {
+    require(iters >= 1, "at least one Lloyd step")
     val dec = org.apache.spark.sql.types.DecimalType(30, 12)
     val base = Similarity.withVecNorm(emb, idCol, vecCol)
       .repartition(col(idCol))
-    val cents = base.orderBy(col(idCol)).limit(nList)
+    // one refinement: argmax-assign to cents, DECIMAL per-(list, pos)
+    // mean of the unit vectors, renormalize — centroids in, centroids out
+    def step(cents: DataFrame): DataFrame = {
+      val scored = base.crossJoin(broadcast(cents))
+        .select(col(idCol), col("v"), col("nrm"), col("cid"),
+          round(Similarity.dotFast(col("v"), col("cvec"), dim, useNative) /
+            (col("nrm") * col("cnrm")), 6).as("sim"))
+      val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col("cid"))
+      val assigned = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cid").as("list"), col("v"), col("nrm"))
+      val comp = assigned
+        .select(col("list"), col("nrm"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("list"), col("pos").cast("long").as("pos"),
+          (col("x") / when(col("nrm") > 0.0, col("nrm")).otherwise(lit(1.0)))
+            .as("ux"))
+      val means = comp.groupBy("list", "pos")
+        .agg((sum(col("ux").cast(dec)).cast("double") / count(lit(1))).as("m"))
+      val norms = means.groupBy("list")
+        .agg(sqrt(sum((col("m") * col("m")).cast(dec)).cast("double")).as("mn"))
+      means.join(norms, "list")
+        .select(col("list"), col("pos"), (col("m") / col("mn")).as("value"))
+    }
+    // (list, pos, value) rows → the (cid, cvec, cnrm) shape step consumes;
+    // array_sort on (pos, value) structs makes collect_list order-safe
+    def assemble(rows: DataFrame): DataFrame = rows.groupBy("list")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("value")))),
+        s => s.getField("value")).as("cvec"))
+      .select(col("list").as("cid"), col("cvec"),
+        Similarity.norm(col("cvec")).as("cnrm"))
+    val seeds = base.orderBy(col(idCol)).limit(nList)
       .select(col(idCol).as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
-    val scored = base.crossJoin(broadcast(cents))
-      .select(col(idCol), col("v"), col("nrm"), col("cid"),
-        round(Similarity.dotFast(col("v"), col("cvec"), dim, useNative) /
-          (col("nrm") * col("cnrm")), 6).as("sim"))
-    val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col("cid"))
-    val assigned = scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("cid").as("list"), col("v"), col("nrm"))
-    val comp = assigned
-      .select(col("list"), col("nrm"), posexplode(col("v")).as(Seq("pos", "x")))
-      .select(col("list"), col("pos").cast("long").as("pos"),
-        (col("x") / when(col("nrm") > 0.0, col("nrm")).otherwise(lit(1.0)))
-          .as("ux"))
-    val means = comp.groupBy("list", "pos")
-      .agg((sum(col("ux").cast(dec)).cast("double") / count(lit(1))).as("m"))
-    val norms = means.groupBy("list")
-      .agg(sqrt(sum((col("m") * col("m")).cast(dec)).cast("double")).as("mn"))
-    means.join(norms, "list")
-      .select(col("list"), col("pos"),
-        (floor(col("m") / col("mn") * lit(1e6)) / lit(1e6)).as("value"))
+    var rows = step(seeds)
+    var it = 1
+    while (it < iters) { rows = step(assemble(rows)); it += 1 }
+    rows.select(col("list"), col("pos"),
+      (floor(col("value") * lit(1e6)) / lit(1e6)).as("value"))
   }
 
   // ---------------------------------------------------------- persistence

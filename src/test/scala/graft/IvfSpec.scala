@@ -109,6 +109,53 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("lloydIterateExemplar(2) matches a driver-side two-step reference") {
+    // same independent plain-Scala re-derivation as the one-step test,
+    // iterated: assign → mean → normalize, twice, the second assignment
+    // against the step-one centroids. Tolerance covers DECIMAL-vs-double
+    // sums plus the final 1e-6 truncation.
+    GraftFunctions.register(spark)
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+      .sortBy(_._1)
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def stepFrom(cents: Seq[(Long, Array[Double])]): Seq[(Long, Array[Double])] = {
+      val sums = collection.mutable.Map.empty[Long, Array[Double]]
+      val counts = collection.mutable.Map.empty[Long, Long]
+      vecs.foreach { case (_, v) =>
+        val n = nrm(v)
+        val best = cents.map { case (cid, c) =>
+          val cos = BigDecimal(v.zip(c).map { case (a, b) => a * b }.sum /
+            (n * nrm(c))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          (-cos, cid)
+        }.min._2
+        val sn = if (n > 0) n else 1.0
+        val acc = sums.getOrElseUpdate(best, new Array[Double](64))
+        var j = 0
+        while (j < 64) { acc(j) += v(j) / sn; j += 1 }
+        counts(best) = counts.getOrElse(best, 0L) + 1
+      }
+      sums.toSeq.sortBy(_._1).map { case (cid, s) =>
+        val m = s.map(_ / counts(cid))
+        val mn = nrm(m)
+        cid -> m.map(_ / mn)
+      }
+    }
+    val two = stepFrom(stepFrom(vecs.take(8).toSeq))
+    val expected = two.flatMap { case (cid, c) =>
+      c.zipWithIndex.map { case (x, pos) => (cid, pos.toLong) -> x } }.toMap
+    val got = Ivf.lloydIterateExemplar(emb, "vec_id", "embedding",
+        nList = 8, iters = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (list, pos, value) =>
+      val ref = expected((list, pos))
+      assert(math.abs(value - ref) <= 1e-6 + 1e-9,
+        s"list=$list pos=$pos got $value expected ~$ref")
+    }
+  }
+
   test("trained centroids are unit-norm and adapt to the data") {
     val c = Ivf.trainCentroids(emb, "embedding", nList = 16, dim = 64,
       sampleSize = 1000, iters = 5)
