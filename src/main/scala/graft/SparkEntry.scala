@@ -496,6 +496,58 @@ object SparkEntry {
         .orderBy("list", "pos")
     }),
 
+    // ---- temperature-scaled source mixing (oracle-checked): α=0.5
+    // sampling over the skewed language mix — per-language keep rates
+    // ∝ n^α/n, DECIMAL-exact Σn^α, deterministic md5 uniforms; the
+    // documents themselves never shuffle (counts aggregate + broadcast
+    // rates + pure-projection keep decision)
+    "q92_temperature_mix" -> ((s, dir) => {
+      TextOps.temperatureMixSample(t(s, dir, "documents"), "doc_id",
+          "lang", budget = 400L, alpha = 0.5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // ---- PII redaction (oracle-checked): the transform counterpart of
+    // q45's census — email → url → ipv4 placeholder rewrite, one
+    // codegen'd regex chain, shuffle-free; result pinned cross-engine
+    // by md5 of the redacted text
+    "q93_pii_redact" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" contact: user13@example.com" +
+              " via https://ex.example/path from 10.0.0.1")))
+            .otherwise(col("text")))
+      TextOps.redactPii(aug, "text")
+        .select(col("doc_id"), md5(col("text_redacted")).as("redacted_md5"),
+          length(col("text_redacted")).cast("long").as("len_redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- contamination fraction + drop verdict (oracle-checked): the
+    // policy layer over q46 — per-doc distinct-8-gram count, overlap
+    // count vs the held-out corpus, integer-exact ≥10% drop decision;
+    // zero-hit docs stay in the relation via the left join
+    "q94_contamination_report" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 31 =!= 0), "doc_id", "text",
+          bench = docs.filter(col("doc_id") % 31 === 0),
+          shingleN = 8, dropPct = 10, useNative = true)
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic shuffle-shard layout (oracle-checked): training-
+    // order randomization — md5-prefix shard assignment + full-md5
+    // within-shard order; one shuffle on the shard key, no global sort
+    "q95_shuffle_shards" -> ((s, dir) => {
+      TextOps.shuffleShards(t(s, dir, "documents"), "doc_id", nShards = 8)
+        .select("shard", "pos", "doc_id")
+        .orderBy("shard", "pos")
+    }),
+
     // ---- event-time tumbling window aggregation -----------------------------
     "q32_hourly_events" -> ((s, dir) => {
       events(s, dir)
@@ -2117,6 +2169,88 @@ object SparkEntry {
         |SELECT m.list, m.pos, floor(m.m / n.mn * 1e6) / 1e6 AS "value"
         |FROM means1 m JOIN norms1 n USING (list)
         |ORDER BY list, pos""".stripMargin,
+
+    // same op order as the engine: ((budget * sqrt(n)) / total) / n,
+    // DECIMAL-exact Σ sqrt(n), md5-derived uniform — bit-identical keep
+    // decisions cross-engine
+    "q92_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_src FROM documents GROUP BY lang),
+        |total AS (
+        |  SELECT sum(CAST(sqrt(n_src) AS DECIMAL(30,10))) AS total_pow
+        |  FROM counts),
+        |rates AS (
+        |  SELECT c.lang,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      400.0 * sqrt(c.n_src) / CAST(t.total_pow AS DOUBLE) / c.n_src)
+        |      AS keep_rate
+        |  FROM counts c CROSS JOIN total t)
+        |SELECT d.lang, d.doc_id
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE ((('0x' || substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        |       / 4294967296.0) < r.keep_rate
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    // redaction order is part of the contract: email, then url, then ipv4
+    "q93_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN text || ' contact: user13@example.com via https://ex.example/path from 10.0.0.1'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        'https?://[^\s]+', '[URL]', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IPV4]', 'g')
+        |      AS text_redacted
+        |  FROM aug)
+        |SELECT doc_id, md5(text_redacted) AS redacted_md5,
+        |  CAST(len(text_redacted) AS BIGINT) AS len_redacted
+        |FROM red ORDER BY doc_id""".stripMargin,
+
+    // q46's shingle relation + the per-doc distinct-shingle count and
+    // the integer-exact >= 10% drop verdict; left join keeps zero-hit docs
+    "q94_contamination_report" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+        |      THEN list_transform(range(1, len(toks) - 6),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                          toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+        |      ELSE [array_to_string(toks, ' ')] END)) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 31 = 0),
+        |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+        |        WHERE doc_id % 31 <> 0 GROUP BY doc_id),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM sh JOIN bench USING (s)
+        |  WHERE doc_id % 31 <> 0
+        |  GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_shingles,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  (n.n_shingles > 0 AND
+        |   coalesce(h.n_hits, 0) * 100 >= n.n_shingles * 10) AS dropped
+        |FROM nsh n LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q95_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents)
+        |SELECT CAST((('0x' || substr(hx, 1, 8))::BIGINT % 8) AS INT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY ('0x' || substr(hx, 1, 8))::BIGINT % 8
+        |    ORDER BY hx, doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM h
+        |ORDER BY shard, pos""".stripMargin,
 
     "q49_stable_split" ->
       """SELECT CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'

@@ -627,6 +627,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-document contamination FRACTION with a drop verdict — the
+    * policy layer over [[contaminationHits]]: for every document (hit or
+    * not), how many of its distinct `shingleN`-grams it has, how many
+    * overlap the held-out benchmark, and whether the overlap crosses
+    * `dropPct` percent. Real decontamination recipes drop on an overlap
+    * *fraction*, not any-hit — a 10k-token page sharing one 8-gram with
+    * a benchmark is noise; a page that is 40% benchmark text is a leak.
+    *
+    * The threshold compare is integer-exact (`n_hits · 100 ≥
+    * n_shingles · dropPct` — no float division), so the verdict is
+    * bit-reproducible cross-engine. Zero-hit documents stay in the
+    * relation via the left join with `n_hits = 0`; documents too short
+    * to have any shingle have `n_shingles = 0` and are never dropped.
+    *
+    * Scale shape: identical to [[contaminationHits]] (shingle-key
+    * equi-join — shuffles carry shingles, never documents) plus one
+    * per-document projection for the count; swap the hits side for
+    * [[contaminationHitsBloom]] under the same contract when the corpus
+    * side dominates.
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, shingleN: Int = 8,
+                          dropPct: Int = 10,
+                          useNative: Boolean = false): DataFrame = {
+    require(dropPct >= 0 && dropPct <= 100, s"dropPct in [0,100]: $dropPct")
+    val hits = contaminationHits(docs, idCol, textCol, bench, shingleN,
+      useNative)
+    docs.select(col(idCol),
+        size(wordShingles(col(textCol), shingleN, useNative)).cast("long")
+          .as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("dropped",
+        col("n_shingles") > 0 &&
+          col("n_hits") * 100 >= col("n_shingles") * dropPct)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per-token `xxhash64` bits

@@ -458,9 +458,7 @@ object TextOps {
     // a global (ungrouped) sample would serialize through one window
     // partition — pass an explicit constant group to opt into that
     require(groupCols.nonEmpty, "groupCols must be non-empty")
-    val u = (conv(substring(md5(concat(lit(salt), lit(":"),
-        col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast("long") + lit(0.5)) / lit(4294967296.0)
+    val u = hashUniform(col(idCol), salt)
     val priority = -log(u) / col(weightCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
@@ -543,4 +541,112 @@ object TextOps {
       .select(col(keyCol), posexplode(col("__top")).as(Seq("__p", "__s")))
       .select(col(keyCol), (col("__p") + 1).cast("long").as("rank"),
         col("__s.payload").as(idCol), col("__s.ord").as(ordCol))
+
+  /** The deterministic per-row uniform u ∈ (0,1) shared by the sampling
+    * family: first 8 md5 hex digits of `salt:id` as a 32-bit fraction,
+    * offset by 0.5 ulp-of-2⁻³² so u is never exactly 0 or 1. A pure
+    * function of (salt, id) — reproducible, engine-neutral (md5 +
+    * hex-decode + one IEEE division reproduce bit-for-bit anywhere).
+    */
+  private def hashUniform(id: Column, salt: String): Column =
+    (conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))),
+        1, 8), 16, 10).cast("long") + lit(0.5)) / lit(4294967296.0)
+
+  /** Temperature-scaled source mixing (the α-sampling step of
+    * multilingual / multi-source corpus construction — public recipe
+    * from the mC4/XLM-R line of work: sample source s with probability
+    * ∝ n_s^α, α < 1 upweighting small sources relative to their raw
+    * share). Deterministic, relational formulation: every row draws the
+    * reproducible uniform [[hashUniform]] and is kept iff
+    * u < budget · n_s^α / (Σ_t n_t^α) / n_s — i.e. each source's
+    * expected kept count is budget · n_s^α / Σ n^α, clamped at taking
+    * the whole source.
+    *
+    * Determinism across engines: n^α is computed as `sqrt` when α = 0.5
+    * (`pow` is not required to be correctly rounded by IEEE 754; `sqrt`
+    * is, so only the sqrt path is bit-reproducible cross-engine — the
+    * oracle-checked catalog query pins that path). Σ n^α is summed as
+    * DECIMAL(30,10) so the total is exact regardless of partial-
+    * aggregation order (float addition is non-associative; the k-means
+    * trainer uses the same discipline), then cast back to double for the
+    * one rate division whose operand order is fixed left-to-right.
+    *
+    * Scale shape: one count aggregation over the source key (tiny
+    * result, one row per source), broadcast back; the keep decision is a
+    * pure projection. No shuffle touches the documents themselves.
+    */
+  def temperatureMixSample(df: DataFrame, idCol: String, srcCol: String,
+                           budget: Long, alpha: Double = 0.5,
+                           salt: String = "graft"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    def powA(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else if (alpha == 1.0) c.cast("double")
+      else pow(c, alpha)
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_src"))
+    val total = counts
+      .agg(sum(powA(col("n_src")).cast("decimal(30,10)")).as("total_pow"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("keep_rate",
+        least(lit(1.0), lit(budget.toDouble) * powA(col("n_src"))
+          / col("total_pow").cast("double") / col("n_src")))
+      .select(col(srcCol), col("n_src"), col("keep_rate"))
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(hashUniform(col(idCol), salt) < col("keep_rate"))
+  }
+
+  /** The redaction replacement applied for each [[PiiPatterns]] kind. */
+  val PiiRedactions: Map[String, String] = Map(
+    "email" -> "[EMAIL]", "url" -> "[URL]", "ipv4" -> "[IPV4]")
+
+  /** PII redaction — the transform counterpart of the [[withPiiCounts]]
+    * census: rewrite every match of each pattern to its placeholder
+    * token, in the fixed order email → url → ipv4 (order matters and is
+    * part of the contract: URLs are redacted whole before the ipv4 scan,
+    * so an address embedded in a URL authority is masked as part of
+    * `[URL]` rather than double-redacted). Appends `<textCol>_redacted`.
+    *
+    * One codegen'd regex-replace chain per document — linear,
+    * shuffle-free, and engine-portable (the same POSIX-class patterns
+    * the census uses; global replacement semantics in both Spark and
+    * ANSI `regexp_replace(..., 'g')` engines).
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val redacted = Seq("email", "url", "ipv4").foldLeft(col(textCol)) {
+      case (acc, kind) =>
+        regexp_replace(acc, PiiPatterns(kind), PiiRedactions(kind))
+    }
+    df.withColumn(s"${textCol}_redacted", redacted)
+  }
+
+  /** Deterministic global shuffle + sharded layout — the
+    * training-order randomization step before export: each row is
+    * assigned shard = (32-bit md5 prefix of `salt:id`) mod `nShards`
+    * and a within-shard position by full-md5 order. The permutation is
+    * a pure function of (salt, id): reproducible across runs and
+    * engines, stable per row under corpus growth, and re-saltable for a
+    * new epoch order by changing `salt`.
+    *
+    * Scale shape: ONE shuffle on the shard key, then each shard streams
+    * through its window once — no global sort, no single-partition
+    * window. Rows land uniformly across shards (md5 prefix is uniform),
+    * so shard skew is bounded by binomial fluctuation. For the actual
+    * export, compose with `io.Compact`: `repartition(col("shard"))` +
+    * sort-within-partitions by `pos` writes each shard as its own
+    * run-ordered file set without any additional exchange.
+    *
+    * Returns (shard INT, pos LONG — 1-based within shard, original
+    * columns).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    salt: String = "graft"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val withShard = df.withColumn("shard",
+      pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(nShards))
+        .cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(h.asc, col(idCol).asc)
+    withShard.withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

@@ -174,6 +174,32 @@ class DedupSpec extends SparkSpec {
     assert(hits == Map(1L -> 2L))
   }
 
+  test("contaminationReport: fraction verdict, zero-hit docs kept in relation") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim bench text: 2 shingles, 2 hits -> 100% -> dropped
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      // 2 of its 20 distinct 8-grams overlap -> exactly 10% -> dropped (>=)
+      (2L, ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 " +
+        "the quick brown fox jumps over the lazy dog")),
+      // 2 of 21 -> 9.52% -> kept
+      (3L, ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 " +
+        "the quick brown fox jumps over the lazy dog")),
+      // no overlap at all -> present with n_hits = 0, kept
+      (4L, "completely unrelated content with no overlap whatsoever in here")
+    ).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, "doc_id", "text", bench,
+        shingleN = 8, dropPct = 10)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rep(1L) == ((2L, 2L, true)))
+    assert(rep(2L) == ((20L, 2L, true)))   // integer-exact boundary: 10% drops
+    assert(rep(3L) == ((21L, 2L, false)))
+    assert(rep(4L) == ((2L, 0L, false)))   // zero-hit doc survives the left join
+    assert(rep.size == 4)
+  }
+
   test("native word shingles identical to the HOF formulation") {
     graft.plans.GraftFunctions.register(spark)
     val edge = Seq((20L, "one two"), (21L, ""), (22L, "a b c"),

@@ -371,4 +371,82 @@ class TextOpsSpec extends SparkSpec {
       ("b", 1L, 20L, 2.0),
       ("c", 1L, 30L, 7.0), ("c", 2L, 31L, 7.0)))
   }
+
+  // one big + one small source, enough rows that rate differences show
+  private def mixCorpus = {
+    val rows = (0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small"))
+    rows.toDF("doc_id", "src").repartition(4)
+  }
+
+  test("temperatureMixSample is deterministic and a subset of the input") {
+    val a = TextOps.temperatureMixSample(mixCorpus, "doc_id", "src", 300L)
+      .select("doc_id").as[Long].collect().sorted
+    val b = TextOps.temperatureMixSample(mixCorpus, "doc_id", "src", 300L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+    assert(a.toSet.subsetOf((0L until 1000L).toSet))
+  }
+
+  test("temperatureMixSample upweights small sources at alpha < 1") {
+    val kept = TextOps.temperatureMixSample(mixCorpus, "doc_id", "src",
+        budget = 300L, alpha = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // expected keep rates: ∝ sqrt(n)/n, so small keeps sqrt(9)=3× the
+    // RATE of big; with u uniform the realized rates concentrate there
+    val rateBig = kept.getOrElse("big", 0L).toDouble / 900.0
+    val rateSmall = kept.getOrElse("small", 0L).toDouble / 100.0
+    assert(rateSmall > 2.0 * rateBig,
+      s"small rate $rateSmall should be ~3x big rate $rateBig")
+    // and alpha = 1 equalizes the rates (proportional sampling)
+    val prop = TextOps.temperatureMixSample(mixCorpus, "doc_id", "src",
+        budget = 300L, alpha = 1.0)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    val pBig = prop.getOrElse("big", 0L).toDouble / 900.0
+    val pSmall = prop.getOrElse("small", 0L).toDouble / 100.0
+    assert(math.abs(pBig - pSmall) < 0.15,
+      s"alpha=1 rates should match: $pBig vs $pSmall")
+  }
+
+  test("temperatureMixSample keeps everything when budget covers the corpus") {
+    val kept = TextOps.temperatureMixSample(mixCorpus, "doc_id", "src",
+      budget = 10000L).count()
+    assert(kept == 1000L)
+  }
+
+  test("redactPii masks all three kinds; URL containment wins over ipv4") {
+    val df = Seq(
+      (1L, "mail bob@example.com and 10.0.0.1 end"),
+      (2L, "see https://10.0.0.1/secret?x=1 now"),
+      (3L, "clean text with no identifiers")
+    ).toDF("doc_id", "text")
+    val r = TextOps.redactPii(df, "text")
+      .select("doc_id", "text_redacted").as[(Long, String)].collect().toMap
+    assert(r(1L) == "mail [EMAIL] and [IPV4] end")
+    // the address lives in the URL authority: redacted as part of [URL],
+    // never double-redacted — order contract email -> url -> ipv4
+    assert(r(2L) == "see [URL] now")
+    assert(r(3L) == "clean text with no identifiers")
+  }
+
+  test("shuffleShards: contiguous 1-based positions, bounded shards, salt moves the order") {
+    val df = (0L until 500L).toDF("doc_id").repartition(4)
+    val out = TextOps.shuffleShards(df, "doc_id", nShards = 8)
+      .select("shard", "pos", "doc_id").as[(Int, Long, Long)].collect()
+    assert(out.length == 500)
+    assert(out.map(_._3).sorted.sameElements(0L until 500L))
+    assert(out.forall(r => r._1 >= 0 && r._1 < 8))
+    // positions within each shard are exactly 1..|shard|
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1L to rows.length.toLong))
+    }
+    // reproducible; a different salt yields a different permutation
+    val again = TextOps.shuffleShards(df, "doc_id", nShards = 8)
+      .select("shard", "pos", "doc_id").as[(Int, Long, Long)].collect()
+    assert(out.sortBy(_._3).sameElements(again.sortBy(_._3)))
+    val other = TextOps.shuffleShards(df, "doc_id", nShards = 8,
+        salt = "epoch2")
+      .select("shard", "pos", "doc_id").as[(Int, Long, Long)].collect()
+    assert(!out.sortBy(_._3).sameElements(other.sortBy(_._3)))
+  }
 }
