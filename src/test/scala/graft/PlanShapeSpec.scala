@@ -159,4 +159,38 @@ class PlanShapeSpec extends SparkSpec {
         s"text column reaches the window shuffle:\n$physical")
     }
   }
+
+  test("q92 temperature mix: rates broadcast, the documents never shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val physical = physicalOf(graft.ext.TextOps.temperatureMixSample(
+      docs, "doc_id", "lang", budget = 400L))
+    val bhj = physical.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"rates join is not a broadcast:\n$physical")
+    // the probe (document) side must be shuffle-free: keep decision is a
+    // pure projection over the scan — only the tiny per-source counts
+    // aggregate may exchange, and it lives on the build side
+    bhj.foreach { j =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+      }
+      val probeShuffles = streamed.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(probeShuffles.isEmpty,
+        s"document side shuffles before the keep decision:\n$physical")
+    }
+  }
+
+  test("q95 shuffle shards: one shard-key exchange, no single-partition window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = tree(graft.ext.TextOps.shuffleShards(docs, "doc_id",
+      nShards = 8))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global window serializes through one partition:\n$plan")
+    val hashEx = "Exchange hashpartitioning\\(shard".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"expected exactly 1 shard-key exchange, got $hashEx:\n$plan")
+  }
 }
