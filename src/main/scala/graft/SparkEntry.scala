@@ -548,6 +548,35 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    // ---- corpus RELEASE pipeline end-to-end (oracle-checked): ONE lazy
+    // plan composing the four new release-prep operators — implant PII
+    // (observability aug) → contamination-fraction gate (drop ≥10%
+    // benchmark overlap) → PII redaction → temperature-scaled mixing →
+    // deterministic shuffle-shard layout. The integration query for the
+    // release family, like q63 is for curation and q42 for the ETL.
+    "q96_release_e2e" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 31 === 0)
+      val aug = docs.filter(col("doc_id") % 31 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" contact: user13@example.com" +
+              " via https://ex.example/path from 10.0.0.1")))
+            .otherwise(col("text")))
+      val kept = Dedup.contaminationReport(aug, "doc_id", "text", bench,
+          shingleN = 8, dropPct = 10, useNative = true)
+        .filter(!col("dropped")).select("doc_id")
+      val clean = aug.join(kept, Seq("doc_id"), "left_semi")
+      val redacted = TextOps.redactPii(clean, "text")
+      val mixed = TextOps.temperatureMixSample(redacted, "doc_id", "lang",
+        budget = 300L)
+      TextOps.shuffleShards(mixed, "doc_id", nShards = 4)
+        .select(col("shard"), col("pos"), col("doc_id"),
+          md5(col("text_redacted")).as("redacted_md5"))
+        .orderBy("shard", "pos")
+    }),
+
     // ---- event-time tumbling window aggregation -----------------------------
     "q32_hourly_events" -> ((s, dir) => {
       events(s, dir)
@@ -2250,6 +2279,75 @@ object SparkEntry {
         |    ORDER BY hx, doc_id) AS BIGINT) AS pos,
         |  doc_id
         |FROM h
+        |ORDER BY shard, pos""".stripMargin,
+
+    // the four release stages chained stage-by-stage, each mirroring its
+    // standalone oracle (q94 gate on the augmented corpus, q93 redaction,
+    // q92 mixing over the survivors' language counts, q95 layout)
+    "q96_release_e2e" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN text || ' contact: user13@example.com via https://ex.example/path from 10.0.0.1'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 31 <> 0),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+        |      THEN list_transform(range(1, len(toks) - 6),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                          toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+        |      ELSE [array_to_string(toks, ' ')] END)) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM aug)),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) >= 8
+        |      THEN list_transform(range(1, len(toks) - 6),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                          toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+        |      ELSE [array_to_string(toks, ' ')] END)) AS s
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id % 31 = 0)),
+        |rep AS (
+        |  SELECT sh.doc_id, count(*) AS n_shingles,
+        |    count(b.s) AS n_hits
+        |  FROM sh LEFT JOIN (SELECT s, s AS hit FROM bsh) b USING (s)
+        |  GROUP BY sh.doc_id),
+        |kept AS (
+        |  SELECT a.doc_id, a.lang, a.text
+        |  FROM aug a JOIN rep r USING (doc_id)
+        |  WHERE NOT (r.n_shingles > 0 AND r.n_hits * 100 >= r.n_shingles * 10)),
+        |red AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        'https?://[^\s]+', '[URL]', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IPV4]', 'g')
+        |      AS text_redacted
+        |  FROM kept),
+        |counts AS (SELECT lang, count(*) AS n_src FROM red GROUP BY lang),
+        |total AS (
+        |  SELECT sum(CAST(sqrt(n_src) AS DECIMAL(30,10))) AS total_pow
+        |  FROM counts),
+        |rates AS (
+        |  SELECT c.lang,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      300.0 * sqrt(c.n_src) / CAST(t.total_pow AS DOUBLE) / c.n_src)
+        |      AS keep_rate
+        |  FROM counts c CROSS JOIN total t),
+        |mixed AS (
+        |  SELECT d.doc_id, d.text_redacted,
+        |    md5('graft:' || CAST(d.doc_id AS VARCHAR)) AS hx
+        |  FROM red d JOIN rates r USING (lang)
+        |  WHERE ((('0x' || substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        |         / 4294967296.0) < r.keep_rate)
+        |SELECT CAST((('0x' || substr(hx, 1, 8))::BIGINT % 4) AS INT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY ('0x' || substr(hx, 1, 8))::BIGINT % 4
+        |    ORDER BY hx, doc_id) AS BIGINT) AS pos,
+        |  doc_id, md5(text_redacted) AS redacted_md5
+        |FROM mixed
         |ORDER BY shard, pos""".stripMargin,
 
     "q49_stable_split" ->

@@ -641,24 +641,32 @@ object Dedup {
     * relation via the left join with `n_hits = 0`; documents too short
     * to have any shingle have `n_shingles = 0` and are never dropped.
     *
-    * Scale shape: identical to [[contaminationHits]] (shingle-key
-    * equi-join — shuffles carry shingles, never documents) plus one
-    * per-document projection for the count; swap the hits side for
-    * [[contaminationHitsBloom]] under the same contract when the corpus
-    * side dominates.
+    * Scale shape: ONE corpus scan — the exploded shingle relation
+    * left-joins the bench set and a single aggregation counts both the
+    * total and the hits per document (a naive compose of
+    * [[contaminationHits]] + a count projection would scan and shingle
+    * the corpus twice and re-join on the id). The shuffle carries
+    * shingles, never documents — the same discipline as
+    * [[contaminationHits]]; put a [[contaminationHitsBloom]]-style
+    * Bloom prefilter marker on the bench side under the same contract
+    * when the bench set is too large to join raw.
     */
   def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
                           bench: DataFrame, shingleN: Int = 8,
                           dropPct: Int = 10,
                           useNative: Boolean = false): DataFrame = {
     require(dropPct >= 0 && dropPct <= 100, s"dropPct in [0,100]: $dropPct")
-    val hits = contaminationHits(docs, idCol, textCol, bench, shingleN,
-      useNative)
-    docs.select(col(idCol),
-        size(wordShingles(col(textCol), shingleN, useNative)).cast("long")
-          .as("n_shingles"))
-      .join(hits, Seq(idCol), "left")
-      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+    val docSh = docs.select(col(idCol),
+      explode(wordShingles(col(textCol), shingleN, useNative)).as("sh"))
+    val benchSh = bench
+      .select(explode(wordShingles(col(textCol), shingleN, useNative))
+        .as("sh"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    docSh.join(benchSh, Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), // doc shingles are distinct
+        count(col("__hit")).as("n_hits"))
       .withColumn("dropped",
         col("n_shingles") > 0 &&
           col("n_hits") * 100 >= col("n_shingles") * dropPct)

@@ -198,6 +198,12 @@ class DedupSpec extends SparkSpec {
     assert(rep(3L) == ((21L, 2L, false)))
     assert(rep(4L) == ((2L, 0L, false)))   // zero-hit doc survives the left join
     assert(rep.size == 4)
+    // single-pass: the corpus is scanned ONCE (one relation each side) —
+    // a naive hits-then-recount compose would read it twice
+    val logical = Dedup.contaminationReport(corpus, "doc_id", "text", bench,
+      shingleN = 8, dropPct = 10).queryExecution.optimizedPlan.toString
+    val scans = "LocalRelation".r.findAllIn(logical).size
+    assert(scans == 2, s"expected 2 scans (corpus + bench), got $scans:\n$logical")
   }
 
   test("native word shingles identical to the HOF formulation") {
