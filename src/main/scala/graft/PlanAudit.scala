@@ -29,11 +29,24 @@ object PlanAudit {
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        val plan = df.queryExecution.executedPlan.toString
+        val executed = df.queryExecution.executedPlan
+        val plan = executed.toString
         val nEx = "Exchange".r.findAllIn(plan).length
         val nScan = "Scan parquet".r.findAllIn(plan).length
         val nWsc = "WholeStageCodegen".r.findAllIn(plan).length
-        println(f"$name%-32s exchanges=$nEx%-3d scans=$nScan%-3d codegen=$nWsc%d")
+        // a Window with no PARTITION BY serializes the whole relation
+        // through one task — the first thing to flag at the 100 TB lens
+        val tree = executed match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.initialPlan
+          case p => p
+        }
+        val globalWin = tree.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        }.size
+        val flag = if (globalWin > 0) s"  GLOBAL-WINDOW=$globalWin" else ""
+        println(f"$name%-32s exchanges=$nEx%-3d scans=$nScan%-3d codegen=$nWsc%d$flag")
         if (selected.size == 1) df.explain("formatted")
       } catch { case e: Throwable =>
         println(s"$name FAILED: ${e.getMessage}")

@@ -776,6 +776,13 @@ object SparkEntry {
     // partial-combinable aggregation; the share is a window over the
     // (tiny) aggregated result, never over raw rows.
     "q52_corpus_mixture" -> ((s, dir) => {
+      // the global window rides the AGGREGATED relation (≤ |sources|×
+      // |langs| rows — a mixture report is small-cardinality by
+      // definition), not the corpus, so its single-partition exchange is
+      // bounded at any data scale; PlanAudit's GLOBAL-WINDOW flag on this
+      // query is expected and documented. The alternative (scalar total
+      // cross-joined back) would recompute the aggregation subtree and
+      // scan the corpus twice — strictly worse at 100 TB.
       t(s, dir, "documents")
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),

@@ -90,4 +90,41 @@ class CompactSpec extends SparkSpec {
       Compact.compactToSize(spark.range(1).toDF(), Seq.empty, tmp("x"))
     }
   }
+
+  test("shuffle-shard export: one dir per shard, rows run-ordered in-file") {
+    // the export composition SURVEY promises for shuffleShards: shard-key
+    // repartition + (shard, pos) in-partition sort + partitionBy writes
+    // each shard as its own directory whose files carry the training order
+    // physically — FileFormatWriter must not re-sort (the child ordering
+    // already subsumes the partition-column prefix)
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    val sharded = graft.ext.TextOps.shuffleShards(docs, "doc_id", nShards = 4)
+    val out = tmp("shard_export")
+    sharded.repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.map(_.getName).toSet ==
+      (0 until 4).map(i => s"shard=$i").toSet)
+    val expected = sharded.select("shard", "pos", "doc_id")
+      .as[(Int, Long, Long)].collect()
+      .groupBy(_._1).map { case (s, rows) =>
+        s -> rows.sortBy(_._2).map(_._3).toSeq }
+    shardDirs.foreach { dir =>
+      val shard = dir.getName.stripPrefix("shard=").toInt
+      // every file individually must be pos-ascending (physical run order)
+      val inFileOrders = partFiles(dir.getPath).map { f =>
+        spark.read.parquet(f.getPath).select("pos", "doc_id")
+          .as[(Long, Long)].collect().toSeq
+      }
+      inFileOrders.foreach { rows =>
+        assert(rows.map(_._1) == rows.map(_._1).sorted,
+          s"file in shard $shard not pos-ordered")
+      }
+      // and together the files hold exactly the shard's rows in order
+      val all = inFileOrders.flatten.sortBy(_._1).map(_._2)
+      assert(all == expected(shard), s"shard $shard content mismatch")
+    }
+  }
 }
