@@ -577,6 +577,45 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    // ---- intra-document repeated-line strip (oracle-checked): the
+    // WITHIN-document counterpart of q50's corpus-wide line dedup — keep
+    // only the first occurrence of each line inside its own document.
+    // Pure array-HOF projection, zero shuffle. Lines are derived by
+    // breaking the text every 5 words; the word-soup corpus then repeats
+    // lines within a document for real.
+    "q97_line_strip" -> ((s, dir) => {
+      val lined = t(s, dir, "documents")
+        .withColumn("text",
+          regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1\n"))
+      TextOps.stripRepeatedLines(lined, "text")
+        .select(col("doc_id"), col("lines_total"), col("lines_kept"),
+          md5(col("text_unique")).as("unique_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- C4-style line cleaning (oracle-checked): terminal-punctuation
+    // + min-words + blocklist line filters (Raffel et al. 2020 §2.2,
+    // public heuristics). Crafted lines appended per document exercise
+    // every rule: one kept sentence, a blocklisted one, a too-short one,
+    // an unpunctuated one, and (for doc_id % 4 == 0) a second keeper.
+    "q98_line_clean" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text", concat(
+          col("text"),
+          lit("\nDocument "), col("doc_id").cast("string"),
+          lit(" retains this properly punctuated sentence."),
+          lit("\nPlease enable javascript to continue."),
+          lit("\nToo short."),
+          lit("\nthis line has words but no terminal punctuation"),
+          when(col("doc_id") % 4 === 0,
+            lit("\nAn extra valid closing line appears here!"))
+            .otherwise(lit(""))))
+      TextOps.cleanLines(aug, "text", minWords = 3)
+        .select(col("doc_id"), col("lines_total"), col("lines_kept"),
+          col("text_clean"))
+        .orderBy("doc_id")
+    }),
+
     // ---- event-time tumbling window aggregation -----------------------------
     "q32_hourly_events" -> ((s, dir) => {
       events(s, dir)
@@ -2356,6 +2395,51 @@ object SparkEntry {
         |  doc_id, md5(text_redacted) AS redacted_md5
         |FROM mixed
         |ORDER BY shard, pos""".stripMargin,
+
+    // intra-doc first-occurrence line filter: Spark's 0-based lambda
+    // index pairs with 1-based array_position as i+1; DuckDB's lambda
+    // index is already 1-based
+    "q97_line_strip" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |arr AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM lined),
+        |u AS (SELECT doc_id, lns,
+        |        list_filter(lns, (x, i) -> list_position(lns, x) = i) AS uniq
+        |      FROM arr)
+        |SELECT doc_id,
+        |  CAST(len(lns) AS BIGINT) AS lines_total,
+        |  CAST(len(uniq) AS BIGINT) AS lines_kept,
+        |  md5(array_to_string(uniq, chr(10))) AS unique_md5
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q98_line_clean" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'Document ' || CAST(doc_id AS VARCHAR) ||
+        |      ' retains this properly punctuated sentence.' ||
+        |      chr(10) || 'Please enable javascript to continue.' ||
+        |      chr(10) || 'Too short.' ||
+        |      chr(10) || 'this line has words but no terminal punctuation' ||
+        |      CASE WHEN doc_id % 4 = 0
+        |           THEN chr(10) || 'An extra valid closing line appears here!'
+        |           ELSE '' END AS text
+        |  FROM documents),
+        |arr AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM aug),
+        |c AS (SELECT doc_id, lns,
+        |        list_filter(lns, x ->
+        |          regexp_matches(trim(x), '[.!?"]$')
+        |          AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+        |          AND NOT contains(lower(trim(x)), 'javascript')
+        |          AND NOT contains(lower(trim(x)), 'cookie policy')
+        |          AND NOT contains(lower(trim(x)), 'terms of use')) AS kept
+        |      FROM arr)
+        |SELECT doc_id,
+        |  CAST(len(lns) AS BIGINT) AS lines_total,
+        |  CAST(len(kept) AS BIGINT) AS lines_kept,
+        |  array_to_string(kept, chr(10)) AS text_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q49_stable_split" ->
       """SELECT CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'

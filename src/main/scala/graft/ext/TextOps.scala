@@ -649,4 +649,70 @@ object TextOps {
       .partitionBy(col("shard")).orderBy(h.asc, col(idCol).asc)
     withShard.withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Intra-document repeated-line stripping — the WITHIN-document
+    * counterpart of `Dedup.dedupLines` (which dedups lines across the
+    * whole corpus and therefore must shuffle). A line is kept iff it is
+    * the first occurrence of its content inside its own document, so
+    * repeated boilerplate (footers, nav text, chorus lines) collapses to
+    * one copy while document order is preserved.
+    *
+    * Scale shape: a pure array-HOF projection — zero shuffle, zero
+    * driver state; per-document cost is O(lines²) in the worst case
+    * (`array_position` rescans the prefix), which is the right trade
+    * for the tens-to-hundreds of lines a real document has, against a
+    * corpus-wide exchange that would move every line of every document.
+    *
+    * Appends `lines_total`, `lines_kept`, and `text_unique` (surviving
+    * lines re-joined with `sep`). NULL text propagates NULLs — the row
+    * itself always survives (a hygiene pass must never lose documents).
+    */
+  def stripRepeatedLines(df: DataFrame, textCol: String,
+                         sep: String = "\n"): DataFrame = {
+    val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    // keep arr[i] iff the first occurrence of its content is at i
+    // (array_position is 1-based, the lambda index 0-based)
+    val uniq = filter(arr, (x, i) => array_position(arr, x) === i + 1)
+    df.withColumn("lines_total", size(arr).cast("long"))
+      .withColumn("__uniq", uniq)
+      .withColumn("lines_kept", size(col("__uniq")).cast("long"))
+      .withColumn("text_unique", array_join(col("__uniq"), sep))
+      .drop("__uniq")
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2 — public
+    * heuristics): a line survives iff it (1) ends in terminal
+    * punctuation (`.` `!` `?` `"`), (2) has at least `minWords`
+    * whitespace words, and (3) contains no blocklisted phrase
+    * (case-insensitive substring). The kept lines are re-joined in
+    * original order; documents whose every line is junk come out with
+    * `text_clean = ""` rather than vanishing.
+    *
+    * Scale shape: one array-HOF projection, linear per document —
+    * zero shuffle, no state. The predicates are plain regex/size/
+    * substring checks an oracle engine reproduces exactly.
+    *
+    * Appends `lines_total`, `lines_kept`, `text_clean`.
+    */
+  def cleanLines(df: DataFrame, textCol: String, minWords: Int = 3,
+                 blocklist: Seq[String] =
+                   Seq("javascript", "cookie policy", "terms of use"),
+                 sep: String = "\n"): DataFrame = {
+    require(minWords >= 1, s"minWords must be positive: $minWords")
+    val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val keep = (x: Column) => {
+      val t = trim(x)
+      val terminal = t.rlike("[.!?\"]$")
+      val longEnough = size(split(t, "\\s+")) >= minWords
+      val blocked = blocklist
+        .map(b => lower(t).contains(b.toLowerCase))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      terminal && longEnough && !blocked
+    }
+    df.withColumn("lines_total", size(arr).cast("long"))
+      .withColumn("__clean", filter(arr, keep))
+      .withColumn("lines_kept", size(col("__clean")).cast("long"))
+      .withColumn("text_clean", array_join(col("__clean"), sep))
+      .drop("__clean")
+  }
 }

@@ -449,4 +449,64 @@ class TextOpsSpec extends SparkSpec {
       .select("shard", "pos", "doc_id").as[(Int, Long, Long)].collect()
     assert(!out.sortBy(_._3).sameElements(other.sortBy(_._3)))
   }
+
+  test("stripRepeatedLines keeps first occurrences in order; null survives") {
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb\na"),
+      (2L, "solo"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = TextOps.stripRepeatedLines(df, "text")
+      .select("id", "lines_total", "lines_kept", "text_unique")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getString(3))).sortBy(_._1)
+    assert(out(0) == ((1L, 6L, 3L, "a\nb\nc")))
+    assert(out(1) == ((2L, 1L, 1L, "solo")))
+    // a hygiene pass must never lose documents: NULL text → NULL stats,
+    // row present
+    assert(out(2)._1 == 3L && out(2)._2 == -1L && out(2)._4 == null)
+  }
+
+  test("stripRepeatedLines: empty lines and custom separator") {
+    val df = Seq((1L, "x||x|y|")).toDF("id", "text")
+    val r = TextOps.stripRepeatedLines(df, "text", sep = "|")
+      .select("lines_total", "lines_kept", "text_unique").head()
+    // split keeps interior and trailing empties: [x, "", x, y, ""]
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L)
+    assert(r.getString(2) == "x||y")
+  }
+
+  test("cleanLines applies terminal-punct, min-words and blocklist rules") {
+    val text = Seq(
+      "A good long sentence stays here.",   // kept
+      "Ends with a question, still fine?",  // kept
+      "no terminal punctuation on this",    // dropped: punct
+      "Too short.",                         // dropped: < 3 words
+      "Please enable JavaScript right now.", // dropped: blocklist (ci)
+      "  Trimmed line also counts words properly!  " // kept (trimmed)
+    ).mkString("\n")
+    val r = TextOps.cleanLines(Seq((1L, text)).toDF("id", "text"), "text")
+      .select("lines_total", "lines_kept", "text_clean").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getString(2) ==
+      "A good long sentence stays here.\n" +
+      "Ends with a question, still fine?\n" +
+      "  Trimmed line also counts words properly!  ")
+  }
+
+  test("cleanLines: custom minWords and empty blocklist; all-junk doc") {
+    val df = Seq((1L, "One two.\nall lowercase junk")).toDF("id", "text")
+    val strict = TextOps.cleanLines(df, "text", minWords = 2,
+        blocklist = Seq.empty)
+      .select("lines_kept", "text_clean").head()
+    assert(strict.getLong(0) == 1L && strict.getString(1) == "One two.")
+    // every line junk → empty string, not a lost row
+    val none = TextOps.cleanLines(Seq((1L, "junk")).toDF("id", "text"),
+        "text").select("lines_kept", "text_clean").head()
+    assert(none.getLong(0) == 0L && none.getString(1) == "")
+    intercept[IllegalArgumentException] {
+      TextOps.cleanLines(df, "text", minWords = 0)
+    }
+  }
 }
