@@ -65,7 +65,6 @@ object Bench {
       var i = 0
       while (i < runs && !broken) {
         val session = spark.newSession()
-        session.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         System.gc()
         val t0 = System.nanoTime()
         try {

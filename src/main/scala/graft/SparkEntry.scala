@@ -25,16 +25,29 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects; read nanos as long and convert to a
-    * microsecond timestamp with integer division (a double division would
-    * lose precision at 1e18 magnitudes). DuckDB truncates ns→µs the same
-    * way, keeping the oracle comparable.
+  /** Schema-adaptive events reader: some testdata vintages write `ts` as
+    * TIMESTAMP(NANOS) parquet — which Spark's vectorized reader only accepts
+    * as a long (`nanosAsLong`) — while newer vintages write plain
+    * timestamp[us]. Branch on the file schema so either vintage surfaces the
+    * same `ts: timestamp` column. The nanos branch converts with integer
+    * division (a double division would lose precision at 1e18 magnitudes);
+    * DuckDB truncates ns→µs the same way, keeping the oracle comparable.
+    * This is the ONLY nanos-handling site in the repo — specs and Bench go
+    * through it rather than re-deriving the conversion.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // plain timestamp[us] parquet surfaces as NTZ; cast to TimestampType
+        // (identity on the stored micros under the UTC session timezone) so
+        // every vintage yields the same downstream column type
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   private val dec2 = DecimalType(18, 2)

@@ -234,11 +234,11 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming sessions equal batch-computed sessions on real events") {
-    // ground truth computed independently in plain Scala from the same rows
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rows = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ts_micros"))
+    // ground truth computed independently in plain Scala from the same rows;
+    // the read goes through the catalog's schema-adaptive events() helper so
+    // a testdata ts-type change cannot desynchronize spec and engine
+    val rows = SparkEntry.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_micros"))
       .as[(Long, Long)].collect()
     val gap = Sessionize.GapMicros
     val expected = rows.groupBy(_._1).flatMap { case (user, evs) =>
