@@ -669,15 +669,19 @@ object TextOps {
     */
   def stripRepeatedLines(df: DataFrame, textCol: String,
                          sep: String = "\n"): DataFrame = {
-    val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    // materialize the split ONCE as a column: referencing the split
+    // expression inside the lambda would re-split the document per line
+    // on top of the prefix rescan (O(lines × doc_length) redundant work)
+    val arr = col("__arr")
     // keep arr[i] iff the first occurrence of its content is at i
     // (array_position is 1-based, the lambda index 0-based)
     val uniq = filter(arr, (x, i) => array_position(arr, x) === i + 1)
-    df.withColumn("lines_total", size(arr).cast("long"))
+    df.withColumn("__arr", split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      .withColumn("lines_total", size(arr).cast("long"))
       .withColumn("__uniq", uniq)
       .withColumn("lines_kept", size(col("__uniq")).cast("long"))
       .withColumn("text_unique", array_join(col("__uniq"), sep))
-      .drop("__uniq")
+      .drop("__uniq", "__arr")
   }
 
   /** C4-style line-level cleaning (Raffel et al. 2020, §2.2 — public
@@ -704,8 +708,11 @@ object TextOps {
       val t = trim(x)
       val terminal = t.rlike("[.!?\"]$")
       val longEnough = size(split(t, "\\s+")) >= minWords
+      // Locale.ROOT: Spark's lower() is locale-independent, so the
+      // driver-side lowering of the blocklist must be too (a Turkish
+      // default locale would dotless-i 'I' entries and stop matching)
       val blocked = blocklist
-        .map(b => lower(t).contains(b.toLowerCase))
+        .map(b => lower(t).contains(b.toLowerCase(java.util.Locale.ROOT)))
         .reduceOption(_ || _).getOrElse(lit(false))
       terminal && longEnough && !blocked
     }

@@ -455,17 +455,18 @@ class TextOpsSpec extends SparkSpec {
       (1L, "a\nb\na\nc\nb\na"),
       (2L, "solo"),
       (3L, null.asInstanceOf[String])).toDF("id", "text")
-    val out = TextOps.stripRepeatedLines(df, "text")
+    val rows = TextOps.stripRepeatedLines(df, "text")
       .select("id", "lines_total", "lines_kept", "text_unique")
-      .collect().map(r => (r.getLong(0),
-        if (r.isNullAt(1)) -1L else r.getLong(1),
-        if (r.isNullAt(2)) -1L else r.getLong(2),
-        r.getString(3))).sortBy(_._1)
-    assert(out(0) == ((1L, 6L, 3L, "a\nb\nc")))
-    assert(out(1) == ((2L, 1L, 1L, "solo")))
-    // a hygiene pass must never lose documents: NULL text → NULL stats,
-    // row present
-    assert(out(2)._1 == 3L && out(2)._2 == -1L && out(2)._4 == null)
+      .collect().sortBy(_.getLong(0))
+    assert((rows(0).getLong(1), rows(0).getLong(2), rows(0).getString(3))
+      == ((6L, 3L, "a\nb\nc")))
+    assert((rows(1).getLong(1), rows(1).getLong(2), rows(1).getString(3))
+      == ((1L, 1L, "solo")))
+    // a hygiene pass must never lose documents: NULL text → genuinely
+    // NULL stats (asserted directly — a -1 sentinel would also accept
+    // legacy size(NULL) = -1 and miss an ANSI-mode divergence), row present
+    assert(rows(2).getLong(0) == 3L)
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2) && rows(2).isNullAt(3))
   }
 
   test("stripRepeatedLines: empty lines and custom separator") {
