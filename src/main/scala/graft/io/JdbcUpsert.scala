@@ -81,13 +81,18 @@ object JdbcUpsert {
                              staging: String = ""): Unit = {
     require(batch.columns.toSeq.intersect(pk).size == pk.size,
       s"batch must carry every pk column ${pk.mkString(",")}")
-    // NOTE: the default staging name is per-TARGET-table, so two
-    // concurrent jobs merging into the same table would overwrite each
-    // other's staged batch between the write and the MERGE. Concurrent
-    // writers must pass distinct `staging` names (e.g. suffixed with a
-    // run id); the single-writer micro-batch loop (the reference's
-    // runtime, etl2.py:440-458) is safe with the default.
-    val stg = if (staging.nonEmpty) staging else s"${table}_staging"
+    // The default staging name is UNIQUE PER CALL (target + random
+    // suffix), so two concurrent jobs merging into the same target are
+    // safe by default — a shared per-target name would let writer B
+    // overwrite writer A's staged batch between A's write and A's MERGE.
+    // Auto-generated staging tables are dropped once the merge commits;
+    // an explicitly passed `staging` name is the caller's to manage
+    // (kept afterwards, e.g. for inspection).
+    val auto = staging.isEmpty
+    val stg = if (auto) {
+      val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+      s"${table}_stg_$suffix"
+    } else staging
     batch.write.mode("overwrite").jdbc(url, stg, copyProps(props))
     val sql = mergeSql(table, stg, batch.columns.toSeq, pk)
     val conn = java.sql.DriverManager.getConnection(url, props)
@@ -97,6 +102,10 @@ object JdbcUpsert {
       try {
         st.executeUpdate(sql)
         conn.commit()
+        if (auto) {
+          st.executeUpdate(s"DROP TABLE IF EXISTS $stg")
+          conn.commit()
+        }
       } catch {
         case e: Throwable =>
           try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }

@@ -136,7 +136,9 @@ class JdbcUpsertSpec extends SparkSpec {
     // the database saw ONE set-based merge, routed through the staging table
     val merges = FakeDb.events.filter(_.startsWith("merge:"))
     assert(merges == Seq("merge:t:upd=1:ins=1"), s"events: ${FakeDb.events}")
-    assert(FakeDb.rowsOf("t_staging").size == 2)
+    // the auto-generated unique staging table is dropped after the commit
+    assert(!FakeDb.tables.keySet.exists(_.startsWith("t_stg_")),
+      s"staging tables leaked: ${FakeDb.tables.keySet}")
 
     // idempotence: re-staging and re-merging the same batch is a no-op
     val before = FakeDb.rowsOf("t").map(_.toMap).sortBy(_("id").toString)
@@ -145,6 +147,50 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(after == before, s"second merge mutated state:\n$before\nvs\n$after")
     assert(FakeDb.events.filter(_.startsWith("merge:"))
       == Seq("merge:t:upd=1:ins=1", "merge:t:upd=2:ins=0"))
+  }
+
+  test("concurrent staged merges on one target stage under distinct names") {
+    // Two writers merging into the same target AT THE SAME TIME: with a
+    // shared staging name, writer B's overwrite could replace writer A's
+    // staged batch between A's write and A's MERGE, silently double-applying
+    // B and losing A. The per-call unique default makes this safe with no
+    // caller discipline; this spec races the two writers for real.
+    seedDb()
+    val batchA = Seq(
+      (2L, "B", 25.0, ts2021, false), // update branch
+      (6L, "F", 60.0, ts2021, false)  // insert branch
+    ).toDF("id", "status", "price", "updated_at", "is_deleted")
+    val batchB = Seq(
+      (3L, "C", 35.0, ts2021, false),
+      (7L, "G", 70.0, ts2021, false)
+    ).toDF("id", "status", "price", "updated_at", "is_deleted")
+
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      Seq(batchA, batchB).map { b =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            barrier.await()
+            JdbcUpsert.executeMergeViaStaging(b, url, props, "t", Seq("id"))
+          }
+        })
+      }.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+
+    // both writers' rows landed, disjoint keys untouched by the race
+    val rows = byId
+    assert(rows(2L)("price") == 25.0 && rows(6L)("status") == "F")
+    assert(rows(3L)("price") == 35.0 && rows(7L)("status") == "G")
+    assert(rows.size == 6)
+    // the two batches were staged under DIFFERENT auto-generated names
+    val staged = FakeDb.events.collect {
+      case e if e.startsWith("insertBatch:t_stg_") => e.split(":")(1)
+    }.toSet
+    assert(staged.size == 2, s"staging names not unique: $staged")
+    // and neither staging table survives the merge
+    assert(!FakeDb.tables.keySet.exists(_.startsWith("t_stg_")),
+      s"staging tables leaked: ${FakeDb.tables.keySet}")
   }
 
   test("staged MERGE equals writeMerge on a tombstone-free batch") {
