@@ -577,17 +577,15 @@ object SparkEntry {
             concat(col("text"), lit(" contact: user13@example.com" +
               " via https://ex.example/path from 10.0.0.1")))
             .otherwise(col("text")))
-      val kept = Dedup.contaminationReport(aug, "doc_id", "text", bench,
-          shingleN = 8, dropPct = 10, useNative = true)
-        .filter(!col("dropped")).select("doc_id")
-      val clean = aug.join(kept, Seq("doc_id"), "left_semi")
-      val redacted = TextOps.redactPii(clean, "text")
-      val mixed = TextOps.temperatureMixSample(redacted, "doc_id", "lang",
-        budget = 300L)
-      TextOps.shuffleShards(mixed, "doc_id", nShards = 4)
-        .select(col("shard"), col("pos"), col("doc_id"),
-          md5(col("text_redacted")).as("redacted_md5"))
-        .orderBy("shard", "pos")
+      // batch and streaming share these stages VERBATIM: the same
+      // curate/release pair runs incrementally in
+      // streaming.ReleasePipeline's micro-batch loop, and
+      // ReleasePipelineSpec pins two-micro-batches ≡ this one-batch plan
+      val curated = graft.streaming.ReleasePipeline.curate(
+        aug, "doc_id", "text", bench, shingleN = 8, dropPct = 10,
+        useNative = true)
+      graft.streaming.ReleasePipeline.release(curated, "doc_id", "lang",
+        budget = 300L, nShards = 4)
     }),
 
     // ---- intra-document repeated-line strip (oracle-checked): the
