@@ -627,6 +627,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- model-based quality filter (oracle-checked): fastText-style
+    // hashed-linear classifier inference as a zero-shuffle projection —
+    // md5-derived integer milli-weights make the logit exact in any
+    // engine; the keep decision thresholds the truncated mean weight.
+    "q99_quality_classifier" -> ((s, dir) => {
+      TextOps.qualityClassifierScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("logit_milli"),
+          col("quality_logit"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
     // ---- event-time tumbling window aggregation -----------------------------
     "q32_hourly_events" -> ((s, dir) => {
       events(s, dir)
@@ -2451,6 +2462,27 @@ object SparkEntry {
         |  CAST(len(kept) AS BIGINT) AS lines_kept,
         |  array_to_string(kept, chr(10)) AS text_clean
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // integer milli-weight sums are exact in both engines; the one double
+    // division is floor-truncated, so threshold boundaries cannot flip
+    "q99_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(ts, t ->
+        |      ('0x' || substr(md5('w:graft:' ||
+        |         CAST(('0x' || substr(md5('f:graft:' || t), 1, 8))::BIGINT % 1024
+        |              AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000))
+        |      AS BIGINT) AS logit_milli
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, logit_milli,
+        |  floor(logit_milli / (n_tokens * 1000.0) * 1e6) / 1e6 AS quality_logit,
+        |  floor(logit_milli / (n_tokens * 1000.0) * 1e6) / 1e6 >= 0.0 AS kept
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q49_stable_split" ->
       """SELECT CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'

@@ -619,6 +619,56 @@ object TextOps {
     df.withColumn(s"${textCol}_redacted", redacted)
   }
 
+  /** Model-based quality filtering — the linear-classifier curation step
+    * (fastText-style: Joulin et al. 2016; used for corpus filtering in
+    * CCNet and GPT-3's quality classifier, both public): each document's
+    * tokens hash into `nBuckets` feature buckets, each bucket carries a
+    * fixed weight, and the document's logit is the mean bucket weight.
+    * Documents with `quality_logit >= threshold` are `kept`.
+    *
+    * Weights here are DERIVED from md5 (bucket → integer milli-weight in
+    * [-1000, 1000]) rather than loaded — the engine-side contract is the
+    * inference plan, not a particular trained model; swapping in real
+    * weights is a broadcast-join or a literal-map change. The md5
+    * derivation makes the operator end-to-end oracle-checkable.
+    *
+    * Numerics are exact by construction: per-token weights are INTEGER
+    * millis, the per-document sum is an integer (order-independent in any
+    * engine — no float-sum drift possible), and the single double
+    * division at the end is floor-truncated to 6 decimals, so the scores
+    * are bit-identical across engines including at threshold boundaries.
+    *
+    * Scale shape: a pure zero-shuffle projection (array transform +
+    * integer fold per document); at 100 TB it runs entirely map-side at
+    * scan parallelism, like the other text-quality passes.
+    *
+    * Appends `n_tokens`, `logit_milli` (exact integer sum),
+    * `quality_logit` (truncated mean), `kept`.
+    */
+  def qualityClassifierScore(df: DataFrame, textCol: String,
+                             nBuckets: Int = 1024,
+                             threshold: Double = 0.0,
+                             salt: String = "graft"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    // token → bucket → milli-weight, all through 32-bit md5 prefixes
+    // (engine-portable: conv(hex,16,10) ≡ ('0x'||hex)::BIGINT)
+    val wMilli = transform(toks, t => {
+      val bucket = conv(substring(md5(concat(lit(s"f:$salt:"), t)), 1, 8),
+        16, 10).cast("long") % nBuckets
+      conv(substring(md5(concat(lit(s"w:$salt:"), bucket.cast("string"))),
+        1, 8), 16, 10).cast("long") % 2001 - 1000
+    })
+    val n = size(toks)
+    val zMilli = aggregate(wMilli, lit(0L), (acc, x) => acc + x)
+    // one IEEE division then floor-truncate: bit-identical cross-engine
+    val score = floor(zMilli / (n * lit(1000.0)) * 1e6) / 1e6
+    df.withColumn("n_tokens", n.cast("long"))
+      .withColumn("logit_milli", zMilli)
+      .withColumn("quality_logit", score)
+      .withColumn("kept", score >= threshold)
+  }
+
   /** Deterministic global shuffle + sharded layout — the
     * training-order randomization step before export: each row is
     * assigned shard = (32-bit md5 prefix of `salt:id`) mod `nShards`

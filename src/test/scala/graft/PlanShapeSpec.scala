@@ -132,7 +132,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q69 chunking and q72 entropy are shuffle-free up to the final sort") {
-    Seq("q69_chunk_overlap", "q72_char_entropy").foreach { name =>
+    Seq("q69_chunk_overlap", "q72_char_entropy",
+        "q99_quality_classifier").foreach { name =>
       val t = tree(q(name))
       val exchanges = "Exchange".r.findAllIn(t).size
       // exactly one exchange: the orderBy's range partitioning

@@ -510,4 +510,39 @@ class TextOpsSpec extends SparkSpec {
       TextOps.cleanLines(df, "text", minWords = 0)
     }
   }
+
+  test("qualityClassifierScore matches a plain-Scala reference bit-for-bit") {
+    // independent implementation of the md5 → bucket → milli-weight chain
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def weightMilli(tok: String): Long = {
+      val bucket = java.lang.Long.parseLong(
+        md5hex(s"f:graft:$tok").substring(0, 8), 16) % 1024
+      java.lang.Long.parseLong(
+        md5hex(s"w:graft:$bucket").substring(0, 8), 16) % 2001 - 1000
+    }
+    def expected(text: String): (Long, Long, Double, Boolean) = {
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      val z = toks.map(weightMilli).sum
+      val score = math.floor(z / (toks.length * 1000.0) * 1e6) / 1e6
+      (toks.length.toLong, z, score, score >= 0.0)
+    }
+    val texts = Seq(
+      (1L, "Alpha beta gamma delta"),
+      (2L, "alpha alpha alpha"),      // repeated token: 3 × one weight
+      (3L, "The quick brown fox jumps over the lazy dog"))
+    val out = TextOps.qualityClassifierScore(
+        texts.toDF("id", "text"), "text")
+      .select("id", "n_tokens", "logit_milli", "quality_logit", "kept")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    texts.foreach { case (id, text) =>
+      assert(out(id) == expected(text), s"doc $id: ${out(id)} vs ${expected(text)}")
+    }
+    // the repeated-token doc's logit is exactly 3× the single weight
+    assert(out(2L)._2 == 3 * weightMilli("alpha"))
+    // the mean weight is bounded by the weight range
+    out.values.foreach(v => assert(v._3 >= -1.0 && v._3 <= 1.0))
+  }
 }
