@@ -638,6 +638,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- cross-document duplicated spans (oracle-checked): Lee et al.
+    // 2021's exact-substring dedup signal — per-doc count of token
+    // windows whose exact text recurs in another document, plus merged
+    // coverage. The shuffles carry (md5(window), doc, start) only.
+    "q100_dup_spans" -> ((s, dir) => {
+      Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text",
+          n = 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- event-time tumbling window aggregation -----------------------------
     "q32_hourly_events" -> ((s, dir) => {
       events(s, dir)
@@ -2483,6 +2493,42 @@ object SparkEntry {
         |  floor(logit_milli / (n_tokens * 1000.0) * 1e6) / 1e6 AS quality_logit,
         |  floor(logit_milli / (n_tokens * 1000.0) * 1e6) / 1e6 >= 0.0 AS kept
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // merged-interval coverage via the sorted-starts lag identity; the
+    // window key is the full md5 hex, identical in both engines
+    "q100_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, CASE WHEN len(toks) >= 3 THEN len(toks) - 1
+        |                        ELSE 1 END)) AS i,
+        |    toks
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, i,
+        |    md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS k
+        |  FROM w),
+        |dup AS (SELECT k FROM s GROUP BY k HAVING count(DISTINCT doc_id) > 1),
+        |d AS (SELECT s.doc_id, s.i FROM s JOIN dup USING (k)),
+        |cov AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |         THEN 3
+        |         ELSE least(3, i - lag(i) OVER (PARTITION BY doc_id ORDER BY i))
+        |    END AS c
+        |  FROM d),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_dup_windows,
+        |    CAST(sum(c) AS BIGINT) AS dup_cov_tokens
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(a.dup_cov_tokens, 0) AS dup_cov_tokens,
+        |  floor(coalesce(a.dup_cov_tokens, 0) / (len(t.toks) * 1.0) * 1e6) / 1e6
+        |    AS dup_ratio
+        |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "q49_stable_split" ->
       """SELECT CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'

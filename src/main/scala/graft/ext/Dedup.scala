@@ -555,6 +555,66 @@ object Dedup {
           sep).as("text_kept"))
   }
 
+  /** Cross-document duplicated-span coverage — the exact-substring dedup
+    * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better", public paper) re-expressed relationally:
+    * a length-`n` token window is a duplicated span iff its exact text
+    * occurs in MORE THAN ONE document; each document reports how many of
+    * its windows are duplicated and what fraction of its tokens the
+    * merged duplicated windows cover. (Within-document repetition is
+    * q47/q97's domain and deliberately does NOT count here.)
+    *
+    * Coverage uses the classic merged-interval identity: with duplicated
+    * window starts sorted, a window contributes `min(n, gap to previous
+    * start)` tokens — integer math, no interval materialization.
+    *
+    * Scale shape: the reference implementation's suffix array is a
+    * single-machine construct; here the shuffles carry (md5(window),
+    * doc, start) — fixed-width keys, never documents — through one
+    * count-distinct per window key, one semi-join back, and one per-doc
+    * window over only the DUPLICATED starts (tiny at realistic dup
+    * rates). The 128-bit key makes collisions negligible and, being
+    * deterministic, engine-portable for the oracle.
+    *
+    * Returns (id, n_tokens, n_dup_windows, dup_cov_tokens, dup_ratio
+    * floor-truncated to 6 decimals); every input document appears.
+    */
+  def duplicatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3): DataFrame = {
+    require(n >= 1, s"window length must be positive: $n")
+    val base = docs.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__toks"))
+    val withLen = base.withColumn("__L", size(col("__toks")))
+    val starts = when(col("__L") >= n,
+      sequence(lit(1), col("__L") - (n - 1))).otherwise(array())
+    val windows = withLen
+      .select(col(idCol), col("__toks"), explode(starts).as("__i"))
+      .select(col(idCol), col("__i"),
+        md5(concat_ws(" ", slice(col("__toks"), col("__i"), lit(n))))
+          .as("__k"))
+    val dupKeys = windows.groupBy(col("__k"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__k"))
+    val dupStarts = windows.join(dupKeys, Seq("__k"), "left_semi")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+    val contrib = when(lag(col("__i"), 1).over(byDoc).isNull, lit(n))
+      .otherwise(least(lit(n), col("__i") - lag(col("__i"), 1).over(byDoc)))
+    val perDoc = dupStarts
+      .withColumn("__c", contrib)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(col("__c")).as("dup_cov_tokens"))
+    withLen.select(col(idCol), col("__L"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        col("__L").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_cov_tokens"), lit(0L)).as("dup_cov_tokens"),
+        (floor(coalesce(col("dup_cov_tokens"), lit(0L)) /
+          (col("__L") * lit(1.0)) * 1e6) / 1e6).as("dup_ratio"))
+  }
+
   /** Benchmark decontamination: per-document count of distinct word
     * n-grams shared with a held-out `bench` corpus (any hit usually means
     * the document is dropped from training data). Both sides shingle once

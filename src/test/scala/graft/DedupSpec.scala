@@ -396,4 +396,26 @@ class DedupSpec extends SparkSpec {
       graft.ext.Dedup.simhash64(lit("a b c"), useNative = true).as("nat"))
     assert(hofDf.head().getLong(0) == natDf.head().getLong(0))
   }
+
+  test("duplicatedSpanStats: cross-doc windows, merged coverage, zero-dup docs") {
+    import spark.implicits._
+    // d1 windows: abc bcd cde def; d2 shares abc; d3 shares bcd + cde.
+    // So d1's duplicated starts are {1,2,3} → merged cover = 3+1+1 = 5 of
+    // 6 tokens; d3's are {2,3} → 3+1 = 4 of 6; d4 shares nothing; a
+    // short doc (< 3 tokens) yields zero windows but keeps its row.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z z a b c z"),
+      (3L, "p b c d e p"),
+      (4L, "q w e r t y"),
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.duplicatedSpanStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((6L, 3L, 5L, math.floor(5.0 / 6 * 1e6) / 1e6)))
+    assert(out(2L) == ((6L, 1L, 3L, 0.5)))
+    assert(out(3L) == ((6L, 2L, 4L, math.floor(4.0 / 6 * 1e6) / 1e6)))
+    assert(out(4L) == ((6L, 0L, 0L, 0.0)))
+    assert(out(5L) == ((2L, 0L, 0L, 0.0)))
+  }
 }
