@@ -569,11 +569,14 @@ object Dedup {
     * start)` tokens — integer math, no interval materialization.
     *
     * Scale shape: the reference implementation's suffix array is a
-    * single-machine construct; here the shuffles carry (md5(window),
-    * doc, start) — fixed-width keys, never documents — through one
-    * count-distinct per window key, one semi-join back, and one per-doc
-    * window over only the DUPLICATED starts (tiny at realistic dup
-    * rates). The 128-bit key makes collisions negligible and, being
+    * single-machine construct; here the corpus explodes ONCE and the
+    * shuffles carry (md5(window), doc, start) — fixed-width keys, never
+    * documents. Duplication is decided with a keyed window (`min(doc) ≠
+    * max(doc)` over the window key ⟺ more than one distinct doc), which
+    * costs one exchange on the key instead of a count-distinct aggregate
+    * PLUS a semi-join back over a second explode; the per-doc coverage
+    * window then shuffles only the DUPLICATED starts (tiny at realistic
+    * dup rates). The 128-bit key makes collisions negligible and, being
     * deterministic, engine-portable for the oracle.
     *
     * Returns (id, n_tokens, n_dup_windows, dup_cov_tokens, dup_ratio
@@ -592,11 +595,12 @@ object Dedup {
       .select(col(idCol), col("__i"),
         md5(concat_ws(" ", slice(col("__toks"), col("__i"), lit(n))))
           .as("__k"))
-    val dupKeys = windows.groupBy(col("__k"))
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") > 1)
-      .select(col("__k"))
-    val dupStarts = windows.join(dupKeys, Seq("__k"), "left_semi")
+    val byKey = Window.partitionBy(col("__k"))
+    val dupStarts = windows
+      .withColumn("__dup",
+        min(col(idCol)).over(byKey) =!= max(col(idCol)).over(byKey))
+      .filter(col("__dup"))
+      .drop("__dup")
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__i"))
     val contrib = when(lag(col("__i"), 1).over(byDoc).isNull, lit(n))
       .otherwise(least(lit(n), col("__i") - lag(col("__i"), 1).over(byDoc)))

@@ -142,6 +142,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q100 dup spans: ONE corpus explode, one exchange per window stage") {
+    val plan = tree(q("q100_dup_spans"))
+    // the corpus must explode exactly once — the dup decision is a keyed
+    // window over the same exploded frame, not an aggregate + join back
+    // over a second explode
+    val explodes = "Generate explode".r.findAllIn(plan).size
+    assert(explodes == 1, s"$explodes corpus explodes:\n$plan")
+    // key window + doc window + final sort; the doc-list join broadcasts
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 2, s"$hashEx hash exchanges (want key + doc):\n$plan")
+    assert(plan.contains("rangepartitioning"), s"missing sort exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"doc-list join lost its broadcast:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"coverage aggregate lost its map-side partial:\n$plan")
+  }
+
   test("q73 outliers: group stats join back as a broadcast, never SMJ") {
     val t = tree(q("q73_zscore_outliers"))
     assert(t.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$t")
