@@ -648,6 +648,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- curation funnel report (oracle-checked): the per-stage
+    // retention table a production curation pipeline monitors — quality
+    // filter → exact dedup (keep-first) → benchmark decontamination,
+    // each stage's in/out counts from ONE pass over per-doc flags.
+    // Every 17th doc is implanted as an exact duplicate so the dedup
+    // stage is exercised for real. Flags join on doc_id; the final
+    // funnel is a 1-row aggregate unpivoted with stack().
+    "q101_curation_funnel" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val withDups = docs.withColumn("text",
+        when(col("doc_id") % 17 === 0,
+          lit("duplicate stanza alpha shared across documents"))
+          .otherwise(col("text")))
+      val bench = withDups.filter(col("doc_id") % 31 === 0)
+      val corpus = withDups.filter(col("doc_id") % 31 =!= 0)
+      val qf = TextOps.qualityClassifierScore(corpus, "text")
+        .select(col("doc_id"), col("kept").as("q_ok"))
+      val df = corpus.withColumn("__w",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .select(col("doc_id"), (col("doc_id") === col("__w")).as("d_ok"))
+      val cf = Dedup.contaminationReport(corpus, "doc_id", "text", bench,
+          shingleN = 8, dropPct = 10, useNative = true)
+        .select(col("doc_id"), (!col("dropped")).as("c_ok"))
+      qf.join(df, "doc_id").join(cf, "doc_id")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("q_ok"), 1)).as("n_q"),
+          count(when(col("q_ok") && col("d_ok"), 1)).as("n_qd"),
+          count(when(col("q_ok") && col("d_ok") && col("c_ok"), 1))
+            .as("n_qdc"))
+        .select(expr(
+          """stack(3,
+            |  '1_quality',       n_total, n_q,
+            |  '2_exact_dedup',   n_q,     n_qd,
+            |  '3_decontaminate', n_qd,    n_qdc) AS (stage, n_in, n_out)"""
+            .stripMargin))
+        .withColumn("retention",
+          floor(col("n_out") / (col("n_in") * lit(1.0)) * 1e6) / 1e6)
+        .orderBy("stage")
+    }),
+
     // ---- event-time tumbling window aggregation -----------------------------
     "q32_hourly_events" -> ((s, dir) => {
       events(s, dir)
@@ -2529,6 +2571,66 @@ object SparkEntry {
         |  floor(coalesce(a.dup_cov_tokens, 0) / (len(t.toks) * 1.0) * 1e6) / 1e6
         |    AS dup_ratio
         |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // each stage mirrors its standalone oracle (q99 logit, keep-first
+    // min-window, q94 contamination verdict) over the dup-implanted corpus
+    "q101_curation_funnel" ->
+      """WITH wd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0
+        |         THEN 'duplicate stanza alpha shared across documents'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |corpus AS (SELECT doc_id, text FROM wd WHERE doc_id % 31 <> 0),
+        |qt AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM corpus),
+        |qf AS (
+        |  SELECT doc_id,
+        |    floor(CAST(list_sum(list_transform(ts, t ->
+        |      ('0x' || substr(md5('w:graft:' ||
+        |         CAST(('0x' || substr(md5('f:graft:' || t), 1, 8))::BIGINT % 1024
+        |              AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000)) AS BIGINT)
+        |      / (len(ts) * 1000.0) * 1e6) / 1e6 >= 0.0 AS q_ok
+        |  FROM qt),
+        |df AS (
+        |  SELECT doc_id,
+        |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS d_ok
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 8
+        |      THEN list_transform(range(1, len(tk) - 6),
+        |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+        |                          tk[i+4], tk[i+5], tk[i+6], tk[i+7]))
+        |      ELSE [array_to_string(tk, ' ')] END)) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM wd)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 31 = 0),
+        |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+        |        WHERE doc_id % 31 <> 0 GROUP BY doc_id),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM sh JOIN bench USING (s)
+        |  WHERE doc_id % 31 <> 0
+        |  GROUP BY doc_id),
+        |cf AS (
+        |  SELECT n.doc_id,
+        |    NOT (n.n_shingles > 0 AND
+        |         coalesce(h.n_hits, 0) * 100 >= n.n_shingles * 10) AS c_ok
+        |  FROM nsh n LEFT JOIN hits h USING (doc_id)),
+        |agg AS (
+        |  SELECT count(*) AS n_total,
+        |    count(CASE WHEN q_ok THEN 1 END) AS n_q,
+        |    count(CASE WHEN q_ok AND d_ok THEN 1 END) AS n_qd,
+        |    count(CASE WHEN q_ok AND d_ok AND c_ok THEN 1 END) AS n_qdc
+        |  FROM qf JOIN df USING (doc_id) JOIN cf USING (doc_id)),
+        |st AS (
+        |  SELECT '1_quality' AS stage, n_total AS n_in, n_q AS n_out FROM agg
+        |  UNION ALL SELECT '2_exact_dedup', n_q, n_qd FROM agg
+        |  UNION ALL SELECT '3_decontaminate', n_qd, n_qdc FROM agg)
+        |SELECT stage, n_in, n_out,
+        |  floor(n_out / (n_in * 1.0) * 1e6) / 1e6 AS retention
+        |FROM st ORDER BY stage""".stripMargin,
 
     "q49_stable_split" ->
       """SELECT CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
