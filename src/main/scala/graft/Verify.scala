@@ -37,11 +37,13 @@ object Verify {
         names.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     selected.foreach { case (name, fn) =>
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += ((name, String.valueOf(e.getMessage)))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -59,6 +61,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // throwers are otherwise just ABSENT from the output dir (round 6:
+    // ten schema-broken queries silently missing from the gate) — record
+    // them as an explicit artifact so a failure reads as a failure
+    Files.writeString(Paths.get(s"$outDir/failed.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.map(_._1).mkString(", "))
     spark.stop()
   }
 }
