@@ -46,7 +46,14 @@ object SparkEntry {
         // (identity on the stored micros under the UTC session timezone) so
         // every vintage yields the same downstream column type
         df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+      case TimestampType => df
+      case other =>
+        // fail FAST with the column named — a silent passthrough would
+        // defer this to ten unrelated-looking downstream query errors
+        // (the round-6 failure mode this reader exists to prevent)
+        throw new IllegalArgumentException(
+          s"events.ts: unhandled on-disk type $other — teach " +
+            "SparkEntry.events() this vintage")
     }
   }
 

@@ -102,15 +102,23 @@ object JdbcUpsert {
       try {
         st.executeUpdate(sql)
         conn.commit()
-        if (auto) {
-          st.executeUpdate(s"DROP TABLE IF EXISTS $stg")
-          conn.commit()
-        }
       } catch {
         case e: Throwable =>
           try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }
           throw e
-      } finally st.close()
+      } finally {
+        // best-effort cleanup of the auto-generated staging table on BOTH
+        // paths: a failed merge must not leak a uniquely-named orphan per
+        // retry, and a cleanup failure must not mask an already-committed
+        // merge as a batch failure
+        if (auto) {
+          try {
+            st.executeUpdate(s"DROP TABLE IF EXISTS $stg")
+            conn.commit()
+          } catch { case _: Throwable => () }
+        }
+        st.close()
+      }
     } finally conn.close()
   }
 

@@ -77,10 +77,16 @@ object ReleasePipeline {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        // foreachBatch is at-least-once: keying the write by batchId and
+        // OVERWRITING that batch's own subdirectory makes a replayed
+        // micro-batch idempotent (a plain append would duplicate the
+        // batch's documents and silently break streaming ≡ batch) — the
+        // same discipline as MicroBatchMerge's idempotent sink
         curate(batch.toDF(), idCol, textCol, bench, shingleN, dropPct,
             useNative)
-          .write.mode("append").parquet(curatedDir)
+          .write.mode("overwrite").parquet(s"$curatedDir/batch=$batchId")
         ()
       }
       .start()

@@ -46,6 +46,10 @@ class TestDataCanarySpec extends SparkSpec {
   }
 
   test("every testdata table reads and materializes under the engine") {
+    // the engine reads events with this conf set (SparkEntry.events);
+    // without it a TIMESTAMP(NANOS)-vintage events.parquet would fail
+    // this plain read even though the engine handles it fine
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (dir <- sfDirs; table <- tables) {
       val path = s"$dir/$table.parquet"
       assert(Files.exists(Paths.get(path)), s"missing table: $path")
