@@ -78,6 +78,18 @@ class TestDataCanarySpec extends SparkSpec {
     }
   }
 
+  test("embeddings vector dimension matches the engine's configured 64") {
+    // the ANN/IVF/PQ family passes dim = 64 explicitly and FILTERS rows
+    // to that size — a regenerated corpus at another dim would silently
+    // empty the trained operators instead of failing; catch it here
+    sfDirs.foreach { dir =>
+      val dims = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(size(col("embedding")).as("d"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(dims == Set(64), s"$dir embeddings dim drifted: $dims")
+    }
+  }
+
   test("a deliberate ts-type flip is caught by the canary, not dead queries") {
     val tmp = Files.createTempDirectory("canary").toString
     try {
