@@ -1041,6 +1041,31 @@ object SparkEntry {
         .orderBy("rf", "ls")
     }),
 
+    // ---- explicit GROUPING SETS (oracle-checked): completes the lattice
+    // trio (rollup q65, cube q68) with an arbitrary set list over the
+    // region⊃nation dimension star — (region, nation), (region), ().
+    // One Expand + one shuffle like rollup; dims broadcast onto orders.
+    "q102_grouping_sets" -> ((s, dir) => {
+      val j = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+      j.groupingSets(
+          Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(money(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          grouping(col("r_name")).cast("long").as("g_region"),
+          grouping(col("n_name")).cast("long").as("g_nation"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("revenue"), col("n_orders"), col("g_region"), col("g_nation"))
+        .orderBy("region", "nation")
+    }),
+
     // ---- pivot / crosstab (oracle-checked): order counts + DECIMAL-exact
     // revenue per (priority x status) — pivot is a single groupBy whose
     // output width is the pivoted domain, still one shuffle.
@@ -2891,6 +2916,20 @@ object SparkEntry {
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+
+    "q102_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders,
+        |  CAST(grouping(r_name) AS BIGINT) AS g_region,
+        |  CAST(grouping(n_name) AS BIGINT) AS g_nation
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        |ORDER BY region, nation""".stripMargin,
 
     "q66_pivot" ->
       """SELECT o_orderpriority,
