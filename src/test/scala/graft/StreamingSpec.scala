@@ -36,6 +36,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality classifier scores a document stream identically to batch") {
+    // the curation scorer is a stateless zero-shuffle projection, so the
+    // SAME operator definition runs unchanged on an ingest stream — the
+    // property that lets model-based filtering happen at ingest time
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+      .as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ext.TextOps.qualityClassifierScore(
+        in.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("qc_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(docs)
+      q.processAllAvailable()
+      val streamed = spark.table("qc_stream")
+        .select("doc_id", "logit_milli", "quality_logit", "kept")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      val batch = graft.ext.TextOps.qualityClassifierScore(
+          docs.toDF("doc_id", "text"), "text")
+        .select("doc_id", "logit_milli", "quality_logit", "kept")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("decontaminateStream flags streamed docs against the static bench") {
     implicit val sqlCtx = spark.sqlContext
     val benchDocs = Seq((100L, "one two three four five")).toDF("doc_id", "text")
