@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Measures the duplicated-span dup-decision formulations against each
+  * other on the real documents corpus: the shipped keyed-window form
+  * (`min(doc) != max(doc)` over the window key — ONE corpus explode, one
+  * key exchange) vs the aggregate + semi-join-back form it replaced (a
+  * count-distinct per key PLUS a second explode feeding the join probe).
+  * Both produce the identical duplicated-start relation (asserted every
+  * run); the difference is plan shape. Results recorded in BASELINE.md.
+  *
+  * Usage: `sbt 'runMain graft.DupSpanBench [sfDir]'` (default sf0.1).
+  */
+object DupSpanBench {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val n = 3
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def windows: DataFrame = {
+      val base = docs.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("__toks"))
+      val withLen = base.withColumn("__L", size(col("__toks")))
+      val starts = when(col("__L") >= n,
+        sequence(lit(1), col("__L") - (n - 1))).otherwise(array())
+      withLen
+        .select(col("doc_id"), col("__toks"), explode(starts).as("__i"))
+        .select(col("doc_id"), col("__i"),
+          md5(concat_ws(" ", slice(col("__toks"), col("__i"), lit(n))))
+            .as("__k"))
+    }
+
+    // shipped: keyed-window dup decision over ONE exploded frame
+    def windowForm: DataFrame = {
+      val byKey = Window.partitionBy(col("__k"))
+      windows.withColumn("__dup",
+          min(col("doc_id")).over(byKey) =!= max(col("doc_id")).over(byKey))
+        .filter(col("__dup")).drop("__dup")
+    }
+
+    // replaced: count-distinct aggregate + semi-join back (second explode)
+    def joinForm: DataFrame = {
+      val dupKeys = windows.groupBy(col("__k"))
+        .agg(countDistinct(col("doc_id")).as("__nd"))
+        .filter(col("__nd") > 1).select(col("__k"))
+      windows.join(dupKeys, Seq("__k"), "left_semi")
+    }
+
+    def run(df: => DataFrame): Double = {
+      val times = (1 to 3).map { _ =>
+        System.gc()
+        time(df.write.format("noop").mode("overwrite").save())._2
+      }.sorted
+      times(1) // median
+    }
+
+    // identical result relation (cheap count + anti-join emptiness probe)
+    val w = windowForm.select("doc_id", "__i")
+    val j = joinForm.select("doc_id", "__i")
+    assert(w.count() == j.count() &&
+      w.except(j).isEmpty && j.except(w).isEmpty,
+      "formulations disagree")
+
+    val tw = run(windowForm)
+    val tj = run(joinForm)
+    println(f"""{"sf":"$sfDir","window_sec":$tw%.3f,"agg_join_sec":$tj%.3f,"speedup":${tj / tw}%.2f}""")
+    spark.stop()
+  }
+}
