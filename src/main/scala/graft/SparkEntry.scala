@@ -697,6 +697,15 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // ---- corpus-trained bigram LM scoring (oracle-checked): the
+    // KenLM-perplexity-filter analog with exact integer-micro numerics —
+    // the trained model is the bigram-count RELATION, inference is one
+    // token-keyed shuffle + a per-doc aggregate, zero driver state.
+    "q103_bigram_lm_score" -> ((s, dir) => {
+      TextOps.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- event-time tumbling window aggregation -----------------------------
     "q32_hourly_events" -> ((s, dir) => {
       events(s, dir)
@@ -2603,6 +2612,34 @@ object SparkEntry {
         |  floor(coalesce(a.dup_cov_tokens, 0) / (len(t.toks) * 1.0) * 1e6) / 1e6
         |    AS dup_ratio
         |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // integer micro-prob contributions ((1e6*(c12+1)) // (c1+V)) sum and
+    // average exactly in both engines; the only double op is the final /1e6
+    "q103_bigram_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM t WHERE len(ts) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM c12),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    (1000000 * (c12.c12 + 1)) // (c1.c1 + v.v) AS contrib
+        |  FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(contrib) AS BIGINT) AS s
+        |  FROM sc GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM t)
+        |SELECT base.doc_id, n_tokens,
+        |  coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(pd.s // pd.n_bigrams, 0) AS mean_prob_micro,
+        |  coalesce(pd.s // pd.n_bigrams, 0) / 1e6 AS mean_prob
+        |FROM base LEFT JOIN pd USING (doc_id) ORDER BY base.doc_id""".stripMargin,
 
     // each stage mirrors its standalone oracle (q99 logit, keep-first
     // min-window, q94 contamination verdict) over the dup-implanted corpus

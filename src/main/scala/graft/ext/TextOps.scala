@@ -669,6 +669,64 @@ object TextOps {
       .withColumn("kept", score >= threshold)
   }
 
+  /** Corpus-trained statistical language-model quality scoring — the
+    * relational analog of the KenLM-perplexity filter (CCNet, public):
+    * train add-one-smoothed bigram conditional probabilities ON the
+    * corpus itself, then score each document by its mean bigram
+    * probability. Out-of-distribution word soup scores low, locally
+    * coherent text scores high — same signal direction as perplexity,
+    * in linear space.
+    *
+    * Linear space is a deliberate exactness choice: log-probabilities
+    * would ride on `ln()` whose last-ulp behavior differs across math
+    * libraries, while here every per-bigram contribution is the INTEGER
+    * `(10⁶·(c₁₂+1)) div (c₁+V)` (c₁₂ bigram count, c₁ context count
+    * derived from the bigram table, V distinct contexts), the
+    * per-document sum and mean are integer operations, and the single
+    * final division by 10⁶ is exact-deterministic IEEE — bit-identical
+    * in any engine. (Long micro-units bound exactness at ~9·10¹²
+    * occurrences per bigram; ANSI mode fails loudly beyond.)
+    *
+    * Scale shape: the "model" is the (w1, w2, count) relation —
+    * vocabulary-sized, partial-combinable to build; scoring is one
+    * shuffle of the corpus bigram stream onto the count tables (keys are
+    * tokens, never documents) plus a per-doc aggregate. No driver state
+    * at all: training and inference are the same lazy plan.
+    *
+    * Returns (id, n_tokens, n_bigrams, mean_prob_micro, mean_prob);
+    * documents with fewer than 2 tokens survive with zero scores.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol),
+        split(trim(lower(col(textCol))), "\\s+").as("__t"))
+      .withColumn("__L", size(col("__t")))
+    val bi = base.filter(col("__L") >= 2)
+      .select(col(idCol),
+        explode(sequence(lit(1), col("__L") - 1)).as("__i"), col("__t"))
+      .select(col(idCol),
+        element_at(col("__t"), col("__i")).as("__w1"),
+        element_at(col("__t"), col("__i") + 1).as("__w2"))
+    val c12 = bi.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val c1 = c12.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+    val v = c12.select(countDistinct(col("__w1")).as("__v"))
+    val perDoc = bi
+      .join(c12, Seq("__w1", "__w2"))
+      .join(c1, Seq("__w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("__contrib",
+        expr("(1000000 * (__c12 + 1)) div (__c1 + __v)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__contrib")).as("__s"))
+      .withColumn("mean_prob_micro", expr("__s div n_bigrams"))
+    base.select(col(idCol), col("__L").cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_prob_micro"), lit(0L)).as("mean_prob_micro"),
+        (coalesce(col("mean_prob_micro"), lit(0L)) / 1e6).as("mean_prob"))
+  }
+
   /** Deterministic global shuffle + sharded layout — the
     * training-order randomization step before export: each row is
     * assigned shard = (32-bit md5 prefix of `salt:id`) mod `nShards`

@@ -545,4 +545,24 @@ class TextOpsSpec extends SparkSpec {
     // the mean weight is bounded by the weight range
     out.values.foreach(v => assert(v._3 >= -1.0 && v._3 <= 1.0))
   }
+
+  test("bigramLmScore matches hand-computed add-one bigram probabilities") {
+    // corpus: d1 = "a b a b", d2 = "a b c", d3 one token.
+    // bigrams: d1 (a,b)(b,a)(a,b); d2 (a,b)(b,c)
+    // c12: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2; V = |{a,b}| = 2
+    // contribs (micro): (a,b) = 1e6*4/(3+2) = 800000
+    //                   (b,a) = 1e6*2/(2+2) = 500000
+    //                   (b,c) = 1e6*2/(2+2) = 500000
+    // d1 mean = (800000+500000+800000)/3 = 700000 → 0.7
+    // d2 mean = (800000+500000)/2       = 650000 → 0.65
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 3L, 700000L, 0.7)))
+    assert(out(2L) == ((3L, 2L, 650000L, 0.65)))
+    // a doc too short for bigrams keeps its row with zero scores
+    assert(out(3L) == ((1L, 0L, 0L, 0.0)))
+  }
 }
