@@ -697,29 +697,101 @@ object TextOps {
     * documents with fewer than 2 tokens survive with zero scores.
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = df.select(col(idCol),
-        split(trim(lower(col(textCol))), "\\s+").as("__t"))
-      .withColumn("__L", size(col("__t")))
-    val bi = base.filter(col("__L") >= 2)
-      .select(col(idCol),
-        explode(sequence(lit(1), col("__L") - 1)).as("__i"), col("__t"))
-      .select(col(idCol),
-        element_at(col("__t"), col("__i")).as("__w1"),
-        element_at(col("__t"), col("__i") + 1).as("__w2"))
-    val c12 = bi.groupBy(col("__w1"), col("__w2"))
-      .agg(count(lit(1)).as("__c12"))
-    val c1 = c12.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
-    val v = c12.select(countDistinct(col("__w1")).as("__v"))
+    val bi = bigramsOf(df, idCol, textCol)
+    val c12 = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = c12.select(countDistinct(col("w1")).as("v"))
     val perDoc = bi
-      .join(c12, Seq("__w1", "__w2"))
-      .join(c1, Seq("__w1"))
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .withColumn("__contrib",
-        expr("(1000000 * (__c12 + 1)) div (__c1 + __v)"))
+        expr("(1000000 * (c12 + 1)) div (c1 + v)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__contrib")).as("__s"))
       .withColumn("mean_prob_micro", expr("__s div n_bigrams"))
-    base.select(col(idCol), col("__L").cast("long").as("n_tokens"))
+    df.select(col(idCol),
+        size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
+          .as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_prob_micro"), lit(0L)).as("mean_prob_micro"),
+        (coalesce(col("mean_prob_micro"), lit(0L)) / 1e6).as("mean_prob"))
+  }
+
+  /** Shared bigram extraction for the LM family: (id, w1, w2) rows from
+    * the lowered whitespace tokens; documents with fewer than 2 tokens
+    * produce no rows (and are re-attached by the scorers' left join).
+    */
+  private def bigramsOf(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val base = df.select(col(idCol),
+        split(trim(lower(col(textCol))), "\\s+").as("__t"))
+      .withColumn("__L", size(col("__t")))
+    base.filter(col("__L") >= 2)
+      .select(col(idCol),
+        explode(sequence(lit(1), col("__L") - 1)).as("__i"), col("__t"))
+      .select(col(idCol),
+        element_at(col("__t"), col("__i")).as("w1"),
+        element_at(col("__t"), col("__i") + 1).as("w2"))
+  }
+
+  /** Train [[bigramLmScore]]'s model ONCE and persist it as bucketed
+    * tables — the scale path when one trained corpus scores many
+    * incoming batches (the persisted-index pattern of
+    * `Dedup.writeMinhashIndex` / `Ivf.writeIvfIndex`): `table` holds
+    * (w1, w2, c12) bucketed+sorted by w1, `<table>_ctx` holds (w1, c1),
+    * `<table>_meta` the vocabulary size. Probing then shuffles ONLY the
+    * incoming batch's bigrams; the model side reads bucket-aligned.
+    */
+  def writeBigramLm(df: DataFrame, idCol: String, textCol: String,
+                    table: String, nBuckets: Int = 32): Unit = {
+    val bi = bigramsOf(df, idCol, textCol)
+    val c12 = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    c12.write.format("parquet")
+      .bucketBy(nBuckets, "w1").sortBy("w1", "w2")
+      .mode("overwrite").saveAsTable(table)
+    // derive context counts and V from the SAVED table so the three
+    // artifacts can never disagree
+    val saved = df.sparkSession.table(table)
+    saved.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "w1").sortBy("w1")
+      .mode("overwrite").saveAsTable(s"${table}_ctx")
+    saved.select(countDistinct(col("w1")).as("v"))
+      .write.format("parquet")
+      .mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** Score a document batch against a PERSISTED bigram LM
+    * ([[writeBigramLm]]) — same integer-micro numerics as
+    * [[bigramLmScore]], plus the smoothing a train/score split needs:
+    * an unseen bigram contributes (10⁶·1) div (c₁+V) and an unseen
+    * context word (10⁶·1) div V (the add-one floor). Self-scoring the
+    * training corpus is bit-identical to [[bigramLmScore]]
+    * (spec-pinned).
+    */
+  def scoreAgainstBigramLm(spark: org.apache.spark.sql.SparkSession,
+                           table: String, docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val model = spark.table(table)
+    val ctx = spark.table(s"${table}_ctx")
+    val vTab = spark.table(s"${table}_meta")
+    val perDoc = bigramsOf(docs, idCol, textCol)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vTab))
+      .withColumn("__contrib", expr(
+        "(1000000 * (coalesce(c12, 0) + 1)) div (coalesce(c1, 0) + v)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__contrib")).as("__s"))
+      .withColumn("mean_prob_micro", expr("__s div n_bigrams"))
+    docs.select(col(idCol),
+        size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
+          .as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -565,4 +565,42 @@ class TextOpsSpec extends SparkSpec {
     // a doc too short for bigrams keeps its row with zero scores
     assert(out(3L) == ((1L, 0L, 0L, 0.0)))
   }
+
+  test("persisted bigram LM: self-score parity and unseen smoothing") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    // fresh-location database: the warehouse dir outlives the in-memory
+    // catalog across JVMs, so a fixed default-db table name would collide
+    // on the second run (MinHashIndexSpec convention)
+    val loc = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_lmdb LOCATION '$loc'")
+    TextOps.writeBigramLm(docs, "doc_id", "text", "graft_lmdb.lm_spec",
+      nBuckets = 4)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // scoring the training corpus against the persisted model is
+    // bit-identical to the single-plan trainer-scorer
+    assert(canon(TextOps.scoreAgainstBigramLm(spark, "graft_lmdb.lm_spec", docs,
+        "doc_id", "text"))
+      == canon(TextOps.bigramLmScore(docs, "doc_id", "text")))
+    // unseen data hits the add-one floor: V = |{a, b}| = 2;
+    // fully-unseen "x y" → (1e6·1) div (0+2) = 500000;
+    // seen context "a" (c1 = 3) with unseen bigram → (1e6·1) div (3+2)
+    val novel = Seq((10L, "x y"), (11L, "a z")).toDF("doc_id", "text")
+    val got = TextOps.scoreAgainstBigramLm(spark, "graft_lmdb.lm_spec", novel,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(10L) == ((1L, 500000L)))
+    assert(got(11L) == ((1L, 200000L)))
+    // probe plan: the model tables read bucket-aligned (broadcast at this
+    // size; bucket-joined when large) — the batch's bigrams never shuffle
+    // for the model lookup, only the per-doc aggregate + re-attach keys do
+    val plan = TextOps.scoreAgainstBigramLm(spark, "graft_lmdb.lm_spec", novel,
+      "doc_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"model scan not bucketed:\n$plan")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex <= 3, s"$ex hash exchanges in probe plan:\n$plan")
+  }
 }
