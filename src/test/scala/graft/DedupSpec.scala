@@ -418,4 +418,41 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((6L, 0L, 0L, 0.0)))
     assert(out(5L) == ((2L, 0L, 0L, 0.0)))
   }
+
+  test("duplicatedSpanStats equals a brute-force interval union on random docs") {
+    // non-circular pin of the sorted-starts lag identity: coverage
+    // computed by literally materializing and unioning the [i, i+n-1]
+    // position sets of duplicated windows, over a seeded random corpus
+    // with a small vocabulary (dense genuine cross-doc repeats)
+    import spark.implicits._
+    val n = 3
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 40L).map { id =>
+      val len = 3 + rnd.nextInt(10)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val expected = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      def windows(id: Long): Seq[(Int, String)] = {
+        val t = toks(id)
+        (0 to t.length - n).map(i => (i + 1, t.slice(i, i + n).mkString(" ")))
+      }
+      val owners = docs.flatMap { case (id, _) =>
+        windows(id).map { case (_, w) => (w, id) } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      docs.map { case (id, _) =>
+        val dup = windows(id).filter { case (_, w) => owners(w) > 1 }
+        val covered = dup.flatMap { case (i, _) => i until i + n }.distinct.size
+        id -> ((toks(id).length.toLong, dup.size.toLong, covered.toLong))
+      }.toMap
+    }
+    val got = graft.ext.Dedup.duplicatedSpanStats(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // sanity: the corpus really has duplicated spans to exercise the merge
+    assert(expected.values.exists(_._2 > 1))
+  }
 }
