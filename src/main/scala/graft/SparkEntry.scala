@@ -706,6 +706,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus drift report (oracle-checked): crawl-over-crawl
+    // distribution monitoring — per-source token-count histograms of two
+    // snapshots (B = A with every 7th doc grown by 60 tokens), compared
+    // as exact integer micro-share L1 shifts, no ln()-based PSI hazard.
+    "q104_drift_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withTok = (d: DataFrame) => d.select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      val snapA = withTok(docs)
+      val snapB = withTok(docs.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" x" * 60))).otherwise(col("text"))))
+      TextOps.histogramDrift(snapA, snapB, "source", "n_tok",
+          binWidth = 50L, nBins = 6)
+        .orderBy("source", "bin")
+    }),
+
     // ---- event-time tumbling window aggregation -----------------------------
     "q32_hourly_events" -> ((s, dir) => {
       events(s, dir)
@@ -2612,6 +2629,41 @@ object SparkEntry {
         |  floor(coalesce(a.dup_cov_tokens, 0) / (len(t.toks) * 1.0) * 1e6) / 1e6
         |    AS dup_ratio
         |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // integer micro-shares ((1e6*n) // total) and their L1 distance are
+    // exact in both engines; bins via integer division, capped at nBins-1
+    "q104_drift_report" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    len(string_split_regex(trim(
+        |      CASE WHEN doc_id % 7 = 0 THEN text || repeat(' x', 60)
+        |           ELSE text END), '\s+')) AS n_tok
+        |  FROM documents),
+        |ca AS (SELECT source, least(n_tok // 50, 5) AS bin, count(*) AS n_a
+        |       FROM a GROUP BY 1, 2),
+        |cb AS (SELECT source, least(n_tok // 50, 5) AS bin, count(*) AS n_b
+        |       FROM b GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(ca.source, cb.source) AS source,
+        |    coalesce(ca.bin, cb.bin) AS bin,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb
+        |    ON ca.source = cb.source AND ca.bin = cb.bin),
+        |tot AS (
+        |  SELECT source, CAST(sum(n_a) AS BIGINT) AS tot_a,
+        |    CAST(sum(n_b) AS BIGINT) AS tot_b
+        |  FROM j GROUP BY source)
+        |SELECT j.source, j.bin, j.n_a, j.n_b,
+        |  (1000000 * j.n_a) // greatest(tot_a, 1) AS share_a_micro,
+        |  (1000000 * j.n_b) // greatest(tot_b, 1) AS share_b_micro,
+        |  abs((1000000 * j.n_a) // greatest(tot_a, 1) -
+        |      (1000000 * j.n_b) // greatest(tot_b, 1)) AS drift_micro
+        |FROM j JOIN tot USING (source)
+        |ORDER BY j.source, j.bin""".stripMargin,
 
     // integer micro-prob contributions ((1e6*(c12+1)) // (c1+V)) sum and
     // average exactly in both engines; the only double op is the final /1e6

@@ -799,6 +799,53 @@ object TextOps {
         (coalesce(col("mean_prob_micro"), lit(0L)) / 1e6).as("mean_prob"))
   }
 
+  /** Distribution-drift report between two corpus snapshots — the
+    * monitoring table a crawl-over-crawl pipeline watches (the PSI /
+    * KL-divergence use case, in exact arithmetic): bucket an integer
+    * metric (token count, byte length, quality milli-score) into fixed
+    * `binWidth` bins capped at `nBins`, count per (key, bin) on each
+    * side, and report each bin's share shift. Shares are INTEGER
+    * micro-proportions (`(10⁶·n) div total`) and the drift is their L1
+    * distance — exact in any engine, unlike ln-based PSI whose last
+    * ulp differs across math libraries.
+    *
+    * Scale shape: one partial-combinable count per side (the shuffle
+    * carries (key, bin) pairs), a full-outer join on the tiny
+    * (key × bins) lattice, totals broadcast back. Documents never move.
+    *
+    * Returns (key, bin, n_a, n_b, share_a_micro, share_b_micro,
+    * drift_micro); bins missing on one side appear with zero counts.
+    * `valueCol` must be non-negative on both sides.
+    */
+  def histogramDrift(a: DataFrame, b: DataFrame, keyCol: String,
+                     valueCol: String, binWidth: Long,
+                     nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins > 0,
+      s"binWidth/nBins must be positive: $binWidth/$nBins")
+    def binned(df: DataFrame, n: String): DataFrame = df
+      .select(col(keyCol),
+        least(expr(s"CAST($valueCol AS BIGINT) div $binWidth"),
+          lit(nBins - 1L)).as("bin"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as(n))
+    val ca = binned(a, "n_a")
+    val cb = binned(b, "n_b")
+    val j = ca.join(cb, Seq(keyCol, "bin"), "full_outer")
+      .select(col(keyCol), col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = j.groupBy(col(keyCol))
+      .agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    j.join(broadcast(tot), Seq(keyCol))
+      .withColumn("share_a_micro",
+        expr("(1000000 * n_a) div greatest(tot_a, 1)"))
+      .withColumn("share_b_micro",
+        expr("(1000000 * n_b) div greatest(tot_b, 1)"))
+      .withColumn("drift_micro",
+        abs(col("share_a_micro") - col("share_b_micro")))
+      .drop("tot_a", "tot_b")
+  }
+
   /** Deterministic global shuffle + sharded layout — the
     * training-order randomization step before export: each row is
     * assigned shard = (32-bit md5 prefix of `salt:id`) mod `nShards`

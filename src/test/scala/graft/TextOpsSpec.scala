@@ -603,4 +603,26 @@ class TextOpsSpec extends SparkSpec {
     val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(ex <= 3, s"$ex hash exchanges in probe plan:\n$plan")
   }
+
+  test("histogramDrift: exact micro-shares, missing bins, capped top bin") {
+    // A: key k1 values 10, 60, 310 → bins 0, 1, 5 (capped); k2 value 10
+    // B: k1 values 10, 10, 60  → bins 0, 0, 1
+    val a = Seq(("k1", 10L), ("k1", 60L), ("k1", 310L), ("k2", 10L))
+      .toDF("source", "v")
+    val b = Seq(("k1", 10L), ("k1", 10L), ("k1", 60L)).toDF("source", "v")
+    val rows = TextOps.histogramDrift(a, b, "source", "v",
+        binWidth = 50L, nBins = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // k1 bin 0: A 1/3 = 333333μ, B 2/3 = 666666μ → drift 333333
+    assert(rows(("k1", 0L)) == ((1L, 2L, 333333L, 666666L, 333333L)))
+    // k1 bin 1: equal shares → zero drift
+    assert(rows(("k1", 1L)) == ((1L, 1L, 333333L, 333333L, 0L)))
+    // k1 bin 5 (capped): present only in A
+    assert(rows(("k1", 5L)) == ((1L, 0L, 333333L, 0L, 333333L)))
+    // k2 exists only in A: share 10⁶ vs 0 against an empty B total
+    assert(rows(("k2", 0L)) == ((1L, 0L, 1000000L, 0L, 1000000L)))
+    assert(rows.size == 4)
+  }
 }
