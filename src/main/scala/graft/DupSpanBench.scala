@@ -36,26 +36,12 @@ object DupSpanBench {
 
     val n = 3
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    def windows: DataFrame = {
-      val base = docs.select(col("doc_id"),
-        split(trim(col("text")), "\\s+").as("__toks"))
-      val withLen = base.withColumn("__L", size(col("__toks")))
-      val starts = when(col("__L") >= n,
-        sequence(lit(1), col("__L") - (n - 1))).otherwise(array())
-      withLen
-        .select(col("doc_id"), col("__toks"), explode(starts).as("__i"))
-        .select(col("doc_id"), col("__i"),
-          md5(concat_ws(" ", slice(col("__toks"), col("__i"), lit(n))))
-            .as("__k"))
-    }
-
-    // shipped: keyed-window dup decision over ONE exploded frame
-    def windowForm: DataFrame = {
-      val byKey = Window.partitionBy(col("__k"))
-      windows.withColumn("__dup",
-          min(col("doc_id")).over(byKey) =!= max(col("doc_id")).over(byKey))
-        .filter(col("__dup")).drop("__dup")
-    }
+    // the SHIPPED extraction + dup decision, by reference — the bench
+    // measures the operator's actual code, not a copy that can drift
+    def windows: DataFrame =
+      graft.ext.Dedup.spanWindows(docs, "doc_id", "text", n)
+    def windowForm: DataFrame =
+      graft.ext.Dedup.duplicatedStarts(windows, "doc_id")
 
     // replaced: count-distinct aggregate + semi-join back (second explode)
     def joinForm: DataFrame = {

@@ -582,25 +582,46 @@ object Dedup {
     * Returns (id, n_tokens, n_dup_windows, dup_cov_tokens, dup_ratio
     * floor-truncated to 6 decimals); every input document appears.
     */
-  def duplicatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int = 3): DataFrame = {
-    require(n >= 1, s"window length must be positive: $n")
+  /** The (id, start, md5-of-window) frame [[duplicatedSpanStats]] and
+    * `DupSpanBench` share — ONE definition so the bench always measures
+    * the shipped extraction.
+    */
+  private[graft] def spanWindows(docs: DataFrame, idCol: String,
+                                 textCol: String, n: Int): DataFrame = {
     val base = docs.select(col(idCol),
       split(trim(col(textCol)), "\\s+").as("__toks"))
     val withLen = base.withColumn("__L", size(col("__toks")))
     val starts = when(col("__L") >= n,
       sequence(lit(1), col("__L") - (n - 1))).otherwise(array())
-    val windows = withLen
+    withLen
       .select(col(idCol), col("__toks"), explode(starts).as("__i"))
       .select(col(idCol), col("__i"),
         md5(concat_ws(" ", slice(col("__toks"), col("__i"), lit(n))))
           .as("__k"))
+  }
+
+  /** The shipped dup decision over [[spanWindows]]: a keyed min/max
+    * window (`min(doc) ≠ max(doc)` ⟺ >1 distinct doc) — shared with
+    * `DupSpanBench` for the same reason as [[spanWindows]].
+    */
+  private[graft] def duplicatedStarts(windows: DataFrame,
+                                      idCol: String): DataFrame = {
     val byKey = Window.partitionBy(col("__k"))
-    val dupStarts = windows
+    windows
       .withColumn("__dup",
         min(col(idCol)).over(byKey) =!= max(col(idCol)).over(byKey))
       .filter(col("__dup"))
       .drop("__dup")
+  }
+
+  def duplicatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3): DataFrame = {
+    require(n >= 1, s"window length must be positive: $n")
+    val withLen = docs.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+      .withColumn("__L", size(col("__toks")))
+    val dupStarts = duplicatedStarts(
+      spanWindows(docs, idCol, textCol, n), idCol)
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__i"))
     val contrib = when(lag(col("__i"), 1).over(byDoc).isNull, lit(n))
       .otherwise(least(lit(n), col("__i") - lag(col("__i"), 1).over(byDoc)))

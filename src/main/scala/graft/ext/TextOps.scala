@@ -702,24 +702,20 @@ object TextOps {
       .agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = c12.select(countDistinct(col("w1")).as("v"))
-    val perDoc = bi
+    val contribs = bi
       .join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .withColumn("__contrib",
         expr("(1000000 * (c12 + 1)) div (c1 + v)"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__contrib")).as("__s"))
-      .withColumn("mean_prob_micro", expr("__s div n_bigrams"))
-    df.select(col(idCol),
-        size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
-          .as("n_tokens"))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("mean_prob_micro"), lit(0L)).as("mean_prob_micro"),
-        (coalesce(col("mean_prob_micro"), lit(0L)) / 1e6).as("mean_prob"))
+    lmAttach(df, idCol, textCol, contribs)
   }
+
+  /** The LM family's tokenizer: the shared [[tokens]] split over
+    * case-folded text (one definition site — bigram extraction and the
+    * n_tokens re-attach must never disagree).
+    */
+  private def lmTokens(textCol: String): Column = tokens(lower(col(textCol)))
 
   /** Shared bigram extraction for the LM family: (id, w1, w2) rows from
     * the lowered whitespace tokens; documents with fewer than 2 tokens
@@ -727,8 +723,7 @@ object TextOps {
     */
   private def bigramsOf(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val base = df.select(col(idCol),
-        split(trim(lower(col(textCol))), "\\s+").as("__t"))
+    val base = df.select(col(idCol), lmTokens(textCol).as("__t"))
       .withColumn("__L", size(col("__t")))
     base.filter(col("__L") >= 2)
       .select(col(idCol),
@@ -736,6 +731,27 @@ object TextOps {
       .select(col(idCol),
         element_at(col("__t"), col("__i")).as("w1"),
         element_at(col("__t"), col("__i") + 1).as("w2"))
+  }
+
+  /** Shared scorer tail: fold per-bigram `__contrib` micro-integers into
+    * per-document (n_bigrams, mean_prob_micro, mean_prob) and re-attach
+    * every input document (short docs survive with zero scores). BOTH
+    * scorers end here — the "self-score ≡ single-plan" pin rests on this
+    * being one definition.
+    */
+  private def lmAttach(docs: DataFrame, idCol: String, textCol: String,
+                       contribs: DataFrame): DataFrame = {
+    val perDoc = contribs
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__contrib")).as("__s"))
+      .withColumn("mean_prob_micro", expr("__s div n_bigrams"))
+    docs.select(col(idCol),
+        size(lmTokens(textCol)).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_prob_micro"), lit(0L)).as("mean_prob_micro"),
+        (coalesce(col("mean_prob_micro"), lit(0L)) / 1e6).as("mean_prob"))
   }
 
   /** Train [[bigramLmScore]]'s model ONCE and persist it as bucketed
@@ -780,23 +796,13 @@ object TextOps {
     val model = spark.table(table)
     val ctx = spark.table(s"${table}_ctx")
     val vTab = spark.table(s"${table}_meta")
-    val perDoc = bigramsOf(docs, idCol, textCol)
+    val contribs = bigramsOf(docs, idCol, textCol)
       .join(model, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vTab))
       .withColumn("__contrib", expr(
         "(1000000 * (coalesce(c12, 0) + 1)) div (coalesce(c1, 0) + v)"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__contrib")).as("__s"))
-      .withColumn("mean_prob_micro", expr("__s div n_bigrams"))
-    docs.select(col(idCol),
-        size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
-          .as("n_tokens"))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("mean_prob_micro"), lit(0L)).as("mean_prob_micro"),
-        (coalesce(col("mean_prob_micro"), lit(0L)) / 1e6).as("mean_prob"))
+    lmAttach(docs, idCol, textCol, contribs)
   }
 
   /** Distribution-drift report between two corpus snapshots — the
@@ -811,7 +817,9 @@ object TextOps {
     *
     * Scale shape: one partial-combinable count per side (the shuffle
     * carries (key, bin) pairs), a full-outer join on the tiny
-    * (key × bins) lattice, totals broadcast back. Documents never move.
+    * (key × bins) lattice, per-key totals as a window over that same
+    * lattice — structurally one pass, not optimizer-dependent exchange
+    * reuse. Documents never move.
     *
     * Returns (key, bin, n_a, n_b, share_a_micro, share_b_micro,
     * drift_micro); bins missing on one side appear with zero counts.
@@ -824,8 +832,12 @@ object TextOps {
       s"binWidth/nBins must be positive: $binWidth/$nBins")
     def binned(df: DataFrame, n: String): DataFrame = df
       .select(col(keyCol),
-        least(expr(s"CAST($valueCol AS BIGINT) div $binWidth"),
-          lit(nBins - 1L)).as("bin"))
+        // clamped on BOTH ends: the top by nBins, the bottom so a
+        // negative metric cannot escape the bin range (note the
+        // non-negative precondition still matters for oracle parity —
+        // Spark's div truncates toward zero while SQL `//` floors)
+        greatest(least(expr(s"CAST($valueCol AS BIGINT) div $binWidth"),
+          lit(nBins - 1L)), lit(0L)).as("bin"))
       .groupBy(col(keyCol), col("bin"))
       .agg(count(lit(1)).as(n))
     val ca = binned(a, "n_a")
@@ -834,16 +846,19 @@ object TextOps {
       .select(col(keyCol), col("bin"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-    val tot = j.groupBy(col(keyCol))
-      .agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
-    j.join(broadcast(tot), Seq(keyCol))
+    // per-key totals as a window over the lattice — same pass, no
+    // second aggregation branch for the optimizer to (maybe) dedup
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+    j.withColumn("__tot_a", sum(col("n_a")).over(byKey))
+      .withColumn("__tot_b", sum(col("n_b")).over(byKey))
       .withColumn("share_a_micro",
-        expr("(1000000 * n_a) div greatest(tot_a, 1)"))
+        expr("(1000000 * n_a) div greatest(__tot_a, 1)"))
       .withColumn("share_b_micro",
-        expr("(1000000 * n_b) div greatest(tot_b, 1)"))
+        expr("(1000000 * n_b) div greatest(__tot_b, 1)"))
       .withColumn("drift_micro",
         abs(col("share_a_micro") - col("share_b_micro")))
-      .drop("tot_a", "tot_b")
+      .drop("__tot_a", "__tot_b")
   }
 
   /** Deterministic global shuffle + sharded layout — the
