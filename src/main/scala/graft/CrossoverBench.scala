@@ -40,11 +40,7 @@ object CrossoverBench {
       }.toDF("vec_id", "embedding")
   }
 
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
+  import BenchUtil.time
 
   def main(args: Array[String]): Unit = {
     val sizes =

@@ -41,11 +41,7 @@ object DecontaminationBench {
       }.toDF("doc_id", "text")
   }
 
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
+  import BenchUtil.time
 
   def main(args: Array[String]): Unit = {
     val sizes =

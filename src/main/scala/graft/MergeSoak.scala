@@ -78,11 +78,7 @@ object MergeSoak {
     }
   }
 
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
+  import BenchUtil.time
 
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 10000000L

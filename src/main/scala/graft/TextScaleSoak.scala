@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object TextScaleSoak {
 
-  def soakDocs(spark: SparkSession, n: Long, seed: Long): DataFrame = {
+  def soakDocs(spark: SparkSession, n: Long, seed: Long,
+               parallelism: Int): DataFrame = {
     import spark.implicits._
-    spark.range(0, n, 1, 32).as[Long].mapPartitions { ids =>
+    spark.range(0, n, 1, parallelism).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val rnd = new scala.util.Random(seed ^ id)
         val len = 40 + rnd.nextInt(80)
@@ -30,23 +31,21 @@ object TextScaleSoak {
         // previous doc's deterministic stream → guaranteed cross-doc span
         if (id % 5 == 0 && id > 0) {
           val prev = new scala.util.Random(seed ^ (id - 1))
-          val plen = 40 + prev.nextInt(80)
-          val ptoks = Array.fill(plen)("w" + prev.nextInt(50000))
-          System.arraycopy(ptoks, 0, base, 0, 6)
+          prev.nextInt(80) // replay the neighbor's length draw only —
+          // its first 6 tokens then reproduce without building the tail
+          var i = 0
+          while (i < 6) { base(i) = "w" + prev.nextInt(50000); i += 1 }
         }
         (id, base.mkString(" "))
       }
     }.toDF("doc_id", "text")
   }
 
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
+  import BenchUtil.time
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    require(n > 0, s"doc count must be positive: $n")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,7 +56,7 @@ object TextScaleSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = soakDocs(spark, n, seed = 7L)
+    val docs = soakDocs(spark, n, seed = 7L, parallelism = cpus.toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = docs.count() // materialize outside any timing window
 
@@ -78,13 +77,26 @@ object TextScaleSoak {
           count(when(col("kept"), 1)).as("kept")).head()
     }
 
-    // sanity: planted repeats found; every doc scored; classifier split
-    assert(spanStats.getLong(0) >= total / 5 - 1,
-      s"span soak found ${spanStats.getLong(0)} dup docs, planted ~${total / 5}")
+    // sanity, all deterministic by construction:
+    //  - planted repeats found EXACTLY: each clone target (id % 5 == 0,
+    //    id > 0 → floor((n-1)/5) docs) flags itself AND its neighbor,
+    //    neighbors are distinct and never themselves targets, and a
+    //    random 6-token collision over a 50k vocab is ~1e-13 improbable
+    val expectedDup = 2 * ((total - 1) / 5)
+    assert(spanStats.getLong(0) == expectedDup,
+      s"span soak flagged ${spanStats.getLong(0)} docs, planted $expectedDup")
+    //  - every flagged doc's cloned window covers at least its 6 tokens
+    assert(spanStats.getLong(1) >= 6 * spanStats.getLong(0),
+      s"coverage ${spanStats.getLong(1)} below 6/doc floor")
+    //  - every doc scored by both scorers
     assert(lmStats.getLong(0) == total && qcStats.getLong(0) == total)
+    //  - the classifier actually SPLITS the corpus (a constant kept
+    //    column would mean broken threshold wiring)
+    val kept = qcStats.getLong(1)
+    assert(kept > 0 && kept < total, s"degenerate classifier split: $kept/$total")
 
     println(
-      s"""{"n":$total,"span_sec":${math.rint(tSpan * 10) / 10},"docs_with_dups":${spanStats.getLong(0)},"lm_sec":${math.rint(tLm * 10) / 10},"avg_prob":${math.rint(lmStats.getDouble(1) * 1e6) / 1e6},"qc_sec":${math.rint(tQc * 10) / 10},"qc_kept":${qcStats.getLong(1)}}""")
+      s"""{"n":$total,"span_sec":${math.rint(tSpan * 10) / 10},"docs_with_dups":${spanStats.getLong(0)},"covered_tokens":${spanStats.getLong(1)},"lm_sec":${math.rint(tLm * 10) / 10},"avg_prob":${math.rint(lmStats.getDouble(1) * 1e6) / 1e6},"qc_sec":${math.rint(tQc * 10) / 10},"qc_kept":$kept}""")
     spark.stop()
   }
 }
