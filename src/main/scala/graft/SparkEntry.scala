@@ -1092,6 +1092,21 @@ object SparkEntry {
         .orderBy("region", "nation")
     }),
 
+    // ---- unpivot / melt (oracle-checked): the inverse of q66 —
+    // wide per-status counts back to (priority, status, n) long form via
+    // the native Dataset.unpivot (an Expand projection, zero shuffle on
+    // top of the aggregate that built the wide frame).
+    "q105_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+      wide.unpivot(Array(col("o_orderpriority")),
+          Array(col("O"), col("F"), col("P")), "status", "n_orders")
+        .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+        .orderBy("o_orderpriority", "status")
+    }),
+
     // ---- pivot / crosstab (oracle-checked): order counts + DECIMAL-exact
     // revenue per (priority x status) — pivot is a single groupBy whose
     // output width is the pivoted domain, still one shuffle.
@@ -3019,6 +3034,19 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         |ORDER BY region, nation""".stripMargin,
+
+    // UNION ALL formulation — engine-neutral melt, no UNPIVOT dialect risk
+    "q105_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority,
+        |    count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |    count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'O' AS status, n_o AS n_orders FROM w
+        |UNION ALL SELECT o_orderpriority, 'F', n_f FROM w
+        |UNION ALL SELECT o_orderpriority, 'P', n_p FROM w
+        |ORDER BY o_orderpriority, status""".stripMargin,
 
     "q66_pivot" ->
       """SELECT o_orderpriority,
