@@ -602,6 +602,19 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), s"model scan not bucketed:\n$plan")
     val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(ex <= 3, s"$ex hash exchanges in probe plan:\n$plan")
+
+    // per-doc purity against the STATIC model: scoring in two batches
+    // unions to scoring everything at once, which is what lets the
+    // persisted scorer run per micro-batch on an ingest stream (the
+    // ReleasePipeline.curate property, for the LM)
+    val all = Seq((1L, "a b a b"), (2L, "a b c"), (10L, "x y"),
+      (11L, "a z")).toDF("doc_id", "text")
+    def score(df: org.apache.spark.sql.DataFrame) =
+      TextOps.scoreAgainstBigramLm(spark, "graft_lmdb.lm_spec", df,
+        "doc_id", "text").collect().map(_.toSeq).toSet
+    val perBatch = score(all.filter(col("doc_id") < 10)) ++
+      score(all.filter(col("doc_id") >= 10))
+    assert(perBatch == score(all))
   }
 
   test("histogramDrift: exact micro-shares, missing bins, capped top bin") {
