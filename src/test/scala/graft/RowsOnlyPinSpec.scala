@@ -1,0 +1,54 @@
+package graft
+
+import java.security.MessageDigest
+
+/** Hard pass/fail gates for the five remaining rows-only catalog queries
+  * (q31/q38/q43/q56/q79) — the trained-model / RNG-seeded ANN set the
+  * DuckDB oracle cannot express. Each is bit-deterministic at a fixed
+  * input: hyperplanes and shingle salts are md5-derived, k-means /
+  * PQ-codebook training uses hash-ordered init samples with DECIMAL
+  * sums (order-independent), and every query ends in a total ORDER BY.
+  * So the sf0.01 output is pinned to a recorded md5, the same pattern
+  * as [[KmeansPinSpec]] for q75.
+  *
+  * Canonical form: row order as emitted (each query's trailing ORDER BY
+  * is total), columns in schema order, and every value rendered
+  * type-stably — floating-point via raw IEEE-754 bits (no decimal
+  * formatting ambiguity), null as `∅`, arrays element-wise. A
+  * legitimate semantic change re-records the hash with a paper trail;
+  * silent drift (an order-dependent sum sneaking in, a seed change, a
+  * plan rewrite that alters tie-breaks) fails loudly.
+  */
+class RowsOnlyPinSpec extends SparkSpec {
+
+  private def canon(v: Any): String = v match {
+    case null                => "∅"
+    case d: java.lang.Double => java.lang.Long.toHexString(java.lang.Double.doubleToRawLongBits(d))
+    case f: java.lang.Float  => java.lang.Integer.toHexString(java.lang.Float.floatToRawIntBits(f))
+    case s: scala.collection.Seq[_] => s.map(canon).mkString("[", ",", "]")
+    case other               => other.toString
+  }
+
+  private def md5Of(name: String): (String, Int, String) = {
+    val rows = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01").collect()
+    val canonical = rows.map(_.toSeq.map(canon).mkString("|")).mkString("\n")
+    val md5 = MessageDigest.getInstance("MD5").digest(canonical.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (md5, rows.length, canonical)
+  }
+
+  private def pin(name: String, expectedMd5: String, expectedRows: Int): Unit =
+    test(s"$name sf0.01 output matches the recorded hash") {
+      val (md5, n, canonical) = md5Of(name)
+      assert(n == expectedRows, s"$name: expected $expectedRows rows, got $n")
+      assert(md5 == expectedMd5,
+        s"$name drifted from its recorded output.\nmd5=$md5 rows=$n\nfirst lines:\n" +
+          canonical.linesIterator.take(10).mkString("\n"))
+    }
+
+  pin("q31_topk_lsh",            "b7aa123c78a891b2f354188462e8d69a", 25)
+  pin("q38_cosine_near_dup_lsh", "8ba6677469f22d5c4c17e4f37e5ed453", 15)
+  pin("q43_topk_ivf",            "a465e1d78d27cc29fbc3a9624519737d", 25)
+  pin("q56_semantic_dedup",      "f885d8ce276a7969d1165fc3111f74d8", 480)
+  pin("q79_topk_ivfpq",          "2e3d3b8f1ae8c3c100253b9a75ca7a7b", 25)
+}
