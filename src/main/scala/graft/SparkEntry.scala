@@ -797,6 +797,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL ImageIO decode (oracle-checked by round-trip
+    // prediction): Spark encodes deterministic PNGs (affine-mod-256
+    // pixels), decodes them back through the JDK's javax.imageio, and
+    // reports header-parsed dims (IHDR words, pure codegen — no decode)
+    // next to decoded dims and the exact-integer-sum mean luma. PNG is
+    // lossless, so DuckDB predicts every value arithmetically from
+    // doc_id without touching a codec — hash parity proves real pixels
+    // were decoded, not stubbed.
+    "q106_image_features_imageio" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 4 === 0)
+      val media = Multimodal.syntheticRealPng(docs, "doc_id")
+        .withColumn("header_width", Multimodal.pngHeaderWidth(col("payload")))
+        .withColumn("header_height", Multimodal.pngHeaderHeight(col("payload")))
+      Multimodal.extractImageFeaturesReal(media, "payload")
+        .select(col("doc_id"), col("header_width"), col("header_height"),
+          col("width"), col("height"), col("channels"), col("mean_luma"))
+        .orderBy("doc_id")
+    }),
+
     // ---- embedding-cosine near-dup: exact all-pairs (oracle-checked;
     // native DotExpr per pair — bit-identical, spec-pinned) -------------------
     "q37_cosine_near_dup" -> ((s, dir) => {
@@ -2124,6 +2144,29 @@ object SparkEntry {
         |    height * least(256.0 / width, 256.0 / height, 1.0)), 1) AS INT)
         |    AS resized_height
         |FROM feat ORDER BY doc_id""".stripMargin,
+
+    // the real-decode round trip, predicted without a codec: pixel (x,y)
+    // of doc_id's PNG is the affine-mod-256 triple the Spark side encoded,
+    // PNG is lossless, and the decoder's luma is an exact integer sum —
+    // so dims, header words, and mean luma are all plain arithmetic.
+    "q106_image_features_imageio" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |px AS (
+        |  SELECT i.doc_id, i.w, i.h,
+        |    299 * ((i.doc_id + 7 * gx.x + 13 * gy.y) % 256)
+        |    + 587 * ((3 * i.doc_id + 5 * gx.x + 11 * gy.y) % 256)
+        |    + 114 * ((7 * i.doc_id + 3 * gx.x + 17 * gy.y) % 256) AS luma_milli
+        |  FROM ids i
+        |  CROSS JOIN generate_series(0, 11) AS gx(x)
+        |  CROSS JOIN generate_series(0, 9) AS gy(y)
+        |  WHERE gx.x < i.w AND gy.y < i.h)
+        |SELECT doc_id, w AS header_width, h AS header_height,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  SUM(luma_milli)::DOUBLE / (w * h * 255000)::DOUBLE AS mean_luma
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "q37_cosine_near_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * parquet, metadata is pushdown-filterable, and decode happens ONLY in
   * explicitly batched operators at the edge of the plan.
   *
-  * Container constraint: no image/audio codec libraries are available, so
-  * `decodeImageStub` is a clearly-marked deterministic fake (shape, batch
-  * contract, and schema are real; pixel math is hash-derived). Swapping in
-  * a real codec changes one function body and nothing else.
+  * Decode paths: `decodeImageReal` decodes actual pixels through the
+  * JDK's `javax.imageio` (PNG/JPEG/BMP/GIF ship with the JDK — no new
+  * dependency); `decodeImageStub` remains as the deterministic fallback
+  * for containers ImageIO cannot parse and as the cross-engine
+  * oracle-parity path (its pixel math is hash-derived, reproducible in
+  * plain SQL). Both run behind the same `mapPartitions` seam.
   */
 object Multimodal {
 
@@ -102,6 +104,56 @@ object Multimodal {
     DecodedImage(width, height, channels, meanLuma)
   }
 
+  /** REAL decode through the JDK's `javax.imageio` readers (PNG, JPEG,
+    * BMP, GIF, WBMP — whatever the running JDK registers). Returns None
+    * when no registered reader accepts the payload (ImageIO yields null)
+    * or the stream is corrupt — callers fall back to the stub.
+    *
+    * Pixel access goes through `getRGB` (packed sRGB), which is
+    * independent of the reader's internal raster layout (TYPE_3BYTE_BGR
+    * vs TYPE_INT_RGB vs indexed); alpha, if present, is ignored for
+    * luma. Mean luma uses integer Rec.601 milli-weights accumulated in a
+    * Long — 299R + 587G + 114B per pixel — then ONE double division by
+    * (w * h * 1000 * 255). The sum is exact and order-independent, so
+    * the resulting double is bit-stable and predictable by any engine
+    * that can reproduce the pixel values (what makes q106 oracle-
+    * checkable: PNG is lossless, so the round-trip pixels are knowable).
+    * Grayscale needs no special case: getRGB expands gray to R=G=B and
+    * the milli-weights sum to 1000.
+    */
+  def decodeImageReal(payload: Array[Byte]): Option[DecodedImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >>> 16) & 0xFF) + 587L * ((rgb >>> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        val channels = img.getColorModel.getNumComponents
+        Some(DecodedImage(w, h, channels,
+          sum.toDouble / (w.toLong * h * 1000L * 255L)))
+      }
+    } catch { case _: Exception => None }
+
+  /** Real decode with declared stub fallback: payloads ImageIO cannot
+    * parse keep the deterministic hash-derived features, so a mixed
+    * corpus (decodable + opaque containers) still yields a total,
+    * reproducible feature set.
+    */
+  def decodeImageOrStub(payload: Array[Byte]): DecodedImage =
+    decodeImageReal(payload).getOrElse(decodeImageStub(payload))
+
   /** Image feature schema appended by `extractImageFeatures`. */
   val ImageFeatureSchema: StructType = StructType(Seq(
     StructField("width", IntegerType),
@@ -117,7 +169,8 @@ object Multimodal {
     * columns (minus payload) + ImageFeatureSchema: payloads are DROPPED on
     * the way out so the expensive bytes never cross the next shuffle.
     */
-  def extractImageFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+  def extractImageFeatures(df: DataFrame, payloadCol: String,
+      decode: Array[Byte] => DecodedImage = decodeImageStub): DataFrame = {
     val inSchema = df.schema
     val payloadIdx = inSchema.fieldIndex(payloadCol)
     val keptIdx = inSchema.indices.filterNot(_ == payloadIdx)
@@ -125,9 +178,10 @@ object Multimodal {
       keptIdx.map(inSchema.fields(_)) ++ ImageFeatureSchema.fields)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
-      // per-partition init for a real decoder would go here
+      // per-partition init for a stateful decoder would go here (ImageIO
+      // readers are looked up per call; a codec context would be cached)
       rows.map { r =>
-        val img = decodeImageStub(r.getAs[Array[Byte]](payloadIdx))
+        val img = decode(r.getAs[Array[Byte]](payloadIdx))
         // Seq[Any] — a plain Seq would unify Int/Double and silently widen
         // the Int fields, breaking the declared IntegerType schema
         Row.fromSeq(
@@ -136,6 +190,14 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** `extractImageFeatures` with REAL pixels: ImageIO decode where a
+    * registered reader accepts the payload, deterministic stub features
+    * for everything else. Same seam, same output schema — downstream
+    * code cannot tell which path produced a row (by design).
+    */
+  def extractImageFeaturesReal(df: DataFrame, payloadCol: String): DataFrame =
+    extractImageFeatures(df, payloadCol, decodeImageOrStub)
 
   // ------------------------------------------------------------- resize
 
@@ -173,6 +235,68 @@ object Multimodal {
     * Lets every multimodal operator be exercised (and oracle-checked) on
     * driver-provided data without shipping binary fixtures.
     */
+  /** Deterministic REAL PNG: a w×h TYPE_INT_RGB image whose pixel (x,y)
+    * is an affine-mod-256 function of the seed, encoded by the JDK PNG
+    * writer. PNG is lossless, so a decoder recovers these exact values —
+    * which is what lets q106 check the real ImageIO decode against a SQL
+    * oracle that never touches a codec: the oracle predicts the
+    * round-trip arithmetically from the seed.
+    */
+  def encodePngDeterministic(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = Math.floorMod(seed + 7L * x + 13L * y, 256L).toInt
+        val g = Math.floorMod(3L * seed + 5L * x + 11L * y, 256L).toInt
+        val b = Math.floorMod(7L * seed + 3L * x + 17L * y, 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (id, payload) table of deterministic real PNGs, one per input row:
+    * dims 8+(id%5) × 8+(id%3), pixels from `encodePngDeterministic(id)`.
+    * Encode runs in the same batched `mapPartitions` shape as decode —
+    * payload bytes are born at the edge of the plan, never shuffled in.
+    */
+  def syntheticRealPng(docs: DataFrame, idCol: String): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 5).toInt
+        val h = 8 + (id % 3).toInt
+        Row(id, encodePngDeterministic(id, w, h))
+      }
+    }(enc)
+  }
+
+  /** Width/height parsed from the PNG IHDR chunk as a PURE column
+    * expression (no decode, no UDF, codegen'd): the spec fixes IHDR as
+    * the first chunk, so width is the big-endian word at byte offset 16
+    * and height at 20. NULL when the payload isn't a PNG or is shorter
+    * than the 24-byte header — callers cross-check these against the
+    * full decode (q106 does, and the oracle confirms both).
+    */
+  def pngHeaderWidth(payload: Column): Column = pngHeaderWord(payload, 17)
+  def pngHeaderHeight(payload: Column): Column = pngHeaderWord(payload, 21)
+
+  private def pngHeaderWord(payload: Column, pos1Based: Int): Column =
+    when(sniffFormat(payload) === "png" && length(payload) >= 24,
+      conv(hex(substring(payload, pos1Based, 4)), 16, 10).cast("long"))
+
   def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val utf8 = encode(col(textCol), "UTF-8")
     val png = lit(Magics(0)._1)

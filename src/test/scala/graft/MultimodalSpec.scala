@@ -71,6 +71,86 @@ class MultimodalSpec extends SparkSpec {
       expect.width.toDouble / expect.height) < 1e-9)
   }
 
+  // A REAL 3×2 RGB PNG, hand-pinned byte-for-byte (79 bytes, generated
+  // once with the JDK encoder and frozen here): pixels row 0 = pure red,
+  // green, blue; row 1 = black, white, gray 0x808080. The decode must
+  // recover these exact pixels — expected luma sum computed by hand:
+  // 299·255 + 587·255 + 114·255 + 0 + 1000·255 + 1000·128 = 638000.
+  private val pinnedPng: Array[Byte] = java.util.Base64.getDecoder.decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAMAAAACCAIAAAASFvFNAAAAFklEQVR4XmP4z8DAAMMM" +
+    "////b2hoAAA+2Ad70iJhegAAAABJRU5ErkJggg==")
+
+  test("decodeImageReal recovers the hand-pinned PNG byte-for-byte") {
+    assert(pinnedPng.length == 79)
+    val img = Multimodal.decodeImageReal(pinnedPng).get
+    assert(img.width == 3)
+    assert(img.height == 2)
+    assert(img.channels == 3)
+    assert(img.meanLuma == 638000.0 / (3L * 2 * 1000 * 255))
+  }
+
+  test("decodeImageReal returns None on non-image payloads; OrStub falls back") {
+    val fake = png ++ "not actually a png".getBytes("UTF-8")
+    assert(Multimodal.decodeImageReal(fake).isEmpty)
+    assert(Multimodal.decodeImageReal("plain text".getBytes).isEmpty)
+    assert(Multimodal.decodeImageOrStub(fake) == Multimodal.decodeImageStub(fake))
+  }
+
+  test("encodePngDeterministic round-trips through the real decoder exactly") {
+    for (seed <- Seq(0L, 4L, 123456L)) {
+      val w = 8 + (seed % 5).toInt
+      val h = 8 + (seed % 3).toInt
+      val img = Multimodal.decodeImageReal(
+        Multimodal.encodePngDeterministic(seed, w, h)).get
+      assert(img.width == w && img.height == h && img.channels == 3)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sum += 299L * Math.floorMod(seed + 7L * x + 13L * y, 256L) +
+          587L * Math.floorMod(3L * seed + 5L * x + 11L * y, 256L) +
+          114L * Math.floorMod(7L * seed + 3L * x + 17L * y, 256L)
+      }
+      assert(img.meanLuma == sum.toDouble / (w.toLong * h * 1000L * 255L))
+    }
+  }
+
+  test("extractImageFeaturesReal decodes real payloads, stubs the rest") {
+    val df = Seq((1L, pinnedPng), (2L, png ++ "junk".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.extractImageFeaturesReal(df, "payload")
+    assert(out.columns.toSeq == Seq("id", "width", "height",
+      "channels", "mean_luma", "aspect_ratio"))
+    val real = out.filter(col("id") === 1L).head()
+    assert(real.getAs[Int]("width") == 3 && real.getAs[Int]("height") == 2)
+    val stubbed = out.filter(col("id") === 2L).head()
+    val expect = Multimodal.decodeImageStub(png ++ "junk".getBytes)
+    assert(stubbed.getAs[Int]("width") == expect.width)
+    assert(stubbed.getAs[Int]("height") == expect.height)
+  }
+
+  test("pngHeaderWidth/Height parse IHDR without decoding; null on non-PNG") {
+    val df = Seq((1L, pinnedPng), (2L, png ++ "tiny".getBytes),
+        (3L, "plain".getBytes)).toDF("id", "payload")
+    val got = df.select(col("id"),
+        Multimodal.pngHeaderWidth(col("payload")).as("w"),
+        Multimodal.pngHeaderHeight(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L) == (Some(3L), Some(2L)))
+    assert(got(2L) == (None, None)) // PNG magic but shorter than a header
+    assert(got(3L) == (None, None))
+  }
+
+  test("syntheticRealPng emits decodable PNGs whose dims follow the id formula") {
+    val docs = Seq(0L, 4L, 8L).toDF("doc_id")
+    val media = Multimodal.syntheticRealPng(docs, "doc_id").collect()
+    media.foreach { r =>
+      val id = r.getLong(0)
+      val img = Multimodal.decodeImageReal(r.getAs[Array[Byte]](1)).get
+      assert(img.width == 8 + (id % 5).toInt)
+      assert(img.height == 8 + (id % 3).toInt)
+    }
+  }
+
   test("resizePlan fits within the box preserving aspect, never upscales") {
     val df = Seq((1000, 500), (100, 200), (50, 50)).toDF("w", "h")
     val out = Multimodal.resizePlan(df, "w", "h", maxW = 256, maxH = 256)
