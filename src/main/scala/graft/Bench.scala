@@ -20,6 +20,30 @@ import java.nio.charset.StandardCharsets
   * stderr and a negative timing — never silently recorded as a fast run.
   */
 object Bench {
+
+  /** Host-contention telemetry: `[1m, 5m, 15m]` load averages from
+    * /proc/loadavg, or null where unreadable. Recorded before AND after
+    * the timing loop so a contended run is machine-flagged in the
+    * artifact itself — three rounds of driver-vs-idle divergence
+    * (BASELINE.md adjudication protocol) were adjudicated by hand
+    * before this existed.
+    */
+  private def loadAvg(): String =
+    try {
+      val parts = new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
+        StandardCharsets.UTF_8).trim.split("\\s+")
+      s"[${parts(0)},${parts(1)},${parts(2)}]"
+    } catch { case _: Exception => "null" }
+
+  /** MemAvailable from /proc/meminfo in GiB (one decimal), or null. */
+  private def memAvailGb(): String =
+    try {
+      val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toLong }
+      kb.map(k => (math.rint(k / 1048576.0 * 10) / 10).toString).getOrElse("null")
+    } catch { case _: Exception => "null" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,6 +77,8 @@ object Bench {
     // is recorded. 83 queries × ~1.4 s × 3 ≈ 6 min, still inside the
     // harness budget. SPARK_GRAFT_RUNS=1 restores the old single-shot.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val loadBefore = loadAvg()
+    val memBefore = memAvailGb()
     // sorted execution => run-to-run comparable timings
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Per-query isolation: each repetition runs in its own SQL session
@@ -102,8 +128,15 @@ object Bench {
       val ss = results.map(_._3).sorted
       if (ss.isEmpty) 0.0 else math.rint(ss(ss.size / 2) * 1000) / 10
     }
+    val loadAfter = loadAvg()
+    val memAfter = memAvailGb()
+    // contention telemetry: a loaded host shows load_before ≫ CPUs or a
+    // load_after far above the suite's own parallelism — readers judge
+    // timings against these instead of re-running to adjudicate
+    val telem =
+      s""""load_before":$loadBefore,"load_after":$loadAfter,"mem_avail_gb_before":$memBefore,"mem_avail_gb_after":$memAfter"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"spread_pct":$spreadPct,"queries":$qs,"failed":${
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"spread_pct":$spreadPct,$telem,"queries":$qs,"failed":${
         failed.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
       },"sf":"$sfDir"}"""
     println(json)
@@ -112,7 +145,7 @@ object Bench {
     // Emit a second, compact, totals-only record LAST so the tail of stdout
     // always ends with a complete parseable JSON line.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"spread_pct":$spreadPct,"n_queries":${
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"spread_pct":$spreadPct,$telem,"n_queries":${
         results.size
       },"failed":${
         failed.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
