@@ -48,6 +48,45 @@ object JdbcUpsert {
        |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
   }
 
+  /** PostgreSQL upsert grammar for the same staged-batch contract:
+    * `INSERT … SELECT … ON CONFLICT (pk) DO UPDATE SET c = EXCLUDED.c`.
+    * Available since PG 9.5 (PG 15 also accepts ANSI MERGE, but ON
+    * CONFLICT is the native idiom and atomically handles the concurrent-
+    * insert race MERGE leaves to the caller). Requires a unique index on
+    * the pk — which the merged target's primary key is.
+    */
+  def upsertSql(table: String, staging: String, cols: Seq[String],
+                pk: Seq[String]): String = {
+    require(cols.toSet.intersect(pk.toSet).size == pk.size,
+      s"staged columns must include every pk column ${pk.mkString(",")}")
+    val insertCols = cols.mkString(", ")
+    val nonPk = cols.filterNot(pk.contains)
+    val sets = nonPk.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    s"""INSERT INTO $table ($insertCols) SELECT $insertCols FROM $staging
+       |ON CONFLICT (${pk.mkString(", ")}) DO UPDATE SET $sets""".stripMargin
+  }
+
+  /** Target-database grammar for the staged-batch merge: the statement
+    * differs per engine, the staging contract (overwrite-stage, one
+    * set-based statement, idempotent re-apply) does not.
+    */
+  sealed trait MergeDialect {
+    def statement(table: String, staging: String, cols: Seq[String],
+                  pk: Seq[String]): String
+  }
+
+  /** ANSI `MERGE` — SQL Server (the reference's target), Oracle, DB2. */
+  case object AnsiMerge extends MergeDialect {
+    def statement(table: String, staging: String, cols: Seq[String],
+                  pk: Seq[String]): String = mergeSql(table, staging, cols, pk)
+  }
+
+  /** PostgreSQL `INSERT … ON CONFLICT DO UPDATE`. */
+  case object PostgresOnConflict extends MergeDialect {
+    def statement(table: String, staging: String, cols: Seq[String],
+                  pk: Seq[String]): String = upsertSql(table, staging, cols, pk)
+  }
+
   // Copy via stringPropertyNames, not putAll: putAll ignores a Properties'
   // DEFAULTS table, silently dropping credentials supplied via
   // `new Properties(defaults)`.
@@ -78,48 +117,61 @@ object JdbcUpsert {
   def executeMergeViaStaging(batch: DataFrame, url: String,
                              props: java.util.Properties, table: String,
                              pk: Seq[String],
-                             staging: String = ""): Unit = {
+                             staging: String = "",
+                             dialect: MergeDialect = AnsiMerge): Unit = {
     require(batch.columns.toSeq.intersect(pk).size == pk.size,
       s"batch must carry every pk column ${pk.mkString(",")}")
     // The default staging name is UNIQUE PER CALL (target + random
     // suffix), so two concurrent jobs merging into the same target are
     // safe by default — a shared per-target name would let writer B
     // overwrite writer A's staged batch between A's write and A's MERGE.
+    // 12 hex chars is ample per-call uniqueness while keeping the name
+    // inside tight identifier limits (Postgres truncates at 63 bytes —
+    // SILENTLY, which would alias two "distinct" staging names).
     // Auto-generated staging tables are dropped once the merge commits;
     // an explicitly passed `staging` name is the caller's to manage
     // (kept afterwards, e.g. for inspection).
     val auto = staging.isEmpty
     val stg = if (auto) {
-      val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+      val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       s"${table}_stg_$suffix"
     } else staging
     batch.write.mode("overwrite").jdbc(url, stg, copyProps(props))
-    val sql = mergeSql(table, stg, batch.columns.toSeq, pk)
-    val conn = java.sql.DriverManager.getConnection(url, props)
+    // From here the staging table exists, so the cleanup scope must cover
+    // EVERYTHING that can fail after the write — including statement
+    // construction and connection acquisition, not just the merge itself.
     try {
-      conn.setAutoCommit(false)
-      val st = conn.createStatement()
+      val sql = dialect.statement(table, stg, batch.columns.toSeq, pk)
+      val conn = java.sql.DriverManager.getConnection(url, props)
       try {
-        st.executeUpdate(sql)
-        conn.commit()
-      } catch {
-        case e: Throwable =>
-          try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }
-          throw e
-      } finally {
-        // best-effort cleanup of the auto-generated staging table on BOTH
-        // paths: a failed merge must not leak a uniquely-named orphan per
-        // retry, and a cleanup failure must not mask an already-committed
-        // merge as a batch failure
-        if (auto) {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          st.executeUpdate(sql)
+          conn.commit()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }
+            throw e
+        } finally st.close()
+      } finally conn.close()
+    } finally {
+      // best-effort drop on BOTH paths, via a FRESH connection (the merge
+      // connection may never have been acquired, or may be poisoned): a
+      // failed merge must not leak a uniquely-named orphan per retry, and
+      // a cleanup failure must not mask an already-committed merge
+      if (auto) {
+        try {
+          val c = java.sql.DriverManager.getConnection(url, props)
           try {
-            st.executeUpdate(s"DROP TABLE IF EXISTS $stg")
-            conn.commit()
-          } catch { case _: Throwable => () }
-        }
-        st.close()
+            val st = c.createStatement()
+            try st.executeUpdate(s"DROP TABLE IF EXISTS $stg")
+            finally st.close()
+            if (!c.getAutoCommit) c.commit()
+          } finally c.close()
+        } catch { case _: Throwable => () }
       }
-    } finally conn.close()
+    }
   }
 
   /** Execute batched keyed UPDATEs from executors. `df` must carry

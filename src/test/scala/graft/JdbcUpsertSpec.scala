@@ -117,36 +117,69 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(rows(4L)("updated_at") == ts2020)
   }
 
-  test("executeMergeViaStaging: staged MERGE updates matches, inserts the rest, idempotent") {
+  // The staged-merge CONTRACT (stage, one set-based statement, idempotent
+  // re-apply, staging cleanup) runs against BOTH target grammars: ANSI
+  // MERGE (SQL Server — the reference's sink) and Postgres ON CONFLICT.
+  // Same batch, same assertions; only the statement the database sees
+  // differs (FakeDb logs merge: vs upsert: accordingly).
+  for ((dialect, tag) <- Seq(JdbcUpsert.AnsiMerge -> "merge",
+                             JdbcUpsert.PostgresOnConflict -> "upsert"))
+    test(s"executeMergeViaStaging [$tag]: updates matches, inserts the rest, idempotent") {
+      seedDb()
+      // snapshot batch with sink bookkeeping staged in (both grammars set
+      // every non-pk column, so the batch carries the intended final state)
+      val batch = Seq(
+        (2L, "B", 25.0, ts2021, false), // existing -> UPDATE branch
+        (5L, "E", 50.0, ts2021, false)  // new -> INSERT branch
+      ).toDF("id", "status", "price", "updated_at", "is_deleted")
+      JdbcUpsert.executeMergeViaStaging(batch, url, props, "t", pk = Seq("id"),
+        dialect = dialect)
+
+      val rows = byId
+      assert(rows.size == 5)
+      assert(rows(2L)("price") == 25.0 && rows(2L)("updated_at") == ts2021)
+      assert(rows(5L)("status") == "E" && rows(5L)("is_deleted") == false)
+      assert(rows(1L)("updated_at") == ts2020) // unmatched rows untouched
+      assert(rows(4L)("is_deleted") == true)
+      // the database saw ONE set-based statement, routed through staging
+      val merges = FakeDb.events.filter(e =>
+        e.startsWith("merge:") || e.startsWith("upsert:"))
+      assert(merges == Seq(s"$tag:t:upd=1:ins=1"), s"events: ${FakeDb.events}")
+      // the auto-generated unique staging table is dropped after the commit
+      assert(!FakeDb.tables.keySet.exists(_.startsWith("t_stg_")),
+        s"staging tables leaked: ${FakeDb.tables.keySet}")
+
+      // idempotence: re-staging and re-applying the same batch is a no-op
+      val before = FakeDb.rowsOf("t").map(_.toMap).sortBy(_("id").toString)
+      JdbcUpsert.executeMergeViaStaging(batch, url, props, "t", pk = Seq("id"),
+        dialect = dialect)
+      val after = FakeDb.rowsOf("t").map(_.toMap).sortBy(_("id").toString)
+      assert(after == before, s"second merge mutated state:\n$before\nvs\n$after")
+      assert(FakeDb.events.filter(e =>
+          e.startsWith("merge:") || e.startsWith("upsert:"))
+        == Seq(s"$tag:t:upd=1:ins=1", s"$tag:t:upd=2:ins=0"))
+    }
+
+  test("upsertSql emits the Postgres ON CONFLICT grammar") {
+    val sql = JdbcUpsert.upsertSql("t", "t_stg", Seq("id", "a", "b"), Seq("id"))
+    assert(sql ==
+      """INSERT INTO t (id, a, b) SELECT id, a, b FROM t_stg
+        |ON CONFLICT (id) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b""".stripMargin)
+  }
+
+  test("staging table is dropped even when the merge statement itself fails") {
+    // the merge fails AFTER the staging write (target doesn't exist) —
+    // cleanup must still run, on a fresh connection, or every retry
+    // leaks a uniquely-named orphan
     seedDb()
-    // snapshot batch with sink bookkeeping staged in (MERGE sets every
-    // non-pk column, so the batch carries the intended final state)
-    val batch = Seq(
-      (2L, "B", 25.0, ts2021, false), // existing -> UPDATE branch
-      (5L, "E", 50.0, ts2021, false)  // new -> INSERT branch
-    ).toDF("id", "status", "price", "updated_at", "is_deleted")
-    JdbcUpsert.executeMergeViaStaging(batch, url, props, "t", pk = Seq("id"))
-
-    val rows = byId
-    assert(rows.size == 5)
-    assert(rows(2L)("price") == 25.0 && rows(2L)("updated_at") == ts2021)
-    assert(rows(5L)("status") == "E" && rows(5L)("is_deleted") == false)
-    assert(rows(1L)("updated_at") == ts2020) // unmatched rows untouched
-    assert(rows(4L)("is_deleted") == true)
-    // the database saw ONE set-based merge, routed through the staging table
-    val merges = FakeDb.events.filter(_.startsWith("merge:"))
-    assert(merges == Seq("merge:t:upd=1:ins=1"), s"events: ${FakeDb.events}")
-    // the auto-generated unique staging table is dropped after the commit
-    assert(!FakeDb.tables.keySet.exists(_.startsWith("t_stg_")),
+    val batch = Seq((2L, "B", 25.0, ts2021, false))
+      .toDF("id", "status", "price", "updated_at", "is_deleted")
+    intercept[Exception] {
+      JdbcUpsert.executeMergeViaStaging(batch, url, props, "missing_target",
+        pk = Seq("id"))
+    }
+    assert(!FakeDb.tables.keySet.exists(_.contains("_stg_")),
       s"staging tables leaked: ${FakeDb.tables.keySet}")
-
-    // idempotence: re-staging and re-merging the same batch is a no-op
-    val before = FakeDb.rowsOf("t").map(_.toMap).sortBy(_("id").toString)
-    JdbcUpsert.executeMergeViaStaging(batch, url, props, "t", pk = Seq("id"))
-    val after = FakeDb.rowsOf("t").map(_.toMap).sortBy(_("id").toString)
-    assert(after == before, s"second merge mutated state:\n$before\nvs\n$after")
-    assert(FakeDb.events.filter(_.startsWith("merge:"))
-      == Seq("merge:t:upd=1:ins=1", "merge:t:upd=2:ins=0"))
   }
 
   test("concurrent staged merges on one target stage under distinct names") {
@@ -188,6 +221,10 @@ class JdbcUpsertSpec extends SparkSpec {
       case e if e.startsWith("insertBatch:t_stg_") => e.split(":")(1)
     }.toSet
     assert(staged.size == 2, s"staging names not unique: $staged")
+    // short fixed-width suffix: stays inside tight identifier limits
+    // (Postgres silently truncates names at 63 bytes)
+    staged.foreach(n => assert(n.matches("t_stg_[0-9a-f]{12}"),
+      s"unexpected staging name shape: $n"))
     // and neither staging table survives the merge
     assert(!FakeDb.tables.keySet.exists(_.startsWith("t_stg_")),
       s"staging tables leaked: ${FakeDb.tables.keySet}")

@@ -123,6 +123,10 @@ object FakeDb {
     // UPDATE SET of s-columns, not-matched INSERT of s-columns
     val mergeRe =
       raw"(?is)\s*MERGE\s+INTO\s+(\S+)\s+t\s+USING\s+(\S+)\s+s\s+ON\s+(.*?)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*".r
+    // JdbcUpsert.upsertSql's Postgres grammar: INSERT … SELECT … FROM
+    // staging ON CONFLICT (pk) DO UPDATE SET c = EXCLUDED.c
+    val upsertRe =
+      raw"(?is)\s*INSERT\s+INTO\s+(\S+)\s*\(([^)]*)\)\s*SELECT\s+.*?\s+FROM\s+(\S+)\s*ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+UPDATE\s+SET\s+(.*)".r
     sql match {
       case createRe(table, colDefs) =>
         val cols = colDefs.split(",").map(_.trim).filter(_.nonEmpty).map { d =>
@@ -166,6 +170,33 @@ object FakeDb {
             }
           }
           log(s"merge:${stripQuote(target)}:upd=$matched:ins=$inserted")
+        }
+      case upsertRe(target, insertCols, staging, conflictCols, setPart) =>
+        val pk = conflictCols.split(",").map(stripQuote).toSeq
+        val sets = setPart.split(",")
+          .map(_.split("=")(0).trim).map(stripQuote).toSeq
+        val insCols = insertCols.split(",").map(stripQuote).toSeq
+        lock.synchronized {
+          val t = tables.getOrElse(stripQuote(target),
+            throw new SQLException(s"no such table: $target"))
+          val s = tables.getOrElse(stripQuote(staging),
+            throw new SQLException(s"no such staging table: $staging"))
+          var matched = 0
+          var inserted = 0
+          s.rows.foreach { srow =>
+            val hits = t.rows.filter(r =>
+              pk.forall(k => r.get(k) == srow.get(k)))
+            if (hits.nonEmpty) {
+              // EXCLUDED.<c> is the would-be-inserted row, i.e. srow
+              hits.foreach(r => sets.foreach(c => r(c) = srow.getOrElse(c, null)))
+              matched += hits.size
+            } else {
+              t.rows += mutable.HashMap(
+                insCols.map(c => c -> srow.getOrElse(c, null)): _*)
+              inserted += 1
+            }
+          }
+          log(s"upsert:${stripQuote(target)}:upd=$matched:ins=$inserted")
         }
       case other => throw new SQLException(s"unsupported DDL: $other")
     }
