@@ -36,25 +36,73 @@ object SparkEntry {
     * through it rather than re-deriving the conversion.
     */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosOnDisk = eventsTsIsNanos(s, dir)
+    // The legacy conf is flipped ONLY for the nanos vintage — and must
+    // then stay set through execution (the vectorized reader re-reads it
+    // at scan time). Modern vintages leave session config untouched: a
+    // reader that mutates session state unconditionally is the class of
+    // spooky action the round-6 incident came from.
+    if (nanosOnDisk) s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(s, dir, "events")
     df.schema("ts").dataType match {
-      case LongType =>
+      case LongType if nanosOnDisk =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         // plain timestamp[us] parquet surfaces as NTZ; cast to TimestampType
-        // (identity on the stored micros under the UTC session timezone) so
-        // every vintage yields the same downstream column type
+        // (identity on the stored micros ONLY under a UTC session timezone —
+        // any other zone would silently shift every event, so fail fast
+        // like the unhandled-vintage branch does)
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts arrives as TIMESTAMP_NTZ; the TimestampType cast is " +
+            s"micros-preserving only under spark.sql.session.timeZone=UTC " +
+            s"(session has '$tz')")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => df
       case other =>
         // fail FAST with the column named — a silent passthrough would
         // defer this to ten unrelated-looking downstream query errors
-        // (the round-6 failure mode this reader exists to prevent)
+        // (the round-6 failure mode this reader exists to prevent).
+        // A plain INT64 ts (no timestamp annotation) lands here too,
+        // instead of being silently div-1000'd as if it were nanos.
         throw new IllegalArgumentException(
           s"events.ts: unhandled on-disk type $other — teach " +
             "SparkEntry.events() this vintage")
     }
+  }
+
+  /** True iff the on-disk `events.ts` column is parquet TIMESTAMP(NANOS),
+    * decided from the parquet FOOTER of one data file rather than by
+    * attempting a Spark read — Spark only accepts the nanos vintage with
+    * the session-wide `nanosAsLong` conf set, and `events()` must not
+    * flip that conf for vintages that don't need it.
+    */
+  private def eventsTsIsNanos(s: SparkSession, dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$dir/events.parquet")
+    val conf = s.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    // testdata ships a single file; Spark-written tables are directories
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"no parquet data files under $root"))
+      else root
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFileMetaData.getSchema
+      schema.containsField("ts") &&
+        (schema.getType(schema.getFieldIndex("ts"))
+          .getLogicalTypeAnnotation match {
+          case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+    } finally reader.close()
   }
 
   private val dec2 = DecimalType(18, 2)

@@ -90,6 +90,30 @@ class TestDataCanarySpec extends SparkSpec {
     }
   }
 
+  test("events() leaves session config untouched on modern-vintage data") {
+    // the reader flips nanosAsLong ONLY when the parquet footer carries
+    // TIMESTAMP(NANOS); a modern timestamp[us] table must not have its
+    // session mutated as a read side-effect
+    val tmp = Files.createTempDirectory("canary-modern").toString
+    try {
+      spark.range(3)
+        .selectExpr("id AS event_id", "timestamp_micros(id * 1000000) AS ts",
+          "id AS user_id", "'x' AS event_type", "0.0 AS value", "'' AS props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val s2 = spark.newSession()
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val before = s2.conf.getOption(key)
+      val df = SparkEntry.events(s2, tmp)
+      assert(df.schema("ts").dataType == TimestampType)
+      assert(df.count() == 3)
+      assert(s2.conf.getOption(key) == before,
+        s"events() mutated $key on modern-vintage data: " +
+          s"$before -> ${s2.conf.getOption(key)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("a deliberate ts-type flip is caught by the canary, not dead queries") {
     val tmp = Files.createTempDirectory("canary").toString
     try {
