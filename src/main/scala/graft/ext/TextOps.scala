@@ -644,6 +644,13 @@ object TextOps {
     *
     * Appends `n_tokens`, `logit_milli` (exact integer sum),
     * `quality_logit` (truncated mean), `kept`.
+    *
+    * NULL-document policy (explicit): a NULL `textCol` propagates NULL
+    * through `n_tokens`/`logit_milli`/`quality_logit` (there is nothing
+    * to score), but `kept` is coalesced to FALSE — a null document is
+    * never kept, so `filter(col("kept"))` drops it and
+    * `filter(!col("kept"))` retains it in the dropped set, instead of
+    * both filters silently discarding it on a NULL flag.
     */
   def qualityClassifierScore(df: DataFrame, textCol: String,
                              nBuckets: Int = 1024,
@@ -666,7 +673,7 @@ object TextOps {
     df.withColumn("n_tokens", n.cast("long"))
       .withColumn("logit_milli", zMilli)
       .withColumn("quality_logit", score)
-      .withColumn("kept", score >= threshold)
+      .withColumn("kept", coalesce(score >= threshold, lit(false)))
   }
 
   /** Corpus-trained statistical language-model quality scoring — the
@@ -830,26 +837,32 @@ object TextOps {
                      nBins: Int): DataFrame = {
     require(binWidth > 0 && nBins > 0,
       s"binWidth/nBins must be positive: $binWidth/$nBins")
+    // caller-supplied names referenced as exact columns, dots and all:
+    // col() would parse an unquoted dot as a struct-field access
+    def q(name: String): Column = col("`" + name.replace("`", "``") + "`")
     def binned(df: DataFrame, n: String): DataFrame = df
-      .select(col(keyCol),
+      .select(q(keyCol),
         // clamped on BOTH ends: the top by nBins, the bottom so a
         // negative metric cannot escape the bin range (note the
         // non-negative precondition still matters for oracle parity —
-        // Spark's div truncates toward zero while SQL `//` floors)
-        greatest(least(expr(s"CAST($valueCol AS BIGINT) div $binWidth"),
+        // Spark's div truncates toward zero while SQL `//` floors).
+        // Column API throughout (call_function, not a string expr): a
+        // column name needing backticks must not break the bin parse.
+        greatest(least(
+          call_function("div", q(valueCol).cast("bigint"), lit(binWidth)),
           lit(nBins - 1L)), lit(0L)).as("bin"))
-      .groupBy(col(keyCol), col("bin"))
+      .groupBy(q(keyCol), col("bin"))
       .agg(count(lit(1)).as(n))
     val ca = binned(a, "n_a")
     val cb = binned(b, "n_b")
     val j = ca.join(cb, Seq(keyCol, "bin"), "full_outer")
-      .select(col(keyCol), col("bin"),
+      .select(q(keyCol), col("bin"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
     // per-key totals as a window over the lattice — same pass, no
     // second aggregation branch for the optimizer to (maybe) dedup
     val byKey = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol))
+      .partitionBy(q(keyCol))
     j.withColumn("__tot_a", sum(col("n_a")).over(byKey))
       .withColumn("__tot_b", sum(col("n_b")).over(byKey))
       .withColumn("share_a_micro",

@@ -617,6 +617,37 @@ class TextOpsSpec extends SparkSpec {
     assert(perBatch == score(all))
   }
 
+  test("qualityClassifierScore: NULL document scores NULL but kept is FALSE") {
+    // the declared null policy: nothing to score (NULL n_tokens/logit/
+    // quality_logit), but the document is decidedly NOT kept — so
+    // filter(kept) drops it while filter(!kept) retains it, instead of
+    // both filters silently discarding a NULL flag
+    val out = TextOps.qualityClassifierScore(
+        Seq((1L, "alpha beta"), (2L, null)).toDF("id", "text"), "text")
+    val nullDoc = out.filter(col("id") === 2L).head()
+    assert(nullDoc.isNullAt(nullDoc.fieldIndex("n_tokens")))
+    assert(nullDoc.isNullAt(nullDoc.fieldIndex("logit_milli")))
+    assert(nullDoc.isNullAt(nullDoc.fieldIndex("quality_logit")))
+    assert(nullDoc.getBoolean(nullDoc.fieldIndex("kept")) == false)
+    assert(out.filter(col("kept")).count() +
+      out.filter(!col("kept")).count() == 2, "every document must be decided")
+  }
+
+  test("histogramDrift handles column names that need backtick quoting") {
+    // the bin expression is Column-built, so a name with spaces/dots
+    // must bin identically to a plain name (a raw-string expr() parse
+    // would either throw or resolve the wrong thing)
+    val a = Seq(("k1", 10L), ("k1", 60L)).toDF("source", "my value.v2")
+    val b = Seq(("k1", 10L)).toDF("source", "my value.v2")
+    val rows = TextOps.histogramDrift(a, b, "source", "my value.v2",
+        binWidth = 50L, nBins = 6)
+      .select("source", "bin", "n_a", "n_b").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows(("k1", 0L)) == ((1L, 1L)))
+    assert(rows(("k1", 1L)) == ((1L, 0L)))
+  }
+
   test("histogramDrift: exact micro-shares, missing bins, capped top bin") {
     // A: key k1 values 10, 60, 310 → bins 0, 1, 5 (capped); k2 value 10
     // B: k1 values 10, 10, 60  → bins 0, 0, 1
