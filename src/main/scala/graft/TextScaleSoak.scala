@@ -53,6 +53,9 @@ object TextScaleSoak {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the persisted-LM leg saveAsTable's into a throwaway warehouse
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("soak-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -71,6 +74,38 @@ object TextScaleSoak {
         .agg(count(lit(1)).as("rows"),
           avg(col("mean_prob")).as("avg_prob")).head()
     }
+    // persisted split — the production cadence the docs claim amortizes:
+    // train the model ONCE (writeBigramLm), then score three incoming
+    // batches of n/10 fresh docs against it. Batch cost must sit well
+    // under the one-shot train+score, or the split buys nothing.
+    val (_, tTrain) = time {
+      TextOps.writeBigramLm(docs, "doc_id", "text", "soak_lm")
+    }
+    val batchSecs = (1 to 3).map { b =>
+      val batch = soakDocs(spark, n / 10, seed = 100L + b,
+          parallelism = cpus.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBatch = batch.count() // materialize outside the timing window
+      val (scored, tB) = time {
+        TextOps.scoreAgainstBigramLm(spark, "soak_lm", batch,
+            "doc_id", "text")
+          .agg(count(lit(1)).as("rows"), avg(col("mean_prob")).as("p"))
+          .head()
+      }
+      batch.unpersist()
+      assert(scored.getLong(0) == nBatch,
+        s"batch $b: scored ${scored.getLong(0)} of $nBatch docs")
+      assert(scored.getDouble(1) > 0.0,
+        s"batch $b: degenerate all-zero scores")
+      tB
+    }
+    // amortization, asserted not narrated: every per-batch score run
+    // (1/10th the corpus) must beat the one-shot train+score of the
+    // full corpus by a wide margin
+    assert(batchSecs.max < (tTrain + tLm) / 2,
+      s"persisted path does not amortize: batches $batchSecs vs " +
+        s"train $tTrain + one-shot $tLm")
+
     val (qcStats, tQc) = time {
       TextOps.qualityClassifierScore(docs, "text")
         .agg(count(lit(1)).as("rows"),
@@ -96,7 +131,7 @@ object TextScaleSoak {
     assert(kept > 0 && kept < total, s"degenerate classifier split: $kept/$total")
 
     println(
-      s"""{"n":$total,"span_sec":${math.rint(tSpan * 10) / 10},"docs_with_dups":${spanStats.getLong(0)},"covered_tokens":${spanStats.getLong(1)},"lm_sec":${math.rint(tLm * 10) / 10},"avg_prob":${math.rint(lmStats.getDouble(1) * 1e6) / 1e6},"qc_sec":${math.rint(tQc * 10) / 10},"qc_kept":$kept}""")
+      s"""{"n":$total,"span_sec":${math.rint(tSpan * 10) / 10},"docs_with_dups":${spanStats.getLong(0)},"covered_tokens":${spanStats.getLong(1)},"lm_sec":${math.rint(tLm * 10) / 10},"avg_prob":${math.rint(lmStats.getDouble(1) * 1e6) / 1e6},"lm_train_sec":${math.rint(tTrain * 10) / 10},"lm_batch_secs":${batchSecs.map(t => math.rint(t * 10) / 10).mkString("[", ",", "]")},"qc_sec":${math.rint(tQc * 10) / 10},"qc_kept":$kept}""")
     spark.stop()
   }
 }
