@@ -865,6 +865,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL JDK audio decode (oracle-checked by round-trip
+    // prediction, the audio twin of q106): Spark assembles deterministic
+    // 16-bit PCM WAVs, decodes them back through javax.sound.sampled,
+    // and reports the header-parsed sample rate (pure codegen) next to
+    // decoded format, sample count, duration, and exact-integer mean
+    // amplitude. PCM is lossless → DuckDB predicts every value from
+    // doc_id without touching an audio library.
+    "q107_audio_features_wav" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 4 === 1)
+      val media = Multimodal.syntheticRealWav(docs, "doc_id")
+        .withColumn("header_sample_rate",
+          Multimodal.wavHeaderSampleRate(col("payload")))
+      Multimodal.extractAudioFeatures(media, "payload",
+          Multimodal.decodeAudioOrStub)
+        .withColumn("duration_ms", call_function("div",
+          col("n_samples") * lit(1000L), col("sample_rate").cast("long")))
+        .select(col("doc_id"), col("header_sample_rate"), col("sample_rate"),
+          col("channels"), col("n_samples"), col("duration_ms"),
+          col("mean_abs"))
+        .orderBy("doc_id")
+    }),
+
     // ---- embedding-cosine near-dup: exact all-pairs (oracle-checked;
     // native DotExpr per pair — bit-identical, spec-pinned) -------------------
     "q37_cosine_near_dup" -> ((s, dir) => {
@@ -2215,6 +2238,29 @@ object SparkEntry {
         |  CAST(3 AS INT) AS channels,
         |  SUM(luma_milli)::DOUBLE / (w * h * 255000)::DOUBLE AS mean_luma
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // the audio round trip, predicted without a codec: sample i of
+    // doc_id's WAV is floorMod(doc_id + 7919·i, 65536) − 32768, PCM is
+    // lossless, and the decoder's mean amplitude is an exact integer
+    // sum over |sample| — plain arithmetic end to end.
+    "q107_audio_features_wav" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 400 + (doc_id % 3) * 200 AS n
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |s AS (
+        |  SELECT i.doc_id, i.n,
+        |    abs((i.doc_id + 7919 * gx.x) % 65536 - 32768) AS a
+        |  FROM ids i
+        |  CROSS JOIN generate_series(0, 799) AS gx(x)
+        |  WHERE gx.x < i.n)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS header_sample_rate,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  n AS n_samples,
+        |  (n * 1000) // 8000 AS duration_ms,
+        |  SUM(a)::DOUBLE / (n * 32768)::DOUBLE AS mean_abs
+        |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     "q37_cosine_near_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

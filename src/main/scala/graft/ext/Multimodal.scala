@@ -199,6 +199,158 @@ object Multimodal {
   def extractImageFeaturesReal(df: DataFrame, payloadCol: String): DataFrame =
     extractImageFeatures(df, payloadCol, decodeImageOrStub)
 
+  // -------------------------------------------------------------- audio
+
+  /** Decoded-audio record produced by the audio decode stage. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int,
+                                nSamples: Long, meanAbs: Double)
+
+  /** STUB audio decode — the deterministic fallback for containers the
+    * JDK parser rejects, hash-derived like [[decodeImageStub]] (same
+    * digest input: the payload's uppercase hex).
+    */
+  def decodeAudioStub(payload: Array[Byte]): DecodedAudio = {
+    val img = decodeImageStub(payload) // same stable hash-derived bytes
+    val rates = Array(8000, 16000, 22050, 44100)
+    DecodedAudio(rates(img.width % 4), 1 + img.height % 2,
+      1000L + (img.width.toLong * img.height % 50000L), img.meanLuma)
+  }
+
+  /** REAL audio decode through the JDK's `javax.sound.sampled` (WAV/
+    * AIFF/AU parsers ship with the JDK and need no audio device —
+    * parsing is headless-safe). Returns None when no reader accepts the
+    * payload or the format isn't 16-bit signed PCM (the lossless
+    * round-trip contract q107 pins).
+    *
+    * Mean absolute amplitude mirrors the image path's luma discipline:
+    * |sample| summed in a Long across all channels — exact and
+    * order-independent — then ONE double division by
+    * (totalSamples * 32768), so the result is bit-stable and
+    * predictable by any engine that knows the PCM samples (WAV is
+    * lossless, which is what makes q107 oracle-checkable).
+    */
+  def decodeAudioReal(payload: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val ok = fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!ok) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2 // 16-bit samples across all channels
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort
+            sum += math.abs(s.toLong)
+            i += 1
+          }
+          val channels = fmt.getChannels
+          Some(DecodedAudio(fmt.getSampleRate.toInt, channels,
+            n.toLong / channels, sum.toDouble / (n.toLong * 32768L)))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Real decode with declared stub fallback — the audio analog of
+    * [[decodeImageOrStub]].
+    */
+  def decodeAudioOrStub(payload: Array[Byte]): DecodedAudio =
+    decodeAudioReal(payload).getOrElse(decodeAudioStub(payload))
+
+  /** Audio feature schema appended by `extractAudioFeatures`. */
+  val AudioFeatureSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("mean_abs", DoubleType)))
+
+  /** Batched audio decode + feature extraction — the same
+    * `mapPartitions` seam as [[extractImageFeatures]]: payloads are
+    * DROPPED on the way out so the expensive bytes never cross the next
+    * shuffle.
+    */
+  def extractAudioFeatures(df: DataFrame, payloadCol: String,
+      decode: Array[Byte] => DecodedAudio = decodeAudioOrStub): DataFrame = {
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val keptIdx = inSchema.indices.filterNot(_ == payloadIdx)
+    val outSchema = StructType(
+      keptIdx.map(inSchema.fields(_)) ++ AudioFeatureSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val a = decode(r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(keptIdx.map(r.get) ++
+          Seq[Any](a.sampleRate, a.channels, a.nSamples, a.meanAbs))
+      }
+    }(enc)
+  }
+
+  /** Deterministic REAL WAV: 16-bit signed little-endian mono PCM whose
+    * sample i is `floorMod(seed + 7919·i, 65536) − 32768`, wrapped in a
+    * hand-assembled canonical 44-byte RIFF/WAVE header. PCM WAV is
+    * lossless, so a decoder recovers these exact samples — the audio
+    * analog of [[encodePngDeterministic]], and what lets q107 check the
+    * real JDK audio decode against a SQL oracle that never touches a
+    * codec.
+    */
+  def encodeWavDeterministic(seed: Long, nSamples: Int,
+                             sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((Math.floorMod(seed + 7919L * i, 65536L) - 32768L).toShort)
+      i += 1
+    }
+    bb.array
+  }
+
+  /** (id, payload) table of deterministic real WAVs, one per input row:
+    * 400 + (id%3)·200 samples at 8 kHz — the audio twin of
+    * [[syntheticRealPng]].
+    */
+  def syntheticRealWav(docs: DataFrame, idCol: String): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodeWavDeterministic(id, 400 + (id % 3).toInt * 200))
+      }
+    }(enc)
+  }
+
+  /** Sample rate parsed from the canonical WAV fmt chunk as a PURE
+    * column expression (little-endian word at byte offset 24; bytes
+    * reassembled in reverse for the hex→int conversion). NULL for
+    * non-RIFF/WAVE payloads or ones shorter than the canonical header —
+    * q107 cross-checks this against the full decode.
+    */
+  def wavHeaderSampleRate(payload: Column): Column =
+    when(sniffFormat(payload) === "riff" &&
+        substring(payload, 9, 4) === lit("WAVE".getBytes("US-ASCII")) &&
+        length(payload) >= 44,
+      conv(concat(
+        hex(substring(payload, 28, 1)), hex(substring(payload, 27, 1)),
+        hex(substring(payload, 26, 1)), hex(substring(payload, 25, 1))),
+        16, 10).cast("long"))
+
   // ------------------------------------------------------------- resize
 
   /** STUB resize: a real implementation would scale pixels; here the

@@ -151,6 +151,75 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // A REAL mono 16-bit PCM WAV, hand-assembled byte by byte in the test
+  // (44-byte canonical header + 4 known samples): 0, +16384, −32768,
+  // +32767. Expected mean |amplitude| = (0+16384+32768+32767)/(4·32768).
+  private def pinnedWav: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(52)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(44)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+      .putShort(0).putShort(16384).putShort(-32768).putShort(32767)
+    bb.array
+  }
+
+  test("decodeAudioReal recovers the hand-assembled WAV sample-for-sample") {
+    val a = Multimodal.decodeAudioReal(pinnedWav).get
+    assert(a.sampleRate == 8000)
+    assert(a.channels == 1)
+    assert(a.nSamples == 4)
+    assert(a.meanAbs == (0L + 16384 + 32768 + 32767).toDouble / (4L * 32768))
+  }
+
+  test("decodeAudioReal returns None on non-audio payloads; OrStub falls back") {
+    val junk = "RIFFnot really audio".getBytes("US-ASCII")
+    assert(Multimodal.decodeAudioReal(junk).isEmpty)
+    assert(Multimodal.decodeAudioReal(pinnedPng).isEmpty)
+    assert(Multimodal.decodeAudioOrStub(junk) == Multimodal.decodeAudioStub(junk))
+  }
+
+  test("encodeWavDeterministic round-trips through the real decoder exactly") {
+    for (seed <- Seq(1L, 5L, 98765L)) {
+      val n = 400 + (seed % 3).toInt * 200
+      val a = Multimodal.decodeAudioReal(
+        Multimodal.encodeWavDeterministic(seed, n)).get
+      assert(a.sampleRate == 8000 && a.channels == 1 && a.nSamples == n)
+      var sum = 0L
+      for (i <- 0 until n)
+        sum += math.abs(Math.floorMod(seed + 7919L * i, 65536L) - 32768L)
+      assert(a.meanAbs == sum.toDouble / (n.toLong * 32768L))
+    }
+  }
+
+  test("wavHeaderSampleRate parses the fmt chunk; null on non-WAV") {
+    val df = Seq((1L, pinnedWav), (2L, "RIFFxxxxAVI LIST".getBytes),
+        (3L, "plain".getBytes)).toDF("id", "payload")
+    val got = df.select(col("id"),
+        Multimodal.wavHeaderSampleRate(col("payload")).as("sr"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L) == Some(8000L))
+    assert(got(2L) == None) // RIFF but not WAVE
+    assert(got(3L) == None)
+  }
+
+  test("extractAudioFeatures maps partitions, drops payload, keeps other cols") {
+    val df = Seq((1L, "x", pinnedWav), (2L, "y", "junk".getBytes))
+      .toDF("id", "tag", "payload")
+    val out = Multimodal.extractAudioFeatures(df, "payload")
+    assert(out.columns.toSeq == Seq("id", "tag", "sample_rate", "channels",
+      "n_samples", "mean_abs"))
+    val real = out.filter(col("id") === 1L).head()
+    assert(real.getAs[Int]("sample_rate") == 8000)
+    assert(real.getAs[Long]("n_samples") == 4L)
+    val stubbed = out.filter(col("id") === 2L).head()
+    val expect = Multimodal.decodeAudioStub("junk".getBytes)
+    assert(stubbed.getAs[Int]("sample_rate") == expect.sampleRate)
+  }
+
   test("resizePlan fits within the box preserving aspect, never upscales") {
     val df = Seq((1000, 500), (100, 200), (50, 50)).toDF("w", "h")
     val out = Multimodal.resizePlan(df, "w", "h", maxW = 256, maxH = 256)
