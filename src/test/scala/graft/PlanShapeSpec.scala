@@ -159,19 +159,21 @@ class PlanShapeSpec extends SparkSpec {
       s"coverage aggregate lost its map-side partial:\n$plan")
   }
 
-  test("q106 imageio: payload bytes never cross an exchange") {
+  test("q106/q107 media decode: payload bytes never cross an exchange") {
     // the multimodal contract: payloads are born at the edge of the plan
     // (encode inside mapPartitions), decoded and DROPPED in the same
     // seam — only the small feature rows reach the final sort's shuffle.
     // A payload column in any Exchange's input means the decode seam
     // stopped pruning the expensive bytes.
-    val plan = q("q106_image_features_imageio").queryExecution.executedPlan
-    val leaks = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.Exchange
-          if e.child.output.exists(_.name == "payload") => e
+    for (name <- Seq("q106_image_features_imageio", "q107_audio_features_wav")) {
+      val plan = q(name).queryExecution.executedPlan
+      val leaks = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange
+            if e.child.output.exists(_.name == "payload") => e
+      }
+      assert(leaks.isEmpty,
+        s"$name: payload crosses ${leaks.size} exchange(s):\n${plan.toString}")
     }
-    assert(leaks.isEmpty,
-      s"payload crosses ${leaks.size} exchange(s):\n${plan.toString}")
   }
 
   test("q73 outliers: group stats join back as a broadcast, never SMJ") {
