@@ -888,6 +888,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL multi-frame decode (oracle-checked by
+    // round-trip prediction — the video-shaped member of the q106/q107
+    // family): Spark writes deterministic animated GIFs over an identity
+    // grayscale palette (lossless regardless of writer palette order),
+    // decodes every stored frame back through the JDK GIF reader, and
+    // emits one row per frame. DuckDB predicts each frame's dims and
+    // exact mean luma arithmetically from doc_id.
+    "q108_video_frames_gif" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 4 === 2)
+      val media = Multimodal.syntheticRealGif(docs, "doc_id")
+      Multimodal.extractFrameFeatures(media, "payload")
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("mean_luma"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ---- embedding-cosine near-dup: exact all-pairs (oracle-checked;
     // native DotExpr per pair — bit-identical, spec-pinned) -------------------
     "q37_cosine_near_dup" -> ((s, dir) => {
@@ -2261,6 +2278,27 @@ object SparkEntry {
         |  (n * 1000) // 8000 AS duration_ms,
         |  SUM(a)::DOUBLE / (n * 32768)::DOUBLE AS mean_abs
         |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    // frame f, pixel (x,y) of doc_id's GIF holds gray level
+    // (doc_id + 7x + 13y + 31f) mod 256; grayscale luma is 1000·level
+    // milli-units, so each frame's mean is exact integer arithmetic.
+    "q108_video_frames_gif" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+        |    2 + doc_id % 3 AS nf
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |px AS (
+        |  SELECT i.doc_id, i.w, i.h, gf.f,
+        |    (i.doc_id + 7 * gx.x + 13 * gy.y + 31 * gf.f) % 256 AS v
+        |  FROM ids i
+        |  CROSS JOIN generate_series(0, 3) AS gf(f)
+        |  CROSS JOIN generate_series(0, 11) AS gx(x)
+        |  CROSS JOIN generate_series(0, 9) AS gy(y)
+        |  WHERE gf.f < i.nf AND gx.x < i.w AND gy.y < i.h)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  (1000 * SUM(v))::DOUBLE / (w * h * 255000)::DOUBLE AS mean_luma
+        |FROM px GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q37_cosine_near_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

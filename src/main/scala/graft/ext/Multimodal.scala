@@ -121,29 +121,54 @@ object Multimodal {
     * Grayscale needs no special case: getRGB expands gray to R=G=B and
     * the milli-weights sum to 1000.
     */
+  private def featuresOf(img: java.awt.image.BufferedImage): DecodedImage = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += 299L * ((rgb >>> 16) & 0xFF) + 587L * ((rgb >>> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(w, h, img.getColorModel.getNumComponents,
+      sum.toDouble / (w.toLong * h * 1000L * 255L))
+  }
+
   def decodeImageReal(payload: Array[Byte]): Option[DecodedImage] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += 299L * ((rgb >>> 16) & 0xFF) + 587L * ((rgb >>> 8) & 0xFF) +
-              114L * (rgb & 0xFF)
-            x += 1
-          }
-          y += 1
+      if (img == null) None else Some(featuresOf(img))
+    } catch { case _: Exception => None }
+
+  /** REAL multi-frame decode for animated containers (the JDK's GIF
+    * reader exposes frame sequences): one [[DecodedImage]] per stored
+    * frame, in order. None when no reader accepts the payload; a
+    * single-frame image yields a 1-element sequence. This is the decode
+    * half of the video story — [[sampleFramePlan]] picks indices, this
+    * reads them.
+    */
+  def decodeImageFramesReal(payload: Array[Byte]): Option[Seq[DecodedImage]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            Some((0 until n).map(i => featuresOf(reader.read(i))))
+          } finally reader.dispose()
         }
-        val channels = img.getColorModel.getNumComponents
-        Some(DecodedImage(w, h, channels,
-          sum.toDouble / (w.toLong * h * 1000L * 255L)))
-      }
+      } finally iis.close()
     } catch { case _: Exception => None }
 
   /** Real decode with declared stub fallback: payloads ImageIO cannot
@@ -431,6 +456,104 @@ object Multimodal {
         val w = 8 + (id % 5).toInt
         val h = 8 + (id % 3).toInt
         Row(id, encodePngDeterministic(id, w, h))
+      }
+    }(enc)
+  }
+
+  /** Frame-level feature extraction for animated containers: one output
+    * row PER FRAME (doc rows explode by their stored frame count), same
+    * payload-dropping `mapPartitions` seam as the still-image path.
+    * Output schema = input columns (minus payload) + frame_idx +
+    * ImageFeatureSchema minus aspect (kept lean). Payloads ImageIO
+    * cannot parse yield ONE stub row with frame_idx 0 — total like the
+    * other decoders.
+    */
+  def extractFrameFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val keptIdx = inSchema.indices.filterNot(_ == payloadIdx)
+    val outSchema = StructType(
+      keptIdx.map(inSchema.fields(_)) ++ Seq(
+        StructField("frame_idx", IntegerType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("mean_luma", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val frames = decodeImageFramesReal(payload)
+          .getOrElse(Seq(decodeImageStub(payload)))
+        val kept = keptIdx.map(r.get)
+        frames.zipWithIndex.map { case (f, i) =>
+          Row.fromSeq(kept ++ Seq[Any](i, f.width, f.height, f.meanLuma))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic REAL animated GIF: `nFrames` w×h frames of
+    * TYPE_BYTE_INDEXED pixels over an identity GRAYSCALE palette —
+    * pixel (x,y) of frame f holds gray level
+    * `floorMod(seed + 7x + 13y + 31f, 256)`. Grayscale is the trick
+    * that makes the round trip lossless no matter what the GIF writer
+    * does to palette ORDER: a reader recovers the colors, and every
+    * gray color maps back to exactly one level, so the decoded luma is
+    * `level/255` exactly (the Rec.601 milli-weights sum to 1000). That
+    * is what lets q108 oracle-check frame-level decode arithmetic.
+    */
+  def encodeGifDeterministic(seed: Long, w: Int, h: Int,
+                             nFrames: Int): Array[Byte] = {
+    val gray = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              Math.floorMod(seed + 7L * x + 13L * y + 31L * f, 256L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** (id, payload) table of deterministic real animated GIFs: dims
+    * 8+(id%5) × 8+(id%3), 2+(id%3) frames — the multi-frame twin of
+    * [[syntheticRealPng]]/[[syntheticRealWav]].
+    */
+  def syntheticRealGif(docs: DataFrame, idCol: String): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodeGifDeterministic(id, 8 + (id % 5).toInt,
+          8 + (id % 3).toInt, 2 + (id % 3).toInt))
       }
     }(enc)
   }

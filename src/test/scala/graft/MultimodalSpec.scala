@@ -220,6 +220,46 @@ class MultimodalSpec extends SparkSpec {
     assert(stubbed.getAs[Int]("sample_rate") == expect.sampleRate)
   }
 
+  test("encodeGifDeterministic frames round-trip through the real decoder exactly") {
+    for (seed <- Seq(2L, 6L, 31337L)) {
+      val w = 8 + (seed % 5).toInt
+      val h = 8 + (seed % 3).toInt
+      val nf = 2 + (seed % 3).toInt
+      val frames = Multimodal.decodeImageFramesReal(
+        Multimodal.encodeGifDeterministic(seed, w, h, nf)).get
+      assert(frames.size == nf)
+      frames.zipWithIndex.foreach { case (fr, f) =>
+        assert(fr.width == w && fr.height == h)
+        var sum = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          sum += Math.floorMod(seed + 7L * x + 13L * y + 31L * f, 256L)
+        // grayscale: luma milli-weights sum to 1000·level
+        assert(fr.meanLuma == (1000L * sum).toDouble / (w.toLong * h * 1000L * 255L),
+          s"seed=$seed frame=$f")
+      }
+    }
+  }
+
+  test("decodeImageFramesReal: single-frame image yields one element; junk None") {
+    val frames = Multimodal.decodeImageFramesReal(pinnedPng).get
+    assert(frames == Seq(Multimodal.decodeImageReal(pinnedPng).get))
+    assert(Multimodal.decodeImageFramesReal("junk".getBytes).isEmpty)
+  }
+
+  test("extractFrameFeatures explodes frames, stubs unparseable payloads") {
+    val gif = Multimodal.encodeGifDeterministic(2L, 10, 10, 4)
+    val df = Seq((1L, gif), (2L, "junk".getBytes)).toDF("id", "payload")
+    val out = Multimodal.extractFrameFeatures(df, "payload")
+    assert(out.columns.toSeq ==
+      Seq("id", "frame_idx", "width", "height", "mean_luma"))
+    val gifRows = out.filter(col("id") === 1L).collect()
+    assert(gifRows.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 1, 2, 3))
+    val stubRows = out.filter(col("id") === 2L).collect()
+    assert(stubRows.length == 1 && stubRows(0).getAs[Int]("frame_idx") == 0)
+    assert(stubRows(0).getAs[Int]("width") ==
+      Multimodal.decodeImageStub("junk".getBytes).width)
+  }
+
   test("resizePlan fits within the box preserving aspect, never upscales") {
     val df = Seq((1000, 500), (100, 200), (50, 50)).toDF("w", "h")
     val out = Multimodal.resizePlan(df, "w", "h", maxW = 256, maxH = 256)

@@ -165,7 +165,8 @@ class PlanShapeSpec extends SparkSpec {
     // seam — only the small feature rows reach the final sort's shuffle.
     // A payload column in any Exchange's input means the decode seam
     // stopped pruning the expensive bytes.
-    for (name <- Seq("q106_image_features_imageio", "q107_audio_features_wav")) {
+    for (name <- Seq("q106_image_features_imageio", "q107_audio_features_wav",
+                     "q108_video_frames_gif")) {
       val plan = q(name).queryExecution.executedPlan
       val leaks = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.Exchange
