@@ -260,6 +260,35 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeImageStub("junk".getBytes).width)
   }
 
+  test("extractImageFeaturesReal runs under Structured Streaming, batch-identical") {
+    // the decode seam is a plain Dataset transform, so streaming
+    // multimodal ingest (readStream → decode → features) works without
+    // a separate code path — streamed output must equal the batch run
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val payloads = Seq(
+      (1L, pinnedPng), // real decode
+      (2L, Multimodal.encodePngDeterministic(7L, 9, 8)),
+      (3L, (png ++ "junk".getBytes))) // stub fallback
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.extractImageFeaturesReal(
+        in.toDF().toDF("id", "payload"), "payload")
+      .writeStream.format("memory").queryName("media_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(payloads.take(2))
+      q.processAllAvailable()
+      in.addData(payloads.drop(2)) // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("media_stream").collect()
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val batch = Multimodal.extractImageFeaturesReal(
+          payloads.toDF("id", "payload"), "payload").collect()
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(streamed.length == 3 && streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("resizePlan fits within the box preserving aspect, never upscales") {
     val df = Seq((1000, 500), (100, 200), (50, 50)).toDF("w", "h")
     val out = Multimodal.resizePlan(df, "w", "h", maxW = 256, maxH = 256)
