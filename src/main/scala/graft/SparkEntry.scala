@@ -905,6 +905,67 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- unicode NFC normalization (oracle-checked): the normal-form-
+    // first hygiene pass every byte-keyed operator depends on. Each
+    // document gains a DECOMPOSED suffix (combining acute/ring/diaeresis
+    // as separate codepoints) so the native graft_unicode_norm expression
+    // does real composition work on every row; DuckDB's nfc_normalize is
+    // the independent UAX #15 implementation the md5s must agree with.
+    "q109_nfc_normalize" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          lit("\nCafe\u0301 A\u030A nai\u0308ve nr "),
+          col("doc_id").cast("string")))
+      TextOps.withNormalizedText(aug, "text", "NFC")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_raw"),
+          length(col("text_norm")).cast("long").as("len_nfc"),
+          col("norm_changed"),
+          md5(col("text_norm")).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- CCNet-style normalized-key dedup (oracle-checked): paragraph
+    // dedup under the aggressive public normalization (Wenzek et al.
+    // 2020 — lowercase, de-accent, digits→0, punctuation→space). Three
+    // surface-distinct suffix variants (decomposed uppercase, composed
+    // lowercase, bare ASCII — different digits and punctuation) are
+    // planted per doc_id%3 and MUST collapse to one key, so the
+    // canonical-pick exercises real cross-variant collisions; the
+    // shuffle carries only (key_md5, doc_id), never documents.
+    "q110_ccnet_dedup" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit("\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("Re\u0301sume\u0301 CAFE\u0301 42!"))
+          .when(col("doc_id") % 3 === 1,
+            lit("r\u00E9sum\u00E9 caf\u00E9 13?"))
+          .otherwise(lit("resume cafe 00"))))
+      val keyed = TextOps.withCcnetKey(aug, "text")
+      val w = Window.partitionBy("key_md5").orderBy("doc_id")
+      keyed
+        .select(col("doc_id"), col("key_md5"),
+          (row_number().over(w) === 1).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- control-char / zero-width cleanup (oracle-checked): the
+    // encoding-damage census — C0 controls, DEL, zero-width set, U+FFFD
+    // replacement scars — planted per doc (one extra ZWSP on even ids so
+    // the removed-count varies) and stripped by one codegen'd regex
+    // projection in both engines.
+    "q111_control_clean" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit("\n"),
+          lit("\u0007ok\u000Bzero\u200Bwidth\uFEFF end\u007F\uFFFD"),
+          when(col("doc_id") % 2 === 0, lit("\u200B")).otherwise(lit(""))))
+      TextOps.cleanControlChars(aug, "text")
+        .select(col("doc_id"), col("n_ctl_removed"),
+          length(col("text_clean")).cast("long").as("len_clean"),
+          md5(col("text_clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- embedding-cosine near-dup: exact all-pairs (oracle-checked;
     // native DotExpr per pair — bit-identical, spec-pinned) -------------------
     "q37_cosine_near_dup" -> ((s, dir) => {
@@ -2299,6 +2360,69 @@ object SparkEntry {
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  (1000 * SUM(v))::DOUBLE / (w * h * 255000)::DOUBLE AS mean_luma
         |FROM px GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // chr() codepoints: 769=U+0301 combining acute, 778=U+030A combining
+    // ring, 776=U+0308 combining diaeresis — the decomposed suffix the
+    // Spark side plants; nfc_normalize is DuckDB's independent UAX #15
+    "q109_nfc_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'Cafe' || chr(769) || ' A' || chr(778) ||
+        |      ' nai' || chr(776) || 've nr ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, text, nfc_normalize(text) AS t2 FROM aug)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+        |  CAST(length(t2) AS BIGINT) AS len_nfc,
+        |  text <> t2 AS norm_changed,
+        |  md5(t2) AS nfc_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // strip_accents(lower(x)) is DuckDB's equivalent of graft's
+    // lower→NFD→drop-combining-marks chain (verified char-for-char on the
+    // planted set); the three regexes mirror TextOps.ccnetKey exactly —
+    // whitespace classes written out because RE2's \s and Java's differ
+    // on U+000B. chr(233)=é composed, chr(769)=combining acute.
+    "q110_ccnet_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'Re' || chr(769) || 'sume' || chr(769) || ' CAFE' ||
+        |              chr(769) || ' 42!'
+        |         WHEN doc_id % 3 = 1
+        |         THEN 'r' || chr(233) || 'sum' || chr(233) || ' caf' ||
+        |              chr(233) || ' 13?'
+        |         ELSE 'resume cafe 00' END AS text
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(strip_accents(lower(text)), '[0-9]', '0', 'g'),
+        |      '[^a-z0-9 \t\n\r\f]', ' ', 'g'),
+        |    '[ \t\n\r\f]+', ' ', 'g'))) AS key_md5
+        |  FROM aug)
+        |SELECT doc_id, key_md5,
+        |  row_number() OVER (PARTITION BY key_md5 ORDER BY doc_id) = 1
+        |    AS is_canonical
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // chr() codepoints: 7=BEL, 11=VT, 8203=U+200B ZWSP, 65279=U+FEFF
+    // BOM/ZWNBSP, 127=DEL, 65533=U+FFFD replacement char — the planted
+    // encoding damage; the class mirrors TextOps.cleanControlChars
+    "q111_control_clean" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || chr(10) || chr(7) || 'ok' || chr(11) ||
+        |    'zero' || chr(8203) || 'width' || chr(65279) || ' end' ||
+        |    chr(127) || chr(65533) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(8203) ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  regexp_replace(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{200C}\x{200D}\x{FEFF}\x{FFFD}]',
+        |    '', 'g') AS t2
+        |  FROM aug)
+        |SELECT doc_id, CAST(length(text) - length(t2) AS BIGINT) AS n_ctl_removed,
+        |  CAST(length(t2) AS BIGINT) AS len_clean, md5(t2) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q37_cosine_near_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

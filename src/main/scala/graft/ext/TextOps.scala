@@ -977,4 +977,81 @@ object TextOps {
       .withColumn("text_clean", array_join(col("__clean"), sep))
       .drop("__clean")
   }
+
+  // ------------------------------------------- unicode & key normalization
+
+  /** Unicode normalization (UAX #15) as a column: NFC/NFD/NFKC/NFKD via
+    * the native [[graft.plans.UnicodeNormExpr]] (codegen'd, JDK
+    * `java.text.Normalizer` under the hood, already-normalized fast
+    * path). Normal-form-first is the pipeline convention: composed
+    * (U+00E9) and decomposed (U+0065 U+0301) spellings of the same text
+    * hash differently in every byte-keyed operator downstream — exact
+    * dedup, line dedup, decontamination shingles, fingerprints — unless
+    * a normal form is fixed at ingest.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    call_function("graft_unicode_norm", text, lit(form))
+
+  /** Appends `<textCol>_norm` ([[normalizeUnicode]] under `form`) and
+    * `norm_changed` (true where normalization altered the bytes — the
+    * corpus-hygiene census column).
+    */
+  def withNormalizedText(df: DataFrame, textCol: String,
+                         form: String = "NFC"): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn(s"${textCol}_norm", normalizeUnicode(col(textCol), form))
+      .withColumn("norm_changed", col(s"${textCol}_norm") =!= col(textCol))
+  }
+
+  /** CCNet-style dedup-key normalization (Wenzek et al. 2020 — the
+    * public `text_normalizer.normalize` recipe, re-expressed as one
+    * codegen'd column pipeline): lowercase → strip accents (NFD, drop
+    * combining marks) → digits→`0` → every other non `[a-z0-9
+    * whitespace]` char → space → collapse whitespace → trim. Two
+    * paragraphs that differ only in case, accents, numbers, or
+    * punctuation collapse to the same key, which is exactly the
+    * aggressiveness CCNet wants for paragraph-level dedup of web text.
+    *
+    * Engine-portable by construction: the DuckDB twin is
+    * `strip_accents(lower(x))` + the same three regexes (verified
+    * equivalent — DuckDB's `strip_accents` removes precisely the
+    * combining-mark decompositions, leaving ø/ß/œ intact, which the
+    * explicit char class then maps to space in BOTH engines).
+    * Whitespace classes are written out (`[ \t\n\r\f]`) rather than
+    * `\s` because Java's `\s` includes U+000B and RE2's does not.
+    */
+  def ccnetKey(text: Column): Column = {
+    val deaccented = regexp_replace(
+      normalizeUnicode(lower(text), "NFD"), "\\p{Mn}", "")
+    val zeroed = regexp_replace(deaccented, "[0-9]", "0")
+    val spaced = regexp_replace(zeroed, "[^a-z0-9 \\t\\n\\r\\f]", " ")
+    trim(regexp_replace(spaced, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  /** Appends `ccnet_key` (the [[ccnetKey]] normal form) and `key_md5`
+    * (its hash — the join/dedup key; shuffles downstream carry the
+    * 32-char digest, never the document).
+    */
+  def withCcnetKey(df: DataFrame, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn("ccnet_key", ccnetKey(col(textCol)))
+      .withColumn("key_md5", md5(col("ccnet_key")))
+  }
+
+  /** Control-character / zero-width cleanup — the mojibake-adjacent
+    * hygiene pass: strips C0 controls (except `\t` `\n` `\r`), DEL,
+    * the zero-width set (ZWSP U+200B, ZWNJ U+200C, ZWJ U+200D, BOM/
+    * ZWNBSP U+FEFF), and the replacement character U+FFFD (the scar a
+    * mis-decoded byte leaves). One codegen'd regex projection; appends
+    * `<textCol>_clean` and `n_ctl_removed` (codepoints removed — the
+    * per-document encoding-damage census).
+    */
+  def cleanControlChars(df: DataFrame, textCol: String): DataFrame = {
+    val pattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F" +
+      "\\u200B\\u200C\\u200D\\uFEFF\\uFFFD]"
+    df.withColumn(s"${textCol}_clean",
+        regexp_replace(col(textCol), pattern, ""))
+      .withColumn("n_ctl_removed",
+        (length(col(textCol)) - length(col(s"${textCol}_clean"))).cast("long"))
+  }
 }

@@ -155,6 +155,19 @@ object GraftFunctions {
     TopKAgg(children(0), children(1), intLit(children, 2, "k"))
   }
 
+  private def unicodeNormBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_unicode_norm(text, form)")
+    val fLit = children(1)
+    if (!fLit.foldable) throw new IllegalArgumentException(
+      s"form must be a string literal, got non-literal ${fLit.sql}")
+    val form = fLit.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"form must be a string literal, got $other")
+    }
+    UnicodeNormExpr(children.head, form)
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -199,7 +212,11 @@ object GraftFunctions {
       pqEncodeBuilder),
     (FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
-      pqAdcBuilder))
+      pqAdcBuilder),
+    (FunctionIdentifier("graft_unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNormExpr].getName,
+        "graft_unicode_norm"),
+      unicodeNormBuilder))
 
   /** Idempotent runtime registration on an existing session: the native
     * functions plus the [[LevenshteinBandRule]] optimizer rule.
