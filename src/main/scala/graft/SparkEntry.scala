@@ -966,6 +966,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- int8 scalar-quantized top-k (oracle-checked): the 4×-memory ANN
+    // scan — per-vector symmetric quantization, exact-long candidate dot
+    // (native Int8DotExpr, bit-identical to the HOF fold), float rerank of
+    // the candK shortlist only. No trained state and no float-ordering
+    // hazard in the scan, so the whole pipeline hash-checks cross-engine
+    // (unlike LSH/IVF, which need exemplar twins).
+    "q112_topk_int8" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.int8TopK(emb, queries, "vec_id", "embedding", k = 5,
+          dim = 64, candK = 20, useNative = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- embedding-cosine near-dup: exact all-pairs (oracle-checked;
     // native DotExpr per pair — bit-identical, spec-pinned) -------------------
     "q37_cosine_near_dup" -> ((s, dir) => {
@@ -2423,6 +2438,46 @@ object SparkEntry {
         |SELECT doc_id, CAST(length(text) - length(t2) AS BIGINT) AS n_ctl_removed,
         |  CAST(length(t2) AS BIGINT) AS len_clean, md5(t2) AS clean_md5
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // int8 quantization in SQL: same expression SHAPES as the Spark side
+    // (x * 127.0 / qmax left-associated; (qs/127)·(cs/127)·idot / (qn·cn))
+    // so every IEEE-double intermediate is bit-identical; the candidate
+    // dot itself is exact-integer, hazard-free by construction
+    "q112_topk_int8" ->
+      """WITH quant AS (
+        |  SELECT vec_id,
+        |    embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS qmax,
+        |    CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+        |      THEN list_transform(embedding::DOUBLE[], x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding::DOUBLE[], x -> CAST(round(
+        |        x * 127.0 / list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+        |      ) AS BIGINT)) END AS qvec
+        |  FROM embeddings),
+        |q AS (SELECT * FROM quant WHERE vec_id % 100 = 0),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round((q.qmax / 127.0) * (c.qmax / 127.0) *
+        |      list_dot_product(q.qvec::DOUBLE[], c.qvec::DOUBLE[]) /
+        |      (q.nrm * c.nrm), 6) AS approx_sim
+        |  FROM quant c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+        |shortlist AS (
+        |  SELECT query_id, neighbor_id FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY approx_sim DESC, neighbor_id) <= 20),
+        |scored AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) AS sim
+        |  FROM shortlist s
+        |  JOIN quant qe ON qe.vec_id = s.query_id
+        |  JOIN quant ce ON ce.vec_id = s.neighbor_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
+        |  neighbor_id, sim
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
 
     "q37_cosine_near_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

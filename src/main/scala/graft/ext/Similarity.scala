@@ -131,6 +131,89 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Per-vector symmetric int8 scalar quantization: `scale = max|v_i|`,
+    * `q_i = round(v_i · 127 / scale) ∈ [-127, 127]` (all-zero vector →
+    * all-zero codes). Appended to [[withVecNorm]]'s projection, so callers
+    * get `(id, v, nrm, qmax, qvec)` in ONE corpus pass.
+    *
+    * Every step is engine-portable: `max|v_i|` is exact, the scaled
+    * division is one IEEE-double expression evaluated in the same shape
+    * everywhere (`x * 127.0 / qmax`, left-associated), and `round` is
+    * half-away-from-zero on both Spark (BigDecimal HALF_UP) and DuckDB
+    * (std::round) — so the quantized codes, and everything derived from
+    * them, are bit-identical cross-engine (q112's oracle rebuilds the
+    * same lists in SQL).
+    *
+    * Scale rationale: the quantized corpus is what a 100 TB ANN index
+    * actually holds in memory — int8 codes are 4× smaller than float32
+    * (8× smaller than the double upcast), and the candidate scan runs on
+    * exact long arithmetic, which vectorizes and never spills precision.
+    */
+  def withInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    withVecNorm(df, idCol, vecCol)
+      .withColumn("qmax",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("qvec",
+        transform(col("v"), x =>
+          when(col("qmax") === 0.0, lit(0L))
+            .otherwise(round(x * lit(127.0) / col("qmax")).cast("long"))))
+
+  /** Exact long dot over two quantized code arrays (HOF fold). The
+    * native `graft_dot_i8` (`Int8DotExpr`) is bit-identical — trivially,
+    * since every intermediate is an exact integer — at ~100× less
+    * per-pair cost; [[int8TopK]] picks by `useNative`.
+    */
+  def dotInt8(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def dotInt8Native(a: Column, b: Column, dim: Int): Column =
+    call_function("graft_dot_i8", a, b, lit(dim))
+
+  /** Int8 scalar-quantized top-k: the candidate scan runs entirely on
+    * int8 codes — `approx = scale_q · scale_c · ⟨q_q, q_c⟩ / (‖q‖‖c‖)`, a
+    * single exact-integer dot rescaled per pair — keeps the best
+    * `candK` per query, and exact float cosine reranks only those
+    * (shared [[rerankTopK]], so ranking/rounding semantics match every
+    * other ANN family).
+    *
+    * Unlike LSH/IVF this family is oracle-checkable WITHOUT an exemplar
+    * twin: quantization is deterministic (no trained state, no RNG) and
+    * the scan's integer arithmetic has no float-ordering hazard, so the
+    * full quantize→scan→rerank pipeline hash-checks cross-engine (q112).
+    *
+    * At scale the quantized scan is the memory path — the index holds
+    * int8 codes (4× smaller than float32), the full-precision vectors
+    * are fetched only for the |queries|·candK rerank rows — and recall
+    * is bounded by quantization error alone (≥ LSH/IVF at equal candK;
+    * spec-measured vs brute force).
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, dim: Int, candK: Int = 20,
+               useNative: Boolean = false): DataFrame = {
+    // withInt8 keeps the caller's id column name; re-project explicitly
+    val c = withInt8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("nrm").as("cn"),
+        col("qmax").as("cmax"), col("qvec").as("cq"))
+    val q = withInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("nrm").as("qn"),
+        col("qmax").as("qmaxv"), col("qvec").as("qq"))
+    val idot = if (useNative) dotInt8Native(col("qq"), col("cq"), dim)
+               else dotInt8(col("qq"), col("cq"))
+    // same expression shape as the oracle: (qs/127 * cs/127 * idot) / (qn*cn)
+    val approx = round(
+      (col("qmaxv") / 127.0) * (col("cmax") / 127.0) * idot.cast("double") /
+        (col("qn") * col("cn")), 6)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), approx.as("approx_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    val cands = scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= candK)
+      .select("query_id", "neighbor_id")
+    rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim, useNative)
+  }
+
   /** Deterministic random hyperplanes (seeded), shipped as literals. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new Random(seed)

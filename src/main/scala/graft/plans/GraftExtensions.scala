@@ -97,6 +97,11 @@ object GraftFunctions {
     DotExpr(children(0), children(1), intLit(children, 2, "dim"))
   }
 
+  private def dotI8Builder(children: Seq[Expression]): Expression = {
+    require(children.size == 3, "graft_dot_i8(vec_a, vec_b, dim)")
+    Int8DotExpr(children(0), children(1), intLit(children, 2, "dim"))
+  }
+
   private def shinglesBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, "graft_word_shingles(tokens, n)")
     WordShinglesExpr(children.head, intLit(children, 1, "n"))
@@ -173,6 +178,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
       dotBuilder),
+    (FunctionIdentifier("graft_dot_i8"),
+      new ExpressionInfo(classOf[Int8DotExpr].getName, "graft_dot_i8"),
+      dotI8Builder),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
       minhashBuilder),

@@ -66,6 +66,77 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall too low")
   }
 
+  test("withInt8 quantizes known vectors exactly (symmetric, half-away)") {
+    val df = Seq((0L, Seq(2.0f, -1.0f, 0.5f)), (1L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.withInt8(df, "vec_id", "embedding")
+      .select(col("vec_id"), col("qmax"), col("qvec"))
+      .as[(Long, Double, Seq[Long])].collect()
+      .map { case (k, m, q) => k -> ((m, q)) }.toMap
+    // scale 2.0: 2→127, -1→round(-63.5)=-64 (half away from zero),
+    // 0.5→round(31.75)=32
+    assert(out(0L) == (2.0, Seq(127L, -64L, 32L)))
+    // all-zero vector quantizes to zero codes, not NaN/error
+    assert(out(1L) == (0.0, Seq(0L, 0L, 0L)))
+  }
+
+  test("native graft_dot_i8 is bit-identical to the HOF long fold") {
+    graft.plans.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(200)(
+      (Seq.fill(64)(rnd.nextInt(255) - 127L), Seq.fill(64)(rnd.nextInt(255) - 127L)))
+    val df = rows.toDF("a", "b")
+    val mismatch = df.select(
+        Similarity.dotInt8(col("a"), col("b")).as("hof"),
+        call_function("graft_dot_i8", col("a"), col("b"), lit(64)).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(mismatch == 0)
+    // null ELEMENT propagates to null, never a fabricated 0 contribution
+    val nulled = Seq((Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 1L)))
+      .toDF("a", "b")
+      .select(call_function("graft_dot_i8", col("a"), col("b"), lit(2)))
+      .head()
+    assert(nulled.isNullAt(0))
+  }
+
+  test("int8TopK with an everything-shortlist equals brute force exactly") {
+    // candK >= |corpus| makes the quantized scan pass everything through
+    // to the exact rerank — the result must then BE bruteForceTopK, row
+    // for row (same rank, same rounded sim): pins the rerank plumbing
+    // independently of quantization quality
+    graft.plans.GraftFunctions.register(spark)
+    val emb = CrossoverBench.syntheticEmbeddings(spark, 500, 64, seed = 19L)
+      .cache()
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val got = Similarity.int8TopK(emb, queries, "vec_id", "embedding",
+        k = 5, dim = 64, candK = 500, useNative = true)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val want = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dim = Some(64), useNative = true)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("int8TopK recall vs brute force at a tight shortlist") {
+    // int8 quantization error on 64-dim vectors is ~1e-2 relative; with a
+    // 4x shortlist the true top-3 should essentially always survive
+    graft.plans.GraftFunctions.register(spark)
+    val emb = CrossoverBench.syntheticEmbeddings(spark, 1000, 64, seed = 23L)
+      .cache()
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") <= 3).select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 3, dim = Some(64), useNative = true))
+    val approx = pairs(Similarity.int8TopK(emb, queries, "vec_id",
+      "embedding", k = 3, dim = 64, candK = 12, useNative = true))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall too low")
+  }
+
   test("rhpSignature buckets identical vectors together") {
     val planes = Similarity.hyperplanes(nPlanes = 10, dim = 2)
     val sig = Seq((0L, Seq(0.5f, 0.5f)), (1L, Seq(0.5f, 0.5f)),
