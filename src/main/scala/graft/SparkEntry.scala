@@ -1000,6 +1000,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- persisted-shape shard distinct sketches (oracle-checked via the
+    // q40 tolerance pattern): one DataSketches-HLL sketch per source shard
+    // (the KB-sized persistable index — ext.Sketches), per-shard
+    // estimates as pure projections, plus a "__all__" row whose estimate
+    // comes from MERGING the shard sketches (hll_union_agg), never from
+    // re-scanning keys — the mergeability that makes the index compose
+    // across ingest batches at 100 TB (union ≡ one-shot, SketchesSpec).
+    "q113_shard_distinct_sketch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("key", md5(col("text")))
+      val sk = graft.ext.Sketches.distinctSketches(docs, "key", "source")
+      val exactShard = docs.groupBy(col("source"))
+        .agg(countDistinct(col("key")).as("exact_distinct"))
+      val shardRows = graft.ext.Sketches.estimatePerShard(sk)
+        .join(exactShard, col("shard") === col("source"))
+        .select(col("source"), col("exact_distinct"),
+          (abs(col("est_distinct") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("est_within_5pct"))
+      val totalRow = graft.ext.Sketches.estimateUnion(sk)
+        .crossJoin(docs.agg(countDistinct(col("key")).as("exact_distinct")))
+        .select(lit("__all__").as("source"), col("exact_distinct"),
+          (abs(col("est_distinct") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("est_within_5pct"))
+      shardRows.unionByName(totalRow).orderBy("source")
+    }),
+
     // ---- sketch aggregation: HLL approx-distinct (oracle-checked) ----------
     // approx and exact are SEPARATE aggregations joined on the group key:
     // a distinct aggregate alongside approx_count_distinct in one groupBy
@@ -3790,6 +3815,17 @@ object SparkEntry {
 
     // the sketch value itself is engine-specific, but the exact count and
     // the rsd=1% error bound (≤5% with huge margin) are deterministic
+    // q40-pattern tolerance gate: the oracle predicts the exact counts
+    // and the (always-true at these cardinalities) error-bound flag; the
+    // Spark side computes the flag from the live sketch estimates
+    "q113_shard_distinct_sketch" ->
+      """SELECT source, count(DISTINCT md5(text)) AS exact_distinct,
+        |  true AS est_within_5pct
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT '__all__', count(DISTINCT md5(text)), true FROM documents
+        |ORDER BY source""".stripMargin,
+
     "q40_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
         |  true AS approx_within_5pct

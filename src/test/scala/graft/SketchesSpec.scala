@@ -1,0 +1,84 @@
+package graft
+
+import graft.ext.Sketches
+import org.apache.spark.sql.functions._
+
+/** The shard-sketch distinct index: accuracy, merge-losslessness,
+  * persistence, and incremental composition. These four properties are
+  * what make the index trustworthy at 100 TB — any subset of shards can
+  * be answered from KB-sized sketches with a known error bound, and
+  * ingest batches compose without re-scanning history.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int, shards: Int, dupEvery: Int = 10) =
+    spark.range(n).select(
+      (col("id") % shards).cast("string").as("shard"),
+      // every dupEvery-th key repeats its predecessor → exact distinct
+      // is knowable: n - n/dupEvery
+      md5(concat(lit("k"), (col("id") - when(col("id") % dupEvery === 0, 1)
+        .otherwise(0)).cast("string"))).as("key"))
+
+  test("per-shard and union estimates within 5% of exact") {
+    val df = corpus(100000, 8).cache()
+    val sk = Sketches.distinctSketches(df, "key", "shard").cache()
+    val perShard = Sketches.estimatePerShard(sk)
+      .select("shard", "est_distinct").as[(String, Long)].collect().toMap
+    val exactPerShard = df.groupBy("shard")
+      .agg(countDistinct("key").as("d")).as[(String, Long)].collect().toMap
+    exactPerShard.foreach { case (s, exact) =>
+      val est = perShard(s)
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"shard $s: est $est vs exact $exact")
+    }
+    val union = Sketches.estimateUnion(sk)
+      .select("est_distinct").as[Long].head()
+    val exact = df.select(countDistinct("key")).as[Long].head()
+    assert(math.abs(union - exact).toDouble / exact <= 0.05,
+      s"union est $union vs exact $exact")
+  }
+
+  test("union of shard sketches is lossless: equals a one-shot global sketch") {
+    val df = corpus(50000, 16).cache()
+    val viaShards = Sketches.estimateUnion(
+        Sketches.distinctSketches(df, "key", "shard"))
+      .select("est_distinct").as[Long].head()
+    val oneShot = df.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("key"), lit(Sketches.DefaultLgK)))
+          .as("est"))
+      .as[Long].head()
+    assert(viaShards == oneShot,
+      s"sharded union $viaShards != one-shot $oneShot")
+  }
+
+  test("persisted index round-trips and answers without the corpus") {
+    val df = corpus(20000, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_").toString
+    Sketches.writeDistinctSketches(df, "key", "shard", dir)
+    val back = Sketches.readSketches(spark, dir)
+    val live = Sketches.estimatePerShard(
+        Sketches.distinctSketches(df, "key", "shard"))
+      .select("shard", "est_distinct").as[(String, Long)].collect().toSet
+    val persisted = Sketches.estimatePerShard(back)
+      .select("shard", "est_distinct").as[(String, Long)].collect().toSet
+    assert(persisted == live)
+    // n_rows rides along so the index also answers totals
+    assert(back.agg(sum("n_rows")).as[Long].head() == 20000L)
+  }
+
+  test("incremental ingest composes: batch sketches union to the full estimate") {
+    val full = corpus(60000, 6).cache()
+    val b1 = full.filter(xxhash64(col("key")) % 2 === 0)
+    val b2 = full.filter(xxhash64(col("key")) % 2 =!= 0)
+    val sk1 = Sketches.distinctSketches(b1, "key", "shard")
+    val sk2 = Sketches.distinctSketches(b2, "key", "shard")
+    val merged = Sketches.estimateUnion(sk1.unionByName(sk2))
+      .select("est_distinct").as[Long].head()
+    val oneShot = Sketches.estimateUnion(
+        Sketches.distinctSketches(full, "key", "shard"))
+      .select("est_distinct").as[Long].head()
+    assert(merged == oneShot,
+      s"incremental $merged != one-shot $oneShot")
+  }
+}
