@@ -1000,6 +1000,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- Gopher quality-rule bundle (oracle-checked): the seven
+    // document filters of Rae et al. 2021, each decided in exact integer
+    // arithmetic (cross-multiplied thresholds — no float in any
+    // decision). Structure is planted per doc-id class (bullet lines /
+    // ellipsis endings / symbol runs) so every rule fires both ways.
+    "q114_gopher_rules" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"),
+              lit("\n- bullet one\n- bullet two\n* bullet three")))
+          .when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit("\nto be continued...\nand then…")))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" ## ### #### ##")))
+          .otherwise(col("text")))
+      TextOps.gopherRules(aug, "text")
+        .select(col("doc_id"), col("n_words"), col("pass_word_count"),
+          col("pass_mean_word_len"), col("pass_symbol_ratio"),
+          col("pass_bullet"), col("pass_ellipsis"), col("pass_alpha"),
+          col("pass_stopwords"), col("gopher_pass"))
+        .orderBy("doc_id")
+    }),
+
     // ---- persisted-shape shard distinct sketches (oracle-checked via the
     // q40 tolerance pattern): one DataSketches-HLL sketch per source shard
     // (the KB-sized persistable index — ext.Sketches), per-shard
@@ -3815,6 +3839,52 @@ object SparkEntry {
 
     // the sketch value itself is engine-specific, but the exact count and
     // the rsd=1% error bound (≤5% with huge margin) are deterministic
+    // every Gopher rule is an integer cross-multiplication — no float in
+    // any decision, so the booleans are exact cross-engine; token split
+    // ≡ Spark's (q21-pinned), line split via chr(10)
+    "q114_gopher_rules" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || '- bullet one' ||
+        |           chr(10) || '- bullet two' || chr(10) || '* bullet three'
+        |         WHEN doc_id % 7 = 1 THEN text || chr(10) ||
+        |           'to be continued...' || chr(10) || 'and then' || chr(8230)
+        |         WHEN doc_id % 7 = 2 THEN text || ' ## ### #### ##'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split(text, chr(10)) AS lns,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.|' || chr(8230))) AS BIGINT) AS symbols
+        |  FROM aug),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS word_chars,
+        |    symbols,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lns, x -> regexp_matches(x, '^[ \t]*[-*' || chr(8226) || ']'))) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lns, x -> regexp_matches(x, '(\.\.\.|' || chr(8230) || ')[ \t]*$'))) AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_distinct(list_intersect(list_transform(toks, x -> lower(x)),
+        |      ['the','be','to','of','and','that','have','with']))) AS BIGINT) AS stop_hits
+        |  FROM f)
+        |SELECT doc_id, n_words,
+        |  n_words BETWEEN 50 AND 100000 AS pass_word_count,
+        |  word_chars >= n_words * 3 AND word_chars <= n_words * 10 AS pass_mean_word_len,
+        |  symbols * 10 <= n_words AS pass_symbol_ratio,
+        |  bullet_lines * 10 <= n_lines * 9 AS pass_bullet,
+        |  ellipsis_lines * 10 <= n_lines * 3 AS pass_ellipsis,
+        |  alpha_words * 5 >= n_words * 4 AS pass_alpha,
+        |  stop_hits >= 2 AS pass_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AND
+        |    (word_chars >= n_words * 3 AND word_chars <= n_words * 10) AND
+        |    (symbols * 10 <= n_words) AND (bullet_lines * 10 <= n_lines * 9) AND
+        |    (ellipsis_lines * 10 <= n_lines * 3) AND
+        |    (alpha_words * 5 >= n_words * 4) AND (stop_hits >= 2) AS gopher_pass
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     // q40-pattern tolerance gate: the oracle predicts the exact counts
     // and the (always-true at these cardinalities) error-bound flag; the
     // Spark side computes the flag from the live sketch estimates

@@ -120,6 +120,73 @@ object TextOps {
       least(sw * 5, lit(1.0)) * 0.1) * 1000000.0) / 1000000.0
   }
 
+  /** The eight Gopher stop words (Rae et al. 2021, appendix A1.1.2 —
+    * public paper; no code consulted): a document must contain at least
+    * two of them to pass the stop-word rule.
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rule bundle (Rae et al. 2021): the seven
+    * document-level filters web-scale pipelines apply before training,
+    * appended as one boolean column per rule plus the conjunction.
+    *
+    * Every rule is decided in EXACT INTEGER arithmetic — ratio thresholds
+    * are cross-multiplied (`symbols·10 ≤ words` instead of
+    * `symbols/words ≤ 0.1`) — so there is no float in any decision and
+    * the whole bundle hash-checks cross-engine (q114), unlike a
+    * ratio-column formulation which would sit on the round() hazard.
+    *
+    * Rules (pass-side stated; thresholds inclusive on the pass side):
+    *  - word count in [50, 100000]
+    *  - mean word length in [3, 10] (total token chars vs 3·n and 10·n)
+    *  - symbol-to-word ratio ≤ 0.1 (symbols = '#' or '...' or '…')
+    *  - ≤ 90% of lines start with a bullet ('-', '*', '•')
+    *  - ≤ 30% of lines end with an ellipsis
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 distinct [[GopherStopWords]] present
+    *
+    * One projection per document — token and line arrays materialize
+    * once (`CollapseProject` keeps multi-referenced aliases un-inlined),
+    * no shuffle, codegen'd throughout: the shape that lets the filter
+    * run at scan speed over 100 TB.
+    */
+  def gopherRules(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val withArrs = df
+      .withColumn("__toks", tokens(t))
+      .withColumn("__lines", split(t, "\n"))
+    val nWords = size(col("__toks")).cast("long")
+    val nLines = size(col("__lines")).cast("long")
+    val wordChars = aggregate(col("__toks"), lit(0L),
+      (acc, x) => acc + length(x))
+    val symbols = regexp_count(t, lit("#|\\.\\.\\.|\u2026")).cast("long")
+    val bulletLines = size(filter(col("__lines"),
+      x => regexp_count(x, lit("^[ \\t]*[-*\u2022]")) > 0)).cast("long")
+    val ellipsisLines = size(filter(col("__lines"),
+      x => regexp_count(x, lit("(\\.\\.\\.|\u2026)[ \\t]*$")) > 0)).cast("long")
+    val alphaWords = size(filter(col("__toks"),
+      x => regexp_count(x, lit("[A-Za-z]")) > 0)).cast("long")
+    val stopHits = size(array_intersect(
+      transform(col("__toks"), x => lower(x)),
+      typedlit(GopherStopWords))).cast("long")
+    withArrs
+      .withColumn("n_words", nWords)
+      .withColumn("pass_word_count", nWords.between(50L, 100000L))
+      .withColumn("pass_mean_word_len",
+        wordChars >= nWords * 3L && wordChars <= nWords * 10L)
+      .withColumn("pass_symbol_ratio", symbols * 10L <= nWords)
+      .withColumn("pass_bullet", bulletLines * 10L <= nLines * 9L)
+      .withColumn("pass_ellipsis", ellipsisLines * 10L <= nLines * 3L)
+      .withColumn("pass_alpha", alphaWords * 5L >= nWords * 4L)
+      .withColumn("pass_stopwords", stopHits >= 2L)
+      .withColumn("gopher_pass",
+        col("pass_word_count") && col("pass_mean_word_len") &&
+          col("pass_symbol_ratio") && col("pass_bullet") &&
+          col("pass_ellipsis") && col("pass_alpha") && col("pass_stopwords"))
+      .drop("__toks", "__lines")
+  }
+
   /** 64-bit document fingerprint: order-sensitive hash of the token
     * sequence (xxhash64 over the token array). Two documents with identical
     * token sequences — even under differing whitespace — collide; any

@@ -669,4 +669,58 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(("k2", 0L)) == ((1L, 0L, 1000000L, 0L, 1000000L)))
     assert(rows.size == 4)
   }
+
+  test("gopherRules: each rule fires on its boundary, integer-exact") {
+    import org.apache.spark.sql.Row
+    // a passing base: 50 words (boundary-inclusive), all alphabetic,
+    // mean length in [3,10], two stop words, no symbols/bullets/ellipses
+    val passing = (Seq("the", "with") ++ Seq.fill(48)("word")).mkString(" ")
+    val docs = Seq(
+      (0L, passing),                                  // everything passes
+      (1L, (Seq("the", "with") ++ Seq.fill(47)("word")).mkString(" ")), // 49 words
+      (2L, passing + " " + Seq.fill(5)("#").mkString(" ")), // 55 words, 5 '#' → 50<=55 passes; plus one more '#' fails
+      (3L, passing + " ...... ..."),                  // 52 words, symbols: '......'→2 + '...'→1 = 3; 30<=52 pass
+      (4L, (Seq("the", "with") ++ Seq.fill(48)("xx")).mkString(" ")), // mean len 2.24 <3 fails
+      (5L, (Seq("the") ++ Seq.fill(49)("word")).mkString(" ")), // 1 stop word fails
+      (6L, (Seq("the", "with") ++ Seq.fill(38)("word") ++ Seq.fill(10)("123")).mkString(" ")), // alpha 40/50 = exactly 80% passes
+      (7L, (Seq("the", "with") ++ Seq.fill(37)("word") ++ Seq.fill(11)("123")).mkString(" ")), // 39/50 < 80% fails
+      (8L, passing + "\n- b\n- b\n- b\n- b\n- b\n- b\n- b\n- b\n- b"), // 9 bullets / 10 lines = 90% passes
+      (9L, passing + "\nok...\nfine…\nplain\nplain\nplain\nplain\nplain\nplain\nplain"), // 2 ellipsis-ended / 10 = 20% passes
+      (10L, null.asInstanceOf[String])                // NULL propagates
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.gopherRules(docs, "text")
+      .orderBy("doc_id").collect()
+    def flags(r: Row): Map[String, Any] =
+      Seq("pass_word_count", "pass_mean_word_len", "pass_symbol_ratio",
+        "pass_bullet", "pass_ellipsis", "pass_alpha", "pass_stopwords",
+        "gopher_pass").map(f => f -> r.getAs[Any](f)).toMap
+    assert(flags(out(0)).values.forall(_ == true))
+    assert(flags(out(1))("pass_word_count") == false)
+    assert(flags(out(2))("pass_symbol_ratio") == true)   // 5*10 <= 55
+    assert(flags(out(3))("pass_symbol_ratio") == true)   // 3*10 <= 52
+    assert(flags(out(4))("pass_mean_word_len") == false)
+    assert(flags(out(5))("pass_stopwords") == false)
+    assert(flags(out(6))("pass_alpha") == true)          // 40*5 == 50*4
+    assert(flags(out(7))("pass_alpha") == false)
+    assert(flags(out(8))("pass_bullet") == true)         // 9*10 == 10*9
+    assert(flags(out(9))("pass_ellipsis") == true)       // 2*10 <= 10*3
+    // NULL text → NULL flags (the stripRepeatedLines null contract):
+    // neither kept nor dropped until the caller decides
+    val nullRow = out(10)
+    assert(nullRow.isNullAt(nullRow.fieldIndex("gopher_pass")))
+    assert(nullRow.isNullAt(nullRow.fieldIndex("pass_alpha")))
+  }
+
+  test("gopherRules boundary flips: one past each threshold fails") {
+    val base = (Seq("the", "with") ++ Seq.fill(48)("word")).mkString(" ")
+    // 10 bullets / 11 lines > 90% → fails; 4 ellipsis / 12 > 30% → fails
+    val docs = Seq(
+      (0L, base + ("\n- b" * 10)),
+      (1L, base + ("\nx..." * 4) + ("\nplain" * 7))
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.gopherRules(docs, "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("pass_bullet") == false)  // 10*10 > 11*9
+    assert(out(1).getAs[Boolean]("pass_ellipsis") == false) // 4*10 > 12*3
+  }
 }
