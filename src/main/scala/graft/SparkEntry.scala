@@ -981,6 +981,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Matryoshka truncated-dim top-k (oracle-checked): prefix-16
+    // cosine scan (4× less vector IO), full-64 exact rerank — like q112
+    // deterministic end to end, so it hash-checks without an exemplar twin.
+    "q115_topk_matryoshka" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.truncatedTopK(emb, queries, "vec_id", "embedding", k = 5,
+          dim = 64, prefixDim = 16, candK = 20, useNative = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- embedding-cosine near-dup: exact all-pairs (oracle-checked;
     // native DotExpr per pair — bit-identical, spec-pinned) -------------------
     "q37_cosine_near_dup" -> ((s, dir) => {
@@ -2521,6 +2533,38 @@ object SparkEntry {
         |  FROM shortlist s
         |  JOIN quant qe ON qe.vec_id = s.query_id
         |  JOIN quant ce ON ce.vec_id = s.neighbor_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
+        |  neighbor_id, sim
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
+
+    // prefix slice v[1:16] scores the scan; full vectors rerank — same
+    // left-associated list_dot_product accumulation as the Spark side
+    "q115_topk_matryoshka" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+        |    sqrt(list_dot_product(list_slice(embedding::DOUBLE[], 1, 16),
+        |      list_slice(embedding::DOUBLE[], 1, 16))) AS pn
+        |  FROM embeddings),
+        |q AS (SELECT * FROM base WHERE vec_id % 100 = 0),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(list_slice(q.v, 1, 16), list_slice(c.v, 1, 16))
+        |      / (q.pn * c.pn), 6) AS approx_sim
+        |  FROM base c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+        |shortlist AS (
+        |  SELECT query_id, neighbor_id FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY approx_sim DESC, neighbor_id) <= 20),
+        |scored AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) AS sim
+        |  FROM shortlist s
+        |  JOIN base qe ON qe.vec_id = s.query_id
+        |  JOIN base ce ON ce.vec_id = s.neighbor_id)
         |SELECT query_id,
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
         |  neighbor_id, sim

@@ -214,6 +214,50 @@ object Similarity {
     rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim, useNative)
   }
 
+  /** Matryoshka-style truncated-dimension top-k (Kusupati et al. 2022 —
+    * public paper; no code consulted): the candidate scan scores cosine
+    * on only the first `prefixDim` dimensions — prefix dot over prefix
+    * norms, reusing [[dotFast]] which reads exactly the first `dim`
+    * slots — keeps the best `candK` per query, and full-dimension exact
+    * cosine reranks that shortlist (shared [[rerankTopK]]).
+    *
+    * Like int8 ([[int8TopK]]) and unlike LSH/IVF, there is no trained
+    * state and no RNG, so the whole pipeline is oracle-checkable
+    * (q115: DuckDB reproduces the prefix scores from list slices).
+    *
+    * Scale story: the scan reads a `prefixDim/dim` fraction of the
+    * vector bytes (16/64 = 4× less IO and FLOPs here), and composes
+    * with int8 quantization for 16× total scan reduction — the standard
+    * funnel shape for web-scale retrieval (cheap wide scan, exact
+    * narrow rerank). Recall is governed by how much of the embedding's
+    * energy the prefix carries: trained-matryoshka embeddings
+    * front-load it; on untrained embeddings choose candK accordingly
+    * (spec measures both regimes).
+    */
+  def truncatedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, dim: Int, prefixDim: Int,
+                    candK: Int = 20, useNative: Boolean = false): DataFrame = {
+    require(prefixDim >= 1 && prefixDim <= dim,
+      s"prefixDim $prefixDim must be in [1, $dim]")
+    def prep(df: DataFrame, id: String, v: String, pn: String) =
+      df.select(col(idCol).as(id),
+          transform(col(vecCol), x => x.cast("double")).as(v))
+        .withColumn(pn, sqrt(dotFast(col(v), col(v), prefixDim, useNative)))
+    val c = prep(corpus, "neighbor_id", "cvec", "cpn")
+    val q = prep(queries, "query_id", "qvec", "qpn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotFast(col("qvec"), col("cvec"), prefixDim, useNative) /
+          (col("qpn") * col("cpn")), 6).as("approx_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    val cands = scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= candK)
+      .select("query_id", "neighbor_id")
+    rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim, useNative)
+  }
+
   /** Deterministic random hyperplanes (seeded), shipped as literals. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new Random(seed)

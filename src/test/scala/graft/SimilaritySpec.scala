@@ -137,6 +137,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall too low")
   }
 
+  test("truncatedTopK with an everything-shortlist equals brute force exactly") {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = CrossoverBench.syntheticEmbeddings(spark, 400, 64, seed = 29L)
+      .cache()
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val got = Similarity.truncatedTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dim = 64, prefixDim = 16, candK = 400, useNative = true)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val want = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dim = Some(64), useNative = true)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("truncatedTopK recall: near-perfect on front-loaded embeddings") {
+    // matryoshka-trained embeddings concentrate energy in the prefix;
+    // model that by scaling dims 17..64 down 10x — the prefix scan then
+    // sees ~96% of each vector's energy and the true top-3 survive a 4x
+    // shortlist
+    graft.plans.GraftFunctions.register(spark)
+    val raw = CrossoverBench.syntheticEmbeddings(spark, 1000, 64, seed = 31L)
+    val emb = raw.select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i < 16, x).otherwise(x * lit(0.1f))).as("embedding"))
+      .cache()
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") <= 3).select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 3, dim = Some(64), useNative = true))
+    val approx = pairs(Similarity.truncatedTopK(emb, queries, "vec_id",
+      "embedding", k = 3, dim = 64, prefixDim = 16, candK = 12,
+      useNative = true))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall too low")
+  }
+
   test("rhpSignature buckets identical vectors together") {
     val planes = Similarity.hyperplanes(nPlanes = 10, dim = 2)
     val sig = Seq((0L, Seq(0.5f, 0.5f)), (1L, Seq(0.5f, 0.5f)),
