@@ -1036,6 +1036,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- count-min frequency index (oracle-checked via the q40 tolerance
+    // pattern): per-shard CMS sketches built by Spark's native aggregate,
+    // merged driver-side (counter addition — EXACTLY the one-shot sketch,
+    // SketchesSpec), probed by the native graft_cms_estimate projection.
+    // The oracle predicts the exact counts and the one-sided error flag
+    // (est in [exact, exact + ceil(eps·N)]), which CMS guarantees at
+    // confidence 0.999 and which is deterministic at fixed seed/data.
+    "q116_heavy_keys_cms" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val li = t(s, dir, "lineitem")
+      val merged = graft.ext.Sketches.cmsCollectMerged(
+        graft.ext.Sketches.cmsSketches(li, "l_partkey", "l_returnflag"))
+      val totals = li.agg(count(lit(1)).as("n_total"))
+      val cnt = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+      // global window on the AGGREGATED per-key relation (tiny), not rows
+      val w = Window.orderBy(col("exact_cnt").desc, col("l_partkey"))
+      val est = graft.ext.Sketches.cmsEstimate(col("l_partkey"), merged)
+      cnt.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+        .drop("rn").crossJoin(totals)
+        .select(col("l_partkey"), col("exact_cnt"),
+          (est >= col("exact_cnt") &&
+            est <= col("exact_cnt") +
+              ceil(col("n_total") * lit(0.001)).cast("long")).as("est_ok"))
+        .orderBy("l_partkey")
+    }),
+
     // ---- persisted-shape shard distinct sketches (oracle-checked via the
     // q40 tolerance pattern): one DataSketches-HLL sketch per source shard
     // (the KB-sized persistable index — ext.Sketches), per-shard
@@ -3883,6 +3909,16 @@ object SparkEntry {
 
     // the sketch value itself is engine-specific, but the exact count and
     // the rsd=1% error bound (≤5% with huge margin) are deterministic
+    // the oracle predicts the exact heavy-key counts and the (CMS-
+    // guaranteed, deterministic at fixed seed) error-bound flag
+    "q116_heavy_keys_cms" ->
+      """WITH cnt AS (
+        |  SELECT l_partkey, count(*) AS exact_cnt FROM lineitem
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, exact_cnt, true AS est_ok FROM cnt
+        |QUALIFY row_number() OVER (ORDER BY exact_cnt DESC, l_partkey) <= 20
+        |ORDER BY l_partkey""".stripMargin,
+
     // every Gopher rule is an integer cross-multiplication — no float in
     // any decision, so the booleans are exact cross-engine; token split
     // ≡ Spark's (q21-pinned), line split via chr(10)

@@ -69,4 +69,65 @@ object Sketches {
       hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
         .as("est_distinct"),
       sum(col("n_rows")).as("n_rows"))
+
+  // --------------------------------------------------------------------
+  // Count-min: the FREQUENCY twin of the HLL distinct index. Same shard
+  // shape (one KB-sized binary per shard, persistable, mergeable), but
+  // the merge is EXACT — CMS cells are counters, merging adds them, so
+  // merged-shard estimates equal one-shot estimates bit for bit (unlike
+  // HLL, where losslessness holds for the estimate, spec-pinned both).
+  // Estimates are one-sided: est >= exact always, and
+  // est <= exact + eps·N with confidence `conf` per probe.
+  // --------------------------------------------------------------------
+
+  /** One count-min sketch per shard over `keyCol` (Spark's native
+    * `count_min_sketch` aggregate — map-side partial merges, tiny
+    * shuffle). `eps` bounds overshoot (≤ eps·N at confidence `conf`);
+    * `seed` fixes the hash family so estimates are deterministic.
+    */
+  def cmsSketches(df: DataFrame, keyCol: String, shardCol: String,
+                  eps: Double = 0.001, conf: Double = 0.999,
+                  seed: Int = 42): DataFrame =
+    df.groupBy(col(shardCol).as("shard"))
+      .agg(count_min_sketch(col(keyCol), lit(eps), lit(conf), lit(seed))
+        .as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  def writeCmsSketches(df: DataFrame, keyCol: String, shardCol: String,
+                       path: String, eps: Double = 0.001,
+                       conf: Double = 0.999, seed: Int = 42): Unit =
+    cmsSketches(df, keyCol, shardCol, eps, conf, seed)
+      .write.mode("overwrite").parquet(path)
+
+  /** Merge shard CMS binaries into one sketch, driver-side. Bounded
+    * driver state by construction — O(shards) sketches of a few KB each
+    * (the same k×dim-style bound as IVF's centroid collect), never keys
+    * or rows. Counter addition, so the result is EXACTLY the sketch a
+    * one-shot aggregation over the union would build.
+    */
+  def cmsMerge(sketchBinaries: Seq[Array[Byte]]): Array[Byte] = {
+    require(sketchBinaries.nonEmpty, "no sketches to merge")
+    import org.apache.spark.util.sketch.CountMinSketch
+    val merged = sketchBinaries.map(b =>
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    merged.toByteArray
+  }
+
+  /** Collect a shard-sketch relation (or any filtered subset) into one
+    * merged binary: the probe-side artifact.
+    */
+  def cmsCollectMerged(sketches: DataFrame): Array[Byte] =
+    cmsMerge(sketches.select(col("sketch"))
+      .collect().map(_.getAs[Array[Byte]](0)).toSeq)
+
+  /** Frequency estimate of `keyExpr` against a merged sketch: a pure
+    * codegen'd projection (`CmsEstimateExpr` — the lookup side Spark's
+    * own CMS aggregate doesn't ship). Requires
+    * `GraftFunctions.register(spark)`. The probe relation never touches
+    * the corpus the sketch was built from.
+    */
+  def cmsEstimate(keyExpr: org.apache.spark.sql.Column,
+                  merged: Array[Byte]): org.apache.spark.sql.Column =
+    call_function("graft_cms_estimate", keyExpr, lit(merged))
 }

@@ -122,6 +122,21 @@ object GraftFunctions {
     BloomContainsExpr(children.head, bytes)
   }
 
+  private def cmsEstimateBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_cms_estimate(value, cmsBytes)")
+    val bLit = children(1)
+    if (!bLit.foldable) throw new IllegalArgumentException(
+      s"cmsBytes must be a binary literal, got non-literal ${bLit.sql}")
+    // the serialized sketch is absorbed into the expression OBJECT — it
+    // appears once pre-analysis, never in the resolved plan tree
+    val bytes = bLit.eval() match {
+      case b: Array[Byte] => b
+      case other => throw new IllegalArgumentException(
+        s"cmsBytes must be a binary literal, got $other")
+    }
+    CmsEstimateExpr(children.head, bytes)
+  }
+
   private def doubleArrayLit(children: Seq[Expression], i: Int,
                              what: String): Array[Double] = {
     val c = children(i)
@@ -208,6 +223,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[BloomContainsExpr].getName,
         "graft_bloom_contains"),
       bloomContainsBuilder),
+    (FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimateExpr].getName,
+        "graft_cms_estimate"),
+      cmsEstimateBuilder),
     (FunctionIdentifier("graft_misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName,
         "graft_misra_gries"),

@@ -67,6 +67,51 @@ class SketchesSpec extends SparkSpec {
     assert(back.agg(sum("n_rows")).as[Long].head() == 20000L)
   }
 
+  test("cms: one-sided error within eps*N, and shard merge is exact") {
+    graft.plans.GraftFunctions.register(spark)
+    // skewed keys: key = isqrt(id) → key k appears ~2k+1 times
+    val df = spark.range(100000).select(
+      (col("id") % 8).cast("string").as("shard"),
+      floor(sqrt(col("id"))).cast("long").as("key")).cache()
+    val eps = 0.001
+    val shards = graft.ext.Sketches.cmsSketches(df, "key", "shard", eps = eps)
+      .cache()
+    val merged = graft.ext.Sketches.cmsCollectMerged(shards)
+    val oneShot = graft.ext.Sketches.cmsCollectMerged(
+      graft.ext.Sketches.cmsSketches(
+        df.withColumn("shard", lit("all")), "key", "shard", eps = eps))
+    val exact = df.groupBy("key").agg(count(lit(1)).as("exact"))
+    val probed = exact.select(col("key"), col("exact"),
+        graft.ext.Sketches.cmsEstimate(col("key"), merged).as("est"),
+        graft.ext.Sketches.cmsEstimate(col("key"), oneShot).as("est_one"))
+      .as[(Long, Long, Long, Long)].collect()
+    val bound = math.ceil(eps * 100000).toLong
+    probed.foreach { case (k, ex, est, estOne) =>
+      assert(est >= ex, s"key $k: CMS underestimated ($est < $ex)")
+      assert(est <= ex + bound, s"key $k: overshoot $est vs $ex (+$bound)")
+      // counter addition: merged-shard estimates ≡ one-shot estimates
+      assert(est == estOne, s"key $k: merged $est != one-shot $estOne")
+    }
+  }
+
+  test("cms persisted index round-trips and probes without the corpus") {
+    graft.plans.GraftFunctions.register(spark)
+    val df = spark.range(5000).select(
+      (col("id") % 4).cast("string").as("shard"),
+      (col("id") % 100).as("key"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_").toString
+    graft.ext.Sketches.writeCmsSketches(df, "key", "shard", dir)
+    val merged = graft.ext.Sketches.cmsCollectMerged(
+      graft.ext.Sketches.readSketches(spark, dir))
+    // every key appears exactly 50 times; CMS never underestimates and
+    // at this tiny cardinality should be exact
+    val probes = spark.range(100).select(col("id").as("key"))
+      .select(col("key"), graft.ext.Sketches.cmsEstimate(col("key"), merged)
+        .as("est"))
+      .as[(Long, Long)].collect()
+    probes.foreach { case (k, est) => assert(est == 50L, s"key $k: $est") }
+  }
+
   test("incremental ingest composes: batch sketches union to the full estimate") {
     val full = corpus(60000, 6).cache()
     val b1 = full.filter(xxhash64(col("key")) % 2 === 0)
