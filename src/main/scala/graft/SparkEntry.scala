@@ -1036,6 +1036,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- cross-corpus overlap census from sketches (oracle-checked via
+    // the q40 pattern): |A∩B| by inclusion-exclusion over HLL unions —
+    // the decontamination census answered from two KB-sized indexes with
+    // no join and no corpus re-scan. Overlap is planted (corpus B
+    // re-includes sources 0-4) so the estimate has something to find;
+    // the flag bounds it by 5% of the exact union.
+    "q117_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("key", md5(col("text")))
+      val srcNum = regexp_extract(col("source"), "\\d+", 0).cast("int")
+      val aDocs = docs.filter(srcNum < 10)
+      val bDocs = docs.filter(srcNum >= 10)
+        .unionByName(docs.filter(srcNum < 5))
+      val est = graft.ext.Sketches.overlapEstimate(
+        graft.ext.Sketches.distinctSketches(aDocs, "key", "source"),
+        graft.ext.Sketches.distinctSketches(bDocs, "key", "source"))
+      val exactA = aDocs.agg(countDistinct(col("key")).as("exact_a"))
+      val exactB = bDocs.agg(countDistinct(col("key")).as("exact_b"))
+      val exactO = aDocs.select("key").distinct()
+        .join(bDocs.select("key").distinct(), "key")
+        .agg(count(lit(1)).as("exact_overlap"))
+      exactA.crossJoin(exactB).crossJoin(exactO).crossJoin(est)
+        .select(col("exact_a"), col("exact_b"), col("exact_overlap"),
+          (abs(col("est_overlap") - col("exact_overlap")) <=
+            ceil((col("exact_a") + col("exact_b") - col("exact_overlap")) *
+              lit(0.05)).cast("long")).as("overlap_ok"))
+    }),
+
     // ---- count-min frequency index (oracle-checked via the q40 tolerance
     // pattern): per-shard CMS sketches built by Spark's native aggregate,
     // merged driver-side (counter addition — EXACTLY the one-shot sketch,
@@ -3909,6 +3936,21 @@ object SparkEntry {
 
     // the sketch value itself is engine-specific, but the exact count and
     // the rsd=1% error bound (≤5% with huge margin) are deterministic
+    // the oracle predicts the exact cardinalities and the (sparse-mode
+    // deterministic) inclusion-exclusion bound flag
+    "q117_corpus_overlap" ->
+      """WITH d AS (
+        |  SELECT md5(text) AS k,
+        |    CAST(regexp_extract(source, '\d+') AS INT) AS sn
+        |  FROM documents),
+        |a AS (SELECT DISTINCT k FROM d WHERE sn < 10),
+        |b AS (SELECT DISTINCT k FROM d WHERE sn >= 10
+        |      UNION SELECT k FROM d WHERE sn < 5)
+        |SELECT (SELECT count(*) FROM a) AS exact_a,
+        |  (SELECT count(*) FROM b) AS exact_b,
+        |  (SELECT count(*) FROM a JOIN b USING (k)) AS exact_overlap,
+        |  true AS overlap_ok""".stripMargin,
+
     // the oracle predicts the exact heavy-key counts and the (CMS-
     // guaranteed, deterministic at fixed seed) error-bound flag
     "q116_heavy_keys_cms" ->

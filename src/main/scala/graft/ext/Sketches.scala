@@ -70,6 +70,38 @@ object Sketches {
         .as("est_distinct"),
       sum(col("n_rows")).as("n_rows"))
 
+  /** Distinct-overlap estimate between two sketch relations by
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), every
+    * term from sketch merges — no corpus access, no join. The
+    * cross-corpus decontamination census at 100 TB: "how many training
+    * fingerprints also appear in the benchmark corpus" answered from two
+    * KB-sized persisted indexes. One row: est_a, est_b, est_union,
+    * est_overlap (clamped at 0 — inclusion–exclusion can go slightly
+    * negative for disjoint sets at sketch error).
+    *
+    * Error note: the absolute error is driven by the UNION's cardinality
+    * (~1.6%·|A∪B| at lgK 12), so small overlaps between huge corpora
+    * need a bigger lgK or the exact Bloom/join path
+    * ([[Dedup.contaminationHitsBloom]]) — this is the census shape, the
+    * per-document verdict stays with the exact operators.
+    */
+  def overlapEstimate(sketchesA: DataFrame, sketchesB: DataFrame): DataFrame = {
+    val a = sketchesA.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("est_a"),
+      hll_union_agg(col("sketch"), lit(false)).as("ska"))
+    val b = sketchesB.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("est_b"),
+      hll_union_agg(col("sketch"), lit(false)).as("skb"))
+    a.crossJoin(b)
+      .select(col("est_a"), col("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"),
+            allowDifferentLgConfigK = false))
+          .as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_overlap"))
+  }
+
   // --------------------------------------------------------------------
   // Count-min: the FREQUENCY twin of the HLL distinct index. Same shard
   // shape (one KB-sized binary per shard, persistable, mergeable), but

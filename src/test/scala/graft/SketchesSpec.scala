@@ -67,6 +67,30 @@ class SketchesSpec extends SparkSpec {
     assert(back.agg(sum("n_rows")).as[Long].head() == 20000L)
   }
 
+  test("overlapEstimate: inclusion-exclusion within 5% of the union size") {
+    // A = keys 0..59999, B = keys 40000..99999 → overlap 20000, union 100000
+    val a = spark.range(60000).select(lit("s").as("shard"),
+      md5(col("id").cast("string")).as("key"))
+    val b = spark.range(40000, 100000).select(lit("s").as("shard"),
+      md5(col("id").cast("string")).as("key"))
+    val est = Sketches.overlapEstimate(
+        Sketches.distinctSketches(a, "key", "shard"),
+        Sketches.distinctSketches(b, "key", "shard"))
+      .select("est_overlap").as[Long].head()
+    // error scales with |A∪B| (100k): ±5% of the union is the honest bound
+    assert(math.abs(est - 20000L) <= 5000L, s"overlap est $est vs 20000")
+    // disjoint corpora: estimate clamps at 0, never negative
+    val c = spark.range(1000).select(lit("s").as("shard"),
+      md5(concat(lit("x"), col("id").cast("string"))).as("key"))
+    val d = spark.range(1000).select(lit("s").as("shard"),
+      md5(concat(lit("y"), col("id").cast("string"))).as("key"))
+    val dis = Sketches.overlapEstimate(
+        Sketches.distinctSketches(c, "key", "shard"),
+        Sketches.distinctSketches(d, "key", "shard"))
+      .select("est_overlap").as[Long].head()
+    assert(dis >= 0L && dis <= 100L, s"disjoint overlap est $dis")
+  }
+
   test("cms: one-sided error within eps*N, and shard merge is exact") {
     graft.plans.GraftFunctions.register(spark)
     // skewed keys: key = isqrt(id) → key k appears ~2k+1 times
