@@ -3949,7 +3949,8 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM a) AS exact_a,
         |  (SELECT count(*) FROM b) AS exact_b,
         |  (SELECT count(*) FROM a JOIN b USING (k)) AS exact_overlap,
-        |  true AS overlap_ok""".stripMargin,
+        |  true AS overlap_ok
+        |ORDER BY exact_a""".stripMargin,
 
     // the oracle predicts the exact heavy-key counts and the (CMS-
     // guaranteed, deterministic at fixed seed) error-bound flag
