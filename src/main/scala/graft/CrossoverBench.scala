@@ -58,7 +58,7 @@ object CrossoverBench {
 
     val k = 10
     println("corpus,queries,brute_sec,lsh_sec,lsh_recall,ivf_sec,ivf_recall," +
-      "ivfpq_sec,ivfpq_recall")
+      "ivfpq_sec,ivfpq_recall,int8_sec,int8_recall,trunc_sec,trunc_recall")
     sizes.foreach { n =>
       val emb = syntheticEmbeddings(spark, n, 64, seed = 42L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
@@ -93,11 +93,29 @@ object CrossoverBench {
           .select("query_id", "neighbor_id")
           .as[(Long, Long)].collect().toSet
       }
+      // int8: still an O(n²) scan (no bucketing) but each pair costs a
+      // long-dot over 4x-smaller codes; measures the quantized-scan
+      // constant, not a crossover
+      val (int8Rows, int8Sec) = time {
+        Similarity.int8TopK(emb, queries, "vec_id", "embedding", k,
+            dim = 64, candK = 4 * k, useNative = true)
+          .select("query_id", "neighbor_id")
+          .as[(Long, Long)].collect().toSet
+      }
+      // truncated: O(n²) over the first 16 of 64 dims (4x fewer FLOPs)
+      val (truncRows, truncSec) = time {
+        Similarity.truncatedTopK(emb, queries, "vec_id", "embedding", k,
+            dim = 64, prefixDim = 16, candK = 4 * k, useNative = true)
+          .select("query_id", "neighbor_id")
+          .as[(Long, Long)].collect().toSet
+      }
       def recall(rows: Set[(Long, Long)]) =
         rows.intersect(bruteRows).size.toDouble / bruteRows.size
       println(f"$n,${n / 200},$bruteSec%.2f,$lshSec%.2f,${recall(lshRows)}%.3f," +
         f"$ivfSec%.2f,${recall(ivfRows)}%.3f," +
-        f"$pqSec%.2f,${recall(pqRows)}%.3f")
+        f"$pqSec%.2f,${recall(pqRows)}%.3f," +
+        f"$int8Sec%.2f,${recall(int8Rows)}%.3f," +
+        f"$truncSec%.2f,${recall(truncRows)}%.3f")
       emb.unpersist()
     }
     spark.stop()

@@ -79,6 +79,35 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
   }
 
+  test("q112/q115 quantized scans: query side broadcast, native per-pair dot") {
+    // the n² candidate stage must (a) broadcast the small query side so
+    // the corpus scans once, and (b) score each pair through the native
+    // fixed-dim dot — an interpreted HOF there multiplies the whole scan
+    // cost (the round-1 q37 lesson). The per-ROW quantization/norm HOFs
+    // are fine: they run O(n), not O(n²).
+    for ((name, dot) <- Seq("q112_topk_int8" -> "graft_dot_i8",
+                            "q115_topk_matryoshka" -> "graft_dot")) {
+      val plan = formatted(q(name))
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"$name: query side not broadcast:\n$plan")
+      assert(plan.contains(dot), s"$name: native $dot missing from plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: unbroadcast cartesian snuck in:\n$plan")
+    }
+  }
+
+  test("q116 cms probe: estimates project over the aggregated relation only") {
+    // the probe must evaluate on the per-key COUNTS (tiny, post-agg), and
+    // the serialized sketch must ride the expression object — a multi-KB
+    // binary literal in the plan text means the carrier pattern broke
+    val plan = formatted(q("q116_heavy_keys_cms"))
+    assert(plan.contains("graft_cms_estimate"),
+      s"no cms probe in plan:\n$plan")
+    assert(plan.length < 100000,
+      s"plan text is ${plan.length} chars — sketch bytes leaked into the plan as a literal")
+  }
+
   test("q50 line dedup: keep-first winner is a partial-combinable min agg") {
     val plan = tree(q("q50_line_dedup"))
     // the skew guard: the per-line winner must map-side combine, never a
