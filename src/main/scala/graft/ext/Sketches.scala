@@ -52,12 +52,27 @@ object Sketches {
   def readSketches(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Per-shard distinct estimates from a sketch relation: a pure
-    * projection — no corpus access.
+  /** Per-shard distinct estimates from a sketch relation — no corpus
+    * access. Merge-aware: an index that accumulated multiple rows per
+    * shard (one per ingest batch — [[appendDistinctSketches]], the
+    * streaming loop) unions them per shard first; union is lossless, so
+    * batch-accumulated and one-shot indexes answer identically
+    * (spec-pinned).
     */
   def estimatePerShard(sketches: DataFrame): DataFrame =
-    sketches.select(col("shard"), col("n_rows"),
-      hll_sketch_estimate(col("sketch")).as("est_distinct"))
+    sketches.groupBy(col("shard"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .as("est_distinct"))
+
+  /** Append one ingest batch's shard sketches to a persisted index: the
+    * incremental path — each batch is scanned once, the index grows by
+    * O(shards) KB-rows, and readers union per shard at answer time.
+    */
+  def appendDistinctSketches(df: DataFrame, keyCol: String, shardCol: String,
+                             path: String, lgK: Int = DefaultLgK): Unit =
+    distinctSketches(df, keyCol, shardCol, lgK)
+      .write.mode("append").parquet(path)
 
   /** Distinct estimate across ALL shards (or any filtered subset the
     * caller passes): merge the sketches, estimate once. The merge is the

@@ -124,6 +124,28 @@ object EventStreams {
     * near-dup-checks against them — the near-dup analog of the
     * exact-dedup ingest loop (`dedupAgainstCorpus` + append).
     */
+  /** Continuous maintenance of the shard distinct-sketch index
+    * ([[graft.ext.Sketches]]): each micro-batch appends its O(shards)
+    * KB-sized sketch rows — the corpus is scanned exactly once, at
+    * ingest — and readers answer distinct-count questions from the index
+    * alone, any time, with per-shard union at read. HLL union is
+    * lossless, so the streamed index answers IDENTICALLY to a one-shot
+    * sketch of everything ingested (spec-pinned), which is what makes
+    * the 8-minute-cadence loop safe to run forever: accumulated rows per
+    * shard grow by one per batch and compact away with any parquet
+    * rewrite of the index.
+    */
+  def distinctSketchStream(docs: DataFrame, keyCol: String, shardCol: String,
+                           indexPath: String,
+                           lgK: Int = graft.ext.Sketches.DefaultLgK)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Sketches.appendDistinctSketches(batch, keyCol, shardCol,
+          indexPath, lgK)
+      }
+      .start()
+
   def nearDupProbeStream(docs: DataFrame, table: String, idCol: String,
                          textCol: String, minJaccard: Double,
                          shingleN: Int = 3, k: Int = 64, bands: Int = 16,

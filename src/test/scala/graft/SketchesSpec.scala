@@ -67,6 +67,49 @@ class SketchesSpec extends SparkSpec {
     assert(back.agg(sum("n_rows")).as[Long].head() == 20000L)
   }
 
+  test("append-accumulated index answers identically to a one-shot index") {
+    val full = corpus(30000, 5).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_sk_app_").toString
+    // three ingest batches append rows to the same index path
+    Seq(0, 1, 2).foreach { b =>
+      Sketches.appendDistinctSketches(
+        full.filter(abs(xxhash64(col("key"))) % 3 === b), "key", "shard", dir)
+    }
+    val accumulated = Sketches.estimatePerShard(
+        Sketches.readSketches(spark, dir))
+      .select("shard", "n_rows", "est_distinct")
+      .as[(String, Long, Long)].collect().toSet
+    val oneShot = Sketches.estimatePerShard(
+        Sketches.distinctSketches(full, "key", "shard"))
+      .select("shard", "n_rows", "est_distinct")
+      .as[(String, Long, Long)].collect().toSet
+    assert(accumulated == oneShot)
+  }
+
+  test("streaming sketch maintenance: streamed index ≡ one-shot sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_sk_str_").toString
+    val q = graft.streaming.EventStreams.distinctSketchStream(
+      in.toDF().toDF("shard", "key"), "key", "shard", dir)
+    try {
+      in.addData((0 until 4000).map(i => (s"s${i % 3}", s"k${i % 1500}")): _*)
+      q.processAllAvailable()
+      in.addData((0 until 4000).map(i => (s"s${i % 3}", s"k${i % 2500}")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Sketches.estimateUnion(Sketches.readSketches(spark, dir))
+      .select("est_distinct", "n_rows").as[(Long, Long)].head()
+    val all = (0 until 4000).map(i => (s"s${i % 3}", s"k${i % 1500}")) ++
+      (0 until 4000).map(i => (s"s${i % 3}", s"k${i % 2500}"))
+    val oneShot = Sketches.estimateUnion(
+        Sketches.distinctSketches(all.toDF("shard", "key"), "key", "shard"))
+      .select("est_distinct", "n_rows").as[(Long, Long)].head()
+    assert(streamed == oneShot, s"streamed $streamed != one-shot $oneShot")
+    assert(streamed._2 == 8000L)
+  }
+
   test("overlapEstimate: inclusion-exclusion within 5% of the union size") {
     // A = keys 0..59999, B = keys 40000..99999 → overlap 20000, union 100000
     val a = spark.range(60000).select(lit("s").as("shard"),
