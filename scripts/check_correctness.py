@@ -52,6 +52,15 @@ def cells_equal(a, b) -> bool:
     return a == b
 
 fails = 0
+# Verify records throwers in failed.json precisely so they can't read as
+# passes by being absent from the output dir — count them as failures
+# here too (this script previously skipped them silently, which printed
+# "PASS" for a run whose only selected query had failed).
+failed_path = OUT_DIR / "failed.json"
+if failed_path.exists():
+    for name, err in json.loads(failed_path.read_text()).items():
+        print(f"✗ {name}: Verify FAILED: {err}")
+        fails += 1
 for name in sorted(p.name for p in OUT_DIR.iterdir() if p.is_dir()):
     got = pd.read_parquet(OUT_DIR / name)
     if name not in oracle:

@@ -1012,6 +1012,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- vocabulary coverage report (oracle-checked): top-V corpus
+    // tokens with cumulative ppm share — tokenizer-training precursor.
+    // Top-V selection via the graft_top_k aggregate (O(V) state, no
+    // global window over the distinct-token relation); the oracle uses
+    // the window formulation, same contract as q48/q83/q90.
+    "q118_vocab_coverage" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      TextOps.vocabularyCoverage(t(s, dir, "documents"), "text", topV = 100)
+        .orderBy("rank")
+    }),
+
     // ---- Gopher quality-rule bundle (oracle-checked): the seven
     // document filters of Rae et al. 2021, each decided in exact integer
     // arithmetic (cross-multiplied thresholds — no float in any
@@ -3961,6 +3972,26 @@ object SparkEntry {
         |SELECT l_partkey, exact_cnt, true AS est_ok FROM cnt
         |QUALIFY row_number() OVER (ORDER BY exact_cnt DESC, l_partkey) <= 20
         |ORDER BY l_partkey""".stripMargin,
+
+    // window formulation of the graft_top_k selection (the q48/q83/q90
+    // contract); cumulative share in integer ppm via floor division
+    "q118_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT t.tok FROM documents,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |cnt AS (SELECT tok AS token, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM cnt),
+        |top AS (
+        |  SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token) AS "rank"
+        |  FROM cnt
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 100)
+        |SELECT "rank", token, cnt,
+        |  CAST((sum(cnt) OVER (ORDER BY "rank")) * 1000000 // total AS BIGINT)
+        |    AS cum_ppm
+        |FROM top, tot
+        |ORDER BY "rank"""".stripMargin,
 
     // every Gopher rule is an integer cross-multiplication — no float in
     // any decision, so the booleans are exact cross-engine; token split

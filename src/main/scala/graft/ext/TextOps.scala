@@ -587,6 +587,44 @@ object TextOps {
       .select("token", "n", "share_ppm")
   }
 
+  /** Corpus vocabulary-coverage report: the top-`topV` tokens by
+    * frequency with cumulative corpus share — the tokenizer-training
+    * precursor ("how much of the corpus does a V-entry vocabulary
+    * cover") and the OOV-rate estimate for an existing vocabulary size.
+    *
+    * Scale shape: ONE token explode + hash aggregation (map-side
+    * combine), then the top-V selection runs through `graft_top_k` as a
+    * single-group aggregate — O(V) state per partition, ≤V candidates
+    * cross the shuffle — NEVER a global window sort over the distinct-
+    * token relation, which at web scale is billions of rows through one
+    * partition. The only window runs over the V-row result. Cumulative
+    * share is integer ppm (`cum·10⁶ div total`) — exact cross-engine.
+    * Requires `GraftFunctions.register`.
+    */
+  def vocabularyCoverage(df: DataFrame, textCol: String,
+                         topV: Int): DataFrame = {
+    val toks = df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val cnt = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    // ord rides as double (exact for counts < 2^53), back to long on exit
+    val agged = cnt.agg(
+      call_function("graft_top_k", col("cnt").cast("double"), col("token"),
+        lit(topV)).as("__top"),
+      sum(col("cnt")).as("total"))
+    val top = agged
+      .select(col("total"), posexplode(col("__top")).as(Seq("__p", "__s")))
+      .select((col("__p") + 1).cast("long").as("rank"),
+        col("__s.payload").as("token"),
+        col("__s.ord").cast("long").as("cnt"),
+        col("total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("rank")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    top.withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .withColumn("cum_ppm", expr("cum_cnt * 1000000L div total"))
+      .select("rank", "token", "cnt", "cum_ppm")
+  }
+
   /** Frequency capping — keep at most `k` rows per key, best-first by
     * (`ordCol` DESC, `idCol` ASC): the per-domain / per-source corpus
     * balancing step of web-scale curation recipes (the source-cap stage

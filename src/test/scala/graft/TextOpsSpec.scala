@@ -670,6 +670,45 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.size == 4)
   }
 
+  test("vocabularyCoverage: hand-computed ranks, counts, and ppm shares") {
+    graft.plans.GraftFunctions.register(spark)
+    // tokens: a×5, b×3, c×1, d×1  (total 10); case-folded, empty dropped
+    val docs = Seq(
+      (1L, "a a A b"), (2L, "a  a b B"), (3L, "c d")).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.vocabularyCoverage(docs, "text", topV = 3)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // ties at cnt=1 break by token asc → c outranks d; d excluded at V=3
+    assert(out == Seq(
+      (1L, "a", 5L, 500000L),   // 5/10
+      (2L, "b", 3L, 800000L),   // 8/10
+      (3L, "c", 1L, 900000L)))  // 9/10
+  }
+
+  test("vocabularyCoverage equals the window formulation on a tie-heavy corpus") {
+    graft.plans.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5)
+    val docs = (1 to 200).map(i =>
+      (i.toLong, Seq.fill(20)(s"t${rnd.nextInt(30)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextOps.vocabularyCoverage(docs, "text", topV = 10)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val toks = docs.select(explode(split(trim(lower(col("text"))), "\\s+"))
+      .as("token")).filter(col("token") =!= "")
+    val cnt = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum("cnt")).as[Long].head()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    val want = cnt.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .withColumn("cum", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.orderBy("rank")
+          .rowsBetween(Long.MinValue, 0)))
+      .select(col("rank").cast("long"), col("token"), col("cnt"),
+        expr(s"cum * 1000000L div ${total}L"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("gopherRules: each rule fires on its boundary, integer-exact") {
     import org.apache.spark.sql.Row
     // a passing base: 50 words (boundary-inclusive), all alphabetic,
