@@ -1012,6 +1012,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- BPE merge-table training (rows-only + RowsOnlyPinSpec hash
+    // gate — the iterative trainer is not expressible in one SQL
+    // statement): Sennrich-style dictionary BPE, ONE corpus collapse to
+    // (word, freq) then one aggregation per merge step; exact-long
+    // counts + lexicographic ties make the table bit-deterministic.
+    // BpeSpec pins the trainer against an independent plain-Scala
+    // reference (the Lloyd-step non-circularity discipline).
+    "q119_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val merges = TextOps.trainBpeMerges(t(s, dir, "documents"), "text",
+        nMerges = 16)
+      merges.zipWithIndex
+        .map { case ((l, r, c), i) => ((i + 1).toLong, l, r, c) }
+        .toDF("rank", "left", "right", "cnt").orderBy("rank")
+    }),
+
     // ---- vocabulary coverage report (oracle-checked): top-V corpus
     // tokens with cumulative ppm share — tokenizer-training precursor.
     // Top-V selection via the graft_top_k aggregate (O(V) state, no

@@ -625,6 +625,69 @@ object TextOps {
       .select("rank", "token", "cnt", "cum_ppm")
   }
 
+  /** Train a BPE merge table on the corpus (Sennrich et al. 2016 —
+    * public paper; no code consulted): the tokenizer-training step of an
+    * LLM data pipeline. Classic dictionary-based training at Spark
+    * scale: the corpus collapses ONCE into a cached (word, freq)
+    * relation — at 100 TB that is the only pass over the documents —
+    * and each merge step is one aggregation over that dictionary:
+    * segment every word under the current table (native
+    * `graft_bpe_pairs`), explode adjacent symbol pairs, weight by word
+    * frequency, and take the top pair. Driver state is one pair per
+    * step (the Lloyd-trainer discipline); counts are exact longs, ties
+    * break lexicographically — so the table is bit-deterministic for a
+    * fixed corpus, which is what lets q119 carry a recorded-hash gate.
+    *
+    * Returns the merges in rank order. Stops early if no adjacent pair
+    * repeats (every word fully fused).
+    */
+  def trainBpeMerges(df: DataFrame, textCol: String,
+                     nMerges: Int): Seq[(String, String, Long)] = {
+    val spark = df.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val words = df
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .cache()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var exhausted = false
+      while (merges.size < nMerges && !exhausted) {
+        val tableLit = typedlit(merges.map(m => m._1 + " " + m._2).toSeq)
+        val top = words
+          .select(col("freq"),
+            explode(call_function("graft_bpe_pairs", col("w"), tableLit))
+              .as("pair"))
+          .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getLong(1) < 2) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val sp = pair.indexOf(' ')
+          merges += ((pair.substring(0, sp), pair.substring(sp + 1),
+            top(0).getLong(1)))
+        }
+      }
+      merges.toSeq
+    } finally words.unpersist()
+  }
+
+  /** Tokenize with a trained merge table: whitespace words segment
+    * through native `graft_bpe_segment` and flatten back to one subword
+    * sequence per document (plus its length) — the REAL token count
+    * q29's regex estimate approximates. Pure projection, zero shuffle.
+    */
+  def withBpeTokens(df: DataFrame, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val tableLit = typedlit(merges.map(m => m._1 + " " + m._2))
+    df.withColumn("bpe_tokens",
+        flatten(transform(tokens(lower(col(textCol))),
+          w => call_function("graft_bpe_segment", w, tableLit))))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+  }
+
   /** Frequency capping — keep at most `k` rows per key, best-first by
     * (`ordCol` DESC, `idCol` ASC): the per-domain / per-source corpus
     * balancing step of web-scale curation recipes (the source-cap stage

@@ -122,6 +122,31 @@ object GraftFunctions {
     BloomContainsExpr(children.head, bytes)
   }
 
+  private def stringArrayLit(children: Seq[Expression], i: Int,
+                             what: String): Array[String] = {
+    val c = children(i)
+    if (!c.foldable) throw new IllegalArgumentException(
+      s"$what must be an array<string> literal, got non-literal ${c.sql}")
+    // the literal table is absorbed into the expression OBJECT
+    c.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString)
+      case other => throw new IllegalArgumentException(
+        s"$what must be an array<string> literal, got $other")
+    }
+  }
+
+  private def bpeSegmentBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_bpe_segment(word, merges)")
+    BpeSegmentExpr(children.head, stringArrayLit(children, 1, "merges"))
+  }
+
+  private def bpePairsBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_bpe_pairs(word, merges)")
+    BpePairsExpr(children.head, stringArrayLit(children, 1, "merges"))
+  }
+
   private def cmsEstimateBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, "graft_cms_estimate(value, cmsBytes)")
     val bLit = children(1)
@@ -223,6 +248,12 @@ object GraftFunctions {
       new ExpressionInfo(classOf[BloomContainsExpr].getName,
         "graft_bloom_contains"),
       bloomContainsBuilder),
+    (FunctionIdentifier("graft_bpe_segment"),
+      new ExpressionInfo(classOf[BpeSegmentExpr].getName, "graft_bpe_segment"),
+      bpeSegmentBuilder),
+    (FunctionIdentifier("graft_bpe_pairs"),
+      new ExpressionInfo(classOf[BpePairsExpr].getName, "graft_bpe_pairs"),
+      bpePairsBuilder),
     (FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimateExpr].getName,
         "graft_cms_estimate"),

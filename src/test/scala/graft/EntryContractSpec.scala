@@ -21,7 +21,8 @@ class EntryContractSpec extends SparkSpec {
       "q43_topk_ivf",           // trained coarse quantizer
       "q56_semantic_dedup",     // IVF clustering of the embedding space
       "q75_kmeans",             // trained model output itself
-      "q79_topk_ivfpq")         // trained coarse + product codebooks
+      "q79_topk_ivfpq",         // trained coarse + product codebooks
+      "q119_bpe_merges")        // iterative trainer (not one SQL stmt)
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked == declaredRowsOnly,
       s"rows-only drift: unexpected=${unchecked -- declaredRowsOnly} " +

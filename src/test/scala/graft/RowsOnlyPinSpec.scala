@@ -47,6 +47,7 @@ class RowsOnlyPinSpec extends SparkSpec {
     }
 
   pin("q31_topk_lsh",            "b7aa123c78a891b2f354188462e8d69a", 25)
+  pin("q119_bpe_merges",         "ba803983320184d58297e3bd13b856d3", 16)
   pin("q38_cosine_near_dup_lsh", "8ba6677469f22d5c4c17e4f37e5ed453", 15)
   pin("q43_topk_ivf",            "a465e1d78d27cc29fbc3a9624519737d", 25)
   pin("q56_semantic_dedup",      "f885d8ce276a7969d1165fc3111f74d8", 480)
