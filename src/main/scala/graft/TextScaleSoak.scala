@@ -112,6 +112,21 @@ object TextScaleSoak {
           count(when(col("kept"), 1)).as("kept")).head()
     }
 
+    // round-8 additions: the Gopher rule bundle (zero-shuffle projection
+    // — must scan-rate through 10⁶ docs) and vocabulary coverage (one
+    // explode + agg + O(V) top-k — the distinct-token relation here is
+    // 50k rows wide, the regime the no-global-window design exists for)
+    graft.plans.GraftFunctions.register(spark)
+    val (gopherStats, tGopher) = time {
+      TextOps.gopherRules(docs, "text")
+        .agg(count(lit(1)).as("rows"),
+          count(when(col("gopher_pass"), 1)).as("passed")).head()
+    }
+    val (vocabStats, tVocab) = time {
+      TextOps.vocabularyCoverage(docs, "text", topV = 1000)
+        .agg(count(lit(1)).as("rows"), max(col("cum_ppm")).as("cov")).head()
+    }
+
     // sanity, all deterministic by construction:
     //  - planted repeats found EXACTLY: each clone target (id % 5 == 0,
     //    id > 0 → floor((n-1)/5) docs) flags itself AND its neighbor,
@@ -129,9 +144,21 @@ object TextScaleSoak {
     //    column would mean broken threshold wiring)
     val kept = qcStats.getLong(1)
     assert(kept > 0 && kept < total, s"degenerate classifier split: $kept/$total")
+    //  - every doc judged by the rule bundle; 40-120 w-tokens of 50k-vocab
+    //    words pass word-count/mean-len/symbol/alpha but fail the
+    //    stop-word rule (no 'the'/'of'/... in the synthetic vocab) —
+    //    all-judged with zero passes is the EXPECTED split here
+    assert(gopherStats.getLong(0) == total)
+    assert(gopherStats.getLong(1) == 0,
+      s"synthetic vocab cannot contain Gopher stop words, got ${gopherStats.getLong(1)} passes")
+    //  - full V rows ranked; top-1000 of a uniform 50k vocab covers ~2%
+    val vocabCov = vocabStats.getLong(1)
+    assert(vocabStats.getLong(0) == 1000L)
+    assert(vocabCov > 10000L && vocabCov < 40000L,
+      s"top-1000 coverage $vocabCov ppm outside the uniform-vocab band")
 
     println(
-      s"""{"n":$total,"span_sec":${math.rint(tSpan * 10) / 10},"docs_with_dups":${spanStats.getLong(0)},"covered_tokens":${spanStats.getLong(1)},"lm_sec":${math.rint(tLm * 10) / 10},"avg_prob":${math.rint(lmStats.getDouble(1) * 1e6) / 1e6},"lm_train_sec":${math.rint(tTrain * 10) / 10},"lm_batch_secs":${batchSecs.map(t => math.rint(t * 10) / 10).mkString("[", ",", "]")},"qc_sec":${math.rint(tQc * 10) / 10},"qc_kept":$kept}""")
+      s"""{"n":$total,"span_sec":${math.rint(tSpan * 10) / 10},"docs_with_dups":${spanStats.getLong(0)},"covered_tokens":${spanStats.getLong(1)},"lm_sec":${math.rint(tLm * 10) / 10},"avg_prob":${math.rint(lmStats.getDouble(1) * 1e6) / 1e6},"lm_train_sec":${math.rint(tTrain * 10) / 10},"lm_batch_secs":${batchSecs.map(t => math.rint(t * 10) / 10).mkString("[", ",", "]")},"qc_sec":${math.rint(tQc * 10) / 10},"qc_kept":$kept,"gopher_sec":${math.rint(tGopher * 10) / 10},"vocab_sec":${math.rint(tVocab * 10) / 10},"vocab_top1000_ppm":$vocabCov}""")
     spark.stop()
   }
 }
