@@ -25,6 +25,43 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** q120's fixed BPE merge table — CONSISTENT (every operand is a base
+    * character or an earlier merge's output), which is the condition
+    * under which replay-in-rank-order equals the lowest-rank-present
+    * loop the native expression runs, and what the oracle's nested
+    * replace() chain implements.
+    */
+  private[graft] val Q120Merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "the" -> "</w>", "e" -> "r", "e" -> "</w>",
+    "a" -> "n", "an" -> "d", "and" -> "</w>")
+
+  /** The q120 oracle, generated from [[Q120Merges]] so table and SQL
+    * cannot drift: each word becomes a chr(1)-framed symbol string
+    * (one code point per symbol plus the `</w>` marker), each merge in
+    * rank order is ONE global `replace` of `␁l␁r␁` with `␁lr␁` —
+    * left-to-right non-overlapping, exactly the fusion order the native
+    * expression uses — and the doc's subword sequence is the flattened
+    * filtered split.
+    */
+  private def q120OracleSql: String = {
+    val s0 = "regexp_replace(tok, '(.)', chr(1) || '\\1', 'g') || " +
+      "chr(1) || '</w>' || chr(1)"
+    val chain = Q120Merges.foldLeft(s0) { case (acc, (l, r)) =>
+      s"replace($acc, chr(1) || '$l' || chr(1) || '$r' || chr(1), " +
+        s"chr(1) || '$l$r' || chr(1))"
+    }
+    s"""WITH seg AS (
+       |  SELECT doc_id,
+       |    flatten(list_transform(
+       |      string_split_regex(trim(lower(text)), '\\s+'),
+       |      tok -> list_filter(string_split($chain, chr(1)),
+       |                         x -> x <> ''))) AS flat
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(flat) AS BIGINT) AS n_bpe_tokens,
+       |  md5(array_to_string(flat, chr(1))) AS tokens_md5
+       |FROM seg ORDER BY doc_id""".stripMargin
+  }
+
   /** Schema-adaptive events reader: some testdata vintages write `ts` as
     * TIMESTAMP(NANOS) parquet — which Spark's vectorized reader only accepts
     * as a long (`nanosAsLong`) — while newer vintages write plain
@@ -1026,6 +1063,21 @@ object SparkEntry {
       merges.zipWithIndex
         .map { case ((l, r, c), i) => ((i + 1).toLong, l, r, c) }
         .toDF("rank", "left", "right", "cnt").orderBy("rank")
+    }),
+
+    // ---- BPE tokenization under a FIXED merge table (oracle-checked —
+    // unlike q119's trainer, the APPLY side is one SQL statement: BPE
+    // replay-in-rank-order over a delimiter-framed symbol string is a
+    // chain of plain replace() calls, which the oracle builds literally;
+    // the native BpeSegmentExpr must reproduce it hash-exact). Table is
+    // consistent (each operand is a base char or an earlier merge's
+    // output), where replay-in-order ≡ the lowest-rank-present loop.
+    "q120_bpe_tokenize" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      TextOps.withBpeTokens(t(s, dir, "documents"), "text", Q120Merges)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          md5(concat_ws("", col("bpe_tokens"))).as("tokens_md5"))
+        .orderBy("doc_id")
     }),
 
     // ---- vocabulary coverage report (oracle-checked): top-V corpus
@@ -3988,6 +4040,10 @@ object SparkEntry {
         |SELECT l_partkey, exact_cnt, true AS est_ok FROM cnt
         |QUALIFY row_number() OVER (ORDER BY exact_cnt DESC, l_partkey) <= 20
         |ORDER BY l_partkey""".stripMargin,
+
+    // generated from Q120Merges (table and SQL cannot drift): framed-
+    // string replace chain ≡ the native expression's fusion order
+    "q120_bpe_tokenize" -> q120OracleSql,
 
     // window formulation of the graft_top_k selection (the q48/q83/q90
     // contract); cumulative share in integer ppm via floor division
