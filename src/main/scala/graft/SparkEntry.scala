@@ -526,6 +526,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVF × int8 three-tier funnel, exemplar member (oracle-checked):
+    // bucket (probed lists) → quantized prune (int8 dot, candK) → exact
+    // rerank — the standard web-scale retrieval stack shape, verified
+    // cross-engine end to end (composes q85's candidates with q112's scan).
+    "q121_topk_ivf_int8" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      graft.ext.Ivf.ivfInt8TopKExemplar(emb, queries, "vec_id", "embedding",
+          k = 5, nList = 8, nProbe = 2, dim = 64, candK = 20)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- LSH, oracle-checked member (hash-checked): md5-derived ±1
     // hyperplanes (portable across engines), single-table exact-signature
     // buckets, exact rerank — the bucket-then-rerank pipeline verified
@@ -2764,6 +2777,60 @@ object SparkEntry {
         |  JOIN e qe ON qe.vec_id = p.query_id
         |  JOIN e ne ON ne.vec_id = a.neighbor_id
         |  WHERE a.neighbor_id <> p.query_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
+        |  neighbor_id, sim
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
+
+    // q85's candidate CTEs + q112's quantization, composed — the same
+    // fragments that hash-check standalone verify the funnel jointly
+    "q121_topk_ivf_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS qmax,
+        |    CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+        |      THEN list_transform(embedding::DOUBLE[], x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding::DOUBLE[], x -> CAST(round(
+        |        x * 127.0 / list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+        |      ) AS BIGINT)) END AS qvec
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm
+        |      FROM e ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT e.vec_id AS neighbor_id, c.cid AS list
+        |  FROM e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+        |             c.cid) = 1),
+        |probes AS (
+        |  SELECT e.vec_id AS query_id, c.cid AS list
+        |  FROM e CROSS JOIN c
+        |  WHERE e.vec_id % 100 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+        |             c.cid) <= 2),
+        |cand AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    round((qe.qmax / 127.0) * (ne.qmax / 127.0) *
+        |      list_dot_product(qe.qvec::DOUBLE[], ne.qvec::DOUBLE[]) /
+        |      (qe.nrm * ne.nrm), 6) AS approx_sim
+        |  FROM assigned a JOIN probes p USING (list)
+        |  JOIN e qe ON qe.vec_id = p.query_id
+        |  JOIN e ne ON ne.vec_id = a.neighbor_id
+        |  WHERE a.neighbor_id <> p.query_id),
+        |shortlist AS (
+        |  SELECT query_id, neighbor_id FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY approx_sim DESC, neighbor_id) <= 20),
+        |scored AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 6) AS sim
+        |  FROM shortlist s
+        |  JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id)
         |SELECT query_id,
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
         |  neighbor_id, sim

@@ -225,6 +225,21 @@ object Ivf {
   def ivfTopKExemplar(corpus: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, k: Int, nList: Int = 8, nProbe: Int = 2,
                       dim: Int = 64, useNative: Boolean = true): DataFrame = {
+    val cands = exemplarCandidates(corpus, queries, idCol, vecCol, nList,
+      nProbe, dim, useNative)
+    Similarity.rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim,
+      useNative)
+  }
+
+  /** The exemplar-IVF candidate relation (query_id, neighbor_id):
+    * lowest-id-vector centroids, argmax assignment, probe join — shared
+    * by the plain exemplar top-k (q85) and the int8-composed variant
+    * (q121) so the candidate semantics cannot drift between them.
+    */
+  private[ext] def exemplarCandidates(corpus: DataFrame, queries: DataFrame,
+                                      idCol: String, vecCol: String,
+                                      nList: Int, nProbe: Int, dim: Int,
+                                      useNative: Boolean): DataFrame = {
     // norms once per row behind an optimization barrier (the shared
     // exemplar-family pattern — see Similarity.withVecNorm), and the
     // barrier's hash partitioning on id is exactly what the argmax
@@ -246,10 +261,50 @@ object Ivf {
     }
     val assigned = nearestLists(base, 1, "neighbor_id")
     val probes = nearestLists(prep(queries), nProbe, "query_id")
-    val cands = assigned.join(probes, "list")
+    assigned.join(probes, "list")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
-    Similarity.rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim,
+  }
+
+  /** IVF × int8 composition, exemplar member (q121): candidates come
+    * from the probed lists (corpus-size-independent probe cost), the
+    * int8 quantized dot prunes them to `candK` per query (4× less
+    * candidate IO — the BASELINE "compose with bucketing" claim, now
+    * hash-gated), and exact float cosine reranks only the shortlist.
+    * Every stage is deterministic relational algebra, so the whole
+    * three-tier funnel — bucket, quantized prune, exact rerank, the
+    * standard shape of a web-scale retrieval stack — verifies
+    * cross-engine end to end.
+    */
+  def ivfInt8TopKExemplar(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          nList: Int = 8, nProbe: Int = 2, dim: Int = 64,
+                          candK: Int = 20,
+                          useNative: Boolean = true): DataFrame = {
+    val cands = exemplarCandidates(corpus, queries, idCol, vecCol, nList,
+      nProbe, dim, useNative)
+    val c8 = Similarity.withInt8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("nrm").as("cn"),
+        col("qmax").as("cmax"), col("qvec").as("cq"))
+    val q8 = Similarity.withInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("nrm").as("qn"),
+        col("qmax").as("qmaxv"), col("qvec").as("qq"))
+    val idot =
+      if (useNative) call_function("graft_dot_i8", col("qq"), col("cq"),
+        lit(dim))
+      else Similarity.dotInt8(col("qq"), col("cq"))
+    // same expression shape as q112 and its oracle
+    val approx = round(
+      (col("qmaxv") / 127.0) * (col("cmax") / 127.0) * idot.cast("double") /
+        (col("qn") * col("cn")), 6)
+    val scored = cands.join(q8, "query_id").join(c8, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), approx.as("approx_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    val shortlist = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= candK)
+      .select("query_id", "neighbor_id")
+    Similarity.rerankTopK(shortlist, corpus, queries, idCol, vecCol, k, dim,
       useNative)
   }
 

@@ -234,4 +234,24 @@ class IvfSpec extends SparkSpec {
       .as[Seq[Int]].collect()
     assert(lists.forall(_ == Seq(0)))
   }
+
+  test("ivfInt8TopKExemplar with an everything-shortlist equals plain exemplar IVF") {
+    // candK >= every probed candidate makes the int8 prune a no-op: the
+    // composed funnel must then BE ivfTopKExemplar row for row — pins the
+    // composition plumbing independently of quantization quality
+    graft.plans.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val emb = CrossoverBench.syntheticEmbeddings(spark, 600, 64, seed = 37L)
+      .cache()
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val got = Ivf.ivfInt8TopKExemplar(emb, queries, "vec_id", "embedding",
+        k = 5, nList = 8, nProbe = 2, dim = 64, candK = 600)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val want = Ivf.ivfTopKExemplar(emb, queries, "vec_id", "embedding",
+        k = 5, nList = 8, nProbe = 2, dim = 64)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == want)
+  }
 }
