@@ -146,6 +146,18 @@ object Sketches {
     cmsSketches(df, keyCol, shardCol, eps, conf, seed)
       .write.mode("overwrite").parquet(path)
 
+  /** Append one ingest batch's CMS shard sketches to a persisted index
+    * — the incremental twin of [[appendDistinctSketches]]. Accumulated
+    * rows merge exactly (counter addition), so [[cmsCollectMerged]]
+    * over the grown index equals the one-shot sketch of everything
+    * ingested, bit for bit.
+    */
+  def appendCmsSketches(df: DataFrame, keyCol: String, shardCol: String,
+                        path: String, eps: Double = 0.001,
+                        conf: Double = 0.999, seed: Int = 42): Unit =
+    cmsSketches(df, keyCol, shardCol, eps, conf, seed)
+      .write.mode("append").parquet(path)
+
   /** Merge shard CMS binaries into one sketch, driver-side. Bounded
     * driver state by construction — O(shards) sketches of a few KB each
     * (the same k×dim-style bound as IVF's centroid collect), never keys

@@ -146,6 +146,23 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous maintenance of the count-min frequency index — the
+    * frequency twin of [[distinctSketchStream]]. CMS merge is counter
+    * addition, so the streamed index's merged probe equals a one-shot
+    * sketch of everything ingested BIT FOR BIT (spec-pinned), not just
+    * estimate-equal.
+    */
+  def cmsSketchStream(docs: DataFrame, keyCol: String, shardCol: String,
+                      indexPath: String, eps: Double = 0.001,
+                      conf: Double = 0.999, seed: Int = 42)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Sketches.appendCmsSketches(batch, keyCol, shardCol,
+          indexPath, eps, conf, seed)
+      }
+      .start()
+
   def nearDupProbeStream(docs: DataFrame, table: String, idCol: String,
                          textCol: String, minJaccard: Double,
                          shingleN: Int = 3, k: Int = 64, bands: Int = 16,

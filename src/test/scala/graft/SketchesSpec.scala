@@ -110,6 +110,39 @@ class SketchesSpec extends SparkSpec {
     assert(streamed._2 == 8000L)
   }
 
+  test("streaming cms maintenance: streamed merged probe ≡ one-shot, bit-exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.plans.GraftFunctions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_str_").toString
+    val q = graft.streaming.EventStreams.cmsSketchStream(
+      in.toDF().toDF("shard", "key"), "key", "shard", dir)
+    try {
+      in.addData((0 until 3000).map(i => (s"s${i % 2}", (i % 70).toLong)): _*)
+      q.processAllAvailable()
+      in.addData((0 until 3000).map(i => (s"s${i % 2}", (i % 110).toLong)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.ext.Sketches.cmsCollectMerged(
+      graft.ext.Sketches.readSketches(spark, dir))
+    val all = (0 until 3000).map(i => (s"s${i % 2}", (i % 70).toLong)) ++
+      (0 until 3000).map(i => (s"s${i % 2}", (i % 110).toLong))
+    val oneShot = graft.ext.Sketches.cmsCollectMerged(
+      graft.ext.Sketches.cmsSketches(all.toDF("shard", "key"), "key", "shard"))
+    // counter addition: the merged binaries are identical, not merely
+    // estimate-equal
+    assert(java.util.Arrays.equals(streamed, oneShot))
+    // and the probe gives exact counts at this cardinality
+    val est = spark.range(70).select(col("id").as("key"))
+      .select(col("key"),
+        graft.ext.Sketches.cmsEstimate(col("key"), streamed).as("est"))
+      .as[(Long, Long)].collect().toMap
+    val exact = all.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    (0L until 70L).foreach { k =>
+      assert(est(k) >= exact(k), s"key $k underestimated") }
+  }
+
   test("overlapEstimate: inclusion-exclusion within 5% of the union size") {
     // A = keys 0..59999, B = keys 40000..99999 → overlap 20000, union 100000
     val a = spark.range(60000).select(lit("s").as("shard"),
