@@ -539,6 +539,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- late-interaction MaxSim retrieval (oracle-checked): documents
+    // as bags of 8 token vectors (doc = vec_id div 8), score =
+    // Σ_q-token max_d-token cos — integer micro-units BEFORE max/sum so
+    // the aggregates are exact in any partial-agg order. This is the
+    // exact quadratic baseline; maxSimTopKPooled is the serving funnel
+    // (spec-pinned equal under an everything-shortlist).
+    "q122_maxsim_topk" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val toks = t(s, dir, "embeddings")
+        .withColumn("doc", expr("vec_id div 8"))
+      val queries = toks.filter(col("doc") % 10 === 0)
+      graft.ext.MultiVector.maxSimTopK(toks, queries, "doc", "vec_id",
+          "embedding", k = 5, dim = 64, useNative = true)
+        .orderBy("query_doc", "rank")
+    }),
+
     // ---- LSH, oracle-checked member (hash-checked): md5-derived ±1
     // hyperplanes (portable across engines), single-table exact-signature
     // buckets, exact rerank — the bucket-then-rerank pipeline verified
@@ -2783,6 +2799,34 @@ object SparkEntry {
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // integer micro-cosines before max/sum make every aggregate exact;
+    // doc = vec_id // 8 mirrors the Spark div
+    "q122_maxsim_topk" ->
+      """WITH tok AS (
+        |  SELECT vec_id // 8 AS doc, vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT * FROM tok WHERE doc % 10 = 0),
+        |pair AS (
+        |  SELECT q.doc AS query_doc, q.vec_id AS qtok, c.doc AS cand_doc,
+        |    CAST(round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+        |      * 1000000) AS BIGINT) AS micro
+        |  FROM tok c CROSS JOIN q WHERE c.doc <> q.doc),
+        |mx AS (
+        |  SELECT query_doc, cand_doc, qtok, max(micro) AS m
+        |  FROM pair GROUP BY query_doc, cand_doc, qtok),
+        |sc AS (
+        |  SELECT query_doc, cand_doc, CAST(sum(m) AS BIGINT) AS maxsim_micro
+        |  FROM mx GROUP BY query_doc, cand_doc)
+        |SELECT query_doc,
+        |  row_number() OVER (PARTITION BY query_doc
+        |    ORDER BY maxsim_micro DESC, cand_doc) AS "rank",
+        |  cand_doc, maxsim_micro
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_doc
+        |  ORDER BY maxsim_micro DESC, cand_doc) <= 5
+        |ORDER BY query_doc, "rank"""".stripMargin,
 
     // q85's candidate CTEs + q112's quantization, composed — the same
     // fragments that hash-check standalone verify the funnel jointly
