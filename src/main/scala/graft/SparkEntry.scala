@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Retrieval, Similarity, TextOps}
 import graft.model.{ColumnSpec, FkRef, TableConfig}
 import graft.ops.{Merge, Normalize, TemporalJoin}
 import graft.rules.Rules
@@ -553,6 +553,50 @@ object SparkEntry {
       graft.ext.MultiVector.maxSimTopK(toks, queries, "doc", "vec_id",
           "embedding", k = 5, dim = 64, useNative = true)
         .orderBy("query_doc", "rank")
+    }),
+
+    // ---- BM25 lexical retrieval (oracle-checked): Okapi BM25 with the
+    // Lucene non-negative IDF, k1=1.2 / b=0.75 as exact integer scaling
+    // constants — every per-term contribution is a micro-unit long
+    // (floor division ≡ DuckDB //), so the per-doc sum is exact in any
+    // partial-agg order; the ONE ln per query term is rounded to micro
+    // on the |q|-row IDF relation before it meets the corpus. Only
+    // query-term token instances reach the tf shuffle.
+    "q123_bm25_topk" -> ((s, dir) => {
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("table", "window", "hash", "stream"), k = 10)
+        .orderBy("rank")
+    }),
+
+    // ---- hybrid dense+lexical retrieval, RRF-fused (oracle-checked):
+    // the standard two-leg serving stack — a BM25 "more-like-this" leg
+    // (query doc's distinct tokens as the term set) and a brute cosine
+    // leg over the aligned embedding (vec_id ≡ doc_id, the catalog's
+    // doc↔vector premise), each truncated to top-20, fused by
+    // reciprocal-rank 1e6 div (60+rank) in exact longs. Both legs'
+    // ranks are themselves cross-engine-stable (integer BM25 micro;
+    // q30's rounded cosine), so the fusion is hash-checkable end to end.
+    "q124_hybrid_rrf" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qterms = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextOps.tokens(lower(col("text")))))
+            .as("term"))
+      val lex = Retrieval.rankTopK(
+          Retrieval.bm25ScorePerQuery(docs, "doc_id", "text", qterms,
+              "query_id")
+            .filter(col("query_id") =!= col("doc_id")),
+          "query_id", "doc_id", "bm25_micro", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 20, dim = Some(64), useNative = true)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Retrieval.rrfFuse(lex, dense, "query_id", "doc_id", k = 5)
+        .orderBy("query_id", "rank")
     }),
 
     // ---- LSH, oracle-checked member (hash-checked): md5-derived ±1
@@ -2827,6 +2871,122 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY query_doc
         |  ORDER BY maxsim_micro DESC, cand_doc) <= 5
         |ORDER BY query_doc, "rank"""".stripMargin,
+
+    // BM25 in the same integer micro-units as the Spark side: `//` is
+    // DuckDB's floor division ≡ Spark's `div` on these all-positive
+    // operands; sums CAST to BIGINT (DuckDB sums BIGINT into HUGEINT)
+    "q123_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM toks GROUP BY doc_id),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term IN ('table', 'window', 'hash', 'stream')
+        |  GROUP BY doc_id, term),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(round(ln((c.n - CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5)
+        |        / (CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_micro
+        |  FROM tf CROSS JOIN corpus c GROUP BY term, c.n),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    (idf.idf_micro * ((1000000 * (2200000 * tf.tf))
+        |       // (1000000 * tf.tf + 300000
+        |           + (9 * ((1000000 * dl.dl * c.n) // c.t)) // 10)))
+        |      // 1000000 AS c_micro
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+        |    CROSS JOIN corpus c),
+        |scored AS (
+        |  SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS bm25_micro
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS "rank",
+        |  bm25_micro, bm25_micro / 1000000.0 AS bm25
+        |FROM scored
+        |QUALIFY row_number() OVER (ORDER BY bm25_micro DESC, doc_id) <= 10
+        |ORDER BY "rank"""".stripMargin,
+
+    // q123's integer BM25 re-used per query (the query doc's distinct
+    // tokens as the term set), q30's rounded-cosine dense leg, fused by
+    // integer reciprocal-rank — the full-outer + coalesce IS the RRF
+    // "missing leg contributes zero" rule
+    "q124_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM toks GROUP BY doc_id),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM toks
+        |       WHERE doc_id % 100 = 0),
+        |allt AS (SELECT DISTINCT term FROM qt),
+        |tf AS (
+        |  SELECT toks.doc_id, toks.term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks JOIN allt USING (term)
+        |  GROUP BY toks.doc_id, toks.term),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(round(ln((c.n - CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5)
+        |        / (CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_micro
+        |  FROM tf CROSS JOIN corpus c GROUP BY term, c.n),
+        |lexscore AS (
+        |  SELECT qt.query_id, tf.doc_id, CAST(sum(
+        |    (idf.idf_micro * ((1000000 * (2200000 * tf.tf))
+        |       // (1000000 * tf.tf + 300000
+        |           + (9 * ((1000000 * dl.dl * c.n) // c.t)) // 10)))
+        |    // 1000000) AS BIGINT) AS bm25_micro
+        |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
+        |    JOIN dl ON tf.doc_id = dl.doc_id
+        |    CROSS JOIN corpus c
+        |  WHERE tf.doc_id <> qt.query_id
+        |  GROUP BY qt.query_id, tf.doc_id),
+        |lex AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_micro DESC, doc_id) AS r
+        |  FROM lexscore
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY bm25_micro DESC, doc_id) <= 20),
+        |emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |dense AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6)
+        |        DESC, e.vec_id) AS r
+        |  FROM emb e
+        |    CROSS JOIN (SELECT * FROM emb WHERE vec_id % 100 = 0) q
+        |  WHERE e.vec_id <> q.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6)
+        |      DESC, e.vec_id) <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+        |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |    CAST(coalesce(1000000 // (60 + l.r), 0)
+        |       + coalesce(1000000 // (60 + d.r), 0) AS BIGINT) AS rrf_micro,
+        |    l.r IS NOT NULL AS in_lex, d.r IS NOT NULL AS in_dense
+        |  FROM lex l FULL OUTER JOIN dense d
+        |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_micro DESC, doc_id) AS "rank",
+        |  doc_id, rrf_micro, in_lex, in_dense
+        |FROM fused
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY rrf_micro DESC, doc_id) <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
 
     // q85's candidate CTEs + q112's quantization, composed — the same
     // fragments that hash-check standalone verify the funnel jointly

@@ -1,0 +1,197 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (BM25) retrieval and hybrid dense+lexical rank fusion — the
+  * serving-side counterpart of the corpus-curation operators: the same
+  * engine that deduplicates and scores a training corpus also has to
+  * answer "which documents match this query" for decontamination
+  * auditing, eval-set mining, and RAG-style selection.
+  *
+  * Numerics follow the bigram-LM convention (`TextOps.bigramLmScore`):
+  * every per-term contribution is computed in INTEGER micro-units with
+  * floor division (`div` here ≡ `//` in DuckDB), so the per-document
+  * sum is exact long arithmetic — bit-identical in any engine and under
+  * any partial-aggregation order. The only floating-point op is the ONE
+  * `ln` per query term for IDF, rounded to micro on a query-terms-sized
+  * relation before it ever meets the corpus. (Long micro-units bound
+  * exactness at ~9·10¹² total tokens under the `1e6·dl·N` product;
+  * ANSI mode fails loudly beyond — same contract as the LM scorer.)
+  *
+  * Scale shape: document length is a zero-shuffle projection; the
+  * term-frequency aggregate runs AFTER an `isin(queryTerms)` filter, so
+  * the only shuffle carries (doc, query-term) token instances — query
+  * terms are a handful, so this is a sliver of the corpus token stream.
+  * Corpus scalars (N docs, T tokens) and per-term IDF are tiny broadcast
+  * relations. The final top-k is sort+limit (TakeOrderedAndProject),
+  * never a global window over the scored relation.
+  */
+object Retrieval {
+
+  /** Okapi BM25 with the Lucene-style non-negative IDF
+    * `ln((N - df + 0.5)/(df + 0.5) + 1)` and the standard k1=1.2,
+    * b=0.75 — fixed here as exact integer scaling constants (k1+1 →
+    * 2_200_000 micro, k1·(1−b) → 300_000 micro, k1·b → 0.9 expressed as
+    * `(9·x) div 10`) so the rational part of the score needs no floats.
+    *
+    * Returns one row per document that matches ≥1 query term:
+    * (idCol, bm25_micro, bm25). Terms absent from the corpus simply
+    * contribute nothing (df=0 rows never exist), matching the oracle.
+    */
+  def bm25Score(df: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+    val dl = df.select(col(idCol),
+      size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"))
+    // corpus scalars: one partial-combinable aggregate, 1 row
+    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    // only query-term instances survive into the shuffle
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // per-term document frequency + micro-IDF: |queryTerms| rows, the
+    // single ln site, rounded to micro before touching the corpus
+    val idf = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_micro",
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * 1000000L).cast("long"))
+      .select(col("term"), col("idf_micro"))
+    val contribs = tf
+      .join(dl, Seq(idCol))
+      .join(broadcast(idf), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      // dl/avgdl in micro = (1e6·dl·N) div T; then the BM25 tf-norm
+      // numerator/denominator entirely in micro integers
+      .withColumn("__dlnorm", expr("(1000000 * dl * n) div t"))
+      .withColumn("__denom",
+        expr("1000000 * tf + 300000 + (9 * __dlnorm) div 10"))
+      .withColumn("__tfnorm", expr("(1000000 * (2200000 * tf)) div __denom"))
+      .withColumn("__contrib", expr("(idf_micro * __tfnorm) div 1000000"))
+    contribs.groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("bm25_micro"))
+      .withColumn("bm25", col("bm25_micro") / 1e6)
+  }
+
+  /** Top-k BM25 retrieval: score, then sort+limit (distributed
+    * TakeOrderedAndProject) and attach ranks with a window over ONLY the
+    * k surviving rows. Ties break on ascending id — total order, so the
+    * output is hash-pinnable cross-engine.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val top = bm25Score(df, idCol, textCol, queryTerms)
+      .orderBy(col("bm25_micro").desc, col(idCol))
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25_micro").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("bm25_micro"), col("bm25"))
+  }
+
+  /** BM25 against a RELATION of per-query term sets — the
+    * "more-like-this" form that powers hybrid retrieval: `queryTerms`
+    * is a (queryCol, term) relation (e.g. the distinct tokens of each
+    * query document), and every (query, document) pair sharing ≥1 term
+    * gets a score. Same integer-micro numerics as [[bm25Score]]; IDF is
+    * the corpus document frequency of each term (query-independent, as
+    * BM25 defines it), computed once over the union of all query terms.
+    *
+    * Scale shape: the union of query terms and the per-query term sets
+    * are broadcast (queries are few); the corpus token stream is
+    * filtered to those terms BEFORE the tf aggregate, so the only
+    * corpus-sized shuffle carries matching (doc, term) instances. The
+    * scored relation is (queries × matching docs) — rank it with
+    * [[rankTopK]]'s per-query window, which partitions by query.
+    *
+    * Returns (queryCol, idCol, bm25_micro, bm25).
+    */
+  def bm25ScorePerQuery(df: DataFrame, idCol: String, textCol: String,
+                        queryTerms: DataFrame,
+                        queryCol: String): DataFrame = {
+    val qt = queryTerms.select(col(queryCol), col("term")).distinct()
+    val allTerms = qt.select(col("term")).distinct()
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+    val dl = df.select(col(idCol),
+      size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val tf = toks.join(broadcast(allTerms), Seq("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_micro",
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * 1000000L).cast("long"))
+      .select(col("term"), col("idf_micro"))
+    tf.join(broadcast(qt), Seq("term"))
+      .join(dl, Seq(idCol))
+      .join(broadcast(idf), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__dlnorm", expr("(1000000 * dl * n) div t"))
+      .withColumn("__denom",
+        expr("1000000 * tf + 300000 + (9 * __dlnorm) div 10"))
+      .withColumn("__tfnorm", expr("(1000000 * (2200000 * tf)) div __denom"))
+      .withColumn("__contrib", expr("(idf_micro * __tfnorm) div 1000000"))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(sum(col("__contrib")).as("bm25_micro"))
+      .withColumn("bm25", col("bm25_micro") / 1e6)
+  }
+
+  /** Per-query top-k over a scored relation: row_number windowed BY
+    * QUERY (never global) with the `(score desc, id asc)` total
+    * tie-break every ranked operator in this repo uses. */
+  def rankTopK(scored: DataFrame, queryCol: String, idCol: String,
+               scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al.) of two ranked lists —
+    * the standard hybrid-retrieval combiner for a lexical leg and a
+    * dense leg, in EXACT integer arithmetic: each leg contributes
+    * `1e6 div (k0 + rank)` micro-units (floor division, k0=60 by
+    * convention), summed as longs, so fusion is bit-identical
+    * cross-engine and needs no float comparisons.
+    *
+    * Inputs are (queryCol, idCol, rank) relations — already truncated to
+    * their per-leg top-n, so both sides are (queries × n) small; the
+    * full-outer join and the fused re-rank run on that tiny lattice.
+    * Documents absent from one leg simply get that leg's contribution
+    * as zero (the full-outer + coalesce), which is RRF's defined
+    * behavior, not a null-propagation accident.
+    *
+    * Returns (queryCol, rank, idCol, rrf_micro, in_lex, in_dense), the
+    * fused top-`k` per query, ties broken by ascending id.
+    */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, queryCol: String,
+              idCol: String, k: Int, k0: Int = 60): DataFrame = {
+    require(k > 0 && k0 >= 0, s"bad k/k0: $k/$k0")
+    def leg(df: DataFrame, name: String): DataFrame =
+      df.select(col(queryCol), col(idCol),
+        expr(s"1000000 div (${k0.toLong} + rank)").as(s"__c_$name"),
+        lit(true).as(s"in_$name"))
+    val fused = leg(lex, "lex")
+      .join(leg(dense, "dense"), Seq(queryCol, idCol), "full_outer")
+      .select(col(queryCol), col(idCol),
+        (coalesce(col("__c_lex"), lit(0L)) +
+          coalesce(col("__c_dense"), lit(0L))).as("rrf_micro"),
+        coalesce(col("in_lex"), lit(false)).as("in_lex"),
+        coalesce(col("in_dense"), lit(false)).as("in_dense"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryCol), col("rank"), col(idCol),
+        col("rrf_micro"), col("in_lex"), col("in_dense"))
+  }
+}

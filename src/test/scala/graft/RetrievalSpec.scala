@@ -1,0 +1,117 @@
+package graft
+
+import graft.ext.Retrieval
+import org.apache.spark.sql.functions._
+
+/** BM25 + RRF semantics against hand-computed values, the null/absence
+  * edge cases RRF defines away, and the integer-micro determinism
+  * contract (score is a long; no float enters the ranking).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "cat dog cat"),       // dl=3, tf(cat)=2
+    (1L, "cat fish"),          // dl=2, tf(cat)=1
+    (2L, "dog dog dog dog"),   // dl=4, no cat
+    (3L, "bird")               // dl=1
+  ).toDF("doc_id", "text")
+
+  /** Reference BM25 mirroring the operator's exact integer pipeline. */
+  private def bm25MicroRef(tf: Long, dl: Long, df: Long, n: Long,
+                           t: Long): Long = {
+    val idfMicro = Math.round(
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1000000L)
+    val dlnorm = (1000000L * dl * n) / t
+    val denom = 1000000L * tf + 300000L + (9L * dlnorm) / 10L
+    val tfnorm = (1000000L * (2200000L * tf)) / denom
+    (idfMicro * tfnorm) / 1000000L
+  }
+
+  test("bm25Score matches the hand-computed micro pipeline") {
+    val out = Retrieval.bm25Score(docs, "doc_id", "text", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // corpus: n=4 docs, t=10 tokens; df(cat)=2
+    assert(out == Map(
+      0L -> bm25MicroRef(tf = 2, dl = 3, df = 2, n = 4, t = 10),
+      1L -> bm25MicroRef(tf = 1, dl = 2, df = 2, n = 4, t = 10)))
+  }
+
+  test("docs with no query term are absent, not zero-scored") {
+    val out = Retrieval.bm25Score(docs, "doc_id", "text", Seq("cat"))
+    assert(out.filter(col("doc_id").isin(2L, 3L)).count() == 0)
+  }
+
+  test("query terms absent from the corpus contribute nothing") {
+    val base = Retrieval.bm25Score(docs, "doc_id", "text", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val withGhost = Retrieval
+      .bm25Score(docs, "doc_id", "text", Seq("cat", "zebra"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == withGhost)
+  }
+
+  test("rarer terms out-weigh common ones at equal tf (IDF ordering)") {
+    // fish: df=1 (rare), dog: df=2 — same tf=1, same doc-length docs
+    val d = Seq((0L, "fish x"), (1L, "dog x"), (2L, "dog y"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25Score(d, "doc_id", "text", Seq("fish", "dog"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) > out(1L),
+      s"rare-term doc should outscore common-term doc: $out")
+  }
+
+  test("bm25TopK ranks by (micro desc, id asc) and truncates to k") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 1)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 0L && out.head.getInt(1) == 1)
+  }
+
+  test("bm25ScorePerQuery equals bm25Score run per term set") {
+    val qt = Seq((100L, "cat"), (100L, "dog"), (200L, "fish"))
+      .toDF("query_id", "term")
+    val perQuery = Retrieval
+      .bm25ScorePerQuery(docs, "doc_id", "text", qt, "query_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val q100 = Retrieval.bm25Score(docs, "doc_id", "text", Seq("cat", "dog"))
+      .collect().map(r => (100L, r.getLong(0)) -> r.getLong(1)).toMap
+    val q200 = Retrieval.bm25Score(docs, "doc_id", "text", Seq("fish"))
+      .collect().map(r => (200L, r.getLong(0)) -> r.getLong(1)).toMap
+    assert(perQuery == q100 ++ q200)
+  }
+
+  test("rrfFuse: both-leg docs sum contributions; single-leg docs keep " +
+    "the other leg at zero; flags record membership") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q", "id", "rank")
+    val dense = Seq((1L, 10L, 1), (1L, 12L, 2)).toDF("q", "id", "rank")
+    val out = Retrieval.rrfFuse(lex, dense, "q", "id", k = 10)
+      .collect()
+      .map(r => r.getLong(2) ->
+        ((r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    val c1 = 1000000L / 61  // rank 1
+    val c2 = 1000000L / 62  // rank 2
+    assert(out(10L) == ((c1 + c1, true, true)))
+    assert(out(11L) == ((c2, true, false)))
+    assert(out(12L) == ((c2, false, true)))
+  }
+
+  test("rrfFuse rank is per-query with id tie-break") {
+    // two queries; q2's doc 5 and doc 7 tie exactly (same single-leg rank)
+    val lex = Seq((1L, 10L, 1), (2L, 5L, 1)).toDF("q", "id", "rank")
+    val dense = Seq((2L, 7L, 1)).toDF("q", "id", "rank")
+    val out = Retrieval.rrfFuse(lex, dense, "q", "id", k = 10)
+      .orderBy("q", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1, 10L), (2L, 1, 5L), (2L, 2, 7L)))
+  }
+
+  test("rrfFuse truncates to k per query") {
+    val lex = (1 to 9).map(i => (1L, i.toLong, i)).toDF("q", "id", "rank")
+    val dense = spark.emptyDataset[(Long, Long, Int)]
+      .toDF("q", "id", "rank")
+    val out = Retrieval.rrfFuse(lex, dense, "q", "id", k = 3)
+    assert(out.count() == 3)
+  }
+}
