@@ -599,6 +599,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- DSIR importance weights (oracle-checked): target = the 'en'
+    // slice, raw = everything; hashed-bucket distributions (portable
+    // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
+    // rounded to micro-nats on the ≤256-row lattice BEFORE scoring, so
+    // each doc's log-weight is an exact long dot product of its bucket
+    // counts with the lattice — deterministic in any agg order.
+    "q125_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", nBuckets = 256)
+        .orderBy("doc_id")
+    }),
+
     // ---- LSH, oracle-checked member (hash-checked): md5-derived ±1
     // hyperplanes (portable across engines), single-table exact-signature
     // buckets, exact rerank — the bucket-then-rerank pipeline verified
@@ -2987,6 +3000,45 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY rrf_micro DESC, doc_id) <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // DSIR in the same micro-nat lattice discipline as the Spark side:
+    // ln only on the ≤nBuckets lattice, doc scores are exact integer
+    // dot products; ('0x'||hex)::BIGINT ≡ Spark conv(hex,16,10)
+    "q125_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tokf AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('f:graft:' || term), 1, 8))::BIGINT % 256
+        |      AS b
+        |  FROM tok WHERE length(term) > 0),
+        |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+        |       FROM tokf JOIN documents USING (doc_id)
+        |       WHERE lang = 'en' GROUP BY b),
+        |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr
+        |       FROM tokf GROUP BY b),
+        |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS tt,
+        |               (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS tr),
+        |lattice AS (
+        |  SELECT coalesce(ct.b, cr.b) AS b,
+        |    CAST(round((ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 256))
+        |              - ln((coalesce(cr.cr, 0) + 1.0) / (tot.tr + 256)))
+        |      * 1000000) AS BIGINT) AS lr_micro
+        |  FROM ct FULL OUTER JOIN cr ON ct.b = cr.b CROSS JOIN tot),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(c * lr_micro) AS BIGINT) AS logw_micro
+        |  FROM (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |        FROM tokf GROUP BY doc_id, b) dbc
+        |  JOIN lattice USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split_regex(trim(lower(d.text)), '\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  coalesce(p.logw_micro, 0) AS logw_micro,
+        |  coalesce(p.logw_micro, 0) / 1000000.0 AS logw
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q85's candidate CTEs + q112's quantization, composed — the same
     // fragments that hash-check standalone verify the funnel jointly

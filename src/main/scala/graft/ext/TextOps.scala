@@ -844,6 +844,73 @@ object TextOps {
       .withColumn("kept", coalesce(score >= threshold, lit(false)))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, public recipe):
+    * score every raw-corpus document by how target-like its hashed
+    * token-bucket distribution is — the data-selection step that
+    * up-samples target-domain-looking text out of a web crawl. Token →
+    * 32-bit md5-prefix bucket (engine-portable, the
+    * [[qualityClassifierScore]] hashing) in `nBuckets` buckets; each
+    * side's bucket distribution is add-one smoothed; a document's log
+    * importance weight is Σ_tokens [ln p_target(b) − ln p_raw(b)].
+    *
+    * Numerics: the TWO ln calls live on the ≤nBuckets-row lattice,
+    * rounded to micro-nats BEFORE touching the corpus (the q123 IDF
+    * discipline); a document's log-weight is then the exact long
+    * Σ count(doc,b) · lr_micro(b), deterministic under any
+    * partial-aggregation order.
+    *
+    * Scale shape: bucket censuses are partial-combinable aggregates
+    * whose shuffle carries (bucket) keys — at most nBuckets rows per
+    * side survive; the lattice and totals broadcast; scoring is one
+    * (doc, bucket) aggregate joined to the broadcast lattice, then one
+    * per-doc sum. Documents never move; driver holds nothing.
+    *
+    * Returns one row per raw document: (idCol, n_tokens, logw_micro,
+    * logw). Empty/whitespace docs score zero (vacuous product), via the
+    * left join + coalesce, not null propagation.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, nBuckets: Int = 1024,
+                     salt: String = "graft"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    def bucketed(df: DataFrame) = df
+      .select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .select(col(idCol),
+        (conv(substring(md5(concat(lit(s"f:$salt:"), col("__tok"))), 1, 8),
+          16, 10).cast("long") % nBuckets).as("b"))
+    def census(df: DataFrame, cnt: String) =
+      bucketed(df).groupBy(col("b")).agg(count(lit(1)).as(cnt))
+    val ct = census(target, "ct")
+    val cr = census(raw, "cr")
+    val totals = ct.agg(sum(col("ct")).as("tt"))
+      .crossJoin(cr.agg(sum(col("cr")).as("tr")))
+    // the lattice: buckets seen on either side, smoothed log-ratio in
+    // micro-nats — ≤nBuckets rows, the ONLY ln site
+    val lattice = ct.join(cr, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr_micro",
+        round((log((col("ct") + 1.0) / (col("tt") + nBuckets)) -
+               log((col("cr") + 1.0) / (col("tr") + nBuckets)))
+          * 1000000L).cast("long"))
+      .select(col("b"), col("lr_micro"))
+    val perDoc = bucketed(raw)
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(lattice), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * col("lr_micro")).as("logw_micro"))
+    raw.select(col(idCol),
+        size(tokens(lower(col(textCol)))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
+      .withColumn("logw", col("logw_micro") / 1e6)
+  }
+
   /** Corpus-trained statistical language-model quality scoring — the
     * relational analog of the KenLM-perplexity filter (CCNet, public):
     * train add-one-smoothed bigram conditional probabilities ON the

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ext.TextOps
+import org.apache.spark.sql.functions._
+
+/** DSIR importance weighting: exact agreement with an independent
+  * plain-Scala reference of the hash→census→lattice→dot-product
+  * pipeline, plus the selection-direction and empty-doc contracts.
+  */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 16
+
+  /** Plain-Scala mirror of the operator's numerics. */
+  private def refLogw(rawDocs: Seq[(Long, String)],
+                      targetDocs: Seq[(Long, String)]): Map[Long, Long] = {
+    def toks(s: String): Seq[String] =
+      s.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    def bucket(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"f:graft:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16) % B
+    }
+    val ct = targetDocs.flatMap(d => toks(d._2)).map(bucket)
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val cr = rawDocs.flatMap(d => toks(d._2)).map(bucket)
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    val lattice = (ct.keySet ++ cr.keySet).map { b =>
+      b -> Math.round((math.log((ct.getOrElse(b, 0L) + 1.0) / (tt + B)) -
+        math.log((cr.getOrElse(b, 0L) + 1.0) / (tr + B))) * 1000000L)
+    }.toMap
+    rawDocs.map { case (id, text) =>
+      id -> toks(text).map(t => lattice(bucket(t))).sum
+    }.toMap
+  }
+
+  private val target = Seq((100L, "alpha beta alpha"), (101L, "beta gamma"))
+  private val raw = Seq(
+    (0L, "alpha beta gamma"),   // target-like
+    (1L, "delta epsilon zeta"), // off-target
+    (2L, "alpha alpha alpha"),
+    (3L, "   "))                // whitespace-only
+
+  test("matches the plain-Scala reference exactly (micro-nat longs)") {
+    val out = TextOps.dsirLogWeights(raw.toDF("doc_id", "text"),
+        target.toDF("doc_id", "text"), "doc_id", "text", nBuckets = B)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ref = refLogw(raw, target)
+    // whitespace-only doc: vacuous sum = 0 on both sides
+    assert(out == ref && out(3L) == 0L, s"out=$out ref=$ref")
+  }
+
+  test("target-like docs out-weigh off-target docs") {
+    val out = TextOps.dsirLogWeights(raw.toDF("doc_id", "text"),
+        target.toDF("doc_id", "text"), "doc_id", "text", nBuckets = B)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(0L) > out(1L),
+      s"doc of target tokens must out-weigh unseen-token doc: $out")
+  }
+
+  test("logw surfaces micro/1e6 and n_tokens counts the raw split") {
+    val out = TextOps.dsirLogWeights(raw.toDF("doc_id", "text"),
+        target.toDF("doc_id", "text"), "doc_id", "text", nBuckets = B)
+      .filter(col("doc_id") === 0L).collect().head
+    assert(out.getLong(1) == 3L)
+    assert(out.getDouble(3) == out.getLong(2) / 1e6)
+  }
+
+  test("every raw doc survives — scoring never drops rows") {
+    val out = TextOps.dsirLogWeights(raw.toDF("doc_id", "text"),
+      target.toDF("doc_id", "text"), "doc_id", "text", nBuckets = B)
+    assert(out.count() == raw.size)
+  }
+}
