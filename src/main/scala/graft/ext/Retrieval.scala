@@ -156,6 +156,77 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** Build the corpus ONCE into a persisted BM25 postings index — the
+    * serving-side split of [[bm25TopK]], on the persisted-index pattern
+    * of `Dedup.writeMinhashIndex` / `TextOps.writeBigramLm`: `table`
+    * holds one posting row per (term, doc) with everything scoring
+    * needs denormalized in — tf, the doc's length, and the term's
+    * document frequency — bucketed+sorted by term so a probe with an
+    * `isin` on the term column reads ONLY the matching buckets (Spark
+    * bucket pruning) and needs no second corpus join for lengths.
+    * `<table>_meta` holds the two corpus scalars (N docs, T tokens).
+    *
+    * df/dl/meta are all derived from the SAVED postings so the
+    * artifacts can never disagree with each other.
+    */
+  def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
+                     table: String, nBuckets: Int = 32): Unit = {
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+    val dl = df.select(col(idCol),
+      size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    tf.join(dl, Seq(idCol)).join(dfreq, Seq("term"))
+      .select(col("term"), col(idCol), col("tf"), col("dl"), col("df"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "term").sortBy("term", idCol)
+      .mode("overwrite").saveAsTable(table)
+    // corpus scalars from the SAVED postings (dl once per doc)
+    val saved = df.sparkSession.table(table)
+    saved.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      .write.format("parquet").mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** Probe a PERSISTED BM25 index ([[writeBm25Index]]) with a query
+    * term set — bit-identical scores to the one-shot [[bm25TopK]] over
+    * the indexed corpus (spec-pinned). The probe plan touches only the
+    * query terms' buckets: an `isin` filter on the bucketed term column
+    * (bucket-pruned scan), the |q|-row IDF projection from the
+    * denormalized df, a broadcast of the 1-row meta, one per-doc sum.
+    * Nothing corpus-sized shuffles at query time.
+    */
+  def bm25ProbeTopK(spark: org.apache.spark.sql.SparkSession,
+                    table: String, queryTerms: Seq[String],
+                    k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
+    val meta = spark.table(s"${table}_meta")
+    val idCol = spark.table(table).columns(1)
+    val matched = spark.table(table)
+      .filter(col("term").isin(queryTerms: _*))
+    val contribs = matched
+      .crossJoin(broadcast(meta))
+      .withColumn("idf_micro",
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * 1000000L).cast("long"))
+      .withColumn("__dlnorm", expr("(1000000 * dl * n) div t"))
+      .withColumn("__denom",
+        expr("1000000 * tf + 300000 + (9 * __dlnorm) div 10"))
+      .withColumn("__tfnorm", expr("(1000000 * (2200000 * tf)) div __denom"))
+      .withColumn("__contrib", expr("(idf_micro * __tfnorm) div 1000000"))
+    val top = contribs.groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("bm25_micro"))
+      .withColumn("bm25", col("bm25_micro") / 1e6)
+      .orderBy(col("bm25_micro").desc, col(idCol))
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25_micro").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("bm25_micro"), col("bm25"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.) of two ranked lists —
     * the standard hybrid-retrieval combiner for a lexical leg and a
     * dense leg, in EXACT integer arithmetic: each leg contributes

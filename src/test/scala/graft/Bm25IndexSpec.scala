@@ -1,0 +1,77 @@
+package graft
+
+import graft.ext.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 postings index: probe parity with the one-shot
+  * scorer, bucket-pruned probe plan, and the out-of-vocabulary /
+  * batch-purity contracts serving depends on.
+  */
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "cat dog cat mouse"),
+    (1L, "cat fish"),
+    (2L, "dog dog dog"),
+    (3L, "bird mouse cat dog fish"),
+    (4L, "bird bird")
+  ).toDF("doc_id", "text")
+
+  private lazy val table: String = {
+    val loc = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25db LOCATION '$loc'")
+    Retrieval.writeBm25Index(docs, "doc_id", "text", "graft_bm25db.idx",
+      nBuckets = 4)
+    "graft_bm25db.idx"
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  test("probe is bit-identical to the one-shot scorer") {
+    val probe = canon(Retrieval.bm25ProbeTopK(spark, table,
+      Seq("cat", "mouse"), k = 10))
+    val oneShot = canon(Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("cat", "mouse"), k = 10))
+    assert(probe == oneShot && probe.nonEmpty)
+  }
+
+  test("probe scan is bucketed and bucket-pruned to the query terms") {
+    val plan = Retrieval.bm25ProbeTopK(spark, table, Seq("cat"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"postings scan not bucketed:\n$plan")
+    assert("SelectedBucketsCount: [123] out of 4".r
+        .findFirstIn(plan).isDefined,
+      s"no bucket pruning on the term filter:\n$plan")
+  }
+
+  test("out-of-vocabulary terms contribute nothing; all-OOV probe is empty") {
+    val withOov = canon(Retrieval.bm25ProbeTopK(spark, table,
+      Seq("cat", "zebra"), k = 10))
+    val base = canon(Retrieval.bm25ProbeTopK(spark, table, Seq("cat"), k = 10))
+    assert(withOov == base)
+    assert(Retrieval.bm25ProbeTopK(spark, table, Seq("zebra"), k = 10)
+      .count() == 0)
+  }
+
+  test("probing in two term batches decomposes by term set (additive " +
+    "micro scores for disjoint term sets)") {
+    def scores(terms: Seq[String]): Map[Long, Long] =
+      Retrieval.bm25ProbeTopK(spark, table, terms, k = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val both = scores(Seq("cat", "dog"))
+    val cat = scores(Seq("cat"))
+    val dog = scores(Seq("dog"))
+    both.foreach { case (id, s) =>
+      assert(s == cat.getOrElse(id, 0L) + dog.getOrElse(id, 0L),
+        s"doc $id: $s != ${cat.getOrElse(id, 0L)} + ${dog.getOrElse(id, 0L)}")
+    }
+  }
+
+  test("meta scalars match the corpus (N docs, T tokens)") {
+    val m = spark.table(s"${table}_meta").collect().head
+    assert(m.getLong(0) == 5L && m.getLong(1) == 16L)
+  }
+}
