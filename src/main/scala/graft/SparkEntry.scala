@@ -599,6 +599,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- hard-negative mining (oracle-checked): q124's two legs,
+    // anti-joined — lexical top-20 hits the dense leg does NOT retrieve,
+    // the DPR/ANCE negatives recipe. Survivors keep their lexical rank;
+    // the anti-join runs on the tiny pre-truncated (queries × 20)
+    // lattice (broadcast at any corpus scale).
+    "q126_hard_negatives" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qterms = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextOps.tokens(lower(col("text")))))
+            .as("term"))
+      val lex = Retrieval.rankTopK(
+          Retrieval.bm25ScorePerQuery(docs, "doc_id", "text", qterms,
+              "query_id")
+            .filter(col("query_id") =!= col("doc_id")),
+          "query_id", "doc_id", "bm25_micro", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          col("bm25_micro"))
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 20, dim = Some(64), useNative = true)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      Retrieval.hardNegatives(lex, dense, "query_id", "doc_id")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- DSIR importance weights (oracle-checked): target = the 'en'
     // slice, raw = everything; hashed-bucket distributions (portable
     // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
@@ -3000,6 +3028,67 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY rrf_micro DESC, doc_id) <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // q124's legs with the fusion replaced by NOT EXISTS — the anti-join
+    // definition of hard negatives
+    "q126_hard_negatives" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM toks GROUP BY doc_id),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM toks
+        |       WHERE doc_id % 100 = 0),
+        |allt AS (SELECT DISTINCT term FROM qt),
+        |tf AS (
+        |  SELECT toks.doc_id, toks.term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks JOIN allt USING (term)
+        |  GROUP BY toks.doc_id, toks.term),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(round(ln((c.n - CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5)
+        |        / (CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_micro
+        |  FROM tf CROSS JOIN corpus c GROUP BY term, c.n),
+        |lexscore AS (
+        |  SELECT qt.query_id, tf.doc_id, CAST(sum(
+        |    (idf.idf_micro * ((1000000 * (2200000 * tf.tf))
+        |       // (1000000 * tf.tf + 300000
+        |           + (9 * ((1000000 * dl.dl * c.n) // c.t)) // 10)))
+        |    // 1000000) AS BIGINT) AS bm25_micro
+        |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
+        |    JOIN dl ON tf.doc_id = dl.doc_id
+        |    CROSS JOIN corpus c
+        |  WHERE tf.doc_id <> qt.query_id
+        |  GROUP BY qt.query_id, tf.doc_id),
+        |lex AS (
+        |  SELECT query_id, doc_id, bm25_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_micro DESC, doc_id) AS r
+        |  FROM lexscore
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY bm25_micro DESC, doc_id) <= 20),
+        |emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |dense AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id
+        |  FROM emb e
+        |    CROSS JOIN (SELECT * FROM emb WHERE vec_id % 100 = 0) q
+        |  WHERE e.vec_id <> q.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6)
+        |      DESC, e.vec_id) <= 20)
+        |SELECT l.query_id, l.doc_id, l.r AS "rank", l.bm25_micro
+        |FROM lex l
+        |WHERE NOT EXISTS (SELECT 1 FROM dense d
+        |                  WHERE d.query_id = l.query_id
+        |                    AND d.doc_id = l.doc_id)
+        |ORDER BY l.query_id, l.r""".stripMargin,
 
     // DSIR in the same micro-nat lattice discipline as the Spark side:
     // ln only on the ≤nBuckets lattice, doc scores are exact integer

@@ -127,6 +127,40 @@ object TextScaleSoak {
         .agg(count(lit(1)).as("rows"), max(col("cum_ppm")).as("cov")).head()
     }
 
+    // round-8 retrieval additions: one-shot BM25 over the full corpus,
+    // then the persisted-postings split — index ONCE, probe repeatedly;
+    // a probe must come in far under the one-shot (it reads only the
+    // query terms' buckets and shuffles nothing corpus-sized), and its
+    // result must be bit-identical to the one-shot on the same corpus
+    val bmTerms = Seq("w1", "w2", "w3", "w4")
+    val (bmTop, tBm25) = time {
+      graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text", bmTerms, k = 10)
+        .collect()
+    }
+    val (_, tBmIndex) = time {
+      graft.ext.Retrieval.writeBm25Index(docs, "doc_id", "text", "soak_bm25")
+    }
+    val bmProbeSecs = (1 to 3).map { _ =>
+      val (probed, tP) = time {
+        graft.ext.Retrieval.bm25ProbeTopK(spark, "soak_bm25", bmTerms, k = 10)
+          .collect()
+      }
+      assert(probed.map(_.toSeq).toSeq == bmTop.map(_.toSeq).toSeq,
+        "probe diverged from one-shot BM25")
+      tP
+    }
+    assert(bmProbeSecs.max < tBm25 / 2,
+      s"BM25 probe does not amortize: probes $bmProbeSecs vs one-shot $tBm25")
+
+    // DSIR importance weighting: target = every 10th doc; one bucket
+    // census per side + a broadcast lattice — must stay near scan rate
+    val (dsirStats, tDsir) = time {
+      TextOps.dsirLogWeights(docs, docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", nBuckets = 1024)
+        .agg(count(lit(1)).as("rows"),
+          count(when(col("logw_micro") =!= 0L, 1)).as("nonzero")).head()
+    }
+
     // sanity, all deterministic by construction:
     //  - planted repeats found EXACTLY: each clone target (id % 5 == 0,
     //    id > 0 → floor((n-1)/5) docs) flags itself AND its neighbor,
@@ -156,9 +190,15 @@ object TextScaleSoak {
     assert(vocabStats.getLong(0) == 1000L)
     assert(vocabCov > 10000L && vocabCov < 40000L,
       s"top-1000 coverage $vocabCov ppm outside the uniform-vocab band")
+    //  - BM25 produced a full ranked page; every doc got a DSIR weight
+    //    and the weights actually discriminate (not all-zero)
+    assert(bmTop.length == 10, s"BM25 top-k returned ${bmTop.length} rows")
+    assert(dsirStats.getLong(0) == total)
+    assert(dsirStats.getLong(1) > total / 2,
+      s"DSIR weights degenerate: ${dsirStats.getLong(1)} nonzero of $total")
 
     println(
-      s"""{"n":$total,"span_sec":${math.rint(tSpan * 10) / 10},"docs_with_dups":${spanStats.getLong(0)},"covered_tokens":${spanStats.getLong(1)},"lm_sec":${math.rint(tLm * 10) / 10},"avg_prob":${math.rint(lmStats.getDouble(1) * 1e6) / 1e6},"lm_train_sec":${math.rint(tTrain * 10) / 10},"lm_batch_secs":${batchSecs.map(t => math.rint(t * 10) / 10).mkString("[", ",", "]")},"qc_sec":${math.rint(tQc * 10) / 10},"qc_kept":$kept,"gopher_sec":${math.rint(tGopher * 10) / 10},"vocab_sec":${math.rint(tVocab * 10) / 10},"vocab_top1000_ppm":$vocabCov}""")
+      s"""{"n":$total,"span_sec":${math.rint(tSpan * 10) / 10},"docs_with_dups":${spanStats.getLong(0)},"covered_tokens":${spanStats.getLong(1)},"lm_sec":${math.rint(tLm * 10) / 10},"avg_prob":${math.rint(lmStats.getDouble(1) * 1e6) / 1e6},"lm_train_sec":${math.rint(tTrain * 10) / 10},"lm_batch_secs":${batchSecs.map(t => math.rint(t * 10) / 10).mkString("[", ",", "]")},"qc_sec":${math.rint(tQc * 10) / 10},"qc_kept":$kept,"gopher_sec":${math.rint(tGopher * 10) / 10},"vocab_sec":${math.rint(tVocab * 10) / 10},"vocab_top1000_ppm":$vocabCov,"bm25_sec":${math.rint(tBm25 * 10) / 10},"bm25_index_sec":${math.rint(tBmIndex * 10) / 10},"bm25_probe_secs":${bmProbeSecs.map(t => math.rint(t * 10) / 10).mkString("[", ",", "]")},"dsir_sec":${math.rint(tDsir * 10) / 10}}""")
     spark.stop()
   }
 }

@@ -227,6 +227,22 @@ object Retrieval {
       .select(col(idCol), col("rank"), col("bm25_micro"), col("bm25"))
   }
 
+  /** Hard-negative mining for retriever training (the DPR/ANCE recipe,
+    * public): candidates a LEXICAL ranker scores highly that the DENSE
+    * ranker does NOT retrieve — lexically plausible, semantically
+    * non-matching, exactly the negatives that teach an embedding model
+    * the most. Relationally it is a left-anti join of the lexical
+    * top-n onto the dense top-n per query; each survivor keeps its
+    * lexical rank (already cross-engine-stable integers). Both inputs
+    * are pre-truncated per-leg top-n relations, so the anti-join runs
+    * on the tiny (queries × n) lattice — a broadcast anti-join at any
+    * corpus scale.
+    */
+  def hardNegatives(lex: DataFrame, dense: DataFrame, queryCol: String,
+                    idCol: String): DataFrame =
+    lex.join(broadcast(dense.select(col(queryCol), col(idCol))),
+      Seq(queryCol, idCol), "left_anti")
+
   /** Reciprocal-rank fusion (Cormack et al.) of two ranked lists —
     * the standard hybrid-retrieval combiner for a lexical leg and a
     * dense leg, in EXACT integer arithmetic: each leg contributes

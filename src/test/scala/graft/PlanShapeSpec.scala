@@ -248,6 +248,44 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q123 BM25: query-term filter runs below the tf exchange; tiny " +
+    "relations broadcast; no cartesian on corpus-sized sides") {
+    val plan = tree(q("q123_bm25_topk"))
+    // the isin(queryTerms) filter must sit UNDER the first aggregation
+    // exchange — filtering after the shuffle would move the whole token
+    // stream instead of the query-term sliver
+    val firstEx = plan.indexOf("Exchange hashpartitioning")
+    val termFilter = plan.indexOf("term#")
+    assert(firstEx >= 0 && termFilter > firstEx,
+      s"no term filter below the tf exchange:\n$plan")
+    val filterIdx = "(?s)Filter .*term#\\d+ IN|(?s)Filter .*term#\\d+ = ".r
+    assert(filterIdx.findFirstIn(plan).isDefined ||
+      plan.contains("IN (table,window,hash,stream)") ||
+      plan.contains("INSET"),
+      s"query-term filter missing:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"corpus scalars / idf not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian snuck in:\n$plan")
+  }
+
+  test("q124 hybrid RRF and q125 DSIR: lattices broadcast, no cartesian") {
+    for (name <- Seq("q124_hybrid_rrf", "q125_dsir_weights")) {
+      val plan = tree(q(name))
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"$name: tiny side not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: cartesian snuck in:\n$plan")
+    }
+    // q125 specifically: the doc-side score join hits the BROADCAST
+    // lattice — documents must never sort-merge against it
+    val p125 = tree(q("q125_dsir_weights"))
+    assert("BroadcastHashJoin \\[b#".r.findFirstIn(p125).isDefined ||
+      p125.contains("BroadcastHashJoin"),
+      s"q125 lattice join not broadcast:\n$p125")
+  }
+
   test("q95 shuffle shards: one shard-key exchange, no single-partition window") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = tree(graft.ext.TextOps.shuffleShards(docs, "doc_id",

@@ -107,6 +107,20 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1, 10L), (2L, 1, 5L), (2L, 2, 7L)))
   }
 
+  test("hardNegatives keeps lexical hits absent from the dense leg, " +
+    "with lexical ranks intact, per query") {
+    val lex = Seq((1L, 10L, 1, 500L), (1L, 11L, 2, 400L),
+        (2L, 10L, 1, 300L))
+      .toDF("q", "id", "rank", "bm25_micro")
+    // doc 10 is dense-retrieved for query 1 only — it must survive for
+    // query 2 (the anti-join is per (query, doc), not per doc)
+    val dense = Seq((1L, 10L)).toDF("q", "id")
+    val out = Retrieval.hardNegatives(lex, dense, "q", "id")
+      .orderBy("q", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 11L, 2, 400L), (2L, 10L, 1, 300L)))
+  }
+
   test("rrfFuse truncates to k per query") {
     val lex = (1 to 9).map(i => (1L, i.toLong, i)).toDF("q", "id", "rank")
     val dense = spark.emptyDataset[(Long, Long, Int)]
