@@ -227,6 +227,57 @@ object Retrieval {
       .select(col(idCol), col("rank"), col("bm25_micro"), col("bm25"))
   }
 
+  /** Probe a PERSISTED BM25 index with a BATCH OF QUERIES given as raw
+    * text — the serving loop's inner operator (and the body of
+    * `EventStreams.bm25QueryStream`): each query's distinct tokens form
+    * its term set, scores come from the denormalized postings exactly as
+    * [[bm25ProbeTopK]], ranked per query. The union of the distinct
+    * terms is collected to drive an `isin` filter on the bucketed term
+    * column — a BOUNDED collect (one micro-batch of queries, each
+    * contributing its distinct tokens), which is what buys the
+    * bucket-pruned scan; the per-(query, doc) scoring itself stays
+    * fully distributed.
+    *
+    * Against a static index, probing queries in batches is pure: the
+    * union of per-batch outputs equals one probe of all queries
+    * (spec-pinned) — df/dl/meta live in the index, so no batch can
+    * shift another's scores.
+    */
+  def bm25ProbePerQuery(spark: org.apache.spark.sql.SparkSession,
+                        table: String, queries: DataFrame,
+                        queryIdCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val qt = queries.select(col(queryIdCol),
+        explode(array_distinct(TextOps.tokens(lower(col(textCol)))))
+          .as("term"))
+      .filter(length(col("term")) > 0)
+    val terms = qt.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val idCol = spark.table(table).columns(1)
+    val matched =
+      if (terms.isEmpty) spark.table(table).filter(lit(false))
+      else spark.table(table).filter(col("term").isin(terms: _*))
+    val meta = spark.table(s"${table}_meta")
+    val scored = matched
+      .join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(meta))
+      .withColumn("idf_micro",
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * 1000000L).cast("long"))
+      .withColumn("__dlnorm", expr("(1000000 * dl * n) div t"))
+      .withColumn("__denom",
+        expr("1000000 * tf + 300000 + (9 * __dlnorm) div 10"))
+      .withColumn("__tfnorm", expr("(1000000 * (2200000 * tf)) div __denom"))
+      .withColumn("__contrib", expr("(idf_micro * __tfnorm) div 1000000"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__contrib")).as("bm25_micro"))
+    rankTopK(scored, queryIdCol, idCol, "bm25_micro", k)
+      .withColumn("bm25", col("bm25_micro") / 1e6)
+      .select(col(queryIdCol), col("rank"), col(idCol),
+        col("bm25_micro"), col("bm25"))
+  }
+
   /** Hard-negative mining for retriever training (the DPR/ANCE recipe,
     * public): candidates a LEXICAL ranker scores highly that the DENSE
     * ranker does NOT retrieve — lexically plausible, semantically

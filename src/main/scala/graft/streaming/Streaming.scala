@@ -163,6 +163,29 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous query serving against a PERSISTED BM25 index
+    * ([[graft.ext.Retrieval.writeBm25Index]]): each micro-batch of
+    * (query_id, text) rows is scored and ranked by
+    * [[graft.ext.Retrieval.bm25ProbePerQuery]] and handed to `onBatch`.
+    * `foreachBatch` reuses the batch operator VERBATIM (the
+    * [[MicroBatchMerge]] rationale — streaming and batch ranking
+    * cannot drift), and the index is static during serving, so the
+    * union of per-batch outputs equals one probe of every query
+    * streamed (spec-pinned). Index growth belongs to the caller's
+    * cadence: rebuild/append with `writeBm25Index` between serving
+    * windows, exactly like the near-dup probe's corpus append.
+    */
+  def bm25QueryStream(queries: DataFrame, table: String,
+                      queryIdCol: String, textCol: String, k: Int)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ext.Retrieval.bm25ProbePerQuery(batch.sparkSession,
+          table, batch, queryIdCol, textCol, k), batchId)
+      }
+      .start()
+
   def nearDupProbeStream(docs: DataFrame, table: String, idCol: String,
                          textCol: String, minJaccard: Double,
                          shingleN: Int = 3, k: Int = 64, bands: Int = 16,

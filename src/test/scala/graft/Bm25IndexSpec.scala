@@ -70,6 +70,45 @@ class Bm25IndexSpec extends SparkSpec {
     }
   }
 
+  test("per-query text probe equals the literal-terms probe per query") {
+    val queries = Seq((7L, "cat mouse"), (8L, "dog")).toDF("qid", "text")
+    val got = graft.ext.Retrieval
+      .bm25ProbePerQuery(spark, table, queries, "qid", "text", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = Seq(7L -> Seq("cat", "mouse"), 8L -> Seq("dog")).flatMap {
+      case (qid, terms) =>
+        Retrieval.bm25ProbeTopK(spark, table, terms, k = 10).collect()
+          .map(r => (qid, r.getInt(1), r.getLong(0), r.getLong(2)))
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("streaming query probe: union of micro-batches equals one probe " +
+    "of all queries; empty-text queries yield no rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val query = graft.streaming.EventStreams.bm25QueryStream(
+        in.toDF().toDF("qid", "text"), table, "qid", "text", k = 10) {
+      (batch, _) => acc.synchronized { acc ++= batch.collect().map(_.toSeq) }
+    }
+    in.addData((7L, "cat mouse"), (9L, "   "))
+    query.processAllAvailable()
+    in.addData((8L, "dog"))
+    query.processAllAvailable()
+    query.stop()
+    val oneShot = graft.ext.Retrieval.bm25ProbePerQuery(spark, table,
+        Seq((7L, "cat mouse"), (8L, "dog"), (9L, "   "))
+          .toDF("qid", "text"),
+        "qid", "text", k = 10)
+      .collect().map(_.toSeq)
+    assert(acc.toSet == oneShot.toSet && acc.nonEmpty)
+    assert(!acc.exists(_.head == 9L), "whitespace-only query produced rows")
+  }
+
   test("meta scalars match the corpus (N docs, T tokens)") {
     val m = spark.table(s"${table}_meta").collect().head
     assert(m.getLong(0) == 5L && m.getLong(1) == 16L)
