@@ -627,6 +627,45 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- PRF query expansion (oracle-checked): RM3-lite — q123's
+    // top-10 as the pseudo-relevant set R, R's terms ranked by exact
+    // integer tf_R · idf_micro (corpus IDF, q123's micro constant),
+    // original terms excluded. Everything after the first round runs on
+    // R-bounded relations; corpus df is computed only for R's vocab.
+    "q127_prf_expansion" -> ((s, dir) => {
+      Retrieval.prfExpansionTerms(t(s, dir, "documents"), "doc_id",
+          "text", Seq("table", "window", "hash", "stream"),
+          nDocs = 10, nTerms = 5)
+        .orderBy("rank")
+    }),
+
+    // ---- retrieval eval metrics (oracle-checked): the lexical leg
+    // scored against the dense leg as truth — recall@20 and reciprocal
+    // rank per query in exact micro-integers, the eval harness shape
+    // (swap in human qrels for the truth relation in production).
+    "q128_retrieval_metrics" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qterms = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextOps.tokens(lower(col("text")))))
+            .as("term"))
+      val lex = Retrieval.rankTopK(
+          Retrieval.bm25ScorePerQuery(docs, "doc_id", "text", qterms,
+              "query_id")
+            .filter(col("query_id") =!= col("doc_id")),
+          "query_id", "doc_id", "bm25_micro", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 20, dim = Some(64), useNative = true)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Retrieval.rankEvalMetrics(lex, dense, "query_id", "doc_id")
+        .orderBy("query_id")
+    }),
+
     // ---- DSIR importance weights (oracle-checked): target = the 'en'
     // slice, raw = everything; hashed-bucket distributions (portable
     // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
@@ -3028,6 +3067,137 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY rrf_micro DESC, doc_id) <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // q123's BM25 CTEs feeding an R-bounded expansion ranking
+    "q127_prf_expansion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM toks GROUP BY doc_id),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term IN ('table', 'window', 'hash', 'stream')
+        |  GROUP BY doc_id, term),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(round(ln((c.n - CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5)
+        |        / (CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_micro
+        |  FROM tf CROSS JOIN corpus c GROUP BY term, c.n),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    (idf.idf_micro * ((1000000 * (2200000 * tf.tf))
+        |       // (1000000 * tf.tf + 300000
+        |           + (9 * ((1000000 * dl.dl * c.n) // c.t)) // 10)))
+        |      // 1000000 AS c_micro
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+        |    CROSS JOIN corpus c),
+        |scored AS (
+        |  SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS bm25_micro
+        |  FROM contrib GROUP BY doc_id),
+        |r AS (SELECT doc_id FROM scored
+        |      ORDER BY bm25_micro DESC, doc_id LIMIT 10),
+        |rtf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS tf_r
+        |  FROM toks JOIN r USING (doc_id)
+        |  WHERE term NOT IN ('table', 'window', 'hash', 'stream')
+        |  GROUP BY term),
+        |dfreq AS (
+        |  SELECT toks.term,
+        |    CAST(count(DISTINCT toks.doc_id) AS BIGINT) AS df
+        |  FROM toks JOIN (SELECT term FROM rtf) cand USING (term)
+        |  GROUP BY toks.term),
+        |w AS (
+        |  SELECT rtf.term, rtf.tf_r *
+        |    CAST(round(ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS weight_micro
+        |  FROM rtf JOIN dfreq d USING (term) CROSS JOIN corpus c)
+        |SELECT row_number() OVER (ORDER BY weight_micro DESC, term)
+        |    AS "rank",
+        |  term, weight_micro
+        |FROM w
+        |QUALIFY row_number() OVER (ORDER BY weight_micro DESC, term) <= 5
+        |ORDER BY "rank"""".stripMargin,
+
+    // q124's legs feeding exact-integer recall@20 / reciprocal rank
+    "q128_retrieval_metrics" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM toks GROUP BY doc_id),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM toks
+        |       WHERE doc_id % 100 = 0),
+        |allt AS (SELECT DISTINCT term FROM qt),
+        |tf AS (
+        |  SELECT toks.doc_id, toks.term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks JOIN allt USING (term)
+        |  GROUP BY toks.doc_id, toks.term),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(round(ln((c.n - CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5)
+        |        / (CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_micro
+        |  FROM tf CROSS JOIN corpus c GROUP BY term, c.n),
+        |lexscore AS (
+        |  SELECT qt.query_id, tf.doc_id, CAST(sum(
+        |    (idf.idf_micro * ((1000000 * (2200000 * tf.tf))
+        |       // (1000000 * tf.tf + 300000
+        |           + (9 * ((1000000 * dl.dl * c.n) // c.t)) // 10)))
+        |    // 1000000) AS BIGINT) AS bm25_micro
+        |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
+        |    JOIN dl ON tf.doc_id = dl.doc_id
+        |    CROSS JOIN corpus c
+        |  WHERE tf.doc_id <> qt.query_id
+        |  GROUP BY qt.query_id, tf.doc_id),
+        |lex AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_micro DESC, doc_id) AS r
+        |  FROM lexscore
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY bm25_micro DESC, doc_id) <= 20),
+        |emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |dense AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6)
+        |        DESC, e.vec_id) AS r
+        |  FROM emb e
+        |    CROSS JOIN (SELECT * FROM emb WHERE vec_id % 100 = 0) q
+        |  WHERE e.vec_id <> q.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6)
+        |      DESC, e.vec_id) <= 20),
+        |perq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+        |         FROM dense GROUP BY query_id),
+        |top1 AS (SELECT query_id, doc_id FROM dense WHERE r = 1),
+        |rr AS (
+        |  SELECT t.query_id,
+        |    CAST(coalesce(1000000 // l.r, 0) AS BIGINT) AS rr_micro
+        |  FROM top1 t LEFT JOIN lex l
+        |    ON t.query_id = l.query_id AND t.doc_id = l.doc_id),
+        |ov AS (
+        |  SELECT l.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM lex l JOIN dense d
+        |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+        |  GROUP BY l.query_id)
+        |SELECT p.query_id, rr.rr_micro,
+        |  coalesce(ov.n_overlap, 0) AS n_overlap,
+        |  (1000000 * coalesce(ov.n_overlap, 0)) // p.n_truth
+        |    AS recall_micro
+        |FROM perq p JOIN rr USING (query_id) LEFT JOIN ov USING (query_id)
+        |ORDER BY p.query_id""".stripMargin,
 
     // q124's legs with the fusion replaced by NOT EXISTS — the anti-join
     // definition of hard negatives

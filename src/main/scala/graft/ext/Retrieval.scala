@@ -278,6 +278,90 @@ object Retrieval {
         col("bm25_micro"), col("bm25"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM3-lite recipe,
+    * public): run the query, take the top `nDocs` documents as the
+    * pseudo-relevant set R, and rank the terms of R by Σ_d∈R tf(d,t) ·
+    * idf(t) — corpus-wide IDF, the same micro-integer as [[bm25Score]]
+    * — excluding the original query terms. The top `nTerms` are the
+    * expansion candidates a second retrieval round unions in.
+    *
+    * Everything after the first-round top-`nDocs` runs on R-bounded
+    * relations: R's token stream (nDocs documents), its vocabulary, and
+    * a corpus df lookup SEMI-JOINED to that vocabulary — the full
+    * corpus is touched only by the first-round scorer and the df count,
+    * both shuffling term keys, never documents.
+    *
+    * Returns (rank, term, weight_micro) — ties broken by ascending
+    * term, so the expansion set is cross-engine-stable.
+    */
+  def prfExpansionTerms(df: DataFrame, idCol: String, textCol: String,
+                        queryTerms: Seq[String], nDocs: Int,
+                        nTerms: Int): DataFrame = {
+    require(nDocs > 0 && nTerms > 0, s"bad nDocs/nTerms: $nDocs/$nTerms")
+    val topDocs = bm25Score(df, idCol, textCol, queryTerms)
+      .orderBy(col("bm25_micro").desc, col(idCol))
+      .limit(nDocs)
+      .select(col(idCol))
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+    // R's term frequencies (nDocs-bounded) minus the original terms
+    val rTf = toks.join(broadcast(topDocs), Seq(idCol))
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf_r"))
+    // corpus df ONLY for R's vocabulary, then the q123 micro-IDF
+    val corpus = df.agg(count(lit(1)).as("n"))
+    val dfreq = toks.join(broadcast(rTf.select(col("term"))), Seq("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val weighted = rTf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_micro",
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * 1000000L).cast("long"))
+      .withColumn("weight_micro", col("tf_r") * col("idf_micro"))
+    weighted.orderBy(col("weight_micro").desc, col("term"))
+      .limit(nTerms)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("weight_micro").desc, col("term"))))
+      .select(col("rank"), col("term"), col("weight_micro"))
+  }
+
+  /** Rank-quality metrics of a system run against a per-query truth
+    * set — the eval harness a retrieval stack runs at corpus scale
+    * (recall@n and reciprocal rank, in exact integer micro-units).
+    * `system` and `truth` are (queryCol, idCol, rank) relations, each
+    * already truncated per query. Per query:
+    *  - `rr_micro`: 1e6 div (system rank of the truth's rank-1 item),
+    *    0 when the system missed it entirely — MRR's summand;
+    *  - `n_overlap`: |system ∩ truth|;
+    *  - `recall_micro`: (1e6 · n_overlap) div |truth| for that query.
+    * Queries in `truth` with no system hits still appear (zeros), so a
+    * silently-empty system run cannot inflate the mean. Both inputs are
+    * tiny pre-truncated lattices — every join here broadcasts.
+    */
+  def rankEvalMetrics(system: DataFrame, truth: DataFrame,
+                      queryCol: String, idCol: String): DataFrame = {
+    val sys = system.select(col(queryCol), col(idCol), col("rank"))
+    val tr = truth.select(col(queryCol), col(idCol))
+    val perQuery = tr.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_truth"))
+    val top1 = truth.filter(col("rank") === 1)
+      .select(col(queryCol), col(idCol))
+    val rr = top1.join(sys, Seq(queryCol, idCol), "left")
+      .select(col(queryCol),
+        coalesce(expr("1000000 div rank"), lit(0L)).as("rr_micro"))
+    val overlap = sys.join(broadcast(tr), Seq(queryCol, idCol), "left_semi")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    perQuery.join(rr, Seq(queryCol))
+      .join(overlap, Seq(queryCol), "left")
+      .select(col(queryCol), col("rr_micro"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr("(1000000 * coalesce(n_overlap, 0)) div n_truth")
+          .as("recall_micro"))
+  }
+
   /** Hard-negative mining for retriever training (the DPR/ANCE recipe,
     * public): candidates a LEXICAL ranker scores highly that the DENSE
     * ranker does NOT retrieve — lexically plausible, semantically

@@ -121,6 +121,44 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 11L, 2, 400L), (2L, 10L, 1, 300L)))
   }
 
+  test("prfExpansionTerms ranks R's terms by tf_R·idf, excluding the " +
+    "original query") {
+    // query "cat": R = {0, 1} (only docs with cat, nDocs=2). R's terms
+    // minus the query: dog(tf_R=1), fish(tf_R=1), mouse(tf_R=2).
+    // mouse appears ONLY in R (df=2 of 5) and twice → top expansion.
+    val d = Seq(
+      (0L, "cat mouse mouse dog"), (1L, "cat fish"),
+      (2L, "dog dog"), (3L, "bird"), (4L, "bird fish")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.prfExpansionTerms(d, "doc_id", "text",
+        Seq("cat"), nDocs = 2, nTerms = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 3)
+    assert(out.head._2 == "mouse", s"expected mouse first: ${out.toSeq}")
+    assert(!out.exists(_._2 == "cat"), "query term leaked into expansion")
+    // exact weight of mouse: tf_R=2, df=1, n=5 →
+    // idf = ln((5-1+0.5)/(1+0.5)+1) = ln(4)
+    val idfMouse = Math.round(math.log(4.0) * 1000000L)
+    assert(out.head._3 == 2 * idfMouse, s"mouse weight: ${out.head._3}")
+  }
+
+  test("rankEvalMetrics: rr from the truth top-1's system rank, " +
+    "recall from overlap, zero rows for missed queries") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("q", "id", "rank")
+    val system = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 12L, 3))
+      .toDF("q", "id", "rank")
+    val out = Retrieval.rankEvalMetrics(system, truth, "q", "id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // q1: truth top-1 is doc 10 at system rank 2 → 1e6 div 2;
+    //     overlap {10, 11} of 2 truths → recall 1.0
+    assert(out(1L) == ((500000L, 2L, 1000000L)))
+    // q2: system never ranked anything → all zeros, but the row exists
+    assert(out(2L) == ((0L, 0L, 0L)))
+  }
+
   test("rrfFuse truncates to k per query") {
     val lex = (1 to 9).map(i => (1L, i.toLong, i)).toDF("q", "id", "rank")
     val dense = spark.emptyDataset[(Long, Long, Int)]
