@@ -873,22 +873,35 @@ object TextOps {
                      textCol: String, nBuckets: Int = 1024,
                      salt: String = "graft"): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    def bucketed(df: DataFrame) = df
-      .select(col(idCol),
-        explode(tokens(lower(col(textCol)))).as("__tok"))
-      .filter(length(col("__tok")) > 0)
-      .select(col(idCol),
-        (conv(substring(md5(concat(lit(s"f:$salt:"), col("__tok"))), 1, 8),
-          16, 10).cast("long") % nBuckets).as("b"))
+    dsirAttach(raw, idCol, textCol,
+      dsirLattice(raw, target, idCol, textCol, nBuckets, salt),
+      nBuckets, salt)
+  }
+
+  /** Token → hashed-bucket rows for the DSIR family (one definition
+    * site — censuses and scoring must never disagree on the hash). */
+  private def dsirBuckets(df: DataFrame, idCol: String, textCol: String,
+                          nBuckets: Int, salt: String): DataFrame = df
+    .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__tok"))
+    .filter(length(col("__tok")) > 0)
+    .select(col(idCol),
+      (conv(substring(md5(concat(lit(s"f:$salt:"), col("__tok"))), 1, 8),
+        16, 10).cast("long") % nBuckets).as("b"))
+
+  /** The smoothed per-bucket log-ratio lattice — ≤nBuckets rows, the
+    * DSIR family's ONLY ln site, rounded to micro-nats here so every
+    * downstream score is exact long arithmetic. */
+  private def dsirLattice(raw: DataFrame, target: DataFrame, idCol: String,
+                          textCol: String, nBuckets: Int,
+                          salt: String): DataFrame = {
     def census(df: DataFrame, cnt: String) =
-      bucketed(df).groupBy(col("b")).agg(count(lit(1)).as(cnt))
+      dsirBuckets(df, idCol, textCol, nBuckets, salt)
+        .groupBy(col("b")).agg(count(lit(1)).as(cnt))
     val ct = census(target, "ct")
     val cr = census(raw, "cr")
     val totals = ct.agg(sum(col("ct")).as("tt"))
       .crossJoin(cr.agg(sum(col("cr")).as("tr")))
-    // the lattice: buckets seen on either side, smoothed log-ratio in
-    // micro-nats — ≤nBuckets rows, the ONLY ln site
-    val lattice = ct.join(cr, Seq("b"), "full_outer")
+    ct.join(cr, Seq("b"), "full_outer")
       .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
       .crossJoin(broadcast(totals))
@@ -897,18 +910,82 @@ object TextOps {
                log((col("cr") + 1.0) / (col("tr") + nBuckets)))
           * 1000000L).cast("long"))
       .select(col("b"), col("lr_micro"))
-    val perDoc = bucketed(raw)
+  }
+
+  /** Shared scoring tail: per-(doc, bucket) counts · broadcast lattice,
+    * re-attaching every input document (empty docs score zero). BOTH
+    * the one-shot scorer and the persisted-lattice scorer end here —
+    * the self-score-parity pin rests on this being one definition.
+    * `unseenLrMicro` is the log-ratio for buckets ABSENT from the
+    * lattice (0 for the one-shot scorer, where raw buckets are all
+    * present by construction; the smoothed zero-count ratio for the
+    * persisted scorer, where a novel batch can hash outside the
+    * trained bucket set). */
+  private def dsirAttach(docs: DataFrame, idCol: String, textCol: String,
+                         lattice: DataFrame, nBuckets: Int, salt: String,
+                         unseenLrMicro: Long = 0L): DataFrame = {
+    val perDoc = dsirBuckets(docs, idCol, textCol, nBuckets, salt)
       .groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("c"))
-      .join(broadcast(lattice), Seq("b"))
+      .join(broadcast(lattice), Seq("b"), "left")
       .groupBy(col(idCol))
-      .agg(sum(col("c") * col("lr_micro")).as("logw_micro"))
-    raw.select(col(idCol),
+      .agg(sum(col("c") * coalesce(col("lr_micro"), lit(unseenLrMicro)))
+        .as("logw_micro"))
+    docs.select(col(idCol),
         size(tokens(lower(col(textCol)))).cast("long").as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
       .withColumn("logw", col("logw_micro") / 1e6)
+  }
+
+  /** Train the DSIR lattice ONCE and persist it — the train-once/
+    * score-many split of [[dsirLogWeights]] (the `writeBigramLm` /
+    * `Retrieval.writeBm25Index` pattern): `table` holds the (b,
+    * lr_micro) lattice, `<table>_meta` the (n_buckets, salt) the hash
+    * must replay with — scoring reads them back, so a probe can never
+    * silently hash into a different bucket space than the lattice was
+    * trained in.
+    */
+  def writeDsirLattice(raw: DataFrame, target: DataFrame, idCol: String,
+                       textCol: String, table: String,
+                       nBuckets: Int = 1024,
+                       salt: String = "graft"): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    dsirLattice(raw, target, idCol, textCol, nBuckets, salt)
+      .write.format("parquet").mode("overwrite").saveAsTable(table)
+    // meta carries the hash parameters AND the unseen-bucket ratio:
+    // round(ln((tr+B)/(tt+B))·1e6), the add-one ratio of a bucket with
+    // zero count on both sides — derived from the training totals so a
+    // novel batch's out-of-lattice buckets score with the same
+    // smoothing the lattice was built under
+    val spark = raw.sparkSession
+    def total(df: DataFrame) =
+      dsirBuckets(df, idCol, textCol, nBuckets, salt).count()
+    val (tt, tr) = (total(target), total(raw))
+    val unseen = Math.round(
+      (math.log(1.0 / (tt + nBuckets)) - math.log(1.0 / (tr + nBuckets)))
+        * 1000000L)
+    spark.createDataFrame(Seq((nBuckets, salt, unseen)))
+      .toDF("n_buckets", "salt", "unseen_lr_micro")
+      .write.format("parquet").mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** Score a document batch against a PERSISTED DSIR lattice
+    * ([[writeDsirLattice]]) — bit-identical to [[dsirLogWeights]]
+    * self-scoring when the batch IS the training raw corpus
+    * (spec-pinned), and the production cadence for streams: the lattice
+    * is static KBs, so per-batch outputs are pure and union to the
+    * one-shot. Buckets unseen at training time (possible for novel
+    * batch vocabulary) contribute zero — the add-one-smoothed ratio of
+    * an absent bucket, in micro-rounding, not a null leak.
+    */
+  def scoreAgainstDsirLattice(spark: org.apache.spark.sql.SparkSession,
+                              table: String, docs: DataFrame,
+                              idCol: String, textCol: String): DataFrame = {
+    val meta = spark.table(s"${table}_meta").collect().head
+    dsirAttach(docs, idCol, textCol, spark.table(table),
+      meta.getInt(0), meta.getString(1), meta.getLong(2))
   }
 
   /** Corpus-trained statistical language-model quality scoring — the

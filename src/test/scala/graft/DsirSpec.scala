@@ -69,6 +69,46 @@ class DsirSpec extends SparkSpec {
     assert(out.getDouble(3) == out.getLong(2) / 1e6)
   }
 
+  test("persisted lattice: self-score parity, and novel buckets score " +
+    "with the training-time smoothing, not zero") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_dsirdb LOCATION '$loc'")
+    val rawDf = raw.toDF("doc_id", "text")
+    val targetDf = target.toDF("doc_id", "text")
+    TextOps.writeDsirLattice(rawDf, targetDf, "doc_id", "text",
+      "graft_dsirdb.lat", nBuckets = B)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // scoring the training raw corpus against the persisted lattice is
+    // bit-identical to the one-shot trainer-scorer
+    assert(canon(TextOps.scoreAgainstDsirLattice(spark, "graft_dsirdb.lat",
+        rawDf, "doc_id", "text"))
+      == canon(TextOps.dsirLogWeights(rawDf, targetDf, "doc_id", "text",
+        nBuckets = B)))
+    // a batch whose token hashes into a bucket unseen in training gets
+    // the smoothed zero-count ratio ln((tr+B)/(tt+B)) per token — find
+    // a token whose bucket is outside the trained lattice
+    val trained = spark.table("graft_dsirdb.lat")
+      .collect().map(_.getLong(0)).toSet
+    def bucket(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"f:graft:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16) % B
+    }
+    val novelTok = (0 until 1000).map("novel" + _)
+      .find(t => !trained.contains(bucket(t)))
+      .getOrElse(fail(s"all $B buckets trained — enlarge B in this test"))
+    val meta = spark.table("graft_dsirdb.lat_meta").collect().head
+    val got = TextOps.scoreAgainstDsirLattice(spark, "graft_dsirdb.lat",
+        Seq((50L, s"$novelTok $novelTok")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().head
+    assert(got.getLong(2) == 2 * meta.getLong(2),
+      s"novel-bucket doc scored ${got.getLong(2)}, " +
+        s"expected 2 x unseen ratio ${meta.getLong(2)}")
+  }
+
   test("every raw doc survives — scoring never drops rows") {
     val out = TextOps.dsirLogWeights(raw.toDF("doc_id", "text"),
       target.toDF("doc_id", "text"), "doc_id", "text", nBuckets = B)
