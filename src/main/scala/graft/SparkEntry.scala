@@ -666,6 +666,19 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- best-passage extraction (oracle-checked): per doc, the
+    // 8-token window with the most query-term hits plus its text — the
+    // RAG serving step after retrieval. Candidates reduce to hit
+    // positions (a maximal window can start at a hit), so the band
+    // self-join runs on the query-term sliver only; ties break to the
+    // earliest window, a total order.
+    "q129_best_passage" -> ((s, dir) => {
+      Retrieval.bestPassageWindow(t(s, dir, "documents"), "doc_id",
+          "text", Seq("table", "window", "hash", "stream"),
+          windowTokens = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- DSIR importance weights (oracle-checked): target = the 'en'
     // slice, raw = everything; hashed-bucket distributions (portable
     // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
@@ -3259,6 +3272,37 @@ object SparkEntry {
         |                  WHERE d.query_id = l.query_id
         |                    AND d.doc_id = l.doc_id)
         |ORDER BY l.query_id, l.r""".stripMargin,
+
+    // hit-position band self-join + earliest-window argmax; 1-based
+    // positions match Spark's pos+1, list slicing is inclusive a:b
+    "q129_best_passage" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(list_transform(range(1, len(arr) + 1),
+        |        i -> CASE WHEN arr[i] IN ('table', 'window', 'hash',
+        |                                  'stream') THEN i END),
+        |      x -> x IS NOT NULL)) AS pos
+        |  FROM base),
+        |wins AS (
+        |  SELECT s.doc_id, s.pos AS best_start,
+        |    CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM hits s JOIN hits h ON s.doc_id = h.doc_id
+        |    AND h.pos >= s.pos AND h.pos < s.pos + 8
+        |  GROUP BY s.doc_id, s.pos),
+        |best AS (
+        |  SELECT doc_id, best_start, n_hits
+        |  FROM wins
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY n_hits DESC, best_start) = 1)
+        |SELECT b.doc_id, b.best_start, b.n_hits,
+        |  array_to_string(a.arr[b.best_start : b.best_start + 7], ' ')
+        |    AS snippet
+        |FROM best b JOIN base a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // DSIR in the same micro-nat lattice discipline as the Spark side:
     // ln only on the ≤nBuckets lattice, doc scores are exact integer

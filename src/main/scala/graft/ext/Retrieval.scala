@@ -362,6 +362,54 @@ object Retrieval {
           .as("recall_micro"))
   }
 
+  /** Best-passage extraction — the RAG serving step after document
+    * retrieval: per document, the `windowTokens`-token window with the
+    * most query-term hits, plus its text. Uses the classic candidate
+    * reduction: a maximal-density window can always START at a hit
+    * position, so candidates are hits × hits per document (a band
+    * self-join on the hit-position relation, which holds ONLY
+    * query-term positions — a sliver of the token stream; the shuffle
+    * key is the document id). Argmax per document breaks ties toward
+    * the EARLIEST window (hits desc, start asc) — a total order, so
+    * the extracted passage is cross-engine-stable.
+    *
+    * Positions are 1-based token indices (`best_start`), matching
+    * SQL's 1-based list indexing. Documents with zero hits are absent
+    * — passage extraction runs on retrieved documents, and a retriever
+    * never hands over a zero-hit document.
+    *
+    * Returns (idCol, best_start, n_hits, snippet).
+    */
+  def bestPassageWindow(df: DataFrame, idCol: String, textCol: String,
+                        queryTerms: Seq[String],
+                        windowTokens: Int): DataFrame = {
+    require(queryTerms.nonEmpty && windowTokens > 0,
+      s"need query terms and a positive window: $windowTokens")
+    val arr = df.select(col(idCol),
+      TextOps.tokens(lower(col(textCol))).as("__arr"))
+    val hits = arr
+      .select(col(idCol), posexplode(col("__arr")).as(Seq("__p0", "term")))
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col(idCol), (col("__p0") + 1).as("pos"))
+    val windows = hits.as("s")
+      .join(hits.as("h"),
+        col(s"s.$idCol") === col(s"h.$idCol") &&
+          col("h.pos") >= col("s.pos") &&
+          col("h.pos") < col("s.pos") + windowTokens)
+      .groupBy(col(s"s.$idCol").as(idCol), col("s.pos").as("best_start"))
+      .agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("n_hits").desc, col("best_start"))
+    windows.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(arr, Seq(idCol))
+      .select(col(idCol), col("best_start"), col("n_hits"),
+        concat_ws(" ",
+          slice(col("__arr"), col("best_start"), lit(windowTokens)))
+          .as("snippet"))
+  }
+
   /** Hard-negative mining for retriever training (the DPR/ANCE recipe,
     * public): candidates a LEXICAL ranker scores highly that the DENSE
     * ranker does NOT retrieve — lexically plausible, semantically

@@ -159,6 +159,27 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 0L)))
   }
 
+  test("bestPassageWindow: densest window wins, ties go earliest, " +
+    "snippet slices the real tokens, zero-hit docs are absent") {
+    val d = Seq(
+      // hits at 1,2,6: window [1,3] holds 2 hits; [6,8] holds 1 →
+      // best_start 1, n_hits 2 (earliest already densest)
+      (0L, "cat cat x y z cat q r"),
+      // hits at 2 and 5; window=3 → two 1-hit windows tie... no:
+      // start 2 covers [2,4] hit 2; start 5 covers [5,7] hit 5 —
+      // equal density, tie goes to the EARLIER start 2
+      (1L, "x cat y z cat w"),
+      (2L, "no hits here at all")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bestPassageWindow(d, "doc_id", "text",
+        Seq("cat"), windowTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1, 2L, "cat cat x"),
+      (1L, 2, 1L, "cat y z")))
+  }
+
   test("rrfFuse truncates to k per query") {
     val lex = (1 to 9).map(i => (1L, i.toLong, i)).toDF("q", "id", "rank")
     val dense = spark.emptyDataset[(Long, Long, Int)]
