@@ -679,6 +679,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- end-to-end RAG serving (oracle-checked): q124's fused top-5
+    // handed to per-query passage extraction — the full retrieval →
+    // fusion → snippet path one plan. Dense-only hits with no lexical
+    // overlap have no rankable window and drop at the passage join
+    // (documented operator contract); ranks keep their fused values.
+    "q130_rag_serving" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qterms = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextOps.tokens(lower(col("text")))))
+            .as("term"))
+      val lex = Retrieval.rankTopK(
+          Retrieval.bm25ScorePerQuery(docs, "doc_id", "text", qterms,
+              "query_id")
+            .filter(col("query_id") =!= col("doc_id")),
+          "query_id", "doc_id", "bm25_micro", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 20, dim = Some(64), useNative = true)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val fused = Retrieval.rrfFuse(lex, dense, "query_id", "doc_id",
+        k = 5)
+      val passages = Retrieval.bestPassagePerQuery(docs, "doc_id",
+        "text", fused, qterms, "query_id", windowTokens = 8)
+      fused.join(passages, Seq("query_id", "doc_id"))
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("rrf_micro"), col("best_start"), col("n_hits"),
+          col("snippet"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- DSIR importance weights (oracle-checked): target = the 'en'
     // slice, raw = everything; hashed-bucket distributions (portable
     // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
@@ -3272,6 +3307,113 @@ object SparkEntry {
         |                  WHERE d.query_id = l.query_id
         |                    AND d.doc_id = l.doc_id)
         |ORDER BY l.query_id, l.r""".stripMargin,
+
+    // q124's fusion CTEs + q129's passage CTEs, composed per query
+    "q130_rag_serving" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM toks GROUP BY doc_id),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM toks
+        |       WHERE doc_id % 100 = 0),
+        |allt AS (SELECT DISTINCT term FROM qt),
+        |tf AS (
+        |  SELECT toks.doc_id, toks.term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks JOIN allt USING (term)
+        |  GROUP BY toks.doc_id, toks.term),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(round(ln((c.n - CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5)
+        |        / (CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_micro
+        |  FROM tf CROSS JOIN corpus c GROUP BY term, c.n),
+        |lexscore AS (
+        |  SELECT qt.query_id, tf.doc_id, CAST(sum(
+        |    (idf.idf_micro * ((1000000 * (2200000 * tf.tf))
+        |       // (1000000 * tf.tf + 300000
+        |           + (9 * ((1000000 * dl.dl * c.n) // c.t)) // 10)))
+        |    // 1000000) AS BIGINT) AS bm25_micro
+        |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
+        |    JOIN dl ON tf.doc_id = dl.doc_id
+        |    CROSS JOIN corpus c
+        |  WHERE tf.doc_id <> qt.query_id
+        |  GROUP BY qt.query_id, tf.doc_id),
+        |lex AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_micro DESC, doc_id) AS r
+        |  FROM lexscore
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY bm25_micro DESC, doc_id) <= 20),
+        |emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |dense AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6)
+        |        DESC, e.vec_id) AS r
+        |  FROM emb e
+        |    CROSS JOIN (SELECT * FROM emb WHERE vec_id % 100 = 0) q
+        |  WHERE e.vec_id <> q.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6)
+        |      DESC, e.vec_id) <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+        |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |    CAST(coalesce(1000000 // (60 + l.r), 0)
+        |       + coalesce(1000000 // (60 + d.r), 0) AS BIGINT) AS rrf_micro
+        |  FROM lex l FULL OUTER JOIN dense d
+        |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+        |fusedtop AS (
+        |  SELECT query_id, doc_id, rrf_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_micro DESC, doc_id) AS rnk
+        |  FROM fused
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_micro DESC, doc_id) <= 5),
+        |base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS arr
+        |  FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM fusedtop)),
+        |pos AS (
+        |  SELECT doc_id, pt.pos AS pos, pt.term AS term FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |      i -> {'pos': i, 'term': arr[i]})) AS pt
+        |    FROM base)),
+        |hits AS (
+        |  SELECT f.query_id, p.doc_id, p.pos
+        |  FROM pos p
+        |    JOIN qt ON p.term = qt.term
+        |    JOIN fusedtop f
+        |      ON f.query_id = qt.query_id AND f.doc_id = p.doc_id),
+        |wins AS (
+        |  SELECT s.query_id, s.doc_id, s.pos AS best_start,
+        |    CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM hits s JOIN hits h
+        |    ON s.query_id = h.query_id AND s.doc_id = h.doc_id
+        |    AND h.pos >= s.pos AND h.pos < s.pos + 8
+        |  GROUP BY s.query_id, s.doc_id, s.pos),
+        |best AS (
+        |  SELECT query_id, doc_id, best_start, n_hits
+        |  FROM wins
+        |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+        |    ORDER BY n_hits DESC, best_start) = 1)
+        |SELECT f.query_id, f.rnk AS "rank", f.doc_id, f.rrf_micro,
+        |  b.best_start, b.n_hits,
+        |  array_to_string(a.arr[b.best_start : b.best_start + 7], ' ')
+        |    AS snippet
+        |FROM fusedtop f
+        |  JOIN best b ON f.query_id = b.query_id AND f.doc_id = b.doc_id
+        |  JOIN base a ON f.doc_id = a.doc_id
+        |ORDER BY f.query_id, f.rnk""".stripMargin,
 
     // hit-position band self-join + earliest-window argmax; 1-based
     // positions match Spark's pos+1, list slicing is inclusive a:b

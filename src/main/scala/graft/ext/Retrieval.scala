@@ -410,6 +410,56 @@ object Retrieval {
           .as("snippet"))
   }
 
+  /** Per-query passage extraction over a RETRIEVED (query, doc) pair
+    * set — [[bestPassageWindow]]'s serving form: each retrieved pair
+    * gets the `windowTokens`-token window of that document densest in
+    * THAT query's terms ((queryCol, term) relation, the
+    * [[bm25ScorePerQuery]] shape). Only retrieved documents are
+    * tokenized (semi-join first), hit positions carry (query, doc)
+    * keys, and the band self-join + argmax run per retrieved pair —
+    * all pair-bounded relations; the corpus is touched once, for the
+    * retrieved docs' tokens. Pairs whose document shares no term with
+    * the query (a dense-only retrieval hit) are absent — there is no
+    * lexical window to rank.
+    *
+    * Returns (queryCol, idCol, best_start, n_hits, snippet).
+    */
+  def bestPassagePerQuery(df: DataFrame, idCol: String, textCol: String,
+                          pairs: DataFrame, queryTerms: DataFrame,
+                          queryCol: String,
+                          windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"window must be positive: $windowTokens")
+    val keys = pairs.select(col(queryCol), col(idCol)).distinct()
+    val arr = df
+      .join(broadcast(keys.select(col(idCol)).distinct()), Seq(idCol))
+      .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("__arr"))
+    val hits = arr
+      .select(col(idCol), posexplode(col("__arr")).as(Seq("__p0", "term")))
+      .join(broadcast(queryTerms.select(col(queryCol), col("term"))
+        .distinct()), Seq("term"))
+      .join(broadcast(keys), Seq(queryCol, idCol), "left_semi")
+      .select(col(queryCol), col(idCol), (col("__p0") + 1).as("pos"))
+    val windows = hits.as("s")
+      .join(hits.as("h"),
+        col(s"s.$queryCol") === col(s"h.$queryCol") &&
+          col(s"s.$idCol") === col(s"h.$idCol") &&
+          col("h.pos") >= col("s.pos") &&
+          col("h.pos") < col("s.pos") + windowTokens)
+      .groupBy(col(s"s.$queryCol").as(queryCol),
+        col(s"s.$idCol").as(idCol), col("s.pos").as("best_start"))
+      .agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy(col(queryCol), col(idCol))
+      .orderBy(col("n_hits").desc, col("best_start"))
+    windows.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(arr, Seq(idCol))
+      .select(col(queryCol), col(idCol), col("best_start"), col("n_hits"),
+        concat_ws(" ",
+          slice(col("__arr"), col("best_start"), lit(windowTokens)))
+          .as("snippet"))
+  }
+
   /** Hard-negative mining for retriever training (the DPR/ANCE recipe,
     * public): candidates a LEXICAL ranker scores highly that the DENSE
     * ranker does NOT retrieve — lexically plausible, semantically

@@ -180,6 +180,24 @@ class RetrievalSpec extends SparkSpec {
       (1L, 2, 1L, "cat y z")))
   }
 
+  test("bestPassagePerQuery: same doc yields different windows under " +
+    "different queries; unretrieved pairs never extract") {
+    val d = Seq((0L, "cat x x x dog dog")).toDF("doc_id", "text")
+    val qt = Seq((1L, "cat"), (2L, "dog"), (3L, "cat"))
+      .toDF("query_id", "term")
+    // queries 1 and 2 retrieved doc 0; query 3 did NOT
+    val pairs = Seq((1L, 0L), (2L, 0L)).toDF("query_id", "doc_id")
+    val out = Retrieval.bestPassagePerQuery(d, "doc_id", "text", pairs,
+        qt, "query_id", windowTokens = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out == Map(
+      1L -> ((1, 1L, "cat x")),   // query 1: cat window at the front
+      2L -> ((5, 2L, "dog dog"))  // query 2: both dogs in one window
+    ), s"got $out")
+  }
+
   test("rrfFuse truncates to k per query") {
     val lex = (1 to 9).map(i => (1L, i.toLong, i)).toDF("q", "id", "rank")
     val dense = spark.emptyDataset[(Long, Long, Int)]
