@@ -714,6 +714,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- perceptual image near-dup (oracle-checked, REAL decode):
+    // dHash over real ImageIO pixels in the canonical 9×8 geometry,
+    // stored as 4×16-bit bands; band equality generates candidates
+    // (hamming-LSH), exact hamming verifies. Near-dups are planted
+    // arithmetically ((8k, 8k+1) share a seed, one pixel bumped), so
+    // the oracle predicts every hash and verdict without a codec.
+    "q131_image_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = Multimodal.syntheticRealPngNearDups(docs, "doc_id")
+      val banded = Multimodal.withImageDHashBands(media, "payload")
+      Multimodal.imageNearDupPairs(banded, "doc_id", maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- DSIR importance weights (oracle-checked): target = the 'en'
     // slice, raw = everything; hashed-bucket distributions (portable
     // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
@@ -3445,6 +3459,48 @@ object SparkEntry {
         |    AS snippet
         |FROM best b JOIN base a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // the dHash predicted arithmetically from the pixel-generation rule
+    // (PNG is lossless → decoded luma ≡ generated luma); bands, the
+    // band-equality candidate join, and exact hamming all in plain SQL
+    "q131_image_near_dup" ->
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 1 THEN doc_id - 1 ELSE doc_id END AS seed,
+        |    CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 0 END AS bump
+        |  FROM documents),
+        |px AS (
+        |  SELECT i.doc_id, gx.x, gy.y,
+        |    299 * ((('0x' || substring(md5(i.seed || ':' || gx.x || ':' || gy.y), 1, 2))::BIGINT
+        |            + CASE WHEN gx.x = 0 AND gy.y = 0 THEN i.bump ELSE 0 END)
+        |           % 256)
+        |    + 587 * ('0x' || substring(md5(i.seed || ':' || gx.x || ':' || gy.y), 3, 2))::BIGINT
+        |    + 114 * ('0x' || substring(md5(i.seed || ':' || gx.x || ':' || gy.y), 5, 2))::BIGINT AS luma
+        |  FROM ids i
+        |    CROSS JOIN (SELECT unnest(range(0, 9)) AS x) gx
+        |    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) gy),
+        |bits AS (
+        |  SELECT a.doc_id, a.y // 2 AS band_idx,
+        |    CAST(sum(CASE WHEN b.luma > a.luma
+        |      THEN 1::BIGINT << ((a.y % 2) * 8 + a.x) ELSE 0 END)
+        |      AS BIGINT) AS val
+        |  FROM px a JOIN px b
+        |    ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8
+        |  GROUP BY a.doc_id, a.y // 2),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bits x JOIN bits y
+        |    ON x.band_idx = y.band_idx AND x.val = y.val
+        |    AND x.doc_id < y.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(sum(bit_count(xor(p.val, q.val))) AS BIGINT) AS hamming
+        |FROM cand c
+        |  JOIN bits p ON p.doc_id = c.id_a
+        |  JOIN bits q ON q.doc_id = c.id_b AND q.band_idx = p.band_idx
+        |GROUP BY c.id_a, c.id_b
+        |HAVING CAST(sum(bit_count(xor(p.val, q.val))) AS BIGINT) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // DSIR in the same micro-nat lattice discipline as the Spark side:
     // ln only on the ≤nBuckets lattice, doc scores are exact integer

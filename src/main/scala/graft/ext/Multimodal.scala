@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -419,14 +420,16 @@ object Multimodal {
     * oracle that never touches a codec: the oracle predicts the
     * round-trip arithmetically from the seed.
     */
-  def encodePngDeterministic(seed: Long, w: Int, h: Int): Array[Byte] = {
+  def encodePngDeterministic(seed: Long, w: Int, h: Int,
+                             bumpR00: Int = 0): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = Math.floorMod(seed + 7L * x + 13L * y, 256L).toInt
+        val bump = if (x == 0 && y == 0) bumpR00.toLong else 0L
+        val r = Math.floorMod(seed + 7L * x + 13L * y + bump, 256L).toInt
         val g = Math.floorMod(3L * seed + 5L * x + 11L * y, 256L).toInt
         val b = Math.floorMod(7L * seed + 3L * x + 17L * y, 256L).toInt
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
@@ -437,6 +440,166 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  // --------------------------------------------------- perceptual hash
+
+  /** Deterministic REAL PNG with HASH-derived pixels: (r, g, b) at
+    * (x, y) are the first three bytes of `md5("{seed}:{x}:{y}")` — the
+    * texture a perceptual hash needs (the affine
+    * [[encodePngDeterministic]] pattern has near-constant column
+    * differences, which collapses every image onto a handful of dHash
+    * values). `md5(string)` is the same function in every engine, so a
+    * SQL oracle still predicts each pixel. `bumpR00` adds to the (0,0)
+    * red channel (mod 256) — the single-pixel near-dup perturbation.
+    */
+  def encodePngHashPixels(seed: Long, w: Int, h: Int,
+                          bumpR00: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = md.digest(s"$seed:$x:$y".getBytes("UTF-8"))
+        val bump = if (x == 0 && y == 0) bumpR00 else 0
+        val r = ((d(0) & 0xFF) + bump) % 256
+        img.setRGB(x, y, (r << 16) | ((d(1) & 0xFF) << 8) | (d(2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (id, payload) table of 9×8 real PNGs — the CANONICAL dHash
+    * geometry (8 column comparisons × 8 rows = 64 bits) — with planted
+    * near-duplicates: ids ≡ 1 (mod 8) reuse the PREVIOUS id's seed with
+    * the (0,0) red channel bumped by one, so each (8k, 8k+1) pair is
+    * visually near-identical (≤1 dHash bit apart from the single pixel)
+    * while every other image's hash-derived pixels are effectively
+    * random — unrelated pairs sit ~32 bits apart. The plant is
+    * arithmetic over `md5`, so a SQL oracle predicts every hash — and
+    * every near-dup verdict — without touching a codec (the q106
+    * discipline).
+    */
+  def syntheticRealPngNearDups(docs: DataFrame, idCol: String): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val near = id % 8 == 1
+        val seed = if (near) id - 1 else id
+        Row(id, encodePngHashPixels(seed, 9, 8,
+          bumpR00 = if (near) 1 else 0))
+      }
+    }(enc)
+  }
+
+  /** Difference-hash bands from REAL decoded pixels: integer luma
+    * 299·R + 587·G + 114·B per pixel, one bit per adjacent-column
+    * comparison `luma(x+1,y) > luma(x,y)` over the first 8 rows × 8
+    * comparisons, packed two rows per band into FOUR 16-bit band values
+    * (banding is the hash's storage format — 4 bands of 16 bits is the
+    * standard hamming-LSH layout: any pair within hamming 3 shares at
+    * least one exact band). None when no ImageIO reader accepts the
+    * payload or the image is smaller than 2×1.
+    */
+  def dhashBandsReal(payload: Array[Byte]): Option[Array[Long]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 2 || img.getHeight < 1) None
+      else {
+        def luma(x: Int, y: Int): Long = {
+          val rgb = img.getRGB(x, y)
+          299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+            114L * (rgb & 0xFF)
+        }
+        val bands = new Array[Long](4)
+        val rows = math.min(img.getHeight, 8)
+        val cmps = math.min(img.getWidth - 1, 8)
+        var y = 0
+        while (y < rows) {
+          var x = 0
+          while (x < cmps) {
+            if (luma(x + 1, y) > luma(x, y))
+              bands(y / 2) |= 1L << ((y % 2) * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(bands)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Append dHash bands to a media table — the same payload-dropping
+    * `mapPartitions` seam as [[extractImageFeatures]]; undecodable rows
+    * are DROPPED (a perceptual index has nothing to say about them —
+    * route them through [[withMediaMeta]]'s content hash instead).
+    */
+  def withImageDHashBands(df: DataFrame, payloadCol: String): DataFrame = {
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val keptIdx = inSchema.indices.filterNot(_ == payloadIdx)
+    val outSchema = StructType(keptIdx.map(inSchema.fields(_)) :+
+      StructField("bands", ArrayType(LongType, containsNull = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        dhashBandsReal(r.getAs[Array[Byte]](payloadIdx)).map { b =>
+          Row.fromSeq(keptIdx.map(r.get) :+ b.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-duplicate pairs from a banded-dHash table: exact
+    * band equality generates candidates (the hamming-LSH guarantee:
+    * hamming ≤ 3 ⇒ ≥1 shared band), oversized band buckets are dropped
+    * under `maxBucketSize` (the `Dedup.lshNearDup` cap — a degenerate
+    * bucket, e.g. all-flat images, would otherwise go quadratic; the
+    * cap is the documented recall trade), and candidates verify by
+    * exact hamming over the 4 bands. Shuffles carry (band, value) and
+    * id pairs — never pixels, never payloads.
+    *
+    * Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
+    */
+  def imageNearDupPairs(withBands: DataFrame, idCol: String,
+                        maxHamming: Int,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxBucketSize > 0,
+      s"bad maxHamming/maxBucketSize: $maxHamming/$maxBucketSize")
+    val bands = withBands.select(col(idCol),
+      posexplode(col("bands")).as(Seq("band_idx", "val")))
+    val capped = bands.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("val"))))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val cands = capped.as("x")
+      .join(capped.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.val") === col("y.val") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    cands
+      .join(withBands.select(col(idCol).as("id_a"),
+        col("bands").as("__ba")), Seq("id_a"))
+      .join(withBands.select(col(idCol).as("id_b"),
+        col("bands").as("__bb")), Seq("id_b"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), " +
+          "0L, (acc, v) -> acc + CAST(v AS BIGINT))"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** (id, payload) table of deterministic real PNGs, one per input row:

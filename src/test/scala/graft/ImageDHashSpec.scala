@@ -1,0 +1,85 @@
+package graft
+
+import graft.ext.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Perceptual dHash over REAL ImageIO decode: bit-level agreement with
+  * an independent plain-Scala reference on the generated pixels, the
+  * planted-near-dup contract, band-bucket capping, and the decode
+  * round-trip (PNG losslessness is what the whole oracle rests on).
+  */
+class ImageDHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-Scala reference: pixels from the generation rule (not the
+    * decoder), dHash bands from the spec'd layout. */
+  private def refBands(seed: Long, bump: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def luma(x: Int, y: Int): Long = {
+      val d = md.digest(s"$seed:$x:$y".getBytes("UTF-8"))
+      val r = ((d(0) & 0xFF) + (if (x == 0 && y == 0) bump else 0)) % 256
+      299L * r + 587L * (d(1) & 0xFF) + 114L * (d(2) & 0xFF)
+    }
+    val bands = new Array[Long](4)
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (luma(x + 1, y) > luma(x, y))
+        bands(y / 2) |= 1L << ((y % 2) * 8 + x)
+    bands
+  }
+
+  test("decoded dHash bands equal the generation-rule reference " +
+    "(PNG round-trip is lossless)") {
+    for (seed <- Seq(0L, 5L, 123L)) {
+      val payload = Multimodal.encodePngHashPixels(seed, 9, 8)
+      assert(Multimodal.dhashBandsReal(payload).get.toSeq
+        == refBands(seed, 0).toSeq, s"seed $seed")
+    }
+  }
+
+  test("the single-pixel bump flips at most one dHash bit") {
+    for (seed <- Seq(0L, 8L, 64L)) {
+      val a = refBands(seed, 0)
+      val b = refBands(seed, 1)
+      val ham = a.zip(b)
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      assert(ham <= 1, s"seed $seed: bump moved $ham bits")
+    }
+  }
+
+  test("planted pairs are found exactly; unrelated images stay apart") {
+    val docs = spark.range(0, 64).toDF("doc_id")
+    val media = Multimodal.syntheticRealPngNearDups(docs, "doc_id")
+    val banded = Multimodal.withImageDHashBands(media, "payload")
+    val pairs = Multimodal.imageNearDupPairs(banded, "doc_id",
+        maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 64L by 8L).map(k => (k, k + 1)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missed planted pairs: ${planted -- pairs}")
+    // hash-random unrelated images sit ~32 bits apart; any extra pair
+    // must at least be rare — allow chance band collisions but no flood
+    assert(pairs.size <= planted.size + 2,
+      s"near-dup flood: ${pairs.size} pairs for ${planted.size} planted")
+  }
+
+  test("undecodable payloads drop from the banded relation") {
+    val junk = Seq((1L, Array[Byte](1, 2, 3)),
+      (2L, Multimodal.encodePngHashPixels(7L, 9, 8)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.withImageDHashBands(junk, "payload")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("oversized band buckets are capped out of candidate generation") {
+    // 12 identical images → every band bucket holds 12 > cap 8 →
+    // zero candidates survive (the documented recall trade)
+    val docs = spark.range(0, 12).toDF("doc_id")
+    val same = docs.as[Long].mapPartitions { ids =>
+      val payload = Multimodal.encodePngHashPixels(99L, 9, 8)
+      ids.map(id => (id, payload))
+    }.toDF("doc_id", "payload")
+    val banded = Multimodal.withImageDHashBands(same, "payload")
+    assert(Multimodal.imageNearDupPairs(banded, "doc_id",
+      maxHamming = 64, maxBucketSize = 8).count() == 0)
+  }
+}
