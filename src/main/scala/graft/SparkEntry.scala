@@ -728,6 +728,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- perceptual audio near-dup (oracle-checked, REAL decode):
+    // q131's band machinery over a waveform dHash — 65 block means of
+    // the real decoded PCM (floor division, exact), adjacent-block
+    // comparison bits in 4×16-bit bands; the near-dup pipeline
+    // (band-equality candidates → capped buckets → exact hamming) is
+    // SHARED with the image path, modality-agnostic over (id, bands).
+    "q132_audio_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = Multimodal.syntheticRealWavNearDups(docs, "doc_id")
+      val banded = Multimodal.withAudioDHashBands(media, "payload")
+      Multimodal.imageNearDupPairs(banded, "doc_id", maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- DSIR importance weights (oracle-checked): target = the 'en'
     // slice, raw = everything; hashed-bucket distributions (portable
     // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
@@ -3459,6 +3473,54 @@ object SparkEntry {
         |    AS snippet
         |FROM best b JOIN base a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // PCM samples predicted from the generation rule (WAV is lossless);
+    // block bounds, floor-division means, bits, bands, candidates, and
+    // hamming all in plain SQL — `//` floors like Math.floorDiv
+    "q132_audio_near_dup" ->
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 1 THEN doc_id - 1 ELSE doc_id END AS seed,
+        |    CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 0 END AS bump
+        |  FROM documents),
+        |par AS (SELECT doc_id, seed, bump, 400 + (seed % 3) * 200 AS n
+        |        FROM ids),
+        |samp AS (
+        |  SELECT p.doc_id, r.i,
+        |    ((('0x' || substring(md5(p.seed || ':' || r.i), 1, 4))::BIGINT
+        |      + CASE WHEN r.i = 0 THEN p.bump ELSE 0 END) % 65536)
+        |      - 32768 AS s
+        |  FROM par p JOIN (SELECT unnest(range(0, 800)) AS i) r
+        |    ON r.i < p.n),
+        |blocks AS (
+        |  SELECT s.doc_id, b.b,
+        |    CAST(sum(s.s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_s
+        |  FROM samp s
+        |    JOIN par p ON p.doc_id = s.doc_id
+        |    JOIN (SELECT unnest(range(0, 65)) AS b) b
+        |      ON s.i >= (b.b * p.n) // 65 AND s.i < ((b.b + 1) * p.n) // 65
+        |  GROUP BY s.doc_id, b.b),
+        |bits AS (
+        |  SELECT a.doc_id, a.b // 16 AS band_idx,
+        |    CAST(sum(CASE WHEN c.mean_s > a.mean_s
+        |      THEN 1::BIGINT << (a.b % 16) ELSE 0 END) AS BIGINT) AS val
+        |  FROM blocks a JOIN blocks c
+        |    ON a.doc_id = c.doc_id AND c.b = a.b + 1
+        |  WHERE a.b < 64
+        |  GROUP BY a.doc_id, a.b // 16),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bits x JOIN bits y
+        |    ON x.band_idx = y.band_idx AND x.val = y.val
+        |    AND x.doc_id < y.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(sum(bit_count(xor(p.val, q.val))) AS BIGINT) AS hamming
+        |FROM cand c
+        |  JOIN bits p ON p.doc_id = c.id_a
+        |  JOIN bits q ON q.doc_id = c.id_b AND q.band_idx = p.band_idx
+        |GROUP BY c.id_a, c.id_b
+        |HAVING CAST(sum(bit_count(xor(p.val, q.val))) AS BIGINT) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the dHash predicted arithmetically from the pixel-generation rule
     // (PNG is lossless → decoded luma ≡ generated luma); bands, the

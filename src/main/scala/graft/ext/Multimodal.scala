@@ -325,7 +325,8 @@ object Multimodal {
     * codec.
     */
   def encodeWavDeterministic(seed: Long, nSamples: Int,
-                             sampleRate: Int = 8000): Array[Byte] = {
+                             sampleRate: Int = 8000,
+                             bumpS0: Int = 0): Array[Byte] = {
     val dataLen = nSamples * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -338,7 +339,9 @@ object Multimodal {
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < nSamples) {
-      bb.putShort((Math.floorMod(seed + 7919L * i, 65536L) - 32768L).toShort)
+      val bump = if (i == 0) bumpS0.toLong else 0L
+      bb.putShort((Math.floorMod(seed + 7919L * i + bump, 65536L) - 32768L)
+        .toShort)
       i += 1
     }
     bb.array
@@ -540,12 +543,17 @@ object Multimodal {
       }
     } catch { case _: java.io.IOException => None }
 
-  /** Append dHash bands to a media table — the same payload-dropping
-    * `mapPartitions` seam as [[extractImageFeatures]]; undecodable rows
-    * are DROPPED (a perceptual index has nothing to say about them —
-    * route them through [[withMediaMeta]]'s content hash instead).
+  /** Append perceptual-hash bands to a media table — the same
+    * payload-dropping `mapPartitions` seam as [[extractImageFeatures]];
+    * undecodable rows are DROPPED (a perceptual index has nothing to
+    * say about them — route them through [[withMediaMeta]]'s content
+    * hash instead). `bander` is the modality-specific hash
+    * ([[dhashBandsReal]] for images, [[dhashBandsAudio]] for audio);
+    * everything downstream ([[imageNearDupPairs]]) is
+    * modality-agnostic over the (id, bands) relation.
     */
-  def withImageDHashBands(df: DataFrame, payloadCol: String): DataFrame = {
+  def withDHashBands(df: DataFrame, payloadCol: String,
+      bander: Array[Byte] => Option[Array[Long]]): DataFrame = {
     val inSchema = df.schema
     val payloadIdx = inSchema.fieldIndex(payloadCol)
     val keptIdx = inSchema.indices.filterNot(_ == payloadIdx)
@@ -554,9 +562,123 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
-        dhashBandsReal(r.getAs[Array[Byte]](payloadIdx)).map { b =>
+        bander(r.getAs[Array[Byte]](payloadIdx)).map { b =>
           Row.fromSeq(keptIdx.map(r.get) :+ b.toSeq)
         }
+      }
+    }(enc)
+  }
+
+  def withImageDHashBands(df: DataFrame, payloadCol: String): DataFrame =
+    withDHashBands(df, payloadCol, dhashBandsReal)
+
+  def withAudioDHashBands(df: DataFrame, payloadCol: String): DataFrame =
+    withDHashBands(df, payloadCol, dhashBandsAudio)
+
+  /** Waveform difference-hash from REAL decoded PCM: the audio analog
+    * of [[dhashBandsReal]] — 65 equal-span block means of the sample
+    * stream (integer FLOOR division, `Math.floorDiv` ≡ SQL `//` on the
+    * possibly-negative sums), one bit per adjacent-block comparison
+    * `mean(b+1) > mean(b)`, 64 bits packed as 4×16-bit bands (block b's
+    * comparison lands in band b/16, bit b%16). None when no reader
+    * accepts the payload, it isn't 16-bit little-endian PCM, or it has
+    * fewer than 66 samples.
+    */
+  def dhashBandsAudio(payload: Array[Byte]): Option[Array[Long]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val ok = fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!ok) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          if (n < 66) None
+          else {
+            def sample(i: Int): Long =
+              ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toLong
+            val means = new Array[Long](65)
+            var b = 0
+            while (b < 65) {
+              val lo = b * n / 65
+              val hi = (b + 1) * n / 65
+              var sum = 0L
+              var i = lo
+              while (i < hi) { sum += sample(i); i += 1 }
+              means(b) = Math.floorDiv(sum, (hi - lo).toLong)
+              b += 1
+            }
+            val bands = new Array[Long](4)
+            var c = 0
+            while (c < 64) {
+              if (means(c + 1) > means(c)) bands(c / 16) |= 1L << (c % 16)
+              c += 1
+            }
+            Some(bands)
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Deterministic real WAV with HASH-derived samples: sample i is the
+    * first 16 bits of `md5("{seed}:{i}")` minus 32768 — the
+    * pseudo-random texture a waveform hash needs (the mod-linear
+    * [[encodeWavDeterministic]] stream differs across seeds only by a
+    * constant shift, which collapses every clip onto near-identical
+    * block-difference hashes). `bumpS0` perturbs sample 0 inside the
+    * 16-bit mod. SQL predicts every sample via the same md5.
+    */
+  def encodeWavHashSamples(seed: Long, nSamples: Int,
+                           sampleRate: Int = 8000,
+                           bumpS0: Int = 0): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < nSamples) {
+      val d = md.digest(s"$seed:$i".getBytes("UTF-8"))
+      val raw = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+      val bump = if (i == 0) bumpS0 else 0
+      bb.putShort((Math.floorMod(raw + bump, 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array
+  }
+
+  /** (id, payload) table of real WAVs with planted near-duplicates —
+    * the audio twin of [[syntheticRealPngNearDups]]: ids ≡ 1 (mod 8)
+    * reuse the previous id's seed with sample 0 bumped inside the
+    * 16-bit mod, so each (8k, 8k+1) pair differs in ONE sample (≤1
+    * waveform-dHash bit) while other seeds' md5-derived block means
+    * spread pseudo-randomly. Sample counts derive from the SEED (400 +
+    * (seed%3)·200) so pair members align sample-for-sample; PCM
+    * losslessness makes every hash SQL-predictable.
+    */
+  def syntheticRealWavNearDups(docs: DataFrame, idCol: String): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val near = id % 8 == 1
+        val seed = if (near) id - 1 else id
+        Row(id, encodeWavHashSamples(seed,
+          400 + (seed % 3).toInt * 200, bumpS0 = if (near) 1 else 0))
       }
     }(enc)
   }

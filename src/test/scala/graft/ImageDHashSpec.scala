@@ -62,6 +62,57 @@ class ImageDHashSpec extends SparkSpec {
       s"near-dup flood: ${pairs.size} pairs for ${planted.size} planted")
   }
 
+  /** Audio reference: samples from the generation rule, block means by
+    * floorDiv, adjacent-block comparison bits. */
+  private def refAudioBands(seed: Long, n: Int, bump: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sample(i: Int): Long = {
+      val d = md.digest(s"$seed:$i".getBytes("UTF-8"))
+      val raw = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+      Math.floorMod(raw + (if (i == 0) bump else 0), 65536).toLong - 32768L
+    }
+    val means = (0 until 65).map { b =>
+      val (lo, hi) = (b * n / 65, (b + 1) * n / 65)
+      Math.floorDiv((lo until hi).map(sample).sum, (hi - lo).toLong)
+    }
+    val bands = new Array[Long](4)
+    for (c <- 0 until 64 if means(c + 1) > means(c))
+      bands(c / 16) |= 1L << (c % 16)
+    bands
+  }
+
+  test("decoded waveform bands equal the generation-rule reference " +
+    "(PCM round-trip is lossless)") {
+    for (seed <- Seq(0L, 2L, 77L)) {
+      val n = 400 + (seed % 3).toInt * 200
+      val payload = Multimodal.encodeWavHashSamples(seed, n)
+      assert(Multimodal.dhashBandsAudio(payload).get.toSeq
+        == refAudioBands(seed, n, 0).toSeq, s"seed $seed")
+    }
+  }
+
+  test("audio planted pairs are found; the sample bump flips at most " +
+    "one waveform bit") {
+    for (seed <- Seq(0L, 16L)) {
+      val n = 400 + (seed % 3).toInt * 200
+      val a = refAudioBands(seed, n, 0)
+      val b = refAudioBands(seed, n, 1)
+      val ham = a.zip(b)
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      assert(ham <= 1, s"seed $seed: bump moved $ham bits")
+    }
+    val docs = spark.range(0, 32).toDF("doc_id")
+    val banded = Multimodal.withAudioDHashBands(
+      Multimodal.syntheticRealWavNearDups(docs, "doc_id"), "payload")
+    val pairs = Multimodal.imageNearDupPairs(banded, "doc_id",
+        maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 32L by 8L).map(k => (k, k + 1)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missed planted audio pairs: ${planted -- pairs}")
+    assert(pairs.size <= planted.size + 2, s"audio near-dup flood: $pairs")
+  }
+
   test("undecodable payloads drop from the banded relation") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
       (2L, Multimodal.encodePngHashPixels(7L, 9, 8)))
