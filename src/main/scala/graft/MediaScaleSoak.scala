@@ -78,9 +78,28 @@ object MediaScaleSoak {
     assert(gif.getLong(0) == sumOver(3)(2 + _), // Σ(2 + id%3)
       s"frame count ${gif.getLong(0)}")
 
+    // ---- perceptual near-dup at scale: encode, REAL-decode, dHash,
+    // band-join, verify — the q131 pipeline end to end. Planted pairs
+    // (8k, 8k+1) must ALL surface; chance 16-bit band collisions admit
+    // a small candidate overhead but no quadratic flood.
+    val (dups, tDup) = time {
+      val banded = Multimodal.withImageDHashBands(
+        Multimodal.syntheticRealPngNearDups(ids, "doc_id"), "payload")
+      Multimodal.imageNearDupPairs(banded, "doc_id", maxHamming = 10)
+        .agg(count(lit(1)).as("pairs"),
+          count(when(col("id_b") === col("id_a") + 1 &&
+            col("id_a") % 8 === 0, 1)).as("planted"))
+        .head()
+    }
+    val expectedPlanted = (n + 6) / 8 // ids ≡ 1 (mod 8) with partner
+    assert(dups.getLong(1) == expectedPlanted,
+      s"planted pairs found ${dups.getLong(1)}, expected $expectedPlanted")
+    assert(dups.getLong(0) < expectedPlanted + n / 100,
+      s"near-dup flood: ${dups.getLong(0)} pairs")
+
     def rate(t: Double): Long = math.rint(n / t).toLong
     println(
-      s"""{"n":$n,"img_sec":${math.rint(tImg * 10) / 10},"img_per_sec":${rate(tImg)},"wav_sec":${math.rint(tAud * 10) / 10},"wav_per_sec":${rate(tAud)},"gif_sec":${math.rint(tGif * 10) / 10},"gif_per_sec":${rate(tGif)},"frames":${gif.getLong(0)}}""")
+      s"""{"n":$n,"img_sec":${math.rint(tImg * 10) / 10},"img_per_sec":${rate(tImg)},"wav_sec":${math.rint(tAud * 10) / 10},"wav_per_sec":${rate(tAud)},"gif_sec":${math.rint(tGif * 10) / 10},"gif_per_sec":${rate(tGif)},"frames":${gif.getLong(0)},"dhash_sec":${math.rint(tDup * 10) / 10},"dhash_pairs":${dups.getLong(0)}}""")
     spark.stop()
   }
 }

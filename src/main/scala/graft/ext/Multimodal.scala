@@ -724,6 +724,83 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Persist a banded-dHash corpus as a probeable index — the
+    * perceptual-dedup member of the persisted-index family
+    * (`Dedup.writeMinhashIndex`, `Retrieval.writeBm25Index`): `table`
+    * holds the exploded (band_idx, val, id) postings bucketed+sorted by
+    * val; `<table>_bands` the (id, bands) arrays bucketed by id for the
+    * verify join. Payloads are NOT stored — the index answers near-dup
+    * questions from hashes alone.
+    */
+  def writeDHashIndex(banded: DataFrame, idCol: String, table: String,
+                      nBuckets: Int = 32): Unit = {
+    banded.select(col(idCol),
+        posexplode(col("bands")).as(Seq("band_idx", "val")))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "val").sortBy("val", idCol)
+      .mode("overwrite").saveAsTable(table)
+    banded.select(col(idCol), col("bands"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, idCol).sortBy(idCol)
+      .mode("overwrite").saveAsTable(s"${table}_bands")
+  }
+
+  /** Append a banded batch to a persisted dHash index — the corpus
+    * growth step of the ingest loop (the `appendToMinhashIndex`
+    * pattern): postings and bands append atomically-enough for the
+    * micro-batch cadence (each batch is one append of each table).
+    */
+  def appendToDHashIndex(banded: DataFrame, idCol: String,
+                         table: String): Unit = {
+    // insertInto (positional) honors the existing tables' bucketing
+    // metadata — saveAsTable(append) would reject the bucketed target
+    banded.select(col(idCol),
+        posexplode(col("bands")).as(Seq("band_idx", "val")))
+      .write.mode("append").insertInto(table)
+    banded.select(col(idCol), col("bands"))
+      .write.mode("append").insertInto(s"${table}_bands")
+  }
+
+  /** Probe a persisted dHash index with a banded BATCH: band-equality
+    * candidates against the indexed postings (batch side broadcasts —
+    * the corpus postings scan once and never shuffle), bucket cap on
+    * the INDEX side's band values, exact hamming verify via the stored
+    * bands. Returns (probe_id, corpus_id, hamming) with hamming ≤
+    * maxHamming. Results are per-probe-document against a static
+    * corpus, so the union of per-batch outputs equals one probe of
+    * everything batched (spec-pinned — what makes the streaming loop
+    * pure).
+    */
+  def dhashProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+                        table: String, banded: DataFrame, idCol: String,
+                        maxHamming: Int,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxBucketSize > 0,
+      s"bad maxHamming/maxBucketSize: $maxHamming/$maxBucketSize")
+    val postings = spark.table(table)
+    val capped = postings.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("val"))))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val probe = banded.select(col(idCol).as("probe_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "val")))
+    val cands = capped
+      .join(broadcast(probe), Seq("band_idx", "val"))
+      .select(col("probe_id"), col(idCol).as("corpus_id"))
+      .distinct()
+    cands
+      .join(broadcast(banded.select(col(idCol).as("probe_id"),
+        col("bands").as("__pb"))), Seq("probe_id"))
+      .join(spark.table(s"${table}_bands")
+        .select(col(idCol).as("corpus_id"), col("bands").as("__cb")),
+        Seq("corpus_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(__pb, __cb, (x, y) -> bit_count(x ^ y)), " +
+          "0L, (acc, v) -> acc + CAST(v AS BIGINT))"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("probe_id"), col("corpus_id"), col("hamming"))
+  }
+
   /** (id, payload) table of deterministic real PNGs, one per input row:
     * dims 8+(id%5) × 8+(id%3), pixels from `encodePngDeterministic(id)`.
     * Encode runs in the same batched `mapPartitions` shape as decode —

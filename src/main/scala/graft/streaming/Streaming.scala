@@ -186,6 +186,31 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous-ingest PERCEPTUAL near-dup probe: each micro-batch of
+    * media payloads is banded (real decode inside the payload-dropping
+    * seam) and checked against a persisted dHash index
+    * ([[graft.ext.Multimodal.writeDHashIndex]]); flagged
+    * (probe, corpus, hamming) pairs go to `onBatch` — the media twin of
+    * [[nearDupProbeStream]], same foreachBatch-reuses-the-batch-operator
+    * rationale. Corpus growth belongs to the caller's `onBatch` via
+    * [[graft.ext.Multimodal.appendToDHashIndex]], exactly like the
+    * MinHash loop.
+    */
+  def mediaNearDupProbeStream(media: DataFrame, table: String,
+                              idCol: String, payloadCol: String,
+                              bander: Array[Byte] => Option[Array[Long]],
+                              maxHamming: Int)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val banded = graft.ext.Multimodal.withDHashBands(batch, payloadCol,
+          bander)
+        onBatch(graft.ext.Multimodal.dhashProbeIndexed(batch.sparkSession,
+          table, banded, idCol, maxHamming), batchId)
+      }
+      .start()
+
   def nearDupProbeStream(docs: DataFrame, table: String, idCol: String,
                          textCol: String, minJaccard: Double,
                          shingleN: Int = 3, k: Int = 64, bands: Int = 16,

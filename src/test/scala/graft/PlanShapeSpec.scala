@@ -195,7 +195,8 @@ class PlanShapeSpec extends SparkSpec {
     // A payload column in any Exchange's input means the decode seam
     // stopped pruning the expensive bytes.
     for (name <- Seq("q106_image_features_imageio", "q107_audio_features_wav",
-                     "q108_video_frames_gif")) {
+                     "q108_video_frames_gif", "q131_image_near_dup",
+                     "q132_audio_near_dup")) {
       val plan = q(name).queryExecution.executedPlan
       val leaks = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.Exchange
