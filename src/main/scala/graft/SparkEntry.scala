@@ -742,6 +742,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- perceptual video near-dup (oracle-checked, REAL decode):
+    // frame-sampled clip dedup — per-frame dHash over real decoded GIF
+    // frames (lossless identity-gray palette), frame-level band
+    // candidates, exact per-frame-pair hamming, clip-level roll-up
+    // (best frame pair + match count). Planted (8k, 8k+1) clips share
+    // every frame except a one-sample bump in frame 0.
+    "q133_video_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val media = Multimodal.syntheticRealGifNearDups(docs, "doc_id")
+      val framed = Multimodal.withFrameDHashBands(media, "payload")
+      Multimodal.videoNearDupPairs(framed, "doc_id", "frame_idx",
+          maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- DSIR importance weights (oracle-checked): target = the 'en'
     // slice, raw = everything; hashed-bucket distributions (portable
     // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
@@ -3473,6 +3488,57 @@ object SparkEntry {
         |    AS snippet
         |FROM best b JOIN base a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // per-frame grayscale samples predicted via md5 (identity palette →
+    // lossless GIF round-trip); frame bits, candidates, per-frame-pair
+    // hamming, and the clip roll-up all in plain SQL
+    "q133_video_near_dup" ->
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 1 THEN doc_id - 1 ELSE doc_id END AS seed,
+        |    CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 0 END AS bump
+        |  FROM documents),
+        |par AS (SELECT doc_id, seed, bump, 2 + seed % 3 AS nf FROM ids),
+        |px AS (
+        |  SELECT p.doc_id, gf.f, gx.x, gy.y,
+        |    ((('0x' || substring(
+        |        md5(p.seed || ':' || gf.f || ':' || gx.x || ':' || gy.y),
+        |        1, 2))::BIGINT
+        |      + CASE WHEN gf.f = 0 AND gx.x = 0 AND gy.y = 0
+        |             THEN p.bump ELSE 0 END) % 256) AS v
+        |  FROM par p
+        |    JOIN (SELECT unnest(range(0, 4)) AS f) gf ON gf.f < p.nf
+        |    CROSS JOIN (SELECT unnest(range(0, 9)) AS x) gx
+        |    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) gy),
+        |bits AS (
+        |  SELECT a.doc_id, a.f, a.y // 2 AS band_idx,
+        |    CAST(sum(CASE WHEN b.v > a.v
+        |      THEN 1::BIGINT << ((a.y % 2) * 8 + a.x) ELSE 0 END)
+        |      AS BIGINT) AS val
+        |  FROM px a JOIN px b
+        |    ON a.doc_id = b.doc_id AND a.f = b.f AND b.y = a.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8
+        |  GROUP BY a.doc_id, a.f, a.y // 2),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, x.f AS f_a,
+        |    y.doc_id AS id_b, y.f AS f_b
+        |  FROM bits x JOIN bits y
+        |    ON x.band_idx = y.band_idx AND x.val = y.val
+        |    AND x.doc_id < y.doc_id),
+        |ham AS (
+        |  SELECT c.id_a, c.id_b, c.f_a, c.f_b,
+        |    CAST(sum(bit_count(xor(p.val, q.val))) AS BIGINT) AS hamming
+        |  FROM cand c
+        |    JOIN bits p ON p.doc_id = c.id_a AND p.f = c.f_a
+        |    JOIN bits q ON q.doc_id = c.id_b AND q.f = c.f_b
+        |      AND q.band_idx = p.band_idx
+        |  GROUP BY c.id_a, c.id_b, c.f_a, c.f_b
+        |  HAVING CAST(sum(bit_count(xor(p.val, q.val))) AS BIGINT) <= 10)
+        |SELECT id_a, id_b, CAST(min(hamming) AS BIGINT) AS best_hamming,
+        |  CAST(count(*) AS BIGINT) AS n_frame_matches
+        |FROM ham GROUP BY id_a, id_b
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // PCM samples predicted from the generation rule (WAV is lossless);
     // block bounds, floor-division means, bits, bands, candidates, and

@@ -520,26 +520,52 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       if (img == null || img.getWidth < 2 || img.getHeight < 1) None
+      else Some(dhashOfImage(img))
+    } catch { case _: java.io.IOException => None }
+
+  /** The shared per-image dHash core ([[dhashBandsReal]] for stills,
+    * [[dhashBandsFrames]] per animated frame). */
+  private def dhashOfImage(img: java.awt.image.BufferedImage): Array[Long] = {
+    def luma(x: Int, y: Int): Long = {
+      val rgb = img.getRGB(x, y)
+      299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+        114L * (rgb & 0xFF)
+    }
+    val bands = new Array[Long](4)
+    val rows = math.min(img.getHeight, 8)
+    val cmps = math.min(img.getWidth - 1, 8)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cmps) {
+        if (luma(x + 1, y) > luma(x, y))
+          bands(y / 2) |= 1L << ((y % 2) * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bands
+  }
+
+  /** Per-frame dHash bands of an animated container (GIF via the JDK
+    * reader) — one band array per frame, in frame order. None when no
+    * reader accepts the payload or any frame is narrower than 2px.
+    */
+  def dhashBandsFrames(payload: Array[Byte]): Option[Seq[Array[Long]]] =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
       else {
-        def luma(x: Int, y: Int): Long = {
-          val rgb = img.getRGB(x, y)
-          299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
-            114L * (rgb & 0xFF)
-        }
-        val bands = new Array[Long](4)
-        val rows = math.min(img.getHeight, 8)
-        val cmps = math.min(img.getWidth - 1, 8)
-        var y = 0
-        while (y < rows) {
-          var x = 0
-          while (x < cmps) {
-            if (luma(x + 1, y) > luma(x, y))
-              bands(y / 2) |= 1L << ((y % 2) * 8 + x)
-            x += 1
-          }
-          y += 1
-        }
-        Some(bands)
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val n = reader.getNumImages(true)
+          val out = (0 until n).map(f => reader.read(f))
+          if (out.exists(img => img.getWidth < 2 || img.getHeight < 1)) None
+          else Some(out.map(dhashOfImage))
+        } finally reader.dispose()
       }
     } catch { case _: java.io.IOException => None }
 
@@ -799,6 +825,144 @@ object Multimodal {
           "0L, (acc, v) -> acc + CAST(v AS BIGINT))"))
       .filter(col("hamming") <= maxHamming)
       .select(col("probe_id"), col("corpus_id"), col("hamming"))
+  }
+
+  /** Deterministic real animated GIF with HASH-derived grayscale
+    * pixels: frame f's sample at (x, y) is the first byte of
+    * `md5("{seed}:{f}:{x}:{y}")` — the identity 256-gray palette makes
+    * the GIF round-trip lossless (the q108 discipline), and md5 pixels
+    * give every frame an effectively random dHash. `bumpF0` perturbs
+    * frame 0's (0,0) sample inside the mod.
+    */
+  def encodeGifHashPixels(seed: Long, w: Int, h: Int, nFrames: Int,
+                          bumpF0: Int = 0): Array[Byte] = {
+    val gray = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val d = md.digest(s"$seed:$f:$x:$y".getBytes("UTF-8"))
+            val bump =
+              if (f == 0 && x == 0 && y == 0) bumpF0 else 0
+            raster.setSample(x, y, 0, ((d(0) & 0xFF) + bump) % 256)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** (id, payload) table of 9×8 animated GIFs with planted
+    * near-duplicate CLIPS: ids ≡ 1 (mod 8) reuse the previous id's seed
+    * with frame 0's corner sample bumped — every other frame is
+    * bit-identical between pair members, frame 0 differs by ≤1 dHash
+    * bit. Frame counts derive from the SEED (2 + seed%3) so pairs align
+    * frame-for-frame.
+    */
+  def syntheticRealGifNearDups(docs: DataFrame, idCol: String): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val near = id % 8 == 1
+        val seed = if (near) id - 1 else id
+        Row(id, encodeGifHashPixels(seed, 9, 8,
+          2 + (seed % 3).toInt, bumpF0 = if (near) 1 else 0))
+      }
+    }(enc)
+  }
+
+  /** Per-frame banded dHash of an animated-media table — one output row
+    * PER FRAME (idCol, frame_idx, bands), the payload-dropping seam of
+    * [[withDHashBands]] with the frame explosion inside it. Undecodable
+    * payloads drop.
+    */
+  def withFrameDHashBands(df: DataFrame, payloadCol: String): DataFrame = {
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val keptIdx = inSchema.indices.filterNot(_ == payloadIdx)
+    val outSchema = StructType(keptIdx.map(inSchema.fields(_)) ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("bands", ArrayType(LongType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        dhashBandsFrames(r.getAs[Array[Byte]](payloadIdx)).toSeq.flatMap {
+          frames =>
+            frames.zipWithIndex.map { case (b, f) =>
+              Row.fromSeq(keptIdx.map(r.get) ++ Seq(f, b.toSeq))
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Clip-level near-duplicates from per-frame bands: frame-level
+    * band-equality candidates (capped buckets), exact per-frame-pair
+    * hamming, then a roll-up per clip pair — `best_hamming` is the
+    * closest qualifying frame pair, `n_frame_matches` how many frame
+    * pairs met the gate. The frame-sampled video-dedup shape: two clips
+    * are near-dups when ANY of their frames perceptually collide.
+    * Same-clip frame pairs are excluded.
+    */
+  def videoNearDupPairs(framesBanded: DataFrame, idCol: String,
+                        frameCol: String, maxHamming: Int,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxBucketSize > 0,
+      s"bad maxHamming/maxBucketSize: $maxHamming/$maxBucketSize")
+    val bands = framesBanded.select(col(idCol), col(frameCol),
+      posexplode(col("bands")).as(Seq("band_idx", "val")))
+    val capped = bands.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("val"))))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val cands = capped.as("x")
+      .join(capped.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.val") === col("y.val") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"x.$frameCol").as("f_a"),
+        col(s"y.$idCol").as("id_b"), col(s"y.$frameCol").as("f_b"))
+      .distinct()
+    cands
+      .join(framesBanded.select(col(idCol).as("id_a"),
+        col(frameCol).as("f_a"), col("bands").as("__ba")), Seq("id_a", "f_a"))
+      .join(framesBanded.select(col(idCol).as("id_b"),
+        col(frameCol).as("f_b"), col("bands").as("__bb")), Seq("id_b", "f_b"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), " +
+          "0L, (acc, v) -> acc + CAST(v AS BIGINT))"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("best_hamming"),
+        count(lit(1)).as("n_frame_matches"))
   }
 
   /** (id, payload) table of deterministic real PNGs, one per input row:

@@ -113,6 +113,47 @@ class ImageDHashSpec extends SparkSpec {
     assert(pairs.size <= planted.size + 2, s"audio near-dup flood: $pairs")
   }
 
+  test("video: per-frame bands round-trip the lossless GIF, planted " +
+    "clips match on every frame with frame 0 within 1 bit") {
+    // frame-band reference straight from the generation rule
+    def refFrameBands(seed: Long, f: Int, bump: Int): Array[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def v(x: Int, y: Int): Int = {
+        val d = md.digest(s"$seed:$f:$x:$y".getBytes("UTF-8"))
+        ((d(0) & 0xFF) +
+          (if (f == 0 && x == 0 && y == 0) bump else 0)) % 256
+      }
+      val bands = new Array[Long](4)
+      for (y <- 0 until 8; x <- 0 until 8 if v(x + 1, y) > v(x, y))
+        bands(y / 2) |= 1L << ((y % 2) * 8 + x)
+      bands
+    }
+    val payload = Multimodal.encodeGifHashPixels(5L, 9, 8, nFrames = 3)
+    val frames = Multimodal.dhashBandsFrames(payload).get
+    assert(frames.length == 3)
+    for (f <- 0 until 3)
+      assert(frames(f).toSeq == refFrameBands(5L, f, 0).toSeq, s"frame $f")
+
+    val docs = spark.range(0, 32).toDF("doc_id")
+    val framed = Multimodal.withFrameDHashBands(
+      Multimodal.syntheticRealGifNearDups(docs, "doc_id"), "payload")
+    val pairs = Multimodal.videoNearDupPairs(framed, "doc_id",
+        "frame_idx", maxHamming = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val planted = (0L until 32L by 8L).map(k => (k, k + 1))
+    planted.foreach { p =>
+      val (best, nMatches) = pairs.getOrElse(p, fail(s"missed pair $p"))
+      // identical frames 1.. give best_hamming 0; every aligned frame
+      // pair qualifies (2 + seed%3 frames), frame 0 within 1 bit
+      assert(best == 0L, s"$p best=$best")
+      val nf = 2 + (p._1 % 3)
+      assert(nMatches >= nf, s"$p matched $nMatches of $nf frames")
+    }
+    assert(pairs.size <= planted.size + 2, s"video flood: ${pairs.keys}")
+  }
+
   test("undecodable payloads drop from the banded relation") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
       (2L, Multimodal.encodePngHashPixels(7L, 9, 8)))
