@@ -757,6 +757,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- PageRank link-graph quality (oracle-checked): 10 power
+    // iterations in exact integer micro-units over a deterministic
+    // synthetic link graph (3 affine out-links per doc, dedup'd, no
+    // self-loops) — the URL-centrality signal crawl curation ranks by.
+    // The bounded driver count() fixes N for the micro constants.
+    "q134_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 1) % n,
+            (col("doc_id") * 11 + 2) % n,
+            (col("doc_id") * 13 + 3) % n)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.ext.Graph.pageRankMicro(docs, edges, "doc_id", "src", "dst",
+          nNodes = n, iters = 10)
+        .orderBy("doc_id")
+    }),
+
     // ---- DSIR importance weights (oracle-checked): target = the 'en'
     // slice, raw = everything; hashed-bucket distributions (portable
     // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
@@ -3488,6 +3507,43 @@ object SparkEntry {
         |    AS snippet
         |FROM best b JOIN base a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // the same micro-unit recurrence unrolled as 10 CTEs (floor
+    // division loses mass identically in both engines)
+    "q134_pagerank" -> {
+      val pre =
+        """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          |nodes AS (SELECT doc_id AS v FROM documents),
+          |edges0 AS (
+          |  SELECT doc_id AS u, (doc_id * 7 + 1) % nn.n AS v
+          |  FROM documents, nn
+          |  UNION ALL
+          |  SELECT doc_id, (doc_id * 11 + 2) % nn.n FROM documents, nn
+          |  UNION ALL
+          |  SELECT doc_id, (doc_id * 13 + 3) % nn.n FROM documents, nn),
+          |edges AS (SELECT DISTINCT u, v FROM edges0 WHERE u <> v),
+          |outd AS (SELECT u, CAST(count(*) AS BIGINT) AS outd
+          |         FROM edges GROUP BY u),
+          |pr0 AS (SELECT nodes.v, CAST(1000000 // nn.n AS BIGINT)
+          |          AS pr_micro FROM nodes, nn)""".stripMargin
+      val iters = (1 to 10).map { k =>
+        s"""pr$k AS (
+           |  SELECT no.v,
+           |    CAST(150000 // nn.n + coalesce(su.c, 0) AS BIGINT)
+           |      AS pr_micro
+           |  FROM nodes no CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT e.v,
+           |      CAST(sum((85 * p.pr_micro) // (100 * o.outd)) AS BIGINT)
+           |        AS c
+           |    FROM edges e JOIN pr${k - 1} p ON p.v = e.u
+           |      JOIN outd o ON o.u = e.u
+           |    GROUP BY e.v) su ON su.v = no.v)""".stripMargin
+      }
+      (pre +: iters).mkString(",\n") +
+        "\nSELECT v AS doc_id, pr_micro, pr_micro / 1000000.0 AS pr " +
+        "FROM pr10 ORDER BY doc_id"
+    },
 
     // per-frame grayscale samples predicted via md5 (identity palette →
     // lossless GIF round-trip); frame bits, candidates, per-frame-pair

@@ -154,4 +154,57 @@ object Graph {
       if (reliable) sc.setCheckpointDir(prevDir.orNull)
     }
   }
+
+  /** PageRank in EXACT integer micro-units — the link-graph quality
+    * signal of web-scale curation (harmonic/PageRank centrality ranks
+    * crawl URLs before content filters ever run). Fixed `iters` power
+    * iterations of `pr'(v) = (1−d)/N + d·Σ_{u→v} pr(u)/out(u)` with
+    * d = 0.85, every term in micro-units under floor division:
+    * base = `150000 div N`, each edge contribution
+    * `(85·pr_micro(u)) div (100·out(u))` — deterministic in any
+    * aggregation order and bit-identical cross-engine (the bigram-LM
+    * numeric discipline; floors lose mass monotonically and
+    * identically in both engines, which is why the oracle can unroll
+    * the same recurrence). Micro-precision bounds N at ~10⁵ before
+    * base underflows — scale deployments move the same recurrence to
+    * nano-units (the constants are parameters of the scaling, not the
+    * algorithm).
+    *
+    * Scale shape: one iteration = one join of edges onto the current
+    * ranks (both shuffling on the source id) + one partial-combinable
+    * sum onto the destination + a left join back to the node universe
+    * for sink nodes — identical to the [[connectedComponents]] round
+    * shape; lineage grows linearly in `iters` (fixed and small), so no
+    * checkpointing is needed.
+    *
+    * `edges` must be pre-deduplicated (u, v) pairs without self-loops;
+    * nodes with no out-links contribute nothing (their mass leaks, the
+    * standard simplification); nodes with no in-links hold the base.
+    *
+    * Returns (idCol, pr_micro, pr).
+    */
+  def pageRankMicro(nodes: DataFrame, edges: DataFrame, idCol: String,
+                    srcCol: String, dstCol: String, nNodes: Long,
+                    iters: Int = 10): DataFrame = {
+    require(iters > 0 && nNodes > 0, s"bad iters/nNodes: $iters/$nNodes")
+    val outd = edges.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("__outd"))
+    val base = 150000L / nNodes
+    var pr = nodes.select(col(idCol),
+      lit(1000000L / nNodes).as("pr_micro"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(pr.select(col(idCol).as(srcCol), col("pr_micro")), Seq(srcCol))
+        .join(outd, Seq(srcCol))
+        .select(col(dstCol).as(idCol),
+          expr("(85 * pr_micro) div (100 * __outd)").as("__c"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__c")).as("__in"))
+      pr = nodes.select(col(idCol))
+        .join(contribs, Seq(idCol), "left")
+        .select(col(idCol),
+          (lit(base) + coalesce(col("__in"), lit(0L))).as("pr_micro"))
+    }
+    pr.withColumn("pr", col("pr_micro") / 1e6)
+  }
 }

@@ -107,4 +107,43 @@ class GraphSpec extends SparkSpec {
         s"round checkpoints accumulated under $u: $rdds rdd dirs remain")
     }
   }
+
+  /** Independent plain-Scala fold of the exact micro-unit PageRank
+    * recurrence. */
+  private def refPageRank(n: Int, edges: Seq[(Long, Long)],
+                          iters: Int): Map[Long, Long] = {
+    val out = edges.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val base = 150000L / n
+    var pr = (0L until n.toLong).map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => (85L * pr(u)) / (100L * out(u)) }.sum
+      }
+      pr = (0L until n.toLong).map(v => v -> (base + in.getOrElse(v, 0L)))
+        .toMap
+    }
+    pr
+  }
+
+  test("pageRankMicro: cycle is a fixpoint, star concentrates on the " +
+    "hub, sinks hold the base, all exactly equal to the reference fold") {
+    import spark.implicits._
+    def run(n: Int, es: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+      Graph.pageRankMicro(
+          (0L until n.toLong).toDF("doc_id"), es.toDF("src", "dst"),
+          "doc_id", "src", "dst", nNodes = n, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3-cycle: uniform mass is a fixpoint of the integer recurrence
+    val cyc = run(3, Seq((0L, 1L), (1L, 2L), (2L, 0L)), iters = 5)
+    assert(cyc == Map(0L -> 333333L, 1L -> 333333L, 2L -> 333333L), cyc)
+    // star 1→0, 2→0: hub out-ranks leaves; leaves (no in-links) hold
+    // exactly the base term; everything matches the reference fold
+    val starEdges = Seq((1L, 0L), (2L, 0L))
+    val star = run(3, starEdges, iters = 4)
+    assert(star == refPageRank(3, starEdges, 4), star)
+    assert(star(0L) > star(1L) && star(1L) == star(2L))
+    assert(star(1L) == 150000L / 3)
+    // floors only ever LOSE mass: total stays under 1e6
+    assert(star.values.sum <= 1000000L)
+  }
 }
