@@ -662,7 +662,10 @@ object SparkEntry {
           k = 20, dim = Some(64), useNative = true)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank"))
-      Retrieval.rankEvalMetrics(lex, dense, "query_id", "doc_id")
+      // the metric joins read each tiny leg 2-3 times — materialize
+      // once (queries × 20 rows) instead of recomputing the scorers
+      Retrieval.rankEvalMetrics(lex.localCheckpoint(),
+          dense.localCheckpoint(), "query_id", "doc_id")
         .orderBy("query_id")
     }),
 
@@ -703,8 +706,12 @@ object SparkEntry {
           k = 20, dim = Some(64), useNative = true)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank"))
+      // the fused top-5 feeds BOTH the passage extractor and the final
+      // join — localCheckpoint materializes the (queries × 5)-row
+      // relation once so the retrieval legs don't recompute per use
+      // (151 → ~60 exchanges, measured via PlanAudit)
       val fused = Retrieval.rrfFuse(lex, dense, "query_id", "doc_id",
-        k = 5)
+        k = 5).localCheckpoint()
       val passages = Retrieval.bestPassagePerQuery(docs, "doc_id",
         "text", fused, qterms, "query_id", windowTokens = 8)
       fused.join(passages, Seq("query_id", "doc_id"))
