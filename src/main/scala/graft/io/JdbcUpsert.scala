@@ -66,6 +66,26 @@ object JdbcUpsert {
        |ON CONFLICT (${pk.mkString(", ")}) DO UPDATE SET $sets""".stripMargin
   }
 
+  /** MySQL upsert grammar for the same staged-batch contract:
+    * `INSERT … SELECT … ON DUPLICATE KEY UPDATE c = VALUES(c)`.
+    * MySQL resolves the conflict against ANY unique key of the target —
+    * there is no explicit conflict-column list — so `pk` here only
+    * determines which columns the UPDATE branch sets (the non-pk ones),
+    * and the target's primary key must be the intended merge key.
+    * `VALUES(col)` is the portable form (predates the 8.0.20 row-alias
+    * syntax and still accepted).
+    */
+  def mysqlUpsertSql(table: String, staging: String, cols: Seq[String],
+                     pk: Seq[String]): String = {
+    require(cols.toSet.intersect(pk.toSet).size == pk.size,
+      s"staged columns must include every pk column ${pk.mkString(",")}")
+    val insertCols = cols.mkString(", ")
+    val sets = cols.filterNot(pk.contains)
+      .map(c => s"$c = VALUES($c)").mkString(", ")
+    s"""INSERT INTO $table ($insertCols) SELECT $insertCols FROM $staging
+       |ON DUPLICATE KEY UPDATE $sets""".stripMargin
+  }
+
   /** Target-database grammar for the staged-batch merge: the statement
     * differs per engine, the staging contract (overwrite-stage, one
     * set-based statement, idempotent re-apply) does not.
@@ -85,6 +105,13 @@ object JdbcUpsert {
   case object PostgresOnConflict extends MergeDialect {
     def statement(table: String, staging: String, cols: Seq[String],
                   pk: Seq[String]): String = upsertSql(table, staging, cols, pk)
+  }
+
+  /** MySQL/MariaDB `INSERT … ON DUPLICATE KEY UPDATE`. */
+  case object MysqlOnDuplicateKey extends MergeDialect {
+    def statement(table: String, staging: String, cols: Seq[String],
+                  pk: Seq[String]): String =
+      mysqlUpsertSql(table, staging, cols, pk)
   }
 
   // Copy via stringPropertyNames, not putAll: putAll ignores a Properties'

@@ -118,12 +118,14 @@ class JdbcUpsertSpec extends SparkSpec {
   }
 
   // The staged-merge CONTRACT (stage, one set-based statement, idempotent
-  // re-apply, staging cleanup) runs against BOTH target grammars: ANSI
-  // MERGE (SQL Server — the reference's sink) and Postgres ON CONFLICT.
-  // Same batch, same assertions; only the statement the database sees
-  // differs (FakeDb logs merge: vs upsert: accordingly).
+  // re-apply, staging cleanup) runs against ALL THREE target grammars:
+  // ANSI MERGE (SQL Server — the reference's sink), Postgres ON CONFLICT,
+  // and MySQL ON DUPLICATE KEY. Same batch, same assertions; only the
+  // statement the database sees differs (FakeDb logs merge:/upsert:/
+  // dupkey: accordingly).
   for ((dialect, tag) <- Seq(JdbcUpsert.AnsiMerge -> "merge",
-                             JdbcUpsert.PostgresOnConflict -> "upsert"))
+                             JdbcUpsert.PostgresOnConflict -> "upsert",
+                             JdbcUpsert.MysqlOnDuplicateKey -> "dupkey"))
     test(s"executeMergeViaStaging [$tag]: updates matches, inserts the rest, idempotent") {
       seedDb()
       // snapshot batch with sink bookkeeping staged in (both grammars set
@@ -143,7 +145,8 @@ class JdbcUpsertSpec extends SparkSpec {
       assert(rows(4L)("is_deleted") == true)
       // the database saw ONE set-based statement, routed through staging
       val merges = FakeDb.events.filter(e =>
-        e.startsWith("merge:") || e.startsWith("upsert:"))
+        e.startsWith("merge:") || e.startsWith("upsert:") ||
+          e.startsWith("dupkey:"))
       assert(merges == Seq(s"$tag:t:upd=1:ins=1"), s"events: ${FakeDb.events}")
       // the auto-generated unique staging table is dropped after the commit
       assert(!FakeDb.tables.keySet.exists(_.startsWith("t_stg_")),
@@ -156,9 +159,18 @@ class JdbcUpsertSpec extends SparkSpec {
       val after = FakeDb.rowsOf("t").map(_.toMap).sortBy(_("id").toString)
       assert(after == before, s"second merge mutated state:\n$before\nvs\n$after")
       assert(FakeDb.events.filter(e =>
-          e.startsWith("merge:") || e.startsWith("upsert:"))
+          e.startsWith("merge:") || e.startsWith("upsert:") ||
+            e.startsWith("dupkey:"))
         == Seq(s"$tag:t:upd=1:ins=1", s"$tag:t:upd=2:ins=0"))
     }
+
+  test("mysqlUpsertSql emits the ON DUPLICATE KEY grammar") {
+    val sql = JdbcUpsert.mysqlUpsertSql("t", "t_stg", Seq("id", "a", "b"),
+      Seq("id"))
+    assert(sql ==
+      """INSERT INTO t (id, a, b) SELECT id, a, b FROM t_stg
+        |ON DUPLICATE KEY UPDATE a = VALUES(a), b = VALUES(b)""".stripMargin)
+  }
 
   test("upsertSql emits the Postgres ON CONFLICT grammar") {
     val sql = JdbcUpsert.upsertSql("t", "t_stg", Seq("id", "a", "b"), Seq("id"))

@@ -127,6 +127,12 @@ object FakeDb {
     // staging ON CONFLICT (pk) DO UPDATE SET c = EXCLUDED.c
     val upsertRe =
       raw"(?is)\s*INSERT\s+INTO\s+(\S+)\s*\(([^)]*)\)\s*SELECT\s+.*?\s+FROM\s+(\S+)\s*ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+UPDATE\s+SET\s+(.*)".r
+    // JdbcUpsert.mysqlUpsertSql's grammar: INSERT … SELECT … FROM staging
+    // ON DUPLICATE KEY UPDATE c = VALUES(c). MySQL matches on the target's
+    // unique keys — modeled here as the insert columns NOT in the SET list
+    // (which is exactly how mysqlUpsertSql partitions pk vs non-pk).
+    val dupKeyRe =
+      raw"(?is)\s*INSERT\s+INTO\s+(\S+)\s*\(([^)]*)\)\s*SELECT\s+.*?\s+FROM\s+(\S+)\s*ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)".r
     sql match {
       case createRe(table, colDefs) =>
         val cols = colDefs.split(",").map(_.trim).filter(_.nonEmpty).map { d =>
@@ -197,6 +203,33 @@ object FakeDb {
             }
           }
           log(s"upsert:${stripQuote(target)}:upd=$matched:ins=$inserted")
+        }
+      case dupKeyRe(target, insertCols, staging, setPart) =>
+        val insCols = insertCols.split(",").map(stripQuote).toSeq
+        val sets = setPart.split(",")
+          .map(_.split("=")(0).trim).map(stripQuote).toSeq
+        val pk = insCols.filterNot(sets.contains)
+        lock.synchronized {
+          val t = tables.getOrElse(stripQuote(target),
+            throw new SQLException(s"no such table: $target"))
+          val s = tables.getOrElse(stripQuote(staging),
+            throw new SQLException(s"no such staging table: $staging"))
+          var matched = 0
+          var inserted = 0
+          s.rows.foreach { srow =>
+            val hits = t.rows.filter(r =>
+              pk.forall(k => r.get(k) == srow.get(k)))
+            if (hits.nonEmpty) {
+              // VALUES(<c>) is the would-be-inserted row, i.e. srow
+              hits.foreach(r => sets.foreach(c => r(c) = srow.getOrElse(c, null)))
+              matched += hits.size
+            } else {
+              t.rows += mutable.HashMap(
+                insCols.map(c => c -> srow.getOrElse(c, null)): _*)
+              inserted += 1
+            }
+          }
+          log(s"dupkey:${stripQuote(target)}:upd=$matched:ins=$inserted")
         }
       case other => throw new SQLException(s"unsupported DDL: $other")
     }
