@@ -730,7 +730,11 @@ object SparkEntry {
     "q131_image_near_dup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id")
       val media = Multimodal.syntheticRealPngNearDups(docs, "doc_id")
+      // the pair join reads the banded relation three times (explode +
+      // both verify sides) — checkpoint the (id, 4-long) rows once so
+      // the encode+decode seam doesn't run per consumer
       val banded = Multimodal.withImageDHashBands(media, "payload")
+        .localCheckpoint()
       Multimodal.imageNearDupPairs(banded, "doc_id", maxHamming = 10)
         .orderBy("id_a", "id_b")
     }),
@@ -745,6 +749,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id")
       val media = Multimodal.syntheticRealWavNearDups(docs, "doc_id")
       val banded = Multimodal.withAudioDHashBands(media, "payload")
+        .localCheckpoint() // q131's rationale: decode once, not 3×
       Multimodal.imageNearDupPairs(banded, "doc_id", maxHamming = 10)
         .orderBy("id_a", "id_b")
     }),
@@ -759,6 +764,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id")
       val media = Multimodal.syntheticRealGifNearDups(docs, "doc_id")
       val framed = Multimodal.withFrameDHashBands(media, "payload")
+        .localCheckpoint() // q131's rationale: decode once, not 3×
       Multimodal.videoNearDupPairs(framed, "doc_id", "frame_idx",
           maxHamming = 10)
         .orderBy("id_a", "id_b")
@@ -3564,9 +3570,8 @@ object SparkEntry {
         |par AS (SELECT doc_id, seed, bump, 2 + seed % 3 AS nf FROM ids),
         |px AS (
         |  SELECT p.doc_id, gf.f, gx.x, gy.y,
-        |    ((('0x' || substring(
-        |        md5(p.seed || ':' || gf.f || ':' || gx.x || ':' || gy.y),
-        |        1, 2))::BIGINT
+        |    ((('0x' || substring(md5(p.seed || ':' || gf.f || ':' || gy.y),
+        |        2 * gx.x + 1, 2))::BIGINT
         |      + CASE WHEN gf.f = 0 AND gx.x = 0 AND gy.y = 0
         |             THEN p.bump ELSE 0 END) % 256) AS v
         |  FROM par p
@@ -3616,7 +3621,8 @@ object SparkEntry {
         |        FROM ids),
         |samp AS (
         |  SELECT p.doc_id, r.i,
-        |    ((('0x' || substring(md5(p.seed || ':' || r.i), 1, 4))::BIGINT
+        |    ((('0x' || substring(md5(p.seed || ':' || (r.i // 8)),
+        |        4 * (r.i % 8) + 1, 4))::BIGINT
         |      + CASE WHEN r.i = 0 THEN p.bump ELSE 0 END) % 65536)
         |      - 32768 AS s
         |  FROM par p JOIN (SELECT unnest(range(0, 800)) AS i) r
@@ -3662,11 +3668,10 @@ object SparkEntry {
         |  FROM documents),
         |px AS (
         |  SELECT i.doc_id, gx.x, gy.y,
-        |    299 * ((('0x' || substring(md5(i.seed || ':' || gx.x || ':' || gy.y), 1, 2))::BIGINT
-        |            + CASE WHEN gx.x = 0 AND gy.y = 0 THEN i.bump ELSE 0 END)
-        |           % 256)
-        |    + 587 * ('0x' || substring(md5(i.seed || ':' || gx.x || ':' || gy.y), 3, 2))::BIGINT
-        |    + 114 * ('0x' || substring(md5(i.seed || ':' || gx.x || ':' || gy.y), 5, 2))::BIGINT AS luma
+        |    (('0x' || substring(md5(i.seed || ':' || gy.y),
+        |        2 * gx.x + 1, 2))::BIGINT
+        |     + CASE WHEN gx.x = 0 AND gy.y = 0 THEN i.bump ELSE 0 END)
+        |    % 256 AS luma
         |  FROM ids i
         |    CROSS JOIN (SELECT unnest(range(0, 9)) AS x) gx
         |    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) gy),

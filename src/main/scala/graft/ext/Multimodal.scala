@@ -447,28 +447,32 @@ object Multimodal {
 
   // --------------------------------------------------- perceptual hash
 
-  /** Deterministic REAL PNG with HASH-derived pixels: (r, g, b) at
-    * (x, y) are the first three bytes of `md5("{seed}:{x}:{y}")` — the
-    * texture a perceptual hash needs (the affine
-    * [[encodePngDeterministic]] pattern has near-constant column
-    * differences, which collapses every image onto a handful of dHash
-    * values). `md5(string)` is the same function in every engine, so a
-    * SQL oracle still predicts each pixel. `bumpR00` adds to the (0,0)
-    * red channel (mod 256) — the single-pixel near-dup perturbation.
+  /** Deterministic REAL PNG with HASH-derived pixels: pixel (x, y) is
+    * the GRAY value at byte x of `md5("{seed}:{y}")` (r = g = b — a
+    * perceptual hash only sees luma, and one digest per ROW is 9× fewer
+    * digest calls than one per pixel; the affine
+    * [[encodePngDeterministic]] pattern is unusable here — its
+    * near-constant column differences collapse every image onto a
+    * handful of dHash values). `md5(string)` is the same function in
+    * every engine, so a SQL oracle predicts each pixel as a hex-pair
+    * substring. `bumpR00` adds to the (0,0) value (mod 256) — the
+    * single-pixel near-dup perturbation. Requires w ≤ 16 (one digest
+    * row).
     */
   def encodePngHashPixels(seed: Long, w: Int, h: Int,
                           bumpR00: Int = 0): Array[Byte] = {
+    require(w <= 16, s"row-digest pixels support w <= 16, got $w")
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val md = java.security.MessageDigest.getInstance("MD5")
     var y = 0
     while (y < h) {
+      val d = md.digest(s"$seed:$y".getBytes("UTF-8"))
       var x = 0
       while (x < w) {
-        val d = md.digest(s"$seed:$x:$y".getBytes("UTF-8"))
         val bump = if (x == 0 && y == 0) bumpR00 else 0
-        val r = ((d(0) & 0xFF) + bump) % 256
-        img.setRGB(x, y, (r << 16) | ((d(1) & 0xFF) << 8) | (d(2) & 0xFF))
+        val v = ((d(x) & 0xFF) + bump) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1
       }
       y += 1
@@ -651,12 +655,13 @@ object Multimodal {
     } catch { case _: Exception => None }
 
   /** Deterministic real WAV with HASH-derived samples: sample i is the
-    * first 16 bits of `md5("{seed}:{i}")` minus 32768 — the
-    * pseudo-random texture a waveform hash needs (the mod-linear
+    * 16-bit word at byte offset 2·(i mod 8) of `md5("{seed}:{i div 8}")`
+    * minus 32768 — one digest per EIGHT samples (the mod-linear
     * [[encodeWavDeterministic]] stream differs across seeds only by a
     * constant shift, which collapses every clip onto near-identical
-    * block-difference hashes). `bumpS0` perturbs sample 0 inside the
-    * 16-bit mod. SQL predicts every sample via the same md5.
+    * block-difference hashes; per-sample digests would cost 8× more).
+    * `bumpS0` perturbs sample 0 inside the 16-bit mod. SQL predicts
+    * every sample via the same md5 + hex-substring arithmetic.
     */
   def encodeWavHashSamples(seed: Long, nSamples: Int,
                            sampleRate: Int = 8000,
@@ -672,10 +677,12 @@ object Multimodal {
       .putShort(2).putShort(16)
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
     val md = java.security.MessageDigest.getInstance("MD5")
+    var d: Array[Byte] = null
     var i = 0
     while (i < nSamples) {
-      val d = md.digest(s"$seed:$i".getBytes("UTF-8"))
-      val raw = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+      if (i % 8 == 0) d = md.digest(s"$seed:${i / 8}".getBytes("UTF-8"))
+      val o = 2 * (i % 8)
+      val raw = ((d(o) & 0xFF) << 8) | (d(o + 1) & 0xFF)
       val bump = if (i == 0) bumpS0 else 0
       bb.putShort((Math.floorMod(raw + bump, 65536) - 32768).toShort)
       i += 1
@@ -828,14 +835,16 @@ object Multimodal {
   }
 
   /** Deterministic real animated GIF with HASH-derived grayscale
-    * pixels: frame f's sample at (x, y) is the first byte of
-    * `md5("{seed}:{f}:{x}:{y}")` — the identity 256-gray palette makes
-    * the GIF round-trip lossless (the q108 discipline), and md5 pixels
-    * give every frame an effectively random dHash. `bumpF0` perturbs
-    * frame 0's (0,0) sample inside the mod.
+    * pixels: frame f's sample at (x, y) is byte x of
+    * `md5("{seed}:{f}:{y}")` — one digest per frame ROW (9× fewer than
+    * per-pixel), the identity 256-gray palette keeping the round-trip
+    * lossless (the q108 discipline), md5 giving every frame an
+    * effectively random dHash. `bumpF0` perturbs frame 0's (0,0)
+    * sample inside the mod. Requires w ≤ 16.
     */
   def encodeGifHashPixels(seed: Long, w: Int, h: Int, nFrames: Int,
                           bumpF0: Int = 0): Array[Byte] = {
+    require(w <= 16, s"row-digest pixels support w <= 16, got $w")
     val gray = Array.tabulate(256)(_.toByte)
     val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
     val bos = new java.io.ByteArrayOutputStream()
@@ -853,12 +862,12 @@ object Multimodal {
         val raster = img.getRaster
         var y = 0
         while (y < h) {
+          val d = md.digest(s"$seed:$f:$y".getBytes("UTF-8"))
           var x = 0
           while (x < w) {
-            val d = md.digest(s"$seed:$f:$x:$y".getBytes("UTF-8"))
             val bump =
               if (f == 0 && x == 0 && y == 0) bumpF0 else 0
-            raster.setSample(x, y, 0, ((d(0) & 0xFF) + bump) % 256)
+            raster.setSample(x, y, 0, ((d(x) & 0xFF) + bump) % 256)
             x += 1
           }
           y += 1

@@ -12,17 +12,17 @@ class ImageDHashSpec extends SparkSpec {
   import spark.implicits._
 
   /** Plain-Scala reference: pixels from the generation rule (not the
-    * decoder), dHash bands from the spec'd layout. */
+    * decoder), dHash bands from the spec'd layout. Gray pixels mean the
+    * 299/587/114 luma is 1000·v — order-equivalent to comparing v. */
   private def refBands(seed: Long, bump: Int): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def luma(x: Int, y: Int): Long = {
-      val d = md.digest(s"$seed:$x:$y".getBytes("UTF-8"))
-      val r = ((d(0) & 0xFF) + (if (x == 0 && y == 0) bump else 0)) % 256
-      299L * r + 587L * (d(1) & 0xFF) + 114L * (d(2) & 0xFF)
+    def v(x: Int, y: Int): Int = {
+      val d = md.digest(s"$seed:$y".getBytes("UTF-8"))
+      ((d(x) & 0xFF) + (if (x == 0 && y == 0) bump else 0)) % 256
     }
     val bands = new Array[Long](4)
     for (y <- 0 until 8; x <- 0 until 8)
-      if (luma(x + 1, y) > luma(x, y))
+      if (v(x + 1, y) > v(x, y))
         bands(y / 2) |= 1L << ((y % 2) * 8 + x)
     bands
   }
@@ -67,8 +67,9 @@ class ImageDHashSpec extends SparkSpec {
   private def refAudioBands(seed: Long, n: Int, bump: Int): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def sample(i: Int): Long = {
-      val d = md.digest(s"$seed:$i".getBytes("UTF-8"))
-      val raw = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+      val d = md.digest(s"$seed:${i / 8}".getBytes("UTF-8"))
+      val o = 2 * (i % 8)
+      val raw = ((d(o) & 0xFF) << 8) | (d(o + 1) & 0xFF)
       Math.floorMod(raw + (if (i == 0) bump else 0), 65536).toLong - 32768L
     }
     val means = (0 until 65).map { b =>
@@ -119,8 +120,8 @@ class ImageDHashSpec extends SparkSpec {
     def refFrameBands(seed: Long, f: Int, bump: Int): Array[Long] = {
       val md = java.security.MessageDigest.getInstance("MD5")
       def v(x: Int, y: Int): Int = {
-        val d = md.digest(s"$seed:$f:$x:$y".getBytes("UTF-8"))
-        ((d(0) & 0xFF) +
+        val d = md.digest(s"$seed:$f:$y".getBytes("UTF-8"))
+        ((d(x) & 0xFF) +
           (if (f == 0 && x == 0 && y == 0) bump else 0)) % 256
       }
       val bands = new Array[Long](4)
