@@ -789,6 +789,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- filtered vector search (oracle-checked): top-k cosine among
+    // vectors whose aligned document passes a metadata predicate
+    // (lang = 'en') — the PRE-FILTER strategy: restrict the corpus
+    // before scoring, so recall is exact by construction (post-filtering
+    // an ANN shortlist can starve below k; with an index, pre-filtering
+    // composes as a semi-join on the candidate lists). The predicate
+    // join is broadcast-sized metadata, never vectors.
+    "q135_filtered_ann" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val meta = t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val corpus = emb.join(meta, Seq("vec_id"))
+        .filter(col("lang") === "en").drop("lang")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+          k = 5, dim = Some(64), useNative = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- DSIR importance weights (oracle-checked): target = the 'en'
     // slice, raw = everything; hashed-bucket distributions (portable
     // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
@@ -3520,6 +3540,30 @@ object SparkEntry {
         |    AS snippet
         |FROM best b JOIN base a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // q30's scorer over the metadata-restricted corpus
+    "q135_filtered_ann" ->
+      """WITH corp AS (
+        |  SELECT e.vec_id, e.embedding
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |  WHERE d.lang = 'en'),
+        |q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |      FROM embeddings WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])) *
+        |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+        |      6) AS sim
+        |  FROM corp e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS "rank",
+        |  neighbor_id, sim
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
 
     // the same micro-unit recurrence unrolled as 10 CTEs (floor
     // division loses mass identically in both engines)
