@@ -809,6 +809,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- filtered ANN over a shared index (oracle-checked): q85's
+    // exemplar IVF with the q135 predicate applied as a candidate
+    // semi-join before the exact rerank — one index, many predicates;
+    // a probed list short on allowed members returns < k by design
+    // (the documented trade vs q135's exact pre-filter).
+    "q136_filtered_ivf" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val allowed = t(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      graft.ext.Ivf.ivfFilteredTopKExemplar(emb, queries, "vec_id",
+          "embedding", allowed, k = 5, nList = 8, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- DSIR importance weights (oracle-checked): target = the 'en'
     // slice, raw = everything; hashed-bucket distributions (portable
     // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
@@ -3540,6 +3557,44 @@ object SparkEntry {
         |    AS snippet
         |FROM best b JOIN base a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // q85's candidate CTEs + the allowed-id semi-join before rerank
+    "q136_filtered_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |allowed AS (
+        |  SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+        |c AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm
+        |      FROM e ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT e.vec_id AS neighbor_id, c.cid AS list
+        |  FROM e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+        |             c.cid) = 1),
+        |probes AS (
+        |  SELECT e.vec_id AS query_id, c.cid AS list
+        |  FROM e CROSS JOIN c
+        |  WHERE e.vec_id % 100 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+        |             c.cid) <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 6) AS sim
+        |  FROM assigned a JOIN probes p USING (list)
+        |  JOIN allowed al ON al.vec_id = a.neighbor_id
+        |  JOIN e qe ON qe.vec_id = p.query_id
+        |  JOIN e ne ON ne.vec_id = a.neighbor_id
+        |  WHERE a.neighbor_id <> p.query_id)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
+        |  neighbor_id, sim
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
 
     // q30's scorer over the metadata-restricted corpus
     "q135_filtered_ann" ->

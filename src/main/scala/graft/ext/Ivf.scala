@@ -231,6 +231,32 @@ object Ivf {
       useNative)
   }
 
+  /** Filtered ANN over a SHARED index, exemplar member: the index
+    * (centroids, assignments) is built on the FULL corpus, and the
+    * metadata predicate arrives as an `allowed` id relation semi-joined
+    * onto the candidates BEFORE the exact rerank — the
+    * filtered-vector-search strategy for one index serving many
+    * predicates (re-clustering per predicate would be absurd).
+    * Trade-off vs the exact pre-filter (q135's shape): a probed list can
+    * hold fewer than k allowed members, so results may run short of k —
+    * here that trade is itself deterministic relational algebra, so the
+    * whole filtered funnel verifies cross-engine. The allowed relation
+    * carries only ids (broadcast-sized for selective predicates; a
+    * corpus-scale predicate would arrive as a bucketed semi-join).
+    */
+  def ivfFilteredTopKExemplar(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String,
+                              allowed: DataFrame, k: Int, nList: Int = 8,
+                              nProbe: Int = 2, dim: Int = 64,
+                              useNative: Boolean = true): DataFrame = {
+    val cands = exemplarCandidates(corpus, queries, idCol, vecCol, nList,
+        nProbe, dim, useNative)
+      .join(broadcast(allowed.select(col(idCol).as("neighbor_id"))),
+        Seq("neighbor_id"), "left_semi")
+    Similarity.rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim,
+      useNative)
+  }
+
   /** The exemplar-IVF candidate relation (query_id, neighbor_id):
     * lowest-id-vector centroids, argmax assignment, probe join — shared
     * by the plain exemplar top-k (q85) and the int8-composed variant

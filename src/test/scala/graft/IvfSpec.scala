@@ -66,6 +66,30 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.6, s"exemplar IVF recall $recall below bound")
   }
 
+  test("filtered exemplar IVF: allow-everything equals unfiltered, " +
+    "results stay inside the allowed set, starved lists run short of k") {
+    GraftFunctions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Double)].collect().toSet
+    val all = emb.select(col("vec_id"))
+    assert(rows(Ivf.ivfFilteredTopKExemplar(emb, queries, "vec_id",
+        "embedding", all, k = 5))
+      == rows(Ivf.ivfTopKExemplar(emb, queries, "vec_id", "embedding",
+        k = 5)))
+    // restrict to even ids: every result id must be even
+    val even = emb.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val filtered = Ivf.ivfFilteredTopKExemplar(emb, queries, "vec_id",
+      "embedding", even, k = 5).collect()
+    assert(filtered.nonEmpty && filtered.forall(_.getLong(2) % 2 == 0))
+    // a predicate so selective the probed lists starve: results < k per
+    // query is the DOCUMENTED behavior, never padding from outside
+    val three = emb.filter(col("vec_id") < 3).select(col("vec_id"))
+    val starved = Ivf.ivfFilteredTopKExemplar(emb, queries, "vec_id",
+      "embedding", three, k = 5).collect()
+    assert(starved.forall(_.getLong(2) < 3))
+    assert(starved.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+  }
+
   test("lloydStepExemplar matches a driver-side reference implementation") {
     // independent re-derivation in plain Scala (double sums, no Spark):
     // collect the corpus, assign by round-6 argmax cosine to the 8
