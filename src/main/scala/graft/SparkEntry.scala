@@ -826,6 +826,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- filtered-ANN recall report (oracle-checked): q136's indexed
+    // funnel scored against q135's exact pre-filter as truth via the
+    // rank-eval harness — the recall regression gate a serving stack
+    // runs when it swaps an exact scan for an index. Exact micro-integer
+    // metrics; a starved query shows up as depressed recall, not a
+    // silent absence.
+    "q137_filtered_recall" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val allowed = t(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val truth = Similarity.bruteForceTopK(
+          emb.join(allowed, Seq("vec_id")), queries, "vec_id",
+          "embedding", k = 5, dim = Some(64), useNative = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .localCheckpoint()
+      val system = graft.ext.Ivf.ivfFilteredTopKExemplar(emb, queries,
+          "vec_id", "embedding", allowed, k = 5, nList = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .localCheckpoint()
+      Retrieval.rankEvalMetrics(system, truth, "query_id", "neighbor_id")
+        .orderBy("query_id")
+    }),
+
     // ---- DSIR importance weights (oracle-checked): target = the 'en'
     // slice, raw = everything; hashed-bucket distributions (portable
     // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
@@ -3557,6 +3583,77 @@ object SparkEntry {
         |    AS snippet
         |FROM best b JOIN base a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // q135's exact filtered top-k as truth, q136's funnel as system,
+    // fed through q128's metric CTEs
+    "q137_filtered_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |allowed AS (
+        |  SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+        |q AS (SELECT vec_id AS query_id, v AS qvec, nrm AS qn
+        |      FROM e WHERE vec_id % 100 = 0),
+        |truth AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS r
+        |  FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |      round(list_dot_product(q.qvec, e.v) / (q.qn * e.nrm), 6) AS sim
+        |    FROM e JOIN allowed USING (vec_id) CROSS JOIN q
+        |    WHERE e.vec_id <> q.query_id)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) <= 5),
+        |c AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm
+        |      FROM e ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT e.vec_id AS neighbor_id, c.cid AS list
+        |  FROM e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+        |             c.cid) = 1),
+        |probes AS (
+        |  SELECT e.vec_id AS query_id, c.cid AS list
+        |  FROM e CROSS JOIN c
+        |  WHERE e.vec_id % 100 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+        |             c.cid) <= 2),
+        |system AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS r
+        |  FROM (
+        |    SELECT p.query_id, a.neighbor_id,
+        |      round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 6) AS sim
+        |    FROM assigned a JOIN probes p USING (list)
+        |    JOIN allowed al ON al.vec_id = a.neighbor_id
+        |    JOIN e qe ON qe.vec_id = p.query_id
+        |    JOIN e ne ON ne.vec_id = a.neighbor_id
+        |    WHERE a.neighbor_id <> p.query_id)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) <= 5),
+        |perq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+        |         FROM truth GROUP BY query_id),
+        |top1 AS (SELECT query_id, neighbor_id FROM truth WHERE r = 1),
+        |rr AS (
+        |  SELECT t.query_id,
+        |    CAST(coalesce(1000000 // s.r, 0) AS BIGINT) AS rr_micro
+        |  FROM top1 t LEFT JOIN system s
+        |    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id),
+        |ov AS (
+        |  SELECT s.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM system s JOIN truth t
+        |    ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+        |  GROUP BY s.query_id)
+        |SELECT p.query_id, rr.rr_micro,
+        |  coalesce(ov.n_overlap, 0) AS n_overlap,
+        |  (1000000 * coalesce(ov.n_overlap, 0)) // p.n_truth
+        |    AS recall_micro
+        |FROM perq p JOIN rr USING (query_id) LEFT JOIN ov USING (query_id)
+        |ORDER BY p.query_id""".stripMargin,
 
     // q85's candidate CTEs + the allowed-id semi-join before rerank
     "q136_filtered_ivf" ->
