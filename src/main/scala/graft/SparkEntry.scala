@@ -852,6 +852,40 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- MMR diversified re-ranking (oracle-checked): greedy
+    // λ·relevance − (1−λ)·max-sim-to-selected over the dense top-10
+    // shortlist, k=5, λ=0.7 — exact-integer with the +1e6 shift so
+    // every division is nonnegative (floor ≡ truncate), ties to the
+    // lowest id; the greedy trace is reproducible enough to unroll as
+    // five oracle selection stages.
+    "q138_mmr_rerank" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val cands = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", k = 10, dim = Some(64), useNative = true)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim") * 1000000).cast("long").as("rel_micro"))
+        .localCheckpoint()
+      val vn = Similarity.withVecNorm(emb, "vec_id", "embedding")
+      val pairs = cands.select(col("query_id"), col("neighbor_id")
+          .as("id_a"))
+        .join(cands.select(col("query_id"), col("neighbor_id")
+          .as("id_b")), Seq("query_id"))
+        .filter(col("id_a") =!= col("id_b"))
+        .join(vn.select(col("vec_id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na")), Seq("id_a"))
+        .join(vn.select(col("vec_id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb")), Seq("id_b"))
+        .select(col("query_id"), col("id_a"), col("id_b"),
+          round(Similarity.dotFast(col("va"), col("vb"), 64,
+            useNative = true) / (col("na") * col("nb")) * 1000000)
+            .cast("long").as("sim_micro"))
+        .localCheckpoint()
+      Retrieval.mmrRerank(cands, pairs, "query_id", "neighbor_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- DSIR importance weights (oracle-checked): target = the 'en'
     // slice, raw = everything; hashed-bucket distributions (portable
     // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
@@ -3583,6 +3617,72 @@ object SparkEntry {
         |    AS snippet
         |FROM best b JOIN base a USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // the greedy MMR trace unrolled as five selection stages; the +1e6
+    // shift keeps every // nonnegative, matching Spark's div exactly
+    "q138_mmr_rerank" -> {
+      val pre =
+        """WITH e AS (
+          |  SELECT vec_id, embedding::DOUBLE[] AS v,
+          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          |  FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+          |      FROM e WHERE vec_id % 100 = 0),
+          |cands AS (
+          |  SELECT query_id, neighbor_id,
+          |    CAST(round(sim * 1000000) AS BIGINT) AS rel_micro
+          |  FROM (
+          |    SELECT q.query_id, e.vec_id AS neighbor_id,
+          |      round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS sim
+          |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+          |  QUALIFY row_number() OVER (PARTITION BY query_id
+          |    ORDER BY sim DESC, neighbor_id) <= 10),
+          |pairs AS (
+          |  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+          |    CAST(round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm)
+          |      * 1000000) AS BIGINT) AS sim_micro
+          |  FROM cands a JOIN cands b
+          |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+          |  JOIN e ea ON ea.vec_id = a.neighbor_id
+          |  JOIN e eb ON eb.vec_id = b.neighbor_id),
+          |sel1 AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      (700000 * (rel_micro + 1000000)) // 1000000 AS mmr
+          |    FROM cands)
+          |  QUALIFY row_number() OVER (PARTITION BY query_id
+          |    ORDER BY mmr DESC, neighbor_id) = 1)""".stripMargin
+      val stages = (2 to 5).map { r =>
+        val prevUnion = (1 until r)
+          .map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+        s"""prev$r AS ($prevUnion),
+           |sel$r AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT c.query_id, c.neighbor_id,
+           |      (700000 * (c.rel_micro + 1000000)) // 1000000
+           |        - (300000 * (coalesce(m.maxsim, -1000000) + 1000000))
+           |          // 1000000 AS mmr
+           |    FROM cands c
+           |    LEFT JOIN (
+           |      SELECT p.query_id, p.id_a AS neighbor_id,
+           |        max(p.sim_micro) AS maxsim
+           |      FROM pairs p JOIN prev$r s
+           |        ON p.query_id = s.query_id AND p.id_b = s.neighbor_id
+           |      GROUP BY p.query_id, p.id_a) m
+           |      ON m.query_id = c.query_id
+           |      AND m.neighbor_id = c.neighbor_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM prev$r s
+           |      WHERE s.query_id = c.query_id
+           |        AND s.neighbor_id = c.neighbor_id))
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY mmr DESC, neighbor_id) = 1)""".stripMargin
+      }
+      val out = (1 to 5)
+        .map(r => s"SELECT query_id, $r AS \"rank\", neighbor_id FROM sel$r")
+        .mkString("\n  UNION ALL ")
+      (pre +: stages).mkString(",\n") +
+        s"\nSELECT * FROM (\n  $out)\nORDER BY query_id, \"rank\""
+    },
 
     // q135's exact filtered top-k as truth, q136's funnel as system,
     // fed through q128's metric CTEs

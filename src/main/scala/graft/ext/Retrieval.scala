@@ -460,6 +460,62 @@ object Retrieval {
           .as("snippet"))
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    * public): greedily pick `k` results per query maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the standard
+    * diversification pass over a retrieved shortlist, trading relevance
+    * against redundancy with what is already shown.
+    *
+    * Exact-integer discipline: `rel_micro` and `sim_micro` arrive as
+    * micro-unit longs; both MMR terms are computed over the inputs
+    * SHIFTED by +1e6 (cosines can be negative, and floor/truncate
+    * division disagree on negatives across engines — the shift adds a
+    * per-term CONSTANT, preserving the argmax while keeping every
+    * operand nonnegative, where Spark `div` ≡ SQL `//`). Ties break on
+    * ascending id, so the greedy trace is cross-engine-reproducible and
+    * the whole rerank oracle-checks as `k` unrolled selection stages.
+    *
+    * Scale shape: `candidates` and `pairSims` are post-retrieval
+    * lattices ((queries × n) and (queries × n²)) — tiny at any corpus
+    * scale; the k driver-loop rounds run joins on those lattices only,
+    * localCheckpointed per round so lineage stays flat.
+    *
+    * `candidates`: (queryCol, idCol, rel_micro); `pairSims`: (queryCol,
+    * id_a, id_b, sim_micro), both directions present. Returns
+    * (queryCol, rank, idCol) — rank is selection order.
+    */
+  def mmrRerank(candidates: DataFrame, pairSims: DataFrame,
+                queryCol: String, idCol: String, k: Int,
+                lambdaMicro: Long = 700000L): DataFrame = {
+    require(k > 0 && lambdaMicro >= 0 && lambdaMicro <= 1000000L,
+      s"bad k/lambdaMicro: $k/$lambdaMicro")
+    val lam = lambdaMicro
+    val oneMinus = 1000000L - lambdaMicro
+    var selected = candidates
+      .select(col(queryCol), col(idCol), lit(0).as("rank"))
+      .filter(lit(false))
+    for (r <- 1 to k) {
+      val maxSim = pairSims
+        .join(selected.select(col(queryCol), col(idCol).as("id_b")),
+          Seq(queryCol, "id_b"))
+        .groupBy(col(queryCol), col("id_a"))
+        .agg(max(col("sim_micro")).as("__maxsim"))
+        .select(col(queryCol), col("id_a").as(idCol), col("__maxsim"))
+      val scored = candidates
+        .join(selected.select(col(queryCol), col(idCol)),
+          Seq(queryCol, idCol), "left_anti")
+        .join(maxSim, Seq(queryCol, idCol), "left")
+        .withColumn("__mmr", expr(
+          s"($lam * (rel_micro + 1000000)) div 1000000 - " +
+            s"($oneMinus * (coalesce(__maxsim, -1000000) + 1000000)) " +
+            "div 1000000"))
+      val pick = rankTopK(scored, queryCol, idCol, "__mmr", 1)
+        .select(col(queryCol), col(idCol), lit(r).as("rank"))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected.select(col(queryCol), col("rank"), col(idCol))
+  }
+
   /** Hard-negative mining for retriever training (the DPR/ANCE recipe,
     * public): candidates a LEXICAL ranker scores highly that the DENSE
     * ranker does NOT retrieve — lexically plausible, semantically

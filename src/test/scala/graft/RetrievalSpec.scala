@@ -198,6 +198,28 @@ class RetrievalSpec extends SparkSpec {
     ), s"got $out")
   }
 
+  test("mmrRerank: redundancy is punished (the near-duplicate of the " +
+    "top pick drops below a diverse candidate); λ=1 is pure relevance") {
+    // candidates: 10 (rel .90), 11 (rel .89, ~identical to 10),
+    // 12 (rel .50, orthogonal to both)
+    val cands = Seq((1L, 10L, 900000L), (1L, 11L, 890000L),
+      (1L, 12L, 500000L)).toDF("q", "id", "rel_micro")
+    val pairs = Seq(
+      (1L, 10L, 11L, 990000L), (1L, 11L, 10L, 990000L),
+      (1L, 10L, 12L, 0L), (1L, 12L, 10L, 0L),
+      (1L, 11L, 12L, 0L), (1L, 12L, 11L, 0L)
+    ).toDF("q", "id_a", "id_b", "sim_micro")
+    val mmr = Retrieval.mmrRerank(cands, pairs, "q", "id", k = 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    // greedy: 10 first (max rel); then 11 pays 0.3·~0.99 ≈ .297 penalty
+    // → 0.7·.89−.297 ≈ .326 vs 12's 0.7·.50 = .35 → 12 wins rank 2
+    assert(mmr.toSeq == Seq((1, 10L), (2, 12L), (3, 11L)), mmr.toSeq)
+    val pure = Retrieval.mmrRerank(cands, pairs, "q", "id", k = 3,
+        lambdaMicro = 1000000L)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(pure.toSeq == Seq(10L, 11L, 12L), "λ=1 must be relevance order")
+  }
+
   test("rrfFuse truncates to k per query") {
     val lex = (1 to 9).map(i => (1L, i.toLong, i)).toDF("q", "id", "rank")
     val dense = spark.emptyDataset[(Long, Long, Int)]
