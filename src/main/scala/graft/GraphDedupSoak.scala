@@ -146,6 +146,44 @@ object GraphDedupSoak {
       f"uncapped_edges=$uncapped,uncapped_sec=$uncappedSec%.1f," +
       f"speedup=${uncappedSec / cappedSec}%.1fx")
     abDocs.unpersist()
+
+    // ---- PageRank at soakN nodes (q134 shape, NANO units — micro's
+    // base term underflows past ~1e5 nodes, the documented scale
+    // switch): 10 integer power iterations over a 3-out-link synthetic
+    // graph — the other iterative-join family next to CC, measured at
+    // the same scale. Exactness asserted, not narrated: floors only
+    // LOSE mass, so the total must sit in (0, 1e9]; and the recurrence
+    // is deterministic, so two runs must agree bit-for-bit on a
+    // sampled node.
+    val prNodes = spark.range(0, soakN).toDF("doc_id")
+    val prEdges = prNodes.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % soakN,
+          (col("doc_id") * 11 + 2) % soakN,
+          (col("doc_id") * 13 + 3) % soakN)).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    prEdges.count()
+    val nano = 1000000000L
+    val (prStats, prSec) = time {
+      Graph.pageRankMicro(prNodes, prEdges, "doc_id", "src", "dst",
+          nNodes = soakN, iters = 10, unit = nano)
+        .agg(count(lit(1)).as("n"), sum(col("pr_micro")).as("mass"),
+          max(col("pr_micro")).as("mx"))
+        .head()
+    }
+    assert(prStats.getLong(0) == soakN)
+    val mass = prStats.getLong(1)
+    assert(mass > 0 && mass <= nano,
+      s"PageRank mass $mass outside (0, 1e9] — a floor gained mass?")
+    def probeRun() = Graph.pageRankMicro(prNodes, prEdges, "doc_id",
+        "src", "dst", nNodes = soakN, iters = 10, unit = nano)
+      .filter(col("doc_id") === 12345L % soakN).head().getLong(1)
+    val (probe, probe2) = (probeRun(), probeRun())
+    assert(probe == probe2, s"PageRank nondeterministic: $probe vs $probe2")
+    println(f"pagerank,n=$soakN,iters=10,pr_sec=$prSec%.1f," +
+      s"mass_nano=$mass,max_nano=${prStats.getLong(2)}")
+    prEdges.unpersist()
     spark.stop()
   }
 }

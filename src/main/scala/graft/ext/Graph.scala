@@ -165,10 +165,11 @@ object Graph {
     * aggregation order and bit-identical cross-engine (the bigram-LM
     * numeric discipline; floors lose mass monotonically and
     * identically in both engines, which is why the oracle can unroll
-    * the same recurrence). Micro-precision bounds N at ~10⁵ before
-    * base underflows — scale deployments move the same recurrence to
-    * nano-units (the constants are parameters of the scaling, not the
-    * algorithm).
+    * the same recurrence). `unit` is the integer scale: the default
+    * 1e6 (micro) underflows the base term past N ≈ 1e5 nodes — larger
+    * graphs pass 1e9 (nano) or beyond; the constants scale with it
+    * and the algorithm is unchanged (the soak runs nano at 10⁶
+    * nodes).
     *
     * Scale shape: one iteration = one join of edges onto the current
     * ranks (both shuffling on the source id) + one partial-combinable
@@ -185,13 +186,18 @@ object Graph {
     */
   def pageRankMicro(nodes: DataFrame, edges: DataFrame, idCol: String,
                     srcCol: String, dstCol: String, nNodes: Long,
-                    iters: Int = 10): DataFrame = {
-    require(iters > 0 && nNodes > 0, s"bad iters/nNodes: $iters/$nNodes")
+                    iters: Int = 10,
+                    unit: Long = 1000000L): DataFrame = {
+    require(iters > 0 && nNodes > 0 && unit > 0,
+      s"bad iters/nNodes/unit: $iters/$nNodes/$unit")
+    require(unit / nNodes > 0,
+      s"unit $unit underflows at $nNodes nodes — raise the scale " +
+        "(nano = 1e9, or beyond)")
     val outd = edges.groupBy(col(srcCol))
       .agg(count(lit(1)).as("__outd"))
-    val base = 150000L / nNodes
+    val base = (15L * unit / 100L) / nNodes
     var pr = nodes.select(col(idCol),
-      lit(1000000L / nNodes).as("pr_micro"))
+      lit(unit / nNodes).as("pr_micro"))
     for (_ <- 1 to iters) {
       val contribs = edges
         .join(pr.select(col(idCol).as(srcCol), col("pr_micro")), Seq(srcCol))
@@ -205,6 +211,6 @@ object Graph {
         .select(col(idCol),
           (lit(base) + coalesce(col("__in"), lit(0L))).as("pr_micro"))
     }
-    pr.withColumn("pr", col("pr_micro") / 1e6)
+    pr.withColumn("pr", col("pr_micro") / unit.toDouble)
   }
 }

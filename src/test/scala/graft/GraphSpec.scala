@@ -146,4 +146,24 @@ class GraphSpec extends SparkSpec {
     // floors only ever LOSE mass: total stays under 1e6
     assert(star.values.sum <= 1000000L)
   }
+
+  test("pageRankMicro unit scaling: underflow fails loudly, nano keeps " +
+    "the cycle fixpoint at its own precision") {
+    import spark.implicits._
+    // micro past ~1e6 nodes: the base term would floor to zero and the
+    // whole vector silently collapses — the require catches it up front
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankMicro((0L until 3L).toDF("doc_id"),
+        Seq((0L, 1L)).toDF("src", "dst"), "doc_id", "src", "dst",
+        nNodes = 2000000L, iters = 1)
+    }
+    assert(ex.getMessage.contains("underflows"))
+    // same 3-cycle, nano units: uniform mass is the fixpoint at 1e9/3
+    val cyc = Graph.pageRankMicro((0L until 3L).toDF("doc_id"),
+        Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"),
+        "doc_id", "src", "dst", nNodes = 3, iters = 5,
+        unit = 1000000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cyc.values.toSet == Set(333333333L), cyc)
+  }
 }
