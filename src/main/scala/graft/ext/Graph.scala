@@ -190,9 +190,12 @@ object Graph {
                     unit: Long = 1000000L): DataFrame = {
     require(iters > 0 && nNodes > 0 && unit > 0,
       s"bad iters/nNodes/unit: $iters/$nNodes/$unit")
-    require(unit / nNodes > 0,
-      s"unit $unit underflows at $nNodes nodes — raise the scale " +
-        "(nano = 1e9, or beyond)")
+    // Guard the ACTUAL smallest term, the teleport base (15%·unit)/n —
+    // it floors to 0 well before unit/n does (any n in (0.15·unit,
+    // unit]), which would silently degrade to base-0 PageRank.
+    require((15L * unit / 100L) / nNodes > 0,
+      s"unit $unit underflows at $nNodes nodes (teleport base " +
+        "(15%*unit)/n = 0) — raise the scale (nano = 1e9, or beyond)")
     val outd = edges.groupBy(col(srcCol))
       .agg(count(lit(1)).as("__outd"))
     val base = (15L * unit / 100L) / nNodes

@@ -520,12 +520,18 @@ object Multimodal {
     * payload or the image is smaller than 2×1.
     */
   def dhashBandsReal(payload: Array[Byte]): Option[Array[Long]] =
-    try {
+    if (payload == null) None
+    else try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       if (img == null || img.getWidth < 2 || img.getHeight < 1) None
       else Some(dhashOfImage(img))
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: ImageIO codecs throw runtime
+      // exceptions (IndexOutOfBounds, IllegalArgument) on malformed-
+      // but-claimed images, and the withDHashBands contract is that
+      // undecodable rows are DROPPED, never task-fatal (the audio
+      // bander already behaves this way).
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The shared per-image dHash core ([[dhashBandsReal]] for stills,
     * [[dhashBandsFrames]] per animated frame). */
@@ -556,7 +562,8 @@ object Multimodal {
     * reader accepts the payload or any frame is narrower than 2px.
     */
   def dhashBandsFrames(payload: Array[Byte]): Option[Seq[Array[Long]]] =
-    try {
+    if (payload == null) None
+    else try {
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -571,7 +578,9 @@ object Multimodal {
           else Some(out.map(dhashOfImage))
         } finally reader.dispose()
       }
-    } catch { case _: java.io.IOException => None }
+      // NonFatal for the same reason as [[dhashBandsReal]]: codec
+      // runtime exceptions on malformed payloads must DROP the row.
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Append perceptual-hash bands to a media table — the same
     * payload-dropping `mapPartitions` seam as [[extractImageFeatures]];

@@ -164,7 +164,8 @@ object Retrieval {
     * document frequency — bucketed+sorted by term so a probe with an
     * `isin` on the term column reads ONLY the matching buckets (Spark
     * bucket pruning) and needs no second corpus join for lengths.
-    * `<table>_meta` holds the two corpus scalars (N docs, T tokens).
+    * `<table>_meta` holds the two corpus scalars (N docs, T tokens)
+    * and the id column's name (so probes never bind positionally).
     *
     * df/dl/meta are all derived from the SAVED postings so the
     * artifacts can never disagree with each other.
@@ -184,11 +185,27 @@ object Retrieval {
       .write.format("parquet")
       .bucketBy(nBuckets, "term").sortBy("term", idCol)
       .mode("overwrite").saveAsTable(table)
-    // corpus scalars from the SAVED postings (dl once per doc)
+    // corpus scalars from the SAVED postings (dl once per doc), plus
+    // the id column's NAME — probes read it back rather than assuming
+    // the postings' select order (a positional columns(1) would misbind
+    // silently if the postings schema ever gained or moved a column)
     val saved = df.sparkSession.table(table)
     saved.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      .withColumn("id_col", lit(idCol))
       .write.format("parquet").mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** The indexed corpus' id column, as recorded by [[writeBm25Index]]
+    * in `<table>_meta`; falls back to the postings' second column for
+    * indexes persisted before the name was recorded.
+    */
+  private def bm25IdCol(spark: org.apache.spark.sql.SparkSession,
+                        table: String): String = {
+    val meta = spark.table(s"${table}_meta")
+    if (meta.columns.contains("id_col"))
+      meta.select(col("id_col")).head.getString(0)
+    else spark.table(table).columns(1)
   }
 
   /** Probe a PERSISTED BM25 index ([[writeBm25Index]]) with a query
@@ -203,8 +220,8 @@ object Retrieval {
                     table: String, queryTerms: Seq[String],
                     k: Int): DataFrame = {
     require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
-    val meta = spark.table(s"${table}_meta")
-    val idCol = spark.table(table).columns(1)
+    val meta = spark.table(s"${table}_meta").select(col("n"), col("t"))
+    val idCol = bm25IdCol(spark, table)
     val matched = spark.table(table)
       .filter(col("term").isin(queryTerms: _*))
     val contribs = matched
@@ -254,11 +271,11 @@ object Retrieval {
       .filter(length(col("term")) > 0)
     val terms = qt.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val idCol = spark.table(table).columns(1)
+    val idCol = bm25IdCol(spark, table)
     val matched =
       if (terms.isEmpty) spark.table(table).filter(lit(false))
       else spark.table(table).filter(col("term").isin(terms: _*))
-    val meta = spark.table(s"${table}_meta")
+    val meta = spark.table(s"${table}_meta").select(col("n"), col("t"))
     val scored = matched
       .join(broadcast(qt), Seq("term"))
       .crossJoin(broadcast(meta))

@@ -40,12 +40,19 @@ object JdbcUpsert {
                pk: Seq[String]): String = {
     val on = pk.map(c => s"t.$c = s.$c").mkString(" AND ")
     val nonPk = cols.filterNot(pk.contains)
-    val sets = nonPk.map(c => s"t.$c = s.$c").mkString(", ")
     val insertCols = cols.mkString(", ")
     val insertVals = cols.map(c => s"s.$c").mkString(", ")
-    s"""MERGE INTO $table t USING $staging s ON $on
-       |WHEN MATCHED THEN UPDATE SET $sets
-       |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
+    // All-pk staging: an empty UPDATE SET list is invalid — drop the
+    // WHEN MATCHED branch entirely (matched rows need no change).
+    if (nonPk.isEmpty)
+      s"""MERGE INTO $table t USING $staging s ON $on
+         |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
+    else {
+      val sets = nonPk.map(c => s"t.$c = s.$c").mkString(", ")
+      s"""MERGE INTO $table t USING $staging s ON $on
+         |WHEN MATCHED THEN UPDATE SET $sets
+         |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
+    }
   }
 
   /** PostgreSQL upsert grammar for the same staged-batch contract:
@@ -61,9 +68,17 @@ object JdbcUpsert {
       s"staged columns must include every pk column ${pk.mkString(",")}")
     val insertCols = cols.mkString(", ")
     val nonPk = cols.filterNot(pk.contains)
-    val sets = nonPk.map(c => s"$c = EXCLUDED.$c").mkString(", ")
-    s"""INSERT INTO $table ($insertCols) SELECT $insertCols FROM $staging
-       |ON CONFLICT (${pk.mkString(", ")}) DO UPDATE SET $sets""".stripMargin
+    // All-pk staging (a pure key registry) has nothing to update — `DO
+    // UPDATE SET ` with an empty list is a syntax error; DO NOTHING is
+    // the correct (and idempotent) degenerate form.
+    if (nonPk.isEmpty)
+      s"""INSERT INTO $table ($insertCols) SELECT $insertCols FROM $staging
+         |ON CONFLICT (${pk.mkString(", ")}) DO NOTHING""".stripMargin
+    else {
+      val sets = nonPk.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      s"""INSERT INTO $table ($insertCols) SELECT $insertCols FROM $staging
+         |ON CONFLICT (${pk.mkString(", ")}) DO UPDATE SET $sets""".stripMargin
+    }
   }
 
   /** MySQL upsert grammar for the same staged-batch contract:
@@ -80,10 +95,18 @@ object JdbcUpsert {
     require(cols.toSet.intersect(pk.toSet).size == pk.size,
       s"staged columns must include every pk column ${pk.mkString(",")}")
     val insertCols = cols.mkString(", ")
-    val sets = cols.filterNot(pk.contains)
-      .map(c => s"$c = VALUES($c)").mkString(", ")
-    s"""INSERT INTO $table ($insertCols) SELECT $insertCols FROM $staging
-       |ON DUPLICATE KEY UPDATE $sets""".stripMargin
+    val nonPk = cols.filterNot(pk.contains)
+    // All-pk staging: `ON DUPLICATE KEY UPDATE ` with an empty
+    // assignment list is invalid MySQL. INSERT IGNORE is the matching
+    // degenerate form (nothing to update on conflict, new keys still
+    // land) — same semantics as Postgres' DO NOTHING above.
+    if (nonPk.isEmpty)
+      s"INSERT IGNORE INTO $table ($insertCols) SELECT $insertCols FROM $staging"
+    else {
+      val sets = nonPk.map(c => s"$c = VALUES($c)").mkString(", ")
+      s"""INSERT INTO $table ($insertCols) SELECT $insertCols FROM $staging
+         |ON DUPLICATE KEY UPDATE $sets""".stripMargin
+    }
   }
 
   /** Target-database grammar for the staged-batch merge: the statement

@@ -109,8 +109,10 @@ class Bm25IndexSpec extends SparkSpec {
     assert(!acc.exists(_.head == 9L), "whitespace-only query produced rows")
   }
 
-  test("meta scalars match the corpus (N docs, T tokens)") {
+  test("meta scalars match the corpus (N docs, T tokens) and record " +
+    "the id column by NAME (probes must never bind positionally)") {
     val m = spark.table(s"${table}_meta").collect().head
     assert(m.getLong(0) == 5L && m.getLong(1) == 16L)
+    assert(m.getString(m.fieldIndex("id_col")) == "doc_id")
   }
 }

@@ -158,6 +158,15 @@ class GraphSpec extends SparkSpec {
         nNodes = 2000000L, iters = 1)
     }
     assert(ex.getMessage.contains("underflows"))
+    // the subtle regime: nNodes in (0.15·unit, unit] — unit/n is still
+    // positive but the teleport base (15%·unit)/n floors to 0, which a
+    // unit/n guard would miss and silently run base-0 PageRank
+    val ex2 = intercept[IllegalArgumentException] {
+      Graph.pageRankMicro((0L until 3L).toDF("doc_id"),
+        Seq((0L, 1L)).toDF("src", "dst"), "doc_id", "src", "dst",
+        nNodes = 200000L, iters = 1)
+    }
+    assert(ex2.getMessage.contains("underflows"))
     // same 3-cycle, nano units: uniform mass is the fixpoint at 1e9/3
     val cyc = Graph.pageRankMicro((0L until 3L).toDF("doc_id"),
         Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"),

@@ -36,6 +36,21 @@ class ImageDHashSpec extends SparkSpec {
     }
   }
 
+  test("undecodable payloads DROP (None), never throw: null, garbage, " +
+    "and truncated-PNG inputs across all three banders") {
+    // the withDHashBands contract is row-drop on undecodable input —
+    // codec runtime exceptions (not just IOException) and null
+    // payloads must all land on the None path, or one bad row in a
+    // 100 TB corpus kills its whole task
+    val garbage = Array.fill[Byte](64)(0x5A)
+    val truncated = Multimodal.encodePngHashPixels(3L, 9, 8).take(20)
+    for (bad <- Seq(null, Array.emptyByteArray, garbage, truncated)) {
+      assert(Multimodal.dhashBandsReal(bad).isEmpty)
+      assert(Multimodal.dhashBandsFrames(bad).isEmpty)
+      assert(Multimodal.dhashBandsAudio(bad).isEmpty)
+    }
+  }
+
   test("the single-pixel bump flips at most one dHash bit") {
     for (seed <- Seq(0L, 8L, 64L)) {
       val a = refBands(seed, 0)

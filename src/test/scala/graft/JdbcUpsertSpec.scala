@@ -179,6 +179,24 @@ class JdbcUpsertSpec extends SparkSpec {
         |ON CONFLICT (id) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b""".stripMargin)
   }
 
+  test("all-pk staging degrades to the grammar's no-update form, " +
+    "never an empty assignment list") {
+    // every staged column is a key column (a pure key registry): an
+    // empty `UPDATE SET `/`ON DUPLICATE KEY UPDATE ` is a syntax error
+    // in all three grammars — each must emit its no-op-on-conflict form
+    val pg = JdbcUpsert.upsertSql("t", "t_stg", Seq("id", "k"), Seq("id", "k"))
+    assert(pg ==
+      """INSERT INTO t (id, k) SELECT id, k FROM t_stg
+        |ON CONFLICT (id, k) DO NOTHING""".stripMargin)
+    val my = JdbcUpsert.mysqlUpsertSql("t", "t_stg", Seq("id", "k"),
+      Seq("id", "k"))
+    assert(my == "INSERT IGNORE INTO t (id, k) SELECT id, k FROM t_stg")
+    val ansi = JdbcUpsert.mergeSql("t", "t_stg", Seq("id", "k"), Seq("id", "k"))
+    assert(ansi ==
+      """MERGE INTO t t USING t_stg s ON t.id = s.id AND t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (id, k) VALUES (s.id, s.k)""".stripMargin)
+  }
+
   test("staging table is dropped even when the merge statement itself fails") {
     // the merge fails AFTER the staging write (target doesn't exist) —
     // cleanup must still run, on a fresh connection, or every retry
