@@ -1,0 +1,208 @@
+package graft.entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared plumbing for the per-family catalog modules: table readers
+  * (incl. the schema-adaptive `events` reader), the cross-engine money
+  * convention, and the helpers several families' oracles share
+  * (merge snapshots/CTEs, the BPE merge table, the entropy oracle).
+  *
+  * Everything here was hoisted verbatim out of the former monolithic
+  * `SparkEntry`; behavior is pinned by the unchanged correctness gates
+  * (`EntryContractSpec`, `CatalogDocSpec`, the DuckDB compare).
+  */
+private[graft] object EntryTables {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** q120's fixed BPE merge table — CONSISTENT (every operand is a base
+    * character or an earlier merge's output), which is the condition
+    * under which replay-in-rank-order equals the lowest-rank-present
+    * loop the native expression runs, and what the oracle's nested
+    * replace() chain implements.
+    */
+  val Q120Merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "the" -> "</w>", "e" -> "r", "e" -> "</w>",
+    "a" -> "n", "an" -> "d", "and" -> "</w>")
+
+  /** The q120 oracle, generated from [[Q120Merges]] so table and SQL
+    * cannot drift: each word becomes a chr(1)-framed symbol string
+    * (one code point per symbol plus the `</w>` marker), each merge in
+    * rank order is ONE global `replace` of `␁l␁r␁` with `␁lr␁` —
+    * left-to-right non-overlapping, exactly the fusion order the native
+    * expression uses — and the doc's subword sequence is the flattened
+    * filtered split.
+    */
+  def q120OracleSql: String = {
+    val s0 = "regexp_replace(tok, '(.)', chr(1) || '\\1', 'g') || " +
+      "chr(1) || '</w>' || chr(1)"
+    val chain = Q120Merges.foldLeft(s0) { case (acc, (l, r)) =>
+      s"replace($acc, chr(1) || '$l' || chr(1) || '$r' || chr(1), " +
+        s"chr(1) || '$l$r' || chr(1))"
+    }
+    s"""WITH seg AS (
+       |  SELECT doc_id,
+       |    flatten(list_transform(
+       |      string_split_regex(trim(lower(text)), '\\s+'),
+       |      tok -> list_filter(string_split($chain, chr(1)),
+       |                         x -> x <> ''))) AS flat
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(flat) AS BIGINT) AS n_bpe_tokens,
+       |  md5(array_to_string(flat, chr(1))) AS tokens_md5
+       |FROM seg ORDER BY doc_id""".stripMargin
+  }
+
+  /** Schema-adaptive events reader: some testdata vintages write `ts` as
+    * TIMESTAMP(NANOS) parquet — which Spark's vectorized reader only accepts
+    * as a long (`nanosAsLong`) — while newer vintages write plain
+    * timestamp[us]. Branch on the file schema so either vintage surfaces the
+    * same `ts: timestamp` column. The nanos branch converts with integer
+    * division (a double division would lose precision at 1e18 magnitudes);
+    * DuckDB truncates ns→µs the same way, keeping the oracle comparable.
+    * This is the ONLY nanos-handling site in the repo — specs and Bench go
+    * through it rather than re-deriving the conversion.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val nanosOnDisk = eventsTsIsNanos(s, dir)
+    // The legacy conf is flipped ONLY for the nanos vintage — and must
+    // then stay set through execution (the vectorized reader re-reads it
+    // at scan time). Modern vintages leave session config untouched: a
+    // reader that mutates session state unconditionally is the class of
+    // spooky action the round-6 incident came from.
+    if (nanosOnDisk) s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType if nanosOnDisk =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // plain timestamp[us] parquet surfaces as NTZ; cast to TimestampType
+        // (identity on the stored micros ONLY under a UTC session timezone —
+        // any other zone would silently shift every event, so fail fast
+        // like the unhandled-vintage branch does)
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts arrives as TIMESTAMP_NTZ; the TimestampType cast is " +
+            s"micros-preserving only under spark.sql.session.timeZone=UTC " +
+            s"(session has '$tz')")
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        // fail FAST with the column named — a silent passthrough would
+        // defer this to ten unrelated-looking downstream query errors
+        // (the round-6 failure mode this reader exists to prevent).
+        // A plain INT64 ts (no timestamp annotation) lands here too,
+        // instead of being silently div-1000'd as if it were nanos.
+        throw new IllegalArgumentException(
+          s"events.ts: unhandled on-disk type $other — teach " +
+            "SparkEntry.events() this vintage")
+    }
+  }
+
+  /** True iff the on-disk `events.ts` column is parquet TIMESTAMP(NANOS),
+    * decided from the parquet FOOTER of one data file rather than by
+    * attempting a Spark read — Spark only accepts the nanos vintage with
+    * the session-wide `nanosAsLong` conf set, and `events()` must not
+    * flip that conf for vintages that don't need it.
+    */
+  def eventsTsIsNanos(s: SparkSession, dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$dir/events.parquet")
+    val conf = s.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    // testdata ships a single file; Spark-written tables are directories
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"no parquet data files under $root"))
+      else root
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFileMetaData.getSchema
+      schema.containsField("ts") &&
+        (schema.getType(schema.getFieldIndex("ts"))
+          .getLogicalTypeAnnotation match {
+          case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+    } finally reader.close()
+  }
+
+  val dec2 = DecimalType(18, 2)
+  val dec4 = DecimalType(18, 4)
+  def money(c: Column): Column = sum(c.cast(dec2)).cast("double")
+
+  /** Two deterministic snapshots of `orders` used by the merge queries:
+    * existing = keys ∤3, incoming = keys ∤5 with ~1/7 of prices changed —
+    * yielding non-trivial insert/update/delete/unchanged classes from
+    * read-only test data.
+    */
+  def mergeSnapshots(orders: DataFrame): (DataFrame, DataFrame) = {
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val existing = base.filter(col("o_orderkey") % 3 =!= 0)
+    val incoming = base.filter(col("o_orderkey") % 5 =!= 0)
+      // * 2.0 is exact in IEEE double — unlike round(x*1.1, 2), whose
+      // half-way cases round differently across engines
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2.0)
+          .otherwise(col("o_totalprice")))
+    (existing, incoming)
+  }
+
+  // ============================================================== oracles
+
+  /** Shared CTE prefix for the merge-family oracles (must mirror
+    * `mergeSnapshots` exactly).
+    */
+  val mergeCtes: String =
+    """WITH existing AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |         TIMESTAMP '2020-01-01 00:00:00' AS updated_at,
+      |         (o_orderkey % 11 = 0) AS is_deleted
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |incoming AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2.0
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 <> 0),
+      |updated AS (
+      |  SELECT i.o_orderkey, i.o_orderstatus, i.o_totalprice, e.is_deleted
+      |  FROM incoming i JOIN existing e USING (o_orderkey)
+      |  WHERE (i.o_orderstatus IS DISTINCT FROM e.o_orderstatus)
+      |     OR (i.o_totalprice IS DISTINCT FROM e.o_totalprice)),
+      |deleted AS (
+      |  SELECT e.* FROM existing e
+      |  WHERE NOT EXISTS (SELECT 1 FROM incoming i
+      |                    WHERE i.o_orderkey = e.o_orderkey)
+      |    AND NOT e.is_deleted)
+      |""".stripMargin
+
+  /** DuckDB SQL for q72, generated so it mirrors
+    * [[TextOps.charEntropy]] bucket-for-bucket: same [a-z0-9 space]
+    * alphabet, same `length − length(replace(…))` counts, same
+    * "other" bucket, and — critically for float parity — the same
+    * left-to-right fold order over the 38 entropy terms.
+    */
+  lazy val entropyOracleSql: String = {
+    val alphabet = (('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " "
+    def cnt(ch: String) = s"(length(t) - length(replace(t, '$ch', '')))"
+    val counts = alphabet.map(cnt)
+    val other = s"(length(t) - (${counts.mkString(" + ")}))"
+    def term(c: String) =
+      s"(CASE WHEN $c > 0 THEN -($c::DOUBLE / length(t)) * ln($c::DOUBLE / length(t)) ELSE 0.0 END)"
+    val sumTerms = (counts :+ other).map(term).mkString(" + ")
+    s"""WITH lo AS (SELECT doc_id, lower(text) AS t FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN length(t) > 0 THEN round($sumTerms, 6) ELSE 0.0 END AS entropy
+       |FROM lo ORDER BY doc_id""".stripMargin
+  }
+
+}

@@ -1,0 +1,729 @@
+package graft.entry
+
+/** Text statistics, quality scoring, language ID,
+  * tokenization (incl. BPE), normalization, Gopher rules, DSIR.
+  *
+  * One slice of [[graft.SparkEntry]]'s catalog: `queries` and the
+  * matching DuckDB `oracleSql` live side by side so an edit to a
+  * query and its oracle is always a same-file change.
+  */
+import graft.entry.EntryTables._
+import graft.ext.{Dedup, Multimodal, Retrieval, Similarity, TextOps}
+import graft.model.{ColumnSpec, FkRef, TableConfig}
+import graft.ops.{Merge, Normalize, TemporalJoin}
+import graft.rules.Rules
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+private[graft] object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ==== LLM-pipeline extensions =========================================
+    // ---- text statistics ---------------------------------------------------
+    "q20_text_stats" -> ((s, dir) => {
+      TextOps.withStats(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars_computed", "n_tokens", "n_distinct_tokens",
+          "type_token_ratio", "avg_token_len")
+        .orderBy("doc_id")
+    }),
+
+    // ---- stopword-ratio scoring (language-evidence primitive) -------------
+    "q21_stopword_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.stopwordRatio(col("text"), TextOps.Stopwords("en"))
+            .as("en_stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- heuristic language ID (argmax over evidence; rows-only check) ----
+    "q22_language_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextOps.languageId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- composite quality score ------------------------------------------
+    "q23_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- BPE-ish token estimate (oracle-checked regex counting) ------------
+    "q29_token_estimate" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenEstimate(col("text")).cast("long").as("n_tokens_est"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- DSIR importance weights (oracle-checked): target = the 'en'
+    // slice, raw = everything; hashed-bucket distributions (portable
+    // 32-bit md5 prefixes), add-one smoothing, and per-bucket log-ratios
+    // rounded to micro-nats on the ≤256-row lattice BEFORE scoring, so
+    // each doc's log-weight is an exact long dot product of its bucket
+    // counts with the lattice — deterministic in any agg order.
+    "q125_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", nBuckets = 256)
+        .orderBy("doc_id")
+    }),
+
+    // ---- intra-document repeated-line strip (oracle-checked): the
+    // WITHIN-document counterpart of q50's corpus-wide line dedup — keep
+    // only the first occurrence of each line inside its own document.
+    // Pure array-HOF projection, zero shuffle. Lines are derived by
+    // breaking the text every 5 words; the word-soup corpus then repeats
+    // lines within a document for real.
+    "q97_line_strip" -> ((s, dir) => {
+      val lined = t(s, dir, "documents")
+        .withColumn("text",
+          regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1\n"))
+      TextOps.stripRepeatedLines(lined, "text")
+        .select(col("doc_id"), col("lines_total"), col("lines_kept"),
+          md5(col("text_unique")).as("unique_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- C4-style line cleaning (oracle-checked): terminal-punctuation
+    // + min-words + blocklist line filters (Raffel et al. 2020 §2.2,
+    // public heuristics). Crafted lines appended per document exercise
+    // every rule: one kept sentence, a blocklisted one, a too-short one,
+    // an unpunctuated one, and (for doc_id % 4 == 0) a second keeper.
+    "q98_line_clean" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text", concat(
+          col("text"),
+          lit("\nDocument "), col("doc_id").cast("string"),
+          lit(" retains this properly punctuated sentence."),
+          lit("\nPlease enable javascript to continue."),
+          lit("\nToo short."),
+          lit("\nthis line has words but no terminal punctuation"),
+          when(col("doc_id") % 4 === 0,
+            lit("\nAn extra valid closing line appears here!"))
+            .otherwise(lit(""))))
+      TextOps.cleanLines(aug, "text", minWords = 3)
+        .select(col("doc_id"), col("lines_total"), col("lines_kept"),
+          col("text_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- model-based quality filter (oracle-checked): fastText-style
+    // hashed-linear classifier inference as a zero-shuffle projection —
+    // md5-derived integer milli-weights make the logit exact in any
+    // engine; the keep decision thresholds the truncated mean weight.
+    "q99_quality_classifier" -> ((s, dir) => {
+      TextOps.qualityClassifierScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("logit_milli"),
+          col("quality_logit"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus-trained bigram LM scoring (oracle-checked): the
+    // KenLM-perplexity-filter analog with exact integer-micro numerics —
+    // the trained model is the bigram-count RELATION, inference is one
+    // token-keyed shuffle + a per-doc aggregate, zero driver state.
+    "q103_bigram_lm_score" -> ((s, dir) => {
+      TextOps.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus drift report (oracle-checked): crawl-over-crawl
+    // distribution monitoring — per-source token-count histograms of two
+    // snapshots (B = A with every 7th doc grown by 60 tokens), compared
+    // as exact integer micro-share L1 shifts, no ln()-based PSI hazard.
+    "q104_drift_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withTok = (d: DataFrame) => d.select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      val snapA = withTok(docs)
+      val snapB = withTok(docs.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" x" * 60))).otherwise(col("text"))))
+      TextOps.histogramDrift(snapA, snapB, "source", "n_tok",
+          binWidth = 50L, nBins = 6)
+        .orderBy("source", "bin")
+    }),
+
+    // ---- unicode NFC normalization (oracle-checked): the normal-form-
+    // first hygiene pass every byte-keyed operator depends on. Each
+    // document gains a DECOMPOSED suffix (combining acute/ring/diaeresis
+    // as separate codepoints) so the native graft_unicode_norm expression
+    // does real composition work on every row; DuckDB's nfc_normalize is
+    // the independent UAX #15 implementation the md5s must agree with.
+    "q109_nfc_normalize" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          lit("\nCafe\u0301 A\u030A nai\u0308ve nr "),
+          col("doc_id").cast("string")))
+      TextOps.withNormalizedText(aug, "text", "NFC")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_raw"),
+          length(col("text_norm")).cast("long").as("len_nfc"),
+          col("norm_changed"),
+          md5(col("text_norm")).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- control-char / zero-width cleanup (oracle-checked): the
+    // encoding-damage census — C0 controls, DEL, zero-width set, U+FFFD
+    // replacement scars — planted per doc (one extra ZWSP on even ids so
+    // the removed-count varies) and stripped by one codegen'd regex
+    // projection in both engines.
+    "q111_control_clean" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit("\n"),
+          lit("\u0007ok\u000Bzero\u200Bwidth\uFEFF end\u007F\uFFFD"),
+          when(col("doc_id") % 2 === 0, lit("\u200B")).otherwise(lit(""))))
+      TextOps.cleanControlChars(aug, "text")
+        .select(col("doc_id"), col("n_ctl_removed"),
+          length(col("text_clean")).cast("long").as("len_clean"),
+          md5(col("text_clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- BPE merge-table training (rows-only + RowsOnlyPinSpec hash
+    // gate — the iterative trainer is not expressible in one SQL
+    // statement): Sennrich-style dictionary BPE, ONE corpus collapse to
+    // (word, freq) then one aggregation per merge step; exact-long
+    // counts + lexicographic ties make the table bit-deterministic.
+    // BpeSpec pins the trainer against an independent plain-Scala
+    // reference (the Lloyd-step non-circularity discipline).
+    "q119_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val merges = TextOps.trainBpeMerges(t(s, dir, "documents"), "text",
+        nMerges = 16)
+      merges.zipWithIndex
+        .map { case ((l, r, c), i) => ((i + 1).toLong, l, r, c) }
+        .toDF("rank", "left", "right", "cnt").orderBy("rank")
+    }),
+
+    // ---- BPE tokenization under a FIXED merge table (oracle-checked —
+    // unlike q119's trainer, the APPLY side is one SQL statement: BPE
+    // replay-in-rank-order over a delimiter-framed symbol string is a
+    // chain of plain replace() calls, which the oracle builds literally;
+    // the native BpeSegmentExpr must reproduce it hash-exact). Table is
+    // consistent (each operand is a base char or an earlier merge's
+    // output), where replay-in-order ≡ the lowest-rank-present loop.
+    "q120_bpe_tokenize" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      TextOps.withBpeTokens(t(s, dir, "documents"), "text", Q120Merges)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          md5(concat_ws("", col("bpe_tokens"))).as("tokens_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- vocabulary coverage report (oracle-checked): top-V corpus
+    // tokens with cumulative ppm share — tokenizer-training precursor.
+    // Top-V selection via the graft_top_k aggregate (O(V) state, no
+    // global window over the distinct-token relation); the oracle uses
+    // the window formulation, same contract as q48/q83/q90.
+    "q118_vocab_coverage" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      TextOps.vocabularyCoverage(t(s, dir, "documents"), "text", topV = 100)
+        .orderBy("rank")
+    }),
+
+    // ---- Gopher quality-rule bundle (oracle-checked): the seven
+    // document filters of Rae et al. 2021, each decided in exact integer
+    // arithmetic (cross-multiplied thresholds — no float in any
+    // decision). Structure is planted per doc-id class (bullet lines /
+    // ellipsis endings / symbol runs) so every rule fires both ways.
+    "q114_gopher_rules" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"),
+              lit("\n- bullet one\n- bullet two\n* bullet three")))
+          .when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit("\nto be continued...\nand then…")))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" ## ### #### ##")))
+          .otherwise(col("text")))
+      TextOps.gopherRules(aug, "text")
+        .select(col("doc_id"), col("n_words"), col("pass_word_count"),
+          col("pass_mean_word_len"), col("pass_symbol_ratio"),
+          col("pass_bullet"), col("pass_ellipsis"), col("pass_alpha"),
+          col("pass_stopwords"), col("gopher_pass"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- TF-IDF top terms per document (oracle-checked): corpus-level
+    // statistics — the df/idf side aggregates over the whole corpus while
+    // staying one lazy plan (broadcast 1-row N, term-keyed shuffles)
+    "q48_tfidf_topk" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 5,
+          useNative = true) // graft_top_k ranking — no window sort of the
+        .orderBy("doc_id", "rank") // scored term relation (≡, spec-pinned)
+    }),
+
+    // ---- repetition quality signals (oracle-checked): top-token share +
+    // duplicate-bigram fraction, the Gopher-style repetition filters.
+    // Native shingling (bit-identical, spec-pinned) — the HOF bigram path
+    // was the catalog's slowest remaining constant (4.8 s at sf0.1).
+    "q47_repetition" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
+          useNative = true)
+        .orderBy("doc_id")
+    }),
+
+    // ---- RAG chunking (oracle-checked): overlapping 64-token windows
+    // every 48 tokens — narrow transform, no shuffle; the oracle walks
+    // the same start sequence with range() + list slicing.
+    "q69_chunk_overlap" -> ((s, dir) => {
+      TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- edit-distance near-dup pairs (oracle-checked): prefix-blocked
+    // + length-band-prefiltered thresholded Levenshtein — the character-
+    // level dedup family next to Jaccard/MinHash/SimHash.
+    "q70_edit_distance" -> ((s, dir) => {
+      Dedup.editDistanceNearDupPairs(t(s, dir, "documents"), "doc_id",
+          "text", prefixLen = 32, maxDist = 40)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- character-entropy quality signal (oracle-checked): bucketed
+    // Shannon entropy as ONE codegen'd projection — no per-character
+    // explode, no shuffle, fixed fold order for engine parity.
+    "q72_char_entropy" -> ((s, dir) => {
+      TextOps.withCharEntropy(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("entropy"))
+        .orderBy("doc_id")
+    }),
+
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q20_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_computed,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_tokens,
+        |  round(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+        |    / len(string_split_regex(trim(text), '\s+')), 6) AS type_token_ratio,
+        |  round((length(text) - (len(string_split_regex(trim(text), '\s+')) - 1))::DOUBLE
+        |    / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_stopword_ratio" ->
+      """SELECT doc_id,
+        |  round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+        |    / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6)
+        |    AS en_stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextOps.languageId exactly: per-language stopword-token counts
+    // (the regex-count formulation equals token∩words counting, as pinned by
+    // q21), CJK evidence ×3, argmax with (score, lang) lexicographic
+    // tie-break — list_max over structs is DuckDB's struct-ordering max,
+    // identical to Spark's array_max over structs.
+    "q22_language_id" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang AS labeled_lang, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang
+        |FROM (
+        |  SELECT doc_id, labeled_lang,
+        |    list_max([
+        |      {'score': len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu','mit','den','von'))), 'lang': 'de'},
+        |      {'score': len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))), 'lang': 'en'},
+        |      {'score': len(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una','de','que','por'))), 'lang': 'es'},
+        |      {'score': len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','de','que','pour'))), 'lang': 'fr'},
+        |      {'score': 3*length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')), 'lang': 'zh'}
+        |    ]) AS best
+        |  FROM tk)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextOps.qualityScore term by term (length band, capped lexical
+    // diversity, punctuation penalty, stopword evidence with its inner
+    // round-6, weights 0.4/0.3/0.2/0.1, outer round-6). Both engines fold
+    // the weighted sum left-to-right over IEEE doubles.
+    "q23_quality_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split_regex(trim(lower(text)), '\s+') AS lotoks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  floor((
+        |    (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
+        |          WHEN length(text) BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END) * 0.4
+        |    + least(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 1.0) * 0.3
+        |    + (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+        |         / greatest(length(text), 1) * 5, 1.0)) * 0.2
+        |    + least(round(len(list_filter(lotoks,
+        |          x -> x IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+        |         / greatest(len(lotoks), 1), 6) * 5, 1.0) * 0.1
+        |  ) * 1000000.0) / 1000000.0 AS quality
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q29_token_estimate" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chr() codepoints: 769=U+0301 combining acute, 778=U+030A combining
+    // ring, 776=U+0308 combining diaeresis — the decomposed suffix the
+    // Spark side plants; nfc_normalize is DuckDB's independent UAX #15
+    "q109_nfc_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'Cafe' || chr(769) || ' A' || chr(778) ||
+        |      ' nai' || chr(776) || 've nr ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, text, nfc_normalize(text) AS t2 FROM aug)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+        |  CAST(length(t2) AS BIGINT) AS len_nfc,
+        |  text <> t2 AS norm_changed,
+        |  md5(t2) AS nfc_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // chr() codepoints: 7=BEL, 11=VT, 8203=U+200B ZWSP, 65279=U+FEFF
+    // BOM/ZWNBSP, 127=DEL, 65533=U+FFFD replacement char — the planted
+    // encoding damage; the class mirrors TextOps.cleanControlChars
+    "q111_control_clean" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || chr(10) || chr(7) || 'ok' || chr(11) ||
+        |    'zero' || chr(8203) || 'width' || chr(65279) || ' end' ||
+        |    chr(127) || chr(65533) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(8203) ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  regexp_replace(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{200C}\x{200D}\x{FEFF}\x{FFFD}]',
+        |    '', 'g') AS t2
+        |  FROM aug)
+        |SELECT doc_id, CAST(length(text) - length(t2) AS BIGINT) AS n_ctl_removed,
+        |  CAST(length(t2) AS BIGINT) AS len_clean, md5(t2) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // DSIR in the same micro-nat lattice discipline as the Spark side:
+    // ln only on the ≤nBuckets lattice, doc scores are exact integer
+    // dot products; ('0x'||hex)::BIGINT ≡ Spark conv(hex,16,10)
+    "q125_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tokf AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('f:graft:' || term), 1, 8))::BIGINT % 256
+        |      AS b
+        |  FROM tok WHERE length(term) > 0),
+        |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+        |       FROM tokf JOIN documents USING (doc_id)
+        |       WHERE lang = 'en' GROUP BY b),
+        |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr
+        |       FROM tokf GROUP BY b),
+        |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS tt,
+        |               (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS tr),
+        |lattice AS (
+        |  SELECT coalesce(ct.b, cr.b) AS b,
+        |    CAST(round((ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 256))
+        |              - ln((coalesce(cr.cr, 0) + 1.0) / (tot.tr + 256)))
+        |      * 1000000) AS BIGINT) AS lr_micro
+        |  FROM ct FULL OUTER JOIN cr ON ct.b = cr.b CROSS JOIN tot),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(c * lr_micro) AS BIGINT) AS logw_micro
+        |  FROM (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |        FROM tokf GROUP BY doc_id, b) dbc
+        |  JOIN lattice USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split_regex(trim(lower(d.text)), '\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  coalesce(p.logw_micro, 0) AS logw_micro,
+        |  coalesce(p.logw_micro, 0) / 1000000.0 AS logw
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // intra-doc first-occurrence line filter: Spark's 0-based lambda
+    // index pairs with 1-based array_position as i+1; DuckDB's lambda
+    // index is already 1-based
+    "q97_line_strip" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |arr AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM lined),
+        |u AS (SELECT doc_id, lns,
+        |        list_filter(lns, (x, i) -> list_position(lns, x) = i) AS uniq
+        |      FROM arr)
+        |SELECT doc_id,
+        |  CAST(len(lns) AS BIGINT) AS lines_total,
+        |  CAST(len(uniq) AS BIGINT) AS lines_kept,
+        |  md5(array_to_string(uniq, chr(10))) AS unique_md5
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q98_line_clean" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'Document ' || CAST(doc_id AS VARCHAR) ||
+        |      ' retains this properly punctuated sentence.' ||
+        |      chr(10) || 'Please enable javascript to continue.' ||
+        |      chr(10) || 'Too short.' ||
+        |      chr(10) || 'this line has words but no terminal punctuation' ||
+        |      CASE WHEN doc_id % 4 = 0
+        |           THEN chr(10) || 'An extra valid closing line appears here!'
+        |           ELSE '' END AS text
+        |  FROM documents),
+        |arr AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM aug),
+        |c AS (SELECT doc_id, lns,
+        |        list_filter(lns, x ->
+        |          regexp_matches(trim(x), '[.!?"]$')
+        |          AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+        |          AND NOT contains(lower(trim(x)), 'javascript')
+        |          AND NOT contains(lower(trim(x)), 'cookie policy')
+        |          AND NOT contains(lower(trim(x)), 'terms of use')) AS kept
+        |      FROM arr)
+        |SELECT doc_id,
+        |  CAST(len(lns) AS BIGINT) AS lines_total,
+        |  CAST(len(kept) AS BIGINT) AS lines_kept,
+        |  array_to_string(kept, chr(10)) AS text_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // integer milli-weight sums are exact in both engines; the one double
+    // division is floor-truncated, so threshold boundaries cannot flip
+    "q99_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(ts, t ->
+        |      ('0x' || substr(md5('w:graft:' ||
+        |         CAST(('0x' || substr(md5('f:graft:' || t), 1, 8))::BIGINT % 1024
+        |              AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000))
+        |      AS BIGINT) AS logit_milli
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, logit_milli,
+        |  floor(logit_milli / (n_tokens * 1000.0) * 1e6) / 1e6 AS quality_logit,
+        |  floor(logit_milli / (n_tokens * 1000.0) * 1e6) / 1e6 >= 0.0 AS kept
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // integer micro-shares ((1e6*n) // total) and their L1 distance are
+    // exact in both engines; bins via integer division, capped at nBins-1
+    "q104_drift_report" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    len(string_split_regex(trim(
+        |      CASE WHEN doc_id % 7 = 0 THEN text || repeat(' x', 60)
+        |           ELSE text END), '\s+')) AS n_tok
+        |  FROM documents),
+        |ca AS (SELECT source, least(n_tok // 50, 5) AS bin, count(*) AS n_a
+        |       FROM a GROUP BY 1, 2),
+        |cb AS (SELECT source, least(n_tok // 50, 5) AS bin, count(*) AS n_b
+        |       FROM b GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(ca.source, cb.source) AS source,
+        |    coalesce(ca.bin, cb.bin) AS bin,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb
+        |    ON ca.source = cb.source AND ca.bin = cb.bin),
+        |tot AS (
+        |  SELECT source, CAST(sum(n_a) AS BIGINT) AS tot_a,
+        |    CAST(sum(n_b) AS BIGINT) AS tot_b
+        |  FROM j GROUP BY source)
+        |SELECT j.source, j.bin, j.n_a, j.n_b,
+        |  (1000000 * j.n_a) // greatest(tot_a, 1) AS share_a_micro,
+        |  (1000000 * j.n_b) // greatest(tot_b, 1) AS share_b_micro,
+        |  abs((1000000 * j.n_a) // greatest(tot_a, 1) -
+        |      (1000000 * j.n_b) // greatest(tot_b, 1)) AS drift_micro
+        |FROM j JOIN tot USING (source)
+        |ORDER BY j.source, j.bin""".stripMargin,
+
+    // integer micro-prob contributions ((1e6*(c12+1)) // (c1+V)) sum and
+    // average exactly in both engines; the only double op is the final /1e6
+    "q103_bigram_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM t WHERE len(ts) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM c12),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    (1000000 * (c12.c12 + 1)) // (c1.c1 + v.v) AS contrib
+        |  FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(contrib) AS BIGINT) AS s
+        |  FROM sc GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM t)
+        |SELECT base.doc_id, n_tokens,
+        |  coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(pd.s // pd.n_bigrams, 0) AS mean_prob_micro,
+        |  coalesce(pd.s // pd.n_bigrams, 0) / 1e6 AS mean_prob
+        |FROM base LEFT JOIN pd USING (doc_id) ORDER BY base.doc_id""".stripMargin,
+
+    "q48_tfidf_topk" ->
+      """WITH terms AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6)
+        |      AS tfidf
+        |  FROM terms t JOIN dfreq d USING (term) CROSS JOIN n)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY tfidf DESC, term) AS "rank",
+        |  term, tfidf
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY tfidf DESC, term) <= 5
+        |ORDER BY doc_id, "rank"""".stripMargin,
+
+    "q47_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+        |tops AS (
+        |  SELECT doc_id, max(c) AS max_c, sum(c) AS total
+        |  FROM counts GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents)
+        |SELECT bi.doc_id,
+        |  round(tops.max_c::DOUBLE / tops.total, 6) AS top_token_share,
+        |  CASE WHEN len(bi.t) >= 2
+        |       THEN round(1 - len(list_distinct(list_transform(
+        |              range(1, len(bi.t)),
+        |              i -> concat_ws(' ', bi.t[i], bi.t[i+1]))))::DOUBLE
+        |            / (len(bi.t) - 1), 6)
+        |       ELSE 0.0 END AS dup_bigram_fraction
+        |FROM bi JOIN tops ON bi.doc_id = tops.doc_id
+        |ORDER BY bi.doc_id""".stripMargin,
+
+    // range(0, n, stride) = the same start set as Spark's
+    // sequence(0, n-1, stride); DuckDB list slicing is 1-based
+    // inclusive with clamping, mirroring slice(toks, start+1, window).
+    "q69_chunk_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS cs
+        |  FROM tk)
+        |SELECT doc_id, cs // 48 AS chunk_idx,
+        |  array_to_string(toks[cs+1:cs+64], ' ') AS chunk_text,
+        |  len(toks[cs+1:cs+64]) AS n_chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q70_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, substr(text, 1, 32) AS block,
+        |    length(text) AS len
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.text, b.text) AS dist
+        |FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE abs(a.len - b.len) <= 40 AND levenshtein(a.text, b.text) <= 40
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // generated to mirror TextOps.charEntropy bucket-for-bucket in the
+    // same fold order (see entropyOracleSql below the map)
+    "q72_char_entropy" -> entropyOracleSql,
+
+    // generated from Q120Merges (table and SQL cannot drift): framed-
+    // string replace chain ≡ the native expression's fusion order
+    "q120_bpe_tokenize" -> q120OracleSql,
+
+    // window formulation of the graft_top_k selection (the q48/q83/q90
+    // contract); cumulative share in integer ppm via floor division
+    "q118_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT t.tok FROM documents,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |cnt AS (SELECT tok AS token, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM cnt),
+        |top AS (
+        |  SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token) AS "rank"
+        |  FROM cnt
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 100)
+        |SELECT "rank", token, cnt,
+        |  CAST((sum(cnt) OVER (ORDER BY "rank")) * 1000000 // total AS BIGINT)
+        |    AS cum_ppm
+        |FROM top, tot
+        |ORDER BY "rank"""".stripMargin,
+
+    // every Gopher rule is an integer cross-multiplication — no float in
+    // any decision, so the booleans are exact cross-engine; token split
+    // ≡ Spark's (q21-pinned), line split via chr(10)
+    "q114_gopher_rules" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || '- bullet one' ||
+        |           chr(10) || '- bullet two' || chr(10) || '* bullet three'
+        |         WHEN doc_id % 7 = 1 THEN text || chr(10) ||
+        |           'to be continued...' || chr(10) || 'and then' || chr(8230)
+        |         WHEN doc_id % 7 = 2 THEN text || ' ## ### #### ##'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split(text, chr(10)) AS lns,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.|' || chr(8230))) AS BIGINT) AS symbols
+        |  FROM aug),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS word_chars,
+        |    symbols,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lns, x -> regexp_matches(x, '^[ \t]*[-*' || chr(8226) || ']'))) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lns, x -> regexp_matches(x, '(\.\.\.|' || chr(8230) || ')[ \t]*$'))) AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_distinct(list_intersect(list_transform(toks, x -> lower(x)),
+        |      ['the','be','to','of','and','that','have','with']))) AS BIGINT) AS stop_hits
+        |  FROM f)
+        |SELECT doc_id, n_words,
+        |  n_words BETWEEN 50 AND 100000 AS pass_word_count,
+        |  word_chars >= n_words * 3 AND word_chars <= n_words * 10 AS pass_mean_word_len,
+        |  symbols * 10 <= n_words AS pass_symbol_ratio,
+        |  bullet_lines * 10 <= n_lines * 9 AS pass_bullet,
+        |  ellipsis_lines * 10 <= n_lines * 3 AS pass_ellipsis,
+        |  alpha_words * 5 >= n_words * 4 AS pass_alpha,
+        |  stop_hits >= 2 AS pass_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AND
+        |    (word_chars >= n_words * 3 AND word_chars <= n_words * 10) AND
+        |    (symbols * 10 <= n_words) AND (bullet_lines * 10 <= n_lines * 9) AND
+        |    (ellipsis_lines * 10 <= n_lines * 3) AND
+        |    (alpha_words * 5 >= n_words * 4) AND (stop_hits >= 2) AS gopher_pass
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+  )
+}
