@@ -828,12 +828,8 @@ object TextOps {
     val toks = split(trim(lower(col(textCol))), "\\s+")
     // token → bucket → milli-weight, all through 32-bit md5 prefixes
     // (engine-portable: conv(hex,16,10) ≡ ('0x'||hex)::BIGINT)
-    val wMilli = transform(toks, t => {
-      val bucket = conv(substring(md5(concat(lit(s"f:$salt:"), t)), 1, 8),
-        16, 10).cast("long") % nBuckets
-      conv(substring(md5(concat(lit(s"w:$salt:"), bucket.cast("string"))),
-        1, 8), 16, 10).cast("long") % 2001 - 1000
-    })
+    val wMilli = transform(toks,
+      t => mdWeightMilli(featureBucket(t, nBuckets, salt), salt))
     val n = size(toks)
     val zMilli = aggregate(wMilli, lit(0L), (acc, x) => acc + x)
     // one IEEE division then floor-truncate: bit-identical cross-engine
@@ -842,6 +838,168 @@ object TextOps {
       .withColumn("logit_milli", zMilli)
       .withColumn("quality_logit", score)
       .withColumn("kept", coalesce(score >= threshold, lit(false)))
+  }
+
+  /** The quality-classifier family's ONE feature-hash definition: token
+    * → 32-bit md5 prefix → bucket in [0, nBuckets). Teacher weights,
+    * training, and trained-weight inference must all hash identically
+    * or a trained lattice silently misbinds at serving time.
+    */
+  private def featureBucket(tok: Column, nBuckets: Int,
+                            salt: String): Column =
+    conv(substring(md5(concat(lit(s"f:$salt:"), tok)), 1, 8), 16, 10)
+      .cast("long") % nBuckets
+
+  /** The fixed md5-derived milli-weight of a bucket — the scorer's
+    * built-in "model" and the teacher that plants separable labels for
+    * [[trainQualityClassifier]]'s spec corpus. */
+  private def mdWeightMilli(bucket: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(s"w:$salt:"), bucket.cast("string"))),
+      1, 8), 16, 10).cast("long") % 2001 - 1000
+
+  /** [[qualityClassifierScore]]'s inference plan under TRAINED weights
+    * (micro-logits, index = bucket) instead of the md5-derived lattice:
+    * same tokenization, same [[featureBucket]] hash, same zero-shuffle
+    * projection shape and NULL policy; only the per-token weight lookup
+    * changes (element_at on the broadcast weight literal). This is the
+    * serving half of [[trainQualityClassifier]] — train once, then
+    * score any corpus with the exact inference operator the fixed-model
+    * path already pins.
+    *
+    * Appends `n_tokens`, `logit_micro` (exact integer Σ w[bucket]),
+    * `quality_logit` (floor-truncated per-token mean, in logits), and
+    * `kept` (mean ≥ threshold; NULL text → kept=false).
+    */
+  def qualityClassifierScoreWith(df: DataFrame, textCol: String,
+                                 weightsMicro: Seq[Long],
+                                 threshold: Double = 0.0,
+                                 salt: String = "graft"): DataFrame = {
+    require(weightsMicro.nonEmpty, "empty weight lattice")
+    val nBuckets = weightsMicro.size
+    val wLit = typedlit(weightsMicro)
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val wMicro = transform(toks, t =>
+      element_at(wLit, (featureBucket(t, nBuckets, salt) + 1).cast("int")))
+    val n = size(toks)
+    val zMicro = aggregate(wMicro, lit(0L), (acc, x) => acc + x)
+    val score = floor(zMicro / (n * lit(1000000.0)) * 1e6) / 1e6
+    df.withColumn("n_tokens", n.cast("long"))
+      .withColumn("logit_micro", zMicro)
+      .withColumn("quality_logit", score)
+      .withColumn("kept", coalesce(score >= threshold, lit(false)))
+  }
+
+  /** Train the quality classifier IN-ENGINE — logistic regression by
+    * full-batch gradient steps under a hard-sigmoid link, run as a
+    * relational fixpoint on the Lloyd-trainer discipline
+    * ([[graft.ext.Ivf]]'s `lloydIterateExemplar`): per step, ONE
+    * aggregation produces the ≤nBuckets-row gradient lattice, the
+    * driver folds it into its bounded weight vector (nBuckets longs —
+    * the only driver state), and the next step re-scores under the
+    * updated literal. Real curation pipelines train exactly this hashed
+    * linear model on labeled seed corpora (CCNet / GPT-3 quality
+    * filtering — public recipes, no code consulted).
+    *
+    * Numerics are integer-exact end to end, which is what lets the
+    * catalog gate the TRAINING itself against DuckDB (q139/q140, the
+    * q134 unrolled-iteration pattern):
+    *  - features x(d,b) = exact token counts per bucket (same
+    *    tokenization + [[featureBucket]] hash as the scorers);
+    *  - logit z_micro(d) = Σ_b w_micro(b)·x(d,b), an exact long;
+    *  - hard sigmoid p_micro = clamp(5·10⁵ + z_micro div 4, 0, 10⁶) —
+    *    slope 1/4 at the origin (= σ′(0)); `div` TRUNCATES toward zero,
+    *    which is what DuckDB's integer `//` does too (verified: -7//2
+    *    = -3 there — it does NOT floor, so floorDiv/shiftright would
+    *    drift one unit on negative logits);
+    *  - gradient g(b) = Σ_d (y_micro − p_micro)·cw_milli(class)·x(d,b),
+    *    exact, with BALANCED class weights cw_milli = 10³·D/(2·D_class)
+    *    (sklearn's class_weight='balanced' recipe, public — without it
+    *    the intercept-free model on nonnegative count features
+    *    collapses to the majority class, measured at every lr);
+    *  - update Δw_micro(b) = (lrPpm/k)·g(b) / (10⁹·D) at step k — a
+    *    mean-gradient step under harmonic lr decay; Scala Long `/`
+    *    truncates, again ≡ DuckDB `//`.
+    *
+    * Scale shape: the (doc, bucket, count) relation is built ONCE and
+    * cached — at 100 TB that is the only pass over the documents — and
+    * each step is one broadcast-literal projection (z), one id-keyed
+    * join (err onto counts), and one bucket-keyed aggregate (≤nBuckets
+    * rows out). Steps are fixed and small; lineage doesn't grow (each
+    * step re-derives from the cached counts). Overflow bound: the
+    * update multiplies lrPpm·g and g carries the milli class weight,
+    * so keep lrPpm·10⁹·cw_milli·(tokens in the heaviest bucket) < 2⁶³
+    * — at the defaults and near-balanced classes that allows ~10¹⁰
+    * tokens per bucket; raise nBuckets with corpus size as usual, and
+    * under extreme imbalance (cw_milli large) subsample the majority
+    * class into the seed set first, which is the standard recipe
+    * anyway.
+    *
+    * `labelCol` is boolean (true = positive). Returns the dense trained
+    * lattice, index = bucket, in micro-logits.
+    */
+  def trainQualityClassifier(labeled: DataFrame, idCol: String,
+                             textCol: String, labelCol: String,
+                             nBuckets: Int = 1024, steps: Int = 6,
+                             lrPpm: Long = 200000L,
+                             salt: String = "graft"): Array[Long] = {
+    require(nBuckets > 0 && steps > 0 && lrPpm > 0,
+      s"bad nBuckets/steps/lrPpm: $nBuckets/$steps/$lrPpm")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val counts = labeled
+      .select(col(idCol), col(labelCol),
+        explode(toks).as("__tok"))
+      .select(col(idCol), col(labelCol),
+        featureBucket(col("__tok"), nBuckets, salt).as("b"))
+      .groupBy(col(idCol), col(labelCol), col("b"))
+      .agg(count(lit(1)).as("x"))
+      .cache()
+    try {
+      // class census (bounded: 2 rows) — quality seed sets are heavily
+      // positive-skewed, and an intercept-free model on nonnegative
+      // count features collapses to the majority class without the
+      // balanced class weights (measured: all-positive at every lr)
+      val cls = counts.select(col(idCol), col(labelCol)).distinct()
+        .groupBy(col(labelCol)).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val nPos = cls.getOrElse(true, 0L)
+      val nNeg = cls.getOrElse(false, 0L)
+      require(nPos > 0 && nNeg > 0,
+        s"need both classes in the seed corpus: pos=$nPos neg=$nNeg")
+      val nDocs = nPos + nNeg
+      // balanced class weights in milli (sklearn's class_weight=
+      // 'balanced' recipe, public), truncating division throughout
+      val cwPos = 1000L * nDocs / (2L * nPos)
+      val cwNeg = 1000L * nDocs / (2L * nNeg)
+      val w = new Array[Long](nBuckets)
+      for (k <- 1 to steps) {
+        val wLit = typedlit(w.toSeq)
+        val g = counts
+          .withColumn("__wx",
+            element_at(wLit, (col("b") + 1).cast("int")) * col("x"))
+          .groupBy(col(idCol), col(labelCol))
+          .agg(sum(col("__wx")).as("__z"))
+          .withColumn("__p",
+            greatest(lit(0L), least(lit(1000000L),
+              lit(500000L) + expr("__z div 4"))))
+          .withColumn("__err",
+            (when(col(labelCol), lit(1000000L)).otherwise(lit(0L))
+              - col("__p"))
+              * when(col(labelCol), lit(cwPos)).otherwise(lit(cwNeg)))
+          .join(counts, Seq(idCol, labelCol))
+          .groupBy(col("b"))
+          .agg(sum(col("__err") * col("x")).as("g"))
+          .collect()
+        // harmonic decay lr/k: the big first step finds the direction,
+        // shrinking steps stop the balanced gradient from oscillating
+        // around the boundary (measured on the planted corpora)
+        val lrK = lrPpm / k
+        g.foreach { r =>
+          val b = r.getLong(0).toInt
+          w(b) += lrK * r.getLong(1) / (1000000000L * nDocs)
+        }
+      }
+      w
+    } finally counts.unpersist()
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, public recipe):

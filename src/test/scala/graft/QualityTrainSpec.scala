@@ -1,0 +1,109 @@
+package graft
+
+import graft.ext.TextOps
+import org.apache.spark.sql.functions._
+
+/** In-engine quality-classifier training: bit-level agreement with an
+  * independent plain-Scala replay of the gradient loop, real learning
+  * on a planted separable corpus (teacher labels from the EXISTING
+  * md5-weight scorer), and the train → serve round-trip through
+  * `qualityClassifierScoreWith`.
+  */
+class QualityTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-Scala replay of trainQualityClassifier: same tokenization,
+    * same md5 feature hash, same balanced hard-sigmoid gradient with
+    * truncating division everywhere (Scala `/` ≡ Spark `div` ≡ DuckDB
+    * integer `//` — all toward zero).
+    */
+  private def refTrain(docs: Seq[(Long, String, Boolean)], nBuckets: Int,
+                       steps: Int, lrPpm: Long): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): Int = {
+      val hex = md.digest(s"f:graft:$tok".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % nBuckets).toInt
+    }
+    val feats = docs.map { case (_, text, label) =>
+      val toks = text.trim.toLowerCase.split("\\s+", -1).toSeq
+      (label, toks.groupBy(bucket).map { case (b, g) => b -> g.size.toLong })
+    }
+    val nPos = feats.count(_._1)
+    val nNeg = feats.size - nPos
+    val nDocs = feats.size.toLong
+    val cwPos = 1000L * nDocs / (2L * nPos)
+    val cwNeg = 1000L * nDocs / (2L * nNeg)
+    val w = new Array[Long](nBuckets)
+    for (k <- 1 to steps) {
+      val g = new Array[Long](nBuckets)
+      feats.foreach { case (label, x) =>
+        val z = x.map { case (b, c) => w(b) * c }.sum
+        val p = math.max(0L, math.min(1000000L, 500000L + z / 4))
+        val err = ((if (label) 1000000L else 0L) - p) *
+          (if (label) cwPos else cwNeg)
+        x.foreach { case (b, c) => g(b) += err * c }
+      }
+      val lrK = lrPpm / k
+      for (b <- 0 until nBuckets)
+        w(b) += lrK * g(b) / (1000000000L * nDocs)
+    }
+    w
+  }
+
+  private val seed: Seq[(Long, String, Boolean)] = Seq(
+    (0L, "alpha beta gamma delta alpha", true),
+    (1L, "beta gamma epsilon zeta", true),
+    (2L, "noise junk spam junk spam", false),
+    (3L, "alpha delta eta theta beta", true),
+    (4L, "spam noise clutter spam", false),
+    (5L, "gamma eta iota kappa", true),
+    (6L, "junk clutter noise junk noise", false),
+    (7L, "delta kappa lambda mu alpha", true),
+    (8L, "", true),
+    (9L, "spam junk clutter noise spam junk", false))
+
+  test("trainQualityClassifier equals the plain-Scala replay " +
+    "bit-for-bit (incl. an empty document)") {
+    val df = seed.toDF("doc_id", "text", "label")
+    val got = TextOps.trainQualityClassifier(df, "doc_id", "text", "label",
+      nBuckets = 32, steps = 3, lrPpm = 400000L)
+    val want = refTrain(seed, nBuckets = 32, steps = 3, lrPpm = 400000L)
+    assert(got.toSeq == want.toSeq)
+    assert(got.exists(_ != 0L), "training moved no weight at all")
+  }
+
+  test("training requires both classes (single-class seed fails loudly)") {
+    val df = seed.filter(_._3).toDF("doc_id", "text", "label")
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.trainQualityClassifier(df, "doc_id", "text", "label",
+        nBuckets = 32, steps = 1)
+    }
+    assert(ex.getMessage.contains("both classes"))
+  }
+
+  test("on the planted separable corpus (teacher = the existing " +
+    "md5-weight scorer) training beats the majority class and the " +
+    "trained lattice serves through qualityClassifierScoreWith") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val teacher = TextOps.qualityClassifierScore(docs, "text")
+      .select(col("doc_id"), col("text"), col("kept").as("label"))
+    val w = TextOps.trainQualityClassifier(teacher, "doc_id", "text",
+      "label")
+    val scored = TextOps.qualityClassifierScoreWith(teacher, "text", w.toSeq)
+      .select(col("doc_id"), col("label"), col("kept"), col("logit_micro"))
+      .collect()
+    val n = scored.length
+    val majority = math.max(scored.count(_.getBoolean(1)),
+      n - scored.count(_.getBoolean(1)))
+    val correct = scored.count(r => r.getBoolean(1) == r.getBoolean(2))
+    assert(correct > majority,
+      s"trained accuracy $correct/$n does not beat majority $majority")
+    // the serve path's decision is exactly sign(logit): the trained
+    // lattice plugs into the stock inference operator unchanged
+    scored.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(3) >= 0L), r.toString)
+    }
+  }
+}
