@@ -287,6 +287,39 @@ class PlanShapeSpec extends SparkSpec {
       s"q125 lattice join not broadcast:\n$p125")
   }
 
+  test("composite queries keep their localCheckpoint materialization " +
+    "boundaries (q130, q133, q137, q138)") {
+    // these queries reuse an expensive leg (retrieval fusion, banded
+    // media decode, indexed-funnel candidates, the retrieved shortlist)
+    // across several consumers; the .localCheckpoint() on the tiny
+    // intermediate is what stops Spark recomputing the leg per
+    // consumer. Nothing fails functionally if a refactor drops one —
+    // the query just quietly goes 2-3x slower — so the boundary is
+    // pinned here: the executed plan must read the checkpointed RDD
+    // (ExistingRDD) and its parquet-scan count must not grow past the
+    // audited shape (dropping a checkpoint re-derives the leg from the
+    // source scans, raising the count).
+    val bounds = Seq( // (query, max parquet scans, max exchanges) — from
+      // `runMain graft.PlanAudit /root/testdata/sf0.001 <q>` at commit
+      // time; a higher count means a materialization boundary was lost
+      ("q130_rag_serving", 7, 23),
+      ("q133_video_near_dup", 0, 8),
+      ("q137_filtered_recall", 0, 7),
+      ("q138_mmr_rerank", 0, 1))
+    for ((name, maxScans, maxEx) <- bounds) {
+      val plan = tree(q(name))
+      assert(plan.contains("ExistingRDD"),
+        s"$name lost its localCheckpoint boundary entirely:\n$plan")
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans <= maxScans,
+        s"$name: $scans parquet scans > audited $maxScans — an " +
+          s"expensive leg is being recomputed per consumer:\n$plan")
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= maxEx,
+        s"$name: $exchanges exchanges > audited $maxEx:\n$plan")
+    }
+  }
+
   test("q95 shuffle shards: one shard-key exchange, no single-partition window") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = tree(graft.ext.TextOps.shuffleShards(docs, "doc_id",
