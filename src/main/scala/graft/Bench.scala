@@ -130,11 +130,25 @@ object Bench {
     }
     val loadAfter = loadAvg()
     val memAfter = memAvailGb()
+    // round-over-round regression gate: compare against the PRIOR
+    // bench.json (the committed artifact of the last round's run —
+    // read before this run overwrites it) and embed the flagged
+    // queries, so the verdict reads regressions directly instead of
+    // diffing rounds by hand. Gated on clean-host telemetry both sides.
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR",
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT", "."))
+        .resolve("bench.json").toString)
+    val load1m =
+      try loadBefore.stripPrefix("[").split(",")(0).toDouble
+      catch { case _: Exception => Double.NaN }
+    val regressions = BenchCompare.regressionsField(priorPath,
+      results.collect { case (k, v, _) if v > 0 => k -> v }.toMap,
+      load1m, cpus.toInt)
     // contention telemetry: a loaded host shows load_before ≫ CPUs or a
     // load_after far above the suite's own parallelism — readers judge
     // timings against these instead of re-running to adjudicate
     val telem =
-      s""""load_before":$loadBefore,"load_after":$loadAfter,"mem_avail_gb_before":$memBefore,"mem_avail_gb_after":$memAfter"""
+      s""""load_before":$loadBefore,"load_after":$loadAfter,"mem_avail_gb_before":$memBefore,"mem_avail_gb_after":$memAfter,$regressions"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"spread_pct":$spreadPct,$telem,"queries":$qs,"failed":${
         failed.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
