@@ -843,6 +843,34 @@ object Multimodal {
       .select(col("probe_id"), col("corpus_id"), col("hamming"))
   }
 
+  /** Probe a persisted FRAME-level dHash index with a frame-banded
+    * batch and roll the frame hits up to CLIP pairs — the video member
+    * of the probe family. The index is [[writeDHashIndex]] over
+    * [[withFrameDHashBands]] output keyed by the CLIP id (postings and
+    * bands then simply hold one row per frame under the clip's key),
+    * and the frame-level probe is [[dhashProbeIndexed]] VERBATIM: its
+    * candidate join hits any colliding frame band, and its verify join
+    * — probe bands × stored bands under the candidate pair — is
+    * exactly the all-frame-pairs hamming [[videoNearDupPairs]]
+    * computes. This roll-up then mirrors that operator's clip
+    * contract: `best_hamming` = the closest qualifying frame pair,
+    * `n_frame_matches` = how many frame pairs met the gate.
+    *
+    * Same scale shape as the image probe: the corpus never shuffles,
+    * the batch broadcasts, and only (band, value) keys + clip/frame
+    * ids move — never pixels.
+    */
+  def videoNearDupProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+                               table: String, framesBanded: DataFrame,
+                               idCol: String, maxHamming: Int,
+                               maxBucketSize: Int = 1000): DataFrame =
+    dhashProbeIndexed(spark, table,
+        framesBanded.select(col(idCol), col("bands")), idCol,
+        maxHamming, maxBucketSize)
+      .groupBy(col("probe_id"), col("corpus_id"))
+      .agg(min(col("hamming")).as("best_hamming"),
+        count(lit(1)).as("n_frame_matches"))
+
   /** Deterministic real animated GIF with HASH-derived grayscale
     * pixels: frame f's sample at (x, y) is byte x of
     * `md5("{seed}:{f}:{y}")` — one digest per frame ROW (9× fewer than

@@ -211,6 +211,30 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous-ingest VIDEO near-dup probe — the frame-banded twin of
+    * [[mediaNearDupProbeStream]]: each micro-batch of clip payloads is
+    * per-frame banded (real GIF decode inside the payload-dropping
+    * seam) and probed against a persisted FRAME-level dHash index via
+    * [[graft.ext.Multimodal.videoNearDupProbeIndexed]]; flagged
+    * (probe, corpus, best_hamming, n_frame_matches) CLIP pairs go to
+    * `onBatch`. Same foreachBatch-reuses-the-batch-operator rationale;
+    * corpus growth belongs to the caller via `appendToDHashIndex` over
+    * frame-banded rows.
+    */
+  def videoNearDupProbeStream(media: DataFrame, table: String,
+                              idCol: String, payloadCol: String,
+                              maxHamming: Int)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val banded = graft.ext.Multimodal.withFrameDHashBands(batch,
+          payloadCol)
+        onBatch(graft.ext.Multimodal.videoNearDupProbeIndexed(
+          batch.sparkSession, table, banded, idCol, maxHamming), batchId)
+      }
+      .start()
+
   def nearDupProbeStream(docs: DataFrame, table: String, idCol: String,
                          textCol: String, minJaccard: Double,
                          shingleN: Int = 3, k: Int = 64, bands: Int = 16,
