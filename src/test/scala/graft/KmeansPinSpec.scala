@@ -13,6 +13,12 @@ import java.security.MessageDigest
   * The canonical form fixes row order (already ORDER BY cluster_id),
   * column order, and float formatting (%.4f under Locale.ROOT — the query
   * rounds mean_cos to 4 decimals, so the formatting is exact).
+  *
+  * Re-recording this hash follows the protocol in
+  * [[RowsOnlyPinSpec]]'s scaladoc (and README "Recorded-hash pins"):
+  * only for a deliberate semantic change, with the why, the old/new
+  * (md5, rows), the still-green companion invariants, and two
+  * identical back-to-back runs recorded in the commit message.
   */
 class KmeansPinSpec extends SparkSpec {
 

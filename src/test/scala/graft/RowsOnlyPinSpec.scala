@@ -14,10 +14,35 @@ import java.security.MessageDigest
   * Canonical form: row order as emitted (each query's trailing ORDER BY
   * is total), columns in schema order, and every value rendered
   * type-stably — floating-point via raw IEEE-754 bits (no decimal
-  * formatting ambiguity), null as `∅`, arrays element-wise. A
-  * legitimate semantic change re-records the hash with a paper trail;
-  * silent drift (an order-dependent sum sneaking in, a seed change, a
-  * plan rewrite that alters tie-breaks) fails loudly.
+  * formatting ambiguity), null as `∅`, arrays element-wise. Silent
+  * drift (an order-dependent sum sneaking in, a seed change, a plan
+  * rewrite that alters tie-breaks) fails loudly.
+  *
+  * == Re-record protocol (READ BEFORE CHANGING A HASH) ==
+  *
+  * A recorded hash is a statement that the CURRENT output is correct;
+  * replacing it asserts the NEW output is. Re-recording is allowed
+  * ONLY when the query's semantics were changed on purpose — a
+  * deliberate algorithm change (new hyperplane count, different k, a
+  * redefined tie-break), a hyperparameter retune, or a testdata
+  * regeneration. It is NOT allowed to silence a red pin whose cause
+  * you cannot explain: an unexplained hash change under unchanged
+  * semantics IS the bug this spec exists to catch (nondeterminism,
+  * overflow, an engine-upgrade behavior shift).
+  *
+  * Evidence that must accompany a re-record (in the commit message of
+  * the commit that changes the hash):
+  *  1. WHY the output legitimately changed (the semantic change,
+  *     file:line);
+  *  2. the old and new (md5, row count) pairs;
+  *  3. a statement that the companion invariant checks still hold —
+  *     the recall/containment specs for the ANN queries
+  *     (`SimilaritySpec`/`IvfSpec`/`PqSpec`), the merge-consistency
+  *     check for q119 (`BpeSpec`), cluster-count/mean bounds for q75;
+  *  4. two identical back-to-back runs of the new hash (determinism
+  *     re-established, not assumed).
+  * The README's "Recorded-hash pins" section states the same protocol
+  * for readers outside this file.
   */
 class RowsOnlyPinSpec extends SparkSpec {
 
