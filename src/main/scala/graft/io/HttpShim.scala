@@ -28,7 +28,16 @@ object HttpShim {
   }
 
   def start(routes: Map[String, () => DataFrame], port: Int = 0,
-            maxRows: Int = 100000): Shim = {
+            maxRows: Int = 100000): Shim =
+    startDynamic(routes.map { case (p, mk) =>
+      p -> ((_: HttpExchange) => mk()) }, port, maxRows)
+
+  /** Routes whose DataFrame depends on the request (query parameters) —
+    * what a retrieval route needs; the plain [[start]] wraps its
+    * request-independent thunks through here.
+    */
+  def startDynamic(routes: Map[String, HttpExchange => DataFrame],
+                   port: Int = 0, maxRows: Int = 100000): Shim = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     routes.foreach { case (path, mk) =>
       server.createContext(s"/$path", handler(mk, maxRows))
@@ -37,6 +46,44 @@ object HttpShim {
     server.start()
     Shim(server)
   }
+
+  /** `?a=1&b=x` → Map(a -> 1, b -> x), URL-decoded; absent/blank query
+    * string → empty map. */
+  private[io] def queryParams(rawQuery: String): Map[String, String] =
+    Option(rawQuery).filter(_.nonEmpty).toSeq
+      .flatMap(_.split("&").toSeq)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(
+            java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+              java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+          case _ => None
+        }
+      }.toMap
+
+  /** The serving story over the engine's own PERSISTED indexes — the
+    * reference's shim (S12) re-reads a CSV per request; this route
+    * answers `/search?q=<terms>[&k=N]` from a persisted BM25 postings
+    * index ([[graft.ext.Retrieval.writeBm25Index]]) via
+    * `bm25ProbeTopK`: the request touches only the query terms'
+    * buckets (bucket-pruned scan), never the corpus. Terms are the
+    * request's lowercased whitespace tokens, deduplicated — the same
+    * term-set semantics as the batch probe, so a served answer is
+    * bit-identical to the batch operator on the same index
+    * (spec-pinned). A missing/blank `q` surfaces as the shim's
+    * standard `{"error": ...}` object.
+    */
+  def retrievalRoutes(spark: org.apache.spark.sql.SparkSession,
+                      table: String, defaultK: Int = 10)
+      : Map[String, HttpExchange => DataFrame] = Map(
+    "search" -> { ex =>
+      val params = queryParams(ex.getRequestURI.getRawQuery)
+      val terms = params.getOrElse("q", "")
+        .toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+      require(terms.nonEmpty, "missing or empty ?q= parameter")
+      val k = params.get("k").map(_.toInt).getOrElse(defaultK)
+      graft.ext.Retrieval.bm25ProbeTopK(spark, table, terms, k)
+    })
 
   /** The reference's two routes over CSV files (main.py:8-9, 24-30),
     * parsed with the S1 ingester.
@@ -61,11 +108,12 @@ object HttpShim {
     sb.append("\"").toString
   }
 
-  private def handler(mk: () => DataFrame, maxRows: Int): HttpHandler =
+  private def handler(mk: HttpExchange => DataFrame,
+                      maxRows: Int): HttpHandler =
     new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val body =
-          try mk().limit(maxRows).toJSON.collect().mkString("[", ",", "]")
+          try mk(ex).limit(maxRows).toJSON.collect().mkString("[", ",", "]")
           catch {
             // parity with read_csv's catch-all error object (main.py:21-22)
             case e: Exception =>

@@ -45,6 +45,39 @@ class HttpShimSpec extends SparkSpec {
     } finally shim.stop()
   }
 
+  test("retrieval route serves the persisted BM25 index: served JSON " +
+    "== the batch probe, bad requests error as a JSON object") {
+    import graft.ext.Retrieval
+    val docs = Seq(
+      (0L, "cat dog cat mouse"), (1L, "cat fish"), (2L, "dog dog dog"),
+      (3L, "bird mouse cat dog fish"), (4L, "bird bird"))
+      .toDF("doc_id", "text")
+    val loc = Files.createTempDirectory("graft_httpbm25").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_httpdb LOCATION '$loc'")
+    Retrieval.writeBm25Index(docs, "doc_id", "text", "graft_httpdb.idx",
+      nBuckets = 4)
+    val shim = HttpShim.startDynamic(
+      HttpShim.retrievalRoutes(spark, "graft_httpdb.idx", defaultK = 10))
+    try {
+      // served answer ≡ the batch probe on the same index, bit for bit
+      val (code, body) = get(shim.port, "/search?q=cat%20mouse&k=3")
+      assert(code == 200, body)
+      val served = body.stripPrefix("[").stripSuffix("]").split("\\},\\{")
+        .toSeq.map(_.stripPrefix("{").stripSuffix("}"))
+      val expect = Retrieval
+        .bm25ProbeTopK(spark, "graft_httpdb.idx", Seq("cat", "mouse"), 3)
+        .toJSON.collect().toSeq
+        .map(_.stripPrefix("{").stripSuffix("}"))
+      assert(served == expect, s"served=$served expect=$expect")
+      // term-set semantics: duplicated + mixed-case request terms
+      // collapse to the same answer
+      assert(get(shim.port, "/search?q=CAT%20cat%20Mouse&k=3")._2 == body)
+      // missing q → the shim's standard error object, HTTP 200
+      val (c2, b2) = get(shim.port, "/search")
+      assert(c2 == 200 && b2.startsWith("""{"error":"""), b2)
+    } finally shim.stop()
+  }
+
   test("csv routes re-read per request and error as a JSON object") {
     val dir = Files.createTempDirectory("graft_http").toString
     val pay = s"$dir/payments.csv"
