@@ -36,13 +36,20 @@ private[graft] object EntryTables {
     * expression uses — and the doc's subword sequence is the flattened
     * filtered split.
     */
-  def q120OracleSql: String = {
+  /** The DuckDB replace-chain that replays [[Q120Merges]] BPE
+    * segmentation (rank-order replay ≡ lowest-rank-present loop for a
+    * consistent table) — shared by the q120 and q141 oracles. */
+  private def bpeChain: String = {
     val s0 = "regexp_replace(tok, '(.)', chr(1) || '\\1', 'g') || " +
       "chr(1) || '</w>' || chr(1)"
-    val chain = Q120Merges.foldLeft(s0) { case (acc, (l, r)) =>
+    Q120Merges.foldLeft(s0) { case (acc, (l, r)) =>
       s"replace($acc, chr(1) || '$l' || chr(1) || '$r' || chr(1), " +
         s"chr(1) || '$l$r' || chr(1))"
     }
+  }
+
+  def q120OracleSql: String = {
+    val chain = bpeChain
     s"""WITH seg AS (
        |  SELECT doc_id,
        |    flatten(list_transform(
@@ -53,6 +60,23 @@ private[graft] object EntryTables {
        |SELECT doc_id, CAST(len(flat) AS BIGINT) AS n_bpe_tokens,
        |  md5(array_to_string(flat, chr(1))) AS tokens_md5
        |FROM seg ORDER BY doc_id""".stripMargin
+  }
+
+  /** q141: chars-per-BPE-token compression under the same replayed
+    * merge table — bottom 25 by (integer micro ratio, id). */
+  def q141OracleSql: String = {
+    val chain = bpeChain
+    s"""WITH seg AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |    flatten(list_transform(
+       |      string_split_regex(trim(lower(text)), '\\s+'),
+       |      tok -> list_filter(string_split($chain, chr(1)),
+       |                         x -> x <> ''))) AS flat
+       |  FROM documents)
+       |SELECT doc_id, n_chars, CAST(len(flat) AS BIGINT) AS n_bpe_tokens,
+       |  (1000000 * n_chars) // len(flat) AS chars_per_token_micro
+       |FROM seg
+       |ORDER BY chars_per_token_micro, doc_id LIMIT 25""".stripMargin
   }
 
   /** Schema-adaptive events reader: some testdata vintages write `ts` as

@@ -325,6 +325,51 @@ private[graft] object TextQueries {
         .orderBy("bucket")
     }),
 
+    // ---- tokenizer-efficiency quality signal (oracle-checked): the
+    // chars-per-BPE-token compression ratio — token-inefficient text
+    // (boilerplate, code soup, non-language bytes) compresses WORSE
+    // under a tokenizer than natural language, so real curation recipes
+    // flag the least-compressible documents for review. Fixed consistent
+    // merge table (the q120 discipline) keeps the whole pipeline
+    // SQL-expressible; integer micro ratio, bottom-25 by (ratio, id).
+    "q141_bpe_compression" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      TextOps.withBpeTokens(t(s, dir, "documents"), "text", Q120Merges)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("n_bpe_tokens"))
+        .withColumn("chars_per_token_micro",
+          expr("(1000000 * n_chars) div n_bpe_tokens"))
+        .orderBy(col("chars_per_token_micro"), col("doc_id"))
+        .limit(25)
+    }),
+
+    // ---- trained-classifier calibration report (oracle-checked): the
+    // reliability diagram of q139's model as a relation — predicted
+    // hard-sigmoid probability deciles vs the empirical positive rate,
+    // all integer micro (sum div n means, (1e6*npos) div n rates). The
+    // production check run before trusting a quality model's scores.
+    "q142_calibration_report" -> ((s, dir) => {
+      val teacher = TextOps.qualityClassifierScore(
+          t(s, dir, "documents"), "text", nBuckets = QtBuckets)
+        .select(col("doc_id"), col("text"), col("kept").as("label"))
+      val w = TextOps.trainQualityClassifier(teacher, "doc_id", "text",
+        "label", nBuckets = QtBuckets, steps = QtSteps, lrPpm = QtLrPpm)
+      TextOps.qualityClassifierScoreWith(teacher, "text", w.toSeq)
+        .withColumn("p_micro",
+          greatest(lit(0L), least(lit(1000000L),
+            lit(500000L) + expr("logit_micro div 4"))))
+        .withColumn("bin", expr("least(p_micro div 100000, 9)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+          sum(col("p_micro")).as("__sp"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("__sp div n").as("mean_p_micro"),
+          expr("(1000000 * n_pos) div n").as("emp_rate_micro"))
+        .orderBy("bin")
+    }),
+
     // ---- train → serve round-trip (oracle-checked): the lattice q139
     // trains, applied through the EXISTING inference operator
     // (qualityClassifierScoreWith — same tokenization, same feature
@@ -828,6 +873,28 @@ private[graft] object TextQueries {
         |    (ellipsis_lines * 10 <= n_lines * 3) AND
         |    (alpha_words * 5 >= n_words * 4) AND (stop_hits >= 2) AS gopher_pass
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the q120 replace-chain replay, ranked by the integer micro ratio
+    "q141_bpe_compression" -> q141OracleSql,
+
+    // train (the q139 CTEs), hard-sigmoid probability per doc, decile
+    // bins, integer-exact means and rates
+    "q142_calibration_report" -> s"""$qualityTrainCtes,
+      |score AS (
+      |  SELECT c.doc_id, CAST(sum(c.x * w.w) AS BIGINT) AS z
+      |  FROM cnt c JOIN w$QtSteps w USING (b) GROUP BY 1),
+      |pb AS (
+      |  SELECT s.doc_id,
+      |    greatest(0, least(1000000, 500000 + s.z // 4)) AS p_micro,
+      |    y.y AS y
+      |  FROM score s JOIN y USING (doc_id))
+      |SELECT least(p_micro // 100000, 9) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE y = 1000000) AS BIGINT) AS n_pos,
+      |  CAST(sum(p_micro) AS BIGINT) // count(*) AS mean_p_micro,
+      |  (1000000 * CAST(count(*) FILTER (WHERE y = 1000000) AS BIGINT))
+      |    // count(*) AS emp_rate_micro
+      |FROM pb GROUP BY 1 ORDER BY bin""".stripMargin,
 
     // the whole training loop replayed as unrolled CTEs — integer-exact,
     // so the trained lattice must match bit-for-bit
