@@ -920,11 +920,13 @@ object TextOps {
     *    mean-gradient step under harmonic lr decay; Scala Long `/`
     *    truncates, again ≡ DuckDB `//`.
     *
-    * Scale shape: the (doc, bucket, count) relation is built ONCE and
-    * cached — at 100 TB that is the only pass over the documents — and
-    * each step is one broadcast-literal projection (z), one id-keyed
-    * join (err onto counts), and one bucket-keyed aggregate (≤nBuckets
-    * rows out). Steps are fixed and small; lineage doesn't grow (each
+    * Scale shape: the per-doc sparse feature vector (an array of
+    * (bucket, count) structs) is built ONCE and cached — at 100 TB
+    * that is the only pass over the documents — and each step is a
+    * pure broadcast-literal PROJECTION (logit, sigmoid, weighted error
+    * — features are doc-local, so no per-step id shuffle and no join)
+    * followed by one bucket-keyed aggregate (≤nBuckets rows out).
+    * Steps are fixed and small; lineage doesn't grow (each
     * step re-derives from the cached counts). Overflow bound: the
     * update multiplies lrPpm·g and g carries the milli class weight,
     * so keep lrPpm·10⁹·cw_milli·(tokens in the heaviest bucket) < 2⁶³
@@ -945,21 +947,30 @@ object TextOps {
     require(nBuckets > 0 && steps > 0 && lrPpm > 0,
       s"bad nBuckets/steps/lrPpm: $nBuckets/$steps/$lrPpm")
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    val counts = labeled
+    // ONE row per document: its bucket-count sparse vector as an array
+    // of (b, x) structs. With features doc-local, the per-step logit is
+    // a pure PROJECTION (no per-step id shuffle, no join back) — the
+    // only per-step exchange is the ≤nBuckets-key gradient aggregate.
+    // (The first cut joined doc-level errors back onto a (doc, b, x)
+    // relation — an id-keyed shuffle per step that tripled the query's
+    // bench time.)
+    val feats = labeled
       .select(col(idCol), col(labelCol),
         explode(toks).as("__tok"))
       .select(col(idCol), col(labelCol),
         featureBucket(col("__tok"), nBuckets, salt).as("b"))
       .groupBy(col(idCol), col(labelCol), col("b"))
       .agg(count(lit(1)).as("x"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(collect_list(struct(col("b"), col("x"))).as("f"))
       .cache()
     try {
       // class census (bounded: 2 rows) — quality seed sets are heavily
       // positive-skewed, and an intercept-free model on nonnegative
       // count features collapses to the majority class without the
       // balanced class weights (measured: all-positive at every lr)
-      val cls = counts.select(col(idCol), col(labelCol)).distinct()
-        .groupBy(col(labelCol)).agg(count(lit(1)).as("n")).collect()
+      val cls = feats.groupBy(col(labelCol))
+        .agg(count(lit(1)).as("n")).collect()
         .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
       val nPos = cls.getOrElse(true, 0L)
       val nNeg = cls.getOrElse(false, 0L)
@@ -973,11 +984,11 @@ object TextOps {
       val w = new Array[Long](nBuckets)
       for (k <- 1 to steps) {
         val wLit = typedlit(w.toSeq)
-        val g = counts
-          .withColumn("__wx",
-            element_at(wLit, (col("b") + 1).cast("int")) * col("x"))
-          .groupBy(col(idCol), col(labelCol))
-          .agg(sum(col("__wx")).as("__z"))
+        val g = feats
+          .withColumn("__z",
+            aggregate(col("f"), lit(0L), (acc, s) =>
+              acc + element_at(wLit,
+                (s.getField("b") + 1).cast("int")) * s.getField("x")))
           .withColumn("__p",
             greatest(lit(0L), least(lit(1000000L),
               lit(500000L) + expr("__z div 4"))))
@@ -985,9 +996,9 @@ object TextOps {
             (when(col(labelCol), lit(1000000L)).otherwise(lit(0L))
               - col("__p"))
               * when(col(labelCol), lit(cwPos)).otherwise(lit(cwNeg)))
-          .join(counts, Seq(idCol, labelCol))
-          .groupBy(col("b"))
-          .agg(sum(col("__err") * col("x")).as("g"))
+          .select(col("__err"), explode(col("f")).as("s"))
+          .groupBy(col("s.b").as("b"))
+          .agg(sum(col("__err") * col("s.x")).as("g"))
           .collect()
         // harmonic decay lr/k: the big first step finds the direction,
         // shrinking steps stop the balanced gradient from oscillating
@@ -999,7 +1010,7 @@ object TextOps {
         }
       }
       w
-    } finally counts.unpersist()
+    } finally feats.unpersist()
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, public recipe):
