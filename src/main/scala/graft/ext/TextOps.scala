@@ -1013,6 +1013,56 @@ object TextOps {
     } finally feats.unpersist()
   }
 
+  /** Persist a trained quality model ([[trainQualityClassifier]]
+    * output) as a queryable lattice — the model member of the
+    * persisted-index family (`writeBm25Index`, `writeDHashIndex`):
+    * `table` holds the dense (bucket, w_micro) rows, `<table>_meta`
+    * the salt the feature hash needs (bucket count is the lattice's
+    * own row count — one definition site, the artifacts cannot
+    * disagree). Train once, score any corpus any time later.
+    */
+  def writeQualityModel(spark: org.apache.spark.sql.SparkSession,
+                        table: String, weightsMicro: Seq[Long],
+                        salt: String = "graft"): Unit = {
+    require(weightsMicro.nonEmpty, "empty weight lattice")
+    import spark.implicits._
+    weightsMicro.zipWithIndex
+      .map { case (wm, b) => (b.toLong, wm) }
+      .toDF("bucket", "w_micro")
+      .write.format("parquet").mode("overwrite").saveAsTable(table)
+    Seq(salt).toDF("salt")
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** Load a persisted quality model back into the dense lattice +
+    * salt [[writeQualityModel]] recorded. */
+  def loadQualityModel(spark: org.apache.spark.sql.SparkSession,
+                       table: String): (Array[Long], String) = {
+    val rows = spark.table(table)
+      .select(col("bucket"), col("w_micro")).collect()
+    require(rows.nonEmpty, s"empty model table $table")
+    val w = new Array[Long](rows.length)
+    rows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    val salt = spark.table(s"${table}_meta")
+      .select(col("salt")).head.getString(0)
+    (w, salt)
+  }
+
+  /** Score a corpus against a PERSISTED quality model — the serving
+    * half of the train→persist→serve loop: loads the bounded lattice
+    * (nBuckets rows) to the driver and runs the stock
+    * [[qualityClassifierScoreWith]] projection, so a served score is
+    * bit-identical to scoring with the in-memory lattice (spec-pinned).
+    */
+  def qualityClassifierScoreIndexed(spark: org.apache.spark.sql.SparkSession,
+                                    table: String, df: DataFrame,
+                                    textCol: String,
+                                    threshold: Double = 0.0): DataFrame = {
+    val (w, salt) = loadQualityModel(spark, table)
+    qualityClassifierScoreWith(df, textCol, w.toSeq, threshold, salt)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, public recipe):
     * score every raw-corpus document by how target-like its hashed
     * token-bucket distribution is — the data-selection step that

@@ -211,6 +211,29 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous quality-gate serving against a PERSISTED trained model
+    * ([[graft.ext.TextOps.writeQualityModel]]): each micro-batch of
+    * (id, text) rows is scored by
+    * [[graft.ext.TextOps.qualityClassifierScoreIndexed]] and handed to
+    * `onBatch` — the quality-model member of the serve-from-index
+    * stream family (BM25 queries, media probes). foreachBatch reuses
+    * the batch scorer VERBATIM and the model is static during serving,
+    * so the union of per-batch outputs equals one scoring pass over
+    * everything streamed (spec-pinned). Model refresh belongs to the
+    * caller's cadence: retrain + `writeQualityModel` between serving
+    * windows.
+    */
+  def qualityScoreStream(docs: DataFrame, table: String, textCol: String,
+                         threshold: Double = 0.0)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ext.TextOps.qualityClassifierScoreIndexed(
+          batch.sparkSession, table, batch, textCol, threshold), batchId)
+      }
+      .start()
+
   /** Continuous-ingest VIDEO near-dup probe — the frame-banded twin of
     * [[mediaNearDupProbeStream]]: each micro-batch of clip payloads is
     * per-frame banded (real GIF decode inside the payload-dropping

@@ -82,6 +82,67 @@ class QualityTrainSpec extends SparkSpec {
     assert(ex.getMessage.contains("both classes"))
   }
 
+  test("persisted model round-trip: write → load → serve is " +
+    "bit-identical to scoring with the in-memory lattice, batch and " +
+    "stream") {
+    val df = seed.toDF("doc_id", "text", "label")
+    val w = TextOps.trainQualityClassifier(df, "doc_id", "text", "label",
+      nBuckets = 32, steps = 3, lrPpm = 400000L)
+    val loc = java.nio.file.Files.createTempDirectory("graft_qm").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_qmdb LOCATION '$loc'")
+    TextOps.writeQualityModel(spark, "graft_qmdb.model", w.toSeq)
+    val (w2, salt2) = TextOps.loadQualityModel(spark, "graft_qmdb.model")
+    assert(w2.toSeq == w.toSeq && salt2 == "graft")
+    val direct = TextOps.qualityClassifierScoreWith(df, "text", w.toSeq)
+      .collect().map(_.toSeq)
+    val served = TextOps.qualityClassifierScoreIndexed(spark,
+      "graft_qmdb.model", df, "text").collect().map(_.toSeq)
+    assert(served.toSeq == direct.toSeq)
+    // streaming serve: union of 2 micro-batches ≡ one scoring pass
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val query = graft.streaming.EventStreams.qualityScoreStream(
+        in.toDF().toDF("doc_id", "text"), "graft_qmdb.model", "text") {
+      (batch, _) => acc.synchronized { acc ++= batch.collect().map(_.toSeq) }
+    }
+    in.addData((0L, "alpha beta gamma"), (1L, "spam junk"))
+    query.processAllAvailable()
+    in.addData((2L, "noise clutter delta"))
+    query.processAllAvailable()
+    query.stop()
+    val oneShot = TextOps.qualityClassifierScoreIndexed(spark,
+        "graft_qmdb.model",
+        Seq((0L, "alpha beta gamma"), (1L, "spam junk"),
+          (2L, "noise clutter delta")).toDF("doc_id", "text"), "text")
+      .collect().map(_.toSeq)
+    assert(acc.toSet == oneShot.toSet && acc.size == 3)
+  }
+
+  test("property: trainer equals the plain-Scala replay on random " +
+    "corpora (random vocab draws, random labels, both classes)") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "spam",
+      "junk", "noise", "x1", "y2", "z3")
+    for (trial <- 1 to 5) {
+      val docs = (0 until 12).map { i =>
+        val n = 1 + rnd.nextInt(9)
+        val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        // alternate labels so both classes always exist
+        (i.toLong, text, i % 2 == 0 || rnd.nextBoolean())
+      }
+      val lr = 100000L + rnd.nextInt(400000)
+      val steps = 1 + rnd.nextInt(4)
+      val nb = Seq(8, 16, 64)(rnd.nextInt(3))
+      val got = TextOps.trainQualityClassifier(docs.toDF("doc_id", "text",
+        "label"), "doc_id", "text", "label", nb, steps, lr)
+      val want = refTrain(docs, nb, steps, lr)
+      assert(got.toSeq == want.toSeq,
+        s"trial $trial diverged (nb=$nb steps=$steps lr=$lr)")
+    }
+  }
+
   test("on the planted separable corpus (teacher = the existing " +
     "md5-weight scorer) training beats the majority class and the " +
     "trained lattice serves through qualityClassifierScoreWith") {
