@@ -399,7 +399,8 @@ private[graft] object TextQueries {
     * in DuckDB: teacher labels from the md5-weight formulas, the
     * (doc, bucket, count) census, then `QtSteps` unrolled
     * (z → err → gradient → weight) rounds. Every operation is integer
-    * (`//` floors ≡ shiftright/Math.floorDiv), so the final lattice is
+    * with division truncating toward zero on both sides (DuckDB
+    * integer `//` ≡ Scala `/` ≡ Spark `div`), so the final lattice is
     * bit-identical to the engine's.
     */
   private def qualityTrainCtes: String = {

@@ -616,8 +616,12 @@ object Multimodal {
 
   /** Waveform difference-hash from REAL decoded PCM: the audio analog
     * of [[dhashBandsReal]] — 65 equal-span block means of the sample
-    * stream (integer FLOOR division, `Math.floorDiv` ≡ SQL `//` on the
-    * possibly-negative sums), one bit per adjacent-block comparison
+    * stream (integer division TRUNCATING toward zero on the
+    * possibly-negative sums: Scala Long `/` ≡ DuckDB's integer `//`,
+    * which truncates, NOT floors — measured -7//2 = -3 there, so a
+    * Math.floorDiv here would drift one unit on negative odd-sum
+    * blocks and latently flip hash bits), one bit per adjacent-block
+    * comparison
     * `mean(b+1) > mean(b)`, 64 bits packed as 4×16-bit bands (block b's
     * comparison lands in band b/16, bit b%16). None when no reader
     * accepts the payload, it isn't 16-bit little-endian PCM, or it has
@@ -648,7 +652,7 @@ object Multimodal {
               var sum = 0L
               var i = lo
               while (i < hi) { sum += sample(i); i += 1 }
-              means(b) = Math.floorDiv(sum, (hi - lo).toLong)
+              means(b) = sum / (hi - lo)
               b += 1
             }
             val bands = new Array[Long](4)

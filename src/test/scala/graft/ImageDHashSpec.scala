@@ -78,7 +78,8 @@ class ImageDHashSpec extends SparkSpec {
   }
 
   /** Audio reference: samples from the generation rule, block means by
-    * floorDiv, adjacent-block comparison bits. */
+    * truncating division (≡ DuckDB integer `//`), adjacent-block
+    * comparison bits. */
   private def refAudioBands(seed: Long, n: Int, bump: Int): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def sample(i: Int): Long = {
@@ -89,7 +90,7 @@ class ImageDHashSpec extends SparkSpec {
     }
     val means = (0 until 65).map { b =>
       val (lo, hi) = (b * n / 65, (b + 1) * n / 65)
-      Math.floorDiv((lo until hi).map(sample).sum, (hi - lo).toLong)
+      (lo until hi).map(sample).sum / (hi - lo)
     }
     val bands = new Array[Long](4)
     for (c <- 0 until 64 if means(c + 1) > means(c))
