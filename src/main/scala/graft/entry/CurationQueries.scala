@@ -305,6 +305,20 @@ private[graft] object CurationQueries {
           shingleN = 8, useNative = true)
         .orderBy("doc_id")
     }),
+
+    // ---- DSIR-weighted budget selection (oracle-checked): the
+    // SELECTION step q125's importance weights exist for — per source,
+    // keep the most target-like (en-like) documents until a token
+    // budget fills. Greedy top-by-weight (the temperature→0 limit of
+    // Xie et al.'s Gumbel sampling) stays integer-exact: the family's
+    // only ln sites remain on the 256-row lattice, the running token
+    // sum is an exact long, ties break by id.
+    "q143_dsir_selection" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.dsirSelectBudget(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", "source", budgetTokens = 1000L, nBuckets = 256)
+        .orderBy("source", "cum_tokens", "doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -700,5 +714,52 @@ private[graft] object CurationQueries {
         |SELECT split, count(*) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens, min(doc_id) AS min_id
         |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
+
+    // q125's lattice/scoring CTEs + a per-source greedy budget window —
+    // integer running sums, (logw DESC, id) total order
+    "q143_dsir_selection" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tokf AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('f:graft:' || term), 1, 8))::BIGINT % 256
+        |      AS b
+        |  FROM tok WHERE length(term) > 0),
+        |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+        |       FROM tokf JOIN documents USING (doc_id)
+        |       WHERE lang = 'en' GROUP BY b),
+        |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr
+        |       FROM tokf GROUP BY b),
+        |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS tt,
+        |               (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS tr),
+        |lattice AS (
+        |  SELECT coalesce(ct.b, cr.b) AS b,
+        |    CAST(round((ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 256))
+        |              - ln((coalesce(cr.cr, 0) + 1.0) / (tot.tr + 256)))
+        |      * 1000000) AS BIGINT) AS lr_micro
+        |  FROM ct FULL OUTER JOIN cr ON ct.b = cr.b CROSS JOIN tot),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(c * lr_micro) AS BIGINT) AS logw_micro
+        |  FROM (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |        FROM tokf GROUP BY doc_id, b) dbc
+        |  JOIN lattice USING (b) GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.source, d.doc_id,
+        |    CAST(len(string_split_regex(trim(lower(d.text)), '\s+'))
+        |      AS BIGINT) AS n_tokens,
+        |    coalesce(p.logw_micro, 0) AS logw_micro
+        |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+        |cum AS (
+        |  SELECT source, doc_id, n_tokens, logw_micro,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY logw_micro DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM scored)
+        |SELECT source, doc_id, n_tokens, logw_micro, cum_tokens
+        |FROM cum WHERE cum_tokens <= 1000
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
   )
 }

@@ -1097,6 +1097,37 @@ object TextOps {
       nBuckets, salt)
   }
 
+  /** The SELECTION step the DSIR weights exist for: keep each group's
+    * most target-like documents until a token budget fills — order by
+    * (logw_micro DESC, id) within `groupCol`, take while the running
+    * token sum stays ≤ `budgetTokens`. This is the deterministic
+    * greedy form of importance selection (Xie et al. sample with
+    * Gumbel noise; top-k-by-weight is its temperature→0 limit and the
+    * form that stays integer-exact — no per-document transcendental,
+    * the family's only ln sites remain on the ≤nBuckets lattice).
+    *
+    * Scale shape: [[dsirLogWeights]]' shape (bucket censuses + one
+    * broadcast-lattice score pass) plus exactly one group-key window
+    * shuffle carrying (group, logw, id, n_tokens) — the q57
+    * budget-sample discipline; the running sum is an exact long.
+    * Returns (groupCol, idCol, n_tokens, logw_micro, cum_tokens).
+    */
+  def dsirSelectBudget(raw: DataFrame, target: DataFrame, idCol: String,
+                       textCol: String, groupCol: String,
+                       budgetTokens: Long, nBuckets: Int = 1024,
+                       salt: String = "graft"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val weighted = dsirLogWeights(raw, target, idCol, textCol, nBuckets, salt)
+      .join(raw.select(col(idCol), col(groupCol)), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("logw_micro").desc, col(idCol).asc)
+    weighted.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(groupCol), col(idCol), col("n_tokens"),
+        col("logw_micro"), col("cum_tokens"))
+  }
+
   /** Token → hashed-bucket rows for the DSIR family (one definition
     * site — censuses and scoring must never disagree on the hash). */
   private def dsirBuckets(df: DataFrame, idCol: String, textCol: String,

@@ -114,4 +114,36 @@ class DsirSpec extends SparkSpec {
       target.toDF("doc_id", "text"), "doc_id", "text", nBuckets = B)
     assert(out.count() == raw.size)
   }
+
+  test("dsirSelectBudget: target-like docs fill the budget first, the " +
+    "running sum never exceeds it, greedy order is (logw desc, id)") {
+    val rawG = Seq(
+      (0L, "alpha beta gamma", "web"),   // target-like
+      (1L, "delta epsilon zeta", "web"), // off-target
+      (2L, "alpha alpha beta", "web"),   // target-like
+      (3L, "eta theta iota kappa", "web"),
+      (10L, "alpha beta", "books"),
+      (11L, "delta zeta epsilon delta", "books"))
+      .toDF("doc_id", "text", "source")
+    val sel = TextOps.dsirSelectBudget(rawG,
+        target.toDF("doc_id", "text"), "doc_id", "text", "source",
+        budgetTokens = 6L, nBuckets = B)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(sel.forall(_._5 <= 6L), s"budget exceeded: ${sel.toSeq}")
+    // web budget of 6 tokens fits exactly the two target-like docs
+    // (3 + 3); the off-target ones must not appear
+    val web = sel.filter(_._1 == "web").map(_._2).toSet
+    assert(web == Set(0L, 2L), s"web selection: ${sel.toSeq}")
+    // per-group cum is the running n_tokens sum in (logw desc, id) order
+    sel.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._5)
+      assert(ordered.map(_._3).scanLeft(0L)(_ + _).tail.toSeq
+        == ordered.map(_._5).toSeq)
+      assert(ordered.map(r => (-r._4, r._2)).toSeq
+        == ordered.map(r => (-r._4, r._2)).sorted.toSeq,
+        s"not in (logw desc, id) order: ${ordered.toSeq}")
+    }
+  }
 }
