@@ -85,6 +85,25 @@ object HttpShim {
       graft.ext.Retrieval.bm25ProbeTopK(spark, table, terms, k)
     })
 
+  /** `/quality?text=<document>` answered from a PERSISTED trained
+    * quality model ([[graft.ext.TextOps.writeQualityModel]]) through
+    * the stock inference operator — the quality twin of the `/search`
+    * route, so a served verdict is bit-identical to the batch scorer
+    * on the same model (spec-pinned). A missing/blank `text` surfaces
+    * as the standard `{"error": ...}` object.
+    */
+  def qualityRoutes(spark: org.apache.spark.sql.SparkSession,
+                    modelTable: String, threshold: Double = 0.0)
+      : Map[String, HttpExchange => DataFrame] = Map(
+    "quality" -> { ex =>
+      val params = queryParams(ex.getRequestURI.getRawQuery)
+      val text = params.getOrElse("text", "")
+      require(text.trim.nonEmpty, "missing or empty ?text= parameter")
+      import spark.implicits._
+      graft.ext.TextOps.qualityClassifierScoreIndexed(spark, modelTable,
+        Seq(text).toDF("text"), "text", threshold)
+    })
+
   /** The reference's two routes over CSV files (main.py:8-9, 24-30),
     * parsed with the S1 ingester.
     */
