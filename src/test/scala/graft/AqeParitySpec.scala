@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Adaptive Query Execution parity: the bench runs with AQE on, the
+  * verify gate with session defaults, and a real cluster always has it
+  * on — so results must be bit-identical either way. AQE re-plans
+  * shuffles at runtime (coalesced partitions, skew splits, join
+  * strategy swaps), which is exactly the kind of physical change that
+  * smokes out order-dependent aggregation, partition-sensitive RNG, or
+  * tie-breaks that only held under one partitioning. A drift here
+  * would pass every DuckDB compare and still give wrong answers on a
+  * 1000-executor cluster.
+  *
+  * The probe set leans on the queries most exposed to partitioning:
+  * window-heavy (q64), global-shuffle layout (q95), per-group top-k
+  * aggregate state (q83), LSH banding + connected components (q53),
+  * and the gradient-trained lattice (q139).
+  */
+class AqeParitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val probes = Seq("q64_window_battery", "q95_shuffle_shards",
+    "q83_topk_per_group", "q53_dup_clusters", "q139_train_quality")
+
+  test("AQE on and off produce identical rows for partition-sensitive " +
+    "queries") {
+    for (name <- probes) {
+      val fn = SparkEntry.queries(name)
+      val off = {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        fn(s, dir).collect().map(_.toSeq).toSeq
+      }
+      val on = {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "true")
+        // tiny advisory size forces AQE to actually coalesce/re-plan
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+          "1KB")
+        fn(s, dir).collect().map(_.toSeq).toSeq
+      }
+      assert(on == off,
+        s"$name drifted under AQE: ${on.diff(off).take(3)} vs ${
+          off.diff(on).take(3)}")
+    }
+  }
+}
