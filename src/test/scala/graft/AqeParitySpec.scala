@@ -46,4 +46,22 @@ class AqeParitySpec extends SparkSpec {
           off.diff(on).take(3)}")
     }
   }
+
+  test("shuffle partition count never changes results (1, 5, 32)") {
+    // a different cluster sizes its shuffles differently; results must
+    // be a pure function of the data. 1 partition serializes every
+    // shuffle (catching accidental reliance on parallel tie-breaks), a
+    // prime count misaligns every hash boundary.
+    for (name <- Seq("q83_topk_per_group", "q53_dup_clusters",
+        "q139_train_quality")) {
+      val fn = SparkEntry.queries(name)
+      val results = Seq("1", "5", "32").map { n =>
+        val s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", n)
+        fn(s, dir).collect().map(_.toSeq).toSeq
+      }
+      assert(results.distinct.size == 1,
+        s"$name depends on shuffle partition count")
+    }
+  }
 }
