@@ -306,6 +306,53 @@ private[graft] object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- the trained classifier DEPLOYED in the curation funnel
+    // (oracle-checked): q101's stage report with stage 1 swapped from
+    // the fixed md5-weight scorer to the IN-ENGINE-TRAINED model —
+    // train on the corpus (teacher labels from the stock scorer),
+    // serve through the stock inference operator, then dedup +
+    // decontaminate as before. The full train→deploy loop inside one
+    // e2e pipeline, with the training replayed in the oracle.
+    "q144_trained_funnel" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val withDups = docs.withColumn("text",
+        when(col("doc_id") % 17 === 0,
+          lit("duplicate stanza alpha shared across documents"))
+          .otherwise(col("text")))
+      val bench = withDups.filter(col("doc_id") % 31 === 0)
+      val corpus = withDups.filter(col("doc_id") % 31 =!= 0)
+      val teacher = TextOps.qualityClassifierScore(corpus, "text",
+          nBuckets = QtBuckets)
+        .select(col("doc_id"), col("text"), col("kept").as("label"))
+      val w = TextOps.trainQualityClassifier(teacher, "doc_id", "text",
+        "label", nBuckets = QtBuckets, steps = QtSteps, lrPpm = QtLrPpm)
+      val qf = TextOps.qualityClassifierScoreWith(corpus, "text", w.toSeq)
+        .select(col("doc_id"), col("kept").as("q_ok"))
+      val df = corpus.withColumn("__w",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .select(col("doc_id"), (col("doc_id") === col("__w")).as("d_ok"))
+      val cf = Dedup.contaminationReport(corpus, "doc_id", "text", bench,
+          shingleN = 8, dropPct = 10, useNative = true)
+        .select(col("doc_id"), (!col("dropped")).as("c_ok"))
+      qf.join(df, "doc_id").join(cf, "doc_id")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("q_ok"), 1)).as("n_q"),
+          count(when(col("q_ok") && col("d_ok"), 1)).as("n_qd"),
+          count(when(col("q_ok") && col("d_ok") && col("c_ok"), 1))
+            .as("n_qdc"))
+        .select(expr(
+          """stack(3,
+            |  '1_trained_quality', n_total, n_q,
+            |  '2_exact_dedup',     n_q,     n_qd,
+            |  '3_decontaminate',   n_qd,    n_qdc) AS (stage, n_in, n_out)"""
+            .stripMargin))
+        .withColumn("retention",
+          floor(col("n_out") / (col("n_in") * lit(1.0)) * 1e6) / 1e6)
+        .orderBy("stage")
+    }),
+
     // ---- DSIR-weighted budget selection (oracle-checked): the
     // SELECTION step q125's importance weights exist for — per source,
     // keep the most target-like (en-like) documents until a token
@@ -714,6 +761,65 @@ private[graft] object CurationQueries {
         |SELECT split, count(*) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens, min(doc_id) AS min_id
         |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
+
+    // the q139 training chain over the dup-implanted curation corpus,
+    // scored to stage-1 keeps, then q101's dedup/decontaminate stages
+    "q144_trained_funnel" -> {
+      val corpusSql = "SELECT doc_id, CASE WHEN doc_id % 17 = 0 " +
+        "THEN 'duplicate stanza alpha shared across documents' " +
+        "ELSE text END AS text FROM documents WHERE doc_id % 31 <> 0"
+      s"""${qualityTrainCtes(corpusSql)},
+        |score AS (
+        |  SELECT c.doc_id, CAST(sum(c.x * w.w) AS BIGINT) AS z
+        |  FROM cnt c JOIN w$QtSteps w USING (b) GROUP BY 1),
+        |qf AS (SELECT doc_id, z >= 0 AS q_ok FROM score),
+        |corpus AS ($corpusSql),
+        |df AS (
+        |  SELECT doc_id,
+        |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS d_ok
+        |  FROM corpus),
+        |wd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0
+        |         THEN 'duplicate stanza alpha shared across documents'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 8
+        |      THEN list_transform(range(1, len(tk) - 6),
+        |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+        |                          tk[i+4], tk[i+5], tk[i+6], tk[i+7]))
+        |      ELSE [array_to_string(tk, ' ')] END)) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        |        FROM wd)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 31 = 0),
+        |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+        |        WHERE doc_id % 31 <> 0 GROUP BY doc_id),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM sh JOIN bench USING (s)
+        |  WHERE doc_id % 31 <> 0
+        |  GROUP BY doc_id),
+        |cf AS (
+        |  SELECT n.doc_id,
+        |    NOT (n.n_shingles > 0 AND
+        |         coalesce(h.n_hits, 0) * 100 >= n.n_shingles * 10) AS c_ok
+        |  FROM nsh n LEFT JOIN hits h USING (doc_id)),
+        |agg AS (
+        |  SELECT count(*) AS n_total,
+        |    count(CASE WHEN q_ok THEN 1 END) AS n_q,
+        |    count(CASE WHEN q_ok AND d_ok THEN 1 END) AS n_qd,
+        |    count(CASE WHEN q_ok AND d_ok AND c_ok THEN 1 END) AS n_qdc
+        |  FROM qf JOIN df USING (doc_id) JOIN cf USING (doc_id)),
+        |st AS (
+        |  SELECT '1_trained_quality' AS stage, n_total AS n_in, n_q AS n_out
+        |  FROM agg
+        |  UNION ALL SELECT '2_exact_dedup', n_q, n_qd FROM agg
+        |  UNION ALL SELECT '3_decontaminate', n_qd, n_qdc FROM agg)
+        |SELECT stage, n_in, n_out,
+        |  floor(n_out / (n_in * 1.0) * 1e6) / 1e6 AS retention
+        |FROM st ORDER BY stage""".stripMargin
+    },
 
     // q125's lattice/scoring CTEs + a per-source greedy budget window —
     // integer running sums, (logw DESC, id) total order

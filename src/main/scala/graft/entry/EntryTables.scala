@@ -229,4 +229,74 @@ private[graft] object EntryTables {
        |FROM lo ORDER BY doc_id""".stripMargin
   }
 
+
+  /** q139/q140/q142/q144 training hyperparameters — shared between the
+    * Spark queries and the generated oracle CTEs; a drift here IS the
+    * bug the oracle exists to catch. */
+  val QtBuckets = 1024
+  val QtSteps = 6
+  val QtLrPpm = 200000L
+
+  /** The shared CTE chain replaying
+    * [[graft.ext.TextOps.trainQualityClassifier]] in DuckDB over the
+    * corpus `docsSql` selects (default: the whole documents table —
+    * q144 trains on its dup-implanted curation corpus instead):
+    * teacher labels from the md5-weight formulas, the
+    * (doc, bucket, count) census, then `QtSteps` unrolled
+    * (z → err → gradient → weight) rounds. Every operation is integer
+    * with division truncating toward zero on both sides (DuckDB
+    * integer `//` ≡ Scala `/` ≡ Spark `div`), so the final lattice is
+    * bit-identical to the engine's.
+    */
+  def qualityTrainCtes(
+      docsSql: String = "SELECT doc_id, text FROM documents"): String = {
+    val bucketOf = (t: String) =>
+      s"('0x' || substr(md5('f:graft:' || $t), 1, 8))::BIGINT % $QtBuckets"
+    val steps = (1 to QtSteps).map { k =>
+      val lrK = QtLrPpm / k // harmonic decay, truncating like the engine
+      s"""z$k AS (
+         |  SELECT c.doc_id, CAST(sum(w.w * c.x) AS BIGINT) AS z
+         |  FROM cnt c JOIN w${k - 1} w USING (b) GROUP BY 1),
+         |e$k AS (
+         |  SELECT z.doc_id,
+         |    (y.y - greatest(0, least(1000000, 500000 + z.z // 4)))
+         |      * CASE WHEN y.y = 1000000 THEN (SELECT cwp FROM cw)
+         |             ELSE (SELECT cwn FROM cw) END AS err
+         |  FROM z$k z JOIN y USING (doc_id)),
+         |g$k AS (
+         |  SELECT c.b, CAST(sum(e.err * c.x) AS BIGINT) AS g
+         |  FROM cnt c JOIN e$k e USING (doc_id) GROUP BY 1),
+         |w$k AS (
+         |  SELECT w.b, w.w + coalesce(
+         |    ($lrK * g.g) //
+         |      (CAST(1000000000 AS BIGINT) * (SELECT nd FROM d)), 0) AS w
+         |  FROM w${k - 1} w LEFT JOIN g$k g USING (b))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+       |  FROM ($docsSql)),
+       |y AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST(list_sum(list_transform(ts, t ->
+       |      ('0x' || substr(md5('w:graft:' ||
+       |         CAST(${bucketOf("t")} AS VARCHAR)), 1, 8))::BIGINT
+       |        % 2001 - 1000)) AS BIGINT) >= 0
+       |      THEN 1000000 ELSE 0 END AS y
+       |  FROM toks),
+       |cnt AS (
+       |  SELECT doc_id, ${bucketOf("t")} AS b, count(*) AS x
+       |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+       |  GROUP BY 1, 2),
+       |d AS (SELECT count(DISTINCT doc_id) AS nd FROM cnt),
+       |cls AS (
+       |  SELECT count(*) FILTER (WHERE y = 1000000) AS npos,
+       |         count(*) FILTER (WHERE y = 0) AS nneg
+       |  FROM y WHERE doc_id IN (SELECT DISTINCT doc_id FROM cnt)),
+       |cw AS (
+       |  SELECT (1000 * (npos + nneg)) // (2 * npos) AS cwp,
+       |         (1000 * (npos + nneg)) // (2 * nneg) AS cwn
+       |  FROM cls),
+       |w0 AS (SELECT range AS b, CAST(0 AS BIGINT) AS w FROM range($QtBuckets)),
+       |$steps""".stripMargin
+  }
 }

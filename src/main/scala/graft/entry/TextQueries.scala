@@ -388,72 +388,6 @@ private[graft] object TextQueries {
     }),
   )
 
-  /** q139/q140 training hyperparameters — shared between the Spark
-    * queries and the generated oracle CTEs below; a drift here IS the
-    * bug the oracle exists to catch. */
-  private val QtBuckets = 1024
-  private val QtSteps = 6
-  private val QtLrPpm = 200000L
-
-  /** The shared CTE chain replaying [[TextOps.trainQualityClassifier]]
-    * in DuckDB: teacher labels from the md5-weight formulas, the
-    * (doc, bucket, count) census, then `QtSteps` unrolled
-    * (z → err → gradient → weight) rounds. Every operation is integer
-    * with division truncating toward zero on both sides (DuckDB
-    * integer `//` ≡ Scala `/` ≡ Spark `div`), so the final lattice is
-    * bit-identical to the engine's.
-    */
-  private def qualityTrainCtes: String = {
-    val bucketOf = (t: String) =>
-      s"('0x' || substr(md5('f:graft:' || $t), 1, 8))::BIGINT % $QtBuckets"
-    val steps = (1 to QtSteps).map { k =>
-      val lrK = QtLrPpm / k // harmonic decay, truncating like the engine
-      s"""z$k AS (
-         |  SELECT c.doc_id, CAST(sum(w.w * c.x) AS BIGINT) AS z
-         |  FROM cnt c JOIN w${k - 1} w USING (b) GROUP BY 1),
-         |e$k AS (
-         |  SELECT z.doc_id,
-         |    (y.y - greatest(0, least(1000000, 500000 + z.z // 4)))
-         |      * CASE WHEN y.y = 1000000 THEN (SELECT cwp FROM cw)
-         |             ELSE (SELECT cwn FROM cw) END AS err
-         |  FROM z$k z JOIN y USING (doc_id)),
-         |g$k AS (
-         |  SELECT c.b, CAST(sum(e.err * c.x) AS BIGINT) AS g
-         |  FROM cnt c JOIN e$k e USING (doc_id) GROUP BY 1),
-         |w$k AS (
-         |  SELECT w.b, w.w + coalesce(
-         |    ($lrK * g.g) //
-         |      (CAST(1000000000 AS BIGINT) * (SELECT nd FROM d)), 0) AS w
-         |  FROM w${k - 1} w LEFT JOIN g$k g USING (b))""".stripMargin
-    }.mkString(",\n")
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
-       |  FROM documents),
-       |y AS (
-       |  SELECT doc_id,
-       |    CASE WHEN CAST(list_sum(list_transform(ts, t ->
-       |      ('0x' || substr(md5('w:graft:' ||
-       |         CAST(${bucketOf("t")} AS VARCHAR)), 1, 8))::BIGINT
-       |        % 2001 - 1000)) AS BIGINT) >= 0
-       |      THEN 1000000 ELSE 0 END AS y
-       |  FROM toks),
-       |cnt AS (
-       |  SELECT doc_id, ${bucketOf("t")} AS b, count(*) AS x
-       |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
-       |  GROUP BY 1, 2),
-       |d AS (SELECT count(DISTINCT doc_id) AS nd FROM cnt),
-       |cls AS (
-       |  SELECT count(*) FILTER (WHERE y = 1000000) AS npos,
-       |         count(*) FILTER (WHERE y = 0) AS nneg
-       |  FROM y WHERE doc_id IN (SELECT DISTINCT doc_id FROM cnt)),
-       |cw AS (
-       |  SELECT (1000 * (npos + nneg)) // (2 * npos) AS cwp,
-       |         (1000 * (npos + nneg)) // (2 * nneg) AS cwn
-       |  FROM cls),
-       |w0 AS (SELECT range AS b, CAST(0 AS BIGINT) AS w FROM range($QtBuckets)),
-       |$steps""".stripMargin
-  }
-
   val oracleSql: Map[String, String] = Map(
 
     "q20_text_stats" ->
@@ -880,7 +814,7 @@ private[graft] object TextQueries {
 
     // train (the q139 CTEs), hard-sigmoid probability per doc, decile
     // bins, integer-exact means and rates
-    "q142_calibration_report" -> s"""$qualityTrainCtes,
+    "q142_calibration_report" -> s"""${qualityTrainCtes()},
       |score AS (
       |  SELECT c.doc_id, CAST(sum(c.x * w.w) AS BIGINT) AS z
       |  FROM cnt c JOIN w$QtSteps w USING (b) GROUP BY 1),
@@ -899,13 +833,13 @@ private[graft] object TextQueries {
 
     // the whole training loop replayed as unrolled CTEs — integer-exact,
     // so the trained lattice must match bit-for-bit
-    "q139_train_quality" -> s"""$qualityTrainCtes
+    "q139_train_quality" -> s"""${qualityTrainCtes()}
       |SELECT b AS bucket, CAST(w AS BIGINT) AS w_micro
       |FROM w$QtSteps ORDER BY bucket""".stripMargin,
 
     // train (same CTEs) then score through the inference formula the
     // engine's qualityClassifierScoreWith pins
-    "q140_trained_scoring" -> s"""$qualityTrainCtes,
+    "q140_trained_scoring" -> s"""${qualityTrainCtes()},
       |score AS (
       |  SELECT c.doc_id, CAST(sum(c.x * w.w) AS BIGINT) AS logit_micro
       |  FROM cnt c JOIN w$QtSteps w USING (b) GROUP BY 1)
