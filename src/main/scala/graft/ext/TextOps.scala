@@ -688,6 +688,45 @@ object TextOps {
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
   }
 
+  /** Persist a trained BPE merge table ([[trainBpeMerges]] output) as
+    * the tokenizer artifact — the tokenizer member of the persisted-
+    * model family ([[writeQualityModel]], `writeBm25Index`): one row
+    * per merge with its RANK (replay order is the model — losing it
+    * silently changes every segmentation) and training count kept for
+    * audit. Train once on the corpus pass, tokenize any corpus any
+    * time later.
+    */
+  def writeBpeModel(spark: org.apache.spark.sql.SparkSession,
+                    table: String,
+                    merges: Seq[(String, String, Long)]): Unit = {
+    require(merges.nonEmpty, "empty merge table")
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, cnt), i) => (i.toLong, l, r, cnt) }
+      .toDF("rank", "left", "right", "train_count")
+      .write.format("parquet").mode("overwrite").saveAsTable(table)
+  }
+
+  /** Load a persisted BPE model back into rank order. */
+  def loadBpeModel(spark: org.apache.spark.sql.SparkSession,
+                   table: String): Seq[(String, String)] = {
+    val rows = spark.table(table)
+      .select(col("rank"), col("left"), col("right"))
+      .orderBy(col("rank")).collect()
+    require(rows.nonEmpty, s"empty BPE model table $table")
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** Tokenize against a PERSISTED BPE model — loads the bounded merge
+    * table (nMerges rows) to the driver and runs the stock
+    * [[withBpeTokens]] projection, so persisted-model segmentation is
+    * bit-identical to tokenizing with the in-memory table
+    * (spec-pinned). */
+  def withBpeTokensIndexed(spark: org.apache.spark.sql.SparkSession,
+                           table: String, df: DataFrame,
+                           textCol: String): DataFrame =
+    withBpeTokens(df, textCol, loadBpeModel(spark, table))
+
   /** Frequency capping — keep at most `k` rows per key, best-first by
     * (`ordCol` DESC, `idCol` ASC): the per-domain / per-source corpus
     * balancing step of web-scale curation recipes (the source-cap stage

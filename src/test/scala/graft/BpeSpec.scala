@@ -109,4 +109,25 @@ class BpeSpec extends SparkSpec {
     assert(TextOps.trainBpeMerges(d2, "text", 5) ==
       TextOps.trainBpeMerges(d2, "text", 5))
   }
+
+  test("persisted BPE model: train → write → load round-trips rank " +
+    "order, and indexed tokenization equals the in-memory table") {
+    val corpus = Seq((1L, "the theory then"), (2L, "the thesis"),
+      (3L, "other ethos the")).toDF("doc_id", "text")
+    val trained = TextOps.trainBpeMerges(corpus, "text", nMerges = 6)
+    assert(trained.nonEmpty)
+    val loc = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bpedb LOCATION '$loc'")
+    TextOps.writeBpeModel(spark, "graft_bpedb.model", trained)
+    val loaded = TextOps.loadBpeModel(spark, "graft_bpedb.model")
+    // replay ORDER is the model — the round-trip must preserve it
+    assert(loaded == trained.map(m => (m._1, m._2)))
+    val direct = TextOps.withBpeTokens(corpus, "text",
+        trained.map(m => (m._1, m._2)))
+      .select("doc_id", "bpe_tokens").collect().map(_.toSeq)
+    val indexed = TextOps.withBpeTokensIndexed(spark, "graft_bpedb.model",
+        corpus, "text")
+      .select("doc_id", "bpe_tokens").collect().map(_.toSeq)
+    assert(indexed.toSeq == direct.toSeq)
+  }
 }
