@@ -982,9 +982,12 @@ object TextOps {
                              textCol: String, labelCol: String,
                              nBuckets: Int = 1024, steps: Int = 6,
                              lrPpm: Long = 200000L,
-                             salt: String = "graft"): Array[Long] = {
+                             salt: String = "graft",
+                             init: Option[Seq[Long]] = None): Array[Long] = {
     require(nBuckets > 0 && steps > 0 && lrPpm > 0,
       s"bad nBuckets/steps/lrPpm: $nBuckets/$steps/$lrPpm")
+    init.foreach(w0 => require(w0.size == nBuckets,
+      s"init lattice has ${w0.size} buckets, trainer told $nBuckets"))
     val toks = split(trim(lower(col(textCol))), "\\s+")
     // ONE row per document: its bucket-count sparse vector as an array
     // of (b, x) structs. With features doc-local, the per-step logit is
@@ -1020,7 +1023,7 @@ object TextOps {
       // 'balanced' recipe, public), truncating division throughout
       val cwPos = 1000L * nDocs / (2L * nPos)
       val cwNeg = 1000L * nDocs / (2L * nNeg)
-      val w = new Array[Long](nBuckets)
+      val w = init.map(_.toArray).getOrElse(new Array[Long](nBuckets))
       for (k <- 1 to steps) {
         val wLit = typedlit(w.toSeq)
         val g = feats
@@ -1100,6 +1103,28 @@ object TextOps {
                                     threshold: Double = 0.0): DataFrame = {
     val (w, salt) = loadQualityModel(spark, table)
     qualityClassifierScoreWith(df, textCol, w.toSeq, threshold, salt)
+  }
+
+  /** Refresh a PERSISTED quality model with a new labeled batch — the
+    * continuous-retraining step between serving windows: load the
+    * lattice, WARM-START [[trainQualityClassifier]] on the batch
+    * (`steps` balanced gradient rounds from the current weights, decay
+    * restarting per refresh), write the updated lattice back. The
+    * whole cycle is deterministic given the batch sequence, so a
+    * replayed stream reproduces the exact model (spec-pinned). Returns
+    * the updated lattice.
+    */
+  def refreshQualityModel(spark: org.apache.spark.sql.SparkSession,
+                          table: String, labeled: DataFrame,
+                          idCol: String, textCol: String,
+                          labelCol: String, steps: Int = 2,
+                          lrPpm: Long = 200000L): Array[Long] = {
+    val (w0, salt) = loadQualityModel(spark, table)
+    val w = trainQualityClassifier(labeled, idCol, textCol, labelCol,
+      nBuckets = w0.length, steps = steps, lrPpm = lrPpm, salt = salt,
+      init = Some(w0.toSeq))
+    writeQualityModel(spark, table, w.toSeq, salt)
+    w
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, public recipe):

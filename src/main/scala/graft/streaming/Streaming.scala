@@ -234,6 +234,29 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous model retraining against a PERSISTED quality model:
+    * each micro-batch of LABELED (id, text, label) rows warm-starts
+    * the balanced trainer from the current lattice and writes the
+    * refreshed model back
+    * ([[graft.ext.TextOps.refreshQualityModel]]) — the training-side
+    * complement of [[qualityScoreStream]]'s serving loop. Deterministic
+    * given the batch sequence (spec-pinned: a streamed refresh equals
+    * the same refreshes applied sequentially in batch). `onBatch`
+    * receives the updated lattice for monitoring.
+    */
+  def qualityModelRefreshStream(labeled: DataFrame, table: String,
+                                idCol: String, textCol: String,
+                                labelCol: String, steps: Int = 2,
+                                lrPpm: Long = 200000L)(
+      onBatch: (Array[Long], Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    labeled.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ext.TextOps.refreshQualityModel(batch.sparkSession,
+          table, batch, idCol, textCol, labelCol, steps, lrPpm), batchId)
+      }
+      .start()
+
   /** Continuous-ingest VIDEO near-dup probe — the frame-banded twin of
     * [[mediaNearDupProbeStream]]: each micro-batch of clip payloads is
     * per-frame banded (real GIF decode inside the payload-dropping

@@ -18,7 +18,8 @@ class QualityTrainSpec extends SparkSpec {
     * integer `//` — all toward zero).
     */
   private def refTrain(docs: Seq[(Long, String, Boolean)], nBuckets: Int,
-                       steps: Int, lrPpm: Long): Array[Long] = {
+                       steps: Int, lrPpm: Long,
+                       init: Option[Seq[Long]] = None): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def bucket(tok: String): Int = {
       val hex = md.digest(s"f:graft:$tok".getBytes("UTF-8"))
@@ -34,7 +35,7 @@ class QualityTrainSpec extends SparkSpec {
     val nDocs = feats.size.toLong
     val cwPos = 1000L * nDocs / (2L * nPos)
     val cwNeg = 1000L * nDocs / (2L * nNeg)
-    val w = new Array[Long](nBuckets)
+    val w = init.map(_.toArray).getOrElse(new Array[Long](nBuckets))
     for (k <- 1 to steps) {
       val g = new Array[Long](nBuckets)
       feats.foreach { case (label, x) =>
@@ -118,6 +119,51 @@ class QualityTrainSpec extends SparkSpec {
           (2L, "noise clutter delta")).toDF("doc_id", "text"), "text")
       .collect().map(_.toSeq)
     assert(acc.toSet == oneShot.toSet && acc.size == 3)
+  }
+
+  test("warm-start training continues from the given lattice and " +
+    "equals the replay; streamed model refreshes equal sequential " +
+    "batch refreshes") {
+    val df = seed.toDF("doc_id", "text", "label")
+    val w1 = TextOps.trainQualityClassifier(df, "doc_id", "text", "label",
+      nBuckets = 32, steps = 2, lrPpm = 400000L)
+    val warm = TextOps.trainQualityClassifier(df, "doc_id", "text", "label",
+      nBuckets = 32, steps = 2, lrPpm = 400000L, init = Some(w1.toSeq))
+    assert(warm.toSeq ==
+      refTrain(seed, 32, 2, 400000L, Some(w1.toSeq)).toSeq)
+    assert(warm.toSeq != w1.toSeq, "warm start moved nothing")
+
+    // two persisted copies of the same starting model: one refreshed by
+    // a STREAM of two labeled batches, one by the same refreshes in
+    // batch — final lattices must agree exactly
+    val loc = java.nio.file.Files.createTempDirectory("graft_qr").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_qrdb LOCATION '$loc'")
+    TextOps.writeQualityModel(spark, "graft_qrdb.stream", w1.toSeq)
+    TextOps.writeQualityModel(spark, "graft_qrdb.batch", w1.toSeq)
+    val b1 = Seq((20L, "alpha beta fresh", true),
+      (21L, "junk clutter fresh", false))
+    val b2 = Seq((22L, "gamma delta update", true),
+      (23L, "spam noise update", false),
+      (24L, "beta kappa", true))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Boolean)]
+    val query = graft.streaming.EventStreams.qualityModelRefreshStream(
+        in.toDF().toDF("doc_id", "text", "label"), "graft_qrdb.stream",
+        "doc_id", "text", "label") { (_, _) => () }
+    in.addData(b1: _*)
+    query.processAllAvailable()
+    in.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+    TextOps.refreshQualityModel(spark, "graft_qrdb.batch",
+      b1.toDF("doc_id", "text", "label"), "doc_id", "text", "label")
+    TextOps.refreshQualityModel(spark, "graft_qrdb.batch",
+      b2.toDF("doc_id", "text", "label"), "doc_id", "text", "label")
+    val (ws, _) = TextOps.loadQualityModel(spark, "graft_qrdb.stream")
+    val (wb, _) = TextOps.loadQualityModel(spark, "graft_qrdb.batch")
+    assert(ws.toSeq == wb.toSeq)
+    assert(ws.toSeq != w1.toSeq, "refreshes moved nothing")
   }
 
   test("property: trainer equals the plain-Scala replay on random " +
