@@ -85,6 +85,33 @@ object HttpShim {
       graft.ext.Retrieval.bm25ProbeTopK(spark, table, terms, k)
     })
 
+  /** `/similar?id=<doc>[&k=N]` answered from a PERSISTED IVF index
+    * ([[graft.ext.Ivf.writeIndex]]) — more-like-this serving over the
+    * vector family, completing the served-index trio (lexical BM25,
+    * quality model, ANN). The query vector comes from the index itself
+    * (one bucketed-id lookup), then the stock indexed probe runs, so a
+    * served neighbor list is bit-identical to the batch probe
+    * (spec-pinned). An id absent from the index surfaces as the
+    * standard `{"error": ...}` object.
+    */
+  def annRoutes(spark: org.apache.spark.sql.SparkSession,
+                table: String, idCol: String, vecCol: String,
+                defaultK: Int = 10, nProbe: Int = 4)
+      : Map[String, HttpExchange => DataFrame] = Map(
+    "similar" -> { ex =>
+      val params = queryParams(ex.getRequestURI.getRawQuery)
+      val id = params.getOrElse("id",
+        throw new IllegalArgumentException("missing ?id= parameter")).toLong
+      val k = params.get("k").map(_.toInt).getOrElse(defaultK)
+      val q = spark.table(table)
+        .filter(org.apache.spark.sql.functions.col(idCol) === id)
+        .select(org.apache.spark.sql.functions.col(idCol),
+          org.apache.spark.sql.functions.col(vecCol))
+      require(q.take(1).nonEmpty, s"id $id not in index $table")
+      graft.ext.Ivf.ivfTopKIndexed(spark, table, q, idCol, vecCol, k,
+        nProbe)
+    })
+
   /** `/quality?text=<document>` answered from a PERSISTED trained
     * quality model ([[graft.ext.TextOps.writeQualityModel]]) through
     * the stock inference operator — the quality twin of the `/search`

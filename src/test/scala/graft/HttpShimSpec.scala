@@ -2,6 +2,7 @@ package graft
 
 import graft.io.HttpShim
 import java.net.{HttpURLConnection, URI}
+import org.apache.spark.sql.functions.col
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
@@ -75,6 +76,39 @@ class HttpShimSpec extends SparkSpec {
       // missing q → the shim's standard error object, HTTP 200
       val (c2, b2) = get(shim.port, "/search")
       assert(c2 == 200 && b2.startsWith("""{"error":"""), b2)
+    } finally shim.stop()
+  }
+
+  test("ann route serves the persisted IVF index: served neighbors == " +
+    "the batch probe, unknown id errors as JSON object") {
+    import graft.ext.Ivf
+    graft.plans.GraftFunctions.register(spark)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = 64
+    val centroids = Ivf.trainCentroids(emb, "embedding", nList = 8,
+      dim = dim, sampleSize = 500, iters = 2)
+    val loc = Files.createTempDirectory("graft_httpann").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_httpanndb LOCATION '$loc'")
+    Ivf.writeIndex(emb, "vec_id", "embedding", centroids, dim,
+      "graft_httpanndb.idx", nBuckets = 4)
+    val shim = HttpShim.startDynamic(HttpShim.annRoutes(spark,
+      "graft_httpanndb.idx", "vec_id", "embedding", defaultK = 5))
+    try {
+      val probeId = emb.select("vec_id").orderBy("vec_id").head.getLong(0)
+      val (code, body) = get(shim.port, s"/similar?id=$probeId&k=3")
+      assert(code == 200, body)
+      val expect = Ivf.ivfTopKIndexed(spark, "graft_httpanndb.idx",
+          spark.table("graft_httpanndb.idx")
+            .filter(col("vec_id") === probeId)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 3)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(body == expect, s"served=$body expect=$expect")
+      val (c2, b2) = get(shim.port, "/similar?id=999999999")
+      assert(c2 == 200 && b2.startsWith("""{"error":"""), b2)
+      val (c3, b3) = get(shim.port, "/similar")
+      assert(c3 == 200 && b3.startsWith("""{"error":"""), b3)
     } finally shim.stop()
   }
 
