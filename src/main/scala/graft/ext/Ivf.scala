@@ -448,6 +448,25 @@ object Ivf {
       .write.mode("overwrite").saveAsTable(s"${table}_centroids")
   }
 
+  /** Append new vectors to a persisted IVF index — the corpus-growth
+    * step of the ingest loop (the `appendToMinhashIndex` /
+    * `appendToDHashIndex` pattern): arrivals assign to the EXISTING
+    * stored centroids (the standard IVF ingestion discipline — the
+    * quantizer retrains on its own cadence, not per batch, or probe
+    * results would shift under readers) and land via `insertInto`,
+    * which honors the table's bucketing metadata.
+    */
+  def appendToIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    table: String): Unit = {
+    val spark = corpus.sparkSession
+    val dim = loadDim(spark, table)
+    val centroids = loadCentroids(spark, table)
+    corpus
+      .select(col(idCol), col(vecCol),
+        element_at(assignLists(col(vecCol), centroids, dim, 1), 1).as("list"))
+      .write.mode("append").insertInto(table)
+  }
+
   /** Reload the centroid matrix persisted by [[writeIndex]]. */
   def loadCentroids(spark: SparkSession, table: String): Array[Double] = {
     import spark.implicits._

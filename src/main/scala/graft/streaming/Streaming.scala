@@ -234,6 +234,28 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous ANN serving against a PERSISTED IVF index
+    * ([[graft.ext.Ivf.writeIndex]]): each micro-batch of (id, vector)
+    * queries is answered by [[graft.ext.Ivf.ivfTopKIndexed]] and
+    * handed to `onBatch` — the vector member of the serve-from-index
+    * stream family (BM25 queries, media probes, quality scores). Same
+    * foreachBatch-reuses-the-batch-operator rationale; against a
+    * static index the union of per-batch outputs equals one probe of
+    * every query streamed (spec-pinned). Corpus growth belongs to the
+    * caller via [[graft.ext.Ivf.appendToIndex]] between serving
+    * windows, exactly like the MinHash/dHash loops.
+    */
+  def annProbeStream(queries: DataFrame, table: String, idCol: String,
+                     vecCol: String, k: Int, nProbe: Int = 4)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ext.Ivf.ivfTopKIndexed(batch.sparkSession, table,
+          batch, idCol, vecCol, k, nProbe), batchId)
+      }
+      .start()
+
   /** Continuous model retraining against a PERSISTED quality model:
     * each micro-batch of LABELED (id, text, label) rows warm-starts
     * the balanced trainer from the current lattice and writes the

@@ -47,6 +47,49 @@ class IvfIndexSpec extends SparkSpec {
     assert(indexed == direct)
   }
 
+  test("append grows the corpus under the FIXED quantizer: a re-probe " +
+    "finds appended exact-duplicate neighbors; streaming probe union " +
+    "of 2 micro-batches equals the one-shot probe") {
+    centroids // force index write
+    // appended vectors: exact copies of three corpus members under new
+    // ids — their nearest neighbor must be their source vector
+    val dup = emb.filter(col("vec_id").isin(3L, 57L, 400L))
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    Ivf.appendToIndex(dup, "vec_id", "embedding", table)
+    val probe = spark.table(table)
+      .filter(col("vec_id") >= 10000L)
+      .select(col("vec_id"), col("embedding"))
+    val hits = Ivf.ivfTopKIndexed(spark, table, probe, "vec_id",
+        "embedding", k = 1, nProbe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(hits == Map(10003L -> 3L, 10057L -> 57L, 10400L -> 400L),
+      s"appended members did not resolve to their sources: $hits")
+
+    // streaming serve over the (now grown) static index
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val query = graft.streaming.EventStreams.annProbeStream(
+        in.toDF().toDF("qid").join(emb, col("qid") === col("vec_id"))
+          .select(col("vec_id"), col("embedding")),
+        table, "vec_id", "embedding", k = 3) {
+      (batch, _) => acc.synchronized { acc ++= batch.collect().map(_.toSeq) }
+    }
+    in.addData(0L, 100L)
+    query.processAllAvailable()
+    in.addData(200L)
+    query.processAllAvailable()
+    query.stop()
+    val oneShot = Ivf.ivfTopKIndexed(spark, table,
+        emb.filter(col("vec_id").isin(0L, 100L, 200L))
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq)
+    assert(acc.toSet == oneShot.toSet && acc.nonEmpty)
+  }
+
   test("candidate join shuffles ONLY the query side (corpus is bucketed)") {
     centroids // force index write
     // a tiny query side broadcasts (zero shuffle — even better); the
