@@ -295,6 +295,29 @@ object Pq {
   /** Reload the model persisted by [[writeIndex]]:
     * (coarse, codebooks, m, dsub, ksub).
     */
+  /** Append new vectors to a persisted IVF-PQ index under the STORED
+    * model — the corpus-growth step (the `Ivf.appendToIndex`
+    * discipline): arrivals assign to the persisted coarse centroids
+    * and encode against the persisted codebooks, so existing codes and
+    * probe results never shift; `insertInto` honors the bucketing.
+    * Codebook retraining is its own cadence — rebuild with
+    * [[writeIndex]] when drift warrants it.
+    */
+  def appendToIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    table: String): Unit = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val (coarse, codebooks, m, dsub, ksub) = loadModel(spark, table)
+    corpus
+      .select(col(idCol), col(vecCol),
+        element_at(Ivf.assignLists(col(vecCol), coarse, m * dsub, 1), 1)
+          .as("list"))
+      .select(col(idCol), col(vecCol), col("list"),
+        encode(col(vecCol), col("list"), codebooks, coarse, m, dsub, ksub)
+          .as("codes"))
+      .write.mode("append").insertInto(table)
+  }
+
   def loadModel(spark: org.apache.spark.sql.SparkSession,
                 table: String): (Array[Double], Array[Double], Int, Int, Int) = {
     import spark.implicits._

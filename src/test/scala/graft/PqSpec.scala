@@ -144,6 +144,21 @@ class PqSpec extends SparkSpec {
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       }
+      // append under the STORED model: exact duplicates of three corpus
+      // members under new ids — a re-probe resolves each to its source
+      // (fixed coarse assignment + fixed codebooks => same list, same
+      // codes, ADC distance 0 to the source's codes)
+      val dup = emb.filter(col("vec_id").isin(5L, 123L, 900L))
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      Pq.appendToIndex(dup, "vec_id", "embedding", table)
+      val probe = spark.table(table)
+        .filter(col("vec_id") >= 10000L)
+        .select(col("vec_id"), col("embedding"))
+      val hits = Pq.pqTopKIndexed(spark, table, probe, "vec_id",
+          "embedding", k = 1, nProbe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+      assert(hits == Map(10005L -> 5L, 10123L -> 123L, 10900L -> 900L),
+        s"appended members did not resolve to their sources: $hits")
     } finally {
       spark.sql("DROP DATABASE IF EXISTS graft_pqdb CASCADE")
     }
