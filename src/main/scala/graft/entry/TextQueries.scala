@@ -388,7 +388,65 @@ private[graft] object TextQueries {
     }),
   )
 
+  /** The q119 oracle: the BPE TRAINING loop replayed in DuckDB — 16
+    * unrolled argmax-and-fuse rounds. Step k counts adjacent symbol
+    * pairs (with multiplicity, weighted by word frequency) over the
+    * step-(k-1) segmentation, takes the (cnt DESC, pair ASC) argmax as
+    * a scalar CTE, and fuses it with ONE global left-to-right
+    * `replace` of `␁l␁r␁` with `␁lr␁` — the q120 replay discipline
+    * (rank-order replay ≡ the engine's lowest-rank-present loop for
+    * the greedily-grown, hence consistent, table; left-to-right
+    * non-overlapping replace ≡ the fuse loop). All-ASCII corpora make
+    * the tie-break byte-order-identical across engines. Steps whose
+    * best pair repeats fewer than 2 times emit nothing, mirroring the
+    * trainer's early stop (never triggered on these corpora — counts
+    * stay in the thousands — but the guard keeps the oracle honest).
+    */
+  private def q119OracleSql(nMerges: Int = 16): String = {
+    def pairOf(k: Int, part: Int) =
+      s"split_part((SELECT pair FROM m$k), ' ', $part)"
+    val steps = (1 to nMerges).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(lst)),
+         |        i -> lst[i] || ' ' || lst[i + 1])) AS pair
+         |    FROM (SELECT freq,
+         |            list_filter(string_split(sym, chr(1)), x -> x <> '')
+         |              AS lst
+         |          FROM w${k - 1}))
+         |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT w, freq, replace(sym,
+         |      chr(1) || ${pairOf(k, 1)} || chr(1) ||
+         |        ${pairOf(k, 2)} || chr(1),
+         |      chr(1) ||
+         |        replace((SELECT pair FROM m$k), ' ', '') || chr(1)) AS sym
+         |  FROM w${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to nMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank,
+         |  split_part(pair, ' ', 1) AS "left",
+         |  split_part(pair, ' ', 2) AS "right", cnt
+         |FROM m$k WHERE cnt >= 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |    regexp_replace(w, '(.)', chr(1) || '\\1', 'g')
+       |      || chr(1) || '</w>' || chr(1) AS sym
+       |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+       |          AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |$steps
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    // the BPE TRAINING loop itself, unrolled — see q119OracleSql
+    "q119_bpe_merges" -> q119OracleSql(),
 
     "q20_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars_computed,

@@ -21,8 +21,9 @@ class EntryContractSpec extends SparkSpec {
       "q43_topk_ivf",           // trained coarse quantizer
       "q56_semantic_dedup",     // IVF clustering of the embedding space
       "q75_kmeans",             // trained model output itself
-      "q79_topk_ivfpq",         // trained coarse + product codebooks
-      "q119_bpe_merges")        // iterative trainer (not one SQL stmt)
+      "q79_topk_ivfpq")         // trained coarse + product codebooks
+    // (q119's BPE trainer joined the oracle-checked set in round 9 —
+    // the argmax loop unrolls into materialized CTEs)
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked == declaredRowsOnly,
       s"rows-only drift: unexpected=${unchecked -- declaredRowsOnly} " +
@@ -60,7 +61,7 @@ class EntryContractSpec extends SparkSpec {
       // CTE names shadow base tables; collect them first
       // a CTE may declare a column list: `walk (id, label) AS (`
       val ctes = ("(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-z_][a-z0-9_]*)" +
-        "\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(").r
+        "\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s+)?\\(").r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = tableRef.findAllMatchIn(sql).map(_.group(1).toLowerCase)
         .filterNot(ctes).toSet

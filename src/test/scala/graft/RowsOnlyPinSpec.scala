@@ -2,9 +2,11 @@ package graft
 
 import java.security.MessageDigest
 
-/** Hard pass/fail gates for the five remaining rows-only catalog queries
+/** Hard pass/fail gates for the remaining rows-only catalog queries
   * (q31/q38/q43/q56/q79) — the trained-model / RNG-seeded ANN set the
-  * DuckDB oracle cannot express. Each is bit-deterministic at a fixed
+  * DuckDB oracle cannot express — plus q119, which since round 9 IS
+  * oracle-checked (the BPE training loop unrolled as argmax-and-fuse
+  * CTEs) and keeps its pin as defense in depth. Each is bit-deterministic at a fixed
   * input: hyperplanes and shingle salts are md5-derived, k-means /
   * PQ-codebook training uses hash-ordered init samples with DECIMAL
   * sums (order-independent), and every query ends in a total ORDER BY.
