@@ -53,7 +53,7 @@ class AqeParitySpec extends SparkSpec {
     // shuffle (catching accidental reliance on parallel tie-breaks), a
     // prime count misaligns every hash boundary.
     for (name <- Seq("q83_topk_per_group", "q53_dup_clusters",
-        "q139_train_quality")) {
+        "q139_train_quality", "q143_dsir_selection")) {
       val fn = SparkEntry.queries(name)
       val results = Seq("1", "5", "32").map { n =>
         val s = spark.newSession()
