@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** fsck for the persisted-index families: every artifact is a table
+  * PAIR (postings + meta/bands/model) whose halves are derived from
+  * one build pass — a partial write, a lost append, or a hand edit
+  * leaves them internally inconsistent, and a probe over an
+  * inconsistent index returns WRONG answers silently (scores shift,
+  * candidates vanish) rather than failing. These audits recompute each
+  * pair's cross-table invariants as distributed aggregates and report
+  * one row per check: run them after ingest appends and before
+  * promoting an index to serving, the way a filesystem fsck gates a
+  * mount.
+  *
+  * Report schema (uniform across families): `(check, ok, observed,
+  * expected)` with counts as longs — `ok = observed == expected`
+  * everywhere, so a reader can alert on `ok = false` without knowing
+  * the family. Scale shape: each check is one aggregation over the
+  * index tables (never the source corpus); the only driver state is
+  * the bounded model read the probe path already does.
+  */
+object IndexAudit {
+
+  private def report(spark: SparkSession,
+                     rows: Seq[(String, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (check, obs, exp) => (check, obs == exp, obs, exp) }
+      .toDF("check", "ok", "observed", "expected")
+  }
+
+  /** BM25 pair ([[Retrieval.writeBm25Index]]): `<table>` postings vs
+    * `<table>_meta` scalars.
+    *  - `meta_n_docs`: meta's N equals the postings' distinct doc count;
+    *  - `meta_total_tokens`: meta's T equals Σ dl over one row per doc
+    *    (dl is denormalized onto every posting — drift means a partial
+    *    append);
+    *  - `df_consistent`: every term's stored df equals its actual
+    *    distinct-doc posting count (observed = violating terms,
+    *    expected 0);
+    *  - `dl_consistent`: no doc carries two different dl values
+    *    (observed = violating docs, expected 0).
+    */
+  def auditBm25(spark: SparkSession, table: String): DataFrame = {
+    val p = spark.table(table)
+    val meta = spark.table(s"${table}_meta")
+    val idCol = if (meta.columns.contains("id_col"))
+      meta.select(col("id_col")).head.getString(0)
+    else p.columns(1)
+    val (metaN, metaT) =
+      (meta.select(col("n")).head.getLong(0),
+        meta.select(col("t")).head.getLong(0))
+    val perDoc = p.groupBy(col(idCol))
+      .agg(first(col("dl")).as("dl"),
+        countDistinct(col("dl")).as("n_dl"))
+    val nDocs = perDoc.count()
+    val totT = perDoc.agg(sum(col("dl"))).head.getLong(0)
+    val dlBad = perDoc.filter(col("n_dl") > 1).count()
+    val dfBad = p.groupBy(col("term"))
+      .agg(first(col("df")).as("df"),
+        countDistinct(col(idCol)).as("actual"),
+        countDistinct(col("df")).as("n_df"))
+      .filter(col("df") =!= col("actual") || col("n_df") > 1)
+      .count()
+    report(spark, Seq(
+      ("meta_n_docs", nDocs, metaN),
+      ("meta_total_tokens", totT, metaT),
+      ("df_consistent", dfBad, 0L),
+      ("dl_consistent", dlBad, 0L)))
+  }
+
+  /** dHash pair ([[Multimodal.writeDHashIndex]]): `<table>` band
+    * postings vs `<table>_bands` verify sidecar.
+    *  - `postings_without_bands`: postings ids missing from the bands
+    *    sidecar (a candidate that can never verify — silently dropped
+    *    hits), expected 0;
+    *  - `bands_without_postings`: sidecar ids missing from the
+    *    postings (rows that can never become candidates), expected 0;
+    *  - `band_values_match`: postings (id, band_idx, val) triples that
+    *    disagree with the stored band arrays, expected 0.
+    */
+  def auditDHash(spark: SparkSession, table: String,
+                 idCol: String): DataFrame = {
+    val p = spark.table(table)
+    val b = spark.table(s"${table}_bands")
+    val pIds = p.select(col(idCol)).distinct()
+    val bIds = b.select(col(idCol)).distinct()
+    val orphanP = pIds.join(bIds, Seq(idCol), "left_anti").count()
+    val orphanB = bIds.join(pIds, Seq(idCol), "left_anti").count()
+    val mismatch = p.join(b, Seq(idCol))
+      .filter(element_at(col("bands"), col("band_idx") + 1)
+        =!= col("val"))
+      .count()
+    report(spark, Seq(
+      ("postings_without_bands", orphanP, 0L),
+      ("bands_without_postings", orphanB, 0L),
+      ("band_values_match", mismatch, 0L)))
+  }
+
+  /** IVF pair ([[Ivf.writeIndex]]): `<table>` assignments vs the
+    * `<table>_centroids` model.
+    *  - `centroid_matrix_shape`: the flat matrix length is a multiple
+    *    of the recorded dim (observed = remainder, expected 0);
+    *  - `assignments_match_model`: every stored list equals the
+    *    nearest-centroid assignment recomputed under the stored model
+    *    (observed = violating rows, expected 0) — the invariant
+    *    [[Ivf.appendToIndex]] preserves and a stale-model overwrite
+    *    breaks.
+    */
+  def auditIvf(spark: SparkSession, table: String, idCol: String,
+               vecCol: String): DataFrame = {
+    val dim = Ivf.loadDim(spark, table)
+    val centroids = Ivf.loadCentroids(spark, table)
+    val shapeRem = (centroids.length % dim).toLong
+    val bad = spark.table(table)
+      .filter(element_at(
+        Ivf.assignLists(col(vecCol), centroids, dim, 1), 1)
+        =!= col("list"))
+      .count()
+    report(spark, Seq(
+      ("centroid_matrix_shape", shapeRem, 0L),
+      ("assignments_match_model", bad, 0L)))
+  }
+}
