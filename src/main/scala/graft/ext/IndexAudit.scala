@@ -98,6 +98,79 @@ object IndexAudit {
       ("band_values_match", mismatch, 0L)))
   }
 
+  /** MinHash pair ([[Dedup.writeMinhashIndex]]): `<table>` band
+    * postings vs `<table>_shingles` verify sidecar. The signature
+    * hyperparameters aren't persisted (the probe supplies them), so
+    * this audits STRUCTURE: no orphans in either direction (a
+    * half-applied append), and every id carries the same number of
+    * band rows (observed = ids deviating from the modal band count,
+    * expected 0 — a truncated posting write strands an id with fewer).
+    */
+  def auditMinhash(spark: SparkSession, table: String,
+                   idCol: String): DataFrame = {
+    val p = spark.table(table)
+    val s = spark.table(s"${table}_shingles")
+    val pIds = p.select(col(idCol)).distinct()
+    val sIds = s.select(col(idCol)).distinct()
+    val orphanP = pIds.join(sIds, Seq(idCol), "left_anti").count()
+    val orphanS = sIds.join(pIds, Seq(idCol), "left_anti").count()
+    val counts = p.groupBy(col(idCol)).agg(count(lit(1)).as("nb"))
+    val modal = counts.groupBy(col("nb")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("nb")).head.getLong(0)
+    val nonModal = counts.filter(col("nb") =!= modal).count()
+    report(spark, Seq(
+      ("postings_without_shingles", orphanP, 0L),
+      ("shingles_without_postings", orphanS, 0L),
+      ("uniform_band_count", nonModal, 0L)))
+  }
+
+  /** Quality-model pair ([[TextOps.writeQualityModel]]): the lattice
+    * must be DENSE — buckets exactly 0..n-1, no gaps or duplicates
+    * (the scorer indexes by position; a gap silently misbinds every
+    * bucket above it) — and the meta must carry exactly one salt.
+    */
+  def auditQualityModel(spark: SparkSession, table: String): DataFrame = {
+    val m = spark.table(table)
+    val n = m.count()
+    val distinctInRange = m
+      .filter(col("bucket") >= 0 && col("bucket") < n)
+      .select(col("bucket")).distinct().count()
+    val saltRows = spark.table(s"${table}_meta").count()
+    report(spark, Seq(
+      ("dense_contiguous_lattice", distinctInRange, n),
+      ("single_salt", saltRows, 1L)))
+  }
+
+  /** IVF-PQ pair ([[Pq.writeIndex]]): `<table>` codes vs the
+    * `<table>_model` matrices.
+    *  - `model_matrix_shapes`: coarse length divides by m·dsub and the
+    *    codebook length equals m·ksub·dsub (observed = violations);
+    *  - `codes_shape_and_range`: every row carries exactly m codes,
+    *    each in [0, ksub) (observed = violating rows, expected 0);
+    *  - `assignments_match_model`: stored coarse lists equal the
+    *    recomputed nearest-centroid assignment (the stale-model check,
+    *    as in [[auditIvf]]).
+    */
+  def auditPq(spark: SparkSession, table: String, idCol: String,
+              vecCol: String): DataFrame = {
+    val (coarse, codebooks, m, dsub, ksub) = Pq.loadModel(spark, table)
+    val dim = m * dsub
+    val shapeBad =
+      (if (coarse.nonEmpty && coarse.length % dim == 0) 0L else 1L) +
+        (if (codebooks.length == m * ksub * dsub) 0L else 1L)
+    val t = spark.table(table)
+    val codesBad = t.filter(size(col("codes")) =!= m ||
+        exists(col("codes"), c => c < 0 || c >= ksub))
+      .count()
+    val assignBad = t.filter(element_at(
+        Ivf.assignLists(col(vecCol), coarse, dim, 1), 1) =!= col("list"))
+      .count()
+    report(spark, Seq(
+      ("model_matrix_shapes", shapeBad, 0L),
+      ("codes_shape_and_range", codesBad, 0L),
+      ("assignments_match_model", assignBad, 0L)))
+  }
+
   /** IVF pair ([[Ivf.writeIndex]]): `<table>` assignments vs the
     * `<table>_centroids` model.
     *  - `centroid_matrix_shape`: the flat matrix length is a multiple

@@ -60,6 +60,77 @@ class IndexAuditSpec extends SparkSpec {
     assert(bad.get("band_values_match").contains(1L), bad)
   }
 
+  test("MinHash audit: healthy index clean; a truncated posting write " +
+    "and an orphan shingle row trip their checks") {
+    import graft.ext.Dedup
+    val docs = (0 until 20).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon token$i zeta eta"))
+      .toDF("doc_id", "text")
+    val loc = java.nio.file.Files.createTempDirectory("graft_audit4").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_auditdb4 LOCATION '$loc'")
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", "graft_auditdb4.mh",
+      nBuckets = 2)
+    assert(failures(IndexAudit.auditMinhash(spark, "graft_auditdb4.mh",
+      "doc_id")).isEmpty)
+    // truncated write: an id with a single band row and no shingles
+    Seq((777L, "0:123")).toDF("doc_id", "bucket_key")
+      .write.mode("append").insertInto("graft_auditdb4.mh")
+    val bad = failures(IndexAudit.auditMinhash(spark, "graft_auditdb4.mh",
+      "doc_id"))
+    assert(bad.get("postings_without_shingles").contains(1L), bad)
+    assert(bad.get("uniform_band_count").contains(1L), bad)
+  }
+
+  test("quality-model audit: healthy lattice clean; a gap in the " +
+    "bucket range trips density") {
+    import graft.ext.TextOps
+    val seed = Seq((0L, "alpha beta", true), (1L, "junk spam", false))
+      .toDF("doc_id", "text", "label")
+    val w = TextOps.trainQualityClassifier(seed, "doc_id", "text", "label",
+      nBuckets = 16, steps = 1, lrPpm = 400000L)
+    val loc = java.nio.file.Files.createTempDirectory("graft_audit5").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_auditdb5 LOCATION '$loc'")
+    TextOps.writeQualityModel(spark, "graft_auditdb5.qm", w.toSeq)
+    assert(failures(IndexAudit.auditQualityModel(spark,
+      "graft_auditdb5.qm")).isEmpty)
+    // a gap: drop bucket 3 (a lost row misbinds every bucket above it)
+    spark.table("graft_auditdb5.qm").filter(col("bucket") =!= 3)
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable("graft_auditdb5.qm_broken")
+    Seq("graft").toDF("salt").write.format("parquet").mode("overwrite")
+      .saveAsTable("graft_auditdb5.qm_broken_meta")
+    val bad = failures(IndexAudit.auditQualityModel(spark,
+      "graft_auditdb5.qm_broken"))
+    assert(bad.contains("dense_contiguous_lattice"), bad)
+  }
+
+  test("PQ audit: healthy index clean; malformed codes and stale " +
+    "assignments trip their checks") {
+    import graft.ext.Pq
+    GraftFunctions.register(spark)
+    val emb = CrossoverBench.syntheticEmbeddings(spark, 300, 64, seed = 9L)
+    val loc = java.nio.file.Files.createTempDirectory("graft_audit6").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_auditdb6 LOCATION '$loc'")
+    val coarse = Ivf.trainCentroids(emb, "embedding", nList = 4, dim = 64,
+      sampleSize = 300, iters = 2)
+    val cb = Pq.trainCodebooks(emb, "embedding", coarse, 8, 16, 64,
+      sampleSize = 300, iters = 2)
+    Pq.writeIndex(emb, "vec_id", "embedding", coarse, cb, 8, 8, 16,
+      "graft_auditdb6.pq", nBuckets = 2)
+    assert(failures(IndexAudit.auditPq(spark, "graft_auditdb6.pq",
+      "vec_id", "embedding")).isEmpty)
+    // corruption: a row with too-few out-of-range codes on a shifted list
+    val broken = spark.table("graft_auditdb6.pq").filter(col("vec_id") === 0)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"),
+        ((col("list") + 1) % 4).as("list"),
+        typedlit(Seq(99, 99)).as("codes"))
+    broken.write.mode("append").insertInto("graft_auditdb6.pq")
+    val bad = failures(IndexAudit.auditPq(spark, "graft_auditdb6.pq",
+      "vec_id", "embedding"))
+    assert(bad.get("codes_shape_and_range").contains(1L), bad)
+    assert(bad.get("assignments_match_model").contains(1L), bad)
+  }
+
   test("IVF audit: healthy index clean; rows assigned under a stale " +
     "model trip assignments_match_model") {
     GraftFunctions.register(spark)
