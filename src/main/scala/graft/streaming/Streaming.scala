@@ -256,6 +256,24 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous ANN serving against a PERSISTED IVF-PQ index
+    * ([[graft.ext.Pq.writeIndex]]) — the storage-tier twin of
+    * [[annProbeStream]]: same foreachBatch reuse of the batch probe
+    * ([[graft.ext.Pq.pqTopKIndexed]] — ADC over stored codes, exact
+    * rerank), same union-of-batches ≡ one-shot purity against a static
+    * index (spec-pinned).
+    */
+  def pqProbeStream(queries: DataFrame, table: String, idCol: String,
+                    vecCol: String, k: Int, nProbe: Int = 4)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ext.Pq.pqTopKIndexed(batch.sparkSession, table,
+          batch, idCol, vecCol, k, nProbe), batchId)
+      }
+      .start()
+
   /** Continuous model retraining against a PERSISTED quality model:
     * each micro-batch of LABELED (id, text, label) rows warm-starts
     * the balanced trainer from the current lattice and writes the

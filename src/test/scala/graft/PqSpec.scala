@@ -159,6 +159,29 @@ class PqSpec extends SparkSpec {
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
       assert(hits == Map(10005L -> 5L, 10123L -> 123L, 10900L -> 900L),
         s"appended members did not resolve to their sources: $hits")
+      // streaming serve: union of 2 micro-batches ≡ one probe of
+      // everything streamed, against the (now grown) static index
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Long]
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      val query = graft.streaming.EventStreams.pqProbeStream(
+          in.toDF().toDF("qid").join(emb, col("qid") === col("vec_id"))
+            .select(col("vec_id"), col("embedding")),
+          table, "vec_id", "embedding", k = 3, nProbe = 4) {
+        (batch, _) => acc.synchronized { acc ++= batch.collect().map(_.toSeq) }
+      }
+      in.addData(0L, 50L)
+      query.processAllAvailable()
+      in.addData(150L)
+      query.processAllAvailable()
+      query.stop()
+      val oneShot = Pq.pqTopKIndexed(spark, table,
+          emb.filter(col("vec_id").isin(0L, 50L, 150L))
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 3, nProbe = 4)
+        .collect().map(_.toSeq)
+      assert(acc.toSet == oneShot.toSet && acc.nonEmpty)
     } finally {
       spark.sql("DROP DATABASE IF EXISTS graft_pqdb CASCADE")
     }
