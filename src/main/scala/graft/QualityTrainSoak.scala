@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.TextOps
+import graft.ext.{QualityModel, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -50,12 +50,12 @@ object QualityTrainSoak {
       .localCheckpoint() // generation cost out of the timing window
 
     val t0 = System.nanoTime()
-    val w = TextOps.trainQualityClassifier(docs, "doc_id", "text",
+    val w = QualityModel.trainQualityClassifier(docs, "doc_id", "text",
       "label", nBuckets = 4096, steps = 6, lrPpm = 200000L)
     val trainSec = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
-    val scored = TextOps.qualityClassifierScoreWith(docs, "text", w.toSeq)
+    val scored = QualityModel.qualityClassifierScoreWith(docs, "text", w.toSeq)
       .select(col("label"), col("kept"))
       .groupBy(col("label"), col("kept")).count()
       .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2))

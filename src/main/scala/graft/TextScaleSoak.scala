@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, TextOps}
+import graft.ext.{Dedup, QualityModel, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -107,7 +107,7 @@ object TextScaleSoak {
         s"train $tTrain + one-shot $tLm")
 
     val (qcStats, tQc) = time {
-      TextOps.qualityClassifierScore(docs, "text")
+      QualityModel.qualityClassifierScore(docs, "text")
         .agg(count(lit(1)).as("rows"),
           count(when(col("kept"), 1)).as("kept")).head()
     }

@@ -8,7 +8,7 @@ package graft.entry
   * query and its oracle is always a same-file change.
   */
 import graft.entry.EntryTables._
-import graft.ext.{Dedup, Multimodal, Retrieval, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, QualityModel, Retrieval, Similarity, TextOps}
 import graft.model.{ColumnSpec, FkRef, TableConfig}
 import graft.ops.{Merge, Normalize, TemporalJoin}
 import graft.rules.Rules
@@ -129,7 +129,7 @@ private[graft] object CurationQueries {
           .otherwise(col("text")))
       val bench = withDups.filter(col("doc_id") % 31 === 0)
       val corpus = withDups.filter(col("doc_id") % 31 =!= 0)
-      val qf = TextOps.qualityClassifierScore(corpus, "text")
+      val qf = QualityModel.qualityClassifierScore(corpus, "text")
         .select(col("doc_id"), col("kept").as("q_ok"))
       val df = corpus.withColumn("__w",
           min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
@@ -322,12 +322,12 @@ private[graft] object CurationQueries {
           .otherwise(col("text")))
       val bench = withDups.filter(col("doc_id") % 31 === 0)
       val corpus = withDups.filter(col("doc_id") % 31 =!= 0)
-      val teacher = TextOps.qualityClassifierScore(corpus, "text",
+      val teacher = QualityModel.qualityClassifierScore(corpus, "text",
           nBuckets = QtBuckets)
         .select(col("doc_id"), col("text"), col("kept").as("label"))
-      val w = TextOps.trainQualityClassifier(teacher, "doc_id", "text",
+      val w = QualityModel.trainQualityClassifier(teacher, "doc_id", "text",
         "label", nBuckets = QtBuckets, steps = QtSteps, lrPpm = QtLrPpm)
-      val qf = TextOps.qualityClassifierScoreWith(corpus, "text", w.toSeq)
+      val qf = QualityModel.qualityClassifierScoreWith(corpus, "text", w.toSeq)
         .select(col("doc_id"), col("kept").as("q_ok"))
       val df = corpus.withColumn("__w",
           min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))

@@ -238,7 +238,7 @@ private[graft] object EntryTables {
   val QtLrPpm = 200000L
 
   /** The shared CTE chain replaying
-    * [[graft.ext.TextOps.trainQualityClassifier]] in DuckDB over the
+    * [[graft.ext.QualityModel.trainQualityClassifier]] in DuckDB over the
     * corpus `docsSql` selects (default: the whole documents table —
     * q144 trains on its dup-implanted curation corpus instead):
     * teacher labels from the md5-weight formulas, the

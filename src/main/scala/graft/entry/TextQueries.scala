@@ -8,7 +8,7 @@ package graft.entry
   * query and its oracle is always a same-file change.
   */
 import graft.entry.EntryTables._
-import graft.ext.{Dedup, Multimodal, Retrieval, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, QualityModel, Retrieval, Similarity, TextOps}
 import graft.model.{ColumnSpec, FkRef, TableConfig}
 import graft.ops.{Merge, Normalize, TemporalJoin}
 import graft.rules.Rules
@@ -119,7 +119,7 @@ private[graft] object TextQueries {
     // md5-derived integer milli-weights make the logit exact in any
     // engine; the keep decision thresholds the truncated mean weight.
     "q99_quality_classifier" -> ((s, dir) => {
-      TextOps.qualityClassifierScore(t(s, dir, "documents"), "text")
+      QualityModel.qualityClassifierScore(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_tokens"), col("logit_milli"),
           col("quality_logit"), col("kept"))
         .orderBy("doc_id")
@@ -310,10 +310,10 @@ private[graft] object TextQueries {
     // The DuckDB oracle replays all four steps as CTEs, so the
     // TRAINING loop — not just inference — is verified cross-engine.
     "q139_train_quality" -> ((s, dir) => {
-      val teacher = TextOps.qualityClassifierScore(
+      val teacher = QualityModel.qualityClassifierScore(
           t(s, dir, "documents"), "text", nBuckets = QtBuckets)
         .select(col("doc_id"), col("text"), col("kept").as("label"))
-      val w = TextOps.trainQualityClassifier(teacher, "doc_id", "text",
+      val w = QualityModel.trainQualityClassifier(teacher, "doc_id", "text",
         "label", nBuckets = QtBuckets, steps = QtSteps, lrPpm = QtLrPpm)
       s.createDataFrame(
         s.sparkContext.parallelize(
@@ -350,12 +350,12 @@ private[graft] object TextQueries {
     // all integer micro (sum div n means, (1e6*npos) div n rates). The
     // production check run before trusting a quality model's scores.
     "q142_calibration_report" -> ((s, dir) => {
-      val teacher = TextOps.qualityClassifierScore(
+      val teacher = QualityModel.qualityClassifierScore(
           t(s, dir, "documents"), "text", nBuckets = QtBuckets)
         .select(col("doc_id"), col("text"), col("kept").as("label"))
-      val w = TextOps.trainQualityClassifier(teacher, "doc_id", "text",
+      val w = QualityModel.trainQualityClassifier(teacher, "doc_id", "text",
         "label", nBuckets = QtBuckets, steps = QtSteps, lrPpm = QtLrPpm)
-      TextOps.qualityClassifierScoreWith(teacher, "text", w.toSeq)
+      QualityModel.qualityClassifierScoreWith(teacher, "text", w.toSeq)
         .withColumn("p_micro",
           greatest(lit(0L), least(lit(1000000L),
             lit(500000L) + expr("logit_micro div 4"))))
@@ -376,12 +376,12 @@ private[graft] object TextQueries {
     // hash, same zero-shuffle projection), scored against the teacher
     // labels it was trained on.
     "q140_trained_scoring" -> ((s, dir) => {
-      val teacher = TextOps.qualityClassifierScore(
+      val teacher = QualityModel.qualityClassifierScore(
           t(s, dir, "documents"), "text", nBuckets = QtBuckets)
         .select(col("doc_id"), col("text"), col("kept").as("label"))
-      val w = TextOps.trainQualityClassifier(teacher, "doc_id", "text",
+      val w = QualityModel.trainQualityClassifier(teacher, "doc_id", "text",
         "label", nBuckets = QtBuckets, steps = QtSteps, lrPpm = QtLrPpm)
-      TextOps.qualityClassifierScoreWith(teacher, "text", w.toSeq)
+      QualityModel.qualityClassifierScoreWith(teacher, "text", w.toSeq)
         .select(col("doc_id"), col("n_tokens"), col("logit_micro"),
           col("quality_logit"), col("kept"), col("label"))
         .orderBy("doc_id")

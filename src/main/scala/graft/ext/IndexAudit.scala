@@ -124,7 +124,7 @@ object IndexAudit {
       ("uniform_band_count", nonModal, 0L)))
   }
 
-  /** Quality-model pair ([[TextOps.writeQualityModel]]): the lattice
+  /** Quality-model pair ([[QualityModel.writeQualityModel]]): the lattice
     * must be DENSE — buckets exactly 0..n-1, no gaps or duplicates
     * (the scorer indexes by position; a gap silently misbinds every
     * bucket above it) — and the meta must carry exactly one salt.

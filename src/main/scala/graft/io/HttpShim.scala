@@ -113,7 +113,7 @@ object HttpShim {
     })
 
   /** `/quality?text=<document>` answered from a PERSISTED trained
-    * quality model ([[graft.ext.TextOps.writeQualityModel]]) through
+    * quality model ([[graft.ext.QualityModel.writeQualityModel]]) through
     * the stock inference operator — the quality twin of the `/search`
     * route, so a served verdict is bit-identical to the batch scorer
     * on the same model (spec-pinned). A missing/blank `text` surfaces
@@ -127,7 +127,7 @@ object HttpShim {
       val text = params.getOrElse("text", "")
       require(text.trim.nonEmpty, "missing or empty ?text= parameter")
       import spark.implicits._
-      graft.ext.TextOps.qualityClassifierScoreIndexed(spark, modelTable,
+      graft.ext.QualityModel.qualityClassifierScoreIndexed(spark, modelTable,
         Seq(text).toDF("text"), "text", threshold)
     })
 

@@ -212,9 +212,9 @@ object EventStreams {
       .start()
 
   /** Continuous quality-gate serving against a PERSISTED trained model
-    * ([[graft.ext.TextOps.writeQualityModel]]): each micro-batch of
+    * ([[graft.ext.QualityModel.writeQualityModel]]): each micro-batch of
     * (id, text) rows is scored by
-    * [[graft.ext.TextOps.qualityClassifierScoreIndexed]] and handed to
+    * [[graft.ext.QualityModel.qualityClassifierScoreIndexed]] and handed to
     * `onBatch` — the quality-model member of the serve-from-index
     * stream family (BM25 queries, media probes). foreachBatch reuses
     * the batch scorer VERBATIM and the model is static during serving,
@@ -229,7 +229,7 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onBatch(graft.ext.TextOps.qualityClassifierScoreIndexed(
+        onBatch(graft.ext.QualityModel.qualityClassifierScoreIndexed(
           batch.sparkSession, table, batch, textCol, threshold), batchId)
       }
       .start()
@@ -278,7 +278,7 @@ object EventStreams {
     * each micro-batch of LABELED (id, text, label) rows warm-starts
     * the balanced trainer from the current lattice and writes the
     * refreshed model back
-    * ([[graft.ext.TextOps.refreshQualityModel]]) — the training-side
+    * ([[graft.ext.QualityModel.refreshQualityModel]]) — the training-side
     * complement of [[qualityScoreStream]]'s serving loop. Deterministic
     * given the batch sequence (spec-pinned: a streamed refresh equals
     * the same refreshes applied sequentially in batch). `onBatch`
@@ -292,7 +292,7 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     labeled.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onBatch(graft.ext.TextOps.refreshQualityModel(batch.sparkSession,
+        onBatch(graft.ext.QualityModel.refreshQualityModel(batch.sparkSession,
           table, batch, idCol, textCol, labelCol, steps, lrPpm), batchId)
       }
       .start()

@@ -114,16 +114,16 @@ class HttpShimSpec extends SparkSpec {
 
   test("quality route serves the persisted trained model: served " +
     "verdict == the batch scorer, missing text errors as JSON object") {
-    import graft.ext.TextOps
+    import graft.ext.QualityModel
     val seedDocs = Seq(
       (0L, "alpha beta gamma alpha", true), (1L, "spam junk noise", false),
       (2L, "alpha delta beta", true), (3L, "junk spam clutter junk", false))
       .toDF("doc_id", "text", "label")
-    val w = TextOps.trainQualityClassifier(seedDocs, "doc_id", "text",
+    val w = QualityModel.trainQualityClassifier(seedDocs, "doc_id", "text",
       "label", nBuckets = 32, steps = 3, lrPpm = 400000L)
     val loc = Files.createTempDirectory("graft_httpqm").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_httpqmdb LOCATION '$loc'")
-    TextOps.writeQualityModel(spark, "graft_httpqmdb.model", w.toSeq)
+    QualityModel.writeQualityModel(spark, "graft_httpqmdb.model", w.toSeq)
     val shim = HttpShim.startDynamic(
       HttpShim.qualityRoutes(spark, "graft_httpqmdb.model"))
     try {
@@ -131,7 +131,7 @@ class HttpShimSpec extends SparkSpec {
       val (code, body) = get(shim.port,
         "/quality?text=" + java.net.URLEncoder.encode(probe, "UTF-8"))
       assert(code == 200, body)
-      val expect = TextOps.qualityClassifierScoreIndexed(spark,
+      val expect = QualityModel.qualityClassifierScoreIndexed(spark,
           "graft_httpqmdb.model", Seq(probe).toDF("text"), "text")
         .toJSON.collect().mkString("[", ",", "]")
       assert(body == expect, s"served=$body expect=$expect")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{IndexAudit, Ivf, Multimodal, Retrieval}
+import graft.ext.{IndexAudit, Ivf, Multimodal, QualityModel, Retrieval}
 import graft.plans.GraftFunctions
 import org.apache.spark.sql.functions._
 
@@ -86,11 +86,11 @@ class IndexAuditSpec extends SparkSpec {
     import graft.ext.TextOps
     val seed = Seq((0L, "alpha beta", true), (1L, "junk spam", false))
       .toDF("doc_id", "text", "label")
-    val w = TextOps.trainQualityClassifier(seed, "doc_id", "text", "label",
+    val w = QualityModel.trainQualityClassifier(seed, "doc_id", "text", "label",
       nBuckets = 16, steps = 1, lrPpm = 400000L)
     val loc = java.nio.file.Files.createTempDirectory("graft_audit5").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_auditdb5 LOCATION '$loc'")
-    TextOps.writeQualityModel(spark, "graft_auditdb5.qm", w.toSeq)
+    QualityModel.writeQualityModel(spark, "graft_auditdb5.qm", w.toSeq)
     assert(failures(IndexAudit.auditQualityModel(spark,
       "graft_auditdb5.qm")).isEmpty)
     // a gap: drop bucket 3 (a lost row misbinds every bucket above it)

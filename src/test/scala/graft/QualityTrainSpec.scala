@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.TextOps
+import graft.ext.{QualityModel, TextOps}
 import org.apache.spark.sql.functions._
 
 /** In-engine quality-classifier training: bit-level agreement with an
@@ -67,7 +67,7 @@ class QualityTrainSpec extends SparkSpec {
   test("trainQualityClassifier equals the plain-Scala replay " +
     "bit-for-bit (incl. an empty document)") {
     val df = seed.toDF("doc_id", "text", "label")
-    val got = TextOps.trainQualityClassifier(df, "doc_id", "text", "label",
+    val got = QualityModel.trainQualityClassifier(df, "doc_id", "text", "label",
       nBuckets = 32, steps = 3, lrPpm = 400000L)
     val want = refTrain(seed, nBuckets = 32, steps = 3, lrPpm = 400000L)
     assert(got.toSeq == want.toSeq)
@@ -77,7 +77,7 @@ class QualityTrainSpec extends SparkSpec {
   test("training requires both classes (single-class seed fails loudly)") {
     val df = seed.filter(_._3).toDF("doc_id", "text", "label")
     val ex = intercept[IllegalArgumentException] {
-      TextOps.trainQualityClassifier(df, "doc_id", "text", "label",
+      QualityModel.trainQualityClassifier(df, "doc_id", "text", "label",
         nBuckets = 32, steps = 1)
     }
     assert(ex.getMessage.contains("both classes"))
@@ -87,16 +87,16 @@ class QualityTrainSpec extends SparkSpec {
     "bit-identical to scoring with the in-memory lattice, batch and " +
     "stream") {
     val df = seed.toDF("doc_id", "text", "label")
-    val w = TextOps.trainQualityClassifier(df, "doc_id", "text", "label",
+    val w = QualityModel.trainQualityClassifier(df, "doc_id", "text", "label",
       nBuckets = 32, steps = 3, lrPpm = 400000L)
     val loc = java.nio.file.Files.createTempDirectory("graft_qm").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_qmdb LOCATION '$loc'")
-    TextOps.writeQualityModel(spark, "graft_qmdb.model", w.toSeq)
-    val (w2, salt2) = TextOps.loadQualityModel(spark, "graft_qmdb.model")
+    QualityModel.writeQualityModel(spark, "graft_qmdb.model", w.toSeq)
+    val (w2, salt2) = QualityModel.loadQualityModel(spark, "graft_qmdb.model")
     assert(w2.toSeq == w.toSeq && salt2 == "graft")
-    val direct = TextOps.qualityClassifierScoreWith(df, "text", w.toSeq)
+    val direct = QualityModel.qualityClassifierScoreWith(df, "text", w.toSeq)
       .collect().map(_.toSeq)
-    val served = TextOps.qualityClassifierScoreIndexed(spark,
+    val served = QualityModel.qualityClassifierScoreIndexed(spark,
       "graft_qmdb.model", df, "text").collect().map(_.toSeq)
     assert(served.toSeq == direct.toSeq)
     // streaming serve: union of 2 micro-batches ≡ one scoring pass
@@ -113,7 +113,7 @@ class QualityTrainSpec extends SparkSpec {
     in.addData((2L, "noise clutter delta"))
     query.processAllAvailable()
     query.stop()
-    val oneShot = TextOps.qualityClassifierScoreIndexed(spark,
+    val oneShot = QualityModel.qualityClassifierScoreIndexed(spark,
         "graft_qmdb.model",
         Seq((0L, "alpha beta gamma"), (1L, "spam junk"),
           (2L, "noise clutter delta")).toDF("doc_id", "text"), "text")
@@ -125,9 +125,9 @@ class QualityTrainSpec extends SparkSpec {
     "equals the replay; streamed model refreshes equal sequential " +
     "batch refreshes") {
     val df = seed.toDF("doc_id", "text", "label")
-    val w1 = TextOps.trainQualityClassifier(df, "doc_id", "text", "label",
+    val w1 = QualityModel.trainQualityClassifier(df, "doc_id", "text", "label",
       nBuckets = 32, steps = 2, lrPpm = 400000L)
-    val warm = TextOps.trainQualityClassifier(df, "doc_id", "text", "label",
+    val warm = QualityModel.trainQualityClassifier(df, "doc_id", "text", "label",
       nBuckets = 32, steps = 2, lrPpm = 400000L, init = Some(w1.toSeq))
     assert(warm.toSeq ==
       refTrain(seed, 32, 2, 400000L, Some(w1.toSeq)).toSeq)
@@ -138,8 +138,8 @@ class QualityTrainSpec extends SparkSpec {
     // batch — final lattices must agree exactly
     val loc = java.nio.file.Files.createTempDirectory("graft_qr").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_qrdb LOCATION '$loc'")
-    TextOps.writeQualityModel(spark, "graft_qrdb.stream", w1.toSeq)
-    TextOps.writeQualityModel(spark, "graft_qrdb.batch", w1.toSeq)
+    QualityModel.writeQualityModel(spark, "graft_qrdb.stream", w1.toSeq)
+    QualityModel.writeQualityModel(spark, "graft_qrdb.batch", w1.toSeq)
     val b1 = Seq((20L, "alpha beta fresh", true),
       (21L, "junk clutter fresh", false))
     val b2 = Seq((22L, "gamma delta update", true),
@@ -156,12 +156,12 @@ class QualityTrainSpec extends SparkSpec {
     in.addData(b2: _*)
     query.processAllAvailable()
     query.stop()
-    TextOps.refreshQualityModel(spark, "graft_qrdb.batch",
+    QualityModel.refreshQualityModel(spark, "graft_qrdb.batch",
       b1.toDF("doc_id", "text", "label"), "doc_id", "text", "label")
-    TextOps.refreshQualityModel(spark, "graft_qrdb.batch",
+    QualityModel.refreshQualityModel(spark, "graft_qrdb.batch",
       b2.toDF("doc_id", "text", "label"), "doc_id", "text", "label")
-    val (ws, _) = TextOps.loadQualityModel(spark, "graft_qrdb.stream")
-    val (wb, _) = TextOps.loadQualityModel(spark, "graft_qrdb.batch")
+    val (ws, _) = QualityModel.loadQualityModel(spark, "graft_qrdb.stream")
+    val (wb, _) = QualityModel.loadQualityModel(spark, "graft_qrdb.batch")
     assert(ws.toSeq == wb.toSeq)
     assert(ws.toSeq != w1.toSeq, "refreshes moved nothing")
   }
@@ -181,7 +181,7 @@ class QualityTrainSpec extends SparkSpec {
       val lr = 100000L + rnd.nextInt(400000)
       val steps = 1 + rnd.nextInt(4)
       val nb = Seq(8, 16, 64)(rnd.nextInt(3))
-      val got = TextOps.trainQualityClassifier(docs.toDF("doc_id", "text",
+      val got = QualityModel.trainQualityClassifier(docs.toDF("doc_id", "text",
         "label"), "doc_id", "text", "label", nb, steps, lr)
       val want = refTrain(docs, nb, steps, lr)
       assert(got.toSeq == want.toSeq,
@@ -194,11 +194,11 @@ class QualityTrainSpec extends SparkSpec {
     "trained lattice serves through qualityClassifierScoreWith") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
-    val teacher = TextOps.qualityClassifierScore(docs, "text")
+    val teacher = QualityModel.qualityClassifierScore(docs, "text")
       .select(col("doc_id"), col("text"), col("kept").as("label"))
-    val w = TextOps.trainQualityClassifier(teacher, "doc_id", "text",
+    val w = QualityModel.trainQualityClassifier(teacher, "doc_id", "text",
       "label")
-    val scored = TextOps.qualityClassifierScoreWith(teacher, "text", w.toSeq)
+    val scored = QualityModel.qualityClassifierScoreWith(teacher, "text", w.toSeq)
       .select(col("doc_id"), col("label"), col("kept"), col("logit_micro"))
       .collect()
     val n = scored.length

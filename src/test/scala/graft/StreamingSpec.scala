@@ -46,7 +46,7 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "text").limit(100)
       .as[(Long, String)].collect().toSeq
     val in = MemoryStream[(Long, String)]
-    val q = graft.ext.TextOps.qualityClassifierScore(
+    val q = graft.ext.QualityModel.qualityClassifierScore(
         in.toDF().toDF("doc_id", "text"), "text")
       .writeStream.format("memory").queryName("qc_stream")
       .outputMode("append").start()
@@ -56,7 +56,7 @@ class StreamingSpec extends SparkSpec {
       val streamed = spark.table("qc_stream")
         .select("doc_id", "logit_milli", "quality_logit", "kept")
         .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
-      val batch = graft.ext.TextOps.qualityClassifierScore(
+      val batch = graft.ext.QualityModel.qualityClassifierScore(
           docs.toDF("doc_id", "text"), "text")
         .select("doc_id", "logit_milli", "quality_logit", "kept")
         .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)

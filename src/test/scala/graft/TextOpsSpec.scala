@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.TextOps
+import graft.ext.{QualityModel, TextOps}
 import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends SparkSpec {
@@ -532,7 +532,7 @@ class TextOpsSpec extends SparkSpec {
       (1L, "Alpha beta gamma delta"),
       (2L, "alpha alpha alpha"),      // repeated token: 3 × one weight
       (3L, "The quick brown fox jumps over the lazy dog"))
-    val out = TextOps.qualityClassifierScore(
+    val out = QualityModel.qualityClassifierScore(
         texts.toDF("id", "text"), "text")
       .select("id", "n_tokens", "logit_milli", "quality_logit", "kept")
       .collect().map(r => r.getLong(0) ->
@@ -622,7 +622,7 @@ class TextOpsSpec extends SparkSpec {
     // quality_logit), but the document is decidedly NOT kept — so
     // filter(kept) drops it while filter(!kept) retains it, instead of
     // both filters silently discarding a NULL flag
-    val out = TextOps.qualityClassifierScore(
+    val out = QualityModel.qualityClassifierScore(
         Seq((1L, "alpha beta"), (2L, null)).toDF("id", "text"), "text")
     val nullDoc = out.filter(col("id") === 2L).head()
     assert(nullDoc.isNullAt(nullDoc.fieldIndex("n_tokens")))
