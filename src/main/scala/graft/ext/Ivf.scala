@@ -371,10 +371,30 @@ object Ivf {
   def lloydIterateExemplar(emb: DataFrame, idCol: String, vecCol: String,
                            nList: Int = 8, iters: Int = 2, dim: Int = 64,
                            useNative: Boolean = true): DataFrame = {
-    require(iters >= 1, "at least one Lloyd step")
-    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
     val base = Similarity.withVecNorm(emb, idCol, vecCol)
       .repartition(col(idCol))
+    val seeds = base.orderBy(col(idCol)).limit(nList)
+      .select(col(idCol).as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
+    lloydIterateFrom(base, seeds, idCol, iters, dim, useNative)
+      .select(col("list"), col("pos"),
+        (floor(col("value") * lit(1e6)) / lit(1e6)).as("value"))
+  }
+
+  /** The relational-fixpoint Lloyd refinement shared by the exemplar
+    * (q91) and k-means++-seeded (q75) trainers: `iters` steps of
+    * argmax-assign (6-decimal-rounded cosine, smallest-cid tie-break) →
+    * DECIMAL per-(list, pos) mean of the unit vectors → renormalize,
+    * from an ARBITRARY `seeds (cid, cvec, cnrm)` relation. Returns the
+    * UNROUNDED (list, pos, value) rows of the final step — callers
+    * truncate for presentation or [[assembleCentroids]] them for a
+    * final assignment pass. `base` must be the
+    * [[Similarity.withVecNorm]] projection of the corpus.
+    */
+  private[graft] def lloydIterateFrom(base: DataFrame, seeds: DataFrame,
+                                      idCol: String, iters: Int, dim: Int,
+                                      useNative: Boolean): DataFrame = {
+    require(iters >= 1, "at least one Lloyd step")
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
     // one refinement: argmax-assign to cents, DECIMAL per-(list, pos)
     // mean of the unit vectors, renormalize — centroids in, centroids out
     def step(cents: DataFrame): DataFrame = {
@@ -398,20 +418,137 @@ object Ivf {
       means.join(norms, "list")
         .select(col("list"), col("pos"), (col("m") / col("mn")).as("value"))
     }
-    // (list, pos, value) rows → the (cid, cvec, cnrm) shape step consumes;
-    // array_sort on (pos, value) structs makes collect_list order-safe
-    def assemble(rows: DataFrame): DataFrame = rows.groupBy("list")
+    var rows = step(seeds)
+    var it = 1
+    while (it < iters) { rows = step(assembleCentroids(rows)); it += 1 }
+    rows
+  }
+
+  /** (list, pos, value) centroid rows → the (cid, cvec, cnrm) relation
+    * the Lloyd step / final-assignment pass consumes; array_sort on
+    * (pos, value) structs makes collect_list order-safe.
+    */
+  private[graft] def assembleCentroids(rows: DataFrame): DataFrame =
+    rows.groupBy("list")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("value")))),
         s => s.getField("value")).as("cvec"))
       .select(col("list").as("cid"), col("cvec"),
         Similarity.norm(col("cvec")).as("cnrm"))
-    val seeds = base.orderBy(col(idCol)).limit(nList)
+
+  // ------------------------------------------- engine-neutral k-means++
+
+  /** k-means++ seed selection (Arthur & Vassilvitskii 2007) with the
+    * randomness DERANDOMIZED through md5 — every draw any engine can
+    * replay, so the seeded trainer below is oracle-checkable end to end
+    * (the round-9 q139/q119 conversion pattern applied to the last
+    * RNG-dependent family):
+    *
+    *  - seed 1 is the uniform draw realized as argmin of a per-id
+    *    digest (`md5(salt:1:id)`, id tie-break) — a fixed uniform
+    *    sample over the corpus;
+    *  - seed k+1 samples EXACTLY the k-means++ D² distribution by
+    *    integer inverse-CDF: D²(x) = 2·10⁶ − 2·max_s simMicro(x, s)
+    *    on unit vectors (cosine rounded to micro — the q122 idiom, so
+    *    the weights are exact longs), the draw is
+    *    `md5(salt:draw:k)`'s first 60 bits mod ΣD², and the winner is
+    *    the first id (in id order) whose running D² sum exceeds it.
+    *
+    * Already-chosen seeds are excluded from each draw (a float-noise
+    * re-pick would duplicate a centroid). Scale shape: k−1 passes over
+    * the corpus for the best-sim projection plus a running sum over the
+    * (id, weight) sliver — 16 bytes/row, the q143 running-window
+    * discipline; the only driver state is k ids + k seed vectors.
+    * Requires a non-degenerate corpus (ΣD² > 0 at every step).
+    */
+  def kppSeedIds(emb: DataFrame, idCol: String, vecCol: String, nList: Int,
+                 dim: Int = 64, salt: String = "graft:kpp",
+                 useNative: Boolean = true): Seq[Long] = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val base = Similarity.withVecNorm(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def headId(df: DataFrame): Long = df.select(col(idCol)).head.getLong(0)
+      val first = headId(base
+        .orderBy(md5(concat(lit(s"$salt:1:"), col(idCol).cast("string"))),
+          col(idCol))
+        .limit(1))
+      var seeds = Vector(first)
+      def seedRow(id: Long): (Seq[Double], Double) = {
+        val r = base.filter(col(idCol) === id).select("v", "nrm").head
+        (r.getSeq[Double](0), r.getDouble(1))
+      }
+      var seedVecs = Vector(seedRow(first))
+      while (seeds.length < nList) {
+        val simCols = seedVecs.map { case (v, n) =>
+          round(Similarity.dotFast(col("v"), typedlit(v), dim, useNative) /
+            (col("nrm") * lit(n)) * lit(1000000.0)).cast("long")
+        }
+        val best =
+          if (simCols.size == 1) simCols.head else greatest(simCols: _*)
+        val scored = base.filter(!col(idCol).isin(seeds: _*))
+          .select(col(idCol), (lit(2000000L) - lit(2L) * best).as("d2"))
+        val w = scored.agg(sum(col("d2"))).head.getLong(0)
+        require(w > 0, s"k-means++ step ${seeds.length + 1}: degenerate " +
+          "corpus (all remaining vectors coincide with chosen seeds)")
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$salt:draw:${seeds.length + 1}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        // first 15 hex chars = 60 bits, positive in a long on both
+        // engines (Spark conv(h,16,10) ≡ DuckDB ('0x'||h)::BIGINT)
+        val r = (BigInt(digest.take(15), 16) mod BigInt(w)).toLong
+        val cum = Window.orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val next = headId(scored
+          .withColumn("__cum", sum(col("d2")).over(cum))
+          .filter(col("__cum") > r)
+          .orderBy(col(idCol)).limit(1))
+        seeds :+= next
+        seedVecs :+= seedRow(next)
+      }
+      seeds
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** q75 — the ENGINE-NEUTRAL trained k-means: [[kppSeedIds]] seeding,
+    * `iters` relational-fixpoint Lloyd steps ([[lloydIterateFrom]] —
+    * DECIMAL means, never collected), one final argmax assignment under
+    * the trained centroids, and the per-cluster census in exact
+    * integers: `n` plus `mean_cos_micro = Σ simMicro div n` (truncating
+    * division — Scala `/` ≡ Spark `div` ≡ DuckDB `//` on any sign).
+    * Every stage is replayable by a second engine, which is the point:
+    * the TRAINED MODEL itself — not an exemplar stand-in — is
+    * oracle-checked (q75 was rows-only for eight rounds because its
+    * murmur3-ordered init sample had no cross-engine twin).
+    *
+    * Cluster ids are the seed vector ids (stable, meaningful); a
+    * cluster that wins no vectors in a refinement drops out
+    * (relational semantics, as q91).
+    */
+  def kmeansPlusPlusStats(emb: DataFrame, idCol: String, vecCol: String,
+                          nList: Int = 8, iters: Int = 2, dim: Int = 64,
+                          useNative: Boolean = true): DataFrame = {
+    val ids = kppSeedIds(emb, idCol, vecCol, nList, dim,
+      useNative = useNative)
+    val base = Similarity.withVecNorm(emb, idCol, vecCol)
+      .repartition(col(idCol))
+    val seeds = base.filter(col(idCol).isin(ids: _*))
       .select(col(idCol).as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
-    var rows = step(seeds)
-    var it = 1
-    while (it < iters) { rows = step(assemble(rows)); it += 1 }
-    rows.select(col("list"), col("pos"),
-      (floor(col("value") * lit(1e6)) / lit(1e6)).as("value"))
+    val cents = assembleCentroids(
+      lloydIterateFrom(base, seeds, idCol, iters, dim, useNative))
+    val scored = base.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cid"),
+        round(Similarity.dotFast(col("v"), col("cvec"), dim, useNative) /
+          (col("nrm") * col("cnrm")), 6).as("sim"))
+    val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cid").as("cluster_id"),
+        round(col("sim") * lit(1000000.0)).cast("long").as("__simm"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"), sum(col("__simm")).as("__s"))
+      .select(col("cluster_id"), col("n"),
+        expr("__s div n").as("mean_cos_micro"))
+      .orderBy("cluster_id")
   }
 
   // ---------------------------------------------------------- persistence

