@@ -19,7 +19,59 @@ import org.apache.spark.sql.types._
 
 private[graft] object TextQueries {
 
+  /** q145's planted page fragments — shared verbatim between the Spark
+    * corpus builder and the DuckDB oracle so the plant cannot drift.
+    * Single-quote-free by construction (they embed directly in SQL
+    * string literals). Each fragment exercises a distinct rule:
+    * head/style/script/nav/header/footer pruning, a too-short block, a
+    * link-dense block, a short-but-stopwordy keeper (density branch), an
+    * entity-bearing keeper, and a stopword-free short boilerplate drop.
+    */
+  private[entry] val HtmlPre: String =
+    "<html><head><title>doc title words</title>" +
+      "<style>body { color: #fff; }</style>" +
+      "<script>var tracker = 9; var z = tracker * 2;</script></head>" +
+      "<body><nav><a href=\"/\">home</a> <a href=\"/a\">about</a> " +
+      "<a href=\"/b\">contact</a></nav>" +
+      "<header><h1>site banner for the masthead</h1></header>" +
+      "<div>tiny</div><p>"
+  private[entry] val HtmlLinks: String =
+    "</p><p>more links here: <a href=\"/x\">one link</a> " +
+      "<a href=\"/y\">two links</a> <a href=\"/z\">three links</a></p>"
+  private[entry] val HtmlStopwordy: String =
+    "<p>it is the best of all the small ones.</p>"
+  private[entry] val HtmlEntityBlock: String =
+    "<p>entities &amp; such &lt;tag&gt; &quot;q&quot; &#39;s&#39;" +
+      "&nbsp;marks are in the usual kind of test here.</p>"
+  private[entry] val HtmlTail: String =
+    "<div>copyright 2099 examplecorp rights reserved worldwide " +
+      "press kit media room</div>" +
+      "<footer><a href=\"/p\">privacy</a> <a href=\"/t\">terms</a>" +
+      "</footer></body></html>"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- raw-crawl main-content extraction (oracle-checked): each
+    // document wrapped in a deterministic full page — head/style/script/
+    // nav/header/footer chrome, a too-short block, a link-dense block,
+    // conditional stopwordy/entity keepers — then the jusText-class
+    // extractor recovers the content blocks. The one pipeline stage
+    // upstream of cleanLines (q98): crawl HTML in, text out.
+    "q145_html_extract" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("html", concat(
+          lit(HtmlPre), col("text"), lit(HtmlLinks),
+          when(col("doc_id") % 3 === 0, lit(HtmlStopwordy))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit(HtmlEntityBlock))
+            .otherwise(lit("")),
+          lit(HtmlTail)))
+      TextOps.extractMainContent(aug, "html")
+        .select(col("doc_id"), col("blocks_total"), col("blocks_kept"),
+          length(col("text_main")).cast("long").as("main_chars"),
+          md5(col("text_main")).as("main_md5"))
+        .orderBy("doc_id")
+    }),
 
     // ==== LLM-pipeline extensions =========================================
     // ---- text statistics ---------------------------------------------------
@@ -443,7 +495,64 @@ private[graft] object TextQueries {
        |ORDER BY rank""".stripMargin
   }
 
+  /** The q145 oracle, GENERATED from the same constants the Spark side
+    * uses ([[graft.ext.TextOps.PruneHtmlPatterns]] /
+    * [[graft.ext.TextOps.BlockSplitPattern]] /
+    * [[graft.ext.TextOps.HtmlEntities]], plus the plant fragments
+    * above) so extractor and oracle cannot drift. All patterns are
+    * RE2-safe (no lookarounds); the stopword count uses the q21
+    * `list_filter(tokens, IN)` equivalence. Built by concatenation —
+    * never stripMargin — because the generated SQL is pattern-heavy.
+    */
+  private def htmlExtractOracleSql: String = {
+    val ph = TextOps.PruneHtmlPatterns.foldLeft("html") {
+      (acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')"
+    }
+    def txt(b: String): String = {
+      val stripped = s"regexp_replace($b, '<[^>]*>', ' ', 'g')"
+      val decoded = TextOps.HtmlEntities.foldLeft(stripped) {
+        case (acc, (e, r)) =>
+          val rep = if (r == "'") "chr(39)" else "'" + r + "'"
+          s"replace($acc, '$e', $rep)"
+      }
+      s"trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g'))"
+    }
+    val stopList = TextOps.Stopwords("en").map(w => s"'$w'").mkString(", ")
+    def keepTxt(b: String): String = {
+      val t0 = txt(b)
+      // coalesce: DuckDB array_to_string of an EMPTY list is NULL (a
+      // link-free block must count 0 link chars, as Spark's array_join)
+      val lc = s"coalesce(len(array_to_string(regexp_extract_all($b, " +
+        "'<a[^>]*>([^<]*)</a>', 1), '')), 0)"
+      val nstop = s"len(list_filter(string_split(lower($t0), ' '), " +
+        s"w -> w IN ($stopList)))"
+      val nw = s"(CASE WHEN $t0 = '' THEN 0 ELSE len(string_split($t0, ' ')) END)"
+      s"CASE WHEN length($t0) >= 25 AND 1000 * $lc <= 200 * length($t0) " +
+        s"AND (1000 * $nstop >= 50 * $nw OR length($t0) >= 120) " +
+        s"THEN $t0 ELSE NULL END"
+    }
+    "WITH aug AS (SELECT doc_id, '" + HtmlPre + "' || text || '" +
+      HtmlLinks + "' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '" + HtmlStopwordy +
+      "' ELSE '' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN '" + HtmlEntityBlock +
+      "' ELSE '' END || '" + HtmlTail + "' AS html FROM documents),\n" +
+      "bl AS (SELECT doc_id, string_split_regex(" + ph + ", '" +
+      TextOps.BlockSplitPattern + "') AS blocks FROM aug),\n" +
+      "k AS (SELECT doc_id, blocks, " +
+      "list_filter(list_transform(blocks, b -> " + keepTxt("b") +
+      "), v -> v IS NOT NULL) AS kept FROM bl)\n" +
+      "SELECT doc_id, CAST(len(blocks) AS BIGINT) AS blocks_total, " +
+      "CAST(len(kept) AS BIGINT) AS blocks_kept, " +
+      "CAST(length(coalesce(array_to_string(kept, chr(10)), '')) AS BIGINT)" +
+      " AS main_chars, " +
+      "md5(coalesce(array_to_string(kept, chr(10)), '')) AS main_md5 " +
+      "FROM k ORDER BY doc_id"
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "q145_html_extract" -> htmlExtractOracleSql,
 
     // the BPE TRAINING loop itself, unrolled — see q119OracleSql
     "q119_bpe_merges" -> q119OracleSql(),

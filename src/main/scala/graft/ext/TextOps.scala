@@ -1304,6 +1304,104 @@ object TextOps {
       .drop("__clean")
   }
 
+  /** Raw-crawl main-content extraction — the jusText/trafilatura-class
+    * public heuristics (Pomikálek 2011; Barbaresi 2021) as ONE
+    * zero-shuffle projection, the first stage of every public
+    * pretraining-data recipe (C4/CCNet/RefinedWeb ingest HTML, not
+    * clean text — everything from [[cleanLines]] up assumes this ran):
+    *
+    *  1. wholesale prune of never-content elements: comments,
+    *     `<script>`/`<style>`, and the structural boilerplate
+    *     containers `<header>`/`<head>`/`<nav>`/`<footer>`/`<aside>`
+    *     (header BEFORE head — `<head[^>]*>` would otherwise swallow a
+    *     `<header>` open tag and strand its close);
+    *  2. segment into blocks at closing block-level tags
+    *     (`</p> </div> </li> </h1..6> </section> </article> <br>`);
+    *  3. per block, classify by the jusText signals, every threshold
+    *     cross-multiplied to exact integers: visible-text length
+    *     ≥ `minChars`, link density (chars inside `<a>` over visible
+    *     chars) ≤ `maxLinkPermille`, and stopword density
+    *     ≥ `minStopPermille` — with the long-block escape hatch
+    *     (≥ `longChars` visible chars passes regardless of stopword
+    *     density, jusText's "good by length" class);
+    *  4. kept blocks re-join in document order as `text_main`.
+    *
+    * Visible text = tags stripped, the six ubiquitous entities decoded
+    * (`&amp;` LAST so `&amp;lt;` decodes to `&lt;`, not `<`),
+    * whitespace collapsed, trimmed. Stopword matching lowercases
+    * tokens; link chars are measured on the raw block so markup inside
+    * anchors never counts as visible text.
+    *
+    * Every rule is plain regex/replace/length arithmetic a second
+    * engine reproduces exactly (DuckDB twin: same regexes under RE2 —
+    * no lookarounds in any pattern — `list_filter(tokens, IN)` for the
+    * stopword count per the q21 equivalence). Scale shape: linear per
+    * document, zero shuffle, no state.
+    *
+    * Appends `blocks_total`, `blocks_kept`, `text_main`.
+    */
+  def extractMainContent(df: DataFrame, htmlCol: String,
+                         minChars: Int = 25, maxLinkPermille: Int = 200,
+                         minStopPermille: Int = 50, longChars: Int = 120,
+                         stopwords: Seq[String] = Stopwords("en")): DataFrame = {
+    require(minChars >= 1 && longChars >= minChars,
+      s"need 1 <= minChars <= longChars: $minChars, $longChars")
+    val pruned = PruneHtmlPatterns.foldLeft(col(htmlCol)) { (c, p) =>
+      regexp_replace(c, p, " ")
+    }
+    val blocks = split(pruned, BlockSplitPattern)
+    def blockText(b: Column): Column = {
+      val stripped = regexp_replace(b, "<[^>]*>", " ")
+      val decoded = HtmlEntities.foldLeft(stripped) { case (acc, (e, r)) =>
+        replace(acc, lit(e), lit(r))
+      }
+      trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+    }
+    def linkChars(b: Column): Column =
+      length(array_join(
+        regexp_extract_all(b, lit("<a[^>]*>([^<]*)</a>"), lit(1)), ""))
+    def keep(b: Column): Column = {
+      val txt = blockText(b)
+      val n = length(txt)
+      val nw = when(txt === "", lit(0)).otherwise(size(split(txt, " ")))
+      (n >= minChars) &&
+        (linkChars(b) * 1000 <= n * maxLinkPermille) &&
+        (stopwordCount(txt, stopwords) * 1000 >= nw * minStopPermille ||
+          n >= longChars)
+    }
+    df.withColumn("__blocks", blocks)
+      .withColumn("__kept",
+        filter(transform(col("__blocks"), b => when(keep(b), blockText(b))),
+          v => v.isNotNull))
+      .withColumn("blocks_total", size(col("__blocks")).cast("long"))
+      .withColumn("blocks_kept", size(col("__kept")).cast("long"))
+      .withColumn("text_main", array_join(col("__kept"), "\n"))
+      .drop("__blocks", "__kept")
+  }
+
+  /** Wholesale-prune patterns for [[extractMainContent]], applied in
+    * order (comments and script/style first — they may nest anywhere —
+    * then the structural containers, `header` strictly before `head`).
+    * Shared with the DuckDB oracle generator so the two cannot drift.
+    */
+  val PruneHtmlPatterns: Seq[String] = Seq(
+    "<!--.*?-->",
+    "<script[^>]*>.*?</script>", "<style[^>]*>.*?</style>",
+    "<header[^>]*>.*?</header>", "<head[^>]*>.*?</head>",
+    "<nav[^>]*>.*?</nav>", "<footer[^>]*>.*?</footer>",
+    "<aside[^>]*>.*?</aside>")
+
+  /** Block-boundary pattern for [[extractMainContent]] (closing
+    * block-level tags + `<br>`), shared with the oracle generator. */
+  val BlockSplitPattern: String =
+    "</p>|</div>|</li>|</h[1-6]>|</section>|</article>|<br */?>"
+
+  /** The six ubiquitous entities [[extractMainContent]] decodes, in
+    * replacement order (`&amp;` last). Shared with the oracle. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
   // ------------------------------------------- unicode & key normalization
 
   /** Unicode normalization (UAX #15) as a column: NFC/NFD/NFKC/NFKD via
