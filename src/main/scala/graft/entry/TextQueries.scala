@@ -49,7 +49,36 @@ private[graft] object TextQueries {
       "<footer><a href=\"/p\">privacy</a> <a href=\"/t\">terms</a>" +
       "</footer></body></html>"
 
+  /** q146's plant: a clean sentence exercising every repairable class
+    * (Latin-1 accents, NBSP-free punctuation, dash, curly quotes,
+    * ellipsis, degree, euro) and its double-encoded twin GENERATED from
+    * the same [[graft.ext.TextOps.mojibakeOf]] mapping the repair table
+    * derives from — so plant and table cannot drift. ASCII chars map to
+    * themselves (single-byte UTF-8), so only the marked chars scar.
+    */
+  private[entry] val MojibakeClean: String =
+    "café déjà vu – naïve ‘q’ … " +
+      "30° €9 and the final words of it."
+  private[entry] val MojibakeDamaged: String =
+    MojibakeClean.flatMap(c =>
+      graft.ext.TextOps.mojibakeOf(c).getOrElse(c.toString))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- mojibake repair (oracle-checked): UTF-8-as-cp1252
+    // double-encoding reversal — even docs get the damaged plant (must
+    // restore to the clean twin exactly), odd docs the clean plant
+    // (must pass through bit-unchanged; chars_collapsed = 0).
+    "q146_mojibake_repair" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" "),
+          when(col("doc_id") % 2 === 0, lit(MojibakeDamaged))
+            .otherwise(lit(MojibakeClean))))
+      TextOps.repairMojibake(aug, "text")
+        .select(col("doc_id"), col("chars_collapsed"),
+          col("mojibake_changed"), md5(col("text_fixed")).as("fixed_md5"))
+        .orderBy("doc_id")
+    }),
 
     // ---- raw-crawl main-content extraction (oracle-checked): each
     // document wrapped in a deterministic full page — head/style/script/
@@ -550,9 +579,30 @@ private[graft] object TextQueries {
       "FROM k ORDER BY doc_id"
   }
 
+  /** The q146 oracle: the SAME generated replace chain
+    * ([[graft.ext.TextOps.MojibakeRepairs]]) over the same plant
+    * constants — no scar or target contains an ASCII quote (all are
+    * ≥ U+00A0), so they embed directly in SQL literals.
+    */
+  private def mojibakeOracleSql: String = {
+    val chain = TextOps.MojibakeRepairs.foldLeft("text") {
+      case (acc, (m, r)) => s"replace($acc, '$m', '$r')"
+    }
+    "WITH aug AS (SELECT doc_id, text || ' ' || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '" + MojibakeDamaged +
+      "' ELSE '" + MojibakeClean + "' END AS text FROM documents),\n" +
+      "f AS (SELECT doc_id, text, " + chain + " AS fixed FROM aug)\n" +
+      "SELECT doc_id, " +
+      "CAST(length(text) - length(fixed) AS BIGINT) AS chars_collapsed, " +
+      "fixed <> text AS mojibake_changed, md5(fixed) AS fixed_md5 " +
+      "FROM f ORDER BY doc_id"
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q145_html_extract" -> htmlExtractOracleSql,
+
+    "q146_mojibake_repair" -> mojibakeOracleSql,
 
     // the BPE TRAINING loop itself, unrolled — see q119OracleSql
     "q119_bpe_merges" -> q119OracleSql(),

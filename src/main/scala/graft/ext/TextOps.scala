@@ -1462,6 +1462,80 @@ object TextOps {
       .withColumn("key_md5", md5(col("ccnet_key")))
   }
 
+  // ------------------------------------------------------ mojibake repair
+
+  /** cp1252's 0x80–0x9F window, where it departs from Latin-1 (the
+    * public Windows-1252 table; bytes 0x81/0x8D/0x8F/0x90/0x9D are
+    * UNDEFINED and absent). Bytes 0xA0–0xFF map to the same codepoint.
+    */
+  private val Cp1252High: Map[Int, Char] = Map(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+    0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+    0x89 -> '‰', 0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+    0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+    0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+    0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+    0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
+
+  private def cp1252Char(b: Int): Option[Char] =
+    if (b >= 0xA0) Some(b.toChar)
+    else if (b >= 0x80) Cp1252High.get(b)
+    else Some(b.toChar) // ASCII bytes decode to themselves
+
+  /** The scar a codepoint acquires when its UTF-8 bytes are mis-decoded
+    * as cp1252 ("é" → "Ã©", "’" → "â€™" — the classic double-encoding
+    * damage); None when any byte lands on an undefined cp1252 slot (a
+    * mis-decode of those bytes errors or substitutes, so no clean
+    * reversible scar exists — e.g. U+201D, whose trail byte is 0x9D).
+    * Spec-pinned against the JDK's own windows-1252 decoder.
+    */
+  def mojibakeOf(c: Char): Option[String] = {
+    val chars = c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => cp1252Char(b & 0xFF))
+    if (chars.forall(_.isDefined)) Some(chars.flatten.mkString) else None
+  }
+
+  /** The ftfy-class repair table (Speer 2019's most common fix class,
+    * regenerated from first principles rather than copied): scar →
+    * original for the Latin-1 Supplement (U+00A0–U+00FF) plus the
+    * common General-Punctuation set (dashes, curly quotes, ellipsis,
+    * euro, trademark). Longer scars sort first (a 3-byte scar must
+    * never be half-eaten by a 2-byte repair — defensive: cp1252(0xC2/
+    * 0xC3) can't appear inside a 3-byte scar since UTF-8 trail bytes
+    * stop at 0xBF), codepoint order within a length for determinism.
+    * U+201D (right double quote) is absent by construction — its scar
+    * crosses the undefined 0x9D slot.
+    */
+  val MojibakeRepairs: Seq[(String, String)] = {
+    val repertoire = (0xA0 to 0xFF).map(_.toChar) ++
+      Seq('–', '—', '‘', '’', '“', '”',
+        '…', '€', '™')
+    repertoire.flatMap(c => mojibakeOf(c).map(m => m -> c.toString))
+      .sortBy { case (m, r) => (-m.length, r) }.toSeq
+  }
+
+  /** Repair UTF-8-as-cp1252 double-encoding damage — the top
+    * text-quality defect class in real crawls after boilerplate
+    * ([[cleanControlChars]] strips the SCARS of lost bytes; this
+    * REVERSES the recoverable class): one chain of literal replaces
+    * generated from [[MojibakeRepairs]], identical in any engine, so
+    * clean text passes through bit-unchanged and damaged text restores
+    * exactly. Zero shuffle, linear per document. Appends
+    * `<textCol>_fixed`, `chars_collapsed` (chars removed — each 2-byte
+    * scar collapses by 1, each 3-byte scar by 2; the per-document
+    * damage census) and `mojibake_changed`.
+    */
+  def repairMojibake(df: DataFrame, textCol: String): DataFrame = {
+    val fixed = MojibakeRepairs.foldLeft(col(textCol)) {
+      case (acc, (m, r)) => replace(acc, lit(m), lit(r))
+    }
+    df.withColumn(s"${textCol}_fixed", fixed)
+      .withColumn("chars_collapsed",
+        (length(col(textCol)) - length(col(s"${textCol}_fixed"))).cast("long"))
+      .withColumn("mojibake_changed",
+        col(s"${textCol}_fixed") =!= col(textCol))
+  }
+
   /** Control-character / zero-width cleanup — the mojibake-adjacent
     * hygiene pass: strips C0 controls (except `\t` `\n` `\r`), DEL,
     * the zero-width set (ZWSP U+200B, ZWNJ U+200C, ZWJ U+200D, BOM/
