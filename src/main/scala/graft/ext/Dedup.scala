@@ -272,13 +272,13 @@ object Dedup {
 
   // ------------------------------------------------ persisted minhash index
 
-  private def minhashSigExpr(sh: Column, k: Int, useNative: Boolean,
+  private[ext] def minhashSigExpr(sh: Column, k: Int, useNative: Boolean,
                              portable: Boolean): Column =
     if (portable) minhashSignaturePortable(sh, k, useNative)
     else if (useNative) minhashSignatureNative(sh, k)
     else minhashSignature(sh, k)
 
-  private def minhashBandExpr(sig: Column, k: Int, bands: Int,
+  private[ext] def minhashBandExpr(sig: Column, k: Int, bands: Int,
                               portable: Boolean): Column =
     if (portable) lshBandKeysPortable(sig, k, bands)
     else lshBandKeys(sig, k, bands)

@@ -171,6 +171,117 @@ object IndexAudit {
       ("assignments_match_model", assignBad, 0L)))
   }
 
+  // ------------------------------------------------------------- repair
+
+  /** Bucket layout of a catalog table — the repairs rebuild INTO the
+    * same spec, since every probe's Exchange-free plan depends on it.
+    */
+  private def bucketSpecOf(spark: SparkSession,
+                           table: String): (Int, Seq[String], Seq[String]) = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bucket spec — not a graft index table"))
+    (spec.numBuckets, spec.bucketColumnNames, spec.sortColumnNames)
+  }
+
+  private def writeBucketed(df: DataFrame, spark: SparkSession,
+                            target: String, layoutOf: String): Unit = {
+    val (n, bcols, scols) = bucketSpecOf(spark, layoutOf)
+    val w = df.write.format("parquet")
+      .bucketBy(n, bcols.head, bcols.tail: _*)
+    (if (scols.nonEmpty) w.sortBy(scols.head, scols.tail: _*) else w)
+      .mode("overwrite").saveAsTable(target)
+  }
+
+  /** Repair a stale/corrupt BM25 meta table by recomputing the corpus
+    * scalars from the postings — the remedy for [[auditBm25]]'s
+    * `meta_n_docs`/`meta_total_tokens` failures (the shape a
+    * partial append leaves: postings written, meta not refreshed).
+    * The postings are authoritative; the id-column NAME survives from
+    * the old meta (collected before the overwrite). One aggregation
+    * over the postings, a 1-row write.
+    */
+  def repairBm25Meta(spark: SparkSession, table: String): Unit = {
+    val p = spark.table(table)
+    val meta = spark.table(s"${table}_meta")
+    val idCol = if (meta.columns.contains("id_col"))
+      meta.select(col("id_col")).head.getString(0)
+    else p.columns(1)
+    val r = p.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
+    import spark.implicits._
+    Seq((r.getLong(0), r.getLong(1), idCol)).toDF("n", "t", "id_col")
+      .coalesce(1)
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** Rebuild a dHash postings table from its bands sidecar — the
+    * remedy for [[auditDHash]]'s orphan-posting / tampered-value
+    * failures. The sidecar is authoritative (it is what the exact
+    * hamming verify reads); the postings are by construction its
+    * exploded view, so the rebuild is one projection written back into
+    * the postings' own bucket layout. Ids present only in the postings
+    * (unverifiable candidates) drop; ids present only in the sidecar
+    * regain their postings.
+    */
+  def repairDHashPostings(spark: SparkSession, table: String,
+                          idCol: String): Unit =
+    writeBucketed(
+      spark.table(s"${table}_bands")
+        .select(col(idCol), posexplode(col("bands"))
+          .as(Seq("band_idx", "val"))),
+      spark, table, layoutOf = table)
+
+  /** Rebuild a MinHash band-postings table from its shingle sidecar —
+    * the remedy for [[auditMinhash]]'s truncated-posting / orphan
+    * failures. The sidecar stores the shingle SETS (the exact-verify
+    * input), so re-signaturing them under the index's hyperparameters
+    * — which the caller supplies, exactly as the probe does — restores
+    * the postings half bit-for-bit. One signature projection over the
+    * sidecar, written back into the postings' bucket layout.
+    */
+  def repairMinhashPostings(spark: SparkSession, table: String,
+                            idCol: String, k: Int = 64, bands: Int = 16,
+                            useNative: Boolean = false,
+                            portable: Boolean = false): Unit =
+    writeBucketed(
+      spark.table(s"${table}_shingles")
+        .select(col(idCol),
+          Dedup.minhashSigExpr(col("sh"), k, useNative, portable).as("sig"))
+        .select(col(idCol),
+          posexplode(Dedup.minhashBandExpr(col("sig"), k, bands, portable))
+            .as(Seq("band", "bucket")))
+        .select(col(idCol),
+          concat_ws(":", col("band"), col("bucket")).as("bucket_key")),
+      spark, table, layoutOf = table)
+
+  /** Re-assign every IVF row under the STORED centroid model — the
+    * remedy for [[auditIvf]]'s `assignments_match_model` failure (a
+    * stale-model overwrite or a hand edit). The model is
+    * authoritative; vectors live in the index table itself, so the
+    * repair is one assignment projection. Staged through
+    * `<table>__repair` because the rebuild reads the table it
+    * replaces (Spark refuses an in-place overwrite of its own input);
+    * the stage carries the same bucket layout, so the swap is
+    * metadata-cheap and the probes' Exchange-free plan survives.
+    */
+  def repairIvfAssignments(spark: SparkSession, table: String,
+                           idCol: String, vecCol: String): Unit = {
+    graft.plans.GraftFunctions.register(spark)
+    val dim = Ivf.loadDim(spark, table)
+    val centroids = Ivf.loadCentroids(spark, table)
+    val stage = s"${table}__repair"
+    writeBucketed(
+      spark.table(table).select(col(idCol), col(vecCol),
+        element_at(Ivf.assignLists(col(vecCol), centroids, dim, 1), 1)
+          .as("list")),
+      spark, stage, layoutOf = table)
+    writeBucketed(spark.table(stage), spark, table, layoutOf = stage)
+    spark.sql(s"DROP TABLE $stage")
+  }
+
   /** IVF pair ([[Ivf.writeIndex]]): `<table>` assignments vs the
     * `<table>_centroids` model.
     *  - `centroid_matrix_shape`: the flat matrix length is a multiple

@@ -263,7 +263,7 @@ object Retrieval {
   def bm25ProbePerQuery(spark: org.apache.spark.sql.SparkSession,
                         table: String, queries: DataFrame,
                         queryIdCol: String, textCol: String,
-                        k: Int): DataFrame = {
+                        k: Int, excludeSelf: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val qt = queries.select(col(queryIdCol),
         explode(array_distinct(TextOps.tokens(lower(col(textCol)))))
@@ -289,10 +289,110 @@ object Retrieval {
       .withColumn("__contrib", expr("(idf_micro * __tfnorm) div 1000000"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__contrib")).as("bm25_micro"))
-    rankTopK(scored, queryIdCol, idCol, "bm25_micro", k)
+    // self-exclusion BEFORE ranking (more-like-this serving, where
+    // queries are corpus members — the q130 convention)
+    val pool = if (excludeSelf) scored.filter(col(queryIdCol) =!= col(idCol))
+      else scored
+    rankTopK(pool, queryIdCol, idCol, "bm25_micro", k)
       .withColumn("bm25", col("bm25_micro") / 1e6)
       .select(col(queryIdCol), col("rank"), col(idCol),
         col("bm25_micro"), col("bm25"))
+  }
+
+  /** End-to-end RAG answering over PERSISTED artifacts only — q130's
+    * retrieve → fuse → (optionally diversify) → snippet pipeline with
+    * both retrieval legs served from their indexes instead of built
+    * in-plan: the lexical leg probes a [[writeBm25Index]] postings
+    * table (bucket-pruned term scan), the dense leg probes an
+    * [[graft.ext.Ivf.writeIndex]] IVF table (Exchange-free corpus
+    * side), [[rrfFuse]] combines the pre-truncated legs on the tiny
+    * (queries × legK) lattice, [[mmrRerank]] diversifies the fused
+    * shortlist (λ = 1e6 reduces MMR to pure relevance order, which is
+    * exactly the q130 formulation — how the serving twin is
+    * spec-pinned), and [[bestPassagePerQuery]] extracts each pair's
+    * densest window. MMR pair similarities come from the IVF index's
+    * own stored vectors — one broadcast-candidate join against the
+    * index scan, never a corpus shuffle.
+    *
+    * `queries` carries (queryIdCol, queryTextCol, queryVecCol). `docs`
+    * supplies snippet text by id (the corpus the indexes were built
+    * over). Dense-only pairs with no lexical overlap drop at the
+    * passage join — the documented q130 operator contract. Run
+    * [[graft.ext.IndexAudit.auditBm25]] / `auditIvf` before promoting
+    * the indexes this serves from — fsck-then-mount.
+    */
+  def ragServeIndexed(spark: org.apache.spark.sql.SparkSession,
+                      bm25Table: String, ivfTable: String, docs: DataFrame,
+                      idCol: String, textCol: String, queries: DataFrame,
+                      queryIdCol: String, queryTextCol: String,
+                      queryVecCol: String, k: Int = 5, legK: Int = 20,
+                      nProbe: Int = 4, windowTokens: Int = 8,
+                      lambdaMicro: Long = 1000000L,
+                      excludeSelf: Boolean = false): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    // the index's own vector column name (schema: id, vector, list) —
+    // the query vector renames onto it so the probe join lines up
+    val ivfVecCol = spark.table(ivfTable).columns
+      .filterNot(c => c == idCol || c == "list").head
+    val qterms = queries.select(col(queryIdCol),
+        explode(array_distinct(TextOps.tokens(lower(col(queryTextCol)))))
+          .as("term"))
+      .filter(length(col("term")) > 0)
+    val lex = bm25ProbePerQuery(spark, bm25Table,
+        queries.select(col(queryIdCol), col(queryTextCol)),
+        queryIdCol, queryTextCol, legK, excludeSelf)
+      .select(col(queryIdCol), col(idCol), col("rank"))
+    val dense = graft.ext.Ivf.ivfTopKIndexed(spark, ivfTable,
+        queries.select(col(queryIdCol).as(idCol),
+          col(queryVecCol).as(ivfVecCol)),
+        idCol, ivfVecCol, legK, nProbe)
+      .select(col("query_id").as(queryIdCol),
+        col("neighbor_id").as(idCol), col("rank"))
+    // the fused shortlist feeds MMR pair-sims, the passage extractor
+    // AND the final join — materialize the tiny relation once. With
+    // diversification on, MMR picks k from the FULL legK fused pool
+    // (diversify-from-N-to-k, the standard shape); relevance-only
+    // serving truncates at fusion.
+    val poolK = if (lambdaMicro >= 1000000L) k else legK
+    val fused = rrfFuse(lex, dense, queryIdCol, idCol, poolK)
+      .localCheckpoint()
+    val selected =
+      if (lambdaMicro >= 1000000L) fused
+      else {
+        val cents = graft.ext.Ivf.loadCentroids(spark, ivfTable)
+        val dim = graft.ext.Ivf.loadDim(spark, ivfTable)
+        require(cents.nonEmpty && dim > 0, s"empty IVF model in $ivfTable")
+        val cands = fused.select(col(queryIdCol), col(idCol))
+        val vecs = spark.table(ivfTable)
+          .join(broadcast(cands.select(col(idCol)).distinct()), Seq(idCol))
+          .select(col(idCol), col(ivfVecCol))
+        val va = Similarity.withVecNorm(vecs, idCol, ivfVecCol)
+          .select(col(idCol).as("id_a"), col("v").as("va"),
+            col("nrm").as("na"))
+        val vb = va.select(col("id_a").as("id_b"), col("va").as("vb"),
+          col("na").as("nb"))
+        val pairSims = cands.select(col(queryIdCol), col(idCol).as("id_a"))
+          .join(cands.select(col(queryIdCol), col(idCol).as("id_b")),
+            Seq(queryIdCol))
+          .filter(col("id_a") =!= col("id_b"))
+          .join(broadcast(va), "id_a").join(broadcast(vb), "id_b")
+          .select(col(queryIdCol), col("id_a"), col("id_b"),
+            round(Similarity.dotFast(col("va"), col("vb"), dim,
+                useNative = true) / (col("na") * col("nb")) *
+              lit(1000000.0)).cast("long").as("sim_micro"))
+        val reranked = mmrRerank(
+          fused.select(col(queryIdCol), col(idCol),
+            col("rrf_micro").as("rel_micro")),
+          pairSims, queryIdCol, idCol, k, lambdaMicro)
+        reranked.join(fused.drop("rank"), Seq(queryIdCol, idCol))
+          .localCheckpoint()
+      }
+    val passages = bestPassagePerQuery(docs, idCol, textCol, selected,
+      qterms, queryIdCol, windowTokens)
+    selected.join(passages, Seq(queryIdCol, idCol))
+      .select(col(queryIdCol), col("rank"), col(idCol), col("rrf_micro"),
+        col("best_start"), col("n_hits"), col("snippet"))
+      .orderBy(col(queryIdCol), col("rank"))
   }
 
   /** Pseudo-relevance-feedback query expansion (the RM3-lite recipe,

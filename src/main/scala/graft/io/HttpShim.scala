@@ -131,6 +131,41 @@ object HttpShim {
         Seq(text).toDF("text"), "text", threshold)
     })
 
+  /** `/rag?id=<doc>[&k=N]` — full RAG serving over the persisted
+    * index pair: the query is a corpus member (more-like-this), its
+    * terms from `docs`, its vector from the IVF index itself; the
+    * answer is [[graft.ext.Retrieval.ragServeIndexed]]'s fused,
+    * snippet-bearing top-k (bit-identical to the batch operator on the
+    * same indexes — spec-pinned). Completes the served-index family:
+    * per-leg routes (`/search`, `/similar`) and now their composition.
+    * Run the BM25/IVF fscks before serving — fsck-then-mount.
+    */
+  def ragRoutes(spark: org.apache.spark.sql.SparkSession,
+                bm25Table: String, ivfTable: String,
+                docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, defaultK: Int = 5, legK: Int = 20,
+                nProbe: Int = 4)
+      : Map[String, HttpExchange => DataFrame] = Map(
+    "rag" -> { ex =>
+      import org.apache.spark.sql.functions.col
+      val params = queryParams(ex.getRequestURI.getRawQuery)
+      val id = params.getOrElse("id",
+        throw new IllegalArgumentException("missing ?id= parameter")).toLong
+      val k = params.get("k").map(_.toInt).getOrElse(defaultK)
+      val ivfVecCol = spark.table(ivfTable).columns
+        .filterNot(c => c == idCol || c == "list").head
+      val qtext = docs.filter(col(idCol) === id)
+        .select(col(idCol).as("query_id"), col(textCol))
+      require(qtext.take(1).nonEmpty, s"id $id not in the corpus")
+      val qvec = spark.table(ivfTable).filter(col(idCol) === id)
+        .select(col(idCol).as("query_id"), col(ivfVecCol))
+      require(qvec.take(1).nonEmpty, s"id $id not in index $ivfTable")
+      graft.ext.Retrieval.ragServeIndexed(spark, bm25Table, ivfTable,
+        docs, idCol, textCol, qtext.join(qvec, "query_id"),
+        "query_id", textCol, ivfVecCol, k, legK, nProbe,
+        excludeSelf = true)
+    })
+
   /** The reference's two routes over CSV files (main.py:8-9, 24-30),
     * parsed with the S1 ingester.
     */

@@ -186,6 +186,31 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous RAG serving over the persisted BM25 + IVF index pair:
+    * each micro-batch of (query id, text, vector) rows is answered by
+    * [[graft.ext.Retrieval.ragServeIndexed]] verbatim — the
+    * composition twin of [[bm25QueryStream]] (one leg) on the same
+    * foreachBatch-reuses-the-batch-operator rationale. Against static
+    * indexes the serve is pure: the union of per-batch answers equals
+    * one batch answer for all queries (spec-pinned) — every score,
+    * fusion rank and snippet derives from index + corpus state alone,
+    * so no batch can shift another's results.
+    */
+  def ragServeStream(queries: DataFrame, bm25Table: String,
+                     ivfTable: String, docs: DataFrame, idCol: String,
+                     textCol: String, queryIdCol: String,
+                     queryTextCol: String, queryVecCol: String, k: Int,
+                     legK: Int = 20, nProbe: Int = 4)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ext.Retrieval.ragServeIndexed(batch.sparkSession,
+          bm25Table, ivfTable, docs, idCol, textCol, batch, queryIdCol,
+          queryTextCol, queryVecCol, k, legK, nProbe), batchId)
+      }
+      .start()
+
   /** Continuous-ingest PERCEPTUAL near-dup probe: each micro-batch of
     * media payloads is banded (real decode inside the payload-dropping
     * seam) and checked against a persisted dHash index
