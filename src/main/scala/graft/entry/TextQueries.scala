@@ -63,7 +63,49 @@ private[graft] object TextQueries {
     MojibakeClean.flatMap(c =>
       graft.ext.TextOps.mojibakeOf(c).getOrElse(c.toString))
 
+  /** q148's FIXED unigram vocabulary (the q120 discipline: the APPLY
+    * side verifies cross-engine under a constant model, independently
+    * of the trainer): full a–z/0–9 single-char floor at 3·10⁶
+    * micro-nats plus hand-placed multi-char pieces, including "ab" at
+    * exactly cost(a)+cost(b) so the planted " abba" suffix exercises
+    * the smallest-start tie-break in every document.
+    */
+  private[graft] val UnigramFixedVocab: Seq[(String, Long)] =
+    (('a' to 'z') ++ ('0' to '9')).map(c => (c.toString, 3000000L)) ++ Seq(
+      "ab" -> 6000000L, // tie with a+b → smallest start wins → "ab"
+      "ke" -> 2000000L, "val" -> 2500000L, "ue" -> 2200000L,
+      "ta" -> 2000000L, "ble" -> 2600000L, "sc" -> 2400000L,
+      "an" -> 2000000L, "ro" -> 2100000L, "ha" -> 2000000L,
+      "sh" -> 2000000L, "or" -> 2000000L, "der" -> 2700000L,
+      "wind" -> 3900000L, "ow" -> 2300000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- unigram-LM tokenizer TRAINING (oracle-checked): the
+    // SentencePiece-style hard-EM trainer — seed substring census,
+    // two Viterbi-segment-count-reprice EM steps, threshold pruning,
+    // single-char floor — replayed in DuckDB via recursive-CTE Viterbi
+    // (forward DP carries a maxPieceLen-wide best window; backtrack
+    // re-derives each argmin with the same smallest-start tie-break on
+    // exact longs). The BPE trainer's sibling, q119's discipline.
+    "q147_unigram_train" -> ((s, dir) => {
+      TextOps.trainUnigramLm(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, seedMinCount = 2L, pruneMinCount = 2L, steps = 2)
+    }),
+
+    // ---- unigram tokenization under the FIXED vocabulary
+    // (oracle-checked): Viterbi segmentation of every document's words
+    // + the planted tie word — the apply side verified independently of
+    // the trainer, as q120 is for BPE.
+    "q148_unigram_tokenize" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" abba")))
+      TextOps.withUnigramTokens(aug, "text", UnigramFixedVocab,
+          maxPieceLen = 4)
+        .select(col("doc_id"), col("n_unigram_tokens"),
+          md5(concat_ws("\u0001", col("unigram_tokens"))).as("tokens_md5"))
+        .orderBy("doc_id")
+    }),
 
     // ---- mojibake repair (oracle-checked): UTF-8-as-cp1252
     // double-encoding reversal — even docs get the damaged plant (must
@@ -296,7 +338,7 @@ private[graft] object TextQueries {
       graft.plans.GraftFunctions.register(s)
       TextOps.withBpeTokens(t(s, dir, "documents"), "text", Q120Merges)
         .select(col("doc_id"), col("n_bpe_tokens"),
-          md5(concat_ws("", col("bpe_tokens"))).as("tokens_md5"))
+          md5(concat_ws("\u0001", col("bpe_tokens"))).as("tokens_md5"))
         .orderBy("doc_id")
     }),
 
@@ -598,9 +640,168 @@ private[graft] object TextQueries {
       "FROM f ORDER BY doc_id"
   }
 
+  /** Recursive-CTE Viterbi for the unigram oracles (q147/q148): the
+    * forward DP carries a 4-wide best window per (word, i) — UTF-8
+    * trail positions never arise since the corpus is whitespace-token
+    * words — and the backtrack recursion re-derives each argmin as a
+    * `list_min` over (total, start) structs: smallest total then
+    * smallest start, exactly [[graft.plans.UnigramCore.segment]]'s
+    * tie-break on exact longs. Invalid starts surface as NULL sums →
+    * coalesced to 2⁶², never winners (single chars always segment).
+    * `vocabCte` must expose (piece, cost_micro); `fwd$tag`/`bt$tag`
+    * read the `words(word)` CTE.
+    */
+  private def unigramFwdBt(tag: String, vocabCte: String): String = {
+    val big = "4611686018427387904"
+    // every lookup is a LEFT JOIN, NEVER a correlated scalar subquery:
+    // DuckDB 1.0.0 returns NULL from a correlated subquery on the FIRST
+    // recursive iteration whenever the probed CTE's lineage contains a
+    // generate_series/unnest table function (minimal repro in the
+    // round-10 commit message); join formulations bind correctly.
+    val fwdJoins = (1 to 4).map { l =>
+      s"  LEFT JOIN $vocabCte w$l ON w$l.piece = " +
+        s"substr(f.word, f.i + ${2 - l}, $l)"
+    }.mkString("\n")
+    val fwdTerms = (1 to 4)
+      .map(l => s"coalesce(f.b$l + w$l.cost_micro, $big)")
+      .mkString(",\n      ")
+    val btJoins = (1 to 4).map { l =>
+      s"""    LEFT JOIN fwd$tag f$l ON f$l.word = b.word
+         |      AND f$l.i = b.pos - $l
+         |    LEFT JOIN $vocabCte v$l ON v$l.piece =
+         |      substr(b.word, b.pos - ${l - 1}, $l)""".stripMargin
+    }.mkString("\n")
+    val btCands = (1 to 4)
+      .map(l => s"{'t': coalesce(f$l.b1 + v$l.cost_micro, $big), " +
+        s"'j': b.pos - $l}")
+      .mkString(",\n      ")
+    s"""fwd$tag(word, i, b1, b2, b3, b4) AS (
+       |  SELECT word, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+       |  FROM words
+       |  UNION ALL
+       |  SELECT f.word, f.i + 1,
+       |    least(
+       |      $fwdTerms),
+       |    f.b1, f.b2, f.b3
+       |  FROM fwd$tag f
+       |$fwdJoins
+       |  WHERE f.i < length(f.word)),
+       |bt$tag(word, pos, piece) AS (
+       |  SELECT word, length(word), CAST(NULL AS VARCHAR) FROM words
+       |  UNION ALL
+       |  SELECT word, (sel).j, substr(word, (sel).j + 1, pos - (sel).j)
+       |  FROM (
+       |    SELECT b.word, b.pos, list_min([
+       |      $btCands]) AS sel
+       |    FROM bt$tag b
+       |$btJoins
+       |    WHERE b.pos > 0))""".stripMargin
+  }
+
+  /** One vocab derivation (the trainer's M-step / seed rule): alphabet
+    * singles floored at cnt 1, multi-char pieces thresholded, costs
+    * `round(ln(total/cnt)·10⁶)` on the vocabulary lattice. The total
+    * rides in its own CTE CROSS JOINed in — NOT as an embedded scalar
+    * subquery: DuckDB 1.0.0 mis-evaluates a CTE carrying one when a
+    * recursive CTE's correlated subqueries later read it (first
+    * recursion step sees NULL lookups; minimal repro in the round-10
+    * commit message).
+    */
+  private def unigramVocabCtes(tag: String, cntCte: String,
+                               minCount: Long): String =
+    s"""v${tag}all AS MATERIALIZED (
+       |  SELECT a.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt
+       |  FROM alpha a LEFT JOIN $cntCte c USING (piece)
+       |  UNION ALL
+       |  SELECT piece, cnt FROM $cntCte
+       |  WHERE length(piece) > 1 AND cnt >= $minCount),
+       |t$tag AS MATERIALIZED (
+       |  SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM v${tag}all),
+       |v$tag AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(round(ln(t$tag.tot / cnt) * 1000000) AS BIGINT)
+       |      AS cost_micro
+       |  FROM v${tag}all CROSS JOIN t$tag)""".stripMargin
+
+  /** The q147 oracle: seed census → v0 → (segment, count, reprice) × 2
+    * as recursive-CTE Viterbi passes — the full hard-EM loop replayed.
+    */
+  private def unigramTrainOracleSql: String =
+    s"""WITH RECURSIVE
+       |words AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+       |      AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |subs AS MATERIALIZED (
+       |  SELECT substr(w.word, w.st, l.l) AS piece,
+       |    CAST(sum(w.freq) AS BIGINT) AS cnt
+       |  FROM (SELECT word, freq,
+       |          unnest(generate_series(1, length(word))) AS st
+       |        FROM words) w
+       |  CROSS JOIN generate_series(1, 4) l(l)
+       |  WHERE w.st + l.l - 1 <= length(w.word)
+       |  GROUP BY 1),
+       |alpha AS MATERIALIZED (
+       |  SELECT piece FROM subs WHERE length(piece) = 1),
+       |${unigramVocabCtes("0", "subs", 2L)},
+       |${unigramFwdBt("1", "v0")},
+       |cnt1 AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM bt1 JOIN words USING (word)
+       |  WHERE piece IS NOT NULL GROUP BY piece),
+       |${unigramVocabCtes("1", "cnt1", 2L)},
+       |${unigramFwdBt("2", "v1")},
+       |cnt2 AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM bt2 JOIN words USING (word)
+       |  WHERE piece IS NOT NULL GROUP BY piece),
+       |${unigramVocabCtes("2", "cnt2", 2L)}
+       |SELECT piece, cnt, cost_micro FROM v2 ORDER BY piece""".stripMargin
+
+  /** The q148 oracle: Viterbi under the FIXED vocabulary constant,
+    * reassembled per document in word order. */
+  private def unigramTokenizeOracleSql: String = {
+    val vals = UnigramFixedVocab
+      .map { case (p, c) => s"('$p', CAST($c AS BIGINT))" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |aug AS (SELECT doc_id, text || ' abba' AS text FROM documents),
+       |words AS MATERIALIZED (
+       |  SELECT DISTINCT word FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+       |      AS word
+       |    FROM aug)
+       |  WHERE length(word) > 0),
+       |vq(piece, cost_micro) AS (VALUES $vals),
+       |${unigramFwdBt("q", "vq")},
+       |segl AS MATERIALIZED (
+       |  SELECT word, list(piece ORDER BY pos) AS pieces
+       |  FROM btq WHERE piece IS NOT NULL GROUP BY word),
+       |docw AS (
+       |  SELECT doc_id, wpos, ws[wpos] AS word
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws))) AS wpos
+       |        FROM (SELECT doc_id,
+       |                string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |              FROM aug))
+       |  WHERE length(ws[wpos]) > 0),
+       |tok AS (
+       |  SELECT doc_id, flatten(list(pieces ORDER BY wpos)) AS toks
+       |  FROM docw JOIN segl USING (word) GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_unigram_tokens,
+       |  md5(coalesce(array_to_string(toks, chr(1)), '')) AS tokens_md5
+       |FROM tok ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q145_html_extract" -> htmlExtractOracleSql,
+
+    "q147_unigram_train" -> unigramTrainOracleSql,
+
+    "q148_unigram_tokenize" -> unigramTokenizeOracleSql,
 
     "q146_mojibake_repair" -> mojibakeOracleSql,
 

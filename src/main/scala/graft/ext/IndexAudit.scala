@@ -171,6 +171,38 @@ object IndexAudit {
       ("assignments_match_model", assignBad, 0L)))
   }
 
+  /** Unigram-model pair ([[TextOps.writeUnigramModel]]): the vocabulary
+    * vs its `<table>_meta` window scalar.
+    *  - `distinct_pieces`: no piece appears twice (a duplicate makes
+    *    the cost map lookup nondeterministic across loads);
+    *  - `closed_alphabet`: every character of every piece exists as a
+    *    single-char piece (the invariant that keeps ANY word over the
+    *    model's alphabet segmentable — a pruned char strands words);
+    *  - `pieces_within_window`: no piece longer than the recorded
+    *    `max_piece_len` (the Viterbi window would never choose it —
+    *    dead weight that signals a meta/model mismatch);
+    *  - `single_meta_row`: exactly one recorded window.
+    */
+  def auditUnigramModel(spark: SparkSession, table: String): DataFrame = {
+    val m = spark.table(table)
+    val n = m.count()
+    val distinctPieces = m.select(col("piece")).distinct().count()
+    val singles = m.filter(length(col("piece")) === 1).select(col("piece"))
+    val orphanChars = m
+      .select(explode(split(col("piece"), "")).as("piece"))
+      .filter(length(col("piece")) === 1).distinct()
+      .join(singles, Seq("piece"), "left_anti").count()
+    val metaRows = spark.table(s"${table}_meta").count()
+    val maxLen = spark.table(s"${table}_meta")
+      .select(col("max_piece_len")).head.getInt(0)
+    val oversized = m.filter(length(col("piece")) > maxLen).count()
+    report(spark, Seq(
+      ("distinct_pieces", distinctPieces, n),
+      ("closed_alphabet", orphanChars, 0L),
+      ("pieces_within_window", oversized, 0L),
+      ("single_meta_row", metaRows, 1L)))
+  }
+
   // ------------------------------------------------------------- repair
 
   /** Bucket layout of a catalog table — the repairs rebuild INTO the

@@ -727,6 +727,159 @@ object TextOps {
                            textCol: String): DataFrame =
     withBpeTokens(df, textCol, loadBpeModel(spark, table))
 
+  // --------------------------------------------- unigram-LM tokenizer
+
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the BPE
+    * trainer's sibling (Kudo 2018's public algorithm in its hard-EM /
+    * Viterbi form, integer-exact so the WHOLE LOOP oracle-checks on the
+    * q139/q119 trainer discipline):
+    *
+    *  1. corpus collapses once to (word, freq) — every later pass runs
+    *     on the distinct-word relation, never the documents;
+    *  2. seed vocabulary = all substrings of length ≤ `maxPieceLen`
+    *     with occurrence-weighted count ≥ `seedMinCount`, plus every
+    *     single character unconditionally (the closed alphabet that
+    *     keeps any word segmentable);
+    *  3. each EM step segments every word by Viterbi under the current
+    *     integer micro-nat costs (native
+    *     [[graft.plans.UnigramSegmentExpr]]; min total cost, ties to
+    *     the smallest start — a total order on exact longs), counts the
+    *     winning pieces weighted by word freq (hard E-step), prunes
+    *     multi-char pieces below `pruneMinCount`, and re-derives costs
+    *     `round(ln(total/cnt)·10⁶)` on the vocabulary-sized lattice
+    *     (M-step; the ONLY float op, the q125 ln-on-a-tiny-lattice
+    *     discipline — threshold pruning, not bottom-k, so there is no
+    *     prune-order hazard);
+    *  4. single chars that win zero occurrences keep `cnt = 1` (the
+    *     SentencePiece required-character floor), so the alphabet never
+    *     leaves the model.
+    *
+    * Scale shape: one corpus collapse, then per step one projection
+    * over the distinct words + one piece-keyed aggregation; the only
+    * driver state is the vocabulary itself (the KB-scale model, like
+    * centroids). Returns (piece, cnt, cost_micro).
+    */
+  def trainUnigramLm(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                     seedMinCount: Long = 2L, pruneMinCount: Long = 2L,
+                     steps: Int = 2): DataFrame = {
+    require(maxPieceLen >= 1 && steps >= 0,
+      s"bad maxPieceLen/steps: $maxPieceLen/$steps")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val words = df
+      .select(explode(tokens(trim(lower(col(textCol))))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val subs = words
+        .select(col("word"), col("freq"),
+          explode(sequence(lit(1), length(col("word")))).as("st"))
+        .select(col("word"), col("freq"), col("st"),
+          explode(sequence(lit(1), lit(maxPieceLen))).as("len"))
+        .filter(col("st") + col("len") - 1 <= length(col("word")))
+        .select(expr("substr(word, st, len)").as("piece"), col("freq"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      val alphabet = subs.filter(length(col("piece")) === 1)
+        .select("piece").localCheckpoint()
+      def vocabFrom(cnts: DataFrame, minCount: Long): DataFrame = {
+        val singles = alphabet.join(cnts, Seq("piece"), "left")
+          .select(col("piece"),
+            greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))
+        val multis = cnts
+          .filter(length(col("piece")) > 1 && col("cnt") >= minCount)
+          .select(col("piece"), col("cnt"))
+        val all = singles.union(multis)
+        all.crossJoin(broadcast(all.agg(sum(col("cnt")).as("tot"))))
+          .select(col("piece"), col("cnt"),
+            round(log(col("tot").cast("double") / col("cnt"))
+              * lit(1000000.0)).cast("long").as("cost_micro"))
+      }
+      var vocab = vocabFrom(subs, seedMinCount).localCheckpoint()
+      var step = 0
+      while (step < steps) {
+        val entries = vocabEntries(vocab)
+        val segCnt = words
+          .select(col("freq"),
+            explode(call_function("graft_unigram_segment", col("word"),
+              typedlit(entries), lit(maxPieceLen))).as("piece"))
+          .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+        vocab = vocabFrom(segCnt, pruneMinCount).localCheckpoint()
+        step += 1
+      }
+      vocab.orderBy("piece")
+    } finally words.unpersist(blocking = false)
+  }
+
+  /** The "cost<space>piece" literal encoding
+    * [[graft.plans.UnigramSegmentExpr]] carries, sorted by piece for a
+    * deterministic literal (the map is order-independent; the PLAN
+    * should be too). Bounded collect — the vocabulary is the model.
+    */
+  private def vocabEntries(vocab: DataFrame): Seq[String] =
+    vocab.select(col("piece"), col("cost_micro")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .map { case (p, c) => s"$c $p" }.toSeq
+
+  /** Tokenize with a unigram vocabulary: whitespace words segment
+    * through native `graft_unigram_segment` and flatten back to one
+    * subword sequence per document — [[withBpeTokens]]'s sibling for
+    * the unigram family. Pure projection, zero shuffle.
+    */
+  def withUnigramTokens(df: DataFrame, textCol: String,
+                        vocab: Seq[(String, Long)],
+                        maxPieceLen: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val entries = typedlit(
+      vocab.sortBy(_._1).map { case (p, c) => s"$c $p" })
+    df.withColumn("unigram_tokens",
+        flatten(transform(tokens(trim(lower(col(textCol)))),
+          w => call_function("graft_unigram_segment", w, entries,
+            lit(maxPieceLen)))))
+      .withColumn("n_unigram_tokens",
+        size(col("unigram_tokens")).cast("long"))
+  }
+
+  /** Persist a trained unigram model ([[trainUnigramLm]] output) — the
+    * unigram member of the persisted-tokenizer family
+    * ([[writeBpeModel]]): the (piece, cnt, cost_micro) vocabulary plus
+    * a 1-row `<table>_meta` carrying `max_piece_len` (the Viterbi
+    * window — segmenting under the wrong window silently changes every
+    * tokenization, so it travels WITH the model).
+    */
+  def writeUnigramModel(spark: org.apache.spark.sql.SparkSession,
+                        table: String, vocab: DataFrame,
+                        maxPieceLen: Int): Unit = {
+    vocab.select(col("piece"), col("cnt"), col("cost_micro"))
+      .coalesce(1)
+      .write.format("parquet").mode("overwrite").saveAsTable(table)
+    import spark.implicits._
+    Seq(maxPieceLen).toDF("max_piece_len").coalesce(1)
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** Load a persisted unigram model: (vocab pieces with costs, the
+    * recorded max piece length). Bounded — the model IS the vocab. */
+  def loadUnigramModel(spark: org.apache.spark.sql.SparkSession,
+                       table: String): (Seq[(String, Long)], Int) = {
+    val rows = spark.table(table).select(col("piece"), col("cost_micro"))
+      .collect()
+    require(rows.nonEmpty, s"empty unigram model table $table")
+    val maxLen = spark.table(s"${table}_meta")
+      .select(col("max_piece_len")).head.getInt(0)
+    (rows.map(r => (r.getString(0), r.getLong(1))).toSeq, maxLen)
+  }
+
+  /** Tokenize against a PERSISTED unigram model — bit-identical to
+    * tokenizing with the in-memory vocabulary (spec-pinned), the
+    * [[withBpeTokensIndexed]] pattern. */
+  def withUnigramTokensIndexed(spark: org.apache.spark.sql.SparkSession,
+                               table: String, df: DataFrame,
+                               textCol: String): DataFrame = {
+    val (vocab, maxLen) = loadUnigramModel(spark, table)
+    withUnigramTokens(df, textCol, vocab, maxLen)
+  }
+
   /** Frequency capping — keep at most `k` rows per key, best-first by
     * (`ordCol` DESC, `idCol` ASC): the per-domain / per-source corpus
     * balancing step of web-scale curation recipes (the source-cap stage

@@ -147,6 +147,12 @@ object GraftFunctions {
     BpePairsExpr(children.head, stringArrayLit(children, 1, "merges"))
   }
 
+  private def unigramSegmentBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 3, "graft_unigram_segment(word, vocab, maxLen)")
+    UnigramSegmentExpr(children.head, stringArrayLit(children, 1, "vocab"),
+      intLit(children, 2, "maxLen"))
+  }
+
   private def cmsEstimateBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, "graft_cms_estimate(value, cmsBytes)")
     val bLit = children(1)
@@ -254,6 +260,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bpe_pairs"),
       new ExpressionInfo(classOf[BpePairsExpr].getName, "graft_bpe_pairs"),
       bpePairsBuilder),
+    (FunctionIdentifier("graft_unigram_segment"),
+      new ExpressionInfo(classOf[UnigramSegmentExpr].getName,
+        "graft_unigram_segment"),
+      unigramSegmentBuilder),
     (FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimateExpr].getName,
         "graft_cms_estimate"),
