@@ -55,14 +55,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_ONLY=q26,q37 restricts the run (dev-loop convenience)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) =>
-        names.exists(n.startsWith) }
-      case None => SparkEntry.queries
-    }
+    // SPARK_GRAFT_ONLY=q26,q13* restricts the run (dev-loop
+    // convenience; prefix/family-glob semantics live in BenchUtil)
+    val selected = BenchUtil.selectQueries(
+      sys.env.get("SPARK_GRAFT_ONLY"), SparkEntry.queries)
     var failed = List.empty[String]
     // absorb JVM/codegen/scheduler warmup OUTSIDE any query's timing
     // window (it was inflating whichever query sorted first by ~5 s)

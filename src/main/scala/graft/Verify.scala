@@ -28,15 +28,11 @@ object Verify {
         else col(f.name)
       }.toSeq: _*)
     }
-    // SPARK_GRAFT_ONLY=q50,q53 restricts the dump (dev-loop convenience;
-    // the driver's full run leaves it unset)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) =>
-        names.exists(n.startsWith) }
-      case None => SparkEntry.queries
-    }
+    // SPARK_GRAFT_ONLY=q50,q13* restricts the dump (dev-loop
+    // convenience; the driver's full run leaves it unset — semantics
+    // shared with Bench via BenchUtil.selectQueries)
+    val selected = BenchUtil.selectQueries(
+      sys.env.get("SPARK_GRAFT_ONLY"), SparkEntry.queries)
     val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     selected.foreach { case (name, fn) =>
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")

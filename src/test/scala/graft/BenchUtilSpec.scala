@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `SPARK_GRAFT_ONLY` dev-loop filter contract (round-10
+  * directive): prefix and family-glob selection shared by Verify and
+  * Bench through one definition site, with the no-match typo guard.
+  */
+class BenchUtilSpec extends AnyFunSuite {
+
+  private val qs = Map(
+    "q13_merge" -> 1, "q130_rag_serving" -> 2, "q131_image" -> 3,
+    "q75_kmeans" -> 4, "q147_unigram_train" -> 5)
+
+  test("unset or blank selects everything") {
+    assert(BenchUtil.selectQueries(None, qs) == qs)
+    assert(BenchUtil.selectQueries(Some(""), qs) == qs)
+    assert(BenchUtil.selectQueries(Some(" , "), qs) == qs)
+  }
+
+  test("exact names and prefixes select their families") {
+    assert(BenchUtil.selectQueries(Some("q75_kmeans"), qs).keySet ==
+      Set("q75_kmeans"))
+    assert(BenchUtil.selectQueries(Some("q13"), qs).keySet ==
+      Set("q13_merge", "q130_rag_serving", "q131_image"))
+    assert(BenchUtil.selectQueries(Some("q130"), qs).keySet ==
+      Set("q130_rag_serving"))
+  }
+
+  test("trailing * (shell-glob habit) is tolerated and stripped") {
+    assert(BenchUtil.selectQueries(Some("q13*"), qs).keySet ==
+      Set("q13_merge", "q130_rag_serving", "q131_image"))
+  }
+
+  test("comma-separated entries union") {
+    assert(BenchUtil.selectQueries(Some("q75, q147"), qs).keySet ==
+      Set("q75_kmeans", "q147_unigram_train"))
+  }
+
+  test("a filter matching nothing fails loudly, not silently green") {
+    assertThrows[IllegalArgumentException] {
+      BenchUtil.selectQueries(Some("q999"), qs)
+    }
+  }
+}
