@@ -190,14 +190,20 @@ private[graft] object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // ---- semantic dedup, SemDeDup-style (rows-only; superset-of-exact
-    // and parity bounds spec-tested): IVF-cluster the embedding space,
-    // drop vectors with a lower-id cluster-mate at cosine >= 0.4 — the
-    // all-pairs rule's cost collapses from O(n²) to Σ|cluster|².
+    // ---- semantic dedup, SemDeDup-style, ORACLE-CHECKED since
+    // round 10: IVF-cluster the embedding space under the
+    // md5-derandomized TRAINED quantizer (the q75/q43 shared oracle
+    // prefix), drop vectors with a lower-id cluster-mate at
+    // cosine >= 0.4 — the all-pairs rule's cost collapses from O(n²)
+    // to Σ|cluster|². (`semanticDedupKeptIds`, the murmur3-sampled
+    // driver trainer, stays the perf API — SemanticDedupSpec still
+    // pins it; hyperparameters retuned 32 → 8 lists with the
+    // conversion — deliberate-semantic-change protocol, old pin
+    // f885d8ce276a7969d1165fc3111f74d8 rows=480.)
     "q56_semantic_dedup" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      Dedup.semanticDedupKeptIds(t(s, dir, "embeddings"), "vec_id",
-          "embedding", minCosine = 0.4, nList = 32)
+      Dedup.semanticDedupKeptIdsSeeded(t(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.4, nList = 8, iters = 2)
         .orderBy("vec_id")
     }),
 
@@ -205,7 +211,8 @@ private[graft] object DedupQueries {
     // centroids (k lowest-id vectors, Forgy init without Lloyd) make
     // every stage plain relational algebra, so the cluster-then-
     // dedup-within-cluster shape itself is verified cross-engine; q56
-    // keeps the trained-quantizer variant (rows-only, parity-bounded)
+    // is the trained-quantizer variant (itself oracle-checked since
+    // round 10 via the seeded trainer)
     "q84_semantic_dedup_exemplar" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
       Dedup.semanticDedupKeptIdsExemplar(t(s, dir, "embeddings"), "vec_id",
@@ -215,6 +222,25 @@ private[graft] object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the q75/q43 shared seeded-trainer prefix, then the q84 tail under
+    // the TRAINED centroid relation instead of exemplar seeds
+    "q56_semantic_dedup" ->
+      s"""${EntryTables.kppLloydCtes(nList = 8, iters = 2, dim = 64)},
+         |assigned AS (
+         |  SELECT e.vec_id, c.cid, e.v, e.nrm
+         |  FROM e CROSS JOIN l2n c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+         |             c.cid) = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
 
     "q24_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id,

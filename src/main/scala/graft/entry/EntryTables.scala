@@ -299,4 +299,77 @@ private[graft] object EntryTables {
        |w0 AS (SELECT range AS b, CAST(0 AS BIGINT) AS w FROM range($QtBuckets)),
        |$steps""".stripMargin
   }
+
+  /** Shared CTE prefix for the seeded-k-means family oracles (q75 and
+    * the q43 indexed probe): the md5-derandomized k-means++ draw chain
+    * (`sel1..selK` — each step's D² weights in exact micro longs, the
+    * inverse-CDF winner via a running integer window sum), then `iters`
+    * unrolled q91-style Lloyd CTEs from those seeds, ending with the
+    * trained-centroid relation `l{iters}n (cid, cvec, cnrm)`.
+    * `AS MATERIALIZED` on every multiply-referenced CTE (the q119
+    * lesson — chained re-evaluation is exponential without it).
+    */
+  private[entry] def kppLloydCtes(nList: Int, iters: Int, dim: Int): String = {
+    val simTo = (j: Int) =>
+      s"CAST(round(list_dot_product(e.v, (SELECT v FROM c$j)) /\n" +
+        s"      (e.nrm * (SELECT nrm FROM c$j)) * 1000000) AS BIGINT)"
+    val seedCtes = (2 to nList).map { k =>
+      val sims = (1 until k).map(simTo)
+      val best = if (sims.size == 1) sims.head
+        else s"greatest(${sims.mkString(",\n    ")})"
+      val notIn = (1 until k).map(j => s"SELECT vec_id FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""d$k AS MATERIALIZED (
+         |  SELECT e.vec_id, 2000000 - 2 * $best AS d2
+         |  FROM e WHERE e.vec_id NOT IN ($notIn)),
+         |sel$k AS MATERIALIZED (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      sum(d2) OVER (ORDER BY vec_id ROWS UNBOUNDED PRECEDING) AS cum
+         |    FROM d$k)
+         |  WHERE cum > ('0x' || substr(md5('graft:kpp:draw:$k'), 1, 15))::BIGINT
+         |              % (SELECT CAST(sum(d2) AS BIGINT) FROM d$k)
+         |  ORDER BY vec_id LIMIT 1),
+         |c$k AS MATERIALIZED (SELECT e.* FROM e JOIN sel$k USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val allSeeds = (1 to nList).map(j => s"SELECT vec_id FROM sel$j")
+      .mkString(" UNION ALL ")
+    val lloydCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}n"
+      s"""la$i AS (
+         |  SELECT c.cid AS list, e.v, e.nrm
+         |  FROM e CROSS JOIN $prev c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+         |             c.cid) = 1),
+         |lc$i AS (
+         |  SELECT a.list, gs.pos - 1 AS pos,
+         |    a.v[gs.pos] / (CASE WHEN a.nrm > 0 THEN a.nrm ELSE 1 END) AS ux
+         |  FROM la$i a CROSS JOIN generate_series(1, $dim) AS gs(pos)),
+         |lm$i AS (
+         |  SELECT list, pos,
+         |    CAST(sum(CAST(ux AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+         |  FROM lc$i GROUP BY 1, 2),
+         |lnorm$i AS (
+         |  SELECT list, sqrt(CAST(sum(CAST(m * m AS DECIMAL(30,12))) AS DOUBLE)) AS mn
+         |  FROM lm$i GROUP BY 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT m.list AS cid, list(m.m / n.mn ORDER BY m.pos) AS cvec
+         |  FROM lm$i m JOIN lnorm$i n USING (list) GROUP BY m.list),
+         |l${i}n AS (SELECT cid, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm
+         |       FROM l$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id FROM e
+       |  ORDER BY md5('graft:kpp:1:' || vec_id), vec_id LIMIT 1),
+       |c1 AS MATERIALIZED (SELECT e.* FROM e JOIN sel1 USING (vec_id)),
+       |$seedCtes,
+       |l0 AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm FROM e
+       |       WHERE vec_id IN ($allSeeds)),
+       |$lloydCtes""".stripMargin
+  }
 }

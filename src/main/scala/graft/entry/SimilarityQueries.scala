@@ -43,16 +43,22 @@ private[graft] object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- IVF (k-means coarse-quantizer) approximate top-k (rows-only;
-    // recall spec-tested). The second ANN index family next to RHP-LSH:
-    // driver-trained centroids on a bounded sample, native assignment
-    // expression, ids-only list join, exact rerank of candidates.
+    // ---- IVF (k-means coarse-quantizer) approximate top-k,
+    // ORACLE-CHECKED since round 10: the TRAINED quantizer itself is
+    // the md5-derandomized k-means++ model q75 trains (shared oracle
+    // prefix), so assignment, probing and rerank all replay in DuckDB.
+    // (The murmur3-sampled driver trainer `ivfTopK` remains the
+    // API for perf-critical callers — IvfSpec still pins it; the
+    // catalog member is the cross-engine-checkable trained form.
+    // Hyperparameters retuned 32/8 → 8/2 with the conversion — the
+    // deliberate-semantic-change re-record protocol, old pin
+    // a465e1d78d27cc29fbc3a9624519737d rows=25.)
     "q43_topk_ivf" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
-      graft.ext.Ivf.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
-          nList = 32, nProbe = 8)
+      graft.ext.Ivf.ivfTopKSeeded(emb, queries, "vec_id", "embedding",
+          k = 5, nList = 8, nProbe = 2, iters = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -60,8 +66,8 @@ private[graft] object SimilarityQueries {
     // (nList lowest-id vectors, Forgy init without Lloyd) make the whole
     // assign-probe-rerank shape plain relational algebra, so the IVF
     // candidate-generation + exact-rerank pipeline itself is verified
-    // cross-engine; q43 keeps the trained-quantizer variant (rows-only,
-    // recall-bounded)
+    // cross-engine; q43 is the trained-quantizer variant (itself
+    // oracle-checked since round 10 via the seeded trainer)
     "q85_topk_ivf_exemplar" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
@@ -115,8 +121,8 @@ private[graft] object SimilarityQueries {
     // ---- k-means, oracle-checked member (hash-checked): ONE spherical-
     // Lloyd refinement step from exemplar seeds — the training step
     // itself (unit-normalize → argmax-assign → DECIMAL per-dimension
-    // mean → renormalize) verified cross-engine; q75 keeps the trained
-    // multi-iteration model (rows-only, centroid-matrix pinned by spec)
+    // mean → renormalize) verified cross-engine; q75 is the trained
+    // multi-iteration model (itself oracle-checked since round 10)
     "q87_lloyd_step_exemplar" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
       graft.ext.Ivf.lloydStepExemplar(t(s, dir, "embeddings"), "vec_id",
@@ -191,77 +197,11 @@ private[graft] object SimilarityQueries {
     }),
   )
 
-  /** The q75 oracle, GENERATED so the Spark trainer and its DuckDB
-    * replay cannot drift: the md5-derandomized k-means++ draw chain
-    * (`sel1..selK` — each step's D² weights in exact micro longs, the
-    * inverse-CDF winner via a running integer window sum), then `iters`
-    * unrolled q91-style Lloyd CTEs from those seeds, then the final
-    * argmax assignment + integer census. `AS MATERIALIZED` on every
-    * multiply-referenced CTE (the q119 lesson — chained re-evaluation
-    * is exponential without it).
-    */
-  private def kppKmeansOracleSql(nList: Int, iters: Int, dim: Int): String = {
-    val simTo = (j: Int) =>
-      s"CAST(round(list_dot_product(e.v, (SELECT v FROM c$j)) /\n" +
-        s"      (e.nrm * (SELECT nrm FROM c$j)) * 1000000) AS BIGINT)"
-    val seedCtes = (2 to nList).map { k =>
-      val sims = (1 until k).map(simTo)
-      val best = if (sims.size == 1) sims.head
-        else s"greatest(${sims.mkString(",\n    ")})"
-      val notIn = (1 until k).map(j => s"SELECT vec_id FROM sel$j")
-        .mkString(" UNION ALL ")
-      s"""d$k AS MATERIALIZED (
-         |  SELECT e.vec_id, 2000000 - 2 * $best AS d2
-         |  FROM e WHERE e.vec_id NOT IN ($notIn)),
-         |sel$k AS MATERIALIZED (
-         |  SELECT vec_id FROM (
-         |    SELECT vec_id,
-         |      sum(d2) OVER (ORDER BY vec_id ROWS UNBOUNDED PRECEDING) AS cum
-         |    FROM d$k)
-         |  WHERE cum > ('0x' || substr(md5('graft:kpp:draw:$k'), 1, 15))::BIGINT
-         |              % (SELECT CAST(sum(d2) AS BIGINT) FROM d$k)
-         |  ORDER BY vec_id LIMIT 1),
-         |c$k AS MATERIALIZED (SELECT e.* FROM e JOIN sel$k USING (vec_id))""".stripMargin
-    }.mkString(",\n")
-    val allSeeds = (1 to nList).map(j => s"SELECT vec_id FROM sel$j")
-      .mkString(" UNION ALL ")
-    val lloydCtes = (1 to iters).map { i =>
-      val prev = if (i == 1) "l0" else s"l${i - 1}n"
-      s"""la$i AS (
-         |  SELECT c.cid AS list, e.v, e.nrm
-         |  FROM e CROSS JOIN $prev c
-         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
-         |             c.cid) = 1),
-         |lc$i AS (
-         |  SELECT a.list, gs.pos - 1 AS pos,
-         |    a.v[gs.pos] / (CASE WHEN a.nrm > 0 THEN a.nrm ELSE 1 END) AS ux
-         |  FROM la$i a CROSS JOIN generate_series(1, $dim) AS gs(pos)),
-         |lm$i AS (
-         |  SELECT list, pos,
-         |    CAST(sum(CAST(ux AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
-         |  FROM lc$i GROUP BY 1, 2),
-         |lnorm$i AS (
-         |  SELECT list, sqrt(CAST(sum(CAST(m * m AS DECIMAL(30,12))) AS DOUBLE)) AS mn
-         |  FROM lm$i GROUP BY 1),
-         |l$i AS MATERIALIZED (
-         |  SELECT m.list AS cid, list(m.m / n.mn ORDER BY m.pos) AS cvec
-         |  FROM lm$i m JOIN lnorm$i n USING (list) GROUP BY m.list),
-         |l${i}n AS (SELECT cid, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm
-         |       FROM l$i)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v,
-       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |  FROM embeddings),
-       |sel1 AS MATERIALIZED (
-       |  SELECT vec_id FROM e
-       |  ORDER BY md5('graft:kpp:1:' || vec_id), vec_id LIMIT 1),
-       |c1 AS MATERIALIZED (SELECT e.* FROM e JOIN sel1 USING (vec_id)),
-       |$seedCtes,
-       |l0 AS (SELECT vec_id AS cid, v AS cvec, nrm AS cnrm FROM e
-       |       WHERE vec_id IN ($allSeeds)),
-       |$lloydCtes,
+
+  /** The q75 oracle: the shared seeded-trainer prefix + the final
+    * argmax assignment and integer per-cluster census. */
+  private def kppKmeansOracleSql(nList: Int, iters: Int, dim: Int): String =
+    s"""${EntryTables.kppLloydCtes(nList, iters, dim)},
        |fass AS (
        |  SELECT e.vec_id, c.cid,
        |    round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) AS sim
@@ -273,11 +213,48 @@ private[graft] object SimilarityQueries {
        |  CAST(sum(CAST(round(sim * 1000000) AS BIGINT)) AS BIGINT)
        |    // CAST(count(*) AS BIGINT) AS mean_cos_micro
        |FROM fass GROUP BY cid ORDER BY cluster_id""".stripMargin
-  }
+
+  /** The q43 oracle: the SAME trained centroids (shared prefix), then
+    * the q85 probe shape under them — assignment and probing by
+    * 6-decimal-rounded argmax cosine, candidates an equi-join on the
+    * list id, exact rerank of the probed candidates only.
+    */
+  private def kppIvfOracleSql(nList: Int, iters: Int, dim: Int,
+                              nProbe: Int, k: Int): String =
+    s"""${EntryTables.kppLloydCtes(nList, iters, dim)},
+       |assigned AS (
+       |  SELECT e.vec_id AS neighbor_id, c.cid AS list
+       |  FROM e CROSS JOIN l${iters}n c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+       |             c.cid) = 1),
+       |probes AS (
+       |  SELECT e.vec_id AS query_id, c.cid AS list
+       |  FROM e CROSS JOIN l${iters}n c
+       |  WHERE e.vec_id % 100 = 0
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+       |             c.cid) <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 6) AS sim
+       |  FROM assigned a JOIN probes p USING (list)
+       |  JOIN e qe ON qe.vec_id = p.query_id
+       |  JOIN e ne ON ne.vec_id = a.neighbor_id
+       |  WHERE a.neighbor_id <> p.query_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
+       |  neighbor_id, sim
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |ORDER BY query_id, "rank"""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
     "q75_kmeans" -> kppKmeansOracleSql(nList = 8, iters = 2, dim = 64),
+
+    "q43_topk_ivf" ->
+      kppIvfOracleSql(nList = 8, iters = 2, dim = 64, nProbe = 2, k = 5),
 
     "q30_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

@@ -935,6 +935,33 @@ object Dedup {
     * and a miss only costs recall, never a wrong drop). Production runs
     * wanting tighter clusters use [[semanticDedupKeptIds]].
     */
+  /** [[semanticDedupKeptIdsExemplar]] under the md5-derandomized
+    * TRAINED quantizer — q56's ORACLE-CHECKED form since round 10: the
+    * same [[Ivf.kppSeedIds]] + [[Ivf.lloydIterateFrom]] centroids as
+    * q75/q43 (shared oracle prefix), then the identical
+    * cluster-then-dedup-within-cluster tail. The trained model is a
+    * tiny (≤ nList)-row relation, localCheckpointed once and broadcast
+    * to the assignment argmax; scale shape unchanged (Σ|cluster|²).
+    */
+  def semanticDedupKeptIdsSeeded(emb: DataFrame, idCol: String,
+                                 vecCol: String, minCosine: Double,
+                                 nList: Int = 8, iters: Int = 2,
+                                 dim: Int = 64,
+                                 useNative: Boolean = true): DataFrame = {
+    val ids = Ivf.kppSeedIds(emb, idCol, vecCol, nList, dim,
+      useNative = useNative)
+    val withNorm = Similarity.withVecNorm(emb, idCol, vecCol)
+      .repartition(col(idCol))
+    val seeds = withNorm.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("cid"), col("v").as("cvec"),
+        col("nrm").as("cnrm"))
+    val cents = Ivf.assembleCentroids(
+        Ivf.lloydIterateFrom(withNorm, seeds, idCol, iters, dim, useNative))
+      .localCheckpoint()
+    semanticDedupWithCents(emb, withNorm, cents, idCol, minCosine, dim,
+      useNative)
+  }
+
   def semanticDedupKeptIdsExemplar(emb: DataFrame, idCol: String,
                                    vecCol: String, minCosine: Double,
                                    k: Int = 8, dim: Int = 64,
@@ -947,6 +974,18 @@ object Dedup {
     val cents = withNorm.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cid"), col("v").as("cvec"),
         col("nrm").as("cnrm"))
+    semanticDedupWithCents(emb, withNorm, cents, idCol, minCosine, dim,
+      useNative)
+  }
+
+  /** The shared cluster-then-dedup-within-cluster tail under an
+    * ARBITRARY `cents (cid, cvec, cnrm)` relation (exemplar and seeded
+    * members both route here, so the drop rule cannot drift).
+    */
+  private def semanticDedupWithCents(emb: DataFrame, withNorm: DataFrame,
+                                     cents: DataFrame, idCol: String,
+                                     minCosine: Double, dim: Int,
+                                     useNative: Boolean): DataFrame = {
     val scored = withNorm.crossJoin(broadcast(cents))
       .select(col(idCol), col("v"), col("nrm"), col("cid"),
         round(Similarity.dotFast(col("v"), col("cvec"), dim, useNative) /

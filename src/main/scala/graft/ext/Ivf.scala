@@ -275,6 +275,22 @@ object Ivf {
     val base = prep(corpus)
     val cents = base.orderBy(col(idCol)).limit(nList)
       .select(col(idCol).as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
+    centroidCandidates(base, prep(queries), cents, idCol, nProbe, dim,
+      useNative)
+  }
+
+  /** The candidate relation (query_id, neighbor_id) under an ARBITRARY
+    * `cents (cid, cvec, cnrm)` relation: rounded-cosine argmax
+    * assignment (1 list/vector), `nProbe` probe lists per query, ids
+    * equi-joined on the list. Shared by the exemplar members (q85/q121
+    * via lowest-id cents) and the seeded-trained member (q43) so the
+    * candidate semantics cannot drift between them. Inputs must be the
+    * [[Similarity.withVecNorm]] projections.
+    */
+  private[ext] def centroidCandidates(base: DataFrame, qbase: DataFrame,
+                                      cents: DataFrame, idCol: String,
+                                      nProbe: Int, dim: Int,
+                                      useNative: Boolean): DataFrame = {
     def nearestLists(src: DataFrame, keep: Int, outId: String): DataFrame = {
       val scored = src.crossJoin(broadcast(cents))
         .select(col(idCol), col("cid"),
@@ -286,10 +302,38 @@ object Ivf {
         .select(col(idCol).as(outId), col("cid").as("list"))
     }
     val assigned = nearestLists(base, 1, "neighbor_id")
-    val probes = nearestLists(prep(queries), nProbe, "query_id")
+    val probes = nearestLists(qbase, nProbe, "query_id")
     assigned.join(probes, "list")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
+  }
+
+  /** IVF approximate top-k under the md5-derandomized TRAINED coarse
+    * quantizer — q43's ORACLE-CHECKED form since round 10: the same
+    * [[kppSeedIds]] + [[lloydIterateFrom]] centroids as q75 (shared
+    * oracle prefix), the q85 probe shape under them. The trained model
+    * is a tiny (≤ nList)-row relation, localCheckpointed once and
+    * broadcast to both the assignment and the probe argmax — the
+    * candidate join and exact rerank are unchanged from the family.
+    */
+  def ivfTopKSeeded(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nList: Int = 8, nProbe: Int = 2,
+                    iters: Int = 2, dim: Int = 64,
+                    useNative: Boolean = true): DataFrame = {
+    val ids = kppSeedIds(corpus, idCol, vecCol, nList, dim,
+      useNative = useNative)
+    def prep(df: DataFrame) =
+      Similarity.withVecNorm(df, idCol, vecCol).repartition(col(idCol))
+    val base = prep(corpus)
+    val seeds = base.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
+    val cents = assembleCentroids(
+        lloydIterateFrom(base, seeds, idCol, iters, dim, useNative))
+      .localCheckpoint()
+    val cands = centroidCandidates(base, prep(queries), cents, idCol,
+      nProbe, dim, useNative)
+    Similarity.rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim,
+      useNative)
   }
 
   /** IVF × int8 composition, exemplar member (q121): candidates come

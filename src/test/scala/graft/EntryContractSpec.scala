@@ -18,12 +18,12 @@ class EntryContractSpec extends SparkSpec {
     val declaredRowsOnly = Set(
       "q31_topk_lsh",           // RHP hyperplanes from a seeded JVM RNG
       "q38_cosine_near_dup_lsh",// same signature family as q31
-      "q43_topk_ivf",           // trained coarse quantizer
-      "q56_semantic_dedup",     // IVF clustering of the embedding space
       "q79_topk_ivfpq")         // trained coarse + product codebooks
     // (q119's BPE trainer joined the oracle-checked set in round 9 —
-    // the argmax loop unrolls into materialized CTEs; q75's k-means
-    // followed in round 10 via md5-derandomized k-means++ seeding)
+    // the argmax loop unrolls into materialized CTEs; q75's k-means,
+    // q43's trained-quantizer IVF and q56's SemDeDup followed in round 10
+    // via
+    // md5-derandomized k-means++ seeding)
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked == declaredRowsOnly,
       s"rows-only drift: unexpected=${unchecked -- declaredRowsOnly} " +

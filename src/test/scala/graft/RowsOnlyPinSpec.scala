@@ -3,15 +3,16 @@ package graft
 import java.security.MessageDigest
 
 /** Hard pass/fail gates for the remaining rows-only catalog queries
-  * (q31/q38/q43/q56/q79) — the trained-model / RNG-seeded ANN set the
-  * DuckDB oracle cannot express — plus q119, which since round 9 IS
-  * oracle-checked (the BPE training loop unrolled as argmax-and-fuse
-  * CTEs) and keeps its pin as defense in depth. Each is bit-deterministic at a fixed
+  * (q31/q38/q79 — the JVM-RNG hyperplane and trained-PQ set the DuckDB
+  * oracle cannot express; q43/q56/q75 left in round 10 via
+  * md5-derandomized k-means++ seeding) — plus q119, which since round
+  * 9 IS oracle-checked (the BPE training loop unrolled as
+  * argmax-and-fuse CTEs) and keeps its pin as defense in depth.
+  * Each is bit-deterministic at a fixed
   * input: hyperplanes and shingle salts are md5-derived, k-means /
   * PQ-codebook training uses hash-ordered init samples with DECIMAL
   * sums (order-independent), and every query ends in a total ORDER BY.
-  * So the sf0.01 output is pinned to a recorded md5, the same pattern
-  * as [[KmeansPinSpec]] for q75.
+  * So the sf0.01 output is pinned to a recorded md5, the KmeansPinSpec pattern.
   *
   * Canonical form: row order as emitted (each query's trailing ORDER BY
   * is total), columns in schema order, and every value rendered
@@ -73,10 +74,14 @@ class RowsOnlyPinSpec extends SparkSpec {
           canonical.linesIterator.take(10).mkString("\n"))
     }
 
+  // q43 left this spec in round 10: its trained quantizer is now the
+  // md5-derandomized k-means++ model, oracle-checked end to end (the
+  // deliberate-semantic-change protocol; old pin
+  // a465e1d78d27cc29fbc3a9624519737d rows=25 retired with the change);
+  // q56 followed the same conversion (old pin
+  // f885d8ce276a7969d1165fc3111f74d8 rows=480).
   pin("q31_topk_lsh",            "b7aa123c78a891b2f354188462e8d69a", 25)
   pin("q119_bpe_merges",         "ba803983320184d58297e3bd13b856d3", 16)
   pin("q38_cosine_near_dup_lsh", "8ba6677469f22d5c4c17e4f37e5ed453", 15)
-  pin("q43_topk_ivf",            "a465e1d78d27cc29fbc3a9624519737d", 25)
-  pin("q56_semantic_dedup",      "f885d8ce276a7969d1165fc3111f74d8", 480)
   pin("q79_topk_ivfpq",          "2e3d3b8f1ae8c3c100253b9a75ca7a7b", 25)
 }
