@@ -128,13 +128,17 @@ private[graft] object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- embedding-cosine near-dup: LSH-blocked (rows-only; spec-tested).
-    // Native RhpSigExpr signatures (bit-identical to the HOF, spec-pinned).
+    // ---- embedding-cosine near-dup: LSH-blocked, ORACLE-CHECKED since
+    // round 10 — the multi-table OR-construction derandomized (md5 ±1
+    // planes per table, q31's sibling for the pair shape). The
+    // seeded-Gaussian `cosineNearDupPairsLsh` stays the perf API
+    // (spec-pinned); hyperparameters retuned 8×6 → 4×6 with the
+    // conversion — deliberate-semantic-change protocol, old pin
+    // 8ba6677469f22d5c4c17e4f37e5ed453 rows=15.
     "q38_cosine_near_dup_lsh" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      Dedup.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
-          "vec_id", "embedding", minCosine = 0.4, nPlanes = 6, nTables = 8,
-          useNative = true)
+      Dedup.cosineNearDupPairsLshPortableMulti(t(s, dir, "embeddings"),
+          "vec_id", "embedding", minCosine = 0.4, nTables = 4, nPlanes = 6)
         .orderBy("id_a", "id_b")
     }),
 
@@ -222,6 +226,23 @@ private[graft] object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // q31's sibling for the pair shape: same shared multi-table ±1
+    // signature CTEs, bucket-mate pairs unioned across tables, exact
+    // cosine verify
+    "q38_cosine_near_dup_lsh" ->
+      s"""WITH ${EntryTables.rhpMultiSigCtes(nTables = 4, nPlanes = 6, dim = 64)},
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cosine
+         |FROM pairs
+         |JOIN e ea ON ea.vec_id = id_a
+         |JOIN e eb ON eb.vec_id = id_b
+         |WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // the q75/q43 shared seeded-trainer prefix, then the q84 tail under
     // the TRAINED centroid relation instead of exemplar seeds

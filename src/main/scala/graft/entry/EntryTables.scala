@@ -300,6 +300,36 @@ private[graft] object EntryTables {
        |$steps""".stripMargin
   }
 
+  /** Shared CTE block for the multi-table portable-LSH oracles
+    * (q31/q38): per-table md5-derived ±1 planes under the
+    * `graft:rhp:t<t>:<p>:<j>` salt (disjoint from q86/q88's
+    * single-table salt space) and per-(table, vector) bit-string
+    * signatures — any injective sign encoding yields the same
+    * equality classes as the Spark side's integer fold.
+    */
+  private[entry] def rhpMultiSigCtes(nTables: Int, nPlanes: Int,
+                                     dim: Int): String =
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |pv AS (
+       |  SELECT t.t, p.p, j.j,
+       |    CASE WHEN strpos('89abcdef',
+       |        substr(md5('graft:rhp:t' || t.t || ':' || p.p || ':' ||
+       |                   (j.j - 1)), 1, 1)) > 0
+       |      THEN 1.0 ELSE -1.0 END AS val
+       |  FROM generate_series(0, ${nTables - 1}) t(t)
+       |  CROSS JOIN generate_series(0, ${nPlanes - 1}) p(p)
+       |  CROSS JOIN generate_series(1, $dim) j(j)),
+       |planes AS (SELECT t, p, list(val ORDER BY j) AS pvec
+       |           FROM pv GROUP BY t, p),
+       |sigs AS MATERIALIZED (
+       |  SELECT pl.t, e.vec_id,
+       |    string_agg(CASE WHEN list_dot_product(e.v, pl.pvec) >= 0
+       |        THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
+       |  FROM e CROSS JOIN planes pl GROUP BY pl.t, e.vec_id)""".stripMargin
+
   /** Shared CTE prefix for the seeded-k-means family oracles (q75 and
     * the q43 indexed probe): the md5-derandomized k-means++ draw chain
     * (`sel1..selK` — each step's D² weights in exact micro longs, the

@@ -32,14 +32,20 @@ private[graft] object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- LSH-bucketed approximate top-k (rows-only; recall spec-tested).
-    // Native RhpSigExpr signatures (bit-identical to the HOF, spec-pinned).
+    // ---- LSH-bucketed approximate top-k, ORACLE-CHECKED since
+    // round 10: the multi-table OR-construction (the Gaussian family's
+    // distinguishing feature) DERANDOMIZED — md5-derived ±1 planes per
+    // table, union-of-bucket-mates candidates, exact rerank. The
+    // seeded-Gaussian `lshTopK` stays the perf API (recall
+    // spec-pinned); hyperparameters retuned 1×10 → 4×6 planes with the
+    // conversion — deliberate-semantic-change protocol, old pin
+    // b7aa123c78a891b2f354188462e8d69a rows=25.
     "q31_topk_lsh" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
-      Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
-          nPlanes = 10, useNative = true)
+      Similarity.lshTopKPortableMulti(emb, queries, "vec_id", "embedding",
+          k = 5, nTables = 4, nPlanes = 6)
         .orderBy("query_id", "rank")
     }),
 
@@ -255,6 +261,28 @@ private[graft] object SimilarityQueries {
 
     "q43_topk_ivf" ->
       kppIvfOracleSql(nList = 8, iters = 2, dim = 64, nProbe = 2, k = 5),
+
+    // the shared multi-table ±1 signature CTEs, OR-construction
+    // candidates (DISTINCT — a pair colliding in several tables counts
+    // once), the q30 exact-rerank tail
+    "q31_topk_lsh" ->
+      s"""WITH ${EntryTables.rhpMultiSigCtes(nTables = 4, nPlanes = 6, dim = 64)},
+         |cands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+         |  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT cands.query_id, cands.neighbor_id,
+         |    round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 6) AS sim
+         |  FROM cands
+         |  JOIN e qe ON qe.vec_id = cands.query_id
+         |  JOIN e ne ON ne.vec_id = cands.neighbor_id)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank",
+         |  neighbor_id, sim
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
 
     "q30_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

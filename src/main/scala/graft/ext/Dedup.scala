@@ -1055,6 +1055,39 @@ object Dedup {
     * stage. [[cosineNearDupPairsLsh]] keeps the multi-table Gaussian
     * family for production recall.
     */
+  /** Multi-table portable LSH near-dup pairs — q38's ORACLE-CHECKED
+    * form since round 10 (the OR-construction derandomized, the
+    * [[Similarity.lshTopKPortableMulti]] sibling for the pair shape):
+    * `nTables` md5-derived ±1 plane sets, a pair is a candidate iff
+    * the two signatures agree in ANY table (union, deduplicated), then
+    * the exact cosine verifies. [[cosineNearDupPairsLsh]] keeps the
+    * seeded-Gaussian machinery as the perf API (spec-pinned).
+    */
+  def cosineNearDupPairsLshPortableMulti(emb: DataFrame, idCol: String,
+                                         vecCol: String, minCosine: Double,
+                                         nTables: Int = 4, nPlanes: Int = 6,
+                                         dim: Int = 64,
+                                         useNative: Boolean = true)
+      : DataFrame = {
+    val base = Similarity.withVecNorm(emb, idCol, vecCol)
+      .withColumn("sigs", array((0 until nTables).map(t =>
+        Similarity.rhpSignature(col("v"),
+          Similarity.portablePlanesTable(t, nPlanes, dim))): _*))
+      .repartition(col(idCol))
+    val sigs = base.select(col(idCol), col("v"), col("nrm"),
+      posexplode(col("sigs")).as(Seq("tbl", "sig")))
+    val a = sigs.select(col("tbl"), col("sig"), col(idCol).as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = sigs.select(col("tbl"), col("sig"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("tbl", "sig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dotFast(col("va"), col("vb"), dim, useNative) /
+          (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+  }
+
   def cosineNearDupPairsLshPortable(emb: DataFrame, idCol: String,
                                     vecCol: String, minCosine: Double,
                                     nPlanes: Int = 4, dim: Int = 64,

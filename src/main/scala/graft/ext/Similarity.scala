@@ -304,6 +304,50 @@ object Similarity {
       }
     }
 
+  /** The multi-table portable plane family: table `t`'s planes derive
+    * from the salted digests `graft:rhp:t<t>:<p>:<j>` — disjoint from
+    * the single-table [[portablePlanes]] salt space, so q86 and the
+    * multi-table members can never share a plane by accident.
+    */
+  def portablePlanesTable(table: Int, nPlanes: Int,
+                          dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft:rhp:t$table:$p:$j".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1.0 else -1.0
+      }
+    }
+
+  /** Multi-table LSH top-k with md5-derived ±1 planes — q31's
+    * ORACLE-CHECKED form since round 10 (the OR-construction that was
+    * previously the JVM-RNG Gaussian family's distinguishing feature,
+    * now derandomized): `nTables` independent portable plane sets,
+    * candidates = the union of exact-signature bucket mates across
+    * tables (deduplicated — a pair colliding in several tables must
+    * count once), exact cosine rerank. More tables trade candidate
+    * volume for recall exactly as in the Gaussian construction; only
+    * the plane distribution changed (hypercube corners vs sphere).
+    * [[lshTopK]] keeps the seeded-Gaussian/native-signature machinery
+    * as the perf API (still recall-spec-pinned).
+    */
+  def lshTopKPortableMulti(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           nTables: Int = 4, nPlanes: Int = 6,
+                           dim: Int = 64,
+                           useNative: Boolean = true): DataFrame = {
+    val sigsOf = (df: DataFrame, outId: String) =>
+      df.select(col(idCol).as(outId),
+          posexplode(array((0 until nTables).map(t =>
+            rhpSignature(col(vecCol), portablePlanesTable(t, nPlanes, dim))
+          ): _*)).as(Seq("tbl", "sig")))
+    val cands = sigsOf(corpus, "neighbor_id")
+      .join(sigsOf(queries, "query_id"), Seq("tbl", "sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    rerankTopK(cands, corpus, queries, idCol, vecCol, k, dim, useNative)
+  }
+
   /** LSH top-k with the portable plane family — the oracle-checkable
     * member of the LSH family (q86): single table, exact-signature
     * buckets, exact rerank. [[lshTopK]] keeps the multi-table /

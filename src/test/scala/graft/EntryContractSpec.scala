@@ -16,9 +16,10 @@ class EntryContractSpec extends SparkSpec {
     // parity-bounded by spec) — a NEW query landing here unnoticed would
     // silently skip the correctness gate
     val declaredRowsOnly = Set(
-      "q31_topk_lsh",           // RHP hyperplanes from a seeded JVM RNG
-      "q38_cosine_near_dup_lsh",// same signature family as q31
-      "q79_topk_ivfpq")         // trained coarse + product codebooks
+      "q79_topk_ivfpq")         // trained coarse + product PQ codebooks:
+                                // per-subspace k-means whose seeded
+                                // oracle would unroll m x ksub draw
+                                // chains — the one declared exception
     // (q119's BPE trainer joined the oracle-checked set in round 9 —
     // the argmax loop unrolls into materialized CTEs; q75's k-means,
     // q43's trained-quantizer IVF and q56's SemDeDup followed in round 10

@@ -2,11 +2,12 @@ package graft
 
 import java.security.MessageDigest
 
-/** Hard pass/fail gates for the remaining rows-only catalog queries
-  * (q31/q38/q79 — the JVM-RNG hyperplane and trained-PQ set the DuckDB
-  * oracle cannot express; q43/q56/q75 left in round 10 via
-  * md5-derandomized k-means++ seeding) — plus q119, which since round
-  * 9 IS oracle-checked (the BPE training loop unrolled as
+/** Hard pass/fail gates for the remaining rows-only catalog query
+  * (q79 — trained product-quantization codebooks, whose seeded oracle
+  * would unroll m × ksub draw chains; q43/q56/q75 left in round 10
+  * via md5-derandomized k-means++ seeding, q31/q38 via the
+  * derandomized multi-table OR-construction) — plus q119, which since
+  * round 9 IS oracle-checked (the BPE training loop unrolled as
   * argmax-and-fuse CTEs) and keeps its pin as defense in depth.
   * Each is bit-deterministic at a fixed
   * input: hyperplanes and shingle salts are md5-derived, k-means /
@@ -80,8 +81,10 @@ class RowsOnlyPinSpec extends SparkSpec {
   // a465e1d78d27cc29fbc3a9624519737d rows=25 retired with the change);
   // q56 followed the same conversion (old pin
   // f885d8ce276a7969d1165fc3111f74d8 rows=480).
-  pin("q31_topk_lsh",            "b7aa123c78a891b2f354188462e8d69a", 25)
+  // q31/q38 left in round 10 too: the multi-table OR-construction is
+  // now md5-derandomized and oracle-checked (old pins
+  // b7aa123c78a891b2f354188462e8d69a rows=25 and
+  // 8ba6677469f22d5c4c17e4f37e5ed453 rows=15 retired per protocol).
   pin("q119_bpe_merges",         "ba803983320184d58297e3bd13b856d3", 16)
-  pin("q38_cosine_near_dup_lsh", "8ba6677469f22d5c4c17e4f37e5ed453", 15)
   pin("q79_topk_ivfpq",          "2e3d3b8f1ae8c3c100253b9a75ca7a7b", 25)
 }
