@@ -462,9 +462,18 @@ object Ivf {
       means.join(norms, "list")
         .select(col("list"), col("pos"), (col("m") / col("mn")).as("value"))
     }
-    var rows = step(seeds)
+    // each step's output is the ≤ nList×dim centroid relation — tiny;
+    // localCheckpoint it so the next step (and any downstream census/
+    // probe consumer) replays a materialized model instead of the whole
+    // prior step's crossJoin+window lineage per consumer (the
+    // composite-query discipline — keeps lineage flat; the bench cost
+    // of the trained family is scheduler round-trips, not recompute)
+    var rows = step(seeds).localCheckpoint()
     var it = 1
-    while (it < iters) { rows = step(assembleCentroids(rows)); it += 1 }
+    while (it < iters) {
+      rows = step(assembleCentroids(rows)).localCheckpoint()
+      it += 1
+    }
     rows
   }
 
@@ -511,45 +520,48 @@ object Ivf {
     val base = Similarity.withVecNorm(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      def headId(df: DataFrame): Long = df.select(col(idCol)).head.getLong(0)
-      val first = headId(base
-        .orderBy(md5(concat(lit(s"$salt:1:"), col(idCol).cast("string"))),
-          col(idCol))
-        .limit(1))
-      var seeds = Vector(first)
-      def seedRow(id: Long): (Seq[Double], Double) = {
-        val r = base.filter(col(idCol) === id).select("v", "nrm").head
-        (r.getSeq[Double](0), r.getDouble(1))
+      // each draw is ONE Spark job: the winner row carries (id, v, nrm)
+      // so no follow-up fetch, the draw threshold is computed IN-PLAN
+      // (digest literal mod the unbounded-window total — identical to
+      // the oracle's `(SELECT sum(d2))` modulus; conv(h,16,10) ≡ DuckDB
+      // ('0x'||h)::BIGINT, 15 hex chars = 60 positive bits), and the
+      // running sum rides the same single-partition sort. At 8 seeds
+      // the seeding is ~8 scheduler round-trips, not ~32.
+      def takeSeed(df: DataFrame): (Long, Seq[Double], Double) = {
+        val row = df.limit(1).select(col(idCol), col("v"), col("nrm"))
+          .collect().headOption.getOrElse(
+            throw new IllegalArgumentException("k-means++: degenerate " +
+              "corpus (no drawable vector left — ΣD² must be positive)"))
+        (row.getLong(0), row.getSeq[Double](1), row.getDouble(2))
       }
-      var seedVecs = Vector(seedRow(first))
+      var seeds = Vector(takeSeed(base
+        .orderBy(md5(concat(lit(s"$salt:1:"), col(idCol).cast("string"))),
+          col(idCol))))
       while (seeds.length < nList) {
-        val simCols = seedVecs.map { case (v, n) =>
+        val simCols = seeds.map { case (_, v, n) =>
           round(Similarity.dotFast(col("v"), typedlit(v), dim, useNative) /
             (col("nrm") * lit(n)) * lit(1000000.0)).cast("long")
         }
         val best =
           if (simCols.size == 1) simCols.head else greatest(simCols: _*)
-        val scored = base.filter(!col(idCol).isin(seeds: _*))
-          .select(col(idCol), (lit(2000000L) - lit(2L) * best).as("d2"))
-        val w = scored.agg(sum(col("d2"))).head.getLong(0)
-        require(w > 0, s"k-means++ step ${seeds.length + 1}: degenerate " +
-          "corpus (all remaining vectors coincide with chosen seeds)")
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$salt:draw:${seeds.length + 1}".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
-        // first 15 hex chars = 60 bits, positive in a long on both
-        // engines (Spark conv(h,16,10) ≡ DuckDB ('0x'||h)::BIGINT)
-        val r = (BigInt(digest.take(15), 16) mod BigInt(w)).toLong
         val cum = Window.orderBy(col(idCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val next = headId(scored
+        val all = Window.orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        seeds :+= takeSeed(base
+          .filter(!col(idCol).isin(seeds.map(_._1): _*))
+          .select(col(idCol), col("v"), col("nrm"),
+            (lit(2000000L) - lit(2L) * best).as("d2"))
           .withColumn("__cum", sum(col("d2")).over(cum))
-          .filter(col("__cum") > r)
-          .orderBy(col(idCol)).limit(1))
-        seeds :+= next
-        seedVecs :+= seedRow(next)
+          .withColumn("__tot", sum(col("d2")).over(all))
+          .filter(col("__cum") >
+            conv(lit(digest.take(15)), 16, 10).cast("long") % col("__tot"))
+          .orderBy(col(idCol)))
       }
-      seeds
+      seeds.map(_._1)
     } finally base.unpersist(blocking = false)
   }
 
