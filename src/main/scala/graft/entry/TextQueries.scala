@@ -27,7 +27,7 @@ private[graft] object TextQueries {
     * link-dense block, a short-but-stopwordy keeper (density branch), an
     * entity-bearing keeper, and a stopword-free short boilerplate drop.
     */
-  private[entry] val HtmlPre: String =
+  private[graft] val HtmlPre: String =
     "<html><head><title>doc title words</title>" +
       "<style>body { color: #fff; }</style>" +
       "<script>var tracker = 9; var z = tracker * 2;</script></head>" +
@@ -35,15 +35,15 @@ private[graft] object TextQueries {
       "<a href=\"/b\">contact</a></nav>" +
       "<header><h1>site banner for the masthead</h1></header>" +
       "<div>tiny</div><p>"
-  private[entry] val HtmlLinks: String =
+  private[graft] val HtmlLinks: String =
     "</p><p>more links here: <a href=\"/x\">one link</a> " +
       "<a href=\"/y\">two links</a> <a href=\"/z\">three links</a></p>"
-  private[entry] val HtmlStopwordy: String =
+  private[graft] val HtmlStopwordy: String =
     "<p>it is the best of all the small ones.</p>"
-  private[entry] val HtmlEntityBlock: String =
+  private[graft] val HtmlEntityBlock: String =
     "<p>entities &amp; such &lt;tag&gt; &quot;q&quot; &#39;s&#39;" +
       "&nbsp;marks are in the usual kind of test here.</p>"
-  private[entry] val HtmlTail: String =
+  private[graft] val HtmlTail: String =
     "<div>copyright 2099 examplecorp rights reserved worldwide " +
       "press kit media room</div>" +
       "<footer><a href=\"/p\">privacy</a> <a href=\"/t\">terms</a>" +
@@ -56,10 +56,10 @@ private[graft] object TextQueries {
     * derives from — so plant and table cannot drift. ASCII chars map to
     * themselves (single-byte UTF-8), so only the marked chars scar.
     */
-  private[entry] val MojibakeClean: String =
+  private[graft] val MojibakeClean: String =
     "café déjà vu – naïve ‘q’ … " +
       "30° €9 and the final words of it."
-  private[entry] val MojibakeDamaged: String =
+  private[graft] val MojibakeDamaged: String =
     MojibakeClean.flatMap(c =>
       graft.ext.TextOps.mojibakeOf(c).getOrElse(c.toString))
 

@@ -171,6 +171,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-10 crawl projections (q145/q146/q148) are shuffle-free " +
+    "up to the final sort") {
+    // the HTML extractor, mojibake repair and unigram tokenization are
+    // all single-pass per-document projections — a second exchange
+    // means someone added a join/aggregate to a zero-shuffle family
+    Seq("q145_html_extract", "q146_mojibake_repair",
+        "q148_unigram_tokenize").foreach { name =>
+      val t = tree(q(name))
+      val exchanges = "Exchange".r.findAllIn(t).size
+      assert(exchanges == 1, s"$name expected 1 exchange, plan:\n$t")
+      assert(t.contains("rangepartitioning"),
+        s"$name missing sort exchange:\n$t")
+    }
+  }
+
   test("q100 dup spans: ONE corpus explode, one exchange per window stage") {
     val plan = tree(q("q100_dup_spans"))
     // the corpus must explode exactly once — the dup decision is a keyed
