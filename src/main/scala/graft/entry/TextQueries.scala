@@ -79,7 +79,53 @@ private[graft] object TextQueries {
       "sh" -> 2000000L, "or" -> 2000000L, "der" -> 2700000L,
       "wind" -> 3900000L, "ow" -> 2300000L)
 
+  /** q149's duplicated-page body: every fifth document's page carries
+    * this text instead of its own, so the funnel's dedup stage has
+    * real groups to collapse — and ONLY AFTER the mojibake repair ran
+    * (even members arrive double-encoded, odd members clean; they
+    * become byte-identical exactly when the repair restores the even
+    * ones). Chosen to pass the q99 quality gate (logit +2319 milli
+    * over 34 tokens with the clean plant appended).
+    */
+  private[graft] val CrawlDupText: String =
+    "this duplicated page text appears many times across the crawl " +
+      "and it is long enough to pass every filter"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- the COMPLETE crawl→curate funnel in ONE plan
+    // (oracle-checked): raw HTML pages → main-content extraction
+    // (q145) → mojibake repair (q146) → model-based quality gate
+    // (q99) → exact dedup with canonical pick — the capstone
+    // composition of the round-10 crawl stages. The stage DEPENDENCY
+    // is exercised for real: every fifth page is a duplicate whose
+    // even members arrive double-encoded, so the dedup can only
+    // collapse the group because the repair ran first.
+    "q149_crawl_funnel" -> ((s, dir) => {
+      val based = t(s, dir, "documents")
+        .withColumn("text0",
+          when(col("doc_id") % 5 === 0, lit(CrawlDupText))
+            .otherwise(col("text")))
+      val aug = based.withColumn("html", concat(
+        lit(HtmlPre), col("text0"),
+        when(col("doc_id") % 2 === 0, lit(" " + MojibakeDamaged))
+          .otherwise(lit(" " + MojibakeClean)),
+        lit(HtmlLinks), lit(HtmlTail)))
+      val ex = TextOps.extractMainContent(aug, "html")
+        .select(col("doc_id"), col("blocks_kept"), col("text_main"))
+      val rep = TextOps.repairMojibake(ex, "text_main")
+      val scored = QualityModel.qualityClassifierScore(rep, "text_main_fixed")
+      val w = Window
+        .partitionBy(col("kept"), md5(col("text_main_fixed")))
+        .orderBy(col("doc_id"))
+      scored
+        .withColumn("is_canonical",
+          col("kept") && row_number().over(w) === 1)
+        .select(col("doc_id"), col("blocks_kept"), col("chars_collapsed"),
+          col("kept"), col("is_canonical"),
+          md5(col("text_main_fixed")).as("fixed_md5"))
+        .orderBy("doc_id")
+    }),
 
     // ---- unigram-LM tokenizer TRAINING (oracle-checked): the
     // SentencePiece-style hard-EM trainer — seed substring census,
@@ -575,33 +621,42 @@ private[graft] object TextQueries {
     * `list_filter(tokens, IN)` equivalence. Built by concatenation —
     * never stripMargin — because the generated SQL is pattern-heavy.
     */
-  private def htmlExtractOracleSql: String = {
-    val ph = TextOps.PruneHtmlPatterns.foldLeft("html") {
+  /** SQL fragments shared by the q145 and q149 oracle generators:
+    * the prune fold, one block's visible text, and the jusText keep
+    * CASE (text-or-NULL). */
+  private def htmlPrunedSql(src: String): String =
+    TextOps.PruneHtmlPatterns.foldLeft(src) {
       (acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')"
     }
-    def txt(b: String): String = {
-      val stripped = s"regexp_replace($b, '<[^>]*>', ' ', 'g')"
-      val decoded = TextOps.HtmlEntities.foldLeft(stripped) {
-        case (acc, (e, r)) =>
-          val rep = if (r == "'") "chr(39)" else "'" + r + "'"
-          s"replace($acc, '$e', $rep)"
-      }
-      s"trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g'))"
+
+  private def htmlBlockTxtSql(b: String): String = {
+    val stripped = s"regexp_replace($b, '<[^>]*>', ' ', 'g')"
+    val decoded = TextOps.HtmlEntities.foldLeft(stripped) {
+      case (acc, (e, r)) =>
+        val rep = if (r == "'") "chr(39)" else "'" + r + "'"
+        s"replace($acc, '$e', $rep)"
     }
+    s"trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g'))"
+  }
+
+  private def htmlKeepTxtSql(b: String): String = {
+    val t0 = htmlBlockTxtSql(b)
     val stopList = TextOps.Stopwords("en").map(w => s"'$w'").mkString(", ")
-    def keepTxt(b: String): String = {
-      val t0 = txt(b)
-      // coalesce: DuckDB array_to_string of an EMPTY list is NULL (a
-      // link-free block must count 0 link chars, as Spark's array_join)
-      val lc = s"coalesce(len(array_to_string(regexp_extract_all($b, " +
-        "'<a[^>]*>([^<]*)</a>', 1), '')), 0)"
-      val nstop = s"len(list_filter(string_split(lower($t0), ' '), " +
-        s"w -> w IN ($stopList)))"
-      val nw = s"(CASE WHEN $t0 = '' THEN 0 ELSE len(string_split($t0, ' ')) END)"
-      s"CASE WHEN length($t0) >= 25 AND 1000 * $lc <= 200 * length($t0) " +
-        s"AND (1000 * $nstop >= 50 * $nw OR length($t0) >= 120) " +
-        s"THEN $t0 ELSE NULL END"
-    }
+    // coalesce: DuckDB array_to_string of an EMPTY list is NULL (a
+    // link-free block must count 0 link chars, as Spark's array_join)
+    val lc = s"coalesce(len(array_to_string(regexp_extract_all($b, " +
+      "'<a[^>]*>([^<]*)</a>', 1), '')), 0)"
+    val nstop = s"len(list_filter(string_split(lower($t0), ' '), " +
+      s"w -> w IN ($stopList)))"
+    val nw = s"(CASE WHEN $t0 = '' THEN 0 ELSE len(string_split($t0, ' ')) END)"
+    s"CASE WHEN length($t0) >= 25 AND 1000 * $lc <= 200 * length($t0) " +
+      s"AND (1000 * $nstop >= 50 * $nw OR length($t0) >= 120) " +
+      s"THEN $t0 ELSE NULL END"
+  }
+
+  private def htmlExtractOracleSql: String = {
+    val ph = htmlPrunedSql("html")
+    def keepTxt(b: String): String = htmlKeepTxtSql(b)
     "WITH aug AS (SELECT doc_id, '" + HtmlPre + "' || text || '" +
       HtmlLinks + "' || " +
       "CASE WHEN doc_id % 3 = 0 THEN '" + HtmlStopwordy +
@@ -619,6 +674,49 @@ private[graft] object TextQueries {
       " AS main_chars, " +
       "md5(coalesce(array_to_string(kept, chr(10)), '')) AS main_md5 " +
       "FROM k ORDER BY doc_id"
+  }
+
+  /** The q149 oracle: the q145 extraction CTEs (shared fragment
+    * helpers), the q146 repair chain over the EXTRACTED text, the q99
+    * logit formula over the REPAIRED text, and the canonical pick —
+    * the full funnel replayed stage for stage.
+    */
+  private def crawlFunnelOracleSql: String = {
+    val ph = htmlPrunedSql("html")
+    val chain = TextOps.MojibakeRepairs.foldLeft("main") {
+      case (acc, (m, r)) => s"replace($acc, '$m', '$r')"
+    }
+    val logit = "CAST(list_sum(list_transform(ts, t -> " +
+      "('0x' || substr(md5('w:graft:' || " +
+      "CAST(('0x' || substr(md5('f:graft:' || t), 1, 8))::BIGINT % 1024 " +
+      "AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000)) AS BIGINT)"
+    "WITH aug AS (SELECT doc_id, '" + HtmlPre + "' || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '" + CrawlDupText +
+      "' ELSE text END) || " +
+      "CASE WHEN doc_id % 2 = 0 THEN ' " + MojibakeDamaged +
+      "' ELSE ' " + MojibakeClean + "' END || '" +
+      HtmlLinks + "' || '" + HtmlTail + "' AS html FROM documents),\n" +
+      "bl AS (SELECT doc_id, string_split_regex(" + ph + ", '" +
+      TextOps.BlockSplitPattern + "') AS blocks FROM aug),\n" +
+      "k AS (SELECT doc_id, list_filter(list_transform(blocks, b -> " +
+      htmlKeepTxtSql("b") + "), v -> v IS NOT NULL) AS kept FROM bl),\n" +
+      "ext AS (SELECT doc_id, CAST(len(kept) AS BIGINT) AS blocks_kept, " +
+      "coalesce(array_to_string(kept, chr(10)), '') AS main FROM k),\n" +
+      "rep AS (SELECT doc_id, blocks_kept, length(main) AS ml, " +
+      chain + " AS fixed FROM ext),\n" +
+      "q AS (SELECT doc_id, blocks_kept, " +
+      "CAST(ml - length(fixed) AS BIGINT) AS chars_collapsed, fixed, " +
+      "string_split_regex(trim(lower(fixed)), '\\s+') AS ts FROM rep),\n" +
+      "sc AS (SELECT doc_id, blocks_kept, chars_collapsed, fixed, " +
+      logit + " AS logit_milli, len(ts) AS n_tokens FROM q),\n" +
+      "kd AS (SELECT *, " +
+      "floor(logit_milli / (n_tokens * 1000.0) * 1e6) / 1e6 >= 0.0 " +
+      "AS kept FROM sc)\n" +
+      "SELECT doc_id, blocks_kept, chars_collapsed, kept, " +
+      "kept AND row_number() OVER " +
+      "(PARTITION BY kept, md5(fixed) ORDER BY doc_id) = 1 " +
+      "AS is_canonical, md5(fixed) AS fixed_md5 " +
+      "FROM kd ORDER BY doc_id"
   }
 
   /** The q146 oracle: the SAME generated replace chain
@@ -798,6 +896,8 @@ private[graft] object TextQueries {
   val oracleSql: Map[String, String] = Map(
 
     "q145_html_extract" -> htmlExtractOracleSql,
+
+    "q149_crawl_funnel" -> crawlFunnelOracleSql,
 
     "q147_unigram_train" -> unigramTrainOracleSql,
 
