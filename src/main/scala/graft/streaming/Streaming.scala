@@ -186,6 +186,35 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous crawl ingest — the q149 funnel's PER-DOCUMENT stages
+    * run on each micro-batch of raw (id, html) pages, reusing the
+    * batch operators verbatim: [[graft.ext.TextOps.extractMainContent]]
+    * → [[graft.ext.TextOps.repairMojibake]] over the extracted text →
+    * [[graft.ext.QualityModel.qualityClassifierScore]] over the
+    * repaired text. All three are stateless projections, so the stream
+    * is pure by construction: the union of per-batch outputs equals
+    * one batch pass over everything ingested (spec-pinned). The
+    * CROSS-document funnel tail (dedup, canonical pick) is the
+    * caller's `onBatch` — it composes with the existing incremental
+    * machinery (`nearDupProbeStream` / `appendToMinhashIndex` for
+    * near-dup, exact-hash anti-join against the accumulated corpus),
+    * exactly how the release pipeline's micro-batch loop works.
+    */
+  def crawlIngestStream(pages: DataFrame, idCol: String, htmlCol: String)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ex = graft.ext.TextOps.extractMainContent(batch, htmlCol)
+          .select(org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col("blocks_kept"),
+            org.apache.spark.sql.functions.col("text_main"))
+        val rep = graft.ext.TextOps.repairMojibake(ex, "text_main")
+        onBatch(graft.ext.QualityModel.qualityClassifierScore(rep,
+          "text_main_fixed"), batchId)
+      }
+      .start()
+
   /** Continuous RAG serving over the persisted BM25 + IVF index pair:
     * each micro-batch of (query id, text, vector) rows is answered by
     * [[graft.ext.Retrieval.ragServeIndexed]] verbatim — the
