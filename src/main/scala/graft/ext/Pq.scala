@@ -245,6 +245,137 @@ object Pq {
       useNative = true)
   }
 
+  /** IVF-PQ under fully ENGINE-NEUTRAL training — q79's oracle-checked
+    * form since round 10, retiring the LAST rows-only query: the
+    * coarse quantizer is the q75/q43 md5-derandomized k-means++ model
+    * (shared oracle prefix), and each subspace codebook trains by
+    * md5-Forgy seeding (the `ksub` residual subvectors with the
+    * smallest salted per-id digests — a fixed uniform draw) plus
+    * `cbIters` plain-L2 Lloyd steps as a relational fixpoint (DECIMAL
+    * means per (codeword, dim), argmin on 6-decimal-rounded distances
+    * with smallest-codeword-id ties, empty codewords drop — the q91
+    * semantics in L2). Residual encoding is preserved (the
+    * load-bearing detail — see the object scaladoc); ADC distances go
+    * to INTEGER micro units before summation, so the shortlist order
+    * is exact in any aggregation order (stronger than q89's
+    * round-after-sum). Every stage replays in DuckDB.
+    *
+    * [[ivfPqTopK]] (driver-sampled trainers, native ADC gather)
+    * remains the perf API. Scale shape: the residual relation is the
+    * working set during training/encode (the trained path touches
+    * vectors exactly once per stage); probes join ids+codes only.
+    */
+  def ivfPqTopKSeeded(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int = 5, nList: Int = 8,
+                      nProbe: Int = 2, iters: Int = 2, m: Int = 4,
+                      ksub: Int = 8, cbIters: Int = 2, candK: Int = 15,
+                      dim: Int = 64, useNative: Boolean = true): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    GraftFunctions.register(corpus.sparkSession)
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
+    val ids = Ivf.kppSeedIds(corpus, idCol, vecCol, nList, dim,
+      useNative = useNative)
+    def prep(df: DataFrame) =
+      Similarity.withVecNorm(df, idCol, vecCol).repartition(col(idCol))
+    val base = prep(corpus)
+    val seeds = base.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("cid"), col("v").as("cvec"),
+        col("nrm").as("cnrm"))
+    val cents = Ivf.assembleCentroids(
+        Ivf.lloydIterateFrom(base, seeds, idCol, iters, dim, useNative))
+      .localCheckpoint()
+    // residual against the assigned (for probes: each probed) centroid
+    def resid(src: DataFrame, outId: String, keep: Int): DataFrame = {
+      val scored = src.crossJoin(broadcast(cents))
+        .select(col(idCol), col("v"), col("nrm"), col("cid"), col("cvec"),
+          round(Similarity.dotFast(col("v"), col("cvec"), dim, useNative) /
+            (col("nrm") * col("cnrm")), 6).as("sim"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("sim").desc, col("cid"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep)
+        .select(col(idCol).as(outId), col("cid").as("list"),
+          zip_with(
+            transform(col("v"), x =>
+              x / when(col("nrm") > 0.0, col("nrm")).otherwise(lit(1.0))),
+            col("cvec"), (a, b) => a - b).as("r"))
+    }
+    val asg = resid(base, "neighbor_id", 1).localCheckpoint()
+    val prb = resid(prep(queries), "query_id", nProbe).localCheckpoint()
+    def dist(a: Column, b: Column): Column =
+      sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    def subRs(s: Int): DataFrame =
+      asg.select(col("neighbor_id"),
+        slice(col("r"), s * dsub + 1, dsub).as("rv"))
+    def trainSub(s: Int): DataFrame = {
+      val rs = subRs(s)
+      var cw = rs
+        .orderBy(md5(concat(lit(s"graft:pqseed:$s:"),
+          col("neighbor_id").cast("string"))), col("neighbor_id"))
+        .limit(ksub)
+        .select(col("neighbor_id").as("cwid"), col("rv").as("cw"))
+        .localCheckpoint()
+      var it = 0
+      while (it < cbIters) {
+        val a = rs.crossJoin(broadcast(cw))
+          .select(col("neighbor_id"), col("rv"), col("cwid"),
+            round(dist(col("rv"), col("cw")), 6).as("d"))
+        val w = Window.partitionBy("neighbor_id")
+          .orderBy(col("d").asc, col("cwid"))
+        val assigned = a.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).select(col("cwid"), col("rv"))
+        val means = assigned
+          .select(col("cwid"), posexplode(col("rv")).as(Seq("pos", "x")))
+          .groupBy("cwid", "pos")
+          .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1)))
+            .as("mv"))
+        cw = means.groupBy("cwid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("mv")))),
+            st => st.getField("mv")).as("cw"))
+          .localCheckpoint()
+        it += 1
+      }
+      cw
+    }
+    val books = (0 until m).map(trainSub)
+    def argminCode(src: DataFrame, keyCol: String, s: Int): DataFrame = {
+      val a = src.crossJoin(broadcast(books(s)))
+        .select(col(keyCol), col("cwid"),
+          round(dist(col("rv"), col("cw")), 6).as("d"))
+      val w = Window.partitionBy(keyCol).orderBy(col("d").asc, col("cwid"))
+      a.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col(keyCol), lit(s).as("s"), col("cwid").as("code"))
+    }
+    val enc = (0 until m).map(s => argminCode(subRs(s), "neighbor_id", s))
+      .reduce(_ union _)
+    val lut = (0 until m).map { s =>
+      prb.select(col("query_id"), col("list"),
+          slice(col("r"), s * dsub + 1, dsub).as("qv"))
+        .crossJoin(broadcast(books(s)))
+        .select(col("query_id"), col("list"), lit(s).as("s"),
+          col("cwid").as("code"),
+          round(dist(col("qv"), col("cw")) * lit(1000000.0)).cast("long")
+            .as("dm"))
+    }.reduce(_ union _)
+    val cand = asg.select(col("neighbor_id"), col("list"))
+      .join(prb.select(col("query_id"), col("list")), "list")
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val adc = cand.join(enc, "neighbor_id")
+      .join(lut, Seq("query_id", "list", "s", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dm")).as("approx"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx").asc, col("neighbor_id"))
+    val shortlist = adc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= candK)
+      .select("query_id", "neighbor_id")
+    Similarity.rerankTopK(shortlist, corpus, queries, idCol, vecCol, k,
+      dim, useNative)
+  }
+
   // ---------------------------------------------------------- persistence
 
   /** Persist a trained IVF-PQ index: the corpus with coarse list id +

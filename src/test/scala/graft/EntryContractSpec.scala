@@ -15,16 +15,15 @@ class EntryContractSpec extends SparkSpec {
     // RNG-dependent ANN and cluster operators, each recall- or
     // parity-bounded by spec) — a NEW query landing here unnoticed would
     // silently skip the correctness gate
-    val declaredRowsOnly = Set(
-      "q79_topk_ivfpq")         // trained coarse + product PQ codebooks:
-                                // per-subspace k-means whose seeded
-                                // oracle would unroll m x ksub draw
-                                // chains — the one declared exception
-    // (q119's BPE trainer joined the oracle-checked set in round 9 —
-    // the argmax loop unrolls into materialized CTEs; q75's k-means,
-    // q43's trained-quantizer IVF and q56's SemDeDup followed in round 10
-    // via
-    // md5-derandomized k-means++ seeding)
+    // EMPTY since round 10: every catalog query is oracle-checked.
+    // q119's BPE trainer joined in round 9 (materialized argmax CTEs);
+    // round 10 retired the final six — q75/q43/q56 via
+    // md5-derandomized k-means++ seeding, q31/q38 via the derandomized
+    // multi-table ±1-plane OR-construction, and q79 via md5-Forgy +
+    // relational L2-Lloyd subspace codebooks over the same seeded
+    // coarse quantizer. A query landing here means its oracle is
+    // missing — add one or consciously extend this set.
+    val declaredRowsOnly = Set.empty[String]
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked == declaredRowsOnly,
       s"rows-only drift: unexpected=${unchecked -- declaredRowsOnly} " +

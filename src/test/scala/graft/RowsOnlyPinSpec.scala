@@ -2,18 +2,16 @@ package graft
 
 import java.security.MessageDigest
 
-/** Hard pass/fail gates for the remaining rows-only catalog query
-  * (q79 — trained product-quantization codebooks, whose seeded oracle
-  * would unroll m × ksub draw chains; q43/q56/q75 left in round 10
-  * via md5-derandomized k-means++ seeding, q31/q38 via the
-  * derandomized multi-table OR-construction) — plus q119, which since
-  * round 9 IS oracle-checked (the BPE training loop unrolled as
-  * argmax-and-fuse CTEs) and keeps its pin as defense in depth.
-  * Each is bit-deterministic at a fixed
-  * input: hyperplanes and shingle salts are md5-derived, k-means /
-  * PQ-codebook training uses hash-ordered init samples with DECIMAL
-  * sums (order-independent), and every query ends in a total ORDER BY.
-  * So the sf0.01 output is pinned to a recorded md5, the KmeansPinSpec pattern.
+/** Recorded-hash DEFENSE-IN-DEPTH pins. Since round 10 the rows-only
+  * set is EMPTY — every catalog query is oracle-checked (q43/q56/q75
+  * left via md5-derandomized k-means++ seeding, q31/q38 via the
+  * derandomized multi-table OR-construction, q79 via md5-Forgy +
+  * L2-Lloyd subspace codebooks) — but q119 keeps its pin on top of
+  * its oracle (the BPE training loop unrolled as argmax-and-fuse
+  * CTEs) as a second, independent gate on the trainer. The pinned
+  * query is bit-deterministic at a fixed input (exact-long counts,
+  * lexicographic ties, a total trailing ORDER BY), so its sf0.01
+  * output pins to a recorded md5.
   *
   * Canonical form: row order as emitted (each query's trailing ORDER BY
   * is total), columns in schema order, and every value rendered
@@ -75,16 +73,12 @@ class RowsOnlyPinSpec extends SparkSpec {
           canonical.linesIterator.take(10).mkString("\n"))
     }
 
-  // q43 left this spec in round 10: its trained quantizer is now the
-  // md5-derandomized k-means++ model, oracle-checked end to end (the
-  // deliberate-semantic-change protocol; old pin
-  // a465e1d78d27cc29fbc3a9624519737d rows=25 retired with the change);
-  // q56 followed the same conversion (old pin
-  // f885d8ce276a7969d1165fc3111f74d8 rows=480).
-  // q31/q38 left in round 10 too: the multi-table OR-construction is
-  // now md5-derandomized and oracle-checked (old pins
-  // b7aa123c78a891b2f354188462e8d69a rows=25 and
-  // 8ba6677469f22d5c4c17e4f37e5ed453 rows=15 retired per protocol).
+  // Round-10 retirements, each superseded by a DuckDB oracle under
+  // the deliberate-semantic-change protocol (old pins, for the
+  // record): q43 a465e1d78d27cc29fbc3a9624519737d/25,
+  // q56 f885d8ce276a7969d1165fc3111f74d8/480,
+  // q31 b7aa123c78a891b2f354188462e8d69a/25,
+  // q38 8ba6677469f22d5c4c17e4f37e5ed453/15,
+  // q79 2e3d3b8f1ae8c3c100253b9a75ca7a7b/25.
   pin("q119_bpe_merges",         "ba803983320184d58297e3bd13b856d3", 16)
-  pin("q79_topk_ivfpq",          "2e3d3b8f1ae8c3c100253b9a75ca7a7b", 25)
 }
