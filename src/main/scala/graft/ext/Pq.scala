@@ -306,60 +306,81 @@ object Pq {
     def dist(a: Column, b: Column): Column =
       sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x))
-    def subRs(s: Int): DataFrame =
-      asg.select(col("neighbor_id"),
-        slice(col("r"), s * dsub + 1, dsub).as("rv"))
-    def trainSub(s: Int): DataFrame = {
-      val rs = subRs(s)
-      var cw = rs
-        .orderBy(md5(concat(lit(s"graft:pqseed:$s:"),
-          col("neighbor_id").cast("string"))), col("neighbor_id"))
-        .limit(ksub)
-        .select(col("neighbor_id").as("cwid"), col("rv").as("cw"))
-        .localCheckpoint()
-      var it = 0
-      while (it < cbIters) {
-        val a = rs.crossJoin(broadcast(cw))
-          .select(col("neighbor_id"), col("rv"), col("cwid"),
-            round(dist(col("rv"), col("cw")), 6).as("d"))
-        val w = Window.partitionBy("neighbor_id")
-          .orderBy(col("d").asc, col("cwid"))
-        val assigned = a.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).select(col("cwid"), col("rv"))
-        val means = assigned
-          .select(col("cwid"), posexplode(col("rv")).as(Seq("pos", "x")))
-          .groupBy("cwid", "pos")
-          .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1)))
-            .as("mv"))
-        cw = means.groupBy("cwid")
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("mv")))),
-            st => st.getField("mv")).as("cw"))
-          .localCheckpoint()
-        it += 1
-      }
-      cw
-    }
-    val books = (0 until m).map(trainSub)
-    def argminCode(src: DataFrame, keyCol: String, s: Int): DataFrame = {
-      val a = src.crossJoin(broadcast(books(s)))
-        .select(col(keyCol), col("cwid"),
+    // All m subspaces train in ONE relational chain, keyed by `s` — the
+    // math per subspace is untouched (seed keys, rounded-distance
+    // argmins, DECIMAL means — bit-identical to m separate chains and
+    // to the oracle's per-subspace CTEs), but the engine runs one job
+    // per Lloyd stage instead of m: the (id, s, rv) relation carries
+    // every subspace, argmins partition by (id, s), means group by
+    // (s, cwid, pos), and the ≤ m·ksub-row codeword relation broadcasts
+    // to every consumer. This collapsed the measured 6.5 s of m
+    // sequential small-job chains at sf0.1 to one chain.
+    def subSlices(src: DataFrame, keyCol: String): DataFrame =
+      src.select(col(keyCol), explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("r"), s * dsub + 1, dsub).as("rv"))): _*)).as("sub"))
+        .select(col(keyCol), col("sub.s").as("s"), col("sub.rv").as("rv"))
+    // rs is a cheap explode over the ALREADY-checkpointed asg, so its
+    // consumers (seed window, each Lloyd step, encode) just recompute
+    // it — no checkpoint: materializing it would hold m× the corpus
+    // residuals in the block manager for a recompute that costs one
+    // projection (timed equal within noise at sf0.1). The codeword
+    // relation cw IS checkpointed per step: it is ≤ m·ksub rows but
+    // every consumer broadcasts it, and an un-checkpointed broadcast
+    // re-runs the whole upstream window+agg chain per consumer
+    // (measured +2 s at sf0.1).
+    val rs = subSlices(asg, "neighbor_id")
+    val seedKey = md5(concat(lit("graft:pqseed:"), col("s").cast("string"),
+      lit(":"), col("neighbor_id").cast("string")))
+    val seedW = Window.partitionBy(col("s"))
+      .orderBy(seedKey, col("neighbor_id"))
+    var cw = rs.withColumn("__rn", row_number().over(seedW))
+      .filter(col("__rn") <= ksub)
+      .select(col("s"), col("neighbor_id").as("cwid"), col("rv").as("cw"))
+      .localCheckpoint()
+    var it = 0
+    while (it < cbIters) {
+      val a = rs.join(broadcast(cw), "s")
+        .select(col("neighbor_id"), col("s"), col("rv"), col("cwid"),
           round(dist(col("rv"), col("cw")), 6).as("d"))
-      val w = Window.partitionBy(keyCol).orderBy(col("d").asc, col("cwid"))
-      a.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col(keyCol), lit(s).as("s"), col("cwid").as("code"))
+      val w = Window.partitionBy(col("neighbor_id"), col("s"))
+        .orderBy(col("d").asc, col("cwid"))
+      val assigned = a.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select(col("s"), col("cwid"), col("rv"))
+      val means = assigned
+        .select(col("s"), col("cwid"), posexplode(col("rv")).as(Seq("pos", "x")))
+        .groupBy("s", "cwid", "pos")
+        .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1)))
+          .as("mv"))
+      cw = means.groupBy("s", "cwid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mv")))),
+          st => st.getField("mv")).as("cw"))
+        .localCheckpoint()
+      it += 1
     }
-    val enc = (0 until m).map(s => argminCode(subRs(s), "neighbor_id", s))
-      .reduce(_ union _)
-    val lut = (0 until m).map { s =>
-      prb.select(col("query_id"), col("list"),
-          slice(col("r"), s * dsub + 1, dsub).as("qv"))
-        .crossJoin(broadcast(books(s)))
-        .select(col("query_id"), col("list"), lit(s).as("s"),
-          col("cwid").as("code"),
-          round(dist(col("qv"), col("cw")) * lit(1000000.0)).cast("long")
-            .as("dm"))
-    }.reduce(_ union _)
+    def argminCode(src: DataFrame, keyCol: String): DataFrame = {
+      val a = src.join(broadcast(cw), "s")
+        .select(col(keyCol), col("s"), col("cwid"),
+          round(dist(col("rv"), col("cw")), 6).as("d"))
+      val w = Window.partitionBy(col(keyCol), col("s"))
+        .orderBy(col("d").asc, col("cwid"))
+      a.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col(keyCol), col("s"), col("cwid").as("code"))
+    }
+    val enc = argminCode(rs, "neighbor_id")
+    val prbSubs = prb.select(col("query_id"), col("list"), col("r"))
+      .select(col("query_id"), col("list"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("r"), s * dsub + 1, dsub).as("rv"))): _*)).as("sub"))
+      .select(col("query_id"), col("list"), col("sub.s").as("s"),
+        col("sub.rv").as("rv"))
+    val lut = prbSubs.join(broadcast(cw), "s")
+      .select(col("query_id"), col("list"), col("s"),
+        col("cwid").as("code"),
+        round(dist(col("rv"), col("cw")) * lit(1000000.0)).cast("long")
+          .as("dm"))
     val cand = asg.select(col("neighbor_id"), col("list"))
       .join(prb.select(col("query_id"), col("list")), "list")
       .filter(col("neighbor_id") =!= col("query_id"))
