@@ -314,6 +314,58 @@ object IndexAudit {
     spark.sql(s"DROP TABLE $stage")
   }
 
+  /** Re-encode every IVF-PQ row under the STORED model — the remedy
+    * for [[auditPq]]'s `codes_shape_and_range` and
+    * `assignments_match_model` failures (a stale-model overwrite, a
+    * replayed append encoded against a different codebook, or a hand
+    * edit). The model matrices are authoritative; the raw vectors live
+    * in the index table itself (the rerank reads them), so the repair
+    * is exactly the [[Pq.writeIndex]] projection re-run over the
+    * table's own rows: assign the coarse list under the stored
+    * centroids, encode the residual under the stored codebooks. Staged
+    * through `<table>__repair` like [[repairIvfAssignments]] (Spark
+    * refuses an in-place overwrite of its own input); the stage carries
+    * the same bucket layout, so probes' Exchange-free plans survive.
+    * One projection pass over codes+vectors — never the source corpus.
+    */
+  def repairPqCodes(spark: SparkSession, table: String,
+                    idCol: String, vecCol: String): Unit = {
+    graft.plans.GraftFunctions.register(spark)
+    val (coarse, codebooks, m, dsub, ksub) = Pq.loadModel(spark, table)
+    val dim = m * dsub
+    val stage = s"${table}__repair"
+    writeBucketed(
+      spark.table(table).select(col(idCol), col(vecCol),
+          element_at(Ivf.assignLists(col(vecCol), coarse, dim, 1), 1)
+            .as("list"))
+        .select(col(idCol), col(vecCol), col("list"),
+          Pq.encode(col(vecCol), col("list"), codebooks, coarse, m, dsub,
+            ksub).as("codes")),
+      spark, stage, layoutOf = table)
+    writeBucketed(spark.table(stage), spark, table, layoutOf = stage)
+    spark.sql(s"DROP TABLE $stage")
+  }
+
+  /** Recompute a unigram model's meta window from the vocabulary — the
+    * remedy for [[auditUnigramModel]]'s `pieces_within_window` /
+    * `single_meta_row` failures (a meta refresh that never followed a
+    * vocab overwrite, or a replayed meta write). The vocabulary is
+    * authoritative: the Viterbi window must admit the longest piece or
+    * that piece is silently unreachable dead weight, so the recorded
+    * scalar is by construction `max(length(piece))`. One aggregation
+    * over the (bounded, vocab-sized) model table, a 1-row write. The
+    * alphabet-gap failure class is NOT recoverable here — a pruned
+    * single-char piece's cost is lost information; retrain instead.
+    */
+  def repairUnigramMeta(spark: SparkSession, table: String): Unit = {
+    val maxLen = spark.table(table)
+      .agg(max(length(col("piece")))).head.getInt(0)
+    import spark.implicits._
+    Seq(maxLen).toDF("max_piece_len").coalesce(1)
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${table}_meta")
+  }
+
   /** IVF pair ([[Ivf.writeIndex]]): `<table>` assignments vs the
     * `<table>_centroids` model.
     *  - `centroid_matrix_shape`: the flat matrix length is a multiple

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, IndexAudit, Ivf, Multimodal, Retrieval}
+import graft.ext.{Dedup, IndexAudit, Ivf, Multimodal, Pq, Retrieval, TextOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -133,6 +133,74 @@ class IndexRepairSpec extends SparkSpec {
     assert(failures(IndexAudit.auditIvf(spark, "graft_repdb4.ivf",
       "vec_id", "embedding")).isEmpty)
     assert(probeNow() == twin)
+    assert(twin.nonEmpty)
+  }
+
+  test("IVF-PQ: scrambled lists + malformed codes trip the fsck; " +
+    "repairPqCodes re-encodes under the stored model, probe parity holds") {
+    graft.plans.GraftFunctions.register(spark)
+    mkdb("graft_repdb5")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val coarse = Ivf.trainCentroids(emb, "embedding", nList = 4, dim = 64,
+      sampleSize = 500, iters = 2)
+    val cb = Pq.trainCodebooks(emb, "embedding", coarse, m = 8, ksub = 16,
+      dim = 64, sampleSize = 300, iters = 2)
+    Pq.writeIndex(emb, "vec_id", "embedding", coarse, cb, m = 8, dsub = 8,
+      ksub = 16, table = "graft_repdb5.pq", nBuckets = 2)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def probeNow() = Pq.pqTopKIndexed(spark, "graft_repdb5.pq", queries,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(_.toSeq).toSeq
+    val twin = probeNow()
+    // corruption: a stale-model rewrite — every list rotated, every code
+    // column replaced by an out-of-geometry stub (the shape an encode
+    // against the WRONG codebook leaves; vectors themselves intact)
+    val scrambled = spark.table("graft_repdb5.pq").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq,
+        (r.getInt(2) + 1) % 4, Seq(99, 99))).toSeq
+      .toDF("vec_id", "embedding", "list", "codes")
+    scrambled.write.format("parquet").bucketBy(2, "list").sortBy("list")
+      .mode("overwrite").saveAsTable("graft_repdb5.pq")
+    val bad = failures(IndexAudit.auditPq(spark, "graft_repdb5.pq",
+      "vec_id", "embedding"))
+    assert(bad.contains("codes_shape_and_range") &&
+      bad.contains("assignments_match_model"), bad)
+    IndexAudit.repairPqCodes(spark, "graft_repdb5.pq", "vec_id", "embedding")
+    assert(failures(IndexAudit.auditPq(spark, "graft_repdb5.pq",
+      "vec_id", "embedding")).isEmpty)
+    assert(probeNow() == twin)
+    assert(twin.nonEmpty)
+  }
+
+  test("unigram model: a stale meta window trips the fsck and silently " +
+    "mis-tokenizes; repairUnigramMeta recomputes it, tokenize parity holds") {
+    mkdb("graft_repdb6")
+    val vocab = Seq(
+      ("a", 9L, 100L), ("b", 8L, 110L), ("c", 7L, 120L), ("d", 6L, 130L),
+      ("ab", 5L, 150L), ("abcd", 4L, 160L))
+      .toDF("piece", "cnt", "cost_micro")
+    TextOps.writeUnigramModel(spark, "graft_repdb6.um", vocab,
+      maxPieceLen = 4)
+    val docs = Seq((0L, "abcd ab"), (1L, "dcba")).toDF("doc_id", "text")
+    def tokensNow() = TextOps.withUnigramTokensIndexed(spark,
+        "graft_repdb6.um", docs, "text")
+      .select("doc_id", "unigram_tokens").collect().map(_.toSeq).toSeq
+    val twin = tokensNow()
+    // corruption: a meta refresh that never followed the vocab write —
+    // the recorded window is smaller than the longest piece, so the
+    // Viterbi can never CHOOSE "abcd": wrong answers, no error
+    Seq(2).toDF("max_piece_len")
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable("graft_repdb6.um_meta")
+    val bad = failures(IndexAudit.auditUnigramModel(spark,
+      "graft_repdb6.um"))
+    assert(bad.contains("pieces_within_window"), bad)
+    assert(tokensNow() != twin) // the silent mis-tokenization, observed
+    IndexAudit.repairUnigramMeta(spark, "graft_repdb6.um")
+    assert(failures(IndexAudit.auditUnigramModel(spark,
+      "graft_repdb6.um")).isEmpty)
+    assert(tokensNow() == twin)
     assert(twin.nonEmpty)
   }
 }
