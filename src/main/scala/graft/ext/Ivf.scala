@@ -296,10 +296,18 @@ object Ivf {
         .select(col(idCol), col("cid"),
           round(Similarity.dotFast(col("v"), col("cvec"), dim, useNative) /
             (col("nrm") * col("cnrm")), 6).as("sim"))
-      val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col("cid"))
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= keep)
-        .select(col(idCol).as(outId), col("cid").as("list"))
+      if (keep == 1)
+        // the corpus-side assignment — argmax as a partial aggregate
+        // (see [[argmaxAssign]]); the window form below stays for the
+        // tiny multi-list probe side only
+        argmaxAssign(scored, idCol)
+          .select(col(idCol).as(outId), col("list"))
+      else {
+        val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col("cid"))
+        scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= keep)
+          .select(col(idCol).as(outId), col("cid").as("list"))
+      }
     }
     val assigned = nearestLists(base, 1, "neighbor_id")
     val probes = nearestLists(qbase, nProbe, "query_id")
@@ -434,6 +442,32 @@ object Ivf {
     * final assignment pass. `base` must be the
     * [[Similarity.withVecNorm]] projection of the corpus.
     */
+  /** One winner per `key` from a scored candidate relation: argmax by
+    * (`sim` DESC, `cid` ASC), carrying the named payload columns from
+    * the winning row — as one partial-aggregating `max(struct(sim,
+    * -cid, payload…))` instead of a `row_number` window. Selection is
+    * IDENTICAL to the window form including the degenerate orderings
+    * (a NaN sim ranks above every number in both a DESC sort and a
+    * struct max; a null sim ranks below; ties fall to the smallest
+    * cid via the negated field; payload fields are never compared
+    * because cid is unique per key). The scale win: the window must
+    * SHUFFLE AND SORT every (key × candidate) row, while the aggregate
+    * map-side-combines to ONE row per key per partition — with nList
+    * candidates that is nList× less shuffle and no sort, the same
+    * argument as `graft_top_k` at k=1. Output: key, `list` (winning
+    * cid), `sim` (winning score), payload columns.
+    */
+  private[ext] def argmaxAssign(scored: DataFrame, key: String,
+                                payload: String*): DataFrame = {
+    val fields = Seq(col("sim"), negate(col("cid")).as("__nc")) ++
+      payload.map(col)
+    scored.groupBy(col(key))
+      .agg(max(struct(fields: _*)).as("__w"))
+      .select(Seq(col(key), negate(col("__w.__nc")).as("list"),
+        col("__w.sim").as("sim")) ++
+        payload.map(p => col(s"__w.$p").as(p)): _*)
+  }
+
   private[graft] def lloydIterateFrom(base: DataFrame, seeds: DataFrame,
                                       idCol: String, iters: Int, dim: Int,
                                       useNative: Boolean): DataFrame = {
@@ -446,10 +480,8 @@ object Ivf {
         .select(col(idCol), col("v"), col("nrm"), col("cid"),
           round(Similarity.dotFast(col("v"), col("cvec"), dim, useNative) /
             (col("nrm") * col("cnrm")), 6).as("sim"))
-      val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col("cid"))
-      val assigned = scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("cid").as("list"), col("v"), col("nrm"))
+      val assigned = argmaxAssign(scored, idCol, "v", "nrm")
+        .select(col("list"), col("v"), col("nrm"))
       val comp = assigned
         .select(col("list"), col("nrm"), posexplode(col("v")).as(Seq("pos", "x")))
         .select(col("list"), col("pos").cast("long").as("pos"),
@@ -595,10 +627,8 @@ object Ivf {
       .select(col(idCol), col("cid"),
         round(Similarity.dotFast(col("v"), col("cvec"), dim, useNative) /
           (col("nrm") * col("cnrm")), 6).as("sim"))
-    val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("cid").as("cluster_id"),
+    argmaxAssign(scored, idCol)
+      .select(col("list").as("cluster_id"),
         round(col("sim") * lit(1000000.0)).cast("long").as("__simm"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n"), sum(col("__simm")).as("__s"))

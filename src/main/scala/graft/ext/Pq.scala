@@ -291,15 +291,23 @@ object Pq {
         .select(col(idCol), col("v"), col("nrm"), col("cid"), col("cvec"),
           round(Similarity.dotFast(col("v"), col("cvec"), dim, useNative) /
             (col("nrm") * col("cnrm")), 6).as("sim"))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("sim").desc, col("cid"))
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= keep)
-        .select(col(idCol).as(outId), col("cid").as("list"),
-          zip_with(
-            transform(col("v"), x =>
-              x / when(col("nrm") > 0.0, col("nrm")).otherwise(lit(1.0))),
-            col("cvec"), (a, b) => a - b).as("r"))
+      def residCol: Column = zip_with(
+        transform(col("v"), x =>
+          x / when(col("nrm") > 0.0, col("nrm")).otherwise(lit(1.0))),
+        col("cvec"), (a, b) => a - b).as("r")
+      if (keep == 1)
+        // corpus side: argmax as a partial aggregate ([[Ivf.argmaxAssign]])
+        // — the shuffle carries one combined row per id, not nList sorted
+        // candidates; the window stays for the tiny multi-list probe side
+        Ivf.argmaxAssign(scored, idCol, "cvec", "v", "nrm")
+          .select(col(idCol).as(outId), col("list"), residCol)
+      else {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("sim").desc, col("cid"))
+        scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= keep)
+          .select(col(idCol).as(outId), col("cid").as("list"), residCol)
+      }
     }
     val asg = resid(base, "neighbor_id", 1).localCheckpoint()
     val prb = resid(prep(queries), "query_id", nProbe).localCheckpoint()
@@ -321,32 +329,47 @@ object Pq {
             slice(col("r"), s * dsub + 1, dsub).as("rv"))): _*)).as("sub"))
         .select(col(keyCol), col("sub.s").as("s"), col("sub.rv").as("rv"))
     // rs is a cheap explode over the ALREADY-checkpointed asg, so its
-    // consumers (seed window, each Lloyd step, encode) just recompute
-    // it — no checkpoint: materializing it would hold m× the corpus
-    // residuals in the block manager for a recompute that costs one
-    // projection (timed equal within noise at sf0.1). The codeword
-    // relation cw IS checkpointed per step: it is ≤ m·ksub rows but
-    // every consumer broadcasts it, and an un-checkpointed broadcast
-    // re-runs the whole upstream window+agg chain per consumer
-    // (measured +2 s at sf0.1).
+    // consumers (each Lloyd step, encode) just recompute it — no
+    // checkpoint: materializing it would hold m× the corpus residuals
+    // in the block manager for a recompute that costs one projection
+    // (timed equal within noise at sf0.1). The codeword relation cw IS
+    // checkpointed per step: it is ≤ m·ksub rows but every consumer
+    // broadcasts it, and an un-checkpointed broadcast re-runs the whole
+    // upstream chain per consumer (measured +2 s at sf0.1).
     val rs = subSlices(asg, "neighbor_id")
-    val seedKey = md5(concat(lit("graft:pqseed:"), col("s").cast("string"),
-      lit(":"), col("neighbor_id").cast("string")))
-    val seedW = Window.partitionBy(col("s"))
-      .orderBy(seedKey, col("neighbor_id"))
-    var cw = rs.withColumn("__rn", row_number().over(seedW))
-      .filter(col("__rn") <= ksub)
-      .select(col("s"), col("neighbor_id").as("cwid"), col("rv").as("cw"))
-      .localCheckpoint()
+    // md5-Forgy seeds, selected per subspace by orderBy+limit — Spark
+    // plans this as TakeOrderedAndProject (per-partition partial top-k,
+    // driver merge of ksub rows), so seeding never global-sorts the
+    // residual relation; m tiny jobs, unioned into one ≤ m·ksub-row
+    // codeword relation
+    var cw = (0 until m).map { s =>
+      asg.select(col("neighbor_id"),
+          slice(col("r"), s * dsub + 1, dsub).as("rv"))
+        .orderBy(md5(concat(lit(s"graft:pqseed:$s:"),
+          col("neighbor_id").cast("string"))), col("neighbor_id"))
+        .limit(ksub)
+        .select(lit(s).as("s"), col("neighbor_id").as("cwid"),
+          col("rv").as("cw"))
+    }.reduce(_ union _).localCheckpoint()
+    // per-(id, s) argmin by (rounded distance ASC, cwid ASC) as a
+    // partial-aggregating min(struct) — same selection as a row_number
+    // window including NaN/null placement (the [[Ivf.argmaxAssign]]
+    // argument, mirrored for ASC), one combined row per (id, s) per
+    // partition on the shuffle instead of ksub sorted candidates
+    def argminW(src: DataFrame, keyCol: String,
+                carryRv: Boolean): DataFrame = {
+      val a = src.join(broadcast(cw), "s")
+        .select(col(keyCol), col("s"), col("rv"), col("cwid"),
+          round(dist(col("rv"), col("cw")), 6).as("d"))
+      val fields = Seq(col("d"), col("cwid")) ++
+        (if (carryRv) Seq(col("rv")) else Nil)
+      a.groupBy(col(keyCol), col("s"))
+        .agg(min(struct(fields: _*)).as("__w"))
+    }
     var it = 0
     while (it < cbIters) {
-      val a = rs.join(broadcast(cw), "s")
-        .select(col("neighbor_id"), col("s"), col("rv"), col("cwid"),
-          round(dist(col("rv"), col("cw")), 6).as("d"))
-      val w = Window.partitionBy(col("neighbor_id"), col("s"))
-        .orderBy(col("d").asc, col("cwid"))
-      val assigned = a.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).select(col("s"), col("cwid"), col("rv"))
+      val assigned = argminW(rs, "neighbor_id", carryRv = true)
+        .select(col("s"), col("__w.cwid").as("cwid"), col("__w.rv").as("rv"))
       val means = assigned
         .select(col("s"), col("cwid"), posexplode(col("rv")).as(Seq("pos", "x")))
         .groupBy("s", "cwid", "pos")
@@ -359,16 +382,8 @@ object Pq {
         .localCheckpoint()
       it += 1
     }
-    def argminCode(src: DataFrame, keyCol: String): DataFrame = {
-      val a = src.join(broadcast(cw), "s")
-        .select(col(keyCol), col("s"), col("cwid"),
-          round(dist(col("rv"), col("cw")), 6).as("d"))
-      val w = Window.partitionBy(col(keyCol), col("s"))
-        .orderBy(col("d").asc, col("cwid"))
-      a.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col(keyCol), col("s"), col("cwid").as("code"))
-    }
-    val enc = argminCode(rs, "neighbor_id")
+    val enc = argminW(rs, "neighbor_id", carryRv = false)
+      .select(col("neighbor_id"), col("s"), col("__w.cwid").as("code"))
     val prbSubs = prb.select(col("query_id"), col("list"), col("r"))
       .select(col("query_id"), col("list"),
         explode(array((0 until m).map(s =>
