@@ -669,6 +669,47 @@ object Ivf {
       .toDF("pos", "value", "dim")
       .coalesce(1)
       .write.mode("overwrite").saveAsTable(s"${table}_centroids")
+    // at-build fit reference for the drift check ([[distortionByList]])
+    distortionByList(spark, table, vecCol, dim, centroids)
+      .coalesce(1)
+      .write.mode("overwrite").saveAsTable(s"${table}_health")
+  }
+
+  /** Per-list quantization fit of a persisted index under a given
+    * coarse matrix: for every row, the cosine (integer micro units,
+    * one rounding) to the centroid of its OWN assigned list, averaged
+    * per list with exact-long `div`. This is the index's health
+    * measure: [[writeIndex]] (and [[Pq.writeIndex]]) persists it as
+    * `<table>_health` at build time, and [[IndexAudit.driftIvf]] /
+    * [[IndexAudit.driftPq]] recompute it after appends to decide when
+    * "retrain on its own cadence" is due — appended rows assign under
+    * the FROZEN model, so a corpus whose distribution moved away from
+    * the trained centroids shows up exactly here, as per-list mean-fit
+    * decay. One aggregation over the index table (ids + vectors it
+    * already stores — never the source corpus), broadcast-joined to
+    * the ≤ nList-row centroid relation; output is ≤ nList rows.
+    */
+  def distortionByList(spark: SparkSession, table: String, vecCol: String,
+                       dim: Int, cents: Array[Double]): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val nList = cents.length / dim
+    val crows = (0 until nList).map { c =>
+      val v = java.util.Arrays.copyOfRange(cents, c * dim, (c + 1) * dim)
+      (c, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+    }.toDF("list", "cvec", "cnrm")
+    val rows = spark.table(table).select(col("list"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    rows.join(broadcast(crows), "list")
+      .select(col("list"),
+        round(Similarity.dotFast(col("v"), col("cvec"), dim,
+            useNative = true) /
+          (col("nrm") * col("cnrm")) * lit(1000000.0)).cast("long").as("cm"))
+      .groupBy("list")
+      .agg(count(lit(1)).as("n"), sum(col("cm")).as("__s"))
+      .select(col("list"), col("n"), expr("__s div n").as("mean_cos_micro"))
+      .orderBy("list")
   }
 
   /** Append new vectors to a persisted IVF index — the corpus-growth

@@ -356,19 +356,13 @@ object Pq {
     // window including NaN/null placement (the [[Ivf.argmaxAssign]]
     // argument, mirrored for ASC), one combined row per (id, s) per
     // partition on the shuffle instead of ksub sorted candidates
-    def argminW(src: DataFrame, keyCol: String,
-                carryRv: Boolean): DataFrame = {
-      val a = src.join(broadcast(cw), "s")
-        .select(col(keyCol), col("s"), col("rv"), col("cwid"),
-          round(dist(col("rv"), col("cw")), 6).as("d"))
-      val fields = Seq(col("d"), col("cwid")) ++
-        (if (carryRv) Seq(col("rv")) else Nil)
-      a.groupBy(col(keyCol), col("s"))
-        .agg(min(struct(fields: _*)).as("__w"))
-    }
     var it = 0
     while (it < cbIters) {
-      val assigned = argminW(rs, "neighbor_id", carryRv = true)
+      val assigned = rs.join(broadcast(cw), "s")
+        .select(col("neighbor_id"), col("s"), col("rv"), col("cwid"),
+          round(dist(col("rv"), col("cw")), 6).as("d"))
+        .groupBy(col("neighbor_id"), col("s"))
+        .agg(min(struct(col("d"), col("cwid"), col("rv"))).as("__w"))
         .select(col("s"), col("__w.cwid").as("cwid"), col("__w.rv").as("rv"))
       val means = assigned
         .select(col("s"), col("cwid"), posexplode(col("rv")).as(Seq("pos", "x")))
@@ -382,8 +376,36 @@ object Pq {
         .localCheckpoint()
       it += 1
     }
-    val enc = argminW(rs, "neighbor_id", carryRv = false)
-      .select(col("neighbor_id"), col("s"), col("__w.cwid").as("code"))
+    // ---- ADC without the ×m blowup. The relational form — candidates
+    // joined to per-(s, code) rows and re-aggregated — multiplies the
+    // candidate relation by m and shuffles it back through a
+    // (query, neighbor) groupBy; at the 10⁶-vector soak that 10⁹-row
+    // intermediate exhausted local disk. Instead, mirror the native
+    // perf API's shape relationally: codes become ONE array per
+    // neighbor, the LUT becomes ONE map per (query, list) keyed by the
+    // densified (s, codeword) index, and the ADC total is a per-row
+    // m-term fold — one row per candidate end to end, and the
+    // (query, neighbor) aggregation disappears entirely. The sum is
+    // the same exact longs in a fixed order, so the shortlist (and the
+    // DuckDB oracle, which keeps the relational join form) is
+    // bit-identical.
+    val cwd = cw.withColumn("ci",
+        (row_number().over(Window.partitionBy(col("s"))
+          .orderBy(col("cwid"))) - 1))
+      .localCheckpoint() // ≤ m·ksub rows; broadcast by every consumer
+    def argminCi(src: DataFrame, keyCol: String): DataFrame = {
+      val a = src.join(broadcast(cwd), "s")
+        .select(col(keyCol), col("s"), col("ci"), col("cwid"),
+          round(dist(col("rv"), col("cw")), 6).as("d"))
+      // ci rides as payload — never compared, cwid is unique per (key, s)
+      a.groupBy(col(keyCol), col("s"))
+        .agg(min(struct(col("d"), col("cwid"), col("ci"))).as("__w"))
+        .select(col(keyCol), col("s"), col("__w.ci").as("ci"))
+    }
+    val encArr = argminCi(rs, "neighbor_id")
+      .groupBy("neighbor_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("ci")))),
+        st => st.getField("ci")).as("codes"))
     val prbSubs = prb.select(col("query_id"), col("list"), col("r"))
       .select(col("query_id"), col("list"),
         explode(array((0 until m).map(s =>
@@ -391,18 +413,23 @@ object Pq {
             slice(col("r"), s * dsub + 1, dsub).as("rv"))): _*)).as("sub"))
       .select(col("query_id"), col("list"), col("sub.s").as("s"),
         col("sub.rv").as("rv"))
-    val lut = prbSubs.join(broadcast(cw), "s")
-      .select(col("query_id"), col("list"), col("s"),
-        col("cwid").as("code"),
+    val lutMap = prbSubs.join(broadcast(cwd), "s")
+      .select(col("query_id"), col("list"),
+        (col("s") * ksub + col("ci")).as("__k"),
         round(dist(col("rv"), col("cw")) * lit(1000000.0)).cast("long")
           .as("dm"))
+      .groupBy("query_id", "list")
+      .agg(map_from_entries(collect_list(struct(col("__k"), col("dm"))))
+        .as("lm"))
     val cand = asg.select(col("neighbor_id"), col("list"))
       .join(prb.select(col("query_id"), col("list")), "list")
       .filter(col("neighbor_id") =!= col("query_id"))
-    val adc = cand.join(enc, "neighbor_id")
-      .join(lut, Seq("query_id", "list", "s", "code"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("dm")).as("approx"))
+    val adc = cand.join(encArr, "neighbor_id")
+      .join(lutMap, Seq("query_id", "list"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+          (acc, s) => acc + element_at(col("lm"),
+            s * ksub + element_at(col("codes"), s + 1))).as("approx"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx").asc, col("neighbor_id"))
     val shortlist = adc.withColumn("__rn", row_number().over(w))
@@ -457,6 +484,11 @@ object Pq {
     rows.toSeq.toDF("kind", "pos", "value", "m", "dsub", "ksub")
       .coalesce(1)
       .write.mode("overwrite").saveAsTable(s"${table}_model")
+    // at-build coarse-fit reference for the drift check
+    // ([[Ivf.distortionByList]] / [[IndexAudit.driftPq]])
+    Ivf.distortionByList(spark, table, vecCol, m * dsub, coarse)
+      .coalesce(1)
+      .write.mode("overwrite").saveAsTable(s"${table}_health")
   }
 
   /** Reload the model persisted by [[writeIndex]]:

