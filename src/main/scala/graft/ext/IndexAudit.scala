@@ -366,6 +366,55 @@ object IndexAudit {
       .saveAsTable(s"${table}_meta")
   }
 
+  /** Drift check for a persisted IVF index — the "retrain when drift
+    * warrants it" cadence gets its measured trigger: recompute the
+    * per-list mean fit ([[Ivf.distortionByList]]) over the CURRENT
+    * rows (appends included — they assigned under the frozen model)
+    * and compare against the at-build `<table>_health` reference.
+    *  - `lists_within_drift_tolerance`: lists whose mean cosine to
+    *    their own centroid decayed by more than `tolMicro` micro units
+    *    since build — or that exist on only one side (a list that was
+    *    empty at build filling up IS a structural shift). Observed =
+    *    drifted lists, expected 0; on `ok = false`, rebuild with
+    *    [[Ivf.writeIndex]] (consistency stays auditable meanwhile —
+    *    drift is a QUALITY signal, not corruption: [[auditIvf]] stays
+    *    green under drift because appends honestly used the stored
+    *    model).
+    * One aggregation over the index table + a ≤ nList-row join.
+    */
+  def driftIvf(spark: SparkSession, table: String, idCol: String,
+               vecCol: String, tolMicro: Long = 20000L): DataFrame = {
+    val dim = Ivf.loadDim(spark, table)
+    val cents = Ivf.loadCentroids(spark, table)
+    driftReport(spark, table,
+      Ivf.distortionByList(spark, table, vecCol, dim, cents), tolMicro)
+  }
+
+  /** [[driftIvf]] for a persisted IVF-PQ index: same per-list coarse
+    * fit under the stored coarse matrix from `<table>_model` (codebook
+    * fit rides on coarse fit — residuals grow exactly when coarse fit
+    * decays, so one signal covers the pair).
+    */
+  def driftPq(spark: SparkSession, table: String, idCol: String,
+              vecCol: String, tolMicro: Long = 20000L): DataFrame = {
+    val (coarse, _, m, dsub, _) = Pq.loadModel(spark, table)
+    driftReport(spark, table,
+      Ivf.distortionByList(spark, table, vecCol, m * dsub, coarse), tolMicro)
+  }
+
+  private def driftReport(spark: SparkSession, table: String,
+                          current: DataFrame, tolMicro: Long): DataFrame = {
+    val health = spark.table(s"${table}_health")
+      .select(col("list"), col("mean_cos_micro").as("__h"))
+    val drifted = health
+      .join(current.select(col("list"), col("mean_cos_micro").as("__c")),
+        Seq("list"), "full_outer")
+      .filter(col("__c").isNull || col("__h").isNull ||
+        col("__c") < col("__h") - lit(tolMicro))
+      .count()
+    report(spark, Seq(("lists_within_drift_tolerance", drifted, 0L)))
+  }
+
   /** IVF pair ([[Ivf.writeIndex]]): `<table>` assignments vs the
     * `<table>_centroids` model.
     *  - `centroid_matrix_shape`: the flat matrix length is a multiple

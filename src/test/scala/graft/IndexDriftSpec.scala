@@ -1,0 +1,109 @@
+package graft
+
+import graft.ext.{IndexAudit, Ivf, Pq}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Drift detection for the persisted ANN indexes — the measured
+  * trigger for "the quantizer retrains on its own cadence": appends
+  * assign under the FROZEN model, so a corpus whose distribution moved
+  * away from the trained centroids must surface as per-list mean-fit
+  * decay against the at-build `<table>_health` reference, while
+  * in-distribution appends must NOT trip it (the signal is drift, not
+  * growth). Also pins the drift/corruption separation: a drifted index
+  * still passes the consistency fsck, because its appends honestly
+  * used the stored model.
+  */
+class IndexDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def failures(df: DataFrame): Map[String, Long] =
+    df.filter(!col("ok")).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+
+  private def mkdb(name: String): Unit = {
+    val loc = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $name LOCATION '$loc'")
+  }
+
+  // same-distribution rows carry ids >= base but the SAME cluster
+  // structure (CrossoverBench centers repeat every numClusters ids);
+  // shifted rows come from a different seed = different centers
+  private def sameDist(n: Int, base: Long) =
+    CrossoverBench.syntheticEmbeddings(spark, n, 64, seed = 7L)
+      .select((col("vec_id") + base).as("vec_id"), col("embedding"))
+  private def shifted(n: Int, base: Long) =
+    CrossoverBench.syntheticEmbeddings(spark, n, 64, seed = 991L)
+      .select((col("vec_id") + base).as("vec_id"), col("embedding"))
+
+  test("IVF drift: clean at build and after in-distribution appends; " +
+    "out-of-distribution appends trip it while the consistency fsck " +
+    "stays green; rebuild clears it") {
+    graft.plans.GraftFunctions.register(spark)
+    mkdb("graft_driftdb1")
+    val emb = CrossoverBench.syntheticEmbeddings(spark, 2000, 64, seed = 7L)
+    val cents = Ivf.trainCentroids(emb, "embedding", nList = 8, dim = 64,
+      sampleSize = 1000, iters = 3)
+    Ivf.writeIndex(emb, "vec_id", "embedding", cents, dim = 64,
+      "graft_driftdb1.ivf", nBuckets = 2)
+    assert(failures(IndexAudit.driftIvf(spark, "graft_driftdb1.ivf",
+      "vec_id", "embedding")).isEmpty, "fresh index must not drift")
+
+    Ivf.appendToIndex(sameDist(400, 10000L), "vec_id", "embedding",
+      "graft_driftdb1.ivf")
+    assert(failures(IndexAudit.driftIvf(spark, "graft_driftdb1.ivf",
+      "vec_id", "embedding")).isEmpty,
+      "in-distribution appends must not trip drift")
+
+    Ivf.appendToIndex(shifted(2000, 20000L), "vec_id", "embedding",
+      "graft_driftdb1.ivf")
+    val bad = failures(IndexAudit.driftIvf(spark, "graft_driftdb1.ivf",
+      "vec_id", "embedding"))
+    assert(bad.contains("lists_within_drift_tolerance"), bad)
+    // drift is a QUALITY signal, not corruption: consistency stays green
+    assert(failures(IndexAudit.auditIvf(spark, "graft_driftdb1.ivf",
+      "vec_id", "embedding")).isEmpty,
+      "a drifted index must still pass the consistency fsck")
+
+    // the remedy is the documented cadence: retrain + rebuild
+    val all = spark.table("graft_driftdb1.ivf").select("vec_id", "embedding")
+      .localCheckpoint()
+    val cents2 = Ivf.trainCentroids(all, "embedding", nList = 8, dim = 64,
+      sampleSize = 1000, iters = 3)
+    Ivf.writeIndex(all, "vec_id", "embedding", cents2, dim = 64,
+      "graft_driftdb1.ivf", nBuckets = 2)
+    assert(failures(IndexAudit.driftIvf(spark, "graft_driftdb1.ivf",
+      "vec_id", "embedding")).isEmpty, "rebuild must clear drift")
+  }
+
+  test("IVF-PQ drift: the coarse-fit signal covers the pair — shifted " +
+    "appends trip it, rebuild clears it") {
+    graft.plans.GraftFunctions.register(spark)
+    mkdb("graft_driftdb2")
+    val emb = CrossoverBench.syntheticEmbeddings(spark, 2000, 64, seed = 7L)
+    val coarse = Ivf.trainCentroids(emb, "embedding", nList = 4, dim = 64,
+      sampleSize = 1000, iters = 2)
+    val cb = Pq.trainCodebooks(emb, "embedding", coarse, m = 8, ksub = 16,
+      dim = 64, sampleSize = 500, iters = 2)
+    Pq.writeIndex(emb, "vec_id", "embedding", coarse, cb, m = 8, dsub = 8,
+      ksub = 16, table = "graft_driftdb2.pq", nBuckets = 2)
+    assert(failures(IndexAudit.driftPq(spark, "graft_driftdb2.pq",
+      "vec_id", "embedding")).isEmpty)
+
+    Pq.appendToIndex(shifted(2000, 20000L), "vec_id", "embedding",
+      "graft_driftdb2.pq")
+    assert(failures(IndexAudit.driftPq(spark, "graft_driftdb2.pq",
+      "vec_id", "embedding")).contains("lists_within_drift_tolerance"))
+
+    val all = spark.table("graft_driftdb2.pq").select("vec_id", "embedding")
+      .localCheckpoint()
+    val coarse2 = Ivf.trainCentroids(all, "embedding", nList = 4, dim = 64,
+      sampleSize = 1000, iters = 2)
+    val cb2 = Pq.trainCodebooks(all, "embedding", coarse2, m = 8, ksub = 16,
+      dim = 64, sampleSize = 500, iters = 2)
+    Pq.writeIndex(all, "vec_id", "embedding", coarse2, cb2, m = 8, dsub = 8,
+      ksub = 16, table = "graft_driftdb2.pq", nBuckets = 2)
+    assert(failures(IndexAudit.driftPq(spark, "graft_driftdb2.pq",
+      "vec_id", "embedding")).isEmpty)
+  }
+}
