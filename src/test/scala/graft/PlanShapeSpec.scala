@@ -335,6 +335,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ANN rerank: query vectors reach the scoring join by broadcast " +
+    "and are NEVER sorted (the 10⁶-soak spill shape)") {
+    // the regression this pins: rerankTopK once attached query vectors
+    // BEFORE the corpus sort-merge join, so the SMJ sorted 512-byte
+    // rows — ~70 GB of spill at the 10⁶-vector soak. The fixed shape
+    // sorts only thin candidate pairs; the vector-laden stream flows
+    // through a broadcast hash join. A SortExec whose input carries
+    // qvec means the join order regressed.
+    // static plans: under AQE the broadcast stage only materializes at
+    // execution time and collect() can't see through the adaptive root
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (name <- Seq("q43_topk_ivf", "q79_topk_ivfpq", "q31_topk_lsh")) {
+      val plan = q(name).queryExecution.executedPlan
+      val sortedFat = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec
+            if s.child.output.exists(_.name == "qvec") => s
+      }
+      assert(sortedFat.isEmpty,
+        s"$name: query vectors enter ${sortedFat.size} sort(s) — the " +
+          s"rerank join order regressed:\n$plan")
+      val bcast = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+            if b.child.output.exists(_.name == "qvec") => b
+      }
+      assert(bcast.nonEmpty,
+        s"$name: query vectors never broadcast — rerank joins them " +
+          s"some other way:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("q95 shuffle shards: one shard-key exchange, no single-partition window") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = tree(graft.ext.TextOps.shuffleShards(docs, "doc_id",
