@@ -208,8 +208,8 @@ object IndexAudit {
   /** Bucket layout of a catalog table — the repairs rebuild INTO the
     * same spec, since every probe's Exchange-free plan depends on it.
     */
-  private def bucketSpecOf(spark: SparkSession,
-                           table: String): (Int, Seq[String], Seq[String]) = {
+  private[ext] def bucketSpecOf(spark: SparkSession,
+                                table: String): (Int, Seq[String], Seq[String]) = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
       .getOrElse(throw new IllegalArgumentException(

@@ -731,6 +731,27 @@ object Ivf {
       .write.mode("append").insertInto(table)
   }
 
+  /** Retrain + rewrite a persisted IVF index from its OWN current rows
+    * — the remedy [[IndexAudit.driftIvf]] points to when appended data
+    * no longer fits the frozen quantizer. Keeps the stored geometry
+    * (dim, centroid count unless overridden) and the catalog's bucket
+    * layout, so every probe's Exchange-free plan survives the rebuild;
+    * the rows are localCheckpointed first because the rewrite reads
+    * the table it replaces. One training sample + one assignment pass
+    * over the index's own rows — never the source corpus.
+    */
+  def rebuildIndex(spark: SparkSession, table: String, idCol: String,
+                   vecCol: String, nListOverride: Option[Int] = None,
+                   sampleSize: Int = 20000, iters: Int = 10): Unit = {
+    val dim = loadDim(spark, table)
+    val nList = nListOverride.getOrElse(loadCentroids(spark, table).length / dim)
+    val (nBuckets, _, _) = IndexAudit.bucketSpecOf(spark, table)
+    val rows = spark.table(table).select(col(idCol), col(vecCol))
+      .localCheckpoint()
+    val cents = trainCentroids(rows, vecCol, nList, dim, sampleSize, iters)
+    writeIndex(rows, idCol, vecCol, cents, dim, table, nBuckets)
+  }
+
   /** Reload the centroid matrix persisted by [[writeIndex]]. */
   def loadCentroids(spark: SparkSession, table: String): Array[Double] = {
     import spark.implicits._

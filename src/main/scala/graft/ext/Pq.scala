@@ -491,6 +491,32 @@ object Pq {
       .write.mode("overwrite").saveAsTable(s"${table}_health")
   }
 
+  /** Retrain + rewrite a persisted IVF-PQ index from its OWN current
+    * rows — the [[Ivf.rebuildIndex]] analog and the remedy
+    * [[IndexAudit.driftPq]] points to: retrains BOTH stages (coarse
+    * centroids, then residual codebooks) under the stored geometry
+    * (m, dsub, ksub; coarse list count unless overridden) and rewrites
+    * into the catalog's own bucket layout. Rows are localCheckpointed
+    * first because the rewrite reads the table it replaces.
+    */
+  def rebuildIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                   idCol: String, vecCol: String,
+                   nListOverride: Option[Int] = None,
+                   sampleSize: Int = 20000, iters: Int = 10): Unit = {
+    val (coarse0, _, m, dsub, ksub) = loadModel(spark, table)
+    val dim = m * dsub
+    val nList = nListOverride.getOrElse(coarse0.length / dim)
+    val (nBuckets, _, _) = IndexAudit.bucketSpecOf(spark, table)
+    val rows = spark.table(table).select(col(idCol), col(vecCol))
+      .localCheckpoint()
+    val coarse = Ivf.trainCentroids(rows, vecCol, nList, dim, sampleSize,
+      iters)
+    val codebooks = trainCodebooks(rows, vecCol, coarse, m, ksub, dim,
+      sampleSize, iters)
+    writeIndex(rows, idCol, vecCol, coarse, codebooks, m, dsub, ksub,
+      table, nBuckets)
+  }
+
   /** Reload the model persisted by [[writeIndex]]:
     * (coarse, codebooks, m, dsub, ksub).
     */

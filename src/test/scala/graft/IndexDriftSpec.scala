@@ -65,15 +65,13 @@ class IndexDriftSpec extends SparkSpec {
       "vec_id", "embedding")).isEmpty,
       "a drifted index must still pass the consistency fsck")
 
-    // the remedy is the documented cadence: retrain + rebuild
-    val all = spark.table("graft_driftdb1.ivf").select("vec_id", "embedding")
-      .localCheckpoint()
-    val cents2 = Ivf.trainCentroids(all, "embedding", nList = 8, dim = 64,
+    // the remedy is the documented cadence: one-call retrain + rewrite
+    Ivf.rebuildIndex(spark, "graft_driftdb1.ivf", "vec_id", "embedding",
       sampleSize = 1000, iters = 3)
-    Ivf.writeIndex(all, "vec_id", "embedding", cents2, dim = 64,
-      "graft_driftdb1.ivf", nBuckets = 2)
     assert(failures(IndexAudit.driftIvf(spark, "graft_driftdb1.ivf",
       "vec_id", "embedding")).isEmpty, "rebuild must clear drift")
+    assert(failures(IndexAudit.auditIvf(spark, "graft_driftdb1.ivf",
+      "vec_id", "embedding")).isEmpty, "rebuilt index must fsck clean")
   }
 
   test("IVF-PQ drift: the coarse-fit signal covers the pair — shifted " +
@@ -95,15 +93,11 @@ class IndexDriftSpec extends SparkSpec {
     assert(failures(IndexAudit.driftPq(spark, "graft_driftdb2.pq",
       "vec_id", "embedding")).contains("lists_within_drift_tolerance"))
 
-    val all = spark.table("graft_driftdb2.pq").select("vec_id", "embedding")
-      .localCheckpoint()
-    val coarse2 = Ivf.trainCentroids(all, "embedding", nList = 4, dim = 64,
+    Pq.rebuildIndex(spark, "graft_driftdb2.pq", "vec_id", "embedding",
       sampleSize = 1000, iters = 2)
-    val cb2 = Pq.trainCodebooks(all, "embedding", coarse2, m = 8, ksub = 16,
-      dim = 64, sampleSize = 500, iters = 2)
-    Pq.writeIndex(all, "vec_id", "embedding", coarse2, cb2, m = 8, dsub = 8,
-      ksub = 16, table = "graft_driftdb2.pq", nBuckets = 2)
     assert(failures(IndexAudit.driftPq(spark, "graft_driftdb2.pq",
       "vec_id", "embedding")).isEmpty)
+    assert(failures(IndexAudit.auditPq(spark, "graft_driftdb2.pq",
+      "vec_id", "embedding")).isEmpty, "rebuilt index must fsck clean")
   }
 }
