@@ -310,6 +310,33 @@ object EventStreams {
       }
       .start()
 
+  /** MONITORED index ingest: each micro-batch of arriving vectors
+    * appends to a persisted IVF index under the FROZEN stored model
+    * ([[graft.ext.Ivf.appendToIndex]] — probe results never shift
+    * under readers), then recomputes the drift report
+    * ([[graft.ext.IndexAudit.driftIvf]]) against the at-build
+    * `<table>_health` reference — so the ingest loop ITSELF surfaces
+    * the moment arrivals stop fitting the trained quantizer. This is
+    * the streaming form of the build → append → drift → rebuild
+    * cadence: `onBatch` receives the uniform (check, ok, observed,
+    * expected) report per batch; the caller reacts to `ok = false` by
+    * scheduling [[graft.ext.Ivf.rebuildIndex]] on the retrain cadence
+    * (never inside the batch — readers keep a consistent index until
+    * the swap). Appends are the batch operator verbatim, so streamed
+    * ingest ≡ the same appends applied in batch (spec-pinned).
+    */
+  def indexIngestStream(vectors: DataFrame, table: String, idCol: String,
+                        vecCol: String, tolMicro: Long = 20000L)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Ivf.appendToIndex(batch, idCol, vecCol, table)
+        onBatch(graft.ext.IndexAudit.driftIvf(batch.sparkSession, table,
+          idCol, vecCol, tolMicro), batchId)
+      }
+      .start()
+
   /** Continuous ANN serving against a PERSISTED IVF-PQ index
     * ([[graft.ext.Pq.writeIndex]]) — the storage-tier twin of
     * [[annProbeStream]]: same foreachBatch reuse of the batch probe

@@ -74,6 +74,54 @@ class IndexDriftSpec extends SparkSpec {
       "vec_id", "embedding")).isEmpty, "rebuilt index must fsck clean")
   }
 
+  test("monitored ingest stream: per-batch append + drift report — " +
+    "in-distribution batch clean, shifted batch tripped, appends ≡ batch") {
+    graft.plans.GraftFunctions.register(spark)
+    mkdb("graft_driftdb3")
+    val emb = CrossoverBench.syntheticEmbeddings(spark, 2000, 64, seed = 7L)
+    val cents = Ivf.trainCentroids(emb, "embedding", nList = 8, dim = 64,
+      sampleSize = 1000, iters = 3)
+    Ivf.writeIndex(emb, "vec_id", "embedding", cents, dim = 64,
+      "graft_driftdb3.ivf", nBuckets = 2)
+    val okBatch = sameDist(300, 10000L).localCheckpoint()
+    val badBatch = shifted(2000, 20000L).localCheckpoint()
+    val byKey = (okBatch.withColumn("__b", lit(0))
+      union badBatch.withColumn("__b", lit(1))).localCheckpoint()
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Int]
+    val reports = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+    var nextId = 0L
+    val query = graft.streaming.EventStreams.indexIngestStream(
+        in.toDF().toDF("__b").join(byKey, "__b")
+          .select(col("vec_id"), col("embedding")),
+        "graft_driftdb3.ivf", "vec_id", "embedding") { (report, _) =>
+      reports.synchronized {
+        reports(nextId) = failures(report); nextId += 1
+      }
+    }
+    in.addData(0)
+    query.processAllAvailable()
+    in.addData(1)
+    query.processAllAvailable()
+    query.stop()
+    assert(reports(0L).isEmpty,
+      s"in-distribution micro-batch must not trip drift: ${reports(0L)}")
+    assert(reports(1L).contains("lists_within_drift_tolerance"),
+      s"shifted micro-batch must trip drift: ${reports(1L)}")
+    // streamed ingest is the batch append verbatim: every id landed once
+    // (refresh first: the appends ran in foreachBatch's cloned session,
+    // so this session's file listing is stale)
+    spark.catalog.refreshTable("graft_driftdb3.ivf")
+    val n = spark.table("graft_driftdb3.ivf").count()
+    assert(n == 2000 + 300 + 2000, s"expected 4300 rows, got $n")
+    // and the appended rows carry model-consistent assignments
+    assert(failures(IndexAudit.auditIvf(spark, "graft_driftdb3.ivf",
+      "vec_id", "embedding")).isEmpty)
+  }
+
   test("IVF-PQ drift: the coarse-fit signal covers the pair — shifted " +
     "appends trip it, rebuild clears it") {
     graft.plans.GraftFunctions.register(spark)
