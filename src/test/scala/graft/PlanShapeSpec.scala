@@ -320,7 +320,13 @@ class PlanShapeSpec extends SparkSpec {
       ("q130_rag_serving", 7, 23),
       ("q133_video_near_dup", 0, 8),
       ("q137_filtered_recall", 0, 7),
-      ("q138_mmr_rerank", 0, 1))
+      ("q138_mmr_rerank", 0, 1),
+      // the seeded trainers post-rework (round 10): the checkpoint
+      // boundaries (coarse model, residuals, codewords) hold the
+      // exchange count flat at 11/14 — the ×m ADC join blowup this
+      // round removed would reappear here as extra exchanges
+      ("q43_topk_ivf", 5, 11),
+      ("q79_topk_ivfpq", 3, 14))
     for ((name, maxScans, maxEx) <- bounds) {
       val plan = tree(q(name))
       assert(plan.contains("ExistingRDD"),
