@@ -166,6 +166,28 @@ object HttpShim {
         excludeSelf = true)
     })
 
+  /** `/fsck?name=<artifact>` — the index fscks and drift checks
+    * ([[graft.ext.IndexAudit]]) served over HTTP, so the
+    * fsck-then-mount precondition and the retrain trigger are visible
+    * to the same plane that serves `/search`/`/similar`/`/quality`.
+    * The artifact registry is FIXED at mount time (a name → report
+    * thunk map) — a request can never name an arbitrary catalog table
+    * through the shim. Reports are the uniform (check, ok, observed,
+    * expected) rows, identical to the batch audits (spec-pinned); an
+    * unknown name surfaces as the standard `{"error": ...}` object
+    * listing what IS mounted.
+    */
+  def opsRoutes(checks: Map[String, () => DataFrame])
+      : Map[String, HttpExchange => DataFrame] = Map(
+    "fsck" -> { ex =>
+      val mounted = checks.keys.toSeq.sorted.mkString(", ")
+      val params = queryParams(ex.getRequestURI.getRawQuery)
+      val name = params.getOrElse("name", throw new IllegalArgumentException(
+        s"missing ?name= parameter; mounted artifacts: $mounted"))
+      checks.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown artifact '$name'; mounted artifacts: $mounted"))()
+    })
+
   /** The reference's two routes over CSV files (main.py:8-9, 24-30),
     * parsed with the S1 ingester.
     */

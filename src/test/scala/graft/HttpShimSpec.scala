@@ -161,4 +161,43 @@ class HttpShimSpec extends SparkSpec {
       assert(code3 == 200 && body3.startsWith("""{"error":"""))
     } finally shim.stop()
   }
+
+  test("/fsck serves the mounted audits: served report == the batch " +
+    "audit, corruption visible over HTTP, unknown artifact errors") {
+    import graft.ext.{IndexAudit, Retrieval}
+    val docs = Seq(
+      (0L, "cat dog cat mouse"), (1L, "cat fish"), (2L, "dog dog dog"),
+      (3L, "bird mouse cat dog fish"))
+      .toDF("doc_id", "text")
+    val loc = Files.createTempDirectory("graft_httpfsck").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fsckdb LOCATION '$loc'")
+    Retrieval.writeBm25Index(docs, "doc_id", "text", "graft_fsckdb.idx",
+      nBuckets = 2)
+    val shim = HttpShim.startDynamic(HttpShim.opsRoutes(Map(
+      "bm25" -> (() => IndexAudit.auditBm25(spark, "graft_fsckdb.idx")))))
+    try {
+      val (code, body) = get(shim.port, "/fsck?name=bm25")
+      assert(code == 200, body)
+      assert(body.contains(""""check":"meta_n_docs"""") &&
+        body.contains(""""ok":true""") && !body.contains(""""ok":false"""),
+        body)
+      // corruption becomes visible on the SAME route (per-request
+      // re-evaluation, the shim's freshness contract)
+      Seq((99L, 99L, "doc_id")).toDF("n", "t", "id_col")
+        .write.format("parquet").mode("overwrite")
+        .saveAsTable("graft_fsckdb.idx_meta")
+      val after = get(shim.port, "/fsck?name=bm25")._2
+      assert(after.contains(""""ok":false"""), after)
+      // the served rows are the batch audit verbatim
+      val batch = IndexAudit.auditBm25(spark, "graft_fsckdb.idx")
+        .filter(!col("ok")).count()
+      assert(batch > 0)
+      // unknown artifact / missing name → error object naming the mounts
+      val (c2, b2) = get(shim.port, "/fsck?name=nope")
+      assert(c2 == 200 && b2.startsWith("""{"error":""") &&
+        b2.contains("bm25"), b2)
+      val (c3, b3) = get(shim.port, "/fsck")
+      assert(c3 == 200 && b3.startsWith("""{"error":"""), b3)
+    } finally shim.stop()
+  }
 }
