@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
   * The probe set leans on the queries most exposed to partitioning:
   * window-heavy (q64), global-shuffle layout (q95), per-group top-k
   * aggregate state (q83), LSH banding + connected components (q53),
-  * and the gradient-trained lattice (q139).
+  * the gradient-trained lattice (q139), and the
+  * seeded IVF-PQ trainer (q79) — whose round-10 rework moved every
+  * corpus-side argmin/argmax onto partial-aggregating min/max(struct),
+  * the exact construct these gates exist to police.
   */
 class AqeParitySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private val probes = Seq("q64_window_battery", "q95_shuffle_shards",
-    "q83_topk_per_group", "q53_dup_clusters", "q139_train_quality")
+    "q83_topk_per_group", "q53_dup_clusters", "q139_train_quality",
+    "q79_topk_ivfpq")
 
   test("AQE on and off produce identical rows for partition-sensitive " +
     "queries") {
@@ -53,7 +57,8 @@ class AqeParitySpec extends SparkSpec {
     // shuffle (catching accidental reliance on parallel tie-breaks), a
     // prime count misaligns every hash boundary.
     for (name <- Seq("q83_topk_per_group", "q53_dup_clusters",
-        "q139_train_quality", "q143_dsir_selection")) {
+        "q139_train_quality", "q143_dsir_selection",
+        "q79_topk_ivfpq")) {
       val fn = SparkEntry.queries(name)
       val results = Seq("1", "5", "32").map { n =>
         val s = spark.newSession()
