@@ -166,6 +166,42 @@ object HttpShim {
         excludeSelf = true)
     })
 
+  /** `/tokenize?text=<doc>[&model=unigram|bpe]` answered from the
+    * PERSISTED tokenizer artifacts
+    * ([[graft.ext.TextOps.writeUnigramModel]] /
+    * [[graft.ext.TextOps.writeBpeModel]]) through the stock indexed
+    * apply operators, so a served segmentation is bit-identical to the
+    * batch tokenization under the same model (spec-pinned) — the
+    * tokenizer twin of `/quality`, completing the serving surface for
+    * every persisted artifact family. Missing/blank text and unknown
+    * model names surface as the standard `{"error": ...}` object.
+    */
+  def tokenizerRoutes(spark: org.apache.spark.sql.SparkSession,
+                      unigramTable: String, bpeTable: String)
+      : Map[String, HttpExchange => DataFrame] = Map(
+    "tokenize" -> { ex =>
+      val params = queryParams(ex.getRequestURI.getRawQuery)
+      val text = params.getOrElse("text", "")
+      require(text.trim.nonEmpty, "missing or empty ?text= parameter")
+      val model = params.getOrElse("model", "unigram")
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, size => asize}
+      val df = Seq(text).toDF("text")
+      model match {
+        case "unigram" =>
+          graft.ext.TextOps.withUnigramTokensIndexed(spark, unigramTable,
+              df, "text")
+            .select(col("unigram_tokens").as("tokens"),
+              asize(col("unigram_tokens")).cast("long").as("n_tokens"))
+        case "bpe" =>
+          graft.ext.TextOps.withBpeTokensIndexed(spark, bpeTable, df, "text")
+            .select(col("bpe_tokens").as("tokens"),
+              col("n_bpe_tokens").as("n_tokens"))
+        case other => throw new IllegalArgumentException(
+          s"unknown model '$other' — use model=unigram or model=bpe")
+      }
+    })
+
   /** `/fsck?name=<artifact>` — the index fscks and drift checks
     * ([[graft.ext.IndexAudit]]) served over HTTP, so the
     * fsck-then-mount precondition and the retrain trigger are visible

@@ -310,6 +310,24 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous tokenization against a PERSISTED unigram model
+    * ([[graft.ext.TextOps.writeUnigramModel]]) — the tokenizer twin of
+    * [[qualityScoreStream]]: foreachBatch reuses the batch indexed
+    * apply verbatim, and tokenization is a stateless per-document
+    * projection, so the union of per-batch outputs equals one batch
+    * pass over every document streamed (spec-pinned). Model refresh is
+    * its own cadence (rewrite the artifact between serving windows).
+    */
+  def tokenizeStream(docs: DataFrame, table: String, textCol: String)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ext.TextOps.withUnigramTokensIndexed(
+          batch.sparkSession, table, batch, textCol), batchId)
+      }
+      .start()
+
   /** MONITORED index ingest: each micro-batch of arriving vectors
     * appends to a persisted IVF index under the FROZEN stored model
     * ([[graft.ext.Ivf.appendToIndex]] — probe results never shift

@@ -162,6 +162,42 @@ class HttpShimSpec extends SparkSpec {
     } finally shim.stop()
   }
 
+  test("/tokenize serves the persisted tokenizer artifacts: served " +
+    "segmentation == batch apply for unigram AND bpe, errors as objects") {
+    import graft.ext.TextOps
+    val loc = Files.createTempDirectory("graft_httptok").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_tokdb LOCATION '$loc'")
+    TextOps.writeUnigramModel(spark, "graft_tokdb.um",
+      Seq(("a", 9L, 100L), ("b", 8L, 110L), ("c", 7L, 120L),
+        ("ab", 5L, 150L), ("abc", 4L, 160L))
+        .toDF("piece", "cnt", "cost_micro"),
+      maxPieceLen = 3)
+    TextOps.writeBpeModel(spark, "graft_tokdb.bpe",
+      Seq(("a", "b", 9L), ("ab", "c", 5L)))
+    val shim = HttpShim.startDynamic(HttpShim.tokenizerRoutes(spark,
+      "graft_tokdb.um", "graft_tokdb.bpe"))
+    try {
+      val probe = "abc ab"
+      val enc = java.net.URLEncoder.encode(probe, "UTF-8")
+      val (code, body) = get(shim.port, s"/tokenize?text=$enc")
+      assert(code == 200, body)
+      val batchUni = TextOps.withUnigramTokensIndexed(spark,
+          "graft_tokdb.um", Seq(probe).toDF("text"), "text")
+        .select("unigram_tokens").head.getSeq[String](0)
+      batchUni.foreach(t => assert(body.contains(s""""$t""""), s"$t / $body"))
+      assert(body.contains(s""""n_tokens":${batchUni.size}"""), body)
+      val (c2, b2) = get(shim.port, s"/tokenize?text=$enc&model=bpe")
+      val batchBpe = TextOps.withBpeTokensIndexed(spark, "graft_tokdb.bpe",
+          Seq(probe).toDF("text"), "text")
+        .select("bpe_tokens").head.getSeq[String](0)
+      assert(c2 == 200 && b2.contains(s""""n_tokens":${batchBpe.size}"""), b2)
+      // error objects: blank text, unknown model
+      assert(get(shim.port, "/tokenize")._2.startsWith("""{"error":"""))
+      val bad = get(shim.port, s"/tokenize?text=$enc&model=wordpiece")._2
+      assert(bad.startsWith("""{"error":""") && bad.contains("unigram"), bad)
+    } finally shim.stop()
+  }
+
   test("/fsck serves the mounted audits: served report == the batch " +
     "audit, corruption visible over HTTP, unknown artifact errors") {
     import graft.ext.{IndexAudit, Retrieval}

@@ -107,6 +107,42 @@ class UnigramSpec extends SparkSpec {
       .filter(!col("ok")).count() == 0)
   }
 
+  test("tokenize stream over the persisted model: union of micro-batches " +
+    "== one batch pass") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_uni3").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_unidb3 LOCATION '$loc'")
+    import spark.implicits._
+    TextOps.writeUnigramModel(spark, "graft_unidb3.um",
+      Seq(("a", 9L, 100L), ("b", 8L, 110L), ("c", 7L, 120L),
+        ("d", 6L, 130L), ("ab", 5L, 150L), ("abcd", 4L, 160L))
+        .toDF("piece", "cnt", "cost_micro"),
+      maxPieceLen = 4)
+    val docs = Seq((0L, "abcd ab"), (1L, "dcba"), (2L, "ab ab abcd"))
+      .toDF("doc_id", "text").localCheckpoint()
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val query = graft.streaming.EventStreams.tokenizeStream(
+        in.toDF().toDF("doc_id").join(docs, "doc_id"),
+        "graft_unidb3.um", "text") { (batch, _) =>
+      acc.synchronized {
+        acc ++= batch.select("doc_id", "unigram_tokens")
+          .collect().map(_.toSeq)
+      }
+    }
+    in.addData(0L, 2L)
+    query.processAllAvailable()
+    in.addData(1L)
+    query.processAllAvailable()
+    query.stop()
+    val oneShot = TextOps.withUnigramTokensIndexed(spark, "graft_unidb3.um",
+        docs, "text")
+      .select("doc_id", "unigram_tokens").collect().map(_.toSeq)
+    assert(acc.toSet == oneShot.toSet && acc.size == 3)
+  }
+
   test("model audit trips on a gapped alphabet and an oversized piece") {
     val loc = java.nio.file.Files.createTempDirectory("graft_uni2").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_unidb2 LOCATION '$loc'")
