@@ -645,7 +645,7 @@ private[graft] object TextQueries {
     // coalesce: DuckDB array_to_string of an EMPTY list is NULL (a
     // link-free block must count 0 link chars, as Spark's array_join)
     val lc = s"coalesce(len(array_to_string(regexp_extract_all($b, " +
-      "'<a[^>]*>([^<]*)</a>', 1), '')), 0)"
+      "'" + TextOps.AnchorTextPattern + "', 1), '')), 0)"
     val nstop = s"len(list_filter(string_split(lower($t0), ' '), " +
       s"w -> w IN ($stopList)))"
     val nw = s"(CASE WHEN $t0 = '' THEN 0 ELSE len(string_split($t0, ' ')) END)"

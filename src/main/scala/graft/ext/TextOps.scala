@@ -1512,7 +1512,7 @@ object TextOps {
     }
     def linkChars(b: Column): Column =
       length(array_join(
-        regexp_extract_all(b, lit("<a[^>]*>([^<]*)</a>"), lit(1)), ""))
+        regexp_extract_all(b, lit(AnchorTextPattern), lit(1)), ""))
     def keep(b: Column): Column = {
       val txt = blockText(b)
       val n = length(txt)
@@ -1538,16 +1538,29 @@ object TextOps {
     * Shared with the DuckDB oracle generator so the two cannot drift.
     */
   val PruneHtmlPatterns: Seq[String] = Seq(
-    "<!--.*?-->",
-    "<script[^>]*>.*?</script>", "<style[^>]*>.*?</style>",
-    "<header[^>]*>.*?</header>", "<head[^>]*>.*?</head>",
-    "<nav[^>]*>.*?</nav>", "<footer[^>]*>.*?</footer>",
-    "<aside[^>]*>.*?</aside>")
+    "(?s)<!--.*?-->",
+    "(?is)<script[^>]*>.*?</script>", "(?is)<style[^>]*>.*?</style>",
+    "(?is)<header[^>]*>.*?</header>", "(?is)<head[^>]*>.*?</head>",
+    "(?is)<nav[^>]*>.*?</nav>", "(?is)<footer[^>]*>.*?</footer>",
+    "(?is)<aside[^>]*>.*?</aside>")
 
   /** Block-boundary pattern for [[extractMainContent]] (closing
-    * block-level tags + `<br>`), shared with the oracle generator. */
+    * block-level tags + `<br>`), shared with the oracle generator.
+    *
+    * Both this and [[PruneHtmlPatterns]] carry inline `(?i)`/`(?is)`
+    * flags — real crawl HTML mixes tag case and puts newlines inside
+    * `<script>`/`<style>`/`<head>` blocks, so without them virtually
+    * every real page's boilerplate would escape pruning wholesale.
+    * `(?i)`/`(?is)` parse identically under Java regex (Spark) and RE2
+    * (DuckDB), so the shared-constant oracle generation still holds.
+    */
   val BlockSplitPattern: String =
-    "</p>|</div>|</li>|</h[1-6]>|</section>|</article>|<br */?>"
+    "(?i)</p>|</div>|</li>|</h[1-6]>|</section>|</article>|<br */?>"
+
+  /** Anchor visible-text pattern for [[extractMainContent]]'s link-char
+    * density (group 1 = the anchor's text), shared with the oracle
+    * generator; `(?i)` so `<A HREF=...>` counts like `<a href=...>`. */
+  val AnchorTextPattern: String = "(?i)<a[^>]*>([^<]*)</a>"
 
   /** The six ubiquitous entities [[extractMainContent]] decodes, in
     * replacement order (`&amp;` last). Shared with the oracle. */

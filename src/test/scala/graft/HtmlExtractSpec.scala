@@ -72,6 +72,33 @@ class HtmlExtractSpec extends SparkSpec {
       assert(!txt.contains(leak), s"pruned content leaked: $leak")
   }
 
+  test("uppercase and multi-line boilerplate is still pruned (real crawl shape)") {
+    // real pages mix tag case and put newlines inside script/style/head;
+    // the (?is)/(?i) flags on PruneHtmlPatterns/BlockSplitPattern are
+    // what makes these vanish — without them every block here leaks
+    val html = "<HTML><HEAD>\n<TITLE>leaky title\nwords</TITLE>\n" +
+      "<STYLE type=\"text/css\">\np { margin: 0; }\nbody { color: red; }\n</STYLE>\n" +
+      "<Script>\nvar secretvar = 1;\nfunction f() { return 2; }\n</SCRIPT>\n" +
+      "</HEAD>\n<BODY><NAV>\nnavigation\nwords here\n</NAV>" +
+      "<!-- a\nmulti-line\ncomment -->" +
+      "<P>it is the kept paragraph of this little page.</P>" +
+      "<FOOTER>\nfooter words here\n</FOOTER></BODY></HTML>"
+    val (_, kept, txt) = extract(html)
+    assert(kept == 1, s"kept=$kept txt='$txt'")
+    assert(txt == "it is the kept paragraph of this little page.")
+    for (leak <- Seq("leaky", "margin", "secretvar", "navigation",
+        "comment", "footer words"))
+      assert(!txt.contains(leak), s"pruned content leaked: $leak")
+  }
+
+  test("uppercase anchors count as link chars (<A HREF> density)") {
+    // 6 link chars over 25 visible chars = 240 permille > 200 → drop;
+    // without (?i) on AnchorTextPattern the anchor text would count as
+    // plain visible text and the block would survive
+    val over = "<A HREF=\"/x\">aaaaaa</A> it is of xxxxxxxxx"
+    assert(extract(page(over))._2 == 0)
+  }
+
   test("header is pruned before head (open-tag prefix collision)") {
     // <head[^>]*> would match <header> if applied first; the documented
     // order strips the header element, leaving head intact to strip
