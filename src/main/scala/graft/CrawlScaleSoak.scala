@@ -67,6 +67,46 @@ object CrawlScaleSoak {
     require(mj.getLong(1) == (n + 1) / 2,
       s"exactly the damaged half must change: ${mj.getLong(1)}")
 
+    // --- FULL q149 tail: funnel + canonical pick with a PLANTED HOT
+    // CLUSTER — every 5th page is the same text, so 20% of the corpus
+    // lands in ONE content group. The row_number-window formulation
+    // this replaced sends those 200k docs, payloads attached, to a
+    // single reducer task; the shipped min-agg + id-join tail
+    // (TextQueries.crawlCanonicalTail — the exact catalog code) must
+    // reduce them map-side. Wall time here is the regression signal.
+    val dupText = graft.entry.TextQueries.CrawlDupText
+    val funnelPaged = docs.withColumn("html", concat(
+      lit(graft.entry.TextQueries.HtmlPre),
+      when(col("doc_id") % 5 === 0, lit(dupText)).otherwise(col("text")),
+      when(col("doc_id") % 2 === 0, lit(" " + damaged))
+        .otherwise(lit(" " + graft.entry.TextQueries.MojibakeClean)),
+      lit(graft.entry.TextQueries.HtmlLinks),
+      lit(graft.entry.TextQueries.HtmlTail)))
+    val (fu, tFu) = time {
+      val ex149 = TextOps.extractMainContent(funnelPaged, "html")
+        .select(col("doc_id"), col("blocks_kept"), col("text_main"))
+      val rep149 = TextOps.repairMojibake(ex149, "text_main")
+      val scored = graft.ext.QualityModel
+        .qualityClassifierScore(rep149, "text_main_fixed")
+      graft.entry.TextQueries.crawlCanonicalTail(scored)
+        .agg(count(lit(1)).as("rows"),
+          count(when(col("is_canonical"), 1)).as("canonical"),
+          count(when(col("kept"), 1)).as("kept"),
+          // the hot cluster: every 5th doc, one shared content hash —
+          // its canonical count must collapse to at most 1
+          count(when(col("doc_id") % 5 === 0 && col("is_canonical"), 1))
+            .as("hot_canon"))
+        .collect()(0)
+    }
+    println(f"[soak] q149 funnel+canonical (20%% hot cluster): $tFu%.1f s, " +
+      s"rows=${fu.getLong(0)} kept=${fu.getLong(2)} " +
+      s"canonical=${fu.getLong(1)} hot_cluster_canonical=${fu.getLong(3)}")
+    require(fu.getLong(0) == n, s"row per doc lost: ${fu.getLong(0)}")
+    require(fu.getLong(3) <= 1,
+      s"hot dup cluster kept ${fu.getLong(3)} canonicals, expected <=1")
+    require(fu.getLong(1) <= fu.getLong(2),
+      "canonicals must be a subset of kept docs")
+
     // --- q147/q148 shape: unigram train + tokenize -------------------
     val (vocab, tTrain) = time {
       val v = TextOps.trainUnigramLm(docs, "text", maxPieceLen = 4,
@@ -80,6 +120,69 @@ object CrawlScaleSoak {
     }
     println(f"[soak] unigram tokenize: $tTok%.1f s, tokens=$tok")
     require(tok > n, "tokenization must emit at least one piece per doc")
+
+    // --- production-sized unigram trainer: maxPieceLen 8, ≥8k-piece
+    // vocab, 10⁶ docs. The catalog's q147 trains at maxPieceLen 4 for
+    // oracle tractability; this stage measures the gap to a
+    // SentencePiece-realistic configuration — 8-letter words so the
+    // piece window is binding, a 50k-word lexicon so the substring
+    // census is corpus-bounded, and a prune threshold tuned to land a
+    // vocabulary in the 8k–32k band. Asserts vocab size, single-char
+    // alphabet closure, and a wall-time ceiling.
+    val longDocs = longWordDocs(spark, n, seed = 99L,
+        parallelism = cpus.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    longDocs.count()
+    // thresholds scale with corpus size so a small-n smoke run keeps the
+    // same vocab SHAPE; the 8k-piece assertion is the full-size contract.
+    // 2000-per-10⁶-docs: EM repricing concentrates counts on the pieces
+    // Viterbi actually uses, so a piece's post-EM count sits far below
+    // its raw substring census — a census-calibrated threshold prunes
+    // every 3-gram and collapses the vocab to bigrams+singles
+    val prune8 = math.max(2L, 2000L * n / 1000000L)
+    val (v8, tTrain8) = time {
+      TextOps.trainUnigramLm(longDocs, "text", maxPieceLen = 8,
+          seedMinCount = prune8, pruneMinCount = prune8, steps = 2)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    }
+    val singles = v8.map(_._1).filter(_.length == 1).toSet
+    println(f"[soak] unigram train (maxPieceLen=8): $tTrain8%.1f s, " +
+      s"vocab=${v8.size}, singles=${singles.size}")
+    require(n < 1000000L || v8.size >= 8000,
+      s"production-sized vocab must reach 8k pieces: ${v8.size}")
+    require(('a' to 'z').forall(c => singles(c.toString)),
+      s"alphabet closure lost — singles: ${singles.toSeq.sorted}")
+    require(tTrain8 < 1800.0,
+      f"production-sized trainer blew the 30-minute ceiling: $tTrain8%.1f s")
+    val (tok8, tTok8) = time {
+      TextOps.withUnigramTokens(longDocs, "text", v8, maxPieceLen = 8)
+        .agg(sum(col("n_unigram_tokens"))).collect()(0).getLong(0)
+    }
+    println(f"[soak] unigram tokenize (8k-piece lattice): $tTok8%.1f s, " +
+      s"tokens=$tok8")
+    require(tok8 > n, "tokenization must emit at least one piece per doc")
     spark.stop()
+  }
+
+  /** 10⁶-doc corpus over a 50k-word lexicon of 8-LETTER words (each
+    * word's spelling derived deterministically from its lexicon id), so
+    * the unigram trainer's maxPieceLen-8 window is binding — soakDocs'
+    * `wNNNNN` words cap pieces at 6 chars and would leave the
+    * production window untested.
+    */
+  def longWordDocs(spark: SparkSession, n: Long, seed: Long,
+                   parallelism: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, parallelism).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val rnd = new scala.util.Random(seed ^ id)
+        val len = 40 + rnd.nextInt(80)
+        val words = Array.fill(len) {
+          val wr = new scala.util.Random(seed * 31 + rnd.nextInt(50000))
+          (0 until 8).map(_ => ('a' + wr.nextInt(26)).toChar).mkString
+        }
+        (id, words.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
   }
 }

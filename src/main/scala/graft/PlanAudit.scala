@@ -10,6 +10,80 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.PlanAudit [sfDir] [q85,q86,...]
   * With one query selected, dumps `explain("formatted")` too.
   */
+/** The "text never rides a content-keyed exchange" invariant, as a
+  * mechanical plan check (swept repo-wide by PlanShapeSpec, printable
+  * per-query via [[PlanAudit]]).
+  *
+  * An Exchange is CONTENT-KEYED when its hash-partitioning either (a)
+  * references any string attribute inside its expressions — that
+  * string is in the exchange input by construction, so it crosses the
+  * wire — or (b) partitions by a digest-named attribute (md5/sha/
+  * hash/sig…), i.e. precomputed content identity. Such an exchange
+  * must carry ONLY keys, ids, digests, and narrow tokens: a DOCUMENT-
+  * sized string (text/html/line/body/… by the repo's naming
+  * discipline) in its output means full payloads pile onto whatever
+  * key is hot — and duplicate content is hot by definition. The
+  * sanctioned shape is hash → thin agg winners → join back on the
+  * uniform id key ([[graft.ext.Dedup.dedupExact]]).
+  *
+  * Name-based width classification is a static proxy (column widths
+  * aren't in the schema); both patterns are part of the invariant and
+  * new wide-text columns must join `WideTextPattern`.
+  */
+object ContentKeyAudit {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  import org.apache.spark.sql.types.StringType
+
+  /** Document-sized string columns, by the repo's naming discipline. */
+  val WideTextPattern =
+    ("(?i)(^|_)(text|html|line|lines|content|main|fixed|body|page|doc|" +
+      "snippet|passage|chunk|paragraph|sentence|title|summary|comment|" +
+      "ccnet_key)($|_|s$)").r.unanchored
+
+  /** Precomputed content-identity columns (digests of content). */
+  val DigestPattern = // sha must not swallow "shard": require digit/boundary
+    "(?i)(md5|sha(?=[0-9]|_|$)|hash|sig|digest|fingerprint|__h)".r.unanchored
+
+  private def isWide(a: Attribute): Boolean =
+    a.dataType == StringType && WideTextPattern.matches(a.name) &&
+      !DigestPattern.matches(a.name) // fixed_md5, content_hash: digests of
+                                     // wide columns are themselves narrow
+
+  /** One line per violating exchange in `plan` (empty = invariant holds). */
+  def violations(plan: SparkPlan): Seq[String] = {
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    root.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning match {
+        case hp: HashPartitioning =>
+          // content-keyed: the partition key is computed from document
+          // text (the wide input necessarily sits in the exchange), or is
+          // a precomputed content digest. Narrow string keys (tokens,
+          // shard labels) are legitimate partitioners and stay exempt.
+          val contentKeyed = hp.expressions.exists { ex =>
+            ex.references.exists(isWide) ||
+              (ex match {
+                case a: AttributeReference => DigestPattern.matches(a.name)
+                case _ => false
+              })
+          }
+          val wide = e.output.filter(isWide)
+          if (contentKeyed && wide.nonEmpty)
+            Seq(s"content-keyed exchange on [${hp.expressions.mkString(", ")}] " +
+              s"carries wide text [${wide.map(_.name).mkString(", ")}]")
+          else Seq.empty
+        case _ => Seq.empty
+      }
+    }.flatten
+  }
+}
+
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -46,7 +120,10 @@ object PlanAudit {
             if w.partitionSpec.isEmpty => w
         }.size
         val flag = if (globalWin > 0) s"  GLOBAL-WINDOW=$globalWin" else ""
-        println(f"$name%-32s exchanges=$nEx%-3d scans=$nScan%-3d codegen=$nWsc%d$flag")
+        val ck = ContentKeyAudit.violations(executed)
+        val ckFlag = if (ck.nonEmpty) s"  CONTENT-KEYED-TEXT=${ck.size}" else ""
+        println(f"$name%-32s exchanges=$nEx%-3d scans=$nScan%-3d codegen=$nWsc%d$flag$ckFlag")
+        ck.foreach(v => println(s"    $v"))
         if (selected.size == 1) df.explain("formatted")
       } catch { case e: Throwable =>
         println(s"$name FAILED: ${e.getMessage}")

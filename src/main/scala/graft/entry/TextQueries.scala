@@ -91,6 +91,32 @@ private[graft] object TextQueries {
     "this duplicated page text appears many times across the crawl " +
       "and it is long enough to pass every filter"
 
+  /** q149's dedup tail: the canonical pick over the scored funnel
+    * output, WITHOUT a content-keyed window. Hash once, drop the text,
+    * then the keep-first winner per content is a `min(doc_id)` AGGREGATE
+    * on the digest (map-side combining — a 20%-of-corpus dup group
+    * reduces per partition instead of one task sorting a fifth of the
+    * corpus with document payloads attached) joined back on the UNIFORM
+    * doc_id key. `localCheckpoint`: the thin relation has two consumers
+    * and sits on top of the whole extract→repair→score funnel, which
+    * must run once, not per branch. Shared by the q149 catalog entry and
+    * `CrawlScaleSoak`'s 10⁶-doc planted-hot-cluster run so the soak
+    * exercises exactly the shipped tail.
+    */
+  private[graft] def crawlCanonicalTail(scored: DataFrame): DataFrame = {
+    val thin = scored
+      .select(col("doc_id"), col("blocks_kept"), col("chars_collapsed"),
+        col("kept"), md5(col("text_main_fixed")).as("fixed_md5"))
+      .localCheckpoint()
+    val canon = thin.filter(col("kept"))
+      .groupBy(col("fixed_md5")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("__canon"))
+    thin.join(canon, Seq("doc_id"), "left")
+      .withColumn("is_canonical", coalesce(col("__canon"), lit(false)))
+      .select(col("doc_id"), col("blocks_kept"), col("chars_collapsed"),
+        col("kept"), col("is_canonical"), col("fixed_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- the COMPLETE crawl→curate funnel in ONE plan
@@ -115,16 +141,7 @@ private[graft] object TextQueries {
         .select(col("doc_id"), col("blocks_kept"), col("text_main"))
       val rep = TextOps.repairMojibake(ex, "text_main")
       val scored = QualityModel.qualityClassifierScore(rep, "text_main_fixed")
-      val w = Window
-        .partitionBy(col("kept"), md5(col("text_main_fixed")))
-        .orderBy(col("doc_id"))
-      scored
-        .withColumn("is_canonical",
-          col("kept") && row_number().over(w) === 1)
-        .select(col("doc_id"), col("blocks_kept"), col("chars_collapsed"),
-          col("kept"), col("is_canonical"),
-          md5(col("text_main_fixed")).as("fixed_md5"))
-        .orderBy("doc_id")
+      crawlCanonicalTail(scored).orderBy("doc_id")
     }),
 
     // ---- unigram-LM tokenizer TRAINING (oracle-checked): the
