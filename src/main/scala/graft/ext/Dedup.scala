@@ -326,7 +326,54 @@ object Dedup {
     based.write.format("parquet")
       .bucketBy(nBuckets, idCol).sortBy(idCol)
       .mode("overwrite").saveAsTable(s"${table}_shingles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the hyperparameters DEFINE the signature/band-key family: persist
+    // them so probes/appends/repairs can fail loudly on a mismatch
+    // instead of silently writing or matching under the wrong family
+    Seq((shingleN, k, bands, useNative, portable))
+      .toDF("shingle_n", "k", "bands", "use_native", "portable")
+      .coalesce(1)
+      .write.mode("overwrite").saveAsTable(s"${table}_meta")
   }
+
+  /** Hyperparameters a persisted MinHash index was written with —
+    * reloaded from the `<table>_meta` sidecar. They define the
+    * signature/band-key family, so every probe, append, and repair must
+    * run under exactly these values; a mismatch produces band keys from
+    * a DIFFERENT family that never error, just never match (or, for a
+    * repair, postings that disagree with every future probe while the
+    * structural audit stays self-consistently green).
+    */
+  final case class MinhashMeta(shingleN: Int, k: Int, bands: Int,
+                               useNative: Boolean, portable: Boolean)
+
+  /** The [[MinhashMeta]] persisted with the index at `table`; `None`
+    * for indexes written before the sidecar existed (callers then rely
+    * on supplying the build-time values, the pre-meta contract).
+    */
+  def loadMinhashMeta(spark: org.apache.spark.sql.SparkSession,
+                      table: String): Option[MinhashMeta] =
+    if (!spark.catalog.tableExists(s"${table}_meta")) None
+    else {
+      val r = spark.table(s"${table}_meta").head()
+      Some(MinhashMeta(r.getAs[Int]("shingle_n"), r.getAs[Int]("k"),
+        r.getAs[Int]("bands"), r.getAs[Boolean]("use_native"),
+        r.getAs[Boolean]("portable")))
+    }
+
+  /** Fail loudly when `supplied` doesn't match the index's persisted
+    * build-time hyperparameters (no-op for pre-meta indexes). */
+  private[graft] def requireMinhashMeta(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      supplied: MinhashMeta, op: String): Unit =
+    loadMinhashMeta(spark, table).foreach { persisted =>
+      require(persisted == supplied,
+        s"$op on $table under $supplied, but the index was built with " +
+          s"$persisted — band keys would come from a different signature " +
+          s"family (wrong matches / silent corruption). Pass the " +
+          s"build-time values (loadMinhashMeta).")
+    }
 
   /** Append a new batch to a persisted MinHash index (both the band
     * table and the shingle sidecar): the incremental-maintenance half of
@@ -342,6 +389,8 @@ object Dedup {
                            table: String, shingleN: Int = 3, k: Int = 64,
                            bands: Int = 16, useNative: Boolean = false,
                            portable: Boolean = false): Unit = {
+    requireMinhashMeta(df.sparkSession, table,
+      MinhashMeta(shingleN, k, bands, useNative, portable), "append")
     // This is the per-batch hot path of the continuous-ingest loop: the
     // shingled batch feeds BOTH writes, so cache it for their duration —
     // one source scan and one shingle computation per ingest cycle, not
@@ -380,6 +429,8 @@ object Dedup {
                           maxBucketSize: Int = 1000,
                           useNative: Boolean = false,
                           portable: Boolean = false): DataFrame = {
+    requireMinhashMeta(spark, table,
+      MinhashMeta(shingleN, k, bands, useNative, portable), "probe")
     val batch = newDocs.select(col(idCol).as("id_new"),
         wordShingles(col(textCol), shingleN, useNative).as("sh_new"))
       .select(col("id_new"), col("sh_new"),

@@ -99,12 +99,14 @@ object IndexAudit {
   }
 
   /** MinHash pair ([[Dedup.writeMinhashIndex]]): `<table>` band
-    * postings vs `<table>_shingles` verify sidecar. The signature
-    * hyperparameters aren't persisted (the probe supplies them), so
-    * this audits STRUCTURE: no orphans in either direction (a
-    * half-applied append), and every id carries the same number of
-    * band rows (observed = ids deviating from the modal band count,
-    * expected 0 — a truncated posting write strands an id with fewer).
+    * postings vs `<table>_shingles` verify sidecar. This audits
+    * STRUCTURE: no orphans in either direction (a half-applied
+    * append), and every id carries the same number of band rows
+    * (observed = ids deviating from the modal band count, expected 0 —
+    * a truncated posting write strands an id with fewer). The
+    * signature-family hyperparameters are checked separately: they're
+    * persisted in `<table>_meta` ([[Dedup.loadMinhashMeta]]) and
+    * probes/appends/repairs fail loudly on mismatch.
     */
   def auditMinhash(spark: SparkSession, table: String,
                    idCol: String): DataFrame = {
@@ -270,14 +272,28 @@ object IndexAudit {
     * the remedy for [[auditMinhash]]'s truncated-posting / orphan
     * failures. The sidecar stores the shingle SETS (the exact-verify
     * input), so re-signaturing them under the index's hyperparameters
-    * — which the caller supplies, exactly as the probe does — restores
-    * the postings half bit-for-bit. One signature projection over the
-    * sidecar, written back into the postings' bucket layout.
+    * restores the postings half bit-for-bit. The supplied values are
+    * checked against the `<table>_meta` sidecar
+    * ([[Dedup.loadMinhashMeta]]) and a mismatch throws: a repair under
+    * the wrong family would rewrite every posting with band keys no
+    * probe can ever match, while [[auditMinhash]] sees a
+    * self-consistent pair. One signature projection over the sidecar,
+    * written back into the postings' bucket layout.
     */
   def repairMinhashPostings(spark: SparkSession, table: String,
                             idCol: String, k: Int = 64, bands: Int = 16,
                             useNative: Boolean = false,
-                            portable: Boolean = false): Unit =
+                            portable: Boolean = false): Unit = {
+    // shingleN lives only in the sidecar contents (already shingled),
+    // so the repair checks the signature-family half of the meta
+    Dedup.loadMinhashMeta(spark, table).foreach { m =>
+      require(m.k == k && m.bands == bands && m.useNative == useNative &&
+        m.portable == portable,
+        s"repair of $table under (k=$k, bands=$bands, " +
+          s"useNative=$useNative, portable=$portable), but the index " +
+          s"was built with $m — the rewrite would be a silent " +
+          s"signature-family corruption. Pass the build-time values.")
+    }
     writeBucketed(
       spark.table(s"${table}_shingles")
         .select(col(idCol),
@@ -288,6 +304,7 @@ object IndexAudit {
         .select(col(idCol),
           concat_ws(":", col("band"), col("bucket")).as("bucket_key")),
       spark, table, layoutOf = table)
+  }
 
   /** Re-assign every IVF row under the STORED centroid model — the
     * remedy for [[auditIvf]]'s `assignments_match_model` failure (a

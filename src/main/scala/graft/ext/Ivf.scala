@@ -664,9 +664,13 @@ object Ivf {
     import spark.implicits._
     // dim is persisted WITH the matrix: the flat row-major layout is
     // meaningless without it, and decoding with the wrong dim would
-    // silently assign garbage lists
-    centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v, dim) }
-      .toDF("pos", "value", "dim")
+    // silently assign garbage lists. id_col/vec_col ride along for the
+    // same reason the BM25 postings persist id_col: serving code that
+    // INFERS the vector column positionally mis-binds the moment the
+    // index table gains or reorders a column
+    centroids.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v, dim, idCol, vecCol) }
+      .toDF("pos", "value", "dim", "id_col", "vec_col")
       .coalesce(1)
       .write.mode("overwrite").saveAsTable(s"${table}_centroids")
     // at-build fit reference for the drift check ([[distortionByList]])
@@ -764,6 +768,18 @@ object Ivf {
     import spark.implicits._
     spark.table(s"${table}_centroids")
       .select("dim").limit(1).as[Int].head()
+  }
+
+  /** The vector column name the index at `table` was written with
+    * (persisted by [[writeIndex]]); `None` for indexes written before
+    * the model carried it — callers fall back to positional inference
+    * for those, with its documented mis-bind hazard.
+    */
+  def loadVecCol(spark: SparkSession, table: String): Option[String] = {
+    val m = spark.table(s"${table}_centroids")
+    if (m.columns.contains("vec_col"))
+      Some(m.select("vec_col").limit(1).collect()(0).getString(0))
+    else None
   }
 
   /** Approximate top-k against a PERSISTED index — no training, no

@@ -330,10 +330,15 @@ object Retrieval {
                       lambdaMicro: Long = 1000000L,
                       excludeSelf: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    // the index's own vector column name (schema: id, vector, list) —
-    // the query vector renames onto it so the probe join lines up
-    val ivfVecCol = spark.table(ivfTable).columns
-      .filterNot(c => c == idCol || c == "list").head
+    // the index's own vector column name, read from the persisted model
+    // (writeIndex stores it with the centroid matrix) — the query vector
+    // renames onto it so the probe join lines up. Positional inference
+    // ("the column that is not id or list") only remains as the fallback
+    // for indexes written before the model carried the name: it misbinds
+    // silently the moment the index table gains or reorders a column.
+    val ivfVecCol = graft.ext.Ivf.loadVecCol(spark, ivfTable)
+      .getOrElse(spark.table(ivfTable).columns
+        .filterNot(c => c == idCol || c == "list").head)
     val qterms = queries.select(col(queryIdCol),
         explode(array_distinct(TextOps.tokens(lower(col(queryTextCol)))))
           .as("term"))

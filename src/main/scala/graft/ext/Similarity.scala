@@ -18,6 +18,14 @@ import scala.util.Random
   */
 object Similarity {
 
+  /** Largest query relation [[rerankTopK]] will force-broadcast:
+    * 2^18 rows ≈ 135 MB of prepped (id, vec, norm) rows at dim 128 —
+    * comfortably inside executor broadcast budgets on a shared cluster.
+    * Beyond it the rerank degrades to a planner-chosen join instead of
+    * failing on the broadcast size limit.
+    */
+  val BroadcastQueryRowLimit: Int = 1 << 18
+
   /** All arithmetic in double: float32 inputs upcast once, keeping results
     * reproducible across engines.
     */
@@ -110,10 +118,19 @@ object Similarity {
     * with the deterministic `(sim desc, neighbor_id)` tie-break. Shared
     * by every ANN index family (LSH, IVF) so ranking/rounding semantics
     * cannot drift between them.
+    *
+    * The query side is broadcast only below [[BroadcastQueryRowLimit]]
+    * rows (a cheap `limit(n+1).count()` probe): the hint is a FORCE, and
+    * this is a public API that takes caller-supplied query relations —
+    * an oversized one must degrade to a planner-chosen shuffle join, not
+    * die on a driver OOM / broadcast size limit. Within the gate the
+    * broadcast shape is the soak-pinned one (thin pairs first, query
+    * vectors never sorted).
     */
   def rerankTopK(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int, dim: Int,
-                 useNative: Boolean = false): DataFrame = {
+                 useNative: Boolean = false,
+                 broadcastLimit: Int = BroadcastQueryRowLimit): DataFrame = {
     def prep(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id),
           transform(col(vecCol), x => x.cast("double")).as(v))
@@ -128,9 +145,14 @@ object Similarity {
     // order — query vectors attached first — sent 512-byte rows into
     // the corpus join's sort: ~70 GB of spill at the 10⁶-corpus soak,
     // vs ~2 GB for the thin form. Same rows either way (inner joins).
+    val preppedQ = prep(queries, "query_id", "qvec", "qn")
+    val qSide =
+      if (queries.limit(broadcastLimit + 1).count() <= broadcastLimit)
+        broadcast(preppedQ)
+      else preppedQ
     val scored = cands
       .join(prep(corpus, "neighbor_id", "cvec", "cn"), "neighbor_id")
-      .join(broadcast(prep(queries, "query_id", "qvec", "qn")), "query_id")
+      .join(qSide, "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(dotFast(col("qvec"), col("cvec"), dim, useNative) /
           (col("qn") * col("cn")), 6).as("sim"))

@@ -152,8 +152,11 @@ object HttpShim {
       val id = params.getOrElse("id",
         throw new IllegalArgumentException("missing ?id= parameter")).toLong
       val k = params.get("k").map(_.toInt).getOrElse(defaultK)
-      val ivfVecCol = spark.table(ivfTable).columns
-        .filterNot(c => c == idCol || c == "list").head
+      // the persisted name, not positional inference: an extra or
+      // reordered index column would silently misbind the vector
+      val ivfVecCol = graft.ext.Ivf.loadVecCol(spark, ivfTable)
+        .getOrElse(spark.table(ivfTable).columns
+          .filterNot(c => c == idCol || c == "list").head)
       val qtext = docs.filter(col(idCol) === id)
         .select(col(idCol).as("query_id"), col(textCol))
       require(qtext.take(1).nonEmpty, s"id $id not in the corpus")

@@ -33,6 +33,16 @@ class IvfIndexSpec extends SparkSpec {
     assert(Ivf.loadCentroids(spark, table).toSeq == trained.toSeq)
   }
 
+  test("the model persists its column names: serving binds by name, " +
+    "not position") {
+    centroids // forces the index write
+    assert(Ivf.loadVecCol(spark, table).contains("embedding"))
+    val meta = spark.table(s"${table}_centroids")
+      .select("id_col", "vec_col").distinct().collect()
+    assert(meta.length == 1 && meta(0).getString(0) == "vec_id" &&
+      meta(0).getString(1) == "embedding")
+  }
+
   test("indexed probe equals the train-in-place path on the same centroids") {
     centroids // force index write
     val indexed = Ivf.ivfTopKIndexed(spark, table, queries, "vec_id",

@@ -124,6 +124,31 @@ class MinHashIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("probe/append/repair under mismatched hyperparameters fail loudly " +
+    "(meta sidecar)") {
+    // the index was built with (shingleN=3, k=64, bands=16, native,
+    // non-portable); any other family would produce band keys that never
+    // match — the sidecar turns that silent corruption into a throw
+    val m = Dedup.loadMinhashMeta(spark, table)
+    assert(m.contains(Dedup.MinhashMeta(3, 64, 16, useNative = true,
+      portable = false)))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashProbeIndexed(spark, table, batch, "doc_id", "text",
+        minJaccard = 0.3, k = 32, useNative = true)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(batch, "doc_id", "text", table,
+        bands = 8, useNative = true)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.IndexAudit.repairMinhashPostings(spark, table, "doc_id",
+        portable = true)
+    }
+    // the matching family still works after the failed attempts
+    assert(Dedup.minhashProbeIndexed(spark, table, batch, "doc_id", "text",
+      minJaccard = 0.3, useNative = true).count() > 0)
+  }
+
   test("append scans the batch once: both writes consume the shingle cache") {
     val loc = java.nio.file.Files.createTempDirectory("graft_mhidx_s").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mhdb_s LOCATION '$loc'")
@@ -146,7 +171,10 @@ class MinHashIndexSpec extends SparkSpec {
       // the execution-listener bus is async; wait for both write plans
       val deadline = System.nanoTime() + 10000000000L
       import scala.jdk.CollectionConverters._
-      def writePlans = plans.asScala.filter(_.contains("mh_idx")).toSeq
+      // writes only: the append's meta-sidecar compatibility probe also
+      // touches mh_idx_meta and must not count as a write plan
+      def writePlans = plans.asScala.filter(p =>
+        p.contains("mh_idx") && p.contains("InsertInto")).toSeq
       while (writePlans.size < 2 && System.nanoTime() < deadline)
         Thread.sleep(50)
       val ps = writePlans

@@ -44,6 +44,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
   }
 
+  test("rerankTopK: an oversized query side degrades to an unhinted join " +
+    "instead of a forced broadcast, same results") {
+    val cands = corpus.select(col("vec_id").as("query_id"))
+      .crossJoin(corpus.select(col("vec_id").as("neighbor_id")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    def run(limit: Int) = Similarity.rerankTopK(cands, corpus, corpus,
+      "vec_id", "embedding", k = 2, dim = 2, broadcastLimit = limit)
+    // gate closed (limit 1 < 5 queries): qvec must NOT enter a forced
+    // BroadcastExchange — the degrade path the public API promises for
+    // caller-supplied query relations beyond the broadcast budget
+    val degraded = run(1)
+    val forced = degraded.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if b.child.output.exists(_.name == "qvec") => b
+    }
+    assert(forced.isEmpty, "oversized query side was still force-broadcast")
+    // and the two paths return identical rankings
+    val a = run(1).orderBy("query_id", "rank").collect().toSeq
+    val b = run(1000).orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+  }
+
   test("lshTopK achieves high recall on clustered (near-dup) vectors") {
     // the ANN use case: clusters of near-identical embeddings. 40 clusters
     // x 5 members, cosine within a cluster ≈ 0.98+.
