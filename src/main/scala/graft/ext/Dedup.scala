@@ -85,20 +85,30 @@ object Dedup {
     * the anti-join's corpus side consumes the bucketed scan's existing
     * hash distribution, so every ingest cycle shuffles ONLY the new
     * batch (tiny) — the corpus is never exchanged again (spec-pinned).
-    * The shuffle key is the 256-bit content hash, never document bytes.
-    * Output keeps the batch's columns plus `content_hash`, ready to
-    * append to the corpus table.
+    * The content-hash exchange carries thin (id, hash) rows; document
+    * bytes cross only the final id-keyed semi-join. Output keeps the
+    * batch's columns plus `content_hash`, ready to append to the
+    * corpus table.
     */
   def dedupAgainstCorpus(spark: org.apache.spark.sql.SparkSession,
                          newDocs: DataFrame, idCol: String, textCol: String,
                          corpusTable: String): DataFrame = {
     val hashed = newDocs.withColumn("content_hash", contentHash(col(textCol)))
-    val novel = hashed.join(
+    // the whole verdict — novel against the corpus, keep-first within the
+    // batch — computes on a THIN (id, hash) projection: the anti join
+    // shuffles 40-byte rows onto the bucketed corpus layout, the winner
+    // aggregate reuses its output distribution (no exchange, map-side
+    // combining — not the content-keyed window this replaced), and the
+    // full batch rows come back via ONE semi-join on the uniform id key.
+    // Document bytes therefore never ride a content-keyed exchange, only
+    // the id-keyed one.
+    val thin = hashed.select(col(idCol), col("content_hash"))
+    val novelThin = thin.join(
       spark.table(corpusTable).select(col("content_hash")),
       Seq("content_hash"), "left_anti")
-    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
-    novel.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val winners = novelThin.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+    hashed.join(winners, Seq(idCol), "left_semi")
   }
 
   // ------------------------------------------------------------- shingles

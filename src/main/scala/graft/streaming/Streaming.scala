@@ -215,6 +215,73 @@ object EventStreams {
       }
       .start()
 
+  /** Create the (empty) accumulated crawl corpus [[crawlCorpusStream]]
+    * appends into: the q149 funnel's output schema — (id, blocks_kept,
+    * chars_collapsed, text_main_fixed) — stored content-bucketed
+    * ([[graft.ext.Dedup.writeBucketedByContent]]) so every future
+    * ingest cycle's dedup anti-join consumes the bucket layout without
+    * ever exchanging the corpus.
+    */
+  def initCrawlCorpus(spark: org.apache.spark.sql.SparkSession,
+                      idCol: String, corpusTable: String,
+                      nBuckets: Int = 32): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("blocks_kept", LongType),
+      StructField("chars_collapsed", LongType),
+      StructField("text_main_fixed", StringType)))
+    graft.ext.Dedup.writeBucketedByContent(
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema),
+      "text_main_fixed", corpusTable, nBuckets)
+  }
+
+  /** The FULL incremental crawl→corpus loop as one operator — the
+    * cross-document tail [[crawlIngestStream]] leaves to composition,
+    * composed for real: each micro-batch of raw (id, html) pages runs
+    * the per-document funnel stages (extract → repair → quality gate),
+    * then the surviving documents exact-dedup against the ACCUMULATED
+    * persisted corpus ([[graft.ext.Dedup.dedupAgainstCorpus]] — novel
+    * content only, keep-first within the batch) and the canonical
+    * survivors append into the content-bucketed corpus table, which is
+    * exactly what the NEXT batch dedups against. `insertInto` honors
+    * the table's bucket layout, so the loop never degrades it.
+    *
+    * Equivalence contract (spec-pinned): when page ids arrive in
+    * id order — the crawl contract, ids assigned at fetch time — the
+    * accumulated corpus after any number of micro-batches equals the
+    * one-shot q149 canonical set (`is_canonical` rows) over the union
+    * of everything ingested: per-document stages are pure projections,
+    * and first-arrival keep-first equals global min-id keep-first
+    * under ordered arrival.
+    *
+    * Scale shape, per cycle: funnel stages are zero-shuffle
+    * projections; the dedup verdict computes on a thin (id, hash)
+    * projection against the bucketed corpus scan (corpus never
+    * exchanged — the [[graft.ext.Dedup.dedupAgainstCorpus]] contract);
+    * only batch-sized relations shuffle. Driver state: none.
+    */
+  def crawlCorpusStream(pages: DataFrame, idCol: String, htmlCol: String,
+                        corpusTable: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val spark = batch.sparkSession
+        val ex = graft.ext.TextOps.extractMainContent(batch, htmlCol)
+          .select(col(idCol), col("blocks_kept"), col("text_main"))
+        val rep = graft.ext.TextOps.repairMojibake(ex, "text_main")
+        val kept = graft.ext.QualityModel
+          .qualityClassifierScore(rep, "text_main_fixed")
+          .filter(col("kept"))
+          .select(col(idCol), col("blocks_kept"), col("chars_collapsed"),
+            col("text_main_fixed"))
+        graft.ext.Dedup.dedupAgainstCorpus(spark, kept, idCol,
+            "text_main_fixed", corpusTable)
+          .write.mode("append").insertInto(corpusTable)
+      }
+      .start()
+
   /** Continuous RAG serving over the persisted BM25 + IVF index pair:
     * each micro-batch of (query id, text, vector) rows is answered by
     * [[graft.ext.Retrieval.ragServeIndexed]] verbatim — the

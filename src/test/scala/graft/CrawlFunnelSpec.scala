@@ -84,6 +84,88 @@ class CrawlFunnelSpec extends SparkSpec {
     assert(acc.nonEmpty)
   }
 
+  test("crawlCorpusStream: two micro-batches with cross-batch duplicates " +
+    "accumulate exactly the one-shot q149 canonical set; only the batch " +
+    "shuffles") {
+    import graft.entry.TextQueries._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def page(id: Long): (Long, String) =
+      (id, HtmlPre +
+        (if (id % 5 == 0) CrawlDupText
+         else s"it is the body of the streamed page number $id and it " +
+           "has plenty of the usual words to pass the block filters.") +
+        (if (id % 2 == 0) " " + MojibakeDamaged else " " + MojibakeClean) +
+        HtmlLinks + HtmlTail)
+    // ids 0 and 5 carry the SAME duplicate content and land in DIFFERENT
+    // batches — the cross-batch case the corpus anti-join exists for;
+    // 2/7 are an intra-batch near-pair check (distinct content, both kept)
+    val pages = (0L until 10L).map(page)
+    val loc = java.nio.file.Files.createTempDirectory("graft_crawlc").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ccdb LOCATION '$loc'")
+    val table = "graft_ccdb.crawl_corpus"
+    graft.streaming.EventStreams.initCrawlCorpus(spark, "doc_id", table,
+      nBuckets = 4)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val in = MemoryStream[(Long, String)]
+      val query = graft.streaming.EventStreams.crawlCorpusStream(
+        in.toDF().toDF("doc_id", "html"), "doc_id", "html", table)
+      in.addData(pages.take(5): _*)
+      query.processAllAvailable()
+      in.addData(pages.drop(5): _*)
+      query.processAllAvailable()
+      query.stop()
+      // one-shot truth: the q149 funnel + canonical tail over ALL pages
+      val ex = graft.ext.TextOps.extractMainContent(
+          pages.toDF("doc_id", "html"), "html")
+        .select(col("doc_id"), col("blocks_kept"), col("text_main"))
+      val rep = graft.ext.TextOps.repairMojibake(ex, "text_main")
+      val scored = graft.ext.QualityModel
+        .qualityClassifierScore(rep, "text_main_fixed")
+      val oneShot = graft.entry.TextQueries.crawlCanonicalTail(scored)
+        .filter(col("is_canonical"))
+        .select(col("doc_id"), col("fixed_md5"))
+        .as[(Long, String)].collect().toSet
+      assert(oneShot.nonEmpty)
+      val accumulated = spark.table(table)
+        .select(col("doc_id"), md5(col("text_main_fixed")))
+        .as[(Long, String)].collect().toSet
+      assert(accumulated == oneShot,
+        s"corpus ${accumulated.toSeq.sorted} != one-shot canonical " +
+          s"${oneShot.toSeq.sorted}")
+      // the cross-batch duplicate kept its FIRST arrival only
+      assert(accumulated.count(_._1 % 5 == 0) == 1)
+      // plan pin: each batch's corpus append consumed the bucketed scan
+      // (corpus never exchanged) and picked winners with an aggregate,
+      // not a content-keyed window — the dedupAgainstCorpus contract
+      import scala.jdk.CollectionConverters._
+      val appends = plans.asScala.filter(p =>
+        p.contains("crawl_corpus") && p.contains("InsertInto")).toSeq
+      assert(appends.size == 2, s"expected 2 corpus appends, " +
+        s"saw ${appends.size}")
+      appends.foreach { p =>
+        assert(p.contains("Bucketed: true"),
+          s"corpus anti-join side not bucket-fed:\n$p")
+        assert(!p.contains("Window"),
+          s"a window crept into the per-batch pick:\n$p")
+      }
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.sql("DROP DATABASE IF EXISTS graft_ccdb CASCADE")
+    }
+  }
+
   test("every even document repairs exactly the planted damage") {
     val rows = SparkEntry.queries("q149_crawl_funnel")(spark, dir)
       .filter(col("doc_id") % 2 === 0)

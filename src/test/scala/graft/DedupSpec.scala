@@ -293,13 +293,21 @@ class DedupSpec extends SparkSpec {
         "graft_idb.corpus_b")
       assert(novel.select("doc_id").as[Long].collect().sorted.toSeq ==
         Seq(11L, 13L))
-      // corpus side consumes the bucketed scan's distribution: the only
-      // hash exchange in the whole plan is the new batch's
+      // corpus side consumes the bucketed scan's distribution: every
+      // hash exchange in the plan is batch-sized — one for the anti
+      // join's batch side (the winner aggregate reuses its output
+      // distribution, so it adds none) and two for the keep-first
+      // semi-join on the uniform id key (batch + winners). The corpus
+      // is never exchanged.
       val plan = novel.queryExecution.executedPlan.toString
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-      assert(exchanges == 1, s"expected 1 (batch-side) shuffle:\n$plan")
+      assert(exchanges <= 3, s"expected <=3 batch-side shuffles:\n$plan")
       assert(plan.contains("Bucketed: true"),
         s"corpus scan not using buckets:\n$plan")
+      // and the keep-first pick is an aggregate, not a content-keyed
+      // window (the dedupExact discipline)
+      assert(!plan.contains("Window"),
+        s"a window crept back into the intra-batch pick:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP DATABASE IF EXISTS graft_idb CASCADE")
