@@ -48,5 +48,34 @@ class BenchCompareSpec extends AnyFunSuite {
     val f = BenchCompare.regressionsField("/nonexistent/bench.json",
       Map("a" -> 1.0), 2.0, 32)
     assert(f.contains("\"regression_gate\":\"no_prior\""))
+    // the class split reports even without a prior
+    assert(f.contains("\"untrained_sum_sec\":1.0"))
+  }
+
+  test("trained class: sums split by the declared prefixes, untrained " +
+    "shared-set drift reported next to the per-query gate") {
+    val cur = Map(
+      "q43_topk_ivf" -> 4.0,     // trained (deliberate in-query training)
+      "q79_topk_ivfpq" -> 6.0,   // trained
+      "q01_pricing_summary" -> 1.1,
+      "q02_filter_project" -> 2.2,
+      "q99_failed" -> -1.0)      // failed -> excluded from both sums
+    val (t, u) = BenchCompare.classSums(cur)
+    assert(t == 10.0 && u == 3.3)
+    // a +10% drift spread across the untrained set is invisible to the
+    // 2x-per-query gate but must show in untrained_shared_ratio
+    val dir = java.nio.file.Files.createTempDirectory("graft_bc")
+    val prior = """{"queries":{"q43_topk_ivf":4.0,"q79_topk_ivfpq":6.0,""" +
+      """"q01_pricing_summary":1.0,"q02_filter_project":2.0},""" +
+      """"load_before":[1.0,1.0,1.0]}"""
+    val p = dir.resolve("bench.json")
+    java.nio.file.Files.write(p, prior.getBytes("UTF-8"))
+    val f = BenchCompare.regressionsField(p.toString, cur, 2.0, 32)
+    assert(f.contains("\"regression_gate\":\"clean\""))
+    assert(f.contains("\"regressions\":[]"), f) // no single query trips 2x
+    assert(f.contains("\"trained_sum_sec\":10.0"))
+    assert(f.contains("\"untrained_shared_prior_sec\":3.0"))
+    assert(f.contains("\"untrained_shared_current_sec\":3.3"))
+    assert(f.contains("\"untrained_shared_ratio\":1.1"), f)
   }
 }
