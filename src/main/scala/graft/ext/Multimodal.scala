@@ -21,6 +21,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's stream factories default to a DISK-backed cache: every
+  // encode/decode call creates, writes, and deletes a temp file. At a
+  // bench pass of 10⁵ sub-KB payloads that is 10⁵ filesystem round
+  // trips per stage whose cost drifts with tmp-dir state — measured as
+  // the q133/q108 round-over-round wobble on untouched code. Our
+  // payloads are small by contract (media META travels columnar,
+  // payloads decode at the seam), so the in-memory cache is strictly
+  // better. JVM-global; the object loads on every executor that
+  // references a decode seam.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Uppercase hex digits as ASCII bytes — matches `hex()` in Spark and
     * DuckDB (the q36 oracle hashes the same string).
     */
