@@ -834,6 +834,22 @@ object Multimodal {
                         maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxBucketSize > 0,
       s"bad maxHamming/maxBucketSize: $maxHamming/$maxBucketSize")
+    // band-geometry guard (the MinhashMeta rationale applied to the
+    // pre-banded contract): an index built from B-band hashes probed
+    // with a differently-banded batch never errors, it just never
+    // matches. The geometry is implicit in the stored bands sidecar —
+    // check one row of each side before probing, fail loudly.
+    val idxNb = spark.table(s"${table}_bands")
+      .select(size(col("bands"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    val batchNb = banded.select(size(col("bands"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    for (i <- idxNb; b <- batchNb)
+      require(i == b,
+        s"probe batch carries $b-band hashes but index $table stores " +
+          s"$i-band hashes — a different bander family (silent " +
+          s"zero-match corruption). Re-band the batch with the index's " +
+          s"bander.")
     val postings = spark.table(table)
     val capped = postings.withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col("band_idx"), col("val"))))

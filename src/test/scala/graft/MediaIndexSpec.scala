@@ -44,6 +44,21 @@ class MediaIndexSpec extends SparkSpec {
       maxHamming = 10).count() == 0)
   }
 
+  test("probe under a different band geometry fails loudly instead of " +
+    "matching nothing") {
+    val probes = media(0 until 8).filter(col("doc_id") % 8 === 1)
+    val banded = Multimodal.withImageDHashBands(probes, "payload")
+    // halve the band count: a different bander family — every band
+    // value comes from different bit groups, so the probe would be a
+    // silent zero-match without the geometry guard
+    val rebanded = banded.withColumn("bands",
+      slice(col("bands"), 1, 2))
+    intercept[IllegalArgumentException] {
+      Multimodal.dhashProbeIndexed(spark, table, rebanded, "doc_id",
+        maxHamming = 10).collect()
+    }
+  }
+
   test("streaming probe: union of micro-batches equals one probe of " +
     "everything streamed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
