@@ -25,7 +25,11 @@ class AqeParitySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private val probes = Seq("q64_window_battery", "q95_shuffle_shards",
     "q83_topk_per_group", "q53_dup_clusters", "q139_train_quality",
-    "q79_topk_ivfpq")
+    "q79_topk_ivfpq",
+    // round 11 moved these three canonical picks from content-keyed
+    // windows onto partial-aggregating min-winner + id-join shapes —
+    // the exact construct these gates police
+    "q149_crawl_funnel", "q71_canonical_doc", "q24_exact_dedup")
 
   test("AQE on and off produce identical rows for partition-sensitive " +
     "queries") {
@@ -58,7 +62,7 @@ class AqeParitySpec extends SparkSpec {
     // prime count misaligns every hash boundary.
     for (name <- Seq("q83_topk_per_group", "q53_dup_clusters",
         "q139_train_quality", "q143_dsir_selection",
-        "q79_topk_ivfpq")) {
+        "q79_topk_ivfpq", "q149_crawl_funnel", "q71_canonical_doc")) {
       val fn = SparkEntry.queries(name)
       val results = Seq("1", "5", "32").map { n =>
         val s = spark.newSession()
