@@ -117,7 +117,56 @@ private[graft] object TextQueries {
         col("kept"), col("is_canonical"), col("fixed_md5"))
   }
 
+  /** q150/q151's planted crawl URLs: one deterministic noisy URL per
+    * document, each doc_id residue class exercising a distinct
+    * canonicalization rule — mixed-case scheme+host with a `www.`
+    * label (evens), a strippable default `:80` (doc_id%4=0) vs a
+    * load-bearing `:8080` (doc_id%4=2), a doubled slash in every
+    * path, a trailing slash (%5=0), unsorted query params with a
+    * planted tracking pair (%3=0), and a fragment (%7=0). The path
+    * bucket `doc_id % 13` makes distinct documents share canonical
+    * URLs (the syntactic-variant collapse q151 measures). Shared
+    * structure with the oracle via [[urlPlantSql]].
+    */
+  private[graft] def withPlantedUrl(df: DataFrame): DataFrame =
+    df.withColumn("url", concat(
+      when(col("doc_id") % 2 === 0,
+        concat(lit("HTTP://WWW."), upper(col("source")), lit(".EXAMPLE.COM")))
+        .otherwise(concat(lit("https://"), col("source"), lit(".example.com"))),
+      when(col("doc_id") % 4 === 0, lit(":80"))
+        .when(col("doc_id") % 4 === 2, lit(":8080")).otherwise(lit("")),
+      lit("/Docs//"), (col("doc_id") % 13).cast("string"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      lit("?b=2&a=1"),
+      when(col("doc_id") % 3 === 0, lit("&utm_source=feed&gclid=XYZ"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#Section-2")).otherwise(lit(""))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- crawl URL canonicalization (oracle-checked): the frontier/
+    // dedup key normalization upstream of every content stage —
+    // scheme+host lowercasing, www./default-port/fragment/tracking-param
+    // stripping, slash collapse, bytewise param sort — as ONE
+    // zero-shuffle codegen'd projection (UrlOps.withCanonicalUrl).
+    "q150_url_canonicalize" -> ((s, dir) => {
+      graft.ext.UrlOps.withCanonicalUrl(
+          withPlantedUrl(t(s, dir, "documents")), "url")
+        .select(col("doc_id"), col("url_canon"), col("url_host"),
+          col("url_had_tracking"), col("url_had_fragment"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- host-level crawl rollup (oracle-checked): fetches, distinct
+    // canonical URLs, and the exact integer-micro URL-duplication rate
+    // per authority — the frontier's recrawl-waste feedback table.
+    // Two map-side-combining hash aggs over (host, canon) short
+    // strings; document payloads never enter the plan.
+    "q151_host_rollup" -> ((s, dir) => {
+      graft.ext.UrlOps.hostRollup(
+          withPlantedUrl(t(s, dir, "documents")), "url")
+        .orderBy("url_host")
+    }),
 
     // ---- the COMPLETE crawl→curate funnel in ONE plan
     // (oracle-checked): raw HTML pages → main-content extraction
@@ -910,7 +959,88 @@ private[graft] object TextQueries {
        |FROM tok ORDER BY doc_id""".stripMargin
   }
 
+  /** The q150/q151 plant as a DuckDB SELECT body — the same residue
+    * classes and URL-piece literals as [[withPlantedUrl]], kept
+    * adjacent so a plant edit is a same-file two-site change (the
+    * pieces embed in SQL literals; none contains a quote). */
+  private def urlPlantSql: String =
+    "SELECT doc_id, " +
+      "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' || upper(source) || " +
+      "'.EXAMPLE.COM' ELSE 'https://' || source || '.example.com' END) || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 2 " +
+      "THEN ':8080' ELSE '' END) || " +
+      "'/Docs//' || CAST(doc_id % 13 AS VARCHAR) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) || " +
+      "'?b=2&a=1' || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed&gclid=XYZ' " +
+      "ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END) AS url " +
+      "FROM documents"
+
+  /** DuckDB replay of [[graft.ext.UrlOps.canonicalUrl]] step for step
+    * — each CTE is one rule, every regex RE2-safe and identical to
+    * the Spark side's, the tracking-prefix predicate GENERATED from
+    * the shared [[graft.ext.UrlOps.TrackingParamPrefixes]]. Ends in a
+    * CTE `c(doc_id, url, url_host, url_canon, url_had_tracking,
+    * url_had_fragment)`. */
+  private def urlCanonCtes: String = {
+    val trk = graft.ext.UrlOps.TrackingParamPrefixes
+      .map(p => "starts_with(p, '" + p + "')").mkString(" OR ")
+    "u1 AS (SELECT doc_id, url, " +
+      "regexp_replace(url, '#.*$', '') AS nofrag FROM aug),\n" +
+      "u2 AS (SELECT doc_id, url, " +
+      "lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))" +
+      " AS scheme, " +
+      "regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest " +
+      "FROM u1),\n" +
+      "u3 AS (SELECT doc_id, url, scheme, rest, " +
+      "regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), " +
+      "'^www\\.', '') AS hostnw FROM u2),\n" +
+      "u4 AS (SELECT doc_id, url, scheme, " +
+      "CASE WHEN scheme = 'http' THEN regexp_replace(hostnw, ':80$', '') " +
+      "WHEN scheme = 'https' THEN regexp_replace(hostnw, ':443$', '') " +
+      "ELSE hostnw END AS host, " +
+      "regexp_replace(rest, '^[^/?]*', '') AS pathq FROM u3),\n" +
+      "u5 AS (SELECT doc_id, url, scheme, host, " +
+      "regexp_replace(regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), " +
+      "'//+', '/', 'g'), '/$', '') AS path0, " +
+      "CASE WHEN contains(pathq, '?') THEN " +
+      "regexp_replace(pathq, '^[^?]*\\?', '') ELSE '' END AS rawqs " +
+      "FROM u4),\n" +
+      "u6 AS (SELECT doc_id, url, scheme, host, " +
+      "CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path, " +
+      "list_sort(list_filter(string_split(rawqs, '&'), " +
+      "p -> p <> '' AND NOT (" + trk + "))) AS kept, " +
+      "len(list_filter(string_split(rawqs, '&'), " +
+      "p -> p <> '' AND (" + trk + "))) > 0 AS had_trk FROM u5),\n" +
+      "c AS (SELECT doc_id, url, host AS url_host, " +
+      "scheme || '://' || host || path || " +
+      "CASE WHEN coalesce(array_to_string(kept, '&'), '') = '' THEN '' " +
+      "ELSE '?' || array_to_string(kept, '&') END AS url_canon, " +
+      "had_trk AS url_had_tracking, " +
+      "contains(url, '#') AS url_had_fragment FROM u6)"
+  }
+
+  private def urlCanonicalizeOracleSql: String =
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + "\n" +
+      "SELECT doc_id, url_canon, url_host, url_had_tracking, " +
+      "url_had_fragment FROM c ORDER BY doc_id"
+
+  private def hostRollupOracleSql: String =
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + "\n" +
+      "SELECT url_host, CAST(count(*) AS BIGINT) AS n_fetches, " +
+      "CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls, " +
+      "CAST(sum(CASE WHEN url_had_tracking THEN 1 ELSE 0 END) AS BIGINT)" +
+      " AS n_tracking_fetches, " +
+      "(CAST(count(*) AS BIGINT) - CAST(count(DISTINCT url_canon) AS BIGINT))" +
+      " * 1000000 // CAST(count(*) AS BIGINT) AS dup_rate_micro " +
+      "FROM c GROUP BY url_host ORDER BY url_host"
+
   val oracleSql: Map[String, String] = Map(
+
+    "q150_url_canonicalize" -> urlCanonicalizeOracleSql,
+
+    "q151_host_rollup" -> hostRollupOracleSql,
 
     "q145_html_extract" -> htmlExtractOracleSql,
 
