@@ -142,6 +142,29 @@ private[graft] object TextQueries {
         .otherwise(lit("")),
       when(col("doc_id") % 7 === 0, lit("#Section-2")).otherwise(lit(""))))
 
+  /** q152's planted robots rules: every host disallows `/Docs/1`
+    * (which also prefixes `/Docs/10`–`/Docs/12`), re-allows the
+    * longer `/Docs/12`, and carries a same-length allow/disallow
+    * TIE on `/Docs/3` (the RFC tie-break); hosts whose source name
+    * has length ≡ 0 (mod 5) — src10–src19, half the corpus — add a
+    * disallow-all `/` that only those longer allows override. Shared
+    * structure with the oracle via [[robotsOracleSql]]. */
+  private[graft] def plantedRobotsRules(df: DataFrame): DataFrame = {
+    val hosts = df.select(lower(col("source")).as("h")).distinct()
+    val common = hosts.select(
+        concat(col("h"), lit(".example.com")).as("host"),
+        explode(array(
+          struct(lit("/Docs/1").as("p"), lit(false).as("a")),
+          struct(lit("/Docs/12").as("p"), lit(true).as("a")),
+          struct(lit("/Docs/3").as("p"), lit(true).as("a")),
+          struct(lit("/Docs/3").as("p"), lit(false).as("a")))).as("r"))
+      .select(col("host"), col("r.p").as("path_prefix"), col("r.a").as("allow"))
+    val blockAll = hosts.filter(length(col("h")) % 5 === 0)
+      .select(concat(col("h"), lit(".example.com")).as("host"),
+        lit("/").as("path_prefix"), lit(false).as("allow"))
+    common.union(blockAll)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- crawl URL canonicalization (oracle-checked): the frontier/
@@ -166,6 +189,22 @@ private[graft] object TextQueries {
       graft.ext.UrlOps.hostRollup(
           withPlantedUrl(t(s, dir, "documents")), "url")
         .orderBy("url_host")
+    }),
+
+    // ---- robots-exclusion filtering (oracle-checked): RFC 9309
+    // longest-match verdicts over the canonical URLs — broadcast rule
+    // table, candidates from a host-keyed BHJ with the prefix test as
+    // residual predicate, winner a map-side-combining integer max on
+    // the uniform doc_id key (UrlOps.robotsVerdict).
+    "q152_robots_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        withPlantedUrl(docs), "url")
+      graft.ext.UrlOps.robotsVerdict(canon, "doc_id", "url_canon",
+          plantedRobotsRules(docs))
+        .select(col("doc_id"), col("url_canon"), col("fetch_allowed"),
+          col("rule_match_len"))
+        .orderBy("doc_id")
     }),
 
     // ---- the COMPLETE crawl→curate funnel in ONE plan
@@ -1036,11 +1075,38 @@ private[graft] object TextQueries {
       " * 1000000 // CAST(count(*) AS BIGINT) AS dup_rate_micro " +
       "FROM c GROUP BY url_host ORDER BY url_host"
 
+  /** DuckDB replay of [[graft.ext.UrlOps.robotsVerdict]] over the
+    * q150 plant: the rule table GENERATED from the same classes as
+    * [[plantedRobotsRules]], candidates via the same host-equality +
+    * `starts_with` predicate, and the winner the same
+    * `max(2·len + allow)` integer encoding — longest prefix
+    * dominates, allow wins the tie, unmatched encodes as 1. */
+  private def robotsOracleSql: String =
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      "hosts AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
+      "rules AS (SELECT h || '.example.com' AS rhost, t.p AS rprefix, " +
+      "t.a AS rallow FROM hosts, (VALUES ('/Docs/1', false), " +
+      "('/Docs/12', true), ('/Docs/3', true), ('/Docs/3', false)) t(p, a) " +
+      "UNION ALL SELECT h || '.example.com', '/', false FROM hosts " +
+      "WHERE length(h) % 5 = 0),\n" +
+      "pth AS (SELECT doc_id, url_canon, url_host, " +
+      "regexp_extract(regexp_replace(url_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path FROM c),\n" +
+      "v AS (SELECT p.doc_id, p.url_canon, " +
+      "max(coalesce(2 * length(r.rprefix) + " +
+      "CASE WHEN r.rallow THEN 1 ELSE 0 END, 1)) AS score " +
+      "FROM pth p LEFT JOIN rules r ON r.rhost = p.url_host " +
+      "AND starts_with(p.path, r.rprefix) GROUP BY p.doc_id, p.url_canon)\n" +
+      "SELECT doc_id, url_canon, score % 2 = 1 AS fetch_allowed, " +
+      "CAST(score // 2 AS BIGINT) AS rule_match_len FROM v ORDER BY doc_id"
+
   val oracleSql: Map[String, String] = Map(
 
     "q150_url_canonicalize" -> urlCanonicalizeOracleSql,
 
     "q151_host_rollup" -> hostRollupOracleSql,
+
+    "q152_robots_filter" -> robotsOracleSql,
 
     "q145_html_extract" -> htmlExtractOracleSql,
 

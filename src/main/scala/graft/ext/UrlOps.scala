@@ -133,4 +133,159 @@ object UrlOps {
       .withColumn("dup_rate_micro",
         expr("(n_fetches - n_urls) * 1000000 div n_fetches"))
   }
+
+  /** Robots-exclusion verdict (RFC 9309 §2.2.2) over CANONICAL URLs:
+    * for each row of `df`, the most specific rule in `rules`
+    * (columns `host`, `path_prefix`, `allow`) whose `path_prefix`
+    * prefixes the URL's path decides `fetch_allowed`; specificity is
+    * prefix LENGTH, an allow rule wins a same-length tie (the RFC's
+    * "least restrictive" tie-break), and a URL no rule matches is
+    * allowed. Appends `fetch_allowed` and `rule_match_len` (the
+    * winning prefix's length, 0 for the no-match default).
+    *
+    * The whole decision is ONE integer per candidate rule —
+    * `2·len(prefix) + allow` — so the winner is a plain `max`:
+    * longest prefix dominates, the allow bit breaks ties, and the
+    * unmatched default encodes as 1 (= len 0, allow). No structs, no
+    * windows, bit-exact in any engine.
+    *
+    * 100 TB shape: a real host's robots rules are a few KB and a
+    * whole crawl's fit in one broadcast (`rules` is sent to every
+    * executor — keep it the parsed rule table, not raw robots.txt
+    * bodies); candidates come from a broadcast hash join on the
+    * SHORT host key with the prefix test as its residual predicate,
+    * the winner is a map-side-combining `max` on the UNIFORM id key,
+    * and the verdict joins back id-keyed — URLs and rule prefixes
+    * are the only strings in the plan.
+    */
+  /** The `<a href="...">` harvest pattern: case-insensitive, quoted
+    * hrefs only (the dominant form; unquoted attributes are out of
+    * contract like the rest of tag-soup recovery — see
+    * `TextOps.extractMainContent`'s charter). RE2-safe (no
+    * lookarounds), shared verbatim with the DuckDB oracle (q153). */
+  val HrefPattern: String = "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""
+
+  /** Dot-segment detector: a path containing `.` or `..` segments is
+    * DROPPED rather than resolved (`link_kind = 'dropped_dotseg'`) —
+    * RFC 3986 §5.2.4 merge is iterative and the frontier re-discovers
+    * such targets through their canonical spellings anyway. Shared
+    * with the oracle. */
+  val DotSegPattern: String = "(^|/)\\.\\.?(/|$)"
+
+  /** Outlink extraction + resolution over raw page HTML: harvests
+    * every quoted `<a href>` ([[HrefPattern]]), resolves it against
+    * the page's CANONICAL base URL (`baseCanonCol` — run
+    * [[withCanonicalUrl]] first), and classifies it:
+    *
+    *   - `absolute`: `http(s)://...` kept as-is,
+    *   - `protocol_relative`: `//host/p` → base scheme + href,
+    *   - `root_relative`: `/p` → base scheme://authority + href,
+    *   - `path_relative`: `p` → base scheme://authority + base
+    *     directory (path up to its last `/`) + href,
+    *   - `dropped_fragment` (empty or `#...`), `dropped_scheme`
+    *     (`mailto:`/`javascript:`/any non-http scheme),
+    *     `dropped_dotseg` ([[DotSegPattern]]) — `link_url` null.
+    *
+    * Kept links get `link_url` (resolved absolute), `link_canon`
+    * ([[canonicalUrl]]) and `link_host` ([[urlHost]]). One projection
+    * + one generator (explode) per page — no shuffle, no join: the
+    * base URL rides the SAME row as the harvested array, so
+    * resolution is a sibling-column expression. Pages with no anchor
+    * tags contribute no rows (a link census, not a page census —
+    * q151 is the per-page table).
+    *
+    * 100 TB shape: explode multiplies rows ~50× (links/page) but
+    * every output column is a short string — the page HTML does NOT
+    * survive the projection, so downstream exchanges (the
+    * [[hostLinkGraph]] rollup, the q154 frontier) carry URLs only.
+    */
+  def extractOutlinks(df: DataFrame, idCol: String, htmlCol: String,
+      baseCanonCol: String): DataFrame = {
+    // all base pieces bind to the POST-select alias: the input column
+    // name is the caller's and may collide with generated names.
+    val base = col("base_canon")
+    val scheme = regexp_extract(base, "^([a-z][a-z0-9+.-]*)://", 1)
+    val auth = regexp_extract(base, "^[a-z][a-z0-9+.-]*://([^/?]*)", 1)
+    val basePath = regexp_extract(
+      regexp_replace(base, "^[a-z][a-z0-9+.-]*://[^/?]*", ""),
+      "^([^?]*)", 1)
+    // canonical paths always start with '/'; the directory is the
+    // path with its last segment cut ("/Docs/7" -> "/Docs/").
+    val baseDir = regexp_replace(basePath, "[^/]*$", "")
+    val h = col("href_raw")
+    val kind =
+      when(h === "" || h.startsWith("#"), lit("dropped_fragment"))
+        .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
+          when(h.rlike("(?i)^https?://"), lit("absolute"))
+            .otherwise(lit("dropped_scheme")))
+        .when(h.rlike(DotSegPattern), lit("dropped_dotseg"))
+        .when(h.startsWith("//"), lit("protocol_relative"))
+        .when(h.startsWith("/"), lit("root_relative"))
+        .otherwise(lit("path_relative"))
+    val resolved =
+      when(col("link_kind") === "absolute", h)
+        .when(col("link_kind") === "protocol_relative",
+          concat(scheme, lit(":"), h))
+        .when(col("link_kind") === "root_relative",
+          concat(scheme, lit("://"), auth, h))
+        .when(col("link_kind") === "path_relative",
+          concat(scheme, lit("://"), auth, baseDir, h))
+        .otherwise(lit(null).cast("string"))
+    df.select(col(idCol), col(baseCanonCol).as("base_canon"),
+        explode(regexp_extract_all(col(htmlCol), lit(HrefPattern), lit(1)))
+          .as("href_raw"))
+      .withColumn("link_kind", kind)
+      .withColumn("link_url", resolved)
+      .withColumn("link_canon",
+        when(col("link_url").isNotNull, canonicalUrl(col("link_url"))))
+      .withColumn("link_host",
+        when(col("link_url").isNotNull, urlHost(col("link_url"))))
+  }
+
+  /** Host→host link-graph rollup over [[extractOutlinks]] output:
+    * per (source host, target host) the raw link count, the distinct
+    * canonical-target count, and an internal/external flag. The edge
+    * list feeds the graph family (`Graph.pageRank` over hosts — the
+    * crawl-prioritization signal) and the frontier (q154).
+    *
+    * 100 TB shape: same discipline as [[hostRollup]] — one hash
+    * aggregation keyed by (src, dst, canon) then a (src, dst)
+    * re-aggregation, both map-side combining, all columns short
+    * strings. Dropped links never reach the aggregation. */
+  def hostLinkGraph(outlinks: DataFrame, srcHostCol: String): DataFrame =
+    outlinks.filter(col("link_canon").isNotNull)
+      .groupBy(col(srcHostCol).as("src_host"), col("link_host").as("dst_host"),
+        col("link_canon"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(sum(col("n")).as("n_links"),
+        count(lit(1)).as("n_distinct_targets"))
+      .withColumn("is_internal", col("src_host") === col("dst_host"))
+
+  def robotsVerdict(df: DataFrame, idCol: String, canonCol: String,
+      rules: DataFrame): DataFrame = {
+    // canonical form is scheme://host[/path][?qs] with scheme+host
+    // already lowercased — path and host split off with anchored
+    // regexes, no re-normalization.
+    val thin = df.select(col(idCol),
+      regexp_extract(col(canonCol), "^[a-z][a-z0-9+.-]*://([^/?]*)", 1)
+        .as("__r_host"),
+      regexp_extract(
+        regexp_replace(col(canonCol), "^[a-z][a-z0-9+.-]*://[^/?]*", ""),
+        "^([^?]*)", 1).as("__r_path"))
+    val r = broadcast(rules.select(col("host").as("__rr_host"),
+      col("path_prefix").as("__rr_prefix"), col("allow").as("__rr_allow")))
+    val verdict = thin.join(r,
+        col("__r_host") === col("__rr_host") &&
+          col("__r_path").startsWith(col("__rr_prefix")), "left_outer")
+      .groupBy(col(idCol))
+      .agg(max(coalesce(
+        length(col("__rr_prefix")).cast("long") * 2 +
+          when(col("__rr_allow"), 1L).otherwise(0L),
+        lit(1L))).as("__score"))
+    df.join(verdict, Seq(idCol))
+      .withColumn("fetch_allowed", col("__score") % 2 === 1)
+      .withColumn("rule_match_len", expr("__score div 2"))
+      .drop("__score")
+  }
 }

@@ -29,7 +29,10 @@ class AqeParitySpec extends SparkSpec {
     // round 11 moved these three canonical picks from content-keyed
     // windows onto partial-aggregating min-winner + id-join shapes —
     // the exact construct these gates police
-    "q149_crawl_funnel", "q71_canonical_doc", "q24_exact_dedup")
+    "q149_crawl_funnel", "q71_canonical_doc", "q24_exact_dedup",
+    // q152's verdict is the same shape: an integer max winner per
+    // uniform id over broadcast-joined rule candidates
+    "q152_robots_filter")
 
   test("AQE on and off produce identical rows for partition-sensitive " +
     "queries") {

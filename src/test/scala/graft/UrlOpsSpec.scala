@@ -87,6 +87,117 @@ class UrlOpsSpec extends SparkSpec {
       ("b.com", 3L, 3L, 0L, 0L)))
   }
 
+  private def robotsOut(urls: Seq[(Long, String)],
+      rules: Seq[(String, String, Boolean)]): Map[Long, (Boolean, Long)] =
+    UrlOps.robotsVerdict(
+        urls.toDF("id", "url_canon"), "id", "url_canon",
+        rules.toDF("host", "path_prefix", "allow"))
+      .select("id", "fetch_allowed", "rule_match_len")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2)))
+      .toMap
+
+  test("robots: longest matching prefix wins") {
+    val out = robotsOut(
+      Seq(1L -> "https://a.com/docs/1", 2L -> "https://a.com/docs/12",
+        3L -> "https://a.com/other"),
+      Seq(("a.com", "/docs/1", false), ("a.com", "/docs/12", true)))
+    // /docs/1 and /docs/12 both prefix id=2's path; the longer allow wins.
+    assert(out === Map(1L -> (false, 7L), 2L -> (true, 8L),
+      3L -> (true, 0L)))
+  }
+
+  test("robots: a same-length tie goes to allow; no match defaults allow") {
+    val out = robotsOut(
+      Seq(1L -> "https://a.com/p", 2L -> "https://a.com/q"),
+      Seq(("a.com", "/p", true), ("a.com", "/p", false)))
+    assert(out === Map(1L -> (true, 2L), 2L -> (true, 0L)))
+  }
+
+  test("robots: disallow-all host overridden only by a longer allow") {
+    val out = robotsOut(
+      Seq(1L -> "https://a.com/x", 2L -> "https://a.com/keep/this",
+        3L -> "https://b.com/x"),
+      Seq(("a.com", "/", false), ("a.com", "/keep", true)))
+    // b.com has no rules: its URLs stay allowed — a.com's "/" must not leak.
+    assert(out === Map(1L -> (false, 1L), 2L -> (true, 5L),
+      3L -> (true, 0L)))
+  }
+
+  test("robots: verdict joins back without dropping or duplicating rows") {
+    val docs = Seq((1L, "https://a.com/p", "payload-1"),
+      (2L, "https://a.com/p", "payload-2")).toDF("id", "url_canon", "body")
+    val out = UrlOps.robotsVerdict(docs, "id", "url_canon",
+        Seq(("a.com", "/p", false)).toDF("host", "path_prefix", "allow"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("body"),
+        r.getAs[Boolean]("fetch_allowed"))).sortBy(_._1).toSeq
+    // duplicate canonical URLs stay distinct rows; extra columns survive.
+    assert(out === Seq((1L, "payload-1", false), (2L, "payload-2", false)))
+  }
+
+  private val linkPage =
+    "<html><body><p>see <a href=\"/a\">a</a> and " +
+      "<A HREF=\"HTTPS://WWW.Other.COM/X//Y/\">ext</A> and " +
+      "<a class=\"z\" href=\"//cdn.com/lib\">proto</a> and " +
+      "<a href=\"sub/page?b=2&a=1\">rel</a> and " +
+      "<a href=\"../up\">dots</a> and " +
+      "<a href=\"#frag\">frag</a> and " +
+      "<a href=\"mailto:x@y.com\">mail</a></p></body></html>"
+
+  private def outlinksOf(html: String, base: String) =
+    UrlOps.extractOutlinks(
+        Seq((1L, html, base)).toDF("id", "html", "base"), "id", "html", "base")
+      .select("href_raw", "link_kind", "link_canon", "link_host")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq
+
+  test("outlinks: every href class resolves or drops per contract") {
+    val out = outlinksOf(linkPage, "https://ex.com/Docs/7")
+    assert(out === Seq(
+      ("/a", "root_relative", Some("https://ex.com/a"), Some("ex.com")),
+      // absolute link canonicalizes: case, www., doubled + trailing slash
+      ("HTTPS://WWW.Other.COM/X//Y/", "absolute",
+        Some("https://other.com/X/Y"), Some("other.com")),
+      ("//cdn.com/lib", "protocol_relative",
+        Some("https://cdn.com/lib"), Some("cdn.com")),
+      // path-relative resolves against the base DIRECTORY (/Docs/)
+      // and keeps its query params through canonicalization (sorted)
+      ("sub/page?b=2&a=1", "path_relative",
+        Some("https://ex.com/Docs/sub/page?a=1&b=2"), Some("ex.com")),
+      ("../up", "dropped_dotseg", None, None),
+      ("#frag", "dropped_fragment", None, None),
+      ("mailto:x@y.com", "dropped_scheme", None, None)))
+  }
+
+  test("outlinks: unquoted hrefs and non-anchor tags are not harvested") {
+    val html = "<a href=/bare>x</a> <link href=\"/css\"> " +
+      "<a id=\"k\" href=\"/ok\">y</a>"
+    val out = outlinksOf(html, "http://ex.com/")
+    assert(out.map(_._1) === Seq("/ok"))
+  }
+
+  test("outlinks: a page with no anchors contributes no rows") {
+    assert(outlinksOf("<p>plain</p>", "http://ex.com/").isEmpty)
+  }
+
+  test("host link graph: exact counts, distinct targets, internal flag") {
+    val pages = Seq(
+      (1L, "<a href=\"/a\">1</a><a href=\"/a\">2</a>" +
+        "<a href=\"/b?utm_source=x\">3</a><a href=\"/b\">4</a>" +
+        "<a href=\"https://o.com/z\">5</a>", "https://ex.com/"),
+      (2L, "<a href=\"https://o.com/z#f\">6</a>", "https://ex.com/p"))
+      .toDF("id", "html", "base")
+    val links = UrlOps.extractOutlinks(pages, "id", "html", "base")
+      .withColumn("src_host", UrlOps.urlHost(col("base_canon")))
+    val out = UrlOps.hostLinkGraph(links, "src_host")
+      .orderBy("src_host", "dst_host")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    // /b?utm_source=x and /b collapse to ONE canonical target (2 links);
+    // the o.com fragment variant collapses with the clean one.
+    assert(out === Seq(("ex.com", "ex.com", 4L, 2L, true),
+      ("ex.com", "o.com", 2L, 1L, false)))
+  }
+
   test("canonicalization is idempotent") {
     val raw = Seq("HTTPS://WWW.Ex.COM:443//A//B/?b=2&utm_q=9&a=1#f")
     val once = canon(raw.head)
