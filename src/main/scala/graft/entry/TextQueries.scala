@@ -165,6 +165,37 @@ private[graft] object TextQueries {
     common.union(blockAll)
   }
 
+  /** q153/q154's planted page HTML: the q145 chrome plus one anchor
+    * per href class — the 8 root-relative chrome/footer links, a
+    * self-link to the page's OWN raw URL (an absolute href that
+    * canonicalizes back to the fetched seed — the anti-join's planted
+    * hit), an uppercase cross-host deep absolute link (to the NEXT
+    * source's host — real cross-site edges), a protocol-relative CDN
+    * link (evens), a path-relative link carrying a tracking param
+    * (%3), a dot-segment link (%5, dropped), a mailto (%7, dropped),
+    * and a fragment-only link (always, dropped). Shared structure
+    * with the oracle via [[pageLinksSql]]. */
+  private[graft] def withPlantedPage(df: DataFrame): DataFrame =
+    df.withColumn("html", concat(
+      lit(HtmlPre), col("text"), lit(HtmlLinks),
+      lit("<p><a href=\"#top\">top</a> <a href=\""), col("url"),
+      lit("\">self</a> <A HREF=\"HTTPS://WWW.Src"),
+      ((col("doc_id") + 1) % 20).cast("string"),
+      lit(".EXAMPLE.COM/Docs/"), (col("doc_id") % 13).cast("string"),
+      lit("/deep/page\">next</A> "),
+      when(col("doc_id") % 2 === 0, concat(lit("<a href=\"//cdn"),
+        (col("doc_id") % 3).cast("string"),
+        lit(".example.net/lib/js\">cdn</a> "))).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        lit("<a href=\"more?b=2&utm_x=1&a=1\">read</a> "))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("<a href=\"../up\">up</a> "))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("<a href=\"mailto:bot@example.com\">mail</a>"))
+        .otherwise(lit("")),
+      lit("</p>"), lit(HtmlTail)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- crawl URL canonicalization (oracle-checked): the frontier/
@@ -205,6 +236,76 @@ private[graft] object TextQueries {
         .select(col("doc_id"), col("url_canon"), col("fetch_allowed"),
           col("rule_match_len"))
         .orderBy("doc_id")
+    }),
+
+    // ---- outlink harvest + host link graph (oracle-checked): quoted
+    // <a href> extraction from raw page HTML, resolution against the
+    // canonical base URL (absolute / protocol-relative / root-relative
+    // / path-relative; fragment, non-http scheme and dot-segment hrefs
+    // dropped), canonicalization of every resolved link, then the
+    // (src_host, dst_host) edge rollup — the crawl's graph feed. Page
+    // HTML dies in the harvest projection; the rollup's exchanges
+    // carry short URL strings only (UrlOps.extractOutlinks scaladoc).
+    "q153_outlink_graph" -> ((s, dir) => {
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        withPlantedUrl(t(s, dir, "documents")), "url")
+      val pages = withPlantedPage(canon)
+      val links = graft.ext.UrlOps.extractOutlinks(
+          pages, "doc_id", "html", "url_canon")
+        .withColumn("src_host", graft.ext.UrlOps.urlHost(col("base_canon")))
+      graft.ext.UrlOps.hostLinkGraph(links, "src_host")
+        .orderBy("src_host", "dst_host")
+    }),
+
+    // ---- crawl frontier construction (oracle-checked): the capstone
+    // of the URL family — discovered outlinks, minus already-fetched
+    // seeds (left ANTI join on the canonical key), through the robots
+    // verdict (q152's broadcast longest-match), budgeted to the k=3
+    // shallowest URLs per host via the native graft_top_k aggregate
+    // (O(k) state per host, map-side partial combine — NO window sort
+    // of the frontier). Every planted page links to its own seed URL,
+    // so the anti join removes real rows; src10–19's disallow-all
+    // robots rule empties most of their budget.
+    "q154_crawl_frontier" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        withPlantedUrl(docs), "url")
+      val links = graft.ext.UrlOps.extractOutlinks(
+          withPlantedPage(canon), "doc_id", "html", "url_canon")
+        .filter(col("link_canon").isNotNull)
+      // one candidate per discovered canonical URL; the discovering
+      // page with the smallest id is its provenance
+      val cand = links.groupBy(col("link_canon"), col("link_host"))
+        .agg(min(col("doc_id")).as("found_by"))
+      // tiny (one row per unseen URL) but on top of the whole harvest
+      // + anti join; robotsVerdict consumes it TWICE (thin side +
+      // join-back), so cut the plan here or the harvest runs per
+      // consumer (the localCheckpoint discipline, cf. q130)
+      val fresh = cand.join(
+        canon.select(col("url_canon").as("link_canon")).distinct(),
+        Seq("link_canon"), "left_anti")
+        .localCheckpoint()
+      val verd = graft.ext.UrlOps.robotsVerdict(
+        fresh, "link_canon", "link_canon", plantedRobotsRules(docs))
+      val sched = verd.filter(col("fetch_allowed"))
+        .withColumn("path", regexp_extract(
+          regexp_replace(col("link_canon"),
+            "^[a-z][a-z0-9+.-]*://[^/?]*", ""), "^([^?]*)", 1))
+        .withColumn("depth", size(filter(split(col("path"), "/"),
+          seg => seg =!= "")).cast("long"))
+      sched.groupBy(col("link_host"))
+        .agg(call_function("graft_top_k",
+          -col("depth").cast("double"),
+          struct(col("link_canon"), col("found_by")), lit(3)).as("top"))
+        .select(col("link_host"),
+          posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("link_host"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("s.payload.link_canon").as("url_canon"),
+          (-col("s.ord")).cast("long").as("depth"),
+          col("s.payload.found_by").as("found_by"))
+        .orderBy("link_host", "rank")
     }),
 
     // ---- the COMPLETE crawl→curate funnel in ONE plan
@@ -1019,46 +1120,54 @@ private[graft] object TextQueries {
   /** DuckDB replay of [[graft.ext.UrlOps.canonicalUrl]] step for step
     * — each CTE is one rule, every regex RE2-safe and identical to
     * the Spark side's, the tracking-prefix predicate GENERATED from
-    * the shared [[graft.ext.UrlOps.TrackingParamPrefixes]]. Ends in a
-    * CTE `c(doc_id, url, url_host, url_canon, url_had_tracking,
-    * url_had_fragment)`. */
-  private def urlCanonCtes: String = {
+    * the shared [[graft.ext.UrlOps.TrackingParamPrefixes]]. Reads
+    * `src(carry..., url)`, emits CTEs `{p}1..{p}6` and a final
+    * `{out}(carry..., url, url_host, url_canon, url_had_tracking,
+    * url_had_fragment)` — parameterized so the q153/q154 oracles run
+    * the SAME chain over resolved link URLs (carrying the source
+    * host) that q150/q151 run over page URLs. */
+  private def urlCanonChain(src: String, p: String, out: String,
+      carry: Seq[String]): String = {
     val trk = graft.ext.UrlOps.TrackingParamPrefixes
-      .map(p => "starts_with(p, '" + p + "')").mkString(" OR ")
-    "u1 AS (SELECT doc_id, url, " +
-      "regexp_replace(url, '#.*$', '') AS nofrag FROM aug),\n" +
-      "u2 AS (SELECT doc_id, url, " +
+      .map(pre => "starts_with(p, '" + pre + "')").mkString(" OR ")
+    val cy = carry.map(_ + ", ").mkString
+    s"${p}1 AS (SELECT $cy" + "url, " +
+      s"regexp_replace(url, '#.*$$', '') AS nofrag FROM $src),\n" +
+      s"${p}2 AS (SELECT $cy" + "url, " +
       "lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))" +
       " AS scheme, " +
       "regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest " +
-      "FROM u1),\n" +
-      "u3 AS (SELECT doc_id, url, scheme, rest, " +
+      s"FROM ${p}1),\n" +
+      s"${p}3 AS (SELECT $cy" + "url, scheme, rest, " +
       "regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), " +
-      "'^www\\.', '') AS hostnw FROM u2),\n" +
-      "u4 AS (SELECT doc_id, url, scheme, " +
+      "'^www\\.', '') AS hostnw FROM " + s"${p}2),\n" +
+      s"${p}4 AS (SELECT $cy" + "url, scheme, " +
       "CASE WHEN scheme = 'http' THEN regexp_replace(hostnw, ':80$', '') " +
       "WHEN scheme = 'https' THEN regexp_replace(hostnw, ':443$', '') " +
       "ELSE hostnw END AS host, " +
-      "regexp_replace(rest, '^[^/?]*', '') AS pathq FROM u3),\n" +
-      "u5 AS (SELECT doc_id, url, scheme, host, " +
+      "regexp_replace(rest, '^[^/?]*', '') AS pathq FROM " + s"${p}3),\n" +
+      s"${p}5 AS (SELECT $cy" + "url, scheme, host, " +
       "regexp_replace(regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), " +
       "'//+', '/', 'g'), '/$', '') AS path0, " +
       "CASE WHEN contains(pathq, '?') THEN " +
       "regexp_replace(pathq, '^[^?]*\\?', '') ELSE '' END AS rawqs " +
-      "FROM u4),\n" +
-      "u6 AS (SELECT doc_id, url, scheme, host, " +
+      "FROM " + s"${p}4),\n" +
+      s"${p}6 AS (SELECT $cy" + "url, scheme, host, " +
       "CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path, " +
       "list_sort(list_filter(string_split(rawqs, '&'), " +
       "p -> p <> '' AND NOT (" + trk + "))) AS kept, " +
       "len(list_filter(string_split(rawqs, '&'), " +
-      "p -> p <> '' AND (" + trk + "))) > 0 AS had_trk FROM u5),\n" +
-      "c AS (SELECT doc_id, url, host AS url_host, " +
+      "p -> p <> '' AND (" + trk + "))) > 0 AS had_trk FROM " + s"${p}5),\n" +
+      s"$out AS (SELECT $cy" + "url, host AS url_host, " +
       "scheme || '://' || host || path || " +
       "CASE WHEN coalesce(array_to_string(kept, '&'), '') = '' THEN '' " +
       "ELSE '?' || array_to_string(kept, '&') END AS url_canon, " +
       "had_trk AS url_had_tracking, " +
-      "contains(url, '#') AS url_had_fragment FROM u6)"
+      "contains(url, '#') AS url_had_fragment FROM " + s"${p}6)"
   }
+
+  private def urlCanonCtes: String =
+    urlCanonChain("aug", "u", "c", Seq("doc_id"))
 
   private def urlCanonicalizeOracleSql: String =
     "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + "\n" +
@@ -1081,14 +1190,20 @@ private[graft] object TextQueries {
     * `starts_with` predicate, and the winner the same
     * `max(2·len + allow)` integer encoding — longest prefix
     * dominates, allow wins the tie, unmatched encodes as 1. */
-  private def robotsOracleSql: String =
-    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
-      "hosts AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
+  /** The q152/q154 rule table as CTEs `hosts` + `rules(rhost,
+    * rprefix, rallow)` — GENERATED from the same classes as
+    * [[plantedRobotsRules]]. */
+  private def robotsRulesCtes: String =
+    "hosts AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
       "rules AS (SELECT h || '.example.com' AS rhost, t.p AS rprefix, " +
       "t.a AS rallow FROM hosts, (VALUES ('/Docs/1', false), " +
       "('/Docs/12', true), ('/Docs/3', true), ('/Docs/3', false)) t(p, a) " +
       "UNION ALL SELECT h || '.example.com', '/', false FROM hosts " +
-      "WHERE length(h) % 5 = 0),\n" +
+      "WHERE length(h) % 5 = 0)"
+
+  private def robotsOracleSql: String =
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      robotsRulesCtes + ",\n" +
       "pth AS (SELECT doc_id, url_canon, url_host, " +
       "regexp_extract(regexp_replace(url_canon, " +
       "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path FROM c),\n" +
@@ -1100,6 +1215,102 @@ private[graft] object TextQueries {
       "SELECT doc_id, url_canon, score % 2 = 1 AS fetch_allowed, " +
       "CAST(score // 2 AS BIGINT) AS rule_match_len FROM v ORDER BY doc_id"
 
+  /** DuckDB replay of [[withPlantedPage]] +
+    * [[graft.ext.UrlOps.extractOutlinks]]: builds each page from the
+    * SAME literal pieces, harvests hrefs with the shared
+    * [[graft.ext.UrlOps.HrefPattern]], resolves each per the shared
+    * classification (fragment / non-http scheme / dot-segment → NULL;
+    * protocol-relative, root-relative, path-relative against the
+    * canonical base), then runs the canonicalization chain over the
+    * kept links. Ends in `lc(doc_id, src_host, url, url_host,
+    * url_canon, ...)` — one row per kept link. Expects `aug` and the
+    * page chain `c` upstream. */
+  private def linkCtes: String = {
+    val dotseg = graft.ext.UrlOps.DotSegPattern
+    "pg AS (SELECT c.doc_id, c.url, c.url_host AS src_host, " +
+      "c.url_canon AS base, d.text FROM c " +
+      "JOIN documents d ON c.doc_id = d.doc_id),\n" +
+      "hm AS (SELECT doc_id, src_host, base, '" +
+      HtmlPre + "' || text || '" + HtmlLinks + "' || " +
+      "'<p><a href=\"#top\">top</a> <a href=\"' || url || " +
+      "'\">self</a> <A HREF=\"HTTPS://WWW.Src' || " +
+      "CAST((doc_id + 1) % 20 AS VARCHAR) || '.EXAMPLE.COM/Docs/' || " +
+      "CAST(doc_id % 13 AS VARCHAR) || '/deep/page\">next</A> ' || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN '<a href=\"//cdn' || " +
+      "CAST(doc_id % 3 AS VARCHAR) || '.example.net/lib/js\">cdn</a> ' " +
+      "ELSE '' END) || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN " +
+      "'<a href=\"more?b=2&utm_x=1&a=1\">read</a> ' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '<a href=\"../up\">up</a> ' " +
+      "ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN " +
+      "'<a href=\"mailto:bot@example.com\">mail</a>' ELSE '' END) || " +
+      "'</p>' || '" + HtmlTail + "' AS html FROM pg),\n" +
+      "lx AS (SELECT doc_id, src_host, base, " +
+      "unnest(regexp_extract_all(html, '" +
+      graft.ext.UrlOps.HrefPattern + "', 1)) AS href FROM hm),\n" +
+      "bb AS (SELECT doc_id, src_host, href, " +
+      "regexp_extract(base, '^([a-z][a-z0-9+.-]*)://', 1) AS bscheme, " +
+      "regexp_extract(base, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) AS bauth, " +
+      "regexp_replace(regexp_extract(regexp_replace(base, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1), " +
+      "'[^/]*$', '') AS bdir FROM lx),\n" +
+      "rs AS (SELECT doc_id, src_host, " +
+      "CASE WHEN href = '' OR starts_with(href, '#') THEN NULL " +
+      "WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN " +
+      "(CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href " +
+      "ELSE NULL END) " +
+      "WHEN regexp_matches(href, '" + dotseg + "') THEN NULL " +
+      "WHEN starts_with(href, '//') THEN bscheme || ':' || href " +
+      "WHEN starts_with(href, '/') THEN bscheme || '://' || bauth || href " +
+      "ELSE bscheme || '://' || bauth || bdir || href END AS url " +
+      "FROM bb),\n" +
+      "la AS (SELECT doc_id, src_host, url FROM rs WHERE url IS NOT NULL),\n" +
+      urlCanonChain("la", "l", "lc", Seq("doc_id", "src_host"))
+  }
+
+  private def outlinkGraphOracleSql: String =
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      linkCtes + ",\n" +
+      "ag AS (SELECT src_host, url_host AS dst_host, url_canon, " +
+      "count(*) AS n FROM lc GROUP BY 1, 2, 3)\n" +
+      "SELECT src_host, dst_host, CAST(sum(n) AS BIGINT) AS n_links, " +
+      "CAST(count(*) AS BIGINT) AS n_distinct_targets, " +
+      "src_host = dst_host AS is_internal " +
+      "FROM ag GROUP BY src_host, dst_host ORDER BY src_host, dst_host"
+
+  /** q154: discovered links minus fetched seeds (LEFT JOIN … IS NULL
+    * ≡ the Spark anti join), the q152 robots `max(2·len+allow)`
+    * winner per candidate, then the per-host budget — the window
+    * formulation here replays graft_top_k's (ord DESC, payload ASC)
+    * order as (depth ASC, url ASC). */
+  private def frontierOracleSql: String =
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      linkCtes + ",\n" + robotsRulesCtes + ",\n" +
+      "cand AS (SELECT url_canon AS link_canon, url_host AS link_host, " +
+      "min(doc_id) AS found_by FROM lc GROUP BY 1, 2),\n" +
+      "seen AS (SELECT DISTINCT url_canon FROM c),\n" +
+      "fresh AS (SELECT cand.* FROM cand LEFT JOIN seen " +
+      "ON cand.link_canon = seen.url_canon WHERE seen.url_canon IS NULL),\n" +
+      "pth AS (SELECT link_canon, link_host, found_by, " +
+      "regexp_extract(regexp_replace(link_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path " +
+      "FROM fresh),\n" +
+      "v AS (SELECT p.link_canon, p.link_host, p.found_by, p.path, " +
+      "max(coalesce(2 * length(r.rprefix) + " +
+      "CASE WHEN r.rallow THEN 1 ELSE 0 END, 1)) AS score " +
+      "FROM pth p LEFT JOIN rules r ON r.rhost = p.link_host " +
+      "AND starts_with(p.path, r.rprefix) GROUP BY 1, 2, 3, 4),\n" +
+      "al AS (SELECT link_canon, link_host, found_by, " +
+      "CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) " +
+      "AS BIGINT) AS depth FROM v WHERE score % 2 = 1),\n" +
+      "rk AS (SELECT link_host, link_canon, depth, found_by, " +
+      "row_number() OVER (PARTITION BY link_host " +
+      "ORDER BY depth, link_canon, found_by) AS rnk FROM al)\n" +
+      "SELECT link_host, CAST(rnk AS BIGINT) AS rank, " +
+      "link_canon AS url_canon, depth, found_by " +
+      "FROM rk WHERE rnk <= 3 ORDER BY link_host, rank"
+
   val oracleSql: Map[String, String] = Map(
 
     "q150_url_canonicalize" -> urlCanonicalizeOracleSql,
@@ -1107,6 +1318,10 @@ private[graft] object TextQueries {
     "q151_host_rollup" -> hostRollupOracleSql,
 
     "q152_robots_filter" -> robotsOracleSql,
+
+    "q153_outlink_graph" -> outlinkGraphOracleSql,
+
+    "q154_crawl_frontier" -> frontierOracleSql,
 
     "q145_html_extract" -> htmlExtractOracleSql,
 

@@ -31,8 +31,9 @@ class AqeParitySpec extends SparkSpec {
     // the exact construct these gates police
     "q149_crawl_funnel", "q71_canonical_doc", "q24_exact_dedup",
     // q152's verdict is the same shape: an integer max winner per
-    // uniform id over broadcast-joined rule candidates
-    "q152_robots_filter")
+    // uniform id over broadcast-joined rule candidates; q154 stacks
+    // an anti join, that winner, and a graft_top_k budget
+    "q152_robots_filter", "q154_crawl_frontier")
 
   test("AQE on and off produce identical rows for partition-sensitive " +
     "queries") {
