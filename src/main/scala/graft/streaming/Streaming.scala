@@ -282,6 +282,90 @@ object EventStreams {
       }
       .start()
 
+  /** Create the (empty) accumulated seen-URL set [[frontierStream]]
+    * appends into: one `url_canon` column, stored content-bucketed on
+    * the URL string itself ([[graft.ext.Dedup.writeBucketedByContent]])
+    * so every discovery cycle's novelty anti-join consumes the bucket
+    * layout without ever exchanging the seen set — the
+    * [[initCrawlCorpus]] discipline with the canonical URL as the
+    * content. */
+  def initFrontierSeen(spark: org.apache.spark.sql.SparkSession,
+                       seenTable: String, nBuckets: Int = 32): Unit = {
+    import org.apache.spark.sql.types._
+    graft.ext.Dedup.writeBucketedByContent(
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("url_canon", StringType)))),
+      "url_canon", seenTable, nBuckets)
+  }
+
+  /** The incremental frontier-discovery loop — q154's streaming twin:
+    * each micro-batch of fetched (id, url, html) pages
+    *   1. marks its own canonical URLs seen (idempotent under
+    *      re-fetch — the append dedups against the seen set first),
+    *   2. harvests, resolves and canonicalizes outlinks
+    *      ([[graft.ext.UrlOps.extractOutlinks]] verbatim),
+    *   3. keeps targets NOT in the accumulated seen set — first
+    *      discovery wins, so `found_by` is the first-arrival
+    *      discoverer (≡ global min id under ordered-id arrival, the
+    *      [[crawlCorpusStream]] contract),
+    *   4. runs the robots verdict ([[graft.ext.UrlOps.robotsVerdict]]
+    *      verbatim), and
+    *   5. hands the ALLOWED novel candidates to `onBatch` for
+    *      scheduling while appending ALL novel targets — allowed or
+    *      blocked — to the seen set so neither resurfaces.
+    *
+    * The per-host budget (q154's `graft_top_k`) stays with the
+    * caller's scheduling cycle: a cumulative budget over a growing
+    * frontier is not the union of per-batch budgets, so the operator
+    * emits the verdicted candidate set and lets each cycle rank it.
+    *
+    * Equivalence contract (spec-pinned): as long as no batch fetches
+    * a URL a previous batch discovered (each real fetch of a
+    * scheduled URL lands in the seen set BEFORE its links are
+    * harvested, so re-fetches are idempotent), the union of per-batch
+    * emissions equals q154's pre-budget allowed set over one batch of
+    * everything fetched.
+    *
+    * Scale shape, per cycle: harvest is projection+explode (page
+    * HTML dies there); the novelty verdict computes on thin
+    * (url, hash) rows against the bucketed seen scan (seen set never
+    * exchanged — the [[graft.ext.Dedup.dedupAgainstCorpus]]
+    * contract); the rule table broadcasts. Driver state: none.
+    */
+  def frontierStream(pages: DataFrame, idCol: String, urlCol: String,
+                     htmlCol: String, rules: DataFrame, seenTable: String)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, min}
+        val spark = batch.sparkSession
+        val canon = graft.ext.UrlOps.withCanonicalUrl(batch, urlCol)
+        // fetched first: the batch's own pages must be seen before
+        // their links are judged, or self-links would re-schedule them
+        graft.ext.Dedup.dedupAgainstCorpus(spark,
+            canon.select(col("url_canon")).distinct(),
+            "url_canon", "url_canon", seenTable)
+          .select(col("url_canon"), col("content_hash"))
+          .write.mode("append").insertInto(seenTable)
+        val links = graft.ext.UrlOps.extractOutlinks(
+            canon, idCol, htmlCol, "url_canon")
+          .filter(col("link_canon").isNotNull)
+        val cand = links.groupBy(col("link_canon"), col("link_host"))
+          .agg(min(col(idCol)).as("found_by"))
+        // tiny, and consumed three times (seen append, verdict thin
+        // side, verdict join-back) — cut the harvest here (cf. q154)
+        val novel = graft.ext.Dedup.dedupAgainstCorpus(spark, cand,
+          "link_canon", "link_canon", seenTable).localCheckpoint()
+        novel.select(col("link_canon").as("url_canon"), col("content_hash"))
+          .write.mode("append").insertInto(seenTable)
+        onBatch(graft.ext.UrlOps.robotsVerdict(novel.drop("content_hash"),
+            "link_canon", "link_canon", rules)
+          .filter(col("fetch_allowed")), batchId)
+      }
+      .start()
+
   /** Continuous RAG serving over the persisted BM25 + IVF index pair:
     * each micro-batch of (query id, text, vector) rows is answered by
     * [[graft.ext.Retrieval.ragServeIndexed]] verbatim — the

@@ -175,4 +175,82 @@ class CrawlFunnelSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getLong(0) == expected.toLong))
   }
+
+  test("frontierStream: two micro-batches with cross-batch re-discoveries " +
+    "emit exactly the one-shot pre-budget allowed set; the seen set " +
+    "never duplicates") {
+    import graft.entry.TextQueries
+    import graft.ext.UrlOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q154 plant over a 40-doc corpus: URLs, rules and pages from
+    // the SAME generators the catalog query uses, split into two
+    // ordered micro-batches (the crawl's ids-at-fetch-time contract)
+    val docs = (0L until 40L)
+      .map(i => (i, s"body of page $i", "src" + (i % 20)))
+      .toDF("doc_id", "text", "source")
+    val rules = TextQueries.plantedRobotsRules(docs)
+    val pages = TextQueries.withPlantedPage(UrlOps.withCanonicalUrl(
+        TextQueries.withPlantedUrl(docs), "url"))
+      .select("doc_id", "url", "html")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val loc = java.nio.file.Files.createTempDirectory("graft_seen").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fsdb LOCATION '$loc'")
+    val table = "graft_fsdb.frontier_seen"
+    graft.streaming.EventStreams.initFrontierSeen(spark, table, nBuckets = 4)
+    val emitted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    try {
+      val in = MemoryStream[(Long, String, String)]
+      val query = graft.streaming.EventStreams.frontierStream(
+          in.toDF().toDF("doc_id", "url", "html"),
+          "doc_id", "url", "html", rules, table) { (sched, _) =>
+        emitted ++= sched
+          .select("link_canon", "link_host", "found_by")
+          .as[(String, String, Long)].collect()
+      }
+      in.addData(pages.take(20): _*)
+      query.processAllAvailable()
+      in.addData(pages.drop(20): _*)
+      query.processAllAvailable()
+      query.stop()
+      // one-shot truth: q154's stages before the per-host budget, over
+      // ALL pages at once (the same operators, one batch)
+      val canon = UrlOps.withCanonicalUrl(TextQueries.withPlantedUrl(docs),
+        "url")
+      val links = UrlOps.extractOutlinks(TextQueries.withPlantedPage(canon),
+          "doc_id", "html", "url_canon")
+        .filter(col("link_canon").isNotNull)
+      val cand = links.groupBy(col("link_canon"), col("link_host"))
+        .agg(org.apache.spark.sql.functions.min(col("doc_id"))
+          .as("found_by"))
+      val fresh = cand.join(
+        canon.select(col("url_canon").as("link_canon")).distinct(),
+        Seq("link_canon"), "left_anti")
+      val oneShot = UrlOps.robotsVerdict(fresh, "link_canon", "link_canon",
+          rules)
+        .filter(col("fetch_allowed"))
+        .select("link_canon", "link_host", "found_by")
+        .as[(String, String, Long)].collect().toSet
+      assert(oneShot.nonEmpty)
+      assert(emitted.toSet == oneShot,
+        s"stream emitted ${emitted.size} != one-shot ${oneShot.size}; " +
+          s"extra=${(emitted.toSet -- oneShot).take(3)} " +
+          s"missing=${(oneShot -- emitted.toSet).take(3)}")
+      // first arrival won: nothing was emitted twice across batches
+      assert(emitted.map(_._1).distinct.size == emitted.size)
+      // the seen set holds each URL once: 40 fetched seeds (4 hosts ×
+      // port/path variants collapse some) + every discovered target
+      val seen = spark.table(table).select("url_canon")
+        .as[String].collect().toSeq
+      assert(seen.distinct.size == seen.size,
+        "seen set accumulated duplicate canonical URLs")
+      // blocked targets are seen too (they must not resurface), so the
+      // seen set is strictly larger than seeds + emitted
+      val seeds = canon.select(col("url_canon")).distinct().count()
+      assert(seen.size > seeds + emitted.size)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_fsdb CASCADE")
+    }
+  }
 }
