@@ -308,6 +308,32 @@ private[graft] object TextQueries {
         .orderBy("link_host", "rank")
     }),
 
+    // ---- host-graph PageRank (oracle-checked): the crawl-priority
+    // signal hostLinkGraph feeds — Graph.pageRankMicro's exact
+    // integer-micro recurrence over the REAL cross-host edges q153
+    // harvests (internal edges dropped: host self-reference is not
+    // centrality). The edge list is tiny (one row per host pair) and
+    // consumed by 10 iterations, so it's localCheckpointed — the
+    // harvest runs once, not per iteration. Bounded driver count()
+    // fixes N for the micro constants (the q134 discipline).
+    "q155_host_pagerank" -> ((s, dir) => {
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        withPlantedUrl(t(s, dir, "documents")), "url")
+      val links = graft.ext.UrlOps.extractOutlinks(
+          withPlantedPage(canon), "doc_id", "html", "url_canon")
+        .withColumn("src_host", graft.ext.UrlOps.urlHost(col("base_canon")))
+      val edges = graft.ext.UrlOps.hostLinkGraph(links, "src_host")
+        .filter(!col("is_internal"))
+        .select(col("src_host").as("src"), col("dst_host").as("dst"))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("host"))
+        .union(edges.select(col("dst").as("host")))
+        .distinct().localCheckpoint()
+      graft.ext.Graph.pageRankMicro(nodes, edges, "host", "src", "dst",
+          nNodes = nodes.count(), iters = 10)
+        .orderBy("host")
+    }),
+
     // ---- the COMPLETE crawl→curate funnel in ONE plan
     // (oracle-checked): raw HTML pages → main-content extraction
     // (q145) → mojibake repair (q146) → model-based quality gate
@@ -1311,6 +1337,36 @@ private[graft] object TextQueries {
       "link_canon AS url_canon, depth, found_by " +
       "FROM rk WHERE rnk <= 3 ORDER BY link_host, rank"
 
+  /** q155: the q134 micro-unit PageRank recurrence unrolled over the
+    * REAL cross-host edge list from [[linkCtes]] (floor division
+    * loses mass identically in both engines; string node keys). */
+  private def hostPagerankOracleSql: String = {
+    val pre =
+      "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+        linkCtes + ",\n" +
+        "eg AS (SELECT DISTINCT src_host AS u, url_host AS v FROM lc " +
+        "WHERE src_host <> url_host),\n" +
+        "nodes AS (SELECT DISTINCT h AS v FROM " +
+        "(SELECT u AS h FROM eg UNION SELECT v FROM eg) t),\n" +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),\n" +
+        "outd AS (SELECT u, CAST(count(*) AS BIGINT) AS outd " +
+        "FROM eg GROUP BY u),\n" +
+        "pr0 AS (SELECT nodes.v, CAST(1000000 // nn.n AS BIGINT) " +
+        "AS pr_micro FROM nodes, nn)"
+    val iters = (1 to 10).map { k =>
+      s"pr$k AS (SELECT no.v, " +
+        "CAST(150000 // nn.n + coalesce(su.c, 0) AS BIGINT) AS pr_micro " +
+        "FROM nodes no CROSS JOIN nn LEFT JOIN (" +
+        "SELECT e.v, CAST(sum((85 * p.pr_micro) // (100 * o.outd)) " +
+        "AS BIGINT) AS c " +
+        s"FROM eg e JOIN pr${k - 1} p ON p.v = e.u " +
+        "JOIN outd o ON o.u = e.u GROUP BY e.v) su ON su.v = no.v)"
+    }
+    (pre +: iters).mkString(",\n") +
+      "\nSELECT v AS host, pr_micro, pr_micro / 1000000.0 AS pr " +
+      "FROM pr10 ORDER BY host"
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q150_url_canonicalize" -> urlCanonicalizeOracleSql,
@@ -1322,6 +1378,8 @@ private[graft] object TextQueries {
     "q153_outlink_graph" -> outlinkGraphOracleSql,
 
     "q154_crawl_frontier" -> frontierOracleSql,
+
+    "q155_host_pagerank" -> hostPagerankOracleSql,
 
     "q145_html_extract" -> htmlExtractOracleSql,
 
