@@ -161,6 +161,68 @@ object CrawlScaleSoak {
     println(f"[soak] unigram tokenize (8k-piece lattice): $tTok8%.1f s, " +
       s"tokens=$tok8")
     require(tok8 > n, "tokenization must emit at least one piece per doc")
+
+    // --- round-11 URL family: canonicalize → outlink harvest → host
+    // link graph → frontier, at 10⁶ pages with a planted HOT HOST
+    // (30% of the corpus on one authority — the politeness hot key)
+    // AND hot candidate URLs (each deep link target is re-discovered
+    // by ~n/260 pages). Both hot keys hit aggregations that must
+    // partial-combine: the harvest explode multiplies rows ~12× but
+    // page HTML dies in the projection, and nothing wider than a URL
+    // crosses an exchange.
+    graft.plans.GraftFunctions.register(spark)
+    val urled = docs.withColumn("source",
+      when(col("doc_id") % 10 < 3, lit("hothost"))
+        .otherwise(concat(lit("src"),
+          (col("doc_id") % 1000).cast("string"))))
+    val canon155 = graft.ext.UrlOps.withCanonicalUrl(
+      graft.entry.TextQueries.withPlantedUrl(urled), "url")
+    val pages155 = graft.entry.TextQueries.withPlantedPage(canon155)
+    val (lg, tLg) = time {
+      val links = graft.ext.UrlOps.extractOutlinks(
+          pages155, "doc_id", "html", "url_canon")
+        .withColumn("src_host",
+          graft.ext.UrlOps.urlHost(col("base_canon")))
+      graft.ext.UrlOps.hostLinkGraph(links, "src_host")
+        .agg(count(lit(1)).as("edges"), sum(col("n_links")).as("links"))
+        .collect()(0)
+    }
+    println(f"[soak] outlink harvest + host graph: $tLg%.1f s, " +
+      s"edges=${lg.getLong(0)} links=${lg.getLong(1)}")
+    require(lg.getLong(1) >= 10L * n,
+      s"harvest must keep >=10 links/page: ${lg.getLong(1)}")
+    val (fr, tFr) = time {
+      val links = graft.ext.UrlOps.extractOutlinks(
+          pages155, "doc_id", "html", "url_canon")
+        .filter(col("link_canon").isNotNull)
+      val cand = links.groupBy(col("link_canon"), col("link_host"))
+        .agg(min(col("doc_id")).as("found_by"))
+      val fresh = cand.join(
+          canon155.select(col("url_canon").as("link_canon")).distinct(),
+          Seq("link_canon"), "left_anti")
+        .localCheckpoint()
+      val sched = graft.ext.UrlOps.robotsVerdict(fresh, "link_canon",
+          "link_canon",
+          graft.entry.TextQueries.plantedRobotsRules(urled))
+        .filter(col("fetch_allowed"))
+        .withColumn("path", regexp_extract(
+          regexp_replace(col("link_canon"),
+            "^[a-z][a-z0-9+.-]*://[^/?]*", ""), "^([^?]*)", 1))
+        .withColumn("depth", size(filter(split(col("path"), "/"),
+          seg => seg =!= "")).cast("long"))
+      sched.groupBy(col("link_host"))
+        .agg(call_function("graft_top_k", -col("depth").cast("double"),
+          struct(col("link_canon"), col("found_by")), lit(3)).as("top"))
+        .agg(count(lit(1)).as("hosts"), sum(size(col("top"))).as("urls"),
+          max(size(col("top"))).as("max_per_host"))
+        .collect()(0)
+    }
+    println(f"[soak] frontier (anti join + robots + budget): $tFr%.1f s, " +
+      s"hosts=${fr.getLong(0)} urls=${fr.getLong(1)} " +
+      s"max_per_host=${fr.getInt(2)}")
+    require(fr.getLong(0) > 0 && fr.getInt(2) <= 3,
+      s"per-host budget violated: ${fr.getInt(2)}")
+
     spark.stop()
   }
 
