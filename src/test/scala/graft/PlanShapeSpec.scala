@@ -393,6 +393,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("URL-family plans never exchange page HTML — it dies in the " +
+    "harvest projection (q153/q154/q155)") {
+    // the extractOutlinks contract: explode multiplies rows ~12× but
+    // every output column is a short string, so NO exchange of any
+    // kind — hash, range, or broadcast — may carry the html column.
+    // (ContentKeyAudit only flags CONTENT-KEYED exchanges; this pin is
+    // stricter for the family whose scaladoc promises it.)
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec,
+      ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    for (name <- Seq("q153_outlink_graph", "q154_crawl_frontier",
+        "q155_host_pagerank")) {
+      val executed = q(name).queryExecution.executedPlan
+      val root = executed match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val carriers = root.collect {
+        case e: ShuffleExchangeExec
+          if e.output.exists(_.name.equalsIgnoreCase("html")) => e
+        case e: BroadcastExchangeExec
+          if e.output.exists(_.name.equalsIgnoreCase("html")) => e
+      }
+      assert(carriers.isEmpty,
+        s"$name: ${carriers.size} exchange(s) carry page HTML:\n" +
+          carriers.map(_.simpleString(3)).mkString("\n"))
+    }
+  }
+
   test("no catalog query's plan sends wide text across a content-keyed " +
     "exchange (repo-wide ContentKeyAudit sweep)") {
     // the mechanical form of the q149-class finding: an Exchange hash-
