@@ -165,6 +165,35 @@ private[graft] object TextQueries {
     common.union(blockAll)
   }
 
+  /** q156's planted robots.txt bodies: one per host, exercising every
+    * grammar hazard — a comment header, an ORPHAN rule before any
+    * group (dropped), another agent's group, a `*` group whose rules
+    * sit behind an ignored `Crawl-delay` line, mixed-case directives,
+    * a trailing comment, an empty `Disallow:` (no restriction), a
+    * STACKED UA group (`Extra` + `*`) adding disallow-all on the
+    * length≡0 (mod 5) hosts, and a graftbot-SPECIFIC group on hosts
+    * ending in `3` that must silence the `*` groups entirely. The `*`
+    * rules are the [[plantedRobotsRules]] classes, so a parse of
+    * these bodies reproduces q152's rule table on the non-specific
+    * hosts (spec-pinned). Shared structure with the oracle via
+    * [[robotsParseOracleSql]]. */
+  private[graft] def plantedRobotsTxt(df: DataFrame): DataFrame =
+    df.select(lower(col("source")).as("h")).distinct().select(
+      concat(col("h"), lit(".example.com")).as("host"),
+      concat(
+        lit("# robots for "), col("h"), lit("\n"),
+        lit("Disallow: /orphan\n"),
+        lit("User-Agent: BadBot\nDisallow: /tmp\n\n"),
+        lit("user-agent: *\nCrawl-delay: 5\n"),
+        lit("Disallow: /Docs/1\nALLOW: /Docs/12 # longest wins\n"),
+        lit("Allow: /Docs/3\ndisallow: /Docs/3\nDisallow:\n"),
+        when(length(col("h")) % 5 === 0,
+          lit("\nUser-agent: Extra\nuser-agent: *\nDisallow: /\n"))
+          .otherwise(lit("")),
+        when(col("h").endsWith("3"),
+          lit("\nUser-agent: graftbot\nAllow: /Docs/1\n" +
+            "Disallow: /private\n")).otherwise(lit(""))).as("txt"))
+
   /** q153/q154's planted page HTML: the q145 chrome plus one anchor
     * per href class — the 8 root-relative chrome/footer links, a
     * self-link to the page's OWN raw URL (an absolute href that
@@ -306,6 +335,20 @@ private[graft] object TextQueries {
           (-col("s.ord")).cast("long").as("depth"),
           col("s.payload.found_by").as("found_by"))
         .orderBy("link_host", "rank")
+    }),
+
+    // ---- robots.txt parsing (oracle-checked): raw per-host bodies →
+    // the rule table the verdict consumes, honoring the RFC 9309
+    // grammar (comment stripping, UA-group stacking, ignored
+    // directives that must not detach rules, empty-pattern drops,
+    // specific-group-silences-star selection) — ONE aggregate
+    // higher-order fold per host, no window, no shuffle, no explode
+    // of intermediate lines (UrlOps.parseRobotsTxt).
+    "q156_robots_parse" -> ((s, dir) => {
+      graft.ext.UrlOps.parseRobotsTxt(
+          plantedRobotsTxt(t(s, dir, "documents")), "host", "txt",
+          "graftbot")
+        .orderBy("host", "path_prefix", "allow")
     }),
 
     // ---- host-graph PageRank (oracle-checked): the crawl-priority
@@ -1367,6 +1410,64 @@ private[graft] object TextQueries {
       "FROM pr10 ORDER BY host"
   }
 
+  /** q156: the robots.txt parse replayed relationally — the fold's
+    * sequential group state becomes gaps-and-islands windows: a UA
+    * line's group id is the count of RULE lines before it (stacked UA
+    * lines share it because no rule intervenes, and ignored lines are
+    * filtered out before counting, exactly the fold's
+    * inua-unchanged-on-other-lines behavior); a rule line's group is
+    * the running max of preceding UA group ids. */
+  private def robotsParseOracleSql: String =
+    "WITH hosts AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
+      "rt AS (SELECT h || '.example.com' AS host, " +
+      "'# robots for ' || h || chr(10) || " +
+      "'Disallow: /orphan' || chr(10) || " +
+      "'User-Agent: BadBot' || chr(10) || 'Disallow: /tmp' || chr(10) || " +
+      "chr(10) || 'user-agent: *' || chr(10) || 'Crawl-delay: 5' || " +
+      "chr(10) || 'Disallow: /Docs/1' || chr(10) || " +
+      "'ALLOW: /Docs/12 # longest wins' || chr(10) || " +
+      "'Allow: /Docs/3' || chr(10) || 'disallow: /Docs/3' || chr(10) || " +
+      "'Disallow:' || chr(10) || " +
+      "(CASE WHEN length(h) % 5 = 0 THEN chr(10) || " +
+      "'User-agent: Extra' || chr(10) || 'user-agent: *' || chr(10) || " +
+      "'Disallow: /' || chr(10) ELSE '' END) || " +
+      "(CASE WHEN h LIKE '%3' THEN chr(10) || " +
+      "'User-agent: graftbot' || chr(10) || 'Allow: /Docs/1' || " +
+      "chr(10) || 'Disallow: /private' || chr(10) ELSE '' END) AS txt " +
+      "FROM hosts),\n" +
+      "ls AS (SELECT host, unnest(string_split(txt, chr(10))) AS l, " +
+      "unnest(generate_series(1, len(string_split(txt, chr(10))))) AS ln " +
+      "FROM rt),\n" +
+      "c1 AS (SELECT host, ln, " +
+      "trim(regexp_replace(l, '#.*$', '')) AS line FROM ls),\n" +
+      "c2 AS (SELECT host, ln, lower(line) AS low, " +
+      "trim(regexp_replace(line, '^[^:]*:', '')) AS val FROM c1),\n" +
+      "rel AS (SELECT host, ln, val, lower(val) AS vlc, " +
+      "CASE WHEN low LIKE 'user-agent:%' THEN 'ua' ELSE 'rule' END AS kind, " +
+      "low LIKE 'allow:%' AS is_allow FROM c2 " +
+      "WHERE low LIKE 'user-agent:%' OR low LIKE 'allow:%' " +
+      "OR low LIKE 'disallow:%'),\n" +
+      "g AS (SELECT host, ln, val, vlc, kind, is_allow, " +
+      "sum(CASE WHEN kind = 'rule' THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING) AS rc " +
+      "FROM rel),\n" +
+      "g2 AS (SELECT host, ln, val, kind, is_allow, " +
+      "max(CASE WHEN kind = 'ua' THEN rc END) OVER " +
+      "(PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING) AS gid " +
+      "FROM g),\n" +
+      "grp AS (SELECT host, rc AS gid, bool_or(vlc = 'graftbot') AS m, " +
+      "bool_or(vlc = '*') AS s FROM g WHERE kind = 'ua' GROUP BY 1, 2),\n" +
+      "asp AS (SELECT host, bool_or(vlc = 'graftbot') AS any_sp FROM g " +
+      "WHERE kind = 'ua' GROUP BY 1),\n" +
+      "em AS (SELECT r.host, r.val AS path_prefix, r.is_allow AS allow, " +
+      "gr.m AS from_specific FROM g2 r " +
+      "JOIN grp gr ON gr.host = r.host AND gr.gid = r.gid " +
+      "WHERE r.kind = 'rule' AND r.val <> '' AND (gr.m OR gr.s))\n" +
+      "SELECT e.host, e.path_prefix, e.allow, e.from_specific " +
+      "FROM em e JOIN asp ON asp.host = e.host " +
+      "WHERE e.from_specific OR NOT asp.any_sp " +
+      "ORDER BY e.host, e.path_prefix, e.allow"
+
   val oracleSql: Map[String, String] = Map(
 
     "q150_url_canonicalize" -> urlCanonicalizeOracleSql,
@@ -1380,6 +1481,8 @@ private[graft] object TextQueries {
     "q154_crawl_frontier" -> frontierOracleSql,
 
     "q155_host_pagerank" -> hostPagerankOracleSql,
+
+    "q156_robots_parse" -> robotsParseOracleSql,
 
     "q145_html_extract" -> htmlExtractOracleSql,
 

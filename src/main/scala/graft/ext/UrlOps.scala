@@ -262,6 +262,76 @@ object UrlOps {
         count(lit(1)).as("n_distinct_targets"))
       .withColumn("is_internal", col("src_host") === col("dst_host"))
 
+  /** RFC 9309 §2.1–2.2 robots.txt PARSER: raw per-host robots.txt
+    * bodies → the parsed rule table [[robotsVerdict]] consumes
+    * (`host`, `path_prefix`, `allow`, plus `from_specific`). Grammar
+    * honored:
+    *
+    *   - comments stripped at `#`, lines trimmed, directive names
+    *     case-insensitive;
+    *   - consecutive `User-agent:` lines STACK into one group, and
+    *     per the RFC unrecognized lines (crawl-delay, sitemap,
+    *     blanks) are IGNORED — they neither break a UA stack nor
+    *     detach later rules from their group;
+    *   - `Allow:`/`Disallow:` lines attach to the most recent group;
+    *     a rule before any group, or with an EMPTY pattern (RFC: no
+    *     restriction), is dropped — but still terminates a UA stack;
+    *   - group selection: if ANY group names `agent` (case-
+    *     insensitive product-token equality), only those groups'
+    *     rules apply (`from_specific = true`); otherwise the `*`
+    *     groups' rules do. Hosts with no applicable rules emit no
+    *     rows — [[robotsVerdict]]'s no-match default allows them.
+    *   - `*`/`$` path wildcards are out of contract (the
+    *     [[robotsVerdict]] prefix-match charter); patterns pass
+    *     through verbatim.
+    *
+    * The whole parse is ONE `aggregate` higher-order fold over the
+    * split lines — per-document sequential state (current group's
+    * match flags, UA-stack bit, accumulated rules) without a window,
+    * a shuffle, or an explode of intermediate lines. 100 TB shape: a
+    * crawl's robots corpus is one KB-sized body per host; the parse
+    * is a zero-shuffle projection and the output table is exactly
+    * the broadcastable rule relation the verdict wants. */
+  def parseRobotsTxt(df: DataFrame, hostCol: String, txtCol: String,
+      agent: String): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val emptyRules =
+      "CAST(array() AS array<struct<p: string, a: boolean, sp: boolean>>)"
+    val init = expr("named_struct('m', false, 's', false, " +
+      "'inua', false, 'asp', false, 'rules', " + emptyRules + ")")
+    val parsed = aggregate(
+      split(col(txtCol), "\n"),
+      init,
+      (acc, l) => {
+        val line = trim(regexp_replace(l, "#.*$", ""))
+        val low = lower(line)
+        val isUa = low.startsWith("user-agent:")
+        val isRule = low.startsWith("allow:") || low.startsWith("disallow:")
+        val isAllow = low.startsWith("allow:")
+        val v = trim(regexp_replace(line, "^[^:]*:", ""))
+        val vLc = lower(v)
+        val m = acc.getField("m"); val s = acc.getField("s")
+        val inua = acc.getField("inua"); val asp = acc.getField("asp")
+        val rules = acc.getField("rules")
+        val emit = isRule && v =!= "" && (m || s)
+        struct(
+          when(isUa, (when(inua, m).otherwise(lit(false))) ||
+            (vLc === agentLc)).otherwise(m).as("m"),
+          when(isUa, (when(inua, s).otherwise(lit(false))) ||
+            (vLc === "*")).otherwise(s).as("s"),
+          when(isUa, lit(true)).when(isRule, lit(false))
+            .otherwise(inua).as("inua"),
+          (asp || (isUa && vLc === agentLc)).as("asp"),
+          when(emit, concat(rules, array(struct(v.as("p"),
+            isAllow.as("a"), m.as("sp"))))).otherwise(rules).as("rules"))
+      },
+      acc => filter(acc.getField("rules"),
+        r => !acc.getField("asp") || r.getField("sp")))
+    df.select(col(hostCol).as("host"), explode(parsed).as("r"))
+      .select(col("host"), col("r.p").as("path_prefix"),
+        col("r.a").as("allow"), col("r.sp").as("from_specific"))
+  }
+
   def robotsVerdict(df: DataFrame, idCol: String, canonCol: String,
       rules: DataFrame): DataFrame = {
     // canonical form is scheme://host[/path][?qs] with scheme+host

@@ -198,6 +198,91 @@ class UrlOpsSpec extends SparkSpec {
       ("ex.com", "o.com", 2L, 1L, false)))
   }
 
+  private def parse(txt: String, agent: String = "graftbot") =
+    UrlOps.parseRobotsTxt(
+        Seq(("h.com", txt)).toDF("host", "txt"), "host", "txt", agent)
+      .select("path_prefix", "allow", "from_specific")
+      .collect().map(r => (r.getString(0), r.getBoolean(1),
+        r.getBoolean(2))).toSeq
+
+  test("robots.txt parse: comments, case, stacking, ignored directives") {
+    val txt =
+      "# preamble\n" +
+        "Disallow: /orphan\n" + // before any group: dropped
+        "User-Agent: BadBot\nDisallow: /tmp\n" + // other agent's group
+        "\n" +
+        "user-agent: Extra\n" + // stacked with * below
+        "USER-AGENT: *\n" +
+        "Crawl-delay: 5\n" + // ignored, must not detach the rules
+        "Disallow: /Docs/1\n" +
+        "ALLOW: /Docs/12 # trailing comment\n" +
+        "Disallow:\n" + // empty pattern: no restriction, dropped
+        "allow: /a\n"
+    assert(parse(txt) === Seq(("/Docs/1", false, false),
+      ("/Docs/12", true, false), ("/a", true, false)))
+  }
+
+  test("robots.txt parse: a specific group silences every * group") {
+    val txt = "User-agent: *\nDisallow: /\n\n" +
+      "User-agent: GraftBot\nAllow: /Docs/1\nDisallow: /private\n"
+    assert(parse(txt) === Seq(("/Docs/1", true, true),
+      ("/private", false, true)))
+    // a different agent sees only the * group
+    assert(parse(txt, agent = "otherbot") === Seq(("/", false, false)))
+  }
+
+  test("robots.txt parse: a group naming both * and the agent is specific") {
+    val txt = "User-agent: graftbot\nUser-agent: *\nDisallow: /x\n"
+    assert(parse(txt) === Seq(("/x", false, true)))
+  }
+
+  test("robots.txt parse: a rule line terminates a UA stack") {
+    // the second User-agent starts a NEW group because a rule intervened
+    val txt = "User-agent: a\nDisallow: /a\nUser-agent: *\nDisallow: /b\n"
+    assert(parse(txt) === Seq(("/b", false, false)))
+  }
+
+  test("robots.txt parse: no applicable rules emits no rows") {
+    assert(parse("User-agent: BadBot\nDisallow: /\n").isEmpty)
+    assert(parse("# nothing here\n").isEmpty)
+  }
+
+  test("robots.txt parse ∘ verdict ≡ the q152 rule-table semantics") {
+    // parse a real body, feed the verdict: longest-match + allow tie
+    val rules = UrlOps.parseRobotsTxt(
+      Seq(("a.com", "User-agent: *\nDisallow: /Docs/1\nAllow: /Docs/12\n"))
+        .toDF("host", "txt"), "host", "txt", "graftbot")
+    val out = UrlOps.robotsVerdict(
+        Seq(1L -> "https://a.com/Docs/12/x", 2L -> "https://a.com/Docs/11")
+          .toDF("id", "url_canon"), "id", "url_canon", rules)
+      .select("id", "fetch_allowed").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(1L -> true, 2L -> false))
+  }
+
+  test("parsing the planted robots.txt bodies reproduces q152's rule " +
+    "table on the non-specific hosts") {
+    // the q156 plant's * groups carry exactly the plantedRobotsRules
+    // classes; hosts ending '3' get a graftbot group and leave the
+    // comparison (their * rules are silenced by design)
+    val docs = (0L until 40L)
+      .map(i => (i, s"t$i", "src" + (i % 20))).toDF("doc_id", "text", "source")
+    val parsed = UrlOps.parseRobotsTxt(
+        graft.entry.TextQueries.plantedRobotsTxt(docs), "host", "txt",
+        "graftbot")
+      .filter(!col("host").startsWith("src3.") &&
+        !col("host").startsWith("src13."))
+      .select("host", "path_prefix", "allow")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(2))).toSet
+    val planted = graft.entry.TextQueries.plantedRobotsRules(docs)
+      .filter(!col("host").startsWith("src3.") &&
+        !col("host").startsWith("src13."))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(2))).toSet
+    assert(parsed === planted)
+  }
+
   test("canonicalization is idempotent") {
     val raw = Seq("HTTPS://WWW.Ex.COM:443//A//B/?b=2&utm_q=9&a=1#f")
     val once = canon(raw.head)
