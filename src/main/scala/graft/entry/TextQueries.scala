@@ -194,6 +194,37 @@ private[graft] object TextQueries {
           lit("\nUser-agent: graftbot\nAllow: /Docs/1\n" +
             "Disallow: /private\n")).otherwise(lit(""))).as("txt"))
 
+  /** q157's planted sitemap bodies: one per host, exercising the
+    * parser's hazards — a `<sitemap>` index entry (not a `<url>`,
+    * ignored), a multi-line block whose `<loc>` needs trimming AND
+    * full canonicalization (case, `www.`, doubled+trailing slash,
+    * tracking param), an entry without `<lastmod>`, a loc-less entry
+    * (dropped), and on even-length hosts an out-of-scope CDN entry.
+    * The per-host digit (`src7` → 7) varies paths and dates. Shared
+    * structure with the oracle via [[sitemapOracleSql]]. */
+  private[graft] def plantedSitemaps(df: DataFrame): DataFrame = {
+    val h = col("h")
+    val dg = regexp_extract(h, "([0-9])$", 1)
+    df.select(lower(col("source")).as("h")).distinct().select(
+      concat(h, lit(".example.com")).as("host"),
+      concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        lit("<sitemap><loc>https://"), h,
+        lit(".example.com/more.xml</loc></sitemap>"),
+        lit("<url>\n  <loc> HTTPS://WWW."), upper(h),
+        lit(".EXAMPLE.COM/Docs//"), dg,
+        lit("/?utm_source=map </loc>\n  <lastmod>2026-01-1"), dg,
+        lit("</lastmod>\n</url>"),
+        lit("<url><loc>https://"), h, lit(".example.com/Docs/"), dg,
+        lit("?b=2</loc></url>"),
+        lit("<url><lastmod>2026-02-02</lastmod></url>"),
+        when(length(h) % 2 === 0,
+          concat(lit("<url><loc>https://cdn"), dg,
+            lit(".example.net/lib</loc><lastmod>2026-03-03</lastmod>" +
+              "</url>"))).otherwise(lit("")),
+        lit("</urlset>")).as("xml"))
+  }
+
   /** q153/q154's planted page HTML: the q145 chrome plus one anchor
     * per href class — the 8 root-relative chrome/footer links, a
     * self-link to the page's OWN raw URL (an absolute href that
@@ -349,6 +380,19 @@ private[graft] object TextQueries {
           plantedRobotsTxt(t(s, dir, "documents")), "host", "txt",
           "graftbot")
         .orderBy("host", "path_prefix", "allow")
+    }),
+
+    // ---- sitemap parsing (oracle-checked): per-host sitemaps.org XML
+    // → one row per <url> entry with a non-empty <loc>, canonicalized
+    // and scope-flagged — the frontier's seed source beside link
+    // discovery. One projection + one explode; the XML dies in the
+    // harvest like q153's HTML (UrlOps.parseSitemap).
+    "q157_sitemap_parse" -> ((s, dir) => {
+      graft.ext.UrlOps.parseSitemap(
+          plantedSitemaps(t(s, dir, "documents")), "host", "xml")
+        .select(col("sitemap_host"), col("url_canon"), col("url_host"),
+          col("lastmod"), col("had_lastmod"), col("in_scope"))
+        .orderBy("sitemap_host", "url_canon")
     }),
 
     // ---- host-graph PageRank (oracle-checked): the crawl-priority
@@ -1468,6 +1512,42 @@ private[graft] object TextQueries {
       "WHERE e.from_specific OR NOT asp.any_sp " +
       "ORDER BY e.host, e.path_prefix, e.allow"
 
+  /** q157: the sitemap plant and parse replayed — block extraction,
+    * loc/lastmod pulls and the canonicalization chain all from the
+    * shared patterns ([[plantedSitemaps]], `(?s)` dotall blocks). */
+  private def sitemapOracleSql: String =
+    "WITH hosts AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
+      "sm AS (SELECT h || '.example.com' AS host, " +
+      "'<?xml version=\"1.0\"?><urlset>' || " +
+      "'<sitemap><loc>https://' || h || " +
+      "'.example.com/more.xml</loc></sitemap>' || " +
+      "'<url>' || chr(10) || '  <loc> HTTPS://WWW.' || upper(h) || " +
+      "'.EXAMPLE.COM/Docs//' || regexp_extract(h, '([0-9])$', 1) || " +
+      "'/?utm_source=map </loc>' || chr(10) || '  <lastmod>2026-01-1' || " +
+      "regexp_extract(h, '([0-9])$', 1) || '</lastmod>' || chr(10) || " +
+      "'</url>' || " +
+      "'<url><loc>https://' || h || '.example.com/Docs/' || " +
+      "regexp_extract(h, '([0-9])$', 1) || '?b=2</loc></url>' || " +
+      "'<url><lastmod>2026-02-02</lastmod></url>' || " +
+      "(CASE WHEN length(h) % 2 = 0 THEN " +
+      "'<url><loc>https://cdn' || regexp_extract(h, '([0-9])$', 1) || " +
+      "'.example.net/lib</loc><lastmod>2026-03-03</lastmod></url>' " +
+      "ELSE '' END) || '</urlset>' AS xml FROM hosts),\n" +
+      "bl AS (SELECT host AS sitemap_host, " +
+      "unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b " +
+      "FROM sm),\n" +
+      "li AS (SELECT sitemap_host, " +
+      "trim(regexp_extract(b, '(?s)<lastmod>(.*?)</lastmod>', 1)) " +
+      "AS lastmod, " +
+      "trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) AS url " +
+      "FROM bl WHERE trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) " +
+      "<> ''),\n" +
+      urlCanonChain("li", "s", "sc", Seq("sitemap_host", "lastmod")) + "\n" +
+      "SELECT sitemap_host, url_canon, url_host, lastmod, " +
+      "lastmod <> '' AS had_lastmod, " +
+      "url_host = sitemap_host AS in_scope FROM sc " +
+      "ORDER BY sitemap_host, url_canon"
+
   val oracleSql: Map[String, String] = Map(
 
     "q150_url_canonicalize" -> urlCanonicalizeOracleSql,
@@ -1483,6 +1563,8 @@ private[graft] object TextQueries {
     "q155_host_pagerank" -> hostPagerankOracleSql,
 
     "q156_robots_parse" -> robotsParseOracleSql,
+
+    "q157_sitemap_parse" -> sitemapOracleSql,
 
     "q145_html_extract" -> htmlExtractOracleSql,
 

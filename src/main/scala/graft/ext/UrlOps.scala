@@ -332,6 +332,38 @@ object UrlOps {
         col("r.a").as("allow"), col("r.sp").as("from_specific"))
   }
 
+  /** Sitemap-protocol parser (sitemaps.org XML): per-host sitemap
+    * bodies → one row per `<url>` entry with a non-empty `<loc>`,
+    * carrying the canonicalized URL, its host, the `<lastmod>` value
+    * (empty string when absent — sitemaps may omit it), and an
+    * `in_scope` flag (a sitemap only has authority over its own
+    * host's URLs — cross-host `<loc>`s are flagged, not silently
+    * kept). `<sitemap>` index entries are not `<url>` entries and are
+    * ignored; entity-escaping beyond the canonicalizer's charter and
+    * nested sitemap fetching are the fetcher's job.
+    *
+    * One projection + one explode per body ((?s)-dotall non-greedy
+    * block extraction, RE2-safe, shared with the oracle) — the XML
+    * dies in the harvest projection exactly like
+    * [[extractOutlinks]]'s HTML; downstream exchanges carry short
+    * URL strings. Feeds the frontier as the seed source beside link
+    * discovery (q154). */
+  def parseSitemap(df: DataFrame, hostCol: String, xmlCol: String)
+      : DataFrame =
+    df.select(col(hostCol).as("sitemap_host"),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<url>(.*?)</url>"), lit(1))).as("__block"))
+      .withColumn("loc", trim(regexp_extract(col("__block"),
+        "(?s)<loc>(.*?)</loc>", 1)))
+      .filter(col("loc") =!= "")
+      .withColumn("lastmod", trim(regexp_extract(col("__block"),
+        "(?s)<lastmod>(.*?)</lastmod>", 1)))
+      .withColumn("had_lastmod", col("lastmod") =!= "")
+      .withColumn("url_canon", canonicalUrl(col("loc")))
+      .withColumn("url_host", urlHost(col("loc")))
+      .withColumn("in_scope", col("url_host") === col("sitemap_host"))
+      .drop("__block")
+
   def robotsVerdict(df: DataFrame, idCol: String, canonCol: String,
       rules: DataFrame): DataFrame = {
     // canonical form is scheme://host[/path][?qs] with scheme+host

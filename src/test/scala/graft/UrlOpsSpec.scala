@@ -283,6 +283,26 @@ class UrlOpsSpec extends SparkSpec {
     assert(parsed === planted)
   }
 
+  test("sitemap parse: blocks, missing lastmod, scope, canonicalization") {
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<sitemap><loc>https://h.com/more.xml</loc></sitemap>" + // index: ignored
+      "<url>\n  <loc> HTTPS://WWW.H.COM/A//B/?utm_source=map </loc>\n" +
+      "  <lastmod>2026-01-15</lastmod>\n</url>" +
+      "<url><loc>https://h.com/c?b=2</loc></url>" + // no lastmod
+      "<url><lastmod>2026-02-02</lastmod></url>" + // no loc: dropped
+      "<url><loc>https://other.com/x</loc><lastmod>2026-03-03</lastmod>" +
+      "</url></urlset>"
+    val out = UrlOps.parseSitemap(
+        Seq(("h.com", xml)).toDF("host", "xml"), "host", "xml")
+      .select("url_canon", "lastmod", "had_lastmod", "in_scope")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(2), r.getBoolean(3))).toSeq
+    assert(out === Seq(
+      ("https://h.com/A/B", "2026-01-15", true, true),
+      ("https://h.com/c?b=2", "", false, true),
+      ("https://other.com/x", "2026-03-03", true, false)))
+  }
+
   test("canonicalization is idempotent") {
     val raw = Seq("HTTPS://WWW.Ex.COM:443//A//B/?b=2&utm_q=9&a=1#f")
     val once = canon(raw.head)
