@@ -225,6 +225,36 @@ private[graft] object TextQueries {
         lit("</urlset>")).as("xml"))
   }
 
+  /** q158's planted WARC archives: one text-mode archive per document
+    * — a `warcinfo` record, a `response` record whose target URI is
+    * the q150 planted URL and whose payload is a full HTTP message
+    * (so it EMBEDS the `\r\n\r\n` that breaks terminator-search
+    * parsing — only Content-Length slicing survives), and a
+    * `metadata` record whose declared length is WRONG on doc_id≡0
+    * (mod 4) — the truncated-capture fsck case. Lengths computed with
+    * `length()` in both engines over the shared construction. */
+  private[graft] def plantedWarc(df: DataFrame): DataFrame = {
+    val crlf = "\r\n"
+    val http = concat(
+      lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf +
+        crlf + "<html><body>doc "),
+      col("doc_id").cast("string"), lit("</body></html>"))
+    val p2 = concat(lit("fetchTimeMs: "), col("doc_id").cast("string"))
+    val decl2 = when(col("doc_id") % 4 === 0, length(p2) + 5)
+      .otherwise(length(p2))
+    withPlantedUrl(df).select(col("doc_id"), concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
+        "Content-Length: 15" + crlf + crlf + "software: graft" +
+        crlf + crlf),
+      lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "WARC-Target-URI: "), col("url"),
+      lit(crlf + "Content-Length: "), length(http).cast("string"),
+      lit(crlf + crlf), http, lit(crlf + crlf),
+      lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+        "Content-Length: "), decl2.cast("string"),
+      lit(crlf + crlf), p2, lit(crlf + crlf)).as("txt"))
+  }
+
   /** q153/q154's planted page HTML: the q145 chrome plus one anchor
     * per href class — the 8 root-relative chrome/footer links, a
     * self-link to the page's OWN raw URL (an absolute href that
@@ -393,6 +423,25 @@ private[graft] object TextQueries {
         .select(col("sitemap_host"), col("url_canon"), col("url_host"),
           col("lastmod"), col("had_lastmod"), col("in_scope"))
         .orderBy("sitemap_host", "url_canon")
+    }),
+
+    // ---- WARC record parsing (oracle-checked): the raw-tier format a
+    // crawl corpus arrives in (ISO 28500 / Common Crawl) — records
+    // split on the version line, WARC headers to the first blank CRLF,
+    // payloads sliced by the DECLARED Content-Length (response
+    // payloads embed their own \r\n\r\n, so only the length is
+    // authoritative), truncated captures flagged. Payload DIGESTS in
+    // the output — record bodies never cross an exchange
+    // (WarcIngest.parseWarcRecords).
+    "q158_warc_parse" -> ((s, dir) => {
+      graft.io.WarcIngest.parseWarcRecords(
+          plantedWarc(t(s, dir, "documents")), "doc_id", "txt")
+        .select(col("doc_id"), col("rec_no"), col("warc_type"),
+          col("target_uri"), col("content_length"), col("payload_len"),
+          col("length_matches"),
+          when(col("payload").isNotNull, md5(col("payload")))
+            .as("payload_md5"))
+        .orderBy("doc_id", "rec_no")
     }),
 
     // ---- host-graph PageRank (oracle-checked): the crawl-priority
@@ -1548,6 +1597,57 @@ private[graft] object TextQueries {
       "url_host = sitemap_host AS in_scope FROM sc " +
       "ORDER BY sitemap_host, url_canon"
 
+  /** q158: the WARC plant and parse replayed — same construction
+    * (lengths via `length()` over shared pieces), same version-line
+    * split, first-blank-line header bound, and Content-Length
+    * substring slice. */
+  private def warcOracleSql: String = {
+    val crlf = "chr(13) || chr(10)"
+    "WITH aug AS (" + urlPlantSql + "),\n" +
+      "pp AS (SELECT doc_id, url, " +
+      "'HTTP/1.1 200 OK' || " + crlf + " || 'Content-Type: text/html' || " +
+      crlf + " || " + crlf + " || '<html><body>doc ' || " +
+      "CAST(doc_id AS VARCHAR) || '</body></html>' AS http, " +
+      "'fetchTimeMs: ' || CAST(doc_id AS VARCHAR) AS p2 FROM aug),\n" +
+      "wf AS (SELECT doc_id, " +
+      "'WARC/1.0' || " + crlf + " || 'WARC-Type: warcinfo' || " + crlf +
+      " || 'Content-Length: 15' || " + crlf + " || " + crlf +
+      " || 'software: graft' || " + crlf + " || " + crlf + " || " +
+      "'WARC/1.0' || " + crlf + " || 'WARC-Type: response' || " + crlf +
+      " || 'WARC-Target-URI: ' || url || " + crlf +
+      " || 'Content-Length: ' || CAST(length(http) AS VARCHAR) || " +
+      crlf + " || " + crlf + " || http || " + crlf + " || " + crlf +
+      " || 'WARC/1.0' || " + crlf + " || 'WARC-Type: metadata' || " +
+      crlf + " || 'Content-Length: ' || CAST(CASE WHEN doc_id % 4 = 0 " +
+      "THEN length(p2) + 5 ELSE length(p2) END AS VARCHAR) || " +
+      crlf + " || " + crlf + " || p2 || " + crlf + " || " + crlf +
+      " AS txt FROM pp),\n" +
+      "rx AS (SELECT doc_id, " +
+      "unnest(string_split(txt, 'WARC/1.0' || " + crlf + ")) AS rec, " +
+      "unnest(generate_series(1, " +
+      "len(string_split(txt, 'WARC/1.0' || " + crlf + ")))) AS posn " +
+      "FROM wf),\n" +
+      "r1 AS (SELECT doc_id, CAST(posn - 1 AS BIGINT) AS rec_no, rec, " +
+      "list_extract(string_split(rec, " + crlf + " || " + crlf + "), 1) " +
+      "AS hdr FROM rx WHERE posn > 1),\n" +
+      "r2 AS (SELECT doc_id, rec_no, rec, hdr, " +
+      "regexp_extract(hdr, '(?m)^WARC-Type: ([^\r]*)', 1) AS warc_type, " +
+      "regexp_extract(hdr, '(?m)^WARC-Target-URI: ([^\r]*)', 1) " +
+      "AS target_uri, " +
+      "CAST(nullif(regexp_extract(hdr, " +
+      "'(?m)^Content-Length: ([0-9]+)', 1), '') AS BIGINT) " +
+      "AS content_length FROM r1),\n" +
+      "r3 AS (SELECT doc_id, rec_no, warc_type, target_uri, " +
+      "content_length, substring(rec, length(hdr) + 5, " +
+      "CAST(content_length AS INTEGER)) AS payload FROM r2)\n" +
+      "SELECT doc_id, rec_no, warc_type, target_uri, content_length, " +
+      "CAST(length(payload) AS BIGINT) AS payload_len, " +
+      "coalesce(length(payload) = content_length, false) " +
+      "AS length_matches, " +
+      "CASE WHEN payload IS NOT NULL THEN md5(payload) END AS payload_md5 " +
+      "FROM r3 ORDER BY doc_id, rec_no"
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q150_url_canonicalize" -> urlCanonicalizeOracleSql,
@@ -1565,6 +1665,8 @@ private[graft] object TextQueries {
     "q156_robots_parse" -> robotsParseOracleSql,
 
     "q157_sitemap_parse" -> sitemapOracleSql,
+
+    "q158_warc_parse" -> warcOracleSql,
 
     "q145_html_extract" -> htmlExtractOracleSql,
 
