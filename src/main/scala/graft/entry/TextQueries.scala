@@ -225,6 +225,35 @@ private[graft] object TextQueries {
         lit("</urlset>")).as("xml"))
   }
 
+  /** The q149 page as a column expression over (doc_id, text): the
+    * plant chrome, every fifth document's body swapped for the shared
+    * duplicate, mojibake damage on the evens. Shared by q149, the
+    * q159 WARC round trip, and their oracles via [[q149HtmlSql]]. */
+  private[graft] def q149PageHtml: org.apache.spark.sql.Column =
+    concat(lit(HtmlPre),
+      when(col("doc_id") % 5 === 0, lit(CrawlDupText))
+        .otherwise(col("text")),
+      when(col("doc_id") % 2 === 0, lit(" " + MojibakeDamaged))
+        .otherwise(lit(" " + MojibakeClean)),
+      lit(HtmlLinks), lit(HtmlTail))
+
+  /** The crawl→curate funnel over (doc_id, html) pages: extract →
+    * repair → quality gate → canonical pick (q149's stages, factored
+    * so q159 runs them over WARC-recovered pages verbatim). */
+  private[graft] def funnelFromPages(pages: DataFrame): DataFrame = {
+    val ex = TextOps.extractMainContent(pages, "html")
+      .select(col("doc_id"), col("blocks_kept"), col("text_main"))
+    val rep = TextOps.repairMojibake(ex, "text_main")
+    crawlCanonicalTail(
+      QualityModel.qualityClassifierScore(rep, "text_main_fixed"))
+  }
+
+  /** The HTTP response prefix q158/q159's planted WARC payloads wrap
+    * their bodies in — the embedded blank line that makes
+    * terminator-search parsing wrong. */
+  private[graft] val HttpHdr: String =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+
   /** q158's planted WARC archives: one text-mode archive per document
     * — a `warcinfo` record, a `response` record whose target URI is
     * the q150 planted URL and whose payload is a full HTTP message
@@ -233,12 +262,12 @@ private[graft] object TextQueries {
     * `metadata` record whose declared length is WRONG on doc_id≡0
     * (mod 4) — the truncated-capture fsck case. Lengths computed with
     * `length()` in both engines over the shared construction. */
-  private[graft] def plantedWarc(df: DataFrame): DataFrame = {
+  private[graft] def plantedWarc(df: DataFrame,
+      httpPayload: org.apache.spark.sql.Column = null): DataFrame = {
     val crlf = "\r\n"
-    val http = concat(
-      lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf +
-        crlf + "<html><body>doc "),
-      col("doc_id").cast("string"), lit("</body></html>"))
+    val http = Option(httpPayload).getOrElse(concat(
+      lit(HttpHdr + "<html><body>doc "),
+      col("doc_id").cast("string"), lit("</body></html>")))
     val p2 = concat(lit("fetchTimeMs: "), col("doc_id").cast("string"))
     val decl2 = when(col("doc_id") % 4 === 0, length(p2) + 5)
       .otherwise(length(p2))
@@ -479,20 +508,27 @@ private[graft] object TextQueries {
     // even members arrive double-encoded, so the dedup can only
     // collapse the group because the repair ran first.
     "q149_crawl_funnel" -> ((s, dir) => {
-      val based = t(s, dir, "documents")
-        .withColumn("text0",
-          when(col("doc_id") % 5 === 0, lit(CrawlDupText))
-            .otherwise(col("text")))
-      val aug = based.withColumn("html", concat(
-        lit(HtmlPre), col("text0"),
-        when(col("doc_id") % 2 === 0, lit(" " + MojibakeDamaged))
-          .otherwise(lit(" " + MojibakeClean)),
-        lit(HtmlLinks), lit(HtmlTail)))
-      val ex = TextOps.extractMainContent(aug, "html")
-        .select(col("doc_id"), col("blocks_kept"), col("text_main"))
-      val rep = TextOps.repairMojibake(ex, "text_main")
-      val scored = QualityModel.qualityClassifierScore(rep, "text_main_fixed")
-      crawlCanonicalTail(scored).orderBy("doc_id")
+      funnelFromPages(t(s, dir, "documents")
+          .withColumn("html", q149PageHtml))
+        .orderBy("doc_id")
+    }),
+
+    // ---- WARC → curate, the INGESTION capstone (oracle-checked):
+    // q158's record parse feeding q149's funnel in ONE plan — planted
+    // archives whose response payloads carry the q149 pages as full
+    // HTTP messages, records sliced by declared length, HTTP bodies
+    // split off, then extract → repair → quality → canonical pick.
+    // The round-trip property is spec-pinned: this equals q149
+    // bit-for-bit, so archive framing adds nothing and loses nothing.
+    "q159_warc_funnel" -> ((s, dir) => {
+      val parsed = graft.io.WarcIngest.parseWarcRecords(
+        plantedWarc(t(s, dir, "documents"),
+          concat(lit(HttpHdr), q149PageHtml)), "doc_id", "txt")
+      val pages = parsed
+        .filter(col("warc_type") === "response" && col("length_matches"))
+        .select(col("doc_id"),
+          element_at(split(col("payload"), "\r\n\r\n"), 2).as("html"))
+      funnelFromPages(pages).orderBy("doc_id")
     }),
 
     // ---- unigram-LM tokenizer TRAINING (oracle-checked): the
@@ -1049,7 +1085,23 @@ private[graft] object TextQueries {
     * logit formula over the REPAIRED text, and the canonical pick —
     * the full funnel replayed stage for stage.
     */
-  private def crawlFunnelOracleSql: String = {
+  /** The q149 page expression in SQL — the twin of [[q149PageHtml]],
+    * over a relation exposing (doc_id, text). */
+  private def q149HtmlSql: String =
+    "'" + HtmlPre + "' || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '" + CrawlDupText +
+      "' ELSE text END) || " +
+      "CASE WHEN doc_id % 2 = 0 THEN ' " + MojibakeDamaged +
+      "' ELSE ' " + MojibakeClean + "' END || '" +
+      HtmlLinks + "' || '" + HtmlTail + "'"
+
+  private def crawlFunnelOracleSql: String =
+    "WITH aug AS (SELECT doc_id, " + q149HtmlSql +
+      " AS html FROM documents),\n" + funnelStagesSql
+
+  /** The funnel's stage CTEs + final select, reading `aug(doc_id,
+    * html)` — shared by q149 and the q159 WARC round trip. */
+  private def funnelStagesSql: String = {
     val ph = htmlPrunedSql("html")
     val chain = TextOps.MojibakeRepairs.foldLeft("main") {
       case (acc, (m, r)) => s"replace($acc, '$m', '$r')"
@@ -1058,13 +1110,7 @@ private[graft] object TextQueries {
       "('0x' || substr(md5('w:graft:' || " +
       "CAST(('0x' || substr(md5('f:graft:' || t), 1, 8))::BIGINT % 1024 " +
       "AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000)) AS BIGINT)"
-    "WITH aug AS (SELECT doc_id, '" + HtmlPre + "' || " +
-      "(CASE WHEN doc_id % 5 = 0 THEN '" + CrawlDupText +
-      "' ELSE text END) || " +
-      "CASE WHEN doc_id % 2 = 0 THEN ' " + MojibakeDamaged +
-      "' ELSE ' " + MojibakeClean + "' END || '" +
-      HtmlLinks + "' || '" + HtmlTail + "' AS html FROM documents),\n" +
-      "bl AS (SELECT doc_id, string_split_regex(" + ph + ", '" +
+    "bl AS (SELECT doc_id, string_split_regex(" + ph + ", '" +
       TextOps.BlockSplitPattern + "') AS blocks FROM aug),\n" +
       "k AS (SELECT doc_id, list_filter(list_transform(blocks, b -> " +
       htmlKeepTxtSql("b") + "), v -> v IS NOT NULL) AS kept FROM bl),\n" +
@@ -1621,8 +1667,22 @@ private[graft] object TextQueries {
       crlf + " || 'Content-Length: ' || CAST(CASE WHEN doc_id % 4 = 0 " +
       "THEN length(p2) + 5 ELSE length(p2) END AS VARCHAR) || " +
       crlf + " || " + crlf + " || p2 || " + crlf + " || " + crlf +
-      " AS txt FROM pp),\n" +
-      "rx AS (SELECT doc_id, " +
+      " AS txt FROM pp),\n" + warcParseCtes + "\n" +
+      "SELECT doc_id, rec_no, warc_type, target_uri, content_length, " +
+      "CAST(length(payload) AS BIGINT) AS payload_len, " +
+      "coalesce(length(payload) = content_length, false) " +
+      "AS length_matches, " +
+      "CASE WHEN payload IS NOT NULL THEN md5(payload) END AS payload_md5 " +
+      "FROM r3 ORDER BY doc_id, rec_no"
+  }
+
+  /** The q158 parse replay reading `wf(doc_id, txt)` — version-line
+    * split, first-blank-line header bound, Content-Length slice.
+    * Ends in `r3(doc_id, rec_no, warc_type, target_uri,
+    * content_length, payload)`. Shared by q158 and q159. */
+  private def warcParseCtes: String = {
+    val crlf = "chr(13) || chr(10)"
+    "rx AS (SELECT doc_id, " +
       "unnest(string_split(txt, 'WARC/1.0' || " + crlf + ")) AS rec, " +
       "unnest(generate_series(1, " +
       "len(string_split(txt, 'WARC/1.0' || " + crlf + ")))) AS posn " +
@@ -1639,13 +1699,38 @@ private[graft] object TextQueries {
       "AS content_length FROM r1),\n" +
       "r3 AS (SELECT doc_id, rec_no, warc_type, target_uri, " +
       "content_length, substring(rec, length(hdr) + 5, " +
-      "CAST(content_length AS INTEGER)) AS payload FROM r2)\n" +
-      "SELECT doc_id, rec_no, warc_type, target_uri, content_length, " +
-      "CAST(length(payload) AS BIGINT) AS payload_len, " +
-      "coalesce(length(payload) = content_length, false) " +
-      "AS length_matches, " +
-      "CASE WHEN payload IS NOT NULL THEN md5(payload) END AS payload_md5 " +
-      "FROM r3 ORDER BY doc_id, rec_no"
+      "CAST(content_length AS INTEGER)) AS payload FROM r2)"
+  }
+
+  /** q159: the q158 archive construction with the q149 pages as HTTP
+    * bodies, the shared parse chain, HTTP-body split-off, then the
+    * shared funnel stages — the full archive→corpus replay. */
+  private def warcFunnelOracleSql: String = {
+    val crlf = "chr(13) || chr(10)"
+    "WITH w0 AS (SELECT u.doc_id, u.url, d.text FROM (" + urlPlantSql +
+      ") u JOIN documents d ON u.doc_id = d.doc_id),\n" +
+      "pp AS (SELECT doc_id, url, " +
+      "'HTTP/1.1 200 OK' || " + crlf + " || 'Content-Type: text/html' || " +
+      crlf + " || " + crlf + " || " + q149HtmlSql + " AS http, " +
+      "'fetchTimeMs: ' || CAST(doc_id AS VARCHAR) AS p2 FROM w0),\n" +
+      "wf AS (SELECT doc_id, " +
+      "'WARC/1.0' || " + crlf + " || 'WARC-Type: warcinfo' || " + crlf +
+      " || 'Content-Length: 15' || " + crlf + " || " + crlf +
+      " || 'software: graft' || " + crlf + " || " + crlf + " || " +
+      "'WARC/1.0' || " + crlf + " || 'WARC-Type: response' || " + crlf +
+      " || 'WARC-Target-URI: ' || url || " + crlf +
+      " || 'Content-Length: ' || CAST(length(http) AS VARCHAR) || " +
+      crlf + " || " + crlf + " || http || " + crlf + " || " + crlf +
+      " || 'WARC/1.0' || " + crlf + " || 'WARC-Type: metadata' || " +
+      crlf + " || 'Content-Length: ' || CAST(CASE WHEN doc_id % 4 = 0 " +
+      "THEN length(p2) + 5 ELSE length(p2) END AS VARCHAR) || " +
+      crlf + " || " + crlf + " || p2 || " + crlf + " || " + crlf +
+      " AS txt FROM pp),\n" + warcParseCtes + ",\n" +
+      "aug AS (SELECT doc_id, list_extract(string_split(payload, " +
+      crlf + " || " + crlf + "), 2) AS html FROM r3 " +
+      "WHERE warc_type = 'response' " +
+      "AND coalesce(length(payload) = content_length, false)),\n" +
+      funnelStagesSql
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -1667,6 +1752,8 @@ private[graft] object TextQueries {
     "q157_sitemap_parse" -> sitemapOracleSql,
 
     "q158_warc_parse" -> warcOracleSql,
+
+    "q159_warc_funnel" -> warcFunnelOracleSql,
 
     "q145_html_extract" -> htmlExtractOracleSql,
 

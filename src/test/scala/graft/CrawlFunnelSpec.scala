@@ -176,6 +176,17 @@ class CrawlFunnelSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == expected.toLong))
   }
 
+  test("q159 WARC round trip equals q149 bit-for-bit") {
+    // archive framing must add nothing and lose nothing: parsing the
+    // planted archives and running the funnel over the recovered HTTP
+    // bodies gives exactly the direct funnel's output
+    val direct = SparkEntry.queries("q149_crawl_funnel")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val viaWarc = SparkEntry.queries("q159_warc_funnel")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty && viaWarc === direct)
+  }
+
   test("frontierStream: two micro-batches with cross-batch re-discoveries " +
     "emit exactly the one-shot pre-budget allowed set; the seen set " +
     "never duplicates") {
