@@ -223,6 +223,37 @@ object CrawlScaleSoak {
     require(fr.getLong(0) > 0 && fr.getInt(2) <= 3,
       s"per-host budget violated: ${fr.getInt(2)}")
 
+    // --- q159 shape: WARC archives → records → HTTP bodies → the FULL
+    // funnel, at 10⁶ archives (3 records each, response payloads carry
+    // the q149-class pages incl. the 20% hot dup cluster). The parse
+    // is per-row substring arithmetic and the record bodies must die
+    // before any exchange — wall time here bounds the ingestion tier.
+    // q149PageHtml swaps every 5th body for the shared dup text itself
+    val warced = graft.entry.TextQueries.plantedWarc(urled,
+      concat(lit(graft.entry.TextQueries.HttpHdr),
+        graft.entry.TextQueries.q149PageHtml))
+    val (wc, tWc) = time {
+      val parsed = graft.io.WarcIngest.parseWarcRecords(
+        warced, "doc_id", "txt")
+      val pages = parsed
+        .filter(col("warc_type") === "response" && col("length_matches"))
+        .select(col("doc_id"),
+          element_at(split(col("payload"), "\r\n\r\n"), 2).as("html"))
+      graft.entry.TextQueries.funnelFromPages(pages)
+        .agg(count(lit(1)).as("rows"),
+          count(when(col("is_canonical"), 1)).as("canonical"),
+          count(when(col("doc_id") % 5 === 0 && col("is_canonical"), 1))
+            .as("hot_canon"))
+        .collect()(0)
+    }
+    println(f"[soak] WARC → records → funnel (q159 shape): $tWc%.1f s, " +
+      s"rows=${wc.getLong(0)} canonical=${wc.getLong(1)} " +
+      s"hot_cluster_canonical=${wc.getLong(2)}")
+    require(wc.getLong(0) == n, s"record per archive lost: ${wc.getLong(0)}")
+    require(wc.getLong(2) <= 1,
+      s"hot dup cluster kept ${wc.getLong(2)} canonicals through the " +
+        "archive round trip")
+
     spark.stop()
   }
 
