@@ -94,18 +94,40 @@ object UrlOps {
 
   /** Appends `url_canon`, `url_host`, `url_had_tracking` (a tracking
     * parameter was removed), `url_had_fragment` to `df`. One
-    * projection, no shuffle. */
-  def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame = {
+    * projection, no shuffle.
+    *
+    * `useNative = true` (the default) routes through
+    * `graft.plans.UrlCanonExpr` — ONE string walk per URL instead of
+    * the ~12 regex executions of the column chain (measured
+    * 31 µs/link in `UrlFamilyProfile`; at 10¹¹ crawl links the chain
+    * is ~860 CPU-hours). Output is bit-identical — each rule is
+    * transcribed, and `UrlOpsSpec` property-pins native ≡ chain over
+    * generated URLs plus every planted shape. The column chain
+    * ([[canonicalUrl]]/[[urlHost]]) stays as the reference
+    * formulation and the parity oracle. */
+  def withCanonicalUrl(df: DataFrame, urlCol: String,
+      useNative: Boolean = true): DataFrame = {
     val u = col(urlCol)
-    val rawQs = when(u.contains("?"),
-      regexp_replace(regexp_replace(u, "#.*$", ""), "^[^?]*\\?", ""))
-      .otherwise(lit(""))
-    val hadTracking = exists(filter(split(rawQs, "&"), p => p =!= ""), p =>
-      TrackingParamPrefixes.map(pre => p.startsWith(pre)).reduce(_ || _))
-    df.withColumn("url_canon", canonicalUrl(u))
-      .withColumn("url_host", urlHost(u))
-      .withColumn("url_had_tracking", hadTracking)
-      .withColumn("url_had_fragment", u.contains("#"))
+    if (useNative) {
+      graft.plans.GraftFunctions.register(df.sparkSession)
+      df.withColumn("__uc", call_function("graft_url_canon", u))
+        .withColumn("url_canon", col("__uc.canon"))
+        .withColumn("url_host", col("__uc.host"))
+        .withColumn("url_had_tracking", col("__uc.had_tracking"))
+        .withColumn("url_had_fragment", u.contains("#"))
+        .drop("__uc")
+    } else {
+      val rawQs = when(u.contains("?"),
+        regexp_replace(regexp_replace(u, "#.*$", ""), "^[^?]*\\?", ""))
+        .otherwise(lit(""))
+      val hadTracking = exists(filter(split(rawQs, "&"), p => p =!= ""),
+        p => TrackingParamPrefixes.map(pre => p.startsWith(pre))
+          .reduce(_ || _))
+      df.withColumn("url_canon", canonicalUrl(u))
+        .withColumn("url_host", urlHost(u))
+        .withColumn("url_had_tracking", hadTracking)
+        .withColumn("url_had_fragment", u.contains("#"))
+    }
   }
 
   /** Host-level crawl rollup over canonicalized URLs: per host the
@@ -231,15 +253,19 @@ object UrlOps {
         .when(col("link_kind") === "path_relative",
           concat(scheme, lit("://"), auth, baseDir, h))
         .otherwise(lit(null).cast("string"))
+    graft.plans.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol), col(baseCanonCol).as("base_canon"),
         explode(regexp_extract_all(col(htmlCol), lit(HrefPattern), lit(1)))
           .as("href_raw"))
       .withColumn("link_kind", kind)
       .withColumn("link_url", resolved)
-      .withColumn("link_canon",
-        when(col("link_url").isNotNull, canonicalUrl(col("link_url"))))
-      .withColumn("link_host",
-        when(col("link_url").isNotNull, urlHost(col("link_url"))))
+      // one native pass per kept link (chain ≡ native parity
+      // spec-pinned; see withCanonicalUrl's scaladoc)
+      .withColumn("__uc", when(col("link_url").isNotNull,
+        call_function("graft_url_canon", col("link_url"))))
+      .withColumn("link_canon", col("__uc.canon"))
+      .withColumn("link_host", col("__uc.host"))
+      .drop("__uc")
   }
 
   /** Host→host link-graph rollup over [[extractOutlinks]] output:
@@ -349,7 +375,8 @@ object UrlOps {
     * URL strings. Feeds the frontier as the seed source beside link
     * discovery (q154). */
   def parseSitemap(df: DataFrame, hostCol: String, xmlCol: String)
-      : DataFrame =
+      : DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     df.select(col(hostCol).as("sitemap_host"),
         explode(regexp_extract_all(col(xmlCol),
           lit("(?s)<url>(.*?)</url>"), lit(1))).as("__block"))
@@ -359,10 +386,12 @@ object UrlOps {
       .withColumn("lastmod", trim(regexp_extract(col("__block"),
         "(?s)<lastmod>(.*?)</lastmod>", 1)))
       .withColumn("had_lastmod", col("lastmod") =!= "")
-      .withColumn("url_canon", canonicalUrl(col("loc")))
-      .withColumn("url_host", urlHost(col("loc")))
+      .withColumn("__uc", call_function("graft_url_canon", col("loc")))
+      .withColumn("url_canon", col("__uc.canon"))
+      .withColumn("url_host", col("__uc.host"))
       .withColumn("in_scope", col("url_host") === col("sitemap_host"))
-      .drop("__block")
+      .drop("__block", "__uc")
+  }
 
   def robotsVerdict(df: DataFrame, idCol: String, canonCol: String,
       rules: DataFrame): DataFrame = {

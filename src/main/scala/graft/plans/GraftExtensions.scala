@@ -219,6 +219,11 @@ object GraftFunctions {
     UnicodeNormExpr(children.head, form)
   }
 
+  private def urlCanonBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 1, "graft_url_canon(url)")
+    UrlCanonExpr(children.head)
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -284,7 +289,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNormExpr].getName,
         "graft_unicode_norm"),
-      unicodeNormBuilder))
+      unicodeNormBuilder),
+    (FunctionIdentifier("graft_url_canon"),
+      new ExpressionInfo(classOf[UrlCanonExpr].getName, "graft_url_canon"),
+      urlCanonBuilder))
 
   /** Idempotent runtime registration on an existing session: the native
     * functions plus the [[LevenshteinBandRule]] optimizer rule.

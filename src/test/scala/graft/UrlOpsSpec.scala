@@ -303,6 +303,52 @@ class UrlOpsSpec extends SparkSpec {
       ("https://other.com/x", "2026-03-03", true, false)))
   }
 
+  test("native url canonicalizer ≡ the column chain on generated URLs " +
+    "and every planted shape") {
+    // UrlCanonExpr transcribes the chain rule for rule; this pin makes
+    // any future drift a red spec. Generator covers: mixed-case
+    // schemes/hosts, www./wwwx edge, default and load-bearing ports,
+    // doubled/trailing slashes, unsorted params with tracking mixed in,
+    // empty params (a&&b), fragments, scheme-less junk, '?' inside the
+    // fragment (the chain's regexp_replace no-match edge), bare hosts.
+    val rnd = new scala.util.Random(4242L)
+    val schemes = Seq("http", "HTTP", "https", "HtTpS", "ftp", "")
+    val hosts = Seq("Ex.COM", "www.ex.com", "WWWx.ex.com", "sub.www.ex.com",
+      "ex.com:80", "ex.com:443", "ex.com:8080", "EX.com:80", "")
+    val paths = Seq("", "/", "//", "/A//b/", "/Docs/7", "/a/b/c//", "/x.y")
+    val qss = Seq("", "?", "?b=2&a=1", "?utm_source=f&a=1", "?a&&b=1",
+      "?ref=x&refresh=1", "?gclid=Z", "?z=%20&y=+")
+    val frags = Seq("", "#f", "#Sec-2", "#?trap", "#a#b")
+    val gen = (1 to 400).map { _ =>
+      schemes(rnd.nextInt(schemes.size)) +
+        (if (rnd.nextBoolean()) "://" else if (rnd.nextInt(4) == 0) ":/" else "://") +
+        hosts(rnd.nextInt(hosts.size)) + paths(rnd.nextInt(paths.size)) +
+        qss(rnd.nextInt(qss.size)) + frags(rnd.nextInt(frags.size))
+    } ++ Seq("", "no-scheme/path?a=1", "HTTPS://WWW.Ex.COM:443//A//B/?b=2&utm_q=9&a=1#f",
+      "mailto:x@y.z", "//proto.rel/x", "http://h.com#?y=utm_a")
+    val df = gen.toDF("u")
+    graft.plans.GraftFunctions.register(spark)
+    val both = UrlOps.withCanonicalUrl(
+        UrlOps.withCanonicalUrl(df, "u", useNative = false)
+          .withColumnRenamed("url_canon", "c_ref")
+          .withColumnRenamed("url_host", "h_ref")
+          .withColumnRenamed("url_had_tracking", "t_ref")
+          .drop("url_had_fragment"),
+        "u", useNative = true)
+      .select("u", "c_ref", "url_canon", "h_ref", "url_host",
+        "t_ref", "url_had_tracking")
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(2) == r.getString(1),
+        s"canon drift on '${r.getString(0)}': " +
+          s"native=${r.getString(2)} chain=${r.getString(1)}")
+      assert(r.getString(4) == r.getString(3),
+        s"host drift on '${r.getString(0)}'")
+      assert(r.getBoolean(6) == r.getBoolean(5),
+        s"tracking-flag drift on '${r.getString(0)}'")
+    }
+  }
+
   test("canonicalization is idempotent") {
     val raw = Seq("HTTPS://WWW.Ex.COM:443//A//B/?b=2&utm_q=9&a=1#f")
     val once = canon(raw.head)
