@@ -131,6 +131,34 @@ object HttpShim {
         Seq(text).toDF("text"), "text", threshold)
     })
 
+  /** `/robots?url=<raw URL>` — the crawl worker's pre-fetch check,
+    * answered from a PERSISTED parsed rule table
+    * ([[graft.ext.UrlOps.parseRobotsTxt]] output saved as a table):
+    * the raw URL is canonicalized (the native one-pass expression)
+    * and judged by [[graft.ext.UrlOps.robotsVerdict]]'s RFC 9309
+    * longest-match semantics, so a served verdict is bit-identical
+    * to the batch operator on the same rules (spec-pinned). Returns
+    * one row: `url_canon`, `fetch_allowed`, `rule_match_len`. A
+    * missing/blank `url` surfaces as the standard `{"error": ...}`
+    * object.
+    */
+  def robotsRoutes(spark: org.apache.spark.sql.SparkSession,
+                   rulesTable: String)
+      : Map[String, HttpExchange => DataFrame] = Map(
+    "robots" -> { ex =>
+      import org.apache.spark.sql.functions.col
+      val params = queryParams(ex.getRequestURI.getRawQuery)
+      val url = params.getOrElse("url", "")
+      require(url.trim.nonEmpty, "missing or empty ?url= parameter")
+      import spark.implicits._
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        Seq(url).toDF("url"), "url")
+      graft.ext.UrlOps.robotsVerdict(
+          canon.select(col("url_canon")), "url_canon", "url_canon",
+          spark.table(rulesTable).select("host", "path_prefix", "allow"))
+        .select("url_canon", "fetch_allowed", "rule_match_len")
+    })
+
   /** `/rag?id=<doc>[&k=N]` — full RAG serving over the persisted
     * index pair: the query is a corpus member (more-like-this), its
     * terms from `docs`, its vector from the IVF index itself; the

@@ -236,4 +236,52 @@ class HttpShimSpec extends SparkSpec {
       assert(c3 == 200 && b3.startsWith("""{"error":"""), b3)
     } finally shim.stop()
   }
+
+  test("/robots serves the batch verdict from a persisted parsed rule " +
+    "table") {
+    import graft.ext.UrlOps
+    val loc = Files.createTempDirectory("graft_httprob").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_robdb LOCATION '$loc'")
+    // rules PARSED from a real robots.txt body, then persisted — the
+    // full text→table→serve path
+    UrlOps.parseRobotsTxt(
+        Seq(("ex.com", "User-agent: *\nDisallow: /Docs/1\n" +
+          "Allow: /Docs/12\n")).toDF("host", "txt"), "host", "txt",
+        "graftbot")
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable("graft_robdb.rules")
+    val shim = HttpShim.startDynamic(
+      HttpShim.robotsRoutes(spark, "graft_robdb.rules"))
+    try {
+      // raw noisy URL: the route canonicalizes before judging
+      val (c1, b1) = get(shim.port,
+        "/robots?url=HTTPS%3A%2F%2FWWW.Ex.COM%2FDocs%2F12%2Fx%23frag")
+      assert(c1 == 200 && b1.contains(""""fetch_allowed":true""") &&
+        b1.contains(""""rule_match_len":8"""), b1)
+      val (c2, b2) = get(shim.port,
+        "/robots?url=https%3A%2F%2Fex.com%2FDocs%2F11")
+      assert(c2 == 200 && b2.contains(""""fetch_allowed":false"""), b2)
+      // served ≡ batch operator on the same rules
+      import spark.implicits._
+      val batch = UrlOps.robotsVerdict(
+          UrlOps.withCanonicalUrl(
+            Seq("https://ex.com/Docs/11").toDF("url"), "url")
+            .select(col("url_canon")),
+          "url_canon", "url_canon",
+          spark.table("graft_robdb.rules")
+            .select("host", "path_prefix", "allow"))
+        .select("fetch_allowed", "rule_match_len").collect().head
+      assert(!batch.getBoolean(0) && batch.getLong(1) == 7L)
+      // an unknown host is allowed by default; blank url → error object
+      val (c3, b3) = get(shim.port,
+        "/robots?url=https%3A%2F%2Fother.org%2Fx")
+      assert(c3 == 200 && b3.contains(""""fetch_allowed":true""") &&
+        b3.contains(""""rule_match_len":0"""), b3)
+      val (c4, b4) = get(shim.port, "/robots")
+      assert(c4 == 200 && b4.startsWith("""{"error":"""), b4)
+    } finally {
+      shim.stop()
+      spark.sql("DROP DATABASE IF EXISTS graft_robdb CASCADE")
+    }
+  }
 }
