@@ -191,8 +191,9 @@ private[graft] object TextQueries {
           lit("\nUser-agent: Extra\nuser-agent: *\nDisallow: /\n"))
           .otherwise(lit("")),
         when(col("h").endsWith("3"),
-          lit("\nUser-agent: graftbot\nAllow: /Docs/1\n" +
-            "Disallow: /private\n")).otherwise(lit(""))).as("txt"))
+          lit("\nUser-agent: graftbot\nCrawl-delay: 0.5\n" +
+            "Allow: /Docs/1\nDisallow: /private\n"))
+          .otherwise(lit(""))).as("txt"))
 
   /** q157's planted sitemap bodies: one per host, exercising the
     * parser's hazards — a `<sitemap>` index entry (not a `<url>`,
@@ -315,6 +316,47 @@ private[graft] object TextQueries {
         .otherwise(lit("")),
       lit("</p>"), lit(HtmlTail)))
 
+  /** q154's frontier, unordered — discovered outlinks minus fetched
+    * seeds, robots-verdicted, budgeted to the 3 shallowest per host
+    * via graft_top_k. Shared by q154 and q160's politeness schedule.
+    * `fresh` is tiny (one row per unseen URL) but sits on the whole
+    * harvest + anti join and robotsVerdict consumes it TWICE, so the
+    * plan is cut there (the localCheckpoint discipline, cf. q130). */
+  private def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val canon = graft.ext.UrlOps.withCanonicalUrl(
+      withPlantedUrl(docs), "url")
+    val links = graft.ext.UrlOps.extractOutlinks(
+        withPlantedPage(canon), "doc_id", "html", "url_canon")
+      .filter(col("link_canon").isNotNull)
+    val cand = links.groupBy(col("link_canon"), col("link_host"))
+      .agg(min(col("doc_id")).as("found_by"))
+    val fresh = cand.join(
+      canon.select(col("url_canon").as("link_canon")).distinct(),
+      Seq("link_canon"), "left_anti")
+      .localCheckpoint()
+    val verd = graft.ext.UrlOps.robotsVerdict(
+      fresh, "link_canon", "link_canon", plantedRobotsRules(docs))
+    val sched = verd.filter(col("fetch_allowed"))
+      .withColumn("path", regexp_extract(
+        regexp_replace(col("link_canon"),
+          "^[a-z][a-z0-9+.-]*://[^/?]*", ""), "^([^?]*)", 1))
+      .withColumn("depth", size(filter(split(col("path"), "/"),
+        seg => seg =!= "")).cast("long"))
+    sched.groupBy(col("link_host"))
+      .agg(call_function("graft_top_k",
+        -col("depth").cast("double"),
+        struct(col("link_canon"), col("found_by")), lit(3)).as("top"))
+      .select(col("link_host"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("link_host"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("s.payload.link_canon").as("url_canon"),
+        (-col("s.ord")).cast("long").as("depth"),
+        col("s.payload.found_by").as("found_by"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- crawl URL canonicalization (oracle-checked): the frontier/
@@ -385,45 +427,26 @@ private[graft] object TextQueries {
     // of the frontier). Every planted page links to its own seed URL,
     // so the anti join removes real rows; src10–19's disallow-all
     // robots rule empties most of their budget.
-    "q154_crawl_frontier" -> ((s, dir) => {
-      graft.plans.GraftFunctions.register(s)
-      val docs = t(s, dir, "documents")
-      val canon = graft.ext.UrlOps.withCanonicalUrl(
-        withPlantedUrl(docs), "url")
-      val links = graft.ext.UrlOps.extractOutlinks(
-          withPlantedPage(canon), "doc_id", "html", "url_canon")
-        .filter(col("link_canon").isNotNull)
-      // one candidate per discovered canonical URL; the discovering
-      // page with the smallest id is its provenance
-      val cand = links.groupBy(col("link_canon"), col("link_host"))
-        .agg(min(col("doc_id")).as("found_by"))
-      // tiny (one row per unseen URL) but on top of the whole harvest
-      // + anti join; robotsVerdict consumes it TWICE (thin side +
-      // join-back), so cut the plan here or the harvest runs per
-      // consumer (the localCheckpoint discipline, cf. q130)
-      val fresh = cand.join(
-        canon.select(col("url_canon").as("link_canon")).distinct(),
-        Seq("link_canon"), "left_anti")
-        .localCheckpoint()
-      val verd = graft.ext.UrlOps.robotsVerdict(
-        fresh, "link_canon", "link_canon", plantedRobotsRules(docs))
-      val sched = verd.filter(col("fetch_allowed"))
-        .withColumn("path", regexp_extract(
-          regexp_replace(col("link_canon"),
-            "^[a-z][a-z0-9+.-]*://[^/?]*", ""), "^([^?]*)", 1))
-        .withColumn("depth", size(filter(split(col("path"), "/"),
-          seg => seg =!= "")).cast("long"))
-      sched.groupBy(col("link_host"))
-        .agg(call_function("graft_top_k",
-          -col("depth").cast("double"),
-          struct(col("link_canon"), col("found_by")), lit(3)).as("top"))
-        .select(col("link_host"),
-          posexplode(col("top")).as(Seq("pos", "s")))
-        .select(col("link_host"),
-          (col("pos") + 1).cast("long").as("rank"),
-          col("s.payload.link_canon").as("url_canon"),
-          (-col("s.ord")).cast("long").as("depth"),
-          col("s.payload.found_by").as("found_by"))
+    "q154_crawl_frontier" -> ((s, dir) =>
+      crawlFrontier(s, dir).orderBy("link_host", "rank")),
+
+    // ---- fetch scheduling (oracle-checked): the frontier with
+    // POLITENESS slots — per-host crawl delays parsed from the raw
+    // robots.txt bodies (UrlOps.robotsCrawlDelay: the directive the
+    // rule parser deliberately ignores, last-wins within the
+    // applicable class, specific group beats *) broadcast onto the
+    // ranked budget; fetch_at = (rank−1)·delay, hosts without a
+    // directive on the 1 s default. Pure projection + one broadcast
+    // join over q154's output — no window, no re-shuffle.
+    "q160_fetch_schedule" -> ((s, dir) => {
+      val delays = graft.ext.UrlOps.robotsCrawlDelay(
+        plantedRobotsTxt(t(s, dir, "documents")), "host", "txt",
+        "graftbot")
+      graft.ext.UrlOps.politenessSchedule(
+          crawlFrontier(s, dir), "link_host", "rank", delays,
+          defaultDelayMicros = 1000000L)
+        .select(col("link_host"), col("rank"), col("url_canon"),
+          col("depth"), col("found_by"), col("fetch_at_micros"))
         .orderBy("link_host", "rank")
     }),
 
@@ -1492,8 +1515,8 @@ private[graft] object TextQueries {
     * winner per candidate, then the per-host budget — the window
     * formulation here replays graft_top_k's (ord DESC, payload ASC)
     * order as (depth ASC, url ASC). */
-  private def frontierOracleSql: String =
-    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+  private def frontierCtes: String =
+    "aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
       linkCtes + ",\n" + robotsRulesCtes + ",\n" +
       "cand AS (SELECT url_canon AS link_canon, url_host AS link_host, " +
       "min(doc_id) AS found_by FROM lc GROUP BY 1, 2),\n" +
@@ -1514,7 +1537,10 @@ private[graft] object TextQueries {
       "AS BIGINT) AS depth FROM v WHERE score % 2 = 1),\n" +
       "rk AS (SELECT link_host, link_canon, depth, found_by, " +
       "row_number() OVER (PARTITION BY link_host " +
-      "ORDER BY depth, link_canon, found_by) AS rnk FROM al)\n" +
+      "ORDER BY depth, link_canon, found_by) AS rnk FROM al)"
+
+  private def frontierOracleSql: String =
+    "WITH " + frontierCtes + "\n" +
       "SELECT link_host, CAST(rnk AS BIGINT) AS rank, " +
       "link_canon AS url_canon, depth, found_by " +
       "FROM rk WHERE rnk <= 3 ORDER BY link_host, rank"
@@ -1556,8 +1582,14 @@ private[graft] object TextQueries {
     * filtered out before counting, exactly the fold's
     * inua-unchanged-on-other-lines behavior); a rule line's group is
     * the running max of preceding UA group ids. */
-  private def robotsParseOracleSql: String =
-    "WITH hosts AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
+  /** The shared robots.txt chain (rb-prefixed so it composes with
+    * [[frontierCtes]] in q160): plant, line split, relevant lines —
+    * now INCLUDING `crawl-delay` as its own kind, attributed to
+    * groups by the same islands but never counted as a boundary
+    * (matching both folds' ignored-line stacking) — islands, group
+    * flags, host specificity. Ends in `rg2`/`rgrp`/`rasp`. */
+  private def robotsTxtCtes: String =
+    "rbh AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
       "rt AS (SELECT h || '.example.com' AS host, " +
       "'# robots for ' || h || chr(10) || " +
       "'Disallow: /orphan' || chr(10) || " +
@@ -1571,41 +1603,76 @@ private[graft] object TextQueries {
       "'User-agent: Extra' || chr(10) || 'user-agent: *' || chr(10) || " +
       "'Disallow: /' || chr(10) ELSE '' END) || " +
       "(CASE WHEN h LIKE '%3' THEN chr(10) || " +
-      "'User-agent: graftbot' || chr(10) || 'Allow: /Docs/1' || " +
+      "'User-agent: graftbot' || chr(10) || 'Crawl-delay: 0.5' || " +
+      "chr(10) || 'Allow: /Docs/1' || " +
       "chr(10) || 'Disallow: /private' || chr(10) ELSE '' END) AS txt " +
-      "FROM hosts),\n" +
-      "ls AS (SELECT host, unnest(string_split(txt, chr(10))) AS l, " +
+      "FROM rbh),\n" +
+      "rls AS (SELECT host, unnest(string_split(txt, chr(10))) AS l, " +
       "unnest(generate_series(1, len(string_split(txt, chr(10))))) AS ln " +
       "FROM rt),\n" +
-      "c1 AS (SELECT host, ln, " +
-      "trim(regexp_replace(l, '#.*$', '')) AS line FROM ls),\n" +
-      "c2 AS (SELECT host, ln, lower(line) AS low, " +
-      "trim(regexp_replace(line, '^[^:]*:', '')) AS val FROM c1),\n" +
-      "rel AS (SELECT host, ln, val, lower(val) AS vlc, " +
-      "CASE WHEN low LIKE 'user-agent:%' THEN 'ua' ELSE 'rule' END AS kind, " +
-      "low LIKE 'allow:%' AS is_allow FROM c2 " +
+      "rc1 AS (SELECT host, ln, " +
+      "trim(regexp_replace(l, '#.*$', '')) AS line FROM rls),\n" +
+      "rc2 AS (SELECT host, ln, lower(line) AS low, " +
+      "trim(regexp_replace(line, '^[^:]*:', '')) AS val FROM rc1),\n" +
+      "rrel AS (SELECT host, ln, val, lower(val) AS vlc, " +
+      "CASE WHEN low LIKE 'user-agent:%' THEN 'ua' " +
+      "WHEN low LIKE 'crawl-delay:%' THEN 'delay' " +
+      "ELSE 'rule' END AS kind, " +
+      "low LIKE 'allow:%' AS is_allow FROM rc2 " +
       "WHERE low LIKE 'user-agent:%' OR low LIKE 'allow:%' " +
-      "OR low LIKE 'disallow:%'),\n" +
-      "g AS (SELECT host, ln, val, vlc, kind, is_allow, " +
+      "OR low LIKE 'disallow:%' OR low LIKE 'crawl-delay:%'),\n" +
+      "rg AS (SELECT host, ln, val, vlc, kind, is_allow, " +
       "sum(CASE WHEN kind = 'rule' THEN 1 ELSE 0 END) OVER " +
       "(PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING) AS rc " +
-      "FROM rel),\n" +
-      "g2 AS (SELECT host, ln, val, kind, is_allow, " +
+      "FROM rrel),\n" +
+      "rg2 AS (SELECT host, ln, val, kind, is_allow, " +
       "max(CASE WHEN kind = 'ua' THEN rc END) OVER " +
       "(PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING) AS gid " +
-      "FROM g),\n" +
-      "grp AS (SELECT host, rc AS gid, bool_or(vlc = 'graftbot') AS m, " +
-      "bool_or(vlc = '*') AS s FROM g WHERE kind = 'ua' GROUP BY 1, 2),\n" +
-      "asp AS (SELECT host, bool_or(vlc = 'graftbot') AS any_sp FROM g " +
-      "WHERE kind = 'ua' GROUP BY 1),\n" +
+      "FROM rg),\n" +
+      "rgrp AS (SELECT host, rc AS gid, bool_or(vlc = 'graftbot') AS m, " +
+      "bool_or(vlc = '*') AS s FROM rg WHERE kind = 'ua' GROUP BY 1, 2),\n" +
+      "rasp AS (SELECT host, bool_or(vlc = 'graftbot') AS any_sp FROM rg " +
+      "WHERE kind = 'ua' GROUP BY 1)"
+
+  private def robotsParseOracleSql: String =
+    "WITH " + robotsTxtCtes + ",\n" +
       "em AS (SELECT r.host, r.val AS path_prefix, r.is_allow AS allow, " +
-      "gr.m AS from_specific FROM g2 r " +
-      "JOIN grp gr ON gr.host = r.host AND gr.gid = r.gid " +
+      "gr.m AS from_specific FROM rg2 r " +
+      "JOIN rgrp gr ON gr.host = r.host AND gr.gid = r.gid " +
       "WHERE r.kind = 'rule' AND r.val <> '' AND (gr.m OR gr.s))\n" +
       "SELECT e.host, e.path_prefix, e.allow, e.from_specific " +
-      "FROM em e JOIN asp ON asp.host = e.host " +
-      "WHERE e.from_specific OR NOT asp.any_sp " +
+      "FROM em e JOIN rasp ON rasp.host = e.host " +
+      "WHERE e.from_specific OR NOT rasp.any_sp " +
       "ORDER BY e.host, e.path_prefix, e.allow"
+
+  /** q160: [[frontierCtes]] + [[robotsTxtCtes]] composed — the delay
+    * winner replays the fold (specific class if the host named the
+    * agent anywhere, else the `*` class; LAST line wins), micros
+    * parsing shared, schedule arithmetic exact. */
+  private def fetchScheduleOracleSql: String =
+    "WITH " + frontierCtes + ",\n" + robotsTxtCtes + ",\n" +
+      "dl AS (SELECT r.host, r.val, r.ln, gr.m, gr.s FROM rg2 r " +
+      "JOIN rgrp gr ON gr.host = r.host AND gr.gid = r.gid " +
+      "WHERE r.kind = 'delay'),\n" +
+      "dcl AS (SELECT host, val, ln, " +
+      "CASE WHEN m THEN 'sp' ELSE 'st' END AS cls FROM dl " +
+      "WHERE m OR s),\n" +
+      "dw AS (SELECT d.host, d.val AS raw FROM dcl d " +
+      "JOIN rasp a ON a.host = d.host " +
+      "WHERE d.cls = (CASE WHEN a.any_sp THEN 'sp' ELSE 'st' END) " +
+      "AND d.ln = (SELECT max(d2.ln) FROM dcl d2 " +
+      "WHERE d2.host = d.host AND d2.cls = d.cls)),\n" +
+      "dms AS (SELECT host, " +
+      "CASE WHEN regexp_matches(raw, '^[0-9]+(\\.[0-9]{1,6})?$') THEN " +
+      "CAST(regexp_extract(raw, '^([0-9]+)', 1) AS BIGINT) * 1000000 + " +
+      "CAST(rpad(regexp_extract(raw, '^[0-9]+\\.([0-9]{1,6})$', 1), " +
+      "6, '0') AS BIGINT) END AS dmic FROM dw)\n" +
+      "SELECT f.link_host, CAST(f.rnk AS BIGINT) AS rank, " +
+      "f.link_canon AS url_canon, f.depth, f.found_by, " +
+      "CAST((f.rnk - 1) * coalesce(d.dmic, 1000000) AS BIGINT) " +
+      "AS fetch_at_micros " +
+      "FROM rk f LEFT JOIN dms d ON d.host = f.link_host " +
+      "WHERE f.rnk <= 3 ORDER BY link_host, rank"
 
   /** q157: the sitemap plant and parse replayed — block extraction,
     * loc/lastmod pulls and the canonicalization chain all from the
@@ -1748,6 +1815,8 @@ private[graft] object TextQueries {
     "q155_host_pagerank" -> hostPagerankOracleSql,
 
     "q156_robots_parse" -> robotsParseOracleSql,
+
+    "q160_fetch_schedule" -> fetchScheduleOracleSql,
 
     "q157_sitemap_parse" -> sitemapOracleSql,
 

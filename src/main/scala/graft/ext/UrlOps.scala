@@ -393,6 +393,82 @@ object UrlOps {
       .drop("__block", "__uc")
   }
 
+  /** Crawl-delay extraction from robots.txt bodies — the politeness
+    * directive [[parseRobotsTxt]] deliberately ignores for RULE
+    * grouping (it is not part of RFC 9309; de-facto semantics vary).
+    * Contract here: a `Crawl-delay:` line belongs to the most recent
+    * group exactly like a rule line would, EXCEPT it does not
+    * terminate a UA stack (matching its ignored-line role in the
+    * parser, so the two folds agree on group boundaries); within the
+    * applicable class the LAST occurrence wins; a group naming
+    * `agent` beats the `*` groups (the [[parseRobotsTxt]] selection);
+    * hosts with no applicable directive emit no row (callers supply
+    * the default). The value is returned VERBATIM (`crawl_delay_raw`)
+    * plus parsed to exact micros (`crawl_delay_micros` — nonnegative
+    * integer or decimal with up to 6 fractional digits; anything else
+    * parses to null, surfacing the malformed directive instead of
+    * guessing). Same zero-shuffle `aggregate` fold as the parser. */
+  def robotsCrawlDelay(df: DataFrame, hostCol: String, txtCol: String,
+      agent: String): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val init = expr("named_struct('m', false, 's', false, " +
+      "'inua', false, 'asp', false, 'dsp', '', 'dst', '')")
+    val folded = aggregate(
+      split(col(txtCol), "\n"),
+      init,
+      (acc, l) => {
+        val line = trim(regexp_replace(l, "#.*$", ""))
+        val low = lower(line)
+        val isUa = low.startsWith("user-agent:")
+        val isRule = low.startsWith("allow:") || low.startsWith("disallow:")
+        val isDelay = low.startsWith("crawl-delay:")
+        val v = trim(regexp_replace(line, "^[^:]*:", ""))
+        val vLc = lower(v)
+        val m = acc.getField("m"); val s = acc.getField("s")
+        val inua = acc.getField("inua")
+        struct(
+          when(isUa, (when(inua, m).otherwise(lit(false))) ||
+            (vLc === agentLc)).otherwise(m).as("m"),
+          when(isUa, (when(inua, s).otherwise(lit(false))) ||
+            (vLc === "*")).otherwise(s).as("s"),
+          when(isUa, lit(true)).when(isRule, lit(false))
+            .otherwise(inua).as("inua"),
+          (acc.getField("asp") || (isUa && vLc === agentLc)).as("asp"),
+          when(isDelay && m, v).otherwise(acc.getField("dsp")).as("dsp"),
+          when(isDelay && !m && s, v).otherwise(acc.getField("dst"))
+            .as("dst"))
+      },
+      acc => when(acc.getField("asp"), acc.getField("dsp"))
+        .otherwise(acc.getField("dst")))
+    df.select(col(hostCol).as("host"), folded.as("crawl_delay_raw"))
+      .filter(col("crawl_delay_raw") =!= "")
+      .withColumn("crawl_delay_micros",
+        when(col("crawl_delay_raw").rlike("^[0-9]+(\\.[0-9]{1,6})?$"),
+          regexp_extract(col("crawl_delay_raw"), "^([0-9]+)", 1)
+            .cast("long") * 1000000L +
+            rpad(regexp_extract(col("crawl_delay_raw"),
+              "^[0-9]+\\.([0-9]{1,6})$", 1), 6, "0").cast("long")))
+  }
+
+  /** Politeness scheduling over a ranked frontier: fetch slot
+    * `fetch_at_micros = (rank − 1) · delay` per host, the delay from
+    * [[robotsCrawlDelay]]'s table (broadcast — one short row per
+    * host) with `defaultDelayMicros` for hosts that declared none.
+    * Pure projection + one broadcast join; the frontier is already
+    * ranked per host (q154's `graft_top_k`), so no window and no
+    * re-shuffle. */
+  def politenessSchedule(frontier: DataFrame, hostCol: String,
+      rankCol: String, delays: DataFrame,
+      defaultDelayMicros: Long): DataFrame =
+    frontier.join(
+        broadcast(delays.select(col("host").as(hostCol),
+          col("crawl_delay_micros").as("__delay"))),
+        Seq(hostCol), "left_outer")
+      .withColumn("fetch_at_micros",
+        (col(rankCol) - 1) *
+          coalesce(col("__delay"), lit(defaultDelayMicros)))
+      .drop("__delay")
+
   def robotsVerdict(df: DataFrame, idCol: String, canonCol: String,
       rules: DataFrame): DataFrame = {
     // canonical form is scheme://host[/path][?qs] with scheme+host

@@ -349,6 +349,47 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  private def delayOf(txt: String, agent: String = "graftbot") =
+    UrlOps.robotsCrawlDelay(
+        Seq(("h.com", txt)).toDF("host", "txt"), "host", "txt", agent)
+      .select("crawl_delay_raw", "crawl_delay_micros")
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).toSeq
+
+  test("crawl-delay: group attribution, last-wins, specific beats star") {
+    val txt = "User-agent: BadBot\nCrawl-delay: 99\n\n" +
+      "User-agent: *\nCrawl-delay: 2\nDisallow: /x\nCrawl-delay: 5\n"
+    assert(delayOf(txt) === Seq(("5", Some(5000000L)))) // last * wins
+    val withSpec = txt +
+      "\nUser-agent: graftbot\nCrawl-delay: 0.5\nDisallow: /y\n"
+    assert(delayOf(withSpec) === Seq(("0.5", Some(500000L))))
+    // a specific group WITHOUT a delay silences the * delay entirely
+    assert(delayOf(txt + "\nUser-agent: graftbot\nDisallow: /y\n")
+      === Seq.empty)
+  }
+
+  test("crawl-delay: malformed values surface as null micros; no " +
+    "directive emits no row") {
+    assert(delayOf("User-agent: *\nCrawl-delay: fast\n")
+      === Seq(("fast", None)))
+    assert(delayOf("User-agent: *\nDisallow: /x\n") === Seq.empty)
+  }
+
+  test("politeness schedule: per-host slots from rank and delay") {
+    val frontier = Seq(("a.com", 1L, "u1"), ("a.com", 2L, "u2"),
+      ("b.com", 1L, "u3"), ("b.com", 3L, "u4"))
+      .toDF("link_host", "rank", "url_canon")
+    val delays = Seq(("a.com", "2", 2000000L))
+      .toDF("host", "crawl_delay_raw", "crawl_delay_micros")
+    val out = UrlOps.politenessSchedule(frontier, "link_host", "rank",
+        delays, defaultDelayMicros = 1000000L)
+      .select("link_host", "rank", "fetch_at_micros")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out === Set(("a.com", 1L, 0L), ("a.com", 2L, 2000000L),
+      ("b.com", 1L, 0L), ("b.com", 3L, 2000000L)))
+  }
+
   test("canonicalization is idempotent") {
     val raw = Seq("HTTPS://WWW.Ex.COM:443//A//B/?b=2&utm_q=9&a=1#f")
     val once = canon(raw.head)
