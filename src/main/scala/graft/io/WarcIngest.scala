@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** WARC (ISO 28500 / Common Crawl) record parsing over text-mode
   * archive bodies — the ingestion format a crawl corpus actually
   * arrives in. The reference pipeline ingests directory-scanned CSV
-  * (reference `etl/extract.py`); a crawl-scale corpus's raw tier is
+  * (reference `project/etl2.py:32`-style directory scans); a
+  * crawl-scale corpus's raw tier is
   * WARC, and everything downstream of q145 (extract → repair →
   * quality → dedup) assumes the per-record payloads this operator
   * produces.
