@@ -180,7 +180,7 @@ object CrawlScaleSoak {
     val pages155 = graft.entry.TextQueries.withPlantedPage(canon155)
     val (lg, tLg) = time {
       val links = graft.ext.UrlOps.extractOutlinks(
-          pages155, "doc_id", "html", "url_canon")
+          pages155, "doc_id", "html", "url_canon", "url")
         .withColumn("src_host",
           graft.ext.UrlOps.urlHost(col("base_canon")))
       graft.ext.UrlOps.hostLinkGraph(links, "src_host")
@@ -193,7 +193,7 @@ object CrawlScaleSoak {
       s"harvest must keep >=10 links/page: ${lg.getLong(1)}")
     val (fr, tFr) = time {
       val links = graft.ext.UrlOps.extractOutlinks(
-          pages155, "doc_id", "html", "url_canon")
+          pages155, "doc_id", "html", "url_canon", "url")
         .filter(col("link_canon").isNotNull)
       val cand = links.groupBy(col("link_canon"), col("link_host"))
         .agg(min(col("doc_id")).as("found_by"))

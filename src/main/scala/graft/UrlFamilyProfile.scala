@@ -24,7 +24,7 @@ object UrlFamilyProfile {
     val canon = UrlOps.withCanonicalUrl(
       TextQueries.withPlantedUrl(docs), "url")
     val pages = TextQueries.withPlantedPage(canon)
-      .select("doc_id", "url_canon", "html")
+      .select("doc_id", "url", "url_canon", "html")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pages.count()
     for (rep <- 1 to 3) {
@@ -33,12 +33,12 @@ object UrlFamilyProfile {
           lit(UrlOps.HrefPattern), lit(1))).as("href_raw")).count()
       }
       val (nLinks, tResolve) = time {
-        UrlOps.extractOutlinks(pages, "doc_id", "html", "url_canon")
+        UrlOps.extractOutlinks(pages, "doc_id", "html", "url_canon", "url")
           .filter(col("link_canon").isNotNull).count()
       }
       val (nEdges, tFull) = time {
         UrlOps.hostLinkGraph(
-          UrlOps.extractOutlinks(pages, "doc_id", "html", "url_canon")
+          UrlOps.extractOutlinks(pages, "doc_id", "html", "url_canon", "url")
             .withColumn("src_host", UrlOps.urlHost(col("base_canon"))),
           "src_host").count()
       }

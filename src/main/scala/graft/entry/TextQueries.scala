@@ -147,8 +147,12 @@ private[graft] object TextQueries {
     * longer `/Docs/12`, and carries a same-length allow/disallow
     * TIE on `/Docs/3` (the RFC tie-break); hosts whose source name
     * has length ≡ 0 (mod 5) — src10–src19, half the corpus — add a
-    * disallow-all `/` that only those longer allows override. Shared
-    * structure with the oracle via [[robotsOracleSql]]. */
+    * disallow-all `/` that only those longer allows override. The
+    * `/Tab` allow and `/Cr` disallow are the q156 CRLF/tab plant's
+    * rules (no planted path starts with either, so they change no
+    * verdict — they exist so the parse-reproduces-rules spec covers
+    * the RFC whitespace/line-break grammar). Shared structure with
+    * the oracle via [[robotsOracleSql]]. */
   private[graft] def plantedRobotsRules(df: DataFrame): DataFrame = {
     val hosts = df.select(lower(col("source")).as("h")).distinct()
     val common = hosts.select(
@@ -157,7 +161,9 @@ private[graft] object TextQueries {
           struct(lit("/Docs/1").as("p"), lit(false).as("a")),
           struct(lit("/Docs/12").as("p"), lit(true).as("a")),
           struct(lit("/Docs/3").as("p"), lit(true).as("a")),
-          struct(lit("/Docs/3").as("p"), lit(false).as("a")))).as("r"))
+          struct(lit("/Docs/3").as("p"), lit(false).as("a")),
+          struct(lit("/Tab").as("p"), lit(true).as("a")),
+          struct(lit("/Cr").as("p"), lit(false).as("a")))).as("r"))
       .select(col("host"), col("r.p").as("path_prefix"), col("r.a").as("allow"))
     val blockAll = hosts.filter(length(col("h")) % 5 === 0)
       .select(concat(col("h"), lit(".example.com")).as("host"),
@@ -171,7 +177,12 @@ private[graft] object TextQueries {
     * sit behind an ignored `Crawl-delay` line, mixed-case directives,
     * a trailing comment, an empty `Disallow:` (no restriction), a
     * STACKED UA group (`Extra` + `*`) adding disallow-all on the
-    * length≡0 (mod 5) hosts, and a graftbot-SPECIFIC group on hosts
+    * length≡0 (mod 5) hosts, a CRLF-terminated pair with RFC
+    * whitespace hazards (`Allow:<TAB>/Tab<CRLF>` and a trailing-tab
+    * `Disallow: /Cr<TAB><CRLF>` — the WARC/HTTP tier yields CRLF
+    * bodies, so the parser's `\r\n|\r|\n` split and space+tab trim
+    * are exercised by the catalog, not just specs), and a
+    * graftbot-SPECIFIC group on hosts
     * ending in `3` that must silence the `*` groups entirely. The `*`
     * rules are the [[plantedRobotsRules]] classes, so a parse of
     * these bodies reproduces q152's rule table on the non-specific
@@ -187,6 +198,7 @@ private[graft] object TextQueries {
         lit("user-agent: *\nCrawl-delay: 5\n"),
         lit("Disallow: /Docs/1\nALLOW: /Docs/12 # longest wins\n"),
         lit("Allow: /Docs/3\ndisallow: /Docs/3\nDisallow:\n"),
+        lit("Allow:\t/Tab\r\nDisallow: /Cr\t\r\n"),
         when(length(col("h")) % 5 === 0,
           lit("\nUser-agent: Extra\nuser-agent: *\nDisallow: /\n"))
           .otherwise(lit("")),
@@ -292,9 +304,13 @@ private[graft] object TextQueries {
     * hit), an uppercase cross-host deep absolute link (to the NEXT
     * source's host — real cross-site edges), a protocol-relative CDN
     * link (evens), a path-relative link carrying a tracking param
-    * (%3), a dot-segment link (%5, dropped), a mailto (%7, dropped),
-    * and a fragment-only link (always, dropped). Shared structure
-    * with the oracle via [[pageLinksSql]]. */
+    * (%3) — whose resolution base is the AS-FETCHED URL's directory,
+    * so the %15 class (trailing-slash raw path) resolves under
+    * `/Docs/N/`, not `/Docs/` —, a relative dot-segment link (%5,
+    * dropped), an ABSOLUTE link with a path dot segment (%11,
+    * dropped — the drop-dot-segment policy applies to absolute hrefs
+    * too), a mailto (%7, dropped), and a fragment-only link (always,
+    * dropped). Shared structure with the oracle via [[linkCtes]]. */
   private[graft] def withPlantedPage(df: DataFrame): DataFrame =
     df.withColumn("html", concat(
       lit(HtmlPre), col("text"), lit(HtmlLinks),
@@ -310,6 +326,9 @@ private[graft] object TextQueries {
         lit("<a href=\"more?b=2&utm_x=1&a=1\">read</a> "))
         .otherwise(lit("")),
       when(col("doc_id") % 5 === 0, lit("<a href=\"../up\">up</a> "))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit("<a href=\"https://dotty.example.net/a/../b\">dot</a> "))
         .otherwise(lit("")),
       when(col("doc_id") % 7 === 0,
         lit("<a href=\"mailto:bot@example.com\">mail</a>"))
@@ -328,7 +347,7 @@ private[graft] object TextQueries {
     val canon = graft.ext.UrlOps.withCanonicalUrl(
       withPlantedUrl(docs), "url")
     val links = graft.ext.UrlOps.extractOutlinks(
-        withPlantedPage(canon), "doc_id", "html", "url_canon")
+        withPlantedPage(canon), "doc_id", "html", "url_canon", "url")
       .filter(col("link_canon").isNotNull)
     val cand = links.groupBy(col("link_canon"), col("link_host"))
       .agg(min(col("doc_id")).as("found_by"))
@@ -412,7 +431,7 @@ private[graft] object TextQueries {
         withPlantedUrl(t(s, dir, "documents")), "url")
       val pages = withPlantedPage(canon)
       val links = graft.ext.UrlOps.extractOutlinks(
-          pages, "doc_id", "html", "url_canon")
+          pages, "doc_id", "html", "url_canon", "url")
         .withColumn("src_host", graft.ext.UrlOps.urlHost(col("base_canon")))
       graft.ext.UrlOps.hostLinkGraph(links, "src_host")
         .orderBy("src_host", "dst_host")
@@ -508,7 +527,7 @@ private[graft] object TextQueries {
       val canon = graft.ext.UrlOps.withCanonicalUrl(
         withPlantedUrl(t(s, dir, "documents")), "url")
       val links = graft.ext.UrlOps.extractOutlinks(
-          withPlantedPage(canon), "doc_id", "html", "url_canon")
+          withPlantedPage(canon), "doc_id", "html", "url_canon", "url")
         .withColumn("src_host", graft.ext.UrlOps.urlHost(col("base_canon")))
       val edges = graft.ext.UrlOps.hostLinkGraph(links, "src_host")
         .filter(!col("is_internal"))
@@ -1428,7 +1447,8 @@ private[graft] object TextQueries {
     "hosts AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
       "rules AS (SELECT h || '.example.com' AS rhost, t.p AS rprefix, " +
       "t.a AS rallow FROM hosts, (VALUES ('/Docs/1', false), " +
-      "('/Docs/12', true), ('/Docs/3', true), ('/Docs/3', false)) t(p, a) " +
+      "('/Docs/12', true), ('/Docs/3', true), ('/Docs/3', false), " +
+      "('/Tab', true), ('/Cr', false)) t(p, a) " +
       "UNION ALL SELECT h || '.example.com', '/', false FROM hosts " +
       "WHERE length(h) % 5 = 0)"
 
@@ -1461,7 +1481,7 @@ private[graft] object TextQueries {
     "pg AS (SELECT c.doc_id, c.url, c.url_host AS src_host, " +
       "c.url_canon AS base, d.text FROM c " +
       "JOIN documents d ON c.doc_id = d.doc_id),\n" +
-      "hm AS (SELECT doc_id, src_host, base, '" +
+      "hm AS (SELECT doc_id, src_host, base, url AS base_raw, '" +
       HtmlPre + "' || text || '" + HtmlLinks + "' || " +
       "'<p><a href=\"#top\">top</a> <a href=\"' || url || " +
       "'\">self</a> <A HREF=\"HTTPS://WWW.Src' || " +
@@ -1474,23 +1494,34 @@ private[graft] object TextQueries {
       "'<a href=\"more?b=2&utm_x=1&a=1\">read</a> ' ELSE '' END) || " +
       "(CASE WHEN doc_id % 5 = 0 THEN '<a href=\"../up\">up</a> ' " +
       "ELSE '' END) || " +
+      "(CASE WHEN doc_id % 11 = 0 THEN " +
+      "'<a href=\"https://dotty.example.net/a/../b\">dot</a> ' " +
+      "ELSE '' END) || " +
       "(CASE WHEN doc_id % 7 = 0 THEN " +
       "'<a href=\"mailto:bot@example.com\">mail</a>' ELSE '' END) || " +
       "'</p>' || '" + HtmlTail + "' AS html FROM pg),\n" +
-      "lx AS (SELECT doc_id, src_host, base, " +
+      "lx AS (SELECT doc_id, src_host, base, base_raw, " +
       "unnest(regexp_extract_all(html, '" +
       graft.ext.UrlOps.HrefPattern + "', 1)) AS href FROM hm),\n" +
+      // scheme/authority from the CANONICAL base; the merge DIRECTORY
+      // from the AS-FETCHED base path (trailing slash intact, '' -> '/')
+      // — UrlOps.extractOutlinks's RFC 3986 §5.2.3 contract. An absolute
+      // href's PATH (hpath) carries the dot-segment drop test.
       "bb AS (SELECT doc_id, src_host, href, " +
       "regexp_extract(base, '^([a-z][a-z0-9+.-]*)://', 1) AS bscheme, " +
       "regexp_extract(base, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) AS bauth, " +
-      "regexp_replace(regexp_extract(regexp_replace(base, " +
-      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1), " +
-      "'[^/]*$', '') AS bdir FROM lx),\n" +
+      "CASE WHEN rdir = '' THEN '/' ELSE rdir END AS bdir, " +
+      "regexp_extract(regexp_replace(href, " +
+      "'(?i)^[a-z][a-z0-9+.-]*://[^/?#]*', ''), '^([^?#]*)', 1) AS hpath " +
+      "FROM (SELECT *, regexp_replace(regexp_extract(regexp_replace(" +
+      "base_raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), " +
+      "'^([^?#]*)', 1), '[^/]*$', '') AS rdir FROM lx) t),\n" +
       "rs AS (SELECT doc_id, src_host, " +
       "CASE WHEN href = '' OR starts_with(href, '#') THEN NULL " +
       "WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN " +
-      "(CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href " +
-      "ELSE NULL END) " +
+      "(CASE WHEN regexp_matches(href, '(?i)^https?://') THEN " +
+      "(CASE WHEN regexp_matches(hpath, '" + dotseg + "') THEN NULL " +
+      "ELSE href END) ELSE NULL END) " +
       "WHEN regexp_matches(href, '" + dotseg + "') THEN NULL " +
       "WHEN starts_with(href, '//') THEN bscheme || ':' || href " +
       "WHEN starts_with(href, '/') THEN bscheme || '://' || bauth || href " +
@@ -1599,6 +1630,8 @@ private[graft] object TextQueries {
       "'ALLOW: /Docs/12 # longest wins' || chr(10) || " +
       "'Allow: /Docs/3' || chr(10) || 'disallow: /Docs/3' || chr(10) || " +
       "'Disallow:' || chr(10) || " +
+      "'Allow:' || chr(9) || '/Tab' || chr(13) || chr(10) || " +
+      "'Disallow: /Cr' || chr(9) || chr(13) || chr(10) || " +
       "(CASE WHEN length(h) % 5 = 0 THEN chr(10) || " +
       "'User-agent: Extra' || chr(10) || 'user-agent: *' || chr(10) || " +
       "'Disallow: /' || chr(10) ELSE '' END) || " +
@@ -1607,13 +1640,19 @@ private[graft] object TextQueries {
       "chr(10) || 'Allow: /Docs/1' || " +
       "chr(10) || 'Disallow: /private' || chr(10) ELSE '' END) AS txt " +
       "FROM rbh),\n" +
-      "rls AS (SELECT host, unnest(string_split(txt, chr(10))) AS l, " +
-      "unnest(generate_series(1, len(string_split(txt, chr(10))))) AS ln " +
+      // line split + trim mirror UrlOps.RobotsLineBreak/RobotsWs: any
+      // of CRLF/CR/LF terminates a line, space+tab trim around values
+      "rls AS (SELECT host, " +
+      "unnest(string_split_regex(txt, '\\r\\n|\\r|\\n')) AS l, " +
+      "unnest(generate_series(1, " +
+      "len(string_split_regex(txt, '\\r\\n|\\r|\\n')))) AS ln " +
       "FROM rt),\n" +
       "rc1 AS (SELECT host, ln, " +
-      "trim(regexp_replace(l, '#.*$', '')) AS line FROM rls),\n" +
+      "trim(regexp_replace(l, '#.*$', ''), ' ' || chr(9)) AS line " +
+      "FROM rls),\n" +
       "rc2 AS (SELECT host, ln, lower(line) AS low, " +
-      "trim(regexp_replace(line, '^[^:]*:', '')) AS val FROM rc1),\n" +
+      "trim(regexp_replace(line, '^[^:]*:', ''), ' ' || chr(9)) AS val " +
+      "FROM rc1),\n" +
       "rrel AS (SELECT host, ln, val, lower(val) AS vlc, " +
       "CASE WHEN low LIKE 'user-agent:%' THEN 'ua' " +
       "WHEN low LIKE 'crawl-delay:%' THEN 'delay' " +

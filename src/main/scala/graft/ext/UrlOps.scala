@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** URL canonicalization for the crawl front-end.
   *
   * The reference pipeline ingests rows whose provenance is a free-form
-  * string column (reference `etl/extract.py:21` file-stem derivation is
+  * string column (reference `project/etl2.py:32` file-stem derivation is
   * its only provenance normalization); a crawl-scale corpus needs the
   * real thing: the frontier and the dedup layer both key on URLs, and
   * raw crawl URLs are noisy — mixed-case schemes and hosts, default
@@ -196,17 +196,35 @@ object UrlOps {
 
   /** Outlink extraction + resolution over raw page HTML: harvests
     * every quoted `<a href>` ([[HrefPattern]]), resolves it against
-    * the page's CANONICAL base URL (`baseCanonCol` — run
-    * [[withCanonicalUrl]] first), and classifies it:
+    * the page's base URL, and classifies it:
     *
-    *   - `absolute`: `http(s)://...` kept as-is,
+    *   - `absolute`: `http(s)://...` kept as-is — UNLESS its path
+    *     carries a dot segment ([[DotSegPattern]]), which drops it
+    *     like any other dot-segment link (the canonical spelling is
+    *     re-discovered through clean links; keeping `/a/../b` would
+    *     emit a frontier/dedup key that never matches the target's
+    *     canonical form),
     *   - `protocol_relative`: `//host/p` → base scheme + href,
     *   - `root_relative`: `/p` → base scheme://authority + href,
     *   - `path_relative`: `p` → base scheme://authority + base
-    *     directory (path up to its last `/`) + href,
+    *     directory + href,
     *   - `dropped_fragment` (empty or `#...`), `dropped_scheme`
     *     (`mailto:`/`javascript:`/any non-http scheme),
     *     `dropped_dotseg` ([[DotSegPattern]]) — `link_url` null.
+    *
+    * Resolution bases: scheme and authority come from the CANONICAL
+    * base URL (`baseCanonCol` — run [[withCanonicalUrl]] first; both
+    * components are case-insensitive so the canonical spelling is the
+    * right one), but the base DIRECTORY for path-relative hrefs comes
+    * from the URL AS FETCHED (`baseRawCol`): RFC 3986 §5.2.3 merges
+    * against the base path up to its last `/`, and canonicalization
+    * DROPS trailing slashes — a directory page `https://h/docs/`
+    * resolving `intro.html` must yield `/docs/intro.html`, not the
+    * `/intro.html` the canonical base (`…/docs`) would give.
+    * Directory-style pages are ubiquitous, so this is load-bearing
+    * for frontier/link-graph correctness. Only the RESOLVED link is
+    * canonicalized. An empty raw path merges as `/` (RFC 3986
+    * §5.2.3's authority-with-empty-path case).
     *
     * Kept links get `link_url` (resolved absolute), `link_canon`
     * ([[canonicalUrl]]) and `link_host` ([[urlHost]]). One projection
@@ -222,23 +240,34 @@ object UrlOps {
     * [[hostLinkGraph]] rollup, the q154 frontier) carry URLs only.
     */
   def extractOutlinks(df: DataFrame, idCol: String, htmlCol: String,
-      baseCanonCol: String): DataFrame = {
+      baseCanonCol: String, baseRawCol: String): DataFrame = {
     // all base pieces bind to the POST-select alias: the input column
     // name is the caller's and may collide with generated names.
     val base = col("base_canon")
     val scheme = regexp_extract(base, "^([a-z][a-z0-9+.-]*)://", 1)
     val auth = regexp_extract(base, "^[a-z][a-z0-9+.-]*://([^/?]*)", 1)
-    val basePath = regexp_extract(
-      regexp_replace(base, "^[a-z][a-z0-9+.-]*://[^/?]*", ""),
-      "^([^?]*)", 1)
-    // canonical paths always start with '/'; the directory is the
-    // path with its last segment cut ("/Docs/7" -> "/Docs/").
-    val baseDir = regexp_replace(basePath, "[^/]*$", "")
+    // RFC 3986 §5.2.3 merge base: the AS-FETCHED path (trailing slash
+    // intact — see the scaladoc), up to the first '?' or '#', with
+    // its last segment cut ("/Docs/7/" -> "/Docs/7/", "/Docs/7" ->
+    // "/Docs/"); an empty path merges as "/".
+    val rawPath = regexp_extract(
+      regexp_replace(col("base_raw"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""),
+      "^([^?#]*)", 1)
+    val rawDir = regexp_replace(rawPath, "[^/]*$", "")
+    val baseDir = when(rawDir === "", lit("/")).otherwise(rawDir)
     val h = col("href_raw")
+    // an absolute http(s) href's PATH (authority and query excluded —
+    // a query value like ?back=/a/../b is not a path dot segment)
+    val absPath = regexp_extract(
+      regexp_replace(h, "(?i)^[a-z][a-z0-9+.-]*://[^/?#]*", ""),
+      "^([^?#]*)", 1)
     val kind =
       when(h === "" || h.startsWith("#"), lit("dropped_fragment"))
         .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
-          when(h.rlike("(?i)^https?://"), lit("absolute"))
+          when(h.rlike("(?i)^https?://"),
+            when(absPath.rlike(DotSegPattern), lit("dropped_dotseg"))
+              .otherwise(lit("absolute")))
             .otherwise(lit("dropped_scheme")))
         .when(h.rlike(DotSegPattern), lit("dropped_dotseg"))
         .when(h.startsWith("//"), lit("protocol_relative"))
@@ -255,6 +284,7 @@ object UrlOps {
         .otherwise(lit(null).cast("string"))
     graft.plans.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol), col(baseCanonCol).as("base_canon"),
+        col(baseRawCol).as("base_raw"),
         explode(regexp_extract_all(col(htmlCol), lit(HrefPattern), lit(1)))
           .as("href_raw"))
       .withColumn("link_kind", kind)
@@ -265,7 +295,7 @@ object UrlOps {
         call_function("graft_url_canon", col("link_url"))))
       .withColumn("link_canon", col("__uc.canon"))
       .withColumn("link_host", col("__uc.host"))
-      .drop("__uc")
+      .drop("__uc", "base_raw")
   }
 
   /** Host→host link-graph rollup over [[extractOutlinks]] output:
@@ -287,6 +317,16 @@ object UrlOps {
       .agg(sum(col("n")).as("n_links"),
         count(lit(1)).as("n_distinct_targets"))
       .withColumn("is_internal", col("src_host") === col("dst_host"))
+
+  /** RFC 9309 §2.2 line terminators: robots.txt lines end in CRLF, CR
+    * or LF — split on any of the three so CRLF bodies (the WARC/HTTP
+    * tier's native framing) never leave a trailing `\r` on values.
+    * Shared with [[robotsCrawlDelay]] and the DuckDB oracle CTEs. */
+  val RobotsLineBreak: String = "\r\n|\r|\n"
+
+  /** RFC 9309 §2.2 whitespace around directive values: %x20 space or
+    * %x09 tab — the trim set for lines and values in both folds. */
+  val RobotsWs: String = " \t"
 
   /** RFC 9309 §2.1–2.2 robots.txt PARSER: raw per-host robots.txt
     * bodies → the parsed rule table [[robotsVerdict]] consumes
@@ -311,6 +351,14 @@ object UrlOps {
     *     [[robotsVerdict]] prefix-match charter); patterns pass
     *     through verbatim.
     *
+    * Line/whitespace discipline (RFC 9309 §2.2: lines end in CRLF,
+    * CR or LF; whitespace around values is %x20 space or %x09 tab):
+    * bodies split on `\r\n|\r|\n`, values trimmed of BOTH space and
+    * tab — a CRLF body (what the WARC/HTTP tier actually yields) must
+    * parse identically to its LF twin, and `Disallow:<TAB>/x` must
+    * yield the prefix `/x`, not `\t/x`. Spec-pinned (CRLF/tab cases
+    * in UrlOpsSpec) and mirrored in the DuckDB oracle CTEs.
+    *
     * The whole parse is ONE `aggregate` higher-order fold over the
     * split lines — per-document sequential state (current group's
     * match flags, UA-stack bit, accumulated rules) without a window,
@@ -326,15 +374,15 @@ object UrlOps {
     val init = expr("named_struct('m', false, 's', false, " +
       "'inua', false, 'asp', false, 'rules', " + emptyRules + ")")
     val parsed = aggregate(
-      split(col(txtCol), "\n"),
+      split(col(txtCol), RobotsLineBreak),
       init,
       (acc, l) => {
-        val line = trim(regexp_replace(l, "#.*$", ""))
+        val line = trim(regexp_replace(l, "#.*$", ""), RobotsWs)
         val low = lower(line)
         val isUa = low.startsWith("user-agent:")
         val isRule = low.startsWith("allow:") || low.startsWith("disallow:")
         val isAllow = low.startsWith("allow:")
-        val v = trim(regexp_replace(line, "^[^:]*:", ""))
+        val v = trim(regexp_replace(line, "^[^:]*:", ""), RobotsWs)
         val vLc = lower(v)
         val m = acc.getField("m"); val s = acc.getField("s")
         val inua = acc.getField("inua"); val asp = acc.getField("asp")
@@ -407,22 +455,23 @@ object UrlOps {
     * plus parsed to exact micros (`crawl_delay_micros` — nonnegative
     * integer or decimal with up to 6 fractional digits; anything else
     * parses to null, surfacing the malformed directive instead of
-    * guessing). Same zero-shuffle `aggregate` fold as the parser. */
+    * guessing). Same zero-shuffle `aggregate` fold as the parser, same
+    * [[RobotsLineBreak]]/[[RobotsWs]] line/whitespace discipline. */
   def robotsCrawlDelay(df: DataFrame, hostCol: String, txtCol: String,
       agent: String): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val init = expr("named_struct('m', false, 's', false, " +
       "'inua', false, 'asp', false, 'dsp', '', 'dst', '')")
     val folded = aggregate(
-      split(col(txtCol), "\n"),
+      split(col(txtCol), RobotsLineBreak),
       init,
       (acc, l) => {
-        val line = trim(regexp_replace(l, "#.*$", ""))
+        val line = trim(regexp_replace(l, "#.*$", ""), RobotsWs)
         val low = lower(line)
         val isUa = low.startsWith("user-agent:")
         val isRule = low.startsWith("allow:") || low.startsWith("disallow:")
         val isDelay = low.startsWith("crawl-delay:")
-        val v = trim(regexp_replace(line, "^[^:]*:", ""))
+        val v = trim(regexp_replace(line, "^[^:]*:", ""), RobotsWs)
         val vLc = lower(v)
         val m = acc.getField("m"); val s = acc.getField("s")
         val inua = acc.getField("inua")

@@ -350,7 +350,7 @@ object EventStreams {
           .select(col("url_canon"), col("content_hash"))
           .write.mode("append").insertInto(seenTable)
         val links = graft.ext.UrlOps.extractOutlinks(
-            canon, idCol, htmlCol, "url_canon")
+            canon, idCol, htmlCol, "url_canon", urlCol)
           .filter(col("link_canon").isNotNull)
         val cand = links.groupBy(col("link_canon"), col("link_host"))
           .agg(min(col(idCol)).as("found_by"))

@@ -230,7 +230,7 @@ class CrawlFunnelSpec extends SparkSpec {
       val canon = UrlOps.withCanonicalUrl(TextQueries.withPlantedUrl(docs),
         "url")
       val links = UrlOps.extractOutlinks(TextQueries.withPlantedPage(canon),
-          "doc_id", "html", "url_canon")
+          "doc_id", "html", "url_canon", "url")
         .filter(col("link_canon").isNotNull)
       val cand = links.groupBy(col("link_canon"), col("link_host"))
         .agg(org.apache.spark.sql.functions.min(col("doc_id"))

@@ -143,9 +143,12 @@ class UrlOpsSpec extends SparkSpec {
       "<a href=\"#frag\">frag</a> and " +
       "<a href=\"mailto:x@y.com\">mail</a></p></body></html>"
 
-  private def outlinksOf(html: String, base: String) =
+  private def outlinksOf(html: String, base: String,
+      rawBase: String = null) =
     UrlOps.extractOutlinks(
-        Seq((1L, html, base)).toDF("id", "html", "base"), "id", "html", "base")
+        Seq((1L, html, base, Option(rawBase).getOrElse(base)))
+          .toDF("id", "html", "base", "raw"),
+        "id", "html", "base", "raw")
       .select("href_raw", "link_kind", "link_canon", "link_host")
       .collect().map(r => (r.getString(0), r.getString(1),
         Option(r.getString(2)), Option(r.getString(3)))).toSeq
@@ -168,6 +171,40 @@ class UrlOpsSpec extends SparkSpec {
       ("mailto:x@y.com", "dropped_scheme", None, None)))
   }
 
+  test("outlinks: path-relative merges against the AS-FETCHED directory " +
+    "(RFC 3986 §5.2.3) — a trailing slash the canonical base dropped") {
+    // directory page: raw .../Docs/7/ canonicalizes to .../Docs/7, but
+    // 'intro.html' must resolve UNDER the directory, not beside it
+    val dir = outlinksOf("<a href=\"intro.html\">i</a>",
+      "https://ex.com/Docs/7", rawBase = "https://ex.com/Docs/7/")
+    assert(dir === Seq(("intro.html", "path_relative",
+      Some("https://ex.com/Docs/7/intro.html"), Some("ex.com"))))
+    // file-style raw base: unchanged behavior (directory = /Docs/)
+    val file = outlinksOf("<a href=\"intro.html\">i</a>",
+      "https://ex.com/Docs/7", rawBase = "https://ex.com/Docs/7?x=1#f")
+    assert(file === Seq(("intro.html", "path_relative",
+      Some("https://ex.com/Docs/intro.html"), Some("ex.com"))))
+    // empty raw path merges as '/'
+    val bare = outlinksOf("<a href=\"p\">p</a>",
+      "https://ex.com/", rawBase = "HTTPS://Ex.COM?q=1")
+    assert(bare === Seq(("p", "path_relative",
+      Some("https://ex.com/p"), Some("ex.com"))))
+  }
+
+  test("outlinks: absolute hrefs with path dot segments drop too") {
+    val out = outlinksOf(
+      "<a href=\"https://h.com/a/../b\">d</a>" +
+        "<a href=\"HTTP://h.com/a/./c\">d2</a>" +
+        // '..' in the QUERY is not a path dot segment — kept
+        "<a href=\"https://h.com/ok?back=/a/../b\">q</a>",
+      "https://ex.com/")
+    assert(out === Seq(
+      ("https://h.com/a/../b", "dropped_dotseg", None, None),
+      ("HTTP://h.com/a/./c", "dropped_dotseg", None, None),
+      ("https://h.com/ok?back=/a/../b", "absolute",
+        Some("https://h.com/ok?back=/a/../b"), Some("h.com"))))
+  }
+
   test("outlinks: unquoted hrefs and non-anchor tags are not harvested") {
     val html = "<a href=/bare>x</a> <link href=\"/css\"> " +
       "<a id=\"k\" href=\"/ok\">y</a>"
@@ -186,7 +223,7 @@ class UrlOpsSpec extends SparkSpec {
         "<a href=\"https://o.com/z\">5</a>", "https://ex.com/"),
       (2L, "<a href=\"https://o.com/z#f\">6</a>", "https://ex.com/p"))
       .toDF("id", "html", "base")
-    val links = UrlOps.extractOutlinks(pages, "id", "html", "base")
+    val links = UrlOps.extractOutlinks(pages, "id", "html", "base", "base")
       .withColumn("src_host", UrlOps.urlHost(col("base_canon")))
     val out = UrlOps.hostLinkGraph(links, "src_host")
       .orderBy("src_host", "dst_host")
@@ -240,6 +277,27 @@ class UrlOpsSpec extends SparkSpec {
     // the second User-agent starts a NEW group because a rule intervened
     val txt = "User-agent: a\nDisallow: /a\nUser-agent: *\nDisallow: /b\n"
     assert(parse(txt) === Seq(("/b", false, false)))
+  }
+
+  test("robots.txt parse: CRLF bodies and tab whitespace (RFC 9309 §2.2)") {
+    // CRLF line endings (what the WARC/HTTP tier yields) must not leave
+    // a trailing \r on any value — '*\r' would match no group and every
+    // rule would silently drop (fail-open).
+    val crlf = "User-agent: *\r\nDisallow:\t/a\r\nAllow: /a/b\t\r\n"
+    assert(parse(crlf) === Seq(("/a", false, false), ("/a/b", true, false)))
+    // a CRLF body parses identically to its LF twin
+    val lf = "# hdr\nUser-agent: graftbot\nDisallow: /x\nAllow: /x/y\n"
+    assert(parse(lf.replace("\n", "\r\n")) === parse(lf))
+    // bare-CR terminators (RFC-allowed) split too
+    assert(parse("User-agent: *\rDisallow: /y\r")
+      === Seq(("/y", false, false)))
+  }
+
+  test("crawl-delay: CRLF bodies and tab whitespace") {
+    assert(delayOf("User-agent: *\r\nCrawl-delay:\t2.5\r\n")
+      === Seq(("2.5", Some(2500000L))))
+    val lf = "User-agent: graftbot\nCrawl-delay: 3\nDisallow: /x\n"
+    assert(delayOf(lf.replace("\n", "\r\n")) === delayOf(lf))
   }
 
   test("robots.txt parse: no applicable rules emits no rows") {
