@@ -5,12 +5,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Measures the duplicated-span dup-decision formulations against each
-  * other on the real documents corpus: the shipped keyed-window form
-  * (`min(doc) != max(doc)` over the window key — ONE corpus explode, one
-  * key exchange) vs the aggregate + semi-join-back form it replaced (a
-  * count-distinct per key PLUS a second explode feeding the join probe).
-  * Both produce the identical duplicated-start relation (asserted every
-  * run); the difference is plan shape. Results recorded in BASELINE.md.
+  * other on the real documents corpus: the SHIPPED form (min/max
+  * aggregate on the span key + semi-join back, the exploded relation
+  * cut once with localCheckpoint — skew-immune: a hot trigram key
+  * reduces map-side) vs the keyed-window form it replaced in round 12
+  * (`min(doc) != max(doc)` over the window key — one explode and one
+  * exchange, but every instance of a hot key buffers on ONE window
+  * task) vs the round-8 count-distinct join form (whose measured cost
+  * was the SECOND explode, not the join). All three produce the
+  * identical duplicated-start relation (asserted every run); the
+  * difference is plan shape. Results recorded in BASELINE.md.
   *
   * Usage: `sbt 'runMain graft.DupSpanBench [sfDir]'` (default sf0.1).
   */
@@ -36,10 +40,22 @@ object DupSpanBench {
     // measures the operator's actual code, not a copy that can drift
     def windows: DataFrame =
       graft.ext.Dedup.spanWindows(docs, "doc_id", "text", n)
-    def windowForm: DataFrame =
+    def shippedForm: DataFrame =
       graft.ext.Dedup.duplicatedStarts(windows, "doc_id")
 
-    // replaced: count-distinct aggregate + semi-join back (second explode)
+    // replaced (round 12): keyed min/max window — one explode, but a
+    // hot span key buffers every instance on one window task
+    def windowForm: DataFrame = {
+      val byKey = Window.partitionBy(col("__k"))
+      windows
+        .withColumn("__dup",
+          min(col("doc_id")).over(byKey) =!= max(col("doc_id")).over(byKey))
+        .filter(col("__dup"))
+        .drop("__dup")
+    }
+
+    // replaced (round 8): count-distinct aggregate + semi-join back,
+    // WITHOUT the localCheckpoint — the probe re-explodes the corpus
     def joinForm: DataFrame = {
       val dupKeys = windows.groupBy(col("__k"))
         .agg(countDistinct(col("doc_id")).as("__nd"))
@@ -56,15 +72,18 @@ object DupSpanBench {
     }
 
     // identical result relation (cheap count + anti-join emptiness probe)
+    val s0 = shippedForm.select("doc_id", "__i")
     val w = windowForm.select("doc_id", "__i")
     val j = joinForm.select("doc_id", "__i")
-    assert(w.count() == j.count() &&
-      w.except(j).isEmpty && j.except(w).isEmpty,
+    assert(s0.count() == w.count() && s0.count() == j.count() &&
+      s0.except(w).isEmpty && w.except(s0).isEmpty &&
+      s0.except(j).isEmpty && j.except(s0).isEmpty,
       "formulations disagree")
 
+    val ts = run(shippedForm)
     val tw = run(windowForm)
     val tj = run(joinForm)
-    println(f"""{"sf":"$sfDir","window_sec":$tw%.3f,"agg_join_sec":$tj%.3f,"speedup":${tj / tw}%.2f}""")
+    println(f"""{"sf":"$sfDir","shipped_ckpt_agg_sec":$ts%.3f,"window_sec":$tw%.3f,"reexplode_join_sec":$tj%.3f}""")
     spark.stop()
   }
 }

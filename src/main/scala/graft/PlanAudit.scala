@@ -29,6 +29,16 @@ import org.apache.spark.sql.SparkSession
   * Name-based width classification is a static proxy (column widths
   * aren't in the schema); both patterns are part of the invariant and
   * new wide-text columns must join `WideTextPattern`.
+  *
+  * WINDOWS are held to a stricter bar than exchanges: a `WindowExec`
+  * partitioned by a content-derived key (an expression over wide text,
+  * or a digest-named attribute) is flagged REGARDLESS of how thin its
+  * rows are — the window buffers one content group per task, so a hot
+  * duplicate (20% of a crawl on one boilerplate page) serializes
+  * through a single task even when only (id, digest) rides the
+  * exchange. The sanctioned shape is the same min/max AGGREGATE on the
+  * digest + join back on the uniform id key
+  * ([[graft.ext.Dedup.dedupExact]], the q149 tail).
   */
 object ContentKeyAudit {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
@@ -36,6 +46,7 @@ object ContentKeyAudit {
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  import org.apache.spark.sql.execution.window.WindowExec
   import org.apache.spark.sql.types.StringType
 
   /** Document-sized string columns, by the repo's naming discipline. */
@@ -53,33 +64,58 @@ object ContentKeyAudit {
       !DigestPattern.matches(a.name) // fixed_md5, content_hash: digests of
                                      // wide columns are themselves narrow
 
-  /** One line per violating exchange in `plan` (empty = invariant holds). */
+  /** True when a partitioning expression derives from content: it is
+    * computed from a wide text column (the wide input necessarily sits
+    * in the operator's input), or it IS a precomputed content digest.
+    * Narrow string keys (tokens, shard labels) stay exempt. */
+  private def contentDerived(
+      ex: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    ex.references.exists(isWide) ||
+      (ex match {
+        case a: AttributeReference =>
+          a.dataType == StringType && DigestPattern.matches(a.name)
+        case _ => false
+      })
+
+  /** One line per violating exchange or window in `plan` (empty =
+    * invariant holds). */
   def violations(plan: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId, Expression}
     val root = plan match {
       case a: AdaptiveSparkPlanExec => a.initialPlan
       case p => p
     }
+    // window partition expressions are pre-projected into `_w0`-style
+    // aliases, so the content test must resolve attributes back through
+    // the plan's Project/Aggregate alias definitions (transitively) —
+    // `partitionBy(md5(text))` physically partitions by `_w0`.
+    val defs: Map[ExprId, Expression] = root.collect {
+      case p: org.apache.spark.sql.execution.ProjectExec =>
+        p.projectList.collect { case a: Alias => a.exprId -> a.child }
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        h.resultExpressions.collect { case a: Alias => a.exprId -> a.child }
+    }.flatten.toMap
+    def derived(ex: Expression, seen: Set[ExprId]): Boolean =
+      contentDerived(ex) || ex.references.exists { a =>
+        !seen(a.exprId) &&
+          defs.get(a.exprId).exists(e => derived(e, seen + a.exprId))
+      }
     root.collect {
       case e: ShuffleExchangeExec => e.outputPartitioning match {
         case hp: HashPartitioning =>
-          // content-keyed: the partition key is computed from document
-          // text (the wide input necessarily sits in the exchange), or is
-          // a precomputed content digest. Narrow string keys (tokens,
-          // shard labels) are legitimate partitioners and stay exempt.
-          val contentKeyed = hp.expressions.exists { ex =>
-            ex.references.exists(isWide) ||
-              (ex match {
-                case a: AttributeReference => DigestPattern.matches(a.name)
-                case _ => false
-              })
-          }
           val wide = e.output.filter(isWide)
-          if (contentKeyed && wide.nonEmpty)
+          if (hp.expressions.exists(contentDerived) && wide.nonEmpty)
             Seq(s"content-keyed exchange on [${hp.expressions.mkString(", ")}] " +
               s"carries wide text [${wide.map(_.name).mkString(", ")}]")
           else Seq.empty
         case _ => Seq.empty
       }
+      // windows: content-keyed partitioning is flagged even for thin
+      // rows — the whole hot group still buffers on one window task
+      case w: WindowExec
+        if w.partitionSpec.exists(derived(_, Set.empty)) =>
+        Seq(s"content-keyed window partitioned by " +
+          s"[${w.partitionSpec.mkString(", ")}]")
     }.flatten
   }
 }

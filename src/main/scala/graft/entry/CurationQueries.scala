@@ -131,9 +131,18 @@ private[graft] object CurationQueries {
       val corpus = withDups.filter(col("doc_id") % 31 =!= 0)
       val qf = QualityModel.qualityClassifierScore(corpus, "text")
         .select(col("doc_id"), col("kept").as("q_ok"))
-      val df = corpus.withColumn("__w",
-          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-        .select(col("doc_id"), (col("doc_id") === col("__w")).as("d_ok"))
+      // keep-first flag as an AGGREGATE on the digest + id-keyed join
+      // back (the q149-tail shape) — never a content-keyed window: a
+      // hot duplicate group reduces map-side instead of sorting on one
+      // task. The thin (id, digest) relation has two consumers, so cut
+      // the plan there.
+      val dThin = corpus.select(col("doc_id"), md5(col("text")).as("__h"))
+        .localCheckpoint()
+      val dWin = dThin.groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("__w"))
+      val df = dThin.join(dWin, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__w"), lit(false)).as("d_ok"))
       val cf = Dedup.contaminationReport(corpus, "doc_id", "text", bench,
           shingleN = 8, dropPct = 10, useNative = true)
         .select(col("doc_id"), (!col("dropped")).as("c_ok"))
@@ -329,9 +338,18 @@ private[graft] object CurationQueries {
         "label", nBuckets = QtBuckets, steps = QtSteps, lrPpm = QtLrPpm)
       val qf = QualityModel.qualityClassifierScoreWith(corpus, "text", w.toSeq)
         .select(col("doc_id"), col("kept").as("q_ok"))
-      val df = corpus.withColumn("__w",
-          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-        .select(col("doc_id"), (col("doc_id") === col("__w")).as("d_ok"))
+      // keep-first flag as an AGGREGATE on the digest + id-keyed join
+      // back (the q149-tail shape) — never a content-keyed window: a
+      // hot duplicate group reduces map-side instead of sorting on one
+      // task. The thin (id, digest) relation has two consumers, so cut
+      // the plan there.
+      val dThin = corpus.select(col("doc_id"), md5(col("text")).as("__h"))
+        .localCheckpoint()
+      val dWin = dThin.groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("__w"))
+      val df = dThin.join(dWin, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__w"), lit(false)).as("d_ok"))
       val cf = Dedup.contaminationReport(corpus, "doc_id", "text", bench,
           shingleN = 8, dropPct = 10, useNative = true)
         .select(col("doc_id"), (!col("dropped")).as("c_ok"))

@@ -111,11 +111,20 @@ private[graft] object DedupQueries {
           .when(col("doc_id") % 3 === 1,
             lit("r\u00E9sum\u00E9 caf\u00E9 13?"))
           .otherwise(lit("resume cafe 00"))))
+      // canonical pick = min-id AGGREGATE on the normalized-key digest
+      // + id-keyed join back (the q149-tail shape; selection identical
+      // to the row_number-over-(key, doc_id) formulation it replaces,
+      // doc_id being unique) — the key digest never partitions a
+      // window, so a viral paragraph reduces map-side.
       val keyed = TextOps.withCcnetKey(aug, "text")
-      val w = Window.partitionBy("key_md5").orderBy("doc_id")
-      keyed
+      val kThin = keyed.select(col("doc_id"), col("key_md5"))
+        .localCheckpoint()
+      val kWin = kThin.groupBy(col("key_md5"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("__c"))
+      kThin.join(kWin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("key_md5"),
-          (row_number().over(w) === 1).as("is_canonical"))
+          coalesce(col("__c"), lit(false)).as("is_canonical"))
         .orderBy("doc_id")
     }),
 

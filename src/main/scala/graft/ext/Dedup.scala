@@ -496,9 +496,14 @@ object Dedup {
     val keyed = df.select(col(idCol),
       substring(col(textCol), 1, prefixLen).as("block"),
       wordShingles(col(textCol), shingleN, useNative).as("sh"))
-    val wCnt = Window.partitionBy("block")
-    val capped = keyed.withColumn("__n", count(lit(1)).over(wCnt))
-      .filter(col("__n") <= maxBlockSize).drop("__n")
+    // block sizes as a map-side-combining AGGREGATE over (block) alone
+    // + semi-join back — never a count window, which would sort every
+    // boilerplate block's rows WITH their shingle arrays on one task
+    // (the SeededAnnSoak arrays-through-a-sort spill shape)
+    val capped = keyed.join(
+      keyed.groupBy(col("block")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBlockSize).select(col("block")),
+      Seq("block"), "left_semi")
     val a = capped.select(col("block"), col(idCol).as("id_a"),
       col("sh").as("sh_a"))
     val b = capped.select(col("block"), col(idCol).as("id_b"),
@@ -528,9 +533,12 @@ object Dedup {
     val keyed = df.select(col(idCol),
       substring(col(textCol), 1, prefixLen).as("block"),
       col(textCol).as("txt"), length(col(textCol)).as("len"))
-    val wCnt = Window.partitionBy("block")
-    val capped = keyed.withColumn("__n", count(lit(1)).over(wCnt))
-      .filter(col("__n") <= maxBlockSize).drop("__n")
+    // same cap-as-aggregate shape as prefixBlockedNearDupPairs: the
+    // count never rides a window that would sort full documents
+    val capped = keyed.join(
+      keyed.groupBy(col("block")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBlockSize).select(col("block")),
+      Seq("block"), "left_semi")
     val a = capped.select(col("block"), col(idCol).as("id_a"),
       col("txt").as("txt_a"), col("len").as("len_a"))
     val b = capped.select(col("block"), col(idCol).as("id_b"),
@@ -688,18 +696,28 @@ object Dedup {
           .as("__k"))
   }
 
-  /** The shipped dup decision over [[spanWindows]]: a keyed min/max
-    * window (`min(doc) ≠ max(doc)` ⟺ >1 distinct doc) — shared with
-    * `DupSpanBench` for the same reason as [[spanWindows]].
+  /** The shipped dup decision over [[spanWindows]]: a span start is
+    * duplicated iff its window key occurs in >1 distinct document —
+    * `min(doc) ≠ max(doc)` as a map-side-combining AGGREGATE on the
+    * key, semi-joined back. This replaced the keyed min/max WINDOW
+    * (still measured as the alternative in `DupSpanBench`): the window
+    * buffered every instance of one key on ONE task, and span keys
+    * have genuinely hot members — a common trigram appears in a large
+    * fraction of any real corpus, so at crawl scale the window form is
+    * a skew bomb even though its rows are thin. The exploded span
+    * relation has two consumers here (aggregate + probe), so it is cut
+    * once (`localCheckpoint`) rather than re-exploded per branch — the
+    * re-explode was the whole measured cost of the join form
+    * (BASELINE.md "Duplicated-span dup-decision formulations").
     */
   private[graft] def duplicatedStarts(windows: DataFrame,
                                       idCol: String): DataFrame = {
-    val byKey = Window.partitionBy(col("__k"))
-    windows
-      .withColumn("__dup",
-        min(col(idCol)).over(byKey) =!= max(col(idCol)).over(byKey))
-      .filter(col("__dup"))
-      .drop("__dup")
+    val thin = windows.localCheckpoint()
+    val dupKeys = thin.groupBy(col("__k"))
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("__k"))
+    thin.join(dupKeys, Seq("__k"), "left_semi")
   }
 
   def duplicatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
