@@ -171,14 +171,25 @@ object UrlOps {
     * unmatched default encodes as 1 (= len 0, allow). No structs, no
     * windows, bit-exact in any engine.
     *
-    * 100 TB shape: a real host's robots rules are a few KB and a
-    * whole crawl's fit in one broadcast (`rules` is sent to every
-    * executor — keep it the parsed rule table, not raw robots.txt
-    * bodies); candidates come from a broadcast hash join on the
-    * SHORT host key with the prefix test as its residual predicate,
-    * the winner is a map-side-combining `max` on the UNIFORM id key,
-    * and the verdict joins back id-keyed — URLs and rule prefixes
-    * are the only strings in the plan.
+    * 100 TB shape: a real host's rules are a few KB, but a
+    * Common-Crawl-scale rule table (10⁷–10⁸ hosts × several rules) is
+    * multiple GB — past sensible broadcast size and near Spark's hard
+    * 8 GB relation limit. So the rule table is first SEMI-JOINED down
+    * to the hosts actually present in `df` (a frontier batch's host
+    * set is small by construction; the semi-join is left unhinted so
+    * AQE picks broadcast/shuffled by the host set's real size), and
+    * only the PRUNED table broadcasts — the full crawl-wide table
+    * never materializes on the driver (soak-asserted at 10⁶ hosts ×
+    * 10 rules in `RobotsScaleSoak`, plan-pinned on q152/q154/q160).
+    * Candidates then come from a broadcast hash join on the SHORT
+    * host key with the prefix test as its residual predicate, the
+    * winner is a map-side-combining `max` on the UNIFORM id key, and
+    * the verdict joins back id-keyed — URLs and rule prefixes are the
+    * only strings in the plan. When even the pruned table exceeds the
+    * broadcast threshold (a batch spanning ~every host of a huge
+    * crawl), pass `broadcastRules = false`: the verdict joins with a
+    * SHUFFLED HASH join on the same short host key instead —
+    * bit-identical output, spec-pinned.
     */
   /** The `<a href="...">` harvest pattern: case-insensitive, quoted
     * hrefs only (the dominant form; unquoted attributes are out of
@@ -501,25 +512,37 @@ object UrlOps {
 
   /** Politeness scheduling over a ranked frontier: fetch slot
     * `fetch_at_micros = (rank − 1) · delay` per host, the delay from
-    * [[robotsCrawlDelay]]'s table (broadcast — one short row per
-    * host) with `defaultDelayMicros` for hosts that declared none.
-    * Pure projection + one broadcast join; the frontier is already
-    * ranked per host (q154's `graft_top_k`), so no window and no
-    * re-shuffle. */
+    * [[robotsCrawlDelay]]'s table with `defaultDelayMicros` for hosts
+    * that declared none. Pure projection + one join; the frontier is
+    * already ranked per host (q154's `graft_top_k`), so no window and
+    * no re-shuffle of the frontier.
+    *
+    * Same broadcast-ceiling discipline as [[robotsVerdict]]: a
+    * crawl-wide delay table (one row per host that declares one) is
+    * semi-joined down to the frontier batch's hosts BEFORE the
+    * broadcast, so the full table never materializes; past the
+    * broadcast threshold `broadcastDelays = false` switches the
+    * schedule join to a shuffled hash join on the short host key —
+    * bit-identical output, spec-pinned. */
   def politenessSchedule(frontier: DataFrame, hostCol: String,
       rankCol: String, delays: DataFrame,
-      defaultDelayMicros: Long): DataFrame =
-    frontier.join(
-        broadcast(delays.select(col("host").as(hostCol),
-          col("crawl_delay_micros").as("__delay"))),
-        Seq(hostCol), "left_outer")
+      defaultDelayMicros: Long, broadcastDelays: Boolean = true)
+      : DataFrame = {
+    val hostSet = frontier.select(col(hostCol)).distinct()
+    val pruned = delays.select(col("host").as(hostCol),
+        col("crawl_delay_micros").as("__delay"))
+      .join(hostSet, Seq(hostCol), "left_semi")
+    val d = if (broadcastDelays) broadcast(pruned)
+            else pruned.hint("shuffle_hash")
+    frontier.join(d, Seq(hostCol), "left_outer")
       .withColumn("fetch_at_micros",
         (col(rankCol) - 1) *
           coalesce(col("__delay"), lit(defaultDelayMicros)))
       .drop("__delay")
+  }
 
   def robotsVerdict(df: DataFrame, idCol: String, canonCol: String,
-      rules: DataFrame): DataFrame = {
+      rules: DataFrame, broadcastRules: Boolean = true): DataFrame = {
     // canonical form is scheme://host[/path][?qs] with scheme+host
     // already lowercased — path and host split off with anchored
     // regexes, no re-normalization.
@@ -529,8 +552,18 @@ object UrlOps {
       regexp_extract(
         regexp_replace(col(canonCol), "^[a-z][a-z0-9+.-]*://[^/?]*", ""),
         "^([^?]*)", 1).as("__r_path"))
-    val r = broadcast(rules.select(col("host").as("__rr_host"),
-      col("path_prefix").as("__rr_prefix"), col("allow").as("__rr_allow")))
+    // prune the (possibly crawl-wide) rule table to the hosts actually
+    // present in this batch BEFORE any broadcast — the distinct is
+    // map-side combining over heavily repeated short host strings, and
+    // the semi-join is unhinted so AQE sizes it at runtime
+    val hostSet = thin.select(col("__r_host").as("__rr_host")).distinct()
+    val pruned = rules.select(col("host").as("__rr_host"),
+        col("path_prefix").as("__rr_prefix"), col("allow").as("__rr_allow"))
+      .join(hostSet, Seq("__rr_host"), "left_semi")
+    // fallback for a batch whose pruned table still exceeds broadcast
+    // size: a shuffled hash join on the same short host key
+    val r = if (broadcastRules) broadcast(pruned)
+            else pruned.hint("shuffle_hash")
     val verdict = thin.join(r,
         col("__r_host") === col("__rr_host") &&
           col("__r_path").startsWith(col("__rr_prefix")), "left_outer")

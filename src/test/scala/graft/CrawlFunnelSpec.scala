@@ -216,6 +216,22 @@ class CrawlFunnelSpec extends SparkSpec {
       val query = graft.streaming.EventStreams.frontierStream(
           in.toDF().toDF("doc_id", "url", "html"),
           "doc_id", "url", "html", rules, table) { (sched, _) =>
+        // per-batch plan pin: the verdict's rule broadcast inside the
+        // stream is host-PRUNED (the robotsVerdict broadcast-ceiling
+        // contract) — the crawl-wide table never rides the broadcast
+        import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        val root = sched.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p => p
+        }
+        val ruleBes = root.collect {
+          case e: BroadcastExchangeExec
+            if e.output.exists(_.name == "__rr_prefix") => e
+        }
+        assert(ruleBes.nonEmpty, "no rule broadcast in the batch plan")
+        ruleBes.foreach(e => assert(e.child.toString.contains("LeftSemi"),
+          s"stream batch rule broadcast not host-pruned:\n${e.child}"))
         emitted ++= sched
           .select("link_canon", "link_host", "found_by")
           .as[(String, String, Long)].collect()

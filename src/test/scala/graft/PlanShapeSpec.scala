@@ -458,6 +458,38 @@ class PlanShapeSpec extends SparkSpec {
       idKeyed.queryExecution.executedPlan).isEmpty)
   }
 
+  test("robots/politeness tables broadcast only AFTER host pruning " +
+    "(q152/q154/q160) — the crawl-wide table never rides a broadcast") {
+    // the r11 verdict's broadcast-ceiling finding: at Common-Crawl host
+    // counts the full rule/delay tables are multiple GB. The shipped
+    // shape semi-joins them to the batch's candidate hosts FIRST, so
+    // every BroadcastExchange carrying rule prefixes or delays must
+    // have the pruning semi-join in its build subtree.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    for ((name, markers) <- Seq(
+        "q152_robots_filter" -> Seq("__rr_prefix"),
+        "q154_crawl_frontier" -> Seq("__rr_prefix"),
+        "q160_fetch_schedule" -> Seq("__rr_prefix", "__delay"))) {
+      val executed = q(name).queryExecution.executedPlan
+      val root = executed match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      for (marker <- markers) {
+        val bes = root.collect {
+          case e: BroadcastExchangeExec
+            if e.output.exists(_.name == marker) => e
+        }
+        assert(bes.nonEmpty, s"$name: no broadcast carrying $marker found")
+        bes.foreach { e =>
+          assert(e.child.toString.contains("LeftSemi"),
+            s"$name: the $marker broadcast is NOT host-pruned:\n${e.child}")
+        }
+      }
+    }
+  }
+
   test("no catalog query's plan sends wide text across a content-keyed " +
     "exchange OR partitions a window by a content key (repo-wide " +
     "ContentKeyAudit sweep)") {

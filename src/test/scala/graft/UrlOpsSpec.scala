@@ -448,6 +448,39 @@ class UrlOpsSpec extends SparkSpec {
       ("b.com", 1L, 0L), ("b.com", 3L, 2000000L)))
   }
 
+  test("robots verdict: shuffled-hash fallback ≡ broadcast path, and the " +
+    "fallback really shuffles") {
+    val urls = (1L to 40L).map(i =>
+      (i, s"https://h${i % 7}.com/p${i % 5}/deep")).toDF("id", "url_canon")
+    val rules = (0L until 7L).flatMap(h => Seq(
+      (s"h$h.com", "/p1", false), (s"h$h.com", "/p1/deep", true),
+      (s"h$h.com", "/p3", false))).toDF("host", "path_prefix", "allow")
+    def out(bcast: Boolean) = UrlOps.robotsVerdict(
+        urls, "id", "url_canon", rules, broadcastRules = bcast)
+      .select("id", "fetch_allowed", "rule_match_len")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out(bcast = false) === out(bcast = true))
+    val shjPlan = UrlOps.robotsVerdict(urls, "id", "url_canon", rules,
+      broadcastRules = false).queryExecution.executedPlan.toString
+    assert(shjPlan.contains("ShuffledHashJoin"),
+      s"fallback did not plan a shuffled hash join:\n$shjPlan")
+  }
+
+  test("politeness schedule: shuffled-hash fallback ≡ broadcast path") {
+    val frontier = Seq(("a.com", 1L, "u1"), ("a.com", 2L, "u2"),
+      ("b.com", 2L, "u3")).toDF("link_host", "rank", "url_canon")
+    val delays = Seq(("a.com", "2", 2000000L), ("zzz.com", "9", 9000000L))
+      .toDF("host", "crawl_delay_raw", "crawl_delay_micros")
+    def out(bcast: Boolean) = UrlOps.politenessSchedule(frontier,
+        "link_host", "rank", delays, defaultDelayMicros = 1000000L,
+        broadcastDelays = bcast)
+      .select("link_host", "rank", "fetch_at_micros")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out(bcast = false) === out(bcast = true))
+  }
+
   test("canonicalization is idempotent") {
     val raw = Seq("HTTPS://WWW.Ex.COM:443//A//B/?b=2&utm_q=9&a=1#f")
     val once = canon(raw.head)
