@@ -171,6 +171,30 @@ private[graft] object TextQueries {
     common.union(blockAll)
   }
 
+  /** q161's planted WILDCARD rule table (RFC 9309 §2.2.3) — note the
+    * patterns here are spelled with a space before the star because
+    * Scala block comments nest; the CODE carries them verbatim. Every
+    * host disallows `/Docs/ *` (a star rule whose greedy match
+    * consumes the whole path — most-octets specificity), re-allows
+    * exactly `/Docs/12$` (an anchored rule TYING the star rule at 8
+    * matched octets on `/Docs/12` — allow wins), allows the PLAIN
+    * prefix `/Docs/3` (tying the star rule at 7 octets on `/Docs/3` —
+    * the plain-vs-wildcard tie), and allows `/D*s/5$` (mid-pattern
+    * star + anchor, tying at 7 on `/Docs/5`). Ties sit on BOTH sides
+    * of every comparison class: star-vs-anchor, star-vs-plain,
+    * star-vs-midstar. Shared structure with the oracle via
+    * [[robotsWildcardOracleSql]]. */
+  private[graft] def plantedWildcardRules(df: DataFrame): DataFrame =
+    df.select(lower(col("source")).as("h")).distinct().select(
+        concat(col("h"), lit(".example.com")).as("host"),
+        explode(array(
+          struct(lit("/Docs/*").as("p"), lit(false).as("a")),
+          struct(lit("/Docs/12$").as("p"), lit(true).as("a")),
+          struct(lit("/Docs/3").as("p"), lit(true).as("a")),
+          struct(lit("/D*s/5$").as("p"), lit(true).as("a")))).as("r"))
+      .select(col("host"), col("r.p").as("path_prefix"),
+        col("r.a").as("allow"))
+
   /** q156's planted robots.txt bodies: one per host, exercising every
     * grammar hazard — a comment header, an ORPHAN rule before any
     * group (dropped), another agent's group, a `*` group whose rules
@@ -181,7 +205,9 @@ private[graft] object TextQueries {
     * whitespace hazards (`Allow:<TAB>/Tab<CRLF>` and a trailing-tab
     * `Disallow: /Cr<TAB><CRLF>` — the WARC/HTTP tier yields CRLF
     * bodies, so the parser's `\r\n|\r|\n` split and space+tab trim
-    * are exercised by the catalog, not just specs), and a
+    * are exercised by the catalog, not just specs), a WILDCARD rule
+    * `/w*card$` (passes through verbatim with `has_wildcard` — the
+    * §2.2.3 passthrough contract; q161 owns wildcard MATCHING), and a
     * graftbot-SPECIFIC group on hosts
     * ending in `3` that must silence the `*` groups entirely. The `*`
     * rules are the [[plantedRobotsRules]] classes, so a parse of
@@ -199,6 +225,7 @@ private[graft] object TextQueries {
         lit("Disallow: /Docs/1\nALLOW: /Docs/12 # longest wins\n"),
         lit("Allow: /Docs/3\ndisallow: /Docs/3\nDisallow:\n"),
         lit("Allow:\t/Tab\r\nDisallow: /Cr\t\r\n"),
+        lit("Disallow: /w*card$\n"),
         when(length(col("h")) % 5 === 0,
           lit("\nUser-agent: Extra\nuser-agent: *\nDisallow: /\n"))
           .otherwise(lit("")),
@@ -413,6 +440,25 @@ private[graft] object TextQueries {
         withPlantedUrl(docs), "url")
       graft.ext.UrlOps.robotsVerdict(canon, "doc_id", "url_canon",
           plantedRobotsRules(docs))
+        .select(col("doc_id"), col("url_canon"), col("fetch_allowed"),
+          col("rule_match_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- robots WILDCARD matching (oracle-checked): RFC 9309 §2.2.3
+    // special characters over the same canonical URLs — `*` spans any
+    // octets, trailing `$` anchors at path end, specificity is
+    // MATCHED-octet length (greedy, leftmost — Java and RE2 agree), so
+    // `2·match_len+allow` still decides with a plain max. Plain rules
+    // keep the codegen'd startsWith path; only wildcard rules pay the
+    // per-candidate regex, translated once per pruned rule on the
+    // broadcast (UrlOps.robotsVerdict §2.2.3 contract).
+    "q161_robots_wildcards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        withPlantedUrl(docs), "url")
+      graft.ext.UrlOps.robotsVerdict(canon, "doc_id", "url_canon",
+          plantedWildcardRules(docs))
         .select(col("doc_id"), col("url_canon"), col("fetch_allowed"),
           col("rule_match_len"))
         .orderBy("doc_id")
@@ -1466,6 +1512,42 @@ private[graft] object TextQueries {
       "SELECT doc_id, url_canon, score % 2 = 1 AS fetch_allowed, " +
       "CAST(score // 2 AS BIGINT) AS rule_match_len FROM v ORDER BY doc_id"
 
+  /** DuckDB replay of the §2.2.3 WILDCARD verdict (q161): the rule
+    * table from the same classes as [[plantedWildcardRules]], the
+    * SAME pattern→regex translation as `UrlOps.robotsVerdict` (escape
+    * every metachar but `*`, star → `.*`, trailing escaped `$` back
+    * to the anchor), `regexp_matches` for the wildcard candidates /
+    * `starts_with` for the plain ones, and the winner
+    * `max(2·match_len + allow)` with the greedy leftmost match length
+    * from `regexp_extract(..., 0)` — Java and RE2 agree on these
+    * constructs (spec-pinned against a plain-Scala matcher too). */
+  private def robotsWildcardOracleSql: String =
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      "hosts AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
+      "wrules AS (SELECT h || '.example.com' AS rhost, t.p AS rprefix, " +
+      "t.a AS rallow FROM hosts, (VALUES ('/Docs/*', false), " +
+      "('/Docs/12$', true), ('/Docs/3', true), ('/D*s/5$', true)) " +
+      "t(p, a)),\n" +
+      "wrx AS (SELECT rhost, rprefix, rallow, " +
+      "contains(rprefix, '*') OR ends_with(rprefix, '$') AS wc, " +
+      "'^' || regexp_replace(regexp_replace(regexp_replace(rprefix, " +
+      "'([\\\\.\\[\\]{}()+?^$|])', '\\\\\\1', 'g'), '\\*', '.*', 'g'), " +
+      "'\\\\\\$$', '$') AS rx FROM wrules),\n" +
+      "pth AS (SELECT doc_id, url_canon, url_host, " +
+      "regexp_extract(regexp_replace(url_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path FROM c),\n" +
+      "v AS (SELECT p.doc_id, p.url_canon, " +
+      "max(coalesce(2 * (CASE WHEN r.wc THEN " +
+      "CAST(length(regexp_extract(p.path, r.rx, 0)) AS BIGINT) " +
+      "ELSE CAST(length(r.rprefix) AS BIGINT) END) + " +
+      "CASE WHEN r.rallow THEN 1 ELSE 0 END, 1)) AS score " +
+      "FROM pth p LEFT JOIN wrx r ON r.rhost = p.url_host " +
+      "AND (CASE WHEN r.wc THEN regexp_matches(p.path, r.rx) " +
+      "ELSE starts_with(p.path, r.rprefix) END) " +
+      "GROUP BY p.doc_id, p.url_canon)\n" +
+      "SELECT doc_id, url_canon, score % 2 = 1 AS fetch_allowed, " +
+      "CAST(score // 2 AS BIGINT) AS rule_match_len FROM v ORDER BY doc_id"
+
   /** DuckDB replay of [[withPlantedPage]] +
     * [[graft.ext.UrlOps.extractOutlinks]]: builds each page from the
     * SAME literal pieces, harvests hrefs with the shared
@@ -1632,6 +1714,7 @@ private[graft] object TextQueries {
       "'Disallow:' || chr(10) || " +
       "'Allow:' || chr(9) || '/Tab' || chr(13) || chr(10) || " +
       "'Disallow: /Cr' || chr(9) || chr(13) || chr(10) || " +
+      "'Disallow: /w*card$' || chr(10) || " +
       "(CASE WHEN length(h) % 5 = 0 THEN chr(10) || " +
       "'User-agent: Extra' || chr(10) || 'user-agent: *' || chr(10) || " +
       "'Disallow: /' || chr(10) ELSE '' END) || " +
@@ -1679,7 +1762,9 @@ private[graft] object TextQueries {
       "gr.m AS from_specific FROM rg2 r " +
       "JOIN rgrp gr ON gr.host = r.host AND gr.gid = r.gid " +
       "WHERE r.kind = 'rule' AND r.val <> '' AND (gr.m OR gr.s))\n" +
-      "SELECT e.host, e.path_prefix, e.allow, e.from_specific " +
+      "SELECT e.host, e.path_prefix, e.allow, e.from_specific, " +
+      "contains(e.path_prefix, '*') OR ends_with(e.path_prefix, '$') " +
+      "AS has_wildcard " +
       "FROM em e JOIN rasp ON rasp.host = e.host " +
       "WHERE e.from_specific OR NOT rasp.any_sp " +
       "ORDER BY e.host, e.path_prefix, e.allow"
@@ -1846,6 +1931,8 @@ private[graft] object TextQueries {
     "q151_host_rollup" -> hostRollupOracleSql,
 
     "q152_robots_filter" -> robotsOracleSql,
+
+    "q161_robots_wildcards" -> robotsWildcardOracleSql,
 
     "q153_outlink_graph" -> outlinkGraphOracleSql,
 

@@ -156,18 +156,39 @@ object UrlOps {
         expr("(n_fetches - n_urls) * 1000000 div n_fetches"))
   }
 
-  /** Robots-exclusion verdict (RFC 9309 §2.2.2) over CANONICAL URLs:
-    * for each row of `df`, the most specific rule in `rules`
-    * (columns `host`, `path_prefix`, `allow`) whose `path_prefix`
-    * prefixes the URL's path decides `fetch_allowed`; specificity is
-    * prefix LENGTH, an allow rule wins a same-length tie (the RFC's
-    * "least restrictive" tie-break), and a URL no rule matches is
-    * allowed. Appends `fetch_allowed` and `rule_match_len` (the
-    * winning prefix's length, 0 for the no-match default).
+  /** Robots-exclusion verdict (RFC 9309 §2.2.2–2.2.3) over CANONICAL
+    * URLs: for each row of `df`, the most specific rule in `rules`
+    * (columns `host`, `path_prefix`, `allow`) that matches the URL's
+    * path decides `fetch_allowed`; an allow rule wins a same-
+    * specificity tie (the RFC's "least restrictive" tie-break), and a
+    * URL no rule matches is allowed. Appends `fetch_allowed` and
+    * `rule_match_len` (the winning match's octet length, 0 for the
+    * no-match default).
+    *
+    * §2.2.3 special characters are IN contract: a pattern containing
+    * `*` (match any octet sequence) or ending in `$` (anchor at path
+    * end) is a WILDCARD rule —
+    *   - translated to an anchored regex (`*` → `.*`; a TRAILING `$`
+    *     → the end anchor; every other regex metacharacter escaped; a
+    *     NON-trailing `$` is a literal octet, matching the de-facto
+    *     parsers),
+    *   - matched leftmost-greedy against the path (Java and RE2 agree
+    *     on these constructs, so the oracle replays it exactly),
+    *   - with specificity = MATCHED-octet length (the RFC's "most
+    *     octets" measured on the match, which for a plain prefix rule
+    *     equals the prefix length — the non-wildcard subset's scores
+    *     are unchanged). A `$`-anchored match consumes the whole
+    *     path; `Disallow: *` therefore outranks `Disallow: /` on any
+    *     path longer than one octet, the natural reading of
+    *     most-octets specificity.
+    * Plain prefix rules keep the codegen'd `startsWith` fast path;
+    * only wildcard rules (rare in real robots corpora) pay the
+    * per-candidate regex, and the translation itself is computed once
+    * per PRUNED rule, riding the broadcast.
     *
     * The whole decision is ONE integer per candidate rule —
-    * `2·len(prefix) + allow` — so the winner is a plain `max`:
-    * longest prefix dominates, the allow bit breaks ties, and the
+    * `2·match_len + allow` — so the winner is a plain `max`:
+    * longest match dominates, the allow bit breaks ties, and the
     * unmatched default encodes as 1 (= len 0, allow). No structs, no
     * windows, bit-exact in any engine.
     *
@@ -358,9 +379,10 @@ object UrlOps {
     *     rules apply (`from_specific = true`); otherwise the `*`
     *     groups' rules do. Hosts with no applicable rules emit no
     *     rows — [[robotsVerdict]]'s no-match default allows them.
-    *   - `*`/`$` path wildcards are out of contract (the
-    *     [[robotsVerdict]] prefix-match charter); patterns pass
-    *     through verbatim.
+    *   - `*`/`$` path wildcards (RFC 9309 §2.2.3) pass through
+    *     VERBATIM, flagged via `has_wildcard` — [[robotsVerdict]]
+    *     owns the wildcard match semantics; the parser only marks
+    *     which patterns carry special characters.
     *
     * Line/whitespace discipline (RFC 9309 §2.2: lines end in CRLF,
     * CR or LF; whitespace around values is %x20 space or %x09 tab):
@@ -415,6 +437,9 @@ object UrlOps {
     df.select(col(hostCol).as("host"), explode(parsed).as("r"))
       .select(col("host"), col("r.p").as("path_prefix"),
         col("r.a").as("allow"), col("r.sp").as("from_specific"))
+      .withColumn("has_wildcard",
+        col("path_prefix").contains("*") ||
+          col("path_prefix").endsWith("$"))
   }
 
   /** Sitemap-protocol parser (sitemaps.org XML): per-host sitemap
@@ -557,8 +582,17 @@ object UrlOps {
     // map-side combining over heavily repeated short host strings, and
     // the semi-join is unhinted so AQE sizes it at runtime
     val hostSet = thin.select(col("__r_host").as("__rr_host")).distinct()
+    // wildcard machinery computed once per rule, BEFORE the prune (a
+    // projection — the prune then carries it into the broadcast):
+    // escape every regex metachar except '*', turn '*' into '.*', and
+    // turn a trailing (escaped) '$' back into the end anchor.
+    val p = col("path_prefix")
+    val esc = regexp_replace(p, "([\\\\.\\[\\]{}()+?^$|])", "\\\\$1")
+    val rx = concat(lit("^"), regexp_replace(
+      regexp_replace(esc, "\\*", ".*"), "\\\\\\$$", "\\$"))
     val pruned = rules.select(col("host").as("__rr_host"),
-        col("path_prefix").as("__rr_prefix"), col("allow").as("__rr_allow"))
+        col("path_prefix").as("__rr_prefix"), col("allow").as("__rr_allow"),
+        (p.contains("*") || p.endsWith("$")).as("__rr_wc"), rx.as("__rr_rx"))
       .join(hostSet, Seq("__rr_host"), "left_semi")
     // fallback for a batch whose pruned table still exceeds broadcast
     // size: a shuffled hash join on the same short host key
@@ -566,10 +600,14 @@ object UrlOps {
             else pruned.hint("shuffle_hash")
     val verdict = thin.join(r,
         col("__r_host") === col("__rr_host") &&
-          col("__r_path").startsWith(col("__rr_prefix")), "left_outer")
+          when(col("__rr_wc"), expr("__r_path rlike __rr_rx"))
+            .otherwise(col("__r_path").startsWith(col("__rr_prefix"))),
+        "left_outer")
       .groupBy(col(idCol))
       .agg(max(coalesce(
-        length(col("__rr_prefix")).cast("long") * 2 +
+        when(col("__rr_wc"),
+          length(expr("regexp_extract(__r_path, __rr_rx, 0)")).cast("long"))
+          .otherwise(length(col("__rr_prefix")).cast("long")) * 2 +
           when(col("__rr_allow"), 1L).otherwise(0L),
         lit(1L))).as("__score"))
     df.join(verdict, Seq(idCol))

@@ -321,15 +321,17 @@ class UrlOpsSpec extends SparkSpec {
   test("parsing the planted robots.txt bodies reproduces q152's rule " +
     "table on the non-specific hosts") {
     // the q156 plant's * groups carry exactly the plantedRobotsRules
-    // classes; hosts ending '3' get a graftbot group and leave the
-    // comparison (their * rules are silenced by design)
+    // classes (plus the /w*card$ wildcard passthrough, compared
+    // separately below); hosts ending '3' get a graftbot group and
+    // leave the comparison (their * rules are silenced by design)
     val docs = (0L until 40L)
       .map(i => (i, s"t$i", "src" + (i % 20))).toDF("doc_id", "text", "source")
-    val parsed = UrlOps.parseRobotsTxt(
+    val allParsed = UrlOps.parseRobotsTxt(
         graft.entry.TextQueries.plantedRobotsTxt(docs), "host", "txt",
         "graftbot")
       .filter(!col("host").startsWith("src3.") &&
         !col("host").startsWith("src13."))
+    val parsed = allParsed.filter(!col("has_wildcard"))
       .select("host", "path_prefix", "allow")
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getBoolean(2))).toSet
@@ -339,6 +341,11 @@ class UrlOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getBoolean(2))).toSet
     assert(parsed === planted)
+    // every non-silenced host parsed the wildcard rule, flagged
+    val wc = allParsed.filter(col("has_wildcard"))
+      .select("path_prefix", "allow")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(wc === Set(("/w*card$", false)))
   }
 
   test("sitemap parse: blocks, missing lastmod, scope, canonicalization") {
@@ -446,6 +453,51 @@ class UrlOpsSpec extends SparkSpec {
       .toSet
     assert(out === Set(("a.com", 1L, 0L), ("a.com", 2L, 2000000L),
       ("b.com", 1L, 0L), ("b.com", 3L, 2000000L)))
+  }
+
+  test("robots wildcard matching ≡ a plain-Scala RFC 9309 §2.2.3 " +
+    "reference matcher over adversarial patterns and paths") {
+    // reference matcher: the documented contract transcribed with
+    // java.util.regex directly — wildcard iff '*' present or trailing
+    // '$'; escape every metachar but '*'; '*' -> '.*'; trailing '$' ->
+    // anchor; greedy leftmost match length is the specificity.
+    def refMatch(path: String, pat: String): Option[Long] = {
+      val wc = pat.contains("*") || pat.endsWith("$")
+      if (!wc) { if (path.startsWith(pat)) Some(pat.length.toLong) else None }
+      else {
+        val esc = pat.replaceAll("([\\\\.\\[\\]{}()+?^$|])", "\\\\$1")
+          .replace("*", ".*")
+        val rx = "^" + (if (pat.endsWith("$"))
+          esc.stripSuffix("\\$") + "$" else esc)
+        val m = java.util.regex.Pattern.compile(rx).matcher(path)
+        if (m.find()) Some((m.end - m.start).toLong) else None
+      }
+    }
+    val pats = Seq("/Docs/*", "/Docs/12$", "/D*s/5$", "*", "/p", "/p$",
+      "/a$b", "/x*y*z$", "/q*", "/*.php$", "/.d+[x]{2}(a)|b", "/Docs/1")
+    val rules = pats.zipWithIndex
+      .map { case (p, i) => ("w.com", p, i % 2 == 0) }
+    val rnd = new scala.util.Random(1717L)
+    val paths = (Seq("/Docs/12", "/Docs/1", "/Docs/5", "/p", "/pq", "/a$b/c",
+      "/xAyBz", "/xyz", "/q", "/file.php", "/x.php.php", "/",
+      "/.d+[x]{2}(a)|bZ") ++ (1 to 80).map(_ => "/" + (0 to rnd.nextInt(4))
+        .map(_ => Seq("Docs", "a", "p", "5", "12", "x.y", "q$")(
+          rnd.nextInt(7))).mkString("/"))).distinct
+    def score(path: String): Long = {
+      val s = rules.flatMap { case (_, pat, allow) =>
+        refMatch(path, pat).map(l => 2L * l + (if (allow) 1L else 0L)) }
+      if (s.isEmpty) 1L else s.max
+    }
+    val expected = paths.zipWithIndex.map { case (p, i) =>
+      (i.toLong, score(p) % 2 == 1, score(p) / 2) }.toSet
+    val urls = paths.zipWithIndex
+      .map { case (p, i) => (i.toLong, "https://w.com" + p) }
+    val got = UrlOps.robotsVerdict(urls.toDF("id", "url_canon"),
+        "id", "url_canon", rules.toDF("host", "path_prefix", "allow"))
+      .select("id", "fetch_allowed", "rule_match_len")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      .toSet
+    assert(got === expected)
   }
 
   test("robots verdict: shuffled-hash fallback ≡ broadcast path, and the " +
