@@ -25,12 +25,28 @@ import org.apache.spark.sql.functions._
   *     short of the declared length (truncated captures — the fsck
   *     signal); records without a Content-Length get a null payload.
   *
+  * KNOWN HAZARD (version-line false split): because records split on
+  * the literal version line, a response PAYLOAD that itself contains
+  * the byte sequence `WARC/1.0\r\n` (a crawled page about WARC, a
+  * nested archive) falsely truncates its record and emits spurious
+  * fragment records after it. The damage is FLAGGED, not silent —
+  * the truncated record's remaining bytes fall short of its declared
+  * Content-Length, so `length_matches=false` marks it for the fsck
+  * tier exactly like a short capture — but the fragments are noise.
+  * This is the same class of caveat as the embedded `\r\n\r\n`
+  * (which is why Content-Length, not terminator search, slices
+  * payloads); a split on full record boundaries would need
+  * stateful byte scanning that doesn't fit the one-projection shape.
+  * Spec-pinned (`WarcIngestSpec` embeds the version line in a
+  * payload and asserts the flag trips).
+  *
   * 100 TB shape: one projection + one generator per archive —
   * archives die in the split, payload slicing is per-row substring
   * arithmetic, and the catalog query carries payload DIGESTS so no
-  * exchange moves record bodies. Text-mode contract: byte-exact
-  * binary WARC (gzip members, non-UTF-8 payloads) is the reader
-  * tier's job; this operator owns the relational record structure.
+  * exchange moves record bodies. Text-mode contract here;
+  * [[parseWarcRecordsGz]] is the BINARY reader tier feeding the same
+  * relational parse from gzip-membered archives (the format Common
+  * Crawl actually ships).
   */
 object WarcIngest {
 
@@ -61,4 +77,60 @@ object WarcIngest {
       .withColumn("length_matches",
         coalesce(col("payload_len") === col("content_length"), lit(false)))
       .drop("__pos", "__rec", "__hdr")
+
+  /** Decompress one gzip archive (possibly MULTI-MEMBER — Common
+    * Crawl writes one gzip member per record, concatenated; the JDK's
+    * `GZIPInputStream` reads concatenated members natively) and
+    * decode as UTF-8, the crawl web's dominant transport encoding.
+    * The relational parser is CHARACTER-oriented — its Content-Length
+    * arithmetic counts chars, exactly like the text tier it must be
+    * row-for-row equal to and like the DuckDB oracle's `length()` —
+    * so UTF-8 decode makes gz-tier output identical to text-tier
+    * output for any content both can carry. The delta to ISO 28500
+    * (whose Content-Length counts BYTES, diverging from chars on
+    * multibyte content) is shared by BOTH tiers and surfaces as
+    * `length_matches=false` rather than silent mis-slicing. */
+  private def gunzipToString(bytes: Array[Byte]): String = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** [[parseWarcRecords]] fed from BINARY gzip-membered archives —
+    * the wire format a crawl corpus actually arrives in (Common
+    * Crawl's `.warc.gz`: one gzip member per record, members
+    * concatenated; single-member whole-archive gzip reads
+    * identically). `binCol` is a `binary` column of whole-archive
+    * bytes; `fileIdCol` must be numeric (cast to long).
+    *
+    * The decompress runs in a `mapPartitions` seam (the
+    * [[graft.ext.Multimodal]] decode-seam pattern): archive BYTES are
+    * born and die inside the partition — only the decoded text enters
+    * the plan, and it immediately dies in [[parseWarcRecords]]'s
+    * harvest projection, so neither bytes nor record bodies ever
+    * cross an exchange. Row-for-row parity with the text tier over
+    * the same archives is spec-pinned (`WarcIngestSpec`), and the
+    * q159 archive→funnel round trip holds through this tier
+    * (`CrawlFunnelSpec`). */
+  def parseWarcRecordsGz(df: DataFrame, fileIdCol: String,
+      binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING)
+    val txt = df.select(col(fileIdCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.map(r => (r.getLong(0), gunzipToString(r.getAs[Array[Byte]](1))))
+      }
+      .toDF(fileIdCol, "__gz_txt")
+    parseWarcRecords(txt, fileIdCol, "__gz_txt")
+  }
 }

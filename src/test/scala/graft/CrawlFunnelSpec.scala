@@ -176,6 +176,39 @@ class CrawlFunnelSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == expected.toLong))
   }
 
+  test("q159 round trip holds through the BINARY gzip tier: " +
+    "gzip-membered archives -> parse -> funnel ≡ q149") {
+    import graft.entry.TextQueries
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the exact q159 archives, gzipped one member per archive (the
+    // single-member variant; WarcIngestSpec covers per-record members)
+    val archives = TextQueries.plantedWarc(docs,
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(TextQueries.HttpHdr),
+          TextQueries.q149PageHtml))
+      .select("doc_id", "txt").as[(Long, String)].collect()
+    val gzipped = archives.map { case (id, txt) =>
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gz.close()
+      (id, bo.toByteArray)
+    }.toSeq
+    val parsed = graft.io.WarcIngest.parseWarcRecordsGz(
+      gzipped.toDF("doc_id", "bin"), "doc_id", "bin")
+    val pages = parsed
+      .filter(col("warc_type") === "response" && col("length_matches"))
+      .select(col("doc_id"), org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.split(col("payload"), "\r\n\r\n"), 2)
+        .as("html"))
+    val viaGz = TextQueries.funnelFromPages(pages).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val direct = SparkEntry.queries("q149_crawl_funnel")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty && viaGz === direct)
+  }
+
   test("q159 WARC round trip equals q149 bit-for-bit") {
     // archive framing must add nothing and lose nothing: parsing the
     // planted archives and running the funnel over the recovered HTTP

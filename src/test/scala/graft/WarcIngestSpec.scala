@@ -51,4 +51,73 @@ class WarcIngestSpec extends SparkSpec {
     val out = parse(txt)
     assert(out.size == 1 && out.head._2 == "warcinfo")
   }
+
+  test("a payload EMBEDDING the version line falsely splits — but the " +
+    "truncation is flagged, never silent (the documented hazard)") {
+    // a crawled page ABOUT the WARC format: its payload contains the
+    // literal record delimiter. The parse splits there, so the true
+    // record comes up short against its declared Content-Length and
+    // length_matches=false marks it for the fsck tier; the fragment
+    // after the false split is noise (also not length-clean here).
+    val evil = "see the spec: WARC/1.0\r\nis the version line"
+    val txt = rec(Seq("WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://warc.example/doc"), evil)
+    val out = parse(txt)
+    assert(out.size == 2, s"expected the false split: $out")
+    assert(!out(0)._6, "the truncated record must flag length_matches=false")
+  }
+
+  private def gzip(s: String): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    gz.close()
+    bo.toByteArray
+  }
+
+  test("gzip tier: multi-member and whole-archive gzip parse " +
+    "row-for-row identical to the text tier") {
+    val httpBody = "HTTP/1.1 200 OK\r\n\r\n<html>café ÿ</html>"
+    val recs = Seq(
+      rec(Seq("WARC-Type" -> "warcinfo"), "software: graft"),
+      rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://a.com/p"), httpBody),
+      rec(Seq("WARC-Type" -> "metadata"), "abc", declaredLen = Some(9L)))
+    val txt = recs.mkString
+    // Common Crawl's framing: one gzip member PER RECORD, concatenated;
+    // plus the single-member whole-archive variant
+    val perMember = recs.map(gzip).reduce(_ ++ _)
+    val whole = gzip(txt)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("rec_no")
+      .select("rec_no", "warc_type", "target_uri", "content_length",
+        "payload", "payload_len", "length_matches")
+      .collect().map(_.toSeq).toSeq
+    val viaText = rows(WarcIngest.parseWarcRecords(
+      Seq((1L, txt)).toDF("id", "txt"), "id", "txt"))
+    val viaMembers = rows(WarcIngest.parseWarcRecordsGz(
+      Seq((1L, perMember)).toDF("id", "bin"), "id", "bin"))
+    val viaWhole = rows(WarcIngest.parseWarcRecordsGz(
+      Seq((1L, whole)).toDF("id", "bin"), "id", "bin"))
+    assert(viaText.nonEmpty && viaMembers === viaText &&
+      viaWhole === viaText)
+    // the non-ASCII chars round-tripped exactly through UTF-8
+    assert(viaText.exists(_.toString.contains("café ÿ")))
+  }
+
+  test("gzip tier: archive bytes never cross an exchange — they die " +
+    "in the mapPartitions seam") {
+    val bin = gzip(rec(Seq("WARC-Type" -> "warcinfo"), "p"))
+    val df = WarcIngest.parseWarcRecordsGz(
+      (1L to 8L).map(i => (i, bin)).toDF("id", "bin"), "id", "bin")
+      .groupBy("warc_type").count()
+    val leaks = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange
+          if e.child.output.exists(a => a.name == "bin" ||
+            a.name == "__gz_txt") => e
+    }
+    assert(leaks.isEmpty, s"archive bytes/text ride an exchange: $leaks")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("warcinfo", 8L)))
+  }
 }
