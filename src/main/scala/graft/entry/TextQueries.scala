@@ -239,9 +239,15 @@ private[graft] object TextQueries {
     * ignored), a multi-line block whose `<loc>` needs trimming AND
     * full canonicalization (case, `www.`, doubled+trailing slash,
     * tracking param), an entry without `<lastmod>`, a loc-less entry
-    * (dropped), and on even-length hosts an out-of-scope CDN entry.
-    * The per-host digit (`src7` → 7) varies paths and dates. Shared
-    * structure with the oracle via [[sitemapOracleSql]]. */
+    * (dropped), on even-length hosts an out-of-scope CDN entry, and
+    * on ODD-length hosts a STALE `/Docs/12/old-D` entry (lastmod
+    * 2020-03-15 — under the `/Docs/12` allow so it SURVIVES those
+    * hosts' disallow-all robots rule into the q162 budget;
+    * the q162 recency ranking's planted stale class, bucket-clamped
+    * to 11 and outranked by every fresh entry but still beating
+    * unknown-age link discoveries). The per-host digit (`src7` → 7)
+    * varies paths and dates. Shared structure with the oracle via
+    * [[sitemapOracleSql]]. */
   private[graft] def plantedSitemaps(df: DataFrame): DataFrame = {
     val h = col("h")
     val dg = regexp_extract(h, "([0-9])$", 1)
@@ -262,6 +268,11 @@ private[graft] object TextQueries {
           concat(lit("<url><loc>https://cdn"), dg,
             lit(".example.net/lib</loc><lastmod>2026-03-03</lastmod>" +
               "</url>"))).otherwise(lit("")),
+        when(length(h) % 2 === 1,
+          concat(lit("<url><loc>https://"), h,
+            lit(".example.com/Docs/12/old-"), dg,
+            lit("</loc><lastmod>2020-03-15</lastmod></url>")))
+          .otherwise(lit("")),
         lit("</urlset>")).as("xml"))
   }
 
@@ -403,7 +414,87 @@ private[graft] object TextQueries {
         col("s.payload.found_by").as("found_by"))
   }
 
+  /** q162's frontier with RECENCY live in the ranking (the r11
+    * verdict's directive #6 — q157 parsed `lastmod`, q154 ranked by
+    * depth alone): candidates are the q154 link discoveries UNIONED
+    * with the in-scope sitemap entries (found_by = −1 marks
+    * sitemap-discovered; a URL found both ways keeps min found_by and
+    * its sitemap lastmod via `max` — ISO dates compare
+    * chronologically as strings), anti-joined against the fetched
+    * seeds, robots-verdicted, then budgeted per host by
+    * `graft_top_k` ordered (recency_bucket ASC, depth ASC, url ASC) —
+    * the two integer terms pack into ONE ordinal
+    * (`bucket·2²⁰ + min(depth, 2²⁰−1)`, exact in a double far below
+    * 2⁵³), so the budget keeps O(k) state per host with map-side
+    * partial combine, exactly q154's shape. Fresh sitemap entries
+    * outrank stale ones outrank unknown-age link discoveries
+    * (bucket 12); the planted 2020 `/old/` entries land in bucket 11
+    * — stale but still age-attested. As-of date is a FIXED parameter
+    * (determinism/oracle-replay — never wall-clock). */
+  private def crawlFrontierRecency(s: SparkSession, dir: String,
+      asOf: String = "2026-02-10"): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val canon = graft.ext.UrlOps.withCanonicalUrl(
+      withPlantedUrl(docs), "url")
+    val links = graft.ext.UrlOps.extractOutlinks(
+        withPlantedPage(canon), "doc_id", "html", "url_canon", "url")
+      .filter(col("link_canon").isNotNull)
+    val linkCand = links.groupBy(col("link_canon"), col("link_host"))
+      .agg(min(col("doc_id")).as("found_by"))
+      .withColumn("lastmod", lit(""))
+    val smCand = graft.ext.UrlOps.parseSitemap(
+        plantedSitemaps(docs), "host", "xml")
+      .filter(col("in_scope"))
+      .select(col("url_canon").as("link_canon"),
+        col("url_host").as("link_host"),
+        lit(-1L).as("found_by"), col("lastmod"))
+    val cand = linkCand.unionByName(smCand)
+      .groupBy(col("link_canon"), col("link_host"))
+      .agg(min(col("found_by")).as("found_by"),
+        max(col("lastmod")).as("lastmod"))
+    val fresh = cand.join(
+      canon.select(col("url_canon").as("link_canon")).distinct(),
+      Seq("link_canon"), "left_anti")
+      .localCheckpoint()
+    val verd = graft.ext.UrlOps.robotsVerdict(
+      fresh, "link_canon", "link_canon", plantedRobotsRules(docs))
+    val sched = verd.filter(col("fetch_allowed"))
+      .withColumn("path", regexp_extract(
+        regexp_replace(col("link_canon"),
+          "^[a-z][a-z0-9+.-]*://[^/?]*", ""), "^([^?]*)", 1))
+      .withColumn("depth", size(filter(split(col("path"), "/"),
+        seg => seg =!= "")).cast("long"))
+      .withColumn("recency_bucket",
+        graft.ext.UrlOps.recencyBucket(col("lastmod"), asOf))
+    sched.groupBy(col("link_host"))
+      .agg(call_function("graft_top_k",
+        -(col("recency_bucket") * 1048576L +
+          least(col("depth"), lit(1048575L))).cast("double"),
+        struct(col("link_canon"), col("found_by"),
+          col("recency_bucket"), col("depth")), lit(3)).as("top"))
+      .select(col("link_host"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("link_host"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("s.payload.link_canon").as("url_canon"),
+        col("s.payload.depth").as("depth"),
+        col("s.payload.recency_bucket").as("recency_bucket"),
+        col("s.payload.found_by").as("found_by"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- recency-ranked crawl frontier (oracle-checked): q154's
+    // capstone with the sitemap tier LIVE — in-scope sitemap entries
+    // join the link discoveries as candidates (found_by = −1), and the
+    // per-host graft_top_k budget orders by (30-day lastmod age bucket,
+    // depth, url): fresh sitemap URLs first, the planted stale 2020
+    // entries in bucket 11, unknown-age link discoveries last
+    // (bucket 12). Same O(k)-state map-side budget as q154 — the two
+    // integer terms pack into one exact ordinal.
+    "q162_frontier_recency" -> ((s, dir) =>
+      crawlFrontierRecency(s, dir).orderBy("link_host", "rank")),
 
     // ---- crawl URL canonicalization (oracle-checked): the frontier/
     // dedup key normalization upstream of every content stage —
@@ -1798,12 +1889,12 @@ private[graft] object TextQueries {
       "FROM rk f LEFT JOIN dms d ON d.host = f.link_host " +
       "WHERE f.rnk <= 3 ORDER BY link_host, rank"
 
-  /** q157: the sitemap plant and parse replayed — block extraction,
-    * loc/lastmod pulls and the canonicalization chain all from the
-    * shared patterns ([[plantedSitemaps]], `(?s)` dotall blocks). */
-  private def sitemapOracleSql: String =
-    "WITH hosts AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
-      "sm AS (SELECT h || '.example.com' AS host, " +
+  /** The sitemap plant + parse as CTEs reading `hosts(h)` and ending
+    * in `sc(sitemap_host, lastmod, ..., url_canon, url_host)` — the
+    * shared chain ([[plantedSitemaps]], `(?s)` dotall blocks), used by
+    * q157's oracle and composed into q162's frontier oracle. */
+  private def sitemapCtes: String =
+    "sm AS (SELECT h || '.example.com' AS host, " +
       "'<?xml version=\"1.0\"?><urlset>' || " +
       "'<sitemap><loc>https://' || h || " +
       "'.example.com/more.xml</loc></sitemap>' || " +
@@ -1818,6 +1909,11 @@ private[graft] object TextQueries {
       "(CASE WHEN length(h) % 2 = 0 THEN " +
       "'<url><loc>https://cdn' || regexp_extract(h, '([0-9])$', 1) || " +
       "'.example.net/lib</loc><lastmod>2026-03-03</lastmod></url>' " +
+      "ELSE '' END) || " +
+      "(CASE WHEN length(h) % 2 = 1 THEN " +
+      "'<url><loc>https://' || h || '.example.com/Docs/12/old-' || " +
+      "regexp_extract(h, '([0-9])$', 1) || " +
+      "'</loc><lastmod>2020-03-15</lastmod></url>' " +
       "ELSE '' END) || '</urlset>' AS xml FROM hosts),\n" +
       "bl AS (SELECT host AS sitemap_host, " +
       "unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b " +
@@ -1828,7 +1924,64 @@ private[graft] object TextQueries {
       "trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) AS url " +
       "FROM bl WHERE trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) " +
       "<> ''),\n" +
-      urlCanonChain("li", "s", "sc", Seq("sitemap_host", "lastmod")) + "\n" +
+      urlCanonChain("li", "s", "sc", Seq("sitemap_host", "lastmod"))
+
+  /** q162: the recency frontier replayed — link candidates (shared
+    * [[linkCtes]]) unioned with in-scope sitemap entries (shared
+    * [[sitemapCtes]], found_by −1), the q154 anti join + robots max,
+    * the 30-day age bucket gated by the SAME strict date regex
+    * (`try_cast` covers regex-valid impossible dates in both
+    * engines), and the budget window ordered by the SAME packed
+    * ordinal `bucket·2²⁰ + min(depth, 2²⁰−1)` with url tie-break —
+    * graft_top_k's (ord DESC, payload ASC) replayed exactly. */
+  private def frontierRecencyOracleSql: String =
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      linkCtes + ",\n" + robotsRulesCtes + ",\n" + sitemapCtes + ",\n" +
+      "lcand AS (SELECT url_canon AS link_canon, url_host AS link_host, " +
+      "min(doc_id) AS found_by, '' AS lastmod FROM lc GROUP BY 1, 2),\n" +
+      "scand AS (SELECT url_canon AS link_canon, url_host AS link_host, " +
+      "CAST(-1 AS BIGINT) AS found_by, lastmod FROM sc " +
+      "WHERE url_host = sitemap_host),\n" +
+      "cand AS (SELECT link_canon, link_host, min(found_by) AS found_by, " +
+      "max(lastmod) AS lastmod FROM " +
+      "(SELECT * FROM lcand UNION ALL SELECT * FROM scand) un " +
+      "GROUP BY 1, 2),\n" +
+      "seen AS (SELECT DISTINCT url_canon FROM c),\n" +
+      "fresh AS (SELECT cand.* FROM cand LEFT JOIN seen " +
+      "ON cand.link_canon = seen.url_canon " +
+      "WHERE seen.url_canon IS NULL),\n" +
+      "pth AS (SELECT link_canon, link_host, found_by, lastmod, " +
+      "regexp_extract(regexp_replace(link_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path " +
+      "FROM fresh),\n" +
+      "v AS (SELECT p.link_canon, p.link_host, p.found_by, p.lastmod, " +
+      "p.path, max(coalesce(2 * length(r.rprefix) + " +
+      "CASE WHEN r.rallow THEN 1 ELSE 0 END, 1)) AS score " +
+      "FROM pth p LEFT JOIN rules r ON r.rhost = p.link_host " +
+      "AND starts_with(p.path, r.rprefix) GROUP BY 1, 2, 3, 4, 5),\n" +
+      "al AS (SELECT link_canon, link_host, found_by, lastmod, " +
+      "CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) " +
+      "AS BIGINT) AS depth FROM v WHERE score % 2 = 1),\n" +
+      "rb AS (SELECT *, CAST(CASE WHEN " +
+      "regexp_matches(lastmod, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') " +
+      "AND try_cast(lastmod AS DATE) IS NOT NULL THEN " +
+      "least(greatest(date_diff('day', try_cast(lastmod AS DATE), " +
+      "DATE '2026-02-10'), 0) // 30, 11) ELSE 12 END AS BIGINT) " +
+      "AS recency_bucket FROM al),\n" +
+      "rk AS (SELECT link_host, link_canon, depth, recency_bucket, " +
+      "found_by, row_number() OVER (PARTITION BY link_host " +
+      "ORDER BY recency_bucket * 1048576 + least(depth, 1048575), " +
+      "link_canon) AS rnk FROM rb)\n" +
+      "SELECT link_host, CAST(rnk AS BIGINT) AS rank, " +
+      "link_canon AS url_canon, depth, recency_bucket, found_by " +
+      "FROM rk WHERE rnk <= 3 ORDER BY link_host, rank"
+
+  /** q157: the sitemap plant and parse replayed — block extraction,
+    * loc/lastmod pulls and the canonicalization chain all from the
+    * shared patterns. */
+  private def sitemapOracleSql: String =
+    "WITH hosts AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
+      sitemapCtes + "\n" +
       "SELECT sitemap_host, url_canon, url_host, lastmod, " +
       "lastmod <> '' AS had_lastmod, " +
       "url_host = sitemap_host AS in_scope FROM sc " +
@@ -1933,6 +2086,8 @@ private[graft] object TextQueries {
     "q152_robots_filter" -> robotsOracleSql,
 
     "q161_robots_wildcards" -> robotsWildcardOracleSql,
+
+    "q162_frontier_recency" -> frontierRecencyOracleSql,
 
     "q153_outlink_graph" -> outlinkGraphOracleSql,
 

@@ -477,6 +477,26 @@ object UrlOps {
       .drop("__block", "__uc")
   }
 
+  /** Exact integer day-age bucket of a sitemap `<lastmod>` value
+    * against a FIXED as-of date (a parameter, never wall-clock — the
+    * bucket must be deterministic and oracle-replayable): 30-day
+    * buckets `0..11` clamped at 11 (≥ a year old), and `12` for an
+    * absent or unparseable value — UNKNOWN age ranks stalest, so a
+    * fresh sitemap entry always outranks a bare link discovery whose
+    * age nothing attests. A strict `yyyy-MM-dd` regex gates the parse
+    * so both engines agree on WHICH strings parse; a future-dated
+    * lastmod clamps to bucket 0. Pure projection — composes into the
+    * frontier ranking (q162) with no extra shuffle. */
+  def recencyBucket(lastmod: Column, asOfDate: String): Column = {
+    val parsed = when(lastmod.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+      try_to_timestamp(lastmod, lit("yyyy-MM-dd")).cast("date"))
+    val age = datediff(to_date(lit(asOfDate)), parsed)
+    when(age.isNull, lit(12L))
+      .otherwise(least(
+        floor(greatest(age.cast("long"), lit(0L)) / 30).cast("long"),
+        lit(11L)))
+  }
+
   /** Crawl-delay extraction from robots.txt bodies — the politeness
     * directive [[parseRobotsTxt]] deliberately ignores for RULE
     * grouping (it is not part of RFC 9309; de-facto semantics vary).

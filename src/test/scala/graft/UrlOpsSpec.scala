@@ -533,6 +533,49 @@ class UrlOpsSpec extends SparkSpec {
     assert(out(bcast = false) === out(bcast = true))
   }
 
+  test("recency bucket: 30-day lattice, year clamp, unknown stalest, " +
+    "future clamps fresh") {
+    val out = Seq("2026-02-10", "2026-02-09", "2026-01-12", "2026-01-11",
+        "2020-03-15", "2027-01-01", "", "soon", "2026-99-99", "2026-1-5")
+      .toDF("lastmod")
+      .select(UrlOps.recencyBucket(col("lastmod"), "2026-02-10"))
+      .collect().map(_.getLong(0)).toSeq
+    // ages: 0, 1, 29, 30, >year, future(-), absent, junk, regex-valid
+    // impossible date, non-strict format — buckets:
+    assert(out === Seq(0L, 0L, 0L, 1L, 11L, 0L, 12L, 12L, 12L, 12L))
+  }
+
+  test("frontier recency ranking: fresh sitemap beats stale sitemap " +
+    "beats unknown-age link discovery, regardless of depth") {
+    // ordinal = bucket*2^20 + depth: a DEEP fresh URL must still beat
+    // a SHALLOW unknown-age one — recency dominates depth
+    val fresh = 0L * 1048576L + 5L
+    val stale = 11L * 1048576L + 1L
+    val unknown = 12L * 1048576L + 1L
+    assert(fresh < stale && stale < unknown)
+  }
+
+  test("q162 output: recency live — per host ranks are bucket-monotone, " +
+    "sitemap discoveries present and first where fresh") {
+    val out = graft.SparkEntry.queries("q162_frontier_recency")(
+        spark, "/root/testdata/sf0.001")
+      .select("link_host", "rank", "recency_bucket", "found_by")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out.nonEmpty)
+    // within each host, recency_bucket is non-decreasing in rank
+    out.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2).map(_._3)
+      assert(byRank === byRank.sorted, s"bucket order broken: $rows")
+    }
+    // sitemap-discovered candidates (found_by = -1) made the budget,
+    // and all three age classes are live: fresh, stale (11), unknown (12)
+    assert(out.exists(_._4 == -1L))
+    val buckets = out.map(_._3).toSet
+    assert(buckets.exists(_ <= 1L) && buckets.contains(11L) &&
+      buckets.contains(12L), s"age classes missing: $buckets")
+  }
+
   test("canonicalization is idempotent") {
     val raw = Seq("HTTPS://WWW.Ex.COM:443//A//B/?b=2&utm_q=9&a=1#f")
     val once = canon(raw.head)
