@@ -325,7 +325,12 @@ object EventStreams {
     * scheduled URL lands in the seen set BEFORE its links are
     * harvested, so re-fetches are idempotent), the union of per-batch
     * emissions equals q154's pre-budget allowed set over one batch of
-    * everything fetched.
+    * everything fetched. The contract survives foreachBatch's
+    * at-least-once RETRIES: novel targets reach the seen set only
+    * AFTER `onBatch` returns, so a batch that fails before or inside
+    * `onBatch` recomputes the identical novel set on replay instead
+    * of finding it already consumed (spec-pinned with a
+    * fail-then-retry run).
     *
     * Scale shape, per cycle: harvest is projection+explode (page
     * HTML dies there); the novelty verdict computes on thin
@@ -358,11 +363,22 @@ object EventStreams {
         // side, verdict join-back) — cut the harvest here (cf. q154)
         val novel = graft.ext.Dedup.dedupAgainstCorpus(spark, cand,
           "link_canon", "link_canon", seenTable).localCheckpoint()
-        novel.select(col("link_canon").as("url_canon"), col("content_hash"))
-          .write.mode("append").insertInto(seenTable)
+        // REPLAY SAFETY (foreachBatch is at-least-once): hand the
+        // candidates to onBatch BEFORE appending them to the seen set.
+        // A batch that fails before/inside onBatch appended nothing,
+        // so its retry recomputes the SAME novel set and re-emits it —
+        // candidates are never silently consumed by a failed attempt.
+        // (The old order appended first: a retry then found an empty
+        // novel set and the allowed candidates were lost forever.)
+        // A failure BETWEEN a successful onBatch and the append
+        // re-emits the same candidates on retry — at-least-once,
+        // idempotent for consumers keyed on url_canon. The batch's
+        // OWN-page append above is dedupAgainstCorpus-idempotent.
         onBatch(graft.ext.UrlOps.robotsVerdict(novel.drop("content_hash"),
             "link_canon", "link_canon", rules)
           .filter(col("fetch_allowed")), batchId)
+        novel.select(col("link_canon").as("url_canon"), col("content_hash"))
+          .write.mode("append").insertInto(seenTable)
       }
       .start()
 
@@ -680,6 +696,95 @@ object AnomalyDetect {
     events.groupBy(_.key).toSeq.sortBy(_._1).flatMap { case (k, evs) =>
       scoreAndFold(k, evs.map(e => (e.ts_micros, e.value)).sorted,
         MomentState(0L, 0.0, 0.0), threshold, minPrior)._1
+    }
+}
+
+/** One frontier candidate entering the politeness scheduler: its host,
+  * canonical URL, per-cycle rank (the q154 budget's ordering), and the
+  * host's crawl delay in micros (join [[graft.ext.UrlOps.robotsCrawlDelay]]'s
+  * pruned table upstream, defaulting absent hosts — the
+  * [[graft.ext.UrlOps.politenessSchedule]] join, delay carried on the
+  * row so the state function needs no side lookup). */
+final case class FrontierCandidate(host: String, url_canon: String,
+                                   rank: Long, delay_micros: Long)
+
+/** One assigned fetch slot. */
+final case class FetchSlot(host: String, url_canon: String, rank: Long,
+                           fetch_at_micros: Long)
+
+/** Per-host politeness state across micro-batches: the next free fetch
+  * slot — O(1) per host, the whole crawl's state is one long per host.
+  */
+final case class HostSlotState(nextFreeMicros: Long)
+
+/** CROSS-BATCH politeness scheduling — the streaming twin of
+  * [[graft.ext.UrlOps.politenessSchedule]]: the batch operator assigns
+  * slots `(rank−1)·delay` within ONE scheduling cycle, but a crawl
+  * loop schedules cycle after cycle against the SAME hosts, and the
+  * next cycle's first fetch must wait for the previous cycle's last
+  * slot plus one delay. `flatMapGroupsWithState` carries exactly that:
+  * one next-free-slot long per host.
+  *
+  * The fold is shared verbatim by the streaming operator and the batch
+  * reference (the [[AnomalyDetect]] discipline — one definition, zero
+  * semantic drift): a batch's candidates for a host are processed in
+  * rank order from the host's next free slot, spaced one delay apart;
+  * the state advances past the last assigned slot.
+  *
+  * Equivalence contract (spec-pinned): when one cycle's frontier is
+  * split across micro-batches in rank order, the union of per-batch
+  * slots equals the one-shot [[graft.ext.UrlOps.politenessSchedule]]
+  * over the whole frontier; a SECOND cycle's slots start at
+  * `n_prev · delay` — strictly after every first-cycle slot — which is
+  * the cross-batch semantics the stateless batch operator cannot give.
+  *
+  * Scale shape: state is O(|hosts|) longs; each micro-batch shuffles
+  * only its own candidates on the short host key; per-group work is a
+  * sort of that HOST's batch candidates (bounded by the per-host
+  * budget k, cf. q154 — not by frontier size). No watermark needed for
+  * boundedness at crawl host counts; for unbounded host churn add an
+  * event-time timeout the way [[Sessionize]] does. */
+object PolitenessStream {
+
+  /** Assign one host's batch, sorted by rank, from `st0` onward.
+    * Shared by the streaming operator and the batch reference. */
+  def assignAndFold(host: String, byRank: Seq[(Long, String, Long)],
+                    st0: HostSlotState): (List[FetchSlot], HostSlotState) = {
+    var next = st0.nextFreeMicros
+    var out = List.empty[FetchSlot]
+    byRank.foreach { case (rank, url, delay) =>
+      out ::= FetchSlot(host, url, rank, next)
+      next += delay
+    }
+    (out.reverse, HostSlotState(next))
+  }
+
+  /** The streaming operator: per-host next-free-slot state across
+    * micro-batches. */
+  def slots(cands: Dataset[FrontierCandidate]): Dataset[FetchSlot] = {
+    import cands.sparkSession.implicits._
+    cands
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[HostSlotState, FetchSlot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (host, rows, state: GroupState[HostSlotState]) =>
+          val byRank = rows.map(c => (c.rank, c.url_canon, c.delay_micros))
+            .toSeq.sortBy(c => (c._1, c._2))
+          val (slotsOut, st) = assignAndFold(host, byRank,
+            state.getOption.getOrElse(HostSlotState(0L)))
+          state.update(st)
+          slotsOut.iterator
+      }
+  }
+
+  /** Batch reference semantics: the identical fold over a batch
+    * sequence (specs pin streaming ≡ batch under any batch split). */
+  def slotsBatch(cands: Seq[FrontierCandidate]): Seq[FetchSlot] =
+    cands.groupBy(_.host).toSeq.sortBy(_._1).flatMap { case (h, cs) =>
+      assignAndFold(h,
+        cs.map(c => (c.rank, c.url_canon, c.delay_micros))
+          .sortBy(c => (c._1, c._2)),
+        HostSlotState(0L))._1
     }
 }
 

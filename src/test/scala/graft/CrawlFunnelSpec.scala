@@ -220,6 +220,66 @@ class CrawlFunnelSpec extends SparkSpec {
     assert(direct.nonEmpty && viaWarc === direct)
   }
 
+  test("frontierStream replay safety: a batch whose onBatch FAILS re-emits " +
+    "the identical candidate set on retry — novel targets are not " +
+    "consumed by the failed attempt") {
+    import graft.entry.TextQueries
+    import graft.ext.UrlOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 10L)
+      .map(i => (i, s"body of page $i", "src" + (i % 5)))
+      .toDF("doc_id", "text", "source")
+    val rules = TextQueries.plantedRobotsRules(docs)
+    val pages = TextQueries.withPlantedPage(UrlOps.withCanonicalUrl(
+        TextQueries.withPlantedUrl(docs), "url"))
+      .select("doc_id", "url", "html")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val loc = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_rpdb LOCATION '$loc'")
+    val table = "graft_rpdb.replay_seen"
+    graft.streaming.EventStreams.initFrontierSeen(spark, table, nBuckets = 4)
+    try {
+      // attempt 1: onBatch computes its answer, then dies before the
+      // caller could use it (the at-least-once hazard window)
+      val firstAttempt = scala.collection.mutable.ArrayBuffer[String]()
+      val in1 = MemoryStream[(Long, String, String)]
+      val q1 = graft.streaming.EventStreams.frontierStream(
+          in1.toDF().toDF("doc_id", "url", "html"),
+          "doc_id", "url", "html", rules, table) { (sched, _) =>
+        firstAttempt ++= sched.select("link_canon").as[String].collect()
+        throw new RuntimeException("simulated scheduler failure")
+      }
+      in1.addData(pages: _*)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      q1.stop()
+      assert(firstAttempt.nonEmpty, "fixture sanity: candidates existed")
+      // retry (same batch, fresh query, SAME seen table): the novel set
+      // must be COMPLETE — the failed attempt consumed nothing
+      val retried = scala.collection.mutable.ArrayBuffer[String]()
+      val in2 = MemoryStream[(Long, String, String)]
+      val q2 = graft.streaming.EventStreams.frontierStream(
+          in2.toDF().toDF("doc_id", "url", "html"),
+          "doc_id", "url", "html", rules, table) { (sched, _) =>
+        retried ++= sched.select("link_canon").as[String].collect()
+      }
+      in2.addData(pages: _*)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(retried.toSet === firstAttempt.toSet,
+        "retry must re-emit exactly the failed attempt's candidates")
+      // and the seen set holds each novel target exactly once
+      val seen = spark.table(table).select("url_canon")
+        .as[String].collect()
+      assert(seen.distinct.length == seen.length)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_rpdb CASCADE")
+    }
+  }
+
   test("frontierStream: two micro-batches with cross-batch re-discoveries " +
     "emit exactly the one-shot pre-budget allowed set; the seen set " +
     "never duplicates") {

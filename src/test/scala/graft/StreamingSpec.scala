@@ -386,6 +386,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("politeness slots: a cycle split across two micro-batches in rank " +
+    "order ≡ the one-shot batch schedule; a second cycle starts strictly " +
+    "after the first (cross-batch state)") {
+    import graft.streaming.{FetchSlot, FrontierCandidate, PolitenessStream}
+    implicit val sqlCtx = spark.sqlContext
+    val cycle1 = Seq(
+      FrontierCandidate("a.com", "u1", 1L, 2000000L),
+      FrontierCandidate("a.com", "u2", 2L, 2000000L),
+      FrontierCandidate("a.com", "u3", 3L, 2000000L),
+      FrontierCandidate("b.com", "v1", 1L, 1000000L),
+      FrontierCandidate("b.com", "v2", 2L, 1000000L))
+    // one-shot truth #1: the shared fold's batch reference
+    val expected = PolitenessStream.slotsBatch(cycle1).toSet
+    // one-shot truth #2: the stateless batch operator itself —
+    // (rank−1)·delay over the whole cycle must coincide
+    val viaBatchOp = graft.ext.UrlOps.politenessSchedule(
+        cycle1.toDF("link_host", "url_canon", "rank", "delay_micros"),
+        "link_host", "rank",
+        Seq(("a.com", "2", 2000000L))
+          .toDF("host", "crawl_delay_raw", "crawl_delay_micros"),
+        defaultDelayMicros = 1000000L)
+      .select(col("link_host").as("host"), col("url_canon"),
+        col("rank"), col("fetch_at_micros"))
+      .as[FetchSlot].collect().toSet
+    assert(expected === viaBatchOp)
+
+    val in = MemoryStream[FrontierCandidate]
+    val q = PolitenessStream.slots(in.toDS())
+      .writeStream.format("memory").queryName("polite_slots")
+      .outputMode("append").start()
+    try {
+      // cycle 1 split mid-host, rank-ordered
+      in.addData(cycle1.take(2) :+ cycle1(3): _*); q.processAllAvailable()
+      in.addData(cycle1(2), cycle1(4)); q.processAllAvailable()
+      val streamed = spark.table("polite_slots")
+        .as[FetchSlot].collect().toSet
+      assert(streamed === expected)
+      // cycle 2: a fresh per-cycle budget (ranks restart at 1) must
+      // schedule AFTER cycle 1's last slot + delay — the semantics the
+      // stateless batch operator cannot give
+      in.addData(FrontierCandidate("a.com", "u4", 1L, 2000000L))
+      q.processAllAvailable()
+      val second = spark.table("polite_slots")
+        .as[FetchSlot].collect().filter(_.url_canon == "u4").toSeq
+      assert(second === Seq(
+        FetchSlot("a.com", "u4", 1L, 6000000L))) // 3 slots × 2s before it
+      val c1Max = expected.filter(_.host == "a.com")
+        .map(_.fetch_at_micros).max
+      assert(second.head.fetch_at_micros > c1Max)
+    } finally q.stop()
+  }
+
   test("anomaly detector stays silent through the cold-start window") {
     val base = 1700000000000000L
     // wild swings but only 4 observations with minPrior = 5
