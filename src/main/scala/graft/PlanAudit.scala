@@ -88,12 +88,19 @@ object ContentKeyAudit {
     // window partition expressions are pre-projected into `_w0`-style
     // aliases, so the content test must resolve attributes back through
     // the plan's Project/Aggregate alias definitions (transitively) —
-    // `partitionBy(md5(text))` physically partitions by `_w0`.
+    // `partitionBy(md5(text))` physically partitions by `_w0` — and
+    // through Generate outputs: a window over posexplode'd LSH band
+    // keys partitions by attributes whose lineage is the signature
+    // expression (`sig` is content identity). Lineage stops at scans
+    // (stored columns carry the name-proxy only).
     val defs: Map[ExprId, Expression] = root.collect {
       case p: org.apache.spark.sql.execution.ProjectExec =>
         p.projectList.collect { case a: Alias => a.exprId -> a.child }
       case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
         h.resultExpressions.collect { case a: Alias => a.exprId -> a.child }
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        g.generatorOutput.map(a =>
+          a.exprId -> (g.generator: Expression))
     }.flatten.toMap
     def derived(ex: Expression, seen: Set[ExprId]): Boolean =
       contentDerived(ex) || ex.references.exists { a =>

@@ -257,9 +257,16 @@ object Dedup {
     val sig = df.select(col(idCol), sigExpr.as("sig"))
     val buckets = sig.select(col(idCol),
         posexplode(bandKeys).as(Seq("band", "bucket")))
-    val wCnt = Window.partitionBy("band", "bucket")
-    val capped = buckets.withColumn("__n", count(lit(1)).over(wCnt))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    // degenerate-bucket cap as a map-side-combining AGGREGATE over the
+    // (band, bucket) key + semi-join back — never a count window: a
+    // boilerplate mega-bucket is exactly the hot key the cap exists
+    // for, and a window would buffer its every member on one task
+    val capped = buckets.join(
+      buckets.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .select(col("band"), col("bucket")),
+      Seq("band", "bucket"), "left_semi")
     val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -453,11 +460,14 @@ object Dedup {
     val idx = spark.table(table)
       .select(col(idCol).as("id_corpus"), col("bucket_key"))
     // boilerplate-heavy corpora put thousands of docs behind one band
-    // bucket; the window's distribution requirement is met by the
-    // bucketed scan itself, so the cap costs no corpus exchange
-    val wCnt = Window.partitionBy("bucket_key")
-    val capped = idx.withColumn("__n", count(lit(1)).over(wCnt))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    // bucket; the cap is a count AGGREGATE + semi-join whose
+    // distribution requirement is met by the bucketed scan itself
+    // (no corpus exchange, and no window buffering a mega-bucket's
+    // members on one task)
+    val capped = idx.join(
+      idx.groupBy(col("bucket_key")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize).select(col("bucket_key")),
+      Seq("bucket_key"), "left_semi")
     val cands = batchBands.join(capped, Seq("bucket_key"))
       .select("id_new", "id_corpus").distinct()
     val corpusSh = spark.table(s"${table}_shingles")

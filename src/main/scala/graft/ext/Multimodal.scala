@@ -758,10 +758,14 @@ object Multimodal {
       s"bad maxHamming/maxBucketSize: $maxHamming/$maxBucketSize")
     val bands = withBands.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "val")))
-    val capped = bands.withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("val"))))
-      .filter(col("__n") <= maxBucketSize)
-      .drop("__n")
+    // cap as a count aggregate + semi-join (map-side combining) — a
+    // window would buffer a hot band bucket's members on one task
+    val capped = bands.join(
+      bands.groupBy(col("band_idx"), col("val"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .select(col("band_idx"), col("val")),
+      Seq("band_idx", "val"), "left_semi")
     val cands = capped.as("x")
       .join(capped.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -851,10 +855,14 @@ object Multimodal {
           s"zero-match corruption). Re-band the batch with the index's " +
           s"bander.")
     val postings = spark.table(table)
-    val capped = postings.withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("val"))))
-      .filter(col("__n") <= maxBucketSize)
-      .drop("__n")
+    // same cap-as-aggregate shape; the bucketed postings scan feeds
+    // both sides without a corpus exchange
+    val capped = postings.join(
+      postings.groupBy(col("band_idx"), col("val"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .select(col("band_idx"), col("val")),
+      Seq("band_idx", "val"), "left_semi")
     val probe = banded.select(col(idCol).as("probe_id"),
       posexplode(col("bands")).as(Seq("band_idx", "val")))
     val cands = capped
@@ -1016,10 +1024,14 @@ object Multimodal {
       s"bad maxHamming/maxBucketSize: $maxHamming/$maxBucketSize")
     val bands = framesBanded.select(col(idCol), col(frameCol),
       posexplode(col("bands")).as(Seq("band_idx", "val")))
-    val capped = bands.withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("val"))))
-      .filter(col("__n") <= maxBucketSize)
-      .drop("__n")
+    // cap as a count aggregate + semi-join (map-side combining) — a
+    // window would buffer a hot band bucket's members on one task
+    val capped = bands.join(
+      bands.groupBy(col("band_idx"), col("val"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .select(col("band_idx"), col("val")),
+      Seq("band_idx", "val"), "left_semi")
     val cands = capped.as("x")
       .join(capped.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -324,7 +324,11 @@ class PlanShapeSpec extends SparkSpec {
       // `runMain graft.PlanAudit /root/testdata/sf0.001 <q>` at commit
       // time; a higher count means a materialization boundary was lost
       ("q130_rag_serving", 7, 23),
-      ("q133_video_near_dup", 0, 8),
+      // q133: 8 → 10 in round 12 — the dHash band cap became a count
+      // aggregate + semi-join (two band-keyed exchanges instead of the
+      // single window exchange; the window buffered a hot band
+      // bucket's members on one task). Bench-adjudicated.
+      ("q133_video_near_dup", 0, 10),
       ("q137_filtered_recall", 0, 7),
       ("q138_mmr_rerank", 0, 1),
       // the seeded trainers post-rework (round 10): the checkpoint
@@ -450,6 +454,18 @@ class PlanShapeSpec extends SparkSpec {
     val v2 = ContentKeyAudit.violations(attrKeyed.queryExecution.executedPlan)
     assert(v2.exists(_.contains("content-keyed window")),
       s"digest-attribute window not flagged: $v2")
+    // the retired LSH-cap shape: window partitioned by posexplode'd
+    // band keys whose GENERATOR lineage is a signature column —
+    // resolution must see through GenerateExec
+    import org.apache.spark.sql.functions.{array, count, lit, posexplode}
+    val genKeyed = docs
+      .select(col("doc_id"), array(md5(col("text"))).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "bucket")))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy("band", "bucket")))
+    val v3 = ContentKeyAudit.violations(genKeyed.queryExecution.executedPlan)
+    assert(v3.exists(_.contains("content-keyed window")),
+      s"generator-derived band window not flagged: $v3")
     // a UNIFORM id key is a legitimate window partitioner
     val idKeyed = docs.select(col("doc_id"), col("source"))
       .withColumn("rn", row_number()
