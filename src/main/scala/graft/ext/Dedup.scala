@@ -255,8 +255,14 @@ object Dedup {
       if (portable) lshBandKeysPortable(col("sig"), k, bands)
       else lshBandKeys(col("sig"), k, bands)
     val sig = df.select(col(idCol), sigExpr.as("sig"))
+    // the thin (id, band, bucket) relation has three consumers (the
+    // cap aggregate + both self-join branches) and sits on top of the
+    // signature computation — cut the plan here so minhashing runs
+    // ONCE (the localCheckpoint discipline; without it the cap's
+    // aggregate side re-signatured the corpus, measured 1.85× on q26)
     val buckets = sig.select(col(idCol),
         posexplode(bandKeys).as(Seq("band", "bucket")))
+      .localCheckpoint()
     // degenerate-bucket cap as a map-side-combining AGGREGATE over the
     // (band, bucket) key + semi-join back — never a count window: a
     // boilerplate mega-bucket is exactly the hot key the cap exists
@@ -509,11 +515,15 @@ object Dedup {
     // block sizes as a map-side-combining AGGREGATE over (block) alone
     // + semi-join back — never a count window, which would sort every
     // boilerplate block's rows WITH their shingle arrays on one task
-    // (the SeededAnnSoak arrays-through-a-sort spill shape)
-    val capped = keyed.join(
-      keyed.groupBy(col("block")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= maxBlockSize).select(col("block")),
-      Seq("block"), "left_semi")
+    // (the SeededAnnSoak arrays-through-a-sort spill shape). The size
+    // side projects the block key STRAIGHT off the source (no shingle
+    // computation rides the count — Catalyst prunes, but only if the
+    // projection never mentions sh)
+    val okBlocks = df
+      .select(substring(col(textCol), 1, prefixLen).as("block"))
+      .groupBy(col("block")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBlockSize).select(col("block"))
+    val capped = keyed.join(okBlocks, Seq("block"), "left_semi")
     val a = capped.select(col("block"), col(idCol).as("id_a"),
       col("sh").as("sh_a"))
     val b = capped.select(col("block"), col(idCol).as("id_b"),
@@ -544,11 +554,13 @@ object Dedup {
       substring(col(textCol), 1, prefixLen).as("block"),
       col(textCol).as("txt"), length(col(textCol)).as("len"))
     // same cap-as-aggregate shape as prefixBlockedNearDupPairs: the
-    // count never rides a window that would sort full documents
-    val capped = keyed.join(
-      keyed.groupBy(col("block")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= maxBlockSize).select(col("block")),
-      Seq("block"), "left_semi")
+    // count never rides a window that would sort full documents, and
+    // the size side projects the block key straight off the source
+    val okBlocks = df
+      .select(substring(col(textCol), 1, prefixLen).as("block"))
+      .groupBy(col("block")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBlockSize).select(col("block"))
+    val capped = keyed.join(okBlocks, Seq("block"), "left_semi")
     val a = capped.select(col("block"), col(idCol).as("id_a"),
       col("txt").as("txt_a"), col("len").as("len_a"))
     val b = capped.select(col("block"), col(idCol).as("id_b"),
