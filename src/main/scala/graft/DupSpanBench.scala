@@ -6,15 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Measures the duplicated-span dup-decision formulations against each
   * other on the real documents corpus: the SHIPPED form (min/max
-  * aggregate on the span key + semi-join back, the exploded relation
-  * cut once with localCheckpoint — skew-immune: a hot trigram key
-  * reduces map-side) vs the keyed-window form it replaced in round 12
+  * aggregate on the span key + semi-join back, probe side re-exploded
+  * — skew-immune: a hot trigram key reduces map-side, and the explode
+  * is map-only parallel work; `DupSpanSoak` documents why it is NOT
+  * checkpointed) vs the keyed-window form it replaced in round 12
   * (`min(doc) != max(doc)` over the window key — one explode and one
   * exchange, but every instance of a hot key buffers on ONE window
-  * task) vs the round-8 count-distinct join form (whose measured cost
-  * was the SECOND explode, not the join). All three produce the
-  * identical duplicated-start relation (asserted every run); the
-  * difference is plan shape. Results recorded in BASELINE.md.
+  * task, unbounded in the hottest key's frequency) vs the round-8
+  * count-distinct join form (same shape, heavier aggregate). All
+  * three produce the identical duplicated-start relation (asserted
+  * every run); the difference is plan shape. Results in BASELINE.md.
   *
   * Usage: `sbt 'runMain graft.DupSpanBench [sfDir]'` (default sf0.1).
   */
@@ -54,8 +55,8 @@ object DupSpanBench {
         .drop("__dup")
     }
 
-    // replaced (round 8): count-distinct aggregate + semi-join back,
-    // WITHOUT the localCheckpoint — the probe re-explodes the corpus
+    // the round-8 candidate: count-distinct aggregate + semi-join back
+    // (the shipped form's shape with a heavier aggregate)
     def joinForm: DataFrame = {
       val dupKeys = windows.groupBy(col("__k"))
         .agg(countDistinct(col("doc_id")).as("__nd"))
@@ -83,7 +84,7 @@ object DupSpanBench {
     val ts = run(shippedForm)
     val tw = run(windowForm)
     val tj = run(joinForm)
-    println(f"""{"sf":"$sfDir","shipped_ckpt_agg_sec":$ts%.3f,"window_sec":$tw%.3f,"reexplode_join_sec":$tj%.3f}""")
+    println(f"""{"sf":"$sfDir","shipped_agg_semijoin_sec":$ts%.3f,"window_sec":$tw%.3f,"countdistinct_join_sec":$tj%.3f}""")
     spark.stop()
   }
 }

@@ -722,24 +722,31 @@ object Dedup {
     * duplicated iff its window key occurs in >1 distinct document —
     * `min(doc) ≠ max(doc)` as a map-side-combining AGGREGATE on the
     * key, semi-joined back. This replaced the keyed min/max WINDOW
-    * (still measured as the alternative in `DupSpanBench`): the window
-    * buffered every instance of one key on ONE task, and span keys
-    * have genuinely hot members — a common trigram appears in a large
-    * fraction of any real corpus, so at crawl scale the window form is
-    * a skew bomb even though its rows are thin. The exploded span
-    * relation has two consumers here (aggregate + probe), so it is cut
-    * once (`localCheckpoint`) rather than re-exploded per branch — the
-    * re-explode was the whole measured cost of the join form
-    * (BASELINE.md "Duplicated-span dup-decision formulations").
+    * (still measured as the baseline in `DupSpanBench`/`DupSpanSoak`):
+    * the window buffered every instance of one key on ONE task, and
+    * span keys have genuinely hot members — a common trigram is a
+    * constant fraction of ALL spans in a real corpus, so the window's
+    * per-key buffer is unbounded in corpus size (a 1%-hot trigram over
+    * 10¹¹ spans is a 50 GB single-task buffer), while the aggregate's
+    * reduce-side state is one (min,max) pair per key per partition.
+    *
+    * The price is a SECOND explode (the aggregate side prunes to
+    * (key, id) with immediate partial aggregation; the probe side
+    * re-derives the full (id, start, key) frame) — deliberately NOT
+    * materialized away: a `localCheckpoint` of the ~80·n-row span
+    * relation is a storage bomb that measured 12–30× WORSE than the
+    * re-explode at 10⁶ docs (`DupSpanSoak`: 293 s checkpointed vs
+    * 23.8 s re-exploded vs 9.1 s window), whereas the explode is
+    * map-only, parallel and skew-free. Bit-parity of all forms is
+    * asserted in both the bench and the soak.
     */
   private[graft] def duplicatedStarts(windows: DataFrame,
                                       idCol: String): DataFrame = {
-    val thin = windows.localCheckpoint()
-    val dupKeys = thin.groupBy(col("__k"))
+    val dupKeys = windows.groupBy(col("__k"))
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
       .filter(col("__mn") =!= col("__mx"))
       .select(col("__k"))
-    thin.join(dupKeys, Seq("__k"), "left_semi")
+    windows.join(dupKeys, Seq("__k"), "left_semi")
   }
 
   def duplicatedSpanStats(docs: DataFrame, idCol: String, textCol: String,

@@ -246,8 +246,8 @@ class HttpShimSpec extends SparkSpec {
     // full text→table→serve path
     UrlOps.parseRobotsTxt(
         Seq(("ex.com", "User-agent: *\nDisallow: /Docs/1\n" +
-          "Allow: /Docs/12\n")).toDF("host", "txt"), "host", "txt",
-        "graftbot")
+          "Allow: /Docs/12\nDisallow: /p*.pdf$\n")).toDF("host", "txt"),
+        "host", "txt", "graftbot")
       .write.format("parquet").mode("overwrite")
       .saveAsTable("graft_robdb.rules")
     val shim = HttpShim.startDynamic(
@@ -272,6 +272,16 @@ class HttpShimSpec extends SparkSpec {
             .select("host", "path_prefix", "allow"))
         .select("fetch_allowed", "rule_match_len").collect().head
       assert(!batch.getBoolean(0) && batch.getLong(1) == 7L)
+      // a WILDCARD rule (RFC 9309 §2.2.3) serves through the same
+      // route: /p*.pdf$ matches the whole 10-octet path
+      val (cw, bw) = get(shim.port,
+        "/robots?url=https%3A%2F%2Fex.com%2Fpaper.pdf")
+      assert(cw == 200 && bw.contains(""""fetch_allowed":false""") &&
+        bw.contains(""""rule_match_len":10"""), bw)
+      // ...but not a path that merely starts like it
+      val (cw2, bw2) = get(shim.port,
+        "/robots?url=https%3A%2F%2Fex.com%2Fpaper.pdfx")
+      assert(cw2 == 200 && bw2.contains(""""fetch_allowed":true"""), bw2)
       // an unknown host is allowed by default; blank url → error object
       val (c3, b3) = get(shim.port,
         "/robots?url=https%3A%2F%2Fother.org%2Fx")

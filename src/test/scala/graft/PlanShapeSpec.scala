@@ -186,17 +186,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q100 dup spans: explode cut once at the checkpoint, dup decision " +
-    "a map-side aggregate + semi-join, no span-key window") {
+  test("q100 dup spans: dup decision a map-side aggregate + semi-join " +
+    "over re-exploded spans — no span-key window, no materialization") {
     val plan = tree(q("q100_dup_spans"))
-    // the exploded span relation is localCheckpointed (it has two
-    // consumers: the dup-key aggregate and the probe), so the FINAL plan
-    // re-explodes nothing — both sides read the materialized RDD
+    // TWO explodes by design: the dup-key aggregate side prunes to
+    // (key, id) with an immediate partial aggregate, the probe side
+    // re-derives the full span frame — map-only parallel work. The
+    // localCheckpoint alternative measured 12-30x worse at 10^6 docs
+    // (DupSpanSoak: a multi-GB storage bomb), so NO ExistingRDD here.
     val explodes = "Generate explode".r.findAllIn(plan).size
-    assert(explodes == 0,
-      s"$explodes explodes survived past the checkpoint:\n$plan")
-    assert(plan.contains("ExistingRDD"),
-      s"span relation no longer cut (no checkpoint scan):\n$plan")
+    assert(explodes == 2, s"$explodes explodes (want agg + probe):\n$plan")
+    assert(!plan.contains("ExistingRDD"),
+      s"a materialization crept back into the span relation:\n$plan")
     // the dup decision joins back as a SEMI join (broadcast at this
     // scale); the only remaining window partitions by the uniform doc id
     assert(plan.contains("LeftSemi"), s"dup-key semi-join missing:\n$plan")
