@@ -33,7 +33,12 @@ class AqeParitySpec extends SparkSpec {
     // q152's verdict is the same shape: an integer max winner per
     // uniform id over broadcast-joined rule candidates; q154 stacks
     // an anti join, that winner, and a graft_top_k budget
-    "q152_robots_filter", "q154_crawl_frontier")
+    "q152_robots_filter", "q154_crawl_frontier",
+    // round 12: the wildcard verdict adds per-candidate regex
+    // residuals over the pruned broadcast; q162 adds the sitemap
+    // union + recency-packed graft_top_k ordinal; q100's dup decision
+    // became the re-exploding aggregate + semi-join
+    "q161_robots_wildcards", "q162_frontier_recency", "q100_dup_spans")
 
   test("AQE on and off produce identical rows for partition-sensitive " +
     "queries") {

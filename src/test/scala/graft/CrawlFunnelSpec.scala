@@ -220,6 +220,86 @@ class CrawlFunnelSpec extends SparkSpec {
     assert(direct.nonEmpty && viaWarc === direct)
   }
 
+  test("the crawl loop closes: frontierStream discoveries → per-cycle " +
+    "budget → cross-batch politeness slots, cycle 2 strictly after " +
+    "cycle 1 per host") {
+    import graft.entry.TextQueries
+    import graft.ext.UrlOps
+    import graft.streaming.{FetchSlot, FrontierCandidate, PolitenessStream}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 20L)
+      .map(i => (i, s"body of page $i", "src" + (i % 5)))
+      .toDF("doc_id", "text", "source")
+    val rules = TextQueries.plantedRobotsRules(docs)
+    val pages = TextQueries.withPlantedPage(UrlOps.withCanonicalUrl(
+        TextQueries.withPlantedUrl(docs), "url"))
+      .select("doc_id", "url", "html")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val loc = java.nio.file.Files.createTempDirectory("graft_loop").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_lpdb LOCATION '$loc'")
+    val table = "graft_lpdb.loop_seen"
+    graft.streaming.EventStreams.initFrontierSeen(spark, table, nBuckets = 4)
+    // the scheduling tier: politeness slots with CROSS-BATCH state
+    val slotsIn = MemoryStream[FrontierCandidate]
+    val slotsQ = PolitenessStream.slots(slotsIn.toDS())
+      .writeStream.format("memory").queryName("loop_slots")
+      .outputMode("append").start()
+    val cycleOf = scala.collection.mutable.Map.empty[String, Int]
+    var cycle = 0
+    try {
+      val in = MemoryStream[(Long, String, String)]
+      val fq = graft.streaming.EventStreams.frontierStream(
+          in.toDF().toDF("doc_id", "url", "html"),
+          "doc_id", "url", "html", rules, table) { (sched, _) =>
+        // the caller's scheduling cycle (the charter: the budget stays
+        // per cycle): k=2 shallowest per host, rank-ordered, delay 1s
+        val cands = sched.select("link_canon", "link_host")
+          .as[(String, String)].collect()
+          .groupBy(_._2).toSeq.flatMap { case (host, urls) =>
+            urls.map(_._1).distinct
+              .sortBy(u => (u.count(_ == '/'), u)).take(2).zipWithIndex
+              .map { case (u, i) =>
+                FrontierCandidate(host, u, i + 1L, 1000000L) }
+          }
+        cands.foreach(c => cycleOf(c.url_canon) = cycle)
+        if (cands.nonEmpty) { slotsIn.addData(cands: _*)
+          slotsQ.processAllAvailable() }
+      }
+      cycle = 1
+      in.addData(pages.take(10): _*); fq.processAllAvailable()
+      cycle = 2
+      in.addData(pages.drop(10): _*); fq.processAllAvailable()
+      fq.stop()
+      slotsQ.processAllAvailable()
+      val slots = spark.table("loop_slots").as[FetchSlot].collect().toSeq
+      assert(slots.nonEmpty)
+      // every scheduled URL got exactly one slot
+      assert(slots.map(_.url_canon).distinct.length == slots.length)
+      // within a host and cycle: slots spaced exactly one delay apart;
+      // across cycles: cycle 2 strictly after cycle 1 (the state)
+      slots.groupBy(_.host).foreach { case (h, hs) =>
+        val byCycle = hs.groupBy(s => cycleOf(s.url_canon))
+        val sorted = hs.sortBy(_.fetch_at_micros).map(_.fetch_at_micros)
+        sorted.sliding(2).foreach { w =>
+          if (w.length == 2) assert(w(1) - w(0) == 1000000L,
+            s"$h slots not delay-spaced: $sorted") }
+        for (c1 <- byCycle.get(1); c2 <- byCycle.get(2))
+          assert(c2.map(_.fetch_at_micros).min >
+            c1.map(_.fetch_at_micros).max,
+            s"$h: cycle 2 did not wait for cycle 1")
+      }
+      // at least one host genuinely scheduled in BOTH cycles
+      assert(slots.groupBy(_.host).exists { case (_, hs) =>
+        hs.exists(s => cycleOf(s.url_canon) == 1) &&
+          hs.exists(s => cycleOf(s.url_canon) == 2) })
+    } finally {
+      slotsQ.stop()
+      spark.sql("DROP DATABASE IF EXISTS graft_lpdb CASCADE")
+    }
+  }
+
   test("frontierStream replay safety: a batch whose onBatch FAILS re-emits " +
     "the identical candidate set on retry — novel targets are not " +
     "consumed by the failed attempt") {
