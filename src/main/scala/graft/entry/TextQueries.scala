@@ -483,7 +483,58 @@ private[graft] object TextQueries {
         col("s.payload.found_by").as("found_by"))
   }
 
+  /** q163's planted HTTP response payloads: one per document, the five
+    * response classes a real crawl actually returns — a 404 WITHOUT a
+    * Content-Type header (%5=0 — absent header must read as empty, not
+    * null-poison the gate), a healthy `200` whose Content-Type arrives
+    * UPPERCASED with a charset parameter (%5=1 — media types are
+    * case-insensitive and parameters strip, RFC 9110 §8.3.1), a `301`
+    * carrying a `Location` header (%5=2 — the redirect signal), a
+    * `200 application/pdf` (%5=3 — right status, wrong media type:
+    * must NOT pass the funnel gate), and a non-HTTP payload (%5=4 —
+    * a truncated/garbage capture: null status, false gate). Shared
+    * structure with the oracle via [[httpGateOracleSql]]. */
+  private[graft] def withPlantedHttp(df: DataFrame): DataFrame =
+    df.withColumn("payload",
+      when(col("doc_id") % 5 === 0,
+        concat(lit("HTTP/1.1 404 Not Found\r\n\r\n<html>gone "),
+          col("doc_id").cast("string"), lit("</html>")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: TEXT/HTML; " +
+          "charset=UTF-8\r\n\r\n<html>doc "),
+          col("doc_id").cast("string"), lit("</html>")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("HTTP/1.1 301 Moved Permanently\r\nLocation: " +
+          "https://"), col("source"), lit(".example.com/new/"),
+          col("doc_id").cast("string"),
+          lit("\r\nContent-Type: text/html\r\n\r\n<html>moved</html>")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: application/pdf" +
+          "\r\n\r\n%PDF-fake "), col("doc_id").cast("string")))
+      .otherwise(concat(lit("garbled capture "),
+        col("doc_id").cast("string"))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- HTTP response gate (oracle-checked): the admission check
+    // between the WARC record tier and the crawl funnel — status-line
+    // code, Content-Type media type (case-insensitive, parameters
+    // stripped), Location (the redirect signal), the body split at the
+    // first blank CRLF, and the funnel predicate 200 ∧ text/html.
+    // q159 admits every response payload blindly; a real crawl's
+    // responses are 404s, redirects, PDFs and garbage — this is the
+    // operator that keeps them out (WarcIngest.withHttpResponse, one
+    // zero-shuffle projection; bodies pruned wherever unused).
+    "q163_http_response_gate" -> ((s, dir) => {
+      graft.io.WarcIngest.withHttpResponse(
+          withPlantedHttp(t(s, dir, "documents")), "payload")
+        .select(col("doc_id"), col("http_status"),
+          col("http_content_type"), col("http_location"),
+          col("is_fetch_content"),
+          when(col("http_body").isNotNull, md5(col("http_body")))
+            .as("body_md5"))
+        .orderBy("doc_id")
+    }),
 
     // ---- recency-ranked crawl frontier (oracle-checked): q154's
     // capstone with the sitemap tier LIVE — in-scope sitemap entries
@@ -1926,6 +1977,52 @@ private[graft] object TextQueries {
       "<> ''),\n" +
       urlCanonChain("li", "s", "sc", Seq("sitemap_host", "lastmod"))
 
+  /** q163: the plant and the HTTP parse replayed — the same status/
+    * header/body extraction ((?mi) anchored header pulls, RE2-safe;
+    * hdr = text to the first blank CRLF; body from hdr+5 to the end)
+    * over the same five response classes. */
+  private def httpGateOracleSql: String = {
+    val crlf = "chr(13) || chr(10)"
+    "WITH pl AS (SELECT doc_id, CASE " +
+      "WHEN doc_id % 5 = 0 THEN 'HTTP/1.1 404 Not Found' || " + crlf +
+      " || " + crlf + " || '<html>gone ' || CAST(doc_id AS VARCHAR) || " +
+      "'</html>' " +
+      "WHEN doc_id % 5 = 1 THEN 'HTTP/1.1 200 OK' || " + crlf +
+      " || 'Content-Type: TEXT/HTML; charset=UTF-8' || " + crlf +
+      " || " + crlf + " || '<html>doc ' || CAST(doc_id AS VARCHAR) || " +
+      "'</html>' " +
+      "WHEN doc_id % 5 = 2 THEN 'HTTP/1.1 301 Moved Permanently' || " +
+      crlf + " || 'Location: https://' || source || " +
+      "'.example.com/new/' || CAST(doc_id AS VARCHAR) || " + crlf +
+      " || 'Content-Type: text/html' || " + crlf + " || " + crlf +
+      " || '<html>moved</html>' " +
+      "WHEN doc_id % 5 = 3 THEN 'HTTP/1.1 200 OK' || " + crlf +
+      " || 'Content-Type: application/pdf' || " + crlf + " || " + crlf +
+      " || '%PDF-fake ' || CAST(doc_id AS VARCHAR) " +
+      "ELSE 'garbled capture ' || CAST(doc_id AS VARCHAR) END AS p " +
+      "FROM documents),\n" +
+      "hx AS (SELECT doc_id, p, " +
+      "regexp_matches(p, '^HTTP/[0-9.]+ [0-9]{3}') AS is_http, " +
+      "list_extract(string_split(p, " + crlf + " || " + crlf + "), 1) " +
+      "AS hdr FROM pl),\n" +
+      "px AS (SELECT doc_id, " +
+      "CASE WHEN is_http THEN CAST(regexp_extract(p, " +
+      "'^HTTP/[0-9.]+ ([0-9]{3})', 1) AS BIGINT) END AS http_status, " +
+      "CASE WHEN is_http THEN lower(trim(regexp_extract(hdr, " +
+      "'(?mi)^Content-Type:([^\r;]*)', 1), ' ' || chr(9))) " +
+      "ELSE '' END AS http_content_type, " +
+      "CASE WHEN is_http THEN trim(regexp_extract(hdr, " +
+      "'(?mi)^Location:([^\r]*)', 1), ' ' || chr(9)) " +
+      "ELSE '' END AS http_location, " +
+      "CASE WHEN is_http THEN substring(p, length(hdr) + 5) END " +
+      "AS http_body FROM hx)\n" +
+      "SELECT doc_id, http_status, http_content_type, http_location, " +
+      "coalesce(http_status = 200 AND http_content_type = 'text/html', " +
+      "false) AS is_fetch_content, " +
+      "CASE WHEN http_body IS NOT NULL THEN md5(http_body) END " +
+      "AS body_md5 FROM px ORDER BY doc_id"
+  }
+
   /** q162: the recency frontier replayed — link candidates (shared
     * [[linkCtes]]) unioned with in-scope sitemap entries (shared
     * [[sitemapCtes]], found_by −1), the q154 anti join + robots max,
@@ -2088,6 +2185,8 @@ private[graft] object TextQueries {
     "q161_robots_wildcards" -> robotsWildcardOracleSql,
 
     "q162_frontier_recency" -> frontierRecencyOracleSql,
+
+    "q163_http_response_gate" -> httpGateOracleSql,
 
     "q153_outlink_graph" -> outlinkGraphOracleSql,
 

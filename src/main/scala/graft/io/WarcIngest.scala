@@ -119,6 +119,51 @@ object WarcIngest {
     * the same archives is spec-pinned (`WarcIngestSpec`), and the
     * q159 archive→funnel round trip holds through this tier
     * (`CrawlFunnelSpec`). */
+  /** HTTP response-message parsing over WARC response PAYLOADS — the
+    * gate the crawl funnel otherwise assumes away (q159 splits the
+    * body off blindly; a real crawl's responses are not all
+    * `200 text/html`). Appends to `df`:
+    *
+    *   - `http_status`: the status-line code (`HTTP/x.y SSS ...`,
+    *     RFC 9112 §4) as a long, null when the payload is not an
+    *     HTTP response message;
+    *   - `http_content_type`: the `Content-Type` header's media type,
+    *     lowercased with parameters (`; charset=...`) stripped and
+    *     RFC whitespace trimmed — empty when the header is absent
+    *     (media types are case-insensitive, RFC 9110 §8.3.1);
+    *   - `http_location`: the `Location` header verbatim (the
+    *     redirect-following signal, empty when absent);
+    *   - `http_body`: everything past the first blank CRLF line
+    *     (null for non-HTTP payloads);
+    *   - `is_fetch_content`: status 200 AND media type `text/html` —
+    *     the funnel's admission predicate.
+    *
+    * One zero-shuffle projection over the payload column; headers are
+    * bounded (the first blank line), the body is never re-copied
+    * except into `http_body` (which downstream projections prune when
+    * unused). Case-insensitive header names, first occurrence wins
+    * (`(?mi)` anchored extraction — RE2-safe, shared with the q163
+    * oracle). */
+  def withHttpResponse(df: DataFrame, payloadCol: String): DataFrame = {
+    val p = col(payloadCol)
+    val isHttp = p.rlike("^HTTP/[0-9.]+ [0-9]{3}")
+    val hdr = element_at(split(p, "\r\n\r\n"), 1)
+    val ct = lower(trim(regexp_extract(hdr,
+      "(?mi)^Content-Type:([^\r;]*)", 1), " \t"))
+    df.withColumn("http_status",
+        when(isHttp, regexp_extract(p, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+          .cast("long")))
+      .withColumn("http_content_type", when(isHttp, ct).otherwise(lit("")))
+      .withColumn("http_location",
+        when(isHttp, trim(regexp_extract(hdr,
+          "(?mi)^Location:([^\r]*)", 1), " \t")).otherwise(lit("")))
+      .withColumn("http_body",
+        when(isHttp, p.substr(length(hdr) + 5, length(p))))
+      .withColumn("is_fetch_content",
+        coalesce(col("http_status") === 200 &&
+          col("http_content_type") === "text/html", lit(false)))
+  }
+
   def parseWarcRecordsGz(df: DataFrame, fileIdCol: String,
       binCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -67,6 +67,39 @@ class WarcIngestSpec extends SparkSpec {
     assert(!out(0)._6, "the truncated record must flag length_matches=false")
   }
 
+  test("http response parse: status, case-insensitive headers, param " +
+    "strip, first-wins, redirect location, embedded blank line, non-HTTP") {
+    val rows = Seq(
+      (1L, "HTTP/1.1 200 OK\r\ncontent-type: Text/HTML; charset=utf-8\r\n" +
+        "\r\n<html>\r\n\r\nbody with blank line</html>"),
+      (2L, "HTTP/1.0 301 Moved\r\nLocation: https://a.com/x\r\n" +
+        "Content-Type: text/html\r\nContent-Type: text/plain\r\n\r\nmoved"),
+      (3L, "HTTP/1.1 404 Not Found\r\n\r\ngone"),
+      (4L, "HTTP/1.1 200 OK\r\nContent-Type:\ttext/html\r\n\r\nok"),
+      (5L, "not http at all"))
+      .toDF("id", "payload")
+    val out = WarcIngest.withHttpResponse(rows, "payload")
+      .orderBy("id")
+      .select("http_status", "http_content_type", "http_location",
+        "http_body", "is_fetch_content")
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getString(1), r.getString(2), Option(r.getString(3)),
+        r.getBoolean(4))).toSeq
+    assert(out === Seq(
+      // media type lowercases, charset param strips, the body keeps its
+      // OWN embedded blank line (split at the FIRST one only)
+      (Some(200L), "text/html", "",
+        Some("<html>\r\n\r\nbody with blank line</html>"), true),
+      // first Content-Type occurrence wins; Location captured verbatim
+      (Some(301L), "text/html", "https://a.com/x", Some("moved"), false),
+      // absent header reads as empty, not null; 404 gates false
+      (Some(404L), "", "", Some("gone"), false),
+      // RFC tab whitespace after the colon trims
+      (Some(200L), "text/html", "", Some("ok"), true),
+      // a non-HTTP payload: null status/body, empty headers, false gate
+      (None, "", "", None, false)))
+  }
+
   private def gzip(s: String): Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bo)
