@@ -246,8 +246,13 @@ private[graft] object TextQueries {
     * the q162 recency ranking's planted stale class, bucket-clamped
     * to 11 and outranked by every fresh entry but still beating
     * unknown-age link discoveries). The per-host digit (`src7` → 7)
-    * varies paths and dates. Shared structure with the oracle via
-    * [[sitemapOracleSql]]. */
+    * varies paths and dates. Since round 12 the plant also carries
+    * the q164 INDEX tier: a multi-line `<sitemap>` child entry needing
+    * full canonicalization with a lastmod, an out-of-scope CDN index
+    * entry (even-length hosts), and a loc-less index entry (dropped)
+    * — all invisible to the `<url>` parser, so q157/q162 are
+    * unchanged. Shared structure with the oracle via
+    * [[sitemapPlantCte]]. */
   private[graft] def plantedSitemaps(df: DataFrame): DataFrame = {
     val h = col("h")
     val dg = regexp_extract(h, "([0-9])$", 1)
@@ -257,6 +262,20 @@ private[graft] object TextQueries {
         lit("<?xml version=\"1.0\"?><urlset>"),
         lit("<sitemap><loc>https://"), h,
         lit(".example.com/more.xml</loc></sitemap>"),
+        // q164's index tier: a multi-line child entry needing full
+        // canonicalization WITH a lastmod (the child re-fetch signal),
+        // an out-of-scope CDN index entry on even-length hosts, and a
+        // loc-less index entry (dropped) — invisible to the <url>
+        // parser (q157/q162 unchanged), harvested only by q164
+        lit("<sitemap>\n  <loc> HTTPS://WWW."), upper(h),
+        lit(".EXAMPLE.COM/maps//part-"), dg,
+        lit(".xml </loc>\n  <lastmod>2026-02-1"), dg,
+        lit("</lastmod>\n</sitemap>"),
+        when(length(h) % 2 === 0,
+          concat(lit("<sitemap><loc>https://cdn"), dg,
+            lit(".example.net/sm.xml</loc></sitemap>")))
+          .otherwise(lit("")),
+        lit("<sitemap><lastmod>2026-01-01</lastmod></sitemap>"),
         lit("<url>\n  <loc> HTTPS://WWW."), upper(h),
         lit(".EXAMPLE.COM/Docs//"), dg,
         lit("/?utm_source=map </loc>\n  <lastmod>2026-01-1"), dg,
@@ -534,6 +553,21 @@ private[graft] object TextQueries {
           when(col("http_body").isNotNull, md5(col("http_body")))
             .as("body_md5"))
         .orderBy("doc_id")
+    }),
+
+    // ---- sitemap INDEX parsing (oracle-checked): the <sitemap>
+    // entries the <url> parser deliberately ignores are the CHILD
+    // fetch queue — a large site's sitemap.xml is an index of
+    // per-section child sitemaps; never parsing it means never seeing
+    // the site's URLs. Same one-projection + one-explode harvest,
+    // canonicalized child URLs, lastmod as the re-fetch signal,
+    // cross-host entries scope-flagged (UrlOps.parseSitemapIndex).
+    "q164_sitemap_index" -> ((s, dir) => {
+      graft.ext.UrlOps.parseSitemapIndex(
+          plantedSitemaps(t(s, dir, "documents")), "host", "xml")
+        .select(col("sitemap_host"), col("url_canon"), col("url_host"),
+          col("lastmod"), col("had_lastmod"), col("in_scope"))
+        .orderBy("sitemap_host", "url_canon")
     }),
 
     // ---- recency-ranked crawl frontier (oracle-checked): q154's
@@ -1940,15 +1974,23 @@ private[graft] object TextQueries {
       "FROM rk f LEFT JOIN dms d ON d.host = f.link_host " +
       "WHERE f.rnk <= 3 ORDER BY link_host, rank"
 
-  /** The sitemap plant + parse as CTEs reading `hosts(h)` and ending
-    * in `sc(sitemap_host, lastmod, ..., url_canon, url_host)` — the
-    * shared chain ([[plantedSitemaps]], `(?s)` dotall blocks), used by
-    * q157's oracle and composed into q162's frontier oracle. */
-  private def sitemapCtes: String =
+  /** The sitemap-body plant alone (reads `hosts(h)`, ends in
+    * `sm(host, xml)`) — shared by the `<url>` tier ([[sitemapCtes]],
+    * q157 + q162) and q164's `<sitemap>` index tier. */
+  private def sitemapPlantCte: String =
     "sm AS (SELECT h || '.example.com' AS host, " +
       "'<?xml version=\"1.0\"?><urlset>' || " +
       "'<sitemap><loc>https://' || h || " +
       "'.example.com/more.xml</loc></sitemap>' || " +
+      "'<sitemap>' || chr(10) || '  <loc> HTTPS://WWW.' || upper(h) || " +
+      "'.EXAMPLE.COM/maps//part-' || regexp_extract(h, '([0-9])$', 1) || " +
+      "'.xml </loc>' || chr(10) || '  <lastmod>2026-02-1' || " +
+      "regexp_extract(h, '([0-9])$', 1) || '</lastmod>' || chr(10) || " +
+      "'</sitemap>' || " +
+      "(CASE WHEN length(h) % 2 = 0 THEN " +
+      "'<sitemap><loc>https://cdn' || regexp_extract(h, '([0-9])$', 1) || " +
+      "'.example.net/sm.xml</loc></sitemap>' ELSE '' END) || " +
+      "'<sitemap><lastmod>2026-01-01</lastmod></sitemap>' || " +
       "'<url>' || chr(10) || '  <loc> HTTPS://WWW.' || upper(h) || " +
       "'.EXAMPLE.COM/Docs//' || regexp_extract(h, '([0-9])$', 1) || " +
       "'/?utm_source=map </loc>' || chr(10) || '  <lastmod>2026-01-1' || " +
@@ -1965,7 +2007,13 @@ private[graft] object TextQueries {
       "'<url><loc>https://' || h || '.example.com/Docs/12/old-' || " +
       "regexp_extract(h, '([0-9])$', 1) || " +
       "'</loc><lastmod>2020-03-15</lastmod></url>' " +
-      "ELSE '' END) || '</urlset>' AS xml FROM hosts),\n" +
+      "ELSE '' END) || '</urlset>' AS xml FROM hosts)"
+
+  /** The `<url>`-tier parse over the shared plant: reads `hosts(h)`,
+    * ends in `sc(sitemap_host, lastmod, ..., url_canon, url_host)` —
+    * used by q157's oracle and composed into q162's frontier oracle. */
+  private def sitemapCtes: String =
+    sitemapPlantCte + ",\n" +
       "bl AS (SELECT host AS sitemap_host, " +
       "unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b " +
       "FROM sm),\n" +
@@ -1976,6 +2024,27 @@ private[graft] object TextQueries {
       "FROM bl WHERE trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) " +
       "<> ''),\n" +
       urlCanonChain("li", "s", "sc", Seq("sitemap_host", "lastmod"))
+
+  /** q164: the `<sitemap>` index tier over the SAME plant — block
+    * extraction on the sitemap tag, the same loc/lastmod pulls and
+    * canonicalization chain as the `<url>` tier. */
+  private def sitemapIndexOracleSql: String =
+    "WITH hosts AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
+      sitemapPlantCte + ",\n" +
+      "ib AS (SELECT host AS sitemap_host, " +
+      "unnest(regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1)) " +
+      "AS b FROM sm),\n" +
+      "ii AS (SELECT sitemap_host, " +
+      "trim(regexp_extract(b, '(?s)<lastmod>(.*?)</lastmod>', 1)) " +
+      "AS lastmod, " +
+      "trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) AS url " +
+      "FROM ib WHERE trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) " +
+      "<> ''),\n" +
+      urlCanonChain("ii", "ix", "ic", Seq("sitemap_host", "lastmod")) + "\n" +
+      "SELECT sitemap_host, url_canon, url_host, lastmod, " +
+      "lastmod <> '' AS had_lastmod, " +
+      "url_host = sitemap_host AS in_scope FROM ic " +
+      "ORDER BY sitemap_host, url_canon"
 
   /** q163: the plant and the HTTP parse replayed — the same status/
     * header/body extraction ((?mi) anchored header pulls, RE2-safe;
@@ -2187,6 +2256,8 @@ private[graft] object TextQueries {
     "q162_frontier_recency" -> frontierRecencyOracleSql,
 
     "q163_http_response_gate" -> httpGateOracleSql,
+
+    "q164_sitemap_index" -> sitemapIndexOracleSql,
 
     "q153_outlink_graph" -> outlinkGraphOracleSql,
 

@@ -497,6 +497,37 @@ object UrlOps {
         lit(11L)))
   }
 
+  /** Sitemap-INDEX parser (sitemaps.org `<sitemapindex>` tier): the
+    * `<sitemap>` entries [[parseSitemap]] deliberately ignores are the
+    * CHILD-sitemap fetch queue — a large site's sitemap.xml is an
+    * index of per-section child sitemaps, and a crawler that never
+    * parses the index never sees the site's URLs at all. One row per
+    * `<sitemap>` block with a non-empty `<loc>`: the canonicalized
+    * child-sitemap URL, its host, `<lastmod>` (empty when absent —
+    * the re-fetch signal for a child that changed), and the same
+    * `in_scope` cross-host flag as the `<url>` tier. Identical
+    * one-projection + one-explode shape — the XML dies in the
+    * harvest; the output is exactly the seed relation a fetch cycle
+    * hands back to the frontier. */
+  def parseSitemapIndex(df: DataFrame, hostCol: String, xmlCol: String)
+      : DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(hostCol).as("sitemap_host"),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as("__block"))
+      .withColumn("loc", trim(regexp_extract(col("__block"),
+        "(?s)<loc>(.*?)</loc>", 1)))
+      .filter(col("loc") =!= "")
+      .withColumn("lastmod", trim(regexp_extract(col("__block"),
+        "(?s)<lastmod>(.*?)</lastmod>", 1)))
+      .withColumn("had_lastmod", col("lastmod") =!= "")
+      .withColumn("__uc", call_function("graft_url_canon", col("loc")))
+      .withColumn("url_canon", col("__uc.canon"))
+      .withColumn("url_host", col("__uc.host"))
+      .withColumn("in_scope", col("url_host") === col("sitemap_host"))
+      .drop("__block", "__uc")
+  }
+
   /** Crawl-delay extraction from robots.txt bodies — the politeness
     * directive [[parseRobotsTxt]] deliberately ignores for RULE
     * grouping (it is not part of RFC 9309; de-facto semantics vary).

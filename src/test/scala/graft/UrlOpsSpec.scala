@@ -368,6 +368,32 @@ class UrlOpsSpec extends SparkSpec {
       ("https://other.com/x", "2026-03-03", true, false)))
   }
 
+  test("sitemap INDEX parse: child entries harvest, url entries ignored, " +
+    "scope + lastmod + canonicalization") {
+    val xml = "<?xml version=\"1.0\"?><sitemapindex>" +
+      "<sitemap>\n  <loc> HTTPS://WWW.H.COM/maps//a.xml </loc>\n" +
+      "  <lastmod>2026-02-11</lastmod>\n</sitemap>" +
+      "<sitemap><loc>https://h.com/b.xml</loc></sitemap>" + // no lastmod
+      "<sitemap><lastmod>2026-01-01</lastmod></sitemap>" + // no loc: drop
+      "<sitemap><loc>https://cdn.net/sm.xml</loc></sitemap>" + // x-host
+      "<url><loc>https://h.com/page</loc></url>" + // url tier: NOT ours
+      "</sitemapindex>"
+    val out = UrlOps.parseSitemapIndex(
+        Seq(("h.com", xml)).toDF("host", "xml"), "host", "xml")
+      .select("url_canon", "lastmod", "had_lastmod", "in_scope")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(2), r.getBoolean(3))).toSeq
+    assert(out === Seq(
+      ("https://h.com/maps/a.xml", "2026-02-11", true, true),
+      ("https://h.com/b.xml", "", false, true),
+      ("https://cdn.net/sm.xml", "", false, false)))
+    // and the <url> parser is blind to the index tier, symmetric
+    val urls = UrlOps.parseSitemap(
+        Seq(("h.com", xml)).toDF("host", "xml"), "host", "xml")
+      .select("url_canon").collect().map(_.getString(0)).toSeq
+    assert(urls === Seq("https://h.com/page"))
+  }
+
   test("native url canonicalizer ≡ the column chain on generated URLs " +
     "and every planted shape") {
     // UrlCanonExpr transcribes the chain rule for rule; this pin makes
