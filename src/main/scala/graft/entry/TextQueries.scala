@@ -570,6 +570,30 @@ private[graft] object TextQueries {
         .orderBy("sitemap_host", "url_canon")
     }),
 
+    // ---- crawl-health census from raw archives (oracle-checked):
+    // q158's record parse feeding q163's HTTP gate in ONE plan — the
+    // monitoring table a crawl operator actually watches: per (status,
+    // media type) the response count and how many pass the funnel
+    // gate. Planted archives wrap the five q163 response classes in
+    // WARC framing (the declared-length metadata fault of q158 rides
+    // along untouched); archives die in the split, payloads die in
+    // the gate projection, the census is one map-side-combining agg
+    // over two short strings.
+    "q165_warc_health_census" -> ((s, dir) => {
+      val parsed = graft.io.WarcIngest.parseWarcRecords(
+        plantedWarc(withPlantedHttp(t(s, dir, "documents"))
+            .withColumnRenamed("payload", "__http"),
+          httpPayload = col("__http")), "doc_id", "txt")
+      graft.io.WarcIngest.withHttpResponse(
+          parsed.filter(col("warc_type") === "response" &&
+            col("length_matches")), "payload")
+        .groupBy(col("http_status"), col("http_content_type"))
+        .agg(count(lit(1)).as("n_responses"),
+          sum(when(col("is_fetch_content"), 1L).otherwise(0L))
+            .as("n_fetchable"))
+        .orderBy("http_status", "http_content_type")
+    }),
+
     // ---- recency-ranked crawl frontier (oracle-checked): q154's
     // capstone with the sitemap tier LIVE — in-scope sitemap entries
     // join the link discoveries as candidates (found_by = −1), and the
@@ -2025,6 +2049,41 @@ private[graft] object TextQueries {
       "<> ''),\n" +
       urlCanonChain("li", "s", "sc", Seq("sitemap_host", "lastmod"))
 
+  /** q165: the q158 WARC framing around the q163 response classes,
+    * the shared parse chain, the length gate, then the shared HTTP
+    * extraction feeding the (status, media type) census. */
+  private def warcHealthOracleSql: String = {
+    val crlf = "chr(13) || chr(10)"
+    "WITH aug AS (" + urlPlantSql + "),\n" + httpPlantCte + ",\n" +
+      "pp AS (SELECT a.doc_id, a.url, pl.p AS http, " +
+      "'fetchTimeMs: ' || CAST(a.doc_id AS VARCHAR) AS p2 " +
+      "FROM aug a JOIN pl ON a.doc_id = pl.doc_id),\n" +
+      "wf AS (SELECT doc_id, " +
+      "'WARC/1.0' || " + crlf + " || 'WARC-Type: warcinfo' || " + crlf +
+      " || 'Content-Length: 15' || " + crlf + " || " + crlf +
+      " || 'software: graft' || " + crlf + " || " + crlf + " || " +
+      "'WARC/1.0' || " + crlf + " || 'WARC-Type: response' || " + crlf +
+      " || 'WARC-Target-URI: ' || url || " + crlf +
+      " || 'Content-Length: ' || CAST(length(http) AS VARCHAR) || " +
+      crlf + " || " + crlf + " || http || " + crlf + " || " + crlf +
+      " || 'WARC/1.0' || " + crlf + " || 'WARC-Type: metadata' || " +
+      crlf + " || 'Content-Length: ' || CAST(CASE WHEN doc_id % 4 = 0 " +
+      "THEN length(p2) + 5 ELSE length(p2) END AS VARCHAR) || " +
+      crlf + " || " + crlf + " || p2 || " + crlf + " || " + crlf +
+      " AS txt FROM pp),\n" + warcParseCtes + ",\n" +
+      "hr AS (SELECT doc_id, payload AS p FROM r3 " +
+      "WHERE warc_type = 'response' " +
+      "AND coalesce(length(payload) = content_length, false)),\n" +
+      httpParseCtes + "\n" +
+      "SELECT http_status, http_content_type, " +
+      "CAST(count(*) AS BIGINT) AS n_responses, " +
+      "CAST(sum(CASE WHEN coalesce(http_status = 200 AND " +
+      "http_content_type = 'text/html', false) THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_fetchable " +
+      "FROM px GROUP BY 1, 2 " +
+      "ORDER BY http_status NULLS FIRST, http_content_type"
+  }
+
   /** q164: the `<sitemap>` index tier over the SAME plant — block
     * extraction on the sitemap tag, the same loc/lastmod pulls and
     * canonicalization chain as the `<url>` tier. */
@@ -2050,9 +2109,11 @@ private[graft] object TextQueries {
     * header/body extraction ((?mi) anchored header pulls, RE2-safe;
     * hdr = text to the first blank CRLF; body from hdr+5 to the end)
     * over the same five response classes. */
-  private def httpGateOracleSql: String = {
+  /** The q163 response-class plant as a CTE `pl(doc_id, p)` reading
+    * `documents` — shared by q163's oracle and q165's census. */
+  private def httpPlantCte: String = {
     val crlf = "chr(13) || chr(10)"
-    "WITH pl AS (SELECT doc_id, CASE " +
+    "pl AS (SELECT doc_id, CASE " +
       "WHEN doc_id % 5 = 0 THEN 'HTTP/1.1 404 Not Found' || " + crlf +
       " || " + crlf + " || '<html>gone ' || CAST(doc_id AS VARCHAR) || " +
       "'</html>' " +
@@ -2069,11 +2130,17 @@ private[graft] object TextQueries {
       " || 'Content-Type: application/pdf' || " + crlf + " || " + crlf +
       " || '%PDF-fake ' || CAST(doc_id AS VARCHAR) " +
       "ELSE 'garbled capture ' || CAST(doc_id AS VARCHAR) END AS p " +
-      "FROM documents),\n" +
-      "hx AS (SELECT doc_id, p, " +
+      "FROM documents)"
+  }
+
+  /** The HTTP extraction over a relation `hr(doc_id, p)` — ends in
+    * `px(doc_id, http_status, http_content_type, http_location,
+    * http_body)`. Shared by q163 and q165. */
+  private def httpParseCtes: String =
+    "hx AS (SELECT doc_id, p, " +
       "regexp_matches(p, '^HTTP/[0-9.]+ [0-9]{3}') AS is_http, " +
-      "list_extract(string_split(p, " + crlf + " || " + crlf + "), 1) " +
-      "AS hdr FROM pl),\n" +
+      "list_extract(string_split(p, chr(13) || chr(10) || chr(13) || " +
+      "chr(10)), 1) AS hdr FROM hr),\n" +
       "px AS (SELECT doc_id, " +
       "CASE WHEN is_http THEN CAST(regexp_extract(p, " +
       "'^HTTP/[0-9.]+ ([0-9]{3})', 1) AS BIGINT) END AS http_status, " +
@@ -2084,13 +2151,17 @@ private[graft] object TextQueries {
       "'(?mi)^Location:([^\r]*)', 1), ' ' || chr(9)) " +
       "ELSE '' END AS http_location, " +
       "CASE WHEN is_http THEN substring(p, length(hdr) + 5) END " +
-      "AS http_body FROM hx)\n" +
+      "AS http_body FROM hx)"
+
+  private def httpGateOracleSql: String =
+    "WITH " + httpPlantCte + ",\n" +
+      "hr AS (SELECT doc_id, p FROM pl),\n" +
+      httpParseCtes + "\n" +
       "SELECT doc_id, http_status, http_content_type, http_location, " +
       "coalesce(http_status = 200 AND http_content_type = 'text/html', " +
       "false) AS is_fetch_content, " +
       "CASE WHEN http_body IS NOT NULL THEN md5(http_body) END " +
       "AS body_md5 FROM px ORDER BY doc_id"
-  }
 
   /** q162: the recency frontier replayed — link candidates (shared
     * [[linkCtes]]) unioned with in-scope sitemap entries (shared
@@ -2258,6 +2329,8 @@ private[graft] object TextQueries {
     "q163_http_response_gate" -> httpGateOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
+
+    "q165_warc_health_census" -> warcHealthOracleSql,
 
     "q153_outlink_graph" -> outlinkGraphOracleSql,
 
