@@ -548,7 +548,7 @@ private[graft] object TextQueries {
       graft.io.WarcIngest.withHttpResponse(
           withPlantedHttp(t(s, dir, "documents")), "payload")
         .select(col("doc_id"), col("http_status"),
-          col("http_content_type"), col("http_location"),
+          col("http_media_type"), col("http_location"),
           col("is_fetch_content"),
           when(col("http_body").isNotNull, md5(col("http_body")))
             .as("body_md5"))
@@ -587,11 +587,11 @@ private[graft] object TextQueries {
       graft.io.WarcIngest.withHttpResponse(
           parsed.filter(col("warc_type") === "response" &&
             col("length_matches")), "payload")
-        .groupBy(col("http_status"), col("http_content_type"))
+        .groupBy(col("http_status"), col("http_media_type"))
         .agg(count(lit(1)).as("n_responses"),
           sum(when(col("is_fetch_content"), 1L).otherwise(0L))
             .as("n_fetchable"))
-        .orderBy("http_status", "http_content_type")
+        .orderBy("http_status", "http_media_type")
     }),
 
     // ---- recency-ranked crawl frontier (oracle-checked): q154's
@@ -2075,13 +2075,13 @@ private[graft] object TextQueries {
       "WHERE warc_type = 'response' " +
       "AND coalesce(length(payload) = content_length, false)),\n" +
       httpParseCtes + "\n" +
-      "SELECT http_status, http_content_type, " +
+      "SELECT http_status, http_media_type, " +
       "CAST(count(*) AS BIGINT) AS n_responses, " +
       "CAST(sum(CASE WHEN coalesce(http_status = 200 AND " +
-      "http_content_type = 'text/html', false) THEN 1 ELSE 0 END) " +
+      "http_media_type = 'text/html', false) THEN 1 ELSE 0 END) " +
       "AS BIGINT) AS n_fetchable " +
       "FROM px GROUP BY 1, 2 " +
-      "ORDER BY http_status NULLS FIRST, http_content_type"
+      "ORDER BY http_status NULLS FIRST, http_media_type"
   }
 
   /** q164: the `<sitemap>` index tier over the SAME plant — block
@@ -2134,7 +2134,7 @@ private[graft] object TextQueries {
   }
 
   /** The HTTP extraction over a relation `hr(doc_id, p)` — ends in
-    * `px(doc_id, http_status, http_content_type, http_location,
+    * `px(doc_id, http_status, http_media_type, http_location,
     * http_body)`. Shared by q163 and q165. */
   private def httpParseCtes: String =
     "hx AS (SELECT doc_id, p, " +
@@ -2146,7 +2146,7 @@ private[graft] object TextQueries {
       "'^HTTP/[0-9.]+ ([0-9]{3})', 1) AS BIGINT) END AS http_status, " +
       "CASE WHEN is_http THEN lower(trim(regexp_extract(hdr, " +
       "'(?mi)^Content-Type:([^\r;]*)', 1), ' ' || chr(9))) " +
-      "ELSE '' END AS http_content_type, " +
+      "ELSE '' END AS http_media_type, " +
       "CASE WHEN is_http THEN trim(regexp_extract(hdr, " +
       "'(?mi)^Location:([^\r]*)', 1), ' ' || chr(9)) " +
       "ELSE '' END AS http_location, " +
@@ -2157,8 +2157,8 @@ private[graft] object TextQueries {
     "WITH " + httpPlantCte + ",\n" +
       "hr AS (SELECT doc_id, p FROM pl),\n" +
       httpParseCtes + "\n" +
-      "SELECT doc_id, http_status, http_content_type, http_location, " +
-      "coalesce(http_status = 200 AND http_content_type = 'text/html', " +
+      "SELECT doc_id, http_status, http_media_type, http_location, " +
+      "coalesce(http_status = 200 AND http_media_type = 'text/html', " +
       "false) AS is_fetch_content, " +
       "CASE WHEN http_body IS NOT NULL THEN md5(http_body) END " +
       "AS body_md5 FROM px ORDER BY doc_id"

@@ -103,22 +103,6 @@ object WarcIngest {
     } finally in.close()
   }
 
-  /** [[parseWarcRecords]] fed from BINARY gzip-membered archives —
-    * the wire format a crawl corpus actually arrives in (Common
-    * Crawl's `.warc.gz`: one gzip member per record, members
-    * concatenated; single-member whole-archive gzip reads
-    * identically). `binCol` is a `binary` column of whole-archive
-    * bytes; `fileIdCol` must be numeric (cast to long).
-    *
-    * The decompress runs in a `mapPartitions` seam (the
-    * [[graft.ext.Multimodal]] decode-seam pattern): archive BYTES are
-    * born and die inside the partition — only the decoded text enters
-    * the plan, and it immediately dies in [[parseWarcRecords]]'s
-    * harvest projection, so neither bytes nor record bodies ever
-    * cross an exchange. Row-for-row parity with the text tier over
-    * the same archives is spec-pinned (`WarcIngestSpec`), and the
-    * q159 archive→funnel round trip holds through this tier
-    * (`CrawlFunnelSpec`). */
   /** HTTP response-message parsing over WARC response PAYLOADS — the
     * gate the crawl funnel otherwise assumes away (q159 splits the
     * body off blindly; a real crawl's responses are not all
@@ -127,7 +111,7 @@ object WarcIngest {
     *   - `http_status`: the status-line code (`HTTP/x.y SSS ...`,
     *     RFC 9112 §4) as a long, null when the payload is not an
     *     HTTP response message;
-    *   - `http_content_type`: the `Content-Type` header's media type,
+    *   - `http_media_type`: the `Content-Type` header's media type,
     *     lowercased with parameters (`; charset=...`) stripped and
     *     RFC whitespace trimmed — empty when the header is absent
     *     (media types are case-insensitive, RFC 9110 §8.3.1);
@@ -153,7 +137,7 @@ object WarcIngest {
     df.withColumn("http_status",
         when(isHttp, regexp_extract(p, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
           .cast("long")))
-      .withColumn("http_content_type", when(isHttp, ct).otherwise(lit("")))
+      .withColumn("http_media_type", when(isHttp, ct).otherwise(lit("")))
       .withColumn("http_location",
         when(isHttp, trim(regexp_extract(hdr,
           "(?mi)^Location:([^\r]*)", 1), " \t")).otherwise(lit("")))
@@ -161,9 +145,25 @@ object WarcIngest {
         when(isHttp, p.substr(length(hdr) + 5, length(p))))
       .withColumn("is_fetch_content",
         coalesce(col("http_status") === 200 &&
-          col("http_content_type") === "text/html", lit(false)))
+          col("http_media_type") === "text/html", lit(false)))
   }
 
+  /** [[parseWarcRecords]] fed from BINARY gzip-membered archives —
+    * the wire format a crawl corpus actually arrives in (Common
+    * Crawl's `.warc.gz`: one gzip member per record, members
+    * concatenated; single-member whole-archive gzip reads
+    * identically). `binCol` is a `binary` column of whole-archive
+    * bytes; `fileIdCol` must be numeric (cast to long).
+    *
+    * The decompress runs in a `mapPartitions` seam (the
+    * [[graft.ext.Multimodal]] decode-seam pattern): archive BYTES are
+    * born and die inside the partition — only the decoded text enters
+    * the plan, and it immediately dies in [[parseWarcRecords]]'s
+    * harvest projection, so neither bytes nor record bodies ever
+    * cross an exchange. Row-for-row parity with the text tier over
+    * the same archives is spec-pinned (`WarcIngestSpec`), and the
+    * q159 archive→funnel round trip holds through this tier
+    * (`CrawlFunnelSpec`). */
   def parseWarcRecordsGz(df: DataFrame, fileIdCol: String,
       binCol: String): DataFrame = {
     val spark = df.sparkSession

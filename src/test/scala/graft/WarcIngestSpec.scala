@@ -80,7 +80,7 @@ class WarcIngestSpec extends SparkSpec {
       .toDF("id", "payload")
     val out = WarcIngest.withHttpResponse(rows, "payload")
       .orderBy("id")
-      .select("http_status", "http_content_type", "http_location",
+      .select("http_status", "http_media_type", "http_location",
         "http_body", "is_fetch_content")
       .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
         r.getString(1), r.getString(2), Option(r.getString(3)),
