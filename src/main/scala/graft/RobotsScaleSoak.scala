@@ -49,11 +49,15 @@ object RobotsScaleSoak {
     spark.sparkContext.setLogLevel("WARN")
 
     // crawl-wide rule table: 10 rules per host, alternating allow, the
-    // longer /pK/deep prefixes re-allowing under the /pK disallows
+    // longer /pK/deep prefixes re-allowing under the /pK disallows;
+    // every FIFTH rule is a §2.2.3 WILDCARD (`/pK*page$` — star +
+    // anchor), so 20% of the pruned candidates pay the per-row regex
+    // and the soak measures that cost at scale, not just at spec scale
     val rules = spark.range(nHosts * 10).select(
       concat(lit("h"), expr("id div 10"), lit(".example.com")).as("host"),
       concat(lit("/p"), (col("id") % 10).cast("string"),
-        when(col("id") % 3 === 0, lit("/deep")).otherwise(lit("")))
+        when(col("id") % 5 === 0, lit("*page$"))
+          .when(col("id") % 3 === 0, lit("/deep")).otherwise(lit("")))
         .as("path_prefix"),
       (col("id") % 2 === 0).as("allow"))
     // crawl-wide delay table: one directive per host

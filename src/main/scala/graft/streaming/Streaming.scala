@@ -759,6 +759,28 @@ object PolitenessStream {
     (out.reverse, HostSlotState(next))
   }
 
+  /** Build the scheduler's input from a ranked frontier and the
+    * crawl-delay table — the [[graft.ext.UrlOps.politenessSchedule]]
+    * join (delays semi-join-pruned to the frontier's hosts before the
+    * broadcast, `defaultDelayMicros` for hosts that declared none)
+    * with the delay carried ON the row, so the stateful operator
+    * needs no side lookup. */
+  def candidates(frontier: DataFrame, hostCol: String, rankCol: String,
+                 urlCol: String, delays: DataFrame,
+                 defaultDelayMicros: Long): Dataset[FrontierCandidate] = {
+    import frontier.sparkSession.implicits._
+    val hostSet = frontier.select(col(hostCol)).distinct()
+    val pruned = delays.select(col("host").as(hostCol),
+        col("crawl_delay_micros").as("__delay"))
+      .join(hostSet, Seq(hostCol), "left_semi")
+    frontier.join(broadcast(pruned), Seq(hostCol), "left_outer")
+      .select(col(hostCol).as("host"), col(urlCol).as("url_canon"),
+        col(rankCol).cast("long").as("rank"),
+        coalesce(col("__delay"), lit(defaultDelayMicros))
+          .as("delay_micros"))
+      .as[FrontierCandidate]
+  }
+
   /** The streaming operator: per-host next-free-slot state across
     * micro-batches. */
   def slots(cands: Dataset[FrontierCandidate]): Dataset[FetchSlot] = {

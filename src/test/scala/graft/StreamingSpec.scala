@@ -412,6 +412,18 @@ class StreamingSpec extends SparkSpec {
       .as[FetchSlot].collect().toSet
     assert(expected === viaBatchOp)
 
+    // the candidates BUILDER reproduces the hand-built rows: delays
+    // joined on (pruned broadcast), default applied, delay on the row
+    val built = PolitenessStream.candidates(
+        cycle1.map(c => (c.host, c.url_canon, c.rank))
+          .toDF("link_host", "url_canon", "rank"),
+        "link_host", "rank", "url_canon",
+        Seq(("a.com", "2", 2000000L), ("unseen.com", "9", 9000000L))
+          .toDF("host", "crawl_delay_raw", "crawl_delay_micros"),
+        defaultDelayMicros = 1000000L)
+      .collect().toSet
+    assert(built === cycle1.toSet)
+
     val in = MemoryStream[FrontierCandidate]
     val q = PolitenessStream.slots(in.toDS())
       .writeStream.format("memory").queryName("polite_slots")
