@@ -649,15 +649,24 @@ object UrlOps {
     // size: a shuffled hash join on the same short host key
     val r = if (broadcastRules) broadcast(pruned)
             else pruned.hint("shuffle_hash")
+    // the wildcard probe is the fused, pattern-caching native
+    // expression (plans/RxMatchLenExpr): Spark's rlike/regexp_extract
+    // RECOMPILE a non-foldable pattern per row, and the verdict
+    // previously ran both — graft_rx_match_len compiles each of the
+    // pruned table's few-hundred regexes once and one execution yields
+    // verdict AND specificity (≥0 = matched length, −1 = no match;
+    // semantics ≡ the builtin pair, property-pinned)
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val wcLen = call_function("graft_rx_match_len",
+      col("__r_path"), col("__rr_rx"))
     val verdict = thin.join(r,
         col("__r_host") === col("__rr_host") &&
-          when(col("__rr_wc"), expr("__r_path rlike __rr_rx"))
+          when(col("__rr_wc"), wcLen >= 0L)
             .otherwise(col("__r_path").startsWith(col("__rr_prefix"))),
         "left_outer")
       .groupBy(col(idCol))
       .agg(max(coalesce(
-        when(col("__rr_wc"),
-          length(expr("regexp_extract(__r_path, __rr_rx, 0)")).cast("long"))
+        when(col("__rr_wc"), wcLen)
           .otherwise(length(col("__rr_prefix")).cast("long")) * 2 +
           when(col("__rr_allow"), 1L).otherwise(0L),
         lit(1L))).as("__score"))

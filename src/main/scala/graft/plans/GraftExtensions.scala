@@ -292,7 +292,14 @@ object GraftFunctions {
       unicodeNormBuilder),
     (FunctionIdentifier("graft_url_canon"),
       new ExpressionInfo(classOf[UrlCanonExpr].getName, "graft_url_canon"),
-      urlCanonBuilder))
+      urlCanonBuilder),
+    (FunctionIdentifier("graft_rx_match_len"),
+      new ExpressionInfo(classOf[RxMatchLenExpr].getName,
+        "graft_rx_match_len"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_rx_match_len(str, rx)")
+        RxMatchLenExpr(children.head, children(1))
+      }))
 
   /** Idempotent runtime registration on an existing session: the native
     * functions plus the [[LevenshteinBandRule]] optimizer rule.

@@ -1,0 +1,87 @@
+package graft.plans
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Leftmost-greedy regex MATCH LENGTH with a compiled-pattern cache —
+  * the robots §2.2.3 wildcard tier's hot operation fused to one call.
+  *
+  * Returns the length in chars of the first (leftmost, greedy) match
+  * of `rx` in `str`, or −1 when nothing matches. Exactly the value of
+  * the `str RLIKE rx` + `length(regexp_extract(str, rx, 0))` PAIR the
+  * verdict previously computed (both built on `Matcher.find()`, so
+  * the semantics are identical by construction and property-pinned in
+  * `UrlOpsSpec`) — but with two wins the builtins cannot give for a
+  * NON-FOLDABLE pattern column:
+  *
+  *   1. Spark's `RLike`/`RegExpExtract` recompile a non-foldable
+  *      pattern on EVERY row; here compiled `Pattern`s cache per
+  *      distinct regex string. The verdict's patterns come from the
+  *      host-pruned rule table — a few hundred distinct strings per
+  *      batch — so compilation amortizes to ~zero across the
+  *      (candidate × rule) pairs that dominate at crawl scale.
+  *   2. One regex execution yields both the match verdict (`>= 0`)
+  *      and the specificity length, halving executions vs the pair.
+  *
+  * Anchoring is the caller's contract (the robots translation always
+  * emits a leading `^`). The cache is a bounded process-wide map
+  * (regex strings → compiled patterns); at the bound new patterns
+  * compile uncached rather than evicting — correct, just slower, and
+  * only reachable if a caller streams unbounded distinct regexes.
+  * `doGenCode` is a method call through a reference object (the
+  * [[UnicodeNormExpr]] pattern), keeping the probe inside whole-stage
+  * codegen.
+  */
+final case class RxMatchLenExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_rx_match_len expects (string, string), got " +
+          s"(${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(str: Any, rx: Any): Any =
+    RxMatchLenExpr.matchLen(str.asInstanceOf[UTF8String],
+      rx.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cls = RxMatchLenExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, (s, r) => s"$cls.matchLen($s, $r)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RxMatchLenExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_rx_match_len"
+}
+
+object RxMatchLenExpr {
+  private val CacheMax = 4096
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
+
+  /** Entry point for both eval and generated code. */
+  def matchLen(s: UTF8String, r: UTF8String): Long = {
+    val rx = r.toString
+    var p = cache.get(rx)
+    if (p == null) {
+      p = Pattern.compile(rx)
+      if (cache.size < CacheMax) cache.putIfAbsent(rx, p)
+    }
+    val m = p.matcher(s.toString)
+    if (m.find()) (m.end - m.start).toLong else -1L
+  }
+}

@@ -481,6 +481,30 @@ class UrlOpsSpec extends SparkSpec {
       ("b.com", 1L, 0L), ("b.com", 3L, 2000000L)))
   }
 
+  test("graft_rx_match_len ≡ the rlike + regexp_extract(…,0) builtin " +
+    "pair it fuses (the wildcard tier's pattern-caching probe)") {
+    graft.plans.GraftFunctions.register(spark)
+    val rows = for {
+      s <- Seq("/Docs/12", "/a/b/c", "", "/p.pdf", "xyz", "/ÜÑ/é",
+        "/Docs/52")
+      r <- Seq("^/Docs/.*2$", "^/a", "b/c$", "^$", "^/p\\.pdf$", "x.z",
+        "^/ÜÑ", "^/D.*s/5")
+    } yield (s, r)
+    val out = rows.toDF("s", "r").select(col("s"), col("r"),
+        call_function("graft_rx_match_len", col("s"), col("r")).as("n"),
+        expr("s rlike r").as("m"),
+        length(expr("regexp_extract(s, r, 0)")).as("l"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { row =>
+      val (n, m, l) = (row.getLong(2), row.getBoolean(3), row.getInt(4))
+      if (m) assert(n == l,
+        s"matched-length drift on ('${row.getString(0)}','${row.getString(1)}'): native=$n builtin=$l")
+      else assert(n == -1L,
+        s"no-match must be -1 on ('${row.getString(0)}','${row.getString(1)}'): $n")
+    }
+  }
+
   test("robots wildcard matching ≡ a plain-Scala RFC 9309 §2.2.3 " +
     "reference matcher over adversarial patterns and paths") {
     // reference matcher: the documented contract transcribed with
