@@ -172,26 +172,44 @@ private[graft] object TextQueries {
   }
 
   /** q161's planted WILDCARD rule table (RFC 9309 §2.2.3) — note the
-    * patterns here are spelled with a space before the star because
-    * Scala block comments nest; the CODE carries them verbatim. Every
-    * host disallows `/Docs/ *` (a star rule whose greedy match
-    * consumes the whole path — most-octets specificity), re-allows
-    * exactly `/Docs/12$` (an anchored rule TYING the star rule at 8
-    * matched octets on `/Docs/12` — allow wins), allows the PLAIN
-    * prefix `/Docs/3` (tying the star rule at 7 octets on `/Docs/3` —
-    * the plain-vs-wildcard tie), and allows `/D*s/5$` (mid-pattern
-    * star + anchor, tying at 7 on `/Docs/5`). Ties sit on BOTH sides
-    * of every comparison class: star-vs-anchor, star-vs-plain,
-    * star-vs-midstar. Shared structure with the oracle via
+    * star patterns here are spelled with a space before the star
+    * because Scala block comments nest; the CODE carries them
+    * verbatim. Under the round-13 contract (match against path+query,
+    * specificity = PATTERN length), every planted canonical URL's
+    * match target is `/Docs/N?a=1&b=2`, and every host plants:
+    *   - `Disallow: *` (length 1) — the greedy trailing-star rule the
+    *     de-facto ranking must keep WEAKEST (it matches every URL but
+    *     never wins; matched-length scoring would have let it consume
+    *     the whole target and dominate — the exact over-blocking the
+    *     advisor flagged),
+    *   - `Disallow: /Docs/ *` (7) — the family blanket,
+    *   - `Allow: /Docs/12` (8, PLAIN) — plain-vs-star rank: 8 > 7,
+    *   - `Allow: /Docs/3? *` (9, star after the query mark) — a
+    *     QUERY-targeting wildcard, the dominant real-world §2.2.3
+    *     shape, impossible under a query-stripped match,
+    *   - `Disallow: /Docs/5 *` (8) vs `Allow: /Docs/5?` (8, plain
+    *     prefix whose last octet is the query mark) — a same-length
+    *     star-vs-plain TIE, allow wins,
+    *   - `Allow: /Docs/7?a=1&b=2$` (16) — a `$` anchor that MATCHES
+    *     (pattern reaches the end of path+query),
+    *   - `Allow: /Docs/9$` (9) — a `$` anchor that FAILS because the
+    *     query follows the path: /Docs/9 stays disallowed by the
+    *     7-length blanket even though this allow is longer — the
+    *     interop case real crawlers decide this way.
+    * Shared structure with the oracle via
     * [[robotsWildcardOracleSql]]. */
   private[graft] def plantedWildcardRules(df: DataFrame): DataFrame =
     df.select(lower(col("source")).as("h")).distinct().select(
         concat(col("h"), lit(".example.com")).as("host"),
         explode(array(
+          struct(lit("*").as("p"), lit(false).as("a")),
           struct(lit("/Docs/*").as("p"), lit(false).as("a")),
-          struct(lit("/Docs/12$").as("p"), lit(true).as("a")),
-          struct(lit("/Docs/3").as("p"), lit(true).as("a")),
-          struct(lit("/D*s/5$").as("p"), lit(true).as("a")))).as("r"))
+          struct(lit("/Docs/12").as("p"), lit(true).as("a")),
+          struct(lit("/Docs/3?*").as("p"), lit(true).as("a")),
+          struct(lit("/Docs/5*").as("p"), lit(false).as("a")),
+          struct(lit("/Docs/5?").as("p"), lit(true).as("a")),
+          struct(lit("/Docs/7?a=1&b=2$").as("p"), lit(true).as("a")),
+          struct(lit("/Docs/9$").as("p"), lit(true).as("a")))).as("r"))
       .select(col("host"), col("r.p").as("path_prefix"),
         col("r.a").as("allow"))
 
@@ -646,10 +664,12 @@ private[graft] object TextQueries {
     }),
 
     // ---- robots WILDCARD matching (oracle-checked): RFC 9309 §2.2.3
-    // special characters over the same canonical URLs — `*` spans any
-    // octets, trailing `$` anchors at path end, specificity is
-    // MATCHED-octet length (greedy, leftmost — Java and RE2 agree), so
-    // `2·match_len+allow` still decides with a plain max. Plain rules
+    // special characters over the canonical URLs' path+query — `*`
+    // spans any octets, trailing `$` anchors at the end of path+query,
+    // specificity is the PATTERN's length (the de-facto ranking:
+    // a greedy `Disallow: *` never outranks a longer allow), so
+    // `2·pattern_len+allow` decides with a plain max and the regex is
+    // a match predicate only, run once per candidate. Plain rules
     // keep the codegen'd startsWith path; only wildcard rules pay the
     // per-candidate regex, translated once per pruned rule on the
     // broadcast (UrlOps.robotsVerdict §2.2.3 contract).
@@ -1701,9 +1721,11 @@ private[graft] object TextQueries {
   private def robotsOracleSql: String =
     "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
       robotsRulesCtes + ",\n" +
+      // the match target is path + query (round-13 contract); the
+      // planted prefixes decide identically either way
       "pth AS (SELECT doc_id, url_canon, url_host, " +
-      "regexp_extract(regexp_replace(url_canon, " +
-      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path FROM c),\n" +
+      "regexp_replace(url_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', '') AS path FROM c),\n" +
       "v AS (SELECT p.doc_id, p.url_canon, " +
       "max(coalesce(2 * length(r.rprefix) + " +
       "CASE WHEN r.rallow THEN 1 ELSE 0 END, 1)) AS score " +
@@ -1716,17 +1738,19 @@ private[graft] object TextQueries {
     * table from the same classes as [[plantedWildcardRules]], the
     * SAME pattern→regex translation as `UrlOps.robotsVerdict` (escape
     * every metachar but `*`, star → `.*`, trailing escaped `$` back
-    * to the anchor), `regexp_matches` for the wildcard candidates /
-    * `starts_with` for the plain ones, and the winner
-    * `max(2·match_len + allow)` with the greedy leftmost match length
-    * from `regexp_extract(..., 0)` — Java and RE2 agree on these
-    * constructs (spec-pinned against a plain-Scala matcher too). */
+    * to the anchor), `regexp_matches` over PATH+QUERY for the
+    * wildcard candidates / `starts_with` for the plain ones, and the
+    * winner `max(2·pattern_len + allow)` — the de-facto pattern-
+    * length ranking (spec-pinned against a plain-Scala matcher
+    * too). */
   private def robotsWildcardOracleSql: String =
     "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
       "hosts AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
       "wrules AS (SELECT h || '.example.com' AS rhost, t.p AS rprefix, " +
-      "t.a AS rallow FROM hosts, (VALUES ('/Docs/*', false), " +
-      "('/Docs/12$', true), ('/Docs/3', true), ('/D*s/5$', true)) " +
+      "t.a AS rallow FROM hosts, (VALUES ('*', false), " +
+      "('/Docs/*', false), ('/Docs/12', true), ('/Docs/3?*', true), " +
+      "('/Docs/5*', false), ('/Docs/5?', true), " +
+      "('/Docs/7?a=1&b=2$', true), ('/Docs/9$', true)) " +
       "t(p, a)),\n" +
       "wrx AS (SELECT rhost, rprefix, rallow, " +
       "contains(rprefix, '*') OR ends_with(rprefix, '$') AS wc, " +
@@ -1734,12 +1758,10 @@ private[graft] object TextQueries {
       "'([\\\\.\\[\\]{}()+?^$|])', '\\\\\\1', 'g'), '\\*', '.*', 'g'), " +
       "'\\\\\\$$', '$') AS rx FROM wrules),\n" +
       "pth AS (SELECT doc_id, url_canon, url_host, " +
-      "regexp_extract(regexp_replace(url_canon, " +
-      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path FROM c),\n" +
+      "regexp_replace(url_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', '') AS path FROM c),\n" +
       "v AS (SELECT p.doc_id, p.url_canon, " +
-      "max(coalesce(2 * (CASE WHEN r.wc THEN " +
-      "CAST(length(regexp_extract(p.path, r.rx, 0)) AS BIGINT) " +
-      "ELSE CAST(length(r.rprefix) AS BIGINT) END) + " +
+      "max(coalesce(2 * CAST(length(r.rprefix) AS BIGINT) + " +
       "CASE WHEN r.rallow THEN 1 ELSE 0 END, 1)) AS score " +
       "FROM pth p LEFT JOIN wrx r ON r.rhost = p.url_host " +
       "AND (CASE WHEN r.wc THEN regexp_matches(p.path, r.rx) " +
@@ -1836,15 +1858,19 @@ private[graft] object TextQueries {
       "seen AS (SELECT DISTINCT url_canon FROM c),\n" +
       "fresh AS (SELECT cand.* FROM cand LEFT JOIN seen " +
       "ON cand.link_canon = seen.url_canon WHERE seen.url_canon IS NULL),\n" +
+      // mpath = the robots match target (path + query, round-13
+      // contract); path stays query-stripped for the DEPTH count
       "pth AS (SELECT link_canon, link_host, found_by, " +
       "regexp_extract(regexp_replace(link_canon, " +
-      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path, " +
+      "regexp_replace(link_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', '') AS mpath " +
       "FROM fresh),\n" +
       "v AS (SELECT p.link_canon, p.link_host, p.found_by, p.path, " +
       "max(coalesce(2 * length(r.rprefix) + " +
       "CASE WHEN r.rallow THEN 1 ELSE 0 END, 1)) AS score " +
       "FROM pth p LEFT JOIN rules r ON r.rhost = p.link_host " +
-      "AND starts_with(p.path, r.rprefix) GROUP BY 1, 2, 3, 4),\n" +
+      "AND starts_with(p.mpath, r.rprefix) GROUP BY 1, 2, 3, 4),\n" +
       "al AS (SELECT link_canon, link_host, found_by, " +
       "CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) " +
       "AS BIGINT) AS depth FROM v WHERE score % 2 = 1),\n" +
@@ -2187,15 +2213,19 @@ private[graft] object TextQueries {
       "fresh AS (SELECT cand.* FROM cand LEFT JOIN seen " +
       "ON cand.link_canon = seen.url_canon " +
       "WHERE seen.url_canon IS NULL),\n" +
+      // mpath = path + query (the round-13 robots match target);
+      // path stays query-stripped for the DEPTH count
       "pth AS (SELECT link_canon, link_host, found_by, lastmod, " +
       "regexp_extract(regexp_replace(link_canon, " +
-      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path, " +
+      "regexp_replace(link_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', '') AS mpath " +
       "FROM fresh),\n" +
       "v AS (SELECT p.link_canon, p.link_host, p.found_by, p.lastmod, " +
       "p.path, max(coalesce(2 * length(r.rprefix) + " +
       "CASE WHEN r.rallow THEN 1 ELSE 0 END, 1)) AS score " +
       "FROM pth p LEFT JOIN rules r ON r.rhost = p.link_host " +
-      "AND starts_with(p.path, r.rprefix) GROUP BY 1, 2, 3, 4, 5),\n" +
+      "AND starts_with(p.mpath, r.rprefix) GROUP BY 1, 2, 3, 4, 5),\n" +
       "al AS (SELECT link_canon, link_host, found_by, lastmod, " +
       "CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) " +
       "AS BIGINT) AS depth FROM v WHERE score % 2 = 1),\n" +

@@ -158,37 +158,50 @@ object UrlOps {
 
   /** Robots-exclusion verdict (RFC 9309 §2.2.2–2.2.3) over CANONICAL
     * URLs: for each row of `df`, the most specific rule in `rules`
-    * (columns `host`, `path_prefix`, `allow`) that matches the URL's
-    * path decides `fetch_allowed`; an allow rule wins a same-
-    * specificity tie (the RFC's "least restrictive" tie-break), and a
-    * URL no rule matches is allowed. Appends `fetch_allowed` and
-    * `rule_match_len` (the winning match's octet length, 0 for the
-    * no-match default).
+    * (columns `host`, `path_prefix`, `allow`) that matches the URL
+    * decides `fetch_allowed`; an allow rule wins a same-specificity
+    * tie (the RFC's "least restrictive" tie-break), and a URL no rule
+    * matches is allowed. Appends `fetch_allowed` and `rule_match_len`
+    * (the WINNING PATTERN's length in characters, 0 for the no-match
+    * default).
+    *
+    * Match target: the canonical URL's path PLUS its query string
+    * (`/p?a=1` matches rules against the full `/p?a=1`) — RFC 9309's
+    * de-facto implementations (Google's reference parser) match
+    * against path+query, and the most common real-world §2.2.3 rules
+    * target queries (`Disallow: / *?sessionid=` — star spaced here
+    * because Scala block comments nest; the rule carries no space),
+    * which a query-stripped match could never fire. (Round-13 change:
+    * earlier rounds matched the query-stripped path.)
     *
     * §2.2.3 special characters are IN contract: a pattern containing
-    * `*` (match any octet sequence) or ending in `$` (anchor at path
-    * end) is a WILDCARD rule —
+    * `*` (match any octet sequence) or ending in `$` (anchor at the
+    * end of path+query) is a WILDCARD rule —
     *   - translated to an anchored regex (`*` → `.*`; a TRAILING `$`
     *     → the end anchor; every other regex metacharacter escaped; a
     *     NON-trailing `$` is a literal octet, matching the de-facto
     *     parsers),
-    *   - matched leftmost-greedy against the path (Java and RE2 agree
-    *     on these constructs, so the oracle replays it exactly),
-    *   - with specificity = MATCHED-octet length (the RFC's "most
-    *     octets" measured on the match, which for a plain prefix rule
-    *     equals the prefix length — the non-wildcard subset's scores
-    *     are unchanged). A `$`-anchored match consumes the whole
-    *     path; `Disallow: *` therefore outranks `Disallow: /` on any
-    *     path longer than one octet, the natural reading of
-    *     most-octets specificity.
-    * Plain prefix rules keep the codegen'd `startsWith` fast path;
-    * only wildcard rules (rare in real robots corpora) pay the
-    * per-candidate regex, and the translation itself is computed once
-    * per PRUNED rule, riding the broadcast.
+    *   - used as the match PREDICATE only (leftmost-greedy; Java and
+    *     RE2 agree on these constructs, so the oracle replays it
+    *     exactly), evaluated exactly ONCE per candidate row — the
+    *     [[graft.plans.RxMatchLenExpr]] probe sits only in the join
+    *     residual; nothing downstream re-runs it.
+    * Specificity is the PATTERN's character length for plain and
+    * wildcard rules alike (`*` and `$` count as pattern characters) —
+    * the de-facto RFC 9309 ranking (Google's parser ranks rules by
+    * pattern length), so a greedy `Disallow: *` (length 1) can never
+    * outrank a longer `Allow: /public` on `/public/page`. (Round-13
+    * change: earlier rounds ranked wildcard rules by MATCHED-octet
+    * length, which inverted `*`'s least-specific nature and
+    * over-blocked relative to real crawlers.) Plain prefix rules keep
+    * the codegen'd `startsWith` fast path; only wildcard rules (rare
+    * in real robots corpora) pay the per-candidate regex, and the
+    * translation itself is computed once per PRUNED rule, riding the
+    * broadcast.
     *
     * The whole decision is ONE integer per candidate rule —
-    * `2·match_len + allow` — so the winner is a plain `max`:
-    * longest match dominates, the allow bit breaks ties, and the
+    * `2·pattern_len + allow` — so the winner is a plain `max`:
+    * longest pattern dominates, the allow bit breaks ties, and the
     * unmatched default encodes as 1 (= len 0, allow). No structs, no
     * windows, bit-exact in any engine.
     *
@@ -620,14 +633,14 @@ object UrlOps {
   def robotsVerdict(df: DataFrame, idCol: String, canonCol: String,
       rules: DataFrame, broadcastRules: Boolean = true): DataFrame = {
     // canonical form is scheme://host[/path][?qs] with scheme+host
-    // already lowercased — path and host split off with anchored
+    // already lowercased — host and the MATCH TARGET (path incl.
+    // query, the de-facto RFC 9309 target) split off with anchored
     // regexes, no re-normalization.
     val thin = df.select(col(idCol),
       regexp_extract(col(canonCol), "^[a-z][a-z0-9+.-]*://([^/?]*)", 1)
         .as("__r_host"),
-      regexp_extract(
-        regexp_replace(col(canonCol), "^[a-z][a-z0-9+.-]*://[^/?]*", ""),
-        "^([^?]*)", 1).as("__r_path"))
+      regexp_replace(col(canonCol), "^[a-z][a-z0-9+.-]*://[^/?]*", "")
+        .as("__r_path"))
     // prune the (possibly crawl-wide) rule table to the hosts actually
     // present in this batch BEFORE any broadcast — the distinct is
     // map-side combining over heavily repeated short host strings, and
@@ -649,13 +662,13 @@ object UrlOps {
     // size: a shuffled hash join on the same short host key
     val r = if (broadcastRules) broadcast(pruned)
             else pruned.hint("shuffle_hash")
-    // the wildcard probe is the fused, pattern-caching native
-    // expression (plans/RxMatchLenExpr): Spark's rlike/regexp_extract
-    // RECOMPILE a non-foldable pattern per row, and the verdict
-    // previously ran both — graft_rx_match_len compiles each of the
-    // pruned table's few-hundred regexes once and one execution yields
-    // verdict AND specificity (≥0 = matched length, −1 = no match;
-    // semantics ≡ the builtin pair, property-pinned)
+    // the wildcard probe is the pattern-caching native expression
+    // (plans/RxMatchLenExpr): Spark's rlike RECOMPILES a non-foldable
+    // pattern per row; graft_rx_match_len compiles each of the pruned
+    // table's few-hundred regexes once. It appears ONLY here, in the
+    // join residual — specificity is the pattern's length, a
+    // broadcast-side constant — so each candidate row runs exactly
+    // one regex execution.
     graft.plans.GraftFunctions.register(df.sparkSession)
     val wcLen = call_function("graft_rx_match_len",
       col("__r_path"), col("__rr_rx"))
@@ -666,8 +679,7 @@ object UrlOps {
         "left_outer")
       .groupBy(col(idCol))
       .agg(max(coalesce(
-        when(col("__rr_wc"), wcLen)
-          .otherwise(length(col("__rr_prefix")).cast("long")) * 2 +
+        length(col("__rr_prefix")).cast("long") * 2 +
           when(col("__rr_allow"), 1L).otherwise(0L),
         lit(1L))).as("__score"))
     df.join(verdict, Seq(idCol))

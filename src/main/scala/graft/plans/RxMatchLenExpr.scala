@@ -73,7 +73,10 @@ object RxMatchLenExpr {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
 
-  /** Entry point for both eval and generated code. */
+  /** Entry point for both eval and generated code. Match length is
+    * counted in CODEPOINTS (`codePointCount`, not UTF-16 units), so
+    * non-BMP characters score exactly like Spark's
+    * `length(regexp_extract(s, r, 0))` and DuckDB's `length()`. */
   def matchLen(s: UTF8String, r: UTF8String): Long = {
     val rx = r.toString
     var p = cache.get(rx)
@@ -81,7 +84,8 @@ object RxMatchLenExpr {
       p = Pattern.compile(rx)
       if (cache.size < CacheMax) cache.putIfAbsent(rx, p)
     }
-    val m = p.matcher(s.toString)
-    if (m.find()) (m.end - m.start).toLong else -1L
+    val str = s.toString
+    val m = p.matcher(str)
+    if (m.find()) str.codePointCount(m.start, m.end).toLong else -1L
   }
 }

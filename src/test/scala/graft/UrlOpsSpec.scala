@@ -486,9 +486,9 @@ class UrlOpsSpec extends SparkSpec {
     graft.plans.GraftFunctions.register(spark)
     val rows = for {
       s <- Seq("/Docs/12", "/a/b/c", "", "/p.pdf", "xyz", "/ÜÑ/é",
-        "/Docs/52")
+        "/Docs/52", "/😀x/y") // non-BMP: lengths are CODEPOINTS
       r <- Seq("^/Docs/.*2$", "^/a", "b/c$", "^$", "^/p\\.pdf$", "x.z",
-        "^/ÜÑ", "^/D.*s/5")
+        "^/ÜÑ", "^/D.*s/5", "^/😀x")
     } yield (s, r)
     val out = rows.toDF("s", "r").select(col("s"), col("r"),
         call_function("graft_rx_match_len", col("s"), col("r")).as("n"),
@@ -508,34 +508,39 @@ class UrlOpsSpec extends SparkSpec {
   test("robots wildcard matching ≡ a plain-Scala RFC 9309 §2.2.3 " +
     "reference matcher over adversarial patterns and paths") {
     // reference matcher: the documented contract transcribed with
-    // java.util.regex directly — wildcard iff '*' present or trailing
-    // '$'; escape every metachar but '*'; '*' -> '.*'; trailing '$' ->
-    // anchor; greedy leftmost match length is the specificity.
-    def refMatch(path: String, pat: String): Option[Long] = {
+    // java.util.regex directly — the match target is PATH+QUERY;
+    // wildcard iff '*' present or trailing '$'; escape every metachar
+    // but '*'; '*' -> '.*'; trailing '$' -> anchor; the regex is the
+    // match PREDICATE only and specificity is the PATTERN's length
+    // (the de-facto pattern-length ranking, plain and wildcard alike).
+    def refMatch(target: String, pat: String): Option[Long] = {
       val wc = pat.contains("*") || pat.endsWith("$")
-      if (!wc) { if (path.startsWith(pat)) Some(pat.length.toLong) else None }
-      else {
-        val esc = pat.replaceAll("([\\\\.\\[\\]{}()+?^$|])", "\\\\$1")
-          .replace("*", ".*")
-        val rx = "^" + (if (pat.endsWith("$"))
-          esc.stripSuffix("\\$") + "$" else esc)
-        val m = java.util.regex.Pattern.compile(rx).matcher(path)
-        if (m.find()) Some((m.end - m.start).toLong) else None
-      }
+      val hit =
+        if (!wc) target.startsWith(pat)
+        else {
+          val esc = pat.replaceAll("([\\\\.\\[\\]{}()+?^$|])", "\\\\$1")
+            .replace("*", ".*")
+          val rx = "^" + (if (pat.endsWith("$"))
+            esc.stripSuffix("\\$") + "$" else esc)
+          java.util.regex.Pattern.compile(rx).matcher(target).find()
+        }
+      if (hit) Some(pat.length.toLong) else None
     }
     val pats = Seq("/Docs/*", "/Docs/12$", "/D*s/5$", "*", "/p", "/p$",
-      "/a$b", "/x*y*z$", "/q*", "/*.php$", "/.d+[x]{2}(a)|b", "/Docs/1")
+      "/a$b", "/x*y*z$", "/q*", "/*.php$", "/.d+[x]{2}(a)|b", "/Docs/1",
+      "/s?k=", "/*?k=2$", "/s?*")
     val rules = pats.zipWithIndex
       .map { case (p, i) => ("w.com", p, i % 2 == 0) }
     val rnd = new scala.util.Random(1717L)
     val paths = (Seq("/Docs/12", "/Docs/1", "/Docs/5", "/p", "/pq", "/a$b/c",
       "/xAyBz", "/xyz", "/q", "/file.php", "/x.php.php", "/",
-      "/.d+[x]{2}(a)|bZ") ++ (1 to 80).map(_ => "/" + (0 to rnd.nextInt(4))
+      "/.d+[x]{2}(a)|bZ", "/s?k=2", "/s?k=9", "/p?k=2", "/p$") ++
+      (1 to 80).map(_ => "/" + (0 to rnd.nextInt(4))
         .map(_ => Seq("Docs", "a", "p", "5", "12", "x.y", "q$")(
           rnd.nextInt(7))).mkString("/"))).distinct
-    def score(path: String): Long = {
+    def score(target: String): Long = {
       val s = rules.flatMap { case (_, pat, allow) =>
-        refMatch(path, pat).map(l => 2L * l + (if (allow) 1L else 0L)) }
+        refMatch(target, pat).map(l => 2L * l + (if (allow) 1L else 0L)) }
       if (s.isEmpty) 1L else s.max
     }
     val expected = paths.zipWithIndex.map { case (p, i) =>
@@ -548,6 +553,32 @@ class UrlOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
       .toSet
     assert(got === expected)
+  }
+
+  test("robots match target is path PLUS query: query-targeting rules " +
+    "fire; a $-anchored path rule fails when a query follows") {
+    val rules = Seq(
+      ("w.com", "/Docs/*", false),
+      ("w.com", "/*?sessionid=", false), // the classic §2.2.3 shape
+      ("w.com", "/Docs/9$", true))       // longer allow, but $ ≠ query end
+    val out = robotsOut(
+      Seq(1L -> "https://w.com/page?sessionid=abc",
+        2L -> "https://w.com/Docs/9?a=1",
+        3L -> "https://w.com/Docs/9"),
+      rules)
+    // 1: only the query rule matches (len 13, disallow).
+    // 2: /Docs/9$ does NOT match (query follows) -> blanket disallows.
+    // 3: no query -> the $ rule matches, len 8 allow beats len 7.
+    assert(out === Map(1L -> (false, 13L), 2L -> (false, 7L),
+      3L -> (true, 8L)))
+  }
+
+  test("robots specificity is PATTERN length: a greedy 'Disallow: *' " +
+    "never outranks a longer allow (the de-facto ranking)") {
+    val out = robotsOut(
+      Seq(1L -> "https://w.com/public/page", 2L -> "https://w.com/x"),
+      Seq(("w.com", "*", false), ("w.com", "/public", true)))
+    assert(out === Map(1L -> (true, 7L), 2L -> (false, 1L)))
   }
 
   test("robots verdict: shuffled-hash fallback ≡ broadcast path, and the " +
