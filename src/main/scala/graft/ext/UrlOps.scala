@@ -283,9 +283,42 @@ object UrlOps {
     * every output column is a short string — the page HTML does NOT
     * survive the projection, so downstream exchanges (the
     * [[hostLinkGraph]] rollup, the q154 frontier) carry URLs only.
-    */
+    *
+    * `useNative = true` (the default) routes the per-link
+    * classify→resolve→canonicalize through
+    * `graft.plans.LinkResolveExpr` — ONE string walk per href instead
+    * of the ~23 regex executions the collapsed column chain pays
+    * (classification whens inline into the resolution whens under
+    * Catalyst's project collapse, re-running their regexes — the q153
+    * round-12 regression). Bit-identical output, native ≡ chain
+    * property-pinned in `UrlOpsSpec`; the chain stays as the
+    * reference formulation and the oracle's shape. */
   def extractOutlinks(df: DataFrame, idCol: String, htmlCol: String,
-      baseCanonCol: String, baseRawCol: String): DataFrame = {
+      baseCanonCol: String, baseRawCol: String,
+      useNative: Boolean = true): DataFrame = {
+    if (useNative) {
+      // ONE native walk per harvested href classifies, resolves
+      // (RFC 3986 §5.2.3 merge included) and canonicalizes —
+      // plans/LinkResolveExpr; the column chain below re-pays its
+      // classification regexes once Catalyst collapses link_kind into
+      // link_url (the q153 round-12 regression) and runs ~23 regex
+      // executions per link in total. Output is bit-identical — each
+      // rule transcribed, native ≡ chain property-pinned in
+      // UrlOpsSpec; the chain stays as the reference formulation and
+      // the oracle's shape.
+      graft.plans.GraftFunctions.register(df.sparkSession)
+      return df.select(col(idCol), col(baseCanonCol).as("base_canon"),
+          col(baseRawCol).as("base_raw"),
+          explode(regexp_extract_all(col(htmlCol), lit(HrefPattern),
+            lit(1))).as("href_raw"))
+        .withColumn("__lr", call_function("graft_link_resolve",
+          col("href_raw"), col("base_canon"), col("base_raw")))
+        .withColumn("link_kind", col("__lr.kind"))
+        .withColumn("link_url", col("__lr.url"))
+        .withColumn("link_canon", col("__lr.canon"))
+        .withColumn("link_host", col("__lr.host"))
+        .drop("__lr", "base_raw")
+    }
     // all base pieces bind to the POST-select alias: the input column
     // name is the caller's and may collide with generated names.
     val base = col("base_canon")

@@ -299,6 +299,14 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_rx_match_len(str, rx)")
         RxMatchLenExpr(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_link_resolve"),
+      new ExpressionInfo(classOf[LinkResolveExpr].getName,
+        "graft_link_resolve"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_link_resolve(href, base_canon, base_raw)")
+        LinkResolveExpr(children(0), children(1), children(2))
       }))
 
   /** Idempotent runtime registration on an existing session: the native

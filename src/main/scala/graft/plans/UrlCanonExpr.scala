@@ -43,11 +43,38 @@ final case class UrlCanonExpr(child: Expression) extends UnaryExpression {
       s"graft_url_canon expects string, got ${other.sql}")
   }
 
+  /** Canonicalization entry point for generated code. */
+  def canon(u: UTF8String): InternalRow = UrlCanonExpr.canonRow(u)
+
+  override def nullSafeEval(input: Any): Any =
+    UrlCanonExpr.canonRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftUrlCanon", this,
+      classOf[UrlCanonExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.canon($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UrlCanonExpr = copy(child = newChild)
+
+  override def prettyName: String = "graft_url_canon"
+}
+
+object UrlCanonExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("canon", StringType, nullable = false),
+    StructField("host", StringType, nullable = false),
+    StructField("had_tracking", BooleanType, nullable = false)))
+
   private def lc(s: String): String =
     UTF8String.fromString(s).toLowerCase.toString
 
-  /** Canonicalization entry point for generated code. */
-  def canon(u: UTF8String): InternalRow = {
+  /** The one-pass canonicalization walk, shared with
+    * [[LinkResolveExpr]] (which canonicalizes the RESOLVED link in
+    * the same pass that classified and resolved it). */
+  def canonRow(u: UTF8String): InternalRow = {
     val s = u.toString
     val hashIdx = s.indexOf('#')
     val noFrag = if (hashIdx >= 0) s.substring(0, hashIdx) else s
@@ -118,26 +145,4 @@ final case class UrlCanonExpr(child: Expression) extends UnaryExpression {
       UTF8String.fromString(canonStr), UTF8String.fromString(host),
       java.lang.Boolean.valueOf(hadTrk)))
   }
-
-  override def nullSafeEval(input: Any): Any =
-    canon(input.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftUrlCanon", this,
-      classOf[UrlCanonExpr].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.canon($c)")
-  }
-
-  override protected def withNewChildInternal(
-      newChild: Expression): UrlCanonExpr = copy(child = newChild)
-
-  override def prettyName: String = "graft_url_canon"
-}
-
-object UrlCanonExpr {
-  val schema: StructType = StructType(Seq(
-    StructField("canon", StringType, nullable = false),
-    StructField("host", StringType, nullable = false),
-    StructField("had_tracking", BooleanType, nullable = false)))
 }

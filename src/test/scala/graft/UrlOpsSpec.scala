@@ -440,6 +440,52 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  test("native link resolver ≡ the column chain on generated " +
+    "(href, base) combinations and every planted shape") {
+    // LinkResolveExpr transcribes extractOutlinks' chain rule for
+    // rule; this pin makes any future drift a red spec. Hrefs cover:
+    // every kind class, case games in schemes, dot segments at every
+    // boundary (leading/trailing/inner, single and double, in the
+    // QUERY of an absolute href where they must NOT drop), multi-?,
+    // fragments inside relative hrefs, empty authority, tracking
+    // params; bases cover directory/file/bare/query+fragment raws
+    // and a no-scheme junk base.
+    val hrefs = Seq("", "#top", "#", "/a", "/a/b?b=2&a=1", "//cdn.net/x",
+      "//", "p", "p/q.html", "more?b=2&utm_x=1&a=1", "p#frag", "?q=1",
+      "sub/../up", "../up", "./", ".", "..", "a/.", "a/..b", "a/...b/c",
+      "ok?back=/a/../b", "https://h.com/a/../b", "HTTPS://WWW.Ex.COM/X//Y/",
+      "HTTP://h.com:80/p?z=1&utm_q=2", "http://h.com/ok?x=/../y",
+      "https://h.com", "mailto:x@y.z", "javascript:void(0)", "ftp://f/x",
+      "weird+scheme:op", "a1b:rel/ish", "http:/one-slash", "https:",
+      "//host/./x", "/root/./x", "x:y:z")
+    val bases = Seq(
+      ("https://ex.com/Docs/7", "https://ex.com/Docs/7"),
+      ("https://ex.com/Docs/7", "https://ex.com/Docs/7/"),
+      ("https://ex.com/Docs/7", "HTTPS://WWW.Ex.COM/Docs/7?x=1#f"),
+      ("https://ex.com/", "HTTPS://Ex.COM"),
+      ("http://ex.com:8080/a/b", "http://ex.com:8080/a/b"),
+      ("junk-no-scheme", "also junk"))
+    val rows = for {
+      (h, i) <- hrefs.zipWithIndex
+      ((bc, br), j) <- bases.zipWithIndex
+    } yield (i.toLong * 100 + j,
+      "<a href=\"" + h.replace("\"", "") + "\">x</a>", bc, br)
+    val df = rows.toDF("id", "html", "bc", "br")
+    def run(native: Boolean) = UrlOps.extractOutlinks(
+        df, "id", "html", "bc", "br", useNative = native)
+      .select("id", "href_raw", "link_kind", "link_url", "link_canon",
+        "link_host")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)),
+        Option(r.getString(5)))).sortBy(_._1).toSeq
+    val chain = run(native = false)
+    val native = run(native = true)
+    assert(chain.nonEmpty && chain.size === native.size)
+    chain.zip(native).foreach { case (c, n) =>
+      assert(n === c, s"native/chain drift: chain=$c native=$n")
+    }
+  }
+
   private def delayOf(txt: String, agent: String = "graftbot") =
     UrlOps.robotsCrawlDelay(
         Seq(("h.com", txt)).toDF("host", "txt"), "host", "txt", agent)
