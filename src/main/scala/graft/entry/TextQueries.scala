@@ -551,7 +551,99 @@ private[graft] object TextQueries {
       .otherwise(concat(lit("garbled capture "),
         col("doc_id").cast("string"))))
 
+  /** q166's charset plant: three non-ASCII samples, one per decode
+    * class — SampleU exercises 2-/3-/4-byte UTF-8 sequences (incl.
+    * non-BMP), SampleL is Latin-1-encodable, SampleW sits in cp1252's
+    * 0x80–0x9F window where it departs from Latin-1. The BYTE-VIEW
+    * literals (each payload byte as one char — what the byte-view gz
+    * seam yields) are DERIVED at class load from the samples via the
+    * JDK encoders, so plant and decode contract cannot drift; the
+    * oracle embeds the same views through [[sqlLit]] chr() chains
+    * (transport-proof for the C1-control chars a raw literal would
+    * carry). */
+  private[graft] val CharsetSampleU: String = "héllo – café 😀"
+  private[graft] val CharsetSampleL: String = "café naïve über"
+  private[graft] val CharsetSampleW: String = "€uro – it’s"
+  private[graft] val CharsetViewU: String = new String(
+    CharsetSampleU.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    java.nio.charset.StandardCharsets.ISO_8859_1)
+  private[graft] val CharsetViewW: String = new String(
+    CharsetSampleW.getBytes(java.nio.charset.Charset.forName("windows-1252")),
+    java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** A DuckDB string literal for `s` that never puts a non-ASCII or
+    * control char in the SQL text: printable-ASCII runs stay quoted,
+    * everything else becomes `chr(codepoint)`. */
+  private def sqlLit(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val run = new StringBuilder
+    def flush(): Unit =
+      if (run.nonEmpty) { parts += "'" + run.toString + "'"; run.clear() }
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp >= 0x20 && cp <= 0x7e && cp != '\'') run.append(cp.toChar)
+      else { flush(); parts += s"chr($cp)" }
+      i += Character.charCount(cp)
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
+  /** q166's planted HTTP payloads in the BYTE VIEW: per doc_id%4 a
+    * UTF-8-declared body (mixed-case declaration), a Latin-1-declared
+    * one, a QUOTED windows-1252 declaration, and an UNDECLARED body
+    * (defaults to UTF-8) — each view-encoded sample followed by a
+    * printable-ASCII-sanitized slice of the document text (ASCII's
+    * byte view is itself, so the slice needs no view transform and
+    * the oracle can rebuild it relationally). */
+  private[graft] def withPlantedCharsetHttp(df: DataFrame): DataFrame = {
+    val safe = regexp_replace(
+      substring(col("text"), 1, 60), "[^ -~]", "")
+    def payload(decl: String, view: String) = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html" + decl +
+        "\r\n\r\n" + view), safe)
+    df.withColumn("payload",
+      when(col("doc_id") % 4 === 0,
+        payload("; charset=UTF-8", CharsetViewU))
+        .when(col("doc_id") % 4 === 1,
+          payload("; charset=ISO-8859-1", CharsetSampleL))
+        .when(col("doc_id") % 4 === 2,
+          payload("; charset=\"Windows-1252\"", CharsetViewW))
+        .otherwise(payload("", CharsetViewU)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- DECLARED-charset decode (oracle-checked): the decode step
+    // between the byte-view WARC tier and the text tier — http_charset
+    // extracted from Content-Type (case-insensitive, optional quotes),
+    // the body decoded per declaration (UTF-8 / ISO-8859-1 /
+    // windows-1252; undeclared and unknown default to UTF-8) by the
+    // native graft_charset_decode projection. The oracle independently
+    // rebuilds the RAW byte view (raw_md5 pins the plant) and pins the
+    // decode against the EXPECTED sample text (decoded_md5) — a decoder
+    // that mangles any class hash-mismatches; roundtrip_ok carries the
+    // assertion live in the output.
+    "q166_charset_decode" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val safe = regexp_replace(
+        substring(col("text"), 1, 60), "[^ -~]", "")
+      val expected = concat(
+        when(col("doc_id") % 4 === 1, lit(CharsetSampleL))
+          .when(col("doc_id") % 4 === 2, lit(CharsetSampleW))
+          .otherwise(lit(CharsetSampleU)), safe)
+      val gated = graft.io.WarcIngest.withHttpResponse(
+        withPlantedCharsetHttp(t(s, dir, "documents")), "payload")
+      gated
+        .withColumn("decoded", graft.io.WarcIngest.decodeBodyCharset(
+          col("http_body"), col("http_charset")))
+        .select(col("doc_id"), col("http_charset"),
+          md5(col("http_body")).as("raw_md5"),
+          md5(col("decoded")).as("decoded_md5"),
+          (col("decoded") === expected).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
 
     // ---- HTTP response gate (oracle-checked): the admission check
     // between the WARC record tier and the crawl funnel — status-line
@@ -2179,6 +2271,46 @@ private[graft] object TextQueries {
       "CASE WHEN is_http THEN substring(p, length(hdr) + 5) END " +
       "AS http_body FROM hx)"
 
+  /** q166: the charset plant replayed — payloads rebuilt from the
+    * SAME byte-view constants (as [[sqlLit]] chr() chains), the same
+    * charset/body extraction regexes, raw_md5 from the independently
+    * rebuilt view, decoded_md5 pinned to the EXPECTED sample text
+    * (DuckDB cannot run the cp1252/UTF-8 decode itself — the expected
+    * value IS the spec the native decoder must hit), roundtrip true
+    * by construction. */
+  private def charsetDecodeOracleSql: String = {
+    val crlf = "chr(13) || chr(10)"
+    def payload(decl: String, viewLit: String) =
+      "'HTTP/1.1 200 OK' || " + crlf +
+        " || 'Content-Type: text/html" + decl + "' || " + crlf +
+        " || " + crlf + " || " + viewLit
+    "WITH pl AS (SELECT doc_id, doc_id % 4 AS cls, " +
+      "regexp_replace(substring(text, 1, 60), '[^ -~]', '', 'g') " +
+      "AS safe FROM documents),\n" +
+      "pp AS (SELECT doc_id, cls, safe, (CASE cls " +
+      "WHEN 0 THEN " + payload("; charset=UTF-8", sqlLit(CharsetViewU)) +
+      " WHEN 1 THEN " +
+      payload("; charset=ISO-8859-1", sqlLit(CharsetSampleL)) +
+      " WHEN 2 THEN " +
+      payload("; charset=\"Windows-1252\"", sqlLit(CharsetViewW)) +
+      " ELSE " + payload("", sqlLit(CharsetViewU)) +
+      " END) || safe AS p FROM pl),\n" +
+      "hx AS (SELECT doc_id, cls, safe, p, " +
+      "list_extract(string_split(p, " + crlf + " || " + crlf + "), 1) " +
+      "AS hdr FROM pp),\n" +
+      "px AS (SELECT doc_id, cls, safe, " +
+      "lower(trim(regexp_extract(hdr, " +
+      "'(?mi)^Content-Type:[^\r]*?charset=\"?([A-Za-z0-9_.:-]*)', 1), " +
+      "' ' || chr(9))) AS http_charset, " +
+      "substring(p, length(hdr) + 5) AS http_body FROM hx)\n" +
+      "SELECT doc_id, http_charset, md5(http_body) AS raw_md5, " +
+      "md5((CASE cls WHEN 1 THEN " + sqlLit(CharsetSampleL) +
+      " WHEN 2 THEN " + sqlLit(CharsetSampleW) +
+      " ELSE " + sqlLit(CharsetSampleU) + " END) || safe) " +
+      "AS decoded_md5, true AS roundtrip_ok " +
+      "FROM px ORDER BY doc_id"
+  }
+
   private def httpGateOracleSql: String =
     "WITH " + httpPlantCte + ",\n" +
       "hr AS (SELECT doc_id, p FROM pl),\n" +
@@ -2357,6 +2489,8 @@ private[graft] object TextQueries {
     "q162_frontier_recency" -> frontierRecencyOracleSql,
 
     "q163_http_response_gate" -> httpGateOracleSql,
+
+    "q166_charset_decode" -> charsetDecodeOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 

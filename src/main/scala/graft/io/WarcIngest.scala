@@ -90,16 +90,28 @@ object WarcIngest {
     * (whose Content-Length counts BYTES, diverging from chars on
     * multibyte content) is shared by BOTH tiers and surfaces as
     * `length_matches=false` rather than silent mis-slicing. */
-  private def gunzipToString(bytes: Array[Byte]): String = {
+  private def gunzipToString(bytes: Array[Byte],
+      charset: java.nio.charset.Charset =
+        java.nio.charset.StandardCharsets.UTF_8): String = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      // initial-size hint only: clamped to 64 MiB so the Int arithmetic
+      // cannot overflow negative on a >512 MB compressed archive (the
+      // stream still grows past the hint as needed). A single archive
+      // decompressing past 2 GiB cannot fit one JVM String — that is
+      // the seam's HARD bound, so callers must shard bigger archives
+      // (Common Crawl's ~1 GB-compressed/~4 GB-raw files ship as
+      // per-record gzip members and re-chunk losslessly on member
+      // boundaries); past it, ByteArrayOutputStream throws rather than
+      // silently truncating.
+      val hint = Math.toIntExact(Math.min(
+        Math.max(bytes.length.toLong * 4L, 64L), 1L << 26))
+      val out = new java.io.ByteArrayOutputStream(hint)
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray,
-        java.nio.charset.StandardCharsets.UTF_8)
+      new String(out.toByteArray, charset)
     } finally in.close()
   }
 
@@ -115,6 +127,12 @@ object WarcIngest {
     *     lowercased with parameters (`; charset=...`) stripped and
     *     RFC whitespace trimmed — empty when the header is absent
     *     (media types are case-insensitive, RFC 9110 §8.3.1);
+    *   - `http_charset`: the `charset=` parameter the media type
+    *     strips, lowercased, optional quote skipped — empty when
+    *     undeclared (the decode tier's signal: real crawls declare
+    *     ISO-8859-1/windows-1252, and honoring the declaration is the
+    *     first-line fix `TextOps.repairMojibake` otherwise backstops
+    *     heuristically — see [[decodeBodyCharset]]);
     *   - `http_location`: the `Location` header verbatim (the
     *     redirect-following signal, empty when absent);
     *   - `http_body`: everything past the first blank CRLF line
@@ -138,6 +156,11 @@ object WarcIngest {
         when(isHttp, regexp_extract(p, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
           .cast("long")))
       .withColumn("http_media_type", when(isHttp, ct).otherwise(lit("")))
+      .withColumn("http_charset",
+        when(isHttp, lower(trim(regexp_extract(hdr,
+          "(?mi)^Content-Type:[^\r]*?charset=\"?([A-Za-z0-9_.:-]*)", 1),
+          " \t")))
+          .otherwise(lit("")))
       .withColumn("http_location",
         when(isHttp, trim(regexp_extract(hdr,
           "(?mi)^Location:([^\r]*)", 1), " \t")).otherwise(lit("")))
@@ -165,17 +188,53 @@ object WarcIngest {
     * q159 archive→funnel round trip holds through this tier
     * (`CrawlFunnelSpec`). */
   def parseWarcRecordsGz(df: DataFrame, fileIdCol: String,
-      binCol: String): DataFrame = {
+      binCol: String): DataFrame =
+    parseWarcRecordsGz(df, fileIdCol, binCol, byteView = false)
+
+  /** [[parseWarcRecordsGz]] with a BYTE-VIEW tier (`byteView = true`):
+    * the archive decodes as ISO-8859-1 — a 1:1 byte→char map — so the
+    * relational parser's Content-Length arithmetic counts BYTES,
+    * exactly ISO 28500's contract (the UTF-8 tier counts CHARS and
+    * flags multibyte content `length_matches=false`), and response
+    * payloads come out as byte-view strings ready for the
+    * DECLARED-charset decode: `withHttpResponse` extracts
+    * `http_charset` (HTTP headers are ASCII, identical in both
+    * views), then [[decodeBodyCharset]] decodes each body per its
+    * declaration (UTF-8 / ISO-8859-1 / windows-1252 — real crawls
+    * declare all three; the old UTF-8-only whole-archive decode
+    * mangles the latter two, which `TextOps.repairMojibake` then has
+    * to backstop heuristically). Spec-pinned round trips in
+    * `WarcIngestSpec`. */
+  def parseWarcRecordsGz(df: DataFrame, fileIdCol: String,
+      binCol: String, byteView: Boolean): DataFrame = {
     val spark = df.sparkSession
+    // Charset objects are not serializable — ship the NAME, resolve
+    // once per partition inside the seam
+    val csName = if (byteView) "ISO-8859-1" else "UTF-8"
     implicit val enc: org.apache.spark.sql.Encoder[(Long, String)] =
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING)
     val txt = df.select(col(fileIdCol).cast("long"), col(binCol))
       .mapPartitions { rows =>
-        rows.map(r => (r.getLong(0), gunzipToString(r.getAs[Array[Byte]](1))))
+        val cs = java.nio.charset.Charset.forName(csName)
+        rows.map(r =>
+          (r.getLong(0), gunzipToString(r.getAs[Array[Byte]](1), cs)))
       }
       .toDF(fileIdCol, "__gz_txt")
     parseWarcRecords(txt, fileIdCol, "__gz_txt")
   }
+
+  /** The declared-charset decode of a BYTE-VIEW HTTP body
+    * (`graft.plans.CharsetDecodeExpr`): UTF-8 for `utf-8`/undeclared/
+    * unknown (malformed bytes become U+FFFD, never an exception),
+    * identity for `iso-8859-1`, the cp1252 table for `windows-1252`.
+    * Compose after [[parseWarcRecordsGz]]`(byteView = true)` +
+    * [[withHttpResponse]]: `decodeBodyCharset(col("http_body"),
+    * col("http_charset"))`. Zero-shuffle codegen'd projection;
+    * callers register `graft.plans.GraftFunctions` first (every
+    * catalog entry already does). */
+  def decodeBodyCharset(body: org.apache.spark.sql.Column,
+      charset: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_charset_decode", body, charset)
 }

@@ -307,6 +307,14 @@ object GraftFunctions {
         require(children.size == 3,
           "graft_link_resolve(href, base_canon, base_raw)")
         LinkResolveExpr(children(0), children(1), children(2))
+      }),
+    (FunctionIdentifier("graft_charset_decode"),
+      new ExpressionInfo(classOf[CharsetDecodeExpr].getName,
+        "graft_charset_decode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_charset_decode(byteView, charset)")
+        CharsetDecodeExpr(children.head, children(1))
       }))
 
   /** Idempotent runtime registration on an existing session: the native

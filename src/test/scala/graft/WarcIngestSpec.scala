@@ -138,6 +138,107 @@ class WarcIngestSpec extends SparkSpec {
     assert(viaText.exists(_.toString.contains("café ÿ")))
   }
 
+  test("http response parse: declared charset extracted — case, " +
+    "quotes, absence, non-first parameter") {
+    val rows = Seq(
+      (1L, "HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        "charset=ISO-8859-1\r\n\r\nx"),
+      (2L, "HTTP/1.1 200 OK\r\nContent-Type: TEXT/HTML; " +
+        "Charset=\"Windows-1252\"\r\n\r\nx"),
+      (3L, "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nx"),
+      (4L, "HTTP/1.1 200 OK\r\n\r\nx"),
+      (5L, "HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        "boundary=b; charset=utf-8\r\n\r\nx"),
+      (6L, "not http"))
+      .toDF("id", "payload")
+    val out = WarcIngest.withHttpResponse(rows, "payload")
+      .orderBy("id").select("http_charset")
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("iso-8859-1", "windows-1252", "", "", "utf-8", ""))
+  }
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+  private def recBytes(hdrs: Seq[(String, String)],
+      payload: Array[Byte]): Array[Byte] = {
+    val head = "WARC/1.0\r\n" +
+      (hdrs :+ ("Content-Length" -> payload.length.toString))
+        .map { case (k, v) => s"$k: $v" }.mkString("\r\n") + "\r\n\r\n"
+    head.getBytes(Ascii) ++ payload ++ "\r\n\r\n".getBytes(Ascii)
+  }
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(b); gz.close(); bo.toByteArray
+  }
+  private def httpBytes(charsetDecl: String, body: Array[Byte]) =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+      (if (charsetDecl.isEmpty) "" else "; charset=" + charsetDecl) +
+      "\r\n\r\n").getBytes(Ascii) ++ body
+
+  test("byte-view gzip tier + declared-charset decode: Latin-1, " +
+    "cp1252 and UTF-8 bodies all round-trip; Content-Length counts " +
+    "BYTES (ISO 28500)") {
+    graft.plans.GraftFunctions.register(spark)
+    val latin1Text = "café naïve über"
+    val cp1252Text = "€uro – it’s" // €, –, ’ — the 0x80–0x9F window
+    val utf8Text = "héllo 😀"      // multibyte incl. non-BMP
+    val archive = gzipBytes(
+      recBytes(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://a.com/1"),
+        httpBytes("ISO-8859-1", latin1Text.getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1))) ++
+      recBytes(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://a.com/2"),
+        httpBytes("Windows-1252",
+          cp1252Text.getBytes(java.nio.charset.Charset.forName(
+            "windows-1252")))) ++
+      recBytes(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://a.com/3"),
+        httpBytes("utf-8", utf8Text.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))) ++
+      recBytes(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://a.com/4"),
+        httpBytes("", utf8Text.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))))
+    val parsed = WarcIngest.parseWarcRecordsGz(
+      Seq((1L, archive)).toDF("id", "bin"), "id", "bin", byteView = true)
+    // byte-oriented Content-Length: every record is length-clean, the
+    // multibyte UTF-8 bodies included (the char-oriented tier flags them)
+    assert(parsed.select("length_matches").collect()
+      .forall(_.getBoolean(0)))
+    val out = WarcIngest.withHttpResponse(parsed, "payload")
+      .withColumn("decoded", WarcIngest.decodeBodyCharset(
+        col("http_body"), col("http_charset")))
+      .orderBy("rec_no").select("http_charset", "decoded")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out === Seq(
+      ("iso-8859-1", latin1Text),
+      ("windows-1252", cp1252Text),
+      ("utf-8", utf8Text),
+      ("", utf8Text))) // undeclared defaults to UTF-8
+    // the OLD UTF-8-only whole-archive decode mangles the Latin-1 body
+    // (0xE9 is a malformed UTF-8 sequence -> U+FFFD) — the reason the
+    // declared-charset tier exists
+    val old = WarcIngest.parseWarcRecordsGz(
+        Seq((1L, archive)).toDF("id", "bin"), "id", "bin")
+      .filter(col("target_uri") === "https://a.com/1")
+      .select("payload").head.getString(0)
+    assert(old.contains("�") && !old.contains("café"))
+  }
+
+  test("charset decode: unknown declarations fall back to UTF-8; " +
+    "malformed bytes surface as U+FFFD, never an exception") {
+    graft.plans.GraftFunctions.register(spark)
+    val out = Seq(
+        ("ok", "koi8-r"),              // unknown -> utf-8 path
+        ("é", "utf-8"),           // lone 0xE9 byte view: malformed
+        ("é", "iso-8859-1"))      // same byte, declared latin-1: é
+      .toDF("view", "cs")
+      .select(WarcIngest.decodeBodyCharset(col("view"), col("cs")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("ok", "�", "é"))
+  }
+
   test("gzip tier: archive bytes never cross an exchange — they die " +
     "in the mapPartitions seam") {
     val bin = gzip(rec(Seq("WARC-Type" -> "warcinfo"), "p"))
