@@ -518,7 +518,11 @@ object Dedup {
     // (the SeededAnnSoak arrays-through-a-sort spill shape). The size
     // side projects the block key STRAIGHT off the source (no shingle
     // computation rides the count — Catalyst prunes, but only if the
-    // projection never mentions sh)
+    // projection never mentions sh). Null-key contract: a null text
+    // yields a null block, which the null-rejecting semi-join drops —
+    // observably identical to the window formulation because the pair
+    // self-join on `block` below is equally null-rejecting; a null doc
+    // can never pair either way (pinned in NullKeySemanticsSpec)
     val okBlocks = df
       .select(substring(col(textCol), 1, prefixLen).as("block"))
       .groupBy(col("block")).agg(count(lit(1)).as("__n"))
@@ -739,6 +743,11 @@ object Dedup {
     * 23.8 s re-exploded vs 9.1 s window), whereas the explode is
     * map-only, parallel and skew-free. Bit-parity of all forms is
     * asserted in both the bench and the soak.
+    */
+  /** Null-key contract: `__k` is an md5 over concat_ws output, never
+    * null (a null text produces NO windows upstream — the start
+    * sequence explodes empty), so the null-rejecting semi-join cannot
+    * drop rows the old window retained (NullKeySemanticsSpec).
     */
   private[graft] def duplicatedStarts(windows: DataFrame,
                                       idCol: String): DataFrame = {
