@@ -613,7 +613,94 @@ private[graft] object TextQueries {
         .otherwise(payload("", CharsetViewU)))
   }
 
+  /** q167/q168's planted redirect universe: one response per document
+    * at the canonical URL `https://src{d%20}.example.com/d/{d}`, with
+    * doc_id%10 picking the response class —
+    *   - 0, 3: `200 text/html` (chain terminus classes);
+    *   - 1 → 2 → 3: a 301-then-302 chain of absolute CROSS-HOST
+    *     Locations (d%20 changes every step) landing on a fetched 200
+    *     two hops from the head;
+    *   - 4: `303` with a ROOT-RELATIVE `Location: /moved/home` — the
+    *     RFC 9110 §10.2.2 relative form, resolving against the fetched
+    *     URL's own host; every class-4 doc on a host lands on the SAME
+    *     target (the enqueue-once demonstration);
+    *   - 5 ↔ 6: a planted A→B→A cycle (301s, cross-host);
+    *   - 7: a 308 SELF-redirect (loop at hop 1);
+    *   - 8 → 9 → 1 → 2 → 3: a 4-hop 307 chain that exceeds the
+    *     maxHops=3 cap from class 8 and resolves at exactly hop 3 from
+    *     class 9 — except at the id boundary, where the overflowing
+    *     Location (`/d/{maxid+2}`) names a never-fetched URL and both
+    *     tails resolve DANGLING onto one shared final.
+    * Shared structure with the oracle via [[redirectCtes]]. */
+  private[graft] def withPlantedRedirectHttp(df: DataFrame): DataFrame = {
+    def uof(x: Column): Column = concat(lit("https://src"),
+      (x % 20).cast("string"), lit(".example.com/d/"), x.cast("string"))
+    val d = col("doc_id")
+    def redirect(status: String, loc: Column) = concat(
+      lit("HTTP/1.1 " + status + "\r\nLocation: "), loc,
+      lit("\r\nContent-Type: text/html\r\n\r\n<html>moved</html>"))
+    df.withColumn("url", uof(d))
+      .withColumn("payload",
+        when(d % 10 === 1, redirect("301 Moved Permanently", uof(d + 1)))
+          .when(d % 10 === 2, redirect("302 Found", uof(d + 1)))
+          .when(d % 10 === 4, redirect("303 See Other", lit("/moved/home")))
+          .when(d % 10 === 5, redirect("301 Moved Permanently", uof(d + 1)))
+          .when(d % 10 === 6, redirect("301 Moved Permanently", uof(d - 1)))
+          .when(d % 10 === 7, redirect("308 Permanent Redirect", uof(d)))
+          .when(d % 10 === 8, redirect("307 Temporary Redirect", uof(d + 1)))
+          .when(d % 10 === 9, redirect("307 Temporary Redirect", uof(d + 2)))
+          .otherwise(concat(
+            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+              "<html>doc "), d.cast("string"), lit("</html>"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- redirect-chain resolution (oracle-checked): the consumer of
+    // q163's http_location signal — ~6% of real fetches answer 30x, and
+    // a frontier that doesn't follow them dead-ends that share of the
+    // crawl. Bounded-hop iterative resolution in canonical space
+    // (relative Locations resolve through the same native walk as an
+    // href), visited-set loop detection (A→B→A and self-redirects flag
+    // without burning the cap), hop-cap give-up class
+    // (UrlOps.resolveRedirects; thin (src,dst) edges localCheckpointed
+    // once, each round one equi-join of the shrinking state).
+    "q167_redirect_chains" -> ((s, dir) => {
+      val gated = graft.io.WarcIngest.withHttpResponse(
+        withPlantedRedirectHttp(t(s, dir, "documents")), "payload")
+      graft.ext.UrlOps.resolveRedirects(gated, "url",
+          "http_status", "http_location", maxHops = 3)
+        .orderBy("start_url")
+    }),
+
+    // ---- redirect-fed frontier candidates (oracle-checked): resolved
+    // redirect finals become frontier candidates keyed by their FINAL
+    // canonical URL — many chains collapsing onto one target enqueue it
+    // ONCE (n_sources counts the collapsed chains), and finals that are
+    // already-fetched URLs anti-join away entirely, so the crawl never
+    // re-enqueues a page under a pre-redirect alias. Only the dangling
+    // finals (the per-host /moved/home target, the id-boundary
+    // overflow) survive into the queue.
+    "q168_redirect_frontier" -> ((s, dir) => {
+      val gated = graft.io.WarcIngest.withHttpResponse(
+        withPlantedRedirectHttp(t(s, dir, "documents")), "payload")
+      val resolved = graft.ext.UrlOps.resolveRedirects(gated, "url",
+          "http_status", "http_location", maxHops = 3)
+        .filter(col("status") === "resolved")
+      val cand = resolved
+        .join(gated.select(col("url").as("start_url"), col("doc_id")),
+          "start_url")
+        .groupBy(col("final_url").as("url_canon"))
+        .agg(min(col("doc_id")).as("found_by"),
+          count(lit(1)).as("n_sources"))
+      cand.join(gated.select(col("url").as("url_canon")).distinct(),
+          Seq("url_canon"), "left_anti")
+        .withColumn("link_host", regexp_extract(col("url_canon"),
+          "^[a-z][a-z0-9+.-]*://([^/?]*)", 1))
+        .select(col("link_host"), col("url_canon"), col("found_by"),
+          col("n_sources"))
+        .orderBy("link_host", "url_canon")
+    }),
 
     // ---- DECLARED-charset decode (oracle-checked): the decode step
     // between the byte-view WARC tier and the text tier — http_charset
@@ -2321,6 +2408,81 @@ private[graft] object TextQueries {
       "CASE WHEN http_body IS NOT NULL THEN md5(http_body) END " +
       "AS body_md5 FROM px ORDER BY doc_id"
 
+  /** q167/q168: the redirect plant's EDGE relation and the unrolled
+    * bounded-hop resolution (maxHops=3 → two advance rounds + the
+    * final still-redirecting probe), replaying
+    * `UrlOps.resolveRedirects` exactly — cur/hops/visited-list/loop
+    * state per round, loop = membership in `seen ∪ {cur}` (so A→B→A
+    * and self-redirects close without burning the cap). Ends in
+    * `rf(start_url, cur, hops, lp, nxt)`. Shared by both oracles. */
+  private def redirectCtes: String = {
+    def uof(x: String): String =
+      s"'https://src' || CAST(($x) % 20 AS VARCHAR) || " +
+        s"'.example.com/d/' || CAST(($x) AS VARCHAR)"
+    def advance(prev: String): String =
+      s"SELECT start_url, " +
+        "CASE WHEN NOT lp AND e.dst IS NOT NULL AND " +
+        "NOT list_contains(list_append(seen, cur), e.dst) " +
+        "THEN e.dst ELSE cur END AS cur, " +
+        "hops + (CASE WHEN NOT lp AND e.dst IS NOT NULL " +
+        "THEN 1 ELSE 0 END) AS hops, " +
+        "CASE WHEN NOT lp AND e.dst IS NOT NULL AND " +
+        "NOT list_contains(list_append(seen, cur), e.dst) " +
+        "THEN list_append(seen, cur) ELSE seen END AS seen, " +
+        "lp OR (NOT lp AND e.dst IS NOT NULL AND " +
+        "list_contains(list_append(seen, cur), e.dst)) AS lp " +
+        s"FROM $prev LEFT JOIN redges e ON $prev.cur = e.src"
+    "ru AS (SELECT doc_id, doc_id % 10 AS c, " + uof("doc_id") +
+      " AS u FROM documents),\n" +
+      "redges AS (SELECT u AS src, CASE c " +
+      "WHEN 1 THEN " + uof("doc_id + 1") +
+      " WHEN 2 THEN " + uof("doc_id + 1") +
+      " WHEN 4 THEN 'https://src' || CAST(doc_id % 20 AS VARCHAR) || " +
+      "'.example.com/moved/home' " +
+      "WHEN 5 THEN " + uof("doc_id + 1") +
+      " WHEN 6 THEN " + uof("doc_id - 1") +
+      " WHEN 7 THEN u " +
+      "WHEN 8 THEN " + uof("doc_id + 1") +
+      " WHEN 9 THEN " + uof("doc_id + 2") +
+      " END AS dst FROM ru WHERE c IN (1, 2, 4, 5, 6, 7, 8, 9)),\n" +
+      "r1 AS (SELECT src AS start_url, dst AS cur, " +
+      "CAST(1 AS BIGINT) AS hops, [src] AS seen, dst = src AS lp " +
+      "FROM redges),\n" +
+      "r2 AS (" + advance("r1") + "),\n" +
+      "r3 AS (" + advance("r2") + "),\n" +
+      "rf AS (SELECT r3.start_url, r3.cur, r3.hops, r3.lp, " +
+      "e.dst AS nxt FROM r3 LEFT JOIN redges e ON r3.cur = e.src)"
+  }
+
+  /** q167: one row per redirect response — final URL (null on loops),
+    * hops followed (loop-closing hop included), and the
+    * resolved/loop/cap verdict. */
+  private def redirectChainsOracleSql: String =
+    "WITH " + redirectCtes + "\n" +
+      "SELECT start_url, CASE WHEN lp THEN NULL ELSE cur END " +
+      "AS final_url, hops, " +
+      "CASE WHEN lp THEN 'loop' WHEN nxt IS NOT NULL THEN 'cap' " +
+      "ELSE 'resolved' END AS status " +
+      "FROM rf ORDER BY start_url"
+
+  /** q168: resolved finals grouped by FINAL canonical URL (enqueue
+    * once; n_sources counts collapsed chains), anti-joined against the
+    * fetched set — only dangling finals enter the queue. */
+  private def redirectFrontierOracleSql: String =
+    "WITH " + redirectCtes + ",\n" +
+      "res AS (SELECT start_url, cur AS final_url FROM rf " +
+      "WHERE NOT lp AND nxt IS NULL),\n" +
+      "wsrc AS (SELECT res.final_url, ru.doc_id FROM res " +
+      "JOIN ru ON res.start_url = ru.u),\n" +
+      "rcand AS (SELECT final_url AS url_canon, min(doc_id) AS found_by, " +
+      "count(*) AS n_sources FROM wsrc GROUP BY 1),\n" +
+      "rfresh AS (SELECT rcand.* FROM rcand LEFT JOIN " +
+      "(SELECT DISTINCT u FROM ru) fu ON rcand.url_canon = fu.u " +
+      "WHERE fu.u IS NULL)\n" +
+      "SELECT regexp_extract(url_canon, " +
+      "'^[a-z][a-z0-9+.-]*://([^/?]*)', 1) AS link_host, url_canon, " +
+      "found_by, n_sources FROM rfresh ORDER BY link_host, url_canon"
+
   /** q162: the recency frontier replayed — link candidates (shared
     * [[linkCtes]]) unioned with in-scope sitemap entries (shared
     * [[sitemapCtes]], found_by −1), the q154 anti join + robots max,
@@ -2491,6 +2653,10 @@ private[graft] object TextQueries {
     "q163_http_response_gate" -> httpGateOracleSql,
 
     "q166_charset_decode" -> charsetDecodeOracleSql,
+
+    "q167_redirect_chains" -> redirectChainsOracleSql,
+
+    "q168_redirect_frontier" -> redirectFrontierOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 

@@ -720,4 +720,92 @@ object UrlOps {
       .withColumn("rule_match_len", expr("__score div 2"))
       .drop("__score")
   }
+
+  /** HTTP status codes whose `Location` header redirects the fetch
+    * (RFC 9110 §15.4 — the 306/300 non-automatic classes excluded). */
+  val RedirectStatuses: Seq[Long] = Seq(301L, 302L, 303L, 307L, 308L)
+
+  /** Bounded-hop redirect-chain resolution — the consumer of the
+    * `http_location` signal [[graft.io.WarcIngest.withHttpResponse]]
+    * extracts (the reference pipeline has no fetch tier at all;
+    * reference `project/etl2.py` ingests pre-fetched CSV): ~6% of real
+    * fetches answer 30x, and a frontier that does not follow them to
+    * their final URL dead-ends that share of the crawl and re-enqueues
+    * targets it has already seen under their pre-redirect aliases.
+    *
+    * Input: one row per FETCHED URL (`urlCol`, already canonical),
+    * with the response's `statusCol` and raw `locationCol` (empty/null
+    * when absent). A `Location` may be relative (RFC 9110 §10.2.2) —
+    * it resolves against the fetched URL through the same one-pass
+    * native walk as an href (`graft_link_resolve`), so the chain is
+    * followed in CANONICAL space and a target never enqueues twice
+    * under trivially-different spellings.
+    *
+    * Output: one row per redirect RESPONSE (not just chain heads) —
+    * `start_url`, `final_url` (null for loops), `hops` (Location
+    * headers followed, the loop-closing hop included), and `status`:
+    * `resolved` (final target answers non-30x or was never fetched),
+    * `loop` (the chain revisited a URL — detected by membership in
+    * the carried visited set, so an A→B→A cycle and a self-redirect
+    * both flag without waiting for the hop cap), or `cap` (still
+    * redirecting after `maxHops` — the crawler's give-up class, RFC
+    * 9110's guard against infinite indirection).
+    *
+    * 100 TB shape: the edge relation is two short strings per
+    * redirect response (~6% of fetches, payloads and headers die in
+    * the projection) and is `localCheckpoint`ed once — each of the
+    * `maxHops` rounds is then one equi-join of the shrinking
+    * still-redirecting state against that materialized thin relation
+    * on the uniform canonical-URL key, never a re-parse of the
+    * response tier. State rows carry a visited array bounded by
+    * `maxHops` entries; no window, no driver-side data, and loop rows
+    * stop joining as soon as they flag. Iteration count is the hop
+    * cap — a constant (browsers give up near 20; crawlers 3–5), not a
+    * data-dependent fixpoint. */
+  def resolveRedirects(responses: DataFrame, urlCol: String,
+      statusCol: String, locationCol: String,
+      maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be positive: $maxHops")
+    graft.plans.GraftFunctions.register(responses.sparkSession)
+    val edges = responses
+      .filter(col(statusCol).isin(RedirectStatuses: _*) &&
+        col(locationCol).isNotNull && col(locationCol) =!= "")
+      .select(col(urlCol).as("__src"),
+        call_function("graft_link_resolve", col(locationCol),
+          col(urlCol), col(urlCol))("canon").as("__dst"))
+      .filter(col("__dst").isNotNull)
+      .localCheckpoint()
+    var state = edges.select(
+      col("__src").as("start_url"),
+      col("__dst").as("__cur"),
+      lit(1L).as("hops"),
+      array(col("__src")).as("__seen"),
+      (col("__dst") <=> col("__src")).as("__loop"))
+    val nextHop = edges.select(col("__src").as("__cur"),
+      col("__dst").as("__nxt"))
+    for (_ <- 2 to maxHops) {
+      val j = state.join(nextHop, Seq("__cur"), "left")
+      val active = !col("__loop") && col("__nxt").isNotNull
+      val closes = active &&
+        (array_contains(col("__seen"), col("__nxt")) ||
+          col("__nxt") <=> col("__cur"))
+      state = j.select(
+        col("start_url"),
+        when(active && !closes, col("__nxt"))
+          .otherwise(col("__cur")).as("__cur"),
+        (col("hops") + when(active, 1L).otherwise(0L)).as("hops"),
+        when(active && !closes,
+          concat(col("__seen"), array(col("__cur"))))
+          .otherwise(col("__seen")).as("__seen"),
+        (col("__loop") || closes).as("__loop"))
+        .localCheckpoint()
+    }
+    state.join(nextHop, Seq("__cur"), "left")
+      .select(col("start_url"),
+        when(!col("__loop"), col("__cur")).as("final_url"),
+        col("hops"),
+        when(col("__loop"), lit("loop"))
+          .when(col("__nxt").isNotNull, lit("cap"))
+          .otherwise(lit("resolved")).as("status"))
+  }
 }

@@ -38,7 +38,11 @@ class AqeParitySpec extends SparkSpec {
     // residuals over the pruned broadcast; q162 adds the sitemap
     // union + recency-packed graft_top_k ordinal; q100's dup decision
     // became the re-exploding aggregate + semi-join
-    "q161_robots_wildcards", "q162_frontier_recency", "q100_dup_spans")
+    "q161_robots_wildcards", "q162_frontier_recency", "q100_dup_spans",
+    // round 13: bounded-hop redirect resolution — iterative equi-joins
+    // over a localCheckpointed edge relation, then (q168) an anti join
+    // + final-URL aggregation on top
+    "q167_redirect_chains", "q168_redirect_frontier")
 
   test("AQE on and off produce identical rows for partition-sensitive " +
     "queries") {
