@@ -654,7 +654,81 @@ private[graft] object TextQueries {
               "<html>doc "), d.cast("string"), lit("</html>"))))
   }
 
+  /** q169's planted conditional-fetch responses at the q167 URL
+    * scheme: per doc_id%6 a fresh IMF-fixdate `Last-Modified` with a
+    * strong `ETag` (bucket 0), a stale 2020 date without an ETag
+    * (bucket 11, still validator-attested), a WEAK ETag with no date
+    * (unknown age but conditional-eligible), a MALFORMED ISO-shaped
+    * date the strict IMF gate must reject (bucket 12 — never
+    * mis-parsed), neither header (the unconditional class), and a
+    * ~100-day date (bucket 3). Odd hosts carry no class-0 docs
+    * (gcd(20,6)=2), so their schedules lead with bucket 3 — the
+    * budget output varies by host. Shared structure with the oracle
+    * via [[refetchOracleSql]]. */
+  private[graft] def withPlantedConditionalHttp(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val etag = concat(lit("ETag: \"v"), d.cast("string"), lit("\"\r\n"))
+    val weakEtag = concat(lit("ETag: W/\"v"), d.cast("string"),
+      lit("\"\r\n"))
+    def lm(s: String) = lit("Last-Modified: " + s + "\r\n")
+    def ok(extra: Column) = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"), extra,
+      lit("\r\n<html>page</html>"))
+    df.withColumn("url", concat(lit("https://src"),
+        (d % 20).cast("string"), lit(".example.com/d/"),
+        d.cast("string")))
+      .withColumn("payload",
+        when(d % 6 === 0,
+          ok(concat(etag, lm("Mon, 02 Feb 2026 10:00:00 GMT"))))
+          .when(d % 6 === 1, ok(lm("Sun, 15 Mar 2020 08:49:37 GMT")))
+          .when(d % 6 === 2, ok(weakEtag))
+          .when(d % 6 === 3, ok(concat(etag, lm("2026-02-01"))))
+          .when(d % 6 === 4, ok(lit("")))
+          .otherwise(
+            ok(concat(etag, lm("Sat, 01 Nov 2025 00:00:00 GMT")))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- conditional re-fetch schedule (oracle-checked): the
+    // consumer of the ETag/Last-Modified validators the HTTP gate now
+    // extracts — a crawl's RE-fetch queue ranks already-fetched pages
+    // by header-attested age (strict IMF-fixdate → ISO → the SAME
+    // 30-day recencyBucket as sitemap lastmod; malformed dates rank
+    // unknown, never mis-parse) and carries the ETag so the fetch can
+    // send If-None-Match and spend a 304 instead of a body. Per-host
+    // graft_top_k budget (O(k) state, map-side combine) ordered
+    // (age bucket ASC, url ASC) — fresh pages re-crawl first.
+    "q169_refetch_schedule" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val gated = graft.io.WarcIngest.withHttpResponse(
+        withPlantedConditionalHttp(t(s, dir, "documents")), "payload")
+      val sched = gated.filter(col("is_fetch_content"))
+        .withColumn("lastmod_iso", graft.ext.UrlOps.httpDateToIso(
+          col("http_last_modified")))
+        .withColumn("age_bucket", graft.ext.UrlOps.recencyBucket(
+          col("lastmod_iso"), "2026-02-10"))
+        .withColumn("host", regexp_extract(col("url"),
+          "^[a-z][a-z0-9+.-]*://([^/?]*)", 1))
+        .withColumn("has_validator",
+          // rides the budget payload as 0/1 (graft_top_k structs are
+          // int/string-typed), back to boolean in the final select
+          when(col("http_etag") =!= "" || col("lastmod_iso") =!= "",
+            1L).otherwise(0L))
+      sched.groupBy(col("host"))
+        .agg(call_function("graft_top_k",
+          -col("age_bucket").cast("double"),
+          struct(col("url"), col("http_etag"), col("has_validator")),
+          lit(3)).as("top"))
+        .select(col("host"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("host"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("s.payload.url").as("url_canon"),
+          (-col("s.ord")).cast("long").as("age_bucket"),
+          col("s.payload.http_etag").as("etag"),
+          (col("s.payload.has_validator") === 1L).as("has_validator"))
+        .orderBy("host", "rank")
+    }),
 
     // ---- redirect-chain resolution (oracle-checked): the consumer of
     // q163's http_location signal — ~6% of real fetches answer 30x, and
@@ -2465,6 +2539,68 @@ private[graft] object TextQueries {
       "ELSE 'resolved' END AS status " +
       "FROM rf ORDER BY start_url"
 
+  /** q169: the conditional-fetch plant and schedule replayed — the
+    * same (?mi) header pulls, the same strict IMF-fixdate regex with
+    * a CASE month map, the q162 30-day bucket formulation over the
+    * converted ISO date, and the per-host budget window ordered
+    * (bucket, url) — graft_top_k's (ord DESC, payload ASC) replayed. */
+  private def refetchOracleSql: String = {
+    val crlf = "chr(13) || chr(10)"
+    val imfRx = "'^[A-Za-z]{3}, ([0-9]{2}) (Jan|Feb|Mar|Apr|May|Jun|" +
+      "Jul|Aug|Sep|Oct|Nov|Dec) ([0-9]{4}) " +
+      "[0-9]{2}:[0-9]{2}:[0-9]{2} GMT$'"
+    val monthCase = "CASE regexp_extract(lm, " + imfRx + ", 2) " +
+      "WHEN 'Jan' THEN '01' WHEN 'Feb' THEN '02' WHEN 'Mar' THEN '03' " +
+      "WHEN 'Apr' THEN '04' WHEN 'May' THEN '05' WHEN 'Jun' THEN '06' " +
+      "WHEN 'Jul' THEN '07' WHEN 'Aug' THEN '08' WHEN 'Sep' THEN '09' " +
+      "WHEN 'Oct' THEN '10' WHEN 'Nov' THEN '11' ELSE '12' END"
+    "WITH pc AS (SELECT doc_id, doc_id % 6 AS c, " +
+      "'https://src' || CAST(doc_id % 20 AS VARCHAR) || " +
+      "'.example.com/d/' || CAST(doc_id AS VARCHAR) AS u, " +
+      "'ETag: \"v' || CAST(doc_id AS VARCHAR) || '\"' || " + crlf +
+      " AS et, " +
+      "'ETag: W/\"v' || CAST(doc_id AS VARCHAR) || '\"' || " + crlf +
+      " AS wet FROM documents),\n" +
+      "pl2 AS (SELECT doc_id, u, 'HTTP/1.1 200 OK' || " + crlf +
+      " || 'Content-Type: text/html' || " + crlf + " || (CASE c " +
+      "WHEN 0 THEN et || " +
+      "'Last-Modified: Mon, 02 Feb 2026 10:00:00 GMT' || " + crlf +
+      " WHEN 1 THEN 'Last-Modified: Sun, 15 Mar 2020 08:49:37 GMT' || " +
+      crlf +
+      " WHEN 2 THEN wet " +
+      "WHEN 3 THEN et || 'Last-Modified: 2026-02-01' || " + crlf +
+      " WHEN 4 THEN '' " +
+      "ELSE et || 'Last-Modified: Sat, 01 Nov 2025 00:00:00 GMT' || " +
+      crlf + " END) || " + crlf +
+      " || '<html>page</html>' AS p FROM pc),\n" +
+      "hx2 AS (SELECT doc_id, u, list_extract(string_split(p, " +
+      crlf + " || " + crlf + "), 1) AS hdr FROM pl2),\n" +
+      "px2 AS (SELECT doc_id, u, " +
+      "trim(regexp_extract(hdr, '(?mi)^ETag:([^\r]*)', 1), " +
+      "' ' || chr(9)) AS etag, " +
+      "trim(regexp_extract(hdr, '(?mi)^Last-Modified:([^\r]*)', 1), " +
+      "' ' || chr(9)) AS lm FROM hx2),\n" +
+      "iso AS (SELECT doc_id, u, etag, " +
+      "CASE WHEN regexp_matches(lm, " + imfRx + ") THEN " +
+      "regexp_extract(lm, " + imfRx + ", 3) || '-' || (" + monthCase +
+      ") || '-' || regexp_extract(lm, " + imfRx + ", 1) " +
+      "ELSE '' END AS lastmod_iso FROM px2),\n" +
+      "rb2 AS (SELECT u, etag, lastmod_iso, " +
+      "regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) AS host, " +
+      "CAST(CASE WHEN " +
+      "regexp_matches(lastmod_iso, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') " +
+      "AND try_cast(lastmod_iso AS DATE) IS NOT NULL THEN " +
+      "least(greatest(date_diff('day', try_cast(lastmod_iso AS DATE), " +
+      "DATE '2026-02-10'), 0) // 30, 11) ELSE 12 END AS BIGINT) " +
+      "AS age_bucket, " +
+      "(etag <> '' OR lastmod_iso <> '') AS has_validator FROM iso),\n" +
+      "rk2 AS (SELECT *, row_number() OVER (PARTITION BY host " +
+      "ORDER BY age_bucket, u) AS rnk FROM rb2)\n" +
+      "SELECT host, CAST(rnk AS BIGINT) AS rank, u AS url_canon, " +
+      "age_bucket, etag, has_validator FROM rk2 WHERE rnk <= 3 " +
+      "ORDER BY host, rank"
+  }
+
   /** q168: resolved finals grouped by FINAL canonical URL (enqueue
     * once; n_sources counts collapsed chains), anti-joined against the
     * fetched set — only dangling finals enter the queue. */
@@ -2657,6 +2793,8 @@ private[graft] object TextQueries {
     "q167_redirect_chains" -> redirectChainsOracleSql,
 
     "q168_redirect_frontier" -> redirectFrontierOracleSql,
+
+    "q169_refetch_schedule" -> refetchOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 

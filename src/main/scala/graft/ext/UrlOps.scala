@@ -543,6 +543,33 @@ object UrlOps {
         lit(11L)))
   }
 
+  /** Strict IMF-fixdate → ISO `yyyy-MM-dd` conversion for the
+    * `Last-Modified` response header (RFC 9110 §5.6.7: `Sun, 06 Nov
+    * 1994 08:49:37 GMT` — the only format a compliant server sends;
+    * the obsolete RFC 850/asctime forms are deliberately NOT
+    * accepted, same strict-format discipline as [[recencyBucket]]'s
+    * date gate: anything non-conforming converts to `''` and ranks
+    * as unknown age rather than mis-parsing). Pure zero-shuffle
+    * projection; impossible dates that pass the shape regex (Feb 30)
+    * fall to [[recencyBucket]]'s `try_to_timestamp` gate exactly as
+    * sitemap lastmods do. */
+  def httpDateToIso(httpDate: Column): Column = {
+    val rx = "^[A-Za-z]{3}, ([0-9]{2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|" +
+      "Aug|Sep|Oct|Nov|Dec) ([0-9]{4}) " +
+      "[0-9]{2}:[0-9]{2}:[0-9]{2} GMT$"
+    val day = regexp_extract(httpDate, rx, 1)
+    val mon = regexp_extract(httpDate, rx, 2)
+    val yr = regexp_extract(httpDate, rx, 3)
+    val mm = when(mon === "Jan", "01").when(mon === "Feb", "02")
+      .when(mon === "Mar", "03").when(mon === "Apr", "04")
+      .when(mon === "May", "05").when(mon === "Jun", "06")
+      .when(mon === "Jul", "07").when(mon === "Aug", "08")
+      .when(mon === "Sep", "09").when(mon === "Oct", "10")
+      .when(mon === "Nov", "11").otherwise("12")
+    when(yr === "", lit("")).otherwise(
+      concat(yr, lit("-"), mm, lit("-"), day))
+  }
+
   /** Sitemap-INDEX parser (sitemaps.org `<sitemapindex>` tier): the
     * `<sitemap>` entries [[parseSitemap]] deliberately ignores are the
     * CHILD-sitemap fetch queue — a large site's sitemap.xml is an

@@ -135,6 +135,12 @@ object WarcIngest {
     *     heuristically — see [[decodeBodyCharset]]);
     *   - `http_location`: the `Location` header verbatim (the
     *     redirect-following signal, empty when absent);
+    *   - `http_etag` / `http_last_modified`: the conditional
+    *     re-fetch validators (RFC 9110 §8.8) verbatim, empty when
+    *     absent — `ETag` rides the re-fetch schedule as the
+    *     `If-None-Match` token, `Last-Modified` feeds the
+    *     header-attested recency ranking
+    *     ([[graft.ext.UrlOps.httpDateToIso]] → `recencyBucket`);
     *   - `http_body`: everything past the first blank CRLF line
     *     (null for non-HTTP payloads);
     *   - `is_fetch_content`: status 200 AND media type `text/html` —
@@ -164,6 +170,12 @@ object WarcIngest {
       .withColumn("http_location",
         when(isHttp, trim(regexp_extract(hdr,
           "(?mi)^Location:([^\r]*)", 1), " \t")).otherwise(lit("")))
+      .withColumn("http_etag",
+        when(isHttp, trim(regexp_extract(hdr,
+          "(?mi)^ETag:([^\r]*)", 1), " \t")).otherwise(lit("")))
+      .withColumn("http_last_modified",
+        when(isHttp, trim(regexp_extract(hdr,
+          "(?mi)^Last-Modified:([^\r]*)", 1), " \t")).otherwise(lit("")))
       .withColumn("http_body",
         when(isHttp, p.substr(length(hdr) + 5, length(p))))
       .withColumn("is_fetch_content",

@@ -708,4 +708,40 @@ class UrlOpsSpec extends SparkSpec {
     val once = canon(raw.head)
     assert(canon(once) === once)
   }
+
+  test("httpDateToIso: strict IMF-fixdate only — every month maps, " +
+    "obsolete/ISO/shifted forms convert to empty") {
+    import spark.implicits._
+    val months = Seq("Jan" -> "01", "Feb" -> "02", "Mar" -> "03",
+      "Apr" -> "04", "May" -> "05", "Jun" -> "06", "Jul" -> "07",
+      "Aug" -> "08", "Sep" -> "09", "Oct" -> "10", "Nov" -> "11",
+      "Dec" -> "12")
+    val good = months.map { case (m, _) =>
+      s"Sun, 06 $m 1994 08:49:37 GMT" }
+    val bad = Seq(
+      "Sunday, 06-Nov-94 08:49:37 GMT", // RFC 850 (obsolete)
+      "Sun Nov  6 08:49:37 1994",       // asctime (obsolete)
+      "2026-02-01",                     // ISO, not IMF
+      "Sun, 6 Nov 1994 08:49:37 GMT",   // 1-digit day
+      "Sun, 06 Nov 1994 08:49:37 UTC",  // wrong zone token
+      "")
+    val out = (good ++ bad).toDF("lm")
+      .select(graft.ext.UrlOps.httpDateToIso(col("lm")))
+      .as[String].collect()
+    assert(out.take(12).toSeq == months.map(p => s"1994-${p._2}-06"))
+    assert(out.drop(12).forall(_ == ""))
+  }
+
+  test("httpDateToIso: shape-valid impossible dates fall to the " +
+    "recency bucket's date gate (unknown age), real dates bucket") {
+    import spark.implicits._
+    val out = Seq(
+      "Mon, 30 Feb 2026 00:00:00 GMT", // impossible, shape-valid
+      "Mon, 02 Feb 2026 10:00:00 GMT") // 8 days before as-of
+      .toDF("lm")
+      .select(graft.ext.UrlOps.recencyBucket(
+        graft.ext.UrlOps.httpDateToIso(col("lm")), "2026-02-10"))
+      .as[Long].collect()
+    assert(out.toSeq == Seq(12L, 0L))
+  }
 }

@@ -100,6 +100,25 @@ class WarcIngestSpec extends SparkSpec {
       (None, "", "", None, false)))
   }
 
+  test("http response parse: ETag and Last-Modified validators — " +
+    "verbatim incl. weak tags, case-insensitive, empty when absent") {
+    val rows = Seq(
+      (1L, "HTTP/1.1 200 OK\r\netag: \"abc123\"\r\nlast-modified: " +
+        "Sun, 06 Nov 1994 08:49:37 GMT\r\n\r\nbody"),
+      (2L, "HTTP/1.1 200 OK\r\nETag: W/\"weak-1\"\r\n\r\nbody"),
+      (3L, "HTTP/1.1 200 OK\r\n\r\nbody"),
+      (4L, "not http"))
+      .toDF("id", "payload")
+    val out = WarcIngest.withHttpResponse(rows, "payload")
+      .orderBy("id").select("http_etag", "http_last_modified")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out === Seq(
+      ("\"abc123\"", "Sun, 06 Nov 1994 08:49:37 GMT"),
+      ("W/\"weak-1\"", ""),
+      ("", ""),
+      ("", "")))
+  }
+
   private def gzip(s: String): Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bo)
