@@ -688,7 +688,74 @@ private[graft] object TextQueries {
             ok(concat(etag, lm("Sat, 01 Nov 2025 00:00:00 GMT")))))
   }
 
+  /** q170's variant-URL plant: five URL variants per content group
+    * (`/p/{g}/v0..v4`, one host per group), identical body text within
+    * the group, and a per-group `<link rel="canonical">` class —
+    * declare member v2 (relative href on g≡0 (mod 8), absolute
+    * otherwise — the declared winner BEATS min-id v0), declare a
+    * CROSS-HOST canonical (ignored — hijack vector), declare nothing,
+    * or declare an in-host NON-member (`/master` — falls back to
+    * min-id). Tag attribute order alternates by doc parity, and every
+    * page carries a stylesheet `<link>` decoy the patterns must not
+    * match. Shared structure with the oracle via
+    * [[declaredCanonicalOracleSql]]. */
+  private[graft] def withPlantedCanonicalDecl(df: DataFrame): DataFrame = {
+    val g = expr("doc_id div 5")
+    val v = col("doc_id") % 5
+    val host = concat(lit("src"), (g % 20).cast("string"),
+      lit(".example.com"))
+    val content = concat(lit("canonical probe text for group "),
+      g.cast("string"))
+    val v2abs = concat(lit("https://"), host, lit("/p/"),
+      g.cast("string"), lit("/v2"))
+    val v2rel = concat(lit("/p/"), g.cast("string"), lit("/v2"))
+    val declHref =
+      when(g % 4 === 0, when(g % 8 === 0, v2rel).otherwise(v2abs))
+        .when(g % 4 === 1, concat(lit("https://other.example.net/p/"),
+          g.cast("string")))
+        .when(g % 4 === 3, concat(lit("https://"), host, lit("/p/"),
+          g.cast("string"), lit("/master")))
+    val linkTag = when(declHref.isNull, lit(""))
+      .when(col("doc_id") % 2 === 0,
+        concat(lit("<link rel=\"canonical\" href=\""), declHref,
+          lit("\">")))
+      .otherwise(concat(lit("<link href=\""), declHref,
+        lit("\" rel=\"canonical\">")))
+    df.withColumn("url", concat(lit("https://"), host, lit("/p/"),
+        g.cast("string"), lit("/v"), v.cast("string")))
+      .withColumn("g_txt", content)
+      .withColumn("html", concat(
+        lit("<html><head>" +
+          "<link rel=\"stylesheet\" href=\"/css/main.css\">"),
+        linkTag, lit("</head><body><p>"), content,
+        lit("</p></body></html>")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- declared-canonical dedup pick (oracle-checked): the
+    // pre-content-hash dedup hint — variant URLs (session ids, print
+    // views) declare one canonical via <link rel="canonical">, and the
+    // exact-dup pick honors the site's own statement: an in-host
+    // declaration naming a group member wins over min-id; cross-host
+    // declarations are ignored and non-member targets fall back. The
+    // verdict computes on thin (id, url, decl, hash) projections with
+    // min() aggregates — no window, payloads never ride a
+    // content-keyed exchange (UrlOps.withDeclaredCanonical +
+    // Dedup.declaredCanonicalPick).
+    "q170_declared_canonical" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val pages = withPlantedCanonicalDecl(t(s, dir, "documents"))
+      val withDecl = graft.ext.UrlOps.withDeclaredCanonical(
+        pages, "html", "url", "url")
+      val hashed = withDecl.withColumn("content_hash", md5(col("g_txt")))
+      graft.ext.Dedup.declaredCanonicalPick(hashed, "doc_id", "url",
+          "decl_canon", "content_hash")
+        .select(col("doc_id"), col("url").as("url_canon"),
+          coalesce(col("decl_canon"), lit("")).as("decl_canon"),
+          col("canonical_id"), col("cluster_size"), col("is_canonical"))
+        .orderBy("doc_id")
+    }),
 
     // ---- conditional re-fetch schedule (oracle-checked): the
     // consumer of the ETag/Last-Modified validators the HTTP gate now
@@ -2601,6 +2668,67 @@ private[graft] object TextQueries {
       "ORDER BY host, rank"
   }
 
+  /** q170: the variant-URL plant, the two-order `<link rel=canonical>`
+    * pull (patterns shared verbatim), root-relative resolution against
+    * the page's own host, and the pick replayed — in-host declared
+    * targets matched to members by one join, min() winners, min-id
+    * fallback. */
+  private def declaredCanonicalOracleSql: String = {
+    val hostRx = "'^[a-z][a-z0-9+.-]*://([^/?]*)'"
+    "WITH cp AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v " +
+      "FROM documents),\n" +
+      "cb AS (SELECT doc_id, g, v, " +
+      "'src' || CAST(g % 20 AS VARCHAR) || '.example.com' AS host, " +
+      "'canonical probe text for group ' || CAST(g AS VARCHAR) " +
+      "AS content FROM cp),\n" +
+      "cu AS (SELECT doc_id, g, v, host, content, " +
+      "'https://' || host || '/p/' || CAST(g AS VARCHAR) || '/v' || " +
+      "CAST(v AS VARCHAR) AS u, " +
+      "CASE WHEN g % 4 = 0 THEN (CASE WHEN g % 8 = 0 THEN " +
+      "'/p/' || CAST(g AS VARCHAR) || '/v2' ELSE " +
+      "'https://' || host || '/p/' || CAST(g AS VARCHAR) || '/v2' " +
+      "END) WHEN g % 4 = 1 THEN " +
+      "'https://other.example.net/p/' || CAST(g AS VARCHAR) " +
+      "WHEN g % 4 = 3 THEN 'https://' || host || '/p/' || " +
+      "CAST(g AS VARCHAR) || '/master' END AS dh FROM cb),\n" +
+      "ch AS (SELECT doc_id, host, content, u, " +
+      "'<html><head><link rel=\"stylesheet\" href=\"/css/main.css\">' " +
+      "|| (CASE WHEN dh IS NULL THEN '' WHEN doc_id % 2 = 0 THEN " +
+      "'<link rel=\"canonical\" href=\"' || dh || '\">' ELSE " +
+      "'<link href=\"' || dh || '\" rel=\"canonical\">' END) || " +
+      "'</head><body><p>' || content || '</p></body></html>' " +
+      "AS html FROM cu),\n" +
+      "cx AS (SELECT doc_id, host, u, md5(content) AS content_hash, " +
+      "coalesce(nullif(regexp_extract(html, '" +
+      graft.ext.UrlOps.CanonicalRelFirstPattern + "', 1), ''), " +
+      "nullif(regexp_extract(html, '" +
+      graft.ext.UrlOps.CanonicalHrefFirstPattern + "', 1), '')) " +
+      "AS raw FROM ch),\n" +
+      "cd AS (SELECT doc_id, u, content_hash, " +
+      "CASE WHEN raw IS NULL THEN NULL WHEN starts_with(raw, '/') " +
+      "THEN 'https://' || host || raw ELSE raw END AS decl_canon " +
+      "FROM cx),\n" +
+      "dcl AS (SELECT DISTINCT content_hash, decl_canon AS target " +
+      "FROM cd WHERE decl_canon IS NOT NULL AND " +
+      "regexp_extract(decl_canon, " + hostRx + ", 1) = " +
+      "regexp_extract(u, " + hostRx + ", 1)),\n" +
+      "mem AS (SELECT content_hash, u AS target, doc_id FROM cd),\n" +
+      "mtc AS (SELECT d.content_hash, min(m.doc_id) AS decl_winner " +
+      "FROM dcl d JOIN mem m ON d.content_hash = m.content_hash " +
+      "AND d.target = m.target GROUP BY 1),\n" +
+      "grp AS (SELECT content_hash, min(doc_id) AS min_id, " +
+      "count(*) AS cluster_size FROM cd GROUP BY 1),\n" +
+      "win AS (SELECT grp.content_hash, " +
+      "coalesce(mtc.decl_winner, grp.min_id) AS canonical_id, " +
+      "grp.cluster_size FROM grp LEFT JOIN mtc " +
+      "ON grp.content_hash = mtc.content_hash)\n" +
+      "SELECT cd.doc_id, cd.u AS url_canon, " +
+      "coalesce(cd.decl_canon, '') AS decl_canon, win.canonical_id, " +
+      "win.cluster_size, (cd.doc_id = win.canonical_id) " +
+      "AS is_canonical FROM cd JOIN win " +
+      "ON cd.content_hash = win.content_hash ORDER BY cd.doc_id"
+  }
+
   /** q168: resolved finals grouped by FINAL canonical URL (enqueue
     * once; n_sources counts collapsed chains), anti-joined against the
     * fetched set — only dangling finals enter the queue. */
@@ -2795,6 +2923,8 @@ private[graft] object TextQueries {
     "q168_redirect_frontier" -> redirectFrontierOracleSql,
 
     "q169_refetch_schedule" -> refetchOracleSql,
+
+    "q170_declared_canonical" -> declaredCanonicalOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 

@@ -239,6 +239,44 @@ object UrlOps {
     * with the oracle. */
   val DotSegPattern: String = "(^|/)\\.\\.?(/|$)"
 
+  /** `<link rel="canonical" href="…">` — both attribute orders, quoted
+    * values only (the [[HrefPattern]] charter). `[^>]*?` cannot cross
+    * `>`, so a stylesheet `<link>` next to the canonical one never
+    * false-matches. RE2-safe (no lookarounds), shared verbatim with
+    * the q170 oracle. */
+  val CanonicalRelFirstPattern: String =
+    "(?i)<link\\s[^>]*?rel\\s*=\\s*\"canonical\"[^>]*?" +
+      "href\\s*=\\s*\"([^\"]*)\""
+  val CanonicalHrefFirstPattern: String =
+    "(?i)<link\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*?" +
+      "rel\\s*=\\s*\"canonical\""
+
+  /** The page's self-declared canonical URL (`<link rel="canonical">`)
+    * — the standard PRE-content-hash dedup hint: variant URLs (session
+    * ids, print views, pagination aliases) declare one canonical, and
+    * a dedup pass that honors it keeps the member the SITE names
+    * rather than an id-order accident. Appends `decl_canon` (the
+    * declaration resolved against the fetched URL through the same
+    * native walk as an href, canonicalized — null when absent or of a
+    * dropped kind) and `decl_host`. One zero-shuffle projection; the
+    * rel-first form wins when a page carries both orders. Consumed by
+    * [[graft.ext.Dedup.declaredCanonicalPick]]. */
+  def withDeclaredCanonical(df: DataFrame, htmlCol: String,
+      baseCanonCol: String, baseRawCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val raw = coalesce(
+      nullif(regexp_extract(col(htmlCol),
+        CanonicalRelFirstPattern, 1), lit("")),
+      nullif(regexp_extract(col(htmlCol),
+        CanonicalHrefFirstPattern, 1), lit("")))
+    val lr = call_function("graft_link_resolve", raw,
+      col(baseCanonCol), col(baseRawCol))
+    df.withColumn("decl_canon",
+        when(raw.isNotNull, lr("canon")))
+      .withColumn("decl_host",
+        when(raw.isNotNull, lr("host")))
+  }
+
   /** Outlink extraction + resolution over raw page HTML: harvests
     * every quoted `<a href>` ([[HrefPattern]]), resolves it against
     * the page's base URL, and classifies it:
