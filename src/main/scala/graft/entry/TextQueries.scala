@@ -520,6 +520,96 @@ private[graft] object TextQueries {
         col("s.payload.found_by").as("found_by"))
   }
 
+  /** q171's planted CHILD sitemap bodies — the simulated fetch of
+    * q164's in-scope child queue, keyed by the child URL alone (a
+    * deterministic body per child, so the oracle replays the fetch):
+    * `more.xml` carries a fresh entry (bucket 0), a MESSY
+    * seed-duplicate entry (uppercase www + doubled slash + unsorted
+    * query — canonicalizes onto a fetched q150 seed, the anti-join's
+    * planted hit), a stale 2020 entry (bucket 11), and an out-of-scope
+    * CDN entry; `part-{dg}.xml` carries a dated deep entry, a loc-less
+    * drop, and a lastmod-less entry (bucket 12, budget-excluded at
+    * k=3). */
+  private[graft] def plantedChildSitemaps(children: DataFrame)
+      : DataFrame = {
+    val host = col("url_host")
+    val dg = regexp_extract(host, "([0-9])\\.example\\.com$", 1)
+    val isMore = col("url_canon").endsWith("/more.xml")
+    val moreBody = concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      lit("<url><loc>https://"), host, lit("/more/a-"), dg,
+      lit("</loc><lastmod>2026-02-05</lastmod></url>"),
+      lit("<url>\n  <loc> HTTPS://WWW."), upper(host), lit("/Docs//"),
+      dg, lit("?b=2&a=1 </loc>\n</url>"),
+      lit("<url><loc>https://"), host, lit("/more/old-"), dg,
+      lit("</loc><lastmod>2020-01-01</lastmod></url>"),
+      lit("<url><loc>https://cdn"), dg,
+      lit(".example.net/x</loc></url>"),
+      lit("</urlset>"))
+    val partBody = concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      lit("<url><loc>https://"), host, lit("/part/"), dg,
+      lit("/p1</loc><lastmod>2026-01-2"), dg, lit("</lastmod></url>"),
+      lit("<url><lastmod>2026-01-01</lastmod></url>"),
+      lit("<url><loc>https://"), host, lit("/part/"), dg,
+      lit("/nolm</loc></url>"),
+      lit("</urlset>"))
+    children.select(host.as("host"),
+      when(isMore, moreBody).otherwise(partBody).as("xml"))
+  }
+
+  /** q171: the sitemap-index LOOP closed in one plan — q164's
+    * in-scope child queue → simulated child fetches → the SAME `<url>`
+    * parser → frontier (anti join against fetched seeds, robots
+    * verdict, recency-bucketed per-host budget). The q165 composition
+    * discipline: every stage is the shipped operator, and the oracle
+    * assembles the shared CTE generators. */
+  private def sitemapRecursionFrontier(s: SparkSession, dir: String,
+      asOf: String = "2026-02-10"): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val canon = graft.ext.UrlOps.withCanonicalUrl(
+      withPlantedUrl(docs), "url")
+    val children = graft.ext.UrlOps.parseSitemapIndex(
+        plantedSitemaps(docs), "host", "xml")
+      .filter(col("in_scope"))
+    val childUrls = graft.ext.UrlOps.parseSitemap(
+        plantedChildSitemaps(children), "host", "xml")
+      .filter(col("in_scope"))
+    val cand = childUrls
+      .groupBy(col("url_canon").as("link_canon"),
+        col("url_host").as("link_host"))
+      .agg(max(col("lastmod")).as("lastmod"))
+    val fresh = cand.join(
+      canon.select(col("url_canon").as("link_canon")).distinct(),
+      Seq("link_canon"), "left_anti")
+      .localCheckpoint()
+    val verd = graft.ext.UrlOps.robotsVerdict(
+      fresh, "link_canon", "link_canon", plantedRobotsRules(docs))
+    val sched = verd.filter(col("fetch_allowed"))
+      .withColumn("path", regexp_extract(
+        regexp_replace(col("link_canon"),
+          "^[a-z][a-z0-9+.-]*://[^/?]*", ""), "^([^?]*)", 1))
+      .withColumn("depth", size(filter(split(col("path"), "/"),
+        seg => seg =!= "")).cast("long"))
+      .withColumn("recency_bucket",
+        graft.ext.UrlOps.recencyBucket(col("lastmod"), asOf))
+    sched.groupBy(col("link_host"))
+      .agg(call_function("graft_top_k",
+        -(col("recency_bucket") * 1048576L +
+          least(col("depth"), lit(1048575L))).cast("double"),
+        struct(col("link_canon"), col("recency_bucket"), col("depth")),
+        lit(3)).as("top"))
+      .select(col("link_host"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("link_host"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("s.payload.link_canon").as("url_canon"),
+        col("s.payload.depth").as("depth"),
+        col("s.payload.recency_bucket").as("recency_bucket"))
+      .orderBy("link_host", "rank")
+  }
+
   /** q163's planted HTTP response payloads: one per document, the five
     * response classes a real crawl actually returns — a 404 WITHOUT a
     * Content-Type header (%5=0 — absent header must read as empty, not
@@ -732,6 +822,18 @@ private[graft] object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- sitemap-index RECURSION capstone (oracle-checked): the loop
+    // q164 opened, closed — the in-scope child queue feeds simulated
+    // child fetches whose bodies run back through the SAME <url>
+    // parser, and the discovered URLs run the full frontier tail:
+    // canonicalization (a messy child entry collapses onto a fetched
+    // seed and anti-joins away), robots verdict (disallow-all hosts
+    // drop out), and the recency-bucketed per-host graft_top_k budget.
+    // q157/q162/q164 hashes unchanged — the child bodies are a new
+    // generator over q164's output, not a plant edit.
+    "q171_sitemap_recursion" -> ((s, dir) =>
+      sitemapRecursionFrontier(s, dir)),
 
     // ---- declared-canonical dedup pick (oracle-checked): the
     // pre-content-hash dedup hint — variant URLs (session ids, print
@@ -2451,6 +2553,93 @@ private[graft] object TextQueries {
       "url_host = sitemap_host AS in_scope FROM ic " +
       "ORDER BY sitemap_host, url_canon"
 
+  /** q171: the shared index-tier CTEs (q164's parse), the child-body
+    * construction replayed from the in-scope children, the SAME
+    * `<url>`-tier pulls + canonicalization chain over the child
+    * bodies, then the q162 frontier tail — seen anti join, robots
+    * integer max, recency bucket, packed-ordinal budget window. */
+  private def sitemapRecursionOracleSql: String = {
+    val nl = "chr(10)"
+    val dgx = "regexp_extract(url_host, '([0-9])\\.example\\.com$', 1)"
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      robotsRulesCtes + ",\n" + sitemapPlantCte + ",\n" +
+      "ib AS (SELECT host AS sitemap_host, " +
+      "unnest(regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', " +
+      "1)) AS b FROM sm),\n" +
+      "ii AS (SELECT sitemap_host, " +
+      "trim(regexp_extract(b, '(?s)<lastmod>(.*?)</lastmod>', 1)) " +
+      "AS lastmod, " +
+      "trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) AS url " +
+      "FROM ib WHERE trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', " +
+      "1)) <> ''),\n" +
+      urlCanonChain("ii", "ix", "ic", Seq("sitemap_host", "lastmod")) +
+      ",\n" +
+      "cbod AS (SELECT url_host, CASE WHEN url_canon LIKE " +
+      "'%/more.xml' THEN " +
+      "'<?xml version=\"1.0\"?><urlset>' || " +
+      "'<url><loc>https://' || url_host || '/more/a-' || " + dgx +
+      " || '</loc><lastmod>2026-02-05</lastmod></url>' || " +
+      "'<url>' || " + nl + " || '  <loc> HTTPS://WWW.' || " +
+      "upper(url_host) || '/Docs//' || " + dgx +
+      " || '?b=2&a=1 </loc>' || " + nl + " || '</url>' || " +
+      "'<url><loc>https://' || url_host || '/more/old-' || " + dgx +
+      " || '</loc><lastmod>2020-01-01</lastmod></url>' || " +
+      "'<url><loc>https://cdn' || " + dgx +
+      " || '.example.net/x</loc></url>' || '</urlset>' " +
+      "ELSE '<?xml version=\"1.0\"?><urlset>' || " +
+      "'<url><loc>https://' || url_host || '/part/' || " + dgx +
+      " || '/p1</loc><lastmod>2026-01-2' || " + dgx +
+      " || '</lastmod></url>' || " +
+      "'<url><lastmod>2026-01-01</lastmod></url>' || " +
+      "'<url><loc>https://' || url_host || '/part/' || " + dgx +
+      " || '/nolm</loc></url>' || '</urlset>' END AS cxml " +
+      "FROM ic WHERE url_host = sitemap_host),\n" +
+      "cbl AS (SELECT url_host AS sitemap_host, " +
+      "unnest(regexp_extract_all(cxml, '(?s)<url>(.*?)</url>', 1)) " +
+      "AS b FROM cbod),\n" +
+      "cli AS (SELECT sitemap_host, " +
+      "trim(regexp_extract(b, '(?s)<lastmod>(.*?)</lastmod>', 1)) " +
+      "AS lastmod, " +
+      "trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) AS url " +
+      "FROM cbl WHERE trim(regexp_extract(b, " +
+      "'(?s)<loc>(.*?)</loc>', 1)) <> ''),\n" +
+      urlCanonChain("cli", "cs", "csc", Seq("sitemap_host", "lastmod")) +
+      ",\n" +
+      "ccand AS (SELECT url_canon AS link_canon, url_host AS " +
+      "link_host, max(lastmod) AS lastmod FROM csc " +
+      "WHERE url_host = sitemap_host GROUP BY 1, 2),\n" +
+      "seen AS (SELECT DISTINCT url_canon FROM c),\n" +
+      "cfresh AS (SELECT ccand.* FROM ccand LEFT JOIN seen " +
+      "ON ccand.link_canon = seen.url_canon " +
+      "WHERE seen.url_canon IS NULL),\n" +
+      "cpth AS (SELECT link_canon, link_host, lastmod, " +
+      "regexp_extract(regexp_replace(link_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path, " +
+      "regexp_replace(link_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', '') AS mpath FROM cfresh),\n" +
+      "cv AS (SELECT p.link_canon, p.link_host, p.lastmod, p.path, " +
+      "max(coalesce(2 * length(r.rprefix) + " +
+      "CASE WHEN r.rallow THEN 1 ELSE 0 END, 1)) AS score " +
+      "FROM cpth p LEFT JOIN rules r ON r.rhost = p.link_host " +
+      "AND starts_with(p.mpath, r.rprefix) GROUP BY 1, 2, 3, 4),\n" +
+      "cal AS (SELECT link_canon, link_host, lastmod, " +
+      "CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) " +
+      "AS BIGINT) AS depth FROM cv WHERE score % 2 = 1),\n" +
+      "crb AS (SELECT *, CAST(CASE WHEN " +
+      "regexp_matches(lastmod, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') " +
+      "AND try_cast(lastmod AS DATE) IS NOT NULL THEN " +
+      "least(greatest(date_diff('day', try_cast(lastmod AS DATE), " +
+      "DATE '2026-02-10'), 0) // 30, 11) ELSE 12 END AS BIGINT) " +
+      "AS recency_bucket FROM cal),\n" +
+      "crk AS (SELECT link_host, link_canon, depth, recency_bucket, " +
+      "row_number() OVER (PARTITION BY link_host " +
+      "ORDER BY recency_bucket * 1048576 + least(depth, 1048575), " +
+      "link_canon) AS rnk FROM crb)\n" +
+      "SELECT link_host, CAST(rnk AS BIGINT) AS rank, " +
+      "link_canon AS url_canon, depth, recency_bucket " +
+      "FROM crk WHERE rnk <= 3 ORDER BY link_host, rank"
+  }
+
   /** q163: the plant and the HTTP parse replayed — the same status/
     * header/body extraction ((?mi) anchored header pulls, RE2-safe;
     * hdr = text to the first blank CRLF; body from hdr+5 to the end)
@@ -2925,6 +3114,8 @@ private[graft] object TextQueries {
     "q169_refetch_schedule" -> refetchOracleSql,
 
     "q170_declared_canonical" -> declaredCanonicalOracleSql,
+
+    "q171_sitemap_recursion" -> sitemapRecursionOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 

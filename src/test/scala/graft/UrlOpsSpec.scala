@@ -703,6 +703,27 @@ class UrlOpsSpec extends SparkSpec {
       buckets.contains(12L), s"age classes missing: $buckets")
   }
 
+  test("q171: the sitemap-index loop closes — child-discovered URLs " +
+    "run the full frontier tail") {
+    val out = SparkEntry.queries("q171_sitemap_recursion")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    // disallow-all hosts (src10-19: name length ≡ 0 mod 5) never emit
+    assert(out.forall(r => r._1.length < "src10.example.com".length))
+    // per host: bucket-monotone ranks, and the stale 2020 child entry
+    // is LIVE in the budget (bucket 11) behind the two fresh ones
+    out.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._4).toSeq == Seq(0L, 0L, 11L), s"$rows")
+    }
+    // the messy seed-duplicate child entry canonicalized onto a
+    // fetched seed and anti-joined away — no /Docs/ URL survives
+    assert(out.forall(r => !r._3.contains("/Docs/")))
+  }
+
   test("canonicalization is idempotent") {
     val raw = Seq("HTTPS://WWW.Ex.COM:443//A//B/?b=2&utm_q=9&a=1#f")
     val once = canon(raw.head)
