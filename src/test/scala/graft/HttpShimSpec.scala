@@ -273,11 +273,13 @@ class HttpShimSpec extends SparkSpec {
         .select("fetch_allowed", "rule_match_len").collect().head
       assert(!batch.getBoolean(0) && batch.getLong(1) == 7L)
       // a WILDCARD rule (RFC 9309 §2.2.3) serves through the same
-      // route: /p*.pdf$ matches the whole 10-octet path
+      // route: /p*.pdf$ matches /paper.pdf and scores its PATTERN
+      // length (8 octets — the de-facto ranking, round 13), not the
+      // matched length
       val (cw, bw) = get(shim.port,
         "/robots?url=https%3A%2F%2Fex.com%2Fpaper.pdf")
       assert(cw == 200 && bw.contains(""""fetch_allowed":false""") &&
-        bw.contains(""""rule_match_len":10"""), bw)
+        bw.contains(""""rule_match_len":8"""), bw)
       // ...but not a path that merely starts like it
       val (cw2, bw2) = get(shim.port,
         "/robots?url=https%3A%2F%2Fex.com%2Fpaper.pdfx")
