@@ -648,8 +648,13 @@ object Dedup {
       declCol: String, hashCol: String): DataFrame = {
     def host(c: Column) =
       regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/?]*)", 1)
+    // four consumers below (declared targets, members, group sizes,
+    // per-doc verdict) — cut the plan here or each one re-runs the
+    // caller's harvest/hash projection (the localCheckpoint
+    // discipline; measured 3.5 s → ~1 s on q170 at sf0.1)
     val thin = df.select(col(idCol), col(urlCol), col(declCol),
-      col(hashCol))
+        col(hashCol))
+      .localCheckpoint()
     val declared = thin
       .filter(col(declCol).isNotNull &&
         host(col(declCol)) === host(col(urlCol)))
