@@ -827,43 +827,70 @@ object UrlOps {
     * stop joining as soon as they flag. Iteration count is the hop
     * cap — a constant (browsers give up near 20; crawlers 3–5), not a
     * data-dependent fixpoint. */
-  def resolveRedirects(responses: DataFrame, urlCol: String,
-      statusCol: String, locationCol: String,
-      maxHops: Int = 5): DataFrame = {
-    require(maxHops >= 1, s"maxHops must be positive: $maxHops")
+  /** The redirect EDGE projection — (src, dst) per redirect response,
+    * Location resolved against the fetched URL and canonicalized.
+    * Shared by [[resolveRedirects]] and the streaming twin
+    * (`EventStreams.redirectStream`). */
+  private[graft] def redirectEdges(responses: DataFrame, urlCol: String,
+      statusCol: String, locationCol: String): DataFrame = {
     graft.plans.GraftFunctions.register(responses.sparkSession)
-    val edges = responses
+    responses
       .filter(col(statusCol).isin(RedirectStatuses: _*) &&
         col(locationCol).isNotNull && col(locationCol) =!= "")
       .select(col(urlCol).as("__src"),
         call_function("graft_link_resolve", col(locationCol),
           col(urlCol), col(urlCol))("canon").as("__dst"))
       .filter(col("__dst").isNotNull)
-      .localCheckpoint()
-    var state = edges.select(
+  }
+
+  /** Fresh chain state from an edge relation: one chain per redirect
+    * response, first hop consumed, self-redirects flagged. Shared by
+    * batch and stream. */
+  private[graft] def redirectInit(edges: DataFrame): DataFrame =
+    edges.select(
       col("__src").as("start_url"),
       col("__dst").as("__cur"),
       lit(1L).as("hops"),
       array(col("__src")).as("__seen"),
       (col("__dst") <=> col("__src")).as("__loop"))
+
+  /** ONE advance round of the redirect fold — shared VERBATIM by
+    * [[resolveRedirects]]'s loop and the streaming twin's per-batch
+    * rounds (the `assignAndFold` one-definition discipline), so the
+    * stream ≡ batch equivalence is structural. `nextHop` is
+    * (__cur, __nxt); a chain advances only while un-looped, below the
+    * hop cap, and its cursor has an outgoing edge; an advance into
+    * the visited set (or in place) closes a loop at that hop. */
+  private[graft] def redirectAdvance(state: DataFrame,
+      nextHop: DataFrame, maxHops: Int): DataFrame = {
+    val j = state.join(nextHop, Seq("__cur"), "left")
+    val active = !col("__loop") && col("__nxt").isNotNull &&
+      col("hops") < lit(maxHops.toLong)
+    val closes = active &&
+      (array_contains(col("__seen"), col("__nxt")) ||
+        col("__nxt") <=> col("__cur"))
+    j.select(
+      col("start_url"),
+      when(active && !closes, col("__nxt"))
+        .otherwise(col("__cur")).as("__cur"),
+      (col("hops") + when(active, 1L).otherwise(0L)).as("hops"),
+      when(active && !closes,
+        concat(col("__seen"), array(col("__cur"))))
+        .otherwise(col("__seen")).as("__seen"),
+      (col("__loop") || closes).as("__loop"))
+  }
+
+  def resolveRedirects(responses: DataFrame, urlCol: String,
+      statusCol: String, locationCol: String,
+      maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be positive: $maxHops")
+    val edges = redirectEdges(responses, urlCol, statusCol, locationCol)
+      .localCheckpoint()
+    var state = redirectInit(edges)
     val nextHop = edges.select(col("__src").as("__cur"),
       col("__dst").as("__nxt"))
     for (_ <- 2 to maxHops) {
-      val j = state.join(nextHop, Seq("__cur"), "left")
-      val active = !col("__loop") && col("__nxt").isNotNull
-      val closes = active &&
-        (array_contains(col("__seen"), col("__nxt")) ||
-          col("__nxt") <=> col("__cur"))
-      state = j.select(
-        col("start_url"),
-        when(active && !closes, col("__nxt"))
-          .otherwise(col("__cur")).as("__cur"),
-        (col("hops") + when(active, 1L).otherwise(0L)).as("hops"),
-        when(active && !closes,
-          concat(col("__seen"), array(col("__cur"))))
-          .otherwise(col("__seen")).as("__seen"),
-        (col("__loop") || closes).as("__loop"))
-        .localCheckpoint()
+      state = redirectAdvance(state, nextHop, maxHops).localCheckpoint()
     }
     state.join(nextHop, Seq("__cur"), "left")
       .select(col("start_url"),

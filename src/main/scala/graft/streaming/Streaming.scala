@@ -382,6 +382,154 @@ object EventStreams {
       }
       .start()
 
+  /** Create the three state tables [[redirectStream]] maintains:
+    * `{prefix}_edges` (one (src, dst) per redirect response,
+    * content-bucketed on src so each batch's novelty anti-join
+    * consumes the bucket layout — the [[initFrontierSeen]]
+    * discipline), `{prefix}_terminals` (every non-redirect fetched
+    * URL, same layout), and `{prefix}_pending` (chains whose cursor
+    * is not yet fetched — small: only in-flight chains). */
+  def initRedirectState(spark: SparkSession, prefix: String,
+                        nBuckets: Int = 32): Unit = {
+    import org.apache.spark.sql.types._
+    graft.ext.Dedup.writeBucketedByContent(
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("src", StringType),
+          StructField("dst", StringType)))),
+      "src", s"${prefix}_edges", nBuckets)
+    graft.ext.Dedup.writeBucketedByContent(
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("url_canon", StringType)))),
+      "url_canon", s"${prefix}_terminals", nBuckets)
+    spark.createDataFrame(spark.sparkContext
+      .emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("start_url", StringType),
+        StructField("cur", StringType), StructField("hops", LongType),
+        StructField("seen", ArrayType(StringType)))))
+      .write.mode("overwrite").saveAsTable(s"${prefix}_pending")
+  }
+
+  /** Incremental redirect-chain resolution —
+    * [[graft.ext.UrlOps.resolveRedirects]]'s streaming twin, and the
+    * cross-batch capability the one-shot cannot give: a chain whose
+    * hops are FETCHED IN DIFFERENT MICRO-BATCHES (A answers 301→B
+    * today, B is fetched tomorrow) resolves the moment its last hop
+    * arrives, in either arrival order. Each batch of (url, status,
+    * location) fetch responses:
+    *   1. projects its redirect EDGES and its TERMINAL fetches (a
+    *      non-redirect answer fixes that URL's disposition forever —
+    *      the fetched-once crawl contract makes both monotone);
+    *   2. opens one chain per new redirect response and advances it —
+    *      together with every PENDING chain — through the accumulated
+    *      edge set via [[graft.ext.UrlOps.redirectAdvance]], the SAME
+    *      fold the batch operator iterates (one definition, so
+    *      stream ≡ batch is structural, the `assignAndFold`
+    *      discipline);
+    *   3. emits chains that closed — `loop` (visited-set hit), `cap`
+    *      (still redirecting at maxHops), `resolved` (cursor is a
+    *      fetched terminal) — and keeps chains whose cursor is simply
+    *      not fetched yet as pending.
+    *
+    * Equivalence contract (spec-pinned): after any number of batches,
+    * the union of emissions plus [[redirectFlush]] (end-of-input:
+    * still-unfetched cursors are the batch operator's dangling
+    * `resolved` class) equals `resolveRedirects` over the union of
+    * all batches — in any arrival order of a chain's hops.
+    *
+    * Replay safety (foreachBatch is at-least-once): emissions derive
+    * from the PRIOR pending table plus append-idempotent edge/terminal
+    * sets, and `onBatch` runs before any state write — a failed
+    * attempt re-derives the identical emission set on retry; the
+    * pending overwrite is last. Consumers key on `start_url`.
+    *
+    * Scale shape, per cycle: edges and terminals are thin string
+    * relations behind bucketed novelty anti-joins (never exchanged —
+    * the [[graft.ext.Dedup.dedupAgainstCorpus]] contract); the
+    * advance rounds join the batch-plus-pending chain state (small:
+    * in-flight chains only) against the edge scan on the uniform
+    * canonical-URL key; no window, no driver state. */
+  def redirectStream(responses: DataFrame, urlCol: String,
+      statusCol: String, locationCol: String, prefix: String,
+      maxHops: Int = 5)(onBatch: (DataFrame, Long) => Unit)
+      : StreamingQuery =
+    responses.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val edgesT = s"${prefix}_edges"
+        val termT = s"${prefix}_terminals"
+        val pendT = s"${prefix}_pending"
+        // one edge per src even under a contract-violating re-fetch
+        // (deterministic min-dst pick) — a duplicate src would fan
+        // every joined chain row out
+        val newEdges = graft.ext.UrlOps.redirectEdges(
+            batch, urlCol, statusCol, locationCol)
+          .groupBy(col("__src")).agg(min(col("__dst")).as("__dst"))
+          .localCheckpoint()
+        val newTerm = batch.select(col(urlCol).as("url_canon")).distinct()
+          .join(newEdges.select(col("__src").as("url_canon")),
+            Seq("url_canon"), "left_anti")
+        // retry-idempotent: append only rows novel vs the accumulated
+        // tables (a failed attempt may already have appended)
+        val novelEdges = graft.ext.Dedup.dedupAgainstCorpus(spark,
+          newEdges.select(col("__src").as("src"), col("__dst").as("dst")),
+          "src", "src", edgesT).localCheckpoint()
+        val novelTerm = graft.ext.Dedup.dedupAgainstCorpus(spark,
+          newTerm, "url_canon", "url_canon", termT).localCheckpoint()
+        val accEdges = spark.table(edgesT)
+          .select(col("src").as("__cur"), col("dst").as("__nxt"))
+          .unionByName(novelEdges
+            .select(col("src").as("__cur"), col("dst").as("__nxt")))
+        val accTerm = spark.table(termT)
+          .select(col("url_canon").as("__cur"))
+          .unionByName(novelTerm.select(col("url_canon").as("__cur")))
+        var state = spark.table(pendT).select(col("start_url"),
+            col("cur").as("__cur"), col("hops"),
+            col("seen").as("__seen"), lit(false).as("__loop"))
+          .unionByName(graft.ext.UrlOps.redirectInit(newEdges))
+        for (_ <- 1 until maxHops) {
+          state = graft.ext.UrlOps.redirectAdvance(state, accEdges,
+            maxHops).localCheckpoint()
+        }
+        val cls = state
+          .join(accEdges.select(col("__cur"),
+            lit(true).as("__has_edge")), Seq("__cur"), "left")
+          .join(accTerm.select(col("__cur"), lit(true).as("__term")),
+            Seq("__cur"), "left")
+          .localCheckpoint()
+        val loopC = col("__loop")
+        val capC = !loopC && coalesce(col("__has_edge"), lit(false)) &&
+          col("hops") >= lit(maxHops.toLong)
+        val resC = !loopC && !coalesce(col("__has_edge"), lit(false)) &&
+          coalesce(col("__term"), lit(false))
+        onBatch(cls.filter(loopC || capC || resC)
+          .select(col("start_url"),
+            when(!loopC, col("__cur")).as("final_url"), col("hops"),
+            when(loopC, lit("loop")).when(capC, lit("cap"))
+              .otherwise(lit("resolved")).as("status")), batchId)
+        novelEdges.select(col("src"), col("dst"), col("content_hash"))
+          .write.mode("append").insertInto(edgesT)
+        novelTerm.select(col("url_canon"), col("content_hash"))
+          .write.mode("append").insertInto(termT)
+        cls.filter(!loopC && !capC && !resC)
+          .select(col("start_url"), col("__cur").as("cur"), col("hops"),
+            col("__seen").as("seen"))
+          .localCheckpoint()
+          .write.mode("overwrite").saveAsTable(pendT)
+      }
+      .start()
+
+  /** End-of-input flush for [[redirectStream]]: chains whose cursor
+    * was never fetched are the batch operator's dangling `resolved`
+    * class — their final URL is the furthest known hop. Union with
+    * the stream's emissions to equal `resolveRedirects` over
+    * everything ingested (spec-pinned). */
+  def redirectFlush(spark: SparkSession, prefix: String): DataFrame =
+    spark.table(s"${prefix}_pending").select(col("start_url"),
+      col("cur").as("final_url"), col("hops"),
+      lit("resolved").as("status"))
+
   /** Continuous RAG serving over the persisted BM25 + IVF index pair:
     * each micro-batch of (query id, text, vector) rows is answered by
     * [[graft.ext.Retrieval.ragServeIndexed]] verbatim — the
