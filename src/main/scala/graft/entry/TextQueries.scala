@@ -821,7 +821,74 @@ private[graft] object TextQueries {
         lit("</p></body></html>")))
   }
 
+  /** q172's prior-corpus plant at the q167 URL scheme: every doc a
+    * fetched page with v1 body and fixed bookkeeping dates; doc_id≡0
+    * (mod 7) rows arrive TOMBSTONED (a 304 must reactivate them). */
+  private[graft] def plantedRevisitCorpus(df: DataFrame): DataFrame =
+    df.select(
+      concat(lit("https://src"), (col("doc_id") % 20).cast("string"),
+        lit(".example.com/d/"), col("doc_id").cast("string"))
+        .as("url_canon"),
+      concat(lit("body v1 of "), col("doc_id").cast("string"))
+        .as("body"),
+      lit("2026-01-01").as("first_fetched"),
+      lit("2026-01-15").as("last_validated"),
+      (col("doc_id") % 7 =!= 0).as("is_active"))
+
+  /** q172's revisit responses: per doc_id%5 a `200` with a CHANGED
+    * body, a `200` with the byte-identical v1 body (revalidated,
+    * `body_changed` false), a `304 Not Modified` (the q169
+    * If-None-Match payoff — headers only), a `404` (tombstone), or NO
+    * revisit (class 4 — partial batch, state untouched); plus an
+    * INSERT class — doc_id≡5 (mod 10) docs also revisit a `/new` URL
+    * the corpus has never seen. */
+  private[graft] def withPlantedRevisitHttp(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val u = concat(lit("https://src"), (d % 20).cast("string"),
+      lit(".example.com/d/"), d.cast("string"))
+    def ok(body: Column) = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body)
+    val base = df.filter(d % 5 =!= 4).select(u.as("url"),
+      when(d % 5 === 0,
+        ok(concat(lit("body v2 of "), d.cast("string"))))
+        .when(d % 5 === 1,
+          ok(concat(lit("body v1 of "), d.cast("string"))))
+        .when(d % 5 === 2, lit("HTTP/1.1 304 Not Modified\r\n\r\n"))
+        .otherwise(concat(
+          lit("HTTP/1.1 404 Not Found\r\n\r\ngone "),
+          d.cast("string"))).as("payload"))
+    val inserts = df.filter(d % 10 === 5).select(
+      concat(u, lit("/new")).as("url"),
+      ok(concat(lit("fresh body "), d.cast("string"))).as("payload"))
+    base.unionByName(inserts)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- crawl-corpus revisit merge (oracle-checked): what the
+    // re-fetch cycle does with its answers — the crawl-side CDC merge
+    // with PARTIAL batches and EXPLICIT dispositions: 200 upserts (and
+    // flags body_changed so downstream re-processing can skip
+    // byte-identical refreshes), 304 keeps the body and advances only
+    // last_validated (reactivating — the origin just attested the page
+    // exists), 404 tombstones, unvisited rows stay untouched, and a
+    // non-200 of an unknown URL merges nothing. One full-outer
+    // equi-join on the canonical URL key (UrlOps.revisitMerge);
+    // injectable now (the F6 determinism discipline).
+    "q172_revisit_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = graft.io.WarcIngest.withHttpResponse(
+          withPlantedRevisitHttp(docs), "payload")
+        .select(col("url").as("url_canon"), col("http_status"),
+          col("http_body"))
+      graft.ext.UrlOps.revisitMerge(plantedRevisitCorpus(docs), gated,
+          "url_canon", "http_status", "http_body", "body",
+          lit("2026-02-10"))
+        .select(col("url_canon"), col("is_active"),
+          md5(col("body")).as("body_md5"), col("first_fetched"),
+          col("last_validated"), col("body_changed"))
+        .orderBy("url_canon")
+    }),
 
     // ---- sitemap-index RECURSION capstone (oracle-checked): the loop
     // q164 opened, closed — the in-scope child queue feeds simulated
@@ -2553,6 +2620,60 @@ private[graft] object TextQueries {
       "url_host = sitemap_host AS in_scope FROM ic " +
       "ORDER BY sitemap_host, url_canon"
 
+  /** q172: the corpus/revisit plants, a compact status/body parse
+    * carrying the URL, and the merge projection replayed — the same
+    * CASE arms, null-condition-as-false CASE semantics matching
+    * Spark's `when`, and `IS DISTINCT FROM` for the body compare. */
+  private def revisitMergeOracleSql: String = {
+    val crlf = "chr(13) || chr(10)"
+    val uExpr = "'https://src' || CAST(doc_id % 20 AS VARCHAR) || " +
+      "'.example.com/d/' || CAST(doc_id AS VARCHAR)"
+    "WITH rpl AS (SELECT " + uExpr + " AS u, CASE " +
+      "WHEN doc_id % 5 = 0 THEN 'HTTP/1.1 200 OK' || " + crlf +
+      " || 'Content-Type: text/html' || " + crlf + " || " + crlf +
+      " || 'body v2 of ' || CAST(doc_id AS VARCHAR) " +
+      "WHEN doc_id % 5 = 1 THEN 'HTTP/1.1 200 OK' || " + crlf +
+      " || 'Content-Type: text/html' || " + crlf + " || " + crlf +
+      " || 'body v1 of ' || CAST(doc_id AS VARCHAR) " +
+      "WHEN doc_id % 5 = 2 THEN 'HTTP/1.1 304 Not Modified' || " +
+      crlf + " || " + crlf +
+      " ELSE 'HTTP/1.1 404 Not Found' || " + crlf + " || " + crlf +
+      " || 'gone ' || CAST(doc_id AS VARCHAR) END AS p " +
+      "FROM documents WHERE doc_id % 5 <> 4 " +
+      "UNION ALL SELECT " + uExpr + " || '/new' AS u, " +
+      "'HTTP/1.1 200 OK' || " + crlf +
+      " || 'Content-Type: text/html' || " + crlf + " || " + crlf +
+      " || 'fresh body ' || CAST(doc_id AS VARCHAR) AS p " +
+      "FROM documents WHERE doc_id % 10 = 5),\n" +
+      "rhx AS (SELECT u, p, list_extract(string_split(p, " + crlf +
+      " || " + crlf + "), 1) AS hdr FROM rpl),\n" +
+      "rpx AS (SELECT u, CAST(regexp_extract(p, " +
+      "'^HTTP/[0-9.]+ ([0-9]{3})', 1) AS BIGINT) AS st, " +
+      "substring(p, length(hdr) + 5) AS nb FROM rhx),\n" +
+      "rcp AS (SELECT " + uExpr + " AS u, " +
+      "'body v1 of ' || CAST(doc_id AS VARCHAR) AS body, " +
+      "'2026-01-01' AS first_fetched, '2026-01-15' AS last_validated, " +
+      "(doc_id % 7 <> 0) AS is_active FROM documents),\n" +
+      "mj AS (SELECT rcp.u AS cu, rcp.body AS cb, rcp.first_fetched, " +
+      "rcp.last_validated, rcp.is_active, rpx.u AS ru, rpx.st, rpx.nb " +
+      "FROM rcp FULL OUTER JOIN rpx ON rcp.u = rpx.u),\n" +
+      "mm AS (SELECT coalesce(cu, ru) AS url_canon, " +
+      "CASE WHEN (st = 200 AND nb IS NOT NULL) THEN true " +
+      "WHEN st = 304 THEN true WHEN st IN (404, 410) THEN false " +
+      "ELSE coalesce(is_active, false) END AS is_active, " +
+      "md5(CASE WHEN (st = 200 AND nb IS NOT NULL) THEN nb " +
+      "ELSE cb END) AS body_md5, " +
+      "coalesce(first_fetched, '2026-02-10') AS first_fetched, " +
+      "CASE WHEN (st = 200 AND nb IS NOT NULL) OR st = 304 " +
+      "THEN '2026-02-10' ELSE last_validated END AS last_validated, " +
+      "((st = 200 AND nb IS NOT NULL) AND cb IS NOT NULL AND " +
+      "(cb IS DISTINCT FROM nb)) AS body_changed " +
+      "FROM mj WHERE cu IS NOT NULL OR " +
+      "(ru IS NOT NULL AND (st = 200 AND nb IS NOT NULL)))\n" +
+      "SELECT url_canon, is_active, body_md5, first_fetched, " +
+      "last_validated, body_changed FROM mm ORDER BY url_canon"
+  }
+
   /** q171: the shared index-tier CTEs (q164's parse), the child-body
     * construction replayed from the in-scope children, the SAME
     * `<url>`-tier pulls + canonicalization chain over the child
@@ -3116,6 +3237,8 @@ private[graft] object TextQueries {
     "q170_declared_canonical" -> declaredCanonicalOracleSql,
 
     "q171_sitemap_recursion" -> sitemapRecursionOracleSql,
+
+    "q172_revisit_merge" -> revisitMergeOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 

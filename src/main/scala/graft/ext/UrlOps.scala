@@ -827,6 +827,74 @@ object UrlOps {
     * stop joining as soon as they flag. Iteration count is the hop
     * cap — a constant (browsers give up near 20; crawlers 3–5), not a
     * data-dependent fixpoint. */
+  /** Crawl-corpus REVISIT merge — what a re-fetch cycle (q169's
+    * schedule) does with its answers, the crawl-side counterpart of
+    * the reference's CDC merge (`ops/Merge.postState`, reference
+    * `project/etl2.py:340-401`) with the crucial difference that a
+    * revisit batch is PARTIAL (only scheduled URLs were re-fetched —
+    * absence means "not visited", never "deleted") and dispositions
+    * are EXPLICIT in the HTTP status instead of inferred by diffing:
+    *
+    *   - `200` + body: upsert — new URLs insert, known URLs take the
+    *     new body (and reactivate if tombstoned); `body_changed`
+    *     compares old vs new so downstream re-processing (re-extract,
+    *     re-dedup, re-embed) can skip byte-identical refreshes;
+    *   - `304 Not Modified` (the q169 `If-None-Match` payoff): the
+    *     body is KEPT, only `last_validated` advances — and the URL
+    *     reactivates, since the origin just attested it exists;
+    *   - `404`/`410`: tombstone (`is_active = false`), body retained
+    *     for history exactly like the reference's soft delete;
+    *   - any other status (5xx, garbage): no state change — a failed
+    *     revisit must not corrupt the corpus;
+    *   - a non-200 revisit of an UNKNOWN URL merges nothing.
+    *
+    * `corpus` must carry (urlCol, bodyCol, `first_fetched`,
+    * `last_validated`, `is_active`); `revisits` carries (urlCol,
+    * statusCol, newBodyCol). `now` is injectable (the `ops/Merge` F6
+    * determinism discipline — never wall-clock in catalog queries).
+    *
+    * Scale shape: ONE full-outer equi-join on the uniform canonical
+    * URL key plus a projection — no window, no skew surface (a URL
+    * appears once per side under the fetched-once-per-cycle
+    * contract). At deployment scale the corpus side lives
+    * URL-bucketed (the [[graft.ext.Dedup.writeBucketedByContent]]
+    * layout keyed on the URL), so the join consumes the bucket layout
+    * and only the revisit batch exchanges. */
+  def revisitMerge(corpus: DataFrame, revisits: DataFrame,
+      urlCol: String, statusCol: String, newBodyCol: String,
+      bodyCol: String, now: Column): DataFrame = {
+    require(Seq("first_fetched", "last_validated", "is_active")
+        .forall(corpus.columns.contains),
+      "corpus must carry first_fetched/last_validated/is_active " +
+        "bookkeeping")
+    val c = corpus.alias("c")
+    val r = revisits.alias("r")
+    val joined = c.join(r, col(s"c.$urlCol") === col(s"r.$urlCol"),
+      "full_outer")
+    val is200 = col(s"r.$statusCol") === 200 &&
+      col(s"r.$newBodyCol").isNotNull
+    val is304 = col(s"r.$statusCol") === 304
+    val isGone = col(s"r.$statusCol").isin(404L, 410L)
+    joined
+      // a non-200 revisit of an unknown URL has nothing to merge
+      .filter(col(s"c.$urlCol").isNotNull ||
+        (col(s"r.$urlCol").isNotNull && is200))
+      .select(
+        coalesce(col(s"c.$urlCol"), col(s"r.$urlCol")).as(urlCol),
+        when(is200, col(s"r.$newBodyCol"))
+          .otherwise(col(s"c.$bodyCol")).as(bodyCol),
+        coalesce(col("c.first_fetched"), now).as("first_fetched"),
+        when(is200 || is304, now)
+          .otherwise(col("c.last_validated")).as("last_validated"),
+        when(is200 || is304, lit(true))
+          .when(isGone, lit(false))
+          .otherwise(coalesce(col("c.is_active"), lit(false)))
+          .as("is_active"),
+        (is200 && col(s"c.$bodyCol").isNotNull &&
+          !(col(s"c.$bodyCol") <=> col(s"r.$newBodyCol")))
+          .as("body_changed"))
+  }
+
   /** The redirect EDGE projection — (src, dst) per redirect response,
     * Location resolved against the fetched URL and canonicalized.
     * Shared by [[resolveRedirects]] and the streaming twin
