@@ -610,6 +610,90 @@ private[graft] object TextQueries {
       .orderBy("link_host", "rank")
   }
 
+  /** q173: THE frontier — every discovery source the engine has in
+    * ONE ranked queue: page outlinks (q154, found_by = discoverer
+    * id), sitemap `<url>` entries (q162, −1), child-sitemap entries
+    * through the index recursion (q171, −3), and resolved redirect
+    * finals (q168, −2). One URL found several ways keeps min
+    * found_by and its freshest lastmod; the seen set is BOTH fetched
+    * universes (the /Docs/ seeds and the /d/ redirect plant); the
+    * tail is the q162 shape — anti join, robots verdict, 30-day
+    * recency bucket, packed-ordinal per-host `graft_top_k`. Every
+    * union leg is the shipped operator; the oracle assembles the
+    * shared generators of all four families. */
+  private def unifiedFrontier(s: SparkSession, dir: String,
+      asOf: String = "2026-02-10"): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val canon = graft.ext.UrlOps.withCanonicalUrl(
+      withPlantedUrl(docs), "url")
+    val links = graft.ext.UrlOps.extractOutlinks(
+        withPlantedPage(canon), "doc_id", "html", "url_canon", "url")
+      .filter(col("link_canon").isNotNull)
+    val linkCand = links.groupBy(col("link_canon"), col("link_host"))
+      .agg(min(col("doc_id")).as("found_by"))
+      .withColumn("lastmod", lit(""))
+    val smCand = graft.ext.UrlOps.parseSitemap(
+        plantedSitemaps(docs), "host", "xml")
+      .filter(col("in_scope"))
+      .select(col("url_canon").as("link_canon"),
+        col("url_host").as("link_host"),
+        lit(-1L).as("found_by"), col("lastmod"))
+    val children = graft.ext.UrlOps.parseSitemapIndex(
+        plantedSitemaps(docs), "host", "xml")
+      .filter(col("in_scope"))
+    val childCand = graft.ext.UrlOps.parseSitemap(
+        plantedChildSitemaps(children), "host", "xml")
+      .filter(col("in_scope"))
+      .select(col("url_canon").as("link_canon"),
+        col("url_host").as("link_host"),
+        lit(-3L).as("found_by"), col("lastmod"))
+    val gated = graft.io.WarcIngest.withHttpResponse(
+      withPlantedRedirectHttp(docs), "payload")
+    val redirCand = graft.ext.UrlOps.resolveRedirects(gated, "url",
+        "http_status", "http_location", maxHops = 3)
+      .filter(col("status") === "resolved")
+      .select(col("final_url").as("link_canon"),
+        regexp_extract(col("final_url"),
+          "^[a-z][a-z0-9+.-]*://([^/?]*)", 1).as("link_host"),
+        lit(-2L).as("found_by"), lit("").as("lastmod"))
+    val cand = linkCand.unionByName(smCand).unionByName(childCand)
+      .unionByName(redirCand)
+      .groupBy(col("link_canon"), col("link_host"))
+      .agg(min(col("found_by")).as("found_by"),
+        max(col("lastmod")).as("lastmod"))
+    val seen = canon.select(col("url_canon").as("link_canon"))
+      .unionByName(gated.select(col("url").as("link_canon")))
+      .distinct()
+    val fresh = cand.join(seen, Seq("link_canon"), "left_anti")
+      .localCheckpoint()
+    val verd = graft.ext.UrlOps.robotsVerdict(
+      fresh, "link_canon", "link_canon", plantedRobotsRules(docs))
+    val sched = verd.filter(col("fetch_allowed"))
+      .withColumn("path", regexp_extract(
+        regexp_replace(col("link_canon"),
+          "^[a-z][a-z0-9+.-]*://[^/?]*", ""), "^([^?]*)", 1))
+      .withColumn("depth", size(filter(split(col("path"), "/"),
+        seg => seg =!= "")).cast("long"))
+      .withColumn("recency_bucket",
+        graft.ext.UrlOps.recencyBucket(col("lastmod"), asOf))
+    sched.groupBy(col("link_host"))
+      .agg(call_function("graft_top_k",
+        -(col("recency_bucket") * 1048576L +
+          least(col("depth"), lit(1048575L))).cast("double"),
+        struct(col("link_canon"), col("found_by"),
+          col("recency_bucket"), col("depth")), lit(3)).as("top"))
+      .select(col("link_host"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("link_host"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("s.payload.link_canon").as("url_canon"),
+        col("s.payload.depth").as("depth"),
+        col("s.payload.recency_bucket").as("recency_bucket"),
+        col("s.payload.found_by").as("found_by"))
+      .orderBy("link_host", "rank")
+  }
+
   /** q163's planted HTTP response payloads: one per document, the five
     * response classes a real crawl actually returns — a 404 WITHOUT a
     * Content-Type header (%5=0 — absent header must read as empty, not
@@ -864,6 +948,17 @@ private[graft] object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- THE unified frontier (oracle-checked): every discovery
+    // source in ONE ranked queue — page outlinks, sitemap <url>
+    // entries, child-sitemap entries via the index recursion, and
+    // resolved redirect finals — deduped on the canonical URL with
+    // min-found_by provenance and freshest lastmod, anti-joined
+    // against BOTH fetched universes, robots-verdicted, and budgeted
+    // per host by the recency-packed graft_top_k. The capstone of the
+    // crawl family: every leg is the shipped operator and the oracle
+    // assembles all four families' shared CTE generators.
+    "q173_unified_frontier" -> ((s, dir) => unifiedFrontier(s, dir)),
 
     // ---- crawl-corpus revisit merge (oracle-checked): what the
     // re-fetch cycle does with its answers — the crawl-side CDC merge
@@ -2620,6 +2715,67 @@ private[graft] object TextQueries {
       "url_host = sitemap_host AS in_scope FROM ic " +
       "ORDER BY sitemap_host, url_canon"
 
+  /** q173: ALL FOUR families' shared generators assembled — the link
+    * CTEs, the sitemap `<url>` tier, the child-sitemap loop, and the
+    * redirect resolution — unioned with per-source found_by markers,
+    * anti-joined against BOTH fetched universes, then the q162 tail
+    * (robots max, recency bucket, packed-ordinal budget window). */
+  private def unifiedFrontierOracleSql: String = {
+    val hostRx = "'^[a-z][a-z0-9+.-]*://([^/?]*)'"
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      robotsRulesCtes + ",\n" + sitemapCtes + ",\n" +
+      childSitemapCtes + ",\n" + linkCtes + ",\n" + redirectCtes + ",\n" +
+      "lcand AS (SELECT url_canon AS link_canon, url_host AS " +
+      "link_host, min(doc_id) AS found_by, '' AS lastmod FROM lc " +
+      "GROUP BY 1, 2),\n" +
+      "scand AS (SELECT url_canon AS link_canon, url_host AS " +
+      "link_host, CAST(-1 AS BIGINT) AS found_by, lastmod FROM sc " +
+      "WHERE url_host = sitemap_host),\n" +
+      "kcand AS (SELECT url_canon AS link_canon, url_host AS " +
+      "link_host, CAST(-3 AS BIGINT) AS found_by, lastmod FROM csc " +
+      "WHERE url_host = sitemap_host),\n" +
+      "dcand AS (SELECT cur AS link_canon, " +
+      "regexp_extract(cur, " + hostRx + ", 1) AS link_host, " +
+      "CAST(-2 AS BIGINT) AS found_by, '' AS lastmod FROM rf " +
+      "WHERE NOT lp AND nxt IS NULL),\n" +
+      "ucand AS (SELECT link_canon, link_host, min(found_by) AS " +
+      "found_by, max(lastmod) AS lastmod FROM " +
+      "(SELECT * FROM lcand UNION ALL SELECT * FROM scand " +
+      "UNION ALL SELECT * FROM kcand UNION ALL SELECT * FROM dcand) " +
+      "un GROUP BY 1, 2),\n" +
+      "useen AS (SELECT url_canon AS link_canon FROM c " +
+      "UNION SELECT u FROM ru),\n" +
+      "ufresh AS (SELECT ucand.* FROM ucand LEFT JOIN useen " +
+      "ON ucand.link_canon = useen.link_canon " +
+      "WHERE useen.link_canon IS NULL),\n" +
+      "upth AS (SELECT link_canon, link_host, found_by, lastmod, " +
+      "regexp_extract(regexp_replace(link_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path, " +
+      "regexp_replace(link_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', '') AS mpath FROM ufresh),\n" +
+      "uv AS (SELECT p.link_canon, p.link_host, p.found_by, " +
+      "p.lastmod, p.path, max(coalesce(2 * length(r.rprefix) + " +
+      "CASE WHEN r.rallow THEN 1 ELSE 0 END, 1)) AS score " +
+      "FROM upth p LEFT JOIN rules r ON r.rhost = p.link_host " +
+      "AND starts_with(p.mpath, r.rprefix) GROUP BY 1, 2, 3, 4, 5),\n" +
+      "ual AS (SELECT link_canon, link_host, found_by, lastmod, " +
+      "CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) " +
+      "AS BIGINT) AS depth FROM uv WHERE score % 2 = 1),\n" +
+      "urb AS (SELECT *, CAST(CASE WHEN " +
+      "regexp_matches(lastmod, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') " +
+      "AND try_cast(lastmod AS DATE) IS NOT NULL THEN " +
+      "least(greatest(date_diff('day', try_cast(lastmod AS DATE), " +
+      "DATE '2026-02-10'), 0) // 30, 11) ELSE 12 END AS BIGINT) " +
+      "AS recency_bucket FROM ual),\n" +
+      "urk AS (SELECT link_host, link_canon, depth, recency_bucket, " +
+      "found_by, row_number() OVER (PARTITION BY link_host " +
+      "ORDER BY recency_bucket * 1048576 + least(depth, 1048575), " +
+      "link_canon) AS rnk FROM urb)\n" +
+      "SELECT link_host, CAST(rnk AS BIGINT) AS rank, " +
+      "link_canon AS url_canon, depth, recency_bucket, found_by " +
+      "FROM urk WHERE rnk <= 3 ORDER BY link_host, rank"
+  }
+
   /** q172: the corpus/revisit plants, a compact status/body parse
     * carrying the URL, and the merge projection replayed — the same
     * CASE arms, null-condition-as-false CASE semantics matching
@@ -2674,17 +2830,16 @@ private[graft] object TextQueries {
       "last_validated, body_changed FROM mm ORDER BY url_canon"
   }
 
-  /** q171: the shared index-tier CTEs (q164's parse), the child-body
-    * construction replayed from the in-scope children, the SAME
-    * `<url>`-tier pulls + canonicalization chain over the child
-    * bodies, then the q162 frontier tail — seen anti join, robots
-    * integer max, recency bucket, packed-ordinal budget window. */
-  private def sitemapRecursionOracleSql: String = {
+  /** The child-sitemap fetch loop as CTEs — q164's index-tier parse
+    * (`ib`/`ii`/`ic`), the child-body construction from the in-scope
+    * children, and the `<url>`-tier pulls + canonicalization chain
+    * over the child bodies, ending in `csc(sitemap_host, lastmod,
+    * url_canon, url_host)`. Expects `sm` upstream; shared by the
+    * q171 and q173 oracles. */
+  private def childSitemapCtes: String = {
     val nl = "chr(10)"
     val dgx = "regexp_extract(url_host, '([0-9])\\.example\\.com$', 1)"
-    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
-      robotsRulesCtes + ",\n" + sitemapPlantCte + ",\n" +
-      "ib AS (SELECT host AS sitemap_host, " +
+    "ib AS (SELECT host AS sitemap_host, " +
       "unnest(regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', " +
       "1)) AS b FROM sm),\n" +
       "ii AS (SELECT sitemap_host, " +
@@ -2724,8 +2879,16 @@ private[graft] object TextQueries {
       "trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) AS url " +
       "FROM cbl WHERE trim(regexp_extract(b, " +
       "'(?s)<loc>(.*?)</loc>', 1)) <> ''),\n" +
-      urlCanonChain("cli", "cs", "csc", Seq("sitemap_host", "lastmod")) +
-      ",\n" +
+      urlCanonChain("cli", "cs", "csc", Seq("sitemap_host", "lastmod"))
+  }
+
+  /** q171: the shared plant + child-loop CTEs, then the q162 frontier
+    * tail — seen anti join, robots integer max, recency bucket,
+    * packed-ordinal budget window. */
+  private def sitemapRecursionOracleSql: String = {
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      robotsRulesCtes + ",\n" + sitemapPlantCte + ",\n" +
+      childSitemapCtes + ",\n" +
       "ccand AS (SELECT url_canon AS link_canon, url_host AS " +
       "link_host, max(lastmod) AS lastmod FROM csc " +
       "WHERE url_host = sitemap_host GROUP BY 1, 2),\n" +
@@ -3239,6 +3402,8 @@ private[graft] object TextQueries {
     "q171_sitemap_recursion" -> sitemapRecursionOracleSql,
 
     "q172_revisit_merge" -> revisitMergeOracleSql,
+
+    "q173_unified_frontier" -> unifiedFrontierOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 

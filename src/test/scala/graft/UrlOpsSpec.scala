@@ -724,6 +724,27 @@ class UrlOpsSpec extends SparkSpec {
     assert(out.forall(r => !r._3.contains("/Docs/")))
   }
 
+  test("q173: the unified frontier ranks all discovery sources in one " +
+    "budget — provenance classes live, ranks bucket-monotone") {
+    val out = SparkEntry.queries("q173_unified_frontier")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4),
+        r.getLong(5)))
+    assert(out.nonEmpty)
+    val classes = out.map(_._4)
+    // child-sitemap (−3), sitemap (−1) and link (≥0) discoveries all
+    // make budgets; redirect finals (−2) are unioned and verdicted but
+    // rank behind age-attested candidates at k=3 (q168 owns their
+    // enqueue demonstration)
+    assert(classes.contains(-3L) && classes.contains(-1L) &&
+      classes.exists(_ >= 0L), s"classes: ${classes.distinct.toSeq}")
+    out.groupBy(_._1).values.foreach { rows =>
+      val buckets = rows.sortBy(_._2).map(_._3)
+      assert(buckets.toSeq == buckets.sorted.toSeq, s"$rows")
+    }
+  }
+
   test("canonicalization is idempotent") {
     val raw = Seq("HTTPS://WWW.Ex.COM:443//A//B/?b=2&utm_q=9&a=1#f")
     val once = canon(raw.head)
