@@ -41,8 +41,11 @@ class AqeParitySpec extends SparkSpec {
     "q161_robots_wildcards", "q162_frontier_recency", "q100_dup_spans",
     // round 13: bounded-hop redirect resolution — iterative equi-joins
     // over a localCheckpointed edge relation, then (q168) an anti join
-    // + final-URL aggregation on top
-    "q167_redirect_chains", "q168_redirect_frontier")
+    // + final-URL aggregation on top; q172's full-outer revisit merge;
+    // q173 stacks every discovery source into one anti-join + verdict
+    // + budget plan
+    "q167_redirect_chains", "q168_redirect_frontier",
+    "q172_revisit_merge", "q173_unified_frontier")
 
   test("AQE on and off produce identical rows for partition-sensitive " +
     "queries") {
