@@ -237,9 +237,29 @@ private[graft] object TextQueries {
       concat(col("h"), lit(".example.com")).as("host"),
       concat(
         lit("# robots for "), col("h"), lit("\n"),
+        // round 13: `Sitemap:` directives — a clean absolute one, a
+        // MESSY one (mixed-case name, tab whitespace, canonicalization
+        // needed, trailing comment), a cross-host one on even-length
+        // hosts (harvested, flagged out of scope), and a RELATIVE one
+        // (dropped — sitemaps.org requires a full URL). All invisible
+        // to the rule/delay parsers (q152/q156/q160 unchanged);
+        // harvested only by q174's parseRobotsSitemaps.
+        lit("Sitemap: https://"), col("h"),
+        lit(".example.com/sitemap.xml\n"),
+        lit("SITEMAP:\tHTTPS://WWW."), upper(col("h")),
+        lit(".EXAMPLE.COM/maps//index.xml # primary\n"),
+        when(length(col("h")) % 2 === 0,
+          concat(lit("Sitemap: https://cdn"),
+            regexp_extract(col("h"), "([0-9])$", 1),
+            lit(".example.net/sm-root.xml\n"))).otherwise(lit("")),
+        lit("Sitemap: /relative/sm.xml\n"),
         lit("Disallow: /orphan\n"),
         lit("User-Agent: BadBot\nDisallow: /tmp\n\n"),
+        // a mid-group directive: group-independent for the harvest,
+        // ignored-without-breaking-the-group for the rule parser
         lit("user-agent: *\nCrawl-delay: 5\n"),
+        lit("Sitemap: https://"), col("h"),
+        lit(".example.com/mid-group.xml\n"),
         lit("Disallow: /Docs/1\nALLOW: /Docs/12 # longest wins\n"),
         lit("Allow: /Docs/3\ndisallow: /Docs/3\nDisallow:\n"),
         lit("Allow:\t/Tab\r\nDisallow: /Cr\t\r\n"),
@@ -948,6 +968,20 @@ private[graft] object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- robots.txt Sitemap directive harvest (oracle-checked): the
+    // STANDARD discovery path for a site's sitemap URLs — RFC 9309
+    // treats the line as unrecognized (the rule parser correctly
+    // ignores it, q152/q156/q160 unchanged), but a crawler that only
+    // ignores it never finds the sitemaps the whole sitemap tier
+    // consumes. Group-independent, case-insensitive, comment-stripped,
+    // absolute-URL-only, canonicalized, cross-host declarations
+    // flagged (UrlOps.parseRobotsSitemaps — one projection + one
+    // explode, bodies die in the harvest).
+    "q174_robots_sitemaps" -> ((s, dir) =>
+      graft.ext.UrlOps.parseRobotsSitemaps(
+          plantedRobotsTxt(t(s, dir, "documents")), "host", "txt")
+        .orderBy("host", "url_canon")),
 
     // ---- THE unified frontier (oracle-checked): every discovery
     // source in ONE ranked queue — page outlinks, sitemap <url>
@@ -2515,9 +2549,19 @@ private[graft] object TextQueries {
     "rbh AS (SELECT DISTINCT lower(source) AS h FROM documents),\n" +
       "rt AS (SELECT h || '.example.com' AS host, " +
       "'# robots for ' || h || chr(10) || " +
+      "'Sitemap: https://' || h || '.example.com/sitemap.xml' || " +
+      "chr(10) || " +
+      "'SITEMAP:' || chr(9) || 'HTTPS://WWW.' || upper(h) || " +
+      "'.EXAMPLE.COM/maps//index.xml # primary' || chr(10) || " +
+      "(CASE WHEN length(h) % 2 = 0 THEN 'Sitemap: https://cdn' || " +
+      "regexp_extract(h, '([0-9])$', 1) || '.example.net/sm-root.xml' " +
+      "|| chr(10) ELSE '' END) || " +
+      "'Sitemap: /relative/sm.xml' || chr(10) || " +
       "'Disallow: /orphan' || chr(10) || " +
       "'User-Agent: BadBot' || chr(10) || 'Disallow: /tmp' || chr(10) || " +
       "chr(10) || 'user-agent: *' || chr(10) || 'Crawl-delay: 5' || " +
+      "chr(10) || " +
+      "'Sitemap: https://' || h || '.example.com/mid-group.xml' || " +
       "chr(10) || 'Disallow: /Docs/1' || chr(10) || " +
       "'ALLOW: /Docs/12 # longest wins' || chr(10) || " +
       "'Allow: /Docs/3' || chr(10) || 'disallow: /Docs/3' || chr(10) || " +
@@ -2714,6 +2758,28 @@ private[graft] object TextQueries {
       "lastmod <> '' AS had_lastmod, " +
       "url_host = sitemap_host AS in_scope FROM ic " +
       "ORDER BY sitemap_host, url_canon"
+
+  /** q174: the robots plant's line discipline replayed through the
+    * SHARED comment-strip/trim CTEs (`rc1`), then the sitemap-line
+    * filter, the absolute-URL gate, and the canonicalization chain.
+    * The rule-parse CTEs riding along in [[robotsTxtCtes]] stay
+    * unreferenced (and unevaluated). */
+  private def robotsSitemapsOracleSql: String =
+    // the carry column must NOT be named `host` — the canonicalization
+    // chain derives its own `host` internally and the duplicate name
+    // mis-binds (hit for real: the cdn row canonicalized under the
+    // declaring host)
+    "WITH " + robotsTxtCtes + ",\n" +
+      "smf AS (SELECT host AS rb_host, line FROM rc1 " +
+      "WHERE lower(line) LIKE 'sitemap:%'),\n" +
+      "smv AS (SELECT rb_host, trim(regexp_replace(line, '^[^:]*:', " +
+      "''), ' ' || chr(9)) AS v FROM smf),\n" +
+      "sma AS (SELECT rb_host, v AS url FROM smv " +
+      "WHERE regexp_matches(v, '(?i)^https?://')),\n" +
+      urlCanonChain("sma", "sz", "smc", Seq("rb_host")) + "\n" +
+      "SELECT rb_host AS host, url_canon, url_host, " +
+      "url_host = rb_host AS in_scope " +
+      "FROM smc ORDER BY host, url_canon"
 
   /** q173: ALL FOUR families' shared generators assembled — the link
     * CTEs, the sitemap `<url>` tier, the child-sitemap loop, and the
@@ -3404,6 +3470,8 @@ private[graft] object TextQueries {
     "q172_revisit_merge" -> revisitMergeOracleSql,
 
     "q173_unified_frontier" -> unifiedFrontierOracleSql,
+
+    "q174_robots_sitemaps" -> robotsSitemapsOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 

@@ -526,6 +526,43 @@ object UrlOps {
           col("path_prefix").endsWith("$"))
   }
 
+  /** `Sitemap:` directive harvest from robots.txt — the STANDARD
+    * discovery path for a site's sitemap URLs (sitemaps.org "Sitemap
+    * location"; RFC 9309 treats the line as an unrecognized directive,
+    * which is why [[parseRobotsTxt]] correctly ignores it — but a
+    * crawler that only ignores it never finds the sitemaps this
+    * engine's whole sitemap tier consumes). One row per directive:
+    * the declaring `host`, the canonicalized sitemap URL + its host,
+    * and the same cross-host `in_scope` flag as the XML tiers
+    * (sitemaps.org scopes a sitemap to its own host; cross-host
+    * declarations surface flagged, not silently followed).
+    *
+    * Grammar: the directive is GROUP-INDEPENDENT (harvested wherever
+    * it appears, including inside a user-agent group, where the rule
+    * parser must keep ignoring it), name case-insensitive, comments
+    * stripped at `#`, RFC whitespace (space/tab) trimmed, and per
+    * sitemaps.org the value must be a FULL absolute URL — relative
+    * values are dropped. One projection + one explode; bodies die in
+    * the harvest. Feeds [[parseSitemapIndex]]/[[parseSitemap]] — the
+    * fetch loop q171 closes. */
+  def parseRobotsSitemaps(df: DataFrame, hostCol: String,
+      txtCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val lines = df.select(col(hostCol).as("host"),
+      explode(split(col(txtCol), RobotsLineBreak)).as("__l"))
+    val cleaned = trim(regexp_replace(col("__l"), "#.*$", ""), RobotsWs)
+    val v = trim(regexp_replace(cleaned, "^[^:]*:", ""), RobotsWs)
+    lines
+      .withColumn("__line", cleaned)
+      .filter(lower(col("__line")).startsWith("sitemap:"))
+      .withColumn("__v", v)
+      .filter(col("__v").rlike("(?i)^https?://"))
+      .withColumn("__uc", call_function("graft_url_canon", col("__v")))
+      .select(col("host"), col("__uc")("canon").as("url_canon"),
+        col("__uc")("host").as("url_host"))
+      .withColumn("in_scope", col("url_host") === col("host"))
+  }
+
   /** Sitemap-protocol parser (sitemaps.org XML): per-host sitemap
     * bodies → one row per `<url>` entry with a non-empty `<loc>`,
     * carrying the canonicalized URL, its host, the `<lastmod>` value

@@ -745,6 +745,30 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  test("parseRobotsSitemaps: case-insensitive directive, tab whitespace, " +
+    "comment strip, canonicalization, mid-group harvest, cross-host " +
+    "flag, relative drop") {
+    import spark.implicits._
+    val body = "# header\n" +
+      "Sitemap: https://h.example.com/a.xml\n" +
+      "SITEMAP:\tHTTPS://WWW.H.EXAMPLE.COM/maps//b.xml # primary\r\n" +
+      "Sitemap: https://other.example.net/c.xml\n" +
+      "Sitemap: /relative.xml\n" +
+      "sitemap:\n" + // empty value: not an absolute URL, dropped
+      "User-agent: *\n" +
+      "Sitemap: https://h.example.com/mid.xml\n" +
+      "Disallow: /x\n"
+    val out = graft.ext.UrlOps.parseRobotsSitemaps(
+        Seq(("h.example.com", body)).toDF("host", "txt"), "host", "txt")
+      .orderBy("url_canon")
+      .collect().map(r => (r.getString(1), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("https://h.example.com/a.xml", true),
+      ("https://h.example.com/maps/b.xml", true),
+      ("https://h.example.com/mid.xml", true),
+      ("https://other.example.net/c.xml", false)))
+  }
+
   test("canonicalization is idempotent") {
     val raw = Seq("HTTPS://WWW.Ex.COM:443//A//B/?b=2&utm_q=9&a=1#f")
     val once = canon(raw.head)
