@@ -430,6 +430,102 @@ private[graft] object TextQueries {
         .otherwise(lit("")),
       lit("</p>"), lit(HtmlTail)))
 
+  /** q175's planted pages: the exclusion-protocol surface — per
+    * doc_id%5 a meta-robots class (a MESSY name-first
+    * `" NOINDEX ,<TAB>nofollow "` needing token trim, a content-FIRST
+    * `noindex`, a `none` shorthand ≡ noindex+nofollow, an explicit
+    * `all` that must set NEITHER flag, and no meta at all), plus per
+    * page: an always-followed root-relative link, an anchor-level
+    * `rel="nofollow"` link (rel BEFORE href), an href-first
+    * MULTI-TOKEN uppercase `REL="noopener NOFOLLOW ugc"` link (%2),
+    * a `rel="nofollowme"` TRAP that must stay followed — token
+    * membership, not substring (%3) —, an absolute cross-host
+    * nofollow ad link (%7), and an href-LESS `<a name=...>` the tag
+    * harvest must drop. Shared structure with the oracle via
+    * [[nofollowOracleSql]]. */
+  private[graft] def withPlantedRelPage(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    df.withColumn("html", concat(
+      lit("<html><head>"),
+      when(d % 5 === 0, lit("<meta name=\"robots\" content=\" NOINDEX" +
+          " ,\tnofollow \">"))
+        .when(d % 5 === 1, lit("<META CONTENT=\"noindex\" NAME=\"robots\">"))
+        .when(d % 5 === 2, lit("<meta name=\"robots\" content=\"none\">"))
+        .when(d % 5 === 3, lit("<meta name=\"robots\" content=\"all\">"))
+        .otherwise(lit("")),
+      lit("<title>t</title></head><body><p>"),
+      lit("<a href=\"/keep/"), (d % 13).cast("string"),
+      lit("\">keep</a> "),
+      lit("<a rel=\"nofollow\" href=\"/nf/"), (d % 13).cast("string"),
+      lit("\">nf</a> "),
+      when(d % 2 === 0, concat(lit("<A HREF=\"/multi/"),
+        (d % 3).cast("string"),
+        lit("\" REL=\"noopener NOFOLLOW ugc\">m</A> "))).otherwise(lit("")),
+      when(d % 3 === 0, concat(lit("<a rel=\"nofollowme\" href=\"/trap/"),
+        (d % 7).cast("string"),
+        lit("\">trap</a> "))).otherwise(lit("")),
+      when(d % 7 === 0, concat(lit("<a rel=\"nofollow\" href=\"https://ads"),
+        (d % 3).cast("string"),
+        lit(".example.net/click\">ad</a> "))).otherwise(lit("")),
+      lit("<a name=\"anchor-only\">x</a></p></body></html>")))
+  }
+
+  /** q177's planted pages: the document-base surface — per doc_id%4 a
+    * base class (an ABSOLUTE cross-host template base ending in a
+    * directory, a ROOT-RELATIVE base resolved against the fetched
+    * URL's own authority, NO base at all — the fetched-URL control —
+    * and a DROPPED-KIND `javascript:` base that must fall back to the
+    * fetched URL even though a second, valid base element follows:
+    * first-base-wins); every page carries the same three links — a
+    * path-relative one (the base-sensitive case), a root-relative one
+    * (authority comes from the effective base), and an absolute one
+    * (base-immune). Shared structure with the oracle via
+    * [[baseHrefOracleSql]]. */
+  private[graft] def withPlantedBasePage(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    df.withColumn("html", concat(
+      lit("<html><head>"),
+      when(d % 4 === 0, concat(lit("<base href=\"https://tpl"),
+        (d % 3).cast("string"), lit(".example.net/t/"),
+        (d % 5).cast("string"), lit("/\">")))
+        .when(d % 4 === 1, lit("<base href=\"/newroot/sub/\">"))
+        .when(d % 4 === 3, lit("<base href=\"javascript:void(0)\">" +
+          "<base href=\"https://second.example.net/x/\">"))
+        .otherwise(lit("")),
+      lit("</head><body><a href=\"page-rel\">p</a> " +
+        "<a href=\"/root-a\">r</a> " +
+        "<a href=\"https://fix.example.net/abs\">x</a></body></html>")))
+  }
+
+  /** q179's planted pages: the anchor-text surface — a shared hub
+    * target (doc_id%3 picks one of three) whose text VARIES in case
+    * and whitespace but normalizes to one key (`hub portal`), a
+    * second text for the same target on %4 docs (with an embedded
+    * newline the collapse must flatten), a NOFOLLOW anchor on the hub
+    * (its text must carry no weight), a per-host root-relative
+    * section link with padded text, a nested-markup anchor (OUT of
+    * the text contract — no row), and an EMPTY-text anchor on the hub
+    * (normalizes to '' and is dropped). Shared structure with the
+    * oracle via [[anchorTextOracleSql]]. */
+  private[graft] def withPlantedAnchorPage(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val hub = concat(lit("https://hub"), (d % 3).cast("string"),
+      lit(".example.net/t"))
+    df.withColumn("html", concat(
+      lit("<html><body><a href=\""), hub, lit("\">"),
+      when(d % 2 === 0, lit("Hub Portal")).otherwise(lit("hub   PORTAL")),
+      lit("</a> "),
+      when(d % 4 === 0, concat(lit("<a href=\""), hub,
+        lit("\">Visit\nNow</a> "))).otherwise(lit("")),
+      lit("<a rel=\"nofollow\" href=\""), hub,
+      lit("\">sponsored</a> "),
+      lit("<a href=\"/local/"), (d % 13).cast("string"),
+      lit("\"> Section "), (d % 13).cast("string"), lit(" </a> "),
+      lit("<a href=\"https://img.example.net/i\"><b>bold</b></a>"),
+      lit("<a href=\""), hub, lit("\"></a>"),
+      lit("</body></html>")))
+  }
+
   /** q154's frontier, unordered — discovered outlinks minus fetched
     * seeds, robots-verdicted, budgeted to the 3 shallowest per host
     * via graft_top_k. Shared by q154 and q160's politeness schedule.
@@ -576,6 +672,38 @@ private[graft] object TextQueries {
       lit("</urlset>"))
     children.select(host.as("host"),
       when(isMore, moreBody).otherwise(partBody).as("xml"))
+  }
+
+  /** q176's planted bodies for the sitemaps the ROBOTS files declare
+    * (q174's in-scope harvest): one `<urlset>` per declared sitemap
+    * URL, keyed by its path marker (`sitemap`/`index`/`mid-group` —
+    * three bodies per host, so the candidate dedup does real work on
+    * the shared entries). Each body plants: a NEW per-marker URL with
+    * a fresh lastmod, the robots-DISALLOWED `/Docs/1`, a messy
+    * whitespace/uppercase/dup-slash entry without lastmod, a possibly
+    * ALREADY-FETCHED `/Docs/3` spelling (the anti-join's planted
+    * hit — canonicalizes into the fetched universe where the host's
+    * doc ids cover it), and a CROSS-HOST cdn entry the in-scope
+    * filter drops. Shared structure with the oracle via
+    * [[robotsSitemapFrontierOracleSql]]. */
+  private[graft] def plantedRobotsSitemapBodies(declared: DataFrame)
+      : DataFrame = {
+    val host = col("url_host")
+    val mk = regexp_extract(col("url_canon"), "/([a-z-]+)\\.xml$", 1)
+    val dg = regexp_extract(host, "([0-9])\\.example\\.com$", 1)
+    declared.select(host.as("sm_host"), concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      lit("<url><loc>https://"), host, lit("/rsm/"), mk,
+      lit("-a</loc><lastmod>2026-02-03</lastmod></url>"),
+      lit("<url><loc>https://"), host,
+      lit("/Docs/1</loc><lastmod>2026-02-01</lastmod></url>"),
+      lit("<url>\n  <loc> HTTPS://WWW."), upper(host), lit("/rsm//"),
+      mk, lit("-b?b=2&a=1 </loc>\n</url>"),
+      lit("<url><loc>https://"), host,
+      lit("/Docs/3?b=2&a=1</loc></url>"),
+      lit("<url><loc>https://cdn"), dg,
+      lit(".example.net/rsm-x</loc></url>"),
+      lit("</urlset>")).as("xml"))
   }
 
   /** q171: the sitemap-index LOOP closed in one plan — q164's
@@ -967,6 +1095,32 @@ private[graft] object TextQueries {
     base.unionByName(inserts)
   }
 
+  /** q178's planted responses: per doc_id%5 the throttle classes a
+    * real crawl meets — a `429` with a DELTA-SECONDS `Retry-After`
+    * (varying per doc so the per-host max does real work), a `503`
+    * with an HTTP-DATE `Retry-After` 4.5 days past the as-of, a `503`
+    * with a MALFORMED value (`soon` — must parse to null and fall to
+    * the crawl-delay tier, never to 0), a healthy `200` (not a
+    * throttle even though header-bearing responses surround it), and
+    * a `429` with NO `Retry-After` at all. */
+  private[graft] def withPlantedRetryHttp(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    df.select(col("doc_id"),
+      concat(lower(col("source")), lit(".example.com")).as("host"),
+      when(d % 5 === 0, concat(
+        lit("HTTP/1.1 429 Too Many Requests\r\nRetry-After: "),
+        ((d % 7) * 10 + 5).cast("string"), lit("\r\n\r\nslow down")))
+      .when(d % 5 === 1, lit("HTTP/1.1 503 Service Unavailable\r\n" +
+        "Retry-After: Sat, 14 Feb 2026 12:00:00 GMT\r\n\r\nmaint"))
+      .when(d % 5 === 2, lit("HTTP/1.1 503 Service Unavailable\r\n" +
+        "Retry-After: soon\r\n\r\nmaint"))
+      .when(d % 5 === 3, concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          "<html>ok "), d.cast("string"), lit("</html>")))
+      .otherwise(lit("HTTP/1.1 429 Too Many Requests\r\n\r\nslow"))
+        .as("payload"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- robots.txt Sitemap directive harvest (oracle-checked): the
@@ -982,6 +1136,236 @@ private[graft] object TextQueries {
       graft.ext.UrlOps.parseRobotsSitemaps(
           plantedRobotsTxt(t(s, dir, "documents")), "host", "txt")
         .orderBy("host", "url_canon")),
+
+    // ---- nofollow/meta-robots exclusion protocol (oracle-checked):
+    // the IN-PAGE half of robots a real crawl must honor — anchors
+    // whose rel TOKEN list contains nofollow, and pages whose
+    // <meta name="robots"> declares nofollow (no links contributed to
+    // discovery) or noindex (fetched but carries no index weight).
+    // Token membership is a split, never a substring (the
+    // rel="nofollowme" trap stays followed); `none` ≡ both; `all`
+    // sets neither. One projection + one generator — the tag harvest
+    // (UrlOps.extractOutlinksRel) is parity-pinned to the href
+    // harvest, and the meta flags ride the projection (no join).
+    "q175_nofollow_links" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        withPlantedUrl(docs), "url")
+      val pages = graft.ext.UrlOps.withMetaRobots(
+        withPlantedRelPage(canon), "html")
+      graft.ext.UrlOps.extractOutlinksRel(pages, "doc_id", "html",
+          "url_canon", "url", carry = Seq("meta_noindex", "meta_nofollow"))
+        .filter(col("link_canon").isNotNull)
+        .select(col("doc_id"), col("link_canon"), col("link_host"),
+          col("link_nofollow"), col("meta_noindex"), col("meta_nofollow"),
+          (!col("link_nofollow") && !col("meta_nofollow")).as("follow"))
+        .orderBy("doc_id", "link_canon")
+    }),
+
+    // ---- robots-declared sitemap loop CLOSED (oracle-checked): the
+    // q174 harvest consumed — in-scope declared sitemaps are fetched
+    // (planted bodies), run through the SAME <url> parser as the XML
+    // tiers, deduped across the three declarations per host, anti-
+    // joined against the fetched universe, robots-verdicted (the
+    // declared corpus's own /Docs/1 disallow kills a planted entry),
+    // and recency-budgeted per host — the q171 composition discipline
+    // for the robots discovery path. Every stage is the shipped
+    // operator; the oracle assembles the shared CTE generators.
+    "q176_robots_sitemap_frontier" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        withPlantedUrl(docs), "url")
+      val declared = graft.ext.UrlOps.parseRobotsSitemaps(
+          plantedRobotsTxt(docs), "host", "txt")
+        .filter(col("in_scope"))
+      val urls = graft.ext.UrlOps.parseSitemap(
+          plantedRobotsSitemapBodies(declared), "sm_host", "xml")
+        .filter(col("in_scope"))
+      val cand = urls
+        .groupBy(col("url_canon").as("link_canon"),
+          col("url_host").as("link_host"))
+        .agg(max(col("lastmod")).as("lastmod"))
+      val fresh = cand.join(
+        canon.select(col("url_canon").as("link_canon")).distinct(),
+        Seq("link_canon"), "left_anti")
+        .localCheckpoint()
+      val verd = graft.ext.UrlOps.robotsVerdict(
+        fresh, "link_canon", "link_canon", plantedRobotsRules(docs))
+      val sched = verd.filter(col("fetch_allowed"))
+        .withColumn("path", regexp_extract(
+          regexp_replace(col("link_canon"),
+            "^[a-z][a-z0-9+.-]*://[^/?]*", ""), "^([^?]*)", 1))
+        .withColumn("depth", size(filter(split(col("path"), "/"),
+          seg => seg =!= "")).cast("long"))
+        .withColumn("recency_bucket",
+          graft.ext.UrlOps.recencyBucket(col("lastmod"), "2026-02-10"))
+      sched.groupBy(col("link_host"))
+        .agg(call_function("graft_top_k",
+          -(col("recency_bucket") * 1048576L +
+            least(col("depth"), lit(1048575L))).cast("double"),
+          struct(col("link_canon"), col("recency_bucket"),
+            col("depth")), lit(3)).as("top"))
+        .select(col("link_host"),
+          posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("link_host"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("s.payload.link_canon").as("url_canon"),
+          col("s.payload.depth").as("depth"),
+          col("s.payload.recency_bucket").as("recency_bucket"))
+        .orderBy("link_host", "rank")
+    }),
+
+    // ---- <base href> document-base resolution (oracle-checked):
+    // template-driven pages declare a base element and every relative
+    // href resolves against IT, not the fetched URL — an extractor
+    // that ignores it mints phantom frontier keys on such pages. The
+    // effective base is the FIRST base element's href resolved
+    // against the fetched URL (it may itself be relative), falling
+    // back to the fetched URL when absent or of a dropped kind (the
+    // javascript: plant — the second, valid base element must NOT
+    // win). Two zero-shuffle projections: UrlOps.withDocumentBase
+    // then the same native outlink walk with the base pair swapped.
+    "q177_base_href_outlinks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        withPlantedUrl(docs), "url")
+      val based = graft.ext.UrlOps.withDocumentBase(
+        withPlantedBasePage(canon), "html", "url_canon", "url")
+      graft.ext.UrlOps.extractOutlinks(based, "doc_id", "html",
+          "doc_base_canon", "doc_base_raw")
+        .filter(col("link_canon").isNotNull)
+        .select(col("doc_id"), col("href_raw"), col("link_kind"),
+          col("link_canon"), col("link_host"))
+        .orderBy("doc_id", "href_raw")
+    }),
+
+    // ---- Retry-After throttle backoff (oracle-checked): the 429/503
+    // signal a polite crawler MUST honor — extracted by the HTTP gate,
+    // parsed in both RFC 9110 forms (delta-seconds; strict HTTP-date
+    // against the injectable as-of with past dates clamped to 0;
+    // malformed values null, never 0), aggregated to the per-host MAX,
+    // and folded with the robots crawl-delay tier into one effective
+    // backoff (greatest of the two — the origin's explicit throttle
+    // can only LENGTHEN the polite gap). One projection + one
+    // map-side-combining aggregate + one join on the host key.
+    "q178_retry_after_backoff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = graft.io.WarcIngest.withHttpResponse(
+        withPlantedRetryHttp(docs), "payload")
+      val ra = gated
+        .filter(col("http_status").isin(429L, 503L))
+        .withColumn("ra_us", graft.ext.UrlOps.retryAfterMicros(
+          col("http_retry_after"), "2026-02-10 00:00:00"))
+        .groupBy(col("host"))
+        .agg(max(col("ra_us")).as("retry_after_micros"),
+          count(lit(1)).as("n_throttled"))
+      val delays = graft.ext.UrlOps.robotsCrawlDelay(
+          plantedRobotsTxt(docs), "host", "txt", "graftbot")
+        .select(col("host"), col("crawl_delay_micros"))
+      ra.join(delays, Seq("host"), "left")
+        .select(col("host"), col("n_throttled"),
+          col("retry_after_micros"), col("crawl_delay_micros"),
+          greatest(coalesce(col("retry_after_micros"), lit(0L)),
+            coalesce(col("crawl_delay_micros"), lit(0L)))
+            .as("backoff_micros"))
+        .orderBy("host")
+    }),
+
+    // ---- inbound anchor-text aggregation (oracle-checked): what the
+    // web CALLS each target — the classic ranking/description signal
+    // (aggregated anchor text has ranked results since the PageRank
+    // paper) and a training-pair text source for retrieval models.
+    // Plain-text anchors only (nested markup carries no text signal),
+    // NOFOLLOW anchors excluded (no endorsement weight), text
+    // normalized (lowercase, whitespace collapsed) and aggregated per
+    // (target, text): mention count + distinct endorsing hosts. One
+    // projection + one generator, then ONE map-side-combining
+    // aggregate over (target, norm, host) triples — pages die in the
+    // harvest.
+    "q179_anchor_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        withPlantedUrl(docs), "url")
+      graft.ext.UrlOps.extractAnchorTexts(
+          withPlantedAnchorPage(canon), "doc_id", "html",
+          "url_canon", "url", carry = Seq("url_host"))
+        .filter(col("link_canon").isNotNull &&
+          !col("link_nofollow") && col("anchor_norm") =!= "")
+        .groupBy(col("link_canon"), col("anchor_norm"))
+        .agg(count(lit(1)).as("n_anchors"),
+          countDistinct(col("url_host")).as("n_src_hosts"))
+        .orderBy("link_canon", "anchor_norm")
+    }),
+
+    // ---- exclusion-aware discovery capstone (oracle-checked): this
+    // round's sources and exclusions in ONE frontier — page outlinks
+    // under the IN-PAGE exclusion protocol (anchor rel=nofollow and
+    // page-level meta nofollow both silenced, q175's legs) unioned
+    // with the robots-DECLARED sitemap loop's candidates (q176,
+    // found_by −4), deduped on the canonical URL with min-found_by
+    // provenance and freshest lastmod, anti-joined against the
+    // fetched universe, robots-verdicted, and recency-budgeted per
+    // host — the q173 composition discipline over the
+    // exclusion-aware legs.
+    "q180_exclusion_frontier" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        withPlantedUrl(docs), "url")
+      val pages = graft.ext.UrlOps.withMetaRobots(
+        withPlantedRelPage(canon), "html")
+      val links = graft.ext.UrlOps.extractOutlinksRel(pages, "doc_id",
+          "html", "url_canon", "url", carry = Seq("meta_nofollow"))
+        .filter(col("link_canon").isNotNull &&
+          !col("link_nofollow") && !col("meta_nofollow"))
+      val linkCand = links.groupBy(col("link_canon"), col("link_host"))
+        .agg(min(col("doc_id")).as("found_by"))
+        .withColumn("lastmod", lit(""))
+      val declared = graft.ext.UrlOps.parseRobotsSitemaps(
+          plantedRobotsTxt(docs), "host", "txt")
+        .filter(col("in_scope"))
+      val smCand = graft.ext.UrlOps.parseSitemap(
+          plantedRobotsSitemapBodies(declared), "sm_host", "xml")
+        .filter(col("in_scope"))
+        .groupBy(col("url_canon").as("link_canon"),
+          col("url_host").as("link_host"))
+        .agg(max(col("lastmod")).as("lastmod"))
+        .withColumn("found_by", lit(-4L))
+      val cand = linkCand.unionByName(smCand)
+        .groupBy(col("link_canon"), col("link_host"))
+        .agg(min(col("found_by")).as("found_by"),
+          max(col("lastmod")).as("lastmod"))
+      val fresh = cand.join(
+        canon.select(col("url_canon").as("link_canon")).distinct(),
+        Seq("link_canon"), "left_anti")
+        .localCheckpoint()
+      val verd = graft.ext.UrlOps.robotsVerdict(
+        fresh, "link_canon", "link_canon", plantedRobotsRules(docs))
+      val sched = verd.filter(col("fetch_allowed"))
+        .withColumn("path", regexp_extract(
+          regexp_replace(col("link_canon"),
+            "^[a-z][a-z0-9+.-]*://[^/?]*", ""), "^([^?]*)", 1))
+        .withColumn("depth", size(filter(split(col("path"), "/"),
+          seg => seg =!= "")).cast("long"))
+        .withColumn("recency_bucket",
+          graft.ext.UrlOps.recencyBucket(col("lastmod"), "2026-02-10"))
+      sched.groupBy(col("link_host"))
+        .agg(call_function("graft_top_k",
+          -(col("recency_bucket") * 1048576L +
+            least(col("depth"), lit(1048575L))).cast("double"),
+          struct(col("link_canon"), col("found_by"),
+            col("recency_bucket"), col("depth")), lit(3)).as("top"))
+        .select(col("link_host"),
+          posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("link_host"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("s.payload.link_canon").as("url_canon"),
+          col("s.payload.depth").as("depth"),
+          col("s.payload.recency_bucket").as("recency_bucket"),
+          col("s.payload.found_by").as("found_by"))
+        .orderBy("link_host", "rank")
+    }),
 
     // ---- THE unified frontier (oracle-checked): every discovery
     // source in ONE ranked queue — page outlinks, sitemap <url>
@@ -2627,9 +3011,12 @@ private[graft] object TextQueries {
     * winner replays the fold (specific class if the host named the
     * agent anywhere, else the `*` class; LAST line wins), micros
     * parsing shared, schedule arithmetic exact. */
-  private def fetchScheduleOracleSql: String =
-    "WITH " + frontierCtes + ",\n" + robotsTxtCtes + ",\n" +
-      "dl AS (SELECT r.host, r.val, r.ln, gr.m, gr.s FROM rg2 r " +
+  /** The crawl-delay winner replay over [[robotsTxtCtes]]' `rg2`/
+    * `rgrp`/`rasp` — the fold's specific-class-if-named-anywhere,
+    * LAST-line-wins selection and the shared micros parse — ending in
+    * `dms(host, dmic)`. Shared by the q160 and q178 oracles. */
+  private def crawlDelayCtes: String =
+    "dl AS (SELECT r.host, r.val, r.ln, gr.m, gr.s FROM rg2 r " +
       "JOIN rgrp gr ON gr.host = r.host AND gr.gid = r.gid " +
       "WHERE r.kind = 'delay'),\n" +
       "dcl AS (SELECT host, val, ln, " +
@@ -2644,7 +3031,11 @@ private[graft] object TextQueries {
       "CASE WHEN regexp_matches(raw, '^[0-9]+(\\.[0-9]{1,6})?$') THEN " +
       "CAST(regexp_extract(raw, '^([0-9]+)', 1) AS BIGINT) * 1000000 + " +
       "CAST(rpad(regexp_extract(raw, '^[0-9]+\\.([0-9]{1,6})$', 1), " +
-      "6, '0') AS BIGINT) END AS dmic FROM dw)\n" +
+      "6, '0') AS BIGINT) END AS dmic FROM dw)"
+
+  private def fetchScheduleOracleSql: String =
+    "WITH " + frontierCtes + ",\n" + robotsTxtCtes + ",\n" +
+      crawlDelayCtes + "\n" +
       "SELECT f.link_host, CAST(f.rnk AS BIGINT) AS rank, " +
       "f.link_canon AS url_canon, f.depth, f.found_by, " +
       "CAST((f.rnk - 1) * coalesce(d.dmic, 1000000) AS BIGINT) " +
@@ -2764,22 +3155,409 @@ private[graft] object TextQueries {
     * filter, the absolute-URL gate, and the canonicalization chain.
     * The rule-parse CTEs riding along in [[robotsTxtCtes]] stay
     * unreferenced (and unevaluated). */
-  private def robotsSitemapsOracleSql: String =
-    // the carry column must NOT be named `host` — the canonicalization
-    // chain derives its own `host` internally and the duplicate name
-    // mis-binds (hit for real: the cdn row canonicalized under the
-    // declaring host)
-    "WITH " + robotsTxtCtes + ",\n" +
+  // the carry column must NOT be named `host` — the canonicalization
+  // chain derives its own `host` internally and the duplicate name
+  // mis-binds (hit for real: the cdn row canonicalized under the
+  // declaring host)
+  /** q174's harvest as CTEs — robots line discipline, the
+    * sitemap-line filter, absolute-URL gate, canonicalization chain —
+    * ending in `smc(rb_host, url, url_canon, url_host)`. Shared by
+    * the q174 and q176 oracles. */
+  private def robotsSitemapHarvestCtes: String =
+    robotsTxtCtes + ",\n" +
       "smf AS (SELECT host AS rb_host, line FROM rc1 " +
       "WHERE lower(line) LIKE 'sitemap:%'),\n" +
       "smv AS (SELECT rb_host, trim(regexp_replace(line, '^[^:]*:', " +
       "''), ' ' || chr(9)) AS v FROM smf),\n" +
       "sma AS (SELECT rb_host, v AS url FROM smv " +
       "WHERE regexp_matches(v, '(?i)^https?://')),\n" +
-      urlCanonChain("sma", "sz", "smc", Seq("rb_host")) + "\n" +
+      urlCanonChain("sma", "sz", "smc", Seq("rb_host"))
+
+  private def robotsSitemapsOracleSql: String =
+    "WITH " + robotsSitemapHarvestCtes + "\n" +
       "SELECT rb_host AS host, url_canon, url_host, " +
       "url_host = rb_host AS in_scope " +
       "FROM smc ORDER BY host, url_canon"
+
+  /** q175: the rel-page plant replayed — meta flags from the
+    * name-first/content-first meta patterns' comma token lists, the
+    * whole-tag harvest with the href presence filter and rel TOKEN
+    * membership, plant-scoped resolution (root-relative + absolute,
+    * the only planted classes), then the shared canonicalization
+    * chain with the four flags carried through. */
+  /** q175's plant + harvest as CTEs (expects `c` upstream): the
+    * rel-page construction, meta token flags, the whole-tag harvest,
+    * rel token membership, plant-scoped resolution, ending in the
+    * chain output `nc(doc_id, link_nofollow, meta_noindex,
+    * meta_nofollow, url, url_canon, url_host, …)`. Shared by the
+    * q175 and q180 oracles. */
+  private def nofollowLinkCtes: String = {
+    val u = graft.ext.UrlOps
+    "hm AS (SELECT doc_id, url AS base_raw, url_canon AS base, " +
+      "'<html><head>' || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN " +
+      "'<meta name=\"robots\" content=\" NOINDEX ,' || chr(9) || " +
+      "'nofollow \">' " +
+      "WHEN doc_id % 5 = 1 THEN " +
+      "'<META CONTENT=\"noindex\" NAME=\"robots\">' " +
+      "WHEN doc_id % 5 = 2 THEN " +
+      "'<meta name=\"robots\" content=\"none\">' " +
+      "WHEN doc_id % 5 = 3 THEN " +
+      "'<meta name=\"robots\" content=\"all\">' ELSE '' END) || " +
+      "'<title>t</title></head><body><p>' || " +
+      "'<a href=\"/keep/' || CAST(doc_id % 13 AS VARCHAR) || " +
+      "'\">keep</a> ' || " +
+      "'<a rel=\"nofollow\" href=\"/nf/' || " +
+      "CAST(doc_id % 13 AS VARCHAR) || '\">nf</a> ' || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN '<A HREF=\"/multi/' || " +
+      "CAST(doc_id % 3 AS VARCHAR) || " +
+      "'\" REL=\"noopener NOFOLLOW ugc\">m</A> ' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN " +
+      "'<a rel=\"nofollowme\" href=\"/trap/' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '\">trap</a> ' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN " +
+      "'<a rel=\"nofollow\" href=\"https://ads' || " +
+      "CAST(doc_id % 3 AS VARCHAR) || " +
+      "'.example.net/click\">ad</a> ' ELSE '' END) || " +
+      "'<a name=\"anchor-only\">x</a></p></body></html>' AS html " +
+      "FROM c),\n" +
+      "mf AS (SELECT doc_id, base, base_raw, html, " +
+      "list_contains(toks, 'noindex') OR list_contains(toks, 'none') " +
+      "AS meta_noindex, " +
+      "list_contains(toks, 'nofollow') OR list_contains(toks, 'none') " +
+      "AS meta_nofollow FROM (SELECT *, " +
+      "list_transform(string_split(lower(coalesce(" +
+      "nullif(regexp_extract(html, '" + u.MetaRobotsNameFirstPattern +
+      "', 1), ''), " +
+      "nullif(regexp_extract(html, '" + u.MetaRobotsContentFirstPattern +
+      "', 1), ''), '')), ','), x -> trim(x, ' ' || chr(9))) AS toks " +
+      "FROM hm) t0),\n" +
+      "tg AS (SELECT doc_id, base, base_raw, meta_noindex, " +
+      "meta_nofollow, unnest(regexp_extract_all(html, '" +
+      u.AnchorTagPattern + "', 0)) AS tag FROM mf),\n" +
+      "th AS (SELECT doc_id, base, meta_noindex, meta_nofollow, " +
+      "regexp_extract(tag, '" + u.TagHrefPattern + "', 1) AS href, " +
+      "list_contains(string_split_regex(lower(regexp_extract(tag, '" +
+      u.TagRelPattern + "', 1)), '[ \\t]+'), 'nofollow') " +
+      "AS link_nofollow FROM tg " +
+      "WHERE regexp_matches(tag, '(?i)href\\s*=\\s*\"')),\n" +
+      "la AS (SELECT doc_id, meta_noindex, meta_nofollow, " +
+      "link_nofollow, CASE WHEN starts_with(href, '/') THEN " +
+      "regexp_extract(base, '^([a-z][a-z0-9+.-]*)://', 1) || '://' || " +
+      "regexp_extract(base, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) || " +
+      "href WHEN regexp_matches(href, '(?i)^https?://') THEN href " +
+      "END AS url FROM th),\n" +
+      urlCanonChain("la", "n", "nc",
+        Seq("doc_id", "link_nofollow", "meta_noindex", "meta_nofollow"))
+  }
+
+  private def nofollowOracleSql: String =
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      nofollowLinkCtes +
+      "\nSELECT doc_id, url_canon AS link_canon, url_host AS link_host, " +
+      "link_nofollow, meta_noindex, meta_nofollow, " +
+      "NOT (link_nofollow OR meta_nofollow) AS follow " +
+      "FROM nc ORDER BY doc_id, link_canon"
+
+  /** q176's body-construction + `<url>`-pull + dedup as CTEs (expects
+    * `smc` from [[robotsSitemapHarvestCtes]] upstream), ending in
+    * `rcand(link_canon, link_host, lastmod)`. Shared by the q176 and
+    * q180 oracles. */
+  private def robotsSitemapCandCtes: String = {
+    val nl = "chr(10)"
+    "rsd AS (SELECT url_canon AS sm_url, url_host AS smh FROM smc " +
+      "WHERE url_host = rb_host),\n" +
+      "rsb AS (SELECT smh, " +
+      "regexp_extract(sm_url, '/([a-z-]+)\\.xml$', 1) AS mk, " +
+      "regexp_extract(smh, '([0-9])\\.example\\.com$', 1) AS dg " +
+      "FROM rsd),\n" +
+      "rbod AS (SELECT smh, '<?xml version=\"1.0\"?><urlset>' || " +
+      "'<url><loc>https://' || smh || '/rsm/' || mk || " +
+      "'-a</loc><lastmod>2026-02-03</lastmod></url>' || " +
+      "'<url><loc>https://' || smh || " +
+      "'/Docs/1</loc><lastmod>2026-02-01</lastmod></url>' || " +
+      "'<url>' || " + nl + " || '  <loc> HTTPS://WWW.' || " +
+      "upper(smh) || '/rsm//' || mk || '-b?b=2&a=1 </loc>' || " + nl +
+      " || '</url>' || " +
+      "'<url><loc>https://' || smh || '/Docs/3?b=2&a=1</loc></url>' || " +
+      "'<url><loc>https://cdn' || dg || " +
+      "'.example.net/rsm-x</loc></url>' || '</urlset>' AS xml " +
+      "FROM rsb),\n" +
+      "rbl AS (SELECT smh, unnest(regexp_extract_all(xml, " +
+      "'(?s)<url>(.*?)</url>', 1)) AS b FROM rbod),\n" +
+      "rli AS (SELECT smh, " +
+      "trim(regexp_extract(b, '(?s)<lastmod>(.*?)</lastmod>', 1)) " +
+      "AS lastmod, " +
+      "trim(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1)) AS url " +
+      "FROM rbl WHERE trim(regexp_extract(b, " +
+      "'(?s)<loc>(.*?)</loc>', 1)) <> ''),\n" +
+      urlCanonChain("rli", "rz", "rlc", Seq("smh", "lastmod")) + ",\n" +
+      "rcand AS (SELECT url_canon AS link_canon, url_host AS " +
+      "link_host, max(lastmod) AS lastmod FROM rlc " +
+      "WHERE url_host = smh GROUP BY 1, 2)"
+  }
+
+  /** q176: the q174 harvest CTEs, the body construction, then the
+    * q162/q171 frontier tail — seen anti join, robots integer max,
+    * recency bucket, packed-ordinal budget window. */
+  private def robotsSitemapFrontierOracleSql: String = {
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      robotsRulesCtes + ",\n" + robotsSitemapHarvestCtes + ",\n" +
+      robotsSitemapCandCtes + ",\n" +
+      "seen AS (SELECT DISTINCT url_canon FROM c),\n" +
+      "rfresh AS (SELECT rcand.* FROM rcand LEFT JOIN seen " +
+      "ON rcand.link_canon = seen.url_canon " +
+      "WHERE seen.url_canon IS NULL),\n" +
+      "rpth AS (SELECT link_canon, link_host, lastmod, " +
+      "regexp_extract(regexp_replace(link_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path, " +
+      "regexp_replace(link_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', '') AS mpath FROM rfresh),\n" +
+      "rv AS (SELECT p.link_canon, p.link_host, p.lastmod, p.path, " +
+      "max(coalesce(2 * length(r.rprefix) + " +
+      "CASE WHEN r.rallow THEN 1 ELSE 0 END, 1)) AS score " +
+      "FROM rpth p LEFT JOIN rules r ON r.rhost = p.link_host " +
+      "AND starts_with(p.mpath, r.rprefix) GROUP BY 1, 2, 3, 4),\n" +
+      "ral AS (SELECT link_canon, link_host, lastmod, " +
+      "CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) " +
+      "AS BIGINT) AS depth FROM rv WHERE score % 2 = 1),\n" +
+      "rrb AS (SELECT *, CAST(CASE WHEN " +
+      "regexp_matches(lastmod, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') " +
+      "AND try_cast(lastmod AS DATE) IS NOT NULL THEN " +
+      "least(greatest(date_diff('day', try_cast(lastmod AS DATE), " +
+      "DATE '2026-02-10'), 0) // 30, 11) ELSE 12 END AS BIGINT) " +
+      "AS recency_bucket FROM ral),\n" +
+      "rrk AS (SELECT link_host, link_canon, depth, recency_bucket, " +
+      "row_number() OVER (PARTITION BY link_host " +
+      "ORDER BY recency_bucket * 1048576 + least(depth, 1048575), " +
+      "link_canon) AS rnk FROM rrb)\n" +
+      "SELECT link_host, CAST(rnk AS BIGINT) AS rank, " +
+      "link_canon AS url_canon, depth, recency_bucket " +
+      "FROM rrk WHERE rnk <= 3 ORDER BY link_host, rank"
+  }
+
+  /** q177: the base-page plant replayed — first `<base href>` pull,
+    * the effective-base CASE (absolute kept, root-relative resolved
+    * against the fetched CANONICAL authority, dropped-kind/absent
+    * falling back to the fetched URL), its canonicalization chain,
+    * then the href harvest resolved against the effective base (the
+    * linkCtes discipline: scheme/authority from the canonical base,
+    * merge directory from the RAW base) and the link chain. */
+  private def baseHrefOracleSql: String = {
+    val u = graft.ext.UrlOps
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      "bh AS (SELECT doc_id, url AS fraw, url_canon AS fc, " +
+      "'<html><head>' || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN '<base href=\"https://tpl' || " +
+      "CAST(doc_id % 3 AS VARCHAR) || '.example.net/t/' || " +
+      "CAST(doc_id % 5 AS VARCHAR) || '/\">' " +
+      "WHEN doc_id % 4 = 1 THEN '<base href=\"/newroot/sub/\">' " +
+      "WHEN doc_id % 4 = 3 THEN '<base href=\"javascript:void(0)\">' " +
+      "|| '<base href=\"https://second.example.net/x/\">' " +
+      "ELSE '' END) || " +
+      "'</head><body><a href=\"page-rel\">p</a> ' || " +
+      "'<a href=\"/root-a\">r</a> ' || " +
+      "'<a href=\"https://fix.example.net/abs\">x</a></body></html>' " +
+      "AS html FROM c),\n" +
+      "bx AS (SELECT *, nullif(regexp_extract(html, '" +
+      u.BaseHrefPattern + "', 1), '') AS bhref, " +
+      "regexp_extract(fc, '^([a-z][a-z0-9+.-]*)://', 1) AS fcs, " +
+      "regexp_extract(fc, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) AS fca " +
+      "FROM bh),\n" +
+      "db2 AS (SELECT doc_id, html, CASE " +
+      "WHEN bhref IS NULL THEN fraw " +
+      "WHEN regexp_matches(bhref, '(?i)^https?://') THEN bhref " +
+      "WHEN regexp_matches(bhref, '^[A-Za-z][A-Za-z0-9+.-]*:') " +
+      "THEN fraw " +
+      "WHEN starts_with(bhref, '/') THEN fcs || '://' || fca || bhref " +
+      "ELSE fraw END AS url FROM bx),\n" +
+      urlCanonChain("db2", "dbz", "dbc", Seq("doc_id", "html")) + ",\n" +
+      "bl0 AS (SELECT doc_id, html, url AS base_raw, url_canon AS " +
+      "base FROM dbc),\n" +
+      "blx AS (SELECT doc_id, base, base_raw, " +
+      "unnest(regexp_extract_all(html, '" + u.HrefPattern +
+      "', 1)) AS href FROM bl0),\n" +
+      "bbb AS (SELECT doc_id, href, " +
+      "regexp_extract(base, '^([a-z][a-z0-9+.-]*)://', 1) AS bscheme, " +
+      "regexp_extract(base, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) " +
+      "AS bauth, CASE WHEN rdir = '' THEN '/' ELSE rdir END AS bdir " +
+      "FROM (SELECT *, regexp_replace(regexp_extract(regexp_replace(" +
+      "base_raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), " +
+      "'^([^?#]*)', 1), '[^/]*$', '') AS rdir FROM blx) t),\n" +
+      "brs AS (SELECT doc_id, href, " +
+      "CASE WHEN starts_with(href, '/') THEN 'root_relative' " +
+      "WHEN regexp_matches(href, '(?i)^https?://') THEN 'absolute' " +
+      "ELSE 'path_relative' END AS link_kind, " +
+      "CASE WHEN starts_with(href, '/') THEN " +
+      "bscheme || '://' || bauth || href " +
+      "WHEN regexp_matches(href, '(?i)^https?://') THEN href " +
+      "ELSE bscheme || '://' || bauth || bdir || href END AS url " +
+      "FROM bbb),\n" +
+      urlCanonChain("brs", "bz", "blc",
+        Seq("doc_id", "href", "link_kind")) +
+      "\nSELECT doc_id, href AS href_raw, link_kind, " +
+      "url_canon AS link_canon, url_host AS link_host " +
+      "FROM blc ORDER BY doc_id, href_raw"
+  }
+
+  /** q178: the throttle plant, the (?mi) header pull, both
+    * Retry-After forms (delta seconds verbatim; the strict
+    * IMF-fixdate regex + CASE month map → second-level date_diff
+    * against the as-of, clamped at 0, guarded by try_cast so a
+    * shape-valid impossible date stays null), per-host max, then the
+    * shared crawl-delay winner CTEs and the greatest() fold. */
+  private def retryAfterOracleSql: String = {
+    val crlf = "chr(13) || chr(10)"
+    val imfRx = "'^[A-Za-z]{3}, ([0-9]{2}) (Jan|Feb|Mar|Apr|May|Jun|" +
+      "Jul|Aug|Sep|Oct|Nov|Dec) ([0-9]{4}) " +
+      "[0-9]{2}:[0-9]{2}:[0-9]{2} GMT$'"
+    val monthCase = "CASE regexp_extract(rav, " + imfRx + ", 2) " +
+      "WHEN 'Jan' THEN '01' WHEN 'Feb' THEN '02' WHEN 'Mar' THEN '03' " +
+      "WHEN 'Apr' THEN '04' WHEN 'May' THEN '05' WHEN 'Jun' THEN '06' " +
+      "WHEN 'Jul' THEN '07' WHEN 'Aug' THEN '08' WHEN 'Sep' THEN '09' " +
+      "WHEN 'Oct' THEN '10' WHEN 'Nov' THEN '11' ELSE '12' END"
+    val isoTs = "regexp_extract(rav, " + imfRx + ", 3) || '-' || (" +
+      monthCase + ") || '-' || regexp_extract(rav, " + imfRx +
+      ", 1) || ' ' || regexp_extract(rav, " +
+      "' ([0-9]{2}:[0-9]{2}:[0-9]{2}) GMT$', 1)"
+    "WITH rpl AS (SELECT doc_id, lower(source) || '.example.com' " +
+      "AS host, CASE " +
+      "WHEN doc_id % 5 = 0 THEN 'HTTP/1.1 429 Too Many Requests' || " +
+      crlf + " || 'Retry-After: ' || " +
+      "CAST((doc_id % 7) * 10 + 5 AS VARCHAR) || " + crlf + " || " +
+      crlf + " || 'slow down' " +
+      "WHEN doc_id % 5 = 1 THEN 'HTTP/1.1 503 Service Unavailable' " +
+      "|| " + crlf + " || " +
+      "'Retry-After: Sat, 14 Feb 2026 12:00:00 GMT' || " + crlf +
+      " || " + crlf + " || 'maint' " +
+      "WHEN doc_id % 5 = 2 THEN 'HTTP/1.1 503 Service Unavailable' " +
+      "|| " + crlf + " || 'Retry-After: soon' || " + crlf + " || " +
+      crlf + " || 'maint' " +
+      "WHEN doc_id % 5 = 3 THEN 'HTTP/1.1 200 OK' || " + crlf +
+      " || 'Content-Type: text/html' || " + crlf + " || " + crlf +
+      " || '<html>ok ' || CAST(doc_id AS VARCHAR) || '</html>' " +
+      "ELSE 'HTTP/1.1 429 Too Many Requests' || " + crlf + " || " +
+      crlf + " || 'slow' END AS p FROM documents),\n" +
+      "rhd AS (SELECT host, " +
+      "CAST(regexp_extract(p, '^HTTP/[0-9.]+ ([0-9]{3})', 1) " +
+      "AS BIGINT) AS st, " +
+      "trim(regexp_extract(list_extract(string_split(p, " + crlf +
+      " || " + crlf + "), 1), '(?mi)^Retry-After:([^\r]*)', 1), " +
+      "' ' || chr(9)) AS rav FROM rpl),\n" +
+      "rra AS (SELECT host, CASE " +
+      "WHEN regexp_matches(rav, '^[0-9]{1,9}$') THEN " +
+      "CAST(rav AS BIGINT) * 1000000 " +
+      "WHEN regexp_matches(rav, " + imfRx + ") AND " +
+      "try_cast((" + isoTs + ") AS TIMESTAMP) IS NOT NULL THEN " +
+      "greatest(date_diff('second', " +
+      "TIMESTAMP '2026-02-10 00:00:00', " +
+      "try_cast((" + isoTs + ") AS TIMESTAMP)), 0) * 1000000 " +
+      "END AS ra_us FROM rhd WHERE st IN (429, 503)),\n" +
+      "rag AS (SELECT host, max(ra_us) AS retry_after_micros, " +
+      "CAST(count(*) AS BIGINT) AS n_throttled FROM rra " +
+      "GROUP BY host),\n" +
+      robotsTxtCtes + ",\n" + crawlDelayCtes + "\n" +
+      "SELECT g.host, g.n_throttled, g.retry_after_micros, " +
+      "d.dmic AS crawl_delay_micros, " +
+      "greatest(coalesce(g.retry_after_micros, 0), " +
+      "coalesce(d.dmic, 0)) AS backoff_micros " +
+      "FROM rag g LEFT JOIN dms d ON d.host = g.host ORDER BY g.host"
+  }
+
+  /** q179: the anchor plant replayed — the whole-unit harvest, the
+    * href presence filter, rel token membership, the text pull +
+    * normalization (global-flag regexp_replace — DuckDB replaces
+    * first-only by default), plant-scoped resolution (absolute +
+    * root-relative), the chain, then the (target, norm) rollup. */
+  private def anchorTextOracleSql: String = {
+    val u = graft.ext.UrlOps
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      "ahm AS (SELECT doc_id, url_canon AS base, url_host AS src_host, " +
+      "'<html><body><a href=\"' || hub || '\">' || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN 'Hub Portal' " +
+      "ELSE 'hub   PORTAL' END) || '</a> ' || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN '<a href=\"' || hub || " +
+      "'\">Visit' || chr(10) || 'Now</a> ' ELSE '' END) || " +
+      "'<a rel=\"nofollow\" href=\"' || hub || '\">sponsored</a> ' || " +
+      "'<a href=\"/local/' || CAST(doc_id % 13 AS VARCHAR) || " +
+      "'\"> Section ' || CAST(doc_id % 13 AS VARCHAR) || ' </a> ' || " +
+      "'<a href=\"https://img.example.net/i\"><b>bold</b></a>' || " +
+      "'<a href=\"' || hub || '\"></a>' || " +
+      "'</body></html>' AS html FROM (SELECT *, " +
+      "'https://hub' || CAST(doc_id % 3 AS VARCHAR) || " +
+      "'.example.net/t' AS hub FROM c) c2),\n" +
+      "aun AS (SELECT doc_id, base, src_host, " +
+      "unnest(regexp_extract_all(html, '" + u.AnchorUnitPattern +
+      "', 0)) AS un FROM ahm),\n" +
+      "ath AS (SELECT doc_id, base, src_host, " +
+      "regexp_extract(un, '" + u.TagHrefPattern + "', 1) AS href, " +
+      "list_contains(string_split_regex(lower(regexp_extract(un, '" +
+      u.TagRelPattern + "', 1)), '[ \\t]+'), 'nofollow') " +
+      "AS link_nofollow, " +
+      "trim(regexp_replace(lower(regexp_extract(un, " +
+      "'(?i)>([^<]*)</a>$', 1)), '\\s+', ' ', 'g')) AS anchor_norm " +
+      "FROM aun WHERE regexp_matches(un, '(?i)href\\s*=\\s*\"')),\n" +
+      "ala AS (SELECT doc_id, src_host, link_nofollow, anchor_norm, " +
+      "CASE WHEN starts_with(href, '/') THEN " +
+      "regexp_extract(base, '^([a-z][a-z0-9+.-]*)://', 1) || '://' || " +
+      "regexp_extract(base, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) || " +
+      "href WHEN regexp_matches(href, '(?i)^https?://') THEN href " +
+      "END AS url FROM ath " +
+      "WHERE NOT link_nofollow AND anchor_norm <> ''),\n" +
+      urlCanonChain("ala", "az", "alc",
+        Seq("doc_id", "src_host", "anchor_norm")) +
+      "\nSELECT url_canon AS link_canon, anchor_norm, " +
+      "CAST(count(*) AS BIGINT) AS n_anchors, " +
+      "CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts " +
+      "FROM alc GROUP BY 1, 2 ORDER BY link_canon, anchor_norm"
+  }
+
+  /** q180: the exclusion-aware legs assembled — the q175 link CTEs
+    * (follow-filtered), the q174 harvest + q176 body CTEs, unioned
+    * with per-source found_by markers, then the q173 frontier tail. */
+  private def exclusionFrontierOracleSql: String =
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      robotsRulesCtes + ",\n" + nofollowLinkCtes + ",\n" +
+      robotsSitemapHarvestCtes + ",\n" + robotsSitemapCandCtes + ",\n" +
+      "xl AS (SELECT url_canon AS link_canon, url_host AS link_host, " +
+      "min(doc_id) AS found_by, '' AS lastmod FROM nc " +
+      "WHERE NOT link_nofollow AND NOT meta_nofollow GROUP BY 1, 2),\n" +
+      "xa AS (SELECT * FROM xl UNION ALL " +
+      "SELECT link_canon, link_host, -4 AS found_by, lastmod " +
+      "FROM rcand),\n" +
+      "xc AS (SELECT link_canon, link_host, " +
+      "min(found_by) AS found_by, max(lastmod) AS lastmod FROM xa " +
+      "GROUP BY 1, 2),\n" +
+      "seen AS (SELECT DISTINCT url_canon FROM c),\n" +
+      "xf AS (SELECT xc.* FROM xc LEFT JOIN seen " +
+      "ON xc.link_canon = seen.url_canon " +
+      "WHERE seen.url_canon IS NULL),\n" +
+      "xp AS (SELECT link_canon, link_host, found_by, lastmod, " +
+      "regexp_extract(regexp_replace(link_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', ''), '^([^?]*)', 1) AS path, " +
+      "regexp_replace(link_canon, " +
+      "'^[a-z][a-z0-9+.-]*://[^/?]*', '') AS mpath FROM xf),\n" +
+      "xv AS (SELECT p.link_canon, p.link_host, p.found_by, " +
+      "p.lastmod, p.path, max(coalesce(2 * length(r.rprefix) + " +
+      "CASE WHEN r.rallow THEN 1 ELSE 0 END, 1)) AS score " +
+      "FROM xp p LEFT JOIN rules r ON r.rhost = p.link_host " +
+      "AND starts_with(p.mpath, r.rprefix) GROUP BY 1, 2, 3, 4, 5),\n" +
+      "xal AS (SELECT link_canon, link_host, found_by, lastmod, " +
+      "CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) " +
+      "AS BIGINT) AS depth FROM xv WHERE score % 2 = 1),\n" +
+      "xrb AS (SELECT *, CAST(CASE WHEN " +
+      "regexp_matches(lastmod, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') " +
+      "AND try_cast(lastmod AS DATE) IS NOT NULL THEN " +
+      "least(greatest(date_diff('day', try_cast(lastmod AS DATE), " +
+      "DATE '2026-02-10'), 0) // 30, 11) ELSE 12 END AS BIGINT) " +
+      "AS recency_bucket FROM xal),\n" +
+      "xrk AS (SELECT link_host, link_canon, depth, recency_bucket, " +
+      "found_by, row_number() OVER (PARTITION BY link_host " +
+      "ORDER BY recency_bucket * 1048576 + least(depth, 1048575), " +
+      "link_canon) AS rnk FROM xrb)\n" +
+      "SELECT link_host, CAST(rnk AS BIGINT) AS rank, " +
+      "link_canon AS url_canon, depth, recency_bucket, found_by " +
+      "FROM xrk WHERE rnk <= 3 ORDER BY link_host, rank"
 
   /** q173: ALL FOUR families' shared generators assembled — the link
     * CTEs, the sitemap `<url>` tier, the child-sitemap loop, and the
@@ -3472,6 +4250,18 @@ private[graft] object TextQueries {
     "q173_unified_frontier" -> unifiedFrontierOracleSql,
 
     "q174_robots_sitemaps" -> robotsSitemapsOracleSql,
+
+    "q175_nofollow_links" -> nofollowOracleSql,
+
+    "q176_robots_sitemap_frontier" -> robotsSitemapFrontierOracleSql,
+
+    "q177_base_href_outlinks" -> baseHrefOracleSql,
+
+    "q178_retry_after_backoff" -> retryAfterOracleSql,
+
+    "q179_anchor_text" -> anchorTextOracleSql,
+
+    "q180_exclusion_frontier" -> exclusionFrontierOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 

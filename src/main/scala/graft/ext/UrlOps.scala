@@ -414,6 +414,197 @@ object UrlOps {
       .drop("__uc", "base_raw")
   }
 
+  /** Whole-anchor-tag harvest pattern (group 0 = the full `<a ...>`
+    * tag): the [[HrefPattern]] charter lifted to the tag so SIBLING
+    * attributes (`rel`) are visible. `[^>]*` cannot cross `>`, so the
+    * tag must close — the same well-formedness contract HrefPattern's
+    * lazy run already implied. RE2-safe, shared verbatim with the
+    * q175 oracle. */
+  val AnchorTagPattern: String = "(?i)<a\\s[^>]*>"
+
+  /** First quoted `href` inside a harvested tag — NO word boundary,
+    * deliberately: [[HrefPattern]] has none either (`data-xhref=`
+    * matches both), so the tag harvest stays row-for-row equal to the
+    * href harvest (parity spec-pinned). The presence FILTER uses the
+    * same spelling. */
+  val TagHrefPattern: String = "(?i)href\\s*=\\s*\"([^\"]*)\""
+
+  /** First quoted `rel` attribute inside a harvested tag — preceded
+    * by RFC-whitespace so `data-rel=` never false-matches (HTML
+    * attributes are always whitespace-separated; `\b` is avoided for
+    * engine-portable semantics). The VALUE is a space-separated token
+    * list per HTML — token membership is decided by a split, never a
+    * substring test (`rel="nofollowme"` is NOT nofollow). */
+  val TagRelPattern: String = "(?i)[ \\t]rel\\s*=\\s*\"([^\"]*)\""
+
+  /** `<meta name="robots" content="...">` — both attribute orders,
+    * the [[CanonicalRelFirstPattern]] charter (quoted values, no
+    * cross-`>` runs). The first matching meta element wins; name-first
+    * form wins when a page carries both orders. */
+  val MetaRobotsNameFirstPattern: String =
+    "(?i)<meta\\s[^>]*?name\\s*=\\s*\"robots\"[^>]*?" +
+      "content\\s*=\\s*\"([^\"]*)\""
+  val MetaRobotsContentFirstPattern: String =
+    "(?i)<meta\\s[^>]*?content\\s*=\\s*\"([^\"]*)\"[^>]*?" +
+      "name\\s*=\\s*\"robots\""
+
+  /** Page-level robots meta directives — the IN-PAGE half of the
+    * exclusion protocol ([[parseRobotsTxt]] is the per-host half; the
+    * reference has neither, `project/etl2.py` ingests trusted CSVs).
+    * A real crawl must honor both: `noindex` pages may be FETCHED but
+    * not indexed (they carry no weight in retrieval or the canonical
+    * pick), and `nofollow` pages contribute NO outlinks to discovery.
+    * Appends `meta_noindex` / `meta_nofollow` booleans from the first
+    * `<meta name="robots">` content value: a comma-separated,
+    * case-insensitive, whitespace-trimmed token list (the de-facto
+    * grammar all engines parse), with `none` ≡ `noindex, nofollow`.
+    * Absent meta, or unrecognized tokens (`all`, `index`), leave both
+    * flags false. One zero-shuffle projection; tokenization is a
+    * per-row split over a handful of tokens. */
+  def withMetaRobots(df: DataFrame, htmlCol: String): DataFrame = {
+    val content = coalesce(
+      nullif(regexp_extract(col(htmlCol),
+        MetaRobotsNameFirstPattern, 1), lit("")),
+      nullif(regexp_extract(col(htmlCol),
+        MetaRobotsContentFirstPattern, 1), lit("")))
+    val toks = transform(
+      split(lower(coalesce(content, lit(""))), ","),
+      t => trim(t, RobotsWs))
+    df.withColumn("meta_noindex",
+        array_contains(toks, "noindex") || array_contains(toks, "none"))
+      .withColumn("meta_nofollow",
+        array_contains(toks, "nofollow") || array_contains(toks, "none"))
+  }
+
+  /** [[extractOutlinks]] with the anchor's `rel` attribute honored —
+    * the link-level half of the exclusion protocol. Harvests whole
+    * `<a>` tags ([[AnchorTagPattern]]), keeps those carrying an
+    * `href` (same first-occurrence/no-boundary spelling as
+    * [[HrefPattern]], so the (id, href) multiset is IDENTICAL to the
+    * href-only harvest — parity spec-pinned in `UrlOpsSpec`), and
+    * appends `link_nofollow`: true iff the tag's `rel` value contains
+    * the `nofollow` TOKEN (space-separated list membership,
+    * case-insensitive — `rel="noopener NOFOLLOW ugc"` is nofollow,
+    * `rel="nofollowme"` is not). Resolution and classification are
+    * the native one-pass walk ([[extractOutlinks]]'s `useNative`
+    * path, bit-identical columns).
+    *
+    * `carry` names caller columns to ride the harvest projection
+    * (page-level [[withMetaRobots]] flags, typically) — the page HTML
+    * still dies in the harvest; carried columns should be scalars.
+    *
+    * 100 TB shape: identical to [[extractOutlinks]] — one projection
+    * + one generator, no shuffle; the tag string (vs the bare href)
+    * adds tens of bytes per link inside the projection and is dropped
+    * before any exchange. */
+  def extractOutlinksRel(df: DataFrame, idCol: String, htmlCol: String,
+      baseCanonCol: String, baseRawCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val relv = regexp_extract(col("__tag"), TagRelPattern, 1)
+    df.select(col(idCol) +: col(baseCanonCol).as("base_canon") +:
+        col(baseRawCol).as("base_raw") +: carry.map(col) :+
+        explode(regexp_extract_all(col(htmlCol),
+          lit(AnchorTagPattern), lit(0))).as("__tag"): _*)
+      .filter(col("__tag").rlike("(?i)href\\s*=\\s*\""))
+      .withColumn("href_raw",
+        regexp_extract(col("__tag"), TagHrefPattern, 1))
+      .withColumn("link_nofollow",
+        array_contains(split(lower(relv), "[ \\t]+"), "nofollow"))
+      .withColumn("__lr", call_function("graft_link_resolve",
+        col("href_raw"), col("base_canon"), col("base_raw")))
+      .withColumn("link_kind", col("__lr.kind"))
+      .withColumn("link_url", col("__lr.url"))
+      .withColumn("link_canon", col("__lr.canon"))
+      .withColumn("link_host", col("__lr.host"))
+      .drop("__lr", "base_raw", "__tag")
+  }
+
+  /** Whole plain-text anchor unit (group 0 = `<a ...>text</a>`): the
+    * [[AnchorTagPattern]] charter plus the text run. `[^<]*` cannot
+    * cross a nested tag, so anchors wrapping markup (`<a><img></a>`)
+    * are OUT of the anchor-TEXT contract — they carry no text signal;
+    * [[extractOutlinks]] still harvests their hrefs. RE2-safe, shared
+    * verbatim with the q179 oracle. */
+  val AnchorUnitPattern: String = "(?i)<a\\s[^>]*>[^<]*</a>"
+
+  /** Anchor-TEXT harvest: the classic inbound-link description signal
+    * (what the linking page CALLS the target — web search has ranked
+    * on aggregated anchor text since the original PageRank paper, and
+    * it doubles as training-pair text for retrieval models). One row
+    * per plain-text anchor carrying an href: the resolved link
+    * columns (same native walk as [[extractOutlinks]]), the
+    * `link_nofollow` token flag ([[extractOutlinksRel]]'s discipline —
+    * nofollow anchor text carries no endorsement weight), the raw
+    * `anchor_text`, and `anchor_norm` (lowercased, whitespace runs
+    * collapsed to one space, trimmed — the aggregation key).
+    * `carry` rides caller columns (the source host, typically)
+    * through the harvest. 100 TB shape: one projection + one
+    * generator, no shuffle; downstream per-target aggregation
+    * exchanges (target, norm, src_host) triples only. */
+  def extractAnchorTexts(df: DataFrame, idCol: String, htmlCol: String,
+      baseCanonCol: String, baseRawCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val relv = regexp_extract(col("__unit"), TagRelPattern, 1)
+    df.select(col(idCol) +: col(baseCanonCol).as("base_canon") +:
+        col(baseRawCol).as("base_raw") +: carry.map(col) :+
+        explode(regexp_extract_all(col(htmlCol),
+          lit(AnchorUnitPattern), lit(0))).as("__unit"): _*)
+      .filter(col("__unit").rlike("(?i)href\\s*=\\s*\""))
+      .withColumn("href_raw",
+        regexp_extract(col("__unit"), TagHrefPattern, 1))
+      .withColumn("link_nofollow",
+        array_contains(split(lower(relv), "[ \\t]+"), "nofollow"))
+      .withColumn("anchor_text",
+        regexp_extract(col("__unit"), "(?i)>([^<]*)</a>$", 1))
+      .withColumn("anchor_norm",
+        trim(regexp_replace(lower(col("anchor_text")), "\\s+", " ")))
+      .withColumn("__lr", call_function("graft_link_resolve",
+        col("href_raw"), col("base_canon"), col("base_raw")))
+      .withColumn("link_kind", col("__lr.kind"))
+      .withColumn("link_url", col("__lr.url"))
+      .withColumn("link_canon", col("__lr.canon"))
+      .withColumn("link_host", col("__lr.host"))
+      .drop("__lr", "base_raw", "__unit")
+  }
+
+  /** `<base href="…">` — the [[HrefPattern]] charter (quoted values,
+    * first element wins per the HTML spec's "first base element with
+    * an href" rule, no cross-`>` runs). RE2-safe, shared verbatim
+    * with the q177 oracle. */
+  val BaseHrefPattern: String =
+    "(?i)<base\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""
+
+  /** Document-base resolution (HTML `<base href>`): pages that
+    * declare a base element resolve their relative hrefs against IT,
+    * not the fetched URL — template-driven sites (one shared chrome
+    * under many paths) use this pervasively, and an extractor that
+    * ignores it mis-resolves every relative link on such pages into
+    * phantom frontier keys. Appends `doc_base_canon` / `doc_base_raw`:
+    * the FIRST `<base href>` value resolved against the fetched URL
+    * (the declaration may itself be relative — HTML resolves it
+    * against the document's own URL), falling back to the fetched
+    * base when absent or of a dropped kind (fragment-only,
+    * non-http(s) scheme, dot-segmented — the [[extractOutlinks]]
+    * drop classes; the HTML spec's fallback is likewise the
+    * document URL). Feed the two columns to [[extractOutlinks]] /
+    * [[extractOutlinksRel]] as the base pair. One zero-shuffle
+    * projection — the resolve is the same native one-pass walk an
+    * href pays. */
+  def withDocumentBase(df: DataFrame, htmlCol: String,
+      baseCanonCol: String, baseRawCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val raw = nullif(regexp_extract(col(htmlCol),
+      BaseHrefPattern, 1), lit(""))
+    val lr = call_function("graft_link_resolve", raw,
+      col(baseCanonCol), col(baseRawCol))
+    df.withColumn("doc_base_raw",
+        coalesce(when(raw.isNotNull, lr("url")), col(baseRawCol)))
+      .withColumn("doc_base_canon",
+        coalesce(when(raw.isNotNull, lr("canon")), col(baseCanonCol)))
+  }
+
   /** Host→host link-graph rollup over [[extractOutlinks]] output:
     * per (source host, target host) the raw link count, the distinct
     * canonical-target count, and an internal/external flag. The edge
@@ -643,6 +834,31 @@ object UrlOps {
       .when(mon === "Nov", "11").otherwise("12")
     when(yr === "", lit("")).otherwise(
       concat(yr, lit("-"), mm, lit("-"), day))
+  }
+
+  /** `Retry-After` (RFC 9110 §10.2.3) → microseconds of backoff from
+    * a FIXED as-of instant (a parameter, never wall-clock — the
+    * [[recencyBucket]] determinism discipline). The header's two
+    * forms: delta-seconds (a non-negative integer — taken verbatim)
+    * and HTTP-date (strict IMF-fixdate via [[httpDateToIso]] plus the
+    * time-of-day field; a PAST date clamps to 0 — the origin says
+    * "now"). Anything else (RFC 850/asctime forms, junk like `soon`)
+    * is null — schedule callers fall back to the crawl-delay tier,
+    * never mis-parse a throttle. Micros, not seconds, so the value
+    * composes with [[robotsCrawlDelay]]/[[politenessSchedule]]
+    * arithmetic directly. Zero-shuffle projection. */
+  def retryAfterMicros(ra: Column, asOfTs: String): Column = {
+    val delta = when(ra.rlike("^[0-9]{1,9}$"),
+      ra.cast("long") * 1000000L)
+    val iso = httpDateToIso(ra)
+    val hms = regexp_extract(ra,
+      " ([0-9]{2}:[0-9]{2}:[0-9]{2}) GMT$", 1)
+    val ts = when(iso =!= "", try_to_timestamp(
+      concat(iso, lit(" "), hms), lit("yyyy-MM-dd HH:mm:ss")))
+    val secs = unix_timestamp(ts) -
+      unix_timestamp(lit(asOfTs).cast("timestamp"))
+    coalesce(delta,
+      when(ts.isNotNull, greatest(secs, lit(0L)) * 1000000L))
   }
 
   /** Sitemap-INDEX parser (sitemaps.org `<sitemapindex>` tier): the

@@ -141,6 +141,11 @@ object WarcIngest {
     *     `If-None-Match` token, `Last-Modified` feeds the
     *     header-attested recency ranking
     *     ([[graft.ext.UrlOps.httpDateToIso]] → `recencyBucket`);
+    *   - `http_retry_after`: the `Retry-After` header verbatim
+    *     (RFC 9110 §10.2.3 — the 429/503 throttle signal a polite
+    *     crawler MUST fold into its per-host schedule;
+    *     [[graft.ext.UrlOps.retryAfterMicros]] parses both the
+    *     delta-seconds and HTTP-date forms), empty when absent;
     *   - `http_body`: everything past the first blank CRLF line
     *     (null for non-HTTP payloads);
     *   - `is_fetch_content`: status 200 AND media type `text/html` —
@@ -176,6 +181,9 @@ object WarcIngest {
       .withColumn("http_last_modified",
         when(isHttp, trim(regexp_extract(hdr,
           "(?mi)^Last-Modified:([^\r]*)", 1), " \t")).otherwise(lit("")))
+      .withColumn("http_retry_after",
+        when(isHttp, trim(regexp_extract(hdr,
+          "(?mi)^Retry-After:([^\r]*)", 1), " \t")).otherwise(lit("")))
       .withColumn("http_body",
         when(isHttp, p.substr(length(hdr) + 5, length(p))))
       .withColumn("is_fetch_content",

@@ -45,7 +45,13 @@ class AqeParitySpec extends SparkSpec {
     // q173 stacks every discovery source into one anti-join + verdict
     // + budget plan
     "q167_redirect_chains", "q168_redirect_frontier",
-    "q172_revisit_merge", "q173_unified_frontier")
+    "q172_revisit_merge", "q173_unified_frontier",
+    // round 13 (cont.): the robots-declared sitemap loop is the same
+    // anti-join + verdict + budget stack over a new discovery source;
+    // q178 folds a full-outer-ish host join of two aggregate tiers;
+    // q179's rollup counts distinct hosts per (target, text) key
+    "q176_robots_sitemap_frontier", "q178_retry_after_backoff",
+    "q179_anchor_text", "q180_exclusion_frontier")
 
   test("AQE on and off produce identical rows for partition-sensitive " +
     "queries") {

@@ -810,4 +810,122 @@ class UrlOpsSpec extends SparkSpec {
       .as[Long].collect()
     assert(out.toSeq == Seq(12L, 0L))
   }
+
+  test("extractOutlinksRel ≡ extractOutlinks on the (id, href) " +
+    "multiset — the tag harvest drops exactly the href-less tags") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"body of page $i", "src" + (i % 20)))
+      .toDF("doc_id", "text", "source")
+    val canon = UrlOps.withCanonicalUrl(
+      graft.entry.TextQueries.withPlantedUrl(docs), "url")
+    for (plant <- Seq(
+        graft.entry.TextQueries.withPlantedPage(canon),
+        graft.entry.TextQueries.withPlantedRelPage(canon))) {
+      val viaHref = UrlOps.extractOutlinks(plant, "doc_id", "html",
+          "url_canon", "url")
+        .select("doc_id", "href_raw", "link_kind", "link_canon")
+        .collect().map(_.toString).sorted.toSeq
+      val viaTag = UrlOps.extractOutlinksRel(plant, "doc_id", "html",
+          "url_canon", "url")
+        .select("doc_id", "href_raw", "link_kind", "link_canon")
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaTag === viaHref)
+    }
+  }
+
+  test("rel nofollow is TOKEN membership: multi-token uppercase " +
+    "matches, nofollowme does not, rel-before-href binds") {
+    val base = Seq(("https://h.com/a/", "https://h.com/a/")).toDF(
+      "url_canon", "url")
+    val html =
+      "<a rel=\"nofollow\" href=\"/x1\">a</a>" +
+        "<A HREF=\"/x2\" REL=\"noopener NOFOLLOW ugc\">b</A>" +
+        "<a rel=\"nofollowme\" href=\"/x3\">c</a>" +
+        "<a href=\"/x4\">d</a>" +
+        "<a name=\"no-href\">e</a>"
+    val out = UrlOps.extractOutlinksRel(
+        base.withColumn("doc_id", lit(1L)).withColumn("html", lit(html)),
+        "doc_id", "html", "url_canon", "url")
+      .select("href_raw", "link_nofollow")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(out === Seq(("/x1", true), ("/x2", true), ("/x3", false),
+      ("/x4", false)))
+  }
+
+  test("withDocumentBase: absolute base redirects relative AND " +
+    "root-relative hrefs; absolute hrefs are base-immune; a relative " +
+    "base resolves against the fetched URL; a dropped-kind first base " +
+    "falls back even when a valid second base follows") {
+    val pages = Seq(
+      ("<head><base href=\"https://tpl.example.net/t/3/\"></head>" +
+        "<a href=\"page-rel\">p</a><a href=\"/root-a\">r</a>" +
+        "<a href=\"https://fix.example.net/abs\">x</a>"),
+      ("<head><base href=\"/newroot/sub/\"></head>" +
+        "<a href=\"page-rel\">p</a>"),
+      ("<head></head><a href=\"page-rel\">p</a>"),
+      ("<head><base href=\"javascript:void(0)\">" +
+        "<base href=\"https://second.example.net/x/\"></head>" +
+        "<a href=\"page-rel\">p</a>"))
+      .zipWithIndex.map { case (h, i) => (i.toLong, h,
+        "https://h.com/Docs/7/", "https://h.com/Docs/7") }
+      .toDF("doc_id", "html", "url", "url_canon")
+    val based = UrlOps.withDocumentBase(pages, "html", "url_canon", "url")
+    val out = UrlOps.extractOutlinks(based, "doc_id", "html",
+        "doc_base_canon", "doc_base_raw")
+      .select("doc_id", "href_raw", "link_canon")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      (0L, "/root-a", "https://tpl.example.net/root-a"),
+      (0L, "https://fix.example.net/abs", "https://fix.example.net/abs"),
+      (0L, "page-rel", "https://tpl.example.net/t/3/page-rel"),
+      (1L, "page-rel", "https://h.com/newroot/sub/page-rel"),
+      (2L, "page-rel", "https://h.com/Docs/7/page-rel"),
+      (3L, "page-rel", "https://h.com/Docs/7/page-rel")))
+  }
+
+  test("q176: the robots-declared sitemap loop closes — declared " +
+    "sitemaps' new URLs reach the frontier; disallowed and " +
+    "cross-host entries do not") {
+    val out = SparkEntry.queries("q176_robots_sitemap_frontier")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    val urls = out.map(_._3)
+    // new per-marker URLs from robots-declared sitemaps surface, and
+    // the fresh lastmod ranks them bucket-0
+    assert(urls.exists(_.contains("/rsm/")))
+    out.groupBy(_._1).values.foreach { rows =>
+      val buckets = rows.sortBy(_._2).map(_._4)
+      assert(buckets.toSeq == buckets.sorted.toSeq, s"$rows")
+    }
+    // the robots-disallowed planted entry never passes the verdict
+    assert(!urls.exists(_.endsWith("/Docs/1")))
+    // cross-host cdn entries are dropped by the in-scope gate
+    assert(!urls.exists(_.contains("example.net")))
+    // disallow-all hosts (name length ≡ 0 mod 5): everything is
+    // blocked EXCEPT the /Docs/3 allow-tie override — the planted
+    // maybe-fetched spelling is the only candidate that can emit
+    assert(out.filter(_._1.length >= "src10.example.com".length)
+      .forall(_._3.contains("/Docs/3")))
+  }
+
+  test("withMetaRobots: both attribute orders, messy token list, " +
+    "none expands to both, all/absent set neither") {
+    val cases = Seq(
+      "<meta name=\"robots\" content=\" NOINDEX ,\tnofollow \">" ->
+        (true, true),
+      "<META CONTENT=\"noindex\" NAME=\"robots\">" -> (true, false),
+      "<meta name=\"robots\" content=\"none\">" -> (true, true),
+      "<meta name=\"robots\" content=\"all\">" -> (false, false),
+      "<meta name=\"keywords\" content=\"noindex\">" -> (false, false),
+      "<p>no meta at all</p>" -> (false, false))
+    val out = UrlOps.withMetaRobots(
+        cases.map(_._1).toDF("html"), "html")
+      .select("meta_noindex", "meta_nofollow")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1))).toSeq
+    assert(out === cases.map(_._2))
+  }
 }
