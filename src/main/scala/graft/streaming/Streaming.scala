@@ -958,6 +958,93 @@ object PolitenessStream {
     }
 }
 
+/** One HTTP response entering the throttle tracker: host, a per-host
+  * monotone arrival sequence, the status, the parsed `Retry-After` in
+  * micros (−1 when absent or malformed —
+  * [[graft.ext.UrlOps.retryAfterMicros]]'s null), and the host's
+  * crawl-delay floor carried ON the row (the [[FrontierCandidate]]
+  * no-side-lookup discipline). */
+final case class ThrottleEvent(host: String, seq: Long, status: Long,
+                               retry_after_micros: Long,
+                               delay_micros: Long)
+
+/** The tracker's verdict after an event: the host's effective backoff
+  * (never below its crawl-delay floor). */
+final case class ThrottleVerdict(host: String, seq: Long,
+                                 backoff_micros: Long)
+
+/** Per-host throttle state across micro-batches: the armed
+  * Retry-After component — one long per host. */
+final case class HostThrottleState(raMicros: Long)
+
+/** CROSS-BATCH throttle tracking — the streaming twin of q178's
+  * Retry-After backoff: the batch query folds ONE response set into a
+  * per-host `greatest(max Retry-After, crawl-delay)`, but a live crawl
+  * sees throttles and recoveries interleaved across micro-batches, and
+  * the effective backoff must ARM on a 429/503 (an explicit
+  * `Retry-After` can only lengthen the polite gap; a throttle without
+  * one arms at the crawl-delay floor) and COLLAPSE back to the floor
+  * when the origin next answers healthy (2xx/3xx — it just attested
+  * recovery). Other statuses (4xx errors, garbage) leave the throttle
+  * armed: an error page is not evidence of recovered capacity.
+  *
+  * The fold is shared verbatim by the streaming operator and the batch
+  * reference (the [[PolitenessStream]]/[[AnomalyDetect]] discipline),
+  * so any batch split of the same seq-ordered responses yields the
+  * same verdicts (spec-pinned).
+  *
+  * Scale shape: state is O(|hosts|) longs; each micro-batch shuffles
+  * only its own responses on the short host key. No timeout needed at
+  * crawl host counts; add an event-time timeout (the [[Sessionize]]
+  * pattern) for unbounded host churn. */
+object ThrottleStream {
+
+  /** Fold one host's seq-sorted responses through the throttle state.
+    * Shared by the streaming operator and the batch reference. */
+  def foldHost(host: String, bySeq: Seq[(Long, Long, Long, Long)],
+               st0: HostThrottleState)
+      : (List[ThrottleVerdict], HostThrottleState) = {
+    var ra = st0.raMicros
+    var out = List.empty[ThrottleVerdict]
+    bySeq.foreach { case (seq, status, raUs, delay) =>
+      if (status == 429L || status == 503L)
+        ra = math.max(ra, if (raUs >= 0L) raUs else delay)
+      else if (status >= 200L && status < 400L) ra = 0L
+      out ::= ThrottleVerdict(host, seq, math.max(ra, delay))
+    }
+    (out.reverse, HostThrottleState(ra))
+  }
+
+  /** The streaming operator: per-host armed-throttle state across
+    * micro-batches. */
+  def verdicts(evs: Dataset[ThrottleEvent]): Dataset[ThrottleVerdict] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.host)
+      .flatMapGroupsWithState[HostThrottleState, ThrottleVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (host, rows, state: GroupState[HostThrottleState]) =>
+          val bySeq = rows
+            .map(e => (e.seq, e.status, e.retry_after_micros,
+              e.delay_micros))
+            .toSeq.sortBy(_._1)
+          val (out, st) = foldHost(host, bySeq,
+            state.getOption.getOrElse(HostThrottleState(0L)))
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch reference semantics: the identical fold over a response
+    * sequence (specs pin streaming ≡ batch under any batch split). */
+  def verdictsBatch(evs: Seq[ThrottleEvent]): Seq[ThrottleVerdict] =
+    evs.groupBy(_.host).toSeq.sortBy(_._1).flatMap { case (h, es) =>
+      foldHost(h,
+        es.map(e => (e.seq, e.status, e.retry_after_micros,
+          e.delay_micros)).sortBy(_._1),
+        HostThrottleState(0L))._1
+    }
+}
+
 /** One event on a funnel stream. */
 final case class FunnelEvent(user_id: Long, ts_micros: Long,
                              event_type: String)

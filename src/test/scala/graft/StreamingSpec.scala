@@ -450,6 +450,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("throttle verdicts: a response stream split across micro-batches " +
+    "≡ the one-shot fold; 429/503 arms (explicit Retry-After or the " +
+    "crawl-delay floor), a healthy response collapses to the floor, " +
+    "errors leave it armed across the batch boundary") {
+    import graft.streaming.{ThrottleEvent, ThrottleStream, ThrottleVerdict}
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      ThrottleEvent("a.com", 1L, 200L, -1L, 1000000L), // healthy: floor
+      ThrottleEvent("a.com", 2L, 429L, 60000000L, 1000000L), // arm 60s
+      ThrottleEvent("a.com", 3L, 404L, -1L, 1000000L), // error: stays armed
+      ThrottleEvent("a.com", 4L, 200L, -1L, 1000000L), // recovery: floor
+      ThrottleEvent("b.com", 1L, 503L, -1L, 2000000L), // no RA: arm at floor
+      ThrottleEvent("b.com", 2L, 503L, 30000000L, 2000000L)) // lengthen
+    val expected = ThrottleStream.verdictsBatch(evs)
+    assert(expected.filter(_.host == "a.com").map(_.backoff_micros) ===
+      Seq(1000000L, 60000000L, 60000000L, 1000000L))
+    assert(expected.filter(_.host == "b.com").map(_.backoff_micros) ===
+      Seq(2000000L, 30000000L))
+    val in = MemoryStream[ThrottleEvent]
+    val q = ThrottleStream.verdicts(in.toDS())
+      .writeStream.format("memory").queryName("throttle_verdicts")
+      .outputMode("append").start()
+    try {
+      // split mid-a.com: the 60s throttle armed in batch 1 must still
+      // govern a.com's 404 verdict and collapse on batch 2's 200
+      in.addData(evs.take(3): _*); q.processAllAvailable()
+      in.addData(evs.drop(3): _*); q.processAllAvailable()
+      val streamed = spark.table("throttle_verdicts")
+        .as[ThrottleVerdict].collect().toSet
+      assert(streamed === expected.toSet)
+    } finally q.stop()
+  }
+
   test("anomaly detector stays silent through the cold-start window") {
     val base = 1700000000000000L
     // wild swings but only 4 observations with minPrior = 5
