@@ -1095,26 +1095,90 @@ private[graft] object TextQueries {
     base.unionByName(inserts)
   }
 
-  /** q178's planted responses: per doc_id%5 the throttle classes a
-    * real crawl meets — a `429` with a DELTA-SECONDS `Retry-After`
-    * (varying per doc so the per-host max does real work), a `503`
-    * with an HTTP-DATE `Retry-After` 4.5 days past the as-of, a `503`
-    * with a MALFORMED value (`soon` — must parse to null and fall to
-    * the crawl-delay tier, never to 0), a healthy `200` (not a
-    * throttle even though header-bearing responses surround it), and
-    * a `429` with NO `Retry-After` at all. */
+  /** q183's planted pages: a language-variant cluster per doc — an
+    * in-host root-relative `en` alternate, an attribute-SHUFFLED
+    * uppercase `DE-AT` (region subtag; hreflang/href/rel order), an
+    * `x-default` SELF alternate (absolute — canonicalizes onto the
+    * fetched URL), a cross-host `fr` alternate on %3 docs (flagged,
+    * not followed blindly), a stylesheet decoy (rel token is not
+    * `alternate`), and a FEED alternate without `hreflang` (dropped —
+    * not a language variant). */
+  private[graft] def withPlantedHreflangPage(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val n = (d % 13).cast("string")
+    df.withColumn("html", concat(
+      lit("<html><head>"),
+      lit("<link rel=\"alternate\" hreflang=\"en\" href=\"/intl/en/"),
+      n, lit("\">"),
+      lit("<LINK HREFLANG=\"DE-AT\" HREF=\"/intl/de/"), n,
+      lit("\" REL=\"alternate\">"),
+      lit("<link rel=\"alternate\" hreflang=\"x-default\" href=\""),
+      col("url"), lit("\">"),
+      when(d % 3 === 0, concat(
+        lit("<link rel=\"alternate\" hreflang=\"fr\" " +
+          "href=\"https://global"), (d % 2).cast("string"),
+        lit(".example.net/fr/"), n, lit("\">"))).otherwise(lit("")),
+      lit("<link rel=\"stylesheet\" href=\"/css/main.css\">"),
+      lit("<link rel=\"alternate\" type=\"application/rss+xml\" " +
+        "href=\"/feed\">"),
+      lit("</head><body>x</body></html>")))
+  }
+
+  /** q182's planted responses: per doc_id%4 a language-declaration
+    * class — an in-document `<html lang>` matching the label (no
+    * transport header), an UPPERCASED region-subtag form (`EN-XX`)
+    * with a CONTRADICTING `Content-Language: zz` (the in-document
+    * declaration must win), a header-ONLY declaration with trailing
+    * RFC whitespace (the fallback channel + the trim), and no
+    * declaration at all. The body carries a printable-ASCII slice of
+    * the document text (the q166 plant discipline); detection runs on
+    * the full `text` column riding the plant. */
+  private[graft] def withPlantedLangHttp(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val safe = regexp_replace(substring(col("text"), 1, 80), "[^ -~]", "")
+    df.withColumn("payload",
+      when(d % 4 === 0, concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          "<html lang=\""), col("lang"), lit("\"><body>"), safe,
+        lit("</body></html>")))
+      .when(d % 4 === 1, concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Content-Language: zz\r\n\r\n<HTML LANG=\""),
+        upper(col("lang")), lit("-XX\"><body>"), safe,
+        lit("</body></html>")))
+      .when(d % 4 === 2, concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Content-Language: "), col("lang"),
+        lit(" \r\n\r\n<html><body>"), safe, lit("</body></html>")))
+      .otherwise(concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          "<html><body>"), safe, lit("</body></html>"))))
+  }
+
+  /** q178's planted responses: the five throttle classes a real crawl
+    * meets, class-selected by `(doc_id % 100) div 20` so EVERY host
+    * sees all five (host is `doc_id % 20`, and a plain `% 5` selector
+    * would be constant within a host — 20 ≡ 0 mod 5): a `429` with a
+    * DELTA-SECONDS `Retry-After` (value varies per doc so the
+    * per-host max does real cross-class work), a `503` with an
+    * HTTP-DATE `Retry-After` 4.5 days past the as-of, a `503` with a
+    * MALFORMED value (`soon` — must parse to null and fall to the
+    * crawl-delay tier, never to 0), a healthy `200` (not a throttle
+    * even though header-bearing responses surround it), and a `429`
+    * with NO `Retry-After` at all. */
   private[graft] def withPlantedRetryHttp(df: DataFrame): DataFrame = {
     val d = col("doc_id")
+    val c = expr("(doc_id % 100) div 20")
     df.select(col("doc_id"),
       concat(lower(col("source")), lit(".example.com")).as("host"),
-      when(d % 5 === 0, concat(
+      when(c === 0, concat(
         lit("HTTP/1.1 429 Too Many Requests\r\nRetry-After: "),
         ((d % 7) * 10 + 5).cast("string"), lit("\r\n\r\nslow down")))
-      .when(d % 5 === 1, lit("HTTP/1.1 503 Service Unavailable\r\n" +
+      .when(c === 1, lit("HTTP/1.1 503 Service Unavailable\r\n" +
         "Retry-After: Sat, 14 Feb 2026 12:00:00 GMT\r\n\r\nmaint"))
-      .when(d % 5 === 2, lit("HTTP/1.1 503 Service Unavailable\r\n" +
+      .when(c === 2, lit("HTTP/1.1 503 Service Unavailable\r\n" +
         "Retry-After: soon\r\n\r\nmaint"))
-      .when(d % 5 === 3, concat(
+      .when(c === 3, concat(
         lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
           "<html>ok "), d.cast("string"), lit("</html>")))
       .otherwise(lit("HTTP/1.1 429 Too Many Requests\r\n\r\nslow"))
@@ -1365,6 +1429,96 @@ private[graft] object TextQueries {
           col("s.payload.recency_bucket").as("recency_bucket"),
           col("s.payload.found_by").as("found_by"))
         .orderBy("link_host", "rank")
+    }),
+
+    // ---- throttle-aware fetch schedule (oracle-checked): q178's
+    // Retry-After aggregate CONSUMED — the q160 politeness slots
+    // pushed past each host's armed hold: fetch_at = hold +
+    // (rank−1)·delay. The first fetch waits out the origin's explicit
+    // throttle; spacing stays at the crawl-delay tier; un-throttled
+    // hosts (and hosts whose throttles were all malformed/bare) hold
+    // 0. Both side tables pruned to the frontier's hosts before the
+    // broadcast (UrlOps.throttledSchedule).
+    "q181_throttled_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val delays = graft.ext.UrlOps.robotsCrawlDelay(
+        plantedRobotsTxt(docs), "host", "txt", "graftbot")
+      val backoff = graft.io.WarcIngest.withHttpResponse(
+          withPlantedRetryHttp(docs), "payload")
+        .filter(col("http_status").isin(429L, 503L))
+        .withColumn("ra_us", graft.ext.UrlOps.retryAfterMicros(
+          col("http_retry_after"), "2026-02-10 00:00:00"))
+        .groupBy(col("host"))
+        .agg(max(col("ra_us")).as("retry_after_micros"))
+      graft.ext.UrlOps.throttledSchedule(
+          crawlFrontier(s, dir), "link_host", "rank", delays, backoff,
+          defaultDelayMicros = 1000000L)
+        .select(col("link_host"), col("rank"), col("url_canon"),
+          col("depth"), col("found_by"), col("fetch_at_micros"))
+        .orderBy("link_host", "rank")
+    }),
+
+    // ---- declared-vs-detected language census (oracle-checked): the
+    // language-filtering tier of a training pipeline should not trust
+    // any single channel — pages declare a language in-document
+    // (<html lang>, BCP 47) and in transport (Content-Language), and
+    // the engine detects one from the text. This census reconciles
+    // all three per (labeled, declared, detected) cell: in-document
+    // beats transport (the HTML-spec precedence), region subtags
+    // normalize to the primary (`EN-XX` declares `en`), conflicts
+    // between channels and declared-vs-detected disagreements are
+    // counted — the cells a curation pass would route to review. One
+    // projection + one map-side-combining aggregate.
+    "q182_declared_language" -> ((s, dir) => {
+      val u = graft.ext.UrlOps
+      val gated = graft.io.WarcIngest.withHttpResponse(
+        withPlantedLangHttp(t(s, dir, "documents")), "payload")
+      val dHtml = u.langPrimarySubtag(regexp_extract(
+        col("http_body"), u.HtmlLangPattern, 1))
+      val dHttp = u.langPrimarySubtag(col("http_content_language"))
+      gated.select(col("doc_id"), col("lang").as("labeled_lang"),
+          graft.ext.TextOps.languageId(col("text"))
+            .as("predicted_lang"),
+          dHtml.as("declared_html"), dHttp.as("declared_http"),
+          when(dHtml =!= "", dHtml).otherwise(dHttp)
+            .as("declared_lang"))
+        .groupBy(col("labeled_lang"), col("declared_lang"),
+          col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("declared_html") =!= "" &&
+            col("declared_http") =!= "" &&
+            col("declared_html") =!= col("declared_http"), 1L)
+            .otherwise(0L)).as("n_channel_conflicts"))
+        .withColumn("declared_mismatch",
+          col("declared_lang") =!= "" &&
+            col("declared_lang") =!= col("predicted_lang"))
+        .orderBy("labeled_lang", "declared_lang", "predicted_lang")
+    }),
+
+    // ---- hreflang alternate clusters (oracle-checked): how
+    // multilingual sites declare their translations — the standard
+    // PARALLEL-CORPUS mining signal (aligned pairs come from exactly
+    // these clusters) and a cross-language dedup hint. Whole-tag
+    // harvest (attributes appear in any order), rel TOKEN membership,
+    // hreflang lowercased with primary-subtag normalization (DE-AT
+    // declares de), the x-default catch-all flagged (not a language),
+    // targets resolved + canonicalized through the native walk,
+    // cross-host alternates flagged (the sitemap scope discipline).
+    // Stylesheet decoys and hreflang-less feed alternates contribute
+    // nothing. One projection + one generator.
+    "q183_hreflang_alternates" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        withPlantedUrl(docs), "url")
+      graft.ext.UrlOps.extractHreflang(
+          withPlantedHreflangPage(canon), "doc_id", "html",
+          "url_canon", "url")
+        .filter(col("alt_canon").isNotNull)
+        .select(col("doc_id"), col("hreflang"),
+          col("hreflang_primary"), col("is_default"), col("alt_canon"),
+          (col("alt_host") === regexp_extract(col("base_canon"),
+            "^[a-z][a-z0-9+.-]*://([^/?]*)", 1)).as("in_host"))
+        .orderBy("doc_id", "hreflang", "alt_canon")
     }),
 
     // ---- THE unified frontier (oracle-checked): every discovery
@@ -3406,7 +3560,10 @@ private[graft] object TextQueries {
     * against the as-of, clamped at 0, guarded by try_cast so a
     * shape-valid impossible date stays null), per-host max, then the
     * shared crawl-delay winner CTEs and the greatest() fold. */
-  private def retryAfterOracleSql: String = {
+  /** q178's plant + parse + per-host aggregate as CTEs ending in
+    * `rag(host, retry_after_micros, n_throttled)`. Shared by the
+    * q178 and q181 oracles. */
+  private def retryAfterCtes: String = {
     val crlf = "chr(13) || chr(10)"
     val imfRx = "'^[A-Za-z]{3}, ([0-9]{2}) (Jan|Feb|Mar|Apr|May|Jun|" +
       "Jul|Aug|Sep|Oct|Nov|Dec) ([0-9]{4}) " +
@@ -3420,20 +3577,20 @@ private[graft] object TextQueries {
       monthCase + ") || '-' || regexp_extract(rav, " + imfRx +
       ", 1) || ' ' || regexp_extract(rav, " +
       "' ([0-9]{2}:[0-9]{2}:[0-9]{2}) GMT$', 1)"
-    "WITH rpl AS (SELECT doc_id, lower(source) || '.example.com' " +
+    "rpl AS (SELECT doc_id, lower(source) || '.example.com' " +
       "AS host, CASE " +
-      "WHEN doc_id % 5 = 0 THEN 'HTTP/1.1 429 Too Many Requests' || " +
+      "WHEN (doc_id % 100) // 20 = 0 THEN 'HTTP/1.1 429 Too Many Requests' || " +
       crlf + " || 'Retry-After: ' || " +
       "CAST((doc_id % 7) * 10 + 5 AS VARCHAR) || " + crlf + " || " +
       crlf + " || 'slow down' " +
-      "WHEN doc_id % 5 = 1 THEN 'HTTP/1.1 503 Service Unavailable' " +
+      "WHEN (doc_id % 100) // 20 = 1 THEN 'HTTP/1.1 503 Service Unavailable' " +
       "|| " + crlf + " || " +
       "'Retry-After: Sat, 14 Feb 2026 12:00:00 GMT' || " + crlf +
       " || " + crlf + " || 'maint' " +
-      "WHEN doc_id % 5 = 2 THEN 'HTTP/1.1 503 Service Unavailable' " +
+      "WHEN (doc_id % 100) // 20 = 2 THEN 'HTTP/1.1 503 Service Unavailable' " +
       "|| " + crlf + " || 'Retry-After: soon' || " + crlf + " || " +
       crlf + " || 'maint' " +
-      "WHEN doc_id % 5 = 3 THEN 'HTTP/1.1 200 OK' || " + crlf +
+      "WHEN (doc_id % 100) // 20 = 3 THEN 'HTTP/1.1 200 OK' || " + crlf +
       " || 'Content-Type: text/html' || " + crlf + " || " + crlf +
       " || '<html>ok ' || CAST(doc_id AS VARCHAR) || '</html>' " +
       "ELSE 'HTTP/1.1 429 Too Many Requests' || " + crlf + " || " +
@@ -3455,14 +3612,31 @@ private[graft] object TextQueries {
       "END AS ra_us FROM rhd WHERE st IN (429, 503)),\n" +
       "rag AS (SELECT host, max(ra_us) AS retry_after_micros, " +
       "CAST(count(*) AS BIGINT) AS n_throttled FROM rra " +
-      "GROUP BY host),\n" +
+      "GROUP BY host)"
+  }
+
+  private def retryAfterOracleSql: String =
+    "WITH " + retryAfterCtes + ",\n" +
       robotsTxtCtes + ",\n" + crawlDelayCtes + "\n" +
       "SELECT g.host, g.n_throttled, g.retry_after_micros, " +
       "d.dmic AS crawl_delay_micros, " +
       "greatest(coalesce(g.retry_after_micros, 0), " +
       "coalesce(d.dmic, 0)) AS backoff_micros " +
       "FROM rag g LEFT JOIN dms d ON d.host = g.host ORDER BY g.host"
-  }
+
+  /** q181: the q154 frontier + q160 delay winner + q178 throttle
+    * aggregate composed — `hold + (rank−1)·delay` per slot. */
+  private def throttledScheduleOracleSql: String =
+    "WITH " + frontierCtes + ",\n" + robotsTxtCtes + ",\n" +
+      crawlDelayCtes + ",\n" + retryAfterCtes + "\n" +
+      "SELECT f.link_host, CAST(f.rnk AS BIGINT) AS rank, " +
+      "f.link_canon AS url_canon, f.depth, f.found_by, " +
+      "CAST(coalesce(g.retry_after_micros, 0) + " +
+      "(f.rnk - 1) * coalesce(d.dmic, 1000000) AS BIGINT) " +
+      "AS fetch_at_micros " +
+      "FROM rk f LEFT JOIN dms d ON d.host = f.link_host " +
+      "LEFT JOIN rag g ON g.host = f.link_host " +
+      "WHERE f.rnk <= 3 ORDER BY link_host, rank"
 
   /** q179: the anchor plant replayed — the whole-unit harvest, the
     * href presence filter, rel token membership, the text pull +
@@ -3558,6 +3732,131 @@ private[graft] object TextQueries {
       "SELECT link_host, CAST(rnk AS BIGINT) AS rank, " +
       "link_canon AS url_canon, depth, recency_bucket, found_by " +
       "FROM xrk WHERE rnk <= 3 ORDER BY link_host, rank"
+
+  /** q182: the language plant, the header/body split, both
+    * declaration pulls with primary-subtag normalization, the q22
+    * languageId replay over the full text, then the census rollup. */
+  private def declaredLanguageOracleSql: String = {
+    val crlf = "chr(13) || chr(10)"
+    val u = graft.ext.UrlOps
+    val prim = (e: String) => "lower(regexp_extract(" + e +
+      ", '^[ \\t]*([A-Za-z]+)', 1))"
+    "WITH lpl AS (SELECT doc_id, lang, text, " +
+      "regexp_replace(substring(text, 1, 80), '[^ -~]', '', 'g') " +
+      "AS safe FROM documents),\n" +
+      "lp2 AS (SELECT doc_id, lang, text, CASE " +
+      "WHEN doc_id % 4 = 0 THEN 'HTTP/1.1 200 OK' || " + crlf +
+      " || 'Content-Type: text/html' || " + crlf + " || " + crlf +
+      " || '<html lang=\"' || lang || '\"><body>' || safe || " +
+      "'</body></html>' " +
+      "WHEN doc_id % 4 = 1 THEN 'HTTP/1.1 200 OK' || " + crlf +
+      " || 'Content-Type: text/html' || " + crlf +
+      " || 'Content-Language: zz' || " + crlf + " || " + crlf +
+      " || '<HTML LANG=\"' || upper(lang) || '-XX\"><body>' || safe " +
+      "|| '</body></html>' " +
+      "WHEN doc_id % 4 = 2 THEN 'HTTP/1.1 200 OK' || " + crlf +
+      " || 'Content-Type: text/html' || " + crlf +
+      " || 'Content-Language: ' || lang || ' ' || " + crlf + " || " +
+      crlf + " || '<html><body>' || safe || '</body></html>' " +
+      "ELSE 'HTTP/1.1 200 OK' || " + crlf +
+      " || 'Content-Type: text/html' || " + crlf + " || " + crlf +
+      " || '<html><body>' || safe || '</body></html>' END AS p " +
+      "FROM lpl),\n" +
+      "lhx AS (SELECT doc_id, lang, text, " +
+      "list_extract(string_split(p, " + crlf + " || " + crlf +
+      "), 1) AS hdr, substring(p, length(list_extract(" +
+      "string_split(p, " + crlf + " || " + crlf + "), 1)) + 5) " +
+      "AS body FROM lp2),\n" +
+      "lex AS (SELECT doc_id, lang AS labeled_lang, text, " +
+      prim("regexp_extract(body, '" + u.HtmlLangPattern + "', 1)") +
+      " AS declared_html, " +
+      prim("trim(regexp_extract(hdr, " +
+        "'(?mi)^Content-Language:([^\r]*)', 1), ' ' || chr(9))") +
+      " AS declared_http FROM lhx),\n" +
+      "ld AS (SELECT *, CASE WHEN declared_html <> '' THEN " +
+      "declared_html ELSE declared_http END AS declared_lang " +
+      "FROM lex),\n" +
+      "ltk AS (SELECT *, string_split_regex(trim(lower(text)), " +
+      "'\\s+') AS toks FROM ld),\n" +
+      "lbs AS (SELECT doc_id, labeled_lang, declared_html, " +
+      "declared_http, declared_lang, list_max([" +
+      "{'score': len(list_filter(toks, x -> x IN ('der','die','das'," +
+      "'und','ist','ein','zu','mit','den','von'))), 'lang': 'de'}, " +
+      "{'score': len(list_filter(toks, x -> x IN ('the','a','of'," +
+      "'and','to','in','is','it','that','for'))), 'lang': 'en'}, " +
+      "{'score': len(list_filter(toks, x -> x IN ('el','la','los'," +
+      "'y','es','un','una','de','que','por'))), 'lang': 'es'}, " +
+      "{'score': len(list_filter(toks, x -> x IN ('le','la','les'," +
+      "'et','est','un','une','de','que','pour'))), 'lang': 'fr'}, " +
+      "{'score': 3*length(regexp_replace(text, " +
+      "'[^\\x{4E00}-\\x{9FFF}]', '', 'g')), 'lang': 'zh'}]) AS best " +
+      "FROM ltk),\n" +
+      "lpr AS (SELECT *, CASE WHEN best.score > 0 THEN best.lang " +
+      "ELSE 'und' END AS predicted_lang FROM lbs)\n" +
+      "SELECT labeled_lang, declared_lang, predicted_lang, " +
+      "CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(CASE WHEN declared_html <> '' AND " +
+      "declared_http <> '' AND declared_html <> declared_http " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_channel_conflicts, " +
+      "(declared_lang <> '' AND declared_lang <> predicted_lang) " +
+      "AS declared_mismatch " +
+      "FROM lpr GROUP BY labeled_lang, declared_lang, predicted_lang " +
+      "ORDER BY labeled_lang, declared_lang, predicted_lang"
+  }
+
+  /** q183: the hreflang plant replayed — the whole-link-tag harvest,
+    * rel token membership, the hreflang/href pulls with primary-
+    * subtag normalization, plant-scoped resolution (root-relative +
+    * absolute), the chain, and the in-host flag. */
+  private def hreflangOracleSql: String = {
+    val u = graft.ext.UrlOps
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      "fhm AS (SELECT doc_id, url AS base_raw, url_canon AS base, " +
+      "'<html><head>' || " +
+      "'<link rel=\"alternate\" hreflang=\"en\" href=\"/intl/en/' || " +
+      "CAST(doc_id % 13 AS VARCHAR) || '\">' || " +
+      "'<LINK HREFLANG=\"DE-AT\" HREF=\"/intl/de/' || " +
+      "CAST(doc_id % 13 AS VARCHAR) || '\" REL=\"alternate\">' || " +
+      "'<link rel=\"alternate\" hreflang=\"x-default\" href=\"' || " +
+      "url || '\">' || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN " +
+      "'<link rel=\"alternate\" hreflang=\"fr\" href=\"https://global'" +
+      " || CAST(doc_id % 2 AS VARCHAR) || '.example.net/fr/' || " +
+      "CAST(doc_id % 13 AS VARCHAR) || '\">' ELSE '' END) || " +
+      "'<link rel=\"stylesheet\" href=\"/css/main.css\">' || " +
+      "'<link rel=\"alternate\" type=\"application/rss+xml\" " +
+      "href=\"/feed\">' || " +
+      "'</head><body>x</body></html>' AS html FROM c),\n" +
+      "ftg AS (SELECT doc_id, base, base_raw, " +
+      "unnest(regexp_extract_all(html, '" + u.LinkTagPattern +
+      "', 0)) AS tag FROM fhm),\n" +
+      "fal AS (SELECT doc_id, base, base_raw, " +
+      "lower(regexp_extract(tag, '" + u.TagHreflangPattern +
+      "', 1)) AS hreflang, " +
+      "regexp_extract(tag, '" + u.TagHrefPattern + "', 1) AS href " +
+      "FROM ftg WHERE list_contains(string_split_regex(lower(" +
+      "regexp_extract(tag, '" + u.TagRelPattern + "', 1)), " +
+      "'[ \\t]+'), 'alternate') " +
+      "AND lower(regexp_extract(tag, '" + u.TagHreflangPattern +
+      "', 1)) <> '' " +
+      "AND regexp_matches(tag, '(?i)href\\s*=\\s*\"')),\n" +
+      "fla AS (SELECT doc_id, hreflang, " +
+      "lower(regexp_extract(hreflang, '^[ \\t]*([A-Za-z]+)', 1)) " +
+      "AS hreflang_primary, hreflang = 'x-default' AS is_default, " +
+      "regexp_extract(base, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) " +
+      "AS base_host, " +
+      "CASE WHEN starts_with(href, '/') THEN " +
+      "regexp_extract(base, '^([a-z][a-z0-9+.-]*)://', 1) || '://' || " +
+      "regexp_extract(base, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) || " +
+      "href WHEN regexp_matches(href, '(?i)^https?://') THEN href " +
+      "END AS url FROM fal),\n" +
+      urlCanonChain("fla", "fz", "flc",
+        Seq("doc_id", "hreflang", "hreflang_primary", "is_default",
+          "base_host")) +
+      "\nSELECT doc_id, hreflang, hreflang_primary, is_default, " +
+      "url_canon AS alt_canon, url_host = base_host AS in_host " +
+      "FROM flc ORDER BY doc_id, hreflang, alt_canon"
+  }
 
   /** q173: ALL FOUR families' shared generators assembled — the link
     * CTEs, the sitemap `<url>` tier, the child-sitemap loop, and the
@@ -4262,6 +4561,12 @@ private[graft] object TextQueries {
     "q179_anchor_text" -> anchorTextOracleSql,
 
     "q180_exclusion_frontier" -> exclusionFrontierOracleSql,
+
+    "q181_throttled_schedule" -> throttledScheduleOracleSql,
+
+    "q182_declared_language" -> declaredLanguageOracleSql,
+
+    "q183_hreflang_alternates" -> hreflangOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 

@@ -569,6 +569,75 @@ object UrlOps {
       .drop("__lr", "base_raw", "__unit")
   }
 
+  /** `<html lang="…">` — the in-document language declaration (HTML's
+    * `lang` attribute on the root element; BCP 47 value). Quoted
+    * values, first match, the [[HrefPattern]] charter. RE2-safe,
+    * shared verbatim with the q182 oracle. Normalize the harvested
+    * value to its PRIMARY subtag (letters before the first `-`,
+    * lowercased) before comparing — `en-US` and `EN` both declare
+    * `en`. */
+  val HtmlLangPattern: String =
+    "(?i)<html\\s[^>]*?lang\\s*=\\s*\"([^\"]*)\""
+
+  /** BCP 47 primary subtag of a language declaration: leading RFC
+    * whitespace skipped, the first letter run, lowercased — `''` when
+    * the value opens with anything else (a malformed declaration
+    * reads as undeclared, never mis-parses). */
+  def langPrimarySubtag(v: Column): Column =
+    lower(regexp_extract(v, "^[ \\t]*([A-Za-z]+)", 1))
+
+  /** Whole `<link ...>` tag harvest (group 0) — the
+    * [[AnchorTagPattern]] charter for the link element, whose
+    * attributes (`rel`, `hreflang`, `href`) appear in ANY order, so
+    * the tag is harvested whole and each attribute pulled
+    * independently. RE2-safe, shared verbatim with the q183 oracle. */
+  val LinkTagPattern: String = "(?i)<link\\s[^>]*>"
+
+  /** First quoted `hreflang` inside a harvested tag — the
+    * [[TagRelPattern]] spelling (whitespace-led, no `\b`). */
+  val TagHreflangPattern: String =
+    "(?i)[ \\t]hreflang\\s*=\\s*\"([^\"]*)\""
+
+  /** `hreflang` alternate harvest (`<link rel="alternate"
+    * hreflang="…" href="…">`): the page's declared language variants —
+    * how multilingual sites link their translations. For a training
+    * pipeline this is the standard PARALLEL-CORPUS mining signal
+    * (aligned translation pairs come from exactly these clusters) and
+    * a cross-language dedup hint. One row per alternate: the
+    * harvested `hreflang` lowercased, its primary subtag
+    * ([[langPrimarySubtag]] — `DE-AT` declares `de`), the `x-default`
+    * flag (the special catch-all value, not a language), the resolved
+    * + canonicalized target (same native walk as an href), and the
+    * in-host flag (cross-host alternates surface flagged, the
+    * [[parseSitemap]] scope discipline). Tags whose `rel` token list
+    * lacks `alternate`, or without an `hreflang` (feed alternates),
+    * or without an `href`, contribute nothing. One projection + one
+    * generator — pages die in the harvest. */
+  def extractHreflang(df: DataFrame, idCol: String, htmlCol: String,
+      baseCanonCol: String, baseRawCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val relv = regexp_extract(col("__tag"), TagRelPattern, 1)
+    val hl = lower(regexp_extract(col("__tag"), TagHreflangPattern, 1))
+    df.select(col(idCol), col(baseCanonCol).as("base_canon"),
+        col(baseRawCol).as("base_raw"),
+        explode(regexp_extract_all(col(htmlCol),
+          lit(LinkTagPattern), lit(0))).as("__tag"))
+      .filter(array_contains(split(lower(relv), "[ \\t]+"), "alternate"))
+      .withColumn("hreflang", hl)
+      .filter(col("hreflang") =!= "")
+      .filter(col("__tag").rlike("(?i)href\\s*=\\s*\""))
+      .withColumn("href_raw",
+        regexp_extract(col("__tag"), TagHrefPattern, 1))
+      .withColumn("hreflang_primary",
+        langPrimarySubtag(col("hreflang")))
+      .withColumn("is_default", col("hreflang") === "x-default")
+      .withColumn("__lr", call_function("graft_link_resolve",
+        col("href_raw"), col("base_canon"), col("base_raw")))
+      .withColumn("alt_canon", col("__lr.canon"))
+      .withColumn("alt_host", col("__lr.host"))
+      .drop("__lr", "base_raw", "__tag")
+  }
+
   /** `<base href="…">` — the [[HrefPattern]] charter (quoted values,
     * first element wins per the HTML spec's "first base element with
     * an href" rule, no cross-`>` runs). RE2-safe, shared verbatim
@@ -979,6 +1048,35 @@ object UrlOps {
         (col(rankCol) - 1) *
           coalesce(col("__delay"), lit(defaultDelayMicros)))
       .drop("__delay")
+  }
+
+  /** Throttle-aware fetch schedule: [[politenessSchedule]]'s slots
+    * pushed past the host's armed `Retry-After` hold —
+    * `fetch_at = hold + (rank−1)·delay`. The first fetch waits out
+    * the origin's EXPLICIT throttle (q178's per-host max,
+    * [[retryAfterMicros]]), subsequent fetches keep the crawl-delay
+    * spacing; hosts with no armed throttle hold 0 (a null
+    * `retry_after_micros` — all of the host's throttles were
+    * malformed or bare — likewise falls to the crawl-delay tier
+    * alone). `backoffs` is a (host, retry_after_micros) relation;
+    * same prune-before-broadcast discipline (with the SHJ fallback)
+    * as the delay join. */
+  def throttledSchedule(frontier: DataFrame, hostCol: String,
+      rankCol: String, delays: DataFrame, backoffs: DataFrame,
+      defaultDelayMicros: Long, broadcastTables: Boolean = true)
+      : DataFrame = {
+    val base = politenessSchedule(frontier, hostCol, rankCol, delays,
+      defaultDelayMicros, broadcastTables)
+    val hostSet = frontier.select(col(hostCol)).distinct()
+    val pruned = backoffs.select(col("host").as(hostCol),
+        col("retry_after_micros").as("__hold"))
+      .join(hostSet, Seq(hostCol), "left_semi")
+    val b = if (broadcastTables) broadcast(pruned)
+            else pruned.hint("shuffle_hash")
+    base.join(b, Seq(hostCol), "left_outer")
+      .withColumn("fetch_at_micros",
+        col("fetch_at_micros") + coalesce(col("__hold"), lit(0L)))
+      .drop("__hold")
   }
 
   def robotsVerdict(df: DataFrame, idCol: String, canonCol: String,

@@ -146,6 +146,10 @@ object WarcIngest {
     *     crawler MUST fold into its per-host schedule;
     *     [[graft.ext.UrlOps.retryAfterMicros]] parses both the
     *     delta-seconds and HTTP-date forms), empty when absent;
+    *   - `http_content_language`: the `Content-Language` header
+    *     verbatim (RFC 9110 §8.5 — the transport-level language
+    *     declaration; q182 reconciles it with the in-document
+    *     `<html lang>` and the detected language), empty when absent;
     *   - `http_body`: everything past the first blank CRLF line
     *     (null for non-HTTP payloads);
     *   - `is_fetch_content`: status 200 AND media type `text/html` —
@@ -184,6 +188,9 @@ object WarcIngest {
       .withColumn("http_retry_after",
         when(isHttp, trim(regexp_extract(hdr,
           "(?mi)^Retry-After:([^\r]*)", 1), " \t")).otherwise(lit("")))
+      .withColumn("http_content_language",
+        when(isHttp, trim(regexp_extract(hdr,
+          "(?mi)^Content-Language:([^\r]*)", 1), " \t")).otherwise(lit("")))
       .withColumn("http_body",
         when(isHttp, p.substr(length(hdr) + 5, length(p))))
       .withColumn("is_fetch_content",

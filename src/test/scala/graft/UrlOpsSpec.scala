@@ -912,6 +912,39 @@ class UrlOpsSpec extends SparkSpec {
       .forall(_._3.contains("/Docs/3")))
   }
 
+  test("langPrimarySubtag: region subtags and case normalize, leading " +
+    "whitespace skipped, malformed values read as undeclared") {
+    val out = Seq("EN-US", "de", " fr", "\tES-419", "x-default",
+        "123", "")
+      .toDF("v").select(UrlOps.langPrimarySubtag(col("v")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("en", "de", "fr", "es", "x", "", ""))
+  }
+
+  test("extractHreflang: any attribute order, rel token membership, " +
+    "x-default flagged, stylesheet and hreflang-less alternates drop") {
+    val html =
+      "<link rel=\"alternate\" hreflang=\"en\" href=\"/en\">" +
+        "<LINK HREFLANG=\"DE-AT\" HREF=\"/de\" REL=\"alternate\">" +
+        "<link rel=\"alternate nofollow\" hreflang=\"fr\" href=\"/fr\">" +
+        "<link rel=\"alternate\" hreflang=\"x-default\" href=\"https://h.com/p\">" +
+        "<link rel=\"stylesheet\" href=\"/css\">" +
+        "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed\">"
+    val out = UrlOps.extractHreflang(
+        Seq((1L, html, "https://h.com/p", "https://h.com/p"))
+          .toDF("doc_id", "html", "url_canon", "url"),
+        "doc_id", "html", "url_canon", "url")
+      .select("hreflang", "hreflang_primary", "is_default", "alt_canon")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getString(3))).toSeq
+    assert(out === Seq(
+      ("en", "en", false, "https://h.com/en"),
+      ("de-at", "de", false, "https://h.com/de"),
+      ("fr", "fr", false, "https://h.com/fr"),
+      ("x-default", "x", true, "https://h.com/p")))
+  }
+
   test("withMetaRobots: both attribute orders, messy token list, " +
     "none expands to both, all/absent set neither") {
     val cases = Seq(
