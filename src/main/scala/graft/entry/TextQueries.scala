@@ -1124,6 +1124,32 @@ private[graft] object TextQueries {
       lit("</head><body>x</body></html>")))
   }
 
+  /** q184's planted variant pages: ONE page per (host, cluster,
+    * language) — min-doc dedup over the corpus — at the canonical-by-
+    * construction URL `https://{host}/v/{lang}/{k}`, each declaring
+    * alternates for ALL FIVE languages of its cluster (root-relative,
+    * the real-world template shape). Clusters only actually contain
+    * the languages the corpus has documents for, so declarations
+    * pointing at missing variants DANGLE — exactly what the
+    * reciprocity join must reject. */
+  private[graft] def withPlantedVariantPages(df: DataFrame): DataFrame = {
+    val pages = df
+      .select(lower(col("source")).as("h"),
+        (col("doc_id") % 13).as("k"), col("lang"), col("doc_id"))
+      .groupBy(col("h"), col("k"), col("lang"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val ks = col("k").cast("string")
+    def alt(l: String) = concat(
+      lit("<link rel=\"alternate\" hreflang=\"" + l + "\" href=\"/v/" +
+        l + "/"), ks, lit("\">"))
+    pages
+      .withColumn("url", concat(lit("https://"), col("h"),
+        lit(".example.com/v/"), col("lang"), lit("/"), ks))
+      .withColumn("html", concat(
+        lit("<html><head>"), alt("de"), alt("en"), alt("es"),
+        alt("fr"), alt("zh"), lit("</head><body>v</body></html>")))
+  }
+
   /** q182's planted responses: per doc_id%4 a language-declaration
     * class — an in-document `<html lang>` matching the label (no
     * transport header), an UPPERCASED region-subtag form (`EN-XX`)
@@ -1519,6 +1545,48 @@ private[graft] object TextQueries {
           (col("alt_host") === regexp_extract(col("base_canon"),
             "^[a-z][a-z0-9+.-]*://([^/?]*)", 1)).as("in_host"))
         .orderBy("doc_id", "hreflang", "alt_canon")
+    }),
+
+    // ---- reciprocal translation pairs (oracle-checked): q183's
+    // signal CONSUMED — the actual parallel-corpus miner. A declared
+    // alternate is only a translation-pair candidate when it's
+    // VALIDATED: the target page exists and declares the source back
+    // (the return-link rule real pipelines apply — anyone can claim
+    // to be a translation of anyone). One distinct edge projection,
+    // one self-equi-join for reciprocity (left_semi on the reversed
+    // key pair), two joins to attach page languages, unordered pairs
+    // emitted once. Dangling declarations (the cluster's missing
+    // languages) and self-edges drop out structurally. 100 TB shape:
+    // hash joins on uniform canonical-URL keys, no skew surface —
+    // clusters are language-count-sized.
+    "q184_translation_pairs" -> ((s, dir) => {
+      // pages is consumed three times (edge harvest + both language
+      // attaches) and edges twice (both reciprocity sides): cut the
+      // plan at the TINY relations (≤ hosts×clusters×languages rows)
+      // — the q170/q130 localCheckpoint discipline
+      val pages = graft.ext.UrlOps.withCanonicalUrl(
+          withPlantedVariantPages(t(s, dir, "documents")), "url")
+        .localCheckpoint()
+      val edges = graft.ext.UrlOps.extractHreflang(pages, "doc_id",
+          "html", "url_canon", "url")
+        .filter(col("alt_canon").isNotNull)
+        .select(col("base_canon").as("src"), col("alt_canon").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      val recip = edges.join(
+        edges.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      val pg = pages.select(col("url_canon"), col("lang"))
+      recip
+        .join(pg.select(col("url_canon").as("src"),
+          col("lang").as("src_lang")), Seq("src"))
+        .join(pg.select(col("url_canon").as("dst"),
+          col("lang").as("dst_lang")), Seq("dst"))
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("src_lang"), col("dst"),
+          col("dst_lang"))
+        .orderBy("src", "dst")
     }),
 
     // ---- THE unified frontier (oracle-checked): every discovery
@@ -3858,6 +3926,46 @@ private[graft] object TextQueries {
       "FROM flc ORDER BY doc_id, hreflang, alt_canon"
   }
 
+  /** q184: the variant-page plant, the link-tag harvest, root-
+    * relative resolution, the reciprocity self-join, and the language
+    * attach. The canonicalization chain is IDENTITY on this plant by
+    * construction (lowercase https, lowercase portless un-www'd host,
+    * clean single-slash path, no query/fragment) so the oracle
+    * resolves without the chain CTEs — the chain's identity on such
+    * URLs is pinned by the q150 idempotence spec. */
+  private def translationPairsOracleSql: String = {
+    val u = graft.ext.UrlOps
+    val alt = (l: String) =>
+      "'<link rel=\"alternate\" hreflang=\"" + l + "\" href=\"/v/" +
+        l + "/' || CAST(k AS VARCHAR) || '\">'"
+    "WITH vp AS (SELECT lower(source) AS h, doc_id % 13 AS k, lang, " +
+      "min(doc_id) AS doc_id FROM documents GROUP BY 1, 2, 3),\n" +
+      "vpg AS (SELECT h, k, lang, doc_id, " +
+      "'https://' || h || '.example.com/v/' || lang || '/' || " +
+      "CAST(k AS VARCHAR) AS url, " +
+      "'<html><head>' || " + alt("de") + " || " + alt("en") + " || " +
+      alt("es") + " || " + alt("fr") + " || " + alt("zh") +
+      " || '</head><body>v</body></html>' AS html FROM vp),\n" +
+      "vtg AS (SELECT url, h, unnest(regexp_extract_all(html, '" +
+      u.LinkTagPattern + "', 0)) AS tag FROM vpg),\n" +
+      "ved0 AS (SELECT url AS src, 'https://' || h || " +
+      "'.example.com' || regexp_extract(tag, '" + u.TagHrefPattern +
+      "', 1) AS dst FROM vtg " +
+      "WHERE list_contains(string_split_regex(lower(" +
+      "regexp_extract(tag, '" + u.TagRelPattern + "', 1)), " +
+      "'[ \\t]+'), 'alternate') " +
+      "AND lower(regexp_extract(tag, '" + u.TagHreflangPattern +
+      "', 1)) <> '' " +
+      "AND regexp_matches(tag, '(?i)href\\s*=\\s*\"')),\n" +
+      "ved AS (SELECT DISTINCT src, dst FROM ved0 WHERE src <> dst),\n" +
+      "vrc AS (SELECT a.src, a.dst FROM ved a " +
+      "JOIN ved b ON a.src = b.dst AND a.dst = b.src)\n" +
+      "SELECT r.src, p1.lang AS src_lang, r.dst, p2.lang AS dst_lang " +
+      "FROM vrc r JOIN vpg p1 ON p1.url = r.src " +
+      "JOIN vpg p2 ON p2.url = r.dst " +
+      "WHERE r.src < r.dst ORDER BY src, dst"
+  }
+
   /** q173: ALL FOUR families' shared generators assembled — the link
     * CTEs, the sitemap `<url>` tier, the child-sitemap loop, and the
     * redirect resolution — unioned with per-source found_by markers,
@@ -4567,6 +4675,8 @@ private[graft] object TextQueries {
     "q182_declared_language" -> declaredLanguageOracleSql,
 
     "q183_hreflang_alternates" -> hreflangOracleSql,
+
+    "q184_translation_pairs" -> translationPairsOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 

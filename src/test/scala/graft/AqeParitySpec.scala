@@ -51,7 +51,9 @@ class AqeParitySpec extends SparkSpec {
     // q178 folds a full-outer-ish host join of two aggregate tiers;
     // q179's rollup counts distinct hosts per (target, text) key
     "q176_robots_sitemap_frontier", "q178_retry_after_backoff",
-    "q179_anchor_text", "q180_exclusion_frontier")
+    "q179_anchor_text", "q180_exclusion_frontier",
+    // the reciprocity self-join + language attaches
+    "q184_translation_pairs")
 
   test("AQE on and off produce identical rows for partition-sensitive " +
     "queries") {
