@@ -50,6 +50,28 @@ private[graft] object RetrievalQueries {
         .orderBy("rank")
     }),
 
+    // ---- anchor-boosted fielded BM25 (oracle-checked): BM25F-lite —
+    // a document's searchable text is its body PLUS the inbound
+    // anchor text the web wrote about it (q179's rollup shape keyed
+    // to the corpus), with integer field weights (body 1, anchor 2 —
+    // anchor evidence is endorsement, the classic web-search boost)
+    // folded into tf AND length normalization before the shared
+    // micro-integer BM25 tail; IDF is the merged-field document
+    // frequency. The "stream" query term lives in BOTH fields, so the
+    // boost genuinely reorders against q123's body-only ranking.
+    "q185_anchor_boosted_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Retrieval.bm25FieldedScore(docs, "doc_id", "text",
+        plantedAnchorField(docs), "anchor_norm", "n_anchors",
+        Seq("table", "stream", "review", "trusted", "corpus"))
+      scored.orderBy(col("bm25_micro").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"), col("bm25_micro"),
+          col("bm25"))
+        .orderBy("rank")
+    }),
+
     // ---- hybrid dense+lexical retrieval, RRF-fused (oracle-checked):
     // the standard two-leg serving stack — a BM25 "more-like-this" leg
     // (query doc's distinct tokens as the term set) and a brute cosine
@@ -301,7 +323,88 @@ private[graft] object RetrievalQueries {
     }),
   )
 
+  /** q185's planted inbound-anchor field: per doc a language-flavored
+    * review anchor with a varying mention count (1 + doc_id%3) and a
+    * second anchor that is either the "trusted stream reference"
+    * endorsement (%5 — carries the cross-field `stream` term) or a
+    * no-query-term "misc link" (still counts toward the anchor field
+    * LENGTH, so dl' normalization is exercised by non-matching
+    * anchors too). q179's rollup shape: (target id, normalized text,
+    * mention count). */
+  private[graft] def plantedAnchorField(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    df.select(col("doc_id"), explode(array(
+        struct(concat(lit("review of "), col("lang"),
+          lit(" corpus")).as("a"), (lit(1L) + d % 3).as("n")),
+        struct(when(d % 5 === 0, lit("trusted stream reference"))
+          .otherwise(lit("misc link")).as("a"), lit(1L).as("n"))))
+        .as("r"))
+      .select(col("doc_id"), col("r.a").as("anchor_norm"),
+        col("r.n").as("n_anchors"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    // the q123 integer arithmetic with the fielded tf'/dl' built first:
+    // weighted full-outer merge of body and anchor term frequencies,
+    // weighted combined length, merged-field document frequency
+    "q185_anchor_boosted_bm25" ->
+      """WITH btk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf_b
+        |  FROM btk WHERE term IN ('table','stream','review','trusted','corpus')
+        |  GROUP BY 1, 2),
+        |anc AS (SELECT doc_id, u.a AS anchor_norm, CAST(u.n AS BIGINT) AS n
+        |  FROM (SELECT doc_id, unnest([
+        |    {'a': 'review of ' || lang || ' corpus', 'n': 1 + doc_id % 3},
+        |    {'a': CASE WHEN doc_id % 5 = 0 THEN 'trusted stream reference'
+        |          ELSE 'misc link' END, 'n': 1}]) AS u
+        |  FROM documents) t),
+        |atk AS (SELECT doc_id, n,
+        |    unnest(string_split_regex(trim(lower(anchor_norm)), '\s+')) AS term
+        |  FROM anc),
+        |atf AS (SELECT doc_id, term, CAST(sum(n) AS BIGINT) AS tf_a
+        |  FROM atk WHERE term IN ('table','stream','review','trusted','corpus')
+        |  GROUP BY 1, 2),
+        |tfm AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |    coalesce(b.term, a.term) AS term,
+        |    1 * coalesce(b.tf_b, 0) + 2 * coalesce(a.tf_a, 0) AS tf
+        |  FROM btf b FULL OUTER JOIN atf a
+        |    ON b.doc_id = a.doc_id AND b.term = a.term),
+        |bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl_b
+        |  FROM btk GROUP BY doc_id),
+        |adl AS (SELECT doc_id, CAST(sum(n *
+        |    len(string_split_regex(trim(lower(anchor_norm)), '\s+')))
+        |    AS BIGINT) AS dl_a FROM anc GROUP BY doc_id),
+        |dl AS (SELECT b.doc_id, b.dl_b + 2 * coalesce(a.dl_a, 0) AS dl
+        |  FROM bdl b LEFT JOIN adl a ON a.doc_id = b.doc_id),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(round(ln((c.n - CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5)
+        |        / (CAST(count(DISTINCT doc_id) AS BIGINT) + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_micro
+        |  FROM tfm CROSS JOIN corpus c GROUP BY term, c.n),
+        |contrib AS (
+        |  SELECT tfm.doc_id,
+        |    (idf.idf_micro * ((1000000 * (2200000 * tfm.tf))
+        |       // (1000000 * tfm.tf + 300000
+        |           + (9 * ((1000000 * dl.dl * c.n) // c.t)) // 10)))
+        |      // 1000000 AS c_micro
+        |  FROM tfm JOIN idf USING (term) JOIN dl USING (doc_id)
+        |    CROSS JOIN corpus c),
+        |scored AS (
+        |  SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS bm25_micro
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS "rank",
+        |  bm25_micro, bm25_micro / 1000000.0 AS bm25
+        |FROM scored
+        |QUALIFY row_number() OVER (ORDER BY bm25_micro DESC, doc_id) <= 20
+        |ORDER BY "rank"""".stripMargin,
 
     // integer micro-cosines before max/sum make every aggregate exact;
     // doc = vec_id // 8 mirrors the Spark div

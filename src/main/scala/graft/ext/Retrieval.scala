@@ -47,12 +47,21 @@ object Retrieval {
       explode(TextOps.tokens(lower(col(textCol)))).as("term"))
     val dl = df.select(col(idCol),
       size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"))
-    // corpus scalars: one partial-combinable aggregate, 1 row
-    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
     // only query-term instances survive into the shuffle
     val tf = toks.filter(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+    bm25FromTf(tf, dl, idCol)
+  }
+
+  /** The shared micro-integer BM25 tail over a prepared (id, term,
+    * tf) relation and an (id, dl) length relation — [[bm25Score]]'s
+    * single-field form and [[bm25FieldedScore]]'s weighted-field form
+    * differ only in how they build these two inputs. */
+  private def bm25FromTf(tf: DataFrame, dl: DataFrame, idCol: String)
+      : DataFrame = {
+    // corpus scalars: one partial-combinable aggregate, 1 row
+    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
     // per-term document frequency + micro-IDF: |queryTerms| rows, the
     // single ln site, rounded to micro before touching the corpus
     val idf = tf.groupBy(col("term"))
@@ -76,6 +85,62 @@ object Retrieval {
     contribs.groupBy(col(idCol))
       .agg(sum(col("__contrib")).as("bm25_micro"))
       .withColumn("bm25", col("bm25_micro") / 1e6)
+  }
+
+  /** Fielded BM25 (BM25F-lite — Robertson/Zaragoza/Taylor 2004's
+    * weighted-field simplification, the Lucene per-field-boost
+    * shape): a document's searchable text is its BODY plus the
+    * INBOUND ANCHOR TEXT the web wrote about it
+    * ([[graft.ext.UrlOps.extractAnchorTexts]]' q179 rollup — anchor
+    * text has ranked targets since the original PageRank paper).
+    * Integer field weights fold into term frequency AND length
+    * normalization before the shared BM25 tail:
+    * `tf' = wB·tf_body + wA·Σ(n·tf_anchor)`,
+    * `dl' = wB·dl_body + wA·Σ(n·len_anchor)`; IDF is the document
+    * frequency of the MERGED field (a doc "contains" a term if either
+    * field does). All longs — exact in any partial-agg order.
+    *
+    * `anchors`: an (idCol, anchorTextCol, weightCol) relation — one
+    * row per (target, normalized text) with its mention count,
+    * exactly q179's output shape keyed to the corpus.
+    *
+    * Scale: both token streams filter to query terms BEFORE their tf
+    * aggregates; the field merge is a full-outer on (id, term) over
+    * query-term rows only; dl' is one map-side-combining aggregate
+    * per field; the anchor relation is corpus-shaped but thin. */
+  def bm25FieldedScore(df: DataFrame, idCol: String, textCol: String,
+      anchors: DataFrame, anchorTextCol: String, weightCol: String,
+      queryTerms: Seq[String], wBody: Long = 1L, wAnchor: Long = 2L)
+      : DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val bToks = df.select(col(idCol),
+      explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+    val bTf = bToks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf_b"))
+    val aToks = anchors.select(col(idCol),
+      col(weightCol).cast("long").as("__w"),
+      explode(TextOps.tokens(lower(col(anchorTextCol)))).as("term"))
+    val aTf = aToks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(sum(col("__w")).as("tf_a"))
+    val tf = bTf.join(aTf, Seq(idCol, "term"), "full_outer")
+      .select(col(idCol), col("term"),
+        (lit(wBody) * coalesce(col("tf_b"), lit(0L)) +
+          lit(wAnchor) * coalesce(col("tf_a"), lit(0L))).as("tf"))
+    val bDl = df.select(col(idCol),
+      (size(TextOps.tokens(lower(col(textCol)))).cast("long") *
+        wBody).as("dl_b"))
+    val aDl = anchors.select(col(idCol),
+        (col(weightCol).cast("long") *
+          size(TextOps.tokens(lower(col(anchorTextCol)))).cast("long"))
+          .as("__adl"))
+      .groupBy(col(idCol)).agg(sum(col("__adl")).as("dl_a"))
+    val dl = bDl.join(aDl, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        (col("dl_b") + lit(wAnchor) * coalesce(col("dl_a"), lit(0L)))
+          .as("dl"))
+    bm25FromTf(tf, dl, idCol)
   }
 
   /** Top-k BM25 retrieval: score, then sort+limit (distributed

@@ -61,6 +61,39 @@ class RetrievalSpec extends SparkSpec {
       s"rare-term doc should outscore common-term doc: $out")
   }
 
+  test("bm25FieldedScore with an EMPTY anchor field ≡ bm25Score — the " +
+    "degenerate-field property") {
+    val noAnchors = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "anchor_norm", "n_anchors")
+    val plain = Retrieval.bm25Score(docs, "doc_id", "text", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fielded = Retrieval.bm25FieldedScore(docs, "doc_id", "text",
+        noAnchors, "anchor_norm", "n_anchors", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fielded == plain)
+  }
+
+  test("bm25FieldedScore: anchor evidence scores a doc whose BODY " +
+    "lacks the term, mention counts weight tf, anchor length feeds " +
+    "the normalization, weights fold exactly") {
+    // doc 3 ('bird') has NO 'cat' in body but 2 mentions of a
+    // 'cat'-bearing anchor; doc 1 gains anchor length only.
+    val anchors = Seq(
+      (3L, "best cat pictures", 2L),
+      (1L, "misc link", 1L)
+    ).toDF("doc_id", "anchor_norm", "n_anchors")
+    val out = Retrieval.bm25FieldedScore(docs, "doc_id", "text",
+        anchors, "anchor_norm", "n_anchors", Seq("cat"),
+        wBody = 1L, wAnchor = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dl': doc0=3, doc1=2+2·2=6, doc2=4, doc3=1+2·(2·3)=13 → t=26, n=4
+    // tf': doc0=2, doc1=1, doc3=2·(2·1)=4; df(cat)=3
+    assert(out == Map(
+      0L -> bm25MicroRef(tf = 2, dl = 3, df = 3, n = 4, t = 26),
+      1L -> bm25MicroRef(tf = 1, dl = 6, df = 3, n = 4, t = 26),
+      3L -> bm25MicroRef(tf = 4, dl = 13, df = 3, n = 4, t = 26)))
+  }
+
   test("bm25TopK ranks by (micro desc, id asc) and truncates to k") {
     val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 1)
       .collect()
