@@ -1150,6 +1150,47 @@ private[graft] object TextQueries {
         alt("fr"), alt("zh"), lit("</head><body>v</body></html>")))
   }
 
+  /** q186's planted identity clusters: every 4 consecutive doc_ids
+    * form one RESOURCE headed by `t = doc_id - doc_id%4`, all on the
+    * head's host — the head itself (a clean 200), a 301 REDIRECT
+    * variant at `/moved/{d}` whose Location names the head, a
+    * DECLARED-canonical variant at `/alt/{d}` whose html names the
+    * head (except every OTHER such doc — d%8=6 — which declares a
+    * CROSS-HOST canonical that must be ignored, the hijack trap), and
+    * a SYNTACTIC variant (the head URL plus tracking params) whose
+    * 200 body carries no signals. */
+  private[graft] def withPlantedIdentityHttp(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val t = d - (d % 4)
+    val host = concat(lit("src"), (t % 20).cast("string"),
+      lit(".example.com"))
+    val head = concat(lit("https://"), host, lit("/p/"),
+      t.cast("string"))
+    val c = d % 4
+    val url = when(c === 0, head)
+      .when(c === 1, concat(lit("https://"), host, lit("/moved/"),
+        d.cast("string")))
+      .when(c === 2, concat(lit("https://"), host, lit("/alt/"),
+        d.cast("string")))
+      .otherwise(concat(head, lit("?utm_source=feed&ref="),
+        d.cast("string")))
+    val declTarget = when(d % 8 === 6,
+      lit("https://evil.example.net/steal")).otherwise(head)
+    val payload = when(c === 1, concat(
+        lit("HTTP/1.1 301 Moved Permanently\r\nLocation: "), head,
+        lit("\r\nContent-Type: text/html\r\n\r\n<html>moved</html>")))
+      .when(c === 2, concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          "<html><head><link rel=\"canonical\" href=\""), declTarget,
+        lit("\"></head><body>alt "), d.cast("string"),
+        lit("</body></html>")))
+      .otherwise(concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          "<html><body>content "), t.cast("string"),
+        lit("</body></html>")))
+    df.select(col("doc_id"), url.as("url"), payload.as("payload"))
+  }
+
   /** q182's planted responses: per doc_id%4 a language-declaration
     * class — an in-document `<html lang>` matching the label (no
     * transport header), an UPPERCASED region-subtag form (`EN-XX`)
@@ -1587,6 +1628,46 @@ private[graft] object TextQueries {
         .select(col("src"), col("src_lang"), col("dst"),
           col("dst_lang"))
         .orderBy("src", "dst")
+    }),
+
+    // ---- THE URL IDENTITY LAYER (oracle-checked): what dedup should
+    // actually key on — ONE identity per resource, reconciling every
+    // aliasing mechanism the engine extracts: 3xx redirect finals
+    // (q167's resolution), in-host declared canonicals (q170's pull;
+    // cross-host declarations ignored — the hijack vector), and
+    // syntactic canonicalization (q150's tracking/port/www strip).
+    // Precedence: the origin's protocol-level answer (redirect) beats
+    // its in-document hint (canonical) beats spelling. At 100 TB this
+    // is the layer content dedup keys on — without it each alias
+    // class leaks duplicate fetches into the corpus. One left join of
+    // the thin redirect relation + the canonical-pull projection +
+    // one map-side-combining aggregate on the identity key.
+    "q186_url_identity" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        withPlantedIdentityHttp(t(s, dir, "documents")), "url")
+      val gated = graft.io.WarcIngest.withHttpResponse(canon, "payload")
+      val redir = graft.ext.UrlOps.resolveRedirects(gated, "url_canon",
+          "http_status", "http_location", maxHops = 3)
+        .filter(col("status") === "resolved")
+        .select(col("start_url").as("url_canon"), col("final_url"))
+      val withDecl = graft.ext.UrlOps.withDeclaredCanonical(
+        gated, "http_body", "url_canon", "url")
+      val declOk = col("decl_canon").isNotNull &&
+        col("decl_host") === col("url_host")
+      withDecl.join(redir, Seq("url_canon"), "left")
+        .withColumn("identity", coalesce(col("final_url"),
+          when(declOk, col("decl_canon")), col("url_canon")))
+        .groupBy(col("identity"))
+        .agg(count(lit(1)).as("n_variants"),
+          min(col("doc_id")).as("keeper_doc"),
+          sum(when(col("final_url").isNotNull, 1L).otherwise(0L))
+            .as("n_redirected"),
+          sum(when(col("final_url").isNull && declOk, 1L)
+            .otherwise(0L)).as("n_declared"),
+          sum(when(col("url_had_tracking"), 1L).otherwise(0L))
+            .as("n_syntactic"))
+        .orderBy("identity")
     }),
 
     // ---- THE unified frontier (oracle-checked): every discovery
@@ -3966,6 +4047,46 @@ private[graft] object TextQueries {
       "WHERE r.src < r.dst ORDER BY src, dst"
   }
 
+  /** q186: the identity plant replayed — fetched URLs through the
+    * canonicalization chain (the c3 tracking strip is real chain
+    * work), then identity by class: the redirect Location and the
+    * in-host declaration both name the HEAD (absolute canonical-by-
+    * construction spellings — resolve/pull are identity on this
+    * plant; the parses themselves are pinned by q163/q167/q170), the
+    * cross-host declaration trap falls back to the own canon. */
+  private def urlIdentityOracleSql: String =
+    "WITH ipl AS (SELECT doc_id, doc_id % 4 AS c, " +
+      "doc_id - (doc_id % 4) AS t FROM documents),\n" +
+      "ip2 AS (SELECT doc_id, c, t, 'src' || CAST(t % 20 AS VARCHAR) " +
+      "|| '.example.com' AS h FROM ipl),\n" +
+      "ip3 AS (SELECT *, 'https://' || h || '/p/' || " +
+      "CAST(t AS VARCHAR) AS head FROM ip2),\n" +
+      "ip4 AS (SELECT doc_id, c, head, CASE " +
+      "WHEN c = 0 THEN head " +
+      "WHEN c = 1 THEN 'https://' || h || '/moved/' || " +
+      "CAST(doc_id AS VARCHAR) " +
+      "WHEN c = 2 THEN 'https://' || h || '/alt/' || " +
+      "CAST(doc_id AS VARCHAR) " +
+      "ELSE head || '?utm_source=feed&ref=' || " +
+      "CAST(doc_id AS VARCHAR) END AS url FROM ip3),\n" +
+      urlCanonChain("ip4", "iz", "icn", Seq("doc_id", "c", "head")) +
+      ",\n" +
+      "idn AS (SELECT doc_id, url_canon, url_had_tracking, " +
+      "(c = 1) AS is_redir, " +
+      "(c = 2 AND doc_id % 8 <> 6) AS is_decl, " +
+      "CASE WHEN c = 1 THEN head " +
+      "WHEN c = 2 AND doc_id % 8 <> 6 THEN head " +
+      "ELSE url_canon END AS identity FROM icn)\n" +
+      "SELECT identity, CAST(count(*) AS BIGINT) AS n_variants, " +
+      "min(doc_id) AS keeper_doc, " +
+      "CAST(sum(CASE WHEN is_redir THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_redirected, " +
+      "CAST(sum(CASE WHEN is_decl THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_declared, " +
+      "CAST(sum(CASE WHEN url_had_tracking THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_syntactic " +
+      "FROM idn GROUP BY identity ORDER BY identity"
+
   /** q173: ALL FOUR families' shared generators assembled — the link
     * CTEs, the sitemap `<url>` tier, the child-sitemap loop, and the
     * redirect resolution — unioned with per-source found_by markers,
@@ -4677,6 +4798,8 @@ private[graft] object TextQueries {
     "q183_hreflang_alternates" -> hreflangOracleSql,
 
     "q184_translation_pairs" -> translationPairsOracleSql,
+
+    "q186_url_identity" -> urlIdentityOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 
