@@ -526,6 +526,27 @@ private[graft] object TextQueries {
       lit("</body></html>")))
   }
 
+  /** q155's integer-micro host PageRank over the real cross-host edge
+    * list, unordered — shared by q155 and q187's authority-weighted
+    * fetch order. The tiny edge/node legs are localCheckpointed (the
+    * iteration re-reads them 10×). */
+  private def hostPagerank(s: SparkSession, dir: String): DataFrame = {
+    val canon = graft.ext.UrlOps.withCanonicalUrl(
+      withPlantedUrl(t(s, dir, "documents")), "url")
+    val links = graft.ext.UrlOps.extractOutlinks(
+        withPlantedPage(canon), "doc_id", "html", "url_canon", "url")
+      .withColumn("src_host", graft.ext.UrlOps.urlHost(col("base_canon")))
+    val edges = graft.ext.UrlOps.hostLinkGraph(links, "src_host")
+      .filter(!col("is_internal"))
+      .select(col("src_host").as("src"), col("dst_host").as("dst"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host")))
+      .distinct().localCheckpoint()
+    graft.ext.Graph.pageRankMicro(nodes, edges, "host", "src", "dst",
+      nNodes = nodes.count(), iters = 10)
+  }
+
   /** q154's frontier, unordered — discovered outlinks minus fetched
     * seeds, robots-verdicted, budgeted to the 3 shallowest per host
     * via graft_top_k. Shared by q154 and q160's politeness schedule.
@@ -1630,6 +1651,30 @@ private[graft] object TextQueries {
         .orderBy("src", "dst")
     }),
 
+    // ---- authority-weighted fetch order (oracle-checked): q155's
+    // PageRank CONSUMED by the scheduler — a budget-constrained
+    // crawler spends its next fetches on the highest-authority hosts
+    // first. The per-host frontier budgets (q154) join the host
+    // PageRank (hosts outside the link graph rank at 0), and the
+    // GLOBAL order is (pr_micro desc, host, per-host rank) truncated
+    // to the crawl budget via distributed TakeOrderedAndProject —
+    // the rank window touches only the k survivors (the q123
+    // discipline, no global window over the frontier).
+    "q187_authority_fetch_order" -> ((s, dir) => {
+      val pr = hostPagerank(s, dir)
+        .select(col("host").as("link_host"), col("pr_micro"))
+      crawlFrontier(s, dir)
+        .join(pr, Seq("link_host"), "left")
+        .withColumn("pr_micro", coalesce(col("pr_micro"), lit(0L)))
+        .orderBy(col("pr_micro").desc, col("link_host"), col("rank"))
+        .limit(20)
+        .withColumn("global_rank", row_number().over(Window.orderBy(
+          col("pr_micro").desc, col("link_host"), col("rank"))))
+        .select(col("global_rank"), col("link_host"), col("pr_micro"),
+          col("rank"), col("url_canon"))
+        .orderBy("global_rank")
+    }),
+
     // ---- THE URL IDENTITY LAYER (oracle-checked): what dedup should
     // actually key on — ONE identity per resource, reconciling every
     // aliasing mechanism the engine extracts: 3xx redirect finals
@@ -2094,23 +2139,8 @@ private[graft] object TextQueries {
     // consumed by 10 iterations, so it's localCheckpointed — the
     // harvest runs once, not per iteration. Bounded driver count()
     // fixes N for the micro constants (the q134 discipline).
-    "q155_host_pagerank" -> ((s, dir) => {
-      val canon = graft.ext.UrlOps.withCanonicalUrl(
-        withPlantedUrl(t(s, dir, "documents")), "url")
-      val links = graft.ext.UrlOps.extractOutlinks(
-          withPlantedPage(canon), "doc_id", "html", "url_canon", "url")
-        .withColumn("src_host", graft.ext.UrlOps.urlHost(col("base_canon")))
-      val edges = graft.ext.UrlOps.hostLinkGraph(links, "src_host")
-        .filter(!col("is_internal"))
-        .select(col("src_host").as("src"), col("dst_host").as("dst"))
-        .localCheckpoint()
-      val nodes = edges.select(col("src").as("host"))
-        .union(edges.select(col("dst").as("host")))
-        .distinct().localCheckpoint()
-      graft.ext.Graph.pageRankMicro(nodes, edges, "host", "src", "dst",
-          nNodes = nodes.count(), iters = 10)
-        .orderBy("host")
-    }),
+    "q155_host_pagerank" -> ((s, dir) => hostPagerank(s, dir)
+      .orderBy("host")),
 
     // ---- the COMPLETE crawl→curate funnel in ONE plan
     // (oracle-checked): raw HTML pages → main-content extraction
@@ -3192,11 +3222,12 @@ private[graft] object TextQueries {
   /** q155: the q134 micro-unit PageRank recurrence unrolled over the
     * REAL cross-host edge list from [[linkCtes]] (floor division
     * loses mass identically in both engines; string node keys). */
-  private def hostPagerankOracleSql: String = {
+  /** q155's unrolled PageRank recurrence as CTEs (expects `lc` from
+    * [[linkCtes]] upstream), ending in `pr10(v, pr_micro)`. Shared by
+    * the q155 and q187 oracles. */
+  private def hostPagerankIterCtes: String = {
     val pre =
-      "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
-        linkCtes + ",\n" +
-        "eg AS (SELECT DISTINCT src_host AS u, url_host AS v FROM lc " +
+      "eg AS (SELECT DISTINCT src_host AS u, url_host AS v FROM lc " +
         "WHERE src_host <> url_host),\n" +
         "nodes AS (SELECT DISTINCT h AS v FROM " +
         "(SELECT u AS h FROM eg UNION SELECT v FROM eg) t),\n" +
@@ -3214,10 +3245,30 @@ private[graft] object TextQueries {
         s"FROM eg e JOIN pr${k - 1} p ON p.v = e.u " +
         "JOIN outd o ON o.u = e.u GROUP BY e.v) su ON su.v = no.v)"
     }
-    (pre +: iters).mkString(",\n") +
+    (pre +: iters).mkString(",\n")
+  }
+
+  private def hostPagerankOracleSql: String =
+    "WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+      linkCtes + ",\n" + hostPagerankIterCtes +
       "\nSELECT v AS host, pr_micro, pr_micro / 1000000.0 AS pr " +
       "FROM pr10 ORDER BY host"
-  }
+
+  /** q187: the q154 frontier CTEs + the PageRank recurrence composed —
+    * hosts outside the link graph coalesce to 0, global order
+    * (pr desc, host, per-host rank), budget 20. */
+  private def authorityFetchOrderOracleSql: String =
+    "WITH " + frontierCtes + ",\n" + hostPagerankIterCtes + ",\n" +
+      "afj AS (SELECT f.link_host, CAST(f.rnk AS BIGINT) AS rank, " +
+      "f.link_canon AS url_canon, " +
+      "coalesce(p.pr_micro, 0) AS pr_micro " +
+      "FROM rk f LEFT JOIN pr10 p ON p.v = f.link_host " +
+      "WHERE f.rnk <= 3)\n" +
+      "SELECT CAST(row_number() OVER (ORDER BY pr_micro DESC, " +
+      "link_host, rank) AS BIGINT) AS global_rank, link_host, " +
+      "pr_micro, rank, url_canon FROM afj " +
+      "QUALIFY row_number() OVER (ORDER BY pr_micro DESC, link_host, " +
+      "rank) <= 20 ORDER BY global_rank"
 
   /** q156: the robots.txt parse replayed relationally — the fold's
     * sequential group state becomes gaps-and-islands windows: a UA
@@ -4800,6 +4851,8 @@ private[graft] object TextQueries {
     "q184_translation_pairs" -> translationPairsOracleSql,
 
     "q186_url_identity" -> urlIdentityOracleSql,
+
+    "q187_authority_fetch_order" -> authorityFetchOrderOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 
