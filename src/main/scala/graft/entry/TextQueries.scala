@@ -1675,6 +1675,32 @@ private[graft] object TextQueries {
         .orderBy("global_rank")
     }),
 
+    // ---- robots-cache TTL gate (oracle-checked): RFC 9309 §2.4 —
+    // cached robots.txt MAY be used up to 24 hours; a scheduler about
+    // to spend budget on a host whose cached robots is OLDER must
+    // refetch robots FIRST (fetching on expired permissions is the
+    // compliance bug; refetching robots for hosts with no scheduled
+    // work is waste). Per budgeted host: the cache age (planted
+    // deterministically per host digit), the stale flag, the
+    // scheduled-fetch count, and the action. One aggregate over the
+    // q154 budget + one projection — the age table is host-sized.
+    "q188_robots_ttl_gate" -> ((s, dir) => {
+      val fr = crawlFrontier(s, dir)
+      val digit = regexp_extract(col("link_host"),
+        "([0-9])\\.example\\.", 1)
+      fr.groupBy(col("link_host"))
+        .agg(count(lit(1)).as("n_budgeted"))
+        .withColumn("robots_age_hours",
+          (lit(5L) + coalesce(nullif(digit, lit("")), lit("0"))
+            .cast("long") * 5L))
+        .withColumn("robots_stale", col("robots_age_hours") > 24L)
+        .withColumn("action", when(col("robots_stale"),
+          lit("refetch_robots_first")).otherwise(lit("proceed")))
+        .select(col("link_host"), col("n_budgeted"),
+          col("robots_age_hours"), col("robots_stale"), col("action"))
+        .orderBy("link_host")
+    }),
+
     // ---- THE URL IDENTITY LAYER (oracle-checked): what dedup should
     // actually key on — ONE identity per resource, reconciling every
     // aliasing mechanism the engine extracts: 3xx redirect finals
@@ -4853,6 +4879,18 @@ private[graft] object TextQueries {
     "q186_url_identity" -> urlIdentityOracleSql,
 
     "q187_authority_fetch_order" -> authorityFetchOrderOracleSql,
+
+    "q188_robots_ttl_gate" ->
+      ("WITH " + frontierCtes + ",\n" +
+        "rtg AS (SELECT link_host, CAST(count(*) AS BIGINT) " +
+        "AS n_budgeted FROM rk WHERE rnk <= 3 GROUP BY link_host),\n" +
+        "rta AS (SELECT *, 5 + CAST(coalesce(nullif(" +
+        "regexp_extract(link_host, '([0-9])\\.example\\.', 1), ''), " +
+        "'0') AS BIGINT) * 5 AS robots_age_hours FROM rtg)\n" +
+        "SELECT link_host, n_budgeted, robots_age_hours, " +
+        "robots_age_hours > 24 AS robots_stale, " +
+        "CASE WHEN robots_age_hours > 24 THEN 'refetch_robots_first' " +
+        "ELSE 'proceed' END AS action FROM rta ORDER BY link_host"),
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 
