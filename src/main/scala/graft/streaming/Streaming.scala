@@ -1045,6 +1045,107 @@ object ThrottleStream {
     }
 }
 
+/** One identity observation for a fetched URL: a per-URL monotone
+  * arrival sequence and the PRE-PARSED alias signals riding the row
+  * (the [[ThrottleEvent]] no-side-lookup discipline) — the resolved
+  * redirect final (`""` when the response was not a resolved 3xx) and
+  * the declared canonical with its in-host flag (`""`/false when
+  * absent; cross-host declarations arrive flagged false and must
+  * never win). */
+final case class IdentityEvent(url_canon: String, seq: Long,
+                               final_url: String, decl_canon: String,
+                               decl_in_host: Boolean)
+
+/** An identity CHANGE: the URL's new identity and the precedence tier
+  * that set it (0 = redirect final, 1 = in-host declared canonical,
+  * 2 = the URL's own canonical self). */
+final case class IdentityChange(url_canon: String, seq: Long,
+                                identity: String, tier: Int)
+
+/** Per-URL identity state: current identity + its tier. */
+final case class UrlIdentityState(identity: String, tier: Int)
+
+/** CROSS-BATCH identity tracking — the streaming twin of q186's URL
+  * identity layer: a live crawl discovers a URL's aliases over TIME
+  * (first a plain 200, later a canonical declaration, later still the
+  * origin turns the URL into a redirect), and the identity must
+  * follow q186's precedence WITHOUT replaying history: protocol-level
+  * evidence (redirect, tier 0) beats the in-document hint (in-host
+  * declared canonical, tier 1) beats spelling (tier 2). Stronger or
+  * EQUAL tiers update (the origin re-pointing its redirect is real —
+  * latest equal-tier observation wins); weaker evidence NEVER
+  * downgrades; cross-host declarations never win. Emits only CHANGES
+  * (the CDC discipline — downstream dedup re-keys exactly the URLs
+  * whose identity moved).
+  *
+  * The fold is shared verbatim by the streaming operator and the
+  * batch reference ([[PolitenessStream]]/[[ThrottleStream]]
+  * discipline); any batch split of the same seq-ordered observations
+  * yields the same change log (spec-pinned).
+  *
+  * Scale shape: state is O(|URLs|) short strings keyed by the uniform
+  * canonical key; each micro-batch shuffles only its own rows. For
+  * unbounded URL churn add an event-time timeout (the [[Sessionize]]
+  * pattern). */
+object IdentityStream {
+
+  /** Fold one URL's seq-sorted observations; emit a change row
+    * whenever identity or tier moves. Shared by the streaming
+    * operator and the batch reference. */
+  def foldUrl(url: String,
+              bySeq: Seq[(Long, String, String, Boolean)],
+              st0: Option[UrlIdentityState])
+      : (List[IdentityChange], UrlIdentityState) = {
+    var st = st0.getOrElse(UrlIdentityState(url, 2))
+    var out = List.empty[IdentityChange]
+    // a fresh key's first observation always announces (fresh state
+    // is the weakest tier, so it is an upgrade-or-equal by
+    // construction); a restored key never re-announces
+    var first = st0.isEmpty
+    bySeq.foreach { case (seq, finalUrl, declCanon, declInHost) =>
+      val (cand, tier) =
+        if (finalUrl.nonEmpty) (finalUrl, 0)
+        else if (declCanon.nonEmpty && declInHost) (declCanon, 1)
+        else (url, 2)
+      if (tier < st.tier ||
+          (tier == st.tier && (first || cand != st.identity))) {
+        st = UrlIdentityState(cand, tier)
+        out ::= IdentityChange(url, seq, cand, tier)
+      }
+      first = false
+    }
+    (out.reverse, st)
+  }
+
+  /** The streaming operator: per-URL identity state across
+    * micro-batches, emitting only changes. */
+  def changes(evs: Dataset[IdentityEvent]): Dataset[IdentityChange] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.url_canon)
+      .flatMapGroupsWithState[UrlIdentityState, IdentityChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (url, rows, state: GroupState[UrlIdentityState]) =>
+          val bySeq = rows
+            .map(e => (e.seq, e.final_url, e.decl_canon, e.decl_in_host))
+            .toSeq.sortBy(_._1)
+          val (out, st) = foldUrl(url, bySeq, state.getOption)
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch reference semantics: the identical fold over an
+    * observation sequence (specs pin streaming ≡ batch under any
+    * batch split). */
+  def changesBatch(evs: Seq[IdentityEvent]): Seq[IdentityChange] =
+    evs.groupBy(_.url_canon).toSeq.sortBy(_._1).flatMap { case (u, es) =>
+      foldUrl(u,
+        es.map(e => (e.seq, e.final_url, e.decl_canon, e.decl_in_host))
+          .sortBy(_._1),
+        None)._1
+    }
+}
+
 /** One event on a funnel stream. */
 final case class FunnelEvent(user_id: Long, ts_micros: Long,
                              event_type: String)

@@ -483,6 +483,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("identity changes: q186 precedence across micro-batches — " +
+    "redirect beats declaration beats self, weaker evidence never " +
+    "downgrades, equal-tier retargets emit, repeats and cross-host " +
+    "declarations stay silent") {
+    import graft.streaming.{IdentityChange, IdentityEvent, IdentityStream}
+    implicit val sqlCtx = spark.sqlContext
+    val u = "https://h.com/a"
+    val evs = Seq(
+      IdentityEvent(u, 1L, "", "", false), // self announce (tier 2)
+      IdentityEvent(u, 2L, "", "https://h.com/canon", true), // decl (1)
+      IdentityEvent(u, 3L, "", "https://evil.net/x", false), // cross-host
+      IdentityEvent(u, 4L, "", "https://h.com/canon", true), // repeat
+      IdentityEvent(u, 5L, "https://h.com/final1", "", false), // 301 (0)
+      IdentityEvent(u, 6L, "", "https://h.com/canon2", true), // weaker
+      IdentityEvent(u, 7L, "https://h.com/final2", "", false), // retarget
+      IdentityEvent("https://h.com/b", 1L, "", "", false))
+    val expected = IdentityStream.changesBatch(evs)
+    assert(expected.filter(_.url_canon == u)
+      .map(c => (c.seq, c.identity, c.tier)) === Seq(
+      (1L, u, 2),
+      (2L, "https://h.com/canon", 1),
+      (5L, "https://h.com/final1", 0),
+      (7L, "https://h.com/final2", 0)))
+    assert(expected.filter(_.url_canon == "https://h.com/b")
+      .map(c => (c.identity, c.tier)) === Seq(("https://h.com/b", 2)))
+    val in = MemoryStream[IdentityEvent]
+    val q = IdentityStream.changes(in.toDS())
+      .writeStream.format("memory").queryName("identity_changes")
+      .outputMode("append").start()
+    try {
+      // split mid-key: the tier-1 state armed in batch 1 must silence
+      // batch 2's weaker declaration and yield to its redirect
+      in.addData(evs.take(4) :+ evs(7): _*); q.processAllAvailable()
+      in.addData(evs.slice(4, 7): _*); q.processAllAvailable()
+      val streamed = spark.table("identity_changes")
+        .as[IdentityChange].collect().toSet
+      assert(streamed === expected.toSet)
+    } finally q.stop()
+  }
+
   test("anomaly detector stays silent through the cold-start window") {
     val base = 1700000000000000L
     // wild swings but only 4 observations with minPrior = 5
