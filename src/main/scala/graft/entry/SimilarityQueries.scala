@@ -163,6 +163,36 @@ private[graft] object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- quantization recall report (oracle-checked): the in-engine
+    // EVALUATION a production ANN deployment runs after every
+    // quantizer build — recall@5 of the int8 scan-and-rerank path
+    // (q112) against the exact full-precision top-5 (q30), per query.
+    // Both legs carry deterministic (rounded-sim, id) tie-breaks, so
+    // the quality number itself is hash-checkable cross-engine: the
+    // report is the artifact an operator watches for regressions, not
+    // a spec assertion. One semi-join of two k-row-per-query lists +
+    // two map-side-combining counts.
+    "q189_quantization_recall" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", k = 5, dim = Some(64), useNative = true)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.int8TopK(emb, queries, "vec_id",
+          "embedding", k = 5, dim = 64, candK = 20, useNative = true)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall_micro",
+          expr("(1000000 * n_hits) div n_exact"))
+        .orderBy("query_id")
+    }),
+
     // ---- Matryoshka truncated-dim top-k (oracle-checked): prefix-16
     // cosine scan (4× less vector IO), full-64 exact rerank — like q112
     // deterministic end to end, so it hash-checks without an exemplar twin.
@@ -411,6 +441,63 @@ private[graft] object SimilarityQueries {
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // q30's exact leg + q112's int8 leg composed (CTEs renamed apart),
+    // intersected per query — recall itself in exact integer micro
+    "q189_quantization_recall" ->
+      """WITH xq AS (SELECT vec_id AS query_id, embedding AS qvec
+        |            FROM embeddings WHERE vec_id % 100 = 0),
+        |xsc AS (
+        |  SELECT xq.query_id, e.vec_id AS neighbor_id,
+        |    round(list_dot_product(xq.qvec::DOUBLE[], e.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(xq.qvec::DOUBLE[], xq.qvec::DOUBLE[])) *
+        |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS sim
+        |  FROM embeddings e CROSS JOIN xq WHERE e.vec_id <> xq.query_id),
+        |xtk AS (
+        |  SELECT query_id, neighbor_id FROM xsc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) <= 5),
+        |quant AS (
+        |  SELECT vec_id,
+        |    embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS qmax,
+        |    CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+        |      THEN list_transform(embedding::DOUBLE[], x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding::DOUBLE[], x -> CAST(round(
+        |        x * 127.0 / list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+        |      ) AS BIGINT)) END AS qvec
+        |  FROM embeddings),
+        |iq AS (SELECT * FROM quant WHERE vec_id % 100 = 0),
+        |icand AS (
+        |  SELECT iq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round((iq.qmax / 127.0) * (c.qmax / 127.0) *
+        |      list_dot_product(iq.qvec::DOUBLE[], c.qvec::DOUBLE[]) /
+        |      (iq.nrm * c.nrm), 6) AS approx_sim
+        |  FROM quant c CROSS JOIN iq WHERE c.vec_id <> iq.vec_id),
+        |ishort AS (
+        |  SELECT query_id, neighbor_id FROM icand
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY approx_sim DESC, neighbor_id) <= 20),
+        |iscored AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) AS sim
+        |  FROM ishort s
+        |  JOIN quant qe ON qe.vec_id = s.query_id
+        |  JOIN quant ce ON ce.vec_id = s.neighbor_id),
+        |itk AS (
+        |  SELECT query_id, neighbor_id FROM iscored
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) <= 5),
+        |hits AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM xtk x JOIN itk i ON i.query_id = x.query_id
+        |    AND i.neighbor_id = x.neighbor_id GROUP BY 1),
+        |base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM xtk GROUP BY 1)
+        |SELECT b.query_id, b.n_exact, coalesce(h.n_hits, 0) AS n_hits,
+        |  (1000000 * coalesce(h.n_hits, 0)) // b.n_exact AS recall_micro
+        |FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+        |ORDER BY b.query_id""".stripMargin,
 
     // int8 quantization in SQL: same expression SHAPES as the Spark side
     // (x * 127.0 / qmax left-associated; (qs/127)·(cs/127)·idot / (qn·cn))
