@@ -547,6 +547,28 @@ private[graft] object TextQueries {
       nNodes = nodes.count(), iters = 10)
   }
 
+  /** q186's identity resolution, one row per fetched variant with the
+    * `identity` key, the redirect/declaration evidence columns and a
+    * `decl_ok` flag — shared by q186's census and q190's divergence
+    * report. */
+  private def urlIdentityRows(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val canon = graft.ext.UrlOps.withCanonicalUrl(
+      withPlantedIdentityHttp(t(s, dir, "documents")), "url")
+    val gated = graft.io.WarcIngest.withHttpResponse(canon, "payload")
+    val redir = graft.ext.UrlOps.resolveRedirects(gated, "url_canon",
+        "http_status", "http_location", maxHops = 3)
+      .filter(col("status") === "resolved")
+      .select(col("start_url").as("url_canon"), col("final_url"))
+    val withDecl = graft.ext.UrlOps.withDeclaredCanonical(
+      gated, "http_body", "url_canon", "url")
+    withDecl.join(redir, Seq("url_canon"), "left")
+      .withColumn("decl_ok", col("decl_canon").isNotNull &&
+        col("decl_host") === col("url_host"))
+      .withColumn("identity", coalesce(col("final_url"),
+        when(col("decl_ok"), col("decl_canon")), col("url_canon")))
+  }
+
   /** q154's frontier, unordered — discovered outlinks minus fetched
     * seeds, robots-verdicted, budgeted to the 3 shallowest per host
     * via graft_top_k. Shared by q154 and q160's politeness schedule.
@@ -1713,33 +1735,38 @@ private[graft] object TextQueries {
     // class leaks duplicate fetches into the corpus. One left join of
     // the thin redirect relation + the canonical-pull projection +
     // one map-side-combining aggregate on the identity key.
-    "q186_url_identity" -> ((s, dir) => {
-      graft.plans.GraftFunctions.register(s)
-      val canon = graft.ext.UrlOps.withCanonicalUrl(
-        withPlantedIdentityHttp(t(s, dir, "documents")), "url")
-      val gated = graft.io.WarcIngest.withHttpResponse(canon, "payload")
-      val redir = graft.ext.UrlOps.resolveRedirects(gated, "url_canon",
-          "http_status", "http_location", maxHops = 3)
-        .filter(col("status") === "resolved")
-        .select(col("start_url").as("url_canon"), col("final_url"))
-      val withDecl = graft.ext.UrlOps.withDeclaredCanonical(
-        gated, "http_body", "url_canon", "url")
-      val declOk = col("decl_canon").isNotNull &&
-        col("decl_host") === col("url_host")
-      withDecl.join(redir, Seq("url_canon"), "left")
-        .withColumn("identity", coalesce(col("final_url"),
-          when(declOk, col("decl_canon")), col("url_canon")))
+    "q186_url_identity" -> ((s, dir) =>
+      urlIdentityRows(s, dir)
         .groupBy(col("identity"))
         .agg(count(lit(1)).as("n_variants"),
           min(col("doc_id")).as("keeper_doc"),
           sum(when(col("final_url").isNotNull, 1L).otherwise(0L))
             .as("n_redirected"),
-          sum(when(col("final_url").isNull && declOk, 1L)
+          sum(when(col("final_url").isNull && col("decl_ok"), 1L)
             .otherwise(0L)).as("n_declared"),
           sum(when(col("url_had_tracking"), 1L).otherwise(0L))
             .as("n_syntactic"))
-        .orderBy("identity")
-    }),
+        .orderBy("identity")),
+
+    // ---- identity-divergence census (oracle-checked): q186's key
+    // CONSUMED by content QA — aliases of one resource should serve
+    // ONE content; an identity whose 200-variants carry different
+    // body hashes signals canonical abuse, staleness between aliases,
+    // or a soft-404 (the parked-page regime). Per identity: variant
+    // count, distinct 200-body hashes (redirect members carry none),
+    // and the divergence flag. The plant's in-host declared variants
+    // serve different bodies than their heads (divergent clusters);
+    // trap singletons and redirect-only pairs stay clean. Same legs +
+    // one md5 projection + one map-side-combining aggregate.
+    "q190_identity_divergence" -> ((s, dir) =>
+      urlIdentityRows(s, dir)
+        .withColumn("body_md5", when(col("http_status") === 200L,
+          md5(col("http_body"))))
+        .groupBy(col("identity"))
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("body_md5")).as("n_content_hashes"))
+        .withColumn("divergent", col("n_content_hashes") > 1L)
+        .orderBy("identity")),
 
     // ---- THE unified frontier (oracle-checked): every discovery
     // source in ONE ranked queue — page outlinks, sitemap <url>
@@ -4131,8 +4158,12 @@ private[graft] object TextQueries {
     * construction spellings — resolve/pull are identity on this
     * plant; the parses themselves are pinned by q163/q167/q170), the
     * cross-host declaration trap falls back to the own canon. */
-  private def urlIdentityOracleSql: String =
-    "WITH ipl AS (SELECT doc_id, doc_id % 4 AS c, " +
+  /** q186's identity replay as CTEs ending in `idn(doc_id, url_canon,
+    * url_had_tracking, is_redir, is_decl, identity, body)` — `body`
+    * is the class's 200 payload body (NULL for the 301 class), so
+    * q190's divergence census rides the same chain. */
+  private def urlIdentityCtes: String =
+    "ipl AS (SELECT doc_id, doc_id % 4 AS c, " +
       "doc_id - (doc_id % 4) AS t FROM documents),\n" +
       "ip2 AS (SELECT doc_id, c, t, 'src' || CAST(t % 20 AS VARCHAR) " +
       "|| '.example.com' AS h FROM ipl),\n" +
@@ -4145,15 +4176,26 @@ private[graft] object TextQueries {
       "WHEN c = 2 THEN 'https://' || h || '/alt/' || " +
       "CAST(doc_id AS VARCHAR) " +
       "ELSE head || '?utm_source=feed&ref=' || " +
-      "CAST(doc_id AS VARCHAR) END AS url FROM ip3),\n" +
-      urlCanonChain("ip4", "iz", "icn", Seq("doc_id", "c", "head")) +
-      ",\n" +
-      "idn AS (SELECT doc_id, url_canon, url_had_tracking, " +
+      "CAST(doc_id AS VARCHAR) END AS url, CASE " +
+      "WHEN c = 1 THEN NULL " +
+      "WHEN c = 2 THEN '<html><head><link rel=\"canonical\" " +
+      "href=\"' || (CASE WHEN doc_id % 8 = 6 THEN " +
+      "'https://evil.example.net/steal' ELSE head END) || " +
+      "'\"></head><body>alt ' || CAST(doc_id AS VARCHAR) || " +
+      "'</body></html>' " +
+      "ELSE '<html><body>content ' || CAST(t AS VARCHAR) || " +
+      "'</body></html>' END AS body FROM ip3),\n" +
+      urlCanonChain("ip4", "iz", "icn",
+        Seq("doc_id", "c", "head", "body")) + ",\n" +
+      "idn AS (SELECT doc_id, url_canon, url_had_tracking, body, " +
       "(c = 1) AS is_redir, " +
       "(c = 2 AND doc_id % 8 <> 6) AS is_decl, " +
       "CASE WHEN c = 1 THEN head " +
       "WHEN c = 2 AND doc_id % 8 <> 6 THEN head " +
-      "ELSE url_canon END AS identity FROM icn)\n" +
+      "ELSE url_canon END AS identity FROM icn)"
+
+  private def urlIdentityOracleSql: String =
+    "WITH " + urlIdentityCtes + "\n" +
       "SELECT identity, CAST(count(*) AS BIGINT) AS n_variants, " +
       "min(doc_id) AS keeper_doc, " +
       "CAST(sum(CASE WHEN is_redir THEN 1 ELSE 0 END) AS BIGINT) " +
@@ -4162,6 +4204,16 @@ private[graft] object TextQueries {
       "AS n_declared, " +
       "CAST(sum(CASE WHEN url_had_tracking THEN 1 ELSE 0 END) " +
       "AS BIGINT) AS n_syntactic " +
+      "FROM idn GROUP BY identity ORDER BY identity"
+
+  /** q190: the shared identity CTEs + the body-hash census — md5 of
+    * the 200 bodies (the 301 class carries NULL and drops out of the
+    * distinct count), divergence when an identity serves >1 hash. */
+  private def identityDivergenceOracleSql: String =
+    "WITH " + urlIdentityCtes + "\n" +
+      "SELECT identity, CAST(count(*) AS BIGINT) AS n_variants, " +
+      "CAST(count(DISTINCT md5(body)) AS BIGINT) AS n_content_hashes, " +
+      "count(DISTINCT md5(body)) > 1 AS divergent " +
       "FROM idn GROUP BY identity ORDER BY identity"
 
   /** q173: ALL FOUR families' shared generators assembled — the link
@@ -4877,6 +4929,8 @@ private[graft] object TextQueries {
     "q184_translation_pairs" -> translationPairsOracleSql,
 
     "q186_url_identity" -> urlIdentityOracleSql,
+
+    "q190_identity_divergence" -> identityDivergenceOracleSql,
 
     "q187_authority_fetch_order" -> authorityFetchOrderOracleSql,
 
