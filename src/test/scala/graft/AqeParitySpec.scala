@@ -52,8 +52,9 @@ class AqeParitySpec extends SparkSpec {
     // q179's rollup counts distinct hosts per (target, text) key
     "q176_robots_sitemap_frontier", "q178_retry_after_backoff",
     "q179_anchor_text", "q180_exclusion_frontier",
-    // the reciprocity self-join + language attaches
-    "q184_translation_pairs")
+    // the reciprocity self-join + language attaches; the identity
+    // left-join + distinct-hash census
+    "q184_translation_pairs", "q190_identity_divergence")
 
   test("AQE on and off produce identical rows for partition-sensitive " +
     "queries") {
