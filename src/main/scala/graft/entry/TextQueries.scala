@@ -547,6 +547,23 @@ private[graft] object TextQueries {
       nNodes = nodes.count(), iters = 10)
   }
 
+  /** q182's per-document language reconciliation — labeled, detected,
+    * both declaration channels and the precedence pick — shared by
+    * q182's census and q191's curation gate. */
+  private def declaredLanguageRows(s: SparkSession, dir: String)
+      : DataFrame = {
+    val u = graft.ext.UrlOps
+    val gated = graft.io.WarcIngest.withHttpResponse(
+      withPlantedLangHttp(t(s, dir, "documents")), "payload")
+    val dHtml = u.langPrimarySubtag(regexp_extract(
+      col("http_body"), u.HtmlLangPattern, 1))
+    val dHttp = u.langPrimarySubtag(col("http_content_language"))
+    gated.select(col("doc_id"), col("lang").as("labeled_lang"),
+      graft.ext.TextOps.languageId(col("text")).as("predicted_lang"),
+      dHtml.as("declared_html"), dHttp.as("declared_http"),
+      when(dHtml =!= "", dHtml).otherwise(dHttp).as("declared_lang"))
+  }
+
   /** q186's identity resolution, one row per fetched variant with the
     * `identity` key, the redirect/declaration evidence columns and a
     * `decl_ok` flag — shared by q186's census and q190's divergence
@@ -1579,19 +1596,8 @@ private[graft] object TextQueries {
     // between channels and declared-vs-detected disagreements are
     // counted — the cells a curation pass would route to review. One
     // projection + one map-side-combining aggregate.
-    "q182_declared_language" -> ((s, dir) => {
-      val u = graft.ext.UrlOps
-      val gated = graft.io.WarcIngest.withHttpResponse(
-        withPlantedLangHttp(t(s, dir, "documents")), "payload")
-      val dHtml = u.langPrimarySubtag(regexp_extract(
-        col("http_body"), u.HtmlLangPattern, 1))
-      val dHttp = u.langPrimarySubtag(col("http_content_language"))
-      gated.select(col("doc_id"), col("lang").as("labeled_lang"),
-          graft.ext.TextOps.languageId(col("text"))
-            .as("predicted_lang"),
-          dHtml.as("declared_html"), dHttp.as("declared_http"),
-          when(dHtml =!= "", dHtml).otherwise(dHttp)
-            .as("declared_lang"))
+    "q182_declared_language" -> ((s, dir) =>
+      declaredLanguageRows(s, dir)
         .groupBy(col("labeled_lang"), col("declared_lang"),
           col("predicted_lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1602,8 +1608,27 @@ private[graft] object TextQueries {
         .withColumn("declared_mismatch",
           col("declared_lang") =!= "" &&
             col("declared_lang") =!= col("predicted_lang"))
-        .orderBy("labeled_lang", "declared_lang", "predicted_lang")
-    }),
+        .orderBy("labeled_lang", "declared_lang", "predicted_lang")),
+
+    // ---- language-consistency curation gate (oracle-checked):
+    // q182's verdicts CONSUMED as a keep/drop rule — a curation pass
+    // keeps a document when nothing was declared (no channel to
+    // disagree with) or the declaration matches the detector;
+    // declared-vs-detected conflicts are exactly the mislabeled/
+    // mojibake/template-misconfigured pages a multilingual corpus
+    // must route out. Per labeled language: in/kept/dropped counts
+    // and the integer-micro kept ratio.
+    "q191_language_gate" -> ((s, dir) =>
+      declaredLanguageRows(s, dir)
+        .withColumn("keep", col("declared_lang") === "" ||
+          col("declared_lang") === col("predicted_lang"))
+        .groupBy(col("labeled_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+        .withColumn("kept_ratio_micro",
+          expr("(1000000 * n_kept) div n_docs"))
+        .orderBy("labeled_lang")),
 
     // ---- hreflang alternate clusters (oracle-checked): how
     // multilingual sites declare their translations — the standard
@@ -3989,12 +4014,16 @@ private[graft] object TextQueries {
   /** q182: the language plant, the header/body split, both
     * declaration pulls with primary-subtag normalization, the q22
     * languageId replay over the full text, then the census rollup. */
-  private def declaredLanguageOracleSql: String = {
+  /** q182's plant + parse + languageId replay as CTEs ending in
+    * `lpr(doc_id, labeled_lang, declared_html, declared_http,
+    * declared_lang, predicted_lang)`. Shared by the q182 and q191
+    * oracles. */
+  private def declaredLanguageCtes: String = {
     val crlf = "chr(13) || chr(10)"
     val u = graft.ext.UrlOps
     val prim = (e: String) => "lower(regexp_extract(" + e +
       ", '^[ \\t]*([A-Za-z]+)', 1))"
-    "WITH lpl AS (SELECT doc_id, lang, text, " +
+    "lpl AS (SELECT doc_id, lang, text, " +
       "regexp_replace(substring(text, 1, 80), '[^ -~]', '', 'g') " +
       "AS safe FROM documents),\n" +
       "lp2 AS (SELECT doc_id, lang, text, CASE " +
@@ -4045,7 +4074,11 @@ private[graft] object TextQueries {
       "'[^\\x{4E00}-\\x{9FFF}]', '', 'g')), 'lang': 'zh'}]) AS best " +
       "FROM ltk),\n" +
       "lpr AS (SELECT *, CASE WHEN best.score > 0 THEN best.lang " +
-      "ELSE 'und' END AS predicted_lang FROM lbs)\n" +
+      "ELSE 'und' END AS predicted_lang FROM lbs)"
+  }
+
+  private def declaredLanguageOracleSql: String =
+    "WITH " + declaredLanguageCtes + "\n" +
       "SELECT labeled_lang, declared_lang, predicted_lang, " +
       "CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(sum(CASE WHEN declared_html <> '' AND " +
@@ -4055,7 +4088,23 @@ private[graft] object TextQueries {
       "AS declared_mismatch " +
       "FROM lpr GROUP BY labeled_lang, declared_lang, predicted_lang " +
       "ORDER BY labeled_lang, declared_lang, predicted_lang"
-  }
+
+  /** q191: the shared q182 CTEs + the curation gate — keep when the
+    * channels can't disagree (nothing declared) or declared equals
+    * detected; integer-micro kept ratio per labeled language. */
+  private def languageGateOracleSql: String =
+    "WITH " + declaredLanguageCtes + ",\n" +
+      "lgk AS (SELECT labeled_lang, " +
+      "(declared_lang = '' OR declared_lang = predicted_lang) " +
+      "AS keep FROM lpr)\n" +
+      "SELECT labeled_lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_kept, " +
+      "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) " +
+      "AS n_dropped, " +
+      "(1000000 * CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) " +
+      "AS BIGINT)) // CAST(count(*) AS BIGINT) AS kept_ratio_micro " +
+      "FROM lgk GROUP BY labeled_lang ORDER BY labeled_lang"
 
   /** q183: the hreflang plant replayed — the whole-link-tag harvest,
     * rel token membership, the hreflang/href pulls with primary-
@@ -4923,6 +4972,8 @@ private[graft] object TextQueries {
     "q181_throttled_schedule" -> throttledScheduleOracleSql,
 
     "q182_declared_language" -> declaredLanguageOracleSql,
+
+    "q191_language_gate" -> languageGateOracleSql,
 
     "q183_hreflang_alternates" -> hreflangOracleSql,
 
