@@ -912,6 +912,44 @@ class UrlOpsSpec extends SparkSpec {
       .forall(_._3.contains("/Docs/3")))
   }
 
+  test("retryAfterMicros: delta seconds verbatim, strict HTTP-date " +
+    "differenced against the as-of, past dates clamp to 0, junk and " +
+    "oversized deltas read null") {
+    val out = Seq(
+      "60",                                 // delta
+      "0",                                  // zero delta
+      "Sat, 14 Feb 2026 12:00:00 GMT",      // 4.5 days after as-of
+      "Mon, 02 Feb 2026 10:00:00 GMT",      // past: clamp 0
+      "Mon, 30 Feb 2026 00:00:00 GMT",      // impossible, shape-valid
+      "soon",                               // junk
+      "9999999999",                         // 10 digits: out of contract
+      "")
+      .toDF("ra")
+      .select(UrlOps.retryAfterMicros(col("ra"), "2026-02-10 00:00:00"))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(out === Seq(60000000L, 0L, 388800000000L, 0L, -1L, -1L,
+      -1L, -1L))
+  }
+
+  test("extractAnchorTexts: plain-text units only — nested markup " +
+    "carries no text row; whitespace collapses into the norm key; " +
+    "empty text normalizes empty") {
+    val html =
+      "<a href=\"/a\">Hub   Portal</a>" +
+        "<a href=\"/b\">Visit\nNow</a>" +
+        "<a href=\"/c\"><b>bold</b></a>" + // nested: no unit
+        "<a href=\"/d\"></a>" +            // empty text
+        "<a name=\"x\">plain</a>"          // no href
+    val out = UrlOps.extractAnchorTexts(
+        Seq((1L, html, "https://h.com/p", "https://h.com/p"))
+          .toDF("doc_id", "html", "url_canon", "url"),
+        "doc_id", "html", "url_canon", "url")
+      .select("href_raw", "anchor_norm")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out === Seq(("/a", "hub portal"), ("/b", "visit now"),
+      ("/d", "")))
+  }
+
   test("langPrimarySubtag: region subtags and case normalize, leading " +
     "whitespace skipped, malformed values read as undeclared") {
     val out = Seq("EN-US", "de", " fr", "\tES-419", "x-default",
