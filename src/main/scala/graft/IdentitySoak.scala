@@ -107,7 +107,11 @@ object IdentitySoak {
     println(f"[identity-soak] census @ $n: $tCensus%.1f s " +
       s"identities=${census.count()} hot=$hotN total=$total")
     assert(total == n, s"census total $total != $n")
-    assert(hotN == n / 50, s"hot identity $hotN != ${n / 50}")
+    // Planted hot ids are those ≡ 7 (mod 50) in [0, n): exactly
+    // (n + 42) / 50 of them for n ≥ 8 — NOT n / 50, which only
+    // coincides when n is a multiple of 50 (e.g. n = 60 has 2).
+    val hotWant = if (n >= 8) (n + 42) / 50 else 0L
+    assert(hotN == hotWant, s"hot identity $hotN != $hotWant")
 
     // EXACT: pipeline census ≡ plant-arithmetic census, row for row
     val (diff, tDiff) = time {

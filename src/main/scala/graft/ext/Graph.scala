@@ -216,4 +216,54 @@ object Graph {
     }
     pr.withColumn("pr", col("pr_micro") / unit.toDouble)
   }
+
+  /** Persist a trained [[pageRankMicro]] authority table — the
+    * train-once/serve-many split every other model family already has
+    * (`Retrieval.writeBm25Index`, `Ivf.writeIndex`): a crawl scheduler
+    * probes host authority on every budget decision, and retraining
+    * the full power iteration inside each scheduling query is the
+    * 100×-scale killer (the probe is O(hosts), the retrain is
+    * O(edges · iters)).
+    *
+    * `<table>` holds `(idCol, pr_micro, pr)` bucketed by id — the
+    * scheduler's join key — and `<table>_meta` pins the training
+    * provenance (iters, n_nodes, unit, the id column's NAME) plus the
+    * trained mass `sum_pr_micro`, the audit's conservation invariant:
+    * PageRank mass is fixed at training time (Σ = n·base + propagated
+    * mass, < unit under the documented sink-leak simplification), so
+    * a stored table whose Σ drifts from the recorded one was
+    * tampered with or half-written.
+    */
+  def writePageRank(pr: DataFrame, idCol: String, table: String,
+                    iters: Int, nNodes: Long, unit: Long = 1000000L,
+                    nBuckets: Int = 32): Unit = {
+    Warehouse.resetTable(pr.sparkSession, table)
+    Warehouse.resetTable(pr.sparkSession, s"${table}_meta")
+    pr.select(col(idCol), col("pr_micro"), col("pr"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, idCol).sortBy(idCol)
+      .mode("overwrite").saveAsTable(table)
+    val spark = pr.sparkSession
+    val sum = spark.table(table)
+      .agg(coalesce(org.apache.spark.sql.functions.sum(col("pr_micro")),
+        lit(0L))).head.getLong(0)
+    import spark.implicits._
+    Seq((iters, nNodes, unit, idCol, sum))
+      .toDF("iters", "n_nodes", "unit", "id_col", "sum_pr_micro")
+      .coalesce(1)
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** The stored authority table, `(id_col, pr_micro, pr)` — the
+    * scheduler's serve-side read. */
+  def loadPageRank(spark: org.apache.spark.sql.SparkSession,
+                   table: String): DataFrame =
+    spark.table(table)
+
+  /** The stored model's id column name, from `<table>_meta`. */
+  def pageRankIdCol(spark: org.apache.spark.sql.SparkSession,
+                    table: String): String =
+    spark.table(s"${table}_meta")
+      .select(col("id_col")).head.getString(0)
 }

@@ -32,15 +32,20 @@ object IndexAudit {
 
   /** BM25 pair ([[Retrieval.writeBm25Index]]): `<table>` postings vs
     * `<table>_meta` scalars.
-    *  - `meta_n_docs`: meta's N equals the postings' distinct doc count;
+    *  - `meta_n_docs`: meta's N equals the postings' distinct doc count
+    *    (a postings-written/meta-not-bumped partial append drifts it);
     *  - `meta_total_tokens`: meta's T equals Σ dl over one row per doc
-    *    (dl is denormalized onto every posting — drift means a partial
-    *    append);
-    *  - `df_consistent`: every term's stored df equals its actual
-    *    distinct-doc posting count (observed = violating terms,
-    *    expected 0);
+    *    (dl is denormalized onto every posting of a doc — same drift);
+    *  - `postings_unique`: at most one posting row per (term, doc) —
+    *    a re-appended document doubles its rows, which would double
+    *    its tf weighting AND the probe's scan-time df (observed =
+    *    violating pairs, expected 0);
     *  - `dl_consistent`: no doc carries two different dl values
     *    (observed = violating docs, expected 0).
+    *
+    * df is NOT a stored column ([[Retrieval.writeBm25Index]] computes
+    * it at probe time from the pruned scan), so there is no stored-df
+    * drift class to audit — by construction.
     */
   def auditBm25(spark: SparkSession, table: String): DataFrame = {
     val p = spark.table(table)
@@ -57,16 +62,14 @@ object IndexAudit {
     val nDocs = perDoc.count()
     val totT = perDoc.agg(sum(col("dl"))).head.getLong(0)
     val dlBad = perDoc.filter(col("n_dl") > 1).count()
-    val dfBad = p.groupBy(col("term"))
-      .agg(first(col("df")).as("df"),
-        countDistinct(col(idCol)).as("actual"),
-        countDistinct(col("df")).as("n_df"))
-      .filter(col("df") =!= col("actual") || col("n_df") > 1)
+    val dupBad = p.groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
       .count()
     report(spark, Seq(
       ("meta_n_docs", nDocs, metaN),
       ("meta_total_tokens", totT, metaT),
-      ("df_consistent", dfBad, 0L),
+      ("postings_unique", dupBad, 0L),
       ("dl_consistent", dlBad, 0L)))
   }
 
@@ -124,6 +127,66 @@ object IndexAudit {
       ("postings_without_shingles", orphanP, 0L),
       ("shingles_without_postings", orphanS, 0L),
       ("uniform_band_count", nonModal, 0L)))
+  }
+
+  /** Robots-cache pair ([[RobotsCache.refresh]]): `<table>` per-fetch
+    * rules vs `<table>_fetches` fetch log.
+    *  - `fetch_log_unique`: at most one fetch-log row per (host,
+    *    fetched_at_micros) — a replayed refresh doubles the row and
+    *    every rule under it (observed = violating pairs, expected 0);
+    *  - `rules_have_fetch`: every rules (host, fetched_at_micros)
+    *    exists in the fetch log — an orphan means half an append (rules
+    *    written, log row lost): its rules can never be the live edge
+    *    (observed = orphan pairs, expected 0);
+    *  - `rule_rows_unique`: no duplicated full rule row under one fetch
+    *    (observed = duplicated rows, expected 0).
+    *
+    * Rule-LESS fetch-log rows are healthy by design (an empty or
+    * allow-all robots body), so no reverse-orphan check exists.
+    */
+  def auditRobotsCache(spark: SparkSession, table: String): DataFrame = {
+    val rules = spark.table(table)
+    val log = spark.table(s"${table}_fetches")
+    val logDup = log.groupBy(col("host"), col("fetched_at_micros"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    val orphan = rules.select(col("host"), col("fetched_at_micros"))
+      .distinct()
+      .join(log, Seq("host", "fetched_at_micros"), "left_anti")
+      .count()
+    val ruleDup = rules.groupBy(rules.columns.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    report(spark, Seq(
+      ("fetch_log_unique", logDup, 0L),
+      ("rules_have_fetch", orphan, 0L),
+      ("rule_rows_unique", ruleDup, 0L)))
+  }
+
+  /** PageRank artifact pair ([[Graph.writePageRank]]): `<table>` ranks
+    * vs `<table>_meta` provenance.
+    *  - `node_count`: stored rows equal the trained node universe
+    *    (meta `n_nodes`) — a truncated write strands hosts rank-less,
+    *    and the scheduler's left join silently zeroes them;
+    *  - `ids_unique`: one rank per id (observed = duplicated ids,
+    *    expected 0);
+    *  - `mass_conserved`: Σ pr_micro equals the mass recorded at
+    *    training time (meta `sum_pr_micro`) — PageRank mass is fixed
+    *    once trained, so drift means tampering or a partial write.
+    */
+  def auditPageRank(spark: SparkSession, table: String): DataFrame = {
+    val p = spark.table(table)
+    val meta = spark.table(s"${table}_meta").head
+    val idCol = meta.getString(meta.fieldIndex("id_col"))
+    val nWant = meta.getLong(meta.fieldIndex("n_nodes"))
+    val sumWant = meta.getLong(meta.fieldIndex("sum_pr_micro"))
+    val n = p.count()
+    val dup = p.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    val sum = p.agg(coalesce(org.apache.spark.sql.functions
+      .sum(col("pr_micro")), lit(0L))).head.getLong(0)
+    report(spark, Seq(
+      ("node_count", n, nWant),
+      ("ids_unique", dup, 0L),
+      ("mass_conserved", sum, sumWant)))
   }
 
   /** Quality-model pair ([[QualityModel.writeQualityModel]]): the lattice

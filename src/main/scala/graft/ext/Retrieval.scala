@@ -224,29 +224,29 @@ object Retrieval {
   /** Build the corpus ONCE into a persisted BM25 postings index — the
     * serving-side split of [[bm25TopK]], on the persisted-index pattern
     * of `Dedup.writeMinhashIndex` / `TextOps.writeBigramLm`: `table`
-    * holds one posting row per (term, doc) with everything scoring
-    * needs denormalized in — tf, the doc's length, and the term's
-    * document frequency — bucketed+sorted by term so a probe with an
-    * `isin` on the term column reads ONLY the matching buckets (Spark
-    * bucket pruning) and needs no second corpus join for lengths.
-    * `<table>_meta` holds the two corpus scalars (N docs, T tokens)
-    * and the id column's name (so probes never bind positionally).
+    * holds one posting row per (term, doc) with the PER-ROW facts
+    * scoring needs — tf and the doc's length — bucketed+sorted by term
+    * so a probe with an `isin` on the term column reads ONLY the
+    * matching buckets (Spark bucket pruning) and needs no second
+    * corpus join for lengths. `<table>_meta` holds the two corpus
+    * scalars (N docs, T tokens) and the id column's name (so probes
+    * never bind positionally).
     *
-    * df/dl/meta are all derived from the SAVED postings so the
-    * artifacts can never disagree with each other.
+    * A term's document frequency is deliberately NOT denormalized onto
+    * the rows: df is a CORPUS-level statistic that every append would
+    * shift on rows already written (un-rewritable in a bucketed
+    * table), and the probe gets it exactly and for free by counting
+    * rows per term over the very scan it already makes — one
+    * map-side-combining aggregate on the bucket key, no extra
+    * Exchange. That is what makes [[appendToBm25Index]] a pure
+    * postings-insert + meta bump, with nothing stale left behind.
+    *
+    * dl/meta are derived from the SAVED postings so the artifacts can
+    * never disagree with each other.
     */
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
                      table: String, nBuckets: Int = 32): Unit = {
-    val toks = df.select(col(idCol),
-      explode(TextOps.tokens(lower(col(textCol)))).as("term"))
-    val dl = df.select(col(idCol),
-      size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"))
-    val tf = toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-    tf.join(dl, Seq(idCol)).join(dfreq, Seq("term"))
-      .select(col("term"), col(idCol), col("tf"), col("dl"), col("df"))
+    bm25Postings(df, idCol, textCol)
       .write.format("parquet")
       .bucketBy(nBuckets, "term").sortBy("term", idCol)
       .mode("overwrite").saveAsTable(table)
@@ -259,6 +259,69 @@ object Retrieval {
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
       .withColumn("id_col", lit(idCol))
       .write.format("parquet").mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** One posting row per (term, doc): tf + the doc's token length —
+    * the shared projection behind [[writeBm25Index]] and
+    * [[appendToBm25Index]]. */
+  private def bm25Postings(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+    val dl = df.select(col(idCol),
+      size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"))
+    toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, Seq(idCol))
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
+  }
+
+  /** Append a new document batch to a persisted BM25 index — the
+    * incremental-maintenance half of the continuous-ingest retrieval
+    * loop ([[graft.ext.Dedup.appendToMinhashIndex]]'s pattern): the
+    * batch's postings land via `insertInto`, which honors the table's
+    * term bucket spec, so appended files join the same bucket layout
+    * the probe's pruned scan relies on; the meta scalars then bump by
+    * the batch's own (n, t) — an O(batch) maintenance step, never an
+    * index-sized scan. Because rows carry no corpus-level statistic
+    * (see [[writeBm25Index]]), nothing previously written goes stale:
+    * probe-time df counts span old and new postings alike, so an
+    * append-then-probe is bit-identical to a one-shot build over the
+    * union (spec-pinned).
+    *
+    * Batch ids must be NEW to the index (the ingest loop's dedup
+    * contract — same as the MinHash append); a re-appended id would
+    * double its postings, which `auditBm25`'s uniqueness check trips.
+    * `IndexAudit.repairBm25Meta` remains the full-recompute remedy if
+    * an append dies between the postings write and the meta bump.
+    */
+  def appendToBm25Index(df: DataFrame, idCol: String, textCol: String,
+                        table: String): Unit = {
+    val spark = df.sparkSession
+    val metaIdCol = bm25IdCol(spark, table)
+    require(metaIdCol == idCol,
+      s"append to $table with id column '$idCol', but the index was " +
+        s"built over '$metaIdCol' — postings would key two id spaces")
+    val batch = bm25Postings(df, idCol, textCol).persist()
+    try {
+      batch.write.mode("append").insertInto(table)
+      val b = batch.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("t")).head
+      val old = spark.table(s"${table}_meta")
+        .select(col("n"), col("t")).head
+      import spark.implicits._
+      Seq((old.getLong(0) + b.getLong(0), old.getLong(1) + b.getLong(1),
+          idCol))
+        .toDF("n", "t", "id_col").coalesce(1)
+        .write.format("parquet").mode("overwrite")
+        .saveAsTable(s"${table}_meta")
+      // in-flight readers (a serving stream's next micro-batch) must
+      // re-list files: the meta OVERWRITE replaces its parquet file,
+      // and a stale cached listing dies with FILE_NOT_EXIST
+      spark.catalog.refreshTable(table)
+      spark.catalog.refreshTable(s"${table}_meta")
+    } finally batch.unpersist()
   }
 
   /** The indexed corpus' id column, as recorded by [[writeBm25Index]]
@@ -277,8 +340,9 @@ object Retrieval {
     * term set — bit-identical scores to the one-shot [[bm25TopK]] over
     * the indexed corpus (spec-pinned). The probe plan touches only the
     * query terms' buckets: an `isin` filter on the bucketed term column
-    * (bucket-pruned scan), the |q|-row IDF projection from the
-    * denormalized df, a broadcast of the 1-row meta, one per-doc sum.
+    * (bucket-pruned scan), the per-term df counted over that
+    * same pruned scan (exact across appends), a broadcast of the
+    * 1-row meta, one per-doc sum.
     * Nothing corpus-sized shuffles at query time.
     */
   def bm25ProbeTopK(spark: org.apache.spark.sql.SparkSession,
@@ -287,9 +351,19 @@ object Retrieval {
     require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
     val meta = spark.table(s"${table}_meta").select(col("n"), col("t"))
     val idCol = bm25IdCol(spark, table)
-    val matched = spark.table(table)
+    // drop("df"): tolerate the legacy denormalized-df layout — df now
+    // comes from the scan itself (exact across appends; see
+    // writeBm25Index)
+    val matched = spark.table(table).drop("df")
       .filter(col("term").isin(queryTerms: _*))
+    // per-term df counted over the SAME pruned scan the scoring reads:
+    // one row per (term, doc) makes count(*) the document frequency;
+    // the aggregate map-side-combines on the bucket key and its
+    // |q|-row result broadcasts back
+    val termDf = matched.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val contribs = matched
+      .join(broadcast(termDf), Seq("term"))
       .crossJoin(broadcast(meta))
       .withColumn("idf_micro",
         round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
@@ -312,8 +386,8 @@ object Retrieval {
   /** Probe a PERSISTED BM25 index with a BATCH OF QUERIES given as raw
     * text — the serving loop's inner operator (and the body of
     * `EventStreams.bm25QueryStream`): each query's distinct tokens form
-    * its term set, scores come from the denormalized postings exactly as
-    * [[bm25ProbeTopK]], ranked per query. The union of the distinct
+    * its term set, scores come from the postings exactly as
+    * [[bm25ProbeTopK]] (per-term df counted over the pruned scan), ranked per query. The union of the distinct
     * terms is collected to drive an `isin` filter on the bucketed term
     * column — a BOUNDED collect (one micro-batch of queries, each
     * contributing its distinct tokens), which is what buys the
@@ -340,8 +414,15 @@ object Retrieval {
     val matched =
       if (terms.isEmpty) spark.table(table).filter(lit(false))
       else spark.table(table).filter(col("term").isin(terms: _*))
+    val matchedNoDf = matched.drop("df")
+    // per-term df from the pruned scan itself (exact across appends;
+    // see writeBm25Index) — counted BEFORE the query join so a term
+    // shared by many queries counts its postings once
+    val termDf = matchedNoDf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val meta = spark.table(s"${table}_meta").select(col("n"), col("t"))
-    val scored = matched
+    val scored = matchedNoDf
+      .join(broadcast(termDf), Seq("term"))
       .join(broadcast(qt), Seq("term"))
       .crossJoin(broadcast(meta))
       .withColumn("idf_micro",

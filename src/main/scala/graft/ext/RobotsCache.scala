@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted robots cache — the state RFC 9309 §2.4 actually talks
+  * about. A polite crawler fetches `/robots.txt` per host, CACHES the
+  * parsed rules, serves verdicts from the cache, and refetches when the
+  * cached copy ages past the TTL (the RFC allows use of a cached copy
+  * for up to 24 hours). The reference has no crawl tier at all
+  * (`project/etl2.py` ingests trusted CSVs); this artifact is what
+  * turns the engine's robots PARSER ([[UrlOps.parseRobotsTxt]]) and
+  * scheduling gates (q188) into a crawl loop with real, aging state
+  * instead of per-query replants.
+  *
+  * Layout (the persisted-index family pattern — `Retrieval
+  * .writeBm25Index`, `Dedup.writeMinhashIndex`):
+  *   - `<table>_fetches` — the append-only FETCH LOG: one row per
+  *     robots fetch `(host, fetched_at_micros)`. Presence and age live
+  *     here, NOT on the rules: a host whose robots.txt yields no
+  *     applicable rules (empty file, 404 treated as allow-all) still
+  *     has a fetch time the TTL gate must honor.
+  *   - `<table>` — the parsed rules PER FETCH: `(host,
+  *     fetched_at_micros, path_prefix, allow, from_specific,
+  *     has_wildcard)`, bucketed by host so the latest-per-host read
+  *     and the verdict's host semi-join run Exchange-free.
+  *
+  * Reads are LATEST-WINS: the newest fetch per host is the live rule
+  * set; older fetches remain as history (append-only storage — a
+  * refetch never rewrites files, which is what makes the maintenance
+  * path a pure insert at any scale). Replay duplicates — the same
+  * `(host, fetched_at_micros)` appended twice — are the one corruption
+  * class appends can introduce; [[IndexAudit.auditRobotsCache]] trips
+  * on them and on rules orphaned from the fetch log.
+  */
+object RobotsCache {
+
+  /** Parse + append one batch of robots fetches to the cache.
+    * `fetches` carries one row per (host, fetched-at, raw body);
+    * rules come from [[UrlOps.parseRobotsTxt]] for `agent`. A body
+    * with no applicable rules appends only its fetch-log row — the
+    * allow-all default with a fresh TTL. The caller owns at-most-once
+    * delivery per (host, fetched_at_micros): this is the same ingest
+    * contract every append path in the persisted-index family carries
+    * (`Dedup.appendToMinhashIndex`), and the audit's uniqueness check
+    * is its backstop.
+    */
+  def refresh(fetches: DataFrame, hostCol: String, fetchedAtCol: String,
+              bodyCol: String, table: String, agent: String = "*"): Unit = {
+    val rules = parsedRules(fetches, hostCol, fetchedAtCol, bodyCol, agent)
+    rules.write.mode("append").insertInto(table)
+    fetches.select(col(hostCol).cast("string").as("host"),
+        col(fetchedAtCol).cast("long").as("fetched_at_micros"))
+      .write.mode("append").insertInto(s"${table}_fetches")
+  }
+
+  /** Build the cache FRESH from a first batch of fetches (overwrite) —
+    * the bootstrap twin of [[refresh]]; establishes the bucket layout
+    * appends then join. */
+  def rebuild(fetches: DataFrame, hostCol: String, fetchedAtCol: String,
+              bodyCol: String, table: String, agent: String = "*",
+              nBuckets: Int = 32): Unit = {
+    Warehouse.resetTable(fetches.sparkSession, table)
+    Warehouse.resetTable(fetches.sparkSession, s"${table}_fetches")
+    parsedRules(fetches, hostCol, fetchedAtCol, bodyCol, agent)
+      .write.format("parquet")
+      .bucketBy(nBuckets, "host").sortBy("host", "fetched_at_micros")
+      .mode("overwrite").saveAsTable(table)
+    fetches.select(col(hostCol).cast("string").as("host"),
+        col(fetchedAtCol).cast("long").as("fetched_at_micros"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, "host").sortBy("host")
+      .mode("overwrite").saveAsTable(s"${table}_fetches")
+  }
+
+  private def parsedRules(fetches: DataFrame, hostCol: String,
+                          fetchedAtCol: String, bodyCol: String,
+                          agent: String): DataFrame =
+    UrlOps.parseRobotsTxt(
+        fetches.select(col(hostCol).cast("string").as("__rc_host"),
+          col(fetchedAtCol).cast("long").as("fetched_at_micros"),
+          col(bodyCol).as("__rc_body")),
+        "__rc_host", "__rc_body", agent,
+        carry = Seq("fetched_at_micros"))
+      .select(col("host"), col("fetched_at_micros"), col("path_prefix"),
+        col("allow"), col("from_specific"), col("has_wildcard"))
+
+  /** The newest fetch per host: `(host, fetched_at_micros)` — the
+    * cache's live edge. One map-side-combining aggregate on the
+    * bucketed host key (Exchange-free). */
+  def latestFetches(spark: SparkSession, table: String): DataFrame = {
+    // appends may land from a streaming clone session whose writes
+    // this session's relation cache hasn't seen — re-list (both
+    // tables are host-sized; the listing is cheap)
+    spark.catalog.refreshTable(s"${table}_fetches")
+    spark.table(s"${table}_fetches")
+      .groupBy(col("host"))
+      .agg(max(col("fetched_at_micros")).as("fetched_at_micros"))
+  }
+
+  /** The LIVE rule set: each host's latest fetch's rules, in exactly
+    * [[UrlOps.robotsVerdict]]'s expected shape `(host, path_prefix,
+    * allow, from_specific, has_wildcard)`. Superseded fetches' rules
+    * drop at the join. */
+  def latestRules(spark: SparkSession, table: String): DataFrame = {
+    spark.catalog.refreshTable(table)
+    spark.table(table)
+      .join(latestFetches(spark, table),
+        Seq("host", "fetched_at_micros"))
+      .select(col("host"), col("path_prefix"), col("allow"),
+        col("from_specific"), col("has_wildcard"))
+  }
+
+  /** Cache ages against the scheduler's clock: `(host,
+    * fetched_at_micros, robots_age_hours)` with the age in WHOLE hours
+    * (floor — integer-exact, engine-portable). `asOfMicros` is the
+    * injectable now (the F6 clock discipline — schedulers never read
+    * the wall clock in-plan). */
+  def ages(spark: SparkSession, table: String, asOfMicros: Long)
+      : DataFrame =
+    latestFetches(spark, table)
+      .withColumn("robots_age_hours",
+        expr(s"(${asOfMicros}L - fetched_at_micros) div 3600000000"))
+
+  /** The RFC 9309 §2.4 TTL gate over a scheduled budget: per host the
+    * cache age, the stale flag (age > ttlHours, or NO cached fetch at
+    * all — never-fetched hosts must fetch robots first), and the
+    * action. `budget` carries one row per (host) with any per-host
+    * payload columns; the output keeps `hostCol` plus the gate
+    * columns. */
+  def ttlGate(spark: SparkSession, budget: DataFrame, hostCol: String,
+              table: String, asOfMicros: Long, ttlHours: Long = 24L)
+      : DataFrame =
+    budget.join(
+        ages(spark, table, asOfMicros)
+          .select(col("host").as(hostCol), col("robots_age_hours")),
+        Seq(hostCol), "left")
+      .withColumn("robots_stale",
+        col("robots_age_hours").isNull ||
+          col("robots_age_hours") > ttlHours)
+      .withColumn("action", when(col("robots_stale"),
+        lit("refetch_robots_first")).otherwise(lit("proceed")))
+}

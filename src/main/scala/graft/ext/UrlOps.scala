@@ -430,12 +430,25 @@ object UrlOps {
   val TagHrefPattern: String = "(?i)href\\s*=\\s*\"([^\"]*)\""
 
   /** First quoted `rel` attribute inside a harvested tag — preceded
-    * by RFC-whitespace so `data-rel=` never false-matches (HTML
-    * attributes are always whitespace-separated; `\b` is avoided for
-    * engine-portable semantics). The VALUE is a space-separated token
-    * list per HTML — token membership is decided by a split, never a
+    * by HTML5 ASCII whitespace (space/tab/CR/LF/FF — pretty-printed
+    * HTML routinely breaks attributes across lines) so `data-rel=`
+    * never false-matches (`\b` is avoided for engine-portable
+    * semantics; the explicit class is used instead of `\s` because
+    * Java's `\s` includes VT where RE2's does not). The VALUE is an
+    * ASCII-whitespace-separated token list per HTML — token
+    * membership is decided by a split ([[HtmlWsClass]]), never a
     * substring test (`rel="nofollowme"` is NOT nofollow). */
-  val TagRelPattern: String = "(?i)[ \\t]rel\\s*=\\s*\"([^\"]*)\""
+  val TagRelPattern: String = "(?i)[ \\t\\r\\n\\f]rel\\s*=\\s*\"([^\"]*)\""
+
+  /** HTML5 "ASCII whitespace" (space, tab, LF, FF, CR) as a regex
+    * character class — the inter-attribute and rel-token-list
+    * separator set. Spelled out (not `\s`) so Spark's Java regex and
+    * the oracle's RE2 agree byte-for-byte. */
+  val HtmlWsClass: String = "[ \\t\\r\\n\\f]"
+
+  /** The same five characters as a raw trim set (for `trim(col,
+    * trimStr)` / DuckDB `trim(x, chars)`). */
+  val HtmlWs: String = " \t\r\n\f"
 
   /** `<meta name="robots" content="...">` — both attribute orders,
     * the [[CanonicalRelFirstPattern]] charter (quoted values, no
@@ -469,7 +482,7 @@ object UrlOps {
         MetaRobotsContentFirstPattern, 1), lit("")))
     val toks = transform(
       split(lower(coalesce(content, lit(""))), ","),
-      t => trim(t, RobotsWs))
+      t => trim(t, HtmlWs))
     df.withColumn("meta_noindex",
         array_contains(toks, "noindex") || array_contains(toks, "none"))
       .withColumn("meta_nofollow",
@@ -510,7 +523,7 @@ object UrlOps {
       .withColumn("href_raw",
         regexp_extract(col("__tag"), TagHrefPattern, 1))
       .withColumn("link_nofollow",
-        array_contains(split(lower(relv), "[ \\t]+"), "nofollow"))
+        array_contains(split(lower(relv), HtmlWsClass + "+"), "nofollow"))
       .withColumn("__lr", call_function("graft_link_resolve",
         col("href_raw"), col("base_canon"), col("base_raw")))
       .withColumn("link_kind", col("__lr.kind"))
@@ -555,7 +568,7 @@ object UrlOps {
       .withColumn("href_raw",
         regexp_extract(col("__unit"), TagHrefPattern, 1))
       .withColumn("link_nofollow",
-        array_contains(split(lower(relv), "[ \\t]+"), "nofollow"))
+        array_contains(split(lower(relv), HtmlWsClass + "+"), "nofollow"))
       .withColumn("anchor_text",
         regexp_extract(col("__unit"), "(?i)>([^<]*)</a>$", 1))
       .withColumn("anchor_norm",
@@ -594,9 +607,9 @@ object UrlOps {
   val LinkTagPattern: String = "(?i)<link\\s[^>]*>"
 
   /** First quoted `hreflang` inside a harvested tag — the
-    * [[TagRelPattern]] spelling (whitespace-led, no `\b`). */
+    * [[TagRelPattern]] spelling (HTML5-whitespace-led, no `\b`). */
   val TagHreflangPattern: String =
-    "(?i)[ \\t]hreflang\\s*=\\s*\"([^\"]*)\""
+    "(?i)[ \\t\\r\\n\\f]hreflang\\s*=\\s*\"([^\"]*)\""
 
   /** `hreflang` alternate harvest (`<link rel="alternate"
     * hreflang="…" href="…">`): the page's declared language variants —
@@ -622,7 +635,7 @@ object UrlOps {
         col(baseRawCol).as("base_raw"),
         explode(regexp_extract_all(col(htmlCol),
           lit(LinkTagPattern), lit(0))).as("__tag"))
-      .filter(array_contains(split(lower(relv), "[ \\t]+"), "alternate"))
+      .filter(array_contains(split(lower(relv), HtmlWsClass + "+"), "alternate"))
       .withColumn("hreflang", hl)
       .filter(col("hreflang") =!= "")
       .filter(col("__tag").rlike("(?i)href\\s*=\\s*\""))
@@ -744,7 +757,7 @@ object UrlOps {
     * is a zero-shuffle projection and the output table is exactly
     * the broadcastable rule relation the verdict wants. */
   def parseRobotsTxt(df: DataFrame, hostCol: String, txtCol: String,
-      agent: String): DataFrame = {
+      agent: String, carry: Seq[String] = Nil): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val emptyRules =
       "CAST(array() AS array<struct<p: string, a: boolean, sp: boolean>>)"
@@ -778,9 +791,11 @@ object UrlOps {
       },
       acc => filter(acc.getField("rules"),
         r => !acc.getField("asp") || r.getField("sp")))
-    df.select(col(hostCol).as("host"), explode(parsed).as("r"))
-      .select(col("host"), col("r.p").as("path_prefix"),
-        col("r.a").as("allow"), col("r.sp").as("from_specific"))
+    df.select(col(hostCol).as("host") +: carry.map(col) :+
+        explode(parsed).as("r"): _*)
+      .select(col("host") +: carry.map(col) :+
+        col("r.p").as("path_prefix") :+
+        col("r.a").as("allow") :+ col("r.sp").as("from_specific"): _*)
       .withColumn("has_wildcard",
         col("path_prefix").contains("*") ||
           col("path_prefix").endsWith("$"))

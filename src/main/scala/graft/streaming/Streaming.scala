@@ -163,17 +163,43 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous maintenance of the persisted robots cache
+    * ([[graft.ext.RobotsCache]]) — the crawl loop's robots-refetch
+    * leg: each micro-batch of (host, fetched_at_micros, robots_body)
+    * fetch results parses and appends via `RobotsCache.refresh`
+    * (foreachBatch reuses the batch operator verbatim, the
+    * [[MicroBatchMerge]] discipline), so the TTL gate and the
+    * frontier read ages/rules that MOVE as refetches land: a host
+    * whose gate said `refetch_robots_first` flips to `proceed` the
+    * batch after its refetch arrives (spec-pinned). The cache is
+    * append-only/latest-wins, so batch splits never change the live
+    * edge — the newest fetch per host wins under any batching.
+    */
+  def robotsFetchStream(fetches: DataFrame, hostCol: String,
+                        fetchedAtCol: String, bodyCol: String,
+                        table: String, agent: String = "*")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    fetches.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.RobotsCache.refresh(batch, hostCol, fetchedAtCol,
+          bodyCol, table, agent)
+      }
+      .start()
+
   /** Continuous query serving against a PERSISTED BM25 index
     * ([[graft.ext.Retrieval.writeBm25Index]]): each micro-batch of
     * (query_id, text) rows is scored and ranked by
     * [[graft.ext.Retrieval.bm25ProbePerQuery]] and handed to `onBatch`.
     * `foreachBatch` reuses the batch operator VERBATIM (the
     * [[MicroBatchMerge]] rationale — streaming and batch ranking
-    * cannot drift), and the index is static during serving, so the
-    * union of per-batch outputs equals one probe of every query
-    * streamed (spec-pinned). Index growth belongs to the caller's
-    * cadence: rebuild/append with `writeBm25Index` between serving
-    * windows, exactly like the near-dup probe's corpus append.
+    * cannot drift). While the index is static the union of per-batch
+    * outputs equals one probe of every query streamed (spec-pinned).
+    * Index growth rides the caller's cadence:
+    * `Retrieval.appendToBm25Index` between micro-batches is picked up
+    * by the NEXT batch — the probe re-resolves the postings table per
+    * batch and df/meta are scan-time/meta-bump correct by
+    * construction (spec-pinned), exactly like the near-dup probe's
+    * corpus append.
     */
   def bm25QueryStream(queries: DataFrame, table: String,
                       queryIdCol: String, textCol: String, k: Int)(
@@ -181,6 +207,12 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the micro-batch runs on a CLONED session with its own
+        // relation cache: an append (new postings files) or meta bump
+        // (overwritten file) between batches would otherwise serve a
+        // stale listing — or die on the replaced meta file
+        batch.sparkSession.catalog.refreshTable(table)
+        batch.sparkSession.catalog.refreshTable(s"${table}_meta")
         onBatch(graft.ext.Retrieval.bm25ProbePerQuery(batch.sparkSession,
           table, batch, queryIdCol, textCol, k), batchId)
       }
@@ -974,8 +1006,11 @@ final case class ThrottleVerdict(host: String, seq: Long,
                                  backoff_micros: Long)
 
 /** Per-host throttle state across micro-batches: the armed
-  * Retry-After component — one long per host. */
-final case class HostThrottleState(raMicros: Long)
+  * Retry-After component plus the high-water applied `seq` — a late
+  * event with `seq <= hwSeq` arriving in a LATER micro-batch is
+  * stale (e.g. a 503 re-arriving after the origin already attested
+  * recovery) and is skipped, never folded as newest. */
+final case class HostThrottleState(raMicros: Long, hwSeq: Long = -1L)
 
 /** CROSS-BATCH throttle tracking — the streaming twin of q178's
   * Retry-After backoff: the batch query folds ONE response set into a
@@ -1005,14 +1040,21 @@ object ThrottleStream {
                st0: HostThrottleState)
       : (List[ThrottleVerdict], HostThrottleState) = {
     var ra = st0.raMicros
+    var hw = st0.hwSeq
     var out = List.empty[ThrottleVerdict]
     bySeq.foreach { case (seq, status, raUs, delay) =>
-      if (status == 429L || status == 503L)
-        ra = math.max(ra, if (raUs >= 0L) raUs else delay)
-      else if (status >= 200L && status < 400L) ra = 0L
-      out ::= ThrottleVerdict(host, seq, math.max(ra, delay))
+      // seq <= high-water: a cross-batch straggler older than (or a
+      // replay of) the last applied observation — stale, skip; the
+      // in-batch sort makes in-batch application order-correct.
+      if (seq > hw) {
+        hw = seq
+        if (status == 429L || status == 503L)
+          ra = math.max(ra, if (raUs >= 0L) raUs else delay)
+        else if (status >= 200L && status < 400L) ra = 0L
+        out ::= ThrottleVerdict(host, seq, math.max(ra, delay))
+      }
     }
-    (out.reverse, HostThrottleState(ra))
+    (out.reverse, HostThrottleState(ra, hw))
   }
 
   /** The streaming operator: per-host armed-throttle state across
@@ -1062,8 +1104,12 @@ final case class IdentityEvent(url_canon: String, seq: Long,
 final case class IdentityChange(url_canon: String, seq: Long,
                                 identity: String, tier: Int)
 
-/** Per-URL identity state: current identity + its tier. */
-final case class UrlIdentityState(identity: String, tier: Int)
+/** Per-URL identity state: current identity + its tier, plus the
+  * high-water applied `seq` — a cross-batch straggler with
+  * `seq <= hwSeq` (e.g. a stale tier-0 redirect observation arriving
+  * after the origin recovered) is skipped, never folded as newest. */
+final case class UrlIdentityState(identity: String, tier: Int,
+                                  hwSeq: Long = -1L)
 
 /** CROSS-BATCH identity tracking — the streaming twin of q186's URL
   * identity layer: a live crawl discovers a URL's aliases over TIME
@@ -1103,16 +1149,21 @@ object IdentityStream {
     // construction); a restored key never re-announces
     var first = st0.isEmpty
     bySeq.foreach { case (seq, finalUrl, declCanon, declInHost) =>
-      val (cand, tier) =
-        if (finalUrl.nonEmpty) (finalUrl, 0)
-        else if (declCanon.nonEmpty && declInHost) (declCanon, 1)
-        else (url, 2)
-      if (tier < st.tier ||
-          (tier == st.tier && (first || cand != st.identity))) {
-        st = UrlIdentityState(cand, tier)
-        out ::= IdentityChange(url, seq, cand, tier)
+      // seq <= high-water: stale cross-batch straggler (or replay) —
+      // skip rather than fold as newest (the equal-tier latest-wins
+      // rule would otherwise let stale evidence overwrite fresh).
+      if (seq > st.hwSeq) {
+        val (cand, tier) =
+          if (finalUrl.nonEmpty) (finalUrl, 0)
+          else if (declCanon.nonEmpty && declInHost) (declCanon, 1)
+          else (url, 2)
+        if (tier < st.tier ||
+            (tier == st.tier && (first || cand != st.identity))) {
+          st = UrlIdentityState(cand, tier, seq)
+          out ::= IdentityChange(url, seq, cand, tier)
+        } else st = st.copy(hwSeq = seq)
+        first = false
       }
-      first = false
     }
     (out.reverse, st)
   }
@@ -1435,6 +1486,19 @@ object MicroBatchMerge {
 
     history.foreach(_.write.mode("append").parquet(historyDir))
 
+    swapState(spark, stateDir, newState)
+  }
+
+  /** The rename-aside state swap shared by [[applyBatch]] and
+    * [[RevisitStream.applyBatch]]: write `.tmp` fully, move current
+    * state to `.old`, move `.tmp` in, drop `.old`. Returns the new
+    * state's row count (forcing materialization). */
+  private[streaming] def swapState(spark: SparkSession, stateDir: String,
+                                   newState: DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    val statePath = new Path(stateDir)
+    val oldPath = new Path(stateDir + ".old")
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = stateDir + ".tmp"
     newState.write.mode("overwrite").parquet(tmp)
     val n = spark.read.parquet(tmp).count()
@@ -1480,4 +1544,94 @@ object MicroBatchMerge {
       }
       .start()
   }
+}
+
+/** The crawl-corpus REVISIT loop — [[graft.ext.UrlOps.revisitMerge]]'s
+  * streaming twin, closing the reference's 8-minute micro-batch cadence
+  * (reference `project/etl2.py:462-467`) over the crawl-side CDC merge
+  * (q172): each micro-batch of re-fetch answers (url, status, new body)
+  * applies its dispositions — 200 upsert/reactivate, 304 validate-only
+  * reactivate, 404/410 tombstone, 5xx no-op — against the ACCUMULATED
+  * corpus state, so a URL tombstoned in one cycle reactivates the cycle
+  * its origin answers again (the 304-reactivation state a one-shot
+  * merge cannot carry).
+  *
+  * One definition: each batch IS one [[graft.ext.UrlOps.revisitMerge]]
+  * call against the current state (the `assignAndFold` discipline), so
+  * stream ≡ batch is structural: under the fetched-once-per-cycle
+  * contract (a URL appears in at most one batch per pass), any batch
+  * split of a revisit set yields byte-identical end state to the
+  * one-shot merge (spec-pinned).
+  *
+  * Replay safety (foreachBatch is at-least-once): the per-batch CDC
+  * emission (`onBatch` — the merged rows of exactly the batch's URLs,
+  * `body_changed` included, the downstream re-process trigger) derives
+  * from the PRIOR state and the batch, and runs BEFORE the state swap;
+  * the swap itself is [[MicroBatchMerge]]'s rename-aside (crash leaves
+  * pre-batch state recoverable, a retried batch re-derives the same
+  * emission and the same post state).
+  *
+  * Scale shape, per cycle: ONE full-outer equi-join of the corpus
+  * against the batch on the uniform canonical URL key plus a
+  * projection ([[graft.ext.UrlOps.revisitMerge]]'s shape). The state
+  * rewrite is corpus-sized here (plain parquet swap — the
+  * [[MicroBatchMerge]] storage discipline); at deployment scale the
+  * state lives URL-bucketed and the swap becomes a partition-scoped
+  * rewrite of the buckets the batch touched.
+  */
+object RevisitStream {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Seed the corpus state at `stateDir` with the initial crawl
+    * corpus; `corpus` must carry (urlCol, bodyCol,
+    * first_fetched/last_validated/is_active). */
+  def initState(corpus: DataFrame, stateDir: String): Unit =
+    corpus.write.mode("overwrite").parquet(stateDir)
+
+  /** The accumulated corpus state (post any number of batches). */
+  def state(spark: SparkSession, stateDir: String): DataFrame = {
+    MicroBatchMerge.resolveState(spark, stateDir)
+    spark.read.parquet(stateDir)
+  }
+
+  /** Apply ONE revisit batch: emit the batch's CDC rows, swap in the
+    * merged state. Returns the new state row count. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, urlCol: String,
+                 statusCol: String, newBodyCol: String, bodyCol: String,
+                 stateDir: String, now: Column,
+                 onBatch: DataFrame => Unit = _ => ()): Long = {
+    MicroBatchMerge.resolveState(spark, stateDir)
+    val corpus = spark.read.parquet(stateDir)
+    val merged = graft.ext.UrlOps.revisitMerge(corpus, batch, urlCol,
+      statusCol, newBodyCol, bodyCol, now)
+    // CDC emission BEFORE the swap (replay safety): the post-merge
+    // rows of exactly this batch's URLs — what downstream re-extract/
+    // re-dedup/re-embed keys on. localCheckpoint pins the emission
+    // AND the new state to one evaluation of the merge plan (the
+    // emission must not re-read a swapped state dir lazily).
+    val pinned = merged.localCheckpoint()
+    onBatch(pinned.join(batch.select(col(urlCol)).distinct(),
+      Seq(urlCol), "left_semi"))
+    // body_changed is a PER-BATCH CDC fact (it compares against the
+    // pre-batch body), not corpus state — emit it, never store it
+    MicroBatchMerge.swapState(spark, stateDir,
+      pinned.drop("body_changed"))
+  }
+
+  /** Start the loop: one [[applyBatch]] per micro-batch of revisit
+    * answers. `nowFor` injects the per-cycle clock (batchId → now —
+    * the F6 determinism discipline; wall-clock only if you ask). */
+  def start(revisits: DataFrame, urlCol: String, statusCol: String,
+            newBodyCol: String, bodyCol: String, stateDir: String,
+            nowFor: Long => Column = _ => current_timestamp())(
+      onBatch: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    revisits.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch.sparkSession, batch, urlCol, statusCol,
+          newBodyCol, bodyCol, stateDir, nowFor(batchId), onBatch)
+        ()
+      }
+      .start()
 }

@@ -109,6 +109,92 @@ class Bm25IndexSpec extends SparkSpec {
     assert(!acc.exists(_.head == 9L), "whitespace-only query produced rows")
   }
 
+  test("append: probe after appendToBm25Index is bit-identical to a " +
+    "one-shot build over the union (df/meta shift correctly), fsck " +
+    "stays green, and the appended scan stays bucket-pruned") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_bm25a").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25adb LOCATION '$loc'")
+    val first = docs.filter(col("doc_id") < 3)
+    val more = docs.filter(col("doc_id") >= 3)
+    Retrieval.writeBm25Index(first, "doc_id", "text",
+      "graft_bm25adb.apx", nBuckets = 4)
+    Retrieval.appendToBm25Index(more, "doc_id", "text",
+      "graft_bm25adb.apx")
+    Retrieval.writeBm25Index(docs, "doc_id", "text",
+      "graft_bm25adb.one", nBuckets = 4)
+    // "cat"/"dog" gain documents across the append (their df shifts),
+    // "bird" exists ONLY in the appended batch — all three must score
+    // exactly as the one-shot union build
+    for (terms <- Seq(Seq("cat", "mouse"), Seq("dog"), Seq("bird", "fish"))) {
+      val appended = canon(Retrieval.bm25ProbeTopK(
+        spark, "graft_bm25adb.apx", terms, k = 10))
+      val oneShot = canon(Retrieval.bm25ProbeTopK(
+        spark, "graft_bm25adb.one", terms, k = 10))
+      assert(appended == oneShot && appended.nonEmpty, s"terms=$terms")
+    }
+    // fsck green after the append; meta bumped to the union's scalars
+    val audit = graft.ext.IndexAudit.auditBm25(spark, "graft_bm25adb.apx")
+    assert(audit.filter(!col("ok")).count() == 0)
+    val m = spark.table("graft_bm25adb.apx_meta").collect().head
+    assert(m.getLong(0) == 5L && m.getLong(1) == 16L)
+    // appended files join the same bucket layout: the probe still prunes
+    val plan = Retrieval.bm25ProbeTopK(spark, "graft_bm25adb.apx",
+        Seq("cat"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true") &&
+      "SelectedBucketsCount: [123] out of 4".r.findFirstIn(plan).isDefined,
+      s"appended index lost bucket pruning:\n$plan")
+    // the id-space guard: appending under a different id column fails
+    // loudly instead of keying two id spaces into one postings table
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(
+        more.withColumnRenamed("doc_id", "other_id"),
+        "other_id", "text", "graft_bm25adb.apx")
+    }
+    assert(ex.getMessage.contains("id column"))
+  }
+
+  test("streaming serving across an append: a micro-batch probed after " +
+    "appendToBm25Index sees the appended documents and shifted df") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val loc = java.nio.file.Files.createTempDirectory("graft_bm25s").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25sdb LOCATION '$loc'")
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") < 3), "doc_id",
+      "text", "graft_bm25sdb.sidx", nBuckets = 4)
+    val in = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Seq[Any]])]
+    var batchNo = 0L
+    val query = graft.streaming.EventStreams.bm25QueryStream(
+        in.toDF().toDF("qid", "text"), "graft_bm25sdb.sidx",
+        "qid", "text", k = 10) { (batch, _) =>
+      acc.synchronized {
+        acc += ((batchNo, batch.collect().map(_.toSeq).toSeq))
+        batchNo += 1
+      }
+    }
+    in.addData((1L, "cat"))
+    query.processAllAvailable()
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") >= 3),
+      "doc_id", "text", "graft_bm25sdb.sidx")
+    in.addData((2L, "cat"), (3L, "bird"))
+    query.processAllAvailable()
+    query.stop()
+    val pre = acc.find(_._1 == 0L).get._2
+    val post = acc.find(_._1 == 1L).get._2
+    // pre-append: only the 3 indexed docs can answer; doc 3 is invisible
+    assert(pre.nonEmpty && !pre.exists(_(2) == 3L))
+    // post-append: "cat" now surfaces doc 3, and its scores match a
+    // cold probe of the appended index (same table, same df/meta)
+    val want = Retrieval.bm25ProbePerQuery(spark, "graft_bm25sdb.sidx",
+        Seq((2L, "cat"), (3L, "bird")).toDF("qid", "text"),
+        "qid", "text", k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(post.toSet == want && post.exists(_(2) == 3L))
+    // "bird" lives only in the appended batch and is served
+    assert(post.exists(r => r.head == 3L))
+  }
+
   test("meta scalars match the corpus (N docs, T tokens) and record " +
     "the id column by NAME (probes must never bind positionally)") {
     val m = spark.table(s"${table}_meta").collect().head

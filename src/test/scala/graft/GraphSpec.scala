@@ -175,4 +175,37 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cyc.values.toSet == Set(333333333L), cyc)
   }
+
+  test("persisted PageRank artifact: the stored probe is bit-identical " +
+    "to the retrain, meta pins provenance by name, fsck is green, and " +
+    "a tampered/truncated table trips mass conservation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val loc = java.nio.file.Files.createTempDirectory("graft_pr").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_prdb LOCATION '$loc'")
+    val nodes = (0L until 6L).toDF("host_id")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (3L, 4L), (4L, 5L),
+      (5L, 3L)).toDF("src", "dst")
+    val trained = Graph.pageRankMicro(nodes, edges, "host_id",
+      "src", "dst", nNodes = 6, iters = 10)
+    Graph.writePageRank(trained, "host_id", "graft_prdb.hostpr",
+      iters = 10, nNodes = 6, nBuckets = 2)
+    // probe ≡ retrain, bit for bit (pr_micro is exact long arithmetic)
+    val stored = Graph.loadPageRank(spark, "graft_prdb.hostpr")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = trained.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stored == want && stored.size == 6)
+    assert(Graph.pageRankIdCol(spark, "graft_prdb.hostpr") == "host_id")
+    val clean = graft.ext.IndexAudit.auditPageRank(spark,
+      "graft_prdb.hostpr")
+    assert(clean.filter(!col("ok")).count() == 0)
+    // tamper: duplicate one host's row — node_count, uniqueness AND
+    // the conserved mass all trip
+    spark.table("graft_prdb.hostpr").filter(col("host_id") === 0L)
+      .write.mode("append").insertInto("graft_prdb.hostpr")
+    val bad = graft.ext.IndexAudit.auditPageRank(spark,
+        "graft_prdb.hostpr")
+      .filter(!col("ok")).collect().map(_.getString(0)).toSet
+    assert(bad == Set("node_count", "ids_unique", "mass_conserved"), bad)
+  }
 }

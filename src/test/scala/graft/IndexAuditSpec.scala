@@ -25,16 +25,21 @@ class IndexAuditSpec extends SparkSpec {
       nBuckets = 2)
     assert(failures(IndexAudit.auditBm25(spark, "graft_auditdb.bm25"))
       .isEmpty)
-    // corruption: a posting for a NEW doc with a df that disagrees with
-    // reality and a dl unseen by the meta build — the shape a partial
-    // append (postings written, meta not refreshed) leaves behind
-    Seq(("cat", 9L, 1L, 4L, 99L))
-      .toDF("term", "doc_id", "tf", "dl", "df")
+    // corruption 1: a posting for a NEW doc with a dl unseen by the
+    // meta build — the shape a partial append (postings written, meta
+    // not bumped) leaves behind
+    Seq(("cat", 9L, 1L, 4L))
+      .toDF("term", "doc_id", "tf", "dl")
+      .write.mode("append").insertInto("graft_auditdb.bm25")
+    // corruption 2: a RE-APPENDED posting for an existing (term, doc)
+    // — the double-ingest shape the append contract forbids
+    Seq(("cat", 0L, 2L, 3L))
+      .toDF("term", "doc_id", "tf", "dl")
       .write.mode("append").insertInto("graft_auditdb.bm25")
     val bad = failures(IndexAudit.auditBm25(spark, "graft_auditdb.bm25"))
     assert(bad.contains("meta_n_docs"), bad)
     assert(bad.contains("meta_total_tokens"), bad)
-    assert(bad.contains("df_consistent"), bad)
+    assert(bad.contains("postings_unique"), bad)
   }
 
   test("dHash audit: healthy index clean; orphan postings and tampered " +

@@ -78,6 +78,92 @@ class RevisitMergeSpec extends SparkSpec {
     assert(m.size == 8)
   }
 
+  test("revisitStream: two micro-batches over disjoint URL sets end " +
+    "in byte-identical state to the one-shot merge; CDC emissions " +
+    "carry exactly the batch's URLs with body_changed") {
+    import graft.streaming.RevisitStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_revst").toString + "/state"
+    RevisitStream.initState(corpus, dir)
+    val rows = revisits.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)))).toSeq
+    val (b1, b2) = rows.splitAt(4)
+    val in = MemoryStream[(String, Long, Option[String])]
+    val emissions =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Boolean)]]
+    val q = RevisitStream.start(
+        in.toDF().toDF("url_canon", "http_status", "http_body"),
+        "url_canon", "http_status", "http_body", "body", dir,
+        nowFor = _ => lit("2026-02-10")) { cdc =>
+      emissions.synchronized {
+        emissions += cdc.select("url_canon", "body_changed").collect()
+          .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+      }
+    }
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = RevisitStream.state(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))).toMap
+    val want = UrlOps.revisitMerge(corpus, revisits, "url_canon",
+        "http_status", "http_body", "body", lit("2026-02-10"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))).toMap
+    assert(got == want && got.size == 8)
+    // CDC: each batch emitted exactly its own mergeable URLs (the
+    // phantom 404-of-unknown contributes nothing), flags correct
+    assert(emissions.size == 2)
+    val e1 = emissions.head.toMap
+    assert(e1.keySet == b1.map(_._1).toSet)
+    assert(e1("https://h.example.com/changed") &&
+      !e1("https://h.example.com/same"))
+    val e2 = emissions(1).toMap
+    assert(e2.keySet == b2.map(_._1).toSet - "https://h.example.com/phantom")
+  }
+
+  test("revisitStream 304-reactivation across cycles: a URL " +
+    "tombstoned in one cycle reactivates when a later cycle's origin " +
+    "answers 304; replaying a cycle with its own clock is a no-op") {
+    import graft.streaming.RevisitStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_revst2").toString + "/state"
+    RevisitStream.initState(corpus, dir)
+    val u = "https://h.example.com/valid"
+    def st(): Map[String, (String, Boolean)] =
+      RevisitStream.state(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getString(3), r.getBoolean(4))))
+        .toMap
+    // cycle 1: the origin 410s the URL — tombstone
+    RevisitStream.applyBatch(spark,
+      Seq((u, 410L, None: Option[String]))
+        .toDF("url_canon", "http_status", "http_body"),
+      "url_canon", "http_status", "http_body", "body", dir,
+      lit("2026-02-10"))
+    assert(st()(u) == (("2026-01-15", false)))
+    // cycle 2: the origin answers 304 — it exists again; reactivate
+    RevisitStream.applyBatch(spark,
+      Seq((u, 304L, None: Option[String]))
+        .toDF("url_canon", "http_status", "http_body"),
+      "url_canon", "http_status", "http_body", "body", dir,
+      lit("2026-02-17"))
+    assert(st()(u) == (("2026-02-17", true)))
+    // replay of cycle 2 (at-least-once delivery): state unchanged
+    val before = st()
+    RevisitStream.applyBatch(spark,
+      Seq((u, 304L, None: Option[String]))
+        .toDF("url_canon", "http_status", "http_body"),
+      "url_canon", "http_status", "http_body", "body", dir,
+      lit("2026-02-17"))
+    assert(st() == before)
+  }
+
   test("merge is idempotent: re-applying the same revisit batch to " +
     "the merged state changes nothing but the already-set fields") {
     val once = UrlOps.revisitMerge(corpus, revisits, "url_canon",

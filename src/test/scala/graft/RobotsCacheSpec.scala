@@ -1,0 +1,188 @@
+package graft
+
+import graft.ext.{IndexAudit, RobotsCache, UrlOps}
+import org.apache.spark.sql.functions._
+
+/** The persisted robots cache: latest-wins reads, TTL gating from
+  * STORED fetch timestamps, the streaming refetch loop, and fsck.
+  */
+class RobotsCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000000L // one hour in micros
+  private val asOf = 1770681600000000L // 2026-02-10 00:00:00 UTC
+
+  private def mkDb(tag: String): String = {
+    val loc = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_${tag}db LOCATION '$loc'")
+    s"graft_${tag}db.$tag"
+  }
+
+  test("rebuild + latestRules: the live rule set equals an in-plan " +
+    "parse of each host's newest body; superseded and rule-less " +
+    "fetches keep their fetch-log rows but serve no stale rules") {
+    val table = mkDb("rc1")
+    val fetches = Seq(
+      // a.com: old fetch disallows /x, newer fetch disallows /y —
+      // only the newer rules may serve
+      ("a.com", asOf - 30 * H, "User-agent: *\nDisallow: /x"),
+      ("a.com", asOf - 2 * H, "User-agent: *\nDisallow: /y"),
+      // b.com: one fresh fetch with an allow-all (rule-less) body
+      ("b.com", asOf - 1 * H, "User-agent: *\nDisallow:"),
+      // c.com: one stale fetch with rules
+      ("c.com", asOf - 48 * H, "User-agent: *\nDisallow: /private"))
+      .toDF("host", "fetched_at_micros", "robots_body")
+    RobotsCache.rebuild(fetches, "host", "fetched_at_micros",
+      "robots_body", table, nBuckets = 2)
+    val live = RobotsCache.latestRules(spark, table)
+      .select("host", "path_prefix", "allow")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(2))).toSet
+    assert(live == Set(("a.com", "/y", false),
+      ("c.com", "/private", false)))
+    // parity with the one-shot parser over the newest body per host
+    val newest = Seq(("a.com", "User-agent: *\nDisallow: /y"),
+      ("b.com", "User-agent: *\nDisallow:"),
+      ("c.com", "User-agent: *\nDisallow: /private"))
+      .toDF("host", "body")
+    val want = UrlOps.parseRobotsTxt(newest, "host", "body", "*")
+      .select("host", "path_prefix", "allow")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(2))).toSet
+    assert(live == want)
+    // every fetch logged, even the rule-less and superseded ones
+    assert(spark.table(s"${table}_fetches").count() == 4)
+    // ages come from the stored timestamps, floored to whole hours
+    val ages = RobotsCache.ages(spark, table, asOf)
+      .collect().map(r => r.getString(0) ->
+        r.getLong(r.fieldIndex("robots_age_hours"))).toMap
+    assert(ages == Map("a.com" -> 2L, "b.com" -> 1L, "c.com" -> 48L))
+  }
+
+  test("ttlGate: stale hosts (and never-fetched hosts) must refetch " +
+    "robots first; a refresh with a newer fetch flips the gate") {
+    val table = mkDb("rc2")
+    RobotsCache.rebuild(Seq(
+        ("fresh.com", asOf - 3 * H, "User-agent: *\nDisallow: /p"),
+        ("stale.com", asOf - 30 * H, "User-agent: *\nDisallow: /q"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table, nBuckets = 2)
+    val budget = Seq(("fresh.com", 3L), ("stale.com", 2L),
+      ("newhost.com", 1L)).toDF("link_host", "n_budgeted")
+    def gate(): Map[String, (Boolean, String)] =
+      RobotsCache.ttlGate(spark, budget, "link_host", table, asOf)
+        .collect().map(r => r.getString(0) ->
+          ((r.getBoolean(r.fieldIndex("robots_stale")),
+            r.getString(r.fieldIndex("action"))))).toMap
+    val before = gate()
+    assert(before("fresh.com") == ((false, "proceed")))
+    assert(before("stale.com") == ((true, "refetch_robots_first")))
+    // never fetched: no cached permissions at all — must fetch first
+    assert(before("newhost.com") == ((true, "refetch_robots_first")))
+    // the refetch lands (the crawl loop obeying the gate): both
+    // formerly-gated hosts flip to proceed
+    RobotsCache.refresh(Seq(
+        ("stale.com", asOf - 1 * H, "User-agent: *\nDisallow: /q2"),
+        ("newhost.com", asOf, "User-agent: *\nDisallow: /n"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table)
+    val after = gate()
+    assert(after("stale.com") == ((false, "proceed")))
+    assert(after("newhost.com") == ((false, "proceed")))
+    assert(after("fresh.com") == ((false, "proceed")))
+    // and the live rules moved with the refetch (latest-wins)
+    val live = RobotsCache.latestRules(spark, table)
+      .filter(col("host") === "stale.com")
+      .select("path_prefix").collect().map(_.getString(0)).toSeq
+    assert(live == Seq("/q2"))
+  }
+
+  test("streaming refetch loop: robotsFetchStream appends per " +
+    "micro-batch and the TTL gate flips the batch after the refetch " +
+    "arrives") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val table = mkDb("rc3")
+    // bootstrap: an aged fetch, then serve via the stream
+    RobotsCache.rebuild(Seq(
+        ("s.com", asOf - 40 * H, "User-agent: *\nDisallow: /old"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table, nBuckets = 2)
+    val budget = Seq(("s.com", 5L)).toDF("link_host", "n_budgeted")
+    def stale(): Boolean = RobotsCache
+      .ttlGate(spark, budget, "link_host", table, asOf)
+      .head.getBoolean(3)
+    assert(stale())
+    val in = MemoryStream[(String, Long, String)]
+    val q = graft.streaming.EventStreams.robotsFetchStream(
+      in.toDF().toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table)
+    try {
+      // batch 1: an unrelated host's fetch — s.com stays gated
+      in.addData(("other.com", asOf - 1 * H, "User-agent: *\nDisallow: /z"))
+      q.processAllAvailable()
+      assert(stale())
+      // batch 2: s.com's refetch lands — the gate flips and the live
+      // rules are the refetched ones
+      in.addData(("s.com", asOf - 1 * H, "User-agent: *\nDisallow: /new"))
+      q.processAllAvailable()
+      assert(!stale())
+      val live = RobotsCache.latestRules(spark, table)
+        .filter(col("host") === "s.com")
+        .select("path_prefix").collect().map(_.getString(0)).toSeq
+      assert(live == Seq("/new"))
+    } finally q.stop()
+    // fsck green after the streamed appends
+    assert(IndexAudit.auditRobotsCache(spark, table)
+      .filter(!col("ok")).count() == 0)
+  }
+
+  test("fsck: a replayed fetch trips uniqueness and an orphan rules " +
+    "row trips the fetch-log check") {
+    val table = mkDb("rc4")
+    val f = Seq(("a.com", asOf - 1 * H, "User-agent: *\nDisallow: /x"))
+      .toDF("host", "fetched_at_micros", "robots_body")
+    RobotsCache.rebuild(f, "host", "fetched_at_micros", "robots_body",
+      table, nBuckets = 2)
+    assert(IndexAudit.auditRobotsCache(spark, table)
+      .filter(!col("ok")).count() == 0)
+    // replay the same fetch: duplicate log row + duplicate rule rows
+    RobotsCache.refresh(f, "host", "fetched_at_micros", "robots_body",
+      table)
+    val bad1 = IndexAudit.auditRobotsCache(spark, table)
+      .filter(!col("ok")).collect().map(_.getString(0)).toSet
+    assert(bad1 == Set("fetch_log_unique", "rule_rows_unique"), bad1)
+    // orphan rules: a rules row whose fetch never logged
+    val table2 = mkDb("rc5")
+    RobotsCache.rebuild(f, "host", "fetched_at_micros", "robots_body",
+      table2, nBuckets = 2)
+    Seq(("ghost.com", asOf, "/g", false, false, false))
+      .toDF("host", "fetched_at_micros", "path_prefix", "allow",
+        "from_specific", "has_wildcard")
+      .write.mode("append").insertInto(table2)
+    val bad2 = IndexAudit.auditRobotsCache(spark, table2)
+      .filter(!col("ok")).collect().map(_.getString(0)).toSet
+    assert(bad2 == Set("rules_have_fetch"), bad2)
+  }
+
+  test("the cache feeds robotsVerdict in its expected shape: latest " +
+    "rules gate a URL batch exactly like an in-plan parse would") {
+    val table = mkDb("rc6")
+    RobotsCache.rebuild(Seq(
+        ("a.com", asOf - 1 * H,
+          "User-agent: *\nDisallow: /private\nAllow: /private/ok"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table, nBuckets = 2)
+    val urls = Seq(
+      (1L, "https://a.com/private/x"),
+      (2L, "https://a.com/private/ok"),
+      (3L, "https://a.com/public"),
+      (4L, "https://unknown.com/anything"))
+      .toDF("doc_id", "url_canon")
+    val got = UrlOps.robotsVerdict(urls, "doc_id", "url_canon",
+        RobotsCache.latestRules(spark, table))
+      .select("doc_id", "fetch_allowed")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
+}

@@ -523,6 +523,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-batch stragglers are stale: a late event with seq at or " +
+    "below the high-water mark neither emits nor perturbs throttle or " +
+    "identity state") {
+    import graft.streaming.{IdentityChange, IdentityEvent, IdentityStream,
+      ThrottleEvent, ThrottleStream, ThrottleVerdict}
+    implicit val sqlCtx = spark.sqlContext
+    // throttle: 503 (seq 1) then recovery (seq 3) land in batch 1; the
+    // straggling 503 re-delivery (seq 1 again) and an old intermediate
+    // 503 (seq 2) arrive in batch 2 — neither may re-arm the host
+    val tin = MemoryStream[ThrottleEvent]
+    val tq = ThrottleStream.verdicts(tin.toDS())
+      .writeStream.format("memory").queryName("stale_throttle")
+      .outputMode("append").start()
+    try {
+      tin.addData(
+        ThrottleEvent("a.com", 1L, 503L, 60000000L, 1000000L),
+        ThrottleEvent("a.com", 3L, 200L, -1L, 1000000L))
+      tq.processAllAvailable()
+      tin.addData(
+        ThrottleEvent("a.com", 1L, 503L, 60000000L, 1000000L),
+        ThrottleEvent("a.com", 2L, 503L, 90000000L, 1000000L),
+        ThrottleEvent("a.com", 4L, 404L, -1L, 1000000L))
+      tq.processAllAvailable()
+      val got = spark.table("stale_throttle").as[ThrottleVerdict]
+        .collect().sortBy(_.seq).map(v => (v.seq, v.backoff_micros)).toSeq
+      // seq 4's 404 sees a DISARMED host (floor), not a re-armed 90s
+      assert(got === Seq((1L, 60000000L), (3L, 1000000L),
+        (4L, 1000000L)))
+    } finally tq.stop()
+
+    // identity: redirect retarget (seq 3) lands first; the stale
+    // original redirect observation (seq 2) straggles in later and
+    // must not re-point the identity backwards
+    val u = "https://h.com/a"
+    val iin = MemoryStream[IdentityEvent]
+    val iq = IdentityStream.changes(iin.toDS())
+      .writeStream.format("memory").queryName("stale_identity")
+      .outputMode("append").start()
+    try {
+      iin.addData(
+        IdentityEvent(u, 1L, "", "", false),
+        IdentityEvent(u, 3L, "https://h.com/final2", "", false))
+      iq.processAllAvailable()
+      iin.addData(IdentityEvent(u, 2L, "https://h.com/final1", "", false))
+      iq.processAllAvailable()
+      val got = spark.table("stale_identity").as[IdentityChange]
+        .collect().sortBy(_.seq).map(c => (c.seq, c.identity)).toSeq
+      assert(got === Seq((1L, u), (3L, "https://h.com/final2")))
+    } finally iq.stop()
+  }
+
   test("anomaly detector stays silent through the cold-start window") {
     val base = 1700000000000000L
     // wild swings but only 4 observations with minPrior = 5

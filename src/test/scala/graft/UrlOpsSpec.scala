@@ -852,6 +852,23 @@ class UrlOpsSpec extends SparkSpec {
       ("/x4", false)))
   }
 
+  test("rel across pretty-printed whitespace: a newline (or CR/FF) " +
+    "before the rel attribute still binds, and a newline inside the " +
+    "token list still separates tokens") {
+    val base = Seq(("https://h.com/a/", "https://h.com/a/")).toDF(
+      "url_canon", "url")
+    val html =
+      "<a href=\"/n1\"\n   rel=\"nofollow\">a</a>" +
+        "<a href=\"/n2\"\r\n\trel=\"sponsored\nnofollow\">b</a>" +
+        "<a href=\"/n3\" rel=\"me\">c</a>"
+    val out = UrlOps.extractOutlinksRel(
+        base.withColumn("doc_id", lit(1L)).withColumn("html", lit(html)),
+        "doc_id", "html", "url_canon", "url")
+      .select("href_raw", "link_nofollow")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(out === Seq(("/n1", true), ("/n2", true), ("/n3", false)))
+  }
+
   test("withDocumentBase: absolute base redirects relative AND " +
     "root-relative hrefs; absolute hrefs are base-immune; a relative " +
     "base resolves against the fetched URL; a dropped-kind first base " +
@@ -865,6 +882,8 @@ class UrlOpsSpec extends SparkSpec {
       ("<head></head><a href=\"page-rel\">p</a>"),
       ("<head><base href=\"javascript:void(0)\">" +
         "<base href=\"https://second.example.net/x/\"></head>" +
+        "<a href=\"page-rel\">p</a>"),
+      ("<head><base href=\"sub/\"></head>" +
         "<a href=\"page-rel\">p</a>"))
       .zipWithIndex.map { case (h, i) => (i.toLong, h,
         "https://h.com/Docs/7/", "https://h.com/Docs/7") }
@@ -881,7 +900,10 @@ class UrlOpsSpec extends SparkSpec {
       (0L, "page-rel", "https://tpl.example.net/t/3/page-rel"),
       (1L, "page-rel", "https://h.com/newroot/sub/page-rel"),
       (2L, "page-rel", "https://h.com/Docs/7/page-rel"),
-      (3L, "page-rel", "https://h.com/Docs/7/page-rel")))
+      (3L, "page-rel", "https://h.com/Docs/7/page-rel"),
+      // a PATH-RELATIVE base resolves against the fetched URL's
+      // §5.2.3 merge directory, then relative hrefs resolve under it
+      (4L, "page-rel", "https://h.com/Docs/7/sub/page-rel")))
   }
 
   test("q176: the robots-declared sitemap loop closes — declared " +
@@ -967,7 +989,9 @@ class UrlOpsSpec extends SparkSpec {
         "<link rel=\"alternate nofollow\" hreflang=\"fr\" href=\"/fr\">" +
         "<link rel=\"alternate\" hreflang=\"x-default\" href=\"https://h.com/p\">" +
         "<link rel=\"stylesheet\" href=\"/css\">" +
-        "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed\">"
+        "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed\">" +
+        // pretty-printed: newline-separated attributes still bind
+        "<link rel=\"alternate\"\n  hreflang=\"pt-BR\"\n  href=\"/pt\">"
     val out = UrlOps.extractHreflang(
         Seq((1L, html, "https://h.com/p", "https://h.com/p"))
           .toDF("doc_id", "html", "url_canon", "url"),
@@ -980,7 +1004,8 @@ class UrlOpsSpec extends SparkSpec {
       ("en", "en", false, "https://h.com/en"),
       ("de-at", "de", false, "https://h.com/de"),
       ("fr", "fr", false, "https://h.com/fr"),
-      ("x-default", "x", true, "https://h.com/p")))
+      ("x-default", "x", true, "https://h.com/p"),
+      ("pt-br", "pt", false, "https://h.com/pt")))
   }
 
   test("withMetaRobots: both attribute orders, messy token list, " +
@@ -990,6 +1015,10 @@ class UrlOpsSpec extends SparkSpec {
         (true, true),
       "<META CONTENT=\"noindex\" NAME=\"robots\">" -> (true, false),
       "<meta name=\"robots\" content=\"none\">" -> (true, true),
+      // newline inside the content value: the token trim covers the
+      // full HTML whitespace set, so "\nnofollow" still reads
+      "<meta name=\"robots\" content=\"noindex,\nnofollow\">" ->
+        (true, true),
       "<meta name=\"robots\" content=\"all\">" -> (false, false),
       "<meta name=\"keywords\" content=\"noindex\">" -> (false, false),
       "<p>no meta at all</p>" -> (false, false))
