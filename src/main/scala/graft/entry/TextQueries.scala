@@ -557,6 +557,27 @@ private[graft] object TextQueries {
       nNodes = nodes.count(), iters = 10)
   }
 
+  /** The q188/q192 robots-cache plant: one robots fetch per budgeted
+    * host, fetched_at derived from the host digit against the
+    * [[Q178AsOfMicros]] clock (hosts whose digit puts their cache past
+    * the 24 h TTL must refetch robots before spending budget), written
+    * through the REAL persisted artifact ([[graft.ext.RobotsCache]]) —
+    * the gate then reads ages back from STORED timestamps. */
+  private def rebuildRobotsCacheFor(budget: DataFrame,
+      table: String): Unit = {
+    val digit = regexp_extract(col("link_host"),
+      "([0-9])\\.example\\.", 1)
+    val ageHours = lit(5L) +
+      coalesce(nullif(digit, lit("")), lit("0")).cast("long") * 5L
+    val fetches = budget.select(col("link_host").as("host"),
+      (lit(Q178AsOfMicros) - ageHours * 3600000000L)
+        .as("fetched_at_micros"),
+      lit("User-agent: *\nDisallow: /private\nCrawl-delay: 2")
+        .as("robots_body"))
+    graft.ext.RobotsCache.rebuild(fetches, "host",
+      "fetched_at_micros", "robots_body", table, nBuckets = 8)
+  }
+
   /** Train-once memo for the persisted host-authority artifact
     * ([[graft.ext.Graph.writePageRank]]): the first q187 probe in a
     * session trains q155's PageRank and persists it; every later
@@ -1774,23 +1795,107 @@ private[graft] object TextQueries {
       val fr = crawlFrontier(s, dir)
       val budget = fr.groupBy(col("link_host"))
         .agg(count(lit(1)).as("n_budgeted"))
-      val digit = regexp_extract(col("link_host"),
-        "([0-9])\\.example\\.", 1)
-      val ageHours = lit(5L) +
-        coalesce(nullif(digit, lit("")), lit("0")).cast("long") * 5L
-      val fetches = budget.select(col("link_host").as("host"),
-        (lit(Q178AsOfMicros) - ageHours * 3600000000L)
-          .as("fetched_at_micros"),
-        lit("User-agent: *\nDisallow: /private\nCrawl-delay: 2")
-          .as("robots_body"))
-      graft.ext.RobotsCache.rebuild(fetches, "host",
-        "fetched_at_micros", "robots_body", "graft_robots_cache_q188",
-        nBuckets = 8)
+      rebuildRobotsCacheFor(budget, "graft_robots_cache_q188")
       graft.ext.RobotsCache.ttlGate(s, budget, "link_host",
           "graft_robots_cache_q188", Q178AsOfMicros)
         .select(col("link_host"), col("n_budgeted"),
           col("robots_age_hours"), col("robots_stale"), col("action"))
         .orderBy("link_host")
+    }),
+
+    // ---- THE CRAWL CYCLE, end to end (oracle-checked): one cycle of
+    // a production crawl loop as ONE composed plan, every leg a
+    // shipped operator — the q154 frontier ranked per host, the q181
+    // throttle-aware schedule (robots crawl-delay floor + armed
+    // Retry-After), the q188 robots-TTL gate read back from the REAL
+    // persisted cache (stale hosts spend the cycle refetching robots;
+    // their scheduled fetches hold), a deterministic fetch simulation
+    // over the gated schedule (200/304/404/503 classes from the URL,
+    // bodies the q149 page generator), the q172 revisit-CDC merge of
+    // the answers into a cycle corpus (known URLs upsert/revalidate/
+    // tombstone, unknown 200s insert, unknown errors merge nothing,
+    // unvisited rows ride untouched), and the q149 extract→repair→
+    // quality→canonical funnel over the fetched bodies. One row per
+    // scheduled URL carrying every leg's verdict. The merge corpus is
+    // seeded from the schedule itself (every third URL pre-known, every
+    // sixth tombstoned) so all CDC classes are exercised on real keys.
+    "q192_crawl_cycle" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      // legs 1+2: frontier → throttle-aware schedule (q181 verbatim)
+      val delays = graft.ext.UrlOps.robotsCrawlDelay(
+        plantedRobotsTxt(docs), "host", "txt", "graftbot")
+      val backoff = graft.io.WarcIngest.withHttpResponse(
+          withPlantedRetryHttp(docs), "payload")
+        .filter(col("http_status").isin(429L, 503L))
+        .withColumn("ra_us", graft.ext.UrlOps.retryAfterMicros(
+          col("http_retry_after"), "2026-02-10 00:00:00"))
+        .groupBy(col("host"))
+        .agg(max(col("ra_us")).as("retry_after_micros"))
+      val sched = graft.ext.UrlOps.throttledSchedule(
+          crawlFrontier(s, dir), "link_host", "rank", delays, backoff,
+          defaultDelayMicros = 1000000L)
+        .localCheckpoint() // feeds gate, corpus, sim AND the output
+      // leg 3: the robots-TTL gate, ages from the persisted cache
+      val budget = sched.groupBy(col("link_host"))
+        .agg(count(lit(1)).as("n_budgeted"))
+      rebuildRobotsCacheFor(budget, "graft_robots_cache_q192")
+      val gate = graft.ext.RobotsCache.ttlGate(s, budget, "link_host",
+          "graft_robots_cache_q192", Q178AsOfMicros)
+        .select(col("link_host"), col("robots_age_hours"), col("action"))
+      val gs = sched.join(gate, Seq("link_host"))
+      val len = length(col("url_canon")).cast("long")
+      // the cycle corpus: every third scheduled URL is already known
+      // (every sixth tombstoned) — gated hosts' rows ride unvisited
+      val corpus = gs.filter(len % 3 === 0)
+        .select(col("url_canon"),
+          concat(lit("stale content of "), col("url_canon")).as("body"),
+          lit("2026-01-01").as("first_fetched"),
+          lit("2026-01-15").as("last_validated"),
+          (len % 6 =!= 0).as("is_active"))
+      // leg 4: deterministic fetch simulation, proceed hosts only
+      val fetchable = gs.filter(col("action") === "proceed")
+        .withColumn("fetch_id", row_number().over(
+          Window.orderBy(col("url_canon"))).cast("long"))
+        .withColumn("known", len % 3 === 0)
+        .withColumn("sim_status",
+          when(col("known") && len % 7 === 2, 304L)
+            .when(len % 7 === 0, 404L)
+            .when(len % 7 === 1, 503L)
+            .otherwise(200L))
+        .localCheckpoint() // feeds bodies, answers AND the output
+      val bodies = fetchable.filter(col("sim_status") === 200L)
+        .select(col("fetch_id").as("doc_id"),
+          concat(lit("crawl cycle fetch of "), col("url_canon"))
+            .as("text"),
+          col("url_canon"))
+        .withColumn("html", q149PageHtml)
+        .localCheckpoint() // feeds the merge answers AND the funnel
+      // leg 5: the revisit-CDC merge (q172's shipped operator)
+      val answers = fetchable
+        .join(bodies.select(col("url_canon"), col("html")),
+          Seq("url_canon"), "left")
+        .select(col("url_canon"), col("sim_status").as("http_status"),
+          when(col("sim_status") === 200L, col("html")).as("http_body"))
+      val merged = graft.ext.UrlOps.revisitMerge(corpus, answers,
+        "url_canon", "http_status", "http_body", "body",
+        lit("2026-02-10"))
+      // leg 6: the q149 funnel over the fetched bodies
+      val fun = funnelFromPages(bodies.select(col("doc_id"), col("html")))
+        .select(col("doc_id").as("fetch_id"), col("blocks_kept"),
+          col("kept").as("funnel_kept"), col("is_canonical"))
+      gs.join(fetchable.select(col("url_canon"), col("fetch_id"),
+          col("sim_status")), Seq("url_canon"), "left")
+        .join(merged.select(col("url_canon"), col("is_active"),
+          col("body_changed"), col("last_validated"),
+          md5(col("body")).as("body_md5")), Seq("url_canon"), "left")
+        .join(fun, Seq("fetch_id"), "left")
+        .select(col("link_host"), col("rank"), col("url_canon"),
+          col("fetch_at_micros"), col("robots_age_hours"), col("action"),
+          col("sim_status"), col("is_active"), col("body_changed"),
+          col("last_validated"), col("body_md5"), col("blocks_kept"),
+          col("funnel_kept"), col("is_canonical"))
+        .orderBy("link_host", "rank")
     }),
 
     // ---- THE URL IDENTITY LAYER (oracle-checked): what dedup should
@@ -2865,9 +2970,13 @@ private[graft] object TextQueries {
     "WITH aug AS (SELECT doc_id, " + q149HtmlSql +
       " AS html FROM documents),\n" + funnelStagesSql
 
-  /** The funnel's stage CTEs + final select, reading `aug(doc_id,
-    * html)` — shared by q149 and the q159 WARC round trip. */
-  private def funnelStagesSql: String = {
+  /** The funnel's stage CTE chain (ending at `kd`), reading
+    * `aug(doc_id, html)` — shared by q149, the q159 WARC round trip,
+    * and the q192 crawl-cycle capstone (which composes it mid-query
+    * instead of taking the final select). */
+  private def funnelStageCtes: String = funnelStageCtes("aug")
+
+  private def funnelStageCtes(srcRel: String): String = {
     val ph = htmlPrunedSql("html")
     val chain = TextOps.MojibakeRepairs.foldLeft("main") {
       case (acc, (m, r)) => s"replace($acc, '$m', '$r')"
@@ -2877,7 +2986,7 @@ private[graft] object TextQueries {
       "CAST(('0x' || substr(md5('f:graft:' || t), 1, 8))::BIGINT % 1024 " +
       "AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000)) AS BIGINT)"
     "bl AS (SELECT doc_id, string_split_regex(" + ph + ", '" +
-      TextOps.BlockSplitPattern + "') AS blocks FROM aug),\n" +
+      TextOps.BlockSplitPattern + "') AS blocks FROM " + srcRel + "),\n" +
       "k AS (SELECT doc_id, list_filter(list_transform(blocks, b -> " +
       htmlKeepTxtSql("b") + "), v -> v IS NOT NULL) AS kept FROM bl),\n" +
       "ext AS (SELECT doc_id, CAST(len(kept) AS BIGINT) AS blocks_kept, " +
@@ -2891,13 +3000,95 @@ private[graft] object TextQueries {
       logit + " AS logit_milli, len(ts) AS n_tokens FROM q),\n" +
       "kd AS (SELECT *, " +
       "floor(logit_milli / (n_tokens * 1000.0) * 1e6) / 1e6 >= 0.0 " +
-      "AS kept FROM sc)\n" +
+      "AS kept FROM sc)"
+  }
+
+  /** The funnel's final select over `kd` — q149/q159's output shape. */
+  private def funnelStagesSql: String =
+    funnelStageCtes + "\n" +
       "SELECT doc_id, blocks_kept, chars_collapsed, kept, " +
       "kept AND row_number() OVER " +
       "(PARTITION BY kept, md5(fixed) ORDER BY doc_id) = 1 " +
       "AS is_canonical, md5(fixed) AS fixed_md5 " +
       "FROM kd ORDER BY doc_id"
-  }
+
+  /** q192: the whole crawl cycle replayed — the q154 frontier CTEs,
+    * the q181 schedule formula, the q188 digit-age TTL CASE, the
+    * deterministic fetch classes, the q149 page generator + funnel
+    * stage CTEs over the fetched set, and the q172 merge semantics as
+    * a full-join CASE (the oracle replays RESULTS, not plumbing — the
+    * engine's persisted robots cache and revisitMerge operator
+    * produce exactly these relations). */
+  private def crawlCycleOracleSql: String =
+    "WITH " + frontierCtes + ",\n" + robotsTxtCtes + ",\n" +
+      crawlDelayCtes + ",\n" + retryAfterCtes + ",\n" +
+      "shd AS (SELECT f.link_host, CAST(f.rnk AS BIGINT) AS rank, " +
+      "f.link_canon AS url_canon, " +
+      "CAST(coalesce(g.retry_after_micros, 0) + " +
+      "(f.rnk - 1) * coalesce(d.dmic, 1000000) AS BIGINT) " +
+      "AS fetch_at_micros " +
+      "FROM rk f LEFT JOIN dms d ON d.host = f.link_host " +
+      "LEFT JOIN rag g ON g.host = f.link_host WHERE f.rnk <= 3),\n" +
+      "rta2 AS (SELECT link_host, 5 + CAST(coalesce(nullif(" +
+      "regexp_extract(link_host, '([0-9])\\.example\\.', 1), ''), '0') " +
+      "AS BIGINT) * 5 AS robots_age_hours FROM " +
+      "(SELECT DISTINCT link_host FROM shd) t),\n" +
+      "cgs AS (SELECT shd.*, rta2.robots_age_hours, " +
+      "CASE WHEN rta2.robots_age_hours > 24 THEN 'refetch_robots_first' " +
+      "ELSE 'proceed' END AS action FROM shd JOIN rta2 " +
+      "USING (link_host)),\n" +
+      "corp AS (SELECT url_canon, " +
+      "'stale content of ' || url_canon AS body, " +
+      "'2026-01-01' AS first_fetched, '2026-01-15' AS last_validated, " +
+      "length(url_canon) % 6 <> 0 AS is_active FROM cgs " +
+      "WHERE length(url_canon) % 3 = 0),\n" +
+      "fbl AS (SELECT *, CAST(row_number() OVER (ORDER BY url_canon) " +
+      "AS BIGINT) AS fetch_id, length(url_canon) % 3 = 0 AS known " +
+      "FROM cgs WHERE action = 'proceed'),\n" +
+      "sim AS (SELECT *, CAST(CASE " +
+      "WHEN known AND length(url_canon) % 7 = 2 THEN 304 " +
+      "WHEN length(url_canon) % 7 = 0 THEN 404 " +
+      "WHEN length(url_canon) % 7 = 1 THEN 503 " +
+      "ELSE 200 END AS BIGINT) AS sim_status FROM fbl),\n" +
+      "stx AS (SELECT fetch_id AS doc_id, " +
+      "'crawl cycle fetch of ' || url_canon AS text, url_canon " +
+      "FROM sim WHERE sim_status = 200),\n" +
+      "fag AS (SELECT doc_id, " + q149HtmlSql +
+      " AS html, url_canon FROM stx),\n" +
+      funnelStageCtes("fag") + ",\n" +
+      "fnl AS (SELECT doc_id AS fetch_id, blocks_kept, " +
+      "kept AS funnel_kept, " +
+      "kept AND row_number() OVER (PARTITION BY kept, md5(fixed) " +
+      "ORDER BY doc_id) = 1 AS is_canonical FROM kd),\n" +
+      "ans AS (SELECT s2.url_canon, s2.sim_status, g2.html " +
+      "FROM sim s2 LEFT JOIN fag g2 USING (url_canon)),\n" +
+      "mrg AS (SELECT coalesce(cc.url_canon, a.url_canon) AS url_canon, " +
+      "CASE WHEN a.sim_status = 200 THEN a.html ELSE cc.body END " +
+      "AS body, " +
+      "coalesce(cc.first_fetched, '2026-02-10') AS first_fetched, " +
+      "CASE WHEN a.sim_status IN (200, 304) THEN '2026-02-10' " +
+      "ELSE cc.last_validated END AS last_validated, " +
+      "CASE WHEN a.sim_status IN (200, 304) THEN true " +
+      "WHEN a.sim_status IN (404, 410) THEN false " +
+      "ELSE coalesce(cc.is_active, false) END AS is_active, " +
+      "coalesce(a.sim_status = 200 AND cc.body IS NOT NULL " +
+      "AND cc.body <> a.html, false) AS body_changed " +
+      "FROM corp cc FULL JOIN ans a ON cc.url_canon = a.url_canon " +
+      "WHERE cc.url_canon IS NOT NULL OR " +
+      "(a.url_canon IS NOT NULL AND a.sim_status = 200 " +
+      "AND a.html IS NOT NULL))\n" +
+      "SELECT g.link_host, g.rank, g.url_canon, g.fetch_at_micros, " +
+      "g.robots_age_hours, g.action, s.sim_status, m.is_active, " +
+      "m.body_changed, m.last_validated, " +
+      "CASE WHEN m.url_canon IS NOT NULL THEN md5(m.body) END " +
+      "AS body_md5, " +
+      "f.blocks_kept, f.funnel_kept, f.is_canonical " +
+      "FROM cgs g " +
+      "LEFT JOIN (SELECT url_canon, fetch_id, sim_status FROM sim) s " +
+      "USING (url_canon) " +
+      "LEFT JOIN mrg m ON m.url_canon = g.url_canon " +
+      "LEFT JOIN fnl f ON f.fetch_id = s.fetch_id " +
+      "ORDER BY link_host, rank"
 
   /** The q146 oracle: the SAME generated replace chain
     * ([[graft.ext.TextOps.MojibakeRepairs]]) over the same plant
@@ -5060,6 +5251,8 @@ private[graft] object TextQueries {
         "robots_age_hours > 24 AS robots_stale, " +
         "CASE WHEN robots_age_hours > 24 THEN 'refetch_robots_first' " +
         "ELSE 'proceed' END AS action FROM rta ORDER BY link_host"),
+
+    "q192_crawl_cycle" -> crawlCycleOracleSql,
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 
