@@ -374,10 +374,34 @@ object EventStreams {
                      htmlCol: String, rules: DataFrame, seenTable: String)(
       onBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    frontierStreamWith(pages, idCol, urlCol, htmlCol,
+      _ => rules, seenTable)(onBatch)
+
+  /** [[frontierStream]] against the LIVE persisted robots cache
+    * ([[graft.ext.RobotsCache]]): the rule table re-resolves from the
+    * cache's latest fetches at every micro-batch, so a robots refetch
+    * landed between batches ([[robotsFetchStream]]) changes the very
+    * next batch's verdicts — the cache, the TTL gate, and the frontier
+    * form one loop over one artifact (spec-pinned). */
+  def frontierStream(pages: DataFrame, idCol: String, urlCol: String,
+                     htmlCol: String, robotsCacheTable: String,
+                     seenTable: String)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    frontierStreamWith(pages, idCol, urlCol, htmlCol,
+      spark => graft.ext.RobotsCache.latestRules(spark, robotsCacheTable),
+      seenTable)(onBatch)
+
+  private def frontierStreamWith(pages: DataFrame, idCol: String,
+      urlCol: String, htmlCol: String,
+      rulesFor: SparkSession => DataFrame, seenTable: String)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     pages.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.{col, min}
         val spark = batch.sparkSession
+        val rules = rulesFor(spark)
         val canon = graft.ext.UrlOps.withCanonicalUrl(batch, urlCol)
         // fetched first: the batch's own pages must be seen before
         // their links are judged, or self-links would re-schedule them

@@ -165,6 +165,55 @@ class RobotsCacheSpec extends SparkSpec {
     assert(bad2 == Set("rules_have_fetch"), bad2)
   }
 
+  test("the cache-backed frontier loop: frontierStream re-resolves " +
+    "the LIVE rules per micro-batch, so a robots refetch landed " +
+    "between batches changes the next batch's verdicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val table = mkDb("rc7")
+    RobotsCache.rebuild(Seq(
+        ("s.com", asOf - 2 * H, "User-agent: *\nDisallow: /private"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table, nBuckets = 2)
+    val seen = "graft_rc7db.seen"
+    graft.streaming.EventStreams.initFrontierSeen(spark, seen,
+      nBuckets = 2)
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    var batchNo = 0L
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.EventStreams.frontierStream(
+        in.toDF().toDF("doc_id", "url", "html"),
+        "doc_id", "url", "html", table, seen) { (sched, _) =>
+      emitted.synchronized {
+        emitted += ((batchNo,
+          sched.select("link_canon").collect().map(_.getString(0))
+            .sorted.toSeq))
+        batchNo += 1
+      }
+    }
+    try {
+      in.addData((1L, "https://s.com/",
+        "<a href=\"/private/a\">x</a><a href=\"/public/b\">y</a>"))
+      q.processAllAvailable()
+      // the refetch lands between batches: the origin dropped the
+      // /private exclusion (allow-all body, rule-less)
+      RobotsCache.refresh(Seq(
+          ("s.com", asOf - 1 * H, "User-agent: *\nDisallow:"))
+          .toDF("host", "fetched_at_micros", "robots_body"),
+        "host", "fetched_at_micros", "robots_body", table)
+      in.addData((2L, "https://s.com/p2",
+        "<a href=\"/private/c\">x</a><a href=\"/public/d\">y</a>"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = emitted.toMap
+    // batch 1: the cached exclusion holds — /private/a never surfaces
+    assert(byBatch(0L) == Seq("https://s.com/public/b"), byBatch)
+    // batch 2: the refetched rules govern — /private/c now passes
+    assert(byBatch(1L) ==
+      Seq("https://s.com/private/c", "https://s.com/public/d"), byBatch)
+  }
+
   test("the cache feeds robotsVerdict in its expected shape: latest " +
     "rules gate a URL batch exactly like an in-plan parse would") {
     val table = mkDb("rc6")
