@@ -159,6 +159,49 @@ object HttpShim {
         .select("url_canon", "fetch_allowed", "rule_match_len")
     })
 
+  /** `/robots?url=…` served from the PERSISTED robots cache
+    * ([[graft.ext.RobotsCache]]) — the [[robotsRoutes]] pre-fetch
+    * check upgraded to LIVE state: the rule table re-resolves from
+    * the cache's latest fetches per request, so a robots refetch
+    * (`RobotsCache.refresh` / `EventStreams.robotsFetchStream`)
+    * changes the very next answer without a remount, and the response
+    * carries the host's cache age and the RFC 9309 §2.4 TTL action
+    * alongside the verdict — a worker that sees
+    * `refetch_robots_first` fetches robots first, not the URL (and a
+    * NEVER-cached host reads stale by definition: no cached
+    * permissions exist to fetch under). `asOfMicros` is the mount's
+    * injectable clock (a server passes real time; specs pin a fixed
+    * instant). */
+  def robotsCacheRoutes(spark: org.apache.spark.sql.SparkSession,
+                        cacheTable: String, asOfMicros: () => Long)
+      : Map[String, HttpExchange => DataFrame] = Map(
+    "robots" -> { ex =>
+      import org.apache.spark.sql.functions.{col, lit, regexp_extract, when}
+      val params = queryParams(ex.getRequestURI.getRawQuery)
+      val url = params.getOrElse("url", "")
+      require(url.trim.nonEmpty, "missing or empty ?url= parameter")
+      import spark.implicits._
+      val canon = graft.ext.UrlOps.withCanonicalUrl(
+        Seq(url).toDF("url"), "url")
+      val verdict = graft.ext.UrlOps.robotsVerdict(
+        canon.select(col("url_canon")), "url_canon", "url_canon",
+        graft.ext.RobotsCache.latestRules(spark, cacheTable))
+      val ages = graft.ext.RobotsCache
+        .ages(spark, cacheTable, asOfMicros())
+        .select(col("host"), col("robots_age_hours"))
+      verdict
+        .withColumn("host", regexp_extract(col("url_canon"),
+          "^[a-z][a-z0-9+.-]*://([^/?]*)", 1))
+        .join(ages, Seq("host"), "left")
+        .withColumn("robots_stale",
+          col("robots_age_hours").isNull ||
+            col("robots_age_hours") > lit(24L))
+        .withColumn("action", when(col("robots_stale"),
+          lit("refetch_robots_first")).otherwise(lit("proceed")))
+        .select("url_canon", "fetch_allowed", "rule_match_len",
+          "robots_age_hours", "robots_stale", "action")
+    })
+
   /** `/rag?id=<doc>[&k=N]` — full RAG serving over the persisted
     * index pair: the query is a corpus member (more-like-this), its
     * terms from `docs`, its vector from the IVF index itself; the

@@ -296,4 +296,52 @@ class HttpShimSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS graft_robdb CASCADE")
     }
   }
+
+  test("/robots from the LIVE persisted cache: age and TTL action ride " +
+    "the verdict, and a refetch changes the served answer without a " +
+    "remount") {
+    import graft.ext.RobotsCache
+    val asOf = 1770681600000000L
+    val H = 3600000000L
+    val loc = Files.createTempDirectory("graft_httprc").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_hrcdb LOCATION '$loc'")
+    RobotsCache.rebuild(Seq(
+        ("ex.com", asOf - 30 * H, "User-agent: *\nDisallow: /old"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body",
+      "graft_hrcdb.cache", nBuckets = 2)
+    val shim = HttpShim.startDynamic(
+      HttpShim.robotsCacheRoutes(spark, "graft_hrcdb.cache", () => asOf))
+    try {
+      // stale cache: the verdict still serves (old rules), but the
+      // action tells the worker to refetch robots first
+      val (c1, b1) = get(shim.port,
+        "/robots?url=https%3A%2F%2Fex.com%2Fold%2Fx")
+      assert(c1 == 200 && b1.contains(""""fetch_allowed":false""") &&
+        b1.contains(""""robots_age_hours":30""") &&
+        b1.contains(""""action":"refetch_robots_first""""), b1)
+      // the refetch lands (no remount): rules AND age move
+      RobotsCache.refresh(Seq(
+          ("ex.com", asOf - 1 * H, "User-agent: *\nDisallow: /new"))
+          .toDF("host", "fetched_at_micros", "robots_body"),
+        "host", "fetched_at_micros", "robots_body", "graft_hrcdb.cache")
+      val (c2, b2) = get(shim.port,
+        "/robots?url=https%3A%2F%2Fex.com%2Fold%2Fx")
+      assert(c2 == 200 && b2.contains(""""fetch_allowed":true""") &&
+        b2.contains(""""robots_age_hours":1""") &&
+        b2.contains(""""action":"proceed""""), b2)
+      val (c3, b3) = get(shim.port,
+        "/robots?url=https%3A%2F%2Fex.com%2Fnew%2Fy")
+      assert(c3 == 200 && b3.contains(""""fetch_allowed":false"""), b3)
+      // never-cached host: allowed by rules-absence but the TTL action
+      // says fetch robots first — no cached permissions exist
+      val (c5, b5) = get(shim.port,
+        "/robots?url=https%3A%2F%2Fnever.org%2Fz")
+      assert(c5 == 200 && b5.contains(""""fetch_allowed":true""") &&
+        b5.contains(""""action":"refetch_robots_first""""), b5)
+    } finally {
+      shim.stop()
+      spark.sql("DROP DATABASE IF EXISTS graft_hrcdb CASCADE")
+    }
+  }
 }
