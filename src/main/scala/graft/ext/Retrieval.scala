@@ -349,6 +349,11 @@ object Retrieval {
                     table: String, queryTerms: Seq[String],
                     k: Int): DataFrame = {
     require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
+    // appends may land from another session (a streaming ingest
+    // clone): re-list both relations so the probe serves the grown
+    // corpus — the cost is a file listing, bounded by index file count
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(s"${table}_meta")
     val meta = spark.table(s"${table}_meta").select(col("n"), col("t"))
     val idCol = bm25IdCol(spark, table)
     // drop("df"): tolerate the legacy denormalized-df layout — df now
@@ -404,6 +409,9 @@ object Retrieval {
                         queryIdCol: String, textCol: String,
                         k: Int, excludeSelf: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // cross-session append visibility — the bm25ProbeTopK rationale
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(s"${table}_meta")
     val qt = queries.select(col(queryIdCol),
         explode(array_distinct(TextOps.tokens(lower(col(textCol)))))
           .as("term"))

@@ -218,6 +218,27 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous maintenance of the persisted BM25 index — the ingest
+    * twin of [[bm25QueryStream]] (the `nearDupProbeStream` +
+    * `appendToMinhashIndex` pairing, completed for the lexical
+    * family): each micro-batch of new documents appends via
+    * `Retrieval.appendToBm25Index` — a pure bucketed postings insert
+    * plus an O(batch) meta bump, with probe-time df making nothing
+    * stale (see `writeBm25Index`) — so a serving stream probing the
+    * same table answers over the grown corpus from its next batch.
+    * Batch ids must be new to the index (the ingest loop's dedup
+    * contract); `auditBm25`'s uniqueness check is the backstop.
+    */
+  def bm25IngestStream(docs: DataFrame, idCol: String, textCol: String,
+                       table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Retrieval.appendToBm25Index(batch, idCol, textCol,
+          table)
+      }
+      .start()
+
   /** Continuous crawl ingest — the q149 funnel's PER-DOCUMENT stages
     * run on each micro-batch of raw (id, html) pages, reusing the
     * batch operators verbatim: [[graft.ext.TextOps.extractMainContent]]
@@ -1658,4 +1679,109 @@ object RevisitStream {
         ()
       }
       .start()
+
+  // ------------------------------------------------------------------
+  // The LOG-BACKED variant — the deployment-scale storage the plain
+  // parquet swap above documents itself as standing in for: the corpus
+  // lives as an APPEND-ONLY, URL-BUCKETED change log (one row per URL
+  // version, stamped with the cycle seq), reads are latest-wins (max
+  // seq per URL — a map-side-combining aggregate on the bucket key,
+  // never an Exchange of the corpus), and a revisit batch costs ONE
+  // batch-sized append: the merge runs against only the SLICE of
+  // current state whose URLs the batch touched (semi-join pruned off
+  // the bucketed scan), so nothing corpus-sized is rewritten OR
+  // shuffled per cycle. `compactLog` is the maintenance rewrite that
+  // folds history down to the live edge (run on the caller's cadence,
+  // not per batch). Latest-wins state ≡ the swap-based state ≡ the
+  // one-shot merge under the same batching (spec-pinned).
+  // ------------------------------------------------------------------
+
+  /** Seed the change log at `table` (url-bucketed) with the initial
+    * corpus as seq-0 versions. */
+  def initLog(corpus: DataFrame, urlCol: String, bodyCol: String,
+              table: String, nBuckets: Int = 32): Unit =
+    corpus.select(col(urlCol), col(bodyCol), col("first_fetched"),
+        col("last_validated"), col("is_active"), lit(0L).as("__seq"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, urlCol).sortBy(urlCol)
+      .mode("overwrite").saveAsTable(table)
+
+  /** The live corpus: each URL's highest-seq version. One aggregate
+    * on the bucketed URL key — Exchange-free; the struct max orders
+    * by seq first (payload fields ride along). */
+  def logState(spark: SparkSession, table: String, urlCol: String,
+               bodyCol: String): DataFrame = {
+    spark.catalog.refreshTable(table)
+    spark.table(table)
+      .groupBy(col(urlCol))
+      .agg(max(struct(col("__seq"), col(bodyCol).as("b"),
+        col("first_fetched").as("ff"), col("last_validated").as("lv"),
+        col("is_active").as("act"))).as("__v"))
+      .select(col(urlCol), col("__v.b").as(bodyCol),
+        col("__v.ff").as("first_fetched"),
+        col("__v.lv").as("last_validated"),
+        col("__v.act").as("is_active"))
+  }
+
+  /** Apply ONE revisit batch to the log: merge against the CURRENT
+    * state of only the batch's URLs, emit the CDC rows, append them
+    * as seq-`seq` versions. `seq` must be strictly greater than any
+    * applied seq (the streaming wrapper passes batchId + 1; seq 0 is
+    * the bootstrap). Replay contract: re-appending the same (urls,
+    * seq) leaves latest-wins state unchanged — a duplicated version
+    * row ties on seq with identical payload, so the max is stable —
+    * but run [[compactLog]] to shed the dead rows. */
+  def applyBatchLog(spark: SparkSession, batch: DataFrame,
+                    urlCol: String, statusCol: String,
+                    newBodyCol: String, bodyCol: String, table: String,
+                    seq: Long, now: Column,
+                    onBatch: DataFrame => Unit = _ => ()): Unit = {
+    // current state of ONLY the touched URLs: the bucketed scan feeds
+    // the latest-wins aggregate, then a batch-keyed semi-join prunes —
+    // the corpus side never exchanges (bucket layout), and the merge's
+    // full-outer runs on a batch-sized slice
+    val slice = logState(spark, table, urlCol, bodyCol)
+      .join(batch.select(col(urlCol)).distinct(), Seq(urlCol),
+        "left_semi")
+    val merged = graft.ext.UrlOps.revisitMerge(slice, batch, urlCol,
+      statusCol, newBodyCol, bodyCol, now)
+    val pinned = merged.localCheckpoint()
+    onBatch(pinned)
+    pinned.drop("body_changed").withColumn("__seq", lit(seq))
+      .select(col(urlCol), col(bodyCol), col("first_fetched"),
+        col("last_validated"), col("is_active"), col("__seq"))
+      .write.mode("append").insertInto(table)
+  }
+
+  /** Start the log-backed loop: one [[applyBatchLog]] per micro-batch,
+    * seq = batchId + 1 (replay-stable: a retried batch re-appends
+    * under ITS OWN seq and latest-wins absorbs the duplicate). */
+  def startLog(revisits: DataFrame, urlCol: String, statusCol: String,
+               newBodyCol: String, bodyCol: String, table: String,
+               nowFor: Long => Column = _ => current_timestamp())(
+      onBatch: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    revisits.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchLog(batch.sparkSession, batch, urlCol, statusCol,
+          newBodyCol, bodyCol, table, batchId + 1, nowFor(batchId),
+          onBatch)
+        ()
+      }
+      .start()
+
+  /** Fold the log down to its live edge (latest version per URL,
+    * re-stamped seq 0) in the same bucket layout — the maintenance
+    * rewrite a long-running loop schedules on its own cadence. State
+    * before ≡ state after (spec-pinned). */
+  def compactLog(spark: SparkSession, table: String, urlCol: String,
+                 bodyCol: String, nBuckets: Int = 32): Unit = {
+    val live = logState(spark, table, urlCol, bodyCol)
+      .withColumn("__seq", lit(0L)).localCheckpoint()
+    live.select(col(urlCol), col(bodyCol), col("first_fetched"),
+        col("last_validated"), col("is_active"), col("__seq"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, urlCol).sortBy(urlCol)
+      .mode("overwrite").saveAsTable(table)
+  }
 }

@@ -195,6 +195,35 @@ class Bm25IndexSpec extends SparkSpec {
     assert(post.exists(r => r.head == 3L))
   }
 
+  test("streaming ingest: two micro-batches through bm25IngestStream " +
+    "equal a one-shot build over the union, fsck green") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val loc = java.nio.file.Files.createTempDirectory("graft_bm25i").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25idb LOCATION '$loc'")
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") < 1), "doc_id",
+      "text", "graft_bm25idb.ing", nBuckets = 4)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.bm25IngestStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      "graft_bm25idb.ing")
+    try {
+      in.addData((1L, "cat fish"), (2L, "dog dog dog"))
+      q.processAllAvailable()
+      in.addData((3L, "bird mouse cat dog fish"), (4L, "bird bird"))
+      q.processAllAvailable()
+    } finally q.stop()
+    for (terms <- Seq(Seq("cat", "mouse"), Seq("bird"))) {
+      val streamed = canon(Retrieval.bm25ProbeTopK(
+        spark, "graft_bm25idb.ing", terms, k = 10))
+      val oneShot = canon(Retrieval.bm25ProbeTopK(spark, table,
+        terms, k = 10))
+      assert(streamed == oneShot && streamed.nonEmpty, s"terms=$terms")
+    }
+    assert(graft.ext.IndexAudit.auditBm25(spark, "graft_bm25idb.ing")
+      .filter(!col("ok")).count() == 0)
+  }
+
   test("meta scalars match the corpus (N docs, T tokens) and record " +
     "the id column by NAME (probes must never bind positionally)") {
     val m = spark.table(s"${table}_meta").collect().head

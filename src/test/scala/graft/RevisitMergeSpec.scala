@@ -164,6 +164,58 @@ class RevisitMergeSpec extends SparkSpec {
     assert(st() == before)
   }
 
+  test("log-backed revisit state: append-only micro-batches reach the " +
+    "one-shot merge state, compaction folds history without changing " +
+    "it, and a replayed batch is absorbed by latest-wins") {
+    import graft.streaming.RevisitStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val loc = java.nio.file.Files.createTempDirectory("graft_rvlog").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_rvldb LOCATION '$loc'")
+    val table = "graft_rvldb.corpus_log"
+    RevisitStream.initLog(corpus, "url_canon", "body", table,
+      nBuckets = 4)
+    val rows = revisits.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)))).toSeq
+    val (b1, b2) = rows.splitAt(4)
+    val in = MemoryStream[(String, Long, Option[String])]
+    val q = RevisitStream.startLog(
+        in.toDF().toDF("url_canon", "http_status", "http_body"),
+        "url_canon", "http_status", "http_body", "body", table,
+        nowFor = _ => lit("2026-02-10"))()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def state(): Map[String, (String, String, String, Boolean)] =
+      RevisitStream.logState(spark, table, "url_canon", "body")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+          r.getString(3), r.getBoolean(4)))).toMap
+    val want = UrlOps.revisitMerge(corpus, revisits, "url_canon",
+        "http_status", "http_body", "body", lit("2026-02-10"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))).toMap
+    assert(state() == want && want.size == 8)
+    // the log grew APPEND-ONLY: 7 bootstrap versions + each batch's
+    // mergeable rows as new versions (phantom contributes nothing)
+    val logRows = spark.table(table).count()
+    assert(logRows == 7 + 4 + 3, s"log rows $logRows")
+    // replay of cycle 2 under its own seq: latest-wins absorbs it
+    RevisitStream.applyBatchLog(spark,
+      b2.toDF("url_canon", "http_status", "http_body"),
+      "url_canon", "http_status", "http_body", "body", table,
+      seq = 2L, lit("2026-02-10"))
+    assert(state() == want)
+    // compaction: history folds to the live edge, state unchanged
+    RevisitStream.compactLog(spark, table, "url_canon", "body",
+      nBuckets = 4)
+    assert(state() == want)
+    assert(spark.table(table).count() == 8)
+  }
+
   test("merge is idempotent: re-applying the same revisit batch to " +
     "the merged state changes nothing but the already-set fields") {
     val once = UrlOps.revisitMerge(corpus, revisits, "url_canon",
