@@ -1706,14 +1706,13 @@ object RevisitStream {
       .bucketBy(nBuckets, urlCol).sortBy(urlCol)
       .mode("overwrite").saveAsTable(table)
 
-  /** The live corpus: each URL's highest-seq version. One aggregate
-    * on the bucketed URL key — Exchange-free; the struct max orders
-    * by seq first (payload fields ride along). */
-  def logState(spark: SparkSession, table: String, urlCol: String,
-               bodyCol: String): DataFrame = {
-    spark.catalog.refreshTable(table)
-    spark.table(table)
-      .groupBy(col(urlCol))
+  /** Latest-wins fold over a (pre-filtered) slice of the log: each
+    * URL's highest-seq version. On the unfiltered log the aggregate
+    * runs Exchange-free on the bucketed URL key; the struct max
+    * orders by seq first (payload fields ride along). */
+  private def latestWins(log: DataFrame, urlCol: String,
+                         bodyCol: String): DataFrame =
+    log.groupBy(col(urlCol))
       .agg(max(struct(col("__seq"), col(bodyCol).as("b"),
         col("first_fetched").as("ff"), col("last_validated").as("lv"),
         col("is_active").as("act"))).as("__v"))
@@ -1721,6 +1720,12 @@ object RevisitStream {
         col("__v.ff").as("first_fetched"),
         col("__v.lv").as("last_validated"),
         col("__v.act").as("is_active"))
+
+  /** The live corpus: each URL's highest-seq version. */
+  def logState(spark: SparkSession, table: String, urlCol: String,
+               bodyCol: String): DataFrame = {
+    spark.catalog.refreshTable(table)
+    latestWins(spark.table(table), urlCol, bodyCol)
   }
 
   /** Apply ONE revisit batch to the log: merge against the CURRENT
@@ -1736,13 +1741,17 @@ object RevisitStream {
                     newBodyCol: String, bodyCol: String, table: String,
                     seq: Long, now: Column,
                     onBatch: DataFrame => Unit = _ => ()): Unit = {
-    // current state of ONLY the touched URLs: the bucketed scan feeds
-    // the latest-wins aggregate, then a batch-keyed semi-join prunes —
-    // the corpus side never exchanges (bucket layout), and the merge's
-    // full-outer runs on a batch-sized slice
-    val slice = logState(spark, table, urlCol, bodyCol)
-      .join(batch.select(col(urlCol)).distinct(), Seq(urlCol),
-        "left_semi")
+    // current state of ONLY the touched URLs: the batch's URL set
+    // BROADCAST-semi-prunes the log scan BELOW the latest-wins fold,
+    // so the per-cycle aggregate touches the touched URLs' version
+    // rows, not the corpus — the log never exchanges and never folds
+    // whole
+    spark.catalog.refreshTable(table)
+    val slice = latestWins(
+      spark.table(table).join(
+        broadcast(batch.select(col(urlCol)).distinct()),
+        Seq(urlCol), "left_semi"),
+      urlCol, bodyCol)
     val merged = graft.ext.UrlOps.revisitMerge(slice, batch, urlCol,
       statusCol, newBodyCol, bodyCol, now)
     val pinned = merged.localCheckpoint()
