@@ -189,6 +189,34 @@ object IndexAudit {
       ("mass_conserved", sum, sumWant)))
   }
 
+  /** Revisit change log ([[graft.streaming.RevisitStream.initLog]]):
+    * the append-only url-bucketed version log latest-wins reads fold.
+    *  - `versions_consistent`: no (url, seq) carries two DIFFERENT
+    *    payloads — identical replay duplicates are benign (latest-wins
+    *    absorbs them; compaction sheds them), but divergent rows at
+    *    one seq mean two writers raced a cycle (observed = violating
+    *    (url, seq) pairs, expected 0);
+    *  - `bootstrap_present`: every URL's version history reaches back
+    *    to a seq-0 bootstrap OR begins at an insert cycle (seq > 0 is
+    *    fine for discovered URLs) — concretely, no URL has a MINIMUM
+    *    seq that is negative (a stamp no writer issues; observed =
+    *    violating urls, expected 0).
+    */
+  def auditRevisitLog(spark: SparkSession, table: String,
+                      urlCol: String): DataFrame = {
+    val log = spark.table(table)
+    val divergent = log.groupBy(col(urlCol), col("__seq"))
+      .agg(countDistinct(struct(log.columns.filterNot(c =>
+        c == urlCol || c == "__seq").map(col): _*)).as("n"))
+      .filter(col("n") > 1).count()
+    val badSeq = log.groupBy(col(urlCol))
+      .agg(min(col("__seq")).as("s0"))
+      .filter(col("s0") < 0).count()
+    report(spark, Seq(
+      ("versions_consistent", divergent, 0L),
+      ("bootstrap_present", badSeq, 0L)))
+  }
+
   /** Quality-model pair ([[QualityModel.writeQualityModel]]): the lattice
     * must be DENSE — buckets exactly 0..n-1, no gaps or duplicates
     * (the scorer indexes by position; a gap silently misbinds every

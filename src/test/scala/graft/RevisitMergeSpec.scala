@@ -214,6 +214,19 @@ class RevisitMergeSpec extends SparkSpec {
       nBuckets = 4)
     assert(state() == want)
     assert(spark.table(table).count() == 8)
+    // fsck green post-compaction; a DIVERGENT same-seq version (two
+    // writers racing a cycle) trips versions_consistent
+    import graft.ext.IndexAudit
+    assert(IndexAudit.auditRevisitLog(spark, table, "url_canon")
+      .filter(!col("ok")).count() == 0)
+    Seq(("https://h.example.com/changed", "RACED BODY", "2026-01-01",
+        "2026-02-10", true, 0L))
+      .toDF("url_canon", "body", "first_fetched", "last_validated",
+        "is_active", "__seq")
+      .write.mode("append").insertInto(table)
+    val bad = IndexAudit.auditRevisitLog(spark, table, "url_canon")
+      .filter(!col("ok")).collect().map(_.getString(0)).toSet
+    assert(bad == Set("versions_consistent"), bad)
   }
 
   test("merge is idempotent: re-applying the same revisit batch to " +
