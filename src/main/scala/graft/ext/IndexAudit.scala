@@ -510,6 +510,30 @@ object IndexAudit {
       Ivf.distortionByList(spark, table, vecCol, m * dsub, coarse), tolMicro)
   }
 
+  /** Drift check for the persisted PageRank artifact
+    * ([[Graph.writePageRank]]): the scheduler LEFT-joins authority
+    * onto current hosts, and every host absent from the stored node
+    * universe silently ranks 0 — so coverage decay, not rank decay,
+    * is the retrain trigger (rank decay is unobservable without
+    * retraining, which would defeat the artifact).
+    *  - `hosts_covered`: current hosts missing from the stored table
+    *    (observed = missing count, expected 0; on `ok = false`,
+    *    retrain via [[Graph.pageRankMicro]] + rewrite).
+    * One distinct over the current host relation + an anti-join onto
+    * the bucketed artifact scan.
+    */
+  def driftPageRank(spark: SparkSession, table: String,
+                    currentHosts: DataFrame, hostCol: String)
+      : DataFrame = {
+    val meta = spark.table(s"${table}_meta").head
+    val idCol = meta.getString(meta.fieldIndex("id_col"))
+    val missing = currentHosts.select(col(hostCol).as(idCol)).distinct()
+      .join(spark.table(table).select(col(idCol)), Seq(idCol),
+        "left_anti")
+      .count()
+    report(spark, Seq(("hosts_covered", missing, 0L)))
+  }
+
   private def driftReport(spark: SparkSession, table: String,
                           current: DataFrame, tolMicro: Long): DataFrame = {
     val health = spark.table(s"${table}_health")

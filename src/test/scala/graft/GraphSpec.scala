@@ -208,4 +208,29 @@ class GraphSpec extends SparkSpec {
       .filter(!col("ok")).collect().map(_.getString(0)).toSet
     assert(bad == Set("node_count", "ids_unique", "mass_conserved"), bad)
   }
+
+  test("PageRank drift: the stored artifact covers its trained host " +
+    "universe; a newly discovered host trips the coverage check (the " +
+    "retrain trigger)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val loc = java.nio.file.Files.createTempDirectory("graft_prd").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_prddb LOCATION '$loc'")
+    val nodes = (0L until 4L).toDF("host_id")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("src", "dst")
+    Graph.writePageRank(
+      Graph.pageRankMicro(nodes, edges, "host_id", "src", "dst",
+        nNodes = 4, iters = 5),
+      "host_id", "graft_prddb.pr", iters = 5, nNodes = 4, nBuckets = 2)
+    val clean = graft.ext.IndexAudit.driftPageRank(spark,
+      "graft_prddb.pr", nodes, "host_id")
+    assert(clean.filter(!col("ok")).count() == 0)
+    val grown = nodes.union(Seq(9L, 10L).toDF("host_id"))
+    val drifted = graft.ext.IndexAudit.driftPageRank(spark,
+        "graft_prddb.pr", grown, "host_id")
+      .filter(!col("ok")).collect()
+    assert(drifted.length == 1 &&
+      drifted.head.getString(0) == "hosts_covered" &&
+      drifted.head.getLong(2) == 2L, drifted.toSeq)
+  }
 }
