@@ -1995,6 +1995,43 @@ private[graft] object TextQueries {
         .orderBy("url_canon")
     }),
 
+    // ---- revisit LOG state (oracle-checked): the deployment-scale
+    // storage for the crawl corpus exercised through the CATALOG — the
+    // q172 corpus bootstraps an append-only url-bucketed change log
+    // (RevisitStream.initLog), the q172 revisit answers split into TWO
+    // cycles by url parity (each applied via applyBatchLog at its own
+    // clock — a batch-sized append against the touched-URL state
+    // slice, never a corpus rewrite), and the output is the log's
+    // latest-wins read (max-seq version per URL off one bucket-key
+    // aggregate). The oracle replays the RESULT: the q172 merge CASE
+    // with the per-cycle clock keyed by the same parity.
+    "q193_revisit_log_state" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = graft.io.WarcIngest.withHttpResponse(
+          withPlantedRevisitHttp(docs), "payload")
+        .select(col("url").as("url_canon"), col("http_status"),
+          col("http_body"))
+      val table = "graft_revisit_log_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+      graft.streaming.RevisitStream.initLog(
+        plantedRevisitCorpus(docs), "url_canon", "body", table,
+        nBuckets = 8)
+      graft.streaming.RevisitStream.applyBatchLog(s,
+        gated.filter(length(col("url_canon")) % 2 === 0),
+        "url_canon", "http_status", "http_body", "body", table,
+        seq = 1L, lit("2026-02-10"))
+      graft.streaming.RevisitStream.applyBatchLog(s,
+        gated.filter(length(col("url_canon")) % 2 === 1),
+        "url_canon", "http_status", "http_body", "body", table,
+        seq = 2L, lit("2026-02-17"))
+      graft.streaming.RevisitStream.logState(s, table, "url_canon",
+          "body")
+        .select(col("url_canon"), col("is_active"),
+          md5(col("body")).as("body_md5"), col("first_fetched"),
+          col("last_validated"))
+        .orderBy("url_canon")
+    }),
+
     // ---- sitemap-index RECURSION capstone (oracle-checked): the loop
     // q164 opened, closed — the in-scope child queue feeds simulated
     // child fetches whose bodies run back through the SAME <url>
@@ -4651,6 +4688,30 @@ private[graft] object TextQueries {
       "last_validated, body_changed FROM mm ORDER BY url_canon"
   }
 
+  /** q193: the q172 plant merged under the TWO-CYCLE clock — each
+    * revisited URL's `now` keyed by the same length parity the engine
+    * splits its log batches on; the oracle replays the latest-wins
+    * RESULT, not the log plumbing (the q188 discipline). */
+  private def revisitLogOracleSql: String = {
+    val base = revisitMergeOracleSql
+    val nowCase = "CASE WHEN length(coalesce(ru, cu)) % 2 = 0 " +
+      "THEN '2026-02-10' ELSE '2026-02-17' END"
+    val patched = base
+      .replace("coalesce(first_fetched, '2026-02-10') AS first_fetched",
+        "coalesce(first_fetched, " + nowCase + ") AS first_fetched")
+      .replace("THEN '2026-02-10' ELSE last_validated END AS " +
+        "last_validated",
+        "THEN " + nowCase + " ELSE last_validated END AS " +
+          "last_validated")
+      .replace("SELECT url_canon, is_active, body_md5, " +
+        "first_fetched, last_validated, body_changed FROM mm " +
+        "ORDER BY url_canon",
+        "SELECT url_canon, is_active, body_md5, first_fetched, " +
+          "last_validated FROM mm ORDER BY url_canon")
+    require(patched != base, "q193 oracle patch did not apply")
+    patched
+  }
+
   /** The child-sitemap fetch loop as CTEs — q164's index-tier parse
     * (`ib`/`ii`/`ic`), the child-body construction from the in-scope
     * children, and the `<url>`-tier pulls + canonicalization chain
@@ -5223,6 +5284,8 @@ private[graft] object TextQueries {
     "q171_sitemap_recursion" -> sitemapRecursionOracleSql,
 
     "q172_revisit_merge" -> revisitMergeOracleSql,
+
+    "q193_revisit_log_state" -> revisitLogOracleSql,
 
     "q173_unified_frontier" -> unifiedFrontierOracleSql,
 

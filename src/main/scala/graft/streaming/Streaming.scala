@@ -1699,12 +1699,14 @@ object RevisitStream {
   /** Seed the change log at `table` (url-bucketed) with the initial
     * corpus as seq-0 versions. */
   def initLog(corpus: DataFrame, urlCol: String, bodyCol: String,
-              table: String, nBuckets: Int = 32): Unit =
+              table: String, nBuckets: Int = 32): Unit = {
+    graft.ext.Warehouse.resetTable(corpus.sparkSession, table)
     corpus.select(col(urlCol), col(bodyCol), col("first_fetched"),
         col("last_validated"), col("is_active"), lit(0L).as("__seq"))
       .write.format("parquet")
       .bucketBy(nBuckets, urlCol).sortBy(urlCol)
       .mode("overwrite").saveAsTable(table)
+  }
 
   /** Latest-wins fold over a (pre-filtered) slice of the log: each
     * URL's highest-seq version. On the unfiltered log the aggregate
