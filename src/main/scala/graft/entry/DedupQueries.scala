@@ -27,6 +27,31 @@ private[graft] object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- cross-host MIRROR detection (oracle-checked): exact content
+    // equality lifted from document pairs to HOST pairs — full mirrors
+    // and scraped republishers a crawler should stop double-fetching.
+    // The plant: mirror content keys served by the four EVEN hosts
+    // (the clique the detector must find), one boilerplate notice on
+    // ALL eight hosts (dropped by the degenerate-hash cap — evidence
+    // of site furniture, not mirroring), and per-document unique
+    // bodies (no pairs). Capped self-join on the content hash, exact
+    // integer-micro host-corpus Jaccard.
+    "q195_mirror_detection" -> ((s, dir) => {
+      val d = col("doc_id")
+      val planted = t(s, dir, "documents").select(
+        concat(lit("m"),
+          when(d % 3 === 0, (d % 4) * 2).otherwise(d % 8)
+            .cast("string"),
+          lit(".example.org")).as("mhost"),
+        when(d % 3 === 0, concat(lit("shared "), (d % 31).cast("string")))
+          .when(d % 3 === 1, lit("boilerplate notice"))
+          .otherwise(concat(lit("uniq "), d.cast("string")))
+          .as("mtext"))
+      Dedup.mirrorCandidates(planted, "mhost", "mtext",
+          minShared = 2L, maxHostsPerHash = 6)
+        .orderBy("host_a", "host_b")
+    }),
+
     // ---- near-dup pairs: prefix-blocked n-gram Jaccard (oracle-checked;
     // native shingling — identical output, spec-pinned) ----------------------
     "q25_near_dup_jaccard" -> ((s, dir) => {
@@ -276,6 +301,36 @@ private[graft] object DedupQueries {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id,
         |  count(*) AS dup_count
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+
+    // q195: the same lift replayed on raw text equality (md5 is
+    // injective up to collision on both sides, so grouping by the text
+    // itself is the same relation); the cap, the ordered pair join,
+    // and the integer-micro Jaccard via DuckDB's truncating //
+    "q195_mirror_detection" ->
+      """WITH cls AS (SELECT
+        |  'm' || CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 4) * 2
+        |    ELSE doc_id % 8 END AS VARCHAR) || '.example.org' AS host,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'shared ' ||
+        |      CAST(doc_id % 31 AS VARCHAR)
+        |    WHEN doc_id % 3 = 1 THEN 'boilerplate notice'
+        |    ELSE 'uniq ' || CAST(doc_id AS VARCHAR) END AS t
+        |  FROM documents),
+        |hx AS (SELECT DISTINCT host, t FROM cls),
+        |cnt AS (SELECT t, count(*) AS n FROM hx GROUP BY t),
+        |ok AS (SELECT hx.host, hx.t FROM hx JOIN cnt USING (t)
+        |  WHERE n <= 6),
+        |ph AS (SELECT host, CAST(count(*) AS BIGINT) AS nd FROM ok
+        |  GROUP BY host),
+        |pr AS (SELECT a.host AS host_a, b.host AS host_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM ok a JOIN ok b ON a.t = b.t AND a.host < b.host
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT host_a, host_b, n_shared, pa.nd AS n_a, pb.nd AS n_b,
+        |  CAST((1000000 * n_shared) // (pa.nd + pb.nd - n_shared)
+        |    AS BIGINT) AS jaccard_micro
+        |FROM pr JOIN ph pa ON pa.host = host_a
+        |JOIN ph pb ON pb.host = host_b
+        |ORDER BY host_a, host_b""".stripMargin,
 
     "q25_near_dup_jaccard" ->
       """WITH sh AS (

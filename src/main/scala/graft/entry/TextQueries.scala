@@ -2032,6 +2032,50 @@ private[graft] object TextQueries {
         .orderBy("url_canon")
     }),
 
+    // ---- robots POLICY-DELTA detection (oracle-checked): what the
+    // cache's append-only history exists to answer — when a refetch
+    // lands, did the origin CHANGE its policy, and in which direction?
+    // Per host with two recorded fetches, the rule-set diff between
+    // the latest and previous fetch: additions, removals, and
+    // TIGHTENINGS (added disallows — the direction that invalidates
+    // queued verdicts, the re-verdict trigger). Hosts never refetched
+    // emit nothing. The plant: every src host bootstraps with one
+    // policy; digit%3==0 hosts tighten (drop /a, add /c /d),
+    // digit%3==1 hosts loosen (add an Allow carve-out), digit%3==2
+    // hosts never refetch. Two bucket-key max-aggregates + one
+    // (host, rule) full-outer over short strings.
+    "q194_robots_policy_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hosts = docs.select(concat(lit("src"),
+          (col("doc_id") % 20).cast("string"), lit(".example.com"))
+          .as("host")).distinct()
+        .withColumn("digit",
+          regexp_extract(col("host"), "src([0-9]+)\\.", 1).cast("long"))
+        .localCheckpoint()
+      val bodyA = "User-agent: *\nDisallow: /a\nDisallow: /b"
+      val f1 = hosts.select(col("host"),
+        lit(Q178AsOfMicros - 30L * 3600000000L).as("fetched_at_micros"),
+        lit(bodyA).as("robots_body"))
+      val f2 = hosts.filter(col("digit") % 3 =!= 2)
+        .select(col("host"),
+          lit(Q178AsOfMicros - 2L * 3600000000L).as("fetched_at_micros"),
+          when(col("digit") % 3 === 0,
+            lit("User-agent: *\nDisallow: /b\nDisallow: /c\n" +
+              "Disallow: /d"))
+            .otherwise(lit(bodyA + "\nAllow: /a/ok"))
+            .as("robots_body"))
+      val table = "graft_robots_hist_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+      graft.ext.RobotsCache.rebuild(f1, "host", "fetched_at_micros",
+        "robots_body", table, nBuckets = 8)
+      graft.ext.RobotsCache.refresh(f2, "host", "fetched_at_micros",
+        "robots_body", table)
+      graft.ext.RobotsCache.policyDelta(s, table)
+        .select(col("host"), col("n_added"), col("n_removed"),
+          col("n_tightened"), col("policy_changed"))
+        .orderBy("host")
+    }),
+
     // ---- sitemap-index RECURSION capstone (oracle-checked): the loop
     // q164 opened, closed — the in-scope child queue feeds simulated
     // child fetches whose bodies run back through the SAME <url>
@@ -5286,6 +5330,24 @@ private[graft] object TextQueries {
     "q172_revisit_merge" -> revisitMergeOracleSql,
 
     "q193_revisit_log_state" -> revisitLogOracleSql,
+
+    // q194: the plant's per-digit policy classes make the expected
+    // deltas closed-form — the PARSE itself is pinned by q152 and
+    // UrlOpsSpec, the delta arithmetic by RobotsCacheSpec; the oracle
+    // states the per-class outcome (the q188 replays-results
+    // discipline)
+    "q194_robots_policy_delta" ->
+      ("WITH h AS (SELECT DISTINCT 'src' || " +
+        "CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host, " +
+        "CAST(doc_id % 20 AS BIGINT) % 3 AS c FROM documents)\n" +
+        "SELECT host, " +
+        "CAST(CASE WHEN c = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_added, " +
+        "CAST(CASE WHEN c = 0 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS n_removed, " +
+        "CAST(CASE WHEN c = 0 THEN 2 ELSE 0 END AS BIGINT) " +
+        "AS n_tightened, " +
+        "true AS policy_changed " +
+        "FROM h WHERE c <> 2 ORDER BY host"),
 
     "q173_unified_frontier" -> unifiedFrontierOracleSql,
 

@@ -1307,4 +1307,62 @@ object Dedup {
           (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+  /** Cross-host MIRROR detection: hosts serving the SAME content under
+    * different names — full mirrors, CDN aliases the identity layer
+    * missed, scraped republishers. A crawler that detects a mirror
+    * pair stops paying double fetch budget for one corpus; a training
+    * pipeline stops double-counting its documents. Exact content
+    * equality (md5 of the text — the [[dedupExact]] key), lifted from
+    * document pairs to HOST pairs:
+    *
+    *   1. the distinct (host, content-hash) relation;
+    *   2. hashes served by more than `maxHostsPerHash` hosts drop —
+    *      site-furniture boilerplate (cookie banners, legal pages)
+    *      appears on hundreds of hosts and is evidence of nothing
+    *      (the LSH degenerate-bucket cap discipline, and what bounds
+    *      the self-join: pair blowup is ≤ cap² per hash);
+    *   3. host-pair co-occurrence counts over the capped relation
+    *      (`host_a < host_b` — each unordered pair once), kept at
+    *      `n_shared >= minShared`;
+    *   4. per-host distinct-content totals join back for the exact
+    *      integer-micro Jaccard `|A∩B| / |A∪B|` — 1e6 means the two
+    *      hosts serve byte-identical corpora.
+    *
+    * Scale shape: the hash relation is thin (host + 32-hex), the cap
+    * count and per-host totals are map-side-combining aggregates, and
+    * the self-join shuffles on the content hash with per-hash
+    * fan-out bounded by the cap. No window, no document bytes past
+    * step 1.
+    */
+  def mirrorCandidates(docs: DataFrame, hostCol: String,
+                       textCol: String, minShared: Long = 2L,
+                       maxHostsPerHash: Int = 50): DataFrame = {
+    require(minShared >= 1L && maxHostsPerHash >= 2,
+      s"bad minShared/maxHostsPerHash: $minShared/$maxHostsPerHash")
+    val hashed = docs.select(col(hostCol).as("host"),
+        md5(col(textCol)).as("__h"))
+      .distinct()
+    val capped = hashed.join(
+      hashed.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxHostsPerHash)
+        .select(col("__h")),
+      Seq("__h"), "left_semi")
+    val perHost = capped.groupBy(col("host"))
+      .agg(count(lit(1)).as("__nd"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.__h") === col("b.__h") && col("a.host") < col("b.host"))
+      .groupBy(col("a.host").as("host_a"), col("b.host").as("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(perHost.select(col("host").as("host_a"),
+        col("__nd").as("n_a")), Seq("host_a"))
+      .join(perHost.select(col("host").as("host_b"),
+        col("__nd").as("n_b")), Seq("host_b"))
+      .withColumn("jaccard_micro",
+        expr("(1000000 * n_shared) div (n_a + n_b - n_shared)"))
+      .select(col("host_a"), col("host_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("jaccard_micro"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The persisted robots cache — the state RFC 9309 §2.4 actually talks
@@ -121,6 +121,57 @@ object RobotsCache {
     latestFetches(spark, table)
       .withColumn("robots_age_hours",
         expr(s"(${asOfMicros}L - fetched_at_micros) div 3600000000"))
+
+  /** Robots POLICY-DELTA detection — what the cache's append-only
+    * history exists to answer: when a refetch lands, did the origin
+    * actually CHANGE its policy, and in which direction? Per host with
+    * at least two recorded fetches, the rule-set diff between the
+    * latest fetch and the previous one: `n_added` (rules in the latest
+    * not the previous), `n_removed` (vice versa), `n_tightened` (added
+    * DISALLOW rules — the direction that invalidates queued verdicts:
+    * URLs budgeted under the old policy may now be forbidden, the
+    * re-verdict trigger), and `policy_changed`. Hosts with one fetch
+    * emit nothing — no history, no delta.
+    *
+    * Scale shape: two max-aggregates on the bucketed host key pick the
+    * latest two fetch stamps (Exchange-free), the rules join on
+    * (host, fetched_at) rides the same layout, and the diff is one
+    * full-outer on (host, rule) — rule rows are short strings, a few
+    * per host. */
+  def policyDelta(spark: SparkSession, table: String): DataFrame = {
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(s"${table}_fetches")
+    val log = spark.table(s"${table}_fetches")
+    val latest = log.groupBy(col("host"))
+      .agg(max(col("fetched_at_micros")).as("__l"))
+    val prev = log.join(latest, Seq("host"))
+      .filter(col("fetched_at_micros") < col("__l"))
+      .groupBy(col("host"))
+      .agg(max(col("fetched_at_micros")).as("__p"), first(col("__l"))
+        .as("__l"))
+    val rules = spark.table(table)
+    def ruleSet(stamp: Column, tag: String) =
+      rules.join(prev.select(col("host"), stamp.as("fetched_at_micros")),
+          Seq("host", "fetched_at_micros"))
+        .select(col("host"), col("path_prefix"), col("allow"),
+          col("from_specific"), lit(true).as(tag))
+    val diff = ruleSet(col("__l"), "__in_l")
+      .join(ruleSet(col("__p"), "__in_p"),
+        Seq("host", "path_prefix", "allow", "from_specific"),
+        "full_outer")
+    diff.groupBy(col("host"))
+      .agg(
+        sum(when(col("__in_l").isNotNull && col("__in_p").isNull, 1L)
+          .otherwise(0L)).as("n_added"),
+        sum(when(col("__in_p").isNotNull && col("__in_l").isNull, 1L)
+          .otherwise(0L)).as("n_removed"),
+        sum(when(col("__in_l").isNotNull && col("__in_p").isNull &&
+          !col("allow"), 1L).otherwise(0L)).as("n_tightened"))
+      .join(prev.select(col("host")), Seq("host"), "right")
+      .na.fill(0L, Seq("n_added", "n_removed", "n_tightened"))
+      .withColumn("policy_changed",
+        col("n_added") + col("n_removed") > 0L)
+  }
 
   /** The RFC 9309 §2.4 TTL gate over a scheduled budget: per host the
     * cache age, the stale flag (age > ttlHours, or NO cached fetch at

@@ -463,4 +463,31 @@ class DedupSpec extends SparkSpec {
     // sanity: the corpus really has duplicated spans to exercise the merge
     assert(expected.values.exists(_._2 > 1))
   }
+  test("mirrorCandidates: mirror cliques surface with exact host-corpus " +
+    "Jaccard, the degenerate-hash cap drops boilerplate, minShared " +
+    "drops incidental overlap, per-doc duplicates collapse first") {
+    import org.apache.spark.sql.functions._
+    // hosts A and B mirror three pages (B serves one twice — the
+    // DISTINCT (host, hash) lift must not double-count); A and C share
+    // ONE page (below minShared); 'cookie notice' is on all four
+    // hosts (capped out at maxHostsPerHash = 3); D adds unique pages.
+    val rows = Seq(
+      ("A", "page one"), ("A", "page two"), ("A", "page three"),
+      ("B", "page one"), ("B", "page two"), ("B", "page three"),
+      ("B", "page three"),
+      ("C", "page one"), ("C", "c only"),
+      ("D", "d only one"), ("D", "d only two"),
+      ("A", "cookie notice"), ("B", "cookie notice"),
+      ("C", "cookie notice"), ("D", "cookie notice"))
+    val got = graft.ext.Dedup.mirrorCandidates(
+        rows.toDF("host", "text"), "host", "text",
+        minShared = 2L, maxHostsPerHash = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // only the A-B mirror pair survives: 3 shared; A serves 3 capped
+    // hashes, B serves 3 (the duplicate collapsed); J = 3/3 = 1e6
+    assert(got == Map(("A", "B") -> ((3L, 3L, 3L, 1000000L))), got)
+  }
 }

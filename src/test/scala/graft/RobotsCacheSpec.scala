@@ -214,6 +214,47 @@ class RobotsCacheSpec extends SparkSpec {
       Seq("https://s.com/private/c", "https://s.com/public/d"), byBatch)
   }
 
+  test("policyDelta: additions/removals/tightenings between the latest " +
+    "two fetches; rule-less histories read unchanged; single-fetch " +
+    "hosts emit nothing; a third fetch shifts the comparison window") {
+    val table = mkDb("rc8")
+    RobotsCache.rebuild(Seq(
+        ("t.com", asOf - 40 * H, "User-agent: *\nDisallow: /a\nDisallow: /b"),
+        ("l.com", asOf - 40 * H, "User-agent: *\nDisallow: /x"),
+        ("e.com", asOf - 40 * H, "User-agent: *\nDisallow:"),
+        ("once.com", asOf - 40 * H, "User-agent: *\nDisallow: /z"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table, nBuckets = 2)
+    RobotsCache.refresh(Seq(
+        // tighten: drop /a, add disallows /c /d
+        ("t.com", asOf - 2 * H,
+          "User-agent: *\nDisallow: /b\nDisallow: /c\nDisallow: /d"),
+        // loosen: same disallow + an Allow carve-out
+        ("l.com", asOf - 2 * H,
+          "User-agent: *\nDisallow: /x\nAllow: /x/ok"),
+        // still rule-less: no change
+        ("e.com", asOf - 2 * H, "User-agent: *\nDisallow:"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table)
+    def deltas(): Map[String, (Long, Long, Long, Boolean)] =
+      RobotsCache.policyDelta(spark, table).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))).toMap
+    val d = deltas()
+    assert(d("t.com") == ((2L, 1L, 2L, true)), d)
+    assert(d("l.com") == ((1L, 0L, 0L, true)), d)
+    assert(d("e.com") == ((0L, 0L, 0L, false)), d)
+    assert(!d.contains("once.com"))
+    // a THIRD fetch: the window slides — t.com reverts to bootstrap
+    // policy, so vs its SECOND fetch that reads as /a re-added (1
+    // added, a tightening) and /c /d dropped (2 removed)
+    RobotsCache.refresh(Seq(
+        ("t.com", asOf, "User-agent: *\nDisallow: /a\nDisallow: /b"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table)
+    assert(deltas()("t.com") == ((1L, 2L, 1L, true)), deltas())
+  }
+
   test("the cache feeds robotsVerdict in its expected shape: latest " +
     "rules gate a URL batch exactly like an in-plan parse would") {
     val table = mkDb("rc6")
