@@ -142,9 +142,19 @@ object Bench {
       load1m, cpus.toInt)
     // contention telemetry: a loaded host shows load_before ≫ CPUs or a
     // load_after far above the suite's own parallelism — readers judge
-    // timings against these instead of re-running to adjudicate
+    // timings against these instead of re-running to adjudicate.
+    // `contended` makes the artifact SELF-DESCRIBING (r12–r14 all had
+    // driver runs land in contention windows that were adjudicated by
+    // hand against BASELINE.md's timeline): true when the 1-minute
+    // load at launch already exceeded 2 on this otherwise-idle box, so
+    // absolute timings in this record are not gate-grade evidence.
+    val contended = load1m > 2.0
+    if (contended)
+      System.err.println(s"BENCH CONTENDED: load_before=$loadBefore — " +
+        "timings in this record are contention-contaminated; compare " +
+        "ratios only, or re-run at idle")
     val telem =
-      s""""load_before":$loadBefore,"load_after":$loadAfter,"mem_avail_gb_before":$memBefore,"mem_avail_gb_after":$memAfter,$regressions"""
+      s""""load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"mem_avail_gb_before":$memBefore,"mem_avail_gb_after":$memAfter,$regressions"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"spread_pct":$spreadPct,$telem,"queries":$qs,"failed":${
         failed.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -266,7 +266,12 @@ private[graft] object TextQueries {
         lit("user-agent: *\nCrawl-delay: 5\n"),
         lit("Sitemap: https://"), col("h"),
         lit(".example.com/mid-group.xml\n"),
-        lit("Disallow: /Docs/1\nALLOW: /Docs/12 # longest wins\n"),
+        // round 15: the SAME rule line repeated (common in hand-
+        // maintained files) — one logical rule; the parser's
+        // array_distinct tail must collapse it (q156 unchanged) and
+        // the robots-cache fsck must stay green on it
+        lit("Disallow: /Docs/1\nDisallow: /Docs/1\n" +
+          "ALLOW: /Docs/12 # longest wins\n"),
         lit("Allow: /Docs/3\ndisallow: /Docs/3\nDisallow:\n"),
         lit("Allow:\t/Tab\r\nDisallow: /Cr\t\r\n"),
         lit("Disallow: /w*card$\n"),
@@ -572,8 +577,11 @@ private[graft] object TextQueries {
     val fetches = budget.select(col("link_host").as("host"),
       (lit(Q178AsOfMicros) - ageHours * 3600000000L)
         .as("fetched_at_micros"),
-      lit("User-agent: *\nDisallow: /private\nCrawl-delay: 2")
-        .as("robots_body"))
+      // the duplicated Disallow line is ONE logical rule (the parse
+      // fold's array_distinct) — planted so the stored cache and its
+      // fsck exercise the duplicate-line class, not just specs
+      lit("User-agent: *\nDisallow: /private\nDisallow: /private\n" +
+        "Crawl-delay: 2").as("robots_body"))
     graft.ext.RobotsCache.rebuild(fetches, "host",
       "fetched_at_micros", "robots_body", table, nBuckets = 8)
   }
@@ -2052,7 +2060,10 @@ private[graft] object TextQueries {
         .withColumn("digit",
           regexp_extract(col("host"), "src([0-9]+)\\.", 1).cast("long"))
         .localCheckpoint()
-      val bodyA = "User-agent: *\nDisallow: /a\nDisallow: /b"
+      // /b repeated: one logical rule (parse-fold array_distinct) —
+      // the delta must count LOGICAL rules, so expected counts are
+      // unchanged by the duplicate line
+      val bodyA = "User-agent: *\nDisallow: /a\nDisallow: /b\nDisallow: /b"
       val f1 = hosts.select(col("host"),
         lit(Q178AsOfMicros - 30L * 3600000000L).as("fetched_at_micros"),
         lit(bodyA).as("robots_body"))
@@ -2074,6 +2085,243 @@ private[graft] object TextQueries {
         .select(col("host"), col("n_added"), col("n_removed"),
           col("n_tightened"), col("policy_changed"))
         .orderBy("host")
+    }),
+
+    // ---- mirror-collapsed frontier (oracle-checked): q195's
+    // cross-host mirror pairs CONSUMED by the scheduler — a crawler
+    // that detects a mirror clique should spend ONE host's fetch
+    // budget on it, not five. Mirror edges (exact content equality
+    // lifted to host pairs, capped self-join — Dedup.mirrorCandidates)
+    // lift to connected COMPONENTS (pointer-jumping label propagation,
+    // Graph.connectedComponents — pairs are not transitive, so the
+    // clique closure is a component, not a pair filter), each
+    // component collapses onto its min-host representative, and the
+    // q154 per-host budget folds against it: the representative keeps
+    // its budget, every other member is flagged a mirror duplicate
+    // (the eviction the budget applies before graft_top_k re-ranks).
+    // The plant: even src-hosts serve a shared mirrored corpus (the
+    // clique the collapse must find — one budgeted representative),
+    // everything else serves per-document unique bodies. At 100 TB the
+    // edge relation is host-pair-sized (the capped hash join never
+    // explodes) and the component propagation runs on the host graph,
+    // never the corpus.
+    "q196_mirror_collapse" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val d = col("doc_id")
+      val planted = t(s, dir, "documents").select(
+        concat(lit("src"),
+          when(d % 3 === 0, (d % 5) * 2).otherwise(d % 20)
+            .cast("string"),
+          lit(".example.com")).as("mhost"),
+        when(d % 3 === 0,
+          concat(lit("mirrored "), (d % 29).cast("string")))
+          .otherwise(concat(lit("uniq "), d.cast("string")))
+          .as("mtext"))
+      val pairs = graft.ext.Dedup.mirrorCandidates(planted, "mhost",
+        "mtext", minShared = 2L, maxHostsPerHash = 6)
+      // the edge relation is host-pair-sized; cut the plan here — the
+      // component loop re-reads it every propagation round
+      val edges = pairs
+        .select(col("host_a").as("src"), col("host_b").as("dst"))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("host"))
+        .union(edges.select(col("dst").as("host"))).distinct()
+      val comp = graft.ext.Graph.connectedComponents(nodes, "host",
+          edges, "src", "dst")
+        .select(col("id").as("link_host"),
+          col("component").as("mirror_rep"))
+      crawlFrontier(s, dir)
+        .groupBy(col("link_host")).agg(count(lit(1)).as("n_budgeted"))
+        .join(comp, Seq("link_host"), "left")
+        .withColumn("mirror_rep",
+          coalesce(col("mirror_rep"), col("link_host")))
+        .withColumn("is_mirror_dup",
+          col("mirror_rep") =!= col("link_host"))
+        .orderBy("link_host")
+    }),
+
+    // ---- tightening RE-VERDICT (oracle-checked): q194's n_tightened
+    // CONSUMED — a policy delta that adds disallows must re-verdict
+    // the QUEUED frontier for those hosts and evict now-forbidden
+    // URLs (fetching them on the superseded permission is the
+    // compliance bug n_tightened exists to prevent). Every budgeted
+    // host bootstraps the persisted cache with one policy; hosts
+    // whose digit % 3 == 0 refetch a TIGHTENED one (Disallow: /Docs
+    // added — matching most of their budgeted URLs). The frontier
+    // semi-joins against the delta's tightened hosts (host-sized
+    // broadcast), ONLY those rows re-run robotsVerdict under the
+    // cache's latest rules, and the eviction flag marks what the
+    // queue drops. Untightened hosts' verdicts stand — no re-verdict
+    // work where policy did not tighten.
+    "q197_tightening_reverdict" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val fr = crawlFrontier(s, dir).localCheckpoint()
+      val hosts = fr.select(col("link_host").as("host")).distinct()
+        .withColumn("digit", regexp_extract(col("host"),
+          "^src([0-9]+)\\.", 1))
+        .localCheckpoint()
+      val f1 = hosts.select(col("host"),
+        lit(Q178AsOfMicros - 30L * 3600000000L).as("fetched_at_micros"),
+        lit("User-agent: *\nDisallow: /private").as("robots_body"))
+      val f2 = hosts
+        .filter(col("digit") =!= "" &&
+          col("digit").cast("long") % 3 === 0)
+        .select(col("host"),
+          lit(Q178AsOfMicros - 2L * 3600000000L).as("fetched_at_micros"),
+          lit("User-agent: *\nDisallow: /private\nDisallow: /Docs")
+            .as("robots_body"))
+      val table = "graft_robots_tight_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+      graft.ext.RobotsCache.rebuild(f1, "host", "fetched_at_micros",
+        "robots_body", table, nBuckets = 8)
+      graft.ext.RobotsCache.refresh(f2, "host", "fetched_at_micros",
+        "robots_body", table)
+      val tightened = graft.ext.RobotsCache.policyDelta(s, table)
+        .filter(col("n_tightened") > 0)
+        .select(col("host").as("link_host"), col("n_tightened"))
+      val recheck = fr.join(broadcast(tightened), Seq("link_host"),
+        "left_semi")
+      val rev = graft.ext.UrlOps.robotsVerdict(recheck, "url_canon",
+          "url_canon", graft.ext.RobotsCache.latestRules(s, table))
+        .select(col("url_canon"), col("fetch_allowed"))
+      fr.join(broadcast(tightened), Seq("link_host"), "left")
+        .join(rev, Seq("url_canon"), "left")
+        .withColumn("n_tightened", coalesce(col("n_tightened"), lit(0L)))
+        .withColumn("re_verdicted", col("n_tightened") > 0)
+        .withColumn("fetch_allowed",
+          coalesce(col("fetch_allowed"), lit(true)))
+        .withColumn("evicted",
+          col("re_verdicted") && !col("fetch_allowed"))
+        .select(col("link_host"), col("rank"), col("url_canon"),
+          col("n_tightened"), col("re_verdicted"), col("fetch_allowed"),
+          col("evicted"))
+        .orderBy("link_host", "rank")
+    }),
+
+    // ---- CRAWL CYCLE TWO (oracle-checked): the loop is a FIXPOINT
+    // over the persisted artifacts — cycle 2 consumes nothing but what
+    // cycle 1 STORED. Legs: (1) the mirror-collapsed frontier (q196's
+    // components evict duplicate hosts before any budget is spent);
+    // (2) cycle 1's robots-TTL gate over a persisted cache — stale
+    // hosts spend cycle 1 refetching robots, their fetches hold;
+    // (3) cycle 1's fetch answers land in the q193 revisit LOG
+    // (seq 1 — a batch-sized append, the storage that carries state
+    // between cycles); (4) the held hosts' robots refetches land in
+    // the cache (the action the gate ordered); (5) cycle 2 gates ONE
+    // HOUR LATER against the refreshed cache — every host now
+    // proceeds, including the formerly-stale ones; (6) cycle 2
+    // revisits the whole collapsed schedule (fresh status classes:
+    // 304 revalidations, 404 tombstones, 200 body changes, and
+    // non-200s of unknown URLs that must merge nothing) as the log's
+    // seq-2 append. Output: per scheduled URL both cycles' gate
+    // actions, the cycle-2 disposition, and the LOG's latest-wins
+    // state — every column a read of a persisted artifact or the
+    // schedule that fed it.
+    "q198_crawl_cycle2" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val dirkey = dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+      // leg 1: mirror components (the q196 plant + collapse)
+      val d = col("doc_id")
+      val planted = t(s, dir, "documents").select(
+        concat(lit("src"),
+          when(d % 3 === 0, (d % 5) * 2).otherwise(d % 20)
+            .cast("string"),
+          lit(".example.com")).as("mhost"),
+        when(d % 3 === 0,
+          concat(lit("mirrored "), (d % 29).cast("string")))
+          .otherwise(concat(lit("uniq "), d.cast("string")))
+          .as("mtext"))
+      val pairs = graft.ext.Dedup.mirrorCandidates(planted, "mhost",
+        "mtext", minShared = 2L, maxHostsPerHash = 6)
+      val edges = pairs
+        .select(col("host_a").as("src"), col("host_b").as("dst"))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("host"))
+        .union(edges.select(col("dst").as("host"))).distinct()
+      val comp = graft.ext.Graph.connectedComponents(nodes, "host",
+          edges, "src", "dst")
+        .select(col("id").as("link_host"), col("component").as("__rep"))
+      val fr = crawlFrontier(s, dir)
+        .join(comp, Seq("link_host"), "left")
+        .filter(col("__rep").isNull || col("__rep") === col("link_host"))
+        .drop("__rep")
+        .localCheckpoint() // feeds cache plant, corpus, both cycles, output
+      // leg 2: cycle-1 TTL gate over q198's OWN cache artifact (the
+      // shared q188/q192 artifact must stay byte-identical)
+      val rtable = s"graft_c2_robots_$dirkey"
+      val budget = fr.groupBy(col("link_host"))
+        .agg(count(lit(1)).as("n_budgeted"))
+      val digit = regexp_extract(col("link_host"),
+        "([0-9])\\.example\\.", 1)
+      val ageHours = lit(5L) +
+        coalesce(nullif(digit, lit("")), lit("0")).cast("long") * 5L
+      graft.ext.RobotsCache.rebuild(
+        budget.select(col("link_host").as("host"),
+          (lit(Q178AsOfMicros) - ageHours * 3600000000L)
+            .as("fetched_at_micros"),
+          lit("User-agent: *\nDisallow: /private").as("robots_body")),
+        "host", "fetched_at_micros", "robots_body", rtable, nBuckets = 8)
+      val gate1 = graft.ext.RobotsCache.ttlGate(s, budget, "link_host",
+          rtable, Q178AsOfMicros)
+        .select(col("link_host"), col("action").as("action_c1"))
+      val sch = fr.join(gate1, Seq("link_host")).localCheckpoint()
+      // leg 3: cycle-1 fetch sim (q192's status classes) → the revisit
+      // log bootstraps from the cycle corpus and takes seq 1
+      val len = length(col("url_canon")).cast("long")
+      val ltable = s"graft_c2_log_$dirkey"
+      graft.streaming.RevisitStream.initLog(
+        sch.filter(len % 3 === 0)
+          .select(col("url_canon"),
+            concat(lit("stale content of "), col("url_canon")).as("body"),
+            lit("2026-01-01").as("first_fetched"),
+            lit("2026-01-15").as("last_validated"),
+            (len % 6 =!= 0).as("is_active")),
+        "url_canon", "body", ltable, nBuckets = 8)
+      val st1 = when(len % 3 === 0 && len % 7 === 2, 304L)
+        .when(len % 7 === 0, 404L).when(len % 7 === 1, 503L)
+        .otherwise(200L)
+      val ans1 = sch.filter(col("action_c1") === "proceed")
+        .select(col("url_canon"), st1.as("http_status"))
+        .withColumn("http_body", when(col("http_status") === 200L,
+          concat(lit("cycle one fetch of "), col("url_canon"))))
+      graft.streaming.RevisitStream.applyBatchLog(s, ans1, "url_canon",
+        "http_status", "http_body", "body", ltable, seq = 1L,
+        lit("2026-02-10"))
+      // leg 4: the gate's order executed — held hosts refetch robots
+      graft.ext.RobotsCache.refresh(
+        gate1.filter(col("action_c1") === "refetch_robots_first")
+          .select(col("link_host").as("host"),
+            lit(Q178AsOfMicros).as("fetched_at_micros"),
+            lit("User-agent: *\nDisallow: /private").as("robots_body")),
+        "host", "fetched_at_micros", "robots_body", rtable)
+      // leg 5: cycle 2 gates an hour later against the refreshed cache
+      val gate2 = graft.ext.RobotsCache.ttlGate(s, budget, "link_host",
+          rtable, Q178AsOfMicros + 3600000000L)
+        .select(col("link_host"), col("action").as("action_c2"))
+      // leg 6: cycle-2 revisits (fresh classes) — the log's seq 2
+      val st2 = when(len % 5 === 0, 304L).when(len % 5 === 1, 404L)
+        .when(len % 5 === 2, 503L).otherwise(200L)
+      val ans2 = sch.join(gate2, Seq("link_host"))
+        .filter(col("action_c2") === "proceed")
+        .select(col("url_canon"), st2.as("http_status"))
+        .withColumn("http_body", when(col("http_status") === 200L,
+          concat(lit("cycle two fetch of "), col("url_canon"))))
+      graft.streaming.RevisitStream.applyBatchLog(s, ans2, "url_canon",
+        "http_status", "http_body", "body", ltable, seq = 2L,
+        lit("2026-02-17"))
+      // the cycle-2 state of the corpus: the log's latest-wins read
+      val state = graft.streaming.RevisitStream.logState(s, ltable,
+        "url_canon", "body")
+      sch.join(gate2, Seq("link_host"))
+        .withColumn("sim_status_c2", st2)
+        .join(state.select(col("url_canon"), col("is_active"),
+          md5(col("body")).as("body_md5"), col("first_fetched"),
+          col("last_validated")), Seq("url_canon"), "left")
+        .select(col("link_host"), col("rank"), col("url_canon"),
+          col("action_c1"), col("action_c2"), col("sim_status_c2"),
+          col("is_active"), col("body_md5"), col("first_fetched"),
+          col("last_validated"))
+        .orderBy("link_host", "rank")
     }),
 
     // ---- sitemap-index RECURSION capstone (oracle-checked): the loop
@@ -3712,6 +3960,7 @@ private[graft] object TextQueries {
       "chr(10) || " +
       "'Sitemap: https://' || h || '.example.com/mid-group.xml' || " +
       "chr(10) || 'Disallow: /Docs/1' || chr(10) || " +
+      "'Disallow: /Docs/1' || chr(10) || " +
       "'ALLOW: /Docs/12 # longest wins' || chr(10) || " +
       "'Allow: /Docs/3' || chr(10) || 'disallow: /Docs/3' || chr(10) || " +
       "'Disallow:' || chr(10) || " +
@@ -3765,12 +4014,43 @@ private[graft] object TextQueries {
       "gr.m AS from_specific FROM rg2 r " +
       "JOIN rgrp gr ON gr.host = r.host AND gr.gid = r.gid " +
       "WHERE r.kind = 'rule' AND r.val <> '' AND (gr.m OR gr.s))\n" +
-      "SELECT e.host, e.path_prefix, e.allow, e.from_specific, " +
+      // DISTINCT mirrors the fold's array_distinct tail: a repeated
+      // rule line is one logical rule
+      "SELECT DISTINCT e.host, e.path_prefix, e.allow, e.from_specific, " +
       "contains(e.path_prefix, '*') OR ends_with(e.path_prefix, '$') " +
       "AS has_wildcard " +
       "FROM em e JOIN rasp ON rasp.host = e.host " +
       "WHERE e.from_specific OR NOT rasp.any_sp " +
       "ORDER BY e.host, e.path_prefix, e.allow"
+
+  /** The q195/q196 mirror plant + component closure as CTEs (reads
+    * `documents`, ends in `mcomp(mhost, rep)` — min host per connected
+    * mirror component): the exact-equality host-pair lift with the
+    * degenerate-hash cap, symmetric edges, and a RECURSIVE transitive
+    * reach folded to min label (requires a `WITH RECURSIVE` prefix).
+    * Shared by the q196 and q198 oracles. */
+  private def mirrorComponentCtes: String =
+    "mcls AS (SELECT 'src' || CAST(CASE WHEN doc_id % 3 = 0 " +
+      "THEN (doc_id % 5) * 2 ELSE doc_id % 20 END AS VARCHAR) || " +
+      "'.example.com' AS mhost, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'mirrored ' || " +
+      "CAST(doc_id % 29 AS VARCHAR) " +
+      "ELSE 'uniq ' || CAST(doc_id AS VARCHAR) END AS mt " +
+      "FROM documents),\n" +
+      "mhx AS (SELECT DISTINCT mhost, mt FROM mcls),\n" +
+      "mcnt AS (SELECT mt, count(*) AS n FROM mhx GROUP BY mt),\n" +
+      "mok AS (SELECT mhx.mhost, mhx.mt FROM mhx " +
+      "JOIN mcnt USING (mt) WHERE n <= 6),\n" +
+      "mpr AS (SELECT a.mhost AS ha, b.mhost AS hb FROM mok a " +
+      "JOIN mok b ON a.mt = b.mt AND a.mhost < b.mhost " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2),\n" +
+      "medge AS (SELECT ha AS s, hb AS d FROM mpr " +
+      "UNION ALL SELECT hb, ha FROM mpr),\n" +
+      "mreach(h, r) AS (SELECT s, s FROM medge " +
+      "UNION SELECT m.h, e.d FROM mreach m " +
+      "JOIN medge e ON e.s = m.r),\n" +
+      "mcomp AS (SELECT h AS mhost, min(r) AS rep FROM mreach " +
+      "GROUP BY h)"
 
   /** q160: [[frontierCtes]] + [[robotsTxtCtes]] composed — the delay
     * winner replays the fold (specific class if the host named the
@@ -5351,6 +5631,49 @@ private[graft] object TextQueries {
 
     "q173_unified_frontier" -> unifiedFrontierOracleSql,
 
+    // q196: the mirror lift replayed on raw text equality (the q195
+    // oracle's discipline), the component closure as a RECURSIVE
+    // transitive reach with min-label fold (pairs → components), the
+    // q154 budget CTEs, and the representative pick
+    "q196_mirror_collapse" ->
+      ("WITH RECURSIVE " + frontierCtes + ",\n" +
+        mirrorComponentCtes + ",\n" +
+        "mbud AS (SELECT link_host, CAST(count(*) AS BIGINT) " +
+        "AS n_budgeted FROM rk WHERE rnk <= 3 GROUP BY link_host)\n" +
+        "SELECT b.link_host, b.n_budgeted, " +
+        "coalesce(c.rep, b.link_host) AS mirror_rep, " +
+        "coalesce(c.rep, b.link_host) <> b.link_host AS is_mirror_dup " +
+        "FROM mbud b LEFT JOIN mcomp c ON c.mhost = b.link_host " +
+        "ORDER BY b.link_host"),
+
+    // q197: the q154 budget CTEs + the tightened-host class closed
+    // form (the q194 oracle's discipline: the PARSE and the delta
+    // arithmetic are pinned by q152/q156/q194 and RobotsCacheSpec;
+    // this oracle replays the re-verdict over the latest rule set —
+    // {/private, /Docs} all-disallow, so allowed = no prefix match)
+    "q197_tightening_reverdict" ->
+      ("WITH " + frontierCtes + ",\n" +
+        "tg AS (SELECT DISTINCT link_host FROM rk WHERE rnk <= 3 " +
+        "AND regexp_extract(link_host, '^src([0-9]+)\\.', 1) <> '' " +
+        "AND CAST(regexp_extract(link_host, '^src([0-9]+)\\.', 1) " +
+        "AS BIGINT) % 3 = 0),\n" +
+        "fp AS (SELECT link_host, rnk, link_canon, " +
+        "regexp_replace(link_canon, " +
+        "'^[a-z][a-z0-9+.-]*://[^/?]*', '') AS mp " +
+        "FROM rk WHERE rnk <= 3)\n" +
+        "SELECT f.link_host, CAST(f.rnk AS BIGINT) AS rank, " +
+        "f.link_canon AS url_canon, " +
+        "CAST(CASE WHEN t.link_host IS NULL THEN 0 ELSE 1 END " +
+        "AS BIGINT) AS n_tightened, " +
+        "t.link_host IS NOT NULL AS re_verdicted, " +
+        "CASE WHEN t.link_host IS NULL THEN true " +
+        "ELSE NOT (starts_with(f.mp, '/Docs') " +
+        "OR starts_with(f.mp, '/private')) END AS fetch_allowed, " +
+        "t.link_host IS NOT NULL AND (starts_with(f.mp, '/Docs') " +
+        "OR starts_with(f.mp, '/private')) AS evicted " +
+        "FROM fp f LEFT JOIN tg t ON t.link_host = f.link_host " +
+        "ORDER BY f.link_host, rank"),
+
     "q174_robots_sitemaps" -> robotsSitemapsOracleSql,
 
     "q175_nofollow_links" -> nofollowOracleSql,
@@ -5394,6 +5717,78 @@ private[graft] object TextQueries {
         "ELSE 'proceed' END AS action FROM rta ORDER BY link_host"),
 
     "q192_crawl_cycle" -> crawlCycleOracleSql,
+
+    // q198: cycle TWO replayed over the artifact loop — the collapsed
+    // frontier (q154 CTEs minus mirror-dup hosts), the q188 digit-age
+    // gate CASE for cycle 1, the q172 merge CASE applied TWICE (the
+    // revisit log's seq-1 and seq-2 states), and the
+    // all-hosts-proceed cycle-2 gate (every stale host refetched
+    // robots in cycle 1, so its cycle-2 age is one hour — closed form,
+    // the q194 oracle's replays-results discipline)
+    "q198_crawl_cycle2" ->
+      ("WITH RECURSIVE " + frontierCtes + ",\n" +
+        mirrorComponentCtes + ",\n" +
+        "cfr AS (SELECT f.link_host, CAST(f.rnk AS BIGINT) AS rank, " +
+        "f.link_canon AS url_canon FROM rk f " +
+        "LEFT JOIN mcomp c ON c.mhost = f.link_host " +
+        "WHERE f.rnk <= 3 AND (c.rep IS NULL OR c.rep = f.link_host)),\n" +
+        "g1 AS (SELECT link_host, CASE WHEN 5 + CAST(coalesce(nullif(" +
+        "regexp_extract(link_host, '([0-9])\\.example\\.', 1), ''), " +
+        "'0') AS BIGINT) * 5 > 24 THEN 'refetch_robots_first' " +
+        "ELSE 'proceed' END AS action_c1 FROM " +
+        "(SELECT DISTINCT link_host FROM cfr) t),\n" +
+        "corp AS (SELECT url_canon, " +
+        "'stale content of ' || url_canon AS body, " +
+        "'2026-01-01' AS ff, '2026-01-15' AS lv, " +
+        "length(url_canon) % 6 <> 0 AS act FROM cfr " +
+        "WHERE length(url_canon) % 3 = 0),\n" +
+        "a1 AS (SELECT c.url_canon, CAST(CASE " +
+        "WHEN length(c.url_canon) % 3 = 0 " +
+        "AND length(c.url_canon) % 7 = 2 THEN 304 " +
+        "WHEN length(c.url_canon) % 7 = 0 THEN 404 " +
+        "WHEN length(c.url_canon) % 7 = 1 THEN 503 " +
+        "ELSE 200 END AS BIGINT) AS st FROM cfr c " +
+        "JOIN g1 USING (link_host) WHERE g1.action_c1 = 'proceed'),\n" +
+        "a1b AS (SELECT url_canon, st, CASE WHEN st = 200 THEN " +
+        "'cycle one fetch of ' || url_canon END AS body FROM a1),\n" +
+        "s1 AS (SELECT coalesce(c.url_canon, a.url_canon) AS url_canon, " +
+        "CASE WHEN a.st = 200 THEN a.body ELSE c.body END AS body, " +
+        "coalesce(c.ff, '2026-02-10') AS ff, " +
+        "CASE WHEN a.st IN (200, 304) THEN '2026-02-10' ELSE c.lv END " +
+        "AS lv, " +
+        "CASE WHEN a.st IN (200, 304) THEN true " +
+        "WHEN a.st IN (404, 410) THEN false " +
+        "ELSE coalesce(c.act, false) END AS act " +
+        "FROM corp c FULL JOIN a1b a ON c.url_canon = a.url_canon " +
+        "WHERE c.url_canon IS NOT NULL " +
+        "OR (a.st = 200 AND a.body IS NOT NULL)),\n" +
+        "a2 AS (SELECT url_canon, CAST(CASE " +
+        "WHEN length(url_canon) % 5 = 0 THEN 304 " +
+        "WHEN length(url_canon) % 5 = 1 THEN 404 " +
+        "WHEN length(url_canon) % 5 = 2 THEN 503 " +
+        "ELSE 200 END AS BIGINT) AS st FROM cfr),\n" +
+        "a2b AS (SELECT url_canon, st, CASE WHEN st = 200 THEN " +
+        "'cycle two fetch of ' || url_canon END AS body FROM a2),\n" +
+        "s2 AS (SELECT coalesce(c.url_canon, a.url_canon) AS url_canon, " +
+        "CASE WHEN a.st = 200 THEN a.body ELSE c.body END AS body, " +
+        "coalesce(c.ff, '2026-02-17') AS ff, " +
+        "CASE WHEN a.st IN (200, 304) THEN '2026-02-17' ELSE c.lv END " +
+        "AS lv, " +
+        "CASE WHEN a.st IN (200, 304) THEN true " +
+        "WHEN a.st IN (404, 410) THEN false " +
+        "ELSE coalesce(c.act, false) END AS act " +
+        "FROM s1 c FULL JOIN a2b a ON c.url_canon = a.url_canon " +
+        "WHERE c.url_canon IS NOT NULL " +
+        "OR (a.st = 200 AND a.body IS NOT NULL))\n" +
+        "SELECT f.link_host, f.rank, f.url_canon, g1.action_c1, " +
+        "'proceed' AS action_c2, a2.st AS sim_status_c2, " +
+        "s.act AS is_active, " +
+        "CASE WHEN s.url_canon IS NOT NULL THEN md5(s.body) END " +
+        "AS body_md5, s.ff AS first_fetched, s.lv AS last_validated " +
+        "FROM cfr f JOIN g1 USING (link_host) " +
+        "JOIN a2 ON a2.url_canon = f.url_canon " +
+        "LEFT JOIN s2 s ON s.url_canon = f.url_canon " +
+        "ORDER BY f.link_host, f.rank"),
 
     "q164_sitemap_index" -> sitemapIndexOracleSql,
 

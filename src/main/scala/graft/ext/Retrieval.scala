@@ -289,11 +289,24 @@ object Retrieval {
     * append-then-probe is bit-identical to a one-shot build over the
     * union (spec-pinned).
     *
-    * Batch ids must be NEW to the index (the ingest loop's dedup
-    * contract — same as the MinHash append); a re-appended id would
-    * double its postings, which `auditBm25`'s uniqueness check trips.
-    * `IndexAudit.repairBm25Meta` remains the full-recompute remedy if
-    * an append dies between the postings write and the meta bump.
+    * Append contract (hard requirements, like every persisted-index
+    * append in this family):
+    *   - batch ids must be NEW to the index (the ingest loop's dedup
+    *     contract — same as the MinHash append); a re-appended id
+    *     would double its postings, which `auditBm25`'s uniqueness
+    *     check trips;
+    *   - ONE WRITER PER TABLE — the meta bump is a read-modify-write
+    *     separate from the postings insert, so two concurrent
+    *     appenders (e.g. two `bm25IngestStream` instances on one
+    *     table) would both read the old (n, t) and silently lose one
+    *     increment. Streaming ingest already serializes per query
+    *     (micro-batches run one at a time); never mount two.
+    * A crash BETWEEN the postings insert and the meta bump leaves meta
+    * stale until repaired — `auditBm25` trips on it
+    * (`meta_n_docs`/`meta_total_tokens`) and
+    * `IndexAudit.repairBm25Meta` is the full-recompute remedy; run
+    * fsck-then-mount after any unclean shutdown (the serving routes'
+    * discipline).
     */
   def appendToBm25Index(df: DataFrame, idCol: String, textCol: String,
                         table: String): Unit = {

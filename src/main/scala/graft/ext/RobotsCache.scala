@@ -128,8 +128,11 @@ object RobotsCache {
     * at least two recorded fetches, the rule-set diff between the
     * latest fetch and the previous one: `n_added` (rules in the latest
     * not the previous), `n_removed` (vice versa), `n_tightened` (added
-    * DISALLOW rules — the direction that invalidates queued verdicts:
-    * URLs budgeted under the old policy may now be forbidden, the
+    * DISALLOW rules plus REMOVED ALLOW rules — both directions forbid
+    * previously-permitted URLs: dropping an `Allow: /a/ok` carve-out
+    * under a broader Disallow tightens exactly like adding a Disallow.
+    * This is the direction that invalidates queued verdicts: URLs
+    * budgeted under the old policy may now be forbidden, the
     * re-verdict trigger), and `policy_changed`. Hosts with one fetch
     * emit nothing — no history, no delta.
     *
@@ -166,29 +169,86 @@ object RobotsCache {
         sum(when(col("__in_p").isNotNull && col("__in_l").isNull, 1L)
           .otherwise(0L)).as("n_removed"),
         sum(when(col("__in_l").isNotNull && col("__in_p").isNull &&
-          !col("allow"), 1L).otherwise(0L)).as("n_tightened"))
+          !col("allow"), 1L)
+          .when(col("__in_p").isNotNull && col("__in_l").isNull &&
+            col("allow"), 1L)
+          .otherwise(0L)).as("n_tightened"))
       .join(prev.select(col("host")), Seq("host"), "right")
       .na.fill(0L, Seq("n_added", "n_removed", "n_tightened"))
       .withColumn("policy_changed",
         col("n_added") + col("n_removed") > 0L)
   }
 
+  /** Maintenance rewrite for the cache's append-only growth: keep the
+    * LAST `keepFetches` fetches per host (default 2 — exactly the
+    * window [[policyDelta]] compares) and drop older history from both
+    * the fetch log and the per-fetch rules. Without a cadence rewrite
+    * `<table>_fetches` grows one row per host per TTL period forever;
+    * with it the pair stays O(hosts · keepFetches).
+    *
+    * Shape: the keep-set is a `graft_top_k` aggregate on the bucketed
+    * host key (O(keepFetches) state per host, map-side combine — never
+    * a window or a collect_list of the full history), and both
+    * rewrites stage through `<table>__compact`
+    * ([[Warehouse.stagedOverwrite]]) in the SAME bucket/sort layout,
+    * so latest-wins reads and the verdict's host joins stay
+    * Exchange-free and nothing history-sized is ever pinned in
+    * executor storage. [[policyDelta]] output is bit-identical across
+    * the rewrite (spec-pinned) because it only ever reads the latest
+    * two fetches. */
+  def compact(spark: SparkSession, table: String,
+              keepFetches: Int = 2): Unit = {
+    require(keepFetches >= 2,
+      s"keepFetches=$keepFetches — policyDelta needs the last two fetches")
+    graft.plans.GraftFunctions.register(spark)
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(s"${table}_fetches")
+    def buckets(t: String): Int =
+      spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .bucketSpec.map(_.numBuckets).getOrElse(32)
+    val kept = spark.table(s"${table}_fetches")
+      .groupBy(col("host"))
+      .agg(call_function("graft_top_k",
+        col("fetched_at_micros").cast("double"),
+        struct(col("fetched_at_micros")), lit(keepFetches)).as("__top"))
+      .select(col("host"), explode(col("__top")).as("__s"))
+      .select(col("host"),
+        col("__s.payload.fetched_at_micros").as("fetched_at_micros"))
+    Warehouse.stagedOverwrite(spark, s"${table}_fetches", kept,
+      buckets(s"${table}_fetches"), Seq("host"), Seq("host"))
+    spark.catalog.refreshTable(s"${table}_fetches")
+    val rules = spark.table(table)
+      .join(spark.table(s"${table}_fetches"),
+        Seq("host", "fetched_at_micros"), "left_semi")
+    Warehouse.stagedOverwrite(spark, table, rules, buckets(table),
+      Seq("host"), Seq("host", "fetched_at_micros"))
+  }
+
   /** The RFC 9309 §2.4 TTL gate over a scheduled budget: per host the
-    * cache age, the stale flag (age > ttlHours, or NO cached fetch at
-    * all — never-fetched hosts must fetch robots first), and the
-    * action. `budget` carries one row per (host) with any per-host
-    * payload columns; the output keeps `hostCol` plus the gate
-    * columns. */
+    * cache age, the stale flag (age strictly past the TTL, or NO
+    * cached fetch at all — never-fetched hosts must fetch robots
+    * first), and the action. Staleness compares RAW MICROS
+    * (`age_micros > ttlHours·3600·10⁶`), not the floored report hours:
+    * a floor-then-compare would serve a 24.5-hour-old copy, past the
+    * RFC's "up to 24 hours" allowance. `robots_age_hours` stays the
+    * floored integer-exact REPORT column. `budget` carries one row per
+    * (host) with any per-host payload columns; the output keeps
+    * `hostCol` plus the gate columns. */
   def ttlGate(spark: SparkSession, budget: DataFrame, hostCol: String,
               table: String, asOfMicros: Long, ttlHours: Long = 24L)
       : DataFrame =
     budget.join(
-        ages(spark, table, asOfMicros)
-          .select(col("host").as(hostCol), col("robots_age_hours")),
+        latestFetches(spark, table)
+          .select(col("host").as(hostCol), col("fetched_at_micros")),
         Seq(hostCol), "left")
+      .withColumn("robots_age_hours",
+        expr(s"(${asOfMicros}L - fetched_at_micros) div 3600000000"))
       .withColumn("robots_stale",
-        col("robots_age_hours").isNull ||
-          col("robots_age_hours") > ttlHours)
+        col("fetched_at_micros").isNull ||
+          lit(asOfMicros) - col("fetched_at_micros") >
+            ttlHours * 3600000000L)
       .withColumn("action", when(col("robots_stale"),
         lit("refetch_robots_first")).otherwise(lit("proceed")))
+      .drop("fetched_at_micros")
 }

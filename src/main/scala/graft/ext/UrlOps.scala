@@ -789,8 +789,17 @@ object UrlOps {
           when(emit, concat(rules, array(struct(v.as("p"),
             isAllow.as("a"), m.as("sp"))))).otherwise(rules).as("rules"))
       },
-      acc => filter(acc.getField("rules"),
-        r => !acc.getField("asp") || r.getField("sp")))
+      // array_distinct at the fold tail: a hand-maintained robots.txt
+      // that REPEATS a rule line (`Disallow: /a` twice in one group,
+      // or the same rule in two applicable groups) states ONE logical
+      // rule — RFC 9309's rule set is a set. Verdicts were already
+      // duplicate-immune (max-based), but downstream SET consumers are
+      // not: the robots-cache fsck's rule_rows_unique check would read
+      // a legit duplicate as append corruption, and policyDelta's
+      // full-outer rule diff would multiply it into phantom
+      // adds/removes. Dedup at emission keeps both exact.
+      acc => array_distinct(filter(acc.getField("rules"),
+        r => !acc.getField("asp") || r.getField("sp"))))
     df.select(col(hostCol).as("host") +: carry.map(col) :+
         explode(parsed).as("r"): _*)
       .select(col("host") +: carry.map(col) :+

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Managed-table hygiene for artifact writers that OVERWRITE into the
   * session warehouse (`Graph.writePageRank`, `RobotsCache.rebuild`):
@@ -23,5 +23,35 @@ object Warehouse {
       spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Overwrite `table` with `df` THROUGH a stage table — the
+    * maintenance-rewrite discipline (`IndexAudit.repairIvfAssignments`'
+    * pattern) for rewrites whose input is the target table itself:
+    * Spark refuses an in-place overwrite of its own input, and the
+    * naive escape (`localCheckpoint` the new contents, then overwrite)
+    * pins the ENTIRE new state in executor block storage for the
+    * duration — at corpus scale that holds the whole table in memory
+    * and dies with any executor. Staging writes the new contents to
+    * `<table>__compact` (same bucket/sort layout, so downstream
+    * Exchange-free plans survive), re-reads the STAGE (durable
+    * parquet, executor-loss-safe) to overwrite the target, and drops
+    * the stage. Data writes twice; nothing corpus-sized is ever held
+    * in memory. */
+  def stagedOverwrite(spark: SparkSession, table: String, df: DataFrame,
+                      nBuckets: Int, bucketCols: Seq[String],
+                      sortCols: Seq[String]): Unit = {
+    require(bucketCols.nonEmpty, s"stagedOverwrite($table): no bucket cols")
+    val stage = s"${table}__compact"
+    resetTable(spark, stage)
+    def write(src: DataFrame, target: String): Unit = {
+      val w = src.write.format("parquet")
+        .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+       else w).mode("overwrite").saveAsTable(target)
+    }
+    write(df, stage)
+    write(spark.table(stage), table)
+    spark.sql(s"DROP TABLE $stage")
   }
 }

@@ -171,12 +171,15 @@ object HttpShim {
     * NEVER-cached host reads stale by definition: no cached
     * permissions exist to fetch under). `asOfMicros` is the mount's
     * injectable clock (a server passes real time; specs pin a fixed
-    * instant). */
+    * instant); `ttlHours` the mount's TTL. The gate IS
+    * [[graft.ext.RobotsCache.ttlGate]] — one definition of staleness
+    * (raw-micros compare), not a route-local copy. */
   def robotsCacheRoutes(spark: org.apache.spark.sql.SparkSession,
-                        cacheTable: String, asOfMicros: () => Long)
+                        cacheTable: String, asOfMicros: () => Long,
+                        ttlHours: Long = 24L)
       : Map[String, HttpExchange => DataFrame] = Map(
     "robots" -> { ex =>
-      import org.apache.spark.sql.functions.{col, lit, regexp_extract, when}
+      import org.apache.spark.sql.functions.{col, regexp_extract}
       val params = queryParams(ex.getRequestURI.getRawQuery)
       val url = params.getOrElse("url", "")
       require(url.trim.nonEmpty, "missing or empty ?url= parameter")
@@ -186,18 +189,10 @@ object HttpShim {
       val verdict = graft.ext.UrlOps.robotsVerdict(
         canon.select(col("url_canon")), "url_canon", "url_canon",
         graft.ext.RobotsCache.latestRules(spark, cacheTable))
-      val ages = graft.ext.RobotsCache
-        .ages(spark, cacheTable, asOfMicros())
-        .select(col("host"), col("robots_age_hours"))
-      verdict
-        .withColumn("host", regexp_extract(col("url_canon"),
-          "^[a-z][a-z0-9+.-]*://([^/?]*)", 1))
-        .join(ages, Seq("host"), "left")
-        .withColumn("robots_stale",
-          col("robots_age_hours").isNull ||
-            col("robots_age_hours") > lit(24L))
-        .withColumn("action", when(col("robots_stale"),
-          lit("refetch_robots_first")).otherwise(lit("proceed")))
+      graft.ext.RobotsCache.ttlGate(spark,
+          verdict.withColumn("host", regexp_extract(col("url_canon"),
+            "^[a-z][a-z0-9+.-]*://([^/?]*)", 1)),
+          "host", cacheTable, asOfMicros(), ttlHours)
         .select("url_canon", "fetch_allowed", "rule_match_len",
           "robots_age_hours", "robots_stale", "action")
     })

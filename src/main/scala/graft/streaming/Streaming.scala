@@ -1733,11 +1733,19 @@ object RevisitStream {
   /** Apply ONE revisit batch to the log: merge against the CURRENT
     * state of only the batch's URLs, emit the CDC rows, append them
     * as seq-`seq` versions. `seq` must be strictly greater than any
-    * applied seq (the streaming wrapper passes batchId + 1; seq 0 is
-    * the bootstrap). Replay contract: re-appending the same (urls,
-    * seq) leaves latest-wins state unchanged — a duplicated version
-    * row ties on seq with identical payload, so the max is stable —
-    * but run [[compactLog]] to shed the dead rows. */
+    * applied seq (the streaming wrapper derives it; seq 0 is the
+    * bootstrap). Replay contract: re-appending the same (urls, seq)
+    * leaves latest-wins state unchanged — a duplicated version row
+    * ties on seq with identical payload, so the max is stable — but
+    * run [[compactLog]] to shed the dead rows. The contract REQUIRES
+    * `now` deterministic per cycle (a fixed literal or a batchId
+    * derivation, the F6 clock discipline): with wall-clock
+    * `current_timestamp()` a retried cycle re-merges against its own
+    * post-append state and appends a same-seq row whose
+    * `last_validated` differs — the struct-max tie-break then picks an
+    * arbitrary winner and [[graft.ext.IndexAudit.auditRevisitLog]]'s
+    * `versions_consistent` check reads the legitimate at-least-once
+    * retry as a writer race. */
   def applyBatchLog(spark: SparkSession, batch: DataFrame,
                     urlCol: String, statusCol: String,
                     newBodyCol: String, bodyCol: String, table: String,
@@ -1764,35 +1772,67 @@ object RevisitStream {
       .write.mode("append").insertInto(table)
   }
 
-  /** Start the log-backed loop: one [[applyBatchLog]] per micro-batch,
-    * seq = batchId + 1 (replay-stable: a retried batch re-appends
-    * under ITS OWN seq and latest-wins absorbs the duplicate). */
+  /** Start the log-backed loop: one [[applyBatchLog]] per micro-batch.
+    *
+    * Seq discipline — the "strictly greater than any applied seq"
+    * contract must hold ACROSS RESTARTS, and batchId alone does not:
+    * an uncheckpointed restart resets batchId to 0 while the log table
+    * persists with higher seqs, and latest-wins would then silently
+    * discard every fresh batch. Two restart-safe modes:
+    *   - `checkpointLocation = Some(dir)` ([[MicroBatchMerge.start]]'s
+    *     shape): batchId survives restarts in the stream checkpoint,
+    *     so seq = batchId + 1 is monotone and a RETRIED batch
+    *     re-appends under its own seq (latest-wins absorbs the
+    *     duplicate — the at-least-once contract, given a
+    *     deterministic `nowFor`, see [[applyBatchLog]]).
+    *   - `checkpointLocation = None`: seq derives per batch from the
+    *     LOG itself (max stored `__seq` + 1 — a min/max-footer read of
+    *     the bucketed table's seq column, never a corpus fold), so a
+    *     fresh stream over a persisted log always appends ABOVE the
+    *     applied history, including right after a [[compactLog]]
+    *     (which resets stored seqs to 0). Single-writer-per-table is
+    *     the append contract either way (the persisted-index family
+    *     rule). */
   def startLog(revisits: DataFrame, urlCol: String, statusCol: String,
                newBodyCol: String, bodyCol: String, table: String,
-               nowFor: Long => Column = _ => current_timestamp())(
+               nowFor: Long => Column = _ => current_timestamp(),
+               checkpointLocation: Option[String] = None)(
       onBatch: DataFrame => Unit = _ => ())
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    revisits.writeStream
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = revisits.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatchLog(batch.sparkSession, batch, urlCol, statusCol,
-          newBodyCol, bodyCol, table, batchId + 1, nowFor(batchId),
-          onBatch)
+        val spark = batch.sparkSession
+        val seq =
+          if (checkpointLocation.isDefined) batchId + 1
+          else {
+            spark.catalog.refreshTable(table)
+            spark.table(table)
+              .agg(coalesce(max(col("__seq")), lit(0L))).head.getLong(0) + 1
+          }
+        applyBatchLog(spark, batch, urlCol, statusCol,
+          newBodyCol, bodyCol, table, seq, nowFor(batchId), onBatch)
         ()
       }
+    checkpointLocation
+      .fold(w)(dir => w.option("checkpointLocation", dir))
       .start()
+  }
 
   /** Fold the log down to its live edge (latest version per URL,
     * re-stamped seq 0) in the same bucket layout — the maintenance
     * rewrite a long-running loop schedules on its own cadence. State
-    * before ≡ state after (spec-pinned). */
+    * before ≡ state after (spec-pinned). Staged through
+    * `<table>__compact` ([[graft.ext.Warehouse.stagedOverwrite]]):
+    * the live edge is CORPUS-sized, so it must never be pinned in
+    * executor storage to dodge the read-own-input overwrite — the
+    * stage table is the durable intermediate, and the rewrite
+    * survives executor loss. */
   def compactLog(spark: SparkSession, table: String, urlCol: String,
-                 bodyCol: String, nBuckets: Int = 32): Unit = {
-    val live = logState(spark, table, urlCol, bodyCol)
-      .withColumn("__seq", lit(0L)).localCheckpoint()
-    live.select(col(urlCol), col(bodyCol), col("first_fetched"),
-        col("last_validated"), col("is_active"), col("__seq"))
-      .write.format("parquet")
-      .bucketBy(nBuckets, urlCol).sortBy(urlCol)
-      .mode("overwrite").saveAsTable(table)
-  }
+                 bodyCol: String, nBuckets: Int = 32): Unit =
+    graft.ext.Warehouse.stagedOverwrite(spark, table,
+      logState(spark, table, urlCol, bodyCol)
+        .withColumn("__seq", lit(0L))
+        .select(col(urlCol), col(bodyCol), col("first_fetched"),
+          col("last_validated"), col("is_active"), col("__seq")),
+      nBuckets, Seq(urlCol), Seq(urlCol))
 }

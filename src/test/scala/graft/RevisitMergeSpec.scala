@@ -229,6 +229,52 @@ class RevisitMergeSpec extends SparkSpec {
     assert(bad == Set("versions_consistent"), bad)
   }
 
+  test("startLog restart safety: a NEW uncheckpointed stream over a " +
+    "persisted log (batchId resets to 0) derives seq from the stored " +
+    "log, so fresh revisit results land ABOVE the applied history " +
+    "instead of tying with it — including right after a compaction") {
+    import graft.streaming.RevisitStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val loc = java.nio.file.Files.createTempDirectory("graft_rvrst").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_rvrdb LOCATION '$loc'")
+    val table = "graft_rvrdb.corpus_log"
+    RevisitStream.initLog(corpus, "url_canon", "body", table, nBuckets = 4)
+    val u = "https://h.example.com/changed"
+    def run(row: (String, Long, Option[String]), now: String): Unit = {
+      val in = MemoryStream[(String, Long, Option[String])]
+      val q = RevisitStream.startLog(
+        in.toDF().toDF("url_canon", "http_status", "http_body"),
+        "url_canon", "http_status", "http_body", "body", table,
+        nowFor = _ => lit(now))()
+      try { in.addData(row); q.processAllAvailable() } finally q.stop()
+    }
+    // stream 1 applies cycle 1 (seq lands at 1), then the process dies
+    run((u, 200L, Some("zzz cycle-1 body")), "2026-02-10")
+    // stream 2 is a FRESH query: its batchId restarts at 0, but the
+    // derived seq must clear the persisted history. The bodies are
+    // chosen so a seq TIE would pick the stale one (struct-max falls
+    // through to the body string) — the exact silent-discard the
+    // restart contract exists to prevent.
+    run((u, 200L, Some("aaa cycle-2 body")), "2026-02-17")
+    def live(): (String, String) = {
+      val r = RevisitStream.logState(spark, table, "url_canon", "body")
+        .filter(col("url_canon") === u).head
+      (r.getString(1), r.getString(3))
+    }
+    assert(live() == (("aaa cycle-2 body", "2026-02-17")))
+    // no same-seq duplicate was written: the replay fsck stays green
+    assert(graft.ext.IndexAudit.auditRevisitLog(spark, table, "url_canon")
+      .filter(!col("ok")).count() == 0)
+    // after compaction (stored seqs reset to 0) a third fresh stream
+    // still appends above the live edge
+    RevisitStream.compactLog(spark, table, "url_canon", "body",
+      nBuckets = 4)
+    assert(!spark.catalog.tableExists(s"${table}__compact"))
+    run((u, 200L, Some("bbb cycle-3 body")), "2026-02-24")
+    assert(live() == (("bbb cycle-3 body", "2026-02-24")))
+  }
+
   test("merge is idempotent: re-applying the same revisit batch to " +
     "the merged state changes nothing but the already-set fields") {
     val once = UrlOps.revisitMerge(corpus, revisits, "url_canon",

@@ -205,6 +205,16 @@ class RobotsCacheSpec extends SparkSpec {
       in.addData((2L, "https://s.com/p2",
         "<a href=\"/private/c\">x</a><a href=\"/public/d\">y</a>"))
       q.processAllAvailable()
+      // the TIGHTENING direction (q197's trigger): a refetch that ADDS
+      // an exclusion must evict matching URLs from the very next batch
+      RobotsCache.refresh(Seq(
+          ("s.com", asOf,
+            "User-agent: *\nDisallow: /public"))
+          .toDF("host", "fetched_at_micros", "robots_body"),
+        "host", "fetched_at_micros", "robots_body", table)
+      in.addData((3L, "https://s.com/p3",
+        "<a href=\"/public/e\">x</a><a href=\"/open/f\">y</a>"))
+      q.processAllAvailable()
     } finally q.stop()
     val byBatch = emitted.toMap
     // batch 1: the cached exclusion holds — /private/a never surfaces
@@ -212,6 +222,8 @@ class RobotsCacheSpec extends SparkSpec {
     // batch 2: the refetched rules govern — /private/c now passes
     assert(byBatch(1L) ==
       Seq("https://s.com/private/c", "https://s.com/public/d"), byBatch)
+    // batch 3: the tightened rules govern — /public/e is evicted
+    assert(byBatch(2L) == Seq("https://s.com/open/f"), byBatch)
   }
 
   test("policyDelta: additions/removals/tightenings between the latest " +
@@ -253,6 +265,95 @@ class RobotsCacheSpec extends SparkSpec {
         .toDF("host", "fetched_at_micros", "robots_body"),
       "host", "fetched_at_micros", "robots_body", table)
     assert(deltas()("t.com") == ((1L, 2L, 1L, true)), deltas())
+    // REMOVING an Allow carve-out tightens too: l.com drops /x/ok
+    // under its standing Disallow /x — previously-permitted URLs are
+    // now forbidden, so n_tightened must fire (0 added, 1 removed)
+    RobotsCache.refresh(Seq(
+        ("l.com", asOf, "User-agent: *\nDisallow: /x"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table)
+    assert(deltas()("l.com") == ((0L, 1L, 1L, true)), deltas())
+  }
+
+  test("a repeated rule line in a stored body is ONE logical rule: " +
+    "latestRules and policyDelta count sets, and the fsck stays green " +
+    "on legitimate duplicate-line input") {
+    val table = mkDb("rc9")
+    RobotsCache.rebuild(Seq(
+        ("d.com", asOf - 30 * H,
+          "User-agent: *\nDisallow: /a\nDisallow: /a\nDisallow: /b"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table, nBuckets = 2)
+    // one stored rule row per logical rule
+    assert(RobotsCache.latestRules(spark, table)
+      .select("path_prefix").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("/a", "/b"))
+    // a healthy duplicate-line artifact must NOT read as corruption
+    assert(IndexAudit.auditRobotsCache(spark, table)
+      .filter(!col("ok")).count() == 0)
+    // a refetch whose body ALSO repeats lines diffs logical rules:
+    // /a dropped once (not twice), /c added once
+    RobotsCache.refresh(Seq(
+        ("d.com", asOf - 1 * H,
+          "User-agent: *\nDisallow: /b\nDisallow: /c\nDisallow: /c"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table)
+    val d = RobotsCache.policyDelta(spark, table).head
+    assert((d.getLong(1), d.getLong(2), d.getLong(3)) == ((1L, 1L, 1L)))
+    assert(IndexAudit.auditRobotsCache(spark, table)
+      .filter(!col("ok")).count() == 0)
+  }
+
+  test("compact keeps the last two fetches per host through a staged " +
+    "swap: policyDelta and latestRules are bit-identical, older " +
+    "history is gone, fsck green, no stage table left behind") {
+    val table = mkDb("rc10")
+    RobotsCache.rebuild(Seq(
+        ("a.com", asOf - 80 * H, "User-agent: *\nDisallow: /v1"),
+        ("b.com", asOf - 80 * H, "User-agent: *\nDisallow: /w1"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table, nBuckets = 2)
+    // three more cycles for a.com, one more for b.com
+    Seq(60L, 40L, 2L).foreach { h =>
+      RobotsCache.refresh(Seq(
+          ("a.com", asOf - h * H, s"User-agent: *\nDisallow: /v$h"))
+          .toDF("host", "fetched_at_micros", "robots_body"),
+        "host", "fetched_at_micros", "robots_body", table)
+    }
+    RobotsCache.refresh(Seq(
+        ("b.com", asOf - 3 * H, "User-agent: *\nDisallow: /w2"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table)
+    def snap() = (
+      RobotsCache.policyDelta(spark, table).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq,
+      RobotsCache.latestRules(spark, table).collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_.toString)
+        .toSeq,
+      RobotsCache.ages(spark, table, asOf).collect()
+        .map(r => (r.getString(0),
+          r.getLong(r.fieldIndex("robots_age_hours")))).sortBy(_._1)
+        .toSeq)
+    val before = snap()
+    RobotsCache.compact(spark, table)
+    assert(snap() == before)
+    // history truncated to the policyDelta window: 2 fetches per host
+    val perHost = spark.table(s"${table}_fetches")
+      .groupBy(col("host")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perHost == Map("a.com" -> 2L, "b.com" -> 2L), perHost)
+    // the superseded fetches' rules are gone with their log rows
+    // (b.com has only two fetches, so /w1 is still in-window and stays)
+    assert(spark.table(table)
+      .filter(col("path_prefix").isin("/v1", "/v60"))
+      .count() == 0)
+    assert(spark.table(table)
+      .filter(col("path_prefix") === "/w1").count() == 1)
+    assert(IndexAudit.auditRobotsCache(spark, table)
+      .filter(!col("ok")).count() == 0)
+    assert(!spark.catalog.tableExists(s"${table}__compact"))
+    assert(!spark.catalog.tableExists(s"${table}_fetches__compact"))
   }
 
   test("the cache feeds robotsVerdict in its expected shape: latest " +

@@ -279,6 +279,21 @@ class UrlOpsSpec extends SparkSpec {
     assert(parse(txt) === Seq(("/b", false, false)))
   }
 
+  test("robots.txt parse: a repeated rule line is ONE logical rule " +
+    "(fold-tail array_distinct) — within a group, across stacked " +
+    "groups, and never across a genuine allow/disallow difference") {
+    // hand-maintained files repeat lines; RFC 9309's rule set is a set
+    assert(parse("User-agent: *\nDisallow: /a\nDisallow: /a\n")
+      === Seq(("/a", false, false)))
+    // the same rule in two applicable * groups: still one logical rule
+    assert(parse("User-agent: *\nDisallow: /a\n\n" +
+      "User-agent: *\nDisallow: /a\nDisallow: /b\n")
+      === Seq(("/a", false, false), ("/b", false, false)))
+    // allow vs disallow on one path is TWO rules (q152's tie class)
+    assert(parse("User-agent: *\nAllow: /p\nDisallow: /p\nAllow: /p\n")
+      .sorted === Seq(("/p", false, false), ("/p", true, false)))
+  }
+
   test("robots.txt parse: CRLF bodies and tab whitespace (RFC 9309 §2.2)") {
     // CRLF line endings (what the WARC/HTTP tier yields) must not leave
     // a trailing \r on any value — '*\r' would match no group and every
