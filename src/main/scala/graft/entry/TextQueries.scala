@@ -2176,9 +2176,13 @@ private[graft] object TextQueries {
         "robots_body", table, nBuckets = 8)
       graft.ext.RobotsCache.refresh(f2, "host", "fetched_at_micros",
         "robots_body", table)
+      // host-sized and consumed three times (semi-join prune, the
+      // output's left join, and inside the re-verdict's lineage) —
+      // cut the plan here or the whole delta subtree triplicates
       val tightened = graft.ext.RobotsCache.policyDelta(s, table)
         .filter(col("n_tightened") > 0)
         .select(col("host").as("link_host"), col("n_tightened"))
+        .localCheckpoint()
       val recheck = fr.join(broadcast(tightened), Seq("link_host"),
         "left_semi")
       val rev = graft.ext.UrlOps.robotsVerdict(recheck, "url_canon",
