@@ -116,6 +116,36 @@ object RevisitScaleSoak {
     println(f"[revisit-soak] exact three-way census: $tCmp%.1f s " +
       s"swap-vs-log=${diffs._1} log-vs-oneshot=${diffs._2}")
     assert(diffs == ((0L, 0L)), s"states diverged: $diffs")
+
+    // the STAGED compaction at corpus scale — the r14-verdict hazard's
+    // remedy measured where it mattered: the live edge is corpus-sized,
+    // and the rewrite must go through the durable stage table, never a
+    // corpus-sized localCheckpoint pin
+    val (_, tCompact) = time {
+      RevisitStream.compactLog(spark, logTable, "url_canon", "body",
+        nBuckets = 32)
+    }
+    println(f"[revisit-soak] staged compaction @ ${nCorpus + nBatch} " +
+      f"log rows: $tCompact%.1f s")
+    // history folded to the live edge (every batch URL was already in
+    // the corpus, so the edge is exactly nCorpus rows), state unchanged
+    val compactedRows = spark.table(logTable).count()
+    assert(compactedRows == nCorpus,
+      s"compacted log $compactedRows != $nCorpus live rows")
+    assert(!spark.catalog.tableExists(s"${logTable}__compact"),
+      "stage table left behind")
+    val postDiff = {
+      val b2 = RevisitStream.logState(spark, logTable, "url_canon",
+          "body")
+        .select("url_canon", "body", "first_fetched", "last_validated",
+          "is_active")
+      val c2 = graft.ext.UrlOps.revisitMerge(corpus, batch, "url_canon",
+          "http_status", "http_body", "body", lit("2026-02-10"))
+        .select("url_canon", "body", "first_fetched", "last_validated",
+          "is_active")
+      b2.except(c2).count() + c2.except(b2).count()
+    }
+    assert(postDiff == 0L, s"state changed across compaction: $postDiff")
     println("[revisit-soak] PASS")
     spark.stop()
   }

@@ -125,6 +125,44 @@ object RobotsCacheSoak {
     }
     println(f"[rc-soak] fsck: $tFsck%.1f s failures=$bad")
     assert(bad == 0, s"fsck failures: $bad")
+
+    // COMPACTION at host scale: a third fetch generation for the
+    // refetched slice (so those hosts exceed policyDelta's two-fetch
+    // window), then the staged keep-last-2 rewrite. Assert the delta
+    // census is bit-identical across the rewrite (compaction keeps
+    // exactly the window the delta reads), the live rules are
+    // unchanged, the log truncates to ≤2 fetches per host, and no
+    // stage table survives.
+    RobotsCache.refresh(
+      spark.range(0, nRefetch * 2, 2, 32)
+        .select(host.as("host"), lit(asOf).as("fetched_at_micros"),
+          concat(lit("User-agent: *\nDisallow: /v3-"),
+            col("id").cast("string")).as("robots_body")),
+      "host", "fetched_at_micros", "robots_body", table)
+    def deltaCensus() = RobotsCache.policyDelta(spark, table)
+      .agg(count(lit(1)), sum(col("n_added")), sum(col("n_removed")),
+        sum(col("n_tightened"))).head
+    def liveCensus() = RobotsCache.latestRules(spark, table)
+      .agg(count(lit(1)),
+        sum(when(col("path_prefix").startsWith("/v3-"), 1L)
+          .otherwise(0L))).head
+    val (dBefore, lBefore) = (deltaCensus(), liveCensus())
+    val (_, tCompact) = time {
+      RobotsCache.compact(spark, table)
+    }
+    println(f"[rc-soak] staged compaction @ ${nHosts + 2 * nRefetch} " +
+      f"fetch rows: $tCompact%.1f s")
+    assert(deltaCensus() == dBefore,
+      s"policyDelta changed across compaction: $dBefore -> ${deltaCensus()}")
+    assert(liveCensus() == lBefore,
+      s"live rules changed across compaction: $lBefore -> ${liveCensus()}")
+    // every thrice-fetched host truncated to the delta window
+    val fetchRows = spark.table(s"${table}_fetches").count()
+    assert(fetchRows == nHosts + nRefetch,
+      s"fetch log $fetchRows != ${nHosts + nRefetch} after keep-2")
+    assert(!spark.catalog.tableExists(s"${table}__compact") &&
+      !spark.catalog.tableExists(s"${table}_fetches__compact"),
+      "stage table left behind")
     println("[rc-soak] PASS")
     spark.stop()
   }
