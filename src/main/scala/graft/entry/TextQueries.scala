@@ -2662,6 +2662,48 @@ private[graft] object TextQueries {
         .orderBy("link_host", "rank")
     }),
 
+    // ---- politeness served from the PERSISTED cache (oracle-checked):
+    // the crawl-delay tier upgraded to cache-backed state — q160
+    // parses raw bodies in-plan, but a production loop schedules
+    // against the cache the refetch stream maintains, and a refetch
+    // that CHANGES Crawl-delay must reschedule the host's slots the
+    // next cycle with no raw-body re-parse anywhere downstream. The
+    // fetch log stores each fetch's parsed delay winner
+    // (RobotsCache.fetchLog), latestDelays serves strictly the newest
+    // fetch's policy, and politenessSchedule consumes it in place of
+    // the in-plan parse. The plant: the q156 bodies bootstrap (star
+    // 5 s; graftbot-specific 0.5 s on hosts ending 3), then EVEN-digit
+    // hosts refetch a body that slows the crawler to 10 s — their
+    // slots spread 2×, odd hosts keep the bootstrap winners,
+    // cache-less hosts (cdn/port variants) ride the 1 s default.
+    "q199_delay_from_cache" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val table = "graft_robots_delay_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+      val f1 = plantedRobotsTxt(docs).select(col("host"),
+        lit(Q178AsOfMicros - 30L * 3600000000L).as("fetched_at_micros"),
+        col("txt").as("robots_body"))
+      graft.ext.RobotsCache.rebuild(f1, "host", "fetched_at_micros",
+        "robots_body", table, agent = "graftbot", nBuckets = 8)
+      val f2 = plantedRobotsTxt(docs)
+        .filter(regexp_extract(col("host"), "([0-9])\\.example\\.", 1)
+          .cast("long") % 2 === 0)
+        .select(col("host"),
+          lit(Q178AsOfMicros - 2L * 3600000000L).as("fetched_at_micros"),
+          lit("User-agent: *\nCrawl-delay: 10\nDisallow: /private")
+            .as("robots_body"))
+      graft.ext.RobotsCache.refresh(f2, "host", "fetched_at_micros",
+        "robots_body", table, agent = "graftbot")
+      graft.ext.UrlOps.politenessSchedule(crawlFrontier(s, dir),
+          "link_host", "rank",
+          graft.ext.RobotsCache.latestDelays(s, table),
+          defaultDelayMicros = 1000000L)
+        .select(col("link_host"), col("rank"), col("url_canon"),
+          col("depth"), col("found_by"), col("fetch_at_micros"))
+        .orderBy("link_host", "rank")
+    }),
+
     // ---- robots.txt parsing (oracle-checked): raw per-host bodies →
     // the rule table the verdict consumes, honoring the RFC 9309
     // grammar (comment stripping, UA-group stacking, ignored
@@ -5807,6 +5849,27 @@ private[graft] object TextQueries {
     "q156_robots_parse" -> robotsParseOracleSql,
 
     "q160_fetch_schedule" -> fetchScheduleOracleSql,
+
+    // q199: the q160 schedule formula with the delay winner OVERRIDDEN
+    // for the refetched even-digit hosts (their latest fetch declares
+    // 10 s) — the bootstrap winners replay through the shared
+    // crawl-delay CTEs, the refetch class is closed-form off the same
+    // plant digits
+    "q199_delay_from_cache" ->
+      ("WITH " + frontierCtes + ",\n" + robotsTxtCtes + ",\n" +
+        crawlDelayCtes + ",\n" +
+        "rfc AS (SELECT h || '.example.com' AS host FROM rbh " +
+        "WHERE CAST(regexp_extract(h, '([0-9])$', 1) AS BIGINT) " +
+        "% 2 = 0),\n" +
+        "dlv AS (SELECT d.host, CASE WHEN r.host IS NOT NULL " +
+        "THEN 10000000 ELSE d.dmic END AS dmic " +
+        "FROM dms d LEFT JOIN rfc r ON r.host = d.host)\n" +
+        "SELECT f.link_host, CAST(f.rnk AS BIGINT) AS rank, " +
+        "f.link_canon AS url_canon, f.depth, f.found_by, " +
+        "CAST((f.rnk - 1) * coalesce(d.dmic, 1000000) AS BIGINT) " +
+        "AS fetch_at_micros " +
+        "FROM rk f LEFT JOIN dlv d ON d.host = f.link_host " +
+        "WHERE f.rnk <= 3 ORDER BY link_host, rank"),
 
     "q157_sitemap_parse" -> sitemapOracleSql,
 

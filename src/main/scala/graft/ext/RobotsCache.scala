@@ -16,10 +16,16 @@ import org.apache.spark.sql.functions._
   * Layout (the persisted-index family pattern — `Retrieval
   * .writeBm25Index`, `Dedup.writeMinhashIndex`):
   *   - `<table>_fetches` — the append-only FETCH LOG: one row per
-  *     robots fetch `(host, fetched_at_micros)`. Presence and age live
-  *     here, NOT on the rules: a host whose robots.txt yields no
-  *     applicable rules (empty file, 404 treated as allow-all) still
-  *     has a fetch time the TTL gate must honor.
+  *     robots fetch `(host, fetched_at_micros, crawl_delay_micros)`.
+  *     Presence and age live here, NOT on the rules: a host whose
+  *     robots.txt yields no applicable rules (empty file, 404 treated
+  *     as allow-all) still has a fetch time the TTL gate must honor.
+  *     The fetch's parsed `Crawl-delay` winner rides the same row
+  *     (null when the body declares none or the value is
+  *     non-numeric), so the POLITENESS tier serves from the cache too
+  *     ([[latestDelays]]) — a refetch that changes the delay
+  *     reschedules the host's slots the next cycle, with no raw-body
+  *     re-parse anywhere downstream.
   *   - `<table>` — the parsed rules PER FETCH: `(host,
   *     fetched_at_micros, path_prefix, allow, from_specific,
   *     has_wildcard)`, bucketed by host so the latest-per-host read
@@ -49,8 +55,7 @@ object RobotsCache {
               bodyCol: String, table: String, agent: String = "*"): Unit = {
     val rules = parsedRules(fetches, hostCol, fetchedAtCol, bodyCol, agent)
     rules.write.mode("append").insertInto(table)
-    fetches.select(col(hostCol).cast("string").as("host"),
-        col(fetchedAtCol).cast("long").as("fetched_at_micros"))
+    fetchLog(fetches, hostCol, fetchedAtCol, bodyCol, agent)
       .write.mode("append").insertInto(s"${table}_fetches")
   }
 
@@ -66,11 +71,31 @@ object RobotsCache {
       .write.format("parquet")
       .bucketBy(nBuckets, "host").sortBy("host", "fetched_at_micros")
       .mode("overwrite").saveAsTable(table)
-    fetches.select(col(hostCol).cast("string").as("host"),
-        col(fetchedAtCol).cast("long").as("fetched_at_micros"))
+    fetchLog(fetches, hostCol, fetchedAtCol, bodyCol, agent)
       .write.format("parquet")
       .bucketBy(nBuckets, "host").sortBy("host")
       .mode("overwrite").saveAsTable(s"${table}_fetches")
+  }
+
+  /** One fetch-log row per fetch: `(host, fetched_at_micros,
+    * crawl_delay_micros)` — the per-fetch `Crawl-delay` winner
+    * ([[UrlOps.robotsCrawlDelay]]'s group selection for `agent`) left-
+    * joined back so delay-less bodies keep their log row with a null
+    * delay. Shared by [[rebuild]] and [[refresh]] — `insertInto` is
+    * positional, so one definition site keeps the column order
+    * identical on both paths. */
+  private def fetchLog(fetches: DataFrame, hostCol: String,
+                       fetchedAtCol: String, bodyCol: String,
+                       agent: String): DataFrame = {
+    val base = fetches.select(col(hostCol).cast("string").as("host"),
+      col(fetchedAtCol).cast("long").as("fetched_at_micros"),
+      col(bodyCol).as("__rc_body"))
+    val delays = UrlOps.robotsCrawlDelay(base, "host", "__rc_body",
+        agent, carry = Seq("fetched_at_micros"))
+      .select(col("host"), col("fetched_at_micros"),
+        col("crawl_delay_micros"))
+    base.select(col("host"), col("fetched_at_micros"))
+      .join(delays, Seq("host", "fetched_at_micros"), "left")
   }
 
   private def parsedRules(fetches: DataFrame, hostCol: String,
@@ -110,6 +135,20 @@ object RobotsCache {
       .select(col("host"), col("path_prefix"), col("allow"),
         col("from_specific"), col("has_wildcard"))
   }
+
+  /** The LIVE per-host `Crawl-delay`: each host's latest fetch's
+    * parsed delay, in [[UrlOps.politenessSchedule]]'s expected shape
+    * `(host, crawl_delay_micros)`. Strictly latest-wins — a newest
+    * body that declares NO delay yields no row (the host reverts to
+    * the scheduler's default), never a fallback to a superseded
+    * fetch's policy. Same Exchange-free bucket-key read as
+    * [[latestRules]]. */
+  def latestDelays(spark: SparkSession, table: String): DataFrame =
+    spark.table(s"${table}_fetches")
+      .join(latestFetches(spark, table),
+        Seq("host", "fetched_at_micros"))
+      .filter(col("crawl_delay_micros").isNotNull)
+      .select(col("host"), col("crawl_delay_micros"))
 
   /** Cache ages against the scheduler's clock: `(host,
     * fetched_at_micros, robots_age_hours)` with the age in WHOLE hours
@@ -215,7 +254,13 @@ object RobotsCache {
       .select(col("host"), explode(col("__top")).as("__s"))
       .select(col("host"),
         col("__s.payload.fetched_at_micros").as("fetched_at_micros"))
-    Warehouse.stagedOverwrite(spark, s"${table}_fetches", kept,
+    // semi-join the ORIGINAL log against the keep-set (rather than
+    // writing the keep-set itself) so per-fetch payload columns —
+    // crawl_delay_micros today, anything added later — survive the
+    // rewrite
+    val keptLog = spark.table(s"${table}_fetches")
+      .join(kept, Seq("host", "fetched_at_micros"), "left_semi")
+    Warehouse.stagedOverwrite(spark, s"${table}_fetches", keptLog,
       buckets(s"${table}_fetches"), Seq("host"), Seq("host"))
     spark.catalog.refreshTable(s"${table}_fetches")
     val rules = spark.table(table)

@@ -1002,7 +1002,7 @@ object UrlOps {
     * guessing). Same zero-shuffle `aggregate` fold as the parser, same
     * [[RobotsLineBreak]]/[[RobotsWs]] line/whitespace discipline. */
   def robotsCrawlDelay(df: DataFrame, hostCol: String, txtCol: String,
-      agent: String): DataFrame = {
+      agent: String, carry: Seq[String] = Nil): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val init = expr("named_struct('m', false, 's', false, " +
       "'inua', false, 'asp', false, 'dsp', '', 'dst', '')")
@@ -1033,7 +1033,8 @@ object UrlOps {
       },
       acc => when(acc.getField("asp"), acc.getField("dsp"))
         .otherwise(acc.getField("dst")))
-    df.select(col(hostCol).as("host"), folded.as("crawl_delay_raw"))
+    df.select(col(hostCol).as("host") +: carry.map(col) :+
+        folded.as("crawl_delay_raw"): _*)
       .filter(col("crawl_delay_raw") =!= "")
       .withColumn("crawl_delay_micros",
         when(col("crawl_delay_raw").rlike("^[0-9]+(\\.[0-9]{1,6})?$"),

@@ -174,15 +174,27 @@ object EventStreams {
     * batch after its refetch arrives (spec-pinned). The cache is
     * append-only/latest-wins, so batch splits never change the live
     * edge — the newest fetch per host wins under any batching.
+    *
+    * `compactEvery > 0` runs the cadence maintenance INSIDE the loop:
+    * every Nth batch ends with [[graft.ext.RobotsCache.compact]]
+    * (keep the last `keepFetches` fetches per host, staged rewrite),
+    * so a long-running refetch loop bounds its own history instead of
+    * deferring to an external scheduler. Compaction keeps exactly the
+    * window `policyDelta` reads, so reads between batches are
+    * unaffected (spec-pinned).
     */
   def robotsFetchStream(fetches: DataFrame, hostCol: String,
                         fetchedAtCol: String, bodyCol: String,
-                        table: String, agent: String = "*")
+                        table: String, agent: String = "*",
+                        compactEvery: Int = 0, keepFetches: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery =
     fetches.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ext.RobotsCache.refresh(batch, hostCol, fetchedAtCol,
           bodyCol, table, agent)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.ext.RobotsCache.compact(batch.sparkSession, table,
+            keepFetches)
       }
       .start()
 
@@ -1796,7 +1808,8 @@ object RevisitStream {
   def startLog(revisits: DataFrame, urlCol: String, statusCol: String,
                newBodyCol: String, bodyCol: String, table: String,
                nowFor: Long => Column = _ => current_timestamp(),
-               checkpointLocation: Option[String] = None)(
+               checkpointLocation: Option[String] = None,
+               compactEvery: Int = 0)(
       onBatch: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = revisits.writeStream
@@ -1811,6 +1824,13 @@ object RevisitStream {
           }
         applyBatchLog(spark, batch, urlCol, statusCol,
           newBodyCol, bodyCol, table, seq, nowFor(batchId), onBatch)
+        // cadence maintenance inside the loop: every Nth batch folds
+        // the log to its live edge (staged rewrite, state unchanged).
+        // Safe in both seq modes: derived seq reads max(__seq)+1 = 1
+        // off the compacted log, and a checkpointed batchId+1 is
+        // always > 0.
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactLog(spark, table, urlCol, bodyCol)
         ()
       }
     checkpointLocation
@@ -1826,13 +1846,22 @@ object RevisitStream {
     * the live edge is CORPUS-sized, so it must never be pinned in
     * executor storage to dodge the read-own-input overwrite — the
     * stage table is the durable intermediate, and the rewrite
-    * survives executor loss. */
+    * survives executor loss. `nBuckets = 0` (the default) keeps the
+    * table's OWN bucket count — a maintenance rewrite must never
+    * silently re-layout the table out from under its Exchange-free
+    * readers. */
   def compactLog(spark: SparkSession, table: String, urlCol: String,
-                 bodyCol: String, nBuckets: Int = 32): Unit =
+                 bodyCol: String, nBuckets: Int = 0): Unit = {
+    val n =
+      if (nBuckets > 0) nBuckets
+      else spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .bucketSpec.map(_.numBuckets).getOrElse(32)
     graft.ext.Warehouse.stagedOverwrite(spark, table,
       logState(spark, table, urlCol, bodyCol)
         .withColumn("__seq", lit(0L))
         .select(col(urlCol), col(bodyCol), col("first_fetched"),
           col("last_validated"), col("is_active"), col("__seq")),
-      nBuckets, Seq(urlCol), Seq(urlCol))
+      n, Seq(urlCol), Seq(urlCol))
+  }
 }

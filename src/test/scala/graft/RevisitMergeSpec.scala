@@ -229,6 +229,49 @@ class RevisitMergeSpec extends SparkSpec {
     assert(bad == Set("versions_consistent"), bad)
   }
 
+  test("startLog with compactEvery: the cadence maintenance folds the " +
+    "log inside the loop — final state identical to the one-shot " +
+    "merge, history bounded to the live edge") {
+    import graft.streaming.RevisitStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val loc = java.nio.file.Files.createTempDirectory("graft_rvce").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_rvcedb LOCATION '$loc'")
+    val table = "graft_rvcedb.corpus_log"
+    RevisitStream.initLog(corpus, "url_canon", "body", table, nBuckets = 4)
+    val rows = revisits.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)))).toSeq
+    val (b1, b2) = rows.splitAt(4)
+    val in = MemoryStream[(String, Long, Option[String])]
+    val q = RevisitStream.startLog(
+      in.toDF().toDF("url_canon", "http_status", "http_body"),
+      "url_canon", "http_status", "http_body", "body", table,
+      nowFor = _ => lit("2026-02-10"), compactEvery = 2)()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = RevisitStream.logState(spark, table, "url_canon", "body")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))).toMap
+    val want = UrlOps.revisitMerge(corpus, revisits, "url_canon",
+        "http_status", "http_body", "body", lit("2026-02-10"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))).toMap
+    assert(got == want && got.size == 8)
+    // batch 2 ended with the in-loop compaction: live edge only, and
+    // the compacted layout kept the table's own bucket count
+    assert(spark.table(table).count() == 8)
+    assert(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).contains(4))
+    assert(graft.ext.IndexAudit.auditRevisitLog(spark, table, "url_canon")
+      .filter(!col("ok")).count() == 0)
+  }
+
   test("startLog restart safety: a NEW uncheckpointed stream over a " +
     "persisted log (batchId resets to 0) derives seq from the stored " +
     "log, so fresh revisit results land ABOVE the applied history " +

@@ -356,6 +356,95 @@ class RobotsCacheSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${table}_fetches__compact"))
   }
 
+  test("crawl-delay lives in the fetch log: latestDelays serves " +
+    "strictly the newest fetch's winner, a delay-less refetch reverts " +
+    "the host to the default, and compaction preserves the stored " +
+    "delays") {
+    val table = mkDb("rc11")
+    RobotsCache.rebuild(Seq(
+        // star delay + a graftbot-specific group that must win
+        ("sp.com", asOf - 40 * H,
+          "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n\n" +
+            "User-agent: graftbot\nCrawl-delay: 0.5\nDisallow: /y"),
+        ("plain.com", asOf - 40 * H,
+          "User-agent: *\nCrawl-delay: 2\nDisallow: /x"),
+        ("none.com", asOf - 40 * H, "User-agent: *\nDisallow: /x"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table,
+      agent = "graftbot", nBuckets = 2)
+    def delays(): Map[String, Long] =
+      RobotsCache.latestDelays(spark, table).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(delays() == Map("sp.com" -> 500000L, "plain.com" -> 2000000L))
+    // plain.com refetches SLOWER; sp.com's refetch drops the delay
+    // line entirely — strictly latest-wins, no fallback to the
+    // superseded fetch's policy
+    RobotsCache.refresh(Seq(
+        ("plain.com", asOf - 2 * H,
+          "User-agent: *\nCrawl-delay: 10\nDisallow: /x"),
+        ("sp.com", asOf - 2 * H, "User-agent: *\nDisallow: /x"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table,
+      agent = "graftbot")
+    assert(delays() == Map("plain.com" -> 10000000L))
+    // the schedule consumes the cache: plain.com slots spread 10 s,
+    // sp.com and unknown hosts ride the default
+    val frontier = Seq(("plain.com", 1L), ("plain.com", 2L),
+      ("sp.com", 1L), ("sp.com", 2L), ("new.com", 1L), ("new.com", 2L))
+      .toDF("link_host", "rank")
+    val slots = UrlOps.politenessSchedule(frontier, "link_host", "rank",
+        RobotsCache.latestDelays(spark, table),
+        defaultDelayMicros = 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getLong(r.fieldIndex("fetch_at_micros"))).toMap
+    assert(slots(("plain.com", 2L)) == 10000000L)
+    assert(slots(("sp.com", 2L)) == 1000000L)
+    assert(slots(("new.com", 2L)) == 1000000L)
+    // keep-2 compaction: the delay column survives the staged rewrite
+    RobotsCache.compact(spark, table)
+    assert(delays() == Map("plain.com" -> 10000000L))
+    assert(IndexAudit.auditRobotsCache(spark, table)
+      .filter(!col("ok")).count() == 0)
+  }
+
+  test("robotsFetchStream with compactEvery: the cadence maintenance " +
+    "runs inside the loop — history stays bounded while reads between " +
+    "batches are unaffected") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val table = mkDb("rc12")
+    RobotsCache.rebuild(Seq(
+        ("c.com", asOf - 90 * H, "User-agent: *\nDisallow: /g1"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table, nBuckets = 2)
+    val in = MemoryStream[(String, Long, String)]
+    val q = graft.streaming.EventStreams.robotsFetchStream(
+      in.toDF().toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table,
+      compactEvery = 2)
+    try {
+      in.addData(("c.com", asOf - 60 * H, "User-agent: *\nDisallow: /g2"))
+      q.processAllAvailable()
+      // batch 1 (no compaction yet): 2 fetches
+      assert(spark.table(s"${table}_fetches").count() == 2)
+      in.addData(("c.com", asOf - 30 * H, "User-agent: *\nDisallow: /g3"))
+      q.processAllAvailable() // batch 2 → compact: keep g2, g3
+      // the compaction rewrote the table's files: this session's raw
+      // read needs a fresh listing (the cache's own readers —
+      // latestFetches/policyDelta — refresh internally)
+      spark.catalog.refreshTable(s"${table}_fetches")
+      spark.catalog.refreshTable(table)
+      assert(spark.table(s"${table}_fetches").count() == 2)
+      val d = RobotsCache.policyDelta(spark, table).head
+      assert((d.getLong(1), d.getLong(2)) == ((1L, 1L))) // g3 vs g2
+      val live = RobotsCache.latestRules(spark, table)
+        .select("path_prefix").collect().map(_.getString(0)).toSeq
+      assert(live == Seq("/g3"))
+    } finally q.stop()
+    assert(IndexAudit.auditRobotsCache(spark, table)
+      .filter(!col("ok")).count() == 0)
+  }
+
   test("the cache feeds robotsVerdict in its expected shape: latest " +
     "rules gate a URL batch exactly like an in-plan parse would") {
     val table = mkDb("rc6")
