@@ -173,7 +173,12 @@ object HttpShim {
     * injectable clock (a server passes real time; specs pin a fixed
     * instant); `ttlHours` the mount's TTL. The gate IS
     * [[graft.ext.RobotsCache.ttlGate]] — one definition of staleness
-    * (raw-micros compare), not a route-local copy. */
+    * (raw-micros compare), not a route-local copy. The response also
+    * carries the host's LIVE `crawl_delay_micros`
+    * ([[graft.ext.RobotsCache.latestDelays]] — null when the newest
+    * fetch declares none): one request answers the worker's whole
+    * question — may I fetch, under how fresh a permission, and how
+    * fast. */
   def robotsCacheRoutes(spark: org.apache.spark.sql.SparkSession,
                         cacheTable: String, asOfMicros: () => Long,
                         ttlHours: Long = 24L)
@@ -193,8 +198,11 @@ object HttpShim {
           verdict.withColumn("host", regexp_extract(col("url_canon"),
             "^[a-z][a-z0-9+.-]*://([^/?]*)", 1)),
           "host", cacheTable, asOfMicros(), ttlHours)
+        .join(graft.ext.RobotsCache.latestDelays(spark, cacheTable),
+          Seq("host"), "left")
         .select("url_canon", "fetch_allowed", "rule_match_len",
-          "robots_age_hours", "robots_stale", "action")
+          "robots_age_hours", "robots_stale", "action",
+          "crawl_delay_micros")
     })
 
   /** `/rag?id=<doc>[&k=N]` — full RAG serving over the persisted

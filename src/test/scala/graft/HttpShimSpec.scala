@@ -306,7 +306,8 @@ class HttpShimSpec extends SparkSpec {
     val loc = Files.createTempDirectory("graft_httprc").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_hrcdb LOCATION '$loc'")
     RobotsCache.rebuild(Seq(
-        ("ex.com", asOf - 30 * H, "User-agent: *\nDisallow: /old"))
+        ("ex.com", asOf - 30 * H,
+          "User-agent: *\nCrawl-delay: 2\nDisallow: /old"))
         .toDF("host", "fetched_at_micros", "robots_body"),
       "host", "fetched_at_micros", "robots_body",
       "graft_hrcdb.cache", nBuckets = 2)
@@ -319,8 +320,11 @@ class HttpShimSpec extends SparkSpec {
         "/robots?url=https%3A%2F%2Fex.com%2Fold%2Fx")
       assert(c1 == 200 && b1.contains(""""fetch_allowed":false""") &&
         b1.contains(""""robots_age_hours":30""") &&
-        b1.contains(""""action":"refetch_robots_first""""), b1)
-      // the refetch lands (no remount): rules AND age move
+        b1.contains(""""action":"refetch_robots_first"""") &&
+        b1.contains(""""crawl_delay_micros":2000000"""), b1)
+      // the refetch lands (no remount): rules, age AND delay move —
+      // the new body drops the Crawl-delay line, so the served delay
+      // reverts to null (the worker's default), never the stale 2 s
       RobotsCache.refresh(Seq(
           ("ex.com", asOf - 1 * H, "User-agent: *\nDisallow: /new"))
           .toDF("host", "fetched_at_micros", "robots_body"),
@@ -329,7 +333,8 @@ class HttpShimSpec extends SparkSpec {
         "/robots?url=https%3A%2F%2Fex.com%2Fold%2Fx")
       assert(c2 == 200 && b2.contains(""""fetch_allowed":true""") &&
         b2.contains(""""robots_age_hours":1""") &&
-        b2.contains(""""action":"proceed""""), b2)
+        b2.contains(""""action":"proceed"""") &&
+        !b2.contains(""""crawl_delay_micros":2000000"""), b2)
       val (c3, b3) = get(shim.port,
         "/robots?url=https%3A%2F%2Fex.com%2Fnew%2Fy")
       assert(c3 == 200 && b3.contains(""""fetch_allowed":false"""), b3)
