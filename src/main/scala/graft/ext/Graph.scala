@@ -255,6 +255,46 @@ object Graph {
       .saveAsTable(s"${table}_meta")
   }
 
+  /** Persist a trained connected-components labeling — the
+    * [[writePageRank]] discipline applied to the mirror/identity
+    * component family: at deployment scale components are MAINTAINED
+    * state a scheduler probes (an O(nodes) bucketed join), never a
+    * per-scheduling-query retrain (O(edges · rounds) of propagation
+    * jobs). `<table>` holds `(idCol, component)` bucketed by id;
+    * `<table>_meta` pins `(n_nodes, n_components, id_col)` — the
+    * audit's invariants: the stored row count must equal the trained
+    * node universe, every label must be ≤ its id (min-label
+    * propagation never raises a label), and every label must itself
+    * be a stored node whose OWN label is itself (labels resolve to
+    * roots; a dangling or non-root label means a half-written or
+    * hand-edited table). */
+  def writeComponents(comp: DataFrame, idCol: String, table: String,
+                      nBuckets: Int = 32): Unit = {
+    Warehouse.resetTable(comp.sparkSession, table)
+    Warehouse.resetTable(comp.sparkSession, s"${table}_meta")
+    comp.select(col(idCol), col("component"))
+      .write.format("parquet")
+      .bucketBy(nBuckets, idCol).sortBy(idCol)
+      .mode("overwrite").saveAsTable(table)
+    val spark = comp.sparkSession
+    val stats = spark.table(table)
+      .agg(count(lit(1)), countDistinct(col("component"))).head
+    import spark.implicits._
+    Seq((stats.getLong(0), stats.getLong(1), idCol))
+      .toDF("n_nodes", "n_components", "id_col")
+      .coalesce(1)
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** The stored component labeling, `(id_col, component)` — the
+    * scheduler's serve-side read. */
+  def loadComponents(spark: org.apache.spark.sql.SparkSession,
+                     table: String): DataFrame = {
+    spark.catalog.refreshTable(table)
+    spark.table(table)
+  }
+
   /** The stored authority table, `(id_col, pr_micro, pr)` — the
     * scheduler's serve-side read. */
   def loadPageRank(spark: org.apache.spark.sql.SparkSession,

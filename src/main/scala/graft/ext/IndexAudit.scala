@@ -189,6 +189,42 @@ object IndexAudit {
       ("mass_conserved", sum, sumWant)))
   }
 
+  /** Connected-components artifact pair ([[Graph.writeComponents]]):
+    * `<table>` labels vs `<table>_meta` provenance.
+    *  - `node_count`: stored rows equal the trained node universe
+    *    (meta `n_nodes`);
+    *  - `ids_unique`: one label per id (observed = duplicated ids,
+    *    expected 0);
+    *  - `component_count`: distinct stored labels equal meta
+    *    `n_components`;
+    *  - `labels_are_roots`: every label is itself a stored node whose
+    *    OWN label is itself, and no label exceeds its id — min-label
+    *    propagation's invariants; a dangling label, a non-root label,
+    *    or a raised label means a half-written or hand-edited table
+    *    (observed = violating rows, expected 0).
+    */
+  def auditComponents(spark: SparkSession, table: String): DataFrame = {
+    val c = spark.table(table)
+    val meta = spark.table(s"${table}_meta").head
+    val idCol = meta.getString(meta.fieldIndex("id_col"))
+    val nWant = meta.getLong(meta.fieldIndex("n_nodes"))
+    val kWant = meta.getLong(meta.fieldIndex("n_components"))
+    val n = c.count()
+    val dup = c.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    val k = c.agg(countDistinct(col("component"))).head.getLong(0)
+    val roots = c.filter(col("component") === col(idCol))
+      .select(col(idCol).as("__root"))
+    val badLabel = c.filter(col("component") > col(idCol)).count() +
+      c.select(col("component").as("__root"))
+        .join(roots, Seq("__root"), "left_anti").count()
+    report(spark, Seq(
+      ("node_count", n, nWant),
+      ("ids_unique", dup, 0L),
+      ("component_count", k, kWant),
+      ("labels_are_roots", badLabel, 0L)))
+  }
+
   /** Revisit change log ([[graft.streaming.RevisitStream.initLog]]):
     * the append-only url-bucketed version log latest-wins reads fold.
     *  - `versions_consistent`: no (url, seq) carries two DIFFERENT

@@ -209,6 +209,35 @@ class GraphSpec extends SparkSpec {
     assert(bad == Set("node_count", "ids_unique", "mass_conserved"), bad)
   }
 
+  test("persisted components artifact: the stored probe is identical " +
+    "to the retrain, fsck is green, and a raised / dangling / " +
+    "duplicated label trips the right checks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val loc = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ccdb LOCATION '$loc'")
+    val nodes = Seq("a", "b", "c", "d", "e").toDF("host")
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("src", "dst")
+    val trained = Graph.connectedComponents(nodes, "host", edges,
+      "src", "dst")
+    Graph.writeComponents(trained, "id", "graft_ccdb.comp", nBuckets = 2)
+    val stored = Graph.loadComponents(spark, "graft_ccdb.comp")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(stored == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d"))
+    def bad(): Set[String] = graft.ext.IndexAudit
+      .auditComponents(spark, "graft_ccdb.comp")
+      .filter(!col("ok")).collect().map(_.getString(0)).toSet
+    assert(bad().isEmpty)
+    // a RAISED label (min-propagation never raises) + a dangling
+    // label (no such root) + a duplicated id, appended as corruption
+    Seq(("c", "z")).toDF("id", "component")
+      .write.mode("append").insertInto("graft_ccdb.comp")
+    spark.catalog.refreshTable("graft_ccdb.comp")
+    assert(bad() == Set("node_count", "ids_unique", "component_count",
+      "labels_are_roots"), bad())
+  }
+
   test("PageRank drift: the stored artifact covers its trained host " +
     "universe; a newly discovered host trips the coverage check (the " +
     "retrain trigger)") {
