@@ -570,6 +570,18 @@ object IndexAudit {
     report(spark, Seq(("hosts_covered", missing, 0L)))
   }
 
+  /** Components-artifact drift — the same coverage contract as
+    * [[driftPageRank]] (the meta records the id column, so the check
+    * is artifact-generic): every node in the CURRENT mirror/identity
+    * edge universe must be covered by the stored labeling
+    * ([[Graph.writeComponents]]); a newly discovered member is the
+    * retrain trigger — probing it against the stale artifact would
+    * silently read "not mirrored". */
+  def driftComponents(spark: SparkSession, table: String,
+                      currentNodes: DataFrame, nodeCol: String)
+      : DataFrame =
+    driftPageRank(spark, table, currentNodes, nodeCol)
+
   private def driftReport(spark: SparkSession, table: String,
                           current: DataFrame, tolMicro: Long): DataFrame = {
     val health = spark.table(s"${table}_health")

@@ -229,6 +229,15 @@ class GraphSpec extends SparkSpec {
       .auditComponents(spark, "graft_ccdb.comp")
       .filter(!col("ok")).collect().map(_.getString(0)).toSet
     assert(bad().isEmpty)
+    // drift: the stored labeling covers its trained universe; a newly
+    // discovered mirror host trips coverage (the retrain trigger)
+    assert(graft.ext.IndexAudit.driftComponents(spark,
+        "graft_ccdb.comp", nodes, "host")
+      .filter(!col("ok")).count() == 0)
+    val grown = nodes.union(Seq("zz").toDF("host"))
+    assert(graft.ext.IndexAudit.driftComponents(spark,
+        "graft_ccdb.comp", grown, "host")
+      .filter(!col("ok")).count() == 1)
     // a RAISED label (min-propagation never raises) + a dangling
     // label (no such root) + a duplicated id, appended as corruption
     Seq(("c", "z")).toDF("id", "component")
