@@ -663,6 +663,27 @@ private[graft] object TextQueries {
       table
     })
 
+  /** Persist-once memo for the unigram-LM artifact q200 scores under
+    * (the q148 FIXED vocabulary written through
+    * [[graft.ext.TextOps.writeUnigramModel]] — the persisted-tokenizer
+    * family): the perplexity gate probes a STORED model, the
+    * production shape where the LM is maintained state, not a
+    * per-query literal. */
+  private val unigramModelArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def unigramModelArtifact(s: SparkSession, dir: String): String =
+    unigramModelArtifacts.computeIfAbsent(dir, _ => {
+      val table = "graft_unigram_px_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+      import s.implicits._
+      TextOps.writeUnigramModel(s, table,
+        UnigramFixedVocab.map { case (p, c) => (p, 1L, c) }
+          .toDF("piece", "cnt", "cost_micro"),
+        maxPieceLen = 4)
+      table
+    })
+
   /** q182's per-document language reconciliation — labeled, detected,
     * both declaration channels and the precedence pick — shared by
     * q182's census and q191's curation gate. */
@@ -2826,6 +2847,41 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- perplexity filter under the PERSISTED unigram LM
+    // (oracle-checked): CCNet's quality gate — score each document's
+    // cross-entropy under a language model and drop the
+    // high-perplexity tail (Wenzek et al. 2020; public recipe, no code
+    // consulted). The model is the persisted unigram artifact
+    // (TextOps.writeUnigramModel — the q148 fixed vocabulary, so the
+    // apply side verifies cross-engine independently of the trainer):
+    // Viterbi-segment every word against the STORED vocabulary
+    // (withUnigramTokensIndexed), total the pieces' exact micro-nat
+    // costs through a map-literal fold (zero shuffle, zero join — the
+    // model is KB-sized), normalize per WORD CHARACTER (the
+    // bits-per-character convention, integer-exact micro division),
+    // and gate at the threshold. At 100 TB this is a pure projection
+    // over the corpus — the model broadcasts inside the expression,
+    // nothing document-sized ever exchanges.
+    "q200_perplexity_filter" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val table = unigramModelArtifact(s, dir)
+      val toks = TextOps.withUnigramTokensIndexed(s, table,
+        t(s, dir, "documents"), "text")
+      val costMap = typedlit(TextOps.loadUnigramModel(s, table)._1.toMap)
+      toks.select(col("doc_id"), col("n_unigram_tokens"),
+          aggregate(col("unigram_tokens"), lit(0L),
+            (acc, tk) => acc + element_at(costMap, tk))
+            .as("total_cost_micro"),
+          aggregate(col("unigram_tokens"), lit(0L),
+            (acc, tk) => acc + length(tk).cast("long"))
+            .as("n_word_chars"))
+        .withColumn("cost_per_char_micro",
+          expr("total_cost_micro div nullif(n_word_chars, 0L)"))
+        .withColumn("kept",
+          coalesce(col("cost_per_char_micro") < 2400000L, lit(false)))
+        .orderBy("doc_id")
+    }),
+
     // ---- mojibake repair (oracle-checked): UTF-8-as-cp1252
     // double-encoding reversal — even docs get the damaged plant (must
     // restore to the clean twin exactly), odd docs the clean plant
@@ -3660,6 +3716,55 @@ private[graft] object TextQueries {
        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_unigram_tokens,
        |  md5(coalesce(array_to_string(toks, chr(1)), '')) AS tokens_md5
        |FROM tok ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q200 oracle: the q148 Viterbi recursion under the same fixed
+    * vocabulary over the RAW documents, per-word piece costs joined
+    * back exactly (the forward DP's terminal best IS the word's total
+    * cost, but the piece-count column needs the backtrack anyway),
+    * per-doc exact micro totals with multiplicity, per-char integer
+    * division, the same threshold. */
+  private def perplexityFilterOracleSql: String = {
+    val vals = UnigramFixedVocab
+      .map { case (p, c) => s"('$p', CAST($c AS BIGINT))" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |aug AS (SELECT doc_id, text FROM documents),
+       |words AS MATERIALIZED (
+       |  SELECT DISTINCT word FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+       |      AS word
+       |    FROM aug)
+       |  WHERE length(word) > 0),
+       |vpx(piece, cost_micro) AS (VALUES $vals),
+       |${unigramFwdBt("px", "vpx")},
+       |segp AS MATERIALIZED (
+       |  SELECT word, piece FROM btpx WHERE piece IS NOT NULL),
+       |wcost AS (
+       |  SELECT p.word, CAST(sum(v.cost_micro) AS BIGINT) AS wc,
+       |    CAST(count(*) AS BIGINT) AS wt
+       |  FROM segp p JOIN vpx v USING (piece) GROUP BY p.word),
+       |docw AS (
+       |  SELECT doc_id, ws[wpos] AS word
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws))) AS wpos
+       |        FROM (SELECT doc_id,
+       |                string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |              FROM aug))
+       |  WHERE length(ws[wpos]) > 0),
+       |agg AS (
+       |  SELECT d.doc_id, CAST(sum(w.wt) AS BIGINT) AS n_toks,
+       |    CAST(sum(w.wc) AS BIGINT) AS total_c,
+       |    CAST(sum(length(d.word)) AS BIGINT) AS n_ch
+       |  FROM docw d JOIN wcost w USING (word) GROUP BY d.doc_id)
+       |SELECT doc_id,
+       |  CAST(coalesce(a.n_toks, 0) AS BIGINT) AS n_unigram_tokens,
+       |  CAST(coalesce(a.total_c, 0) AS BIGINT) AS total_cost_micro,
+       |  CAST(coalesce(a.n_ch, 0) AS BIGINT) AS n_word_chars,
+       |  a.total_c // nullif(a.n_ch, 0) AS cost_per_char_micro,
+       |  coalesce(a.total_c // nullif(a.n_ch, 0) < 2400000, false)
+       |    AS kept
+       |FROM documents LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** The q150/q151 plant as a DuckDB SELECT body — the same residue
@@ -5891,6 +5996,8 @@ private[graft] object TextQueries {
     "q147_unigram_train" -> unigramTrainOracleSql,
 
     "q148_unigram_tokenize" -> unigramTokenizeOracleSql,
+
+    "q200_perplexity_filter" -> perplexityFilterOracleSql,
 
     "q146_mojibake_repair" -> mojibakeOracleSql,
 

@@ -849,6 +849,12 @@ object TextOps {
   def writeUnigramModel(spark: org.apache.spark.sql.SparkSession,
                         table: String, vocab: DataFrame,
                         maxPieceLen: Int): Unit = {
+    // a prior session's managed directory survives without a catalog
+    // entry and kills saveAsTable(overwrite) with
+    // LOCATION_ALREADY_EXISTS — reset both sides first (the
+    // RobotsCache.rebuild discipline)
+    Warehouse.resetTable(spark, table)
+    Warehouse.resetTable(spark, s"${table}_meta")
     vocab.select(col("piece"), col("cnt"), col("cost_micro"))
       .coalesce(1)
       .write.format("parquet").mode("overwrite").saveAsTable(table)
