@@ -663,6 +663,83 @@ private[graft] object TextQueries {
       table
     })
 
+  /** Train-once memo for q201's TWO-CYCLE component lifecycle — the
+    * full drift-consumed rebuild loop run once per session over
+    * PERSISTED artifacts (the directive q196's memo stops short of):
+    * cycle 1 persists the mirror host-hash relation
+    * ([[graft.ext.Dedup.writeMirrorHashes]]) and trains the component
+    * labeling from its pairs (frozen as `<t>_pre` for the before/after
+    * probe, live as `<t>`); cycle 2 APPENDS a newly-mirroring host's
+    * fetches to the hash relation ([[graft.ext.Dedup
+    * .appendMirrorHashes]] — batch-sized, bucket-semi-pruned, never a
+    * corpus re-hash), re-derives the pair universe from the store,
+    * and lets [[graft.ext.IndexAudit.driftComponents]] DRIVE the
+    * retrain: the rebuild runs because the coverage check tripped on
+    * the new member, not unconditionally
+    * ([[graft.ext.Graph.rebuildComponents]] into the same layout).
+    * Returns (preTable, liveTable). */
+  private val mirrorRebuildArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def mirrorRebuildArtifact(s: SparkSession, dir: String)
+      : (String, String) =
+    mirrorRebuildArtifacts.computeIfAbsent(dir, _ => {
+      val base = "graft_mirror_rb_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+      val idx = s"${base}_hashes"
+      val pre = s"${base}_pre"
+      val live = base
+      val d = col("doc_id")
+      // cycle-1 corpus: the q196 plant (even src-hosts mirror a shared
+      // corpus, everything else serves unique bodies)
+      val planted1 = t(s, dir, "documents").select(
+        concat(lit("src"),
+          when(d % 3 === 0, (d % 5) * 2).otherwise(d % 20)
+            .cast("string"),
+          lit(".example.com")).as("mhost"),
+        when(d % 3 === 0,
+          concat(lit("mirrored "), (d % 29).cast("string")))
+          .otherwise(concat(lit("uniq "), d.cast("string")))
+          .as("mtext"))
+      graft.ext.Dedup.writeMirrorHashes(planted1, "mhost", "mtext",
+        idx, nBuckets = 8)
+      val pairs1 = graft.ext.Dedup.mirrorPairsFromIndex(s, idx,
+        minShared = 2L, maxHostsPerHash = 6)
+      val edges1 = pairs1
+        .select(col("host_a").as("src"), col("host_b").as("dst"))
+        .localCheckpoint()
+      val nodes1 = edges1.select(col("src").as("host"))
+        .union(edges1.select(col("dst").as("host"))).distinct()
+      val comp1 = graft.ext.Graph.connectedComponents(nodes1, "host",
+        edges1, "src", "dst")
+      // frozen BEFORE copy (the probe's baseline) + the live artifact
+      // the drift loop rebuilds — same training, two tables
+      graft.ext.Graph.writeComponents(comp1, "id", pre, nBuckets = 8)
+      graft.ext.Graph.writeComponents(comp1, "id", live, nBuckets = 8)
+      // cycle 2: src1 (previously all-unique, its own component rep)
+      // starts serving the mirrored corpus — the newly discovered
+      // mirror member. Its fetches APPEND to the persisted relation.
+      val batch2 = t(s, dir, "documents")
+        .filter(d % 3 === 1 && d % 20 === 1)
+        .select(lit("src1.example.com").as("mhost"),
+          concat(lit("mirrored "), (d % 29).cast("string")).as("mtext"))
+      graft.ext.Dedup.appendMirrorHashes(batch2, "mhost", "mtext", idx)
+      val pairs2 = graft.ext.Dedup.mirrorPairsFromIndex(s, idx,
+          minShared = 2L, maxHostsPerHash = 6)
+        .localCheckpoint() // host-pair-sized; feeds drift + retrain
+      val nodes2 = pairs2.select(col("host_a").as("host"))
+        .union(pairs2.select(col("host_b").as("host"))).distinct()
+      // the drift check DRIVES the rebuild (the trigger consumed
+      // in-loop, not a per-query unconditional retrain)
+      val tripped = graft.ext.IndexAudit.driftComponents(s, live,
+        nodes2, "host").filter(!col("ok")).count() > 0
+      require(tripped,
+        "q201 plant error: cycle 2 introduced no uncovered member")
+      graft.ext.Graph.rebuildComponents(s, live, nodes2, "host",
+        pairs2, "host_a", "host_b")
+      (pre, live)
+    })
+
   /** Persist-once memo for the unigram-LM artifact q200 scores under
     * (the q148 FIXED vocabulary written through
     * [[graft.ext.TextOps.writeUnigramModel]] — the persisted-tokenizer
@@ -721,6 +798,22 @@ private[graft] object TextQueries {
         col("decl_host") === col("url_host"))
       .withColumn("identity", coalesce(col("final_url"),
         when(col("decl_ok"), col("decl_canon")), col("url_canon")))
+  }
+
+  /** q198's mirror-collapsed frontier — the q196 component artifact
+    * applied as the eviction filter over [[crawlFrontier]]. Factored
+    * so the streaming crawl-cycle twin (`CrawlCycleStreamSpec`) runs
+    * its cycles over EXACTLY the schedule the batch capstone uses. */
+  private[graft] def q198CollapsedFrontier(s: SparkSession,
+                                           dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val comp = graft.ext.Graph.loadComponents(
+        s, mirrorComponentArtifact(s, dir))
+      .select(col("id").as("link_host"), col("component").as("__rep"))
+    crawlFrontier(s, dir)
+      .join(comp, Seq("link_host"), "left")
+      .filter(col("__rep").isNull || col("__rep") === col("link_host"))
+      .drop("__rep")
   }
 
   /** q154's frontier, unordered — discovered outlinks minus fetched
@@ -2184,6 +2277,48 @@ private[graft] object TextQueries {
         .orderBy("link_host")
     }),
 
+    // ---- component-artifact LIFECYCLE closed (oracle-checked): the
+    // drift trigger CONSUMED in the crawl loop — q196 probes a
+    // persisted labeling; this query is what happens when a later
+    // cycle DISCOVERS a new mirror member. Cycle 1 persists the
+    // mirror host-hash relation and trains the labeling; cycle 2's
+    // fetches reveal src1 (previously unique, budgeted as its own
+    // representative) serving the mirrored corpus — a batch-sized
+    // APPEND to the hash relation, never a corpus re-hash
+    // (Dedup.appendMirrorHashes, the dedupAgainstCorpus shape). The
+    // coverage drift check trips on the uncovered member and DRIVES
+    // Graph.rebuildComponents (same layout, one call — the
+    // Ivf.rebuildIndex pattern); only the rebuilt artifact evicts the
+    // member from the frontier. Output: per budgeted host, both
+    // labelings' dispositions and the eviction the rebuild unlocked —
+    // probing the STALE artifact (rep_pre) reads src1 "not mirrored",
+    // which is exactly the wasted fetch budget the drift check
+    // exists to reclaim. q196/q198's own artifact is untouched.
+    "q201_mirror_drift_rebuild" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val (pre, live) = mirrorRebuildArtifact(s, dir)
+      val cPre = graft.ext.Graph.loadComponents(s, pre)
+        .select(col("id").as("link_host"), col("component").as("__rp"))
+      val cPost = graft.ext.Graph.loadComponents(s, live)
+        .select(col("id").as("link_host"), col("component").as("__rq"))
+      crawlFrontier(s, dir)
+        .groupBy(col("link_host")).agg(count(lit(1)).as("n_budgeted"))
+        .join(cPre, Seq("link_host"), "left")
+        .join(cPost, Seq("link_host"), "left")
+        .withColumn("rep_pre", coalesce(col("__rp"), col("link_host")))
+        .withColumn("rep_post", coalesce(col("__rq"), col("link_host")))
+        .withColumn("is_mirror_dup_pre",
+          col("rep_pre") =!= col("link_host"))
+        .withColumn("is_mirror_dup_post",
+          col("rep_post") =!= col("link_host"))
+        .withColumn("evicted_by_rebuild",
+          col("is_mirror_dup_post") && !col("is_mirror_dup_pre"))
+        .select(col("link_host"), col("n_budgeted"), col("rep_pre"),
+          col("rep_post"), col("is_mirror_dup_pre"),
+          col("is_mirror_dup_post"), col("evicted_by_rebuild"))
+        .orderBy("link_host")
+    }),
+
     // ---- tightening RE-VERDICT (oracle-checked): q194's n_tightened
     // CONSUMED — a policy delta that adds disallows must re-verdict
     // the QUEUED frontier for those hosts and evict now-forbidden
@@ -2270,13 +2405,7 @@ private[graft] object TextQueries {
       val dirkey = dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
       // leg 1: the mirror-component ARTIFACT (q196's persisted
       // labeling) collapses the frontier
-      val comp = graft.ext.Graph.loadComponents(
-          s, mirrorComponentArtifact(s, dir))
-        .select(col("id").as("link_host"), col("component").as("__rep"))
-      val fr = crawlFrontier(s, dir)
-        .join(comp, Seq("link_host"), "left")
-        .filter(col("__rep").isNull || col("__rep") === col("link_host"))
-        .drop("__rep")
+      val fr = q198CollapsedFrontier(s, dir)
         .localCheckpoint() // feeds cache plant, corpus, both cycles, output
       // leg 2: cycle-1 TTL gate over q198's OWN cache artifact (the
       // shared q188/q192 artifact must stay byte-identical)
@@ -2880,6 +3009,77 @@ private[graft] object TextQueries {
         .withColumn("kept",
           coalesce(col("cost_per_char_micro") < 2400000L, lit(false)))
         .orderBy("doc_id")
+    }),
+
+    // ---- the CCNet curation funnel COMPOSED (oracle-checked): q200's
+    // perplexity gate consumed as a funnel stage instead of shipping
+    // standalone — the Wenzek et al. 2020 recipe is lid → perplexity →
+    // dedup, and this is q101's per-stage retention table with the
+    // persisted-unigram-LM gate in front: perplexity (stored model,
+    // map-literal fold — a pure projection) → model-based quality
+    // (q99) → exact dedup keep-first (aggregate-on-digest, no
+    // content-keyed window) → benchmark decontamination (q94). Every
+    // 17th doc carries the implanted duplicate so the dedup stage is
+    // exercised; each stage's flag mirrors its standalone oracle, and
+    // the funnel is ONE pass over the per-doc flags (the q101
+    // discipline: flags computed independently, intersected in stage
+    // order).
+    "q202_ccnet_funnel" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val withDups = docs.withColumn("text",
+        when(col("doc_id") % 17 === 0,
+          lit("duplicate stanza alpha shared across documents"))
+          .otherwise(col("text")))
+      val bench = withDups.filter(col("doc_id") % 31 === 0)
+      val corpus = withDups.filter(col("doc_id") % 31 =!= 0)
+      // stage 1: the CCNet perplexity gate under the PERSISTED LM
+      val table = unigramModelArtifact(s, dir)
+      val costMap = typedlit(TextOps.loadUnigramModel(s, table)._1.toMap)
+      val pf = TextOps.withUnigramTokensIndexed(s, table, corpus, "text")
+        .select(col("doc_id"),
+          aggregate(col("unigram_tokens"), lit(0L),
+            (acc, tk) => acc + element_at(costMap, tk)).as("__tc"),
+          aggregate(col("unigram_tokens"), lit(0L),
+            (acc, tk) => acc + length(tk).cast("long")).as("__nc"))
+        .select(col("doc_id"),
+          coalesce(expr("(__tc div nullif(__nc, 0L)) < 2400000L"),
+            lit(false)).as("p_ok"))
+      // stage 2: the trained quality gate (q99's flag)
+      val qf = QualityModel.qualityClassifierScore(corpus, "text")
+        .select(col("doc_id"), col("kept").as("q_ok"))
+      // stage 3: keep-first exact dedup as an AGGREGATE on the digest
+      // (the q149-tail shape — never a content-keyed window)
+      val dThin = corpus.select(col("doc_id"), md5(col("text")).as("__h"))
+        .localCheckpoint()
+      val dWin = dThin.groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("__w"))
+      val df = dThin.join(dWin, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__w"), lit(false)).as("d_ok"))
+      // stage 4: benchmark decontamination (q94's verdict)
+      val cf = Dedup.contaminationReport(corpus, "doc_id", "text", bench,
+          shingleN = 8, dropPct = 10, useNative = true)
+        .select(col("doc_id"), (!col("dropped")).as("c_ok"))
+      pf.join(qf, "doc_id").join(df, "doc_id").join(cf, "doc_id")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("p_ok"), 1)).as("n_p"),
+          count(when(col("p_ok") && col("q_ok"), 1)).as("n_pq"),
+          count(when(col("p_ok") && col("q_ok") && col("d_ok"), 1))
+            .as("n_pqd"),
+          count(when(col("p_ok") && col("q_ok") && col("d_ok") &&
+            col("c_ok"), 1)).as("n_pqdc"))
+        .select(expr(
+          """stack(4,
+            |  '1_perplexity',    n_total, n_p,
+            |  '2_quality',       n_p,     n_pq,
+            |  '3_exact_dedup',   n_pq,    n_pqd,
+            |  '4_decontaminate', n_pqd,   n_pqdc) AS (stage, n_in, n_out)"""
+            .stripMargin))
+        .withColumn("retention",
+          floor(col("n_out") / (col("n_in") * lit(1.0)) * 1e6) / 1e6)
+        .orderBy("stage")
     }),
 
     // ---- mojibake repair (oracle-checked): UTF-8-as-cp1252
@@ -3765,6 +3965,110 @@ private[graft] object TextQueries {
        |    AS kept
        |FROM documents LEFT JOIN agg a USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q202: the q101 funnel oracle with the CCNet perplexity stage in
+    * front — the same recursive-CTE Viterbi as q200's oracle, run over
+    * the dup-implanted corpus text, each later stage's CTE verbatim
+    * from the q101 oracle (quality logit, keep-first min-window as a
+    * window over the digest, q94 contamination verdict), intersected
+    * in stage order. */
+  private def ccnetFunnelOracleSql: String = {
+    val vals = UnigramFixedVocab
+      .map { case (p, c) => s"('$p', CAST($c AS BIGINT))" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |wd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0
+       |         THEN 'duplicate stanza alpha shared across documents'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |corpus AS MATERIALIZED (
+       |  SELECT doc_id, text FROM wd WHERE doc_id % 31 <> 0),
+       |words AS MATERIALIZED (
+       |  SELECT DISTINCT word FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+       |      AS word
+       |    FROM corpus)
+       |  WHERE length(word) > 0),
+       |vpx(piece, cost_micro) AS (VALUES $vals),
+       |${unigramFwdBt("px", "vpx")},
+       |segp AS MATERIALIZED (
+       |  SELECT word, piece FROM btpx WHERE piece IS NOT NULL),
+       |wcost AS (
+       |  SELECT p.word, CAST(sum(v.cost_micro) AS BIGINT) AS wc
+       |  FROM segp p JOIN vpx v USING (piece) GROUP BY p.word),
+       |docw AS (
+       |  SELECT doc_id, ws[wpos] AS word
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, len(ws))) AS wpos
+       |        FROM (SELECT doc_id,
+       |                string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |              FROM corpus))
+       |  WHERE length(ws[wpos]) > 0),
+       |pagg AS (
+       |  SELECT d.doc_id, CAST(sum(w.wc) AS BIGINT) AS total_c,
+       |    CAST(sum(length(d.word)) AS BIGINT) AS n_ch
+       |  FROM docw d JOIN wcost w USING (word) GROUP BY d.doc_id),
+       |pf AS (
+       |  SELECT corpus.doc_id,
+       |    coalesce(a.total_c // nullif(a.n_ch, 0) < 2400000, false)
+       |      AS p_ok
+       |  FROM corpus LEFT JOIN pagg a USING (doc_id)),
+       |qt AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+       |  FROM corpus),
+       |qf AS (
+       |  SELECT doc_id,
+       |    floor(CAST(list_sum(list_transform(ts, t ->
+       |      ('0x' || substr(md5('w:graft:' ||
+       |         CAST(('0x' || substr(md5('f:graft:' || t), 1, 8))::BIGINT % 1024
+       |              AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000)) AS BIGINT)
+       |      / (len(ts) * 1000.0) * 1e6) / 1e6 >= 0.0 AS q_ok
+       |  FROM qt),
+       |df AS (
+       |  SELECT doc_id,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS d_ok
+       |  FROM corpus),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 8
+       |      THEN list_transform(range(1, len(tk) - 6),
+       |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+       |                          tk[i+4], tk[i+5], tk[i+6], tk[i+7]))
+       |      ELSE [array_to_string(tk, ' ')] END)) AS s
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |        FROM wd)),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 31 = 0),
+       |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+       |        WHERE doc_id % 31 <> 0 GROUP BY doc_id),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_hits
+       |  FROM sh JOIN bench USING (s)
+       |  WHERE doc_id % 31 <> 0
+       |  GROUP BY doc_id),
+       |cf AS (
+       |  SELECT n.doc_id,
+       |    NOT (n.n_shingles > 0 AND
+       |         coalesce(h.n_hits, 0) * 100 >= n.n_shingles * 10) AS c_ok
+       |  FROM nsh n LEFT JOIN hits h USING (doc_id)),
+       |agg AS (
+       |  SELECT count(*) AS n_total,
+       |    count(CASE WHEN p_ok THEN 1 END) AS n_p,
+       |    count(CASE WHEN p_ok AND q_ok THEN 1 END) AS n_pq,
+       |    count(CASE WHEN p_ok AND q_ok AND d_ok THEN 1 END) AS n_pqd,
+       |    count(CASE WHEN p_ok AND q_ok AND d_ok AND c_ok THEN 1 END)
+       |      AS n_pqdc
+       |  FROM pf JOIN qf USING (doc_id) JOIN df USING (doc_id)
+       |       JOIN cf USING (doc_id)),
+       |st AS (
+       |  SELECT '1_perplexity' AS stage, n_total AS n_in, n_p AS n_out
+       |  FROM agg
+       |  UNION ALL SELECT '2_quality', n_p, n_pq FROM agg
+       |  UNION ALL SELECT '3_exact_dedup', n_pq, n_pqd FROM agg
+       |  UNION ALL SELECT '4_decontaminate', n_pqd, n_pqdc FROM agg)
+       |SELECT stage, n_in, n_out,
+       |  floor(n_out / (n_in * 1.0) * 1e6) / 1e6 AS retention
+       |FROM st ORDER BY stage""".stripMargin
   }
 
   /** The q150/q151 plant as a DuckDB SELECT body — the same residue
@@ -5804,6 +6108,51 @@ private[graft] object TextQueries {
         "FROM mbud b LEFT JOIN mcomp c ON c.mhost = b.link_host " +
         "ORDER BY b.link_host"),
 
+    // q201: the q196 component closure TWICE — the cycle-1 universe
+    // (mcomp, the frozen PRE labeling) and the cycle-2 union with
+    // src1's mirrored fetches (m2comp, what the drift-driven rebuild
+    // retrains) — with the same cap/minShared lift on each; the
+    // engine's persisted hash relation, drift check, and rebuild are
+    // plumbing the oracle replays as relations (the q188
+    // replays-results discipline)
+    "q201_mirror_drift_rebuild" ->
+      ("WITH RECURSIVE " + frontierCtes + ",\n" +
+        mirrorComponentCtes + ",\n" +
+        "b2 AS (SELECT 'src1.example.com' AS mhost, " +
+        "'mirrored ' || CAST(doc_id % 29 AS VARCHAR) AS mt " +
+        "FROM documents WHERE doc_id % 3 = 1 AND doc_id % 20 = 1),\n" +
+        "m2hx AS (SELECT DISTINCT mhost, mt FROM " +
+        "(SELECT mhost, mt FROM mcls " +
+        "UNION ALL SELECT mhost, mt FROM b2)),\n" +
+        "m2cnt AS (SELECT mt, count(*) AS n FROM m2hx GROUP BY mt),\n" +
+        "m2ok AS (SELECT m2hx.mhost, m2hx.mt FROM m2hx " +
+        "JOIN m2cnt USING (mt) WHERE n <= 6),\n" +
+        "m2pr AS (SELECT a.mhost AS ha, b.mhost AS hb FROM m2ok a " +
+        "JOIN m2ok b ON a.mt = b.mt AND a.mhost < b.mhost " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2),\n" +
+        "m2edge AS (SELECT ha AS s, hb AS d FROM m2pr " +
+        "UNION ALL SELECT hb, ha FROM m2pr),\n" +
+        "m2reach(h, r) AS (SELECT s, s FROM m2edge " +
+        "UNION SELECT m.h, e.d FROM m2reach m " +
+        "JOIN m2edge e ON e.s = m.r),\n" +
+        "m2comp AS (SELECT h AS mhost, min(r) AS rep FROM m2reach " +
+        "GROUP BY h),\n" +
+        "mbud AS (SELECT link_host, CAST(count(*) AS BIGINT) " +
+        "AS n_budgeted FROM rk WHERE rnk <= 3 GROUP BY link_host)\n" +
+        "SELECT b.link_host, b.n_budgeted, " +
+        "coalesce(c1.rep, b.link_host) AS rep_pre, " +
+        "coalesce(c2.rep, b.link_host) AS rep_post, " +
+        "coalesce(c1.rep, b.link_host) <> b.link_host " +
+        "AS is_mirror_dup_pre, " +
+        "coalesce(c2.rep, b.link_host) <> b.link_host " +
+        "AS is_mirror_dup_post, " +
+        "coalesce(c2.rep, b.link_host) <> b.link_host AND " +
+        "coalesce(c1.rep, b.link_host) = b.link_host " +
+        "AS evicted_by_rebuild " +
+        "FROM mbud b LEFT JOIN mcomp c1 ON c1.mhost = b.link_host " +
+        "LEFT JOIN m2comp c2 ON c2.mhost = b.link_host " +
+        "ORDER BY b.link_host"),
+
     // q197: the q154 budget CTEs + the tightened-host class closed
     // form (the q194 oracle's discipline: the PARSE and the delta
     // arithmetic are pinned by q152/q156/q194 and RobotsCacheSpec;
@@ -5998,6 +6347,8 @@ private[graft] object TextQueries {
     "q148_unigram_tokenize" -> unigramTokenizeOracleSql,
 
     "q200_perplexity_filter" -> perplexityFilterOracleSql,
+
+    "q202_ccnet_funnel" -> ccnetFunnelOracleSql,
 
     "q146_mojibake_repair" -> mojibakeOracleSql,
 

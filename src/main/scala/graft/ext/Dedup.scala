@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1339,9 +1339,17 @@ object Dedup {
                        maxHostsPerHash: Int = 50): DataFrame = {
     require(minShared >= 1L && maxHostsPerHash >= 2,
       s"bad minShared/maxHostsPerHash: $minShared/$maxHostsPerHash")
-    val hashed = docs.select(col(hostCol).as("host"),
-        md5(col(textCol)).as("__h"))
-      .distinct()
+    mirrorPairsFromHashes(
+      docs.select(col(hostCol).as("host"), md5(col(textCol)).as("__h"))
+        .distinct(),
+      minShared, maxHostsPerHash)
+  }
+
+  /** Steps 2–4 of [[mirrorCandidates]] over an already-distinct
+    * `(host, __h)` relation — shared with [[mirrorPairsFromIndex]],
+    * whose relation is the PERSISTED one. */
+  private def mirrorPairsFromHashes(hashed: DataFrame, minShared: Long,
+                                    maxHostsPerHash: Int): DataFrame = {
     val capped = hashed.join(
       hashed.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= maxHostsPerHash)
@@ -1364,5 +1372,75 @@ object Dedup {
         expr("(1000000 * n_shared) div (n_a + n_b - n_shared)"))
       .select(col("host_a"), col("host_b"), col("n_shared"),
         col("n_a"), col("n_b"), col("jaccard_micro"))
+  }
+
+  /** Persist the mirror HOST-HASH relation — the incremental-discovery
+    * half of [[mirrorCandidates]] (the [[appendToMinhashIndex]] /
+    * `dedupAgainstCorpus` pattern applied to the mirror family): at
+    * deployment scale the expensive per-cycle leg is HASHING THE
+    * CORPUS, not the host-pair lift (the capped self-join runs over a
+    * thin host×32-hex relation bounded by cap² fan-out), so the
+    * distinct `(host, content_md5)` relation becomes maintained state
+    * a crawl cycle APPENDS its new fetches into, and the pair
+    * detection re-derives from the stored relation without ever
+    * re-reading document bytes. Bucketed by `content_md5` — the
+    * self-join and the append's semi-prune both key on it, so they run
+    * Exchange-free on the corpus side. */
+  def writeMirrorHashes(docs: DataFrame, hostCol: String,
+                        textCol: String, table: String,
+                        nBuckets: Int = 32): Unit = {
+    Warehouse.resetTable(docs.sparkSession, table)
+    docs.select(col(hostCol).cast("string").as("host"),
+        md5(col(textCol)).as("content_md5"))
+      .distinct()
+      .write.format("parquet")
+      .bucketBy(nBuckets, "content_md5").sortBy("content_md5", "host")
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  /** Append one batch of documents to a [[writeMirrorHashes]] relation:
+    * only `(host, content_md5)` pairs NEW to the store land, so the
+    * stored relation stays exactly the union's distinct — re-appended
+    * duplicates (a retried cycle, a re-fetched unchanged body) add
+    * nothing, and [[mirrorPairsFromIndex]] over the store stays
+    * bit-identical to [[mirrorCandidates]] over the unioned documents
+    * (spec-pinned). Scale shape: the batch's distinct hashes broadcast
+    * to SEMI-PRUNE the bucketed store scan (only buckets containing
+    * batch hashes are read — the [[graft.streaming.RevisitStream
+    * .applyBatchLog]] slice pattern), then the anti-join of the batch
+    * against that batch-sized slice decides what is new; nothing
+    * corpus-sized shuffles per cycle. */
+  def appendMirrorHashes(batch: DataFrame, hostCol: String,
+                         textCol: String, table: String): Unit = {
+    val spark = batch.sparkSession
+    spark.catalog.refreshTable(table)
+    val hashed = batch.select(col(hostCol).cast("string").as("host"),
+        md5(col(textCol)).as("content_md5"))
+      .distinct()
+    val slice = spark.table(table).join(
+      broadcast(hashed.select(col("content_md5")).distinct()),
+      Seq("content_md5"), "left_semi")
+    hashed.join(slice, Seq("host", "content_md5"), "left_anti")
+      .select(col("host"), col("content_md5")) // insertInto is positional
+      .write.mode("append").insertInto(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** [[mirrorCandidates]]' host-pair lift over the PERSISTED relation
+    * ([[writeMirrorHashes]] + [[appendMirrorHashes]]) — same cap, same
+    * co-occurrence counts, same exact integer-micro Jaccard, same
+    * output shape; the store IS the distinct relation step 1 builds,
+    * so the results are bit-identical to the batch operator over the
+    * same document universe. */
+  def mirrorPairsFromIndex(spark: SparkSession, table: String,
+                           minShared: Long = 2L,
+                           maxHostsPerHash: Int = 50): DataFrame = {
+    require(minShared >= 1L && maxHostsPerHash >= 2,
+      s"bad minShared/maxHostsPerHash: $minShared/$maxHostsPerHash")
+    spark.catalog.refreshTable(table)
+    mirrorPairsFromHashes(
+      spark.table(table)
+        .select(col("host"), col("content_md5").as("__h")),
+      minShared, maxHostsPerHash)
   }
 }

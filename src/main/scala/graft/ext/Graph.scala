@@ -295,6 +295,45 @@ object Graph {
     spark.table(table)
   }
 
+  /** Retrain a persisted components artifact from the CURRENT edge
+    * universe into the SAME layout — the one-call drift remedy every
+    * other persisted model family already pairs with its drift check
+    * ([[graft.ext.Ivf.rebuildIndex]] for `driftIvf`, PageRank's
+    * retrain-and-rewrite for `driftPageRank`): when
+    * [[graft.ext.IndexAudit.driftComponents]] trips — a crawl cycle
+    * discovered mirror members the stored labeling has never seen —
+    * the scheduler retrains [[connectedComponents]] over the full
+    * current universe and rewrites through [[writeComponents]],
+    * preserving the recorded id column name and the table's own bucket
+    * count (a maintenance rewrite must never silently re-layout the
+    * table out from under its Exchange-free probes — the
+    * [[graft.streaming.RevisitStream.compactLog]] discipline). Probes
+    * against the rebuilt table then see the new members' labels; until
+    * the rebuild runs, probing them reads "not mirrored" — exactly the
+    * stale answer the drift check exists to surface.
+    *
+    * `nodes`/`edges` are the current universe (nodes may be just the
+    * edge endpoints — [[connectedComponents]] unions endpoints in
+    * regardless); labeling is min-label, so the rebuild is
+    * deterministic for any input order. */
+  def rebuildComponents(spark: org.apache.spark.sql.SparkSession,
+                        table: String, nodes: DataFrame, nodeCol: String,
+                        edges: DataFrame, srcCol: String, dstCol: String,
+                        maxIter: Int = 50,
+                        checkpointDir: Option[String] = None): Unit = {
+    val meta = spark.table(s"${table}_meta").head
+    val idCol = meta.getString(meta.fieldIndex("id_col"))
+    val nBuckets = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    val comp = connectedComponents(
+      nodes.select(col(nodeCol).as(idCol)), idCol,
+      edges, srcCol, dstCol, maxIter, checkpointDir)
+    writeComponents(comp.select(col("id").as(idCol), col("component")),
+      idCol, table, nBuckets)
+    spark.catalog.refreshTable(table)
+  }
+
   /** The stored authority table, `(id_col, pr_micro, pr)` — the
     * scheduler's serve-side read. */
   def loadPageRank(spark: org.apache.spark.sql.SparkSession,

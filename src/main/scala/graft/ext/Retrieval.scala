@@ -289,24 +289,26 @@ object Retrieval {
     * append-then-probe is bit-identical to a one-shot build over the
     * union (spec-pinned).
     *
-    * Append contract (hard requirements, like every persisted-index
-    * append in this family):
-    *   - batch ids must be NEW to the index (the ingest loop's dedup
-    *     contract — same as the MinHash append); a re-appended id
-    *     would double its postings, which `auditBm25`'s uniqueness
-    *     check trips;
-    *   - ONE WRITER PER TABLE — the meta bump is a read-modify-write
-    *     separate from the postings insert, so two concurrent
-    *     appenders (e.g. two `bm25IngestStream` instances on one
-    *     table) would both read the old (n, t) and silently lose one
-    *     increment. Streaming ingest already serializes per query
-    *     (micro-batches run one at a time); never mount two.
-    * A crash BETWEEN the postings insert and the meta bump leaves meta
-    * stale until repaired — `auditBm25` trips on it
-    * (`meta_n_docs`/`meta_total_tokens`) and
-    * `IndexAudit.repairBm25Meta` is the full-recompute remedy; run
-    * fsck-then-mount after any unclean shutdown (the serving routes'
-    * discipline).
+    * Append contract (hard requirement, like every persisted-index
+    * append in this family): batch ids must be NEW to the index (the
+    * ingest loop's dedup contract — same as the MinHash append); a
+    * re-appended id would double its postings, which `auditBm25`'s
+    * uniqueness check trips.
+    *
+    * Meta is RECOMPUTED FROM THE POSTINGS after the insert (the
+    * `IndexAudit.repairBm25Meta` computation inlined — one aggregate
+    * over the postings' thin (id, dl) projection), never bumped by a
+    * read-modify-write: the postings are the single source of truth,
+    * so meta cannot silently diverge from them. That also makes the
+    * append SELF-HEALING — a crash between a previous insert and its
+    * meta write leaves meta stale only until the next append (or an
+    * explicit `repairBm25Meta`), and `auditBm25`
+    * (`meta_n_docs`/`meta_total_tokens`) trips on the window in
+    * between; run fsck-then-mount after any unclean shutdown (the
+    * serving routes' discipline). Appends still serialize per table
+    * (the persisted-index family's write discipline — streaming
+    * ingest serializes micro-batches per query), but a lost meta
+    * update no longer loses an increment forever.
     */
   def appendToBm25Index(df: DataFrame, idCol: String, textCol: String,
                         table: String): Unit = {
@@ -315,26 +317,23 @@ object Retrieval {
     require(metaIdCol == idCol,
       s"append to $table with id column '$idCol', but the index was " +
         s"built over '$metaIdCol' — postings would key two id spaces")
-    val batch = bm25Postings(df, idCol, textCol).persist()
-    try {
-      batch.write.mode("append").insertInto(table)
-      val b = batch.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(col("dl")), lit(0L)).as("t")).head
-      val old = spark.table(s"${table}_meta")
-        .select(col("n"), col("t")).head
-      import spark.implicits._
-      Seq((old.getLong(0) + b.getLong(0), old.getLong(1) + b.getLong(1),
-          idCol))
-        .toDF("n", "t", "id_col").coalesce(1)
-        .write.format("parquet").mode("overwrite")
-        .saveAsTable(s"${table}_meta")
-      // in-flight readers (a serving stream's next micro-batch) must
-      // re-list files: the meta OVERWRITE replaces its parquet file,
-      // and a stale cached listing dies with FILE_NOT_EXIST
-      spark.catalog.refreshTable(table)
-      spark.catalog.refreshTable(s"${table}_meta")
-    } finally batch.unpersist()
+    bm25Postings(df, idCol, textCol).write.mode("append").insertInto(table)
+    // the insert invalidated cached listings; re-list before the
+    // recompute so the aggregate sees the appended files
+    spark.catalog.refreshTable(table)
+    val r = spark.table(table)
+      .groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("t")).head
+    import spark.implicits._
+    Seq((r.getLong(0), r.getLong(1), idCol))
+      .toDF("n", "t", "id_col").coalesce(1)
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(s"${table}_meta")
+    // in-flight readers (a serving stream's next micro-batch) must
+    // re-list files: the meta OVERWRITE replaces its parquet file,
+    // and a stale cached listing dies with FILE_NOT_EXIST
+    spark.catalog.refreshTable(s"${table}_meta")
   }
 
   /** The indexed corpus' id column, as recorded by [[writeBm25Index]]

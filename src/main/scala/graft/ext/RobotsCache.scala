@@ -79,24 +79,27 @@ object RobotsCache {
 
   /** One fetch-log row per fetch: `(host, fetched_at_micros,
     * crawl_delay_micros)` — the per-fetch `Crawl-delay` winner
-    * ([[UrlOps.robotsCrawlDelay]]'s group selection for `agent`) left-
-    * joined back so delay-less bodies keep their log row with a null
-    * delay. Shared by [[rebuild]] and [[refresh]] — `insertInto` is
+    * ([[UrlOps.robotsCrawlDelay]]'s group selection for `agent`,
+    * `keepEmpty` mode) computed in the SAME projection as the log row:
+    * delay-less bodies keep their row with a null delay, the body
+    * parses exactly once, and the output is strictly 1:1 with the
+    * input — a batch carrying duplicate `(host, fetched_at_micros)`
+    * fetches (a retried `foreachBatch` re-append) logs one row per
+    * input row, never a join-multiplied cross of the duplicates.
+    * Shared by [[rebuild]] and [[refresh]] — `insertInto` is
     * positional, so one definition site keeps the column order
     * identical on both paths. */
   private def fetchLog(fetches: DataFrame, hostCol: String,
                        fetchedAtCol: String, bodyCol: String,
-                       agent: String): DataFrame = {
-    val base = fetches.select(col(hostCol).cast("string").as("host"),
-      col(fetchedAtCol).cast("long").as("fetched_at_micros"),
-      col(bodyCol).as("__rc_body"))
-    val delays = UrlOps.robotsCrawlDelay(base, "host", "__rc_body",
-        agent, carry = Seq("fetched_at_micros"))
+                       agent: String): DataFrame =
+    UrlOps.robotsCrawlDelay(
+        fetches.select(col(hostCol).cast("string").as("__rc_host"),
+          col(fetchedAtCol).cast("long").as("fetched_at_micros"),
+          col(bodyCol).as("__rc_body")),
+        "__rc_host", "__rc_body", agent,
+        carry = Seq("fetched_at_micros"), keepEmpty = true)
       .select(col("host"), col("fetched_at_micros"),
         col("crawl_delay_micros"))
-    base.select(col("host"), col("fetched_at_micros"))
-      .join(delays, Seq("host", "fetched_at_micros"), "left")
-  }
 
   private def parsedRules(fetches: DataFrame, hostCol: String,
                           fetchedAtCol: String, bodyCol: String,
@@ -167,19 +170,27 @@ object RobotsCache {
     * at least two recorded fetches, the rule-set diff between the
     * latest fetch and the previous one: `n_added` (rules in the latest
     * not the previous), `n_removed` (vice versa), `n_tightened` (added
-    * DISALLOW rules plus REMOVED ALLOW rules — both directions forbid
-    * previously-permitted URLs: dropping an `Allow: /a/ok` carve-out
-    * under a broader Disallow tightens exactly like adding a Disallow.
-    * This is the direction that invalidates queued verdicts: URLs
-    * budgeted under the old policy may now be forbidden, the
-    * re-verdict trigger), and `policy_changed`. Hosts with one fetch
-    * emit nothing — no history, no delta.
+    * DISALLOW rules plus COVERED removed ALLOW rules — dropping an
+    * `Allow: /a/ok` carve-out forbids URLs only when a Disallow in the
+    * LATEST rule set still covers them: under longest-prefix-match a
+    * removed Allow whose prefix extends a standing Disallow's prefix
+    * hands those URLs to the Disallow, whereas a removed Allow with no
+    * standing Disallow prefix below it forbids nothing — the default
+    * is allow, so that removal never triggers a re-verdict. A standing
+    * WILDCARD Disallow on the host counts as covering (its match set
+    * is a regex, not a prefix — the conservative over-approximation:
+    * extra re-verdicts, never missed ones). This is the direction that
+    * invalidates queued verdicts: URLs budgeted under the old policy
+    * may now be forbidden, the re-verdict trigger), and
+    * `policy_changed`. Hosts with one fetch emit nothing — no history,
+    * no delta.
     *
     * Scale shape: two max-aggregates on the bucketed host key pick the
     * latest two fetch stamps (Exchange-free), the rules join on
-    * (host, fetched_at) rides the same layout, and the diff is one
-    * full-outer on (host, rule) — rule rows are short strings, a few
-    * per host. */
+    * (host, fetched_at) rides the same layout, the diff is one
+    * full-outer on (host, rule), and the removed-Allow coverage check
+    * is a semi-join of removed Allows against the latest Disallows on
+    * the host key — rule rows are short strings, a few per host. */
   def policyDelta(spark: SparkSession, table: String): DataFrame = {
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(s"${table}_fetches")
@@ -201,21 +212,46 @@ object RobotsCache {
       .join(ruleSet(col("__p"), "__in_p"),
         Seq("host", "path_prefix", "allow", "from_specific"),
         "full_outer")
+      .localCheckpoint() // host-rule-sized; three consumers below
+    // removed-Allow coverage: only carve-outs a LATEST Disallow still
+    // covers tighten (prefix-covering, wildcard conservatively covers)
+    val latestDis = rules
+      .join(prev.select(col("host"), col("__l").as("fetched_at_micros")),
+        Seq("host", "fetched_at_micros"))
+      .filter(!col("allow"))
+      .select(col("host"), col("path_prefix").as("__dp"),
+        col("has_wildcard").as("__dw"))
+    val removedAllows = diff
+      .filter(col("__in_p").isNotNull && col("__in_l").isNull &&
+        col("allow"))
+      .select(col("host"), col("path_prefix"))
+    val coveredRa = removedAllows.as("ra")
+      .join(latestDis.as("d"),
+        col("ra.host") === col("d.host") &&
+          (col("ra.path_prefix").startsWith(col("d.__dp")) ||
+            col("d.__dw")),
+        "left_semi")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("__n_ra_tight"))
     diff.groupBy(col("host"))
       .agg(
         sum(when(col("__in_l").isNotNull && col("__in_p").isNull, 1L)
           .otherwise(0L)).as("n_added"),
-        sum(when(col("__in_p").isNotNull && col("__in_l").isNull, 1L)
-          .otherwise(0L)).as("n_removed"),
         sum(when(col("__in_l").isNotNull && col("__in_p").isNull &&
           !col("allow"), 1L)
-          .when(col("__in_p").isNotNull && col("__in_l").isNull &&
-            col("allow"), 1L)
-          .otherwise(0L)).as("n_tightened"))
+          .otherwise(0L)).as("__n_dis_tight"),
+        sum(when(col("__in_p").isNotNull && col("__in_l").isNull, 1L)
+          .otherwise(0L)).as("n_removed"))
+      .join(coveredRa, Seq("host"), "left")
+      .withColumn("n_tightened",
+        col("__n_dis_tight") + coalesce(col("__n_ra_tight"), lit(0L)))
+      .drop("__n_dis_tight", "__n_ra_tight")
       .join(prev.select(col("host")), Seq("host"), "right")
       .na.fill(0L, Seq("n_added", "n_removed", "n_tightened"))
       .withColumn("policy_changed",
         col("n_added") + col("n_removed") > 0L)
+      .select(col("host"), col("n_added"), col("n_removed"),
+        col("n_tightened"), col("policy_changed"))
   }
 
   /** Maintenance rewrite for the cache's append-only growth: keep the
@@ -278,22 +314,26 @@ object RobotsCache {
     * a floor-then-compare would serve a 24.5-hour-old copy, past the
     * RFC's "up to 24 hours" allowance. `robots_age_hours` stays the
     * floored integer-exact REPORT column. `budget` carries one row per
-    * (host) with any per-host payload columns; the output keeps
-    * `hostCol` plus the gate columns. */
+    * (host) with any per-host payload columns — including a
+    * `fetched_at_micros` of its own: the cache's fetch stamp joins in
+    * under the reserved alias `__rc_fetched_at`, so the gate never
+    * collides with (or drops) a budget payload column. The output
+    * keeps `hostCol` plus the gate columns. */
   def ttlGate(spark: SparkSession, budget: DataFrame, hostCol: String,
               table: String, asOfMicros: Long, ttlHours: Long = 24L)
       : DataFrame =
     budget.join(
         latestFetches(spark, table)
-          .select(col("host").as(hostCol), col("fetched_at_micros")),
+          .select(col("host").as(hostCol),
+            col("fetched_at_micros").as("__rc_fetched_at")),
         Seq(hostCol), "left")
       .withColumn("robots_age_hours",
-        expr(s"(${asOfMicros}L - fetched_at_micros) div 3600000000"))
+        expr(s"(${asOfMicros}L - __rc_fetched_at) div 3600000000"))
       .withColumn("robots_stale",
-        col("fetched_at_micros").isNull ||
-          lit(asOfMicros) - col("fetched_at_micros") >
+        col("__rc_fetched_at").isNull ||
+          lit(asOfMicros) - col("__rc_fetched_at") >
             ttlHours * 3600000000L)
       .withColumn("action", when(col("robots_stale"),
         lit("refetch_robots_first")).otherwise(lit("proceed")))
-      .drop("fetched_at_micros")
+      .drop("__rc_fetched_at")
 }

@@ -995,14 +995,20 @@ object UrlOps {
     * applicable class the LAST occurrence wins; a group naming
     * `agent` beats the `*` groups (the [[parseRobotsTxt]] selection);
     * hosts with no applicable directive emit no row (callers supply
-    * the default). The value is returned VERBATIM (`crawl_delay_raw`)
+    * the default) — unless `keepEmpty` is set, in which case every
+    * input row survives 1:1 with an empty `crawl_delay_raw` and a
+    * null `crawl_delay_micros` (the fetch-log projection shape:
+    * [[RobotsCache]] logs one row per fetch whether or not the body
+    * declared a delay, with no re-parse and no self-join). The value
+    * is returned VERBATIM (`crawl_delay_raw`)
     * plus parsed to exact micros (`crawl_delay_micros` — nonnegative
     * integer or decimal with up to 6 fractional digits; anything else
     * parses to null, surfacing the malformed directive instead of
     * guessing). Same zero-shuffle `aggregate` fold as the parser, same
     * [[RobotsLineBreak]]/[[RobotsWs]] line/whitespace discipline. */
   def robotsCrawlDelay(df: DataFrame, hostCol: String, txtCol: String,
-      agent: String, carry: Seq[String] = Nil): DataFrame = {
+      agent: String, carry: Seq[String] = Nil,
+      keepEmpty: Boolean = false): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val init = expr("named_struct('m', false, 's', false, " +
       "'inua', false, 'asp', false, 'dsp', '', 'dst', '')")
@@ -1033,9 +1039,10 @@ object UrlOps {
       },
       acc => when(acc.getField("asp"), acc.getField("dsp"))
         .otherwise(acc.getField("dst")))
-    df.select(col(hostCol).as("host") +: carry.map(col) :+
-        folded.as("crawl_delay_raw"): _*)
-      .filter(col("crawl_delay_raw") =!= "")
+    val projected = df.select(col(hostCol).as("host") +: carry.map(col) :+
+      folded.as("crawl_delay_raw"): _*)
+    (if (keepEmpty) projected
+     else projected.filter(col("crawl_delay_raw") =!= ""))
       .withColumn("crawl_delay_micros",
         when(col("crawl_delay_raw").rlike("^[0-9]+(\\.[0-9]{1,6})?$"),
           regexp_extract(col("crawl_delay_raw"), "^([0-9]+)", 1)

@@ -1797,14 +1797,20 @@ object RevisitStream {
     *     re-appends under its own seq (latest-wins absorbs the
     *     duplicate — the at-least-once contract, given a
     *     deterministic `nowFor`, see [[applyBatchLog]]).
-    *   - `checkpointLocation = None`: seq derives per batch from the
-    *     LOG itself (max stored `__seq` + 1 — a min/max-footer read of
-    *     the bucketed table's seq column, never a corpus fold), so a
-    *     fresh stream over a persisted log always appends ABOVE the
-    *     applied history, including right after a [[compactLog]]
-    *     (which resets stored seqs to 0). Single-writer-per-table is
-    *     the append contract either way (the persisted-index family
-    *     rule). */
+    *   - `checkpointLocation = None`: seq derives from the LOG ONCE at
+    *     the first micro-batch (max stored `__seq` — one aggregate
+    *     over the log's thin seq column; aggregate pushdown is off by
+    *     default in Spark, so this IS a column scan of the log, which
+    *     is why it runs once per stream, never per batch) and then
+    *     increments in a driver-side counter — the single-writer
+    *     contract already guarantees no other appender moves the max,
+    *     so counter monotonicity ≡ stored monotonicity. A fresh
+    *     stream over a persisted log therefore always appends ABOVE
+    *     the applied history, including right after a [[compactLog]]
+    *     (which resets stored seqs to 0; an in-loop compaction never
+    *     lowers the counter, so later batches stay above it too).
+    *     Single-writer-per-table is the append contract either way
+    *     (the persisted-index family rule). */
   def startLog(revisits: DataFrame, urlCol: String, statusCol: String,
                newBodyCol: String, bodyCol: String, table: String,
                nowFor: Long => Column = _ => current_timestamp(),
@@ -1812,15 +1818,24 @@ object RevisitStream {
                compactEvery: Int = 0)(
       onBatch: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // derived-seq mode's counter: initialized lazily from the log at
+    // the FIRST batch (the table must exist by then — initLog seeds
+    // it), bumped per batch after. foreachBatch bodies run serially on
+    // the driver, so a plain var needs no synchronization.
+    var derivedSeq: Long = -1L
     val w = revisits.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val seq =
           if (checkpointLocation.isDefined) batchId + 1
           else {
-            spark.catalog.refreshTable(table)
-            spark.table(table)
-              .agg(coalesce(max(col("__seq")), lit(0L))).head.getLong(0) + 1
+            if (derivedSeq < 0L) {
+              spark.catalog.refreshTable(table)
+              derivedSeq = spark.table(table)
+                .agg(coalesce(max(col("__seq")), lit(0L))).head.getLong(0)
+            }
+            derivedSeq += 1
+            derivedSeq
           }
         applyBatchLog(spark, batch, urlCol, statusCol,
           newBodyCol, bodyCol, table, seq, nowFor(batchId), onBatch)
@@ -1863,5 +1878,111 @@ object RevisitStream {
         .select(col(urlCol), col(bodyCol), col("first_fetched"),
           col("last_validated"), col("is_active"), col("__seq")),
       n, Seq(urlCol), Seq(urlCol))
+  }
+}
+
+/** The crawl CYCLE as a micro-batch loop — the composition q198 proves
+  * as a batch fixpoint, lifted to the reference's scheduled cadence
+  * (reference `project/etl2.py:462-467`): each micro-batch is one full
+  * cycle against the SAME persisted artifacts the batch capstone reads
+  * — the robots cache ([[graft.ext.RobotsCache]]: TTL gate, then the
+  * gate's refetch order executed), the revisit change LOG
+  * ([[RevisitStream.applyBatchLog]]: the cycle's fetch answers as one
+  * seq-stamped append), and the per-cycle gate actions appended to a
+  * GATES table so downstream consumers (and the parity spec) read the
+  * cycle history as a relation. Cycle N+1 consumes nothing but what
+  * cycle N stored — the fixpoint property — so a 2-cycle stream is
+  * bit-identical to q198's one-plan batch replay over the same
+  * schedule (spec-pinned, the ReleasePipeline discipline).
+  *
+  * Replay safety (foreachBatch is at-least-once): the log append
+  * absorbs a retried cycle under latest-wins (same seq, same
+  * deterministic `nowFor` — [[RevisitStream.applyBatchLog]]'s
+  * contract); the robots refetch re-appends the same
+  * (host, as-of) stamp, which leaves every latest-wins read unchanged
+  * (the fsck's uniqueness check surfaces the replay for operators);
+  * gates re-append under the same cycle id — readers take DISTINCT
+  * (cycle_id, link_host, action), which the re-append cannot change.
+  * Restart-safety rides the standard checkpointLocation path: a
+  * committed cycle never re-fires.
+  *
+  * Scale shape, per cycle: the gate is a host-sized join against the
+  * bucketed cache; the answers append is batch-sized against the
+  * bucketed log (semi-pruned merge slice); compaction (every
+  * `compactEvery` cycles) stages through `__compact` tables. Nothing
+  * corpus-sized shuffles or rewrites outside the staged maintenance.
+  */
+object CrawlCycleStream {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** One crawl cycle per `cycles` row — `(cycle_id, as_of_micros)`,
+    * cycle ids strictly increasing and ≥ 1 (they stamp the log's seq).
+    * `frontier` is the static collapsed schedule
+    * `(link_host, rank, url_canon)`; `statusFor(proceedSchedule,
+    * cycleId)` simulates/performs the cycle's fetches and returns
+    * `(url_canon, http_status, http_body)`; `robotsBody` is the body a
+    * held host's robots refetch stores; `nowFor` is the injectable
+    * per-cycle clock (the F6 discipline — deterministic per cycle, or
+    * replay breaks [[RevisitStream.applyBatchLog]]'s contract).
+    */
+  def start(cycles: DataFrame, frontier: DataFrame, rtable: String,
+            ltable: String, gtable: String, robotsBody: Column,
+            statusFor: (DataFrame, Long) => DataFrame,
+            nowFor: Long => Column, ttlHours: Long = 24L,
+            compactEvery: Int = 0,
+            checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = cycles.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // bounded collect: one row per CYCLE (a scheduling tick), never
+        // per URL; a batch may carry several ticks — run them in order
+        val ticks = batch.select(col("cycle_id").cast("long"),
+            col("as_of_micros").cast("long"))
+          .collect().sortBy(_.getLong(0))
+        ticks.foreach { tick =>
+          val cid = tick.getLong(0)
+          val asOf = tick.getLong(1)
+          val budget = frontier.groupBy(col("link_host"))
+            .agg(count(lit(1)).as("n_budgeted"))
+          val gate = graft.ext.RobotsCache.ttlGate(spark, budget,
+              "link_host", rtable, asOf, ttlHours)
+            .select(col("link_host"), col("action"))
+            .localCheckpoint() // host-sized; four consumers below
+          gate.select(lit(cid).as("cycle_id"), col("link_host"),
+              col("action"))
+            .write.mode("append").format("parquet").saveAsTable(gtable)
+          val sch = frontier.join(gate, Seq("link_host"))
+          val ans = statusFor(
+            sch.filter(col("action") === "proceed"), cid)
+          RevisitStream.applyBatchLog(spark, ans, "url_canon",
+            "http_status", "http_body", "body", ltable, seq = cid,
+            nowFor(cid))
+          // the gate's order executed: held hosts refetch robots now
+          graft.ext.RobotsCache.refresh(
+            gate.filter(col("action") === "refetch_robots_first")
+              .select(col("link_host").as("host"),
+                lit(asOf).as("fetched_at_micros"),
+                robotsBody.as("robots_body")),
+            "host", "fetched_at_micros", "robots_body", rtable)
+          if (compactEvery > 0 && cid % compactEvery == 0) {
+            RevisitStream.compactLog(spark, ltable, "url_canon", "body")
+            graft.ext.RobotsCache.compact(spark, rtable)
+          }
+        }
+        ()
+      }
+    checkpointLocation
+      .fold(w)(dir => w.option("checkpointLocation", dir))
+      .start()
+  }
+
+  /** The recorded per-cycle gate actions, deduplicated (a retried
+    * cycle re-appends identical rows): `(cycle_id, link_host,
+    * action)`. */
+  def gates(spark: SparkSession, gtable: String): DataFrame = {
+    spark.catalog.refreshTable(gtable)
+    spark.table(gtable).distinct()
   }
 }

@@ -154,6 +154,44 @@ class Bm25IndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("id column"))
   }
 
+  test("append is self-healing: a crash between a postings insert and " +
+    "its meta write (meta left stale) is repaired by the NEXT append — " +
+    "meta recomputes from the authoritative postings, probe parity and " +
+    "fsck restore without an explicit repair call") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_bm25c").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25cdb LOCATION '$loc'")
+    val t = "graft_bm25cdb.cr"
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") < 2), "doc_id",
+      "text", t, nBuckets = 4)
+    val staleMeta = spark.table(s"${t}_meta").collect().head
+    // simulate the crash window: doc 2's postings land, then the
+    // process dies before the meta write — replay by appending doc 2
+    // and forcing meta back to the pre-append scalars
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") === 2),
+      "doc_id", "text", t)
+    Seq((staleMeta.getLong(0), staleMeta.getLong(1),
+        staleMeta.getString(2)))
+      .toDF("n", "t", "id_col").coalesce(1)
+      .write.format("parquet").mode("overwrite").saveAsTable(s"${t}_meta")
+    spark.catalog.refreshTable(s"${t}_meta")
+    // fsck sees the stale-meta window
+    assert(graft.ext.IndexAudit.auditBm25(spark, t)
+      .filter(!col("ok")).collect().map(_.getString(0)).toSet ==
+      Set("meta_n_docs", "meta_total_tokens"))
+    // the next append heals it: meta recomputes from the postings
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") >= 3),
+      "doc_id", "text", t)
+    assert(graft.ext.IndexAudit.auditBm25(spark, t)
+      .filter(!col("ok")).count() == 0)
+    val m = spark.table(s"${t}_meta").collect().head
+    assert(m.getLong(0) == 5L && m.getLong(1) == 16L)
+    val healed = canon(Retrieval.bm25ProbeTopK(spark, t,
+      Seq("cat", "bird"), k = 10))
+    val oneShot = canon(Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("cat", "bird"), k = 10))
+    assert(healed == oneShot && healed.nonEmpty)
+  }
+
   test("streaming serving across an append: a micro-batch probed after " +
     "appendToBm25Index sees the appended documents and shifted df") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The crawl cycle lifted to the micro-batch cadence
+  * ([[graft.streaming.CrawlCycleStream]]): two cycles streamed —
+  * with an in-loop compaction after EVERY cycle and a checkpointed
+  * restart between them — must reproduce q198's one-plan batch
+  * fixpoint bit-for-bit over the same collapsed schedule and the same
+  * persisted-artifact kinds (robots cache, revisit log, gates). The
+  * ReleasePipelineSpec discipline: incremental operation changes
+  * operational shape, never results.
+  */
+class CrawlCycleStreamSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val Hour = 3600000000L
+
+  test("2-cycle stream ≡ q198's batch relation bit-for-bit; compaction " +
+    "fires mid-loop; restart-safety via the checkpointLocation path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val asOf = graft.entry.TextQueries.Q178AsOfMicros
+
+    // the batch capstone — the relation the stream must reproduce
+    val expected = SparkEntry.queries("q198_crawl_cycle2")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty)
+
+    // the stream's OWN artifacts, seeded exactly like q198's legs 1-3
+    val loc = java.nio.file.Files.createTempDirectory("graft_ccs").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ccsdb LOCATION '$loc'")
+    val rtable = "graft_ccsdb.robots"
+    val ltable = "graft_ccsdb.revlog"
+    val gtable = "graft_ccsdb.gates"
+    val fr = graft.entry.TextQueries.q198CollapsedFrontier(spark, sfDir)
+      .localCheckpoint()
+    val budget = fr.groupBy(col("link_host"))
+      .agg(count(lit(1)).as("n_budgeted"))
+    val digit = regexp_extract(col("link_host"),
+      "([0-9])\\.example\\.", 1)
+    val ageHours = lit(5L) +
+      coalesce(nullif(digit, lit("")), lit("0")).cast("long") * 5L
+    graft.ext.RobotsCache.rebuild(
+      budget.select(col("link_host").as("host"),
+        (lit(asOf) - ageHours * Hour).as("fetched_at_micros"),
+        lit("User-agent: *\nDisallow: /private").as("robots_body")),
+      "host", "fetched_at_micros", "robots_body", rtable, nBuckets = 8)
+    val len = length(col("url_canon")).cast("long")
+    graft.streaming.RevisitStream.initLog(
+      fr.filter(len % 3 === 0)
+        .select(col("url_canon"),
+          concat(lit("stale content of "), col("url_canon")).as("body"),
+          lit("2026-01-01").as("first_fetched"),
+          lit("2026-01-15").as("last_validated"),
+          (len % 6 =!= 0).as("is_active")),
+      "url_canon", "body", ltable, nBuckets = 8)
+
+    // q192/q198's deterministic fetch classes, per cycle
+    def statusFor(sch: DataFrame, cid: Long): DataFrame = {
+      val l = length(col("url_canon")).cast("long")
+      val st =
+        if (cid == 1L)
+          when(l % 3 === 0 && l % 7 === 2, 304L).when(l % 7 === 0, 404L)
+            .when(l % 7 === 1, 503L).otherwise(200L)
+        else
+          when(l % 5 === 0, 304L).when(l % 5 === 1, 404L)
+            .when(l % 5 === 2, 503L).otherwise(200L)
+      val prefix =
+        if (cid == 1L) "cycle one fetch of " else "cycle two fetch of "
+      sch.select(col("url_canon"), st.as("http_status"))
+        .withColumn("http_body", when(col("http_status") === 200L,
+          concat(lit(prefix), col("url_canon"))))
+    }
+    def nowFor(cid: Long) =
+      if (cid == 1L) lit("2026-02-10") else lit("2026-02-17")
+
+    val cycles = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ccs_ck")
+      .toString
+    def startLoop() = graft.streaming.CrawlCycleStream.start(
+      cycles.toDF().toDF("cycle_id", "as_of_micros"), fr, rtable,
+      ltable, gtable, lit("User-agent: *\nDisallow: /private"),
+      statusFor, nowFor, compactEvery = 1,
+      checkpointLocation = Some(ckpt))
+
+    // cycle 1, then STOP — the compaction cadence (compactEvery = 1)
+    // fires inside the loop, folding the log to seq 0
+    cycles.addData((1L, asOf))
+    val q1 = startLoop()
+    try q1.processAllAvailable() finally q1.stop()
+    spark.catalog.refreshTable(ltable)
+    assert(spark.table(ltable)
+      .agg(max(col("__seq"))).head.getLong(0) == 0L,
+      "mid-loop compaction did not fold the log")
+
+    // RESTART from the checkpoint: the committed cycle must not
+    // re-fire; only cycle 2 processes
+    cycles.addData((2L, asOf + Hour))
+    val q2 = startLoop()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // assemble the q198 relation from the stream's artifacts alone
+    val gates = graft.streaming.CrawlCycleStream.gates(spark, gtable)
+    val g1 = gates.filter(col("cycle_id") === 1L)
+      .select(col("link_host"), col("action").as("action_c1"))
+    val g2 = gates.filter(col("cycle_id") === 2L)
+      .select(col("link_host"), col("action").as("action_c2"))
+    val st2 = when(len % 5 === 0, 304L).when(len % 5 === 1, 404L)
+      .when(len % 5 === 2, 503L).otherwise(200L)
+    val state = graft.streaming.RevisitStream.logState(spark, ltable,
+      "url_canon", "body")
+    val got = fr.join(g1, Seq("link_host")).join(g2, Seq("link_host"))
+      .withColumn("sim_status_c2", st2)
+      .join(state.select(col("url_canon"), col("is_active"),
+        md5(col("body")).as("body_md5"), col("first_fetched"),
+        col("last_validated")), Seq("url_canon"), "left")
+      .select(col("link_host"), col("rank"), col("url_canon"),
+        col("action_c1"), col("action_c2"), col("sim_status_c2"),
+        col("is_active"), col("body_md5"), col("first_fetched"),
+        col("last_validated"))
+      .orderBy("link_host", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected,
+      s"stream/batch divergence: got ${got.take(3)} vs " +
+        s"${expected.take(3)}")
+
+    // both cycles' gate actions were recorded exactly once each
+    assert(gates.groupBy(col("cycle_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap.keySet == Set(1L, 2L))
+  }
+}

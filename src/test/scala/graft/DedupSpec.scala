@@ -490,4 +490,42 @@ class DedupSpec extends SparkSpec {
     // hashes, B serves 3 (the duplicate collapsed); J = 3/3 = 1e6
     assert(got == Map(("A", "B") -> ((3L, 3L, 3L, 1000000L))), got)
   }
+
+  test("persisted mirror-hash index: append-then-pairs is bit-identical " +
+    "to mirrorCandidates over the unioned documents, and a re-appended " +
+    "duplicate batch adds nothing") {
+    import org.apache.spark.sql.functions._
+    val loc = java.nio.file.Files.createTempDirectory("graft_mhx").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mhxdb LOCATION '$loc'")
+    val t = "graft_mhxdb.mirror_hashes"
+    val c1 = Seq(
+      ("A", "page one"), ("A", "page two"), ("A", "page three"),
+      ("B", "page one"), ("B", "page two"), ("B", "page three"),
+      ("C", "c only"), ("D", "d only"))
+      .toDF("host", "text")
+    // cycle 2: C starts mirroring A/B's corpus (the newly discovered
+    // member), plus a replayed duplicate of an existing pair
+    val c2 = Seq(
+      ("C", "page one"), ("C", "page two"),
+      ("A", "page one")) // re-fetch of an unchanged body: must no-op
+      .toDF("host", "text")
+    graft.ext.Dedup.writeMirrorHashes(c1, "host", "text", t, nBuckets = 2)
+    graft.ext.Dedup.appendMirrorHashes(c2, "host", "text", t)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val fromIndex = pairSet(graft.ext.Dedup.mirrorPairsFromIndex(
+      spark, t, minShared = 2L, maxHostsPerHash = 3))
+    val fromBatch = pairSet(graft.ext.Dedup.mirrorCandidates(
+      c1.union(c2), "host", "text", minShared = 2L, maxHostsPerHash = 3))
+    assert(fromIndex == fromBatch, fromIndex)
+    assert(fromIndex.map(p => (p._1, p._2)) == Set(("A", "B"), ("A", "C"),
+      ("B", "C"))) // the appended member joined the mirror clique
+    // the store stays the union's DISTINCT: the duplicate added no row
+    val n = spark.table(t).count()
+    graft.ext.Dedup.appendMirrorHashes(c2, "host", "text", t)
+    assert(spark.table(t).count() == n)
+    assert(pairSet(graft.ext.Dedup.mirrorPairsFromIndex(
+      spark, t, minShared = 2L, maxHostsPerHash = 3)) == fromBatch)
+  }
 }

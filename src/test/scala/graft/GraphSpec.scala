@@ -247,6 +247,50 @@ class GraphSpec extends SparkSpec {
       "labels_are_roots"), bad())
   }
 
+  test("components lifecycle: drift trips on a newly discovered " +
+    "mirror member, rebuildComponents retrains into the same layout, " +
+    "fsck is clean, and the stored probe matches the retrain " +
+    "bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val loc = java.nio.file.Files.createTempDirectory("graft_ccr").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ccrdb LOCATION '$loc'")
+    val t = "graft_ccrdb.comp"
+    val edges1 = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("src", "dst")
+    val nodes1 = edges1.select(col("src").as("host"))
+      .union(edges1.select(col("dst").as("host"))).distinct()
+    Graph.writeComponents(
+      Graph.connectedComponents(nodes1, "host", edges1, "src", "dst"),
+      "id", t, nBuckets = 2)
+    // cycle 2 discovers a new mirror member f bridging into {d, e}
+    val edges2 = edges1.union(Seq(("e", "f")).toDF("src", "dst"))
+    val nodes2 = edges2.select(col("src").as("host"))
+      .union(edges2.select(col("dst").as("host"))).distinct()
+    val drift = graft.ext.IndexAudit.driftComponents(spark, t,
+      nodes2, "host").filter(!col("ok")).collect()
+    assert(drift.length == 1 && drift.head.getLong(2) == 1L,
+      drift.toSeq) // f uncovered — the retrain trigger
+    // the stale probe would read f "not mirrored" — rebuild
+    Graph.rebuildComponents(spark, t, nodes2, "host", edges2,
+      "src", "dst")
+    assert(graft.ext.IndexAudit.driftComponents(spark, t, nodes2,
+      "host").filter(!col("ok")).count() == 0)
+    assert(graft.ext.IndexAudit.auditComponents(spark, t)
+      .filter(!col("ok")).count() == 0)
+    // probe-parity: stored labels ≡ a fresh retrain over the universe
+    val stored = Graph.loadComponents(spark, t)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val fresh = Graph.connectedComponents(nodes2, "host", edges2,
+        "src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(stored == fresh)
+    assert(stored.contains(("f", "d"))) // the member's label exists now
+    // layout preserved: the rebuild kept the table's own bucket count
+    assert(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t))
+      .bucketSpec.exists(_.numBuckets == 2))
+  }
+
   test("PageRank drift: the stored artifact covers its trained host " +
     "universe; a newly discovered host trips the coverage check (the " +
     "retrain trigger)") {

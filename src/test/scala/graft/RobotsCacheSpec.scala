@@ -275,6 +275,82 @@ class RobotsCacheSpec extends SparkSpec {
     assert(deltas()("l.com") == ((0L, 1L, 1L, true)), deltas())
   }
 
+  test("policyDelta removed-Allow coverage: dropping an Allow with NO " +
+    "standing Disallow below it forbids nothing (default is allow — " +
+    "not a tightening); a covered carve-out and a wildcard-covered one " +
+    "both tighten") {
+    val table = mkDb("rc8b")
+    RobotsCache.rebuild(Seq(
+        // free.com: Allow with no Disallow anywhere near it
+        ("free.com", asOf - 40 * H,
+          "User-agent: *\nAllow: /open\nDisallow: /private"),
+        // wild.com: Allow carved out of a WILDCARD disallow
+        ("wild.com", asOf - 40 * H,
+          "User-agent: *\nDisallow: /d/*page$\nAllow: /d/1"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table, nBuckets = 2)
+    RobotsCache.refresh(Seq(
+        // /open removed; /private still stands but does NOT cover
+        // /open — nothing previously permitted became forbidden
+        ("free.com", asOf, "User-agent: *\nDisallow: /private"),
+        // /d/1 removed; the standing wildcard disallow conservatively
+        // covers it (regex match set — the documented
+        // over-approximation) — tightens
+        ("wild.com", asOf, "User-agent: *\nDisallow: /d/*page$"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table)
+    val d = RobotsCache.policyDelta(spark, table).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(d("free.com") == ((0L, 1L, 0L, true)), d)
+    assert(d("wild.com") == ((0L, 1L, 1L, true)), d)
+  }
+
+  test("ttlGate: a budget that itself carries a fetched_at_micros " +
+    "payload column survives the gate untouched (the cache's stamp " +
+    "joins under a reserved alias)") {
+    val table = mkDb("rc8c")
+    RobotsCache.rebuild(Seq(
+        ("a.com", asOf - 2 * H, "User-agent: *\nDisallow: /p"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table, nBuckets = 2)
+    val budget = Seq(("a.com", 7L, 999L), ("new.com", 3L, 888L))
+      .toDF("host", "n_budgeted", "fetched_at_micros")
+    val out = RobotsCache.ttlGate(spark, budget, "host", table, asOf)
+      .collect().map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("n_budgeted"),
+          r.getAs[Long]("fetched_at_micros"),
+          r.getAs[String]("action")))).toMap
+    assert(out("a.com") == ((7L, 999L, "proceed")), out)
+    assert(out("new.com") == ((3L, 888L, "refetch_robots_first")), out)
+  }
+
+  test("fetch log is 1:1 with the batch: a batch carrying duplicate " +
+    "(host, fetched_at) fetches logs one row per input row, never a " +
+    "join-multiplied cross (the fsck still flags the replay)") {
+    val table = mkDb("rc8d")
+    RobotsCache.rebuild(Seq(
+        ("s.com", asOf - 2 * H,
+          "User-agent: *\nCrawl-delay: 2\nDisallow: /p"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table, nBuckets = 2)
+    // a retried foreachBatch re-append: the SAME (host, ts) twice in
+    // one batch — the old parse-then-self-join multiplied these 2×2
+    RobotsCache.refresh(Seq(
+        ("s.com", asOf, "User-agent: *\nCrawl-delay: 4"),
+        ("s.com", asOf, "User-agent: *\nCrawl-delay: 4"))
+        .toDF("host", "fetched_at_micros", "robots_body"),
+      "host", "fetched_at_micros", "robots_body", table)
+    val logged = spark.table(s"${table}_fetches")
+      .filter(col("fetched_at_micros") === asOf).collect()
+    assert(logged.length == 2, logged.toSeq) // 1:1, not 4
+    assert(logged.forall(_.getAs[Long]("crawl_delay_micros") == 4000000L))
+    // the duplicate itself is still an ingest-contract violation the
+    // audit reports (at-most-once per (host, ts) is the caller's job)
+    assert(IndexAudit.auditRobotsCache(spark, table)
+      .filter(!col("ok")).count() > 0)
+  }
+
   test("a repeated rule line in a stored body is ONE logical rule: " +
     "latestRules and policyDelta count sets, and the fsck stays green " +
     "on legitimate duplicate-line input") {
