@@ -21,6 +21,27 @@ import java.nio.charset.StandardCharsets
   */
 object Bench {
 
+  /** Where this run's record lands. The regression gate refuses to
+    * ADOPT a contended record as the prior: a contended run must not
+    * overwrite a clean `bench.json` (the committed prior future gates
+    * compare against — twice in a row the persisted prior was a
+    * contention-window pass), so it lands in `bench_contended.json`
+    * instead; re-run at idle to move the prior. A contended prior may
+    * be replaced (freshness wins between two non-gate-grade records),
+    * and a first run writes regardless (self-describing via its own
+    * stamp). */
+  private[graft] def benchOutPath(outDir: java.nio.file.Path,
+                                  contended: Boolean): java.nio.file.Path = {
+    val priorFile = outDir.resolve("bench.json")
+    val priorIsClean =
+      try Files.exists(priorFile) &&
+        !new String(Files.readAllBytes(priorFile),
+          StandardCharsets.UTF_8).contains("\"contended\":true")
+      catch { case _: Exception => false }
+    if (contended && priorIsClean) outDir.resolve("bench_contended.json")
+    else priorFile
+  }
+
   /** Host-contention telemetry: `[1m, 5m, 15m]` load averages from
     * /proc/loadavg, or null where unreadable. Recorded before AND after
     * the timing loop so a contended run is machine-flagged in the
@@ -174,7 +195,21 @@ object Bench {
     try {
       val outDir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT", "."))
       Files.createDirectories(outDir)
-      val outPath = outDir.resolve("bench.json")
+      val priorFile = outDir.resolve("bench.json")
+      // the regression gate refuses to ADOPT a contended record as the
+      // prior: a contended run must not overwrite a clean bench.json
+      // (the committed prior future gates compare against — two rounds
+      // running the persisted prior was a contention-window pass). It
+      // lands in bench_contended.json instead; re-run at idle to move
+      // the prior. A contended prior may be replaced (freshness wins
+      // between two non-gate-grade records), and a first run writes
+      // regardless (self-describing via its own stamp).
+      val outPath = Bench.benchOutPath(outDir, contended)
+      if (outPath != priorFile)
+        System.err.println("bench CONTENDED and the existing " +
+          "bench.json prior is clean - writing to " +
+          "bench_contended.json instead; re-run at idle to update " +
+          "the prior")
       Files.write(outPath, (json + "\n").getBytes(StandardCharsets.UTF_8))
       System.err.println(s"bench json written to $outPath")
     } catch {

@@ -205,6 +205,41 @@ object HttpShim {
           "crawl_delay_micros")
     })
 
+  /** `/mirror?host=<host>` — the scheduler's mirror probe served from
+    * the PERSISTED components artifact ([[graft.ext.Graph
+    * .writeComponents]] / [[graft.ext.Graph.rebuildComponents]]): the
+    * host's representative, whether it is a duplicate the budget
+    * evicts, and whether the artifact COVERS the host at all —
+    * `covered = false` is the q201 drift condition surfaced per
+    * request (the stored labeling has never seen this host; a worker
+    * treats it as not-mirrored AND flags the artifact for rebuild).
+    * The table re-resolves per request, so a
+    * `Graph.rebuildComponents` changes the very next answer without a
+    * remount — the [[robotsCacheRoutes]] liveness discipline.
+    * Completes the components family's serve leg
+    * (build → persist → append → audit → drift → rebuild → serve). */
+  def mirrorRoutes(spark: org.apache.spark.sql.SparkSession,
+                   compTable: String)
+      : Map[String, HttpExchange => DataFrame] = Map(
+    "mirror" -> { ex =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val params = queryParams(ex.getRequestURI.getRawQuery)
+      val host = params.getOrElse("host", "")
+      require(host.trim.nonEmpty, "missing or empty ?host= parameter")
+      import spark.implicits._
+      val meta = spark.table(s"${compTable}_meta").head
+      val idCol = meta.getString(meta.fieldIndex("id_col"))
+      Seq(host).toDF("host")
+        .join(graft.ext.Graph.loadComponents(spark, compTable)
+            .select(col(idCol).as("host"), col("component")),
+          Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("component"), col("host")).as("mirror_rep"),
+          (coalesce(col("component"), col("host")) =!= col("host"))
+            .as("is_mirror_dup"),
+          col("component").isNotNull.as("covered"))
+    })
+
   /** `/rag?id=<doc>[&k=N]` — full RAG serving over the persisted
     * index pair: the query is a corpus member (more-like-this), its
     * terms from `docs`, its vector from the IVF index itself; the

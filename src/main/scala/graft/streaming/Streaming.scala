@@ -1985,4 +1985,40 @@ object CrawlCycleStream {
     spark.catalog.refreshTable(gtable)
     spark.table(gtable).distinct()
   }
+
+  /** Incremental mirror discovery inside the loop — the streaming
+    * consumer of the persisted mirror-hash relation
+    * ([[graft.ext.Dedup.writeMirrorHashes]]): each micro-batch of
+    * fetched `(host, text)` pages APPENDS its new distinct
+    * (host, content-hash) rows ([[graft.ext.Dedup.appendMirrorHashes]]
+    * — batch-sized, bucket-semi-pruned; a re-fetched unchanged body
+    * adds nothing, so the store stays the union's distinct and replay
+    * is a no-op), then checks the components artifact for DRIFT
+    * against the updated pair universe
+    * ([[graft.ext.IndexAudit.driftComponents]]) and hands the report
+    * to `onDrift` — the q201 rebuild trigger, surfaced per cycle
+    * instead of per audit run. The pair lift runs on the stored
+    * host×hash relation (cap-bounded self-join), never the batch's
+    * document bytes.
+    */
+  def mirrorIngestStream(pages: DataFrame, hostCol: String,
+                         textCol: String, hashTable: String,
+                         compTable: String, minShared: Long = 2L,
+                         maxHostsPerHash: Int = 50)(
+      onDrift: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.ext.Dedup.appendMirrorHashes(batch, hostCol, textCol,
+          hashTable)
+        val pairs = graft.ext.Dedup.mirrorPairsFromIndex(spark,
+          hashTable, minShared, maxHostsPerHash)
+        val nodes = pairs.select(col("host_a").as("host"))
+          .union(pairs.select(col("host_b").as("host"))).distinct()
+        onDrift(graft.ext.IndexAudit.driftComponents(spark, compTable,
+          nodes, "host"), batchId)
+        ()
+      }
+      .start()
 }

@@ -42,4 +42,23 @@ class BenchUtilSpec extends AnyFunSuite {
       BenchUtil.selectQueries(Some("q999"), qs)
     }
   }
+
+  test("prior adoption: a contended run never overwrites a clean " +
+    "bench.json prior; it may replace a contended one or write first") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_prior")
+    val prior = dir.resolve("bench.json")
+    val aside = dir.resolve("bench_contended.json")
+    // first run: no prior — adopt regardless of contention
+    assert(Bench.benchOutPath(dir, contended = true) == prior)
+    assert(Bench.benchOutPath(dir, contended = false) == prior)
+    // clean prior: a contended run steps aside, a clean run adopts
+    Files.write(prior, """{"contended":false,"value":1}""".getBytes)
+    assert(Bench.benchOutPath(dir, contended = true) == aside)
+    assert(Bench.benchOutPath(dir, contended = false) == prior)
+    // contended prior: freshness wins between non-gate-grade records
+    Files.write(prior, """{"contended":true,"value":1}""".getBytes)
+    assert(Bench.benchOutPath(dir, contended = true) == prior)
+    assert(Bench.benchOutPath(dir, contended = false) == prior)
+  }
 }

@@ -132,4 +132,68 @@ class CrawlCycleStreamSpec extends SparkSpec {
     assert(gates.groupBy(col("cycle_id")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap.keySet == Set(1L, 2L))
   }
+
+  test("mirrorIngestStream: per-batch appends keep the hash relation " +
+    "at the union's distinct, drift stays clean until the batch that " +
+    "introduces a new mirror member, and the q201 rebuild clears it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_mis").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_misdb LOCATION '$loc'")
+    val ht = "graft_misdb.hashes"
+    val ct = "graft_misdb.comp"
+    val c1 = Seq(
+      ("A", "page one"), ("A", "page two"),
+      ("B", "page one"), ("B", "page two"),
+      ("C", "c only"))
+      .toDF("host", "text")
+    graft.ext.Dedup.writeMirrorHashes(c1, "host", "text", ht,
+      nBuckets = 2)
+    val pairs1 = graft.ext.Dedup.mirrorPairsFromIndex(spark, ht,
+      minShared = 2L, maxHostsPerHash = 4)
+    val nodes1 = pairs1.select(col("host_a").as("host"))
+      .union(pairs1.select(col("host_b").as("host"))).distinct()
+    graft.ext.Graph.writeComponents(
+      graft.ext.Graph.connectedComponents(nodes1, "host", pairs1,
+        "host_a", "host_b"),
+      "id", ct, nBuckets = 2)
+
+    val drifts = scala.collection.mutable.Map.empty[Long, Long]
+    val mem = MemoryStream[(String, String)]
+    val stream = graft.streaming.CrawlCycleStream.mirrorIngestStream(
+      mem.toDF().toDF("host", "text"), "host", "text", ht, ct,
+      minShared = 2L, maxHostsPerHash = 4) { (report, batchId) =>
+      drifts(batchId) = report.filter(!col("ok"))
+        .agg(coalesce(sum(col("observed")), lit(0L))).head.getLong(0)
+    }
+    try {
+      mem.addData(("C", "c other")) // still unique content: no drift
+      stream.processAllAvailable()
+      mem.addData(("C", "page one"), ("C", "page two"), // C mirrors now
+        ("A", "page one")) // replayed duplicate: must add nothing
+      stream.processAllAvailable()
+    } finally stream.stop()
+    assert(drifts(0L) == 0L, drifts)
+    assert(drifts(1L) == 1L, drifts) // C uncovered — the rebuild trigger
+    // store == union's distinct (the duplicate added no row)
+    val expected = c1.union(Seq(("C", "c other"), ("C", "page one"),
+        ("C", "page two"), ("A", "page one")).toDF("host", "text"))
+      .select(col("host"), md5(col("text")).as("content_md5")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the stream's session CLONE did the appends — re-list here
+    spark.catalog.refreshTable(ht)
+    assert(spark.table(ht).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == expected)
+    // the trigger consumed: rebuild over the updated universe clears it
+    val pairs2 = graft.ext.Dedup.mirrorPairsFromIndex(spark, ht,
+      minShared = 2L, maxHostsPerHash = 4)
+    val nodes2 = pairs2.select(col("host_a").as("host"))
+      .union(pairs2.select(col("host_b").as("host"))).distinct()
+    graft.ext.Graph.rebuildComponents(spark, ct, nodes2, "host",
+      pairs2, "host_a", "host_b")
+    assert(graft.ext.IndexAudit.driftComponents(spark, ct, nodes2,
+      "host").filter(!col("ok")).count() == 0)
+  }
 }

@@ -349,4 +349,46 @@ class HttpShimSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS graft_hrcdb CASCADE")
     }
   }
+
+  test("/mirror serves the persisted components artifact: rep + dup " +
+    "flag + coverage, and a rebuild changes the next answer without " +
+    "a remount") {
+    import graft.ext.Graph
+    import org.apache.spark.sql.functions.col
+    val loc = java.nio.file.Files.createTempDirectory("graft_hmr").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_hmrdb LOCATION '$loc'")
+    val t = "graft_hmrdb.comp"
+    val edges = Seq(("a.com", "b.com")).toDF("src", "dst")
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    Graph.writeComponents(
+      Graph.connectedComponents(nodes, "host", edges, "src", "dst"),
+      "id", t, nBuckets = 2)
+    val shim = HttpShim.startDynamic(HttpShim.mirrorRoutes(spark, t))
+    try {
+      val (c1, b1) = get(shim.port, "/mirror?host=b.com")
+      assert(c1 == 200 && b1.contains(""""mirror_rep":"a.com"""") &&
+        b1.contains(""""is_mirror_dup":true""") &&
+        b1.contains(""""covered":true"""), b1)
+      // an uncovered host reads not-mirrored AND flags the drift
+      // condition — the q201 rebuild trigger, per request
+      val (c2, b2) = get(shim.port, "/mirror?host=c.com")
+      assert(c2 == 200 && b2.contains(""""mirror_rep":"c.com"""") &&
+        b2.contains(""""is_mirror_dup":false""") &&
+        b2.contains(""""covered":false"""), b2)
+      // the rebuild lands (no remount): the next probe sees c covered
+      val edges2 = edges.union(Seq(("b.com", "c.com")).toDF("src", "dst"))
+      val nodes2 = edges2.select(col("src").as("host"))
+        .union(edges2.select(col("dst").as("host"))).distinct()
+      Graph.rebuildComponents(spark, t, nodes2, "host", edges2,
+        "src", "dst")
+      val (c3, b3) = get(shim.port, "/mirror?host=c.com")
+      assert(c3 == 200 && b3.contains(""""mirror_rep":"a.com"""") &&
+        b3.contains(""""is_mirror_dup":true""") &&
+        b3.contains(""""covered":true"""), b3)
+    } finally {
+      shim.stop()
+      spark.sql("DROP DATABASE IF EXISTS graft_hmrdb CASCADE")
+    }
+  }
 }
