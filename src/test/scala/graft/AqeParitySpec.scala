@@ -54,7 +54,12 @@ class AqeParitySpec extends SparkSpec {
     "q179_anchor_text", "q180_exclusion_frontier",
     // the reciprocity self-join + language attaches; the identity
     // left-join + distinct-hash census
-    "q184_translation_pairs", "q190_identity_divergence")
+    "q184_translation_pairs", "q190_identity_divergence",
+    // round 16: the double component probe over the frontier budget
+    // (two artifact left-joins + coalesce tie logic) and the CCNet
+    // funnel's four intersected stage flags (shingle joins, digest
+    // aggregate, map-literal perplexity fold)
+    "q201_mirror_drift_rebuild", "q202_ccnet_funnel")
 
   test("AQE on and off produce identical rows for partition-sensitive " +
     "queries") {
