@@ -545,16 +545,23 @@ private[graft] object TextQueries {
     * list, unordered — shared by q155 and q187's authority-weighted
     * fetch order. The tiny edge/node legs are localCheckpointed (the
     * iteration re-reads them 10×). */
-  private def hostPagerank(s: SparkSession, dir: String): DataFrame = {
+  /** The q155/q134-class cross-host link universe — distinct external
+    * (src, dst) host pairs from the real outlink extraction — shared
+    * by [[hostPagerank]] and q203's two-cycle authority lifecycle. */
+  private def hostLinkEdges(s: SparkSession, dir: String): DataFrame = {
     val canon = graft.ext.UrlOps.withCanonicalUrl(
       withPlantedUrl(t(s, dir, "documents")), "url")
     val links = graft.ext.UrlOps.extractOutlinks(
         withPlantedPage(canon), "doc_id", "html", "url_canon", "url")
       .withColumn("src_host", graft.ext.UrlOps.urlHost(col("base_canon")))
-    val edges = graft.ext.UrlOps.hostLinkGraph(links, "src_host")
+    graft.ext.UrlOps.hostLinkGraph(links, "src_host")
       .filter(!col("is_internal"))
       .select(col("src_host").as("src"), col("dst_host").as("dst"))
       .localCheckpoint()
+  }
+
+  private def hostPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = hostLinkEdges(s, dir)
     val nodes = edges.select(col("src").as("host"))
       .union(edges.select(col("dst").as("host")))
       .distinct().localCheckpoint()
@@ -737,6 +744,63 @@ private[graft] object TextQueries {
         "q201 plant error: cycle 2 introduced no uncovered member")
       graft.ext.Graph.rebuildComponents(s, live, nodes2, "host",
         pairs2, "host_a", "host_b")
+      (pre, live)
+    })
+
+  /** Train-once memo for q203's TWO-CYCLE authority lifecycle — the
+    * [[mirrorRebuildArtifact]] discipline applied to the PageRank
+    * family (the last persisted artifact whose drift check had no
+    * consumed rebuild): cycle 1 trains q155's real host-graph
+    * authority and persists it (frozen as `<t>_pre` for the
+    * before/after probe, live as `<t>`); cycle 2 discovers every
+    * source host linking to ONE new hub (`newhub.example.com` — the
+    * hottest node in the union graph, absent from the stored
+    * universe), [[graft.ext.IndexAudit.driftPageRank]] trips on the
+    * uncovered host, and THAT trigger drives
+    * [[graft.ext.Graph.rebuildPageRank]] (retrain over the union
+    * universe under the trained iters/unit, into the same layout).
+    * Until the rebuild, the scheduler's left join reads the hub as
+    * authority 0 — scheduled dead last. Returns (preTable, liveTable). */
+  private val authorityRebuildArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def authorityRebuildArtifact(s: SparkSession, dir: String)
+      : (String, String) =
+    authorityRebuildArtifacts.computeIfAbsent(dir, _ => {
+      val base = "graft_authority_rb_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+      val pre = s"${base}_pre"
+      val live = base
+      val edges1 = hostLinkEdges(s, dir)
+      val nodes1 = edges1.select(col("src").as("host"))
+        .union(edges1.select(col("dst").as("host")))
+        .distinct().localCheckpoint()
+      val n1 = nodes1.count()
+      val pr1 = graft.ext.Graph.pageRankMicro(nodes1, edges1, "host",
+        "src", "dst", nNodes = n1, iters = 10).localCheckpoint()
+      // frozen BEFORE copy (the probe's baseline) + the live artifact
+      // the drift loop rebuilds — same training, two tables
+      graft.ext.Graph.writePageRank(pr1, "host", pre,
+        iters = 10, nNodes = n1, nBuckets = 8)
+      graft.ext.Graph.writePageRank(pr1, "host", live,
+        iters = 10, nNodes = n1, nBuckets = 8)
+      // cycle 2: the new hub's in-links — one edge per distinct
+      // source host (host-sized, never a corpus recrawl)
+      val edgesU = edges1.union(
+          edges1.select(col("src")).distinct()
+            .select(col("src"), lit("newhub.example.com").as("dst")))
+        .distinct().localCheckpoint()
+      val nodesU = edgesU.select(col("src").as("host"))
+        .union(edgesU.select(col("dst").as("host")))
+        .distinct().localCheckpoint()
+      // the drift check DRIVES the rebuild (the trigger consumed
+      // in-loop, not a per-query unconditional retrain)
+      val tripped = graft.ext.IndexAudit.driftPageRank(s, live,
+        nodesU, "host").filter(!col("ok")).count() > 0
+      require(tripped,
+        "q203 plant error: cycle 2 introduced no uncovered host")
+      graft.ext.Graph.rebuildPageRank(s, live, nodesU, "host",
+        edgesU, "src", "dst")
       (pre, live)
     })
 
@@ -2317,6 +2381,42 @@ private[graft] object TextQueries {
           col("rep_post"), col("is_mirror_dup_pre"),
           col("is_mirror_dup_post"), col("evicted_by_rebuild"))
         .orderBy("link_host")
+    }),
+
+    // ---- authority drift→REBUILD (oracle-checked): q201's
+    // lifecycle close applied to the PageRank family — the last
+    // persisted artifact whose drift check had no consumed rebuild.
+    // Cycle 1 trains the real host-graph authority and persists it;
+    // cycle 2 discovers every source host linking to ONE new hub,
+    // driftPageRank trips on the uncovered host, and the rebuild runs
+    // BECAUSE it tripped (Graph.rebuildPageRank — trained iters/unit
+    // and layout preserved). Output: per host in the union universe
+    // both artifacts' authority and fetch-order positions — the stale
+    // artifact reads the hottest hub as authority 0 (scheduled dead
+    // last, the wasted cycle the drift check exists to surface); only
+    // the rebuilt one promotes it. The window is over the HOST
+    // relation (bounded, scheduler-sized at any corpus scale), never
+    // documents.
+    "q203_authority_drift_rebuild" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val (pre, live) = authorityRebuildArtifact(s, dir)
+      val pPre = graft.ext.Graph.loadPageRank(s, pre)
+        .select(col("host"), col("pr_micro").as("__pa"))
+      val pPost = graft.ext.Graph.loadPageRank(s, live)
+        .select(col("host"), col("pr_micro").as("pr_micro_post"))
+      pPost.join(pPre, Seq("host"), "left")
+        .withColumn("covered_pre", col("__pa").isNotNull)
+        .withColumn("pr_micro_pre", coalesce(col("__pa"), lit(0L)))
+        .withColumn("order_pre", row_number().over(Window.orderBy(
+          col("pr_micro_pre").desc, col("host"))).cast("long"))
+        .withColumn("order_post", row_number().over(Window.orderBy(
+          col("pr_micro_post").desc, col("host"))).cast("long"))
+        .withColumn("promoted_by_rebuild",
+          !col("covered_pre") && col("order_post") < col("order_pre"))
+        .select(col("host"), col("pr_micro_pre"), col("pr_micro_post"),
+          col("covered_pre"), col("order_pre"), col("order_post"),
+          col("promoted_by_rebuild"))
+        .orderBy("host")
     }),
 
     // ---- tightening RE-VERDICT (oracle-checked): q194's n_tightened
@@ -4375,6 +4475,34 @@ private[graft] object TextQueries {
       "\nSELECT v AS host, pr_micro, pr_micro / 1000000.0 AS pr " +
       "FROM pr10 ORDER BY host"
 
+  /** q203's cycle-2 training: the [[hostPagerankIterCtes]] recurrence
+    * re-unrolled over an arbitrary upstream edge CTE `egCte(u, v)`,
+    * every CTE name prefixed `p` so both trainings coexist in one
+    * statement; ends in `${p}pr10(v, pr_micro)`. */
+  private def pageRankIterCtesOver(p: String, egCte: String): String = {
+    val pre =
+      s"${p}nodes AS (SELECT DISTINCT h AS v FROM " +
+        s"(SELECT u AS h FROM $egCte UNION SELECT v FROM $egCte) t),\n" +
+        s"${p}nn AS (SELECT CAST(count(*) AS BIGINT) AS n " +
+        s"FROM ${p}nodes),\n" +
+        s"${p}outd AS (SELECT u, CAST(count(*) AS BIGINT) AS outd " +
+        s"FROM $egCte GROUP BY u),\n" +
+        s"${p}pr0 AS (SELECT ${p}nodes.v, " +
+        s"CAST(1000000 // ${p}nn.n AS BIGINT) AS pr_micro " +
+        s"FROM ${p}nodes, ${p}nn)"
+    val iters = (1 to 10).map { k =>
+      s"${p}pr$k AS (SELECT no.v, " +
+        s"CAST(150000 // nn.n + coalesce(su.c, 0) AS BIGINT) " +
+        "AS pr_micro " +
+        s"FROM ${p}nodes no CROSS JOIN ${p}nn nn LEFT JOIN (" +
+        "SELECT e.v, CAST(sum((85 * p.pr_micro) // (100 * o.outd)) " +
+        "AS BIGINT) AS c " +
+        s"FROM $egCte e JOIN ${p}pr${k - 1} p ON p.v = e.u " +
+        s"JOIN ${p}outd o ON o.u = e.u GROUP BY e.v) su ON su.v = no.v)"
+    }
+    (pre +: iters).mkString(",\n")
+  }
+
   /** q187: the q154 frontier CTEs + the PageRank recurrence composed —
     * hosts outside the link graph coalesce to 0, global order
     * (pr desc, host, per-host rank), budget 20. */
@@ -6152,6 +6280,32 @@ private[graft] object TextQueries {
         "FROM mbud b LEFT JOIN mcomp c1 ON c1.mhost = b.link_host " +
         "LEFT JOIN m2comp c2 ON c2.mhost = b.link_host " +
         "ORDER BY b.link_host"),
+
+    // q203: BOTH trainings replayed — cycle 1 is q155's unroll over
+    // the real edge list `eg`, cycle 2 the same recurrence over the
+    // union graph (eg + one in-link to the new hub per distinct
+    // source host); the output join replays the scheduler's
+    // stale-vs-rebuilt read.
+    "q203_authority_drift_rebuild" ->
+      ("WITH aug AS (" + urlPlantSql + "),\n" + urlCanonCtes + ",\n" +
+        linkCtes + ",\n" + hostPagerankIterCtes + ",\n" +
+        "beg AS (SELECT u, v FROM eg UNION " +
+        "SELECT DISTINCT u, 'newhub.example.com' AS v FROM eg),\n" +
+        pageRankIterCtesOver("b", "beg") + ",\n" +
+        "sel AS (SELECT n.v AS host, " +
+        "coalesce(a.pr_micro, 0) AS pr_pre, " +
+        "n.pr_micro AS pr_post, a.pr_micro IS NOT NULL AS cov " +
+        "FROM bpr10 n LEFT JOIN pr10 a ON a.v = n.v),\n" +
+        "ord AS (SELECT host, pr_pre, pr_post, cov, " +
+        "CAST(row_number() OVER (ORDER BY pr_pre DESC, host) " +
+        "AS BIGINT) AS order_pre, " +
+        "CAST(row_number() OVER (ORDER BY pr_post DESC, host) " +
+        "AS BIGINT) AS order_post FROM sel)\n" +
+        "SELECT host, pr_pre AS pr_micro_pre, " +
+        "pr_post AS pr_micro_post, cov AS covered_pre, " +
+        "order_pre, order_post, " +
+        "(NOT cov) AND order_post < order_pre AS promoted_by_rebuild " +
+        "FROM ord ORDER BY host"),
 
     // q197: the q154 budget CTEs + the tightened-host class closed
     // form (the q194 oracle's discipline: the PARSE and the delta

@@ -337,12 +337,111 @@ object Graph {
   /** The stored authority table, `(id_col, pr_micro, pr)` — the
     * scheduler's serve-side read. */
   def loadPageRank(spark: org.apache.spark.sql.SparkSession,
-                   table: String): DataFrame =
+                   table: String): DataFrame = {
+    spark.catalog.refreshTable(table)
     spark.table(table)
+  }
+
+  /** Retrain a persisted authority artifact from the CURRENT link
+    * universe into the SAME layout — [[rebuildComponents]]'s one-call
+    * drift remedy for the PageRank family: when
+    * [[graft.ext.IndexAudit.driftPageRank]] trips — a crawl cycle
+    * discovered hosts the stored node universe has never seen — the
+    * scheduler retrains [[pageRankMicro]] over the full current
+    * universe under the TRAINED hyper-parameters (`iters` and `unit`
+    * read back from `<table>_meta`; a maintenance retrain must not
+    * silently change the model family) and rewrites through
+    * [[writePageRank]], preserving the recorded id column name and the
+    * table's own bucket count (the probes' Exchange-free layout).
+    * Until the rebuild runs, the scheduler's left join reads the new
+    * hosts as authority 0 and schedules the hottest new hub dead
+    * last — exactly the stale answer the drift check surfaces.
+    *
+    * `nodes` is the current universe (sinks and sources included —
+    * [[pageRankMicro]] does NOT union edge endpoints in); `edges`
+    * must be the pre-deduplicated current pair set. */
+  def rebuildPageRank(spark: org.apache.spark.sql.SparkSession,
+                      table: String, nodes: DataFrame, nodeCol: String,
+                      edges: DataFrame, srcCol: String, dstCol: String)
+      : Unit = {
+    val meta = spark.table(s"${table}_meta").head
+    val idCol = meta.getString(meta.fieldIndex("id_col"))
+    val iters = meta.getInt(meta.fieldIndex("iters"))
+    val unit = meta.getLong(meta.fieldIndex("unit"))
+    val nBuckets = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    val universe = nodes.select(col(nodeCol).as(idCol)).distinct()
+      .localCheckpoint() // consumed 3×: count, train base, sink join
+    val n = universe.count()
+    val pr = pageRankMicro(universe, edges, idCol, srcCol, dstCol,
+      nNodes = n, iters = iters, unit = unit)
+    writePageRank(pr, idCol, table, iters, n, unit, nBuckets)
+    spark.catalog.refreshTable(table)
+  }
 
   /** The stored model's id column name, from `<table>_meta`. */
   def pageRankIdCol(spark: org.apache.spark.sql.SparkSession,
                     table: String): String =
     spark.table(s"${table}_meta")
       .select(col("id_col")).head.getString(0)
+
+  /** Persist the host-LINK edge relation — the incremental-discovery
+    * half of the authority family ([[graft.ext.Dedup
+    * .writeMirrorHashes]]' pattern applied to the link graph): at
+    * deployment scale the expensive per-cycle leg is EXTRACTING
+    * OUTLINKS FROM FETCHED BYTES, not the rank retrain (the power
+    * iteration runs over a thin host×host relation), so the distinct
+    * `(src, dst)` relation becomes maintained state a crawl cycle
+    * APPENDS its newly discovered links into, and
+    * [[rebuildPageRank]] retrains from the stored relation without
+    * ever re-reading page bytes. Bucketed by `src` — the append's
+    * semi-prune and each power iteration's contribution join both
+    * key on it. */
+  def writeHostLinks(edges: DataFrame, srcCol: String, dstCol: String,
+                     table: String, nBuckets: Int = 32): Unit = {
+    Warehouse.resetTable(edges.sparkSession, table)
+    edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .write.format("parquet")
+      .bucketBy(nBuckets, "src").sortBy("src", "dst")
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  /** Append one batch of discovered links to a [[writeHostLinks]]
+    * relation: only `(src, dst)` pairs NEW to the store land, so the
+    * stored relation stays exactly the union's distinct — a
+    * re-crawled page re-emitting known links adds nothing, and a
+    * retrain from the store stays bit-identical to training over the
+    * unioned link universe (spec-pinned). Scale shape: the batch's
+    * distinct source hosts broadcast to SEMI-PRUNE the bucketed store
+    * scan (only buckets holding those sources are read), then the
+    * anti-join of the batch against that out-degree-bounded slice
+    * decides what is new; nothing corpus-sized shuffles per cycle. */
+  def appendHostLinks(batch: DataFrame, srcCol: String, dstCol: String,
+                      table: String): Unit = {
+    val spark = batch.sparkSession
+    spark.catalog.refreshTable(table)
+    val fresh = batch.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val slice = spark.table(table).join(
+      broadcast(fresh.select(col("src")).distinct()),
+      Seq("src"), "left_semi")
+    fresh.join(slice, Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("dst")) // insertInto is positional
+      .write.mode("append").insertInto(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** The stored link universe, `(src, dst)` — [[rebuildPageRank]]'s
+    * and the drift check's edge input. */
+  def loadHostLinks(spark: org.apache.spark.sql.SparkSession,
+                    table: String): DataFrame = {
+    spark.catalog.refreshTable(table)
+    spark.table(table)
+  }
 }

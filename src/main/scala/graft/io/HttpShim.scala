@@ -240,6 +240,39 @@ object HttpShim {
           col("component").isNotNull.as("covered"))
     })
 
+  /** `/authority?host=<host>` — the scheduler's authority probe served
+    * from the PERSISTED PageRank artifact ([[graft.ext.Graph
+    * .writePageRank]] / [[graft.ext.Graph.rebuildPageRank]]): the
+    * host's rank in micro-units and whether the artifact COVERS it —
+    * `covered = false` is the q203 drift condition surfaced per
+    * request (the stored universe has never seen this host; a worker
+    * schedules it at authority 0 AND flags the artifact for rebuild).
+    * The table re-resolves per request, so a `Graph.rebuildPageRank`
+    * changes the very next answer without a remount (the
+    * [[mirrorRoutes]] liveness discipline). Completes the authority
+    * family's serve leg. */
+  def authorityRoutes(spark: org.apache.spark.sql.SparkSession,
+                      prTable: String)
+      : Map[String, HttpExchange => DataFrame] = Map(
+    "authority" -> { ex =>
+      import org.apache.spark.sql.functions.{coalesce, col}
+      val params = queryParams(ex.getRequestURI.getRawQuery)
+      val host = params.getOrElse("host", "")
+      require(host.trim.nonEmpty, "missing or empty ?host= parameter")
+      import spark.implicits._
+      val idCol = graft.ext.Graph.pageRankIdCol(spark, prTable)
+      Seq(host).toDF("host")
+        .join(graft.ext.Graph.loadPageRank(spark, prTable)
+            .select(col(idCol).as("host"), col("pr_micro"), col("pr")),
+          Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("pr_micro"),
+            org.apache.spark.sql.functions.lit(0L)).as("pr_micro"),
+          coalesce(col("pr"),
+            org.apache.spark.sql.functions.lit(0.0d)).as("pr"),
+          col("pr_micro").isNotNull.as("covered"))
+    })
+
   /** `/rag?id=<doc>[&k=N]` — full RAG serving over the persisted
     * index pair: the query is a corpus member (more-like-this), its
     * terms from `docs`, its vector from the IVF index itself; the

@@ -2021,4 +2021,38 @@ object CrawlCycleStream {
         ()
       }
       .start()
+
+  /** Incremental link discovery inside the loop — the
+    * [[mirrorIngestStream]] discipline applied to the authority
+    * family: each micro-batch of newly discovered `(src, dst)` links
+    * APPENDS its new distinct pairs to the persisted link relation
+    * ([[graft.ext.Graph.appendHostLinks]] — batch-sized,
+    * bucket-semi-pruned; a re-crawled page re-emitting known links
+    * adds nothing, so the store stays the union's distinct and replay
+    * is a no-op), then checks the PageRank artifact for DRIFT against
+    * the updated endpoint universe
+    * ([[graft.ext.IndexAudit.driftPageRank]]) and hands the report to
+    * `onDrift` — the q203 rebuild trigger
+    * ([[graft.ext.Graph.rebuildPageRank]] from the stored relation),
+    * surfaced per cycle instead of per audit run. The drift check
+    * runs on the stored host×host relation's endpoints, never the
+    * batch's page bytes. */
+  def linkIngestStream(links: DataFrame, srcCol: String,
+                       dstCol: String, linkTable: String,
+                       prTable: String)(
+      onDrift: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    links.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.ext.Graph.appendHostLinks(batch, srcCol, dstCol,
+          linkTable)
+        val stored = graft.ext.Graph.loadHostLinks(spark, linkTable)
+        val nodes = stored.select(col("src").as("host"))
+          .union(stored.select(col("dst").as("host"))).distinct()
+        onDrift(graft.ext.IndexAudit.driftPageRank(spark, prTable,
+          nodes, "host"), batchId)
+        ()
+      }
+      .start()
 }

@@ -196,4 +196,64 @@ class CrawlCycleStreamSpec extends SparkSpec {
     assert(graft.ext.IndexAudit.driftComponents(spark, ct, nodes2,
       "host").filter(!col("ok")).count() == 0)
   }
+
+  test("linkIngestStream: per-batch appends keep the link relation " +
+    "at the union's distinct, drift stays clean until the batch that " +
+    "introduces a new host, and the q203 rebuild from the store " +
+    "clears it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val loc = java.nio.file.Files.createTempDirectory("graft_lis").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_lisdb LOCATION '$loc'")
+    val lt = "graft_lisdb.links"
+    val pt = "graft_lisdb.pr"
+    val e1 = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    graft.ext.Graph.writeHostLinks(e1, "src", "dst", lt, nBuckets = 2)
+    val stored1 = graft.ext.Graph.loadHostLinks(spark, lt)
+    val nodes1 = stored1.select(col("src").as("host"))
+      .union(stored1.select(col("dst").as("host"))).distinct()
+    graft.ext.Graph.writePageRank(
+      graft.ext.Graph.pageRankMicro(nodes1, stored1, "host",
+        "src", "dst", nNodes = 3, iters = 5),
+      "host", pt, iters = 5, nNodes = 3, nBuckets = 2)
+
+    val drifts = scala.collection.mutable.Map.empty[Long, Long]
+    val mem = MemoryStream[(String, String)]
+    val stream = graft.streaming.CrawlCycleStream.linkIngestStream(
+      mem.toDF().toDF("src", "dst"), "src", "dst", lt, pt) {
+      (report, batchId) =>
+        drifts(batchId) = report.filter(!col("ok"))
+          .agg(coalesce(sum(col("observed")), lit(0L))).head.getLong(0)
+    }
+    try {
+      mem.addData(("a", "c")) // known hosts: no drift
+      stream.processAllAvailable()
+      mem.addData(("a", "hub"), ("b", "hub"), // hub is new
+        ("a", "b"), ("a", "a")) // replayed dup + self-loop: no rows
+      stream.processAllAvailable()
+    } finally stream.stop()
+    assert(drifts(0L) == 0L, drifts)
+    assert(drifts(1L) == 1L, drifts) // hub uncovered — the trigger
+    // store == union's distinct (dup and self-loop added nothing)
+    spark.catalog.refreshTable(lt)
+    assert(spark.table(lt).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+        ("a", "hub"), ("b", "hub")))
+    // the trigger consumed: rebuild FROM THE STORE clears the drift,
+    // and the stored ranks match a fresh train over the union
+    val stored2 = graft.ext.Graph.loadHostLinks(spark, lt)
+    val nodes2 = stored2.select(col("src").as("host"))
+      .union(stored2.select(col("dst").as("host"))).distinct()
+    graft.ext.Graph.rebuildPageRank(spark, pt, nodes2, "host",
+      stored2, "src", "dst")
+    assert(graft.ext.IndexAudit.driftPageRank(spark, pt, nodes2,
+      "host").filter(!col("ok")).count() == 0)
+    val fresh = graft.ext.Graph.pageRankMicro(nodes2, stored2, "host",
+        "src", "dst", nNodes = 4, iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(graft.ext.Graph.loadPageRank(spark, pt)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet == fresh)
+  }
 }

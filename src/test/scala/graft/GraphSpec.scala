@@ -315,4 +315,82 @@ class GraphSpec extends SparkSpec {
       drifted.head.getString(0) == "hosts_covered" &&
       drifted.head.getLong(2) == 2L, drifted.toSeq)
   }
+
+  test("PageRank lifecycle: drift trips on a newly discovered host, " +
+    "rebuildPageRank retrains under the TRAINED iters/unit into the " +
+    "same layout, fsck is clean, and the stored probe matches the " +
+    "retrain bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val loc = java.nio.file.Files.createTempDirectory("graft_prr").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_prrdb LOCATION '$loc'")
+    val t = "graft_prrdb.pr"
+    val edges1 = Seq(("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val nodes1 = edges1.select(col("src").as("host"))
+      .union(edges1.select(col("dst").as("host"))).distinct()
+    Graph.writePageRank(
+      Graph.pageRankMicro(nodes1, edges1, "host", "src", "dst",
+        nNodes = 3, iters = 5),
+      "host", t, iters = 5, nNodes = 3, nBuckets = 2)
+    // cycle 2 discovers every source linking to one new hub
+    val edges2 = edges1.union(
+      Seq(("a", "hub"), ("b", "hub"), ("c", "hub")).toDF("src", "dst"))
+    val nodes2 = edges2.select(col("src").as("host"))
+      .union(edges2.select(col("dst").as("host"))).distinct()
+    val drift = graft.ext.IndexAudit.driftPageRank(spark, t,
+      nodes2, "host").filter(!col("ok")).collect()
+    assert(drift.length == 1 && drift.head.getLong(2) == 1L,
+      drift.toSeq) // hub uncovered — the retrain trigger
+    // the stale probe would schedule hub at authority 0 — rebuild
+    Graph.rebuildPageRank(spark, t, nodes2, "host", edges2,
+      "src", "dst")
+    assert(graft.ext.IndexAudit.driftPageRank(spark, t, nodes2,
+      "host").filter(!col("ok")).count() == 0)
+    assert(graft.ext.IndexAudit.auditPageRank(spark, t)
+      .filter(!col("ok")).count() == 0)
+    // probe-parity: stored ranks ≡ a fresh retrain over the union
+    // universe under the SAME trained hyper-parameters (iters = 5 —
+    // the rebuild must read them from meta, not default to 10)
+    val stored = Graph.loadPageRank(spark, t)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val fresh = Graph.pageRankMicro(
+        nodes2, edges2, "host", "src", "dst", nNodes = 4, iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(stored == fresh)
+    val hub = stored.toMap.apply("hub")
+    assert(hub > 0L) // covered now, with propagated in-link mass
+    // layout preserved: bucket count and recorded id column survive
+    assert(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t))
+      .bucketSpec.exists(_.numBuckets == 2))
+    assert(Graph.pageRankIdCol(spark, t) == "host")
+    // meta's conserved mass tracks the REBUILT training (a stale
+    // sum would trip mass_conserved on the next fsck — checked above)
+  }
+
+  test("persisted host-link relation: appendHostLinks lands only NEW " +
+    "pairs (the store stays the union's distinct — duplicates and " +
+    "self-loops add nothing) and matches writeHostLinks over the " +
+    "unioned universe bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val loc = java.nio.file.Files.createTempDirectory("graft_hl").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_hldb LOCATION '$loc'")
+    val t = "graft_hldb.links"
+    val t2 = "graft_hldb.links_oneshot"
+    val e1 = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val e2 = Seq(("a", "b"), ("a", "a"), ("c", "d"), ("c", "d"))
+      .toDF("src", "dst")
+    Graph.writeHostLinks(e1, "src", "dst", t, nBuckets = 2)
+    Graph.appendHostLinks(e2, "src", "dst", t)
+    Graph.writeHostLinks(e1.union(e2), "src", "dst", t2, nBuckets = 2)
+    def rows(table: String): Set[(String, String)] =
+      spark.table(table).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows(t) == rows(t2))
+    assert(rows(t) == Set(("a", "b"), ("b", "c"), ("c", "d")))
+    // a replayed batch is a no-op (the retried-cycle contract)
+    Graph.appendHostLinks(e2, "src", "dst", t)
+    assert(spark.table(t).count() == 3L)
+  }
 }

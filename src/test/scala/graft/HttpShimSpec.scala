@@ -391,4 +391,47 @@ class HttpShimSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS graft_hmrdb CASCADE")
     }
   }
+
+  test("/authority serves the persisted PageRank artifact: rank + " +
+    "coverage, and a rebuild changes the next answer without a " +
+    "remount") {
+    import graft.ext.Graph
+    import org.apache.spark.sql.functions.col
+    val loc = java.nio.file.Files.createTempDirectory("graft_hpr").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_hprdb LOCATION '$loc'")
+    val t = "graft_hprdb.pr"
+    val edges = Seq(("a.com", "b.com"), ("c.com", "b.com"),
+      ("b.com", "a.com")).toDF("src", "dst")
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    Graph.writePageRank(
+      Graph.pageRankMicro(nodes, edges, "host", "src", "dst",
+        nNodes = 3, iters = 5),
+      "host", t, iters = 5, nNodes = 3, nBuckets = 2)
+    val shim = HttpShim.startDynamic(HttpShim.authorityRoutes(spark, t))
+    try {
+      val (c1, b1) = get(shim.port, "/authority?host=b.com")
+      assert(c1 == 200 && b1.contains(""""covered":true""") &&
+        !b1.contains(""""pr_micro":0,"""), b1)
+      // an uncovered host reads authority 0 AND flags the drift
+      // condition — the q203 rebuild trigger, per request
+      val (c2, b2) = get(shim.port, "/authority?host=hub.com")
+      assert(c2 == 200 && b2.contains(""""pr_micro":0""") &&
+        b2.contains(""""covered":false"""), b2)
+      // the rebuild lands (no remount): the next probe sees the hub
+      // covered with propagated in-link mass
+      val edges2 = edges.union(Seq(("a.com", "hub.com"),
+        ("b.com", "hub.com"), ("c.com", "hub.com")).toDF("src", "dst"))
+      val nodes2 = edges2.select(col("src").as("host"))
+        .union(edges2.select(col("dst").as("host"))).distinct()
+      Graph.rebuildPageRank(spark, t, nodes2, "host", edges2,
+        "src", "dst")
+      val (c3, b3) = get(shim.port, "/authority?host=hub.com")
+      assert(c3 == 200 && b3.contains(""""covered":true""") &&
+        !b3.contains(""""pr_micro":0,"""), b3)
+    } finally {
+      shim.stop()
+      spark.sql("DROP DATABASE IF EXISTS graft_hprdb CASCADE")
+    }
+  }
 }
