@@ -2419,6 +2419,55 @@ private[graft] object TextQueries {
         .orderBy("host")
     }),
 
+    // ---- the SCHEDULER'S decision row (oracle-checked): every
+    // persisted artifact family consumed in ONE plan — per budgeted
+    // host the robots-TTL gate verdict + served crawl delay (the
+    // q188/q199 cache artifact), the mirror disposition (q196's
+    // components artifact), the authority rank (q187's PageRank
+    // artifact), and the composed decision: dispatch = the gate
+    // proceeds AND the host is not a mirror duplicate, fetch order =
+    // dispatched hosts by stored authority. This is the row a
+    // production crawl worker asks for before spending budget; every
+    // column here is a bucketed probe of maintained state — zero
+    // training, zero corpus reads, host-sized joins throughout.
+    "q204_scheduler_state" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val budget = crawlFrontier(s, dir).groupBy(col("link_host"))
+        .agg(count(lit(1)).as("n_budgeted"))
+      val gated = graft.ext.RobotsCache.ttlGate(s, budget, "link_host",
+        robotsCacheArtifact(s, dir), Q178AsOfMicros)
+      val delays = graft.ext.RobotsCache.latestDelays(s,
+          robotsCacheArtifact(s, dir))
+        .select(col("host").as("link_host"), col("crawl_delay_micros"))
+      val comp = graft.ext.Graph.loadComponents(s,
+          mirrorComponentArtifact(s, dir))
+        .select(col("id").as("link_host"), col("component"))
+      val pr = graft.ext.Graph.loadPageRank(s,
+          hostPagerankArtifact(s, dir))
+        .select(col("host").as("link_host"), col("pr_micro"))
+      gated
+        .join(delays, Seq("link_host"), "left")
+        .join(comp, Seq("link_host"), "left")
+        .join(pr, Seq("link_host"), "left")
+        .withColumn("mirror_rep",
+          coalesce(col("component"), col("link_host")))
+        .withColumn("is_mirror_dup",
+          col("mirror_rep") =!= col("link_host"))
+        .withColumn("authority_micro",
+          coalesce(col("pr_micro"), lit(0L)))
+        .withColumn("dispatch",
+          col("action") === "proceed" && !col("is_mirror_dup"))
+        .withColumn("fetch_order", row_number().over(Window.orderBy(
+          col("dispatch").desc, col("authority_micro").desc,
+          col("link_host"))).cast("long"))
+        .select(col("link_host"), col("n_budgeted"),
+          col("robots_age_hours"), col("action"),
+          col("crawl_delay_micros"), col("mirror_rep"),
+          col("is_mirror_dup"), col("authority_micro"),
+          col("dispatch"), col("fetch_order"))
+        .orderBy("link_host")
+    }),
+
     // ---- tightening RE-VERDICT (oracle-checked): q194's n_tightened
     // CONSUMED — a policy delta that adds disallows must re-verdict
     // the QUEUED frontier for those hosts and evict now-forbidden
@@ -6306,6 +6355,38 @@ private[graft] object TextQueries {
         "order_pre, order_post, " +
         "(NOT cov) AND order_post < order_pre AS promoted_by_rebuild " +
         "FROM ord ORDER BY host"),
+
+    // q204: all four artifact replays composed — the q188 gate
+    // arithmetic, the fixed planted delay (every budgeted host's
+    // cached body carries Crawl-delay: 2), the q201 component
+    // closure, the q155 PageRank unroll — joined per budgeted host
+    // with the dispatch decision and authority order on top.
+    "q204_scheduler_state" ->
+      ("WITH RECURSIVE " + frontierCtes + ",\n" +
+        hostPagerankIterCtes + ",\n" + mirrorComponentCtes + ",\n" +
+        "sbud AS (SELECT link_host, CAST(count(*) AS BIGINT) " +
+        "AS n_budgeted FROM rk WHERE rnk <= 3 GROUP BY link_host),\n" +
+        "sage AS (SELECT *, 5 + CAST(coalesce(nullif(" +
+        "regexp_extract(link_host, '([0-9])\\.example\\.', 1), ''), " +
+        "'0') AS BIGINT) * 5 AS robots_age_hours FROM sbud),\n" +
+        "srow AS (SELECT a.link_host, a.n_budgeted, " +
+        "a.robots_age_hours, " +
+        "CASE WHEN a.robots_age_hours > 24 " +
+        "THEN 'refetch_robots_first' ELSE 'proceed' END AS action, " +
+        "CAST(2000000 AS BIGINT) AS crawl_delay_micros, " +
+        "coalesce(c.rep, a.link_host) AS mirror_rep, " +
+        "coalesce(c.rep, a.link_host) <> a.link_host AS is_mirror_dup, " +
+        "coalesce(p.pr_micro, 0) AS authority_micro " +
+        "FROM sage a LEFT JOIN mcomp c ON c.mhost = a.link_host " +
+        "LEFT JOIN pr10 p ON p.v = a.link_host),\n" +
+        "sdec AS (SELECT *, action = 'proceed' AND NOT is_mirror_dup " +
+        "AS dispatch FROM srow)\n" +
+        "SELECT link_host, n_budgeted, robots_age_hours, action, " +
+        "crawl_delay_micros, mirror_rep, is_mirror_dup, " +
+        "authority_micro, dispatch, " +
+        "CAST(row_number() OVER (ORDER BY dispatch DESC, " +
+        "authority_micro DESC, link_host) AS BIGINT) AS fetch_order " +
+        "FROM sdec ORDER BY link_host"),
 
     // q197: the q154 budget CTEs + the tightened-host class closed
     // form (the q194 oracle's discipline: the PARSE and the delta
