@@ -59,7 +59,11 @@ class AqeParitySpec extends SparkSpec {
     // (two artifact left-joins + coalesce tie logic) and the CCNet
     // funnel's four intersected stage flags (shingle joins, digest
     // aggregate, map-literal perplexity fold)
-    "q201_mirror_drift_rebuild", "q202_ccnet_funnel")
+    "q201_mirror_drift_rebuild", "q202_ccnet_funnel",
+    // round 16 (cont.): the two-cycle authority rebuild's
+    // before/after windowed orders, and the four-artifact scheduler
+    // row (three left-joined probes + a global decision window)
+    "q203_authority_drift_rebuild", "q204_scheduler_state")
 
   test("AQE on and off produce identical rows for partition-sensitive " +
     "queries") {
