@@ -2034,9 +2034,18 @@ object CrawlCycleStream {
     * ([[graft.ext.IndexAudit.driftPageRank]]) and hands the report to
     * `onDrift` — the q203 rebuild trigger
     * ([[graft.ext.Graph.rebuildPageRank]] from the stored relation),
-    * surfaced per cycle instead of per audit run. The drift check
-    * runs on the stored host×host relation's endpoints, never the
-    * batch's page bytes. */
+    * surfaced per cycle instead of per audit run.
+    *
+    * Scale shape: the drift check probes the BATCH'S endpoints only —
+    * a new host is by definition an endpoint of the batch that
+    * introduces it, so batch-scoped coverage surfaces every
+    * introduction the cycle it lands while keeping the per-batch cost
+    * batch-sized (a store-wide endpoint distinct would re-scan the
+    * 10⁷-edge relation every politeness window). A trigger the loop
+    * drops anyway resurfaces on the next periodic
+    * [[graft.ext.IndexAudit.driftPageRank]] audit over the full
+    * store — the stream surfaces introductions, the fsck run owns
+    * completeness. */
   def linkIngestStream(links: DataFrame, srcCol: String,
                        dstCol: String, linkTable: String,
                        prTable: String)(
@@ -2047,9 +2056,9 @@ object CrawlCycleStream {
         val spark = batch.sparkSession
         graft.ext.Graph.appendHostLinks(batch, srcCol, dstCol,
           linkTable)
-        val stored = graft.ext.Graph.loadHostLinks(spark, linkTable)
-        val nodes = stored.select(col("src").as("host"))
-          .union(stored.select(col("dst").as("host"))).distinct()
+        val nodes = batch.select(col(srcCol).cast("string").as("host"))
+          .union(batch.select(col(dstCol).cast("string").as("host")))
+          .distinct()
         onDrift(graft.ext.IndexAudit.driftPageRank(spark, prTable,
           nodes, "host"), batchId)
         ()
