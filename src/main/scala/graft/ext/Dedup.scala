@@ -1347,11 +1347,18 @@ object Dedup {
 
   /** Steps 2–4 of [[mirrorCandidates]] over an already-distinct
     * `(host, __h)` relation — shared with [[mirrorPairsFromIndex]],
-    * whose relation is the PERSISTED one. */
+    * whose relation is the PERSISTED one. `capSource`, when given,
+    * supplies the relation the per-hash host counts are taken from
+    * ([[mirrorPairsForHosts]] passes the store-backed counts so the
+    * cap decision stays store-exact on a partial slice); the default
+    * counts over `hashed` itself. */
   private def mirrorPairsFromHashes(hashed: DataFrame, minShared: Long,
-                                    maxHostsPerHash: Int): DataFrame = {
+                                    maxHostsPerHash: Int,
+                                    capSource: DataFrame = null)
+      : DataFrame = {
+    val capBase = Option(capSource).getOrElse(hashed)
     val capped = hashed.join(
-      hashed.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      capBase.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= maxHostsPerHash)
         .select(col("__h")),
       Seq("__h"), "left_semi")
@@ -1442,5 +1449,64 @@ object Dedup {
       spark.table(table)
         .select(col("host"), col("content_md5").as("__h")),
       minShared, maxHostsPerHash)
+  }
+
+  /** [[mirrorPairsFromIndex]] restricted to pairs INVOLVING the given
+    * probe hosts — bit-identical to the full lift filtered to those
+    * pairs (spec-pinned), at probe-sized cost instead of a store-wide
+    * self-join: (1) the probes' own rows land via a host semi-join;
+    * (2) their hashes pull every co-occurring host's id through the
+    * md5-bucket-pruned semi-join; (3) the co-hosts' FULL row sets land
+    * via a second host semi-join, so within the expanded slice every
+    * probe-adjacent hash carries its complete store host set (the cap
+    * counts stay exact) and every candidate partner carries its
+    * complete hash set (`n_a`/`n_b`/`jaccard_micro` stay exact).
+    * Pairs between two non-probe hosts are dropped — their counts
+    * are only complete in the full lift.
+    *
+    * The streaming consumer ([[graft.streaming.CrawlCycleStream
+    * .mirrorIngestStream]]) probes each micro-batch's hosts: a new
+    * mirror member is by definition a host of the batch that
+    * introduces it, so batch-scoped pairs surface every introduction
+    * the cycle it lands while the periodic full
+    * [[mirrorPairsFromIndex]] + drift audit owns completeness. */
+  def mirrorPairsForHosts(spark: SparkSession, table: String,
+                          hosts: DataFrame, hostCol: String,
+                          minShared: Long = 2L,
+                          maxHostsPerHash: Int = 50): DataFrame = {
+    require(minShared >= 1L && maxHostsPerHash >= 2,
+      s"bad minShared/maxHostsPerHash: $minShared/$maxHostsPerHash")
+    spark.catalog.refreshTable(table)
+    val store = spark.table(table)
+    val probes = hosts.select(col(hostCol).cast("string").as("host"))
+      .distinct()
+    val mine = store.join(broadcast(probes), Seq("host"), "left_semi")
+    val coHosts = store.join(
+        mine.select(col("content_md5")).distinct(),
+        Seq("content_md5"), "left_semi")
+      .select(col("host")).distinct()
+    val slice = store.join(broadcast(coHosts), Seq("host"), "left_semi")
+      .localCheckpoint() // probe-sized; feeds the lift AND the cap base
+    // cap decisions must be STORE-exact: a partner's non-probe-adjacent
+    // hash may be shared with hosts outside the slice, so its host
+    // count (and with it the partner's n_a/n_b) comes from the store's
+    // rows for the slice's hashes (md5-bucket-pruned), never the slice
+    val capBase = store.join(
+        slice.select(col("content_md5")).distinct(),
+        Seq("content_md5"), "left_semi")
+      .select(col("host"), col("content_md5").as("__h"))
+    mirrorPairsFromHashes(
+        slice.select(col("host"), col("content_md5").as("__h")),
+        minShared, maxHostsPerHash, capBase)
+      .join(broadcast(probes
+          .select(col("host").as("host_a"), lit(1).as("__pa"))),
+        Seq("host_a"), "left")
+      .join(broadcast(probes
+          .select(col("host").as("host_b"), lit(1).as("__pb"))),
+        Seq("host_b"), "left")
+      .filter(col("__pa").isNotNull || col("__pb").isNotNull)
+      .drop("__pa", "__pb")
+      .select(col("host_a"), col("host_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("jaccard_micro"))
   }
 }

@@ -1997,9 +1997,17 @@ object CrawlCycleStream {
     * against the updated pair universe
     * ([[graft.ext.IndexAudit.driftComponents]]) and hands the report
     * to `onDrift` — the q201 rebuild trigger, surfaced per cycle
-    * instead of per audit run. The pair lift runs on the stored
-    * host×hash relation (cap-bounded self-join), never the batch's
-    * document bytes.
+    * instead of per audit run.
+    *
+    * Scale shape: the pair lift probes the BATCH'S hosts only
+    * ([[graft.ext.Dedup.mirrorPairsForHosts]] — bit-identical to the
+    * full lift filtered to batch-involving pairs, at probe-sized cost
+    * instead of a store-wide self-join per politeness window): a new
+    * mirror member is by definition a host of the batch that
+    * introduces it, so batch-scoped pairs surface every introduction
+    * the cycle it lands; the periodic full
+    * [[graft.ext.Dedup.mirrorPairsFromIndex]] + drift audit owns
+    * completeness (the [[linkIngestStream]] split).
     */
   def mirrorIngestStream(pages: DataFrame, hostCol: String,
                          textCol: String, hashTable: String,
@@ -2012,8 +2020,9 @@ object CrawlCycleStream {
         val spark = batch.sparkSession
         graft.ext.Dedup.appendMirrorHashes(batch, hostCol, textCol,
           hashTable)
-        val pairs = graft.ext.Dedup.mirrorPairsFromIndex(spark,
-          hashTable, minShared, maxHostsPerHash)
+        val pairs = graft.ext.Dedup.mirrorPairsForHosts(spark,
+          hashTable, batch.select(col(hostCol)), hostCol,
+          minShared, maxHostsPerHash)
         val nodes = pairs.select(col("host_a").as("host"))
           .union(pairs.select(col("host_b").as("host"))).distinct()
         onDrift(graft.ext.IndexAudit.driftComponents(spark, compTable,

@@ -528,4 +528,47 @@ class DedupSpec extends SparkSpec {
     assert(pairSet(graft.ext.Dedup.mirrorPairsFromIndex(
       spark, t, minShared = 2L, maxHostsPerHash = 3)) == fromBatch)
   }
+
+  test("mirrorPairsForHosts: probe-scoped pairs are bit-identical to " +
+    "the full lift filtered to probe-involving pairs — including " +
+    "store-exact cap decisions for a partner's out-of-slice hashes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("graft_mph").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mphdb LOCATION '$loc'")
+    val t = "graft_mphdb.mirror_hashes"
+    // A/B/C a mirror clique; E/F a second clique the probe must NOT
+    // surface; partner B additionally carries "boiler", shared by 4
+    // hosts (over the cap of 3) NONE of which share anything with the
+    // probe — the cap decision for it is only visible store-wide, so
+    // a slice-counted cap would inflate B's n_b and drift the jaccard
+    val docs = Seq(
+      ("A", "page one"), ("A", "page two"),
+      ("B", "page one"), ("B", "page two"),
+      ("C", "page one"), ("C", "page two"), ("C", "c extra"),
+      ("B", "boiler"), ("X", "boiler"), ("Y", "boiler"), ("Z", "boiler"),
+      ("E", "e one"), ("E", "e two"),
+      ("F", "e one"), ("F", "e two"))
+      .toDF("host", "text")
+    graft.ext.Dedup.writeMirrorHashes(docs, "host", "text", t,
+      nBuckets = 2)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val probes = Seq("A").toDF("host")
+    val scoped = pairSet(graft.ext.Dedup.mirrorPairsForHosts(
+      spark, t, probes, "host", minShared = 2L, maxHostsPerHash = 3))
+    val full = pairSet(graft.ext.Dedup.mirrorPairsFromIndex(
+        spark, t, minShared = 2L, maxHostsPerHash = 3))
+      .filter(p => p._1 == "A" || p._2 == "A")
+    assert(scoped == full, s"scoped $scoped != full-filtered $full")
+    // the probe surfaces its own clique only, with B's capped-out
+    // boilerplate hash excluded from n_b exactly as in the full lift
+    assert(scoped.map(p => (p._1, p._2)) == Set(("A", "B"), ("A", "C")))
+    val ab = scoped.find(p => p._1 == "A" && p._2 == "B").get
+    assert(ab._4 == 2L && ab._5 == 2L, ab) // n_a = n_b = 2, not 3
+    // an unknown probe host (nothing stored) surfaces nothing
+    assert(pairSet(graft.ext.Dedup.mirrorPairsForHosts(spark, t,
+      Seq("nope").toDF("host"), "host", 2L, 3)).isEmpty)
+  }
 }
