@@ -1925,13 +1925,29 @@ object CrawlCycleStream {
     * held host's robots refetch stores; `nowFor` is the injectable
     * per-cycle clock (the F6 discipline — deterministic per cycle, or
     * replay breaks [[RevisitStream.applyBatchLog]]'s contract).
-    */
+    *
+    * `compTable`/`prTable` opt the loop into the q204 scheduler
+    * consumption — the cycle probing the same persisted artifacts the
+    * batch decision row reads: with `compTable`
+    * ([[graft.ext.Graph.writeComponents]]) a mirror-DUPLICATE host's
+    * gate action records as `mirror_duplicate` and the host spends
+    * nothing that cycle — no robots refetch, no fetches, no log rows
+    * (an uncollapsed frontier can feed the loop directly; a rebuild of
+    * the artifact changes the very next cycle's evictions); with
+    * `prTable` ([[graft.ext.Graph.writePageRank]]) every gate row
+    * additionally records the host's stored `authority_micro` (0 where
+    * uncovered — the q203 drift condition written into cycle history),
+    * so each cycle's dispatch order is reconstructible from the GATES
+    * table alone. Both default off; the default path is byte-identical
+    * to rounds 15–16 (the q198 parity pin). */
   def start(cycles: DataFrame, frontier: DataFrame, rtable: String,
             ltable: String, gtable: String, robotsBody: Column,
             statusFor: (DataFrame, Long) => DataFrame,
             nowFor: Long => Column, ttlHours: Long = 24L,
             compactEvery: Int = 0,
-            checkpointLocation: Option[String] = None)
+            checkpointLocation: Option[String] = None,
+            compTable: Option[String] = None,
+            prTable: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = cycles.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1946,12 +1962,37 @@ object CrawlCycleStream {
           val asOf = tick.getLong(1)
           val budget = frontier.groupBy(col("link_host"))
             .agg(count(lit(1)).as("n_budgeted"))
-          val gate = graft.ext.RobotsCache.ttlGate(spark, budget,
+          val gate0 = graft.ext.RobotsCache.ttlGate(spark, budget,
               "link_host", rtable, asOf, ttlHours)
             .select(col("link_host"), col("action"))
-            .localCheckpoint() // host-sized; four consumers below
-          gate.select(lit(cid).as("cycle_id"), col("link_host"),
-              col("action"))
+          // the components artifact consumed in-loop: a duplicate
+          // host's budget dies HERE, before robots or fetches
+          val gate = compTable.fold(gate0) { ct =>
+            val meta = spark.table(s"${ct}_meta").head
+            val idCol = meta.getString(meta.fieldIndex("id_col"))
+            gate0.join(graft.ext.Graph.loadComponents(spark, ct)
+                .select(col(idCol).as("link_host"), col("component")),
+              Seq("link_host"), "left")
+              .withColumn("action",
+                when(coalesce(col("component"), col("link_host"))
+                  =!= col("link_host"), lit("mirror_duplicate"))
+                  .otherwise(col("action")))
+              .drop("component")
+          }.localCheckpoint() // host-sized; four consumers below
+          // the authority artifact consumed in-loop: cycle history
+          // carries the stored rank (0 = uncovered, the drift signal)
+          val gateRow = prTable.fold(
+            gate.select(lit(cid).as("cycle_id"), col("link_host"),
+              col("action"))) { pt =>
+            val idCol = graft.ext.Graph.pageRankIdCol(spark, pt)
+            gate.join(graft.ext.Graph.loadPageRank(spark, pt)
+                .select(col(idCol).as("link_host"), col("pr_micro")),
+              Seq("link_host"), "left")
+              .select(lit(cid).as("cycle_id"), col("link_host"),
+                col("action"),
+                coalesce(col("pr_micro"), lit(0L)).as("authority_micro"))
+          }
+          gateRow
             .write.mode("append").format("parquet").saveAsTable(gtable)
           val sch = frontier.join(gate, Seq("link_host"))
           val ans = statusFor(

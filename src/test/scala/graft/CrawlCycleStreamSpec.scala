@@ -133,6 +133,121 @@ class CrawlCycleStreamSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap.keySet == Set(1L, 2L))
   }
 
+  test("artifact-consuming loop (the q204 consumption): a mirror-" +
+    "duplicate host spends NOTHING — gate records mirror_duplicate, " +
+    "no robots refetch, no log rows — authority lands in cycle " +
+    "history, and the surviving slice is bit-identical to the " +
+    "default loop over the pre-collapsed frontier") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val asOf = graft.entry.TextQueries.Q178AsOfMicros
+    val loc = java.nio.file.Files.createTempDirectory("graft_cca").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ccadb LOCATION '$loc'")
+
+    // artifacts: b.com mirrors a.com; authority covers a/b, not c
+    val edges = Seq(("a.com", "b.com")).toDF("src", "dst")
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    graft.ext.Graph.writeComponents(
+      graft.ext.Graph.connectedComponents(nodes, "host", edges,
+        "src", "dst"),
+      "id", "graft_ccadb.comp", nBuckets = 2)
+    graft.ext.Graph.writePageRank(
+      graft.ext.Graph.pageRankMicro(nodes, edges, "host", "src", "dst",
+        nNodes = 2, iters = 3),
+      "host", "graft_ccadb.pr", iters = 3, nNodes = 2, nBuckets = 2)
+
+    val frFull = Seq(("a.com", 1L, "https://a.com/x"),
+      ("a.com", 2L, "https://a.com/y"),
+      ("b.com", 1L, "https://b.com/x"),
+      ("c.com", 1L, "https://c.com/x"))
+      .toDF("link_host", "rank", "url_canon").localCheckpoint()
+    val frCollapsed = frFull.filter(col("link_host") =!= "b.com")
+      .localCheckpoint()
+
+    // a fresh (proceeds), b and c stale (b's refetch must NOT happen —
+    // the dup eviction outranks the TTL gate)
+    def seedRobots(rt: String, fr: DataFrame): Unit =
+      graft.ext.RobotsCache.rebuild(
+        fr.select(col("link_host")).distinct()
+          .select(col("link_host").as("host"),
+            (lit(asOf) - when(col("link_host") === "a.com", 1L * Hour)
+              .otherwise(30L * Hour)).as("fetched_at_micros"),
+            lit("User-agent: *\nDisallow: /private").as("robots_body")),
+        "host", "fetched_at_micros", "robots_body", rt, nBuckets = 2)
+    def seedLog(lt: String): Unit =
+      graft.streaming.RevisitStream.initLog(
+        Seq(("https://a.com/x", "old body of x", "2026-01-01",
+          "2026-01-15", true))
+          .toDF("url_canon", "body", "first_fetched", "last_validated",
+            "is_active"),
+        "url_canon", "body", lt, nBuckets = 2)
+    def statusFor(sch: DataFrame, cid: Long): DataFrame =
+      sch.select(col("url_canon"), lit(200L).as("http_status"))
+        .withColumn("http_body",
+          concat(lit(s"cycle $cid fetch of "), col("url_canon")))
+    def nowFor(cid: Long) =
+      if (cid == 1L) lit("2026-02-10") else lit("2026-02-17")
+
+    def run(fr: DataFrame, rt: String, lt: String, gt: String,
+            comp: Option[String], pr: Option[String]): Unit = {
+      seedRobots(rt, fr); seedLog(lt)
+      val cycles = MemoryStream[(Long, Long)]
+      val q = graft.streaming.CrawlCycleStream.start(
+        cycles.toDF().toDF("cycle_id", "as_of_micros"), fr, rt, lt, gt,
+        lit("User-agent: *\nDisallow: /private"), statusFor, nowFor,
+        compTable = comp, prTable = pr)
+      try {
+        cycles.addData((1L, asOf)); q.processAllAvailable()
+        cycles.addData((2L, asOf + Hour)); q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(frFull, "graft_ccadb.ra", "graft_ccadb.la", "graft_ccadb.ga",
+      Some("graft_ccadb.comp"), Some("graft_ccadb.pr"))
+    run(frCollapsed, "graft_ccadb.rb", "graft_ccadb.lb",
+      "graft_ccadb.gb", None, None)
+
+    val ga = graft.streaming.CrawlCycleStream.gates(spark,
+      "graft_ccadb.ga")
+    // the duplicate is evicted by the gate, BOTH cycles, and its
+    // stored authority still lands in the history row
+    val bRows = ga.filter(col("link_host") === "b.com")
+      .select(col("cycle_id"), col("action"), col("authority_micro"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val bAuth = graft.ext.Graph.loadPageRank(spark, "graft_ccadb.pr")
+      .filter(col("host") === "b.com").head.getLong(1)
+    assert(bRows == Set((1L, "mirror_duplicate", bAuth),
+      (2L, "mirror_duplicate", bAuth)), bRows)
+    // uncovered c records authority 0 — the q203 drift signal in-history
+    assert(ga.filter(col("link_host") === "c.com")
+      .select(col("authority_micro")).collect().map(_.getLong(0))
+      .forall(_ == 0L))
+    // no budget spent on b: no log rows, no robots refetch appended
+    spark.catalog.refreshTable("graft_ccadb.la")
+    assert(spark.table("graft_ccadb.la")
+      .filter(col("url_canon").contains("b.com")).count() == 0L)
+    spark.catalog.refreshTable(s"graft_ccadb.ra_fetches")
+    assert(spark.table("graft_ccadb.ra_fetches")
+      .filter(col("host") === "b.com").count() == 1L,
+      "the dup host's stale robots must NOT refetch")
+    // the surviving slice is bit-identical to the default loop over
+    // the pre-collapsed frontier: same log state, same gate actions
+    def state(lt: String) = graft.streaming.RevisitStream
+      .logState(spark, lt, "url_canon", "body")
+      .collect().map(_.toSeq).toSet
+    assert(state("graft_ccadb.la") == state("graft_ccadb.lb"))
+    val gaActs = ga.filter(col("link_host") =!= "b.com")
+      .select(col("cycle_id"), col("link_host"), col("action"))
+      .collect().map(_.toSeq).toSet
+    val gbActs = graft.streaming.CrawlCycleStream.gates(spark,
+        "graft_ccadb.gb")
+      .select(col("cycle_id"), col("link_host"), col("action"))
+      .collect().map(_.toSeq).toSet
+    assert(gaActs == gbActs)
+  }
+
   test("mirrorIngestStream: per-batch appends keep the hash relation " +
     "at the union's distinct, drift stays clean until the batch that " +
     "introduces a new mirror member, and the q201 rebuild clears it") {
