@@ -73,6 +73,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce the output partitioning of cached plans too
+      // (off by default only for compatibility): the trainer family
+      // caches its feature relations, and without this every gradient
+      // step fans 32 near-empty cached partitions into 32 tasks
+      // (q139 measured 269 tasks / 61 task-seconds → 21 / 3 with it).
+      // Scale-neutral: on real data AQE targets its advisory size.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

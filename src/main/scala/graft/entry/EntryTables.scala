@@ -18,6 +18,22 @@ private[graft] object EntryTables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a scan across the session's cores before a compute-heavy
+    * narrow chain (regex extraction, language ID, per-char folds):
+    * an EXPLICIT-N id-keyed repartition. The N matters: AQE never
+    * coalesces a user-specified partition count, whereas a bare
+    * `repartition(col)` at `spark.sql.shuffle.partitions` gets
+    * coalesced back to ~1 partition on KB-scale inputs — and a small
+    * parquet file is a single row group, so the scan itself can never
+    * parallelize past 1 task no matter the split config (measured:
+    * q149's extract→repair→quality chain ran 4.5 CPU-seconds on ONE
+    * core, guide §2.6 stragglers). N = defaultParallelism scales with
+    * the session (the driver's local[4] pass spreads 4-way, a cluster
+    * by its cores); the exchange is keyed by the uniform id column —
+    * never content — per the ContentKeyAudit discipline. */
+  def par(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** q120's fixed BPE merge table — CONSISTENT (every operand is a base
     * character or an earlier merge's output), which is the condition
     * under which replay-in-rank-order equals the lowest-rank-present

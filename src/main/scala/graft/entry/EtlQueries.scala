@@ -215,7 +215,10 @@ private[graft] object EtlQueries {
     // ---- lifecycle chronology rule (F4, §2.11) ---------------------------
     "q18_chronology" -> ((s, dir) => {
       val k = col("o_orderkey")
-      val base = t(s, dir, "orders").select(k, col("o_orderdate"))
+      // par: the interval-arithmetic projection otherwise runs twice
+      // on the scan's single core (range-sort sampling + shuffle map)
+      val base = par(t(s, dir, "orders"), "o_orderkey")
+        .select(k, col("o_orderdate"))
         .withColumn("purchase", col("o_orderdate"))
         .withColumn("approved",
           when(k % 5 === 0, lit(null).cast("timestamp"))

@@ -3076,7 +3076,10 @@ private[graft] object TextQueries {
     // even members arrive double-encoded, so the dedup can only
     // collapse the group because the repair ran first.
     "q149_crawl_funnel" -> ((s, dir) => {
-      funnelFromPages(t(s, dir, "documents")
+      // par: the extract→repair→quality chain is regex-bound (4.5
+      // CPU-s at sf0.1) and the one-row-group scan pins it to ONE
+      // core — spread it before the html synthesis (6.1 → 3.0 s)
+      funnelFromPages(par(t(s, dir, "documents"), "doc_id")
           .withColumn("html", q149PageHtml))
         .orderBy("doc_id")
     }),
@@ -3089,8 +3092,10 @@ private[graft] object TextQueries {
     // The round-trip property is spec-pinned: this equals q149
     // bit-for-bit, so archive framing adds nothing and loses nothing.
     "q159_warc_funnel" -> ((s, dir) => {
+      // par at the archive source: WARC slicing + the funnel chain are
+      // regex/substr-bound and otherwise run on the scan's one core
       val parsed = graft.io.WarcIngest.parseWarcRecords(
-        plantedWarc(t(s, dir, "documents"),
+        plantedWarc(par(t(s, dir, "documents"), "doc_id"),
           concat(lit(HttpHdr), q149PageHtml)), "doc_id", "txt")
       val pages = parsed
         .filter(col("warc_type") === "response" && col("length_matches"))
@@ -3175,7 +3180,10 @@ private[graft] object TextQueries {
     // order).
     "q202_ccnet_funnel" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      val docs = t(s, dir, "documents")
+      // par: four gate legs (Viterbi tokenize, quality score, digest,
+      // shingle decontamination) all fold over the text of the same
+      // one-row-group scan — spread once at the source
+      val docs = par(t(s, dir, "documents"), "doc_id")
       val withDups = docs.withColumn("text",
         when(col("doc_id") % 17 === 0,
           lit("duplicate stanza alpha shared across documents"))
@@ -3236,7 +3244,8 @@ private[graft] object TextQueries {
     // restore to the clean twin exactly), odd docs the clean plant
     // (must pass through bit-unchanged; chars_collapsed = 0).
     "q146_mojibake_repair" -> ((s, dir) => {
-      val aug = t(s, dir, "documents")
+      // par: the repair is a per-char fold over text on one scan core
+      val aug = par(t(s, dir, "documents"), "doc_id")
         .withColumn("text", concat(col("text"), lit(" "),
           when(col("doc_id") % 2 === 0, lit(MojibakeDamaged))
             .otherwise(lit(MojibakeClean))))
@@ -3253,7 +3262,8 @@ private[graft] object TextQueries {
     // extractor recovers the content blocks. The one pipeline stage
     // upstream of cleanLines (q98): crawl HTML in, text out.
     "q145_html_extract" -> ((s, dir) => {
-      val aug = t(s, dir, "documents")
+      // par: jusText-class block extraction is regex-bound, one core
+      val aug = par(t(s, dir, "documents"), "doc_id")
         .withColumn("html", concat(
           lit(HtmlPre), col("text"), lit(HtmlLinks),
           when(col("doc_id") % 3 === 0, lit(HtmlStopwordy))
@@ -3288,7 +3298,8 @@ private[graft] object TextQueries {
 
     // ---- heuristic language ID (argmax over evidence; rows-only check) ----
     "q22_language_id" -> ((s, dir) => {
-      t(s, dir, "documents")
+      // par: languageId's evidence regexes run 1.9 s on the scan core
+      par(t(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           TextOps.languageId(col("text")).as("predicted_lang"))
         .orderBy("doc_id")
