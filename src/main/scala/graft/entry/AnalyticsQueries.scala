@@ -101,27 +101,35 @@ private[graft] object AnalyticsQueries {
     // declared. Exact `percentile` buffers each group's values (fine per
     // profiled column); q54 is the sketch-based scale path.
     "q51_column_profile" -> ((s, dir) => {
-      val stacked = t(s, dir, "lineitem")
+      // r16 shape: aggregate FIRST (per-column expressions over the raw
+      // relation), reshape to one row per column AFTER — the old shape
+      // stacked 3× the rows and shuffled them into THREE hash keys, so
+      // every percentile buffer (and its multi-MB serialized partial)
+      // rode a 1.8M-row exchange twice, basic + distinct branch (guide
+      // §2.3 "aggregate before you shuffle"; measured 8.2 → ~3 s at
+      // sf0.1, and at scale the 3-key exchange is a straggler by
+      // construction). The distinct census stays a SEPARATE aggregate
+      // (q40's lesson: a shared Expand would double the rows feeding
+      // the percentile buffers); both aggregates emit ONE row, met by
+      // a trivial broadcast cross join, then stack(3) reshapes.
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+      val basic = li.agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(
+          count(col(c)).as(s"np_$c"),
+          min(col(c)).as(s"mn_$c"),
+          max(col(c)).as(s"mx_$c"),
+          round(expr(s"percentile($c, 0.5)"), 6).as(s"p5_$c"))): _*)
+      val distinct = li.agg(
+        countDistinct(col(cols.head)).as(s"nd_${cols.head}"),
+        cols.tail.map(c => countDistinct(col(c)).as(s"nd_$c")): _*)
+      val slots = cols.map(c =>
+        s"'$c', n_rows, np_$c, nd_$c, mn_$c, mx_$c, p5_$c").mkString(",\n")
+      basic.crossJoin(distinct)
         .select(expr(
-          """stack(3,
-            |  'l_discount', l_discount,
-            |  'l_extendedprice', l_extendedprice,
-            |  'l_quantity', l_quantity) AS (col_name, value)""".stripMargin))
-      // distinct count SPLIT from the other aggregates (q40's lesson):
-      // together, the distinct rewrite's Expand doubles the rows feeding
-      // the percentile's per-group value buffers
-      val basic = stacked.groupBy("col_name")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          count(col("value")).as("n_present"),
-          min(col("value")).as("min_value"),
-          max(col("value")).as("max_value"),
-          round(expr("percentile(value, 0.5)"), 6).as("p50"))
-      val distinct = stacked.groupBy("col_name")
-        .agg(countDistinct(col("value")).as("n_distinct"))
-      basic.join(distinct, "col_name")
-        .select(col("col_name"), col("n_rows"), col("n_present"),
-          col("n_distinct"), col("min_value"), col("max_value"), col("p50"))
+          s"""stack(${cols.size},
+             |$slots) AS (col_name, n_rows, n_present, n_distinct,
+             |  min_value, max_value, p50)""".stripMargin))
         .orderBy("col_name")
     }),
 

@@ -82,7 +82,7 @@ private[graft] object RetrievalQueries {
     // q30's rounded cosine), so the fusion is hash-checkable end to end.
     "q124_hybrid_rrf" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      val docs = t(s, dir, "documents")
+      val docs = par(t(s, dir, "documents"), "doc_id")
       val emb = t(s, dir, "embeddings")
       val qterms = docs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("query_id"),
@@ -110,7 +110,7 @@ private[graft] object RetrievalQueries {
     // lattice (broadcast at any corpus scale).
     "q126_hard_negatives" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      val docs = t(s, dir, "documents")
+      val docs = par(t(s, dir, "documents"), "doc_id")
       val emb = t(s, dir, "embeddings")
       val qterms = docs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("query_id"),
@@ -137,7 +137,8 @@ private[graft] object RetrievalQueries {
     // original terms excluded. Everything after the first round runs on
     // R-bounded relations; corpus df is computed only for R's vocab.
     "q127_prf_expansion" -> ((s, dir) => {
-      Retrieval.prfExpansionTerms(t(s, dir, "documents"), "doc_id",
+      Retrieval.prfExpansionTerms(par(t(s, dir, "documents"), "doc_id"),
+          "doc_id",
           "text", Seq("table", "window", "hash", "stream"),
           nDocs = 10, nTerms = 5)
         .orderBy("rank")
@@ -149,7 +150,7 @@ private[graft] object RetrievalQueries {
     // (swap in human qrels for the truth relation in production).
     "q128_retrieval_metrics" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      val docs = t(s, dir, "documents")
+      val docs = par(t(s, dir, "documents"), "doc_id")
       val emb = t(s, dir, "embeddings")
       val qterms = docs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("query_id"),
@@ -193,7 +194,7 @@ private[graft] object RetrievalQueries {
     // (documented operator contract); ranks keep their fused values.
     "q130_rag_serving" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      val docs = t(s, dir, "documents")
+      val docs = par(t(s, dir, "documents"), "doc_id")
       val emb = t(s, dir, "embeddings")
       val qterms = docs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("query_id"),

@@ -832,7 +832,7 @@ private[graft] object TextQueries {
       : DataFrame = {
     val u = graft.ext.UrlOps
     val gated = graft.io.WarcIngest.withHttpResponse(
-      withPlantedLangHttp(t(s, dir, "documents")), "payload")
+      withPlantedLangHttp(par(t(s, dir, "documents"), "doc_id")), "payload")
     val dHtml = u.langPrimarySubtag(regexp_extract(
       col("http_body"), u.HtmlLangPattern, 1))
     val dHttp = u.langPrimarySubtag(col("http_content_language"))
@@ -3121,7 +3121,7 @@ private[graft] object TextQueries {
     // + the planted tie word — the apply side verified independently of
     // the trainer, as q120 is for BPE.
     "q148_unigram_tokenize" -> ((s, dir) => {
-      val aug = t(s, dir, "documents")
+      val aug = par(t(s, dir, "documents"), "doc_id")
         .withColumn("text", concat(col("text"), lit(" abba")))
       TextOps.withUnigramTokens(aug, "text", UnigramFixedVocab,
           maxPieceLen = 4)
@@ -3471,7 +3471,8 @@ private[graft] object TextQueries {
     // output), where replay-in-order ≡ the lowest-rank-present loop.
     "q120_bpe_tokenize" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      TextOps.withBpeTokens(t(s, dir, "documents"), "text", Q120Merges)
+      TextOps.withBpeTokens(par(t(s, dir, "documents"), "doc_id"),
+          "text", Q120Merges)
         .select(col("doc_id"), col("n_bpe_tokens"),
           md5(concat_ws("\u0001", col("bpe_tokens"))).as("tokens_md5"))
         .orderBy("doc_id")
@@ -3494,7 +3495,7 @@ private[graft] object TextQueries {
     // decision). Structure is planted per doc-id class (bullet lines /
     // ellipsis endings / symbol runs) so every rule fires both ways.
     "q114_gopher_rules" -> ((s, dir) => {
-      val aug = t(s, dir, "documents")
+      val aug = par(t(s, dir, "documents"), "doc_id")
         .withColumn("text",
           when(col("doc_id") % 7 === 0,
             concat(col("text"),
