@@ -324,7 +324,9 @@ private[graft] object CurationQueries {
     // e2e pipeline, with the training replayed in the oracle.
     "q144_trained_funnel" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      val docs = t(s, dir, "documents")
+      // par: teacher scoring, trained inference and the shingle legs
+      // are all md5-per-token folds off this one scan (q139's rationale)
+      val docs = par(t(s, dir, "documents"), "doc_id")
       val withDups = docs.withColumn("text",
         when(col("doc_id") % 17 === 0,
           lit("duplicate stanza alpha shared across documents"))

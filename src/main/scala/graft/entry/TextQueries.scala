@@ -3569,8 +3569,11 @@ private[graft] object TextQueries {
     // The DuckDB oracle replays all four steps as CTEs, so the
     // TRAINING loop — not just inference — is verified cross-engine.
     "q139_train_quality" -> ((s, dir) => {
+      // par: teacher scoring + the feature build hash md5 per token —
+      // CPU-bound work otherwise pinned to the one-row-group scan core
       val teacher = QualityModel.qualityClassifierScore(
-          t(s, dir, "documents"), "text", nBuckets = QtBuckets)
+          par(t(s, dir, "documents"), "doc_id"), "text",
+          nBuckets = QtBuckets)
         .select(col("doc_id"), col("text"), col("kept").as("label"))
       val w = QualityModel.trainQualityClassifier(teacher, "doc_id", "text",
         "label", nBuckets = QtBuckets, steps = QtSteps, lrPpm = QtLrPpm)
@@ -3610,7 +3613,8 @@ private[graft] object TextQueries {
     // production check run before trusting a quality model's scores.
     "q142_calibration_report" -> ((s, dir) => {
       val teacher = QualityModel.qualityClassifierScore(
-          t(s, dir, "documents"), "text", nBuckets = QtBuckets)
+          par(t(s, dir, "documents"), "doc_id"), "text",
+          nBuckets = QtBuckets)
         .select(col("doc_id"), col("text"), col("kept").as("label"))
       val w = QualityModel.trainQualityClassifier(teacher, "doc_id", "text",
         "label", nBuckets = QtBuckets, steps = QtSteps, lrPpm = QtLrPpm)
@@ -3636,7 +3640,8 @@ private[graft] object TextQueries {
     // labels it was trained on.
     "q140_trained_scoring" -> ((s, dir) => {
       val teacher = QualityModel.qualityClassifierScore(
-          t(s, dir, "documents"), "text", nBuckets = QtBuckets)
+          par(t(s, dir, "documents"), "doc_id"), "text",
+          nBuckets = QtBuckets)
         .select(col("doc_id"), col("text"), col("kept").as("label"))
       val w = QualityModel.trainQualityClassifier(teacher, "doc_id", "text",
         "label", nBuckets = QtBuckets, steps = QtSteps, lrPpm = QtLrPpm)
