@@ -122,7 +122,8 @@ private[graft] object CurationQueries {
     // funnel is a 1-row aggregate unpivoted with stack().
     "q101_curation_funnel" -> ((s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      val docs = t(s, dir, "documents")
+      // par: q144's rationale - md5-per-token legs off one scan core
+      val docs = par(t(s, dir, "documents"), "doc_id")
       val withDups = docs.withColumn("text",
         when(col("doc_id") % 17 === 0,
           lit("duplicate stanza alpha shared across documents"))
